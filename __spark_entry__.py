@@ -3,36 +3,378 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``tidb_binlog_spark/``; every query here maps
+to an operator row in SURVEY.md §2.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tidb_binlog_spark.session import load_tables
+from tidb_binlog_spark.sources.changestream import CHANGES_CTE, change_stream
+from tidb_binlog_spark.operators import compaction, ordering, filters, router
+from tidb_binlog_spark.operators import pc_match, safe_mode, schema_evolution
+
+SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL building blocks (DuckDB side of the shared semantics)
+# ---------------------------------------------------------------------------
+
+# classify_disorder + keep only appliable events (operators/ordering.py)
+_OK_CTE = """
+flagged AS (
+  SELECT c.*,
+    MAX(commit_ts) OVER (PARTITION BY source_id ORDER BY arrival_seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS prev_max_ts,
+    ROW_NUMBER() OVER (PARTITION BY commit_ts ORDER BY arrival_seq, source_id)
+      AS dup_rank
+  FROM changes c
+),
+ok AS (
+  SELECT * FROM flagged
+  WHERE dup_rank = 1 AND (prev_max_ts IS NULL OR commit_ts > prev_max_ts)
+)
+"""
+
+
+def _spark_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return change_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# query implementations (Spark side)
+# ---------------------------------------------------------------------------
+
+def q_cdc_snapshot_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full spine: source -> order gate (dup/disorder) -> compact -> apply."""
+    ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
+    return compaction.apply_snapshot(ok)
+
+
+def q_cdc_merged_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
+    return compaction.merged_op(ok)
+
+
+def q_cdc_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tagged = ordering.classify_disorder(_spark_changes(spark, sf_dir))
+    return tagged.groupBy("source_id").agg(
+        F.count(F.when(F.col("order_status") == "ok", 1)).alias("n_ok"),
+        F.count(F.when(F.col("order_status") == "disorder", 1)).alias("n_disorder"),
+        F.count(F.when(F.col("order_status") == "duplicate", 1)).alias("n_duplicate"),
+        F.max("commit_ts").alias("source_max_ts"),
+    )
+
+
+def q_cdc_kway_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merged = ordering.kway_merge(_spark_changes(spark, sf_dir))
+    return merged.select("arrival_seq", "source_id", "commit_ts", "op")
+
+
+FILTER_DO_RULES = [("db0", "ptest"), ("db1", ""), ("~^db[12]$", "~^[in]test$")]
+FILTER_IGNORE_RULES = [("db2", "ntest")]
+
+
+def q_cdc_filter_allow_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = filters.filter_allow_block(
+        _spark_changes(spark, sf_dir), FILTER_DO_RULES, FILTER_IGNORE_RULES)
+    return kept.select("arrival_seq", "db", "tbl", "op")
+
+
+EVENT_RULES = [("~.*", "ptest", ["D"]), ("db2", "ntest", ["U"])]
+
+
+def q_cdc_event_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = filters.filter_event_kinds(_spark_changes(spark, sf_dir), EVENT_RULES)
+    return kept.select("arrival_seq", "db", "tbl", "op")
+
+
+IGNORE_TS = [500, 1200, 7770]
+
+
+def q_cdc_ignore_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = filters.filter_ignore_commit_ts(_spark_changes(spark, sf_dir), IGNORE_TS)
+    return kept.select("arrival_seq", "commit_ts")
+
+
+ROUTE_RULES = [("db?", "ptest", "dwh", "t_p"), ("*", "?test", "dwh", "t_other")]
+
+
+def q_cdc_route_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routed = router.route_tables(_spark_changes(spark, sf_dir), ROUTE_RULES)
+    return routed.select("arrival_seq", "db", "tbl", "target_db", "target_tbl")
+
+
+def _pc_frames(spark: SparkSession, sf_dir: str):
+    ch = _spark_changes(spark, sf_dir)
+    prewrites = ch.select("start_ts", "arrival_seq", "pk", "val")
+    commits = (ch.filter(F.col("arrival_seq") % 20 != 19)
+               .select("start_ts",
+                       F.col("commit_ts").alias("commit_ts"),
+                       (F.col("arrival_seq") % 20 == 18).alias("is_rollback")))
+    return prewrites, commits
+
+
+def q_cdc_pc_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, c = _pc_frames(spark, sf_dir)
+    return pc_match.match_pc(p, c).select("start_ts", "commit_ts", "pk", "val")
+
+
+def q_cdc_pc_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, c = _pc_frames(spark, sf_dir)
+    return pc_match.unmatched_prewrites(p, c).select("start_ts", "arrival_seq", "pk")
+
+
+def q_cdc_checkpoint_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = _spark_changes(spark, sf_dir)
+    p, c = _pc_frames(spark, sf_dir)
+    pending = pc_match.unmatched_prewrites(p, c)
+    return ordering.checkpoint_ts(ch, pending)
+
+
+def q_cdc_update_pk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = _spark_changes(spark, sf_dir).withColumn(
+        "old_pk",
+        F.when((F.col("op") == "U") & (F.col("arrival_seq") % 7 == 0),
+               F.col("pk") + 1))
+    out = safe_mode.split_pk_change(ch)
+    return out.select("arrival_seq", "commit_ts", "seq", "sub_seq", "op", "pk")
+
+
+def q_cdc_safe_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = safe_mode.safe_mode_rewrite(_spark_changes(spark, sf_dir))
+    return out.select("arrival_seq", "commit_ts", "seq", "sub_seq", "op", "pk")
+
+
+def _evo_registry() -> schema_evolution.SchemaRegistry:
+    reg = schema_evolution.SchemaRegistry()
+    reg.add_version("ptest", 1, {"note": "x"})
+    reg.add_version("ptest", 2, {"note": "x", "k": "42"})
+    return reg
+
+
+def q_cdc_schema_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = _spark_changes(spark, sf_dir).filter(F.col("tbl") == "ptest")
+    out = schema_evolution.backfill_defaults(ch, _evo_registry(), "ptest")
+    return out.select("arrival_seq", "schema_version", "note", "k")
+
+
+def q_events_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-analytics sanity query (sync-diff-style aggregate check).
+    Exact decimal arithmetic so Spark and DuckDB agree bit-for-bit."""
+    load_tables(spark, sf_dir, "events")
+    return spark.table("events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's main 'query' — apply an ordered,
+    deduplicated change stream to a table snapshot (SURVEY §3.1)."""
+    return q_cdc_snapshot_apply(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_snapshot_apply": q_cdc_snapshot_apply,
+        "cdc_merged_ops": q_cdc_merged_ops,
+        "cdc_order_audit": q_cdc_order_audit,
+        "cdc_kway_merge": q_cdc_kway_merge,
+        "cdc_filter_allow_block": q_cdc_filter_allow_block,
+        "cdc_event_filter": q_cdc_event_filter,
+        "cdc_ignore_ts": q_cdc_ignore_ts,
+        "cdc_route_tables": q_cdc_route_tables,
+        "cdc_pc_match": q_cdc_pc_match,
+        "cdc_pc_unmatched": q_cdc_pc_unmatched,
+        "cdc_checkpoint_ts": q_cdc_checkpoint_ts,
+        "cdc_update_pk_split": q_cdc_update_pk_split,
+        "cdc_safe_mode": q_cdc_safe_mode,
+        "cdc_schema_backfill": q_cdc_schema_backfill,
+        "events_value_by_type": q_events_value_by_type,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_snapshot_apply": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            last AS (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY db, tbl, pk
+                  ORDER BY commit_ts DESC, seq DESC, arrival_seq DESC) AS rn
+              FROM ok)
+            SELECT db, tbl, pk, commit_ts, op, val, row_json
+            FROM last WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_merged_ops": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            agg AS (
+              SELECT db, tbl, pk,
+                MAX(commit_ts * 8 + seq) AS last_ord,
+                MAX(CASE WHEN op = 'D' THEN commit_ts * 8 + seq END) AS last_d,
+                MAX(CASE WHEN op = 'I' THEN commit_ts * 8 + seq END) AS last_i,
+                MAX_BY(val, commit_ts * 8 + seq) AS final_val,
+                MIN_BY(val, commit_ts * 8 + seq) AS first_val,
+                COUNT(*) AS n_ops
+              FROM ok GROUP BY db, tbl, pk)
+            SELECT db, tbl, pk,
+              CASE WHEN last_d = last_ord THEN 'D'
+                   WHEN last_i IS NOT NULL
+                        AND (last_d IS NULL OR last_i > last_d) THEN 'I'
+                   ELSE 'U' END AS merged_op,
+              final_val, first_val, n_ops
+            FROM agg
+        """,
+        "cdc_order_audit": f"""
+            {CHANGES_CTE}, {_OK_CTE.replace("ok AS (", "ok_unused AS (")},
+            tagged AS (
+              SELECT *,
+                CASE WHEN dup_rank > 1 THEN 'duplicate'
+                     WHEN prev_max_ts IS NOT NULL AND commit_ts <= prev_max_ts
+                       THEN 'disorder'
+                     ELSE 'ok' END AS order_status
+              FROM flagged)
+            SELECT source_id,
+              COUNT(CASE WHEN order_status = 'ok' THEN 1 END) AS n_ok,
+              COUNT(CASE WHEN order_status = 'disorder' THEN 1 END) AS n_disorder,
+              COUNT(CASE WHEN order_status = 'duplicate' THEN 1 END) AS n_duplicate,
+              MAX(commit_ts) AS source_max_ts
+            FROM tagged GROUP BY source_id
+        """,
+        "cdc_kway_merge": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            wm AS (SELECT MIN(source_max_ts) AS watermark FROM (
+                     SELECT source_id, MAX(commit_ts) AS source_max_ts
+                     FROM changes GROUP BY source_id) t)
+            SELECT arrival_seq, source_id, commit_ts, op
+            FROM ok, wm WHERE commit_ts <= watermark
+        """,
+        "cdc_filter_allow_block": f"""
+            {CHANGES_CTE}
+            SELECT arrival_seq, db, tbl, op FROM changes
+            WHERE ((lower(db) = 'db0' AND lower(tbl) = 'ptest')
+                   OR lower(db) = 'db1'
+                   OR (regexp_matches(lower(db), '^db[12]$')
+                       AND regexp_matches(lower(tbl), '^[in]test$')))
+              AND NOT (lower(db) = 'db2' AND lower(tbl) = 'ntest')
+        """,
+        "cdc_event_filter": f"""
+            {CHANGES_CTE}
+            SELECT arrival_seq, db, tbl, op FROM changes
+            WHERE NOT (regexp_matches(lower(db), '.*')
+                       AND lower(tbl) = 'ptest' AND op IN ('D'))
+              AND NOT (lower(db) = 'db2' AND lower(tbl) = 'ntest' AND op IN ('U'))
+        """,
+        "cdc_ignore_ts": f"""
+            {CHANGES_CTE}
+            SELECT arrival_seq, commit_ts FROM changes
+            WHERE commit_ts NOT IN (500, 1200, 7770)
+        """,
+        "cdc_route_tables": f"""
+            {CHANGES_CTE}
+            SELECT arrival_seq, db, tbl,
+              CASE WHEN regexp_matches(db, '^db.$') AND regexp_matches(tbl, '^ptest$')
+                     THEN 'dwh'
+                   WHEN regexp_matches(db, '^.*$') AND regexp_matches(tbl, '^.test$')
+                     THEN 'dwh'
+                   ELSE db END AS target_db,
+              CASE WHEN regexp_matches(db, '^db.$') AND regexp_matches(tbl, '^ptest$')
+                     THEN 't_p'
+                   WHEN regexp_matches(db, '^.*$') AND regexp_matches(tbl, '^.test$')
+                     THEN 't_other'
+                   ELSE tbl END AS target_tbl
+            FROM changes
+        """,
+        "cdc_pc_match": f"""
+            {CHANGES_CTE},
+            p AS (SELECT start_ts, arrival_seq, pk, val FROM changes),
+            c AS (SELECT start_ts, commit_ts, (arrival_seq % 20 = 18) AS is_rollback
+                  FROM changes WHERE arrival_seq % 20 <> 19)
+            SELECT p.start_ts, c.commit_ts, p.pk, p.val
+            FROM p JOIN c ON p.start_ts = c.start_ts AND NOT c.is_rollback
+        """,
+        "cdc_pc_unmatched": f"""
+            {CHANGES_CTE},
+            p AS (SELECT start_ts, arrival_seq, pk FROM changes),
+            c AS (SELECT start_ts FROM changes WHERE arrival_seq % 20 <> 19)
+            SELECT p.start_ts, p.arrival_seq, p.pk FROM p
+            WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.start_ts = p.start_ts)
+        """,
+        "cdc_checkpoint_ts": f"""
+            {CHANGES_CTE},
+            wm AS (SELECT MIN(source_max_ts) AS watermark FROM (
+                     SELECT source_id, MAX(commit_ts) AS source_max_ts
+                     FROM changes GROUP BY source_id) t),
+            c AS (SELECT start_ts FROM changes WHERE arrival_seq % 20 <> 19),
+            pending AS (
+              SELECT MIN(p.start_ts) AS min_pending
+              FROM changes p
+              WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.start_ts = p.start_ts))
+            SELECT CASE WHEN min_pending IS NOT NULL AND min_pending <= watermark
+                        THEN min_pending - 1
+                        ELSE watermark END AS checkpoint_ts
+            FROM wm, pending
+        """,
+        "cdc_update_pk_split": f"""
+            {CHANGES_CTE},
+            with_old AS (
+              SELECT *, CASE WHEN op = 'U' AND arrival_seq % 7 = 0
+                             THEN pk + 1 END AS old_pk
+              FROM changes),
+            moved AS (SELECT * FROM with_old
+                      WHERE old_pk IS NOT NULL AND old_pk <> pk)
+            SELECT arrival_seq, commit_ts, seq, 0 AS sub_seq, op, pk
+            FROM with_old WHERE NOT (old_pk IS NOT NULL AND old_pk <> pk)
+            UNION ALL
+            SELECT arrival_seq, commit_ts, seq, 0 AS sub_seq, 'D' AS op,
+                   old_pk AS pk FROM moved
+            UNION ALL
+            SELECT arrival_seq, commit_ts, seq, 1 AS sub_seq, 'I' AS op, pk
+            FROM moved
+        """,
+        "cdc_safe_mode": f"""
+            {CHANGES_CTE}
+            SELECT arrival_seq, commit_ts, seq, 0 AS sub_seq, 'R' AS op, pk
+            FROM changes WHERE op = 'I'
+            UNION ALL
+            SELECT arrival_seq, commit_ts, seq, 0 AS sub_seq, op, pk
+            FROM changes WHERE op = 'D'
+            UNION ALL
+            SELECT arrival_seq, commit_ts, seq, 0 AS sub_seq, 'D' AS op, pk
+            FROM changes WHERE op = 'U'
+            UNION ALL
+            SELECT arrival_seq, commit_ts, seq, 1 AS sub_seq, 'R' AS op, pk
+            FROM changes WHERE op = 'U'
+        """,
+        "cdc_schema_backfill": f"""
+            {CHANGES_CTE}
+            SELECT arrival_seq, schema_version,
+              'x' AS note,
+              CASE WHEN schema_version >= 2
+                   THEN COALESCE(json_extract_string(row_json, '$.k'), '42')
+                   ELSE '42' END AS k
+            FROM changes WHERE tbl = 'ptest'
+        """,
+        "events_value_by_type": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+    }

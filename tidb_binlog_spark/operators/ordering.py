@@ -1,0 +1,108 @@
+"""Global commit-ts ordering, duplicate skip, disorder detection,
+multi-source k-way merge with a min-watermark gate.
+
+Reference semantics:
+- the whole pipeline's invariant is globally ascending commit_ts
+  (drainer/merge.go:236-335);
+- an item whose commit_ts <= the running max is *disorder*: counted and
+  logged, never applied out of order; an item with a commit_ts already
+  seen is a *duplicate*: skipped (drainer/merge.go:318-329);
+- the merger only emits up to min over sources of max(commit_ts)
+  (every live source must have shown an item ≥ that ts) — the global
+  low-watermark (drainer/merge.go:268-297); fake binlogs (heartbeats)
+  keep idle sources advancing (pump/server.go:467-526).
+
+Spark-first design: the reference funnels everything through ONE merger
+thread; we instead express order as data (window over arrival order per
+source for monotonicity accounting, global sort only where the sink
+truly needs total order). At 100 TB the total order is applied per
+partition of the causal key, never as a single global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def classify_disorder(changes: DataFrame) -> DataFrame:
+    """Tag each event, per source in arrival order, as ok / disorder /
+    duplicate (duplicate = commit_ts seen before globally).
+
+    One window per source (shuffle keyed by source_id) + one window per
+    commit_ts for the duplicate check.
+    """
+    w_arrival = (Window.partitionBy("source_id").orderBy("arrival_seq")
+                 .rowsBetween(Window.unboundedPreceding, -1))
+    w_dup = Window.partitionBy("commit_ts").orderBy("arrival_seq", "source_id")
+    return (
+        changes
+        .withColumn("prev_max_ts", F.max("commit_ts").over(w_arrival))
+        .withColumn("dup_rank", F.row_number().over(w_dup))
+        .withColumn(
+            "order_status",
+            F.when(F.col("dup_rank") > 1, F.lit("duplicate"))
+             .when(F.col("prev_max_ts").isNotNull()
+                   & (F.col("commit_ts") <= F.col("prev_max_ts")),
+                   F.lit("disorder"))
+             .otherwise(F.lit("ok")))
+        .drop("prev_max_ts", "dup_rank")
+    )
+
+
+def ordered_stream(changes: DataFrame) -> DataFrame:
+    """The emit-able stream: duplicates skipped, disorder quarantined
+    (routed to a metric/dead-letter stream, not applied out of order).
+    Returns only rows that participate in the ordered apply.
+    """
+    return classify_disorder(changes).filter(F.col("order_status") == "ok")
+
+
+def source_watermarks(changes: DataFrame) -> DataFrame:
+    """Per-source max commit_ts (= the pump's maxCommitTS cursor,
+    pump/storage/storage.go:278-325)."""
+    return changes.groupBy("source_id").agg(
+        F.max("commit_ts").alias("source_max_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def merge_watermark(changes: DataFrame) -> DataFrame:
+    """The global low-watermark: min over sources of max(commit_ts).
+    Single tiny aggregate — broadcastable everywhere it's needed."""
+    return source_watermarks(changes).agg(
+        F.min("source_max_ts").alias("watermark"))
+
+
+def kway_merge(changes: DataFrame) -> DataFrame:
+    """Union-of-sources merge gated at the low-watermark: emit exactly
+    the events with commit_ts <= min(max commit_ts per source), ordered.
+
+    The reference blocks until every source has a head item
+    (drainer/merge.go:268-297); in batch form that contract is "only
+    emit what every source has caught up past". Events beyond the
+    watermark stay parked for the next batch.
+    """
+    wm = merge_watermark(changes)
+    # cross-join with a 1-row aggregate => Catalyst broadcasts it.
+    gated = ordered_stream(changes).crossJoin(F.broadcast(wm))
+    return (gated.filter(F.col("commit_ts") <= F.col("watermark"))
+                 .drop("watermark"))
+
+
+def checkpoint_ts(changes: DataFrame, unmatched_p: DataFrame | None = None) -> DataFrame:
+    """Savepoint advancement: the highest commit_ts such that everything
+    at or below it is fully applied (drainer/syncer.go:199-286). With a
+    set of still-unresolved prewrites, the checkpoint cannot pass the
+    earliest unresolved start_ts.
+    """
+    wm = merge_watermark(changes)
+    if unmatched_p is None:
+        return wm.select(F.col("watermark").alias("checkpoint_ts"))
+    earliest_pending = unmatched_p.agg(F.min("start_ts").alias("min_pending"))
+    return (wm.crossJoin(earliest_pending)
+              .select(F.when(F.col("min_pending").isNotNull()
+                             & (F.col("min_pending") <= F.col("watermark")),
+                             F.col("min_pending") - 1)
+                       .otherwise(F.col("watermark"))
+                       .alias("checkpoint_ts")))

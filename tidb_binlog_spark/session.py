@@ -1,0 +1,71 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on local[N]; the same configs are what we would set
+on a real cluster (AQE on, sensible shuffle partitioning, Arrow on for
+the few Pandas-UDF paths). Nothing here is local-mode-only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "tidb_binlog_spark",
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    AQE is on so skewed causality groups / merge keys get re-planned at
+    runtime; shuffle partitions default to the core count for local
+    runs (a cluster deployment would size this to 2-3x total cores).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Register the driver's parquet tables as temp views; return dict of DFs.
+
+    The driver's parquet stamps timestamps as TIMESTAMP(NANOS), which
+    Spark only reads via the nanosAsLong legacy conf — timestamp columns
+    therefore surface as BIGINT nanoseconds; use ``ts_nanos_to_timestamp``
+    when timestamp semantics are needed.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {}
+    tables = names or ("region", "nation", "customer", "supplier", "part",
+                       "orders", "lineitem", "events", "documents", "embeddings")
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
+
+
+def ts_nanos_to_timestamp(col):
+    """BIGINT nanoseconds (see load_tables) -> TimestampType (micros)."""
+    from pyspark.sql import functions as F
+    return F.timestamp_micros((F.col(col) / 1000).cast("long"))
