@@ -24,6 +24,10 @@ from tidb_binlog_spark.session import load_tables
 from tidb_binlog_spark.sources.changestream import CHANGES_CTE, change_stream
 from tidb_binlog_spark.operators import compaction, ordering, filters, router
 from tidb_binlog_spark.operators import pc_match, safe_mode, schema_evolution
+from tidb_binlog_spark.functions import text as textfn
+from tidb_binlog_spark.functions import dedup as dedupfn
+from tidb_binlog_spark.functions import similarity as simfn
+from tidb_binlog_spark.functions import oracle_sql as osql
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -182,6 +186,66 @@ def q_events_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, "documents")["documents"]
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, "embeddings")["embeddings"]
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedupfn.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedupfn.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedupfn.simhash(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return dedupfn.simhash_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedupfn.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    return simfn.brute_force_topk(_embs(spark, sf_dir))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    return simfn.lsh_topk(_embs(spark, sf_dir))
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    return simfn.embedding_near_dups(_embs(spark, sf_dir))
+
+
+def q_text_token_count(spark, sf_dir):
+    return textfn.token_count(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    return textfn.quality_score(_docs(spark, sf_dir))
+
+
+def q_text_lang_id(spark, sf_dir):
+    return textfn.lang_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return textfn.fingerprints(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -208,6 +272,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_safe_mode": q_cdc_safe_mode,
         "cdc_schema_backfill": q_cdc_schema_backfill,
         "events_value_by_type": q_events_value_by_type,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
     }
 
 
@@ -377,4 +453,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY event_type
         """,
+        "dedup_exact": osql.DEDUP_EXACT,
+        "dedup_minhash_lsh": osql.DEDUP_MINHASH_LSH,
+        "dedup_simhash": osql.DEDUP_SIMHASH,
+        "dedup_simhash_pairs": osql.DEDUP_SIMHASH_PAIRS,
+        "dedup_ngram_jaccard": osql.DEDUP_NGRAM_JACCARD,
+        "ann_cosine_topk": osql.ANN_COSINE_TOPK,
+        "ann_lsh_topk": osql.ANN_LSH_TOPK,
+        "dedup_embedding_cosine": osql.EMBEDDING_NEAR_DUPS,
+        "text_token_count": osql.TEXT_TOKEN_COUNT,
+        "text_quality": osql.TEXT_QUALITY,
+        "text_lang_id": osql.text_lang_id_sql(textfn.STOPWORDS),
+        "doc_fingerprint": osql.DOC_FINGERPRINT,
     }

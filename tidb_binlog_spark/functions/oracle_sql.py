@@ -1,0 +1,234 @@
+"""DuckDB oracle SQL mirroring functions/{text,dedup,similarity}.py.
+
+Each string reproduces the Spark operator's semantics clause-by-clause
+in DuckDB dialect. Differences are mechanical only:
+- DuckDB lists are 1-based (Spark arrays 0-based);
+- generate_series(a, b) vs sequence(a, b);
+- list_* names vs array_*/transform/aggregate;
+- folds: DuckDB list_reduce has no init, so a 0.0 is prepended —
+  0.0 + x == x exactly, so the IEEE operation order matches Spark's
+  aggregate(…, 0.0, +) bit-for-bit.
+"""
+
+# shared fragments -----------------------------------------------------------
+
+TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(generate_series(1, len(toks) - 2), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) "
+    "ELSE [text] END"
+)
+
+
+def _dot(a: str, b: str) -> str:
+    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip({a}, {b}), "
+            f"z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), "
+            f"(acc, v) -> acc + v)")
+
+
+def _norm(a: str) -> str:
+    return (f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+            f"(acc, v) -> acc + v))")
+
+
+def cosine(a: str, b: str) -> str:
+    return f"({_dot(a, b)}) / (({_norm(a)}) * ({_norm(b)}))"
+
+
+LSH_BUCKET = (
+    "array_to_string(list_transform(generate_series(0, 5), p -> "
+    "CASE WHEN (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(0, 63), d -> "
+    "CAST(embedding[d+1] AS DOUBLE) * "
+    "(CASE WHEN substring(md5(CAST(p AS STRING) || ':' || CAST(d AS STRING)), 1, 1) >= '8' "
+    "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))), "
+    "(acc, v) -> acc + v)) > 0 THEN '1' ELSE '0' END), '')"
+)
+
+# full queries ----------------------------------------------------------------
+
+DEDUP_EXACT = """
+WITH hashed AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+clusters AS (
+  SELECT content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS cluster_size
+  FROM hashed GROUP BY content_hash)
+SELECT h.doc_id, c.canonical_id, c.cluster_size
+FROM hashed h JOIN clusters c USING (content_hash)
+"""
+
+_SIG = ("list_transform(generate_series(0, 11), j -> "
+        "list_min(list_transform(shingles, s -> md5(CAST(j AS STRING) || ':' || s))))")
+
+DEDUP_MINHASH_LSH = f"""
+WITH toks AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {SHINGLES} AS shingles FROM toks),
+sigs AS (SELECT doc_id, {_SIG} AS sig FROM sh),
+bands AS (
+  SELECT doc_id, sig, b.band,
+         md5(sig[b.band * 3 + 1] || sig[b.band * 3 + 2] || sig[b.band * 3 + 3]) AS bucket
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+  CAST(len(list_filter(generate_series(0, 11), j -> sig_a[j+1] = sig_b[j+1])) AS DOUBLE)
+    / CAST(12 AS DOUBLE) AS est_jaccard
+FROM pairs
+"""
+
+_SIMHASH = (
+    "array_to_string(list_transform(generate_series(1, 32), p -> "
+    "CASE WHEN list_sum(list_transform(tok_hashes, h -> "
+    "CASE WHEN substring(h, p, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+    "THEN '1' ELSE '0' END), '')"
+)
+
+DEDUP_SIMHASH = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+th AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS tok_hashes FROM toks)
+SELECT doc_id, {_SIMHASH} AS simhash FROM th
+"""
+
+DEDUP_SIMHASH_PAIRS = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+th AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS tok_hashes FROM toks),
+sh AS (SELECT doc_id, {_SIMHASH} AS simhash FROM th),
+chunks AS (
+  SELECT doc_id, simhash, c.chunk,
+         substring(simhash, c.chunk * 8 + 1, 8) AS key
+  FROM sh, (SELECT unnest(generate_series(0, 3)) AS chunk) c),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+  len(list_filter(generate_series(1, 32),
+      p -> substring(sh_a, p, 1) <> substring(sh_b, p, 1))) AS hamming
+FROM pairs
+WHERE len(list_filter(generate_series(1, 32),
+      p -> substring(sh_a, p, 1) <> substring(sh_b, p, 1))) <= 6
+"""
+
+DEDUP_NGRAM_JACCARD = f"""
+WITH toks AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {SHINGLES} AS shingles FROM toks),
+mh AS (SELECT doc_id, shingles,
+              list_min(list_transform(shingles, s -> md5(s))) AS min_shingle_hash
+       FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.shingles AS sh_a, b.shingles AS sh_b
+  FROM mh a JOIN mh b
+    ON a.min_shingle_hash = b.min_shingle_hash AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT doc_a, doc_b,
+    CAST(len(list_filter(list_distinct(sh_a), x -> list_contains(sh_b, x))) AS DOUBLE)
+      / CAST(len(list_distinct(sh_a)) + len(list_distinct(sh_b))
+             - len(list_filter(list_distinct(sh_a), x -> list_contains(sh_b, x))) AS DOUBLE)
+      AS jaccard
+  FROM pairs)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+ANN_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id % 100 = 0),
+j AS (SELECT q.query_id, e.vec_id, {cosine('q.q_emb', 'e.embedding')} AS cosine
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM j)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
+"""
+
+ANN_LSH_TOPK = f"""
+WITH b AS (SELECT vec_id, embedding, {LSH_BUCKET} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+      FROM b WHERE vec_id % 100 = 0),
+j AS (SELECT q.query_id, b.vec_id, {cosine('q.q_emb', 'b.embedding')} AS cosine
+      FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM j)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+EMBEDDING_NEAR_DUPS = f"""
+WITH b AS (SELECT vec_id, embedding, {LSH_BUCKET} AS bucket FROM embeddings)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       {cosine('x.embedding', 'y.embedding')} AS cosine
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE {cosine('x.embedding', 'y.embedding')} >= 0.3
+"""
+
+TEXT_TOKEN_COUNT = f"""
+WITH toks AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+SELECT doc_id,
+  len(toks) AS n_ws_tokens,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+  length(text) AS n_chars_measured
+FROM toks
+"""
+
+_EN = "'the','and','of','to','a','in','is','it','for','on'"
+
+TEXT_QUALITY = f"""
+WITH toks AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+    AS mean_token_len,
+  CAST(len(list_filter(toks, t -> list_contains([{_EN}], t))) AS DOUBLE)
+    / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+  CAST(len(regexp_extract_all(text, '[^a-z ]')) AS DOUBLE)
+    / CAST(length(text) AS DOUBLE) AS non_alpha_ratio
+FROM toks
+"""
+
+
+def _lang_case(stopwords: dict[str, list[str]]) -> str:
+    langs = sorted(stopwords)
+    score = {lang: f"len(list_filter(toks, t -> list_contains([{', '.join(repr(w) for w in stopwords[lang])}], t)))"
+             for lang in langs}
+    scores_sql = ",\n  ".join(f"{score[lang]} AS score_{lang}" for lang in langs)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = best THEN '{lang}'" for lang in langs) + " END"
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+scored AS (SELECT doc_id, lang,
+  {scores_sql}
+FROM toks),
+withbest AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id, lang, {case} AS pred_lang, best AS best_score FROM withbest
+"""
+
+
+def text_lang_id_sql(stopwords: dict[str, list[str]]) -> str:
+    return _lang_case(stopwords)
+
+
+DOC_FINGERPRINT = """
+WITH kg AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= 8 THEN
+      list_transform(generate_series(1, length(text) - 7),
+                     i -> md5(substring(text, i, 8)))
+    ELSE [md5(text)] END AS kgrams
+  FROM documents),
+wins AS (
+  SELECT doc_id,
+    CASE WHEN len(kgrams) >= 4 THEN
+      list_transform(generate_series(0, len(kgrams) - 4),
+                     j -> list_min(kgrams[j+1:j+4]))
+    ELSE [list_min(kgrams)] END AS wins
+  FROM kg)
+SELECT DISTINCT doc_id, unnest(wins) AS fingerprint FROM wins
+"""

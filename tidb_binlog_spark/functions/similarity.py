@@ -1,0 +1,105 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(the exactness baseline) and sign-random-projection LSH bucketing (the
+scale path), plus embedding-cosine near-duplicate detection.
+
+Scale design:
+- brute force is a broadcast join of the (small) query set against the
+  full corpus — one scan, no shuffle of the corpus side; top-k is a
+  per-query window (shuffle keyed by query id);
+- LSH assigns every vector a 16-bit sign bucket in a single narrow
+  projection; near-dup / search then joins within buckets only;
+- all vector math is sequential double-precision folds (F.aggregate),
+  bit-identical across engines, no Python per row.
+
+At real scale the corpus side would be bucketed/partitioned by the LSH
+key at write time so queries prune partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# sequential fold dot product / norms over array<float> cast to double.
+DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+       "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+NORM = ("sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return (f"({DOT.format(a=a, b=b)}) / "
+            f"(({NORM.format(a=a)}) * ({NORM.format(a=b)}))")
+
+
+def brute_force_topk(embeddings: DataFrame, query_mod: int = 100,
+                     k: int = 10) -> DataFrame:
+    """Exact cosine top-k: query set = vec_id % query_mod == 0 (a
+    deterministic sample standing in for user queries), ranked per
+    query by (similarity desc, vec_id) for stable ties."""
+    from pyspark.sql import Window
+    q = (embeddings.filter(F.col("vec_id") % query_mod == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    joined = (embeddings.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .withColumn("cosine", F.expr(cosine_expr("q_emb", "embedding"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
+# 6 planes = 64 buckets: sized for the fixture corpora (500-2k vectors)
+# so buckets actually collide; a real deployment sizes planes ~log2(n/B)
+# for target bucket size B.
+N_PLANES = 6
+
+
+def lsh_plane_expr(dims: int = 64, planes: int = N_PLANES, vec: str = "embedding") -> str:
+    """Sign-random-projection bucket: plane p's weight for dim d is
+    +-1 by the top bit of md5(p:d) — a deterministic pseudo-random
+    hyperplane shared with the oracle. Returns a '0'/'1' string key."""
+    proj = (f"aggregate(sequence(0, {dims - 1}), CAST(0.0 AS DOUBLE), "
+            f"(acc, d) -> acc + CAST({vec}[d] AS DOUBLE) * "
+            f"(CASE WHEN substring(md5(concat(CAST(p AS STRING), ':', CAST(d AS STRING))), 1, 1) >= '8' "
+            f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))")
+    return (f"array_join(transform(sequence(0, {planes - 1}), "
+            f"p -> CASE WHEN ({proj}) > 0 THEN '1' ELSE '0' END), '')")
+
+
+def lsh_buckets(embeddings: DataFrame, dims: int = 64) -> DataFrame:
+    return embeddings.withColumn("bucket", F.expr(lsh_plane_expr(dims)))
+
+
+def lsh_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
+             dims: int = 64) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine rank within the bucket."""
+    from pyspark.sql import Window
+    b = lsh_buckets(embeddings, dims)
+    q = (b.filter(F.col("vec_id") % query_mod == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("bucket").alias("q_bucket")))
+    joined = (b.join(q, (F.col("bucket") == F.col("q_bucket"))
+                     & (F.col("vec_id") != F.col("query_id")))
+              .withColumn("cosine", F.expr(cosine_expr("q_emb", "embedding"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.3,
+                        dims: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: same-LSH-bucket candidate
+    join, exact cosine >= threshold."""
+    b = lsh_buckets(embeddings, dims)
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
+                    & (F.col("x.vec_id") < F.col("y.vec_id")))
+             .select(F.col("x.vec_id").alias("vec_a"),
+                     F.col("y.vec_id").alias("vec_b"),
+                     F.expr(cosine_expr("x.embedding", "y.embedding")).alias("cosine")))
+    return pairs.filter(F.col("cosine") >= threshold)

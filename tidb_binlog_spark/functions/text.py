@@ -1,0 +1,111 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, language ID, quality scoring, token counting, document
+fingerprinting (winnowing).
+
+These extend the reference's surface (SURVEY §7 phase 5) — they are
+pure Catalyst expression pipelines (no Python UDFs in the hot path), so
+they scale to 100 TB: every operator is a narrow projection over the
+documents table, embarrassingly parallel, no shuffle at all until a
+downstream groupBy.
+
+Determinism contract: md5 hex strings are the only hash primitive
+(identical output in any engine), ratios are computed as BIGINT/BIGINT
+-> DOUBLE single IEEE divisions, folds are sequential — so the DuckDB
+oracle reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# word tokens: split on single spaces, drop empties (the corpus is
+# space-separated); all expressions are Spark SQL via F.expr so the
+# DuckDB oracle can mirror them clause by clause.
+TOKENS = "filter(split(text, ' '), x -> x <> '')"
+
+# simple per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit"],
+    "fr": ["le", "la", "les", "de", "et", "est", "un", "une"],
+    "zh": ["de", "shi", "le", "zai", "he", "you"],
+}
+
+
+def with_tokens(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("toks", F.expr(TOKENS))
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count (letters runs,
+    digit runs, single punctuation — the pre-tokenizer shape most BPE
+    vocabularies assume)."""
+    return with_tokens(docs).select(
+        "doc_id",
+        F.expr("size(toks)").alias("n_ws_tokens"),
+        F.expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+            .alias("n_bpe_tokens"),
+        F.expr("length(text)").alias("n_chars_measured"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals: token count, mean token length,
+    stopword ratio, non-alpha ratio — the standard cheap filters a
+    pretraining pipeline applies before expensive dedup."""
+    en = ",".join(f"'{w}'" for w in STOPWORDS["en"])
+    return with_tokens(docs).select(
+        "doc_id",
+        F.expr("size(toks)").alias("n_tokens"),
+        F.expr("CAST(length(replace(text, ' ', '')) AS DOUBLE)"
+               " / CAST(size(toks) AS DOUBLE)").alias("mean_token_len"),
+        F.expr(f"CAST(size(filter(toks, t -> t IN ({en}))) AS DOUBLE)"
+               " / CAST(size(toks) AS DOUBLE)").alias("stopword_ratio"),
+        F.expr("CAST(size(regexp_extract_all(text, '[^a-z ]', 0)) AS DOUBLE)"
+               " / CAST(length(text) AS DOUBLE)").alias("non_alpha_ratio"),
+    )
+
+
+def lang_scores() -> list[tuple[str, str]]:
+    """(lang, spark-sql count expression) per language."""
+    out = []
+    for lang, words in STOPWORDS.items():
+        lst = ",".join(f"'{w}'" for w in words)
+        out.append((lang, f"size(filter(toks, t -> t IN ({lst})))"))
+    return out
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language ID with deterministic ties (score desc,
+    then lang asc). Emits the winning language per document."""
+    df = with_tokens(docs)
+    for lang, expr in lang_scores():
+        df = df.withColumn(f"score_{lang}", F.expr(expr))
+    # argmax via greatest + chained CASE (ties -> alphabetical lang)
+    langs = sorted(STOPWORDS)
+    best: Column = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = None
+    for lang in langs:
+        cond = F.col(f"score_{lang}") == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return df.select("doc_id", "lang",
+                     pred.alias("pred_lang"),
+                     best.alias("best_score"))
+
+
+def fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints: md5 over character k-grams,
+    minimum per sliding window of w, distinct per doc. The standard
+    near-dup/plagiarism fingerprint (Schleimer et al., SIGMOD'03)."""
+    kg = (f"CASE WHEN length(text) >= {k} THEN "
+          f"transform(sequence(1, length(text) - {k} + 1), i -> md5(substring(text, i, {k}))) "
+          f"ELSE array(md5(text)) END")
+    df = docs.withColumn("kgrams", F.expr(kg))
+    wins = (f"CASE WHEN size(kgrams) >= {w} THEN "
+            f"transform(sequence(1, size(kgrams) - {w} + 1), j -> array_min(slice(kgrams, j, {w}))) "
+            f"ELSE array(array_min(kgrams)) END")
+    df = df.withColumn("wins", F.expr(wins))
+    return (df.select("doc_id", F.explode("wins").alias("fingerprint"))
+              .distinct())
