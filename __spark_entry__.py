@@ -28,6 +28,10 @@ from tidb_binlog_spark.functions import text as textfn
 from tidb_binlog_spark.functions import dedup as dedupfn
 from tidb_binlog_spark.functions import similarity as simfn
 from tidb_binlog_spark.functions import oracle_sql as osql
+from tidb_binlog_spark.functions import checksum as cksum
+from tidb_binlog_spark.functions import multimodal as mm
+from tidb_binlog_spark.operators import causality
+from tidb_binlog_spark.sinks import sqlgen, payload
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -175,6 +179,86 @@ def q_cdc_schema_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("arrival_seq", "schema_version", "note", "k")
 
 
+def q_cdc_causality_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causality grouping over synthetic multi-statement txns (7 events
+    per txn, keys = (tbl, pk) strings)."""
+    ch = _spark_changes(spark, sf_dir)
+    txn_keys = ch.select(
+        (F.col("arrival_seq") - F.col("arrival_seq") % 7).alias("txn_id"),
+        F.concat_ws("|", F.col("tbl"), F.col("pk").cast("string")).alias("key"))
+    return causality.causality_groups(txn_keys)
+
+
+def q_sink_sql_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sqlgen.generate_sql(_spark_changes(spark, sf_dir))
+    return out.select("arrival_seq", "op", "sql_text")
+
+
+def q_sink_obinlog_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return payload.obinlog_payload(_spark_changes(spark, sf_dir))
+
+
+def q_sink_bulk_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
+    compacted = compaction.compact_last_image(ok)
+    return sqlgen.bulk_delete_replace(compacted)
+
+
+def q_mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.decode_stub(_docs(spark, sf_dir))
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.frame_sample_stub(_docs(spark, sf_dir))
+
+
+def q_snapshot_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return cksum.bucket_checksum(orders, [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"])
+
+
+def q_snapshot_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    dec = lambda c: F.col(c).cast("decimal(38,6)")  # noqa: E731
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("count_order"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+              .cast("decimal(38,6)")).cast("double").alias("sum_disc_price"),
+    ))
+
+
+def q_snapshot_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    return (t["orders"]
+            .join(F.broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["nation"]),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                  .cast("double").alias("revenue")))
+
+
+def q_snapshot_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    rev = (t["orders"].groupBy("o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                .cast("double").alias("revenue"),
+                F.count(F.lit(1)).alias("n_orders")))
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    return (rev.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .join(F.broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .select("rank", "o_custkey", "c_name", "revenue", "n_orders"))
+
+
 def q_events_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-analytics sanity query (sync-diff-style aggregate check).
     Exact decimal arithmetic so Spark and DuckDB agree bit-for-bit."""
@@ -284,6 +368,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "cdc_causality_groups": q_cdc_causality_groups,
+        "sink_sql_generation": q_sink_sql_generation,
+        "sink_obinlog_payload": q_sink_obinlog_payload,
+        "sink_bulk_batches": q_sink_bulk_batches,
+        "mm_decode_meta": q_mm_decode_meta,
+        "mm_frame_sample": q_mm_frame_sample,
+        "snapshot_checksum_orders": q_snapshot_checksum_orders,
+        "snapshot_pricing_summary": q_snapshot_pricing_summary,
+        "snapshot_revenue_by_nation": q_snapshot_revenue_by_nation,
+        "snapshot_top_customers": q_snapshot_top_customers,
     }
 
 
@@ -465,4 +559,128 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": osql.TEXT_QUALITY,
         "text_lang_id": osql.text_lang_id_sql(textfn.STOPWORDS),
         "doc_fingerprint": osql.DOC_FINGERPRINT,
+        "cdc_causality_groups": f"""
+            {CHANGES_CTE},
+            tk AS (SELECT DISTINCT arrival_seq - (arrival_seq % 7) AS txn_id,
+                          tbl || '|' || CAST(pk AS STRING) AS key
+                   FROM changes),
+            e AS (SELECT DISTINCT a.txn_id AS src, b.txn_id AS dst
+                  FROM tk a JOIN tk b ON a.key = b.key),
+            r AS (
+              SELECT txn_id, txn_id AS label
+              FROM (SELECT DISTINCT txn_id FROM tk)
+              UNION
+              SELECT e.src AS txn_id, r.label FROM r JOIN e ON e.dst = r.txn_id
+            )
+            SELECT txn_id, MIN(label) AS group_id FROM r GROUP BY txn_id
+        """.replace("WITH changes AS", "WITH RECURSIVE changes AS"),
+        "sink_sql_generation": f"""
+            {CHANGES_CTE}
+            SELECT arrival_seq, op,
+              CASE op
+                WHEN 'I' THEN 'INSERT INTO `' || db || '`.`' || tbl ||
+                  '`(`pk`, `val`) VALUES (' || CAST(pk AS STRING) || ', ' ||
+                  CAST(val AS STRING) || ')'
+                WHEN 'U' THEN 'UPDATE `' || db || '`.`' || tbl ||
+                  '` SET `val` = ' || CAST(val AS STRING) ||
+                  ' WHERE `pk` = ' || CAST(pk AS STRING) || ' LIMIT 1'
+                WHEN 'D' THEN 'DELETE FROM `' || db || '`.`' || tbl ||
+                  '` WHERE `pk` = ' || CAST(pk AS STRING) || ' LIMIT 1'
+              END AS sql_text
+            FROM changes
+        """,
+        "sink_obinlog_payload": f"""
+            {CHANGES_CTE}
+            SELECT commit_ts,
+              '{{"commit_ts":' || CAST(commit_ts AS STRING) ||
+              ',"type":"' || op ||
+              '","schema_name":"' || db ||
+              '","table_name":"' || tbl ||
+              '","pk":' || CAST(pk AS STRING) ||
+              ',"seq":' || CAST(seq AS STRING) || '}}' AS payload
+            FROM changes
+        """,
+        "sink_bulk_batches": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            last AS (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY db, tbl, pk
+                  ORDER BY commit_ts DESC, seq DESC, arrival_seq DESC) AS rn
+              FROM ok),
+            compacted AS (SELECT * FROM last WHERE rn = 1),
+            ranked AS (
+              SELECT db, tbl, op, pk,
+                '(' || CAST(pk AS STRING) || ', ' || CAST(val AS STRING) || ')' AS vt,
+                CAST(floor((ROW_NUMBER() OVER (PARTITION BY db, tbl, op ORDER BY pk) - 1)
+                     / 128) AS INT) AS batch_no
+              FROM compacted)
+            SELECT db, tbl, op, batch_no,
+                   string_agg(vt, ', ' ORDER BY vt) AS values_list,
+                   COUNT(*) AS n_rows
+            FROM ranked GROUP BY db, tbl, op, batch_no
+        """,
+        "mm_decode_meta": """
+            SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              substring(hex(encode(text)), 1, 8) AS header_hex,
+              md5(text) AS content_md5,
+              CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS fake_width,
+              CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS fake_height
+            FROM documents
+        """,
+        "mm_frame_sample": """
+            WITH b AS (SELECT doc_id, encode(text) AS payload FROM documents),
+            offs AS (
+              SELECT doc_id, payload,
+                     unnest(generate_series(0, octet_length(payload) - 1, 1000))
+                       AS frame_offset
+              FROM b)
+            SELECT doc_id, frame_offset,
+                   substring(hex(payload), frame_offset * 2 + 1, 16) AS frame_hex
+            FROM offs
+        """,
+        "snapshot_checksum_orders": """
+            WITH hashed AS (
+              SELECT md5(concat_ws('|',
+                CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),
+                o_orderstatus, CAST(o_totalprice AS STRING),
+                CAST(o_orderdate AS STRING), o_orderpriority))
+                AS row_md5
+              FROM orders)
+            SELECT substring(row_md5, 1, 2) AS bucket,
+                   COUNT(*) AS n_rows,
+                   md5(string_agg(row_md5, '' ORDER BY row_md5)) AS digest
+            FROM hashed GROUP BY substring(row_md5, 1, 2)
+        """,
+        "snapshot_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+              COUNT(*) AS count_order,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                            AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "snapshot_revenue_by_nation": """
+            SELECT n_name, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "snapshot_top_customers": """
+            WITH rev AS (
+              SELECT o_custkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+                COUNT(*) AS n_orders
+              FROM orders GROUP BY o_custkey),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey) AS rank
+              FROM rev)
+            SELECT rank, o_custkey, c_name, revenue, n_orders
+            FROM ranked JOIN customer ON o_custkey = c_custkey
+            WHERE rank <= 10
+        """,
     }

@@ -1,0 +1,68 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries are materialized with the noop sink (full execution, no
+driver-side collection cost) after a warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from tidb_binlog_spark.session import get_spark
+
+HEADLINE = [
+    "cdc_snapshot_apply",        # full pipeline spine: order->compact->apply
+    "cdc_kway_merge",            # multi-source merge + watermark gate
+    "cdc_merged_ops",            # per-PK merge classification
+    "cdc_pc_match",              # P/C binlog join
+    "sink_bulk_batches",         # compaction + batched statement build
+    "sink_sql_generation",       # statement projection
+    "dedup_minhash_lsh",         # MinHash+LSH near-dup pairs
+    "dedup_simhash",             # SimHash signatures
+    "ann_cosine_topk",           # brute-force cosine top-k
+    "text_quality",              # quality scoring scan
+    "mm_decode_meta",            # mapInPandas multimodal plumbing
+    "snapshot_pricing_summary",  # wide aggregate over lineitem
+    "snapshot_revenue_by_nation",# broadcast join chain
+    "snapshot_checksum_orders",  # sync-diff style checksum
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    qs = entry.queries()
+    # warm up the JVM + parquet footers once (not timed)
+    qs["events_value_by_type"](spark, sf_dir).write.format("noop") \
+        .mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Training-data operator tests: dedup families, similarity, text
+analysis, schema evolution back-fill, checksums, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import make_changes
+from tidb_binlog_spark.functions import checksum, dedup, multimodal, similarity, text
+from tidb_binlog_spark.operators import schema_evolution
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_exact_dedup_clusters(spark):
+    d = docs_df(spark, ["a b c", "a b c", "x y z"])
+    got = {r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+           for r in dedup.exact_dedup(d).collect()}
+    assert got == {0: (0, 2), 1: (0, 2), 2: (2, 1)}
+
+
+def test_minhash_identical_docs_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    d = docs_df(spark, [base, base, "completely different words here now ok"])
+    pairs = dedup.minhash_lsh_pairs(d).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(0, 1)]
+    assert pairs[0]["est_jaccard"] == 1.0
+
+
+def test_simhash_identical_and_pairs(spark):
+    base = "one two three four five six seven eight nine ten"
+    d = docs_df(spark, [base, base])
+    sh = dedup.simhash(d).collect()
+    assert sh[0]["simhash"] == sh[1]["simhash"]
+    assert len(sh[0]["simhash"]) == 32
+    pairs = dedup.simhash_pairs(d).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+def test_ngram_jaccard_threshold(spark):
+    a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    b = "w1 w2 w3 w4 w5 w6 w7 other"
+    d = docs_df(spark, [a, b, "unrelated totally different text body"])
+    got = dedup.ngram_jaccard_pairs(d, threshold=0.5).collect()
+    assert [(g["doc_a"], g["doc_b"]) for g in got] == [(0, 1)]
+    assert 0.5 <= got[0]["jaccard"] < 1.0
+
+
+def embs_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    d = 8
+    q = [1.0] + [0.0] * (d - 1)
+    near = [0.9] + [0.1] * (d - 1)
+    far = [-1.0] + [0.0] * (d - 1)
+    df = embs_df(spark, [q, near, far])     # vec 0 is the query (0 % 100 == 0)
+    got = similarity.brute_force_topk(df, query_mod=100, k=2).collect()
+    assert [(r["vec_id"], r["rank"]) for r in sorted(got, key=lambda r: r["rank"])] \
+        == [(1, 1), (2, 2)]
+
+
+def test_lsh_same_vector_same_bucket(spark):
+    v = [0.5, -0.25, 1.0, 0.125] * 16
+    df = embs_df(spark, [v, v])
+    buckets = [r["bucket"] for r in similarity.lsh_buckets(df).collect()]
+    assert buckets[0] == buckets[1] and len(buckets[0]) == similarity.N_PLANES
+
+
+def test_embedding_near_dups_finds_identical(spark):
+    v = [0.5, -0.25, 1.0, 0.125] * 16
+    other = [(-1.0) ** i * (i + 1.0) for i in range(64)]
+    df = embs_df(spark, [v, v, other])
+    got = similarity.embedding_near_dups(df, threshold=0.99).collect()
+    assert [(g["vec_a"], g["vec_b"]) for g in got] == [(0, 1)]
+
+
+def test_lang_id_picks_stopword_majority(spark):
+    d = docs_df(spark, ["the cat and the dog in the house",
+                        "el perro y la casa de la gente que si"])
+    got = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(d).collect()}
+    assert got[0] == "en" and got[1] == "es"
+
+
+def test_quality_and_token_count(spark):
+    d = docs_df(spark, ["the aa bb the cc"])
+    q = text.quality_score(d).collect()[0]
+    assert q["n_tokens"] == 5
+    assert q["stopword_ratio"] == 2 / 5
+    tc = text.token_count(d).collect()[0]
+    assert tc["n_ws_tokens"] == 5
+
+
+def test_fingerprints_identical_docs_share_all(spark):
+    t = "abcdefghijklmnopqrstuvwxyz"
+    d = docs_df(spark, [t, t])
+    fp = text.fingerprints(d).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[0] == by_doc[1] and len(by_doc[0]) > 0
+
+
+def test_schema_backfill_defaults(spark):
+    reg = schema_evolution.SchemaRegistry()
+    reg.add_version("t", 1, {"a": "0"})
+    reg.add_version("t", 2, {"a": "0", "b": "42"})
+    ch = make_changes(spark, [(1, "s0", 10, "I", 1), (2, "s0", 20, "I", 2)]) \
+        .withColumn("schema_version",
+                    F.when(F.col("pk") == 1, 1).otherwise(2).cast("long")) \
+        .withColumn("row_json", F.lit('{"a": "7", "b": "9"}'))
+    out = {r["pk"]: (r["a"], r["b"])
+           for r in schema_evolution.backfill_defaults(ch, reg, "t").collect()}
+    assert out[1] == ("7", "42")   # v1 row: b back-filled with default
+    assert out[2] == ("7", "9")    # v2 row: b decoded from the image
+
+
+def test_checksum_detects_difference(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    b = spark.createDataFrame([(1, "x"), (2, "z")], "id long, v string")
+    ca = checksum.table_checksum(a, ["id", "v"]).collect()[0]
+    cb = checksum.table_checksum(b, ["id", "v"]).collect()[0]
+    same = checksum.table_checksum(a, ["id", "v"]).collect()[0]
+    assert ca["table_digest"] == same["table_digest"]
+    assert ca["table_digest"] != cb["table_digest"]
+
+
+def test_multimodal_decode_and_frames(spark):
+    d = docs_df(spark, ["hello world " * 100])
+    meta = multimodal.decode_stub(d).collect()[0]
+    assert meta["n_bytes"] == 1200
+    assert meta["header_hex"] == "68656C6C"          # 'hell'
+    assert meta["fake_width"] == 1200 % 640 + 1
+    frames = multimodal.frame_sample_stub(d, every_n_bytes=500).collect()
+    assert sorted(f["frame_offset"] for f in frames) == [0, 500, 1000]

@@ -1,0 +1,162 @@
+"""Operator-level unit tests mirroring the reference's per-package
+test strategy (SURVEY §5): merge rules (pkg/loader/merge_test.go),
+ordering/disorder (drainer/merge_test.go), filters
+(pkg/filter/filter_test.go), causality (pkg/loader/causality_test.go).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import make_changes
+from tidb_binlog_spark.operators import (causality, compaction, filters,
+                                         ordering, pc_match, router,
+                                         safe_mode)
+
+
+def rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# ---- compaction (pkg/loader/merge.go rule table) ---------------------------
+
+def test_merge_insert_update_is_insert(spark):
+    ch = make_changes(spark, [(1, "s0", 10, "I", 1), (2, "s0", 20, "U", 1)])
+    out = compaction.merged_op(ch).collect()[0]
+    assert out["merged_op"] == "I"
+    assert out["final_val"] == 1.0
+
+
+def test_merge_update_delete_is_delete(spark):
+    ch = make_changes(spark, [(1, "s0", 10, "U", 1), (2, "s0", 20, "D", 1)])
+    assert compaction.merged_op(ch).collect()[0]["merged_op"] == "D"
+
+
+def test_merge_delete_insert_is_insert(spark):
+    ch = make_changes(spark, [(1, "s0", 10, "D", 1), (2, "s0", 20, "I", 1)])
+    assert compaction.merged_op(ch).collect()[0]["merged_op"] == "I"
+
+
+def test_merge_update_update_keeps_first_old_last_new(spark):
+    ch = make_changes(spark, [(1, "s0", 10, "U", 1, 0, 5.0),
+                              (2, "s0", 20, "U", 1, 0, 9.0)])
+    out = compaction.merged_op(ch).collect()[0]
+    assert out["merged_op"] == "U"
+    assert out["first_val"] == 5.0 and out["final_val"] == 9.0
+
+
+def test_apply_snapshot_drops_deleted_keys(spark):
+    ch = make_changes(spark, [
+        (1, "s0", 10, "I", 1), (2, "s0", 20, "D", 1),   # deleted
+        (3, "s0", 30, "I", 2), (4, "s0", 40, "U", 2),   # survives
+    ])
+    snap = compaction.apply_snapshot(ch)
+    assert rows(snap, "pk", "op") == [(2, "U")]
+
+
+# ---- ordering / k-way merge (drainer/merge.go) -----------------------------
+
+def test_disorder_and_duplicate_classification(spark):
+    ch = make_changes(spark, [
+        (1, "s0", 10, "I", 1), (2, "s0", 30, "I", 2),
+        (3, "s0", 20, "I", 3),            # < running max 30 -> disorder
+        (4, "s1", 30, "I", 4),            # ts 30 already seen -> duplicate
+    ])
+    tagged = ordering.classify_disorder(ch)
+    got = {r["arrival_seq"]: r["order_status"] for r in tagged.collect()}
+    assert got == {1: "ok", 2: "ok", 3: "disorder", 4: "duplicate"}
+
+
+def test_kway_merge_gates_at_min_source_watermark(spark):
+    ch = make_changes(spark, [
+        (1, "s0", 10, "I", 1), (2, "s0", 50, "I", 2),
+        (3, "s1", 20, "I", 3),            # s1 max = 20 -> watermark 20
+        (4, "s2", 60, "I", 4),
+    ])
+    merged = ordering.kway_merge(ch)
+    assert rows(merged, "commit_ts") == [(10,), (20,)]
+
+
+def test_checkpoint_pinned_by_pending_prewrite(spark):
+    ch = make_changes(spark, [(1, "s0", 100, "I", 1), (2, "s1", 90, "I", 2)])
+    pending = spark.createDataFrame([(50,)], "start_ts long")
+    out = ordering.checkpoint_ts(ch, pending).collect()[0]
+    assert out["checkpoint_ts"] == 49   # can't pass earliest pending P
+
+
+# ---- filters (pkg/filter/filter.go) ----------------------------------------
+
+def test_allow_then_block(spark):
+    ch = make_changes(spark, [(1, "s0", 10, "I", 1)])
+    ch = ch.withColumn("db", F.lit("PROD")).withColumn("tbl", F.lit("users"))
+    kept = filters.filter_allow_block(ch, [("prod", "")], [("prod", "users")])
+    assert kept.count() == 0          # allowlisted then blocklisted
+    kept = filters.filter_allow_block(ch, [("prod", "")], [("other", "")])
+    assert kept.count() == 1          # case-insensitive allow match
+
+
+def test_regex_rule(spark):
+    ch = make_changes(spark, [(1, "s0", 10, "I", 1)])
+    ch = ch.withColumn("db", F.lit("test_ignore_7"))
+    assert filters.filter_allow_block(ch, None, [("~^test_ignore_.*", "")]).count() == 0
+
+
+def test_event_kind_rule(spark):
+    ch = make_changes(spark, [(1, "s0", 10, "D", 1), (2, "s0", 20, "I", 1)])
+    kept = filters.filter_event_kinds(ch, [("db0", "t", ["D"])])
+    assert rows(kept, "op") == [("I",)]
+
+
+# ---- router ----------------------------------------------------------------
+
+def test_wildcard_routing_first_rule_wins(spark):
+    ch = make_changes(spark, [(1, "s0", 10, "I", 1)])
+    routed = router.route_tables(ch, [
+        ("db?", "t", "dwh", "t1"),
+        ("*", "*", "dwh", "fallback"),
+    ]).collect()[0]
+    assert (routed["target_db"], routed["target_tbl"]) == ("dwh", "t1")
+
+
+def test_unrouted_keeps_names(spark):
+    ch = make_changes(spark, [(1, "s0", 10, "I", 1)])
+    routed = router.route_tables(ch, [("nope", "*", "x", "y")]).collect()[0]
+    assert (routed["target_db"], routed["target_tbl"]) == ("db0", "t")
+
+
+# ---- P/C matching (pump/storage/sorter.go) ---------------------------------
+
+def test_pc_match_rollback_and_pending(spark):
+    p = spark.createDataFrame([(1, 10), (2, 20), (3, 30)],
+                              "start_ts long, pk long")
+    c = spark.createDataFrame([(1, 15, False), (2, 25, True)],
+                              "start_ts long, commit_ts long, is_rollback boolean")
+    assert rows(pc_match.match_pc(p, c), "start_ts", "commit_ts") == [(1, 15)]
+    assert rows(pc_match.rolled_back(p, c), "start_ts") == [(2,)]
+    assert rows(pc_match.unmatched_prewrites(p, c), "start_ts") == [(3,)]
+
+
+# ---- safe mode / PK-change split (pkg/loader/executor.go, merge.go) --------
+
+def test_pk_change_split(spark):
+    ch = make_changes(spark, [(1, "s0", 10, "U", 5)]) \
+        .withColumn("old_pk", F.lit(3).cast("long"))
+    out = safe_mode.split_pk_change(ch)
+    assert rows(out, "op", "pk", "sub_seq") == [("D", 3, 0), ("I", 5, 1)]
+
+
+def test_safe_mode_update_becomes_delete_plus_replace(spark):
+    ch = make_changes(spark, [(1, "s0", 10, "U", 5)])
+    out = safe_mode.safe_mode_rewrite(ch)
+    assert rows(out, "op", "sub_seq") == [("D", 0), ("R", 1)]
+
+
+# ---- causality (pkg/loader/causality.go) -----------------------------------
+
+def test_causality_groups_connected_components(spark):
+    # txns 1-2 share key a; 2-3 share key b; 4 isolated
+    tk = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (2, "b"), (3, "b"), (4, "c")],
+        "txn_id long, key string")
+    got = dict(rows(causality.causality_groups(tk), "txn_id", "group_id"))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}

@@ -1,0 +1,102 @@
+"""Sink + streaming tests: idempotent snapshot apply (exactly-once
+semantics), SQL generation, file-dump replay pruning, and the
+end-to-end Structured Streaming pipeline vs the batch oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import make_changes
+from tidb_binlog_spark.operators import compaction, ordering
+from tidb_binlog_spark.sinks import payload, sqlgen
+from tidb_binlog_spark.sinks.table_sink import SnapshotTable
+from tidb_binlog_spark.streaming import pipeline
+
+
+def test_snapshot_apply_and_idempotence(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root)
+    b1 = make_changes(spark, [(1, "s0", 10, "I", 1), (2, "s0", 20, "I", 2)])
+    t.apply_batch(b1)
+    assert sorted(r["pk"] for r in t.read().collect()) == [1, 2]
+
+    b2 = make_changes(spark, [(3, "s0", 30, "D", 1), (4, "s0", 40, "U", 2, 0, 9.0)])
+    t.apply_batch(b2)
+    snap = {r["pk"]: r["val"] for r in t.read().collect()}
+    assert snap == {2: 9.0}
+
+    # replaying the same batch (post-crash) must not change the result
+    t.apply_batch(b2)
+    snap2 = {r["pk"]: r["val"] for r in t.read().collect()}
+    assert snap2 == snap
+    assert t.checkpoint()["commit_ts"] == 40
+
+
+def test_out_of_order_batch_does_not_regress(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.apply_batch(make_changes(spark, [(1, "s0", 50, "U", 1, 0, 5.0)]))
+    # older change arriving later must lose against commit_ts 50
+    t.apply_batch(make_changes(spark, [(2, "s0", 10, "U", 1, 0, 1.0)]))
+    assert t.read().collect()[0]["val"] == 5.0
+
+
+def test_sql_generation_shapes(spark):
+    ch = make_changes(spark, [(1, "s0", 10, "I", 1, 0, 2.5),
+                              (2, "s0", 20, "U", 1, 0, 3.5),
+                              (3, "s0", 30, "D", 1)])
+    got = {r["op"]: r["sql_text"] for r in sqlgen.generate_sql(ch).collect()}
+    assert got["I"] == "INSERT INTO `db0`.`t`(`pk`, `val`) VALUES (1, 2.5)"
+    assert got["U"] == "UPDATE `db0`.`t` SET `val` = 3.5 WHERE `pk` = 1 LIMIT 1"
+    assert got["D"] == "DELETE FROM `db0`.`t` WHERE `pk` = 1 LIMIT 1"
+
+
+def test_file_dump_replay_prunes_ts_range(spark, tmp_path):
+    ch = make_changes(spark, [(i, "s0", i * 100000, "I", i) for i in range(1, 8)])
+    path = str(tmp_path / "dump")
+    payload.file_dump(ch, path)
+    got = payload.read_file_dump(spark, path, start_ts=200000, stop_ts=500000)
+    assert sorted(r["commit_ts"] for r in got.collect()) == [200000, 300000, 400000, 500000]
+
+
+def test_streaming_apply_matches_batch_oracle(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = make_changes(spark, [(1, "s0", 10, "I", 1), (2, "s0", 20, "I", 2),
+                              (3, "s0", 15, "I", 3)])          # 15 = disorder
+    b2 = make_changes(spark, [(4, "s0", 30, "U", 1, 0, 7.0),
+                              (5, "s0", 40, "D", 2)])
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    table_root = str(tmp_path / "tbl")
+    q = pipeline.run_apply_stream(
+        spark, src, table_root, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {r["pk"]: (r["op"], r["val"])
+           for r in SnapshotTable(spark, table_root).read().collect()}
+    # pk1 updated to 7.0, pk2 deleted; pk3 disorder status depends on
+    # arrival split across micro-batches -> recompute the batch oracle
+    batch = ordering.ordered_stream(b1.unionByName(b2))
+    oracle = {r["pk"]: (r["op"], r["val"])
+              for r in compaction.apply_snapshot(batch).collect()}
+    assert got.keys() == oracle.keys()
+    assert got[1] == ("U", 7.0)
+    assert 2 not in got
+
+
+def test_windowed_counts_runs(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    make_changes(spark, [(1, "s0", 10_000_000, "I", 1),
+                         (2, "s0", 20_000_000, "U", 1)]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    counts = pipeline.run_windowed_counts(spark, src)
+    q = (counts.writeStream.format("memory").queryName("wc")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["op"]: r["count"] for r in spark.sql("SELECT * FROM wc").collect()}
+    assert got == {"I": 1, "U": 1}

@@ -41,7 +41,8 @@ def brute_force_topk(embeddings: DataFrame, query_mod: int = 100,
     q = (embeddings.filter(F.col("vec_id") % query_mod == 0)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb")))
-    joined = (embeddings.crossJoin(F.broadcast(q))
+    from .text import spread
+    joined = (spread(embeddings).crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("query_id"))
               .withColumn("cosine", F.expr(cosine_expr("q_emb", "embedding"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -69,7 +70,8 @@ def lsh_plane_expr(dims: int = 64, planes: int = N_PLANES, vec: str = "embedding
 
 
 def lsh_buckets(embeddings: DataFrame, dims: int = 64) -> DataFrame:
-    return embeddings.withColumn("bucket", F.expr(lsh_plane_expr(dims)))
+    from .text import spread
+    return spread(embeddings).withColumn("bucket", F.expr(lsh_plane_expr(dims)))
 
 
 def lsh_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,

@@ -34,8 +34,18 @@ STOPWORDS = {
 }
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow source out to all cores before heavy per-row
+    compute. The fixture tables are single parquet files (one split =
+    one task); a real 100 TB corpus arrives in thousands of splits and
+    would skip this. Round-robin repartition keeps results row-wise
+    deterministic."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def with_tokens(docs: DataFrame) -> DataFrame:
-    return docs.withColumn("toks", F.expr(TOKENS))
+    return spread(docs).withColumn("toks", F.expr(TOKENS))
 
 
 def token_count(docs: DataFrame) -> DataFrame:
@@ -102,7 +112,7 @@ def fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     kg = (f"CASE WHEN length(text) >= {k} THEN "
           f"transform(sequence(1, length(text) - {k} + 1), i -> md5(substring(text, i, {k}))) "
           f"ELSE array(md5(text)) END")
-    df = docs.withColumn("kgrams", F.expr(kg))
+    df = spread(docs).withColumn("kgrams", F.expr(kg))
     wins = (f"CASE WHEN size(kgrams) >= {w} THEN "
             f"transform(sequence(1, size(kgrams) - {w} + 1), j -> array_min(slice(kgrams, j, {w}))) "
             f"ELSE array(array_min(kgrams)) END")

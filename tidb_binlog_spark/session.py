@@ -53,6 +53,8 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     when timestamp semantics are needed.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp->string rendering must be TZ-stable for checksum parity
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     tables = names or ("region", "nation", "customer", "supplier", "part",
                        "orders", "lineitem", "events", "documents", "embeddings")

@@ -1,0 +1,58 @@
+"""Outbound payload projection — the "secondary binlog" message built
+for Kafka consumers, and the self-describing file-dump record.
+
+Reference:
+- obinlog (Kafka) message: one per txn, column metadata + row images,
+  drainer/translator/kafka.go:38-336, sink drainer/sync/kafka.go;
+- pb file record: drainer/translator/pb.go:242-307 + proto/pb_binlog.proto.
+
+Spark-first: to_json over a typed struct (JVM projection). The obinlog
+total-order contract (single Kafka partition, kafka.go:280-334) maps to
+a single-partition sort before the sink write; the payload itself is a
+narrow projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def obinlog_payload(changes: DataFrame) -> DataFrame:
+    """One JSON message per change event (flat fields only — ints and
+    strings — so byte-exact output is engine-independent)."""
+    payload = F.to_json(F.struct(
+        F.col("commit_ts").alias("commit_ts"),
+        F.col("op").alias("type"),
+        F.col("db").alias("schema_name"),
+        F.col("tbl").alias("table_name"),
+        F.col("pk").alias("pk"),
+        F.col("seq").alias("seq"),
+    ))
+    return changes.select("commit_ts", payload.alias("payload"))
+
+
+def file_dump(changes: DataFrame, path: str, partitions: int = 1) -> None:
+    """File-archive sink: the pb-dump equivalent, as parquet partitioned
+    by commit-ts range so reparo-style replay (`WHERE commit_ts BETWEEN`)
+    prunes files. Retention GC = deleting old ts_bucket partitions."""
+    (changes
+     .withColumn("ts_bucket", (F.col("commit_ts") / 100000).cast("long"))
+     .repartition(partitions, "ts_bucket")
+     .sortWithinPartitions("commit_ts", "seq")
+     .write.mode("overwrite")
+     .partitionBy("ts_bucket")
+     .parquet(path))
+
+
+def read_file_dump(spark, path: str, start_ts: int | None = None,
+                   stop_ts: int | None = None) -> DataFrame:
+    """Reparo-equivalent replay scan: partition-pruned ts range read
+    (reparo/read.go:28-120 binary-searches files by first commit-ts —
+    partition pruning is the Spark-native equivalent)."""
+    df = spark.read.parquet(path)
+    if start_ts is not None:
+        df = df.where(F.col("commit_ts") >= start_ts)
+    if stop_ts is not None:
+        df = df.where(F.col("commit_ts") <= stop_ts)
+    return df

@@ -1,0 +1,89 @@
+"""Downstream SQL statement generation — the sink-side statement
+builder of the loader.
+
+Reference: pkg/loader/model.go:187-445 builds INSERT / REPLACE /
+UPDATE ... LIMIT 1 / DELETE ... LIMIT 1 with a unique-key-preferring,
+NULL-safe WHERE clause; identifiers are backtick-quoted
+(pkg/loader/util.go quoteSchema/quoteName/holderString).
+
+Spark-first: statement text is generated as a *column* (pure concat
+expressions) so a foreachBatch JDBC writer can iterate a partition and
+execute; nothing is collected to the driver. Safe-mode variants map
+I->REPLACE and U->DELETE+REPLACE (executor.go:407-443) — compose with
+operators/safe_mode.py upstream of this projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _q(name: str) -> str:
+    """Backtick-quote an identifier (loader/util.go quoteName)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _qualified() -> Column:
+    return F.concat(F.lit("`"), F.col("db"), F.lit("`.`"), F.col("tbl"), F.lit("`"))
+
+
+def _null_safe_eq(col_name: str) -> Column:
+    """NULL-safe WHERE fragment (model.go:247-261: `col IS NULL` when
+    the value is NULL, `col = val` otherwise)."""
+    v = F.col(col_name)
+    return F.when(v.isNull(), F.lit(f"{_q(col_name)} IS NULL")) \
+            .otherwise(F.concat(F.lit(f"{_q(col_name)} = "), v.cast("string")))
+
+
+def generate_sql(changes: DataFrame,
+                 pk_cols: tuple[str, ...] = ("pk",),
+                 value_cols: tuple[str, ...] = ("pk", "val")) -> DataFrame:
+    """One downstream statement per change event.
+
+    I -> INSERT INTO t(cols) VALUES(...)
+    U -> UPDATE t SET non-pk-cols WHERE pk-cols LIMIT 1
+    D -> DELETE FROM t WHERE pk-cols LIMIT 1
+    R -> REPLACE INTO t(cols) VALUES(...)   (safe-mode upsert)
+    """
+    tbl = _qualified()
+    col_list = F.lit(", ".join(_q(c) for c in value_cols))
+    values = F.concat_ws(", ", *[F.col(c).cast("string") for c in value_cols])
+    set_cols = [c for c in value_cols if c not in pk_cols]
+    set_clause = F.concat_ws(", ", *[
+        F.concat(F.lit(f"{_q(c)} = "), F.col(c).cast("string")) for c in set_cols])
+    where = F.concat_ws(" AND ", *[_null_safe_eq(c) for c in pk_cols])
+
+    insert = F.concat(F.lit("INSERT INTO "), tbl, F.lit("("), col_list,
+                      F.lit(") VALUES ("), values, F.lit(")"))
+    replace = F.concat(F.lit("REPLACE INTO "), tbl, F.lit("("), col_list,
+                       F.lit(") VALUES ("), values, F.lit(")"))
+    update = F.concat(F.lit("UPDATE "), tbl, F.lit(" SET "), set_clause,
+                      F.lit(" WHERE "), where, F.lit(" LIMIT 1"))
+    delete = F.concat(F.lit("DELETE FROM "), tbl, F.lit(" WHERE "), where,
+                      F.lit(" LIMIT 1"))
+    stmt = (F.when(F.col("op") == "I", insert)
+             .when(F.col("op") == "R", replace)
+             .when(F.col("op") == "U", update)
+             .when(F.col("op") == "D", delete))
+    return changes.withColumn("sql_text", stmt)
+
+
+def bulk_delete_replace(compacted: DataFrame,
+                        value_cols: tuple[str, ...] = ("pk", "val"),
+                        batch_size: int = 128) -> DataFrame:
+    """Multi-row statement batching per (db, tbl, op): deletes first,
+    then replaces, exactly the executor's bulkDelete/bulkReplace order
+    (pkg/loader/executor.go:273-334). Emits one row per batched
+    statement with its position, so the apply order is total."""
+    values_tuple = F.concat(
+        F.lit("("),
+        F.concat_ws(", ", *[F.col(c).cast("string") for c in value_cols]),
+        F.lit(")"))
+    w = Window.partitionBy("db", "tbl", "op").orderBy("pk")
+    ranked = compacted.withColumn(
+        "batch_no", F.floor((F.row_number().over(w) - 1) / batch_size).cast("int"))
+    return (ranked.groupBy("db", "tbl", "op", "batch_no")
+            .agg(F.concat_ws(", ", F.array_sort(F.collect_list(values_tuple)))
+                 .alias("values_list"),
+                 F.count(F.lit(1)).alias("n_rows")))

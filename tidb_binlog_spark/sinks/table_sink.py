@@ -1,0 +1,95 @@
+"""Idempotent table sink + transactional checkpoint — the MySQL-loader
+equivalent for a lakehouse target.
+
+Reference semantics reproduced:
+- apply a compacted batch with MERGE semantics (REPLACE upserts,
+  DELETE removes) so re-applying after a crash converges
+  (pkg/loader/executor.go:407-443 safe mode);
+- the checkpoint ts is persisted "in the same transaction" as the data
+  (drainer/checkpoint/mysql.go:133-165) — here: written atomically with
+  the snapshot version directory;
+- exactly-once = Spark streaming checkpoint + this idempotent apply.
+
+Local testing uses parquet snapshots (no Delta in the container); the
+apply is expressed so the same code drops onto Delta/Iceberg MERGE INTO
+on a real deployment.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class SnapshotTable:
+    """A versioned parquet table with last-writer-wins apply.
+
+    Directory layout: <root>/v<N>/ (data), <root>/checkpoint.json
+    ({version, commit_ts}). Readers use the checkpoint to pick the
+    version — the atomic-rename analog of a sink transaction.
+    """
+
+    def __init__(self, spark: SparkSession, root: str,
+                 key_cols: tuple[str, ...] = ("db", "tbl", "pk")):
+        self.spark = spark
+        self.root = root
+        self.key_cols = list(key_cols)
+
+    # -- checkpoint ---------------------------------------------------------
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.root, "checkpoint.json")
+
+    def checkpoint(self) -> dict:
+        if not os.path.exists(self._ckpt_path()):
+            return {"version": 0, "commit_ts": -1}
+        with open(self._ckpt_path()) as f:
+            return json.load(f)
+
+    def _save_checkpoint(self, version: int, commit_ts: int) -> None:
+        tmp = self._ckpt_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "commit_ts": commit_ts}, f)
+        os.replace(tmp, self._ckpt_path())  # atomic on POSIX
+
+    # -- read/apply ---------------------------------------------------------
+    def read(self) -> DataFrame | None:
+        ck = self.checkpoint()
+        if ck["version"] == 0:
+            return None
+        return self.spark.read.parquet(os.path.join(self.root, f"v{ck['version']}"))
+
+    def apply_batch(self, batch: DataFrame) -> dict:
+        """MERGE a compacted change batch (op in I/U/R applied, D
+        removed; later commit_ts wins against the current snapshot).
+        Re-applying the same batch is a no-op — idempotent by
+        construction, so checkpoint replay is safe."""
+        ck = self.checkpoint()
+        max_ts_row = batch.agg(F.max("commit_ts").alias("m")).collect()[0]
+        batch_max = max_ts_row["m"] if max_ts_row["m"] is not None else ck["commit_ts"]
+
+        current = self.read()
+        if current is not None:
+            unioned = current.unionByName(batch, allowMissingColumns=True)
+        else:
+            unioned = batch
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            F.desc("commit_ts"), F.desc("seq"), F.desc("arrival_seq"))
+        merged = (unioned
+                  .withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn")
+                  .filter(F.col("op") != "D"))
+
+        new_version = ck["version"] + 1
+        out = os.path.join(self.root, f"v{new_version}")
+        merged.write.mode("overwrite").parquet(out)
+        self._save_checkpoint(new_version, int(batch_max))
+        # retain only the previous version for readers mid-swap
+        for v in range(1, new_version - 1):
+            old = os.path.join(self.root, f"v{v}")
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        return {"version": new_version, "commit_ts": int(batch_max)}
