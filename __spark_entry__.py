@@ -30,7 +30,8 @@ from tidb_binlog_spark.functions import similarity as simfn
 from tidb_binlog_spark.functions import oracle_sql as osql
 from tidb_binlog_spark.functions import checksum as cksum
 from tidb_binlog_spark.functions import multimodal as mm
-from tidb_binlog_spark.operators import causality
+from tidb_binlog_spark.operators import causality, ddl, batching
+from tidb_binlog_spark.plans.pipeline import ReplicationConfig, build_pipeline
 from tidb_binlog_spark.sinks import sqlgen, payload
 
 SF0001 = "/root/testdata/sf0.001"
@@ -177,6 +178,118 @@ def q_cdc_schema_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = _spark_changes(spark, sf_dir).filter(F.col("tbl") == "ptest")
     out = schema_evolution.backfill_defaults(ch, _evo_registry(), "ptest")
     return out.select("arrival_seq", "schema_version", "note", "k")
+
+
+DDL_CASE = """
+CASE arrival_seq % 250
+  WHEN 0   THEN 'ALTER TABLE t ADD COLUMN c INT'
+  WHEN 50  THEN 'DROP TABLE old_t'
+  WHEN 100 THEN 'CREATE PLACEMENT POLICY p FOLLOWERS=4'
+  WHEN 150 THEN 'TRUNCATE TABLE t'
+  ELSE 'CREATE INDEX idx ON t(c)'
+END
+"""
+
+
+def q_cdc_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole drainer dataflow from one declarative config — order
+    gate, ignore-ts, allow/block, event rules, routing, compaction as a
+    single Catalyst plan."""
+    cfg = ReplicationConfig(
+        do_tables=[("db0", ""), ("db1", ""), ("~^db[23]$", "")],
+        ignore_tables=[("db2", "ntest")],
+        event_rules=[("~.*", "ptest", ["D"])],
+        ignore_commit_ts=[500],
+        route_rules=[("db?", "ptest", "dwh", "t_p"), ("*", "?test", "dwh", "t_other")],
+        compact=True,
+    )
+    out = build_pipeline(_spark_changes(spark, sf_dir), cfg)
+    return out.select("db", "tbl", "target_db", "target_tbl", "pk",
+                      "commit_ts", "op", "val")
+
+
+def q_cdc_ddl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = (_spark_changes(spark, sf_dir)
+          .filter(F.col("arrival_seq") % 50 == 0)
+          .withColumn("ddl_sql", F.expr(DDL_CASE)))
+    out = ddl.prep_for_apply(ch)
+    return out.select("arrival_seq", "db", "ddl_sql", "ddl_kind",
+                      "should_skip", "apply_sql")
+
+
+def q_cdc_loopback_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = _spark_changes(spark, sf_dir)
+    marked = (ch
+              .withColumn("db", F.when(F.col("arrival_seq") % 31 == 0,
+                                       F.lit("retl")).otherwise(F.col("db")))
+              .withColumn("tbl", F.when(F.col("arrival_seq") % 31 == 0,
+                                        F.lit("_drainer_repl_mark"))
+                          .otherwise(F.col("tbl"))))
+    kept = batching.loopback_filter(marked)
+    return kept.select("arrival_seq", "commit_ts", "db", "tbl")
+
+
+def q_cdc_heartbeat_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = _spark_changes(spark, sf_dir).withColumn(
+        "op", F.when(F.col("arrival_seq") % 25 == 0, F.lit("FAKE"))
+               .otherwise(F.col("op")))
+    return batching.heartbeat_progress(ch)
+
+
+def q_cdc_arbiter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-consumer (arbiter) path: drop repeated commit_ts, keep the
+    first-arrived message (arbiter/server.go:287-317)."""
+    from pyspark.sql import Window
+    ch = _spark_changes(spark, sf_dir)
+    w = Window.partitionBy("commit_ts").orderBy("arrival_seq", "source_id")
+    return (ch.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("arrival_seq", "commit_ts", "op"))
+
+
+def q_cdc_txn_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = _spark_changes(spark, sf_dir)
+    batched = batching.assign_txn_batches(ch, max_dmls=60)
+    return batched.groupBy("batch_no").agg(
+        F.countDistinct("commit_ts").alias("n_txns"),
+        F.count(F.lit(1)).alias("n_dmls"),
+        F.min("commit_ts").alias("min_ts"),
+        F.max("commit_ts").alias("max_ts"))
+
+
+def q_cdc_event_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return batching.event_counters(_spark_changes(spark, sf_dir))
+
+
+def q_cdc_type_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-side type formatting (translator/mysql.go formatData):
+    temporal -> string through the sink TZ, decimal stringified, json
+    extracted, double -> integer via explicit floor."""
+    load_tables(spark, sf_dir, "events")
+    return spark.table("events").selectExpr(
+        "event_id",
+        "CAST(timestamp_micros(ts div 1000) AS STRING) AS ts_str",
+        "CAST(CAST(value AS DECIMAL(20,4)) AS STRING) AS value_decimal_str",
+        "get_json_object(props, '$.k') AS json_k",
+        "CAST(floor(value) AS BIGINT) AS value_floor_int",
+        """CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+           WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END
+           AS event_type_enum""")
+
+
+def q_cdc_update_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update events carrying old+new images with NULL-safe WHERE
+    generation (pkg/loader/model.go:247-261)."""
+    ch = (_spark_changes(spark, sf_dir)
+          .filter(F.col("op") == "U")
+          .withColumn("old_val",
+                      F.when(F.col("arrival_seq") % 13 == 0, F.lit(None))
+                       .otherwise(F.col("val") - 1.0)))
+    where = (F.when(F.col("old_val").isNull(), F.lit("`val` IS NULL"))
+              .otherwise(F.concat(F.lit("`val` = "),
+                                  F.col("old_val").cast("string"))))
+    return ch.select("arrival_seq", "pk", "old_val", "val",
+                     where.alias("where_clause"))
 
 
 def q_cdc_causality_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,6 +442,37 @@ def q_doc_fingerprint(spark, sf_dir):
     return textfn.fingerprints(_docs(spark, sf_dir))
 
 
+def _ddl_stream_oracle() -> str:
+    """DuckDB mirror of q_cdc_ddl_stream, generated from the same
+    pattern lists operators/ddl.py uses."""
+    skip = " OR ".join(
+        f"regexp_matches(upper(ddl_sql), '{p}')"
+        for p in ddl.UNSUPPORTED_DDL_PATTERNS)
+    kinds = [
+        ("^CREATE TABLE", "create_table"),
+        ("^DROP TABLE", "drop_table"),
+        ("^TRUNCATE", "truncate"),
+        ("^ALTER TABLE .* ADD COLUMN", "add_column"),
+        ("^ALTER TABLE .* DROP COLUMN", "drop_column"),
+        ("^RENAME TABLE", "rename_table"),
+        ("^CREATE (UNIQUE )?INDEX", "create_index"),
+    ]
+    kind_case = "CASE " + " ".join(
+        f"WHEN regexp_matches(upper(ddl_sql), '{pat}') THEN '{k}'"
+        for pat, k in kinds) + " ELSE 'other' END"
+    return f"""
+        {CHANGES_CTE},
+        d AS (SELECT arrival_seq, db, {DDL_CASE} AS ddl_sql
+              FROM changes WHERE arrival_seq % 50 = 0)
+        SELECT arrival_seq, db, ddl_sql,
+          {kind_case} AS ddl_kind,
+          ({skip}) AS should_skip,
+          CASE WHEN ({skip}) THEN NULL
+               ELSE 'USE `' || db || '`; ' || ddl_sql END AS apply_sql
+        FROM d
+    """
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -368,6 +512,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "cdc_full_pipeline": q_cdc_full_pipeline,
+        "cdc_ddl_stream": q_cdc_ddl_stream,
+        "cdc_loopback_filter": q_cdc_loopback_filter,
+        "cdc_heartbeat_progress": q_cdc_heartbeat_progress,
+        "cdc_arbiter_dedup": q_cdc_arbiter_dedup,
+        "cdc_txn_batches": q_cdc_txn_batches,
+        "cdc_event_counters": q_cdc_event_counters,
+        "cdc_type_format": q_cdc_type_format,
+        "cdc_update_images": q_cdc_update_images,
         "cdc_causality_groups": q_cdc_causality_groups,
         "sink_sql_generation": q_sink_sql_generation,
         "sink_obinlog_payload": q_sink_obinlog_payload,
@@ -559,6 +712,116 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": osql.TEXT_QUALITY,
         "text_lang_id": osql.text_lang_id_sql(textfn.STOPWORDS),
         "doc_fingerprint": osql.DOC_FINGERPRINT,
+        "cdc_full_pipeline": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            kept AS (
+              SELECT * FROM ok
+              WHERE commit_ts NOT IN (500)
+                AND ((lower(db) = 'db0') OR (lower(db) = 'db1')
+                     OR regexp_matches(lower(db), '^db[23]$'))
+                AND NOT (lower(db) = 'db2' AND lower(tbl) = 'ntest')
+                AND NOT (regexp_matches(lower(db), '.*')
+                         AND lower(tbl) = 'ptest' AND op IN ('D'))),
+            routed AS (
+              SELECT *,
+                CASE WHEN regexp_matches(db, '^db.$') AND regexp_matches(tbl, '^ptest$')
+                       THEN 'dwh'
+                     WHEN regexp_matches(db, '^.*$') AND regexp_matches(tbl, '^.test$')
+                       THEN 'dwh'
+                     ELSE db END AS target_db,
+                CASE WHEN regexp_matches(db, '^db.$') AND regexp_matches(tbl, '^ptest$')
+                       THEN 't_p'
+                     WHEN regexp_matches(db, '^.*$') AND regexp_matches(tbl, '^.test$')
+                       THEN 't_other'
+                     ELSE tbl END AS target_tbl
+              FROM kept),
+            last AS (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY db, tbl, pk
+                  ORDER BY commit_ts DESC, seq DESC, arrival_seq DESC) AS rn
+              FROM routed)
+            SELECT db, tbl, target_db, target_tbl, pk, commit_ts, op, val
+            FROM last WHERE rn = 1
+        """,
+        "cdc_ddl_stream": _ddl_stream_oracle(),
+        "cdc_loopback_filter": f"""
+            {CHANGES_CTE},
+            marked AS (
+              SELECT arrival_seq, commit_ts,
+                CASE WHEN arrival_seq % 31 = 0 THEN 'retl' ELSE db END AS db,
+                CASE WHEN arrival_seq % 31 = 0 THEN '_drainer_repl_mark'
+                     ELSE tbl END AS tbl
+              FROM changes),
+            mark_txns AS (
+              SELECT DISTINCT commit_ts FROM marked
+              WHERE db = 'retl' AND tbl = '_drainer_repl_mark')
+            SELECT arrival_seq, commit_ts, db, tbl FROM marked
+            WHERE commit_ts NOT IN (SELECT commit_ts FROM mark_txns)
+        """,
+        "cdc_heartbeat_progress": f"""
+            {CHANGES_CTE},
+            h AS (SELECT source_id, commit_ts,
+                    CASE WHEN arrival_seq % 25 = 0 THEN 'FAKE' ELSE op END AS op2
+                  FROM changes)
+            SELECT source_id,
+              COUNT(CASE WHEN op2 <> 'FAKE' THEN 1 END) AS n_applied,
+              COUNT(CASE WHEN op2 = 'FAKE' THEN 1 END) AS n_heartbeats,
+              MAX(commit_ts) AS checkpoint_ts,
+              MAX(CASE WHEN op2 <> 'FAKE' THEN commit_ts END) AS last_applied_ts
+            FROM h GROUP BY source_id
+        """,
+        "cdc_arbiter_dedup": f"""
+            {CHANGES_CTE},
+            r AS (SELECT arrival_seq, commit_ts, op,
+                    ROW_NUMBER() OVER (PARTITION BY commit_ts
+                                       ORDER BY arrival_seq, source_id) AS rn
+                  FROM changes)
+            SELECT arrival_seq, commit_ts, op FROM r WHERE rn = 1
+        """,
+        "cdc_txn_batches": f"""
+            {CHANGES_CTE},
+            ts AS (SELECT commit_ts, COUNT(*) AS n_dmls
+                   FROM changes GROUP BY commit_ts),
+            s AS (SELECT *, SUM(n_dmls) OVER (ORDER BY commit_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM ts),
+            b AS (SELECT commit_ts,
+                    CAST(floor((cum - n_dmls) / 60) AS BIGINT) AS batch_no
+                  FROM s)
+            SELECT batch_no, COUNT(DISTINCT c.commit_ts) AS n_txns,
+                   COUNT(*) AS n_dmls,
+                   MIN(c.commit_ts) AS min_ts, MAX(c.commit_ts) AS max_ts
+            FROM changes c JOIN b USING (commit_ts)
+            GROUP BY batch_no
+        """,
+        "cdc_event_counters": f"""
+            {CHANGES_CTE}
+            SELECT db, op, COUNT(*) AS n_events,
+                   COUNT(DISTINCT commit_ts) AS n_txns
+            FROM changes GROUP BY db, op
+        """,
+        "cdc_type_format": """
+            SELECT event_id,
+              CAST(ts AS STRING) AS ts_str,
+              CAST(CAST(value AS DECIMAL(20,4)) AS STRING) AS value_decimal_str,
+              json_extract_string(props, '$.k') AS json_k,
+              CAST(floor(value) AS BIGINT) AS value_floor_int,
+              CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END
+                AS event_type_enum
+            FROM events
+        """,
+        "cdc_update_images": f"""
+            {CHANGES_CTE},
+            u AS (SELECT * FROM changes WHERE op = 'U'),
+            w AS (SELECT *, CASE WHEN arrival_seq % 13 = 0 THEN NULL
+                                 ELSE val - 1.0 END AS old_val
+                  FROM u)
+            SELECT arrival_seq, pk, old_val, val,
+              CASE WHEN old_val IS NULL THEN '`val` IS NULL'
+                   ELSE '`val` = ' || CAST(old_val AS STRING) END AS where_clause
+            FROM w
+        """,
         "cdc_causality_groups": f"""
             {CHANGES_CTE},
             tk AS (SELECT DISTINCT arrival_seq - (arrival_seq % 7) AS txn_id,

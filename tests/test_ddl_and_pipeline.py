@@ -1,0 +1,71 @@
+"""DDL classification, batch manager, loopback, declarative pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import make_changes
+from tidb_binlog_spark.operators import batching, ddl
+from tidb_binlog_spark.plans.pipeline import ReplicationConfig, build_pipeline
+
+
+def test_ddl_classification_and_skip(spark):
+    ddls = spark.createDataFrame([
+        ("db0", "CREATE TABLE t (a INT)"),
+        ("db0", "ALTER TABLE t ADD COLUMN c INT"),
+        ("db0", "CREATE PLACEMENT POLICY p FOLLOWERS=4"),
+        ("db0", "TRUNCATE TABLE t"),
+    ], "db string, ddl_sql string")
+    out = {r["ddl_sql"]: (r["ddl_kind"], r["should_skip"], r["apply_sql"])
+           for r in ddl.prep_for_apply(ddls).collect()}
+    assert out["CREATE TABLE t (a INT)"][0] == "create_table"
+    assert out["ALTER TABLE t ADD COLUMN c INT"][0] == "add_column"
+    assert out["CREATE PLACEMENT POLICY p FOLLOWERS=4"][1] is True
+    assert out["CREATE PLACEMENT POLICY p FOLLOWERS=4"][2] is None
+    assert out["TRUNCATE TABLE t"][2] == "USE `db0`; TRUNCATE TABLE t"
+
+
+def test_txn_batches_never_split_a_txn(spark):
+    # 3 txns of 2 DMLs each, cap 4 -> txns 1+2 in batch 0, txn 3 in batch 1
+    rows = []
+    for i, cts in enumerate([10, 10, 20, 20, 30, 30]):
+        rows.append((i, "s0", cts, "I", i, i % 2))
+    ch = make_changes(spark, rows)
+    got = {r["commit_ts"]: r["batch_no"]
+           for r in batching.assign_txn_batches(ch, max_dmls=4).collect()}
+    assert got == {10: 0, 20: 0, 30: 1}
+
+
+def test_loopback_filter_drops_marked_txn(spark):
+    ch = make_changes(spark, [(1, "s0", 10, "I", 1), (2, "s0", 10, "I", 2),
+                              (3, "s0", 20, "I", 3)])
+    marked = ch.withColumn(
+        "db", F.when(F.col("arrival_seq") == 1, "retl").otherwise(F.col("db"))
+    ).withColumn(
+        "tbl", F.when(F.col("arrival_seq") == 1, "_drainer_repl_mark")
+                .otherwise(F.col("tbl")))
+    kept = batching.loopback_filter(marked)
+    assert sorted(r["arrival_seq"] for r in kept.collect()) == [3]
+
+
+def test_heartbeat_checkpoint_advances_past_applied(spark):
+    ch = make_changes(spark, [(1, "s0", 10, "I", 1), (2, "s0", 99, "I", 2)]) \
+        .withColumn("op", F.when(F.col("arrival_seq") == 2, "FAKE")
+                           .otherwise(F.col("op")))
+    out = batching.heartbeat_progress(ch).collect()[0]
+    assert out["n_applied"] == 1 and out["n_heartbeats"] == 1
+    assert out["checkpoint_ts"] == 99 and out["last_applied_ts"] == 10
+
+
+def test_declarative_pipeline_composes(spark):
+    ch = make_changes(spark, [
+        (1, "s0", 10, "I", 1),          # kept, compacted away by (3)
+        (2, "s0", 20, "I", 2, 0, 5.0),  # dropped by ignore_commit_ts
+        (3, "s0", 30, "U", 1, 0, 7.0),  # kept, final image of pk 1
+        (4, "s0", 25, "D", 3),          # disorder -> dropped by order gate
+    ])
+    cfg = ReplicationConfig(ignore_commit_ts=[20],
+                            route_rules=[("db?", "*", "dwh", "t_out")])
+    out = build_pipeline(ch, cfg)
+    got = {r["pk"]: (r["op"], r["val"], r["target_tbl"]) for r in out.collect()}
+    assert got == {1: ("U", 7.0, "t_out")}

@@ -1,0 +1,74 @@
+"""Txn/batch manager + loopback filter + heartbeat progress +
+event counters — the remaining stream-stage operators.
+
+Reference:
+- batch manager: accumulate txns until batchSize*3 DMLs (or the 100k
+  cap); DDL flushes; success channel preserves input order
+  (pkg/loader/load.go:636-724);
+- loopback sync: skip txns that carry this channel's mark-table row
+  (drainer/loopbacksync/loopbacksync.go:53-130, syncer.go:404-417);
+- heartbeat (fake binlog): advances the checkpoint without downstream
+  writes (drainer/syncer.go:199-272,324-333);
+- event counters: per-type Prometheus metrics (drainer/syncer.go:157-178).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_txn_batches(changes: DataFrame, max_dmls: int = 60) -> DataFrame:
+    """Group whole transactions into apply batches of <= max_dmls DMLs
+    (a txn never splits across batches; an oversized txn gets its own).
+
+    Running-total-over-order is a prefix sum — one window over the
+    commit_ts order. Batch boundaries are deterministic, so replays
+    re-create identical batches.
+    """
+    txn_sizes = (changes.groupBy("commit_ts")
+                 .agg(F.count(F.lit(1)).alias("n_dmls")))
+    w = Window.orderBy("commit_ts").rowsBetween(Window.unboundedPreceding, 0)
+    # batch = floor((cumsum - n_dmls) / max_dmls): a txn starts a new
+    # batch when the *preceding* total crosses the cap.
+    sized = (txn_sizes
+             .withColumn("cum", F.sum("n_dmls").over(w))
+             .withColumn("batch_no",
+                         F.floor((F.col("cum") - F.col("n_dmls")) / max_dmls)
+                          .cast("long")))
+    return changes.join(sized.select("commit_ts", "batch_no"), "commit_ts")
+
+
+def loopback_filter(changes: DataFrame, mark_db: str = "retl",
+                    mark_tbl: str = "_drainer_repl_mark",
+                    channel_id: int | None = None) -> DataFrame:
+    """Drop txns containing a mark-table row (events this channel wrote
+    on the other side of a bidirectional pair), then drop the mark rows
+    themselves. Anti-join on the txn's commit_ts."""
+    mark = (F.col("db") == mark_db) & (F.col("tbl") == mark_tbl)
+    if channel_id is not None:
+        mark = mark & (F.get_json_object("row_json", "$.channel_id")
+                       == str(channel_id))
+    marked_txns = changes.filter(mark).select("commit_ts").distinct()
+    return changes.join(marked_txns, "commit_ts", "left_anti")
+
+
+def heartbeat_progress(changes: DataFrame) -> DataFrame:
+    """Per-source progress accounting with FAKE (heartbeat) events:
+    applied = non-fake rows; the checkpoint cursor still advances over
+    fakes (idle sources keep the merge moving)."""
+    return changes.groupBy("source_id").agg(
+        F.count(F.when(F.col("op") != "FAKE", 1)).alias("n_applied"),
+        F.count(F.when(F.col("op") == "FAKE", 1)).alias("n_heartbeats"),
+        F.max("commit_ts").alias("checkpoint_ts"),
+        F.max(F.when(F.col("op") != "FAKE", F.col("commit_ts")))
+         .alias("last_applied_ts"),
+    )
+
+
+def event_counters(changes: DataFrame) -> DataFrame:
+    """The metrics surface: event counts per (db, op) + distinct txns."""
+    return changes.groupBy("db", "op").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("commit_ts").alias("n_txns"),
+    )

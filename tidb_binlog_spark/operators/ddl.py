@@ -1,0 +1,68 @@
+"""DDL stream handling: classification, skip rules, dialect prep.
+
+Reference:
+- unsupported/system DDL skipped: placement rules, resource groups,
+  cache-table, batch-create, sequence setval, system tables
+  (drainer/schema.go:333-353,614-628; drainer/collector.go:266-281;
+  drainer/syncer.go:436-462);
+- `use db;` prefixing before apply (drainer/translator/pb.go:44-56);
+- tidb-specific feature stripping / truncate mapping at the loader
+  (pkg/loader/load.go:429-496);
+- checkpoint saved immediately after a DDL (drainer/syncer.go:234-238).
+
+Spark-first: classification is a CASE expression over the DDL text;
+actual application is driver-side (ordered, per batch) — Spark has no
+ordered DDL+DML stream primitive, so foreachBatch sequences DDL
+barriers between micro-batches (SURVEY §7 phase 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (?i) prefixed patterns the reference refuses to replicate
+UNSUPPORTED_DDL_PATTERNS = [
+    "^CREATE PLACEMENT POLICY",
+    "^ALTER PLACEMENT POLICY",
+    "^DROP PLACEMENT POLICY",
+    "^CREATE RESOURCE GROUP",
+    "^ALTER RESOURCE GROUP",
+    "^DROP RESOURCE GROUP",
+    "^ALTER TABLE .* CACHE$",
+    "^ALTER TABLE .* NOCACHE$",
+    "^SELECT SETVAL",
+]
+
+
+def is_unsupported(ddl_col: Column) -> Column:
+    out = F.lit(False)
+    for pat in UNSUPPORTED_DDL_PATTERNS:
+        out = out | F.upper(ddl_col).rlike(pat)
+    return out
+
+
+def classify_ddl(ddls: DataFrame, ddl_col: str = "ddl_sql") -> DataFrame:
+    """Tag each DDL with its kind and whether the pipeline applies it."""
+    c = F.col(ddl_col)
+    kind = (F.when(F.upper(c).rlike("^CREATE TABLE"), "create_table")
+             .when(F.upper(c).rlike("^DROP TABLE"), "drop_table")
+             .when(F.upper(c).rlike("^TRUNCATE"), "truncate")
+             .when(F.upper(c).rlike("^ALTER TABLE .* ADD COLUMN"), "add_column")
+             .when(F.upper(c).rlike("^ALTER TABLE .* DROP COLUMN"), "drop_column")
+             .when(F.upper(c).rlike("^RENAME TABLE"), "rename_table")
+             .when(F.upper(c).rlike("^CREATE (UNIQUE )?INDEX"), "create_index")
+             .otherwise("other"))
+    return (ddls.withColumn("ddl_kind", kind)
+                .withColumn("should_skip", is_unsupported(c)))
+
+
+def prep_for_apply(ddls: DataFrame, ddl_col: str = "ddl_sql") -> DataFrame:
+    """Downstream statement prep: `USE db;` prefix + checkpoint-now
+    marker (every DDL forces an immediate savepoint)."""
+    return (classify_ddl(ddls, ddl_col)
+            .withColumn("apply_sql",
+                        F.when(F.col("should_skip"), F.lit(None))
+                         .otherwise(F.concat(F.lit("USE `"), F.col("db"),
+                                             F.lit("`; "), F.col(ddl_col))))
+            .withColumn("checkpoint_now", F.lit(True)))
