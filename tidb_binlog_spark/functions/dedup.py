@@ -50,13 +50,27 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, k: int = 12) -> DataFrame:
-    """k-permutation MinHash signature per doc. Permutation i is the
-    md5 keyed by the seed i; the signature element is the *lexicographic
-    min* hex digest — an order statistic identical in any engine."""
+    """k-permutation MinHash signature per doc.
+
+    One md5 per shingle; permutation j orders shingles by an 8-hex-char
+    slice of that digest at offset (j*5 mod 24) — k near-independent
+    orderings for the price of a single digest pass (12x fewer md5
+    calls than hashing per permutation; at 100 TB the signature pass is
+    the dominant linear cost). The signature element is the
+    *lexicographic min* slice — an order statistic identical in any
+    engine."""
+    # one digest per shingle inline (shingle vocab is nearly as large
+    # as the corpus, so a distinct+join would shuffle more than it
+    # saves — unlike simhash's word vocab); k orderings via substring
+    # slices of that digest.
+    base = "transform(shingles, s -> md5(s))"
     sig = (f"transform(sequence(0, {k - 1}), "
-           f"j -> array_min(transform(shingles, "
-           f"s -> md5(concat(CAST(j AS STRING), ':', s)))))")
-    return with_shingles(docs).withColumn("sig", F.expr(sig))
+           f"j -> array_min(transform(base_hashes, "
+           f"h -> substring(h, 1 + (j * 5) % 24, 8))))")
+    return (with_shingles(docs)
+            .withColumn("base_hashes", F.expr(base))
+            .withColumn("sig", F.expr(sig))
+            .select("doc_id", "sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4) -> DataFrame:
@@ -76,6 +90,10 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4) -> DataFrame
                 .select("doc_id", "sig",
                         F.col("band.band").alias("band"),
                         F.col("band.key").alias("bucket")))
+    # materialize once: both sides of the self-join would otherwise
+    # recompute the whole tokenize->shingle->signature pipeline (2x
+    # scan cost; at 100 TB you persist signatures to a table instead).
+    exploded = exploded.persist()
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -97,14 +115,24 @@ SIMHASH_BITS = 32
 def simhash(docs: DataFrame) -> DataFrame:
     """32-bit SimHash over word unigrams: bit p is the sign of the sum
     of +-1 votes, where token t votes by bit p of md5(t) (hex digit p's
-    top bit). Emitted as a '0'/'1' string so engines agree exactly."""
-    df = (docs.withColumn("toks", F.expr(TOKENS))
-              .withColumn("tok_hashes", F.expr("transform(toks, t -> md5(t))")))
-    bit = ("array_join(transform(sequence(1, %d), p -> "
-           "CASE WHEN aggregate(tok_hashes, 0, (acc, h) -> "
-           "acc + CASE WHEN substring(h, p, 1) >= '8' THEN 1 ELSE -1 END) > 0 "
-           "THEN '1' ELSE '0' END), '')" % SIMHASH_BITS)
-    return df.select("doc_id", F.expr(bit).alias("simhash"))
+    top bit). Emitted as a '0'/'1' string so engines agree exactly.
+
+    Shape: explode tokens -> hash each DISTINCT token once -> join the
+    per-token vote vector back -> one map-side-combinable aggregation.
+    Digest cost scales with vocabulary size; the per-bit sums are
+    commutative integer adds, so the result is engine-exact."""
+    from .text import with_tokens
+    ex = with_tokens(docs).select("doc_id", F.explode("toks").alias("t"))
+    vocab = ex.select("t").distinct().withColumn("h", F.md5("t"))
+    joined = ex.join(vocab, "t")
+    sums = joined.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.substring("h", p, 1) >= "8", 1).otherwise(-1))
+         .alias(f"_s{p}")
+        for p in range(1, SIMHASH_BITS + 1)])
+    bits = F.concat(*[
+        F.when(F.col(f"_s{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(1, SIMHASH_BITS + 1)])
+    return sums.select("doc_id", bits.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
@@ -120,7 +148,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         )).alias("ck"))
     chunks = chunks.select("doc_id", "simhash",
                            F.col("ck.chunk").alias("chunk"),
-                           F.col("ck.key").alias("key"))
+                           F.col("ck.key").alias("key")).persist()
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                     & (F.col("a.key") == F.col("b.key"))
@@ -142,7 +170,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     global MinHash minimum (single-permutation candidate generation) —
     the cheap exact-verification pattern layered over LSH candidates."""
     sh = with_shingles(docs).withColumn(
-        "min_shingle_hash", F.expr("array_min(transform(shingles, s -> md5(s)))"))
+        "min_shingle_hash", F.expr("array_min(transform(shingles, s -> md5(s)))")
+    ).persist()
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (a.join(b, (F.col("a.min_shingle_hash") == F.col("b.min_shingle_hash"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -61,12 +61,15 @@ FROM hashed h JOIN clusters c USING (content_hash)
 """
 
 _SIG = ("list_transform(generate_series(0, 11), j -> "
-        "list_min(list_transform(shingles, s -> md5(CAST(j AS STRING) || ':' || s))))")
+        "list_min(list_transform(base_hashes, "
+        "h -> substring(h, 1 + (j * 5) % 24, 8))))")
 
 DEDUP_MINHASH_LSH = f"""
 WITH toks AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, {SHINGLES} AS shingles FROM toks),
-sigs AS (SELECT doc_id, {_SIG} AS sig FROM sh),
+bh AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS base_hashes
+       FROM sh),
+sigs AS (SELECT doc_id, {_SIG} AS sig FROM bh),
 bands AS (
   SELECT doc_id, sig, b.band,
          md5(sig[b.band * 3 + 1] || sig[b.band * 3 + 2] || sig[b.band * 3 + 3]) AS bucket

@@ -79,7 +79,7 @@ def lsh_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
     """Approximate top-k: candidates restricted to the query's LSH
     bucket, then exact cosine rank within the bucket."""
     from pyspark.sql import Window
-    b = lsh_buckets(embeddings, dims)
+    b = lsh_buckets(embeddings, dims).persist()
     q = (b.filter(F.col("vec_id") % query_mod == 0)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb"),
@@ -97,7 +97,7 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.3,
                         dims: int = 64) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: same-LSH-bucket candidate
     join, exact cosine >= threshold."""
-    b = lsh_buckets(embeddings, dims)
+    b = lsh_buckets(embeddings, dims).persist()
     x, y = b.alias("x"), b.alias("y")
     pairs = (x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
                     & (F.col("x.vec_id") < F.col("y.vec_id")))
