@@ -422,6 +422,10 @@ def q_ann_lsh_topk(spark, sf_dir):
     return simfn.lsh_topk(_embs(spark, sf_dir))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    return simfn.ivf_topk(_embs(spark, sf_dir))
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     return simfn.embedding_near_dups(_embs(spark, sf_dir))
 
@@ -507,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -707,6 +712,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": osql.DEDUP_NGRAM_JACCARD,
         "ann_cosine_topk": osql.ANN_COSINE_TOPK,
         "ann_lsh_topk": osql.ANN_LSH_TOPK,
+        "ann_ivf_topk": osql.ANN_IVF_TOPK,
         "dedup_embedding_cosine": osql.EMBEDDING_NEAR_DUPS,
         "text_token_count": osql.TEXT_TOKEN_COUNT,
         "text_quality": osql.TEXT_QUALITY,

@@ -1,0 +1,80 @@
+"""Randomized replication equivalence — the dailytest analog
+(SURVEY §5): seeded random op workloads over PK'd tables, replayed by
+the engine, compared against a straightforward driver-side simulation
+(our stand-in for sync_diff_inspector against a real MySQL).
+"""
+
+from __future__ import annotations
+
+import random
+
+from tests.conftest import make_changes
+from tidb_binlog_spark.operators import compaction, ordering
+from tidb_binlog_spark.plans.pipeline import ReplicationConfig, build_pipeline
+
+
+def _random_workload(seed: int, n_ops: int = 300, n_pks: int = 20):
+    rng = random.Random(seed)
+    rows, cts = [], 0
+    for i in range(n_ops):
+        cts += rng.randint(1, 5)
+        op = rng.choice(["I", "U", "U", "D"])   # update-heavy like dailytest
+        pk = rng.randrange(n_pks)
+        rows.append((i, f"s{i % 3}", cts, op, pk, 0, round(rng.uniform(0, 100), 2)))
+    return rows
+
+
+def _simulate(rows):
+    """Reference semantics in 20 lines: last-writer-wins per pk, D
+    removes. (Ops arrive in ascending commit_ts here by construction.)"""
+    state = {}
+    for _, _, cts, op, pk, _, val in sorted(rows, key=lambda r: r[2]):
+        if op == "D":
+            state.pop(pk, None)
+        else:
+            state[pk] = val
+    return state
+
+
+def test_random_replay_matches_simulation(spark):
+    for seed in range(3):
+        rows = _random_workload(seed)
+        ch = make_changes(spark, rows)
+        snap = compaction.apply_snapshot(ordering.ordered_stream(ch))
+        got = {r["pk"]: r["val"] for r in snap.collect()}
+        assert got == _simulate(rows), f"seed {seed}"
+
+
+def test_random_replay_through_full_pipeline(spark):
+    rows = _random_workload(99)
+    ch = make_changes(spark, rows)
+    out = build_pipeline(ch, ReplicationConfig(compact=True))
+    got = {r["pk"]: r["val"] for r in out.filter("op <> 'D'").collect()}
+    assert got == _simulate(rows)
+
+
+def test_merged_op_rules_randomized(spark):
+    """merged_op against a direct implementation of the merge.go rule
+    table, over random per-PK op sequences."""
+    rng = random.Random(7)
+    rows, cts = [], 0
+    for i in range(200):
+        cts += 1
+        rows.append((i, "s0", cts, rng.choice(["I", "U", "D"]), rng.randrange(8)))
+    ch = make_changes(spark, rows)
+    got = {r["pk"]: r["merged_op"]
+           for r in compaction.merged_op(ordering.ordered_stream(ch)).collect()}
+
+    seqs: dict[int, list[str]] = {}
+    for _, _, cts_, op, pk in sorted(rows, key=lambda r: r[2]):
+        seqs.setdefault(pk, []).append(op)
+    for pk, seq in seqs.items():
+        last_d = max((i for i, o in enumerate(seq) if o == "D"), default=None)
+        last_i = max((i for i, o in enumerate(seq) if o == "I"), default=None)
+        if seq[-1] == "D":
+            want = "D"
+        elif last_i is not None and (last_d is None or last_i > last_d):
+            want = "I"
+        else:
+            want = "U"
+        assert got[pk] == want, f"pk {pk}: {seq} -> {got[pk]} != {want}"

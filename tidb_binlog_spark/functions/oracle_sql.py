@@ -163,6 +163,37 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
 """
 
+ANN_IVF_TOPK = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id % 37 = 1),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY {cosine('e.embedding', 'c.c_emb')} DESC, c.centroid_id) AS crank
+    FROM embeddings e, cents c) t
+  WHERE crank = 1),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id % 100 = 0),
+probes AS (
+  SELECT query_id, q_emb, centroid_id FROM (
+    SELECT q.query_id, q.q_emb, c.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY {cosine('q.q_emb', 'c.c_emb')} DESC, c.centroid_id) AS prank
+    FROM q, cents c) t
+  WHERE prank <= 2),
+cands AS (
+  SELECT p.query_id, a.vec_id,
+         {cosine('p.q_emb', 'a.embedding')} AS cosine
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE a.vec_id <> p.query_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM cands)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
 EMBEDDING_NEAR_DUPS = f"""
 WITH b AS (SELECT vec_id, embedding, {LSH_BUCKET} AS bucket FROM embeddings)
 SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,

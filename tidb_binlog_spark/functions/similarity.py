@@ -93,6 +93,54 @@ def lsh_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
             .select("query_id", "vec_id", "cosine", "rank"))
 
 
+def ivf_assign(embeddings: DataFrame, centroid_mod: int = 37) -> DataFrame:
+    """IVF coarse quantizer: a deterministic sample of the corpus
+    (vec_id % centroid_mod == 1) serves as centroids (standing in for
+    k-means — the assignment/probe machinery is identical); every
+    vector joins its nearest centroid by cosine.
+
+    At 100 TB the centroid set stays broadcast-small and the corpus is
+    written out partitioned by centroid_id, so probes read only their
+    inverted lists."""
+    from pyspark.sql import Window
+    cents = (embeddings.filter(F.col("vec_id") % centroid_mod == 1)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("embedding").alias("c_emb")))
+    scored = (embeddings.crossJoin(F.broadcast(cents))
+              .withColumn("c_cos", F.expr(cosine_expr("embedding", "c_emb"))))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    return (scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") == 1)
+            .select("vec_id", "embedding", "centroid_id"))
+
+
+def ivf_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
+             nprobe: int = 2, centroid_mod: int = 37) -> DataFrame:
+    """IVF search: probe the query's nprobe nearest inverted lists,
+    exact cosine rank within the candidates."""
+    from pyspark.sql import Window
+    assign = ivf_assign(embeddings, centroid_mod).persist()
+    cents = (embeddings.filter(F.col("vec_id") % centroid_mod == 1)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("embedding").alias("c_emb")))
+    q = (embeddings.filter(F.col("vec_id") % query_mod == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("p_cos"), F.asc("centroid_id"))
+    probes = (q.crossJoin(F.broadcast(cents))
+              .withColumn("p_cos", F.expr(cosine_expr("q_emb", "c_emb")))
+              .withColumn("prank", F.row_number().over(wq))
+              .filter(F.col("prank") <= nprobe)
+              .select("query_id", "q_emb", "centroid_id"))
+    cands = (probes.join(assign, "centroid_id")
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .withColumn("cosine", F.expr(cosine_expr("q_emb", "embedding"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.3,
                         dims: int = 64) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: same-LSH-bucket candidate
