@@ -311,6 +311,17 @@ def q_sink_obinlog_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload.obinlog_payload(_spark_changes(spark, sf_dir))
 
 
+def q_sink_sql_oracle_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sqlgen.generate_sql(_spark_changes(spark, sf_dir), dialect="oracle")
+    return out.select("arrival_seq", "op", "sql_text")
+
+
+def q_sink_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """obinlog encode -> decode roundtrip (kafka.go out, translate.go in)."""
+    msgs = payload.obinlog_payload(_spark_changes(spark, sf_dir))
+    return payload.parse_obinlog(msgs.select("payload"))
+
+
 def q_sink_bulk_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
     compacted = compaction.compact_last_image(ok)
@@ -529,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_causality_groups": q_cdc_causality_groups,
         "sink_sql_generation": q_sink_sql_generation,
         "sink_obinlog_payload": q_sink_obinlog_payload,
+        "sink_sql_oracle_dialect": q_sink_sql_oracle_dialect,
+        "sink_payload_roundtrip": q_sink_payload_roundtrip,
         "sink_bulk_batches": q_sink_bulk_batches,
         "mm_decode_meta": q_mm_decode_meta,
         "mm_frame_sample": q_mm_frame_sample,
@@ -868,6 +881,25 @@ def oracle_sql() -> dict[str, str]:
               '","pk":' || CAST(pk AS STRING) ||
               ',"seq":' || CAST(seq AS STRING) || '}}' AS payload
             FROM changes
+        """,
+        "sink_sql_oracle_dialect": f"""
+            {CHANGES_CTE}
+            SELECT arrival_seq, op,
+              CASE op
+                WHEN 'I' THEN 'INSERT INTO ' || upper(db) || '.' || upper(tbl) ||
+                  '(PK, VAL) VALUES (' || CAST(pk AS STRING) || ', ' ||
+                  CAST(val AS STRING) || ')'
+                WHEN 'U' THEN 'UPDATE ' || upper(db) || '.' || upper(tbl) ||
+                  ' SET VAL = ' || CAST(val AS STRING) ||
+                  ' WHERE PK = ' || CAST(pk AS STRING) || ' AND rownum <= 1'
+                WHEN 'D' THEN 'DELETE FROM ' || upper(db) || '.' || upper(tbl) ||
+                  ' WHERE PK = ' || CAST(pk AS STRING) || ' AND rownum <= 1'
+              END AS sql_text
+            FROM changes
+        """,
+        "sink_payload_roundtrip": f"""
+            {CHANGES_CTE}
+            SELECT commit_ts, op, db, tbl, pk, seq FROM changes
         """,
         "sink_bulk_batches": f"""
             {CHANGES_CTE}, {_OK_CTE},

@@ -84,3 +84,14 @@ def filter_ignore_commit_ts(changes: DataFrame,
     if not ts_list:
         return changes
     return changes.filter(~F.col("commit_ts").isin(list(ts_list)))
+
+
+def drop_truncated_tables(changes: DataFrame,
+                          truncated_ids: Sequence[int],
+                          id_col: str = "table_id") -> DataFrame:
+    """Drop mutations whose physical table id was truncated mid-stream
+    (online-DDL artifact, drainer/syncer.go:744-762): rows written
+    under a pre-truncate table id must not replicate."""
+    if not truncated_ids:
+        return changes
+    return changes.filter(~F.col(id_col).isin(list(truncated_ids)))

@@ -32,6 +32,22 @@ def obinlog_payload(changes: DataFrame) -> DataFrame:
     return changes.select("commit_ts", payload.alias("payload"))
 
 
+def parse_obinlog(messages: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Inverse projection: obinlog JSON message -> normalized change
+    fields (SecondaryBinlogToTxn, pkg/loader/translate.go:30-…) — the
+    arbiter's Kafka-consumer decode step."""
+    schema = ("commit_ts BIGINT, type STRING, schema_name STRING, "
+              "table_name STRING, pk BIGINT, seq INT")
+    parsed = messages.withColumn("_m", F.from_json(F.col(payload_col), schema))
+    return parsed.select(
+        F.col("_m.commit_ts").alias("commit_ts"),
+        F.col("_m.type").alias("op"),
+        F.col("_m.schema_name").alias("db"),
+        F.col("_m.table_name").alias("tbl"),
+        F.col("_m.pk").alias("pk"),
+        F.col("_m.seq").alias("seq"))
+
+
 def file_dump(changes: DataFrame, path: str, partitions: int = 1) -> None:
     """File-archive sink: the pb-dump equivalent, as parquet partitioned
     by commit-ts range so reparo-style replay (`WHERE commit_ts BETWEEN`)

@@ -38,30 +38,58 @@ def _null_safe_eq(col_name: str) -> Column:
 
 def generate_sql(changes: DataFrame,
                  pk_cols: tuple[str, ...] = ("pk",),
-                 value_cols: tuple[str, ...] = ("pk", "val")) -> DataFrame:
+                 value_cols: tuple[str, ...] = ("pk", "val"),
+                 dialect: str = "mysql") -> DataFrame:
     """One downstream statement per change event.
 
-    I -> INSERT INTO t(cols) VALUES(...)
-    U -> UPDATE t SET non-pk-cols WHERE pk-cols LIMIT 1
-    D -> DELETE FROM t WHERE pk-cols LIMIT 1
-    R -> REPLACE INTO t(cols) VALUES(...)   (safe-mode upsert)
+    mysql dialect (pkg/loader/model.go:187-353):
+      I -> INSERT INTO t(cols) VALUES(...)
+      U -> UPDATE t SET non-pk-cols WHERE pk-cols LIMIT 1
+      D -> DELETE FROM t WHERE pk-cols LIMIT 1
+      R -> REPLACE INTO t(cols) VALUES(...)   (safe-mode upsert)
+
+    oracle dialect (model.go:196-237,331-353 oracle paths): LIMIT 1
+    becomes ``AND rownum <= 1``; REPLACE becomes a
+    ``MERGE INTO ... USING dual`` upsert; identifiers unquoted
+    upper-cased (drainer/sync/oracle.go table naming).
     """
-    tbl = _qualified()
-    col_list = F.lit(", ".join(_q(c) for c in value_cols))
+    if dialect == "oracle":
+        tbl = F.concat(F.upper(F.col("db")), F.lit("."), F.upper(F.col("tbl")))
+        quote = str.upper
+    else:
+        tbl = _qualified()
+        quote = _q
+    col_list = F.lit(", ".join(quote(c) for c in value_cols))
     values = F.concat_ws(", ", *[F.col(c).cast("string") for c in value_cols])
     set_cols = [c for c in value_cols if c not in pk_cols]
     set_clause = F.concat_ws(", ", *[
-        F.concat(F.lit(f"{_q(c)} = "), F.col(c).cast("string")) for c in set_cols])
-    where = F.concat_ws(" AND ", *[_null_safe_eq(c) for c in pk_cols])
+        F.concat(F.lit(f"{quote(c)} = "), F.col(c).cast("string"))
+        for c in set_cols])
+
+    def null_safe(c: str) -> Column:
+        v = F.col(c)
+        return F.when(v.isNull(), F.lit(f"{quote(c)} IS NULL")) \
+                .otherwise(F.concat(F.lit(f"{quote(c)} = "), v.cast("string")))
+
+    where = F.concat_ws(" AND ", *[null_safe(c) for c in pk_cols])
 
     insert = F.concat(F.lit("INSERT INTO "), tbl, F.lit("("), col_list,
                       F.lit(") VALUES ("), values, F.lit(")"))
-    replace = F.concat(F.lit("REPLACE INTO "), tbl, F.lit("("), col_list,
-                       F.lit(") VALUES ("), values, F.lit(")"))
+    if dialect == "oracle":
+        limit_sfx = F.lit(" AND rownum <= 1")
+        replace = F.concat(F.lit("MERGE INTO "), tbl,
+                           F.lit(" USING dual ON ("), where,
+                           F.lit(") WHEN MATCHED THEN UPDATE SET "), set_clause,
+                           F.lit(" WHEN NOT MATCHED THEN INSERT ("), col_list,
+                           F.lit(") VALUES ("), values, F.lit(")"))
+    else:
+        limit_sfx = F.lit(" LIMIT 1")
+        replace = F.concat(F.lit("REPLACE INTO "), tbl, F.lit("("), col_list,
+                           F.lit(") VALUES ("), values, F.lit(")"))
     update = F.concat(F.lit("UPDATE "), tbl, F.lit(" SET "), set_clause,
-                      F.lit(" WHERE "), where, F.lit(" LIMIT 1"))
+                      F.lit(" WHERE "), where, limit_sfx)
     delete = F.concat(F.lit("DELETE FROM "), tbl, F.lit(" WHERE "), where,
-                      F.lit(" LIMIT 1"))
+                      limit_sfx)
     stmt = (F.when(F.col("op") == "I", insert)
              .when(F.col("op") == "R", replace)
              .when(F.col("op") == "U", update)
