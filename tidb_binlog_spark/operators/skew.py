@@ -1,0 +1,64 @@
+"""Skew mitigation: salted two-phase aggregation for hot keys.
+
+The reference bounds skew implicitly (per-PK compaction runs in one
+loader thread per causality group). At 100 TB a hot PK / hot causal
+group becomes a straggler task. AQE's skew-join handling covers joins;
+for *aggregations* the standard fix is salting: shuffle on (key, salt),
+partially aggregate, then merge the partials per key.
+
+Provided here for the aggregation shapes the engine actually uses
+(counts/min/max/max_by-style merges); results are exactly equal to the
+unsalted aggregation, verified by tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int = 16,
+              salt_col: str = "_salt") -> DataFrame:
+    """Deterministic salt: spreads each key's rows over n_salts
+    sub-keys without RNG (replay-stable) by hashing a per-row column
+    set that's unique-ish (here: all columns)."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)))
+
+
+def salted_agg(df: DataFrame, keys: Sequence[str],
+               partial_aggs: Sequence[Column],
+               final_aggs: Sequence[Column],
+               n_salts: int = 16) -> DataFrame:
+    """Two-phase aggregation: groupBy(keys + salt) with partial_aggs,
+    then groupBy(keys) with final_aggs over the partial columns.
+
+    Caller supplies decomposable aggregates (count -> sum of counts,
+    max -> max of maxes, ...).
+    """
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_last_image_count(changes: DataFrame,
+                            n_salts: int = 16) -> DataFrame:
+    """Example instantiation: per-key op counts + latest commit_ts with
+    skew-safe shuffling — the accounting half of compaction for a hot
+    key. (The full last-image row still needs the per-key window; for
+    pathological keys that window runs on the already-reduced partials
+    of max_by, which salting keeps balanced.)"""
+    partial = [
+        F.count(F.lit(1)).alias("_n"),
+        F.max("commit_ts").alias("_max_ts"),
+        F.max_by("op", "commit_ts").alias("_last_op_partial"),
+        F.max("commit_ts").alias("_last_op_ts"),
+    ]
+    final = [
+        F.sum("_n").cast("long").alias("n_ops"),
+        F.max("_max_ts").alias("last_ts"),
+        F.max_by("_last_op_partial", "_last_op_ts").alias("last_op"),
+    ]
+    return salted_agg(changes, ["db", "tbl", "pk"], partial, final, n_salts)

@@ -68,6 +68,7 @@ class SnapshotTable:
         Re-applying the same batch is a no-op — idempotent by
         construction, so checkpoint replay is safe."""
         ck = self.checkpoint()
+        batch = batch.persist()   # two actions below: max-ts + merge write
         max_ts_row = batch.agg(F.max("commit_ts").alias("m")).collect()[0]
         batch_max = max_ts_row["m"] if max_ts_row["m"] is not None else ck["commit_ts"]
 
@@ -86,6 +87,7 @@ class SnapshotTable:
         new_version = ck["version"] + 1
         out = os.path.join(self.root, f"v{new_version}")
         merged.write.mode("overwrite").parquet(out)
+        batch.unpersist()
         self._save_checkpoint(new_version, int(batch_max))
         # retain only the previous version for readers mid-swap
         for v in range(1, new_version - 1):
