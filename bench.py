@@ -22,15 +22,19 @@ from tidb_binlog_spark.session import get_spark
 
 HEADLINE = [
     "cdc_snapshot_apply",        # full pipeline spine: order->compact->apply
+    "cdc_full_pipeline",         # declarative config: filter+route+compact
     "cdc_kway_merge",            # multi-source merge + watermark gate
     "cdc_merged_ops",            # per-PK merge classification
     "cdc_pc_match",              # P/C binlog join
     "sink_bulk_batches",         # compaction + batched statement build
     "sink_sql_generation",       # statement projection
+    "dedup_exact",               # content-hash dedup clusters
     "dedup_minhash_lsh",         # MinHash+LSH near-dup pairs
     "dedup_simhash",             # SimHash signatures
     "ann_cosine_topk",           # brute-force cosine top-k
+    "ann_ivf_topk",              # IVF inverted-list search
     "text_quality",              # quality scoring scan
+    "text_lang_id",              # stopword language ID
     "mm_decode_meta",            # mapInPandas multimodal plumbing
     "snapshot_pricing_summary",  # wide aggregate over lineitem
     "snapshot_revenue_by_nation",# broadcast join chain

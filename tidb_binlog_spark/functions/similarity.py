@@ -32,19 +32,35 @@ def cosine_expr(a: str, b: str) -> str:
             f"(({NORM.format(a=a)}) * ({NORM.format(a=b)}))")
 
 
+def cosine_prenorm_expr(a: str, b: str, norm_a: str, norm_b: str) -> str:
+    """cosine with precomputed norms: bit-identical to cosine_expr
+    (same IEEE ops — dot / (norm_a * norm_b)) but the O(d) norm folds
+    run once per VECTOR instead of once per PAIR. The pair join then
+    does one fold instead of three."""
+    return f"({DOT.format(a=a, b=b)}) / (({norm_a}) * ({norm_b}))"
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding",
+              out_col: str = "_norm") -> DataFrame:
+    return df.withColumn(out_col, F.expr(NORM.format(a=vec_col)))
+
+
 def brute_force_topk(embeddings: DataFrame, query_mod: int = 100,
                      k: int = 10) -> DataFrame:
     """Exact cosine top-k: query set = vec_id % query_mod == 0 (a
     deterministic sample standing in for user queries), ranked per
     query by (similarity desc, vec_id) for stable ties."""
     from pyspark.sql import Window
-    q = (embeddings.filter(F.col("vec_id") % query_mod == 0)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("q_emb")))
     from .text import spread
-    joined = (spread(embeddings).crossJoin(F.broadcast(q))
+    e = with_norm(spread(embeddings), "embedding", "e_norm")
+    q = (with_norm(embeddings.filter(F.col("vec_id") % query_mod == 0),
+                   "embedding", "q_norm")
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"), "q_norm"))
+    joined = (e.crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("query_id"))
-              .withColumn("cosine", F.expr(cosine_expr("q_emb", "embedding"))))
+              .withColumn("cosine", F.expr(cosine_prenorm_expr(
+                  "q_emb", "embedding", "q_norm", "e_norm"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (joined.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -79,14 +95,16 @@ def lsh_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
     """Approximate top-k: candidates restricted to the query's LSH
     bucket, then exact cosine rank within the bucket."""
     from pyspark.sql import Window
-    b = lsh_buckets(embeddings, dims).persist()
+    b = with_norm(lsh_buckets(embeddings, dims), "embedding", "e_norm").persist()
     q = (b.filter(F.col("vec_id") % query_mod == 0)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb"),
+                 F.col("e_norm").alias("q_norm"),
                  F.col("bucket").alias("q_bucket")))
     joined = (b.join(q, (F.col("bucket") == F.col("q_bucket"))
                      & (F.col("vec_id") != F.col("query_id")))
-              .withColumn("cosine", F.expr(cosine_expr("q_emb", "embedding"))))
+              .withColumn("cosine", F.expr(cosine_prenorm_expr(
+                  "q_emb", "embedding", "q_norm", "e_norm"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (joined.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -103,15 +121,19 @@ def ivf_assign(embeddings: DataFrame, centroid_mod: int = 37) -> DataFrame:
     written out partitioned by centroid_id, so probes read only their
     inverted lists."""
     from pyspark.sql import Window
-    cents = (embeddings.filter(F.col("vec_id") % centroid_mod == 1)
+    from .text import spread
+    cents = (with_norm(embeddings.filter(F.col("vec_id") % centroid_mod == 1),
+                       "embedding", "c_norm")
              .select(F.col("vec_id").alias("centroid_id"),
-                     F.col("embedding").alias("c_emb")))
-    scored = (embeddings.crossJoin(F.broadcast(cents))
-              .withColumn("c_cos", F.expr(cosine_expr("embedding", "c_emb"))))
+                     F.col("embedding").alias("c_emb"), "c_norm"))
+    e = with_norm(spread(embeddings), "embedding", "e_norm")
+    scored = (e.crossJoin(F.broadcast(cents))
+              .withColumn("c_cos", F.expr(cosine_prenorm_expr(
+                  "embedding", "c_emb", "e_norm", "c_norm"))))
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
     return (scored.withColumn("crank", F.row_number().over(w))
             .filter(F.col("crank") == 1)
-            .select("vec_id", "embedding", "centroid_id"))
+            .select("vec_id", "embedding", F.col("e_norm"), "centroid_id"))
 
 
 def ivf_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
@@ -120,21 +142,25 @@ def ivf_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
     exact cosine rank within the candidates."""
     from pyspark.sql import Window
     assign = ivf_assign(embeddings, centroid_mod).persist()
-    cents = (embeddings.filter(F.col("vec_id") % centroid_mod == 1)
+    cents = (with_norm(embeddings.filter(F.col("vec_id") % centroid_mod == 1),
+                       "embedding", "c_norm")
              .select(F.col("vec_id").alias("centroid_id"),
-                     F.col("embedding").alias("c_emb")))
-    q = (embeddings.filter(F.col("vec_id") % query_mod == 0)
+                     F.col("embedding").alias("c_emb"), "c_norm"))
+    q = (with_norm(embeddings.filter(F.col("vec_id") % query_mod == 0),
+                   "embedding", "q_norm")
          .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("q_emb")))
+                 F.col("embedding").alias("q_emb"), "q_norm"))
     wq = Window.partitionBy("query_id").orderBy(F.desc("p_cos"), F.asc("centroid_id"))
     probes = (q.crossJoin(F.broadcast(cents))
-              .withColumn("p_cos", F.expr(cosine_expr("q_emb", "c_emb")))
+              .withColumn("p_cos", F.expr(cosine_prenorm_expr(
+                  "q_emb", "c_emb", "q_norm", "c_norm")))
               .withColumn("prank", F.row_number().over(wq))
               .filter(F.col("prank") <= nprobe)
-              .select("query_id", "q_emb", "centroid_id"))
+              .select("query_id", "q_emb", "q_norm", "centroid_id"))
     cands = (probes.join(assign, "centroid_id")
              .filter(F.col("vec_id") != F.col("query_id"))
-             .withColumn("cosine", F.expr(cosine_expr("q_emb", "embedding"))))
+             .withColumn("cosine", F.expr(cosine_prenorm_expr(
+                 "q_emb", "embedding", "q_norm", "e_norm"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (cands.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -145,11 +171,12 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.3,
                         dims: int = 64) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: same-LSH-bucket candidate
     join, exact cosine >= threshold."""
-    b = lsh_buckets(embeddings, dims).persist()
+    b = with_norm(lsh_buckets(embeddings, dims), "embedding", "n").persist()
     x, y = b.alias("x"), b.alias("y")
     pairs = (x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
                     & (F.col("x.vec_id") < F.col("y.vec_id")))
              .select(F.col("x.vec_id").alias("vec_a"),
                      F.col("y.vec_id").alias("vec_b"),
-                     F.expr(cosine_expr("x.embedding", "y.embedding")).alias("cosine")))
+                     F.expr(cosine_prenorm_expr("x.embedding", "y.embedding",
+                                                "x.n", "y.n")).alias("cosine")))
     return pairs.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,67 @@
+"""Ops CLI — the binlogctl analog (reference binlogctl/: node status,
+pause/offline, generate meta tso).
+
+Commands (all read-only over a change log / snapshot table):
+
+  status <sf_dir|change_log>   per-source watermarks + heartbeat progress
+  checkpoint <table_root>      snapshot table version + commit-ts cursor
+  replay <dump_dir> <start_ts> <stop_ts>   count replayable events in range
+
+Usage: python tools/ctl.py status /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    cmd, target = sys.argv[1], sys.argv[2]
+
+    if cmd == "checkpoint":
+        from tidb_binlog_spark.sinks.table_sink import SnapshotTable
+        ck_path = os.path.join(target, "checkpoint.json")
+        if not os.path.exists(ck_path):
+            print(json.dumps({"error": "no checkpoint", "root": target}))
+            return 1
+        with open(ck_path) as f:
+            print(json.dumps(json.load(f)))
+        return 0
+
+    from tidb_binlog_spark.session import get_spark
+    spark = get_spark("ctl")
+
+    if cmd == "status":
+        from tidb_binlog_spark.operators import batching
+        from tidb_binlog_spark.sources.changestream import change_stream
+        ch = change_stream(spark, target)
+        rows = batching.heartbeat_progress(ch).collect()
+        print(json.dumps({r["source_id"]: {
+            "applied": r["n_applied"],
+            "heartbeats": r["n_heartbeats"],
+            "checkpoint_ts": r["checkpoint_ts"],
+            "last_applied_ts": r["last_applied_ts"],
+        } for r in sorted(rows, key=lambda r: r["source_id"])}))
+        return 0
+
+    if cmd == "replay":
+        from tidb_binlog_spark.sinks.payload import read_file_dump
+        start_ts, stop_ts = int(sys.argv[3]), int(sys.argv[4])
+        n = read_file_dump(spark, target, start_ts, stop_ts).count()
+        print(json.dumps({"dump": target, "start_ts": start_ts,
+                          "stop_ts": stop_ts, "replayable_events": n}))
+        return 0
+
+    print(f"unknown command: {cmd}")
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
