@@ -48,9 +48,15 @@ def main() -> None:
     spark = get_spark("bench")
 
     qs = entry.queries()
-    # warm up the JVM + parquet footers once (not timed)
+    # warm up the JVM + parquet footers + Python workers once (not timed)
     qs["events_value_by_type"](spark, sf_dir).write.format("noop") \
         .mode("overwrite").save()
+
+    def _ident(batches):
+        yield from batches
+    # spin up one Arrow Python worker per core
+    spark.range(0, 256, 1, 32).mapInPandas(_ident, "id long") \
+        .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -88,6 +88,35 @@ def test_streaming_apply_matches_batch_oracle(spark, tmp_path):
     assert 2 not in got
 
 
+def test_streaming_multi_source_union_merge(spark, tmp_path):
+    """Two landing zones (= two pumps) union into one ordered apply;
+    the merge result equals the batch k-way merge over the union."""
+    import os as _os
+    src_a, src_b = str(tmp_path / "a"), str(tmp_path / "b")
+    _os.makedirs(src_a), _os.makedirs(src_b)
+    a = make_changes(spark, [(1, "s0", 10, "I", 1), (2, "s0", 40, "U", 1, 0, 4.0)])
+    b = make_changes(spark, [(3, "s1", 20, "I", 2), (4, "s1", 30, "D", 2)])
+    a.coalesce(1).write.mode("append").parquet(src_a)
+    b.coalesce(1).write.mode("append").parquet(src_b)
+
+    stream = (pipeline.read_change_stream(spark, src_a)
+              .unionByName(pipeline.read_change_stream(spark, src_b)))
+    table_root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, table_root)
+
+    def apply_batch(batch_df, batch_id):
+        t.apply_batch(compaction.compact_last_image(
+            ordering.ordered_stream(batch_df)))
+
+    q = (stream.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r["pk"]: r["val"] for r in t.read().collect()}
+    assert got == {1: 4.0}          # pk2 deleted, pk1 updated
+
+
 def test_windowed_counts_runs(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)

@@ -108,14 +108,28 @@ def lang_id(docs: DataFrame) -> DataFrame:
 def fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     """Winnowing document fingerprints: md5 over character k-grams,
     minimum per sliding window of w, distinct per doc. The standard
-    near-dup/plagiarism fingerprint (Schleimer et al., SIGMOD'03)."""
+    near-dup/plagiarism fingerprint (Schleimer et al., SIGMOD'03).
+
+    Shape: posexplode the k-gram hashes, then a per-doc row window
+    [pos, pos+w-1] minimum. Each k-gram is hashed exactly ONCE — an
+    array-lambda formulation gets its k-gram array inlined by
+    CollapseProject into every window evaluation (O(n^2) digests per
+    doc; measured 30x slower) — and rows never hold the whole doc's
+    hash array, so memory stays bounded for huge documents."""
+    from pyspark.sql import Window
     kg = (f"CASE WHEN length(text) >= {k} THEN "
           f"transform(sequence(1, length(text) - {k} + 1), i -> md5(substring(text, i, {k}))) "
           f"ELSE array(md5(text)) END")
-    df = spread(docs).withColumn("kgrams", F.expr(kg))
-    wins = (f"CASE WHEN size(kgrams) >= {w} THEN "
-            f"transform(sequence(1, size(kgrams) - {w} + 1), j -> array_min(slice(kgrams, j, {w}))) "
-            f"ELSE array(array_min(kgrams)) END")
-    df = df.withColumn("wins", F.expr(wins))
-    return (df.select("doc_id", F.explode("wins").alias("fingerprint"))
-              .distinct())
+    exploded = spread(docs).select(
+        "doc_id", F.posexplode(F.expr(kg)).alias("pos", "kh"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    w_doc = Window.partitionBy("doc_id")
+    return (exploded
+            .withColumn("fp", F.min("kh").over(win))
+            .withColumn("_max_pos", F.max("pos").over(w_doc))
+            # windows start at pos 0..n-w; a doc shorter than w keeps
+            # its single clipped window (= min of all its k-grams)
+            .filter((F.col("pos") <= F.col("_max_pos") - (w - 1))
+                    | (F.col("pos") == 0))
+            .select("doc_id", F.col("fp").alias("fingerprint"))
+            .distinct())
