@@ -292,6 +292,37 @@ def q_cdc_update_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                      where.alias("where_clause"))
 
 
+def q_cdc_gc_safepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GC/retention: the pump may only GC binlog <= min over consumers'
+    checkpoints, never past maxCommitTS (pump/storage/storage.go:663-798,
+    pump/server.go:572-645). Consumers here = the 3 sources' own
+    watermarks; output the safe ts and which retention buckets
+    (commit_ts div 100000, the file-dump partitioning) may drop."""
+    ch = _spark_changes(spark, sf_dir)
+    per_source = ch.groupBy("source_id").agg(F.max("commit_ts").alias("ck"))
+    safe = per_source.agg(F.min("ck").alias("gc_safe_ts"))
+    buckets = (ch.crossJoin(F.broadcast(safe))
+               .withColumn("ts_bucket", F.floor(F.col("commit_ts") / 100000))
+               .groupBy("ts_bucket", "gc_safe_ts")
+               .agg(F.max("commit_ts").alias("bucket_max_ts"),
+                    F.count(F.lit(1)).alias("n_events")))
+    return buckets.select(
+        "ts_bucket", "n_events",
+        (F.col("bucket_max_ts") <= F.col("gc_safe_ts")).alias("droppable"))
+
+
+def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the LSH candidate
+    graph — the same distributed CC operator that powers causality
+    grouping, reused for dedup cluster assignment."""
+    pairs = dedupfn.minhash_lsh_pairs(_docs(spark, sf_dir))
+    edges = (pairs.selectExpr("doc_a AS txn_id", "CAST(doc_b AS STRING) AS key")
+             .unionByName(pairs.selectExpr("doc_b AS txn_id",
+                                           "CAST(doc_b AS STRING) AS key")))
+    groups = causality.causality_groups(edges)
+    return groups.selectExpr("txn_id AS doc_id", "group_id AS cluster_id")
+
+
 def q_cdc_causality_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Causality grouping over synthetic multi-statement txns (7 events
     per txn, keys = (tbl, pk) strings)."""
@@ -537,6 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_event_counters": q_cdc_event_counters,
         "cdc_type_format": q_cdc_type_format,
         "cdc_update_images": q_cdc_update_images,
+        "cdc_gc_safepoint": q_cdc_gc_safepoint,
+        "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "cdc_causality_groups": q_cdc_causality_groups,
         "sink_sql_generation": q_sink_sql_generation,
         "sink_obinlog_payload": q_sink_obinlog_payload,
@@ -731,6 +764,21 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": osql.TEXT_QUALITY,
         "text_lang_id": osql.text_lang_id_sql(textfn.STOPWORDS),
         "doc_fingerprint": osql.DOC_FINGERPRINT,
+        "cdc_gc_safepoint": f"""
+            {CHANGES_CTE},
+            per_source AS (SELECT source_id, MAX(commit_ts) AS ck
+                           FROM changes GROUP BY source_id),
+            safe AS (SELECT MIN(ck) AS gc_safe_ts FROM per_source),
+            buckets AS (
+              SELECT CAST(floor(commit_ts / 100000) AS BIGINT) AS ts_bucket,
+                     MAX(commit_ts) AS bucket_max_ts,
+                     COUNT(*) AS n_events
+              FROM changes GROUP BY 1)
+            SELECT ts_bucket, n_events,
+                   (bucket_max_ts <= gc_safe_ts) AS droppable
+            FROM buckets, safe
+        """,
+        "dedup_minhash_clusters": osql.DEDUP_MINHASH_CLUSTERS,
         "cdc_full_pipeline": f"""
             {CHANGES_CTE}, {_OK_CTE},
             kept AS (

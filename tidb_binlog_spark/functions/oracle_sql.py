@@ -64,8 +64,8 @@ _SIG = ("list_transform(generate_series(0, 11), j -> "
         "list_min(list_transform(base_hashes, "
         "h -> substring(h, 1 + (j * 5) % 24, 8))))")
 
-DEDUP_MINHASH_LSH = f"""
-WITH toks AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+MINHASH_PAIRS_CTES = f"""
+toks AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, {SHINGLES} AS shingles FROM toks),
 bh AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS base_hashes
        FROM sh),
@@ -79,10 +79,31 @@ pairs AS (
          a.sig AS sig_a, b.sig AS sig_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+"""
+
+DEDUP_MINHASH_LSH = f"""
+WITH {MINHASH_PAIRS_CTES}
 SELECT doc_a, doc_b,
   CAST(len(list_filter(generate_series(0, 11), j -> sig_a[j+1] = sig_b[j+1])) AS DOUBLE)
     / CAST(12 AS DOUBLE) AS est_jaccard
 FROM pairs
+"""
+
+DEDUP_MINHASH_CLUSTERS = f"""
+WITH RECURSIVE {MINHASH_PAIRS_CTES},
+e0 AS (
+  SELECT doc_a AS txn_id, CAST(doc_b AS STRING) AS key FROM pairs
+  UNION ALL
+  SELECT doc_b AS txn_id, CAST(doc_b AS STRING) AS key FROM pairs),
+tk AS (SELECT DISTINCT txn_id, key FROM e0),
+e AS (SELECT DISTINCT a.txn_id AS src, b.txn_id AS dst
+      FROM tk a JOIN tk b ON a.key = b.key),
+r AS (
+  SELECT txn_id, txn_id AS label FROM (SELECT DISTINCT txn_id FROM tk)
+  UNION
+  SELECT e.src AS txn_id, r.label FROM r JOIN e ON e.dst = r.txn_id
+)
+SELECT txn_id AS doc_id, MIN(label) AS cluster_id FROM r GROUP BY txn_id
 """
 
 _SIMHASH = (
