@@ -599,15 +599,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_merged_ops": f"""
             {CHANGES_CTE}, {_OK_CTE},
+            orded AS (
+              SELECT *, CAST(ROW_NUMBER() OVER (
+                  PARTITION BY db, tbl, pk
+                  ORDER BY commit_ts, seq, arrival_seq) AS BIGINT) AS ord
+              FROM ok),
             agg AS (
               SELECT db, tbl, pk,
-                MAX(commit_ts * 8 + seq) AS last_ord,
-                MAX(CASE WHEN op = 'D' THEN commit_ts * 8 + seq END) AS last_d,
-                MAX(CASE WHEN op = 'I' THEN commit_ts * 8 + seq END) AS last_i,
-                MAX_BY(val, commit_ts * 8 + seq) AS final_val,
-                MIN_BY(val, commit_ts * 8 + seq) AS first_val,
+                MAX(ord) AS last_ord,
+                MAX(CASE WHEN op = 'D' THEN ord END) AS last_d,
+                MAX(CASE WHEN op = 'I' THEN ord END) AS last_i,
+                MAX_BY(val, ord) AS final_val,
+                MIN_BY(val, ord) AS first_val,
                 COUNT(*) AS n_ops
-              FROM ok GROUP BY db, tbl, pk)
+              FROM orded GROUP BY db, tbl, pk)
             SELECT db, tbl, pk,
               CASE WHEN last_d = last_ord THEN 'D'
                    WHEN last_i IS NOT NULL
@@ -645,14 +650,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT arrival_seq, db, tbl, op FROM changes
             WHERE ((lower(db) = 'db0' AND lower(tbl) = 'ptest')
                    OR lower(db) = 'db1'
-                   OR (regexp_matches(lower(db), '^db[12]$')
-                       AND regexp_matches(lower(tbl), '^[in]test$')))
+                   OR (regexp_matches(db, '(?i)^db[12]$')
+                       AND regexp_matches(tbl, '(?i)^[in]test$')))
               AND NOT (lower(db) = 'db2' AND lower(tbl) = 'ntest')
         """,
         "cdc_event_filter": f"""
             {CHANGES_CTE}
             SELECT arrival_seq, db, tbl, op FROM changes
-            WHERE NOT (regexp_matches(lower(db), '.*')
+            WHERE NOT (regexp_matches(db, '(?i).*')
                        AND lower(tbl) = 'ptest' AND op IN ('D'))
               AND NOT (lower(db) = 'db2' AND lower(tbl) = 'ntest' AND op IN ('U'))
         """,
@@ -785,9 +790,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT * FROM ok
               WHERE commit_ts NOT IN (500)
                 AND ((lower(db) = 'db0') OR (lower(db) = 'db1')
-                     OR regexp_matches(lower(db), '^db[23]$'))
+                     OR regexp_matches(db, '(?i)^db[23]$'))
                 AND NOT (lower(db) = 'db2' AND lower(tbl) = 'ntest')
-                AND NOT (regexp_matches(lower(db), '.*')
+                AND NOT (regexp_matches(db, '(?i).*')
                          AND lower(tbl) = 'ptest' AND op IN ('D'))),
             routed AS (
               SELECT *,

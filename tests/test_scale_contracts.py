@@ -50,14 +50,17 @@ def test_cdc_pipeline_is_pure_jvm(spark):
 
 def test_salted_agg_equals_plain(spark):
     rng = random.Random(3)
-    rows = [(i, "s0", i + 1, rng.choice("IUD"), rng.randrange(4))
+    # i // 2 + 1 produces tied commit_ts pairs — the tie must break
+    # identically in salted partials and the plain aggregation
+    rows = [(i, "s0", i // 2 + 1, rng.choice("IUD"), rng.randrange(4))
             for i in range(200)]
     ch = make_changes(spark, rows)
     salted = skew.salted_last_image_count(ch)
     plain = ch.groupBy("db", "tbl", "pk").agg(
         F.count(F.lit(1)).alias("n_ops"),
         F.max("commit_ts").alias("last_ts"),
-        F.max_by("op", "commit_ts").alias("last_op"))
+        F.max(F.struct("commit_ts", "arrival_seq", "op")).getField("op")
+         .alias("last_op"))
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 

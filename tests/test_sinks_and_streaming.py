@@ -43,6 +43,17 @@ def test_out_of_order_batch_does_not_regress(spark, tmp_path):
     assert t.read().collect()[0]["val"] == 5.0
 
 
+def test_delete_tombstone_blocks_resurrection(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.apply_batch(make_changes(spark, [(1, "s0", 10, "I", 1)]))
+    t.apply_batch(make_changes(spark, [(2, "s0", 30, "D", 1)]))
+    assert t.read().count() == 0
+    # a LATER batch carrying an OLDER update for the deleted key must
+    # not bring the row back — the tombstone at ts 30 wins
+    t.apply_batch(make_changes(spark, [(3, "s0", 20, "U", 1, 0, 9.0)]))
+    assert t.read().count() == 0
+
+
 def test_sql_generation_shapes(spark):
     ch = make_changes(spark, [(1, "s0", 10, "I", 1, 0, 2.5),
                               (2, "s0", 20, "U", 1, 0, 3.5),

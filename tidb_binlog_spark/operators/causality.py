@@ -21,44 +21,63 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def causality_groups(txn_keys: DataFrame, max_iter: int = 20) -> DataFrame:
+def causality_groups(txn_keys: DataFrame, max_iter: int = 50) -> DataFrame:
     """txn_keys: (txn_id BIGINT, key STRING) one row per key a txn
     touches. Returns (txn_id, group_id) where group_id = min txn_id of
     the connected component.
-    """
-    # label per txn starts as itself
-    labels = txn_keys.select("txn_id").distinct() \
-                     .withColumn("label", F.col("txn_id"))
-    edges = txn_keys.select("txn_id", "key").distinct()
-    edges.cache()
 
-    prev_sum = None
+    Each iteration's labels are persisted (the convergence check would
+    otherwise re-execute the whole lineage every round, O(k^2) work)
+    and the loop RAISES if the fixpoint isn't reached within max_iter —
+    a silently split component would let order-dependent txns apply in
+    parallel, the exact corruption this operator prevents.
+    """
+    labels = txn_keys.select("txn_id").distinct() \
+                     .withColumn("label", F.col("txn_id")).persist()
+    edges = txn_keys.select("txn_id", "key").distinct()
+    edges.persist()
+
+    prev_sum, converged = None, False
     for _ in range(max_iter):
         lk = (edges.join(labels, "txn_id")
                    .groupBy("key").agg(F.min("label").alias("key_label")))
         new_labels = (edges.join(lk, "key")
                       .groupBy("txn_id")
-                      .agg(F.min("key_label").alias("label")))
+                      .agg(F.min("key_label").alias("label"))
+                      .persist())
+        s = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+        labels.unpersist()
         labels = new_labels
-        s = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
         if prev_sum is not None and s == prev_sum:
+            converged = True
             break
         prev_sum = s
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"causality_groups did not converge in {max_iter} iterations; "
+            f"raise max_iter (component diameter exceeds it)")
     return labels.withColumnRenamed("label", "group_id")
 
 
 def conflict_free_partitions(changes: DataFrame, txn_keys: DataFrame,
-                             num_workers: int = 16) -> DataFrame:
+                             num_workers: int = 16,
+                             txn_col: str = "commit_ts") -> DataFrame:
     """Stamp each change with its causality group and a worker id
     (hash of group % workers) — the Spark analog of loader's
     hash-to-16-workers dispatch (pkg/loader/load.go:508-575). A
     repartition on worker_id then gives per-group ordered, cross-group
     parallel apply.
+
+    `txn_col` must be the SAME txn identity used to build `txn_keys`.
+    Txns with no key rows are singleton groups (their own id) — a NULL
+    group would hash every unmatched txn onto one worker.
     """
     groups = causality_groups(txn_keys)
-    out = changes.join(groups, changes.commit_ts == groups.txn_id, "left") \
+    out = changes.join(groups, changes[txn_col] == groups.txn_id, "left") \
                  .drop("txn_id")
+    out = out.withColumn("group_id",
+                         F.coalesce(F.col("group_id"), F.col(txn_col)))
     return out.withColumn(
         "worker_id",
         F.pmod(F.xxhash64(F.col("group_id")), F.lit(num_workers)))

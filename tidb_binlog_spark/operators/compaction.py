@@ -49,10 +49,16 @@ def merged_op(changes: DataFrame) -> DataFrame:
 
     This reproduces insert+update->insert, delete+insert->insert,
     update+update->update, update+delete->delete as one aggregation.
+
+    The order key is a per-key row_number over the full
+    (commit_ts, seq, arrival_seq) tuple — an arithmetic packing like
+    commit_ts*K+seq would invert order once seq >= K (the reference
+    allows arbitrarily long transactions).
     """
-    ord_key = (F.col("commit_ts") * 8 + F.col("seq")).alias("ord")
+    w = Window.partitionBy(*KEY).orderBy("commit_ts", "seq", "arrival_seq")
     agg = (
-        changes.select(*KEY, ord_key, "op", "val")
+        changes.select(*KEY, "op", "val", "commit_ts", "seq", "arrival_seq")
+        .withColumn("ord", F.row_number().over(w).cast("long"))
         .groupBy(*KEY)
         .agg(
             F.max("ord").alias("last_ord"),

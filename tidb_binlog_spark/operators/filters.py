@@ -23,11 +23,13 @@ from pyspark.sql import functions as F
 
 
 def _pattern_to_col(col: Column, pattern: str) -> Column:
-    """One table-rule token -> predicate. ``~`` prefix = regex (anchored
-    like the reference's regexp.MustCompile("(?i)" + pattern)), else
-    case-insensitive exact match (pkg/filter/filter.go:48-77)."""
+    """One table-rule token -> predicate. ``~`` prefix = regex matched
+    case-insensitively via the `(?i)` flag — exactly the reference's
+    regexp.MustCompile("(?i)" + pattern); lower-casing the PATTERN
+    would invert case-sensitive escape classes like \\D/\\S. Non-regex
+    tokens are case-insensitive exact matches (filter.go:48-77)."""
     if pattern.startswith("~"):
-        return F.lower(col).rlike(pattern[1:].lower())
+        return col.rlike("(?i)" + pattern[1:])
     return F.lower(col) == pattern.lower()
 
 

@@ -50,15 +50,18 @@ def salted_last_image_count(changes: DataFrame,
     key. (The full last-image row still needs the per-key window; for
     pathological keys that window runs on the already-reduced partials
     of max_by, which salting keeps balanced.)"""
+    # the "latest op" merge carries (commit_ts, arrival_seq) so ties on
+    # commit_ts (the fixture stream contains them) break the same way
+    # in every partial — struct max is lexicographic and deterministic.
+    last_struct = F.struct("commit_ts", "arrival_seq", "op")
     partial = [
         F.count(F.lit(1)).alias("_n"),
         F.max("commit_ts").alias("_max_ts"),
-        F.max_by("op", "commit_ts").alias("_last_op_partial"),
-        F.max("commit_ts").alias("_last_op_ts"),
+        F.max(last_struct).alias("_last"),
     ]
     final = [
         F.sum("_n").cast("long").alias("n_ops"),
         F.max("_max_ts").alias("last_ts"),
-        F.max_by("_last_op_partial", "_last_op_ts").alias("last_op"),
+        F.max("_last").getField("op").alias("last_op"),
     ]
     return salted_agg(changes, ["db", "tbl", "pk"], partial, final, n_salts)

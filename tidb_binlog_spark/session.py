@@ -68,6 +68,8 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
 
 
 def ts_nanos_to_timestamp(col):
-    """BIGINT nanoseconds (see load_tables) -> TimestampType (micros)."""
+    """BIGINT nanoseconds (see load_tables) -> TimestampType (micros).
+    Integer division — float /1000 loses nanosecond precision beyond
+    2^53 (realistic epoch-nanos exceed it)."""
     from pyspark.sql import functions as F
-    return F.timestamp_micros((F.col(col) / 1000).cast("long"))
+    return F.timestamp_micros(F.expr(f"{col} div 1000"))

@@ -59,12 +59,16 @@ def generate_sql(changes: DataFrame,
     else:
         tbl = _qualified()
         quote = _q
+    def lit_val(c: str) -> Column:
+        # NULL renders as the literal NULL (concat/concat_ws silently
+        # drop SQL NULLs, which would shift the VALUES arity)
+        return F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+
     col_list = F.lit(", ".join(quote(c) for c in value_cols))
-    values = F.concat_ws(", ", *[F.col(c).cast("string") for c in value_cols])
+    values = F.concat_ws(", ", *[lit_val(c) for c in value_cols])
     set_cols = [c for c in value_cols if c not in pk_cols]
     set_clause = F.concat_ws(", ", *[
-        F.concat(F.lit(f"{quote(c)} = "), F.col(c).cast("string"))
-        for c in set_cols])
+        F.concat(F.lit(f"{quote(c)} = "), lit_val(c)) for c in set_cols])
 
     def null_safe(c: str) -> Column:
         v = F.col(c)

@@ -56,15 +56,25 @@ class SnapshotTable:
         os.replace(tmp, self._ckpt_path())  # atomic on POSIX
 
     # -- read/apply ---------------------------------------------------------
-    def read(self) -> DataFrame | None:
+    def _read_full(self) -> DataFrame | None:
+        """Stored state including delete tombstones (op='D' rows)."""
         ck = self.checkpoint()
         if ck["version"] == 0:
             return None
         return self.spark.read.parquet(os.path.join(self.root, f"v{ck['version']}"))
 
+    def read(self) -> DataFrame | None:
+        """Visible snapshot: tombstones filtered out."""
+        full = self._read_full()
+        if full is None:
+            return None
+        return full.filter(F.col("op") != "D")
+
     def apply_batch(self, batch: DataFrame) -> dict:
-        """MERGE a compacted change batch (op in I/U/R applied, D
-        removed; later commit_ts wins against the current snapshot).
+        """MERGE a compacted change batch: later commit_ts wins against
+        the current state. Deletes are KEPT as tombstones (filtered out
+        by read()) — dropping them outright would let a later batch
+        carrying an *older* change for the deleted key resurrect it.
         Re-applying the same batch is a no-op — idempotent by
         construction, so checkpoint replay is safe."""
         ck = self.checkpoint()
@@ -72,7 +82,7 @@ class SnapshotTable:
         max_ts_row = batch.agg(F.max("commit_ts").alias("m")).collect()[0]
         batch_max = max_ts_row["m"] if max_ts_row["m"] is not None else ck["commit_ts"]
 
-        current = self.read()
+        current = self._read_full()
         if current is not None:
             unioned = current.unionByName(batch, allowMissingColumns=True)
         else:
@@ -81,8 +91,7 @@ class SnapshotTable:
             F.desc("commit_ts"), F.desc("seq"), F.desc("arrival_seq"))
         merged = (unioned
                   .withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") == 1).drop("_rn")
-                  .filter(F.col("op") != "D"))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
 
         new_version = ck["version"] + 1
         out = os.path.join(self.root, f"v{new_version}")
