@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry
+from tidb_binlog_spark.cache import release_all
 from tidb_binlog_spark.session import get_spark
 
 HEADLINE = [
@@ -63,6 +64,7 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        release_all()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import managed_persist
 from .text import TOKENS
 
 # word 3-gram shingles over whitespace tokens (fallback: whole text)
@@ -93,7 +94,7 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4) -> DataFrame
     # materialize once: both sides of the self-join would otherwise
     # recompute the whole tokenize->shingle->signature pipeline (2x
     # scan cost; at 100 TB you persist signatures to a table instead).
-    exploded = exploded.persist()
+    exploded = managed_persist(exploded)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -148,7 +149,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         )).alias("ck"))
     chunks = chunks.select("doc_id", "simhash",
                            F.col("ck.chunk").alias("chunk"),
-                           F.col("ck.key").alias("key")).persist()
+                           F.col("ck.key").alias("key"))
+    chunks = managed_persist(chunks)
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                     & (F.col("a.key") == F.col("b.key"))
@@ -171,7 +173,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     the cheap exact-verification pattern layered over LSH candidates."""
     sh = with_shingles(docs).withColumn(
         "min_shingle_hash", F.expr("array_min(transform(shingles, s -> md5(s)))")
-    ).persist()
+    )
+    sh = managed_persist(sh)
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (a.join(b, (F.col("a.min_shingle_hash") == F.col("b.min_shingle_hash"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))

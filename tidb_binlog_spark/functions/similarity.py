@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import managed_persist
+
 # sequential fold dot product / norms over array<float> cast to double.
 DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
@@ -95,7 +97,7 @@ def lsh_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
     """Approximate top-k: candidates restricted to the query's LSH
     bucket, then exact cosine rank within the bucket."""
     from pyspark.sql import Window
-    b = with_norm(lsh_buckets(embeddings, dims), "embedding", "e_norm").persist()
+    b = managed_persist(with_norm(lsh_buckets(embeddings, dims), "embedding", "e_norm"))
     q = (b.filter(F.col("vec_id") % query_mod == 0)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb"),
@@ -141,7 +143,7 @@ def ivf_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
     """IVF search: probe the query's nprobe nearest inverted lists,
     exact cosine rank within the candidates."""
     from pyspark.sql import Window
-    assign = ivf_assign(embeddings, centroid_mod).persist()
+    assign = managed_persist(ivf_assign(embeddings, centroid_mod))
     cents = (with_norm(embeddings.filter(F.col("vec_id") % centroid_mod == 1),
                        "embedding", "c_norm")
              .select(F.col("vec_id").alias("centroid_id"),
@@ -171,7 +173,7 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.3,
                         dims: int = 64) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: same-LSH-bucket candidate
     join, exact cosine >= threshold."""
-    b = with_norm(lsh_buckets(embeddings, dims), "embedding", "n").persist()
+    b = managed_persist(with_norm(lsh_buckets(embeddings, dims), "embedding", "n"))
     x, y = b.alias("x"), b.alias("y")
     pairs = (x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
                     & (F.col("x.vec_id") < F.col("y.vec_id")))

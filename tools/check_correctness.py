@@ -52,6 +52,7 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
+    from tidb_binlog_spark.cache import release_all
     from tidb_binlog_spark.session import get_spark
 
     spark = get_spark("correctness_check")
@@ -70,6 +71,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
+            release_all()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
