@@ -414,6 +414,45 @@ def q_snapshot_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("rank", "o_custkey", "c_name", "revenue", "n_orders"))
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: language ID -> quality gates ->
+    exact-dedup canonical filter, composed as one Catalyst plan — the
+    standard pretraining data-prep chain over the documents table."""
+    docs = _docs(spark, sf_dir)
+    lang = textfn.lang_id(docs).select("doc_id", "pred_lang")
+    qual = textfn.quality_score(docs)
+    dedup = dedupfn.exact_dedup(docs)
+    kept = (docs.select("doc_id", "source", "n_chars")
+            .join(lang, "doc_id")
+            .join(qual, "doc_id")
+            .join(dedup, "doc_id")
+            .filter((F.col("pred_lang") == "en")
+                    & (F.col("n_tokens") >= 30)
+                    & (F.col("non_alpha_ratio") < 0.05)
+                    & (F.col("doc_id") == F.col("canonical_id"))))
+    return kept.select("doc_id", "source", "pred_lang", "n_tokens",
+                       "stopword_ratio")
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user event sessions split at 30-minute
+    inactivity gaps (gap detection over nanosecond timestamps) —
+    the standard event-analytics windowing shape."""
+    from pyspark.sql import Window
+    load_tables(spark, sf_dir, "events")
+    ev = spark.table("events")   # ts is BIGINT nanos (nanosAsLong)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = 30 * 60 * 1_000_000_000
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull()
+               | ((F.col("ts") - F.lag("ts").over(w)) > gap_ns), 1)
+         .otherwise(0))
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("new_session") == 1, 1)).alias("n_sessions"))
+
+
 def q_events_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-analytics sanity query (sync-diff-style aggregate check).
     Exact decimal arithmetic so Spark and DuckDB agree bit-for-bit."""
@@ -545,6 +584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_update_pk_split": q_cdc_update_pk_split,
         "cdc_safe_mode": q_cdc_safe_mode,
         "cdc_schema_backfill": q_cdc_schema_backfill,
+        "curation_pipeline": q_curation_pipeline,
+        "events_sessionize": q_events_sessionize,
         "events_value_by_type": q_events_value_by_type,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -750,6 +791,46 @@ def oracle_sql() -> dict[str, str]:
                    THEN COALESCE(json_extract_string(row_json, '$.k'), '42')
                    ELSE '42' END AS k
             FROM changes WHERE tbl = 'ptest'
+        """,
+        "curation_pipeline": f"""
+            WITH toks AS (SELECT doc_id, lang, {osql.TOKS} AS toks FROM documents),
+            scored AS (SELECT doc_id,
+                {', '.join(f"len(list_filter(toks, t -> list_contains([{', '.join(repr(w) for w in textfn.STOPWORDS[lang])}], t))) AS score_{lang}" for lang in sorted(textfn.STOPWORDS))}
+              FROM toks),
+            lang_pred AS (
+              SELECT doc_id,
+                CASE {' '.join(f"WHEN score_{lang} = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN '{lang}'" for lang in sorted(textfn.STOPWORDS))} END AS pred_lang
+              FROM scored),
+            qual AS (SELECT doc_id,
+                len(toks) AS n_tokens,
+                CAST(len(list_filter(toks, t -> list_contains([{osql._EN}], t))) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+                CAST(len(regexp_extract_all(text, '[^a-z ]')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE) AS non_alpha_ratio
+              FROM (SELECT doc_id, text, {osql.TOKS} AS toks FROM documents) t),
+            hashed AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+            clusters AS (SELECT content_hash, MIN(doc_id) AS canonical_id
+                         FROM hashed GROUP BY content_hash)
+            SELECT d.doc_id, d.source, l.pred_lang, q.n_tokens, q.stopword_ratio
+            FROM documents d
+            JOIN lang_pred l ON d.doc_id = l.doc_id
+            JOIN qual q ON d.doc_id = q.doc_id
+            JOIN hashed h ON d.doc_id = h.doc_id
+            JOIN clusters c ON h.content_hash = c.content_hash
+            WHERE l.pred_lang = 'en' AND q.n_tokens >= 30
+              AND q.non_alpha_ratio < 0.05 AND d.doc_id = c.canonical_id
+        """,
+        "events_sessionize": """
+            WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns FROM events),
+            flagged AS (
+              SELECT user_id,
+                CASE WHEN lag(ts_ns) OVER w IS NULL
+                          OR ts_ns - lag(ts_ns) OVER w > 1800000000000
+                     THEN 1 ELSE 0 END AS new_session
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id))
+            SELECT user_id, COUNT(*) AS n_events,
+                   COUNT(CASE WHEN new_session = 1 THEN 1 END) AS n_sessions
+            FROM flagged GROUP BY user_id
         """,
         "events_value_by_type": """
             SELECT event_type, COUNT(*) AS n,

@@ -34,6 +34,8 @@ HEADLINE = [
     "dedup_simhash",             # SimHash signatures
     "ann_cosine_topk",           # brute-force cosine top-k
     "ann_ivf_topk",              # IVF inverted-list search
+    "curation_pipeline",         # lang-ID + quality + dedup composed
+    "events_sessionize",         # gap-based sessionization
     "text_quality",              # quality scoring scan
     "text_lang_id",              # stopword language ID
     "mm_decode_meta",            # mapInPandas multimodal plumbing
