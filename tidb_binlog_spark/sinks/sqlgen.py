@@ -52,10 +52,17 @@ def generate_sql(changes: DataFrame,
     becomes ``AND rownum <= 1``; REPLACE becomes a
     ``MERGE INTO ... USING dual`` upsert; identifiers unquoted
     upper-cased (drainer/sync/oracle.go table naming).
+
+    sqlite dialect (the test-executable target for sinks/jdbc.py):
+    mysql shapes minus the UPDATE/DELETE LIMIT bound (not compiled into
+    stock SQLite; the PK WHERE makes it redundant anyway).
     """
     if dialect == "oracle":
         tbl = F.concat(F.upper(F.col("db")), F.lit("."), F.upper(F.col("tbl")))
         quote = str.upper
+    elif dialect == "sqlite":   # no schemas in SQLite: table name only
+        tbl = F.concat(F.lit("`"), F.col("tbl"), F.lit("`"))
+        quote = _q
     else:
         tbl = _qualified()
         quote = _q
@@ -87,7 +94,7 @@ def generate_sql(changes: DataFrame,
                            F.lit(" WHEN NOT MATCHED THEN INSERT ("), col_list,
                            F.lit(") VALUES ("), values, F.lit(")"))
     else:
-        limit_sfx = F.lit(" LIMIT 1")
+        limit_sfx = F.lit("" if dialect == "sqlite" else " LIMIT 1")
         replace = F.concat(F.lit("REPLACE INTO "), tbl, F.lit("("), col_list,
                            F.lit(") VALUES ("), values, F.lit(")"))
     update = F.concat(F.lit("UPDATE "), tbl, F.lit(" SET "), set_clause,
