@@ -160,3 +160,29 @@ def test_causality_groups_connected_components(spark):
         "txn_id long, key string")
     got = dict(rows(causality.causality_groups(tk), "txn_id", "group_id"))
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_causality_long_chain_converges(spark):
+    # 40-txn chain (txn i shares a key with txn i+1): deep component,
+    # must converge to one group (min id 0), not silently split
+    edges = []
+    for i in range(40):
+        edges.append((i, f"k{i}"))
+        edges.append((i + 1, f"k{i}"))
+    tk = spark.createDataFrame(edges, "txn_id long, key string")
+    got = dict(rows(causality.causality_groups(tk), "txn_id", "group_id"))
+    assert set(got.values()) == {0}
+
+
+def test_conflict_free_partitions_keyless_txns_spread(spark):
+    from tests.conftest import make_changes
+    ch = make_changes(spark, [(i, "s0", 100 + i, "I", i) for i in range(8)])
+    # only txn 100 has a causality key; the rest are keyless singletons
+    tk = spark.createDataFrame([(100, "a")], "txn_id long, key string")
+    out = causality.conflict_free_partitions(ch, tk, num_workers=4)
+    rows_ = out.select("commit_ts", "group_id", "worker_id").collect()
+    groups = {r["commit_ts"]: r["group_id"] for r in rows_}
+    assert groups[100] == 100
+    # keyless txns get their own group (not NULL), so workers spread
+    assert all(g is not None for g in groups.values())
+    assert len({r["worker_id"] for r in rows_}) > 1

@@ -26,14 +26,17 @@ def causality_groups(txn_keys: DataFrame, max_iter: int = 50) -> DataFrame:
     touches. Returns (txn_id, group_id) where group_id = min txn_id of
     the connected component.
 
-    Each iteration's labels are persisted (the convergence check would
-    otherwise re-execute the whole lineage every round, O(k^2) work)
-    and the loop RAISES if the fixpoint isn't reached within max_iter —
-    a silently split component would let order-dependent txns apply in
-    parallel, the exact corruption this operator prevents.
+    Each iteration's labels are localCheckpoint'ed: this both caches
+    the data (the convergence check would otherwise re-execute the
+    whole lineage every round) and TRUNCATES the logical plan — without
+    it the plan nests one join deeper per iteration and deep components
+    OOM the driver on plan construction alone. The loop RAISES if the
+    fixpoint isn't reached within max_iter — a silently split component
+    would let order-dependent txns apply in parallel, the exact
+    corruption this operator prevents.
     """
     labels = txn_keys.select("txn_id").distinct() \
-                     .withColumn("label", F.col("txn_id")).persist()
+                     .withColumn("label", F.col("txn_id")).localCheckpoint()
     edges = txn_keys.select("txn_id", "key").distinct()
     edges.persist()
 
@@ -44,9 +47,8 @@ def causality_groups(txn_keys: DataFrame, max_iter: int = 50) -> DataFrame:
         new_labels = (edges.join(lk, "key")
                       .groupBy("txn_id")
                       .agg(F.min("key_label").alias("label"))
-                      .persist())
+                      .localCheckpoint())
         s = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
-        labels.unpersist()
         labels = new_labels
         if prev_sum is not None and s == prev_sum:
             converged = True
