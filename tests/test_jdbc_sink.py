@@ -54,3 +54,102 @@ def test_sqlite_reapply_is_idempotent(spark, tmp_path):
     jdbc.apply_statements(stmts, db_dir, num_workers=1, setup_sql=setup)  # replay
     applied = jdbc.read_applied(spark, db_dir, "`t`", ["pk", "val"]).collect()
     assert [(r["pk"], r["val"]) for r in applied] == [(1, 5.0)]
+
+
+def test_transient_failures_retry_to_convergence(spark, tmp_path):
+    """Injected transient errors (first 2 attempts per statement fail)
+    must be retried until the downstream still converges to the oracle
+    snapshot — pkg/loader/load.go:40-45 retry semantics."""
+    ch = make_changes(spark, [(1, "s0", 10, "I", 1, 0, 2.0),
+                              (2, "s0", 20, "U", 1, 0, 5.0),
+                              (3, "s0", 30, "I", 2, 0, 7.0)])
+    rewritten = safe_mode.safe_mode_rewrite(ch)
+    stmts = sqlgen.generate_sql(rewritten, dialect="sqlite") \
+        .withColumn("worker_id", F.lit(0))
+    db_dir = str(tmp_path / "dbs")
+
+    def flaky(counts={}):
+        def inject(sql_text):
+            n = counts.get(sql_text, 0)
+            counts[sql_text] = n + 1
+            if n < 2:
+                raise RuntimeError(f"transient #{n}: {sql_text[:30]}")
+        return inject
+
+    jdbc.apply_statements(
+        stmts, db_dir, num_workers=1,
+        setup_sql=("CREATE TABLE IF NOT EXISTS `t` "
+                   "(pk INTEGER PRIMARY KEY, val REAL)",),
+        retry=jdbc.RetryPolicy(max_retries=5, backoff_s=0.001),
+        inject=flaky())
+    applied = jdbc.read_applied(spark, db_dir, "`t`", ["pk", "val"])
+    assert {r["pk"]: r["val"] for r in applied.collect()} == {1: 5.0, 2: 7.0}
+
+
+def test_retry_exhaustion_raises(spark, tmp_path):
+    ch = make_changes(spark, [(1, "s0", 10, "I", 1, 0, 2.0)])
+    stmts = sqlgen.generate_sql(
+        safe_mode.safe_mode_rewrite(ch), dialect="sqlite") \
+        .withColumn("worker_id", F.lit(0))
+
+    def always_fail(sql_text):
+        raise RuntimeError("permanently down")
+
+    import pytest
+    with pytest.raises(Exception):
+        jdbc.apply_statements(
+            stmts, str(tmp_path / "dbs"), num_workers=1,
+            setup_sql=("CREATE TABLE IF NOT EXISTS `t` "
+                       "(pk INTEGER PRIMARY KEY, val REAL)",),
+            retry=jdbc.RetryPolicy(max_retries=2, backoff_s=0.001),
+            inject=always_fail)
+
+
+def test_refresh_hook_fires_once_then_converges(spark, tmp_path):
+    """ErrColumnNotExists analog: the first failure triggers the
+    table-info refresh hook (executor.go:336-405), which fixes the
+    schema; the retry then succeeds."""
+    ch = make_changes(spark, [(1, "s0", 10, "I", 1, 0, 3.0)])
+    stmts = sqlgen.generate_sql(
+        safe_mode.safe_mode_rewrite(ch), dialect="sqlite") \
+        .withColumn("worker_id", F.lit(0))
+    db_dir = str(tmp_path / "dbs")
+
+    def refresh(conn, sql_text, exc):
+        # "refresh table info": create the missing table
+        conn.execute("CREATE TABLE IF NOT EXISTS `t` "
+                     "(pk INTEGER PRIMARY KEY, val REAL)")
+
+    # no setup_sql: the table is missing until the refresh hook runs
+    jdbc.apply_statements(
+        stmts, db_dir, num_workers=1,
+        retry=jdbc.RetryPolicy(max_retries=3, backoff_s=0.001,
+                               on_refresh=refresh))
+    applied = jdbc.read_applied(spark, db_dir, "`t`", ["pk", "val"])
+    assert {r["pk"]: r["val"] for r in applied.collect()} == {1: 3.0}
+
+
+def test_colliding_worker_ids_use_separate_connections(spark, tmp_path):
+    """Two distinct worker_ids hashed into one Spark partition must
+    still write their own worker_<id>.db files (the
+    connection-per-worker contract)."""
+    ch = make_changes(spark, [(1, "s0", 10, "I", 1, 0, 1.0),
+                              (2, "s0", 20, "I", 2, 0, 2.0),
+                              (3, "s0", 30, "I", 3, 0, 3.0),
+                              (4, "s0", 40, "I", 4, 0, 4.0)])
+    stmts = sqlgen.generate_sql(
+        safe_mode.safe_mode_rewrite(ch), dialect="sqlite") \
+        .withColumn("worker_id", F.pmod(F.col("pk"), F.lit(4)))
+    db_dir = str(tmp_path / "dbs")
+    # num_workers=1: ALL worker ids land in one partition
+    jdbc.apply_statements(
+        stmts, db_dir, num_workers=1,
+        setup_sql=("CREATE TABLE IF NOT EXISTS `t` "
+                   "(pk INTEGER PRIMARY KEY, val REAL)",))
+    import os as _os
+    files = sorted(f for f in _os.listdir(db_dir) if f.endswith(".db"))
+    assert files == ["worker_0.db", "worker_1.db", "worker_2.db",
+                     "worker_3.db"]
+    applied = jdbc.read_applied(spark, db_dir, "`t`", ["pk", "val"])
+    assert {r["pk"]: r["val"] for r in applied.collect()} == \
+        {1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0}

@@ -43,3 +43,33 @@ def test_pc_match_across_microbatches(spark, tmp_path):
     assert got[2] == (25, "payload-2", "matched")
     assert got[1] == (15, "payload-1", "matched")
     assert 3 not in got
+
+
+def test_rollback_before_prewrite_drops_txn(spark, tmp_path):
+    """R arriving in a micro-batch BEFORE its P: the rollback must be
+    remembered in state so the late P is dropped, not parked forever
+    (sorter.go resolves parked entries by txn status on lookup)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: R(5) with no P yet, plus a normal txn 6
+    _write_batch(spark, src, [
+        (5, "R", None, None),
+        (6, "P", None, "payload-6"),
+        (6, "C", 65, None),
+    ])
+    # batch 2: the late P(5) — must be discarded, and state evicted
+    _write_batch(spark, src, [
+        (5, "P", None, "payload-5"),
+    ])
+
+    stream = (spark.readStream.schema(pcs.EVENT_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src))
+    out = pcs.match_pc_stream(stream)
+    q = (out.writeStream.format("memory").queryName("pc_out_rbp")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {r["start_ts"]: (r["commit_ts"], r["status"])
+           for r in spark.sql("SELECT * FROM pc_out_rbp").collect()}
+    assert got == {6: (65, "matched")}

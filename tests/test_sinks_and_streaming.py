@@ -140,3 +140,27 @@ def test_windowed_counts_runs(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["op"]: r["count"] for r in spark.sql("SELECT * FROM wc").collect()}
     assert got == {"I": 1, "U": 1}
+
+
+def test_sql_generation_escapes_strings_and_identifiers(spark):
+    # hostile data: quote-bearing string value and backticked identifiers
+    ch = (make_changes(spark, [(1, "s0", 10, "I", 1)])
+          .withColumn("db", F.lit("d`b"))
+          .withColumn("tbl", F.lit("t"))
+          .withColumn("val", F.lit("it's a \\ test")))
+    got = sqlgen.generate_sql(
+        ch, value_cols=("pk", "val")).collect()[0]["sql_text"]
+    # backtick in the identifier is doubled; quote and backslash escaped
+    assert got == ("INSERT INTO `d``b`.`t`(`pk`, `val`) "
+                   "VALUES (1, 'it''s a \\\\ test')")
+
+
+def test_checkpoint_only_advances_on_replay(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    b1 = make_changes(spark, [(1, "s0", 50, "I", 1)])
+    b2 = make_changes(spark, [(2, "s0", 10, "I", 2)])
+    t.apply_batch(b1)
+    assert t.checkpoint()["commit_ts"] == 50
+    # replaying an older batch must not regress the savepoint cursor
+    t.apply_batch(b2)
+    assert t.checkpoint()["commit_ts"] == 50

@@ -2,7 +2,10 @@
 
 Reference: pkg/loader/executor.go:179-443 executes the generated
 statements against the downstream over N workers, each worker applying
-its causality group's statements in order.
+its causality group's statements in order; pkg/loader/load.go:40-45
+retries DML 100x and DDL 5x with 1s backoff; executor.go:336-405
+refreshes the cached table info on ErrColumnNotExists and retries once
+more.
 
 Spark form: statements are repartitioned by worker id and each
 partition executes its statements IN ORDER through a DB-API
@@ -14,45 +17,107 @@ callable for a MySQL/JDBC driver, nothing else changes.
 Ordering contract: within a partition the rows MUST already be sorted
 by (commit_ts, seq, sub_seq) — repartition + sortWithinPartitions is
 the caller's job (provided by ``apply_statements``).
+
+Hash-partitioning note: two distinct worker_ids can land in the same
+Spark partition; run_partition therefore keys its connections by the
+row's worker_id, not by the partition — the one-connection-per-worker
+contract holds regardless of the hash layout.
 """
 
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# reference retry policy (pkg/loader/load.go:40-45)
+MAX_DML_RETRY = 100
+MAX_DDL_RETRY = 5
+
+
+class RetryPolicy:
+    """Retry/backoff policy for transient downstream errors.
+
+    ``max_retries`` per statement, sleeping ``backoff_s`` between
+    attempts (the reference sleeps 1s; tests shrink it). ``on_refresh``
+    is the ErrColumnNotExists hook: called once per failing statement
+    before the next attempt, giving the caller a chance to refresh
+    downstream table info / re-create a missing column
+    (executor.go:336-405 evict-and-refresh)."""
+
+    def __init__(self, max_retries: int = MAX_DML_RETRY,
+                 backoff_s: float = 1.0,
+                 on_refresh=None):
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.on_refresh = on_refresh
+
+
+def _execute_with_retry(conn, sql_text: str, policy: RetryPolicy,
+                        inject=None) -> None:
+    refreshed = False
+    for attempt in range(policy.max_retries + 1):
+        try:
+            if inject is not None:
+                inject(sql_text)   # test hook: raises to simulate a flake
+            conn.execute(sql_text)
+            return
+        except Exception as exc:
+            transient = True
+            # the refresh hook fires once per statement, mirroring the
+            # single evict-and-refresh the reference does for
+            # ErrColumnNotExists before resuming normal retries.
+            if policy.on_refresh is not None and not refreshed:
+                refreshed = True
+                policy.on_refresh(conn, sql_text, exc)
+            if attempt >= policy.max_retries or not transient:
+                raise
+            time.sleep(policy.backoff_s)
 
 
 def apply_statements(stmts: DataFrame, db_dir: str,
                      num_workers: int = 4,
                      worker_col: str = "worker_id",
-                     setup_sql: tuple[str, ...] = ()) -> None:
-    """Execute the ``sql_text`` column per worker partition.
+                     setup_sql: tuple[str, ...] = (),
+                     retry: RetryPolicy | None = None,
+                     inject=None) -> None:
+    """Execute the ``sql_text`` column per worker, partitioned by
+    worker id.
 
     stmts: columns (worker_id, commit_ts, seq, sub_seq, sql_text).
     Each worker writes <db_dir>/worker_<id>.db; per-worker order is
     (commit_ts, seq, sub_seq) — exactly the per-causality-group order
-    guarantee of the reference's dispatch.
+    guarantee of the reference's dispatch. Transient failures are
+    retried per ``retry`` (default: the reference's 100x policy with a
+    10ms local backoff).
+
+    ``inject``: optional callable(sql_text) raised into every execute —
+    the deterministic transient-failure injector used by tests.
     """
     os.makedirs(db_dir, exist_ok=True)
     setup = list(setup_sql)
+    policy = retry if retry is not None else RetryPolicy(backoff_s=0.01)
 
     def run_partition(rows) -> None:
         import sqlite3
-        conn = None
+        conns: dict = {}
         try:
             for row in rows:
+                wid = row[worker_col]
+                conn = conns.get(wid)
                 if conn is None:
-                    path = os.path.join(db_dir, f"worker_{row[worker_col]}.db")
+                    path = os.path.join(db_dir, f"worker_{wid}.db")
                     conn = sqlite3.connect(path)
                     for s in setup:
                         conn.execute(s)
-                conn.execute(row["sql_text"])
-            if conn is not None:
+                    conns[wid] = conn
+                _execute_with_retry(conn, row["sql_text"], policy, inject)
+            for conn in conns.values():
                 conn.commit()
         finally:
-            if conn is not None:
+            for conn in conns.values():
                 conn.close()
 
     (stmts

@@ -24,22 +24,34 @@ def _q(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+def _escape_ident(col: Column) -> Column:
+    """Escape backticks inside a data-derived identifier value, the
+    column-expression analog of quoteName (loader/util.go escapeName).
+    Without this a hostile db/tbl value breaks out of the quoting."""
+    return F.replace(col, F.lit("`"), F.lit("``"))
+
+
 def _qualified() -> Column:
-    return F.concat(F.lit("`"), F.col("db"), F.lit("`.`"), F.col("tbl"), F.lit("`"))
+    return F.concat(F.lit("`"), _escape_ident(F.col("db")),
+                    F.lit("`.`"), _escape_ident(F.col("tbl")), F.lit("`"))
 
 
-def _null_safe_eq(col_name: str) -> Column:
-    """NULL-safe WHERE fragment (model.go:247-261: `col IS NULL` when
-    the value is NULL, `col = val` otherwise)."""
-    v = F.col(col_name)
-    return F.when(v.isNull(), F.lit(f"{_q(col_name)} IS NULL")) \
-            .otherwise(F.concat(F.lit(f"{_q(col_name)} = "), v.cast("string")))
+def _escape_str_lit(col: Column) -> Column:
+    """Render a string value as a quoted SQL literal: backslashes and
+    single quotes doubled (MySQL string-literal rules; the reference
+    avoids the issue entirely with `?` placeholders — model.go builds
+    parameterized statements. For textual statements, escaping is the
+    equivalent safety contract)."""
+    escaped = F.replace(F.replace(col, F.lit("\\"), F.lit("\\\\")),
+                        F.lit("'"), F.lit("''"))
+    return F.concat(F.lit("'"), escaped, F.lit("'"))
 
 
 def generate_sql(changes: DataFrame,
                  pk_cols: tuple[str, ...] = ("pk",),
                  value_cols: tuple[str, ...] = ("pk", "val"),
-                 dialect: str = "mysql") -> DataFrame:
+                 dialect: str = "mysql",
+                 string_cols: tuple[str, ...] | None = None) -> DataFrame:
     """One downstream statement per change event.
 
     mysql dialect (pkg/loader/model.go:187-353):
@@ -56,20 +68,41 @@ def generate_sql(changes: DataFrame,
     sqlite dialect (the test-executable target for sinks/jdbc.py):
     mysql shapes minus the UPDATE/DELETE LIMIT bound (not compiled into
     stock SQLite; the PK WHERE makes it redundant anyway).
+
+    ``string_cols`` names the columns whose values must render as quoted
+    escaped string literals; None infers them from the DataFrame schema
+    (string-typed columns among value_cols/pk_cols).
     """
+    if string_cols is None:
+        string_cols = tuple(
+            f.name for f in changes.schema.fields
+            if f.name in set(value_cols) | set(pk_cols)
+            and f.dataType.simpleString() == "string")
+    str_set = set(string_cols)
     if dialect == "oracle":
         tbl = F.concat(F.upper(F.col("db")), F.lit("."), F.upper(F.col("tbl")))
         quote = str.upper
     elif dialect == "sqlite":   # no schemas in SQLite: table name only
-        tbl = F.concat(F.lit("`"), F.col("tbl"), F.lit("`"))
+        tbl = F.concat(F.lit("`"), _escape_ident(F.col("tbl")), F.lit("`"))
         quote = _q
     else:
         tbl = _qualified()
         quote = _q
     def lit_val(c: str) -> Column:
         # NULL renders as the literal NULL (concat/concat_ws silently
-        # drop SQL NULLs, which would shift the VALUES arity)
-        return F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+        # drop SQL NULLs, which would shift the VALUES arity); string
+        # values are quoted + escaped per dialect (single-quote doubling
+        # everywhere; backslash doubling for mysql).
+        v = F.col(c).cast("string")
+        if c in str_set:
+            if dialect == "mysql":
+                rendered = _escape_str_lit(v)
+            else:  # oracle/sqlite: '' doubling only, no backslash escapes
+                rendered = F.concat(F.lit("'"),
+                                    F.replace(v, F.lit("'"), F.lit("''")),
+                                    F.lit("'"))
+            return F.coalesce(rendered, F.lit("NULL"))
+        return F.coalesce(v, F.lit("NULL"))
 
     col_list = F.lit(", ".join(quote(c) for c in value_cols))
     values = F.concat_ws(", ", *[lit_val(c) for c in value_cols])
@@ -78,9 +111,11 @@ def generate_sql(changes: DataFrame,
         F.concat(F.lit(f"{quote(c)} = "), lit_val(c)) for c in set_cols])
 
     def null_safe(c: str) -> Column:
+        # NULL-safe WHERE fragment (model.go:247-261: `col IS NULL` when
+        # the value is NULL, `col = val` otherwise).
         v = F.col(c)
         return F.when(v.isNull(), F.lit(f"{quote(c)} IS NULL")) \
-                .otherwise(F.concat(F.lit(f"{quote(c)} = "), v.cast("string")))
+                .otherwise(F.concat(F.lit(f"{quote(c)} = "), lit_val(c)))
 
     where = F.concat_ws(" AND ", *[null_safe(c) for c in pk_cols])
 

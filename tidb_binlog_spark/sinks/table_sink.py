@@ -97,6 +97,9 @@ class SnapshotTable:
         out = os.path.join(self.root, f"v{new_version}")
         merged.write.mode("overwrite").parquet(out)
         batch.unpersist()
+        # the savepoint only ever advances (drainer/checkpoint semantics:
+        # replaying an old batch must not regress the commit_ts cursor)
+        batch_max = max(int(batch_max), int(ck["commit_ts"]))
         self._save_checkpoint(new_version, int(batch_max))
         # retain only the previous version for readers mid-swap
         for v in range(1, new_version - 1):

@@ -45,6 +45,7 @@ _STATE_SCHEMA = T.StructType([
     T.StructField("commit_ts", T.LongType()),
     T.StructField("has_p", T.BooleanType()),
     T.StructField("has_c", T.BooleanType()),
+    T.StructField("has_r", T.BooleanType()),
 ])
 
 
@@ -52,18 +53,18 @@ def _match_group(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                  state: GroupState) -> Iterator[pd.DataFrame]:
     start_ts = key[0]
     if state.hasTimedOut:
-        payload, commit_ts, has_p, has_c = state.get
+        payload, commit_ts, has_p, has_c, has_r = state.get
         state.remove()
-        if has_p and not has_c:
+        if has_p and not has_c and not has_r:
             # resolver hook: unresolved after timeout (sorter's 1s/10min
             # escalation) — surfaced, not silently dropped.
             yield pd.DataFrame([{"start_ts": start_ts, "commit_ts": None,
                                  "payload": payload, "status": "unresolved"}])
         return
 
-    payload, commit_ts, has_p, has_c, rolled_back = None, None, False, False, False
+    payload, commit_ts, has_p, has_c, has_r = None, None, False, False, False
     if state.exists:
-        payload, commit_ts, has_p, has_c = state.get
+        payload, commit_ts, has_p, has_c, has_r = state.get
 
     for pdf in pdfs:
         for row in pdf.itertuples(index=False):
@@ -72,11 +73,23 @@ def _match_group(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
             elif row.kind == "C":
                 commit_ts, has_c = int(row.commit_ts), True
             elif row.kind == "R":
-                rolled_back = True
+                has_r = True
 
-    if rolled_back:
-        if state.exists:
-            state.remove()
+    if has_r:
+        # rolled back: drop the txn. If the P has not arrived yet, the
+        # rollback must be REMEMBERED (has_r in state) so the
+        # later-arriving P is dropped instead of parking forever —
+        # arrival order across sources is free, so R-before-P is legal
+        # (sorter.go handles it by resolving the parked P on lookup).
+        if has_p:
+            if state.exists:
+                state.remove()
+            return
+        state.update((payload, commit_ts, has_p, has_c, True))
+        try:
+            state.setTimeoutDuration(60_000)
+        except Exception:
+            pass
         return
     if has_p and has_c:
         if state.exists:
@@ -86,7 +99,7 @@ def _match_group(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
         return
     # still pending one half: park it (the reference parks P entries;
     # a C-before-P also parks, arrival order across sources is free).
-    state.update((payload, commit_ts, has_p, has_c))
+    state.update((payload, commit_ts, has_p, has_c, False))
     try:
         state.setTimeoutDuration(60_000)
     except Exception:  # NoTimeout mode: parking without an alarm
