@@ -180,6 +180,31 @@ def q_cdc_schema_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("arrival_seq", "schema_version", "note", "k")
 
 
+# the ordered DDL job stream the catalog is REPLAYED from
+# (drainer/schema.go:360-561): create -> truncate -> add col -> add col
+# -> drop col -> rename, at fixed commit timestamps.
+SCHEMA_REPLAY_DDL = [
+    (5,     "CREATE TABLE ptest (k VARCHAR DEFAULT '0')"),
+    (8000,  "TRUNCATE TABLE ptest"),
+    (20000, "ALTER TABLE ptest ADD COLUMN tag VARCHAR DEFAULT 'none'"),
+    (40000, "ALTER TABLE ptest ADD COLUMN note VARCHAR DEFAULT 'x'"),
+    (60000, "ALTER TABLE ptest DROP COLUMN note"),
+    (80000, "RENAME TABLE ptest TO qtest"),
+]
+
+
+def q_cdc_schema_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog built FROM the DDL stream (not hand-fed), then used to
+    decode the DML stream: version stamping by commit_ts interval,
+    truncated-incarnation drop, add/drop-column back-fill, rename."""
+    reg = schema_evolution.SchemaRegistry()
+    reg.apply_ddl_events(SCHEMA_REPLAY_DDL)
+    ch = _spark_changes(spark, sf_dir).filter(F.col("tbl") == "ptest")
+    out = schema_evolution.decode_with_replay(ch, reg, "ptest", spark)
+    return out.select("arrival_seq", "commit_ts", "active_version",
+                      "target_tbl", "k", "tag")
+
+
 DDL_CASE = """
 CASE arrival_seq % 250
   WHEN 0   THEN 'ALTER TABLE t ADD COLUMN c INT'
@@ -584,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_update_pk_split": q_cdc_update_pk_split,
         "cdc_safe_mode": q_cdc_safe_mode,
         "cdc_schema_backfill": q_cdc_schema_backfill,
+        "cdc_schema_replay": q_cdc_schema_replay,
         "curation_pipeline": q_curation_pipeline,
         "events_sessionize": q_events_sessionize,
         "events_value_by_type": q_events_value_by_type,
@@ -791,6 +817,23 @@ def oracle_sql() -> dict[str, str]:
                    THEN COALESCE(json_extract_string(row_json, '$.k'), '42')
                    ELSE '42' END AS k
             FROM changes WHERE tbl = 'ptest'
+        """,
+        "cdc_schema_replay": f"""
+            {CHANGES_CTE}
+            SELECT arrival_seq, commit_ts,
+              CASE WHEN commit_ts >= 80000 THEN 6
+                   WHEN commit_ts >= 60000 THEN 5
+                   WHEN commit_ts >= 40000 THEN 4
+                   WHEN commit_ts >= 20000 THEN 3
+                   WHEN commit_ts >= 8000  THEN 2
+                   ELSE 1 END AS active_version,
+              'qtest' AS target_tbl,
+              COALESCE(json_extract_string(row_json, '$.k'), '0') AS k,
+              CASE WHEN commit_ts >= 20000
+                   THEN COALESCE(json_extract_string(row_json, '$.tag'), 'none')
+                   ELSE 'none' END AS tag
+            FROM changes
+            WHERE tbl = 'ptest' AND commit_ts > 8000
         """,
         "curation_pipeline": f"""
             WITH toks AS (SELECT doc_id, lang, {osql.TOKS} AS toks FROM documents),

@@ -186,3 +186,96 @@ def test_conflict_free_partitions_keyless_txns_spread(spark):
     # keyless txns get their own group (not NULL), so workers spread
     assert all(g is not None for g in groups.values())
     assert len({r["worker_id"] for r in rows_}) > 1
+
+
+# -- DDL-stream catalog replay (drainer/schema.go:360-561) -------------------
+
+def _replayed():
+    from tidb_binlog_spark.operators.schema_evolution import SchemaRegistry
+    reg = SchemaRegistry()
+    reg.apply_ddl_events([
+        (10, "CREATE TABLE t (a INT DEFAULT 1, b VARCHAR DEFAULT 'x')"),
+        (20, "ALTER TABLE t ADD COLUMN c VARCHAR DEFAULT 'z'"),
+        (30, "ALTER TABLE t DROP COLUMN b"),
+        (40, "RENAME TABLE t TO t2"),
+        (50, "TRUNCATE TABLE t2"),
+    ])
+    return reg
+
+
+def test_ddl_replay_builds_versions():
+    reg = _replayed()
+    assert reg.columns_at("t2", 1) == {"a": "1", "b": "x"}
+    assert reg.columns_at("t2", 2) == {"a": "1", "b": "x", "c": "z"}
+    assert reg.columns_at("t2", 3) == {"a": "1", "c": "z"}
+    assert reg.latest_version("t2") == 5
+    assert reg.resolve_name("t") == "t2"
+    assert reg.truncate_ts["t2"] == 50
+    assert reg.col_added_at["t2"] == {"a": 1, "b": 1, "c": 2}
+
+
+def test_ddl_replay_rename_mid_stream_keeps_history():
+    from tidb_binlog_spark.operators.schema_evolution import SchemaRegistry
+    reg = SchemaRegistry()
+    reg.apply_ddl_events([
+        (10, "CREATE TABLE t (a INT DEFAULT 0)"),
+        (20, "RENAME TABLE t TO u"),
+        (30, "ALTER TABLE u ADD COLUMN b INT DEFAULT 7"),
+        (40, "RENAME TABLE u TO w"),
+    ])
+    # transitive rename: both old names resolve to the final one
+    assert reg.resolve_name("t") == "w"
+    assert reg.resolve_name("u") == "w"
+    assert reg.columns_at("w", reg.latest_version("w")) == {"a": "0", "b": "7"}
+
+
+def test_ddl_replay_retains_last_two_versions():
+    from tidb_binlog_spark.operators.schema_evolution import SchemaRegistry
+    reg = SchemaRegistry()
+    reg.apply_ddl_events([
+        (10, "CREATE TABLE t (a INT)"),
+        (20, "ALTER TABLE t ADD COLUMN b INT"),
+        (30, "ALTER TABLE t ADD COLUMN c INT"),
+        (40, "ALTER TABLE t ADD COLUMN d INT"),
+    ], retain=2)
+    # schema.go:211-234: only the last two versions stay resolvable
+    assert sorted(reg._versions["t"]) == [3, 4]
+    import pytest
+    with pytest.raises(KeyError):
+        reg.columns_at("t", 1)
+
+
+def test_ddl_replay_unparseable_and_unknown_table_skipped():
+    from tidb_binlog_spark.operators.schema_evolution import SchemaRegistry
+    reg = SchemaRegistry()
+    log = reg.apply_ddl_events([
+        (10, "CREATE PLACEMENT POLICY p FOLLOWERS=4"),
+        (20, "ALTER TABLE missing ADD COLUMN x INT"),
+        (30, "CREATE TABLE t (a INT)"),
+    ])
+    assert [e["applied"] for e in log] == [False, False, True]
+    assert reg.latest_version("t") == 1
+
+
+def test_decode_with_replay_truncate_and_backfill(spark):
+    from tidb_binlog_spark.operators.schema_evolution import SchemaRegistry
+    from tidb_binlog_spark.operators import schema_evolution as se
+    reg = SchemaRegistry()
+    reg.apply_ddl_events([
+        (10, "CREATE TABLE t (k VARCHAR DEFAULT '0')"),
+        (25, "TRUNCATE TABLE t"),
+        (35, "ALTER TABLE t ADD COLUMN tag VARCHAR DEFAULT 'none'"),
+        (45, "RENAME TABLE t TO t2"),
+    ])
+    rows = [(1, "s0", 20, "I", 1), (2, "s0", 30, "I", 2), (3, "s0", 40, "I", 3)]
+    ch = make_changes(spark, rows).withColumn(
+        "row_json", F.lit('{"k": "9", "tag": "real"}'))
+    out = se.decode_with_replay(ch, reg, "t", spark)
+    got = {r["arrival_seq"]: (r["active_version"], r["target_tbl"],
+                              r["k"], r["tag"])
+           for r in out.collect()}
+    # row at ts 20 is pre-truncate -> dropped; ts 30 decodes at v2 (no
+    # tag column yet -> default); ts 40 decodes at v3 (tag from json)
+    assert 1 not in got
+    assert got[2] == (2, "t2", "9", "none")
+    assert got[3] == (3, "t2", "9", "real")

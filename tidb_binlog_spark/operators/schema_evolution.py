@@ -1,9 +1,14 @@
-"""Schema-version gate + default back-fill for old-version rows.
+"""Schema-version gate + default back-fill + DDL-stream catalog replay.
 
 Reference:
 - each DML carries SchemaVersion; the catalog replays DDL jobs up to
   that version before decoding (drainer/schema.go:293-331,
   drainer/syncer.go:388-397);
+- the catalog itself is BUILT by replaying the ordered DDL-job stream:
+  CreateTable/AddColumn/DropColumn/RenameTable/TruncateTable/DropTable
+  each produce a new schema version; truncated table ids are tracked so
+  late mutations for the pre-truncate incarnation are dropped
+  (drainer/schema.go:360-561; drainer/syncer.go:744-762);
 - rows encoded at an older version miss newly added columns; the
   decoder back-fills column defaults / zero values
   (drainer/translator/translator.go:169-227,293-326);
@@ -11,25 +16,93 @@ Reference:
   (drainer/schema.go:211-234).
 
 Spark-first: the registry is a plain broadcastable dict of
-(table, version) -> {column: default}; back-fill is a coalesce
-projection per column — pure Catalyst, no per-row Python.
+(table, version) -> {column: default}; replay is driver-side (DDL
+events are rare and inherently serial — the reference also replays
+them on one thread); back-fill/decoding over the DML stream is a
+coalesce projection per column plus a broadcast join against the tiny
+version-interval dimension — pure Catalyst, no per-row Python.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import re
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+_DEFAULT_RE = r"(?:\s+DEFAULT\s+(?P<default>'[^']*'|[^\s,()]+))?"
+
+
+def _strip_quotes(lit: str | None) -> str | None:
+    if lit is None:
+        return None
+    if len(lit) >= 2 and lit[0] == "'" and lit[-1] == "'":
+        return lit[1:-1]
+    return lit
+
+
+def parse_ddl(sql: str) -> dict:
+    """Classify + destructure one DDL statement (the regex analog of
+    the reference's TiDB-parser ast switch, drainer/schema.go:360-561).
+
+    Returns {kind, table, ...kind-specific fields}; kind='other' for
+    statements the catalog does not track.
+    """
+    s = sql.strip().rstrip(";")
+    m = re.match(r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                 r"`?(?P<t>\w+)`?\s*\((?P<cols>.*)\)\s*$", s)
+    if m:
+        cols: dict[str, str | None] = {}
+        for part in re.split(r",(?![^()]*\))", m.group("cols")):
+            cm = re.match(r"(?is)^\s*`?(?P<c>\w+)`?\s+(?P<type>\w+(?:\([^)]*\))?)"
+                          + _DEFAULT_RE + r"\s*$", part)
+            if cm:
+                cols[cm.group("c")] = _strip_quotes(cm.group("default"))
+        return {"kind": "create_table", "table": m.group("t"), "columns": cols}
+    m = re.match(r"(?is)^ALTER\s+TABLE\s+`?(?P<t>\w+)`?\s+ADD\s+COLUMN\s+"
+                 r"`?(?P<c>\w+)`?\s+(?P<type>\w+(?:\([^)]*\))?)"
+                 + _DEFAULT_RE + r"\s*$", s)
+    if m:
+        return {"kind": "add_column", "table": m.group("t"),
+                "column": m.group("c"),
+                "default": _strip_quotes(m.group("default"))}
+    m = re.match(r"(?is)^ALTER\s+TABLE\s+`?(?P<t>\w+)`?\s+DROP\s+COLUMN\s+"
+                 r"`?(?P<c>\w+)`?\s*$", s)
+    if m:
+        return {"kind": "drop_column", "table": m.group("t"),
+                "column": m.group("c")}
+    m = re.match(r"(?is)^RENAME\s+TABLE\s+`?(?P<a>\w+)`?\s+TO\s+`?(?P<b>\w+)`?\s*$", s)
+    if m:
+        return {"kind": "rename_table", "table": m.group("a"),
+                "new_name": m.group("b")}
+    m = re.match(r"(?is)^TRUNCATE\s+(?:TABLE\s+)?`?(?P<t>\w+)`?\s*$", s)
+    if m:
+        return {"kind": "truncate", "table": m.group("t")}
+    m = re.match(r"(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?(?P<t>\w+)`?\s*$", s)
+    if m:
+        return {"kind": "drop_table", "table": m.group("t")}
+    return {"kind": "other", "table": None}
 
 
 class SchemaRegistry:
     """Versioned catalog: (tbl, version) -> ordered {column: default}.
 
     The Spark analog of drainer.Schema — driver-held, broadcast into
-    expressions (it is tiny: schema metadata, not data).
+    expressions (it is tiny: schema metadata, not data). Versions are
+    either hand-fed (``add_version``) or BUILT from an ordered DDL
+    stream (``apply_ddl_events`` — drainer/schema.go:360-561).
     """
 
     def __init__(self) -> None:
         self._versions: dict[str, dict[int, dict[str, str | None]]] = {}
+        # replay state (populated by apply_ddl_events)
+        self.version_ts: dict[str, dict[int, int]] = {}   # tbl -> v -> ddl ts
+        self.col_added_at: dict[str, dict[str, int]] = {} # tbl -> col -> v
+        self.renamed_to: dict[str, str] = {}              # old -> new (final)
+        self.truncate_ts: dict[str, int] = {}             # tbl -> last truncate
+        self.dropped: set[str] = set()
+        self.ddl_log: list[dict] = []
 
     def add_version(self, tbl: str, version: int,
                     columns: dict[str, str | None]) -> None:
@@ -44,6 +117,129 @@ class SchemaRegistry:
 
     def latest_version(self, tbl: str) -> int:
         return max(self._versions.get(tbl, {0: {}}))
+
+    # -- DDL-stream replay (drainer/schema.go:293-331,360-561) --------------
+    def apply_ddl_events(self, events: list[tuple[int, str]],
+                         retain: int | None = None) -> list[dict]:
+        """Replay an ordered DDL stream [(commit_ts, ddl_sql), ...] into
+        catalog versions. Every applied DDL yields a new version of its
+        table (version number = per-table ordinal, matching the
+        reference's monotonically increasing SchemaVersion). Rename
+        moves the version history to the new name; truncate records the
+        cut ts (late pre-truncate mutations are droppable —
+        syncer.go:744-762); ``retain`` keeps only the last N versions
+        per table (schema.go:211-234 keeps two).
+
+        Returns the replay log (one dict per event with the action
+        taken) for auditing/tests.
+        """
+        for commit_ts, sql in sorted(events, key=lambda e: e[0]):
+            info = parse_ddl(sql)
+            kind, tbl = info["kind"], info.get("table")
+            entry = {"commit_ts": commit_ts, "ddl_sql": sql, "kind": kind,
+                     "table": tbl, "applied": True}
+            if kind == "create_table":
+                cols = dict(info["columns"])
+                self._versions[tbl] = {1: cols}
+                self.version_ts[tbl] = {1: commit_ts}
+                self.col_added_at[tbl] = {c: 1 for c in cols}
+                self.dropped.discard(tbl)
+            elif kind == "add_column" and tbl in self._versions:
+                v = self.latest_version(tbl) + 1
+                cols = dict(self.columns_at(tbl, v - 1))
+                cols[info["column"]] = info["default"]
+                self._versions[tbl][v] = cols
+                self.version_ts[tbl][v] = commit_ts
+                self.col_added_at[tbl][info["column"]] = v
+            elif kind == "drop_column" and tbl in self._versions:
+                v = self.latest_version(tbl) + 1
+                cols = dict(self.columns_at(tbl, v - 1))
+                cols.pop(info["column"], None)
+                self._versions[tbl][v] = cols
+                self.version_ts[tbl][v] = commit_ts
+            elif kind == "rename_table" and tbl in self._versions:
+                new = info["new_name"]
+                v = self.latest_version(tbl) + 1
+                self._versions[new] = self._versions.pop(tbl)
+                self._versions[new][v] = dict(self.columns_at(new, v - 1))
+                self.version_ts[new] = self.version_ts.pop(tbl)
+                self.version_ts[new][v] = commit_ts
+                self.col_added_at[new] = self.col_added_at.pop(tbl)
+                if tbl in self.truncate_ts:
+                    self.truncate_ts[new] = self.truncate_ts.pop(tbl)
+                # keep old-name lookups resolving to the new history
+                for old, tgt in list(self.renamed_to.items()):
+                    if tgt == tbl:
+                        self.renamed_to[old] = new
+                self.renamed_to[tbl] = new
+            elif kind == "truncate" and tbl in self._versions:
+                v = self.latest_version(tbl) + 1
+                self._versions[tbl][v] = dict(self.columns_at(tbl, v - 1))
+                self.version_ts[tbl][v] = commit_ts
+                self.truncate_ts[tbl] = commit_ts
+            elif kind == "drop_table" and tbl in self._versions:
+                self.dropped.add(tbl)
+                entry["applied"] = True
+            else:
+                entry["applied"] = False
+            self.ddl_log.append(entry)
+            if retain and tbl:
+                final = self.resolve_name(tbl)
+                if final in self._versions and len(self._versions[final]) > retain:
+                    for old_v in sorted(self._versions[final])[:-retain]:
+                        del self._versions[final][old_v]
+        return self.ddl_log
+
+    def resolve_name(self, tbl: str) -> str:
+        return self.renamed_to.get(tbl, tbl)
+
+    def version_intervals(self, spark: SparkSession, tbl: str) -> DataFrame:
+        """The tiny (version, start_ts, end_ts) dimension for a table —
+        broadcast-joined against the DML stream to stamp each mutation
+        with the schema version active at its commit_ts."""
+        tbl = self.resolve_name(tbl)
+        ts = sorted(self.version_ts[tbl].items())
+        rows = []
+        for i, (v, start) in enumerate(ts):
+            end = ts[i + 1][1] if i + 1 < len(ts) else None
+            rows.append((v, start, end))
+        return spark.createDataFrame(
+            rows, "active_version int, v_start_ts long, v_end_ts long")
+
+
+def decode_with_replay(changes: DataFrame, registry: SchemaRegistry,
+                       tbl: str, spark: SparkSession,
+                       json_col: str = "row_json") -> DataFrame:
+    """Decode a DML stream against a catalog BUILT from a DDL stream
+    (apply_ddl_events): stamp each mutation with the schema version
+    active at its commit_ts (broadcast range join on the tiny version
+    dimension), drop mutations from a truncated incarnation
+    (commit_ts <= truncate_ts — syncer.go:744-762), emit rows at the
+    LATEST schema with defaults back-filled for columns the row's
+    version did not yet have (translator.go:169-227), under the table's
+    FINAL (post-rename) name.
+    """
+    final = registry.resolve_name(tbl)
+    intervals = registry.version_intervals(spark, tbl)
+    stamped = changes.join(
+        F.broadcast(intervals),
+        (F.col("commit_ts") >= F.col("v_start_ts"))
+        & (F.col("v_end_ts").isNull() | (F.col("commit_ts") < F.col("v_end_ts"))))
+    cut = registry.truncate_ts.get(final)
+    if cut is not None:
+        stamped = stamped.filter(F.col("commit_ts") > F.lit(cut))
+    latest = registry.latest_version(final)
+    target_cols = registry.columns_at(final, latest)
+    out = stamped.withColumn("target_tbl", F.lit(final))
+    for col_name, default in target_cols.items():
+        added_at = registry.col_added_at[final].get(col_name, 1)
+        extracted = F.get_json_object(F.col(json_col), f"$.{col_name}")
+        out = out.withColumn(
+            col_name,
+            F.when(F.col("active_version") >= F.lit(added_at),
+                   F.coalesce(extracted, F.lit(default)))
+             .otherwise(F.lit(default)))
+    return out.drop("v_start_ts", "v_end_ts")
 
 
 def backfill_defaults(changes: DataFrame, registry: SchemaRegistry,
