@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tidb_binlog_spark.session import load_tables
-from tidb_binlog_spark.sources.changestream import CHANGES_CTE, change_stream
+from tidb_binlog_spark.sources.changestream import (CHANGES_CTE, change_stream,
+                                                    wide_stream)
 from tidb_binlog_spark.operators import compaction, ordering, filters, router
 from tidb_binlog_spark.operators import pc_match, safe_mode, schema_evolution
 from tidb_binlog_spark.functions import text as textfn
@@ -358,6 +359,41 @@ def q_cdc_causality_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return causality.causality_groups(txn_keys)
 
 
+def q_cdc_wide_row_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-model compaction over the full row images: first-old /
+    last-new whole-map stitching per PK (merge.go:84-118), emitted
+    exploded per column."""
+    ws = wide_stream(spark, sf_dir)
+    ok = ordering.ordered_stream(ws)
+    return compaction.compact_wide(ok)
+
+
+# downstream table metadata for the wide statement builder: PRIMARY
+# first (util.go:97-101), then a secondary unique key on k.
+WIDE_INFO = sqlgen.TableInfo(
+    columns=("pk", "val", "k"),
+    unique_keys=(("PRIMARY", ("pk",)), ("uk_k", ("k",))))
+
+
+def q_sink_sql_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UK-preferring NULL-safe statement build over the map model:
+    updates whose old PK value is unavailable fall back to the next
+    unique key, then to the all-columns WHERE (model.go:303-330)."""
+    ws = wide_stream(spark, sf_dir)
+    # deterministically knock out key values to exercise the fallback
+    # chain: %13 -> no old pk (use uk_k), %221 -> neither (all-columns)
+    ws = ws.withColumn(
+        "old_values",
+        F.when(F.col("op") != "U", F.col("old_values"))
+         .when(F.col("arrival_seq") % 221 == 0,
+               F.expr("map_filter(old_values, (c, v) -> c = 'val')"))
+         .when(F.col("arrival_seq") % 13 == 0,
+               F.expr("map_filter(old_values, (c, v) -> c <> 'pk')"))
+         .otherwise(F.col("old_values")))
+    out = sqlgen.generate_sql_wide(ws, WIDE_INFO)
+    return out.select("arrival_seq", "op", "exec_mode", "sql_text")
+
+
 def q_sink_sql_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sqlgen.generate_sql(_spark_changes(spark, sf_dir))
     return out.select("arrival_seq", "op", "sql_text")
@@ -638,6 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_gc_safepoint": q_cdc_gc_safepoint,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "cdc_causality_groups": q_cdc_causality_groups,
+        "cdc_wide_row_apply": q_cdc_wide_row_apply,
+        "sink_sql_wide": q_sink_sql_wide,
         "sink_sql_generation": q_sink_sql_generation,
         "sink_obinlog_payload": q_sink_obinlog_payload,
         "sink_sql_oracle_dialect": q_sink_sql_oracle_dialect,
@@ -1033,6 +1071,96 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT txn_id, MIN(label) AS group_id FROM r GROUP BY txn_id
         """.replace("WITH changes AS", "WITH RECURSIVE changes AS"),
+        "cdc_wide_row_apply": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            w AS (SELECT *,
+                    COALESCE(json_extract_string(row_json, '$.k'), 'nk') AS kx
+                  FROM ok),
+            orded AS (
+              SELECT *, CAST(ROW_NUMBER() OVER (
+                  PARTITION BY db, tbl, pk
+                  ORDER BY commit_ts, seq, arrival_seq) AS BIGINT) AS ord
+              FROM w),
+            dd AS (
+              SELECT *, MAX(CASE WHEN op = 'D' THEN ord END)
+                          OVER (PARTITION BY db, tbl, pk) AS last_d
+              FROM orded),
+            agg AS (
+              SELECT db, tbl, pk,
+                MAX(ord) AS last_ord,
+                MAX(CASE WHEN op = 'D' THEN ord END) AS last_d_ord,
+                MAX(CASE WHEN op = 'I' THEN ord END) AS last_i,
+                MAX_BY(CAST(pk AS STRING), ord) AS f_pk,
+                MAX_BY(CAST(val AS STRING), ord) AS f_val,
+                MAX_BY(kx, ord) AS f_k,
+                MIN_BY(CAST(pk AS STRING),
+                       CASE WHEN op = 'U' AND (last_d IS NULL OR ord > last_d)
+                            THEN ord END) AS o_pk,
+                MIN_BY(CAST(val - 1 AS STRING),
+                       CASE WHEN op = 'U' AND (last_d IS NULL OR ord > last_d)
+                            THEN ord END) AS o_val,
+                MIN_BY('old_' || kx,
+                       CASE WHEN op = 'U' AND (last_d IS NULL OR ord > last_d)
+                            THEN ord END) AS o_k,
+                COUNT(*) AS n_ops
+              FROM dd GROUP BY db, tbl, pk),
+            m AS (
+              SELECT *,
+                CASE WHEN last_d_ord = last_ord THEN 'D'
+                     WHEN last_i IS NOT NULL
+                          AND (last_d_ord IS NULL OR last_i > last_d_ord)
+                       THEN 'I'
+                     ELSE 'U' END AS merged_op
+              FROM agg)
+            SELECT db, tbl, pk, merged_op, 'pk' AS col, f_pk AS final_val,
+                   CASE WHEN merged_op = 'U' THEN o_pk END AS first_old_val,
+                   n_ops
+            FROM m
+            UNION ALL
+            SELECT db, tbl, pk, merged_op, 'val', f_val,
+                   CASE WHEN merged_op = 'U' THEN o_val END, n_ops
+            FROM m
+            UNION ALL
+            SELECT db, tbl, pk, merged_op, 'k', f_k,
+                   CASE WHEN merged_op = 'U' THEN o_k END, n_ops
+            FROM m
+        """,
+        "sink_sql_wide": f"""
+            {CHANGES_CTE},
+            w AS (SELECT *,
+                    COALESCE(json_extract_string(row_json, '$.k'), 'nk') AS kx
+                  FROM changes),
+            r AS (SELECT *,
+                '''' || replace(replace(CAST(pk AS STRING), '\\', '\\\\'),
+                                '''', '''''') || '''' AS q_pk,
+                '''' || replace(replace(CAST(val AS STRING), '\\', '\\\\'),
+                                '''', '''''') || '''' AS q_val,
+                '''' || replace(replace(kx, '\\', '\\\\'),
+                                '''', '''''') || '''' AS q_k,
+                '''' || replace(replace(CAST(val - 1 AS STRING), '\\', '\\\\'),
+                                '''', '''''') || '''' AS q_oval,
+                '''' || replace(replace('old_' || kx, '\\', '\\\\'),
+                                '''', '''''') || '''' AS q_ok
+              FROM w)
+            SELECT arrival_seq, op, 'batch' AS exec_mode,
+              CASE op
+                WHEN 'I' THEN 'INSERT INTO `' || db || '`.`' || tbl ||
+                  '`(`pk`, `val`, `k`) VALUES (' || q_pk || ', ' || q_val ||
+                  ', ' || q_k || ')'
+                WHEN 'D' THEN 'DELETE FROM `' || db || '`.`' || tbl ||
+                  '` WHERE `pk` = ' || q_pk || ' LIMIT 1'
+                WHEN 'U' THEN 'UPDATE `' || db || '`.`' || tbl ||
+                  '` SET `pk` = ' || q_pk || ', `val` = ' || q_val ||
+                  ', `k` = ' || q_k || ' WHERE ' ||
+                  CASE WHEN arrival_seq % 221 = 0
+                         THEN '`pk` IS NULL AND `val` = ' || q_oval ||
+                              ' AND `k` IS NULL'
+                       WHEN arrival_seq % 13 = 0
+                         THEN '`k` = ' || q_ok
+                       ELSE '`pk` = ' || q_pk END || ' LIMIT 1'
+              END AS sql_text
+            FROM r
+        """,
         "sink_sql_generation": f"""
             {CHANGES_CTE}
             SELECT arrival_seq, op,

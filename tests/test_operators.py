@@ -279,3 +279,115 @@ def test_decode_with_replay_truncate_and_backfill(spark):
     assert 1 not in got
     assert got[2] == (2, "t2", "9", "none")
     assert got[3] == (3, "t2", "9", "real")
+
+
+# -- map-model compaction + UK-preferring statement build --------------------
+
+def _wide_rows(spark, rows):
+    """rows: (arrival_seq, commit_ts, op, pk, values{}, old_values{})"""
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("arrival_seq", T.LongType()),
+        T.StructField("commit_ts", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("db", T.StringType()),
+        T.StructField("tbl", T.StringType()),
+        T.StructField("pk", T.LongType()),
+        T.StructField("values", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("old_values", T.MapType(T.StringType(), T.StringType())),
+    ])
+    full = [(a, c, 0, op, "db0", "t", pk, v, ov)
+            for a, c, op, pk, v, ov in rows]
+    return spark.createDataFrame(full, schema)
+
+
+def test_compact_wide_first_old_last_new(spark):
+    from tidb_binlog_spark.operators import compaction
+    ch = _wide_rows(spark, [
+        (1, 10, "U", 1, {"v": "b"}, {"v": "a"}),
+        (2, 20, "U", 1, {"v": "c"}, {"v": "b"}),
+        (3, 30, "U", 1, {"v": "d"}, {"v": "c"}),
+    ])
+    out = compaction.compact_wide(ch).collect()
+    row = {r["col"]: r for r in out}["v"]
+    # update+update+update -> update(first old image, last new image)
+    assert row["merged_op"] == "U"
+    assert row["final_val"] == "d"
+    assert row["first_old_val"] == "a"
+
+
+def test_compact_wide_insert_update_clears_old(spark):
+    from tidb_binlog_spark.operators import compaction
+    ch = _wide_rows(spark, [
+        (1, 10, "I", 1, {"v": "x"}, None),
+        (2, 20, "U", 1, {"v": "y"}, {"v": "x"}),
+    ])
+    row = compaction.compact_wide(ch).collect()[0]
+    # insert+update -> insert with the last new image, OldValues nil
+    assert row["merged_op"] == "I"
+    assert row["final_val"] == "y"
+    assert row["first_old_val"] is None
+
+
+def test_compact_wide_delete_resets_lineage(spark):
+    from tidb_binlog_spark.operators import compaction
+    ch = _wide_rows(spark, [
+        (1, 10, "U", 1, {"v": "b"}, {"v": "a"}),
+        (2, 20, "D", 1, {"v": "b"}, None),
+        (3, 30, "U", 1, {"v": "c"}, {"v": "z"}),
+    ])
+    row = compaction.compact_wide(ch).collect()[0]
+    # the old image comes from the first update AFTER the delete
+    assert row["merged_op"] == "U"
+    assert row["final_val"] == "c"
+    assert row["first_old_val"] == "z"
+
+
+def test_generate_sql_wide_uk_fallback_chain(spark):
+    from tidb_binlog_spark.sinks import sqlgen
+    info = sqlgen.TableInfo(
+        columns=("pk", "val"),
+        unique_keys=(("PRIMARY", ("pk",)), ("uk_val", ("val",))))
+    ch = _wide_rows(spark, [
+        # old pk present -> PRIMARY wins
+        (1, 10, "U", 1, {"pk": "1", "val": "n1"}, {"pk": "1", "val": "o1"}),
+        # old pk NULL -> fall to uk_val
+        (2, 20, "U", 2, {"pk": "2", "val": "n2"}, {"val": "o2"}),
+        # neither key usable -> all-columns NULL-safe fallback
+        (3, 30, "U", 3, {"pk": "3", "val": "n3"}, {}),
+    ])
+    got = {r["arrival_seq"]: r["sql_text"]
+           for r in sqlgen.generate_sql_wide(ch, info).collect()}
+    assert got[1].endswith("WHERE `pk` = '1' LIMIT 1")
+    assert got[2].endswith("WHERE `val` = 'o2' LIMIT 1")
+    assert got[3].endswith("WHERE `pk` IS NULL AND `val` IS NULL LIMIT 1")
+    assert all(r.startswith("UPDATE `db0`.`t` SET `pk` = ") for r in got.values())
+
+
+def test_generate_sql_wide_no_key_single_mode(spark):
+    from tidb_binlog_spark.sinks import sqlgen
+    info = sqlgen.TableInfo(columns=("pk", "val"))
+    ch = _wide_rows(spark, [
+        (1, 10, "D", 1, {"pk": "1", "val": "x"}, None),
+    ])
+    row = sqlgen.generate_sql_wide(ch, info).collect()[0]
+    # no unique key: single-exec routing + all-columns WHERE
+    assert row["exec_mode"] == "single"
+    assert row["sql_text"] == \
+        "DELETE FROM `db0`.`t` WHERE `pk` = '1' AND `val` = 'x' LIMIT 1"
+
+
+def test_generate_sql_wide_generated_columns_excluded(spark):
+    from tidb_binlog_spark.sinks import sqlgen
+    info = sqlgen.TableInfo(
+        columns=("pk", "val", "gen"),
+        unique_keys=(("PRIMARY", ("pk",)),),
+        generated=("gen",))
+    ch = _wide_rows(spark, [
+        (1, 10, "I", 1, {"pk": "1", "val": "x", "gen": "boom"}, None),
+    ])
+    row = sqlgen.generate_sql_wide(ch, info).collect()[0]
+    # generated columns never appear in writes (mysql.go:212-222)
+    assert row["sql_text"] == \
+        "INSERT INTO `db0`.`t`(`pk`, `val`) VALUES ('1', 'x')"

@@ -50,6 +50,13 @@ def merged_op(changes: DataFrame) -> DataFrame:
     This reproduces insert+update->insert, delete+insert->insert,
     update+update->update, update+delete->delete as one aggregation.
 
+    NOTE ``first_val`` is the first event's NEW image (a scalar
+    convenience for single-value streams); the reference's
+    update+update rule keeps the first update's OLD image for the
+    WHERE clause — that semantics lives in ``compact_wide`` (the
+    values/old_values map model), whose first_old_val is the one to
+    use for WHERE generation.
+
     The order key is a per-key row_number over the full
     (commit_ts, seq, arrival_seq) tuple — an arithmetic packing like
     commit_ts*K+seq would invert order once seq >= K (the reference
@@ -78,6 +85,73 @@ def merged_op(changes: DataFrame) -> DataFrame:
          .otherwise(F.lit("U")).alias("merged_op"),
         "final_val", "first_val", "n_ops",
     )
+
+
+def compact_wide(changes: DataFrame) -> DataFrame:
+    """Map-model compaction (pkg/loader/merge.go:84-118 over
+    DML.Values/OldValues, model.go:50-64):
+
+    - merged op per the merge rule table (same as ``merged_op``);
+    - final image = the LAST event's ``values`` map (insert+update ->
+      insert keeps the last new image; update+update keeps the last
+      new image; delete keeps the delete's row image);
+    - old image = the FIRST update's ``old_values`` map
+      (update+update -> ``dml.OldValues = oldDML.OldValues``), taken
+      from updates AFTER the last delete (a delete resets the row's
+      lineage), and only reported when the merged op is 'U'
+      (insert-update -> insert clears OldValues, merge.go:104-107).
+
+    Emitted EXPLODED per column — (db, tbl, pk, merged_op, col,
+    final_val, first_old_val, n_ops) — one row per (key, column):
+    engine-portable output (map rendering differs across engines) and
+    the shape a per-column statement builder consumes anyway.
+
+    Scale shape: one window + one aggregation keyed on the PK (same
+    shuffle as merged_op), then a per-(key, column) explode — no
+    per-row Python, no driver loops.
+    """
+    w = Window.partitionBy(*KEY).orderBy("commit_ts", "seq", "arrival_seq")
+    w_all = Window.partitionBy(*KEY)
+    orded = (changes
+             .select(*KEY, "op", "values", "old_values",
+                     "commit_ts", "seq", "arrival_seq")
+             .withColumn("ord", F.row_number().over(w).cast("long"))
+             .withColumn("last_d",
+                         F.max(F.when(F.col("op") == "D", F.col("ord")))
+                          .over(w_all)))
+    agg = (orded.groupBy(*KEY).agg(
+        F.max("ord").alias("last_ord"),
+        F.max(F.when(F.col("op") == "D", F.col("ord"))).alias("last_d_ord"),
+        F.max(F.when(F.col("op") == "I", F.col("ord"))).alias("last_i"),
+        F.max_by("values", "ord").alias("final_values"),
+        F.min_by(
+            "old_values",
+            F.when((F.col("op") == "U")
+                   & (F.col("last_d").isNull()
+                      | (F.col("ord") > F.col("last_d"))),
+                   F.col("ord"))).alias("first_old_values"),
+        F.count(F.lit(1)).alias("n_ops"),
+    ))
+    merged = agg.select(
+        *KEY,
+        F.when(F.col("last_d_ord") == F.col("last_ord"), F.lit("D"))
+         .when(F.col("last_i").isNotNull()
+               & (F.col("last_d_ord").isNull()
+                  | (F.col("last_i") > F.col("last_d_ord"))),
+               F.lit("I"))
+         .otherwise(F.lit("U")).alias("merged_op"),
+        "final_values", "first_old_values", "n_ops",
+    )
+    exploded = merged.select(
+        *KEY, "merged_op", "n_ops",
+        F.explode("final_values").alias("col", "final_val"),
+        "first_old_values")
+    return exploded.select(
+        *KEY, "merged_op", "col", "final_val",
+        F.when(F.col("merged_op") == "U",
+               F.try_element_at("first_old_values", F.col("col")))
+         .alias("first_old_val"),
+        "n_ops")
 
 
 def apply_snapshot(changes: DataFrame) -> DataFrame:

@@ -143,6 +143,114 @@ def generate_sql(changes: DataFrame,
     return changes.withColumn("sql_text", stmt)
 
 
+class TableInfo:
+    """Downstream table metadata for the statement builder — the
+    analog of pkg/loader's tableInfo (util.go:68-101): ordered column
+    list, unique keys ORDERED with PRIMARY first (util.go:97-101 swaps
+    it to the front), and generated columns (excluded from writes,
+    drainer/translator/mysql.go:212-222, load.go:748)."""
+
+    def __init__(self, columns: tuple[str, ...],
+                 unique_keys: tuple[tuple[str, tuple[str, ...]], ...] = (),
+                 generated: tuple[str, ...] = ()):
+        self.columns = tuple(columns)
+        self.unique_keys = tuple(unique_keys)
+        self.generated = tuple(generated)
+
+    @property
+    def writable(self) -> tuple[str, ...]:
+        return tuple(c for c in self.columns if c not in self.generated)
+
+
+def generate_sql_wide(changes: DataFrame, info: TableInfo,
+                      dialect: str = "mysql") -> DataFrame:
+    """Statement builder over the map row model (values/old_values
+    MAP<STRING,STRING>) with the reference's key-selection rule.
+
+    WHERE key choice (pkg/loader/model.go:303-330 whereSlice): walk
+    unique keys in order (PRIMARY first) and use the first whose
+    where-values are ALL non-null; otherwise fall back to every column
+    with NULL-safe `col IS NULL` fragments. For updates the where
+    values come from old_values, else from values (model.go:292-301
+    whereValues). Tables with no unique key are additionally flagged
+    exec_mode='single' — the reference routes them to the
+    single-statement path, never the bulk batch (load.go:591-628
+    groupDMLs).
+
+    The whole builder is nested CASE/concat Catalyst expressions —
+    per-row key selection happens executor-side with no Python.
+    """
+    def render(col_expr: Column) -> Column:
+        # map values are strings; render quoted + escaped per dialect
+        if dialect == "mysql":
+            return F.coalesce(_escape_str_lit(col_expr), F.lit("NULL"))
+        return F.coalesce(
+            F.concat(F.lit("'"),
+                     F.replace(col_expr, F.lit("'"), F.lit("''")),
+                     F.lit("'")),
+            F.lit("NULL"))
+
+    if dialect == "oracle":
+        tbl = F.concat(F.upper(F.col("db")), F.lit("."), F.upper(F.col("tbl")))
+        quote = str.upper
+        limit_sfx = F.lit(" AND rownum <= 1")
+    else:
+        tbl = _qualified()
+        quote = _q
+        limit_sfx = F.lit(" LIMIT 1")
+
+    def v(c: str) -> Column:
+        return F.try_element_at("values", F.lit(c))
+
+    def wv(c: str) -> Column:
+        # whereValues: OldValues for updates, Values otherwise
+        return F.when(F.col("op") == "U",
+                      F.try_element_at("old_values", F.lit(c))) \
+                .otherwise(F.try_element_at("values", F.lit(c)))
+
+    writable = info.writable
+    col_list = F.lit(", ".join(quote(c) for c in writable))
+    values_list = F.concat_ws(", ", *[render(v(c)) for c in writable])
+    set_clause = F.concat_ws(", ", *[
+        F.concat(F.lit(f"{quote(c)} = "), render(v(c))) for c in writable])
+
+    def key_where(cols: tuple[str, ...]) -> Column:
+        return F.concat_ws(" AND ", *[
+            F.concat(F.lit(f"{quote(c)} = "), render(wv(c))) for c in cols])
+
+    def all_cols_where() -> Column:
+        frags = []
+        for c in writable:
+            frags.append(
+                F.when(wv(c).isNull(), F.lit(f"{quote(c)} IS NULL"))
+                 .otherwise(F.concat(F.lit(f"{quote(c)} = "), render(wv(c)))))
+        return F.concat_ws(" AND ", *frags)
+
+    where: Column = all_cols_where()
+    for name, cols in reversed(info.unique_keys):
+        usable = None
+        for c in cols:
+            cond = wv(c).isNotNull()
+            usable = cond if usable is None else (usable & cond)
+        where = F.when(usable, key_where(cols)).otherwise(where)
+
+    insert = F.concat(F.lit("INSERT INTO "), tbl, F.lit("("), col_list,
+                      F.lit(") VALUES ("), values_list, F.lit(")"))
+    replace = F.concat(F.lit("REPLACE INTO "), tbl, F.lit("("), col_list,
+                       F.lit(") VALUES ("), values_list, F.lit(")"))
+    update = F.concat(F.lit("UPDATE "), tbl, F.lit(" SET "), set_clause,
+                      F.lit(" WHERE "), where, limit_sfx)
+    delete = F.concat(F.lit("DELETE FROM "), tbl, F.lit(" WHERE "), where,
+                      limit_sfx)
+    stmt = (F.when(F.col("op") == "I", insert)
+             .when(F.col("op") == "R", replace)
+             .when(F.col("op") == "U", update)
+             .when(F.col("op") == "D", delete))
+    mode = F.lit("batch" if info.unique_keys else "single")
+    return (changes.withColumn("sql_text", stmt)
+                   .withColumn("exec_mode", mode))
+
+
 def bulk_delete_replace(compacted: DataFrame,
                         value_cols: tuple[str, ...] = ("pk", "val"),
                         batch_size: int = 128) -> DataFrame:

@@ -26,6 +26,7 @@ Stream features built in (mirrors FIXTURES.md F1/F6):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..session import load_tables
 
@@ -72,6 +73,37 @@ def change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_tables(spark, sf_dir, "events")
     return spark.sql(CHANGES_SELECT)
+
+
+def wide_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change stream lifted to the reference's full row model:
+    ``values MAP<STRING,STRING>`` / ``old_values MAP<STRING,STRING>``
+    (pkg/loader/model.go:50-64 DML.Values/OldValues).
+
+    Image rules (deterministic so the DuckDB oracle can mirror them):
+    - every image carries the full column set (pk, val, k) — the
+      reference's mutations always hold complete row images
+      (translator/mysql.go:35-210);
+    - I: values = new image, old_values = NULL;
+    - U: values = new image, old_values = prior image (val-1,
+      'old_'-prefixed k) — merge.go stitches FIRST old/LAST new of
+      these whole maps;
+    - D: values = the row image to delete (model.go: delete DMLs carry
+      the old row in Values), old_values = NULL.
+    """
+    ch = change_stream(spark, sf_dir)
+    k = F.coalesce(F.get_json_object("row_json", "$.k"), F.lit("nk"))
+    pk_s = F.col("pk").cast("string")
+    val_s = F.col("val").cast("string")
+    image = F.create_map(
+        F.lit("pk"), pk_s, F.lit("val"), val_s, F.lit("k"), k)
+    old_image = F.create_map(
+        F.lit("pk"), pk_s,
+        F.lit("val"), (F.col("val") - 1).cast("string"),
+        F.lit("k"), F.concat(F.lit("old_"), k))
+    return (ch.withColumn("values", image)
+              .withColumn("old_values",
+                          F.when(F.col("op") == "U", old_image)))
 
 
 def read_change_log(spark: SparkSession, path: str) -> DataFrame:
