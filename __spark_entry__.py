@@ -467,9 +467,12 @@ def q_snapshot_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
                 .cast("double").alias("revenue"),
                 F.count(F.lit(1)).alias("n_orders")))
+    # scale-safe top-k: orderBy().limit() compiles to
+    # TakeOrderedAndProject (per-partition heap + driver merge of k
+    # rows), never a single-task global window.
+    top = rev.orderBy(F.desc("revenue"), F.asc("o_custkey")).limit(10)
     w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
-    return (rev.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 10)
+    return (top.withColumn("rank", F.row_number().over(w))
             .join(F.broadcast(t["customer"]),
                   F.col("o_custkey") == F.col("c_custkey"))
             .select("rank", "o_custkey", "c_name", "revenue", "n_orders"))

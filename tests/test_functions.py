@@ -36,7 +36,7 @@ def test_simhash_identical_and_pairs(spark):
     d = docs_df(spark, [base, base])
     sh = dedup.simhash(d).collect()
     assert sh[0]["simhash"] == sh[1]["simhash"]
-    assert len(sh[0]["simhash"]) == 32
+    assert len(sh[0]["simhash"]) == 64
     pairs = dedup.simhash_pairs(d).collect()
     assert len(pairs) == 1 and pairs[0]["hamming"] == 0
 

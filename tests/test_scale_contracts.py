@@ -134,3 +134,106 @@ def test_streaming_metrics_listener(spark, tmp_path):
     # summary event) — require the input rows to have been observed.
     assert collector.total_rows >= 2
     assert any(b["num_input_rows"] == 2 for b in collector.batches)
+
+
+def test_txn_batches_has_no_global_data_window(spark):
+    """The txn-batch prefix sum must be two-phase: the only
+    unpartitioned window may run over the tiny per-bucket aggregate,
+    never over the per-txn rows. Equality with the global prefix sum is
+    asserted on a stream spanning multiple ts buckets."""
+    from tidb_binlog_spark.operators import batching
+    rows = [(i, "s0", i * 7 + 1, "I", i % 5) for i in range(300)]
+    ch = make_changes(spark, rows)
+    small = batching.assign_txn_batches(ch, max_dmls=10, ts_bucket_width=64)
+    # oracle: single global window (fine on 300 rows)
+    from pyspark.sql import Window
+    txn = ch.groupBy("commit_ts").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("commit_ts").rowsBetween(Window.unboundedPreceding, 0)
+    glob = (txn.withColumn("cum", F.sum("n").over(w))
+            .withColumn("b", F.floor((F.col("cum") - F.col("n")) / 10)))
+    want = {r["commit_ts"]: r["b"] for r in glob.collect()}
+    got = {r["commit_ts"]: r["batch_no"] for r in small.collect()}
+    assert got == want
+    # plan contract: per-row windows are partitioned (_b); shape check
+    # on batch assignment having > 1 distinct bucket in phase 1
+    assert small.select("batch_no").distinct().count() == len(set(want.values()))
+
+
+def test_classify_disorder_bucketed_matches_single_window(spark):
+    """Two-phase per-source running max == the single-window result."""
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        src = f"s{i % 3}"
+        cts = i * 10 + (0 if i % 11 else -300)   # periodic disorder
+        if i % 13 == 0 and i > 0:
+            cts = (i - 13) * 10                  # periodic duplicates
+        rows.append((i, src, cts, rng.choice("IUD"), i % 7))
+    ch = make_changes(spark, rows)
+    from tidb_binlog_spark.operators import ordering as ordmod
+    bucketed = ordmod.classify_disorder(ch, arrival_bucket=32)
+    # oracle: the one-window form
+    from pyspark.sql import Window
+    w_arr = (Window.partitionBy("source_id").orderBy("arrival_seq")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_dup = Window.partitionBy("commit_ts").orderBy("arrival_seq", "source_id")
+    single = (ch.withColumn("prev", F.max("commit_ts").over(w_arr))
+              .withColumn("dr", F.row_number().over(w_dup))
+              .withColumn("order_status",
+                          F.when(F.col("dr") > 1, "duplicate")
+                           .when(F.col("prev").isNotNull()
+                                 & (F.col("commit_ts") <= F.col("prev")),
+                                 "disorder")
+                           .otherwise("ok")))
+    want = {r["arrival_seq"]: r["order_status"] for r in single.collect()}
+    got = {r["arrival_seq"]: r["order_status"] for r in bucketed.collect()}
+    assert got == want
+
+
+def test_disorder_plan_has_no_unpartitioned_window(spark):
+    """No Window in the classify_disorder plan may have an empty
+    partition spec over event rows (the per-source serial-stage
+    scale-killer)."""
+    from tidb_binlog_spark.operators import ordering as ordmod
+    ch = make_changes(spark, [(i, f"s{i % 3}", i * 10, "I", i % 5)
+                              for i in range(50)])
+    plan = _plan(ordmod.classify_disorder(ch))
+    import re
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        spec = m.group(1)
+        assert spec.strip(), f"unpartitioned window in plan: {m.group(0)}"
+
+
+def test_simhash_chunk_keyspace_is_16_bit(spark):
+    """The simhash candidate key must be 4 x 16-bit chunks over a
+    64-bit fingerprint — a 256-way key would go quadratic at corpus
+    scale."""
+    from tidb_binlog_spark.functions import dedup as dd
+    assert dd.SIMHASH_BITS == 64
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i}") for i in range(20)],
+        "doc_id long, text string")
+    sh = dd.simhash(docs).collect()
+    assert all(len(r["simhash"]) == 64 for r in sh)
+
+
+def test_lsh_bucket_cap_bounds_duplicated_corpus(spark):
+    """A 1000x-duplicated document must not produce a quadratic
+    candidate stage: with a bucket cap of C the pair count is bounded
+    by ~C^2/2 per band, not n^2/2."""
+    from tidb_binlog_spark.functions import dedup as dd
+    docs = spark.createDataFrame(
+        [(i, "the same exact document text repeated many many times over")
+         for i in range(1000)] + [(2000, "something entirely different here")],
+        "doc_id long, text string")
+    capped = dd.minhash_lsh_pairs(docs, max_bucket_size=16)
+    n = capped.count()
+    # uncapped would be 1000*999/2 = 499500 pairs; cap=16 bounds it
+    assert n <= 16 * 15 // 2
+    report = dd.bucket_cap_report(
+        dd.minhash_signatures(docs).selectExpr(
+            "doc_id", "md5(concat(sig[0], sig[1], sig[2])) AS bucket")
+        .withColumn("band", F.lit(0)),
+        ["band", "bucket"], 16)
+    assert report.count() >= 1   # the degenerate bucket is surfaced

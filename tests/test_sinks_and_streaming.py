@@ -164,3 +164,117 @@ def test_checkpoint_only_advances_on_replay(spark, tmp_path):
     # replaying an older batch must not regress the savepoint cursor
     t.apply_batch(b2)
     assert t.checkpoint()["commit_ts"] == 50
+
+
+# -- streaming multi-source merge (collector.go:150-259, merge.go:268-297) ---
+
+def _zone(spark, path, rows):
+    make_changes(spark, rows).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_multi_source_merge_gates_at_idle_source(spark, tmp_path):
+    """3 sources, one idle (heartbeats only): emission must stop at the
+    idle source's heartbeat ts; feeding it more heartbeats unblocks."""
+    s0, s1, s2 = (str(tmp_path / f"s{i}") for i in range(3))
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    _zone(spark, s0, [(1, "s0", 10, "I", 1), (2, "s0", 40, "I", 2)])
+    _zone(spark, s1, [(3, "s1", 20, "I", 3), (4, "s1", 50, "I", 4)])
+    # s2 idle: heartbeat at ts 30 only
+    _zone(spark, s2, [(5, "s2", 30, "FAKE", 99)])
+
+    r1 = pipeline.multi_source_merge_round(spark, [s0, s1, s2], t)
+    # watermark = min(40, 50, 30) = 30: only ts 10 and 20 applied
+    assert r1["watermark"] == 30
+    assert sorted(x["commit_ts"] for x in t.read().collect()) == [10, 20]
+    assert t.checkpoint()["commit_ts"] == 30   # heartbeat advanced it
+
+    # the idle source heartbeats forward -> the gate re-mins and opens
+    # up to the next-slowest source (s0's max, 40)
+    _zone(spark, s2, [(6, "s2", 60, "FAKE", 99)])
+    r2 = pipeline.multi_source_merge_round(spark, [s0, s1, s2], t)
+    assert r2["watermark"] == 40
+    assert sorted(x["commit_ts"] for x in t.read().collect()) == [10, 20, 40]
+    assert t.checkpoint()["commit_ts"] == 40
+
+    # s0 catches up past s1 -> the remaining gate is s1's max (50)
+    _zone(spark, s0, [(7, "s0", 70, "I", 7)])
+    r3 = pipeline.multi_source_merge_round(spark, [s0, s1, s2], t)
+    assert r3["watermark"] == 50
+    assert sorted(x["commit_ts"] for x in t.read().collect()) == [10, 20, 40, 50]
+    assert t.checkpoint()["commit_ts"] == 50
+
+
+def test_multi_source_merge_source_add_remove(spark, tmp_path):
+    """The source list is re-evaluated every round: removing a stalled pump
+    lifts its gate; adding one re-mins (pause-world -> re-min)."""
+    s0, s1, s2 = (str(tmp_path / f"s{i}") for i in range(3))
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    _zone(spark, s0, [(1, "s0", 10, "I", 1), (2, "s0", 100, "I", 2)])
+    _zone(spark, s1, [(3, "s1", 15, "I", 3)])   # stalls at 15
+
+    r1 = pipeline.multi_source_merge_round(spark, [s0, s1], t)
+    assert r1["watermark"] == 15
+    assert sorted(x["commit_ts"] for x in t.read().collect()) == [10, 15]
+
+    # s1 goes offline (drainer pauses merge, drops the source, resumes)
+    r2 = pipeline.multi_source_merge_round(spark, [s0], t)
+    assert r2["watermark"] == 100
+    assert sorted(x["commit_ts"] for x in t.read().collect()) == [10, 15, 100]
+
+    # a new pump joins with an older max -> gate re-mins below, nothing
+    # regresses, nothing below the checkpoint is re-applied
+    _zone(spark, s2, [(4, "s2", 60, "I", 5)])
+    r3 = pipeline.multi_source_merge_round(spark, [s0, s2], t)
+    assert r3["watermark"] == 60    # gate re-mins to the new source
+    assert r3["n_applied"] == 0     # nothing below the ck re-applies
+    assert t.checkpoint()["commit_ts"] == 100   # and the ck never regresses
+
+
+# -- auto safe-mode window (drainer/syncer.go:180-197) -----------------------
+
+def test_safe_mode_window_crash_restart_converges(spark, tmp_path):
+    """Crash before the streaming offsets commit -> restart re-reads the
+    same batch; inside the safe-mode window the rewrite makes the replay
+    converge to the identical downstream state."""
+    import shutil
+    from tidb_binlog_spark.sinks import jdbc as jdbc_sink
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    make_changes(spark, [(1, "s0", 10, "I", 1, 0, 2.0),
+                         (2, "s0", 20, "I", 2, 0, 3.0),
+                         (3, "s0", 30, "U", 1, 0, 9.0)]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    db_dir = str(tmp_path / "dbs")
+    ck = str(tmp_path / "ck")
+    setup = ("CREATE TABLE IF NOT EXISTS `t` (pk INTEGER PRIMARY KEY, val REAL)",)
+
+    q = pipeline.run_sql_apply_stream(spark, src, db_dir, ck, setup_sql=setup)
+    q.awaitTermination(120)
+    state1 = sorted((r["pk"], r["val"]) for r in jdbc_sink.read_applied(
+        spark, db_dir, "`t`", ["pk", "val"]).collect())
+    assert state1 == [(1, 9.0), (2, 3.0)]
+
+    # crash: the sink applied but the source offsets were lost
+    shutil.rmtree(ck)
+    q2 = pipeline.run_sql_apply_stream(spark, src, db_dir, str(tmp_path / "ck2"),
+                                       setup_sql=setup)
+    q2.awaitTermination(120)
+    state2 = sorted((r["pk"], r["val"]) for r in jdbc_sink.read_applied(
+        spark, db_dir, "`t`", ["pk", "val"]).collect())
+    assert state2 == state1   # byte-identical downstream state
+
+
+def test_safe_mode_window_expires(spark):
+    from tidb_binlog_spark.operators.safe_mode import SafeModeWindow
+    now = [0.0]
+    w = SafeModeWindow(duration_s=300.0, clock=lambda: now[0])
+    assert w.active()
+    now[0] = 299.9
+    assert w.active()
+    now[0] = 300.1
+    assert not w.active()
+    # configured safe-mode stays on past the window (syncer.go config)
+    w2 = SafeModeWindow(duration_s=0.0, configured=True,
+                        clock=lambda: now[0])
+    assert w2.active()

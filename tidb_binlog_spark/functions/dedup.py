@@ -17,11 +17,42 @@ for the signatures, so the DuckDB oracle matches bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..cache import managed_persist
 from .text import TOKENS
+
+
+def cap_buckets(exploded: DataFrame, bucket_cols: list[str],
+                max_bucket_size: int | None,
+                order_col: str = "doc_id") -> DataFrame:
+    """Degenerate-bucket guard for LSH self-joins: keep at most
+    ``max_bucket_size`` members per bucket (lowest ``order_col`` first,
+    deterministic), so a pathological bucket — e.g. a doc duplicated
+    10^6 times landing every copy in one band bucket — costs
+    O(cap^2) pairs instead of O(n^2) and cannot produce a straggler
+    task. Members beyond the cap lose only their *candidate pairs
+    within that bucket*; they keep colliding in their other
+    bands/chunks. Use ``bucket_cap_report`` to surface what a given
+    cap would drop."""
+    if max_bucket_size is None:
+        return exploded
+    w = Window.partitionBy(*bucket_cols).orderBy(order_col)
+    return (exploded.withColumn("_br", F.row_number().over(w))
+            .filter(F.col("_br") <= max_bucket_size).drop("_br"))
+
+
+def bucket_cap_report(exploded: DataFrame, bucket_cols: list[str],
+                      max_bucket_size: int) -> DataFrame:
+    """Buckets exceeding the cap + how many members would be dropped —
+    the monitoring side of cap_buckets (no silent truncation: run this
+    alongside and log/alert on its rows)."""
+    return (exploded.groupBy(*bucket_cols)
+            .agg(F.count(F.lit(1)).alias("bucket_size"))
+            .filter(F.col("bucket_size") > max_bucket_size)
+            .withColumn("n_dropped",
+                        F.col("bucket_size") - max_bucket_size))
 
 # word 3-gram shingles over whitespace tokens (fallback: whole text)
 SHINGLES = (
@@ -74,52 +105,76 @@ def minhash_signatures(docs: DataFrame, k: int = 12) -> DataFrame:
             .select("doc_id", "sig"))
 
 
-def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4) -> DataFrame:
+def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4,
+                      max_bucket_size: int | None = 4096) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH + exact-signature
     similarity estimate (fraction of agreeing minhashes).
 
     rows-per-band r = k/bands; collision threshold ~ (1/bands)^(1/r).
+    Per-(band, bucket) membership is capped (see cap_buckets) so a
+    massively duplicated doc cannot produce a quadratic bucket.
     """
     r = k // bands
-    sigs = minhash_signatures(docs, k)
+    # materialize signatures once: the band explode and both sides of
+    # the candidate join reuse them (at 100 TB you persist signatures
+    # to a table instead).
+    sigs = managed_persist(minhash_signatures(docs, k))
     band_exprs = []
     for b in range(bands):
         parts = ", ".join(f"sig[{b * r + j}]" for j in range(r))
         band_exprs.append(f"named_struct('band', {b}, 'key', md5(concat({parts})))")
+    # the bucket stream stays NARROW (doc_id, band, bucket): the cap
+    # window and the self-join shuffle 3 small columns, never the
+    # signature arrays — those rejoin per PAIR afterwards (pairs are
+    # orders of magnitude fewer than bucket memberships).
     exploded = (sigs
                 .withColumn("band", F.explode(F.expr(f"array({', '.join(band_exprs)})")))
-                .select("doc_id", "sig",
+                .select("doc_id",
                         F.col("band.band").alias("band"),
                         F.col("band.key").alias("bucket")))
-    # materialize once: both sides of the self-join would otherwise
-    # recompute the whole tokenize->shingle->signature pipeline (2x
-    # scan cost; at 100 TB you persist signatures to a table instead).
-    exploded = managed_persist(exploded)
+    exploded = managed_persist(
+        cap_buckets(exploded, ["band", "bucket"], max_bucket_size))
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.bucket") == F.col("b.bucket"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
              .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"),
-                     F.col("a.sig").alias("sig_a"),
-                     F.col("b.sig").alias("sig_b"))
+                     F.col("b.doc_id").alias("doc_b"))
              .dropDuplicates(["doc_a", "doc_b"]))
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    pairs = pairs.join(sa, "doc_a").join(sb, "doc_b")
     est = (f"CAST(size(filter(sequence(0, {k - 1}), j -> sig_a[j] = sig_b[j])) AS DOUBLE)"
            f" / CAST({k} AS DOUBLE)")
     return pairs.select("doc_a", "doc_b", F.expr(est).alias("est_jaccard"))
 
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
+
+
+def _md5_bit(h: str, p: int):
+    """Bit p (1..64) of a 64-bit fingerprint packed two-bits-per-hex-
+    digit into one md5: bits 1..32 are each digit's TOP bit (>= '8'),
+    bits 33..64 each digit's SECOND bit (digit & 4). One digest yields
+    all 64 bits — digest cost identical to a 32-bit simhash."""
+    if p <= SIMHASH_BITS // 2:
+        return F.substring(h, p, 1) >= "8"
+    return F.substring(h, p - SIMHASH_BITS // 2, 1).isin(*"4567cdef")
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """32-bit SimHash over word unigrams: bit p is the sign of the sum
-    of +-1 votes, where token t votes by bit p of md5(t) (hex digit p's
-    top bit). Emitted as a '0'/'1' string so engines agree exactly.
+    """64-bit SimHash over word unigrams: bit p is the sign of the sum
+    of +-1 votes, where token t votes by bit p of its md5 fingerprint
+    (two bits per hex digit — see _md5_bit). Emitted as a '0'/'1'
+    string so engines agree exactly.
+
+    64 bits (not 32) so the banded candidate keys in simhash_pairs have
+    a 16-bit (65536-way) keyspace per chunk — at corpus scale a 256-way
+    key would collapse into O(n^2/256) candidate pairs.
 
     Shape: explode tokens -> hash each DISTINCT token once -> join the
-    per-token vote vector back -> one map-side-combinable aggregation.
+    per-token digest back -> one map-side-combinable aggregation.
     Digest cost scales with vocabulary size; the per-bit sums are
     commutative integer adds, so the result is engine-exact."""
     from .text import with_tokens
@@ -127,8 +182,7 @@ def simhash(docs: DataFrame) -> DataFrame:
     vocab = ex.select("t").distinct().withColumn("h", F.md5("t"))
     joined = ex.join(vocab, "t")
     sums = joined.groupBy("doc_id").agg(*[
-        F.sum(F.when(F.substring("h", p, 1) >= "8", 1).otherwise(-1))
-         .alias(f"_s{p}")
+        F.sum(F.when(_md5_bit("h", p), 1).otherwise(-1)).alias(f"_s{p}")
         for p in range(1, SIMHASH_BITS + 1)])
     bits = F.concat(*[
         F.when(F.col(f"_s{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
@@ -136,20 +190,26 @@ def simhash(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", bits.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Near-dup candidates: docs sharing any of the four 8-bit simhash
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
+                  max_bucket_size: int | None = 4096) -> DataFrame:
+    """Near-dup candidates: docs sharing any of the four 16-bit simhash
     chunks (pigeonhole guarantee for hamming <= 3; wider distances are
-    still *candidates*), filtered to hamming <= max_hamming."""
+    still *candidates*), filtered to hamming <= max_hamming.
+
+    Scale shape: the join key is (chunk, 16-bit pattern) — a 4 x 65536
+    keyspace, so bucket sizes shrink with corpus diversity instead of
+    saturating at 256 buckets the way 8-bit chunks would."""
     sh = simhash(docs)
     chunks = sh.select(
         "doc_id", "simhash",
         F.explode(F.expr(
             "transform(sequence(0, 3), c -> "
-            "named_struct('chunk', c, 'key', substring(simhash, c * 8 + 1, 8)))"
+            "named_struct('chunk', c, 'key', substring(simhash, c * 16 + 1, 16)))"
         )).alias("ck"))
     chunks = chunks.select("doc_id", "simhash",
                            F.col("ck.chunk").alias("chunk"),
                            F.col("ck.key").alias("key"))
+    chunks = cap_buckets(chunks, ["chunk", "key"], max_bucket_size)
     chunks = managed_persist(chunks)
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
@@ -168,18 +228,20 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact word-3-gram Jaccard over candidate pairs that share their
-    global MinHash minimum (single-permutation candidate generation) —
-    the cheap exact-verification pattern layered over LSH candidates."""
-    sh = with_shingles(docs).withColumn(
-        "min_shingle_hash", F.expr("array_min(transform(shingles, s -> md5(s)))")
-    )
-    sh = managed_persist(sh)
+    """Exact word-3-gram Jaccard verification over the banded-LSH
+    candidate pairs — the exact-verifier layered on minhash_lsh_pairs.
+
+    Candidates come from the banded LSH join (bounded bucket sizes),
+    NOT from a single global-minhash bucket: near-duplicate-heavy
+    corpora share one global min shingle and would collapse into a
+    single quadratic bucket with one straggler task."""
+    cand = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    sh = managed_persist(with_shingles(docs).select("doc_id", "shingles"))
     a, b = sh.alias("a"), sh.alias("b")
-    pairs = (a.join(b, (F.col("a.min_shingle_hash") == F.col("b.min_shingle_hash"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"),
+    pairs = (cand
+             .join(a, F.col("doc_a") == F.col("a.doc_id"))
+             .join(b, F.col("doc_b") == F.col("b.doc_id"))
+             .select("doc_a", "doc_b",
                      F.col("a.shingles").alias("sh_a"),
                      F.col("b.shingles").alias("sh_b")))
     inter = "size(array_intersect(sh_a, sh_b))"

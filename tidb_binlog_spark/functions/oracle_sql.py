@@ -106,26 +106,33 @@ r AS (
 SELECT txn_id AS doc_id, MIN(label) AS cluster_id FROM r GROUP BY txn_id
 """
 
+# 64-bit simhash packed two-bits-per-hex-digit into ONE md5: bit p
+# (1..32) = digit p's top bit (>= '8'); bit p (33..64) = digit
+# (p-32)'s second bit (digit & 4, i.e. in 4567cdef)
 _SIMHASH = (
-    "array_to_string(list_transform(generate_series(1, 32), p -> "
+    "array_to_string(list_transform(generate_series(1, 64), p -> "
     "CASE WHEN list_sum(list_transform(tok_hashes, h -> "
-    "CASE WHEN substring(h, p, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+    "CASE WHEN (CASE WHEN p <= 32 THEN substring(h, p, 1) >= '8' "
+    "ELSE list_contains(['4','5','6','7','c','d','e','f'], "
+    "substring(h, p - 32, 1)) END) THEN 1 ELSE -1 END)) > 0 "
     "THEN '1' ELSE '0' END), '')"
 )
 
+_TOK_HASHES = "list_transform(toks, t -> md5(t))"
+
 DEDUP_SIMHASH = f"""
 WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
-th AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS tok_hashes FROM toks)
+th AS (SELECT doc_id, {_TOK_HASHES} AS tok_hashes FROM toks)
 SELECT doc_id, {_SIMHASH} AS simhash FROM th
 """
 
 DEDUP_SIMHASH_PAIRS = f"""
 WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
-th AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS tok_hashes FROM toks),
+th AS (SELECT doc_id, {_TOK_HASHES} AS tok_hashes FROM toks),
 sh AS (SELECT doc_id, {_SIMHASH} AS simhash FROM th),
 chunks AS (
   SELECT doc_id, simhash, c.chunk,
-         substring(simhash, c.chunk * 8 + 1, 8) AS key
+         substring(simhash, c.chunk * 16 + 1, 16) AS key
   FROM sh, (SELECT unnest(generate_series(0, 3)) AS chunk) c),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -133,31 +140,29 @@ pairs AS (
   FROM chunks a JOIN chunks b
     ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b,
-  len(list_filter(generate_series(1, 32),
+  len(list_filter(generate_series(1, 64),
       p -> substring(sh_a, p, 1) <> substring(sh_b, p, 1))) AS hamming
 FROM pairs
-WHERE len(list_filter(generate_series(1, 32),
+WHERE len(list_filter(generate_series(1, 64),
       p -> substring(sh_a, p, 1) <> substring(sh_b, p, 1))) <= 6
 """
 
+# exact Jaccard verification over the banded-LSH candidates (same
+# candidate generation as DEDUP_MINHASH_LSH)
 DEDUP_NGRAM_JACCARD = f"""
-WITH toks AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
-sh AS (SELECT doc_id, {SHINGLES} AS shingles FROM toks),
-mh AS (SELECT doc_id, shingles,
-              list_min(list_transform(shingles, s -> md5(s))) AS min_shingle_hash
-       FROM sh),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.shingles AS sh_a, b.shingles AS sh_b
-  FROM mh a JOIN mh b
-    ON a.min_shingle_hash = b.min_shingle_hash AND a.doc_id < b.doc_id),
+WITH {MINHASH_PAIRS_CTES},
+j AS (
+  SELECT p.doc_a, p.doc_b, a.shingles AS sh_a, b.shingles AS sh_b
+  FROM pairs p
+  JOIN sh a ON p.doc_a = a.doc_id
+  JOIN sh b ON p.doc_b = b.doc_id),
 scored AS (
   SELECT doc_a, doc_b,
     CAST(len(list_filter(list_distinct(sh_a), x -> list_contains(sh_b, x))) AS DOUBLE)
       / CAST(len(list_distinct(sh_a)) + len(list_distinct(sh_b))
              - len(list_filter(list_distinct(sh_a), x -> list_contains(sh_b, x))) AS DOUBLE)
       AS jaccard
-  FROM pairs)
+  FROM j)
 SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
 """
 

@@ -170,10 +170,16 @@ def ivf_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
 
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.3,
-                        dims: int = 64) -> DataFrame:
+                        dims: int = 64,
+                        max_bucket_size: int | None = 4096) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: same-LSH-bucket candidate
-    join, exact cosine >= threshold."""
-    b = managed_persist(with_norm(lsh_buckets(embeddings, dims), "embedding", "n"))
+    join, exact cosine >= threshold. Bucket membership is capped so a
+    degenerate bucket (identical vectors repeated en masse) cannot go
+    quadratic (see dedup.cap_buckets)."""
+    from .dedup import cap_buckets
+    b = with_norm(lsh_buckets(embeddings, dims), "embedding", "n")
+    b = managed_persist(cap_buckets(b, ["bucket"], max_bucket_size,
+                                    order_col="vec_id"))
     x, y = b.alias("x"), b.alias("y")
     pairs = (x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
                     & (F.col("x.vec_id") < F.col("y.vec_id")))

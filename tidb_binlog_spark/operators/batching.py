@@ -18,21 +18,43 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def assign_txn_batches(changes: DataFrame, max_dmls: int = 60) -> DataFrame:
+def assign_txn_batches(changes: DataFrame, max_dmls: int = 60,
+                       ts_bucket_width: int = 1 << 16) -> DataFrame:
     """Group whole transactions into apply batches of <= max_dmls DMLs
     (a txn never splits across batches; an oversized txn gets its own).
 
-    Running-total-over-order is a prefix sum — one window over the
-    commit_ts order. Batch boundaries are deterministic, so replays
-    re-create identical batches.
+    Running-total-over-order is a prefix sum, computed in TWO phases so
+    no single task ever sees the whole stream (a global
+    Window.orderBy would):
+      1. per commit_ts-range bucket: within-bucket prefix sums (window
+         partitioned BY bucket — parallel across buckets);
+      2. per-bucket totals (one tiny row per bucket) get a running
+         offset, broadcast back onto phase 1.
+    The composition equals the global prefix sum exactly, so batch
+    boundaries are deterministic and replays re-create identical
+    batches. The only ordered pass runs over n_buckets rows
+    (= ts_range / ts_bucket_width), not n_txns.
     """
-    txn_sizes = (changes.groupBy("commit_ts")
-                 .agg(F.count(F.lit(1)).alias("n_dmls")))
-    w = Window.orderBy("commit_ts").rowsBetween(Window.unboundedPreceding, 0)
+    from ..cache import managed_persist
+    # persist the per-txn sizes once: phase 1 and the bucket totals both
+    # read them (otherwise the source aggregation runs twice)
+    txn_sizes = managed_persist(
+        changes.groupBy("commit_ts")
+        .agg(F.count(F.lit(1)).alias("n_dmls"))
+        .withColumn("_b", F.floor(F.col("commit_ts") / ts_bucket_width)))
+    w_in = (Window.partitionBy("_b").orderBy("commit_ts")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    within = txn_sizes.withColumn("cum_in", F.sum("n_dmls").over(w_in))
+    bucket_tot = within.groupBy("_b").agg(F.sum("n_dmls").alias("tot"))
+    w_carry = (Window.orderBy("_b")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = bucket_tot.withColumn(
+        "offset", F.coalesce(F.sum("tot").over(w_carry), F.lit(0)))
     # batch = floor((cumsum - n_dmls) / max_dmls): a txn starts a new
     # batch when the *preceding* total crosses the cap.
-    sized = (txn_sizes
-             .withColumn("cum", F.sum("n_dmls").over(w))
+    sized = (within
+             .join(F.broadcast(offsets.select("_b", "offset")), "_b")
+             .withColumn("cum", F.col("offset") + F.col("cum_in"))
              .withColumn("batch_no",
                          F.floor((F.col("cum") - F.col("n_dmls")) / max_dmls)
                           .cast("long")))

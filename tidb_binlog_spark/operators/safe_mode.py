@@ -20,6 +20,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class SafeModeWindow:
+    """Auto safe-mode window after (re)start — drainer/syncer.go:180-197
+    forces safe mode ON for the first 5 minutes after the drainer
+    starts (covering re-application of possibly-already-applied events
+    after a crash), then reverts to the configured flag
+    (arbiter/server.go:34 does the same for the Kafka applier).
+
+    ``active()`` is evaluated per micro-batch by the apply stream; the
+    clock is injectable so tests can step time deterministically.
+    """
+
+    def __init__(self, duration_s: float = 300.0, configured: bool = False,
+                 clock=None):
+        import time as _time
+        self._clock = clock if clock is not None else _time.monotonic
+        self.duration_s = duration_s
+        self.configured = configured
+        self._start = self._clock()
+
+    def active(self) -> bool:
+        return self.configured or \
+            (self._clock() - self._start) < self.duration_s
+
+
 def split_pk_change(changes: DataFrame,
                     old_pk_col: str = "old_pk") -> DataFrame:
     """Split U rows whose PK changed into D(old_pk) + I(new pk).

@@ -55,6 +55,15 @@ class SnapshotTable:
             json.dump({"version": version, "commit_ts": commit_ts}, f)
         os.replace(tmp, self._ckpt_path())  # atomic on POSIX
 
+    def advance_checkpoint(self, commit_ts: int) -> None:
+        """Heartbeat-only progress: move the savepoint cursor forward
+        without writing data (fake-binlog semantics,
+        drainer/syncer.go:199-272 — the checkpoint advances over idle
+        periods once everything below is applied). Never regresses."""
+        ck = self.checkpoint()
+        if int(commit_ts) > int(ck["commit_ts"]):
+            self._save_checkpoint(ck["version"], int(commit_ts))
+
     # -- read/apply ---------------------------------------------------------
     def _read_full(self) -> DataFrame | None:
         """Stored state including delete tombstones (op='D' rows)."""
@@ -78,10 +87,6 @@ class SnapshotTable:
         Re-applying the same batch is a no-op — idempotent by
         construction, so checkpoint replay is safe."""
         ck = self.checkpoint()
-        batch = batch.persist()   # two actions below: max-ts + merge write
-        max_ts_row = batch.agg(F.max("commit_ts").alias("m")).collect()[0]
-        batch_max = max_ts_row["m"] if max_ts_row["m"] is not None else ck["commit_ts"]
-
         current = self._read_full()
         if current is not None:
             unioned = current.unionByName(batch, allowMissingColumns=True)
@@ -96,11 +101,18 @@ class SnapshotTable:
         new_version = ck["version"] + 1
         out = os.path.join(self.root, f"v{new_version}")
         merged.write.mode("overwrite").parquet(out)
-        batch.unpersist()
-        # the savepoint only ever advances (drainer/checkpoint semantics:
-        # replaying an old batch must not regress the commit_ts cursor)
-        batch_max = max(int(batch_max), int(ck["commit_ts"]))
-        self._save_checkpoint(new_version, int(batch_max))
+        # the savepoint ts comes from the WRITTEN snapshot (one pass
+        # over the batch lineage — a separate max-ts action would scan
+        # the streaming source twice and double-count input metrics).
+        # Tombstones retain their commit_ts, so the stored max equals
+        # max(prior checkpoint, batch max): the savepoint only ever
+        # advances (drainer/checkpoint semantics — replaying an old
+        # batch must not regress the cursor).
+        m = (self.spark.read.parquet(out)
+             .agg(F.max("commit_ts").alias("m")).collect()[0]["m"])
+        batch_max = int(m) if m is not None else int(ck["commit_ts"])
+        batch_max = max(batch_max, int(ck["commit_ts"]))
+        self._save_checkpoint(new_version, batch_max)
         # retain only the previous version for readers mid-swap
         for v in range(1, new_version - 1):
             old = os.path.join(self.root, f"v{v}")

@@ -69,11 +69,16 @@ def run_apply_stream(spark: SparkSession, source_dir: str, table_root: str,
     table = SnapshotTable(spark, table_root)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # persist the micro-batch: the order gate's carry aggregate and
+        # the main path both read it (single source scan + exact input
+        # metrics)
+        batch_df = batch_df.persist()
         ok = ordering.ordered_stream(batch_df)
         compacted = compaction.compact_last_image(ok)
         # D rows must reach the sink (they delete); SnapshotTable
         # resolves cross-batch order by commit_ts.
         table.apply_batch(compacted)
+        batch_df.unpersist()
 
     stream = read_change_stream(spark, source_dir)
     writer = (stream.writeStream
@@ -82,6 +87,96 @@ def run_apply_stream(spark: SparkSession, source_dir: str, table_root: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
+                         checkpoint_dir: str,
+                         safe_window=None,
+                         num_workers: int = 2,
+                         setup_sql: tuple[str, ...] = (),
+                         available_now: bool = True):
+    """The executed-SQL replication path (loader -> MySQL analog,
+    SQLite-backed locally) with the reference's auto safe-mode window:
+    batches applied while ``safe_window.active()`` are rewritten
+    I -> REPLACE / U -> DELETE+REPLACE so re-application after a crash
+    converges (drainer/syncer.go:180-197 + executor.go:407-443); after
+    the window, statements apply verbatim.
+    """
+    from ..operators import safe_mode as sm
+    from ..sinks import jdbc, sqlgen
+
+    window = safe_window if safe_window is not None else sm.SafeModeWindow()
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # persist: the safe-mode rewrite is a 4-way union over the gated
+        # stream — without caching, each branch re-scans the source
+        batch_df = batch_df.persist()
+        ok = ordering.ordered_stream(batch_df)
+        if window.active():
+            prepared = sm.safe_mode_rewrite(ok)
+        else:
+            prepared = ok.withColumn("sub_seq", F.lit(0))
+        stmts = (sqlgen.generate_sql(prepared, dialect="sqlite")
+                 .withColumn("worker_id", F.pmod(F.col("pk"),
+                                                 F.lit(num_workers))))
+        jdbc.apply_statements(stmts, db_dir, num_workers,
+                              setup_sql=setup_sql)
+        batch_df.unpersist()
+
+    stream = read_change_stream(spark, source_dir)
+    writer = (stream.writeStream
+              .foreachBatch(apply_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def multi_source_merge_round(spark: SparkSession, source_dirs: list[str],
+                             table: SnapshotTable) -> dict:
+    """One merge round over N pump landing zones with the drainer's
+    min-watermark gate (drainer/merge.go:268-297, collector.go:150-259):
+
+    - every CURRENT source contributes its max commit_ts (fake/FAKE
+      heartbeat rows count — an idle source advances the merge,
+      pump/server.go:467-526); the gate is the min over sources;
+    - only events with checkpoint < commit_ts <= watermark are applied,
+      in order, dedup/disorder-audited; later events stay parked in
+      their landing zone for a later round (no copy — the cursor just
+      does not pass them);
+    - the checkpoint then advances to the watermark (everything at or
+      below it is applied — heartbeat-only rounds still make progress).
+
+    The source LIST is an argument, re-evaluated every round — adding
+    or removing a pump between rounds is the reference's pause-world ->
+    re-min reconfiguration (merge.go:153-335). Returns round stats.
+    """
+    from functools import reduce
+
+    frames = [spark.read.parquet(d) for d in source_dirs]
+    allf = reduce(lambda a, b: a.unionByName(b), frames)
+    ck = table.checkpoint()["commit_ts"]
+
+    # per-source cursors over the full zone (max is monotone, so
+    # already-applied rows cannot lower it); min over CURRENT sources.
+    wm_row = (allf.groupBy("source_id")
+              .agg(F.max("commit_ts").alias("source_max"))
+              .agg(F.min("source_max").alias("wm")).collect()[0])
+    watermark = wm_row["wm"] if wm_row["wm"] is not None else ck
+
+    fresh = allf.filter((F.col("commit_ts") > ck)
+                        & (F.col("commit_ts") <= watermark))
+    appliable = ordering.ordered_stream(fresh).filter(F.col("op") != "FAKE")
+    compacted = compaction.compact_last_image(appliable).persist()
+    n_applied = compacted.count()   # materializes once; apply reads cache
+    if n_applied:
+        table.apply_batch(compacted)
+    compacted.unpersist()
+    if watermark > ck:
+        table.advance_checkpoint(watermark)
+    return {"watermark": int(watermark), "n_applied": int(n_applied),
+            "n_sources": len(source_dirs),
+            "checkpoint": table.checkpoint()["commit_ts"]}
 
 
 def run_windowed_counts(spark: SparkSession, source_dir: str,
