@@ -61,10 +61,24 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            key = (id(spark), path)
+            df = _TABLE_MEMO.get(key)
+            if df is None:
+                # re-reading the same immutable fixture parquet re-does
+                # schema inference per query; the plan (not data) is
+                # memoized per (session, path).
+                df = spark.read.parquet(path)
+                _TABLE_MEMO[key] = df
+            # always (re-)register: a different sf_dir may have claimed
+            # the view name since the plan was first memoized.
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+# (session id, parquet path) -> DataFrame plan. Never holds data; safe
+# because fixture tables are immutable within a run.
+_TABLE_MEMO: dict = {}
 
 
 def ts_nanos_to_timestamp(col):

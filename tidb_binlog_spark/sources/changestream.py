@@ -70,9 +70,21 @@ def change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One row per row-mutation: (arrival_seq, source_id, commit_ts,
     start_ts, op, db, tbl, pk, seq, schema_version, val, row_json).
+
+    The analyzed plan is memoized per (session, sf_dir): every CDC
+    query starts from this derivation, and re-parsing/analyzing it per
+    query is pure overhead (the plan is immutable; no data is cached).
     """
-    load_tables(spark, sf_dir, "events")
-    return spark.sql(CHANGES_SELECT)
+    key = (id(spark), sf_dir)
+    df = _STREAM_MEMO.get(key)
+    if df is None:
+        load_tables(spark, sf_dir, "events")
+        df = spark.sql(CHANGES_SELECT)
+        _STREAM_MEMO[key] = df
+    return df
+
+
+_STREAM_MEMO: dict = {}
 
 
 def wide_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
