@@ -288,19 +288,44 @@ def q_cdc_event_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdc_type_format(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sink-side type formatting (translator/mysql.go formatData):
-    temporal -> string through the sink TZ, decimal stringified, json
-    extracted, double -> integer via explicit floor."""
+    """Sink-side type formatting (translator/mysql.go:252-294
+    formatData, kafka.go:227-294 DatumToColumn): temporal -> string
+    through the sink TZ, decimal stringified, json extracted, double ->
+    integer via explicit floor, unsigned bigint re-interpreted from its
+    signed storage (DECIMAL(20,0)), BIT payload -> integer, enum/set
+    numeric <-> name round trips (functions/typemap.py)."""
+    from tidb_binlog_spark.functions import typemap
     load_tables(spark, sf_dir, "events")
-    return spark.table("events").selectExpr(
+    ev = spark.table("events").selectExpr(
+        "*",
+        # signed storage of an unsigned bigint: odd event_ids carry a
+        # top-bit-set (negative int64) payload — fixType territory.
+        "CASE WHEN event_id % 2 = 1 THEN -1 - event_id * 1000 "
+        "ELSE event_id * 1000 END AS ubig_signed",
+        # BIT(16) payload as a 2-byte binary column
+        "unhex(lpad(hex(user_id % 65536), 4, '0')) AS bit_bin",
+        "array('red','green','blue') AS enum_elems",
+        "CAST(event_id % 4 AS INT) AS enum_idx",
+        "CAST(user_id % 8 AS BIGINT) AS set_mask")
+    ev = (ev.withColumn("enum_name",
+                        typemap.enum_name("enum_elems", "enum_idx"))
+            .withColumn("set_names_col",
+                        typemap.set_names("enum_elems", "set_mask")))
+    return ev.select(
         "event_id",
-        "CAST(timestamp_micros(ts div 1000) AS STRING) AS ts_str",
-        "CAST(CAST(value AS DECIMAL(20,4)) AS STRING) AS value_decimal_str",
-        "get_json_object(props, '$.k') AS json_k",
-        "CAST(floor(value) AS BIGINT) AS value_floor_int",
-        """CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
-           WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END
-           AS event_type_enum""")
+        F.expr("CAST(timestamp_micros(ts div 1000) AS STRING)").alias("ts_str"),
+        F.expr("CAST(CAST(value AS DECIMAL(20,4)) AS STRING)").alias("value_decimal_str"),
+        F.expr("get_json_object(props, '$.k')").alias("json_k"),
+        F.expr("CAST(floor(value) AS BIGINT)").alias("value_floor_int"),
+        F.expr("""CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+           WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END""")
+        .alias("event_type_enum"),
+        typemap.unsigned_bigint("ubig_signed").cast("string").alias("ubig_str"),
+        typemap.bit_to_decimal("bit_bin").cast("string").alias("bit_int_str"),
+        "enum_name",
+        typemap.enum_value("enum_elems", "enum_name").alias("enum_back"),
+        F.col("set_names_col").alias("set_names"),
+        typemap.set_value("enum_elems", "set_names_col").alias("set_back"))
 
 
 def q_cdc_update_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1038,6 +1063,14 @@ def oracle_sql() -> dict[str, str]:
             FROM changes GROUP BY db, op
         """,
         "cdc_type_format": """
+            WITH ev AS (
+              SELECT *,
+                CASE WHEN event_id % 2 = 1 THEN -1 - event_id * 1000
+                     ELSE event_id * 1000 END AS ubig_signed,
+                ['red','green','blue'] AS enum_elems,
+                CAST(event_id % 4 AS INT) AS enum_idx,
+                CAST(user_id % 8 AS BIGINT) AS set_mask
+              FROM events)
             SELECT event_id,
               CAST(ts AS STRING) AS ts_str,
               CAST(CAST(value AS DECIMAL(20,4)) AS STRING) AS value_decimal_str,
@@ -1045,8 +1078,24 @@ def oracle_sql() -> dict[str, str]:
               CAST(floor(value) AS BIGINT) AS value_floor_int,
               CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
                 WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END
-                AS event_type_enum
-            FROM events
+                AS event_type_enum,
+              CAST(CAST(ubig_signed AS DECIMAL(20,0))
+                   + CASE WHEN ubig_signed < 0
+                          THEN CAST('18446744073709551616' AS DECIMAL(20,0))
+                          ELSE 0 END AS STRING) AS ubig_str,
+              CAST(user_id % 65536 AS STRING) AS bit_int_str,
+              CASE WHEN enum_idx = 0 THEN ''
+                   ELSE enum_elems[enum_idx] END AS enum_name,
+              CASE WHEN enum_idx = 0 THEN 0
+                   ELSE CAST(enum_idx AS BIGINT) END AS enum_back,
+              COALESCE(array_to_string(
+                list_filter(
+                  list_transform(generate_series(1, 3),
+                    i -> CASE WHEN (set_mask >> (i - 1)) & 1 = 1
+                              THEN enum_elems[i] END),
+                  x -> x IS NOT NULL), ','), '') AS set_names,
+              set_mask AS set_back
+            FROM ev
         """,
         "cdc_update_images": f"""
             {CHANGES_CTE},

@@ -140,3 +140,32 @@ def test_multimodal_decode_and_frames(spark):
     assert meta["fake_width"] == 1200 % 640 + 1
     frames = multimodal.frame_sample_stub(d, every_n_bytes=500).collect()
     assert sorted(f["frame_offset"] for f in frames) == [0, 500, 1000]
+
+
+def test_typemap_surface(spark):
+    from tidb_binlog_spark.functions import typemap
+    df = spark.createDataFrame(
+        [(-1, 5, bytes([0xFF, 0xFF])),      # uint64 max; set {a,c}; bit 65535
+         (0, 0, bytes([0x00, 0x00])),        # zero everywhere
+         (-9223372036854775808, 7, bytes([0x01, 0x00]))],
+        "sv long, mask long, bb binary") \
+        .withColumn("elems", F.expr("array('a','b','c')"))
+    df = (df.withColumn("u", typemap.unsigned_bigint("sv").cast("string"))
+            .withColumn("bit", typemap.bit_to_decimal("bb").cast("long"))
+            .withColumn("sn", typemap.set_names("elems", "mask"))
+            .withColumn("sv_back", typemap.set_value("elems", "sn"))
+            .withColumn("en0", typemap.enum_name("elems", F.lit(0)))
+            .withColumn("en2", typemap.enum_name("elems", F.lit(2)))
+            .withColumn("ev", typemap.enum_value("elems", "en2")))
+    rows = {r["sv"]: r for r in df.collect()}
+    assert rows[-1]["u"] == "18446744073709551615"          # uint64 max
+    assert rows[0]["u"] == "0"
+    assert rows[-9223372036854775808]["u"] == "9223372036854775808"
+    assert rows[-1]["bit"] == 65535 and rows[0]["bit"] == 0
+    assert rows[-9223372036854775808]["bit"] == 256         # 0x0100
+    assert rows[-1]["sn"] == "a,c" and rows[-1]["sv_back"] == 5
+    assert rows[0]["sn"] == "" and rows[0]["sv_back"] == 0
+    assert rows[-9223372036854775808]["sn"] == "a,b,c"
+    assert rows[-9223372036854775808]["sv_back"] == 7
+    assert rows[-1]["en0"] == "" and rows[-1]["en2"] == "b"
+    assert rows[-1]["ev"] == 2
