@@ -278,3 +278,50 @@ def test_safe_mode_window_expires(spark):
     w2 = SafeModeWindow(duration_s=0.0, configured=True,
                         clock=lambda: now[0])
     assert w2.active()
+
+
+def test_sink_catalog_fetch_and_refresh(tmp_path):
+    import sqlite3
+
+    from tidb_binlog_spark.sinks import catalog, jdbc
+
+    db = sqlite3.connect(os.path.join(tmp_path, "sink.db"))
+    db.execute("""CREATE TABLE wide (
+        id INTEGER PRIMARY KEY, a TEXT, b TEXT,
+        g TEXT GENERATED ALWAYS AS (a || b) VIRTUAL)""")
+    db.execute("CREATE UNIQUE INDEX uk_ab ON wide(a, b)")
+    info = catalog.fetch_table_info_sqlite(db, "main", "wide")
+    assert info.columns == ("id", "a", "b", "g")
+    assert info.writable == ("id", "a", "b")          # generated excluded
+    assert info.unique_keys[0][0] == "PRIMARY"        # swapped to front
+    assert info.unique_keys[0][1] == ("id",)
+    assert ("uk_ab", ("a", "b")) in info.unique_keys
+
+    cat = catalog.SinkCatalog(
+        lambda s, t: catalog.fetch_table_info_sqlite(db, s, t))
+    assert cat.table_info("main", "wide") is cat.table_info("main", "wide")
+
+    # downstream DDL invalidation: a failing statement fires the
+    # refresh hook once; the next lookup re-reads the live schema.
+    db.execute("ALTER TABLE wide ADD COLUMN c TEXT")
+    stale = cat.table_info("main", "wide")
+    assert "c" not in stale.columns
+    policy = jdbc.RetryPolicy(max_retries=1, backoff_s=0,
+                              on_refresh=cat.refresh_hook("main", "wide"))
+    try:
+        jdbc._execute_with_retry(
+            db, "INSERT INTO wide(id, a, b, nope) VALUES (1,'x','y','z')",
+            policy)
+        raise AssertionError("expected statement failure")
+    except Exception:
+        pass
+    # the hook evicted the stale entry; the next lookup sees column c
+    assert "c" in cat.table_info("main", "wide").columns
+
+    missing = catalog.SinkCatalog(
+        lambda s, t: catalog.fetch_table_info_sqlite(db, s, t))
+    try:
+        missing.table_info("main", "nope")
+        raise AssertionError("expected LookupError")
+    except LookupError:
+        pass
