@@ -325,3 +325,58 @@ def test_sink_catalog_fetch_and_refresh(tmp_path):
         raise AssertionError("expected LookupError")
     except LookupError:
         pass
+
+
+def test_node_registry_states_and_source_list(spark, tmp_path):
+    from tidb_binlog_spark import registry as reg_mod
+    from tidb_binlog_spark.sinks.table_sink import SnapshotTable
+
+    reg = reg_mod.NodeRegistry(os.path.join(tmp_path, "nodes.json"))
+    zones = {}
+    for i in range(3):
+        zone = os.path.join(tmp_path, f"pump{i}")
+        make_changes(spark, [
+            (i * 10 + j, f"src{i}", (i * 10 + j) * 10 + 10, "I", i * 10 + j)
+            for j in range(3)]).write.parquet(zone)
+        zones[f"p{i}"] = zone
+        reg.register(f"p{i}", reg_mod.PUMP, source_dir=zone)
+    assert len(reg.online_source_dirs()) == 3
+
+    # pause-pump: pausing still shows in queries but leaves the merge
+    reg.apply_action("p1", "pause")
+    assert reg.nodes_by_kind(reg_mod.PUMP)[1]["state"] == reg_mod.PAUSING
+    assert len(reg.online_source_dirs()) == 2
+    reg.complete_shutdown("p1")
+    assert reg.nodes_by_kind(reg_mod.PUMP)[1]["state"] == reg_mod.PAUSED
+
+    # offline-pump: closing -> offline, hidden from default queries
+    reg.apply_action("p2", "close")
+    reg.complete_shutdown("p2")
+    assert [n["node_id"] for n in reg.nodes_by_kind(reg_mod.PUMP)] \
+        == ["p0", "p1"]
+    assert [n["node_id"]
+            for n in reg.nodes_by_kind(reg_mod.PUMP, show_offline=True)] \
+        == ["p0", "p1", "p2"]
+
+    # the merge round consumes exactly the online zones
+    table = SnapshotTable(spark, os.path.join(tmp_path, "table"))
+    stats = pipeline.multi_source_merge_round(
+        spark, reg.online_source_dirs(), table)
+    assert stats["n_sources"] == 1
+
+    # paused pump restarts -> back in the list
+    reg.register("p1", reg_mod.PUMP, source_dir=zones["p1"])
+    assert len(reg.online_source_dirs()) == 2
+
+    # illegal inputs rejected like binlogctl
+    for bad in (("p0", "resume"),):
+        try:
+            reg.apply_action(*bad)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+    try:
+        reg.update_state("p0", "sideways")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

@@ -1,11 +1,23 @@
 """Ops CLI — the binlogctl analog (reference binlogctl/: node status,
 pause/offline, generate meta tso).
 
-Commands (all read-only over a change log / snapshot table):
+Read-only commands over a change log / snapshot table:
 
   status <sf_dir|change_log>   per-source watermarks + heartbeat progress
   checkpoint <table_root>      snapshot table version + commit-ts cursor
   replay <dump_dir> <start_ts> <stop_ts>   count replayable events in range
+
+Node operations over a registry file (binlogctl/nodes.go command
+surface — pumps/drainers/pause-*/offline-*/update-*):
+
+  pumps <registry.json> [--show-offline]      list pump nodes
+  drainers <registry.json> [--show-offline]   list drainer nodes
+  pause-pump <registry.json> <node_id>        pause -> pausing
+  pause-drainer <registry.json> <node_id>
+  offline-pump <registry.json> <node_id>      close -> closing
+  offline-drainer <registry.json> <node_id>
+  update-pump <registry.json> <node_id> <state>     force a state
+  update-drainer <registry.json> <node_id> <state>
 
 Usage: python tools/ctl.py status /root/testdata/sf0.001
 """
@@ -24,6 +36,28 @@ def main() -> int:
         print(__doc__)
         return 2
     cmd, target = sys.argv[1], sys.argv[2]
+
+    if cmd in ("pumps", "drainers"):
+        from tidb_binlog_spark.registry import NodeRegistry
+        kind = cmd[:-1]
+        show_offline = "--show-offline" in sys.argv[3:]
+        print(json.dumps(NodeRegistry(target).nodes_by_kind(
+            kind, show_offline=show_offline)))
+        return 0
+
+    if cmd in ("pause-pump", "pause-drainer",
+               "offline-pump", "offline-drainer"):
+        from tidb_binlog_spark.registry import NodeRegistry
+        action = "pause" if cmd.startswith("pause") else "close"
+        print(json.dumps(NodeRegistry(target).apply_action(
+            sys.argv[3], action)))
+        return 0
+
+    if cmd in ("update-pump", "update-drainer"):
+        from tidb_binlog_spark.registry import NodeRegistry
+        print(json.dumps(NodeRegistry(target).update_state(
+            sys.argv[3], sys.argv[4])))
+        return 0
 
     if cmd == "checkpoint":
         from tidb_binlog_spark.sinks.table_sink import SnapshotTable
