@@ -380,3 +380,59 @@ def test_node_registry_states_and_source_list(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_relay_log_crash_replay_converges(spark, tmp_path):
+    """drainer/relay.go feedByRelayLogIfNeed: a crash between the WAL
+    write and the downstream apply is healed on restart by re-applying
+    relay entries above the checkpoint; a graceful run replays nothing."""
+    from tidb_binlog_spark.sinks import relay as relay_mod
+
+    relay = relay_mod.RelayLog(str(tmp_path / "relay"))
+    table = SnapshotTable(spark, str(tmp_path / "tbl"))
+    assert relay.is_consistent()        # fresh dir: nothing to heal
+
+    # batch 1 makes it through the full WAL -> apply path
+    b1 = make_changes(spark, [(1, "s0", 10, "I", 1), (2, "s0", 20, "I", 2)])
+    relay.mark_inconsistent()
+    relay.append(b1)
+    table.apply_batch(compaction.compact_last_image(
+        ordering.ordered_stream(b1)))
+
+    # batch 2 reaches the relay log, then the process dies pre-apply
+    b2 = make_changes(spark, [(3, "s0", 30, "U", 1, 0, 7.0),
+                              (4, "s0", 40, "D", 2)])
+    relay.append(b2)
+    assert not relay.is_consistent()
+
+    # restart: replay heals exactly the missing suffix
+    stats = relay_mod.feed_by_relay_if_needed(spark, relay, table)
+    assert stats["replayed"] == 2       # only rows above checkpoint 20
+    got = {r["pk"]: r["val"] for r in table.read().collect()}
+    assert got == {1: 7.0}              # pk1 updated, pk2 deleted
+    assert relay.is_consistent()
+
+    # idempotence: a second restart finds a consistent marker -> no-op
+    again = relay_mod.feed_by_relay_if_needed(spark, relay, table)
+    assert again["replayed"] == 0
+    assert {r["pk"]: r["val"] for r in table.read().collect()} == got
+
+
+def test_run_apply_stream_with_relay_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    make_changes(spark, [(1, "s0", 10, "I", 1),
+                         (2, "s0", 20, "U", 1, 0, 3.0)]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = pipeline.run_apply_stream(
+        spark, src, str(tmp_path / "tbl"), str(tmp_path / "ck"),
+        relay_dir=str(tmp_path / "relay"))
+    q.awaitTermination(120)
+    table = SnapshotTable(spark, str(tmp_path / "tbl"))
+    assert {r["pk"]: r["val"] for r in table.read().collect()} == {1: 3.0}
+    # the WAL holds the batch; graceful stop marks it consistent
+    from tidb_binlog_spark.sinks.relay import RelayLog
+    relay = RelayLog(str(tmp_path / "relay"))
+    assert relay.read(spark).count() == 2
+    relay.mark_consistent()
+    assert relay.is_consistent()

@@ -63,16 +63,31 @@ def with_event_time(changes: DataFrame, delay: str = "10 seconds") -> DataFrame:
 
 
 def run_apply_stream(spark: SparkSession, source_dir: str, table_root: str,
-                     checkpoint_dir: str, available_now: bool = True):
+                     checkpoint_dir: str, available_now: bool = True,
+                     relay_dir: str | None = None):
     """The DML replication path as one streaming query. Returns the
-    StreamingQuery (caller awaits termination)."""
+    StreamingQuery (caller awaits termination).
+
+    With ``relay_dir`` set, every micro-batch is WAL'd to the relay log
+    before the downstream apply and the run is marked inconsistent
+    until the caller's graceful stop (``relay.mark_consistent()`` after
+    awaitTermination); a crashed run is recovered by
+    ``sinks.relay.feed_by_relay_if_needed`` before restarting — which
+    this function calls first when a relay log is present."""
+    from ..sinks.relay import RelayLog, feed_by_relay_if_needed
     table = SnapshotTable(spark, table_root)
+    relay = RelayLog(relay_dir) if relay_dir else None
+    if relay is not None:
+        feed_by_relay_if_needed(spark, relay, table)
+        relay.mark_inconsistent()
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # persist the micro-batch: the order gate's carry aggregate and
         # the main path both read it (single source scan + exact input
         # metrics)
         batch_df = batch_df.persist()
+        if relay is not None:
+            relay.append(batch_df)      # WAL before apply
         ok = ordering.ordered_stream(batch_df)
         compacted = compaction.compact_last_image(ok)
         # D rows must reach the sink (they delete); SnapshotTable
