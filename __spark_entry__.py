@@ -568,6 +568,34 @@ def q_dedup_exact(spark, sf_dir):
     return dedupfn.exact_dedup(_docs(spark, sf_dir))
 
 
+def q_text_contamination(spark, sf_dir):
+    """Benchmark decontamination: docs sharing word-3-gram shingles
+    with the held-out set (doc_id % 50 == 0 stands in for an eval
+    benchmark)."""
+    from tidb_binlog_spark.functions import curation
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return curation.contamination(corpus, bench)
+
+
+def q_text_stratified_sample(spark, sf_dir):
+    """Deterministic language-mixing downsample: en 50%, es 25%,
+    everything else dropped — replay-stable md5-ticket draw."""
+    from tidb_binlog_spark.functions import curation
+    return curation.stratified_sample(
+        _docs(spark, sf_dir),
+        rates={"en": "80000000", "es": "40000000"}) \
+        .select("doc_id", "lang", "n_chars")
+
+
+def q_text_pack_sequences(spark, sf_dir):
+    """Token-budget packing of docs into fixed-size training bins,
+    per language, deterministic across replays."""
+    from tidb_binlog_spark.functions import curation
+    return curation.pack_sequences(_docs(spark, sf_dir), budget=2048)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     return dedupfn.minhash_lsh_pairs(_docs(spark, sf_dir))
 
@@ -678,6 +706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_value_by_type": q_events_value_by_type,
         "dedup_exact": q_dedup_exact,
+        "text_contamination": q_text_contamination,
+        "text_stratified_sample": q_text_stratified_sample,
+        "text_pack_sequences": q_text_pack_sequences,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -947,6 +978,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "dedup_exact": osql.DEDUP_EXACT,
+        "text_contamination": osql.TEXT_CONTAMINATION,
+        "text_stratified_sample": osql.TEXT_STRATIFIED_SAMPLE,
+        "text_pack_sequences": osql.TEXT_PACK_SEQUENCES,
         "dedup_minhash_lsh": osql.DEDUP_MINHASH_LSH,
         "dedup_simhash": osql.DEDUP_SIMHASH,
         "dedup_simhash_pairs": osql.DEDUP_SIMHASH_PAIRS,

@@ -169,3 +169,47 @@ def test_typemap_surface(spark):
     assert rows[-9223372036854775808]["sv_back"] == 7
     assert rows[-1]["en0"] == "" and rows[-1]["en2"] == "b"
     assert rows[-1]["ev"] == 2
+
+
+def test_curation_contamination_and_sampling(spark):
+    from tidb_binlog_spark.functions import curation
+    bench = docs_df(spark, ["alpha beta gamma delta epsilon"])
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta gamma delta zeta", "en", "s", 27),
+         (11, "totally unrelated words entirely here", "en", "s", 37)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r["doc_id"]: r for r in
+           curation.contamination(corpus, bench).collect()}
+    # doc 10 shares shingles "alpha beta gamma" and "beta gamma delta"
+    assert 10 in got and 11 not in got
+    assert got[10]["n_hits"] == 2 and got[10]["n_shingles"] == 3
+    assert abs(got[10]["contamination"] - 2 / 3) < 1e-12
+
+    # sampling: deterministic, stratum-thresholded, replay-stable
+    docs = spark.createDataFrame(
+        [(i, "w", "en" if i % 2 == 0 else "xx", "s", 1) for i in range(200)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    kept = curation.stratified_sample(docs, {"en": "80000000"}).collect()
+    assert all(r["lang"] == "en" for r in kept)      # xx dropped
+    assert 0 < len(kept) < 100                        # ~half of the 100 en docs
+    again = curation.stratified_sample(docs, {"en": "80000000"}).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(r["doc_id"] for r in again)
+
+
+def test_curation_packing_budget(spark):
+    from tidb_binlog_spark.functions import curation
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * 10), "en", "s", 10) for i in range(10)]
+        + [(100, " ".join(["t"] * 50), "en", "s", 50)],   # oversized doc
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r["doc_id"]: r["bin_id"]
+           for r in curation.pack_sequences(docs, budget=30).collect()}
+    # docs 0..9 of 10 tokens each: three per 30-token bin
+    assert [got[i] for i in range(10)] == [0, 0, 0, 1, 1, 1, 2, 2, 2, 3]
+    # the 50-token doc starts at cum=100 -> bin 3 (where its prefix lands)
+    assert got[100] == 3
+    # two-phase equivalence: a tiny id_bucket must give identical bins
+    got2 = {r["doc_id"]: r["bin_id"]
+            for r in curation.pack_sequences(docs, budget=30,
+                                             id_bucket=4).collect()}
+    assert got2 == got

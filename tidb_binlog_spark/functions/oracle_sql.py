@@ -292,3 +292,46 @@ wins AS (
   FROM kg)
 SELECT DISTINCT doc_id, unnest(wins) AS fingerprint FROM wins
 """
+
+
+# curation.py mirrors ---------------------------------------------------------
+
+TEXT_CONTAMINATION = f"""
+WITH bench AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+ct AS (SELECT doc_id, text, {TOKS} AS toks FROM corpus),
+csh AS (SELECT DISTINCT doc_id, unnest({SHINGLES}) AS sh
+        FROM (SELECT doc_id, text, toks FROM ct)),
+bt AS (SELECT doc_id, text, {TOKS} AS toks FROM bench),
+bsh AS (SELECT DISTINCT unnest({SHINGLES}) AS sh
+        FROM (SELECT doc_id, text, toks FROM bt)),
+totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM csh GROUP BY doc_id),
+hits AS (SELECT c.doc_id, COUNT(*) AS n_hits
+         FROM csh c JOIN bsh b USING (sh) GROUP BY c.doc_id)
+SELECT t.doc_id, t.n_shingles, h.n_hits,
+       CAST(h.n_hits AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+         AS contamination
+FROM totals t JOIN hits h USING (doc_id)
+"""
+
+TEXT_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE substring(md5(CAST(doc_id AS STRING)), 1, 8) <
+      CASE lang WHEN 'en' THEN '80000000'
+                WHEN 'es' THEN '40000000'
+                ELSE '00000000' END
+"""
+
+TEXT_PACK_SEQUENCES = f"""
+WITH sized AS (
+  SELECT lang, doc_id, len({TOKS}) AS n_tokens FROM documents),
+cum AS (
+  SELECT lang, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sized)
+SELECT lang, doc_id, n_tokens,
+       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048) AS BIGINT)
+         AS bin_id
+FROM cum
+"""
