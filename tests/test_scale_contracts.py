@@ -237,3 +237,30 @@ def test_lsh_bucket_cap_bounds_duplicated_corpus(spark):
         .withColumn("band", F.lit(0)),
         ["band", "bucket"], 16)
     assert report.count() >= 1   # the degenerate bucket is surfaced
+
+
+def test_pack_sequences_has_no_unpartitioned_data_window(spark):
+    """Packing's phase-1 windows must carry a partition spec (stratum,
+    id-bucket); only the per-bucket carry (tiny aggregate) may order
+    within a stratum. Checked the same way as classify_disorder."""
+    import re
+
+    from tidb_binlog_spark.functions import curation
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * (i % 7 + 1)), "en" if i % 2 else "de", "s", 1)
+         for i in range(100)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    plan = _plan(curation.pack_sequences(docs, budget=16, id_bucket=8))
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), f"unpartitioned window: {m.group(0)}"
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast — the corpus side is
+    never shuffled into a sort-merge join against it."""
+    from tidb_binlog_spark.functions import curation
+    docs = load_tables(spark, SF, "documents")["documents"]
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    plan = _plan(curation.contamination(corpus, bench))
+    assert "BroadcastHashJoin" in plan
