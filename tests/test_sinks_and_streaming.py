@@ -436,3 +436,77 @@ def test_run_apply_stream_with_relay_end_to_end(spark, tmp_path):
     assert relay.read(spark).count() == 2
     relay.mark_consistent()
     assert relay.is_consistent()
+
+
+def test_downstream_checkpoint_atomic_with_data(spark, tmp_path):
+    """arbiter/checkpoint.go: the savepoint lives in the target DB and
+    commits with the rows; min-over-workers is the resume cursor; a
+    graceful stop flips status so the next start skips safe mode."""
+    from tidb_binlog_spark.sinks import jdbc
+
+    db_dir = str(tmp_path / "db")
+    setup = ("CREATE TABLE IF NOT EXISTS t (pk INTEGER PRIMARY KEY, val REAL)",)
+    ch = (make_changes(spark, [(1, "s0", 10, "I", 1, 0, 1.0),
+                               (2, "s0", 20, "I", 2, 0, 2.0)])
+          .withColumn("sub_seq", F.lit(0)))
+    stmts = (sqlgen.generate_sql(ch, dialect="sqlite")
+             .withColumn("worker_id", F.pmod(F.col("pk"), F.lit(2))))
+    jdbc.apply_statements(stmts, db_dir, 2, setup_sql=setup,
+                          checkpoint_ts=20)
+    assert jdbc.load_checkpoint(db_dir) == (20, jdbc.STATUS_RUNNING)
+
+    # an older replayed batch (safe-mode REPLACEs, as replays are)
+    # must not regress the stored cursor
+    from tidb_binlog_spark.operators.safe_mode import safe_mode_rewrite
+    replay = (sqlgen.generate_sql(safe_mode_rewrite(ch.drop("sub_seq")),
+                                  dialect="sqlite")
+              .withColumn("worker_id", F.pmod(F.col("pk"), F.lit(2))))
+    jdbc.apply_statements(replay, db_dir, 2, setup_sql=setup,
+                          checkpoint_ts=5)
+    assert jdbc.load_checkpoint(db_dir)[0] == 20
+
+    jdbc.finalize_checkpoint(db_dir)
+    assert jdbc.load_checkpoint(db_dir) == (20, jdbc.STATUS_NORMAL)
+
+
+def test_sql_apply_stream_resumes_from_downstream_checkpoint(spark, tmp_path):
+    """Crash-restart over the executed-SQL path: the second run must
+    skip everything at or below the downstream cursor (no duplicate
+    INSERT errors without safe mode) and converge."""
+    import sqlite3
+
+    from tidb_binlog_spark.sinks import jdbc
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    db_dir = str(tmp_path / "db")
+    setup = ("CREATE TABLE IF NOT EXISTS t (pk INTEGER PRIMARY KEY, val REAL)",)
+
+    make_changes(spark, [(1, "s0", 10, "I", 1, 0, 1.0),
+                         (2, "s0", 20, "I", 2, 0, 2.0)]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = pipeline.run_sql_apply_stream(
+        spark, src, db_dir, str(tmp_path / "ck1"), num_workers=2,
+        setup_sql=setup)
+    q.awaitTermination(120)
+    assert jdbc.load_checkpoint(db_dir)[0] == 20
+
+    # "crash" (no finalize) + new data; a FRESH streaming checkpoint
+    # dir forces re-reading everything — the downstream cursor must
+    # keep batch 1 from double-applying
+    make_changes(spark, [(3, "s0", 30, "U", 1, 0, 7.0)]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q2 = pipeline.run_sql_apply_stream(
+        spark, src, db_dir, str(tmp_path / "ck2"), num_workers=2,
+        setup_sql=setup)
+    q2.awaitTermination(120)
+
+    got = {}
+    for f in sorted(os.listdir(db_dir)):
+        if f.endswith(".db"):
+            conn = sqlite3.connect(os.path.join(db_dir, f))
+            got.update({r[0]: r[1] for r in
+                        conn.execute("SELECT pk, val FROM t")})
+            conn.close()
+    assert got == {1: 7.0, 2: 2.0}
+    assert jdbc.load_checkpoint(db_dir)[0] == 30

@@ -36,6 +36,16 @@ from pyspark.sql import functions as F
 MAX_DML_RETRY = 100
 MAX_DDL_RETRY = 5
 
+# downstream checkpoint table (arbiter/checkpoint.go:40-78): the
+# savepoint lives IN the target DB and commits atomically with the
+# applied rows, so a crash can never separate data from cursor.
+CKPT_TABLE = "_binlog_checkpoint"
+CKPT_SETUP = (f"CREATE TABLE IF NOT EXISTS {CKPT_TABLE}("
+              f"topic_name TEXT PRIMARY KEY, ts BIGINT NOT NULL, "
+              f"status INT NOT NULL)")
+STATUS_RUNNING = 0   # arbiter/server.go StatusRunning
+STATUS_NORMAL = 1    # graceful shutdown (server.go:220)
+
 
 class RetryPolicy:
     """Retry/backoff policy for transient downstream errors.
@@ -82,7 +92,9 @@ def apply_statements(stmts: DataFrame, db_dir: str,
                      worker_col: str = "worker_id",
                      setup_sql: tuple[str, ...] = (),
                      retry: RetryPolicy | None = None,
-                     inject=None) -> None:
+                     inject=None,
+                     checkpoint_ts: int | None = None,
+                     topic: str = "default") -> None:
     """Execute the ``sql_text`` column per worker, partitioned by
     worker id.
 
@@ -95,9 +107,18 @@ def apply_statements(stmts: DataFrame, db_dir: str,
 
     ``inject``: optional callable(sql_text) raised into every execute —
     the deterministic transient-failure injector used by tests.
+
+    ``checkpoint_ts``: the batch watermark. When set, each worker
+    REPLACEs it into the downstream checkpoint table in the SAME
+    transaction as its data (arbiter/checkpoint.go Save) — the commit
+    makes rows + cursor atomic, so ``load_checkpoint`` (min over
+    workers) is always the last FULLY-applied batch after any crash.
+    Never regresses (MAX against the stored ts).
     """
     os.makedirs(db_dir, exist_ok=True)
     setup = list(setup_sql)
+    if checkpoint_ts is not None:
+        setup.append(CKPT_SETUP)
     policy = retry if retry is not None else RetryPolicy(backoff_s=0.01)
 
     def run_partition(rows) -> None:
@@ -115,6 +136,13 @@ def apply_statements(stmts: DataFrame, db_dir: str,
                     conns[wid] = conn
                 _execute_with_retry(conn, row["sql_text"], policy, inject)
             for conn in conns.values():
+                if checkpoint_ts is not None:
+                    conn.execute(
+                        f"INSERT INTO {CKPT_TABLE}(topic_name, ts, status) "
+                        f"VALUES (?, ?, ?) ON CONFLICT(topic_name) DO "
+                        f"UPDATE SET ts = MAX(ts, excluded.ts), "
+                        f"status = excluded.status",
+                        (topic, int(checkpoint_ts), STATUS_RUNNING))
                 conn.commit()
         finally:
             for conn in conns.values():
@@ -124,6 +152,77 @@ def apply_statements(stmts: DataFrame, db_dir: str,
      .repartition(num_workers, F.col(worker_col))
      .sortWithinPartitions("commit_ts", "seq", "sub_seq")
      .foreachPartition(run_partition))
+
+    if checkpoint_ts is not None:
+        # barrier passed: every busy worker committed data+cursor
+        # atomically above. Idle workers (no rows this batch) still
+        # need their cursor advanced or they pin the min forever; a
+        # crash RIGHT HERE only leaves a conservative cursor -> the
+        # batch replays under safe mode, which is idempotent.
+        import sqlite3
+        for fname in sorted(os.listdir(db_dir)):
+            if not fname.endswith(".db"):
+                continue
+            conn = sqlite3.connect(os.path.join(db_dir, fname))
+            try:
+                conn.execute(CKPT_SETUP)
+                conn.execute(
+                    f"INSERT INTO {CKPT_TABLE}(topic_name, ts, status) "
+                    f"VALUES (?, ?, ?) ON CONFLICT(topic_name) DO "
+                    f"UPDATE SET ts = MAX(ts, excluded.ts)",
+                    (topic, int(checkpoint_ts), STATUS_RUNNING))
+                conn.commit()
+            finally:
+                conn.close()
+
+
+def load_checkpoint(db_dir: str, topic: str = "default") -> tuple[int, int]:
+    """Restart cursor: the MIN over worker DBs of their saved ts — any
+    worker that died pre-commit holds the previous batch's ts, so the
+    min is the last batch every worker completed (arbiter Load +
+    server.go:126-136 resume-from-checkpoint). Returns (ts, status);
+    (-1, STATUS_NORMAL) when no worker has a checkpoint yet."""
+    import sqlite3
+    found = []
+    if os.path.isdir(db_dir):
+        for fname in sorted(os.listdir(db_dir)):
+            if not fname.endswith(".db"):
+                continue
+            conn = sqlite3.connect(os.path.join(db_dir, fname))
+            try:
+                row = conn.execute(
+                    f"SELECT ts, status FROM {CKPT_TABLE} "
+                    f"WHERE topic_name = ?", (topic,)).fetchone()
+                if row is not None:
+                    found.append((int(row[0]), int(row[1])))
+            except sqlite3.OperationalError:
+                pass            # worker never created the table
+            finally:
+                conn.close()
+    if not found:
+        return -1, STATUS_NORMAL
+    return (min(ts for ts, _ in found),
+            min(st for _, st in found))
+
+
+def finalize_checkpoint(db_dir: str, topic: str = "default") -> None:
+    """Graceful shutdown: mark the saved checkpoints StatusNormal
+    (arbiter/server.go:218-236) so the next start knows no replay /
+    safe-mode window is needed."""
+    import sqlite3
+    for fname in sorted(os.listdir(db_dir)):
+        if not fname.endswith(".db"):
+            continue
+        conn = sqlite3.connect(os.path.join(db_dir, fname))
+        try:
+            conn.execute(
+                f"UPDATE {CKPT_TABLE} SET status = ? WHERE topic_name = ?",
+                (STATUS_NORMAL, topic))
+            conn.commit()
+        except sqlite3.OperationalError:
+            pass
+        finally:
+            conn.close()
 
 
 def read_applied(spark, db_dir: str, table: str, columns: list[str]) -> DataFrame:

@@ -116,16 +116,36 @@ def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
     I -> REPLACE / U -> DELETE+REPLACE so re-application after a crash
     converges (drainer/syncer.go:180-197 + executor.go:407-443); after
     the window, statements apply verbatim.
+
+    The savepoint is the DOWNSTREAM checkpoint table
+    (sinks/jdbc.CKPT_TABLE, arbiter/checkpoint.go): each worker commits
+    the batch watermark atomically with its rows. On start, events at
+    or below the stored cursor are filtered out (arbiter
+    server.go:126-136 resume), and a cursor left in StatusRunning (=
+    crash) keeps the safe-mode window active regardless of clock.
     """
     from ..operators import safe_mode as sm
     from ..sinks import jdbc, sqlgen
 
-    window = safe_window if safe_window is not None else sm.SafeModeWindow()
+    resume_ts, status = jdbc.load_checkpoint(db_dir)
+    if safe_window is not None:
+        window = safe_window
+    elif resume_ts >= 0 and status == jdbc.STATUS_NORMAL:
+        # clean shutdown last time: no auto safe-mode window
+        # (arbiter/server.go:129-141 enables the 5-min window only
+        # after an abnormal quit)
+        window = sm.SafeModeWindow(duration_s=0.0)
+    else:
+        window = sm.SafeModeWindow()
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # persist: the safe-mode rewrite is a 4-way union over the gated
         # stream — without caching, each branch re-scans the source
-        batch_df = batch_df.persist()
+        batch_df = batch_df.filter(F.col("commit_ts") > resume_ts).persist()
+        wm_row = batch_df.agg(F.max("commit_ts").alias("wm")).collect()[0]
+        if wm_row["wm"] is None:        # batch fully below the cursor
+            batch_df.unpersist()
+            return
         ok = ordering.ordered_stream(batch_df)
         if window.active():
             prepared = sm.safe_mode_rewrite(ok)
@@ -135,7 +155,8 @@ def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
                  .withColumn("worker_id", F.pmod(F.col("pk"),
                                                  F.lit(num_workers))))
         jdbc.apply_statements(stmts, db_dir, num_workers,
-                              setup_sql=setup_sql)
+                              setup_sql=setup_sql,
+                              checkpoint_ts=int(wm_row["wm"]))
         batch_df.unpersist()
 
     stream = read_change_stream(spark, source_dir)
