@@ -510,3 +510,59 @@ def test_sql_apply_stream_resumes_from_downstream_checkpoint(spark, tmp_path):
             conn.close()
     assert got == {1: 7.0, 2: 2.0}
     assert jdbc.load_checkpoint(db_dir)[0] == 30
+
+
+def test_execute_ddl_retries_and_refreshes_catalog(spark, tmp_path):
+    """DDL path: 5x retry budget on transient failures, applied to all
+    shards, catalog evicted so the next build sees the new column."""
+    import sqlite3
+
+    from tidb_binlog_spark.sinks import catalog as cat_mod
+    from tidb_binlog_spark.sinks import jdbc
+
+    db_dir = str(tmp_path / "db")
+    setup = ("CREATE TABLE IF NOT EXISTS t (pk INTEGER PRIMARY KEY, val REAL)",)
+    ch = (make_changes(spark, [(1, "s0", 10, "I", 1, 0, 1.0)])
+          .withColumn("sub_seq", F.lit(0)))
+    stmts = (sqlgen.generate_sql(ch, dialect="sqlite")
+             .withColumn("worker_id", F.pmod(F.col("pk"), F.lit(2))))
+    jdbc.apply_statements(stmts, db_dir, 2, setup_sql=setup,
+                          checkpoint_ts=10)
+
+    conn0 = sqlite3.connect(os.path.join(db_dir, sorted(
+        f for f in os.listdir(db_dir) if f.endswith(".db"))[0]))
+    cat = cat_mod.SinkCatalog(
+        lambda s, t: cat_mod.fetch_table_info_sqlite(conn0, s, t))
+    assert "extra" not in cat.table_info("main", "t").columns
+
+    # transient failures for the first 2 attempts, then success
+    attempts = {"n": 0}
+
+    def inject(sql_text):
+        attempts["n"] += 1
+        if attempts["n"] <= 2:
+            raise RuntimeError("transient ddl failure")
+
+    policy = jdbc.RetryPolicy(max_retries=jdbc.MAX_DDL_RETRY, backoff_s=0)
+    # route the injector through _execute_with_retry by wrapping execute
+    import tidb_binlog_spark.sinks.jdbc as jmod
+    orig = jmod._execute_with_retry
+
+    def with_inject(conn, sql_text, pol, inj=None):
+        return orig(conn, sql_text, pol, inject if "ALTER" in sql_text else None)
+    jmod._execute_with_retry = with_inject
+    try:
+        jdbc.execute_ddl(db_dir, "ALTER TABLE t ADD COLUMN extra TEXT",
+                         retry=policy, catalog=cat, table="t")
+    finally:
+        jmod._execute_with_retry = orig
+    assert attempts["n"] >= 3                  # retried past 2 failures
+    assert "extra" in cat.table_info("main", "t").columns
+    # every shard got the DDL
+    for f in sorted(os.listdir(db_dir)):
+        if f.endswith(".db"):
+            c = sqlite3.connect(os.path.join(db_dir, f))
+            cols = [r[1] for r in c.execute("PRAGMA table_info(t)")]
+            assert "extra" in cols
+            c.close()
+    conn0.close()

@@ -176,6 +176,33 @@ def apply_statements(stmts: DataFrame, db_dir: str,
                 conn.close()
 
 
+def execute_ddl(db_dir: str, ddl_sql: str,
+                retry: RetryPolicy | None = None,
+                catalog=None, schema: str = "main",
+                table: str | None = None) -> None:
+    """DDL through the executed-SQL sink: the reference flushes pending
+    DMLs, then runs the DDL with its own 5x retry budget
+    (pkg/loader/load.go:40-45 maxDDLRetryCount, load.go:476-500
+    execDDL) and refreshes the cached table info afterwards. Our
+    logical downstream is sharded across per-worker DBs, so the DDL
+    applies to every shard; ``catalog.evict`` makes the next statement
+    build see the new schema (executor.go:336-405)."""
+    import sqlite3
+    policy = retry if retry is not None else RetryPolicy(
+        max_retries=MAX_DDL_RETRY, backoff_s=0.01)
+    for fname in sorted(os.listdir(db_dir)):
+        if not fname.endswith(".db"):
+            continue
+        conn = sqlite3.connect(os.path.join(db_dir, fname))
+        try:
+            _execute_with_retry(conn, ddl_sql, policy)
+            conn.commit()
+        finally:
+            conn.close()
+    if catalog is not None and table is not None:
+        catalog.evict(schema, table)
+
+
 def load_checkpoint(db_dir: str, topic: str = "default") -> tuple[int, int]:
     """Restart cursor: the MIN over worker DBs of their saved ts — any
     worker that died pre-commit holds the previous batch's ts, so the
