@@ -64,7 +64,11 @@ SHINGLES = (
 
 
 def with_shingles(docs: DataFrame) -> DataFrame:
-    return (docs.withColumn("toks", F.expr(TOKENS))
+    # spread BEFORE the shingle+digest projection: the fixture table is
+    # one parquet split, and without the fan-out every md5 of the
+    # signature pass runs on a single task (see text.spread).
+    from .text import spread
+    return (spread(docs).withColumn("toks", F.expr(TOKENS))
                 .withColumn("shingles", F.expr(SHINGLES)))
 
 
