@@ -391,3 +391,31 @@ def test_generate_sql_wide_generated_columns_excluded(spark):
     # generated columns never appear in writes (mysql.go:212-222)
     assert row["sql_text"] == \
         "INSERT INTO `db0`.`t`(`pk`, `val`) VALUES ('1', 'x')"
+
+
+def test_schema_replay_recreate_after_rename_and_drop(spark):
+    """Regression: a table re-created under a renamed-away name is a
+    NEW incarnation (old-name lookups stop resolving to the rename
+    target), and mutations at/after DROP TABLE no longer decode."""
+    from tidb_binlog_spark.operators import schema_evolution as se
+
+    reg = se.SchemaRegistry()
+    reg.apply_ddl_events([
+        (10, "CREATE TABLE t (a INT DEFAULT 0)"),
+        (20, "RENAME TABLE t TO u"),
+        (30, "CREATE TABLE t (x INT DEFAULT 9)"),
+    ])
+    assert reg.resolve_name("t") == "t"       # new incarnation, not u
+    assert reg.columns_at("t", reg.latest_version("t")) == {"x": "9"}
+    assert reg.resolve_name("u") == "u"
+
+    reg2 = se.SchemaRegistry()
+    reg2.apply_ddl_events([
+        (10, "CREATE TABLE d (a INT DEFAULT 0)"),
+        (50, "DROP TABLE d"),
+    ])
+    ch = make_changes(spark, [(1, "s0", 20, "I", 1),
+                              (2, "s0", 60, "I", 2)]) \
+        .withColumn("row_json", F.lit('{"a": "5"}'))
+    out = se.decode_with_replay(ch, reg2, "d", spark).collect()
+    assert [r["pk"] for r in out] == [1]      # post-drop mutation gone

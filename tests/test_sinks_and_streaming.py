@@ -566,3 +566,42 @@ def test_execute_ddl_retries_and_refreshes_catalog(spark, tmp_path):
             assert "extra" in cols
             c.close()
     conn0.close()
+
+
+def test_sql_apply_stream_skips_fake_heartbeats(spark, tmp_path):
+    """Regression: FAKE heartbeat rows advance the downstream cursor
+    but must never reach the statement builder (NULL sql_text)."""
+    from tidb_binlog_spark.sinks import jdbc
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = make_changes(spark, [(1, "s0", 10, "I", 1, 0, 1.0)]) \
+        .unionByName(
+            make_changes(spark, [(2, "s0", 99, "I", 99)])
+            .withColumn("op", F.lit("FAKE")))
+    rows.coalesce(1).write.mode("append").parquet(src)
+    q = pipeline.run_sql_apply_stream(
+        spark, src, str(tmp_path / "db"), str(tmp_path / "ck"),
+        num_workers=2,
+        setup_sql=("CREATE TABLE IF NOT EXISTS t (pk INTEGER PRIMARY KEY, val REAL)",),
+        safe_window=None)
+    q.awaitTermination(120)
+    # heartbeat advanced the cursor past its own ts; no statement crash
+    assert jdbc.load_checkpoint(str(tmp_path / "db"))[0] == 99
+
+
+def test_merge_round_blocks_on_empty_registered_zone(spark, tmp_path):
+    """Regression: a registered pump with no segments yet must gate the
+    watermark at the checkpoint instead of crashing the round."""
+    s0, s1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+    _zone(spark, s0, [(1, "s0", 10, "I", 1)])
+    os.makedirs(s1)                     # registered, nothing produced
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    stats = pipeline.multi_source_merge_round(spark, [s0, s1], t)
+    assert stats["n_applied"] == 0
+    assert stats["checkpoint"] == -1    # gate held at the checkpoint
+    # the silent variant: a zone directory with data for only one of
+    # two EXPECTED sources — cover via two dirs where one has data
+    _zone(spark, s1, [(2, "s1", 5, "I", 2)])
+    stats2 = pipeline.multi_source_merge_round(spark, [s0, s1], t)
+    assert stats2["watermark"] == 5     # min over both live sources

@@ -102,6 +102,7 @@ class SchemaRegistry:
         self.renamed_to: dict[str, str] = {}              # old -> new (final)
         self.truncate_ts: dict[str, int] = {}             # tbl -> last truncate
         self.dropped: set[str] = set()
+        self.drop_ts: dict[str, int] = {}                 # tbl -> drop ts
         self.ddl_log: list[dict] = []
 
     def add_version(self, tbl: str, version: int,
@@ -144,6 +145,12 @@ class SchemaRegistry:
                 self.version_ts[tbl] = {1: commit_ts}
                 self.col_added_at[tbl] = {c: 1 for c in cols}
                 self.dropped.discard(tbl)
+                self.drop_ts.pop(tbl, None)
+                # a re-created table under a previously renamed-away
+                # name is a NEW incarnation: old-name lookups must stop
+                # resolving to the rename target (schema.go recreates
+                # the id->name binding on CreateTable).
+                self.renamed_to.pop(tbl, None)
             elif kind == "add_column" and tbl in self._versions:
                 v = self.latest_version(tbl) + 1
                 cols = dict(self.columns_at(tbl, v - 1))
@@ -179,7 +186,7 @@ class SchemaRegistry:
                 self.truncate_ts[tbl] = commit_ts
             elif kind == "drop_table" and tbl in self._versions:
                 self.dropped.add(tbl)
-                entry["applied"] = True
+                self.drop_ts[tbl] = commit_ts
             else:
                 entry["applied"] = False
             self.ddl_log.append(entry)
@@ -228,6 +235,11 @@ def decode_with_replay(changes: DataFrame, registry: SchemaRegistry,
     cut = registry.truncate_ts.get(final)
     if cut is not None:
         stamped = stamped.filter(F.col("commit_ts") > F.lit(cut))
+    # mutations at/after a DROP TABLE are skipped — the reference
+    # removes the table from the catalog so they no longer decode
+    drop_cut = registry.drop_ts.get(final)
+    if drop_cut is not None:
+        stamped = stamped.filter(F.col("commit_ts") < F.lit(drop_cut))
     latest = registry.latest_version(final)
     target_cols = registry.columns_at(final, latest)
     out = stamped.withColumn("target_tbl", F.lit(final))

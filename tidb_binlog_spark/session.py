@@ -61,7 +61,7 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            key = (id(spark), path)
+            key = (session_key(spark), path)
             df = _TABLE_MEMO.get(key)
             if df is None:
                 # re-reading the same immutable fixture parquet re-does
@@ -76,8 +76,15 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     return out
 
 
-# (session id, parquet path) -> DataFrame plan. Never holds data; safe
-# because fixture tables are immutable within a run.
+def session_key(spark: SparkSession) -> str:
+    """Stable identity for plan memos: the Spark applicationId — unlike
+    id(spark), it cannot collide when a stopped session's object
+    address is reused by a new one."""
+    return spark.sparkContext.applicationId
+
+
+# (application id, parquet path) -> DataFrame plan. Never holds data;
+# safe because fixture tables are immutable within a run.
 _TABLE_MEMO: dict = {}
 
 

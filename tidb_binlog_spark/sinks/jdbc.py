@@ -59,10 +59,26 @@ class RetryPolicy:
 
     def __init__(self, max_retries: int = MAX_DML_RETRY,
                  backoff_s: float = 1.0,
-                 on_refresh=None):
+                 on_refresh=None,
+                 is_transient=None):
         self.max_retries = max_retries
         self.backoff_s = backoff_s
         self.on_refresh = on_refresh
+        self.is_transient = is_transient if is_transient is not None \
+            else default_is_transient
+
+
+def default_is_transient(exc: Exception) -> bool:
+    """Retryability classification — the analog of the reference's
+    retryable-error-code check (pkg/sql retries only connection/lock
+    errors). Schema and constraint violations are deterministic:
+    retrying a syntax error or duplicate key 100x just stalls the
+    worker. Name-based so no DB driver import is required."""
+    name = type(exc).__name__
+    if name in ("IntegrityError", "ProgrammingError", "DataError",
+                "NotSupportedError", "TypeError"):
+        return False
+    return True
 
 
 def _execute_with_retry(conn, sql_text: str, policy: RetryPolicy,
@@ -75,14 +91,13 @@ def _execute_with_retry(conn, sql_text: str, policy: RetryPolicy,
             conn.execute(sql_text)
             return
         except Exception as exc:
-            transient = True
             # the refresh hook fires once per statement, mirroring the
             # single evict-and-refresh the reference does for
             # ErrColumnNotExists before resuming normal retries.
             if policy.on_refresh is not None and not refreshed:
                 refreshed = True
                 policy.on_refresh(conn, sql_text, exc)
-            if attempt >= policy.max_retries or not transient:
+            if attempt >= policy.max_retries or not policy.is_transient(exc):
                 raise
             time.sleep(policy.backoff_s)
 

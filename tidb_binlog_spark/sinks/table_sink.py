@@ -25,6 +25,27 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _parquet_footer_max(path: str, col: str):
+    """Max of an int64 column from parquet row-group statistics —
+    metadata-only, no data scan. None if any row group lacks stats."""
+    import pyarrow.parquet as pq
+    best = None
+    for fname in os.listdir(path):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, fname)).metadata
+        try:
+            idx = md.schema.names.index(col)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            best = st.max if best is None else max(best, st.max)
+    return best
+
+
 class SnapshotTable:
     """A versioned parquet table with last-writer-wins apply.
 
@@ -101,15 +122,19 @@ class SnapshotTable:
         new_version = ck["version"] + 1
         out = os.path.join(self.root, f"v{new_version}")
         merged.write.mode("overwrite").parquet(out)
-        # the savepoint ts comes from the WRITTEN snapshot (one pass
-        # over the batch lineage — a separate max-ts action would scan
-        # the streaming source twice and double-count input metrics).
-        # Tombstones retain their commit_ts, so the stored max equals
-        # max(prior checkpoint, batch max): the savepoint only ever
-        # advances (drainer/checkpoint semantics — replaying an old
-        # batch must not regress the cursor).
-        m = (self.spark.read.parquet(out)
-             .agg(F.max("commit_ts").alias("m")).collect()[0]["m"])
+        # the savepoint ts comes from the WRITTEN snapshot (no second
+        # pass over the batch lineage — a separate max-ts action would
+        # scan the streaming source twice and double-count input
+        # metrics). Tombstones retain their commit_ts, so the stored
+        # max equals max(prior checkpoint, batch max): the savepoint
+        # only ever advances (drainer/checkpoint semantics — replaying
+        # an old batch must not regress the cursor). Read from parquet
+        # FOOTER statistics (driver-side metadata, O(#files)) so the
+        # cost stays O(batch write), never O(snapshot scan per batch).
+        m = _parquet_footer_max(out, "commit_ts")
+        if m is None:       # stats missing: fall back to a column scan
+            m = (self.spark.read.parquet(out)
+                 .agg(F.max("commit_ts").alias("m")).collect()[0]["m"])
         batch_max = int(m) if m is not None else int(ck["commit_ts"])
         batch_max = max(batch_max, int(ck["commit_ts"]))
         self._save_checkpoint(new_version, batch_max)

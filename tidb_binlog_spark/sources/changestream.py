@@ -75,7 +75,8 @@ def change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     query starts from this derivation, and re-parsing/analyzing it per
     query is pure overhead (the plan is immutable; no data is cached).
     """
-    key = (id(spark), sf_dir)
+    from ..session import session_key
+    key = (session_key(spark), sf_dir)
     df = _STREAM_MEMO.get(key)
     if df is None:
         load_tables(spark, sf_dir, "events")

@@ -14,6 +14,12 @@ rolled-back txns).
 
 State is one small row per in-flight txn, evicted on match/timeout —
 bounded by txn concurrency, not stream length.
+
+UPGRADE NOTE: the state schema gained ``has_r`` (rollback-before-
+prewrite tracking). Spark's state store does not migrate state rows
+across schema changes — resuming a checkpoint written by the 4-field
+version requires a fresh checkpoint dir (replay from the source; the
+downstream apply is idempotent, so this is safe).
 """
 
 from __future__ import annotations

@@ -146,7 +146,11 @@ def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
         if wm_row["wm"] is None:        # batch fully below the cursor
             batch_df.unpersist()
             return
-        ok = ordering.ordered_stream(batch_df)
+        # FAKE heartbeats advance the watermark (computed above) but
+        # must never reach the statement builder — generate_sql has no
+        # case for them and would emit NULL sql_text.
+        ok = (ordering.ordered_stream(batch_df)
+              .filter(F.col("op") != "FAKE"))
         if window.active():
             prepared = sm.safe_mode_rewrite(ok)
         else:
@@ -189,25 +193,50 @@ def multi_source_merge_round(spark: SparkSession, source_dirs: list[str],
     """
     from functools import reduce
 
-    frames = [spark.read.parquet(d) for d in source_dirs]
-    allf = reduce(lambda a, b: a.unionByName(b), frames)
     ck = table.checkpoint()["commit_ts"]
+
+    # A registered source with no segments yet (pump came up, produced
+    # nothing) must BLOCK the merge, exactly like a source whose head
+    # item hasn't arrived (merge.go:268-297): its cursor is unknown, so
+    # the watermark cannot pass the checkpoint.
+    frames, blocked = [], False
+    for d in source_dirs:
+        try:
+            frames.append(spark.read.parquet(d))
+        except Exception:
+            blocked = True
+    if not frames:
+        return {"watermark": int(ck), "n_applied": 0,
+                "n_sources": len(source_dirs),
+                "checkpoint": table.checkpoint()["commit_ts"]}
+    allf = reduce(lambda a, b: a.unionByName(b), frames)
 
     # per-source cursors over the full zone (max is monotone, so
     # already-applied rows cannot lower it); min over CURRENT sources.
+    # The columnar (source_id, commit_ts) aggregate is the only
+    # full-history pass; the data pass below reads just the fresh
+    # suffix, persisted once for the gate's multiple reads.
     wm_row = (allf.groupBy("source_id")
               .agg(F.max("commit_ts").alias("source_max"))
-              .agg(F.min("source_max").alias("wm")).collect()[0])
+              .agg(F.min("source_max").alias("wm"),
+                   F.count(F.lit(1)).alias("n_live")).collect()[0])
     watermark = wm_row["wm"] if wm_row["wm"] is not None else ck
+    if blocked or wm_row["n_live"] < len(source_dirs):
+        watermark = ck      # some source has shown nothing yet: block
+    # NOTE the gate may legitimately re-min BELOW the checkpoint when a
+    # lagging source joins — emission is still bounded by (> ck), and
+    # advance_checkpoint never regresses.
 
-    fresh = allf.filter((F.col("commit_ts") > ck)
-                        & (F.col("commit_ts") <= watermark))
+    fresh = (allf.filter((F.col("commit_ts") > ck)
+                         & (F.col("commit_ts") <= watermark))
+             .persist())
     appliable = ordering.ordered_stream(fresh).filter(F.col("op") != "FAKE")
     compacted = compaction.compact_last_image(appliable).persist()
     n_applied = compacted.count()   # materializes once; apply reads cache
     if n_applied:
         table.apply_batch(compacted)
     compacted.unpersist()
+    fresh.unpersist()
     if watermark > ck:
         table.advance_checkpoint(watermark)
     return {"watermark": int(watermark), "n_applied": int(n_applied),
