@@ -419,3 +419,67 @@ def test_schema_replay_recreate_after_rename_and_drop(spark):
         .withColumn("row_json", F.lit('{"a": "5"}'))
     out = se.decode_with_replay(ch, reg2, "d", spark).collect()
     assert [r["pk"] for r in out] == [1]      # post-drop mutation gone
+
+
+def test_loopback_mark_write_then_filter_roundtrip(spark, tmp_path):
+    """The mark statements one channel writes are exactly what the
+    opposite channel's loopback_filter drops (loopbacksync.go)."""
+    import os
+    import sqlite3
+
+    from tidb_binlog_spark.operators import batching
+    from tidb_binlog_spark.sinks import jdbc
+
+    ch = make_changes(spark, [(1, "s0", 10, "I", 1), (2, "s0", 10, "U", 2),
+                              (3, "s0", 20, "I", 3)])
+    marks = batching.loopback_mark_statements(ch, channel_id=7, row_num=4)
+    got = {r["commit_ts"]: r["sql_text"] for r in marks.collect()}
+    assert len(got) == 2                      # one per txn
+    assert got[10] == ("UPDATE retl._drainer_repl_mark SET val = val + 1 "
+                       "WHERE id = 2 AND channel_id = 7 LIMIT 1")
+
+    # executable end-to-end against the sink (SQLite dialect: strip
+    # LIMIT from UPDATE, allowed only behind a compile flag there)
+    db_dir = str(tmp_path / "db")
+    stmts = (marks.withColumn("sql_text",
+                              F.expr("replace(sql_text, ' LIMIT 1', '')"))
+             .withColumn("worker_id", F.lit(0))
+             .withColumn("seq", F.lit(0)).withColumn("sub_seq", F.lit(0)))
+    setup = ("CREATE TABLE IF NOT EXISTS \"retl._drainer_repl_mark\" "
+             "(id bigint, channel_id bigint, val bigint, channel_info text,"
+             " PRIMARY KEY (id, channel_id))",
+             batching.init_mark_table_sql(4, 7).replace(
+                 batching.MARK_TABLE, '"retl._drainer_repl_mark"'))
+    stmts = stmts.withColumn(
+        "sql_text", F.expr(
+            "replace(sql_text, 'retl._drainer_repl_mark', "
+            "'\"retl._drainer_repl_mark\"')"))
+    jdbc.apply_statements(stmts, db_dir, 1, setup_sql=setup)
+    conn = sqlite3.connect(os.path.join(db_dir, "worker_0.db"))
+    vals = dict(conn.execute(
+        'SELECT id, val FROM "retl._drainer_repl_mark" WHERE channel_id=7'))
+    assert vals[2] == 2 and vals[0] == 2      # bumped once each (from 1)
+
+    # the filter side drops exactly the marked txns
+    mark_rows = make_changes(spark, [(9, "s0", 10, "I", 99)]) \
+        .withColumn("db", F.lit("retl")) \
+        .withColumn("tbl", F.lit("_drainer_repl_mark"))
+    stream = ch.unionByName(mark_rows)
+    kept = batching.loopback_filter(stream).select("commit_ts").distinct()
+    assert [r["commit_ts"] for r in kept.collect()] == [20]
+
+
+def test_file_dump_gc_retention(spark, tmp_path):
+    from tidb_binlog_spark.sinks import payload
+
+    ch = make_changes(spark, [(i, "s0", i * 100000, "I", i)
+                              for i in range(1, 8)])
+    path = str(tmp_path / "dump")
+    payload.file_dump(ch, path)
+    removed = payload.gc_file_dump(path, safepoint_ts=400000)
+    assert removed == ["ts_bucket=1", "ts_bucket=2", "ts_bucket=3"]
+    left = sorted(r["commit_ts"] for r in
+                  payload.read_file_dump(spark, path).collect())
+    assert left == [400000, 500000, 600000, 700000]
+    # idempotent / no-op below an already-collected safepoint
+    assert payload.gc_file_dump(path, safepoint_ts=100000) == []

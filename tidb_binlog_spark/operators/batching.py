@@ -75,6 +75,44 @@ def loopback_filter(changes: DataFrame, mark_db: str = "retl",
     return changes.join(marked_txns, "commit_ts", "left_anti")
 
 
+# Mark-table write side (drainer/loopbacksync/loopbacksync.go:27-122):
+# the applying channel stamps every txn it writes downstream with a
+# mark-row update so the opposite direction's loopback_filter drops it.
+MARK_TABLE = "retl._drainer_repl_mark"
+CREATE_MARK_TABLE = (
+    f"CREATE TABLE IF NOT EXISTS {MARK_TABLE} ("
+    f"id bigint not null, channel_id bigint not null DEFAULT 0, "
+    f"val bigint DEFAULT 0, channel_info varchar(64), "
+    f"PRIMARY KEY (id, channel_id))")
+
+
+def init_mark_table_sql(row_num: int, channel_id: int) -> str:
+    """InitMarkTableData: seed row_num mark rows for the channel (the
+    id spreads txn marks over rows to avoid one hot row)."""
+    values = ", ".join(f"({i}, {channel_id}, 1, '')"
+                       for i in range(row_num))
+    return (f"REPLACE INTO {MARK_TABLE}"
+            f"(id, channel_id, val, channel_info) VALUES {values}")
+
+
+def loopback_mark_statements(changes: DataFrame, channel_id: int,
+                             row_num: int = 16) -> DataFrame:
+    """One UpdateMark statement per txn (distinct commit_ts), to be
+    executed INSIDE that txn's downstream apply
+    (loopbacksync.go:116-122): bumps val on mark row
+    id = commit_ts % row_num for this channel. Emits (commit_ts,
+    sql_text) ordered like any other statement stream."""
+    return (changes.select("commit_ts").distinct()
+            .withColumn(
+                "sql_text",
+                F.concat(
+                    F.lit(f"UPDATE {MARK_TABLE} SET val = val + 1 "
+                          f"WHERE id = "),
+                    F.pmod(F.col("commit_ts"), F.lit(row_num))
+                     .cast("long").cast("string"),
+                    F.lit(f" AND channel_id = {channel_id} LIMIT 1"))))
+
+
 def heartbeat_progress(changes: DataFrame) -> DataFrame:
     """Per-source progress accounting with FAKE (heartbeat) events:
     applied = non-fake rows; the checkpoint cursor still advances over

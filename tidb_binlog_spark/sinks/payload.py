@@ -14,6 +14,8 @@ narrow projection.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -59,6 +61,28 @@ def file_dump(changes: DataFrame, path: str, partitions: int = 1) -> None:
      .write.mode("overwrite")
      .partitionBy("ts_bucket")
      .parquet(path))
+
+
+def gc_file_dump(path: str, safepoint_ts: int,
+                 bucket_width: int = 100000) -> list[str]:
+    """Retention GC: delete ts_bucket partitions ENTIRELY below the
+    safepoint — the pump's storage GC (pump/storage/storage.go GC
+    deletes data with commit ts < gcTS; binlogctl drives the safepoint).
+    A bucket containing the safepoint is kept whole (coarse-grained,
+    like the reference's file-level GC). Returns the removed partition
+    dirs."""
+    import shutil as _shutil
+    keep_from = safepoint_ts // bucket_width
+    removed = []
+    if not os.path.isdir(path):
+        return removed
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("ts_bucket="):
+            continue
+        if int(d.split("=", 1)[1]) < keep_from:
+            _shutil.rmtree(os.path.join(path, d))
+            removed.append(d)
+    return removed
 
 
 def read_file_dump(spark, path: str, start_ts: int | None = None,

@@ -85,6 +85,23 @@ def main() -> int:
         } for r in sorted(rows, key=lambda r: r["source_id"])}))
         return 0
 
+    if cmd == "generate_meta":
+        # binlogctl GenerateMetaInfo (binlogctl/meta.go:34-51): record
+        # the newest commit ts as the initial drainer savepoint. Our
+        # TSO analog is the change log's max commit_ts.
+        from pyspark.sql import functions as F
+
+        from tidb_binlog_spark.sources.changestream import change_stream
+        data_dir = sys.argv[3]
+        os.makedirs(data_dir, exist_ok=True)
+        ts = change_stream(spark, target) \
+            .agg(F.max("commit_ts").alias("m")).collect()[0]["m"]
+        meta = {"commitTS": int(ts if ts is not None else 0)}
+        with open(os.path.join(data_dir, "savepoint"), "w") as f:
+            json.dump(meta, f)
+        print(json.dumps(meta))
+        return 0
+
     if cmd == "replay":
         from tidb_binlog_spark.sinks.payload import read_file_dump
         start_ts, stop_ts = int(sys.argv[3]), int(sys.argv[4])
