@@ -628,6 +628,19 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return simfn.embedding_near_dups(_embs(spark, sf_dir))
 
 
+def q_dedup_embedding_clusters(spark, sf_dir):
+    """Embedding near-dup CLUSTERS: connected components over the
+    cosine near-dup graph — the canonical-representative assignment a
+    dedup pipeline actually consumes (same CC operator as causality
+    grouping and minhash clusters)."""
+    pairs = simfn.embedding_near_dups(_embs(spark, sf_dir))
+    edges = (pairs.selectExpr("vec_a AS txn_id", "CAST(vec_b AS STRING) AS key")
+             .unionByName(pairs.selectExpr("vec_b AS txn_id",
+                                           "CAST(vec_b AS STRING) AS key")))
+    groups = causality.causality_groups(edges)
+    return groups.selectExpr("txn_id AS vec_id", "group_id AS cluster_id")
+
+
 def q_text_token_count(spark, sf_dir):
     return textfn.token_count(_docs(spark, sf_dir))
 
@@ -717,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_clusters": q_dedup_embedding_clusters,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -989,6 +1003,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": osql.ANN_LSH_TOPK,
         "ann_ivf_topk": osql.ANN_IVF_TOPK,
         "dedup_embedding_cosine": osql.EMBEDDING_NEAR_DUPS,
+        "dedup_embedding_clusters": osql.EMBEDDING_CLUSTERS,
         "text_token_count": osql.TEXT_TOKEN_COUNT,
         "text_quality": osql.TEXT_QUALITY,
         "text_lang_id": osql.text_lang_id_sql(textfn.STOPWORDS),

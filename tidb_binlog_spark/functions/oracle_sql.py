@@ -335,3 +335,26 @@ SELECT lang, doc_id, n_tokens,
          AS bin_id
 FROM cum
 """
+
+
+EMBEDDING_CLUSTERS = f"""
+WITH RECURSIVE
+b AS (SELECT vec_id, embedding, {LSH_BUCKET} AS bucket FROM embeddings),
+pairs AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  WHERE {cosine('x.embedding', 'y.embedding')} >= 0.3),
+e0 AS (
+  SELECT vec_a AS txn_id, CAST(vec_b AS STRING) AS key FROM pairs
+  UNION ALL
+  SELECT vec_b AS txn_id, CAST(vec_b AS STRING) AS key FROM pairs),
+tk AS (SELECT DISTINCT txn_id, key FROM e0),
+e AS (SELECT DISTINCT a.txn_id AS src, b.txn_id AS dst
+      FROM tk a JOIN tk b ON a.key = b.key),
+r AS (
+  SELECT txn_id, txn_id AS label FROM (SELECT DISTINCT txn_id FROM tk)
+  UNION
+  SELECT e.src AS txn_id, r.label FROM r JOIN e ON e.dst = r.txn_id
+)
+SELECT txn_id AS vec_id, MIN(label) AS cluster_id FROM r GROUP BY txn_id
+"""
