@@ -154,6 +154,40 @@ def q_cdc_checkpoint_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordering.checkpoint_ts(ch, pending)
 
 
+_TSO = 1 << 18  # ts -> TSO with physical_ms == ts (oracle.ExtractPhysical)
+
+
+def q_cdc_txn_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parked prewrites classified by the txn-status resolver
+    (pump/storage/storage.go:431-558): the MVCC/lock-resolver answer
+    set is derived deterministically from the stream (pk arithmetic),
+    timestamps are lifted to TSO scale so the young-txn timeout uses
+    the reference's physical-time extraction (ts >> 18)."""
+    from tidb_binlog_spark.operators import txn_resolver
+    ch = _spark_changes(spark, sf_dir)
+    p, c = _pc_frames(spark, sf_dir)
+    pending = (pc_match.unmatched_prewrites(p, c)
+               .select((F.col("start_ts") * _TSO).alias("start_ts"),
+                       "arrival_seq", "pk"))
+    status = (ch.filter((F.col("arrival_seq") % 20 == 19)
+                        & (F.col("pk") % 4 != 3))
+              .select(
+                  (F.col("start_ts") * _TSO).alias("start_ts"),
+                  F.when(F.col("pk") % 4 == 0, F.lit("committed"))
+                   .when(F.col("pk") % 4 == 1, F.lit("rollback"))
+                   .otherwise(F.lit("lock")).alias("status"),
+                  F.when(F.col("pk") % 8 == 0,
+                         F.col("start_ts") * _TSO - 1)      # sanity-fail case
+                   .when(F.col("pk") % 4 == 0,
+                         F.col("start_ts") * _TSO + 5)
+                   .alias("commit_ts")))
+    latest = ch.agg(F.max("commit_ts")).first()[0] * _TSO
+    out = txn_resolver.resolve_txn_status(pending, status, latest,
+                                          max_txn_timeout_s=30)
+    return out.select("start_ts", "arrival_seq", "pk", "action",
+                      "resolved_commit_ts")
+
+
 def q_cdc_update_pk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = _spark_changes(spark, sf_dir).withColumn(
         "old_pk",
@@ -711,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pc_match": q_cdc_pc_match,
         "cdc_pc_unmatched": q_cdc_pc_unmatched,
         "cdc_checkpoint_ts": q_cdc_checkpoint_ts,
+        "cdc_txn_resolve": q_cdc_txn_resolve,
         "cdc_update_pk_split": q_cdc_update_pk_split,
         "cdc_safe_mode": q_cdc_safe_mode,
         "cdc_schema_backfill": q_cdc_schema_backfill,
@@ -888,6 +923,40 @@ def oracle_sql() -> dict[str, str]:
                         THEN min_pending - 1
                         ELSE watermark END AS checkpoint_ts
             FROM wm, pending
+        """,
+        "cdc_txn_resolve": f"""
+            {CHANGES_CTE},
+            p AS (SELECT start_ts * 262144 AS start_ts, arrival_seq, pk
+                  FROM changes pp
+                  WHERE NOT EXISTS (
+                    SELECT 1 FROM changes cc
+                    WHERE cc.arrival_seq % 20 <> 19
+                      AND cc.start_ts = pp.start_ts)),
+            status AS (
+              SELECT start_ts * 262144 AS start_ts,
+                     CASE WHEN pk % 4 = 0 THEN 'committed'
+                          WHEN pk % 4 = 1 THEN 'rollback'
+                          ELSE 'lock' END AS status,
+                     CASE WHEN pk % 8 = 0 THEN start_ts * 262144 - 1
+                          WHEN pk % 4 = 0 THEN start_ts * 262144 + 5
+                     END AS commit_ts
+              FROM changes
+              WHERE arrival_seq % 20 = 19 AND pk % 4 <> 3),
+            latest AS (SELECT MAX(commit_ts) * 262144 AS latest_tso FROM changes)
+            SELECT p.start_ts, p.arrival_seq, p.pk,
+                   CASE WHEN s.status = 'committed' AND s.commit_ts > p.start_ts
+                          THEN 'synthesize_commit'
+                        WHEN s.status = 'committed' THEN 'pending'
+                        WHEN s.status = 'rollback' THEN 'drop_rollback'
+                        WHEN s.status = 'lock' THEN 'pending'
+                        WHEN CAST(FLOOR((latest_tso >> 18) / 1000) AS BIGINT)
+                             - CAST(FLOOR((p.start_ts >> 18) / 1000) AS BIGINT) <= 30
+                          THEN 'pending'
+                        ELSE 'drop_rollback' END AS action,
+                   CASE WHEN s.status = 'committed' AND s.commit_ts > p.start_ts
+                        THEN s.commit_ts END AS resolved_commit_ts
+            FROM p LEFT JOIN status s ON p.start_ts = s.start_ts
+            CROSS JOIN latest
         """,
         "cdc_update_pk_split": f"""
             {CHANGES_CTE},

@@ -483,3 +483,41 @@ def test_file_dump_gc_retention(spark, tmp_path):
     assert left == [400000, 500000, 600000, 700000]
     # idempotent / no-op below an already-collected safepoint
     assert payload.gc_file_dump(path, safepoint_ts=100000) == []
+
+
+def test_txn_resolver_decision_rules(spark):
+    """Every branch of pump/storage/storage.go:431-558: committed (sane
+    and insane commit ts), rollback, valid lock, unknown-young,
+    unknown-old."""
+    from tidb_binlog_spark.operators import txn_resolver
+
+    tso = 1 << 18
+    # start_ts at TSO scale; physical seconds = ts >> 18 / 1000
+    pending = spark.createDataFrame(
+        [(1000 * tso, "a"), (2000 * tso, "b"), (3000 * tso, "c"),
+         (4000 * tso, "d"), (99_000 * tso, "e"), (5000 * tso, "f")],
+        "start_ts long, payload string")
+    status = spark.createDataFrame(
+        [(1000 * tso, "committed", 1000 * tso + 7),
+         (2000 * tso, "committed", 2000 * tso - 1),   # sanity fail
+         (3000 * tso, "rollback", None),
+         (4000 * tso, "lock", None)],
+        "start_ts long, status string, commit_ts long")
+    latest = 100_000 * tso  # physical 100_000 ms -> second 100
+    out = {r["payload"]: (r["action"], r["resolved_commit_ts"])
+           for r in txn_resolver.resolve_txn_status(
+               pending, status, latest, max_txn_timeout_s=30).collect()}
+    assert out["a"] == ("synthesize_commit", 1000 * tso + 7)
+    assert out["b"] == ("pending", None)         # commit_ts <= start_ts
+    assert out["c"] == ("drop_rollback", None)
+    assert out["d"] == ("pending", None)         # lock TTL valid
+    # e: unknown, physical second 99 vs latest 100 -> elapsed 1 <= 30
+    assert out["e"] == ("pending", None)
+    # f: unknown, elapsed 95s > 30 -> expired, never committed
+    assert out["f"] == ("drop_rollback", None)
+
+    synth = txn_resolver.synthesize_commits(
+        txn_resolver.resolve_txn_status(pending, status, latest, 30))
+    rows = synth.collect()
+    assert len(rows) == 1 and rows[0]["commit_ts"] == 1000 * tso + 7
+    assert rows[0]["synthesized"] and not rows[0]["is_rollback"]
