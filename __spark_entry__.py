@@ -243,9 +243,15 @@ def q_cdc_schema_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 DDL_CASE = """
 CASE arrival_seq % 250
   WHEN 0   THEN 'ALTER TABLE t ADD COLUMN c INT'
+  WHEN 25  THEN 'ALTER TABLE t TRUNCATE PARTITION p0'
   WHEN 50  THEN 'DROP TABLE old_t'
+  WHEN 75  THEN 'CREATE SEQUENCE seq START WITH 1'
   WHEN 100 THEN 'CREATE PLACEMENT POLICY p FOLLOWERS=4'
+  WHEN 125 THEN 'DROP DATABASE legacy'
   WHEN 150 THEN 'TRUNCATE TABLE t'
+  WHEN 175 THEN 'LOCK TABLES t WRITE'
+  WHEN 200 THEN 'ALTER TABLE t ADD PARTITION (PARTITION p2 VALUES LESS THAN (10))'
+  WHEN 225 THEN 'ALTER TABLE t ATTRIBUTES=''merge_option=deny'''
   ELSE 'CREATE INDEX idx ON t(c)'
 END
 """
@@ -275,6 +281,35 @@ def q_cdc_ddl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ddl.prep_for_apply(ch)
     return out.select("arrival_seq", "db", "ddl_sql", "ddl_kind",
                       "should_skip", "apply_sql")
+
+
+def _partition_catalog():
+    """Bindings after a replayed partition-DDL history: ptest/itest/ntest
+    hash-partitioned 4/4/3 ways; ptest p1 was TRUNCATEd (old id 101
+    retired, new id 110 bound); ntest never had a p3 (ids 303 orphan)."""
+    from tidb_binlog_spark.operators import partitions
+    cat = partitions.PartitionCatalog()
+    for base, tbl, n in ((100, "ptest", 4), (200, "itest", 4), (300, "ntest", 3)):
+        for i in range(n):
+            cat.bind(tbl, f"p{i}", base + i)
+    cat.truncate_partition("ptest", "p1", 110, commit_ts=0)
+    return cat
+
+
+def q_cdc_partition_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-partition-id resolution: mutations tagged with the
+    physical id of their hash partition; TRUNCATE PARTITION retired one
+    id (late binlogs become orphans), one partition never existed."""
+    from tidb_binlog_spark.operators import partitions
+    ch = _spark_changes(spark, sf_dir).withColumn(
+        "physical_id",
+        F.when(F.col("tbl") == "ptest", 100)
+         .when(F.col("tbl") == "itest", 200)
+         .otherwise(300) + F.col("pk") % 4)
+    dim = _partition_catalog().dimension(spark)
+    out = partitions.resolve_partitions(ch, dim)
+    return out.select("arrival_seq", "physical_id", "db", "logical_tbl",
+                      "partition_name", "partition_status")
 
 
 def q_cdc_loopback_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,18 +732,9 @@ def _ddl_stream_oracle() -> str:
     skip = " OR ".join(
         f"regexp_matches(upper(ddl_sql), '{p}')"
         for p in ddl.UNSUPPORTED_DDL_PATTERNS)
-    kinds = [
-        ("^CREATE TABLE", "create_table"),
-        ("^DROP TABLE", "drop_table"),
-        ("^TRUNCATE", "truncate"),
-        ("^ALTER TABLE .* ADD COLUMN", "add_column"),
-        ("^ALTER TABLE .* DROP COLUMN", "drop_column"),
-        ("^RENAME TABLE", "rename_table"),
-        ("^CREATE (UNIQUE )?INDEX", "create_index"),
-    ]
     kind_case = "CASE " + " ".join(
         f"WHEN regexp_matches(upper(ddl_sql), '{pat}') THEN '{k}'"
-        for pat, k in kinds) + " ELSE 'other' END"
+        for pat, k in ddl.KIND_PATTERNS) + " ELSE 'other' END"
     return f"""
         {CHANGES_CTE},
         d AS (SELECT arrival_seq, db, {DDL_CASE} AS ddl_sql
@@ -772,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "cdc_full_pipeline": q_cdc_full_pipeline,
         "cdc_ddl_stream": q_cdc_ddl_stream,
+        "cdc_partition_route": q_cdc_partition_route,
         "cdc_loopback_filter": q_cdc_loopback_filter,
         "cdc_heartbeat_progress": q_cdc_heartbeat_progress,
         "cdc_arbiter_dedup": q_cdc_arbiter_dedup,
@@ -1124,6 +1151,26 @@ def oracle_sql() -> dict[str, str]:
             FROM last WHERE rn = 1
         """,
         "cdc_ddl_stream": _ddl_stream_oracle(),
+        "cdc_partition_route": f"""
+            {CHANGES_CTE},
+            dim AS (SELECT * FROM (VALUES
+                (100,'ptest','p0'),(102,'ptest','p2'),(103,'ptest','p3'),
+                (110,'ptest','p1'),
+                (200,'itest','p0'),(201,'itest','p1'),(202,'itest','p2'),
+                (203,'itest','p3'),
+                (300,'ntest','p0'),(301,'ntest','p1'),(302,'ntest','p2'))
+                AS t(physical_id, logical_tbl, partition_name)),
+            p AS (SELECT arrival_seq, db,
+                    (CASE tbl WHEN 'ptest' THEN 100
+                              WHEN 'itest' THEN 200
+                              ELSE 300 END) + pk % 4 AS physical_id
+                  FROM changes)
+            SELECT p.arrival_seq, p.physical_id, p.db, d.logical_tbl,
+                   d.partition_name,
+                   CASE WHEN d.logical_tbl IS NULL THEN 'orphan'
+                        ELSE 'ok' END AS partition_status
+            FROM p LEFT JOIN dim d ON p.physical_id = d.physical_id
+        """,
         "cdc_loopback_filter": f"""
             {CHANGES_CTE},
             marked AS (

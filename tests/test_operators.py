@@ -521,3 +521,32 @@ def test_txn_resolver_decision_rules(spark):
     rows = synth.collect()
     assert len(rows) == 1 and rows[0]["commit_ts"] == 1000 * tso + 7
     assert rows[0]["synthesized"] and not rows[0]["is_rollback"]
+
+
+def test_partition_catalog_rebind_and_orphans(spark):
+    """TRUNCATE PARTITION re-binds to a new physical id (late binlogs
+    for the old id orphan out); DROP PARTITION retires; ADD binds."""
+    from tidb_binlog_spark.operators import partitions
+
+    cat = partitions.PartitionCatalog()
+    cat.bind("t1", "p0", 11)
+    cat.bind("t1", "p1", 12)
+    cat.truncate_partition("t1", "p1", 21, commit_ts=500)
+    cat.add_partition("t1", "p2", 31, commit_ts=600)
+    cat.drop_partition("t1", "p0", commit_ts=700)
+    assert cat.retired == {12: 500, 11: 700}
+    assert cat.bindings == {21: ("t1", "p1"), 31: ("t1", "p2")}
+
+    ch = spark.createDataFrame(
+        [(1, 11), (2, 12), (3, 21), (4, 31), (5, 99)],
+        "arrival_seq long, physical_id long")
+    out = {r["arrival_seq"]: (r["logical_tbl"], r["partition_name"],
+                              r["partition_status"])
+           for r in partitions.resolve_partitions(
+               ch, cat.dimension(spark)).collect()}
+    assert out[1] == (None, None, "orphan")      # dropped partition
+    assert out[2] == (None, None, "orphan")      # pre-truncate incarnation
+    assert out[3] == ("t1", "p1", "ok")
+    assert out[4] == ("t1", "p2", "ok")
+    assert out[5] == (None, None, "orphan")      # never bound
+    assert partitions.live_stream(ch, cat.dimension(spark)).count() == 2

@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# (?i) prefixed patterns the reference refuses to replicate
+# (?i) prefixed patterns the reference refuses to replicate — the text
+# analog of skipUnsupportedDDLJob (drainer/schema.go:333-353): placement
+# policies, resource groups, cache/nocache, lock/unlock, table and
+# partition attributes, TiFlash replica status, sequence setval.
 UNSUPPORTED_DDL_PATTERNS = [
     "^CREATE PLACEMENT POLICY",
     "^ALTER PLACEMENT POLICY",
@@ -32,6 +35,37 @@ UNSUPPORTED_DDL_PATTERNS = [
     "^ALTER TABLE .* CACHE$",
     "^ALTER TABLE .* NOCACHE$",
     "^SELECT SETVAL",
+    "^LOCK TABLES",
+    "^UNLOCK TABLES",
+    "^ALTER TABLE .* ATTRIBUTES",
+    "^ALTER TABLE .* PARTITION .* ATTRIBUTES",
+    "^ALTER TABLE .* PLACEMENT POLICY",
+    "^ALTER DATABASE .* PLACEMENT POLICY",
+]
+
+
+# first match wins (so ALTER ... TRUNCATE PARTITION beats TRUNCATE).
+# Kinds mirror the model.Action switch of drainer/schema.go:360-561:
+# table/column lifecycle, partitions (add/drop/truncate re-bind the
+# physical partition ids), schemas (DropSchema cascades), sequences
+# (replicated as tables: ActionCreateSequence/DropSequence share the
+# CreateTable/DropTable arms), views, indexes.
+KIND_PATTERNS = [
+    ("^CREATE TABLE", "create_table"),
+    ("^DROP TABLE", "drop_table"),
+    ("^ALTER TABLE .* ADD COLUMN", "add_column"),
+    ("^ALTER TABLE .* DROP COLUMN", "drop_column"),
+    ("^ALTER TABLE .* ADD PARTITION", "add_partition"),
+    ("^ALTER TABLE .* DROP PARTITION", "drop_partition"),
+    ("^ALTER TABLE .* TRUNCATE PARTITION", "truncate_partition"),
+    ("^TRUNCATE", "truncate"),
+    ("^RENAME TABLE", "rename_table"),
+    ("^CREATE (UNIQUE )?INDEX", "create_index"),
+    ("^CREATE (DATABASE|SCHEMA)", "create_schema"),
+    ("^DROP (DATABASE|SCHEMA)", "drop_schema"),
+    ("^CREATE SEQUENCE", "create_sequence"),
+    ("^DROP SEQUENCE", "drop_sequence"),
+    ("^CREATE (OR REPLACE )?VIEW", "create_view"),
 ]
 
 
@@ -45,14 +79,9 @@ def is_unsupported(ddl_col: Column) -> Column:
 def classify_ddl(ddls: DataFrame, ddl_col: str = "ddl_sql") -> DataFrame:
     """Tag each DDL with its kind and whether the pipeline applies it."""
     c = F.col(ddl_col)
-    kind = (F.when(F.upper(c).rlike("^CREATE TABLE"), "create_table")
-             .when(F.upper(c).rlike("^DROP TABLE"), "drop_table")
-             .when(F.upper(c).rlike("^TRUNCATE"), "truncate")
-             .when(F.upper(c).rlike("^ALTER TABLE .* ADD COLUMN"), "add_column")
-             .when(F.upper(c).rlike("^ALTER TABLE .* DROP COLUMN"), "drop_column")
-             .when(F.upper(c).rlike("^RENAME TABLE"), "rename_table")
-             .when(F.upper(c).rlike("^CREATE (UNIQUE )?INDEX"), "create_index")
-             .otherwise("other"))
+    kind = F.lit("other")
+    for pat, k in reversed(KIND_PATTERNS):
+        kind = F.when(F.upper(c).rlike(pat), F.lit(k)).otherwise(kind)
     return (ddls.withColumn("ddl_kind", kind)
                 .withColumn("should_skip", is_unsupported(c)))
 
