@@ -722,6 +722,10 @@ def q_text_lang_id(spark, sf_dir):
     return textfn.lang_id(_docs(spark, sf_dir))
 
 
+def q_text_repetition(spark, sf_dir):
+    return textfn.repetition_metrics(_docs(spark, sf_dir))
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return textfn.fingerprints(_docs(spark, sf_dir))
 
@@ -794,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_clusters": q_dedup_embedding_clusters,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
+        "text_repetition": q_text_repetition,
         "text_lang_id": q_text_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "cdc_full_pipeline": q_cdc_full_pipeline,
@@ -1102,6 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_clusters": osql.EMBEDDING_CLUSTERS,
         "text_token_count": osql.TEXT_TOKEN_COUNT,
         "text_quality": osql.TEXT_QUALITY,
+        "text_repetition": osql.TEXT_REPETITION,
         "text_lang_id": osql.text_lang_id_sql(textfn.STOPWORDS),
         "doc_fingerprint": osql.DOC_FINGERPRINT,
         "cdc_gc_safepoint": f"""

@@ -253,6 +253,32 @@ FROM toks
 """
 
 
+TEXT_REPETITION = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+bi AS (SELECT doc_id, toks,
+  CASE WHEN len(toks) >= 2 THEN
+    list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1])
+  ELSE [] END AS bi
+FROM toks)
+SELECT doc_id,
+  len(toks) AS n_words,
+  CAST(list_max(list_transform(list_distinct(toks),
+                w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
+    / CAST(len(toks) AS DOUBLE) AS top_word_frac,
+  CASE WHEN len(bi) > 0 THEN
+    CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / CAST(len(bi) AS DOUBLE)
+  ELSE 0.0 END AS dup_bigram_frac,
+  (CAST(list_max(list_transform(list_distinct(toks),
+                 w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
+     / CAST(len(toks) AS DOUBLE) > 0.2)
+  OR (CASE WHEN len(bi) > 0 THEN
+        CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / CAST(len(bi) AS DOUBLE)
+      ELSE 0.0 END > 0.3) AS is_repetitive
+FROM bi
+"""
+
+
 def _lang_case(stopwords: dict[str, list[str]]) -> str:
     langs = sorted(stopwords)
     score = {lang: f"len(list_filter(toks, t -> list_contains([{', '.join(repr(w) for w in stopwords[lang])}], t)))"

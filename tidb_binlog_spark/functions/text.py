@@ -105,6 +105,40 @@ def lang_id(docs: DataFrame) -> DataFrame:
                      best.alias("best_score"))
 
 
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Gopher/MassiveText-style repetition filters: the most frequent
+    word's share of the document and the duplicate word-bigram
+    fraction (Rae et al. 2021 §A1.1 'repetitious text' — documents
+    dominated by one token or by repeated n-grams are low-quality
+    boilerplate/spam).
+
+    Pure per-row array expressions: no explode, no shuffle, bounded by
+    document length (top-word count is O(distinct·n) per doc — fine for
+    bounded-length documents; corpus-scale cost stays linear in total
+    tokens). Clause-by-clause mirrorable in DuckDB list functions.
+    """
+    bigrams = ("CASE WHEN size(toks) >= 2 THEN "
+               "transform(sequence(0, size(toks) - 2), "
+               "i -> concat(toks[i], ' ', toks[i+1])) "
+               "ELSE array() END")
+    top_cnt = ("array_max(transform(array_distinct(toks), "
+               "w -> size(filter(toks, x -> x = w))))")
+    return (with_tokens(docs)
+            .withColumn("bi", F.expr(bigrams))
+            .select(
+                "doc_id",
+                F.expr("size(toks)").alias("n_words"),
+                F.expr(f"CAST({top_cnt} AS DOUBLE) / CAST(size(toks) AS DOUBLE)")
+                    .alias("top_word_frac"),
+                F.expr("CASE WHEN size(bi) > 0 THEN "
+                       "CAST(size(bi) - size(array_distinct(bi)) AS DOUBLE)"
+                       " / CAST(size(bi) AS DOUBLE) ELSE 0.0 END")
+                    .alias("dup_bigram_frac"))
+            .withColumn("is_repetitive",
+                        (F.col("top_word_frac") > 0.2)
+                        | (F.col("dup_bigram_frac") > 0.3)))
+
+
 def fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     """Winnowing document fingerprints: md5 over character k-grams,
     minimum per sliding window of w, distinct per doc. The standard
