@@ -550,3 +550,38 @@ def test_partition_catalog_rebind_and_orphans(spark):
     assert out[4] == ("t1", "p2", "ok")
     assert out[5] == (None, None, "orphan")      # never bound
     assert partitions.live_stream(ch, cat.dimension(spark)).count() == 2
+
+
+def test_schema_ddl_drop_database_cascade(spark):
+    """CREATE/DROP DATABASE replay: DropSchema cascades to every table
+    of the schema in one job (drainer/schema.go:373-406); qualified
+    names parse; tables in other schemas are untouched."""
+    from tidb_binlog_spark.operators import schema_evolution as se
+
+    p = se.parse_ddl("CREATE TABLE `shop`.`orders` (id INT, note TEXT DEFAULT 'x')")
+    assert p["kind"] == "create_table" and p["db"] == "shop" \
+        and p["table"] == "orders"
+    assert se.parse_ddl("DROP DATABASE IF EXISTS shop")["db"] == "shop"
+
+    reg = se.SchemaRegistry()
+    reg.apply_ddl_events([
+        (10, "CREATE DATABASE shop"),
+        (20, "CREATE TABLE shop.orders (id INT)"),
+        (30, "CREATE TABLE shop.items (id INT)"),
+        (40, "CREATE TABLE other.keep (id INT)"),
+        (50, "ALTER TABLE shop.items ADD COLUMN qty INT DEFAULT '0'"),
+        (60, "DROP DATABASE shop"),
+    ])
+    assert reg.dropped == {"orders", "items"}
+    assert reg.drop_ts == {"orders": 60, "items": 60}
+    assert "keep" not in reg.dropped
+    assert "shop" not in reg.databases
+    # rename moves the db binding
+    reg2 = se.SchemaRegistry()
+    reg2.apply_ddl_events([
+        (10, "CREATE TABLE a.t1 (id INT)"),
+        (20, "RENAME TABLE a.t1 TO b.t2"),
+        (30, "DROP DATABASE a"),
+    ])
+    assert reg2.table_db == {"t2": "b"}
+    assert reg2.dropped == set()

@@ -50,8 +50,18 @@ def parse_ddl(sql: str) -> dict:
     statements the catalog does not track.
     """
     s = sql.strip().rstrip(";")
+    # optionally db-qualified table name: `db`.`tbl` / db.tbl / tbl
+    _T = r"(?:`?(?P<d>\w+)`?\.)?`?(?P<t>\w+)`?"
+    m = re.match(r"(?is)^CREATE\s+(?:DATABASE|SCHEMA)\s+"
+                 r"(?:IF\s+NOT\s+EXISTS\s+)?`?(?P<db>\w+)`?\s*$", s)
+    if m:
+        return {"kind": "create_schema", "table": None, "db": m.group("db")}
+    m = re.match(r"(?is)^DROP\s+(?:DATABASE|SCHEMA)\s+"
+                 r"(?:IF\s+EXISTS\s+)?`?(?P<db>\w+)`?\s*$", s)
+    if m:
+        return {"kind": "drop_schema", "table": None, "db": m.group("db")}
     m = re.match(r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-                 r"`?(?P<t>\w+)`?\s*\((?P<cols>.*)\)\s*$", s)
+                 + _T + r"\s*\((?P<cols>.*)\)\s*$", s)
     if m:
         cols: dict[str, str | None] = {}
         for part in re.split(r",(?![^()]*\))", m.group("cols")):
@@ -59,29 +69,32 @@ def parse_ddl(sql: str) -> dict:
                           + _DEFAULT_RE + r"\s*$", part)
             if cm:
                 cols[cm.group("c")] = _strip_quotes(cm.group("default"))
-        return {"kind": "create_table", "table": m.group("t"), "columns": cols}
-    m = re.match(r"(?is)^ALTER\s+TABLE\s+`?(?P<t>\w+)`?\s+ADD\s+COLUMN\s+"
+        return {"kind": "create_table", "table": m.group("t"),
+                "db": m.group("d"), "columns": cols}
+    m = re.match(r"(?is)^ALTER\s+TABLE\s+" + _T + r"\s+ADD\s+COLUMN\s+"
                  r"`?(?P<c>\w+)`?\s+(?P<type>\w+(?:\([^)]*\))?)"
                  + _DEFAULT_RE + r"\s*$", s)
     if m:
         return {"kind": "add_column", "table": m.group("t"),
-                "column": m.group("c"),
+                "db": m.group("d"), "column": m.group("c"),
                 "default": _strip_quotes(m.group("default"))}
-    m = re.match(r"(?is)^ALTER\s+TABLE\s+`?(?P<t>\w+)`?\s+DROP\s+COLUMN\s+"
+    m = re.match(r"(?is)^ALTER\s+TABLE\s+" + _T + r"\s+DROP\s+COLUMN\s+"
                  r"`?(?P<c>\w+)`?\s*$", s)
     if m:
         return {"kind": "drop_column", "table": m.group("t"),
-                "column": m.group("c")}
-    m = re.match(r"(?is)^RENAME\s+TABLE\s+`?(?P<a>\w+)`?\s+TO\s+`?(?P<b>\w+)`?\s*$", s)
+                "db": m.group("d"), "column": m.group("c")}
+    m = re.match(r"(?is)^RENAME\s+TABLE\s+" + _T
+                 + r"\s+TO\s+(?:`?(?P<nd>\w+)`?\.)?`?(?P<b>\w+)`?\s*$", s)
     if m:
-        return {"kind": "rename_table", "table": m.group("a"),
-                "new_name": m.group("b")}
-    m = re.match(r"(?is)^TRUNCATE\s+(?:TABLE\s+)?`?(?P<t>\w+)`?\s*$", s)
+        return {"kind": "rename_table", "table": m.group("t"),
+                "db": m.group("d"), "new_name": m.group("b"),
+                "new_db": m.group("nd")}
+    m = re.match(r"(?is)^TRUNCATE\s+(?:TABLE\s+)?" + _T + r"\s*$", s)
     if m:
-        return {"kind": "truncate", "table": m.group("t")}
-    m = re.match(r"(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?(?P<t>\w+)`?\s*$", s)
+        return {"kind": "truncate", "table": m.group("t"), "db": m.group("d")}
+    m = re.match(r"(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?" + _T + r"\s*$", s)
     if m:
-        return {"kind": "drop_table", "table": m.group("t")}
+        return {"kind": "drop_table", "table": m.group("t"), "db": m.group("d")}
     return {"kind": "other", "table": None}
 
 
@@ -103,6 +116,8 @@ class SchemaRegistry:
         self.truncate_ts: dict[str, int] = {}             # tbl -> last truncate
         self.dropped: set[str] = set()
         self.drop_ts: dict[str, int] = {}                 # tbl -> drop ts
+        self.databases: set[str] = set()                  # known schemas
+        self.table_db: dict[str, str] = {}                # tbl -> owning db
         self.ddl_log: list[dict] = []
 
     def add_version(self, tbl: str, version: int,
@@ -139,13 +154,27 @@ class SchemaRegistry:
             kind, tbl = info["kind"], info.get("table")
             entry = {"commit_ts": commit_ts, "ddl_sql": sql, "kind": kind,
                      "table": tbl, "applied": True}
-            if kind == "create_table":
+            if kind == "create_schema":
+                self.databases.add(info["db"])
+            elif kind == "drop_schema":
+                # ActionDropSchema cascades: every table of the schema is
+                # dropped in one job (drainer/schema.go:398-406)
+                db = info["db"]
+                self.databases.discard(db)
+                for t, owner in self.table_db.items():
+                    if owner == db and t in self._versions \
+                            and t not in self.dropped:
+                        self.dropped.add(t)
+                        self.drop_ts[t] = commit_ts
+            elif kind == "create_table":
                 cols = dict(info["columns"])
                 self._versions[tbl] = {1: cols}
                 self.version_ts[tbl] = {1: commit_ts}
                 self.col_added_at[tbl] = {c: 1 for c in cols}
                 self.dropped.discard(tbl)
                 self.drop_ts.pop(tbl, None)
+                if info.get("db"):
+                    self.table_db[tbl] = info["db"]
                 # a re-created table under a previously renamed-away
                 # name is a NEW incarnation: old-name lookups must stop
                 # resolving to the rename target (schema.go recreates
@@ -174,6 +203,9 @@ class SchemaRegistry:
                 self.col_added_at[new] = self.col_added_at.pop(tbl)
                 if tbl in self.truncate_ts:
                     self.truncate_ts[new] = self.truncate_ts.pop(tbl)
+                if tbl in self.table_db:
+                    old_db = self.table_db.pop(tbl)
+                    self.table_db[new] = info.get("new_db") or old_db
                 # keep old-name lookups resolving to the new history
                 for old, tgt in list(self.renamed_to.items()):
                     if tgt == tbl:
