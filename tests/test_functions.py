@@ -213,3 +213,35 @@ def test_curation_packing_budget(spark):
             for r in curation.pack_sequences(docs, budget=30,
                                              id_bucket=4).collect()}
     assert got2 == got
+
+
+def test_size_bucketed_homogeneous_partitions(spark):
+    """size_bucketed: no partition mixes size classes, and a dominant
+    class fans out over multiple partitions instead of one straggler."""
+    from tidb_binlog_spark.functions import multimodal as mm
+    import pyspark.sql.functions as F
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        # 180 small blobs (~2^4 bytes), 20 big ones (~2^12 bytes)
+        F.when(F.col("id") % 10 == 0, F.expr("repeat('x', 4096)"))
+         .otherwise(F.expr("repeat('y', 16)")).alias("text"))
+    payloads = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    target = 8192
+    out = mm.size_bucketed(payloads, target_partition_bytes=target)
+    per_part = (out.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid")
+                .agg(F.sum(F.length("payload")).alias("bytes"))
+                .collect())
+    # no straggler: the 80 KB big class never lands on one task. Salt
+    # assignment is hash-based, so a slice can stack a few blobs (max
+    # observed here: 6 of 20 in one salt — deterministic Murmur3), but
+    # the bound is a small multiple of the target, not the class total.
+    assert max(r["bytes"] for r in per_part) <= 4 * target
+    # big class: 20 * 4096 = 80 KB over 8 KB target -> ~10 salt slices
+    big_parts = (out.filter(F.length("payload") > 1000)
+                 .select(F.spark_partition_id().alias("pid"))
+                 .distinct().count())
+    assert big_parts >= 4
+    assert out.count() == 200

@@ -41,6 +41,41 @@ def as_binary_payload(docs: DataFrame) -> DataFrame:
     return spread(docs).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
 
 
+def size_bucketed(payloads: DataFrame,
+                  target_partition_bytes: int = 64 << 20) -> DataFrame:
+    """Repartition payloads so each task holds blobs of one size class and
+    roughly ``target_partition_bytes`` of them — a 4 KB thumbnail and a
+    4 GB video never share a task's Arrow batch budget, and one huge
+    size class fans out over many partitions instead of one straggler.
+
+    Two-phase: (1) a tiny per-class aggregate (size class =
+    floor(log2(n_bytes))) totals the bytes per class; (2) the driver
+    turns totals into a salt width per class (ceil(total/target)) and
+    the stream repartitions by (class, hash-salt). The aggregate
+    shuffles one row per class, the data moves exactly once.
+    """
+    sized = payloads.withColumn(
+        "_sz", F.length(F.col("payload")).cast("long"))
+    sized = sized.withColumn(
+        "_cls", F.floor(F.log2(F.greatest(F.col("_sz"), F.lit(1)))))
+    totals = {r["_cls"]: r["total"]
+              for r in sized.groupBy("_cls")
+                            .agg(F.sum("_sz").alias("total")).collect()}
+    salts = {cls: max(1, -(-int(total) // target_partition_bytes))
+             for cls, total in totals.items()}
+    salt_expr = F.lit(1)
+    for cls, n in salts.items():
+        salt_expr = F.when(F.col("_cls") == cls, F.lit(n)).otherwise(salt_expr)
+    n_parts = max(1, sum(salts.values()))
+    # range-partition on (class, salt): each ~target-sized slice gets
+    # its own partition (hash repartition would merge slices whenever
+    # two (class, salt) keys collide mod n_parts, stacking stragglers)
+    return (sized
+            .withColumn("_salt", F.pmod(F.hash("doc_id"), salt_expr))
+            .repartitionByRange(n_parts, "_cls", "_salt")
+            .drop("_sz", "_cls", "_salt"))
+
+
 def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import hashlib
 
@@ -69,7 +104,7 @@ def decode_stub(docs: DataFrame) -> DataFrame:
     calls; everything around it (Arrow batches, schema, ordering
     independence) is production-shaped.
     """
-    payloads = as_binary_payload(docs)
+    payloads = size_bucketed(as_binary_payload(docs))
     return payloads.mapInPandas(_decode_batch, schema=DECODE_META_SCHEMA)
 
 
