@@ -153,3 +153,36 @@ def test_colliding_worker_ids_use_separate_connections(spark, tmp_path):
     applied = jdbc.read_applied(spark, db_dir, "`t`", ["pk", "val"])
     assert {r["pk"]: r["val"] for r in applied.collect()} == \
         {1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0}
+
+
+def test_wide_model_end_to_end_sqlite(spark, tmp_path):
+    """Map row model all the way to an executed downstream: wide events
+    -> generate_sql_wide (PRIMARY-key WHERE from old_values on update,
+    row image on delete) -> per-worker SQLite -> final state check."""
+    schema = ("db string, tbl string, op string, commit_ts long, "
+              "seq int, sub_seq int, "
+              "values map<string,string>, old_values map<string,string>")
+    rows = [
+        ("d", "t", "I", 10, 0, 0, {"pk": "1", "val": "a", "k": "x"}, None),
+        ("d", "t", "I", 20, 0, 0, {"pk": "2", "val": "b", "k": "y"}, None),
+        ("d", "t", "U", 30, 0, 0, {"pk": "1", "val": "a2", "k": "x2"},
+         {"pk": "1", "val": "a", "k": "x"}),
+        ("d", "t", "D", 40, 0, 0, {"pk": "2", "val": "b", "k": "y"}, None),
+        # k absent from the image -> renders as SQL NULL
+        ("d", "t", "I", 50, 0, 0, {"pk": "3", "val": "c"}, None),
+    ]
+    ch = spark.createDataFrame(rows, schema)
+    info = sqlgen.TableInfo(columns=("pk", "val", "k"),
+                            unique_keys=(("PRIMARY", ("pk",)),))
+    stmts = (sqlgen.generate_sql_wide(ch, info, dialect="sqlite")
+             .withColumn("worker_id",
+                         F.pmod(F.element_at("values", "pk").cast("long"),
+                                F.lit(2))))
+    db_dir = str(tmp_path / "dbs")
+    jdbc.apply_statements(
+        stmts, db_dir, num_workers=2,
+        setup_sql=("CREATE TABLE IF NOT EXISTS `t` "
+                   "(pk TEXT PRIMARY KEY, val TEXT, k TEXT)",))
+    applied = jdbc.read_applied(spark, db_dir, "`t`", ["pk", "val", "k"])
+    got = {r["pk"]: (r["val"], r["k"]) for r in applied.collect()}
+    assert got == {"1": ("a2", "x2"), "3": ("c", None)}

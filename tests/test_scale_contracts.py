@@ -264,3 +264,29 @@ def test_contamination_broadcasts_benchmark(spark):
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     plan = _plan(curation.contamination(corpus, bench))
     assert "BroadcastHashJoin" in plan
+
+
+def test_bulk_batches_two_phase_matches_global_rank(spark):
+    """bulk_delete_replace's per-table batch numbering must equal the
+    single-window global rank while computing it over pk buckets."""
+    from tidb_binlog_spark.sinks import sqlgen
+    rows = [("d0", "t0" if i % 3 else "t1", "R" if i % 4 else "D",
+             i * 3, float(i)) for i in range(400)]
+    comp = spark.createDataFrame(
+        rows, "db string, tbl string, op string, pk long, val double")
+    got = sqlgen.bulk_delete_replace(comp, batch_size=16,
+                                     pk_bucket_width=128)
+    from pyspark.sql import Window
+    w = Window.partitionBy("db", "tbl", "op").orderBy("pk")
+    ranked = comp.withColumn(
+        "batch_no", F.floor((F.row_number().over(w) - 1) / 16).cast("int"))
+    vt = F.concat(F.lit("("), F.concat_ws(
+        ", ", F.col("pk").cast("string"), F.col("val").cast("string")),
+        F.lit(")"))
+    want = (ranked.groupBy("db", "tbl", "op", "batch_no")
+            .agg(F.concat_ws(", ", F.array_sort(F.collect_list(vt)))
+                 .alias("values_list"),
+                 F.count(F.lit(1)).alias("n_rows")))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # multiple pk buckets actually participated
+    assert comp.select(F.floor(F.col("pk") / 128)).distinct().count() > 1

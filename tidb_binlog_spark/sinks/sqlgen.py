@@ -194,6 +194,10 @@ def generate_sql_wide(changes: DataFrame, info: TableInfo,
         tbl = F.concat(F.upper(F.col("db")), F.lit("."), F.upper(F.col("tbl")))
         quote = str.upper
         limit_sfx = F.lit(" AND rownum <= 1")
+    elif dialect == "sqlite":   # executable test target: no schemas, no
+        tbl = F.concat(F.lit("`"), _escape_ident(F.col("tbl")), F.lit("`"))
+        quote = _q              # UPDATE/DELETE LIMIT in stock builds
+        limit_sfx = F.lit("")
     else:
         tbl = _qualified()
         quote = _q
@@ -253,18 +257,42 @@ def generate_sql_wide(changes: DataFrame, info: TableInfo,
 
 def bulk_delete_replace(compacted: DataFrame,
                         value_cols: tuple[str, ...] = ("pk", "val"),
-                        batch_size: int = 128) -> DataFrame:
+                        batch_size: int = 128,
+                        pk_bucket_width: int = 1 << 16) -> DataFrame:
     """Multi-row statement batching per (db, tbl, op): deletes first,
     then replaces, exactly the executor's bulkDelete/bulkReplace order
     (pkg/loader/executor.go:273-334). Emits one row per batched
-    statement with its position, so the apply order is total."""
+    statement with its position, so the apply order is total.
+
+    Batch numbering is a per-table row_number — computed TWO-PHASE over
+    pk-range buckets (within-bucket rank + broadcast running offsets)
+    so one hot table never funnels its whole compacted set through a
+    single window task. The composition equals the global per-table
+    rank exactly, so batch boundaries are replay-deterministic.
+    """
     values_tuple = F.concat(
         F.lit("("),
         F.concat_ws(", ", *[F.col(c).cast("string") for c in value_cols]),
         F.lit(")"))
-    w = Window.partitionBy("db", "tbl", "op").orderBy("pk")
-    ranked = compacted.withColumn(
-        "batch_no", F.floor((F.row_number().over(w) - 1) / batch_size).cast("int"))
+    b = F.floor(F.col("pk") / pk_bucket_width)
+    bucketed = compacted.withColumn("_b", b)
+    w_in = Window.partitionBy("db", "tbl", "op", "_b").orderBy("pk")
+    counts = (compacted.select("db", "tbl", "op", "pk")
+              .withColumn("_b", b)
+              .groupBy("db", "tbl", "op", "_b")
+              .agg(F.count(F.lit(1)).alias("_n")))
+    w_carry = (Window.partitionBy("db", "tbl", "op").orderBy("_b")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (counts
+               .withColumn("_off", F.coalesce(F.sum("_n").over(w_carry),
+                                              F.lit(0)))
+               .select("db", "tbl", "op", "_b", "_off"))
+    ranked = (bucketed
+              .withColumn("_rn", F.row_number().over(w_in))
+              .join(F.broadcast(offsets), ["db", "tbl", "op", "_b"])
+              .withColumn("batch_no",
+                          F.floor((F.col("_off") + F.col("_rn") - 1)
+                                  / batch_size).cast("int")))
     return (ranked.groupBy("db", "tbl", "op", "batch_no")
             .agg(F.concat_ws(", ", F.array_sort(F.collect_list(values_tuple)))
                  .alias("values_list"),
