@@ -529,6 +529,24 @@ def q_snapshot_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate", "o_orderpriority"])
 
 
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sync-diff between the orders snapshot and a perturbed
+    'downstream': dropped rows (%89), changed totals (%97), extra rows
+    (key+10^7 for %83) — each lands in its own diff_status class."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    src = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    kept = (src.filter(F.col("o_orderkey") % 89 != 0)
+            .withColumn("o_totalprice",
+                        F.when(F.col("o_orderkey") % 97 == 0,
+                               F.col("o_totalprice") + 1.0)
+                         .otherwise(F.col("o_totalprice"))))
+    extra = (src.filter(F.col("o_orderkey") % 83 == 0)
+             .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000))
+    dst = kept.unionByName(extra)
+    return cksum.snapshot_diff(src, dst, ["o_orderkey"],
+                               ["o_orderstatus", "o_totalprice"])
+
+
 def q_snapshot_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     dec = lambda c: F.col(c).cast("decimal(38,6)")  # noqa: E731
@@ -824,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_meta": q_mm_decode_meta,
         "mm_frame_sample": q_mm_frame_sample,
         "snapshot_checksum_orders": q_snapshot_checksum_orders,
+        "snapshot_diff_orders": q_snapshot_diff_orders,
         "snapshot_pricing_summary": q_snapshot_pricing_summary,
         "snapshot_revenue_by_nation": q_snapshot_revenue_by_nation,
         "snapshot_top_customers": q_snapshot_top_customers,
@@ -1480,6 +1499,32 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows,
                    md5(string_agg(row_md5, '' ORDER BY row_md5)) AS digest
             FROM hashed GROUP BY substring(row_md5, 1, 2)
+        """,
+        "snapshot_diff_orders": """
+            WITH src AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                         FROM orders),
+            kept AS (SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice
+                     FROM src WHERE o_orderkey % 89 <> 0),
+            extra AS (SELECT o_orderkey + 10000000 AS o_orderkey,
+                             o_orderstatus, o_totalprice
+                      FROM src WHERE o_orderkey % 83 = 0),
+            dst AS (SELECT * FROM kept UNION ALL SELECT * FROM extra),
+            j AS (
+              SELECT COALESCE(s.o_orderkey, d.o_orderkey) AS o_orderkey,
+                CASE WHEN d.o_orderkey IS NULL THEN 'only_src'
+                     WHEN s.o_orderkey IS NULL THEN 'only_dst'
+                     WHEN s.o_orderstatus IS DISTINCT FROM d.o_orderstatus
+                       OR s.o_totalprice IS DISTINCT FROM d.o_totalprice
+                       THEN 'changed' END AS diff_status,
+                s.o_orderstatus AS src_o_orderstatus,
+                s.o_totalprice  AS src_o_totalprice,
+                d.o_orderstatus AS dst_o_orderstatus,
+                d.o_totalprice  AS dst_o_totalprice
+              FROM src s FULL OUTER JOIN dst d
+                ON s.o_orderkey = d.o_orderkey)
+            SELECT * FROM j WHERE diff_status IS NOT NULL
         """,
         "snapshot_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -37,6 +37,42 @@ def bucket_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
                   .alias("digest")))
 
 
+def snapshot_diff(src: DataFrame, dst: DataFrame,
+                  key_cols: list[str],
+                  value_cols: list[str]) -> DataFrame:
+    """Row-level sync-diff: once bucket checksums localize a mismatch,
+    diff the rows themselves (sync_diff_inspector's second stage; the
+    reference's e2e suites assert equivalence with tests/_utils/
+    check_data). One full-outer shuffle join on the key — at 100 TB you
+    run it only on the ~1/256 bucket slices whose digests disagreed.
+
+    Output: one row per differing key with status
+    'only_src' / 'only_dst' / 'changed' plus both value images
+    (NULL-safe comparison — a NULL->value flip is 'changed').
+    """
+    s = src.select(
+        *[F.col(c).alias(f"k_{c}") for c in key_cols],
+        *[F.col(c).alias(f"src_{c}") for c in value_cols],
+        F.lit(True).alias("_in_src"))
+    d = dst.select(
+        *[F.col(c).alias(f"k_{c}") for c in key_cols],
+        *[F.col(c).alias(f"dst_{c}") for c in value_cols],
+        F.lit(True).alias("_in_dst"))
+    j = s.join(d, [f"k_{c}" for c in key_cols], "full_outer")
+    same = F.lit(True)
+    for c in value_cols:
+        same = same & F.col(f"src_{c}").eqNullSafe(F.col(f"dst_{c}"))
+    status = (F.when(F.col("_in_dst").isNull(), F.lit("only_src"))
+               .when(F.col("_in_src").isNull(), F.lit("only_dst"))
+               .when(~same, F.lit("changed")))
+    return (j.withColumn("diff_status", status)
+             .filter(F.col("diff_status").isNotNull())
+             .select(*[F.col(f"k_{c}").alias(c) for c in key_cols],
+                     "diff_status",
+                     *[f"src_{c}" for c in value_cols],
+                     *[f"dst_{c}" for c in value_cols]))
+
+
 def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
     """Single-row rollup of the bucket digests (order by bucket)."""
     buckets = bucket_checksum(df, cols)
