@@ -488,6 +488,13 @@ def q_sink_sql_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("arrival_seq", "op", "exec_mode", "sql_text")
 
 
+def q_sink_obinlog_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-shape secondary-binlog message (column_info + row +
+    change_row + unique_keys) over the wide row model."""
+    ws = wide_stream(spark, sf_dir)
+    return payload.obinlog_payload_wide(ws, WIDE_INFO)
+
+
 def q_sink_sql_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sqlgen.generate_sql(_spark_changes(spark, sf_dir))
     return out.select("arrival_seq", "op", "sql_text")
@@ -836,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_sql_wide": q_sink_sql_wide,
         "sink_sql_generation": q_sink_sql_generation,
         "sink_obinlog_payload": q_sink_obinlog_payload,
+        "sink_obinlog_wide": q_sink_obinlog_wide,
         "sink_sql_oracle_dialect": q_sink_sql_oracle_dialect,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
         "sink_bulk_batches": q_sink_bulk_batches,
@@ -1428,6 +1436,28 @@ def oracle_sql() -> dict[str, str]:
               '","pk":' || CAST(pk AS STRING) ||
               ',"seq":' || CAST(seq AS STRING) || '}}' AS payload
             FROM changes
+        """,
+        "sink_obinlog_wide": f"""
+            {CHANGES_CTE},
+            w AS (SELECT *,
+                    COALESCE(json_extract_string(row_json, '$.k'), 'nk') AS kx
+                  FROM changes)
+            SELECT commit_ts,
+              '{{"commit_ts":' || CAST(commit_ts AS STRING) ||
+              ',"type":"' || op ||
+              '","schema_name":"' || db ||
+              '","table_name":"' || tbl ||
+              '","column_info":["pk","val","k"],"row":["' ||
+                CAST(pk AS STRING) || '","' || CAST(val AS STRING) ||
+                '","' || kx ||
+              '"],"change_row":' ||
+              CASE WHEN op = 'U'
+                   THEN '["' || CAST(pk AS STRING) || '","' ||
+                        CAST(val - 1 AS STRING) || '","old_' || kx || '"]'
+                   ELSE 'null' END ||
+              ',"unique_keys":[{{"name":"PRIMARY","columns":["pk"]}},' ||
+              '{{"name":"uk_k","columns":["k"]}}]}}' AS payload
+            FROM w
         """,
         "sink_sql_oracle_dialect": f"""
             {CHANGES_CTE}

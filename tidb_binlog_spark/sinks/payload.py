@@ -34,6 +34,61 @@ def obinlog_payload(changes: DataFrame) -> DataFrame:
     return changes.select("commit_ts", payload.alias("payload"))
 
 
+def obinlog_payload_wide(changes: DataFrame, info) -> DataFrame:
+    """The reference's full secondary-binlog message shape
+    (drainer/translator/kafka.go:38-150): per-event column metadata
+    (ColumnInfo), the row image in column order, ChangeRow (the old
+    image, updates only), and the table's UniqueKeys list. JSON stands
+    in for the protobuf envelope (no protobuf in this container); the
+    fields and their order are the proto's.
+
+    ``info`` is a sqlgen.TableInfo — the same catalog object the
+    statement builder uses, so payload and SQL always agree on column
+    order and keys.
+    """
+    cols = info.writable
+    row_arr = F.array(*[F.try_element_at("values", F.lit(c)) for c in cols])
+    old_arr = F.array(*[F.try_element_at("old_values", F.lit(c))
+                        for c in cols])
+    payload = F.to_json(F.struct(
+        F.col("commit_ts").alias("commit_ts"),
+        F.col("op").alias("type"),
+        F.col("db").alias("schema_name"),
+        F.col("tbl").alias("table_name"),
+        F.array(*[F.lit(c) for c in cols]).alias("column_info"),
+        row_arr.alias("row"),
+        F.when(F.col("op") == "U", old_arr).alias("change_row"),
+        F.array(*[
+            F.struct(F.lit(name).alias("name"),
+                     F.array(*[F.lit(c) for c in kcols]).alias("columns"))
+            for name, kcols in info.unique_keys]).alias("unique_keys"),
+    ), options={"ignoreNullFields": "false"})
+    return changes.select("commit_ts", payload.alias("payload"))
+
+
+def parse_obinlog_wide(messages: DataFrame,
+                       payload_col: str = "payload") -> DataFrame:
+    """Inverse of obinlog_payload_wide: reconstruct the normalized map
+    row model (values / old_values) from the column-oriented message —
+    the arbiter-style consumer decode for wide tables."""
+    schema = ("commit_ts BIGINT, type STRING, schema_name STRING, "
+              "table_name STRING, column_info ARRAY<STRING>, "
+              "row ARRAY<STRING>, change_row ARRAY<STRING>, "
+              "unique_keys ARRAY<STRUCT<name: STRING, "
+              "columns: ARRAY<STRING>>>")
+    parsed = messages.withColumn("_m", F.from_json(F.col(payload_col), schema))
+    return parsed.select(
+        F.col("_m.commit_ts").alias("commit_ts"),
+        F.col("_m.type").alias("op"),
+        F.col("_m.schema_name").alias("db"),
+        F.col("_m.table_name").alias("tbl"),
+        F.map_from_arrays("_m.column_info", "_m.row").alias("values"),
+        F.when(F.col("_m.change_row").isNotNull(),
+               F.map_from_arrays("_m.column_info", "_m.change_row"))
+         .alias("old_values"),
+        F.col("_m.unique_keys").alias("unique_keys"))
+
+
 def parse_obinlog(messages: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Inverse projection: obinlog JSON message -> normalized change
     fields (SecondaryBinlogToTxn, pkg/loader/translate.go:30-…) — the
