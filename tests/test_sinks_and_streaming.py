@@ -605,3 +605,31 @@ def test_merge_round_blocks_on_empty_registered_zone(spark, tmp_path):
     _zone(spark, s1, [(2, "s1", 5, "I", 2)])
     stats2 = pipeline.multi_source_merge_round(spark, [s0, s1], t)
     assert stats2["watermark"] == 5     # min over both live sources
+
+
+def test_obinlog_wide_roundtrip(spark):
+    """Full-shape secondary-binlog message: encode -> decode recovers
+    the map row model exactly (values, old_values on updates only,
+    unique keys)."""
+    from tidb_binlog_spark.sinks import payload as pl
+    from tidb_binlog_spark.sinks import sqlgen
+
+    schema = ("db string, tbl string, op string, commit_ts long, "
+              "values map<string,string>, old_values map<string,string>")
+    rows = [
+        ("d", "t", "I", 10, {"pk": "1", "val": "a", "k": "x"}, None),
+        ("d", "t", "U", 20, {"pk": "1", "val": "b", "k": "x"},
+         {"pk": "1", "val": "a", "k": "x"}),
+        ("d", "t", "D", 30, {"pk": "1", "val": "b", "k": None}, None),
+    ]
+    ch = spark.createDataFrame(rows, schema)
+    info = sqlgen.TableInfo(columns=("pk", "val", "k"),
+                            unique_keys=(("PRIMARY", ("pk",)),))
+    back = pl.parse_obinlog_wide(pl.obinlog_payload_wide(ch, info))
+    got = {r["commit_ts"]: r for r in back.collect()}
+    assert got[10]["op"] == "I" and got[10]["old_values"] is None
+    assert dict(got[10]["values"]) == {"pk": "1", "val": "a", "k": "x"}
+    assert dict(got[20]["old_values"]) == {"pk": "1", "val": "a", "k": "x"}
+    assert dict(got[30]["values"]) == {"pk": "1", "val": "b", "k": None}
+    assert got[20]["unique_keys"][0]["name"] == "PRIMARY"
+    assert list(got[20]["unique_keys"][0]["columns"]) == ["pk"]
