@@ -78,3 +78,57 @@ def test_merged_op_rules_randomized(spark):
         else:
             want = "U"
         assert got[pk] == want, f"pk {pk}: {seq} -> {got[pk]} != {want}"
+
+
+def test_compact_wide_stitching_randomized(spark):
+    """compact_wide's whole-map stitch rules (merge.go:69-127 over
+    Values/OldValues) against a direct simulation: final image = last
+    event's values; old image = first update's old_values AFTER the
+    last delete, reported only when the merged op is U."""
+    rng = random.Random(23)
+    rows, cts = [], 0
+    for i in range(300):
+        cts += 1
+        op = rng.choice(["I", "U", "U", "D"])
+        pk = rng.randrange(10)
+        vals = {"pk": str(pk), "val": str(round(rng.uniform(0, 9), 1)),
+                "k": rng.choice(["a", "b", "c"])}
+        old = ({"pk": str(pk), "val": str(round(rng.uniform(0, 9), 1)),
+                "k": rng.choice(["x", "y"])} if op == "U" else None)
+        rows.append(("d", "t", pk, op, cts, 0, i, vals, old))
+    ch = spark.createDataFrame(
+        rows, "db string, tbl string, pk long, op string, commit_ts long, "
+              "seq int, arrival_seq long, values map<string,string>, "
+              "old_values map<string,string>")
+    from tidb_binlog_spark.operators import compaction as comp
+    out = comp.compact_wide(ch)
+    got = {}
+    for r in out.collect():
+        got.setdefault(int(r["pk"]), {})[r["col"]] = (
+            r["merged_op"], r["final_val"], r["first_old_val"])
+
+    # simulation
+    seqs: dict[int, list] = {}
+    for _, _, _, op, cts_, _, _, vals, old in sorted(rows, key=lambda r: r[4]):
+        seqs.setdefault(int(vals["pk"]), []).append((op, vals, old))
+    for pk, seq in seqs.items():
+        ops = [o for o, _, _ in seq]
+        last_d = max((i for i, o in enumerate(ops) if o == "D"), default=None)
+        last_i = max((i for i, o in enumerate(ops) if o == "I"), default=None)
+        if ops[-1] == "D":
+            want_op = "D"
+        elif last_i is not None and (last_d is None or last_i > last_d):
+            want_op = "I"
+        else:
+            want_op = "U"
+        final = seq[-1][1]
+        first_old = None
+        if want_op == "U":
+            for i, (o, _, old) in enumerate(seq):
+                if o == "U" and (last_d is None or i > last_d):
+                    first_old = old
+                    break
+        for col in ("pk", "val", "k"):
+            want = (want_op, final.get(col),
+                    first_old.get(col) if first_old else None)
+            assert got[pk][col] == want, f"pk {pk} col {col}"
