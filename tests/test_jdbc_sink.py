@@ -186,3 +186,41 @@ def test_wide_model_end_to_end_sqlite(spark, tmp_path):
     applied = jdbc.read_applied(spark, db_dir, "`t`", ["pk", "val", "k"])
     got = {r["pk"]: (r["val"], r["k"]) for r in applied.collect()}
     assert got == {"1": ("a2", "x2"), "3": ("c", None)}
+
+
+def test_escaping_roundtrips_arbitrary_strings(spark, tmp_path):
+    """Property: any string value survives statement generation and
+    SQLite execution byte-for-byte (the parameterized-statement safety
+    contract of pkg/loader/model.go, held by literal escaping here).
+    Hypothesis drives quotes, backslashes, unicode, and SQL fragments
+    through the full generate -> execute -> read path."""
+    from hypothesis import given, settings, HealthCheck
+    from hypothesis import strategies as st
+
+    tricky = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",),
+                               blacklist_characters="\x00"),
+        min_size=0, max_size=40)
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(vals=st.lists(tricky, min_size=1, max_size=4, unique=True))
+    def run(vals):
+        rows = [("d", "t", "I", i * 10, 0, 0, i, v)
+                for i, v in enumerate(vals)]
+        ch = spark.createDataFrame(
+            rows, "db string, tbl string, op string, commit_ts long, "
+                  "seq int, sub_seq int, pk long, val string")
+        stmts = sqlgen.generate_sql(
+            ch, pk_cols=("pk",), value_cols=("pk", "val"),
+            dialect="sqlite").withColumn("worker_id", F.lit(0))
+        db_dir = str(tmp_path / f"dbs_{abs(hash(tuple(vals))) % 10**8}")
+        jdbc.apply_statements(
+            stmts, db_dir, num_workers=1,
+            setup_sql=("CREATE TABLE IF NOT EXISTS `t` "
+                       "(pk INTEGER PRIMARY KEY, val TEXT)",))
+        applied = jdbc.read_applied(spark, db_dir, "`t`", ["pk", "val"])
+        got = {r["pk"]: r["val"] for r in applied.collect()}
+        assert got == {i: v for i, v in enumerate(vals)}
+
+    run()
