@@ -397,6 +397,23 @@ def q_cdc_type_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         typemap.set_value("enum_elems", "set_names_col").alias("set_back"))
 
 
+def q_cdc_timezone_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink time_zone rendering (drainer/sync/mysql.go:184-233
+    str2TimezoneOrFromDB + formatData temporal-as-string): the same
+    instant formatted under MySQL offset strings (validated/normalized)
+    and a named IANA zone."""
+    from tidb_binlog_spark.functions import typemap
+    load_tables(spark, sf_dir, "events")
+    ev = spark.table("events")
+    return ev.select(
+        "event_id",
+        typemap.format_timestamp_tz(F.col("ts"), "+00:00").alias("utc_ts"),
+        typemap.format_timestamp_tz(F.col("ts"), "+05:30").alias("ist_ts"),
+        typemap.format_timestamp_tz(F.col("ts"), "-6:00").alias("cst_ts"),
+        typemap.format_timestamp_tz(F.col("ts"), "Asia/Kolkata")
+            .alias("kolkata_ts"))
+
+
 def q_cdc_update_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Update events carrying old+new images with NULL-safe WHERE
     generation (pkg/loader/model.go:247-261)."""
@@ -835,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_txn_batches": q_cdc_txn_batches,
         "cdc_event_counters": q_cdc_event_counters,
         "cdc_type_format": q_cdc_type_format,
+        "cdc_timezone_format": q_cdc_timezone_format,
         "cdc_update_images": q_cdc_update_images,
         "cdc_gc_safepoint": q_cdc_gc_safepoint,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
@@ -1259,6 +1277,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT db, op, COUNT(*) AS n_events,
                    COUNT(DISTINCT commit_ts) AS n_txns
             FROM changes GROUP BY db, op
+        """,
+        "cdc_timezone_format": """
+            WITH s AS (SELECT event_id,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                       FROM events)
+            SELECT event_id,
+              strftime(to_timestamp(sec) AT TIME ZONE 'UTC',
+                       '%Y-%m-%d %H:%M:%S') AS utc_ts,
+              strftime(to_timestamp(sec + 19800) AT TIME ZONE 'UTC',
+                       '%Y-%m-%d %H:%M:%S') AS ist_ts,
+              strftime(to_timestamp(sec - 21600) AT TIME ZONE 'UTC',
+                       '%Y-%m-%d %H:%M:%S') AS cst_ts,
+              strftime(to_timestamp(sec) AT TIME ZONE 'Asia/Kolkata',
+                       '%Y-%m-%d %H:%M:%S') AS kolkata_ts
+            FROM s
         """,
         "cdc_type_format": """
             WITH ev AS (

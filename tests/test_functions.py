@@ -245,3 +245,28 @@ def test_size_bucketed_homogeneous_partitions(spark):
                  .distinct().count())
     assert big_parts >= 4
     assert out.count() == 200
+
+
+def test_parse_timezone_rules(spark):
+    """str2TimezoneOrFromDB rules (mysql.go:184-233): SYSTEM/Local
+    rejected, offsets validated to [-12:59, +14:00] and normalized,
+    named zones honored incl. a DST transition."""
+    import pytest
+    import pyspark.sql.functions as F
+    from tidb_binlog_spark.functions import typemap as tm
+
+    for bad in ("SYSTEM", "Local", "+14:01", "-13:00", "+10:60", "Not/AZone"):
+        with pytest.raises(ValueError):
+            tm.parse_timezone(bad)
+    assert tm.parse_timezone("-6:00") == "-06:00"
+    assert tm.parse_timezone("+14:00") == "+14:00"
+    assert tm.parse_timezone("Asia/Kolkata") == "Asia/Kolkata"
+
+    # DST: 2021-07-01 12:00 UTC = 08:00 in New York (EDT, -4),
+    #      2021-01-01 12:00 UTC = 07:00 (EST, -5)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(
+        [(1625140800 * 10**9,), (1609502400 * 10**9,)], "ns long")
+    got = [r[0] for r in df.select(
+        tm.format_timestamp_tz(F.col("ns"), "America/New_York")).collect()]
+    assert got == ["2021-07-01 08:00:00", "2021-01-01 07:00:00"]

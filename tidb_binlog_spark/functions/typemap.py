@@ -24,6 +24,8 @@ reproduce them bit-for-bit.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -34,6 +36,47 @@ _UINT64_MODULUS = "CAST('18446744073709551616' AS DECIMAL(20,0))"
 
 def _c(col) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def parse_timezone(tz_str: str) -> str:
+    """The sink's time_zone setting -> a zone id Spark accepts
+    (str2TimezoneOrFromDB, drainer/sync/mysql.go:184-233): named IANA
+    zones pass through (time.LoadLocation analog), MySQL offset strings
+    '+10:00'/'-6:00' are validated to [-12:59, +14:00] and normalized
+    to ±HH:MM; 'SYSTEM'/'Local' are rejected exactly like the
+    reference (ambiguous across hosts)."""
+    if tz_str in ("SYSTEM", "Local"):
+        raise ValueError("'SYSTEM' or 'Local' time_zone is not supported")
+    m = re.fullmatch(r"(?P<sign>[+-])(?P<h>\d{1,2}):(?P<m>\d{2})", tz_str)
+    if m:
+        h, mi = int(m.group("h")), int(m.group("m"))
+        total = h * 60 + mi
+        if mi > 59 or (m.group("sign") == "-" and total > 12 * 60 + 59) \
+                or (m.group("sign") == "+" and total > 14 * 60):
+            raise ValueError(f"invalid timezone {tz_str}")
+        return f"{m.group('sign')}{h:02d}:{mi:02d}"
+    try:
+        import zoneinfo
+        zoneinfo.ZoneInfo(tz_str)
+    except Exception as exc:
+        raise ValueError(f"invalid timezone {tz_str}") from exc
+    return tz_str
+
+
+def format_timestamp_tz(nanos_col, tz: str,
+                        fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
+    """TIMESTAMP column rendered as the downstream wall-clock string in
+    the sink's time_zone — formatData sends temporals as strings
+    through the configured location (mysql.go:252-294 + the loc from
+    str2TimezoneOrFromDB). Input is BIGINT nanoseconds (the driver
+    parquet's TIMESTAMP(NANOS) surface); session tz is pinned UTC by
+    load_tables, so rendering is engine-stable."""
+    # decimal (not double) division: nanos exceed 2^53 after ~104 days
+    # of epoch, so a double quotient would round whole seconds.
+    secs = (_c(nanos_col).cast("decimal(38,0)")
+            / F.lit(1_000_000_000)).cast("long")
+    ts = F.timestamp_seconds(secs)
+    return F.date_format(F.from_utc_timestamp(ts, parse_timezone(tz)), fmt)
 
 
 def unsigned_bigint(col) -> Column:
