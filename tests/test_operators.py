@@ -585,3 +585,37 @@ def test_schema_ddl_drop_database_cascade(spark):
     ])
     assert reg2.table_db == {"t2": "b"}
     assert reg2.dropped == set()
+
+
+def test_rename_column_decode_across_versions(spark):
+    """RENAME/CHANGE COLUMN mid-stream: rows encoded before the rename
+    carry the old json key; decode_with_replay resolves per-version
+    names (the rename sibling of drop-column-mid-stream)."""
+    from tidb_binlog_spark.operators import schema_evolution as se
+
+    p = se.parse_ddl("ALTER TABLE t RENAME COLUMN a TO b")
+    assert p == {"kind": "rename_column", "table": "t", "db": None,
+                 "column": "a", "new_column": "b"}
+    p2 = se.parse_ddl("ALTER TABLE t CHANGE COLUMN b c INT DEFAULT '9'")
+    assert p2["kind"] == "rename_column" and p2["new_column"] == "c"
+    assert se.parse_ddl("ALTER TABLE t MODIFY COLUMN c INT DEFAULT '5'")[
+        "kind"] == "modify_column"
+
+    reg = se.SchemaRegistry()
+    reg.apply_ddl_events([
+        (100, "CREATE TABLE t (pk INT, a INT DEFAULT '1')"),
+        (200, "ALTER TABLE t RENAME COLUMN a TO b"),
+        (300, "ALTER TABLE t CHANGE COLUMN b c INT"),
+    ])
+    assert reg.col_renames["t"]["c"] == [(2, "a"), (3, "b")]
+    assert list(reg.columns_at("t", 3)) == ["pk", "c"]
+
+    rows = [
+        (150, '{"pk": "1", "a": "10"}'),   # v1 encoding: key a
+        (250, '{"pk": "2", "b": "20"}'),   # v2 encoding: key b
+        (350, '{"pk": "3", "c": "30"}'),   # v3 encoding: key c
+    ]
+    ch = spark.createDataFrame(rows, "commit_ts long, row_json string")
+    out = {r["pk"]: r["c"]
+           for r in se.decode_with_replay(ch, reg, "t", spark).collect()}
+    assert out == {"1": "10", "2": "20", "3": "30"}

@@ -83,6 +83,27 @@ def parse_ddl(sql: str) -> dict:
     if m:
         return {"kind": "drop_column", "table": m.group("t"),
                 "db": m.group("d"), "column": m.group("c")}
+    m = re.match(r"(?is)^ALTER\s+TABLE\s+" + _T + r"\s+RENAME\s+COLUMN\s+"
+                 r"`?(?P<a>\w+)`?\s+TO\s+`?(?P<b2>\w+)`?\s*$", s)
+    if m:
+        return {"kind": "rename_column", "table": m.group("t"),
+                "db": m.group("d"), "column": m.group("a"),
+                "new_column": m.group("b2")}
+    m = re.match(r"(?is)^ALTER\s+TABLE\s+" + _T + r"\s+CHANGE\s+(?:COLUMN\s+)?"
+                 r"`?(?P<a>\w+)`?\s+`?(?P<b2>\w+)`?\s+(?P<type>\w+(?:\([^)]*\))?)"
+                 + _DEFAULT_RE + r"\s*$", s)
+    if m:
+        return {"kind": "rename_column", "table": m.group("t"),
+                "db": m.group("d"), "column": m.group("a"),
+                "new_column": m.group("b2"),
+                "default": _strip_quotes(m.group("default"))}
+    m = re.match(r"(?is)^ALTER\s+TABLE\s+" + _T + r"\s+MODIFY\s+(?:COLUMN\s+)?"
+                 r"`?(?P<c>\w+)`?\s+(?P<type>\w+(?:\([^)]*\))?)"
+                 + _DEFAULT_RE + r"\s*$", s)
+    if m:
+        return {"kind": "modify_column", "table": m.group("t"),
+                "db": m.group("d"), "column": m.group("c"),
+                "default": _strip_quotes(m.group("default"))}
     m = re.match(r"(?is)^RENAME\s+TABLE\s+" + _T
                  + r"\s+TO\s+(?:`?(?P<nd>\w+)`?\.)?`?(?P<b>\w+)`?\s*$", s)
     if m:
@@ -118,6 +139,9 @@ class SchemaRegistry:
         self.drop_ts: dict[str, int] = {}                 # tbl -> drop ts
         self.databases: set[str] = set()                  # known schemas
         self.table_db: dict[str, str] = {}                # tbl -> owning db
+        # tbl -> current col -> [(version, name_before_that_version)]:
+        # rows encoded before `version` carry the old json key
+        self.col_renames: dict[str, dict[str, list[tuple[int, str]]]] = {}
         self.ddl_log: list[dict] = []
 
     def add_version(self, tbl: str, version: int,
@@ -187,6 +211,31 @@ class SchemaRegistry:
                 self._versions[tbl][v] = cols
                 self.version_ts[tbl][v] = commit_ts
                 self.col_added_at[tbl][info["column"]] = v
+            elif kind == "rename_column" and tbl in self._versions:
+                old_c, new_c = info["column"], info["new_column"]
+                v = self.latest_version(tbl) + 1
+                cols = {}
+                for c, d in self.columns_at(tbl, v - 1).items():
+                    cols[new_c if c == old_c else c] = \
+                        info.get("default", d) if c == old_c else d
+                self._versions[tbl][v] = cols
+                self.version_ts[tbl][v] = commit_ts
+                added = self.col_added_at[tbl]
+                if old_c in added:
+                    added[new_c] = added.pop(old_c)
+                hist = self.col_renames.setdefault(tbl, {})
+                # chain: prior renames of old_c now belong to new_c
+                hist[new_c] = hist.pop(old_c, []) + [(v, old_c)]
+            elif kind == "modify_column" and tbl in self._versions:
+                # type/default change: new version, same column set
+                # (ActionModifyColumn -> ReplaceTable, schema.go default
+                # arm); only the default is observable in our model.
+                v = self.latest_version(tbl) + 1
+                cols = dict(self.columns_at(tbl, v - 1))
+                if info["column"] in cols and info.get("default") is not None:
+                    cols[info["column"]] = info["default"]
+                self._versions[tbl][v] = cols
+                self.version_ts[tbl][v] = commit_ts
             elif kind == "drop_column" and tbl in self._versions:
                 v = self.latest_version(tbl) + 1
                 cols = dict(self.columns_at(tbl, v - 1))
@@ -206,6 +255,8 @@ class SchemaRegistry:
                 if tbl in self.table_db:
                     old_db = self.table_db.pop(tbl)
                     self.table_db[new] = info.get("new_db") or old_db
+                if tbl in self.col_renames:
+                    self.col_renames[new] = self.col_renames.pop(tbl)
                 # keep old-name lookups resolving to the new history
                 for old, tgt in list(self.renamed_to.items()):
                     if tgt == tbl:
@@ -277,7 +328,15 @@ def decode_with_replay(changes: DataFrame, registry: SchemaRegistry,
     out = stamped.withColumn("target_tbl", F.lit(final))
     for col_name, default in target_cols.items():
         added_at = registry.col_added_at[final].get(col_name, 1)
+        # rename-column history: a row encoded before rename version v
+        # carries the column under its then-current json key
         extracted = F.get_json_object(F.col(json_col), f"$.{col_name}")
+        hist = registry.col_renames.get(final, {}).get(col_name, [])
+        for v, old_name in sorted(hist, reverse=True):
+            extracted = (
+                F.when(F.col("active_version") >= F.lit(v), extracted)
+                 .otherwise(
+                     F.get_json_object(F.col(json_col), f"$.{old_name}")))
         out = out.withColumn(
             col_name,
             F.when(F.col("active_version") >= F.lit(added_at),
