@@ -224,6 +224,7 @@ SCHEMA_REPLAY_DDL = [
     (20000, "ALTER TABLE ptest ADD COLUMN tag VARCHAR DEFAULT 'none'"),
     (40000, "ALTER TABLE ptest ADD COLUMN note VARCHAR DEFAULT 'x'"),
     (60000, "ALTER TABLE ptest DROP COLUMN note"),
+    (70000, "ALTER TABLE ptest RENAME COLUMN tag TO label"),
     (80000, "RENAME TABLE ptest TO qtest"),
 ]
 
@@ -237,7 +238,7 @@ def q_cdc_schema_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = _spark_changes(spark, sf_dir).filter(F.col("tbl") == "ptest")
     out = schema_evolution.decode_with_replay(ch, reg, "ptest", spark)
     return out.select("arrival_seq", "commit_ts", "active_version",
-                      "target_tbl", "k", "tag")
+                      "target_tbl", "k", "label")
 
 
 DDL_CASE = """
@@ -1078,7 +1079,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_schema_replay": f"""
             {CHANGES_CTE}
             SELECT arrival_seq, commit_ts,
-              CASE WHEN commit_ts >= 80000 THEN 6
+              CASE WHEN commit_ts >= 80000 THEN 7
+                   WHEN commit_ts >= 70000 THEN 6
                    WHEN commit_ts >= 60000 THEN 5
                    WHEN commit_ts >= 40000 THEN 4
                    WHEN commit_ts >= 20000 THEN 3
@@ -1086,9 +1088,11 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 1 END AS active_version,
               'qtest' AS target_tbl,
               COALESCE(json_extract_string(row_json, '$.k'), '0') AS k,
-              CASE WHEN commit_ts >= 20000
+              CASE WHEN commit_ts >= 70000
+                   THEN COALESCE(json_extract_string(row_json, '$.label'), 'none')
+                   WHEN commit_ts >= 20000
                    THEN COALESCE(json_extract_string(row_json, '$.tag'), 'none')
-                   ELSE 'none' END AS tag
+                   ELSE 'none' END AS label
             FROM changes
             WHERE tbl = 'ptest' AND commit_ts > 8000
         """,
