@@ -84,6 +84,10 @@ def main() -> None:
             .withColumn("t", F.concat_ws(",", F.col("s"),
                                          F.col("ts").cast("string"))))
     warm.write.format("noop").mode("overwrite").save()
+    # wide-aggregate codegen (the 64-bit simhash shape: one sum per bit)
+    tiny.groupBy("k").agg(*[F.sum(F.col("ts") + i).alias(f"s{i}")
+                            for i in range(64)]) \
+        .write.format("noop").mode("overwrite").save()
 
     # min of 2 runs per query: this host shows ±15% co-tenant noise with
     # occasional 2-3x stragglers (documented in BASELINE.md); the min is
