@@ -84,10 +84,13 @@ def main() -> None:
             .withColumn("t", F.concat_ws(",", F.col("s"),
                                          F.col("ts").cast("string"))))
     warm.write.format("noop").mode("overwrite").save()
-    # wide-aggregate codegen (the 64-bit simhash shape: one sum per bit)
-    tiny.groupBy("k").agg(*[F.sum(F.col("ts") + i).alias(f"s{i}")
-                            for i in range(64)]) \
-        .write.format("noop").mode("overwrite").save()
+    # wide-aggregate codegen (the 64-bit simhash shape: one sum per bit,
+    # each extracting an array element — the exact expression class)
+    (tiny.withColumn("arr", F.expr("transform(sequence(1, 64), "
+                                   "p -> IF(p % 2 = 0, 1, -1))"))
+         .groupBy("k")
+         .agg(*[F.sum(F.col("arr")[i]).alias(f"s{i}") for i in range(64)])
+         .write.format("noop").mode("overwrite").save())
 
     # min of 2 runs per query: this host shows ±15% co-tenant noise with
     # occasional 2-3x stragglers (documented in BASELINE.md); the min is

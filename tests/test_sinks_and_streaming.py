@@ -633,3 +633,25 @@ def test_obinlog_wide_roundtrip(spark):
     assert dict(got[30]["values"]) == {"pk": "1", "val": "b", "k": None}
     assert got[20]["unique_keys"][0]["name"] == "PRIMARY"
     assert list(got[20]["unique_keys"][0]["columns"]) == ["pk"]
+
+
+def test_file_dump_record_crc_detects_corruption(spark, tmp_path):
+    """vlog-style record CRC (pump/storage/log.go:49): dump with
+    checksums, tamper one record, recovery check flags exactly it."""
+    from tidb_binlog_spark.sinks import payload as pl
+
+    ch = spark.createDataFrame(
+        [(i, i * 10, 0, "I", float(i)) for i in range(20)],
+        "arrival_seq long, commit_ts long, seq int, op string, val double")
+    path = str(tmp_path / "dump")
+    cols = ("arrival_seq", "commit_ts", "seq", "op", "val")
+    pl.file_dump(ch, path, with_crc=True, crc_cols=cols)
+
+    back = pl.read_file_dump(spark, path)
+    assert pl.crc_mismatches(back, cols).count() == 0
+
+    tampered = back.withColumn(
+        "val", F.when(F.col("arrival_seq") == 7, F.col("val") + 1.0)
+                .otherwise(F.col("val")))
+    bad = pl.crc_mismatches(tampered, cols).collect()
+    assert [r["arrival_seq"] for r in bad] == [7]

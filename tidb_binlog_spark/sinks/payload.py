@@ -105,11 +105,41 @@ def parse_obinlog(messages: DataFrame, payload_col: str = "payload") -> DataFram
         F.col("_m.seq").alias("seq"))
 
 
-def file_dump(changes: DataFrame, path: str, partitions: int = 1) -> None:
+def record_crc(changes: DataFrame, cols: tuple[str, ...]) -> F.Column:
+    """Per-record integrity checksum over a canonical serialization of
+    ``cols`` (name-sorted JSON) — the analog of the vlog's per-record
+    CRC (pump/storage/log.go:49 guards every encoded record; a mismatch
+    on the recovery scan marks the record corrupt). Spark's crc32 is
+    CRC-32/ISO-HDLC rather than the reference's Castagnoli polynomial —
+    same detection guarantees, different constant."""
+    ordered = [F.col(c).cast("string").alias(c) for c in sorted(cols)]
+    return F.crc32(F.encode(F.to_json(F.struct(*ordered)), "UTF-8"))
+
+
+def crc_mismatches(df: DataFrame, cols: tuple[str, ...],
+                   crc_col: str = "record_crc") -> DataFrame:
+    """Rows whose stored record CRC no longer matches their content —
+    the recovery-scan corruption check (vlog.go scan rejects records
+    with bad magic/CRC)."""
+    return (df.withColumn("_crc_now", record_crc(df, cols))
+              .filter(F.col(crc_col) != F.col("_crc_now"))
+              .drop("_crc_now"))
+
+
+def file_dump(changes: DataFrame, path: str, partitions: int = 1,
+              with_crc: bool = False,
+              crc_cols: tuple[str, ...] = ()) -> None:
     """File-archive sink: the pb-dump equivalent, as parquet partitioned
     by commit-ts range so reparo-style replay (`WHERE commit_ts BETWEEN`)
-    prunes files. Retention GC = deleting old ts_bucket partitions."""
-    (changes
+    prunes files. Retention GC = deleting old ts_bucket partitions.
+    ``with_crc`` stamps each record with ``record_crc`` over
+    ``crc_cols`` (defaults to every column) for vlog-style end-to-end
+    integrity on top of parquet's page checksums."""
+    out = changes
+    if with_crc:
+        cols = crc_cols or tuple(changes.columns)
+        out = out.withColumn("record_crc", record_crc(changes, cols))
+    (out
      .withColumn("ts_bucket", (F.col("commit_ts") / 100000).cast("long"))
      .repartition(partitions, "ts_bucket")
      .sortWithinPartitions("commit_ts", "seq")
