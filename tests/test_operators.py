@@ -610,6 +610,15 @@ def test_rename_column_decode_across_versions(spark):
     assert reg.col_renames["t"]["c"] == [(2, "a"), (3, "b")]
     assert list(reg.columns_at("t", 3)) == ["pk", "c"]
 
+    # CHANGE without DEFAULT keeps the old default (same as MODIFY)
+    reg_d = se.SchemaRegistry()
+    reg_d.apply_ddl_events([
+        (1, "CREATE TABLE t (pk INT)"),
+        (2, "ALTER TABLE t ADD COLUMN a INT DEFAULT '7'"),
+        (3, "ALTER TABLE t CHANGE a b INT"),
+    ])
+    assert reg_d.columns_at("t", 3)["b"] == "7"
+
     rows = [
         (150, '{"pk": "1", "a": "10"}'),   # v1 encoding: key a
         (250, '{"pk": "2", "b": "20"}'),   # v2 encoding: key b

@@ -97,14 +97,19 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
-def decode_stub(docs: DataFrame) -> DataFrame:
+def decode_stub(docs: DataFrame, bucket_by_size: bool = False) -> DataFrame:
     """'Decode' each payload to typed metadata via mapInPandas.
 
     Real pipelines swap _decode_batch's body for PIL/soundfile/ffmpeg
     calls; everything around it (Arrow batches, schema, ordering
     independence) is production-shaped.
     """
-    payloads = size_bucketed(as_binary_payload(docs))
+    payloads = as_binary_payload(docs)
+    if bucket_by_size:
+        # opt-in: worth the extra totals pass + shuffle only when blob
+        # sizes are heterogeneous (a video store); a corpus of uniform
+        # small payloads keeps the zero-shuffle single-pass plan.
+        payloads = size_bucketed(payloads)
     return payloads.mapInPandas(_decode_batch, schema=DECODE_META_SCHEMA)
 
 

@@ -71,9 +71,14 @@ def format_timestamp_tz(nanos_col, tz: str,
     str2TimezoneOrFromDB). Input is BIGINT nanoseconds (the driver
     parquet's TIMESTAMP(NANOS) surface); session tz is pinned UTC by
     load_tables, so rendering is engine-stable."""
-    # decimal (not double) division: nanos exceed 2^53 after ~104 days
-    # of epoch, so a double quotient would round whole seconds.
-    secs = (_c(nanos_col).cast("decimal(38,0)")
+    # exact floor division, no float and no decimal rounding: nanos
+    # exceed 2^53 after ~104 days of epoch (double would round), and a
+    # decimal quotient rounds HALF_UP at its scale (ns 500ns below a
+    # second boundary would land in the NEXT second). Subtracting the
+    # positive pmod remainder first makes the decimal division exact.
+    ns = _c(nanos_col).cast("long")
+    ns_floor = ns - F.pmod(ns, F.lit(1_000_000_000))
+    secs = (ns_floor.cast("decimal(38,0)")
             / F.lit(1_000_000_000)).cast("long")
     ts = F.timestamp_seconds(secs)
     return F.date_format(F.from_utc_timestamp(ts, parse_timezone(tz)), fmt)

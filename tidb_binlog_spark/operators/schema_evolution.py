@@ -216,8 +216,13 @@ class SchemaRegistry:
                 v = self.latest_version(tbl) + 1
                 cols = {}
                 for c, d in self.columns_at(tbl, v - 1).items():
-                    cols[new_c if c == old_c else c] = \
-                        info.get("default", d) if c == old_c else d
+                    if c == old_c:
+                        # CHANGE without a DEFAULT clause keeps the old
+                        # default (same rule as the modify_column arm)
+                        nd = info.get("default")
+                        cols[new_c] = d if nd is None else nd
+                    else:
+                        cols[c] = d
                 self._versions[tbl][v] = cols
                 self.version_ts[tbl][v] = commit_ts
                 added = self.col_added_at[tbl]

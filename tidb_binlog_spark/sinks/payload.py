@@ -121,8 +121,10 @@ def crc_mismatches(df: DataFrame, cols: tuple[str, ...],
     """Rows whose stored record CRC no longer matches their content —
     the recovery-scan corruption check (vlog.go scan rejects records
     with bad magic/CRC)."""
+    # null-safe: a NULL stored CRC (legacy/merged-schema rows, or
+    # corruption of the CRC field itself) must FLAG, not pass silently
     return (df.withColumn("_crc_now", record_crc(df, cols))
-              .filter(F.col(crc_col) != F.col("_crc_now"))
+              .filter(~F.col(crc_col).eqNullSafe(F.col("_crc_now")))
               .drop("_crc_now"))
 
 
