@@ -313,6 +313,19 @@ def q_cdc_partition_route(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "partition_name", "partition_status")
 
 
+def q_cdc_truncated_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutations under pre-truncate physical table ids are dropped
+    (drainer/syncer.go:744-762): ids derived as tbl-base + pk%4, with
+    the ptest/p1 incarnation (id 101) truncated away."""
+    ch = _spark_changes(spark, sf_dir).withColumn(
+        "table_id",
+        F.when(F.col("tbl") == "ptest", 100)
+         .when(F.col("tbl") == "itest", 200)
+         .otherwise(300) + F.col("pk") % 4)
+    kept = filters.drop_truncated_tables(ch, [101, 203])
+    return kept.select("arrival_seq", "table_id", "tbl", "pk")
+
+
 def q_cdc_loopback_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = _spark_changes(spark, sf_dir)
     marked = (ch
@@ -847,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_full_pipeline": q_cdc_full_pipeline,
         "cdc_ddl_stream": q_cdc_ddl_stream,
         "cdc_partition_route": q_cdc_partition_route,
+        "cdc_truncated_drop": q_cdc_truncated_drop,
         "cdc_loopback_filter": q_cdc_loopback_filter,
         "cdc_heartbeat_progress": q_cdc_heartbeat_progress,
         "cdc_arbiter_dedup": q_cdc_arbiter_dedup,
@@ -1225,6 +1239,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d.logical_tbl IS NULL THEN 'orphan'
                         ELSE 'ok' END AS partition_status
             FROM p LEFT JOIN dim d ON p.physical_id = d.physical_id
+        """,
+        "cdc_truncated_drop": f"""
+            {CHANGES_CTE},
+            ids AS (SELECT *,
+                      (CASE tbl WHEN 'ptest' THEN 100
+                                WHEN 'itest' THEN 200
+                                ELSE 300 END) + pk % 4 AS table_id
+                    FROM changes)
+            SELECT arrival_seq, table_id, tbl, pk
+            FROM ids WHERE table_id NOT IN (101, 203)
         """,
         "cdc_loopback_filter": f"""
             {CHANGES_CTE},
