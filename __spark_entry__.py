@@ -782,6 +782,19 @@ def q_text_repetition(spark, sf_dir):
     return textfn.repetition_metrics(_docs(spark, sf_dir))
 
 
+def q_text_normalize(spark, sf_dir):
+    """Cleaning over a deterministically dirtied corpus (every 7th doc
+    gets injected control bytes + double spaces) so the strip/collapse
+    paths are actually exercised, not no-ops."""
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit("\x01"), F.regexp_replace("text", " ", "  "),
+                        F.lit("\x02")))
+         .otherwise(F.col("text")))
+    return textfn.normalize_text(d)
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return textfn.fingerprints(_docs(spark, sf_dir))
 
@@ -855,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
+        "text_normalize": q_text_normalize,
         "text_lang_id": q_text_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "cdc_full_pipeline": q_cdc_full_pipeline,
@@ -1171,6 +1185,27 @@ def oracle_sql() -> dict[str, str]:
         "text_token_count": osql.TEXT_TOKEN_COUNT,
         "text_quality": osql.TEXT_QUALITY,
         "text_repetition": osql.TEXT_REPETITION,
+        "text_normalize": r"""
+            WITH d AS (SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                     THEN chr(1) || regexp_replace(text, ' ', '  ', 'g')
+                          || chr(2)
+                     ELSE text END AS text
+              FROM documents),
+            s AS (SELECT doc_id, text,
+                    regexp_replace(text, '[\x00-\x1f\x7f]', '', 'g')
+                      AS stripped
+                  FROM d),
+            c AS (SELECT *,
+                    trim(regexp_replace(stripped, ' {2,}', ' ', 'g'))
+                      AS collapsed
+                  FROM s)
+            SELECT doc_id, collapsed AS clean_text,
+              length(text) - length(stripped) AS n_ctrl_removed,
+              length(stripped) - length(collapsed) AS n_ws_collapsed,
+              length(text) > length(collapsed) AS was_dirty
+            FROM c
+        """,
         "text_lang_id": osql.text_lang_id_sql(textfn.STOPWORDS),
         "doc_fingerprint": osql.DOC_FINGERPRINT,
         "cdc_gc_safepoint": f"""

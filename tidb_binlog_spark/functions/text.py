@@ -105,6 +105,22 @@ def lang_id(docs: DataFrame) -> DataFrame:
                      best.alias("best_score"))
 
 
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Cleaning pass every pretraining pipeline runs before analysis:
+    strip control/non-printable bytes, collapse whitespace runs, trim —
+    with audit counts so upstream corruption is observable (no silent
+    mutation). Pure regexp projections, zero shuffles; the character
+    classes are ASCII-range so Java and RE2 regex dialects agree."""
+    stripped = F.regexp_replace("text", "[\\x00-\\x1f\\x7f]", "")
+    collapsed = F.trim(F.regexp_replace(stripped, " {2,}", " "))
+    return docs.select(
+        "doc_id",
+        collapsed.alias("clean_text"),
+        (F.length("text") - F.length(stripped)).alias("n_ctrl_removed"),
+        (F.length(stripped) - F.length(collapsed)).alias("n_ws_collapsed"),
+        (F.length("text") > F.length(collapsed)).alias("was_dirty"))
+
+
 def repetition_metrics(docs: DataFrame) -> DataFrame:
     """Gopher/MassiveText-style repetition filters: the most frequent
     word's share of the document and the duplicate word-bigram
