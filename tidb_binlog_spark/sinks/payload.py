@@ -20,9 +20,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def obinlog_payload(changes: DataFrame) -> DataFrame:
+def obinlog_payload(changes: DataFrame,
+                    carry: tuple[str, ...] = ()) -> DataFrame:
     """One JSON message per change event (flat fields only — ints and
-    strings — so byte-exact output is engine-independent)."""
+    strings — so byte-exact output is engine-independent). ``carry``
+    names transport-side columns kept OUTSIDE the payload (the Kafka
+    offset / partition analog — metadata the broker adds, not the
+    message body)."""
     payload = F.to_json(F.struct(
         F.col("commit_ts").alias("commit_ts"),
         F.col("op").alias("type"),
@@ -31,7 +35,7 @@ def obinlog_payload(changes: DataFrame) -> DataFrame:
         F.col("pk").alias("pk"),
         F.col("seq").alias("seq"),
     ))
-    return changes.select("commit_ts", payload.alias("payload"))
+    return changes.select(*carry, "commit_ts", payload.alias("payload"))
 
 
 def obinlog_payload_wide(changes: DataFrame, info) -> DataFrame:
@@ -89,14 +93,17 @@ def parse_obinlog_wide(messages: DataFrame,
         F.col("_m.unique_keys").alias("unique_keys"))
 
 
-def parse_obinlog(messages: DataFrame, payload_col: str = "payload") -> DataFrame:
+def parse_obinlog(messages: DataFrame, payload_col: str = "payload",
+                  carry: tuple[str, ...] = ()) -> DataFrame:
     """Inverse projection: obinlog JSON message -> normalized change
     fields (SecondaryBinlogToTxn, pkg/loader/translate.go:30-…) — the
-    arbiter's Kafka-consumer decode step."""
+    arbiter's Kafka-consumer decode step. ``carry`` keeps transport
+    columns (Kafka offset analog) alongside the decoded fields."""
     schema = ("commit_ts BIGINT, type STRING, schema_name STRING, "
               "table_name STRING, pk BIGINT, seq INT")
     parsed = messages.withColumn("_m", F.from_json(F.col(payload_col), schema))
     return parsed.select(
+        *carry,
         F.col("_m.commit_ts").alias("commit_ts"),
         F.col("_m.type").alias("op"),
         F.col("_m.schema_name").alias("db"),
