@@ -158,7 +158,7 @@ def q_cdc_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     pending = pc_match.unmatched_prewrites(p, c)
     global_row = ordering.checkpoint_ts(ch, pending).select(
         F.lit("global").alias("scope"),
-        F.lit(None).cast("long").alias("source_id"),
+        F.lit(None).cast("string").alias("source_id"),
         F.lit(None).cast("long").alias("n_applied"),
         F.lit(None).cast("long").alias("n_heartbeats"),
         F.col("checkpoint_ts").alias("progress_ts"),
@@ -761,6 +761,31 @@ def q_doc_fingerprint(spark, sf_dir):
     return textfn.fingerprints(_docs(spark, sf_dir))
 
 
+# DuckDB mirror of textfn.normalize_text over _dirtied_docs (the
+# text_profile normalize leg).
+TEXT_NORMALIZE_DIRTIED_SQL = r"""
+    WITH d AS (SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0
+             THEN chr(1) || regexp_replace(text, ' ', '  ', 'g')
+                  || chr(2)
+             ELSE text END AS text
+      FROM documents),
+    s AS (SELECT doc_id, text,
+            regexp_replace(text, '[\x00-\x1f\x7f]', '', 'g')
+              AS stripped
+          FROM d),
+    c AS (SELECT *,
+            trim(regexp_replace(stripped, ' {2,}', ' ', 'g'))
+              AS collapsed
+          FROM s)
+    SELECT doc_id, collapsed AS clean_text,
+      length(text) - length(stripped) AS n_ctrl_removed,
+      length(stripped) - length(collapsed) AS n_ws_collapsed,
+      length(text) > length(collapsed) AS was_dirty
+    FROM c
+"""
+
+
 def _ddl_stream_oracle() -> str:
     """DuckDB mirror of q_cdc_ddl_stream, generated from the same
     pattern lists operators/ddl.py uses."""
@@ -866,30 +891,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT db, tbl, pk, commit_ts, op, val, row_json
             FROM last WHERE rn = 1 AND op <> 'D'
         """,
-        "cdc_merged_ops": f"""
-            {CHANGES_CTE}, {_OK_CTE},
-            orded AS (
-              SELECT *, CAST(ROW_NUMBER() OVER (
-                  PARTITION BY db, tbl, pk
-                  ORDER BY commit_ts, seq, arrival_seq) AS BIGINT) AS ord
-              FROM ok),
-            agg AS (
-              SELECT db, tbl, pk,
-                MAX(ord) AS last_ord,
-                MAX(CASE WHEN op = 'D' THEN ord END) AS last_d,
-                MAX(CASE WHEN op = 'I' THEN ord END) AS last_i,
-                MAX_BY(val, ord) AS final_val,
-                MIN_BY(val, ord) AS first_val,
-                COUNT(*) AS n_ops
-              FROM orded GROUP BY db, tbl, pk)
-            SELECT db, tbl, pk,
-              CASE WHEN last_d = last_ord THEN 'D'
-                   WHEN last_i IS NOT NULL
-                        AND (last_d IS NULL OR last_i > last_d) THEN 'I'
-                   ELSE 'U' END AS merged_op,
-              final_val, first_val, n_ops
-            FROM agg
-        """,
         "cdc_order_audit": f"""
             {CHANGES_CTE}, {_OK_CTE.replace("ok AS (", "ok_unused AS (")},
             tagged AS (
@@ -913,42 +914,6 @@ def oracle_sql() -> dict[str, str]:
                      FROM changes GROUP BY source_id) t)
             SELECT arrival_seq, source_id, commit_ts, op
             FROM ok, wm WHERE commit_ts <= watermark
-        """,
-        "cdc_filter_allow_block": f"""
-            {CHANGES_CTE}
-            SELECT arrival_seq, db, tbl, op FROM changes
-            WHERE ((lower(db) = 'db0' AND lower(tbl) = 'ptest')
-                   OR lower(db) = 'db1'
-                   OR (regexp_matches(db, '(?i)^db[12]$')
-                       AND regexp_matches(tbl, '(?i)^[in]test$')))
-              AND NOT (lower(db) = 'db2' AND lower(tbl) = 'ntest')
-        """,
-        "cdc_event_filter": f"""
-            {CHANGES_CTE}
-            SELECT arrival_seq, db, tbl, op FROM changes
-            WHERE NOT (regexp_matches(db, '(?i).*')
-                       AND lower(tbl) = 'ptest' AND op IN ('D'))
-              AND NOT (lower(db) = 'db2' AND lower(tbl) = 'ntest' AND op IN ('U'))
-        """,
-        "cdc_ignore_ts": f"""
-            {CHANGES_CTE}
-            SELECT arrival_seq, commit_ts FROM changes
-            WHERE commit_ts NOT IN (500, 1200, 7770)
-        """,
-        "cdc_route_tables": f"""
-            {CHANGES_CTE}
-            SELECT arrival_seq, db, tbl,
-              CASE WHEN regexp_matches(db, '^db.$') AND regexp_matches(tbl, '^ptest$')
-                     THEN 'dwh'
-                   WHEN regexp_matches(db, '^.*$') AND regexp_matches(tbl, '^.test$')
-                     THEN 'dwh'
-                   ELSE db END AS target_db,
-              CASE WHEN regexp_matches(db, '^db.$') AND regexp_matches(tbl, '^ptest$')
-                     THEN 't_p'
-                   WHEN regexp_matches(db, '^.*$') AND regexp_matches(tbl, '^.test$')
-                     THEN 't_other'
-                   ELSE tbl END AS target_tbl
-            FROM changes
         """,
         "cdc_pc_match": f"""
             {CHANGES_CTE},
@@ -984,7 +949,7 @@ def oracle_sql() -> dict[str, str]:
               MAX(CASE WHEN op2 <> 'FAKE' THEN commit_ts END) AS last_applied_ts
             FROM h GROUP BY source_id
             UNION ALL
-            SELECT 'global', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+            SELECT 'global', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
               CAST(NULL AS BIGINT),
               CASE WHEN min_pending IS NOT NULL AND min_pending <= watermark
                    THEN min_pending - 1 ELSE watermark END,
@@ -1125,17 +1090,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CASE WHEN new_session = 1 THEN 1 END) AS n_sessions
             FROM flagged GROUP BY user_id
         """,
-        "events_value_by_type": """
-            SELECT event_type, COUNT(*) AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
-            FROM events GROUP BY event_type
-        """,
         "dedup_exact": osql.DEDUP_EXACT,
         "text_contamination": osql.TEXT_CONTAMINATION,
         "text_stratified_sample": osql.TEXT_STRATIFIED_SAMPLE,
         "text_pack_sequences": osql.TEXT_PACK_SEQUENCES,
         "dedup_minhash_lsh": osql.DEDUP_MINHASH_LSH,
-        "dedup_simhash": osql.DEDUP_SIMHASH,
         "dedup_simhash_pairs": osql.DEDUP_SIMHASH_PAIRS,
         "dedup_ngram_jaccard": osql.DEDUP_NGRAM_JACCARD,
         "ann_cosine_topk": osql.ANN_COSINE_TOPK,
@@ -1143,31 +1102,24 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": osql.ANN_IVF_TOPK,
         "dedup_embedding_cosine": osql.EMBEDDING_NEAR_DUPS,
         "dedup_embedding_clusters": osql.EMBEDDING_CLUSTERS,
-        "text_token_count": osql.TEXT_TOKEN_COUNT,
-        "text_quality": osql.TEXT_QUALITY,
-        "text_repetition": osql.TEXT_REPETITION,
-        "text_normalize": r"""
-            WITH d AS (SELECT doc_id,
-                CASE WHEN doc_id % 7 = 0
-                     THEN chr(1) || regexp_replace(text, ' ', '  ', 'g')
-                          || chr(2)
-                     ELSE text END AS text
-              FROM documents),
-            s AS (SELECT doc_id, text,
-                    regexp_replace(text, '[\x00-\x1f\x7f]', '', 'g')
-                      AS stripped
-                  FROM d),
-            c AS (SELECT *,
-                    trim(regexp_replace(stripped, ' {2,}', ' ', 'g'))
-                      AS collapsed
-                  FROM s)
-            SELECT doc_id, collapsed AS clean_text,
-              length(text) - length(stripped) AS n_ctrl_removed,
-              length(stripped) - length(collapsed) AS n_ws_collapsed,
-              length(text) > length(collapsed) AS was_dirty
-            FROM c
+        # per-metric building blocks (osql.TEXT_* / text_lang_id_sql /
+        # the dirtied-normalize SQL) composed on doc_id — the DuckDB
+        # mirror of q_text_profile's projection-join.
+        "text_profile": f"""
+            SELECT t.doc_id, t.n_ws_tokens, t.n_bpe_tokens, t.n_chars_measured,
+                   q.n_tokens, q.mean_token_len, q.stopword_ratio,
+                   q.non_alpha_ratio,
+                   l.lang, l.pred_lang, l.best_score,
+                   r.n_words, r.top_word_frac, r.dup_bigram_frac,
+                   r.is_repetitive,
+                   n.clean_text, n.n_ctrl_removed, n.n_ws_collapsed,
+                   n.was_dirty
+            FROM ({osql.TEXT_TOKEN_COUNT}) t
+            JOIN ({osql.TEXT_QUALITY}) q USING (doc_id)
+            JOIN ({osql.text_lang_id_sql(textfn.STOPWORDS)}) l USING (doc_id)
+            JOIN ({osql.TEXT_REPETITION}) r USING (doc_id)
+            JOIN ({TEXT_NORMALIZE_DIRTIED_SQL}) n USING (doc_id)
         """,
-        "text_lang_id": osql.text_lang_id_sql(textfn.STOPWORDS),
         "doc_fingerprint": osql.DOC_FINGERPRINT,
         "cdc_gc_safepoint": f"""
             {CHANGES_CTE},
@@ -1183,7 +1135,6 @@ def oracle_sql() -> dict[str, str]:
                    (bucket_max_ts <= gc_safe_ts) AS droppable
             FROM buckets, safe
         """,
-        "dedup_minhash_clusters": osql.DEDUP_MINHASH_CLUSTERS,
         "cdc_full_pipeline": f"""
             {CHANGES_CTE}, {_OK_CTE},
             kept AS (
@@ -1236,16 +1187,6 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'ok' END AS partition_status
             FROM p LEFT JOIN dim d ON p.physical_id = d.physical_id
         """,
-        "cdc_truncated_drop": f"""
-            {CHANGES_CTE},
-            ids AS (SELECT *,
-                      (CASE tbl WHEN 'ptest' THEN 100
-                                WHEN 'itest' THEN 200
-                                ELSE 300 END) + pk % 4 AS table_id
-                    FROM changes)
-            SELECT arrival_seq, table_id, tbl, pk
-            FROM ids WHERE table_id NOT IN (101, 203)
-        """,
         "cdc_loopback_filter": f"""
             {CHANGES_CTE},
             marked AS (
@@ -1259,26 +1200,6 @@ def oracle_sql() -> dict[str, str]:
               WHERE db = 'retl' AND tbl = '_drainer_repl_mark')
             SELECT arrival_seq, commit_ts, db, tbl FROM marked
             WHERE commit_ts NOT IN (SELECT commit_ts FROM mark_txns)
-        """,
-        "cdc_heartbeat_progress": f"""
-            {CHANGES_CTE},
-            h AS (SELECT source_id, commit_ts,
-                    CASE WHEN arrival_seq % 25 = 0 THEN 'FAKE' ELSE op END AS op2
-                  FROM changes)
-            SELECT source_id,
-              COUNT(CASE WHEN op2 <> 'FAKE' THEN 1 END) AS n_applied,
-              COUNT(CASE WHEN op2 = 'FAKE' THEN 1 END) AS n_heartbeats,
-              MAX(commit_ts) AS checkpoint_ts,
-              MAX(CASE WHEN op2 <> 'FAKE' THEN commit_ts END) AS last_applied_ts
-            FROM h GROUP BY source_id
-        """,
-        "cdc_arbiter_dedup": f"""
-            {CHANGES_CTE},
-            r AS (SELECT arrival_seq, commit_ts, op,
-                    ROW_NUMBER() OVER (PARTITION BY commit_ts
-                                       ORDER BY arrival_seq, source_id) AS rn
-                  FROM changes)
-            SELECT arrival_seq, commit_ts, op FROM r WHERE rn = 1
         """,
         "cdc_txn_batches": f"""
             {CHANGES_CTE},
@@ -1302,24 +1223,10 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT commit_ts) AS n_txns
             FROM changes GROUP BY db, op
         """,
-        "cdc_timezone_format": """
-            WITH s AS (SELECT event_id,
-                         CAST(floor(epoch(ts)) AS BIGINT) AS sec
-                       FROM events)
-            SELECT event_id,
-              strftime(to_timestamp(sec) AT TIME ZONE 'UTC',
-                       '%Y-%m-%d %H:%M:%S') AS utc_ts,
-              strftime(to_timestamp(sec + 19800) AT TIME ZONE 'UTC',
-                       '%Y-%m-%d %H:%M:%S') AS ist_ts,
-              strftime(to_timestamp(sec - 21600) AT TIME ZONE 'UTC',
-                       '%Y-%m-%d %H:%M:%S') AS cst_ts,
-              strftime(to_timestamp(sec) AT TIME ZONE 'Asia/Kolkata',
-                       '%Y-%m-%d %H:%M:%S') AS kolkata_ts
-            FROM s
-        """,
         "cdc_type_format": """
             WITH ev AS (
               SELECT *,
+                CAST(floor(epoch(ts)) AS BIGINT) AS sec,
                 CASE WHEN event_id % 2 = 1 THEN -1 - event_id * 1000
                      ELSE event_id * 1000 END AS ubig_signed,
                 ['red','green','blue'] AS enum_elems,
@@ -1349,7 +1256,15 @@ def oracle_sql() -> dict[str, str]:
                     i -> CASE WHEN (set_mask >> (i - 1)) & 1 = 1
                               THEN enum_elems[i] END),
                   x -> x IS NOT NULL), ','), '') AS set_names,
-              set_mask AS set_back
+              set_mask AS set_back,
+              strftime(to_timestamp(sec) AT TIME ZONE 'UTC',
+                       '%Y-%m-%d %H:%M:%S') AS utc_ts,
+              strftime(to_timestamp(sec + 19800) AT TIME ZONE 'UTC',
+                       '%Y-%m-%d %H:%M:%S') AS ist_ts,
+              strftime(to_timestamp(sec - 21600) AT TIME ZONE 'UTC',
+                       '%Y-%m-%d %H:%M:%S') AS cst_ts,
+              strftime(to_timestamp(sec) AT TIME ZONE 'Asia/Kolkata',
+                       '%Y-%m-%d %H:%M:%S') AS kolkata_ts
             FROM ev
         """,
         "cdc_update_images": f"""
@@ -1480,18 +1395,17 @@ def oracle_sql() -> dict[str, str]:
                   ' WHERE `pk` = ' || CAST(pk AS STRING) || ' LIMIT 1'
                 WHEN 'D' THEN 'DELETE FROM `' || db || '`.`' || tbl ||
                   '` WHERE `pk` = ' || CAST(pk AS STRING) || ' LIMIT 1'
-              END AS sql_text
-            FROM changes
-        """,
-        "sink_obinlog_payload": f"""
-            {CHANGES_CTE}
-            SELECT commit_ts,
-              '{{"commit_ts":' || CAST(commit_ts AS STRING) ||
-              ',"type":"' || op ||
-              '","schema_name":"' || db ||
-              '","table_name":"' || tbl ||
-              '","pk":' || CAST(pk AS STRING) ||
-              ',"seq":' || CAST(seq AS STRING) || '}}' AS payload
+              END AS sql_mysql,
+              CASE op
+                WHEN 'I' THEN 'INSERT INTO ' || upper(db) || '.' || upper(tbl) ||
+                  '(PK, VAL) VALUES (' || CAST(pk AS STRING) || ', ' ||
+                  CAST(val AS STRING) || ')'
+                WHEN 'U' THEN 'UPDATE ' || upper(db) || '.' || upper(tbl) ||
+                  ' SET VAL = ' || CAST(val AS STRING) ||
+                  ' WHERE PK = ' || CAST(pk AS STRING) || ' AND rownum <= 1'
+                WHEN 'D' THEN 'DELETE FROM ' || upper(db) || '.' || upper(tbl) ||
+                  ' WHERE PK = ' || CAST(pk AS STRING) || ' AND rownum <= 1'
+              END AS sql_oracle
             FROM changes
         """,
         "sink_obinlog_wide": f"""
@@ -1516,24 +1430,14 @@ def oracle_sql() -> dict[str, str]:
               '{{"name":"uk_k","columns":["k"]}}]}}' AS payload
             FROM w
         """,
-        "sink_sql_oracle_dialect": f"""
-            {CHANGES_CTE}
-            SELECT arrival_seq, op,
-              CASE op
-                WHEN 'I' THEN 'INSERT INTO ' || upper(db) || '.' || upper(tbl) ||
-                  '(PK, VAL) VALUES (' || CAST(pk AS STRING) || ', ' ||
-                  CAST(val AS STRING) || ')'
-                WHEN 'U' THEN 'UPDATE ' || upper(db) || '.' || upper(tbl) ||
-                  ' SET VAL = ' || CAST(val AS STRING) ||
-                  ' WHERE PK = ' || CAST(pk AS STRING) || ' AND rownum <= 1'
-                WHEN 'D' THEN 'DELETE FROM ' || upper(db) || '.' || upper(tbl) ||
-                  ' WHERE PK = ' || CAST(pk AS STRING) || ' AND rownum <= 1'
-              END AS sql_text
-            FROM changes
-        """,
         "sink_payload_roundtrip": f"""
-            {CHANGES_CTE}
-            SELECT commit_ts, op, db, tbl, pk, seq FROM changes
+            {CHANGES_CTE},
+            r AS (SELECT arrival_seq, commit_ts, op, db, tbl, pk, seq,
+                    ROW_NUMBER() OVER (PARTITION BY commit_ts
+                                       ORDER BY arrival_seq, source_id) AS rn
+                  FROM changes)
+            SELECT arrival_seq, commit_ts, op, db, tbl, pk, seq
+            FROM r WHERE rn = 1
         """,
         "sink_bulk_batches": f"""
             {CHANGES_CTE}, {_OK_CTE},
@@ -1554,25 +1458,33 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM ranked GROUP BY db, tbl, op, batch_no
         """,
-        "mm_decode_meta": """
-            SELECT doc_id,
-              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-              substring(hex(encode(text)), 1, 8) AS header_hex,
-              md5(text) AS content_md5,
-              CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS fake_width,
-              CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS fake_height
-            FROM documents
-        """,
-        "mm_frame_sample": """
-            WITH b AS (SELECT doc_id, encode(text) AS payload FROM documents),
+        "mm_assets": """
+            WITH meta AS (
+              SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                substring(hex(encode(text)), 1, 8) AS header_hex,
+                md5(text) AS content_md5,
+                CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS fake_width,
+                CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS fake_height
+              FROM documents),
+            b AS (SELECT doc_id, encode(text) AS payload FROM documents),
             offs AS (
               SELECT doc_id, payload,
                      unnest(generate_series(0, octet_length(payload) - 1, 1000))
                        AS frame_offset
-              FROM b)
-            SELECT doc_id, frame_offset,
-                   substring(hex(payload), frame_offset * 2 + 1, 16) AS frame_hex
-            FROM offs
+              FROM b),
+            frames AS (
+              SELECT doc_id, frame_offset,
+                     substring(hex(payload), frame_offset * 2 + 1, 16) AS frame_hex
+              FROM offs),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n_frames,
+                     md5(string_agg(frame_hex, '' ORDER BY frame_offset))
+                       AS frames_digest
+              FROM frames GROUP BY doc_id)
+            SELECT m.doc_id, m.n_bytes, m.header_hex, m.content_md5,
+                   m.fake_width, m.fake_height, a.n_frames, a.frames_digest
+            FROM meta m JOIN agg a USING (doc_id)
         """,
         "snapshot_checksum_orders": """
             WITH hashed AS (

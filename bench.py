@@ -25,20 +25,20 @@ HEADLINE = [
     "cdc_snapshot_apply",        # full pipeline spine: order->compact->apply
     "cdc_full_pipeline",         # declarative config: filter+route+compact
     "cdc_kway_merge",            # multi-source merge + watermark gate
-    "cdc_merged_ops",            # per-PK merge classification
+    "cdc_wide_row_apply",        # per-PK merge over the map row model
     "cdc_pc_match",              # P/C binlog join
     "sink_bulk_batches",         # compaction + batched statement build
-    "sink_sql_generation",       # statement projection
+    "sink_sql_generation",       # dual-dialect statement projection
     "dedup_exact",               # content-hash dedup clusters
     "dedup_minhash_lsh",         # MinHash+LSH near-dup pairs
-    "dedup_simhash",             # SimHash signatures
+    "dedup_simhash_pairs",       # SimHash signatures + banded pairs
     "ann_cosine_topk",           # brute-force cosine top-k
     "ann_ivf_topk",              # IVF inverted-list search
     "curation_pipeline",         # lang-ID + quality + dedup composed
     "events_sessionize",         # gap-based sessionization
-    "text_quality",              # quality scoring scan
-    "text_lang_id",              # stopword language ID
-    "mm_decode_meta",            # mapInPandas multimodal plumbing
+    "text_profile",              # all per-doc text metrics, projection-joined
+    "doc_fingerprint",           # winnowing fingerprints
+    "mm_assets",                 # mapInPandas multimodal plumbing
     "snapshot_pricing_summary",  # wide aggregate over lineitem
     "snapshot_revenue_by_nation",# broadcast join chain
     "snapshot_checksum_orders",  # sync-diff style checksum
@@ -51,8 +51,11 @@ def main() -> None:
     spark = get_spark("bench")
 
     qs = entry.queries()
+    missing = [n for n in HEADLINE if n not in qs]
+    assert not missing, f"HEADLINE names not in queries(): {missing}"
+
     # warm up the JVM + parquet footers + Python workers once (not timed)
-    qs["events_value_by_type"](spark, sf_dir).write.format("noop") \
+    qs["cdc_event_counters"](spark, sf_dir).write.format("noop") \
         .mode("overwrite").save()
 
     def _ident(batches):

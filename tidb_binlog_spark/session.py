@@ -47,12 +47,24 @@ def get_spark(app_name: str = "tidb_binlog_spark",
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Register the driver's parquet tables as temp views; return dict of DFs.
 
-    The driver's parquet stamps timestamps as TIMESTAMP(NANOS), which
-    Spark only reads via the nanosAsLong legacy conf — timestamp columns
-    therefore surface as BIGINT nanoseconds; use ``ts_nanos_to_timestamp``
-    when timestamp semantics are needed.
+    Contract: the driver parquet's TIMESTAMP(NANOS) columns ALWAYS
+    surface as BIGINT epoch-nanoseconds, whatever Spark does natively:
+
+    - Spark <= 4.0 honors ``spark.sql.legacy.parquet.nanosAsLong`` and
+      reads them as BIGINT nanos directly.
+    - Spark 4.1+ removed that conf and reads TIMESTAMP(NANOS) as
+      TIMESTAMP_NTZ truncated to microseconds; ``_ts_ntz_to_nanos``
+      converts that back to epoch nanos (micros * 1000).
+
+    The driver fixtures are micro-aligned (verified: DuckDB
+    ``epoch_ns(ts) % 1000 == 0`` for every row), so both paths produce
+    identical nanos and agree with the DuckDB oracles' ``epoch_ns``.
+    Use ``ts_nanos_to_timestamp`` when timestamp semantics are needed.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # removed in Spark 4.1+: the NTZ branch below covers it
     # timestamp->string rendering must be TZ-stable for checksum parity
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
@@ -67,7 +79,7 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
                 # re-reading the same immutable fixture parquet re-does
                 # schema inference per query; the plan (not data) is
                 # memoized per (session, path).
-                df = spark.read.parquet(path)
+                df = _ts_ntz_to_nanos(spark.read.parquet(path))
                 _TABLE_MEMO[key] = df
             # always (re-)register: a different sf_dir may have claimed
             # the view name since the plan was first memoized.
@@ -86,6 +98,24 @@ def session_key(spark: SparkSession) -> str:
 # (application id, parquet path) -> DataFrame plan. Never holds data;
 # safe because fixture tables are immutable within a run.
 _TABLE_MEMO: dict = {}
+
+
+def _ts_ntz_to_nanos(df):
+    """Spark 4.1+ surfaces parquet TIMESTAMP(NANOS) as TIMESTAMP_NTZ
+    (micro precision). Re-establish the engine's BIGINT-nanos contract
+    for the event-time column ``ts`` (the only column queries consume
+    as epoch nanos — other temporal columns like o_orderdate keep their
+    native surface): NTZ -> session-tz timestamp (session tz is pinned
+    UTC, so this is the epoch instant) -> unix micros -> nanos.
+    Column-level projection only — no shuffle, fully codegen'd,
+    pushdown-transparent."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(
+                f.name, F.unix_micros(F.col(f.name).cast("timestamp")) * 1000)
+    return df
 
 
 def ts_nanos_to_timestamp(col):
