@@ -41,6 +41,40 @@ def test_simhash_identical_and_pairs(spark):
     assert len(pairs) == 1 and pairs[0]["hamming"] == 0
 
 
+def test_bucket_cap_default_is_exact_and_cap_is_loud(spark):
+    """ADVICE r2 / VERDICT r3 item 4: with an overflowing bucket
+    (10 identical docs, every copy in the same band buckets), the
+    DEFAULT (no cap) must produce the exact all-pairs result the
+    uncapped oracle computes; an explicit small cap truncates, and
+    bucket_cap_report surfaces that loudly (never silent)."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    n = 10
+    d = docs_df(spark, [base] * n + ["completely different words here now ok"])
+
+    # default: exact — all C(10,2) = 45 pairs present
+    pairs = dedup.minhash_lsh_pairs(d).collect()
+    assert len(pairs) == n * (n - 1) // 2
+    assert all(p["est_jaccard"] == 1.0 for p in pairs)
+
+    # explicit cap=3: only C(3,2) = 3 pairs survive…
+    capped = dedup.minhash_lsh_pairs(d, max_bucket_size=3).collect()
+    assert len(capped) == 3 * 2 // 2
+
+    # …and the monitoring side reports the overflow (4 band buckets,
+    # each with the 10 copies, 7 dropped apiece)
+    sigs = dedup.minhash_signatures(d)
+    exploded = (sigs.withColumn(
+        "band", F.explode(F.expr(
+            "transform(sequence(0, 3), b -> named_struct('band', b, 'key', "
+            "md5(concat(sig[b*3], sig[b*3+1], sig[b*3+2]))))")))
+        .select("doc_id", F.col("band.band").alias("band"),
+                F.col("band.key").alias("bucket")))
+    report = dedup.bucket_cap_report(exploded, ["band", "bucket"], 3).collect()
+    assert len(report) == 4
+    assert all(r["bucket_size"] == n and r["n_dropped"] == n - 3
+               for r in report)
+
+
 def test_ngram_jaccard_threshold(spark):
     a = "w1 w2 w3 w4 w5 w6 w7 w8"
     b = "w1 w2 w3 w4 w5 w6 w7 other"

@@ -129,6 +129,58 @@ def test_refresh_hook_fires_once_then_converges(spark, tmp_path):
     assert {r["pk"]: r["val"] for r in applied.collect()} == {1: 3.0}
 
 
+def test_refresh_retries_non_transient_error_once(spark, tmp_path):
+    """A NON-transient driver error (ProgrammingError — the
+    MySQL-driver class ErrColumnNotExists surfaces as) must still get
+    exactly one post-refresh retry: the reference refreshes the table
+    info and re-runs the statement (loader/executor.go:336-405); only
+    if it fails AGAIN is the error fatal. Before the fix the
+    is_transient check raised before the post-refresh attempt."""
+    class ProgrammingError(Exception):
+        pass   # name is what default_is_transient classifies on
+
+    assert not jdbc.default_is_transient(ProgrammingError())
+
+    ch = make_changes(spark, [(1, "s0", 10, "I", 1, 0, 3.0)])
+    stmts = sqlgen.generate_sql(
+        safe_mode.safe_mode_rewrite(ch), dialect="sqlite") \
+        .withColumn("worker_id", F.lit(0))
+    db_dir = str(tmp_path / "dbs")
+
+    state = {"refreshed": False, "refresh_calls": 0}
+
+    def inject(sql_text):
+        # stale catalog: every execute fails with the deterministic
+        # driver error until the refresh hook has run
+        if not state["refreshed"]:
+            raise ProgrammingError(f"no such column: {sql_text[:30]}")
+
+    def refresh(conn, sql_text, exc):
+        state["refresh_calls"] += 1
+        state["refreshed"] = True
+
+    jdbc.apply_statements(
+        stmts, db_dir, num_workers=1,
+        setup_sql=("CREATE TABLE IF NOT EXISTS `t` "
+                   "(pk INTEGER PRIMARY KEY, val REAL)",),
+        retry=jdbc.RetryPolicy(max_retries=3, backoff_s=0.001,
+                               on_refresh=refresh),
+        inject=inject)
+    applied = jdbc.read_applied(spark, db_dir, "`t`", ["pk", "val"])
+    assert {r["pk"]: r["val"] for r in applied.collect()} == {1: 3.0}
+
+    # a second statement batch re-arms the per-statement refresh;
+    # with no refresh hook the same error class must still be fatal
+    state["refreshed"] = False
+    import pytest
+    with pytest.raises(Exception) as ei:
+        jdbc.apply_statements(
+            stmts, db_dir, num_workers=1,
+            retry=jdbc.RetryPolicy(max_retries=3, backoff_s=0.001),
+            inject=inject)
+    assert "ProgrammingError" in str(ei.getrepr())
+
+
 def test_colliding_worker_ids_use_separate_connections(spark, tmp_path):
     """Two distinct worker_ids hashed into one Spark partition must
     still write their own worker_<id>.db files (the

@@ -35,7 +35,13 @@ def cap_buckets(exploded: DataFrame, bucket_cols: list[str],
     task. Members beyond the cap lose only their *candidate pairs
     within that bucket*; they keep colliding in their other
     bands/chunks. Use ``bucket_cap_report`` to surface what a given
-    cap would drop."""
+    cap would drop.
+
+    Default is ``None`` (no cap): results are EXACT and match the
+    uncapped oracles bit-for-bit. A cap is an explicit scale-deployment
+    opt-in — pair it with ``bucket_cap_report`` so truncation is never
+    silent (a 100 TB run caps at e.g. 4096 and alerts on report
+    rows)."""
     if max_bucket_size is None:
         return exploded
     w = Window.partitionBy(*bucket_cols).orderBy(order_col)
@@ -110,7 +116,7 @@ def minhash_signatures(docs: DataFrame, k: int = 12) -> DataFrame:
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4,
-                      max_bucket_size: int | None = 4096) -> DataFrame:
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH + exact-signature
     similarity estimate (fraction of agreeing minhashes).
 
@@ -203,7 +209,7 @@ def simhash(docs: DataFrame) -> DataFrame:
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
-                  max_bucket_size: int | None = 4096) -> DataFrame:
+                  max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup candidates: docs sharing any of the four 16-bit simhash
     chunks (pigeonhole guarantee for hamming <= 3; wider distances are
     still *candidates*), filtered to hamming <= max_hamming.

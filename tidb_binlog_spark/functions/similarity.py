@@ -171,7 +171,7 @@ def ivf_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.3,
                         dims: int = 64,
-                        max_bucket_size: int | None = 4096) -> DataFrame:
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: same-LSH-bucket candidate
     join, exact cosine >= threshold. Bucket membership is capped so a
     degenerate bucket (identical vectors repeated en masse) cannot go

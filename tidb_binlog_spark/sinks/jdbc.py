@@ -84,7 +84,8 @@ def default_is_transient(exc: Exception) -> bool:
 def _execute_with_retry(conn, sql_text: str, policy: RetryPolicy,
                         inject=None) -> None:
     refreshed = False
-    for attempt in range(policy.max_retries + 1):
+    attempt = 0
+    while True:
         try:
             if inject is not None:
                 inject(sql_text)   # test hook: raises to simulate a flake
@@ -93,12 +94,22 @@ def _execute_with_retry(conn, sql_text: str, policy: RetryPolicy,
         except Exception as exc:
             # the refresh hook fires once per statement, mirroring the
             # single evict-and-refresh the reference does for
-            # ErrColumnNotExists before resuming normal retries.
+            # ErrColumnNotExists (loader/executor.go singleExecRetry:
+            # refresh table info, then re-run the statement). The
+            # post-refresh retry happens REGARDLESS of transience —
+            # an unknown-column ProgrammingError is deterministic
+            # against the stale catalog but may succeed against the
+            # refreshed one.
             if policy.on_refresh is not None and not refreshed:
                 refreshed = True
                 policy.on_refresh(conn, sql_text, exc)
+                if attempt < policy.max_retries:
+                    attempt += 1
+                    time.sleep(policy.backoff_s)
+                    continue
             if attempt >= policy.max_retries or not policy.is_transient(exc):
                 raise
+            attempt += 1
             time.sleep(policy.backoff_s)
 
 
