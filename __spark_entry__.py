@@ -31,6 +31,7 @@ from tidb_binlog_spark.functions import similarity as simfn
 from tidb_binlog_spark.functions import oracle_sql as osql
 from tidb_binlog_spark.functions import checksum as cksum
 from tidb_binlog_spark.functions import multimodal as mm
+from tidb_binlog_spark.functions import kvcodec
 from tidb_binlog_spark.operators import causality, ddl, batching
 from tidb_binlog_spark.plans.pipeline import ReplicationConfig, build_pipeline
 from tidb_binlog_spark.sinks import sqlgen, payload
@@ -399,6 +400,50 @@ def q_cdc_type_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         typemap.format_timestamp_tz(F.col("ts"), "-6:00").alias("cst_ts"),
         typemap.format_timestamp_tz(F.col("ts"), "Asia/Kolkata")
             .alias("kolkata_ts"))
+
+
+# the drainer-side column info the KV decode runs against
+# (model.TableInfo slice; pk is the int handle, k has a default,
+# u is unsigned -> fixType territory)
+KV_INFO = kvcodec.KVTableInfo(
+    columns=(kvcodec.ColInfo(1, "pk", "long"),
+             kvcodec.ColInfo(2, "val", "double"),
+             kvcodec.ColInfo(3, "k", "string", default="dk"),
+             kvcodec.ColInfo(4, "u", "ulong")),
+    pk_handle_id=1)
+
+KV_INFO_UPD = kvcodec.KVTableInfo(
+    columns=KV_INFO.columns[:3], pk_handle_id=1)
+
+
+def _kv_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = _spark_changes(spark, sf_dir)
+    k = F.coalesce(F.get_json_object("row_json", "$.k"), F.lit("nk"))
+    return ch.select("arrival_seq", "pk", "val", k.alias("k"))
+
+
+def q_cdc_kv_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TiDB KV insert-row decode over REAL pump-format bytes: the
+    change stream is encoded into `[handle][colID, datum]...` row
+    values (tidb util/codec wire format), then decoded back against
+    the column info — pk-is-handle back-fill, NULL datums, missing-col
+    default back-fill, unsigned fixType (translator.go:40-123). The
+    oracle states the expected decode output directly from the stream;
+    equality proves encode∘decode == the declared row semantics."""
+    raw = kvcodec.encode_insert_stream(_kv_src(spark, sf_dir), KV_INFO)
+    out = kvcodec.decode_insert_stream(raw, KV_INFO)
+    # DECIMAL(20,0) -> STRING for the compare surface only: DuckDB's
+    # pandas bridge degrades DECIMAL to float64 (precision loss at
+    # uint64 range); the operator itself keeps the decimal type.
+    return out.withColumn("u", F.col("u").cast("string"))
+
+
+def q_cdc_kv_decode_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecodeOldAndNewRow over real bytes: flat [colID, value] pairs,
+    first occurrence = old image, second = new, missing columns
+    default-filled in BOTH images (translator.go:229-350)."""
+    raw = kvcodec.encode_update_stream(_kv_src(spark, sf_dir), KV_INFO_UPD)
+    return kvcodec.decode_update_stream(raw, KV_INFO_UPD)
 
 
 def q_cdc_update_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,6 +869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so EVERY query lands a driver row each round; queries whose
     # evidence is stale (never driver-checked, or r1-only) lead.
     return {
+        # -- new r4: KV row codec over real pump-format bytes ------------
+        "cdc_kv_decode": q_cdc_kv_decode,
+        "cdc_kv_decode_update": q_cdc_kv_decode_update,
         # -- never driver-checked before r3 ------------------------------
         "cdc_wide_row_apply": q_cdc_wide_row_apply,
         "sink_sql_wide": q_sink_sql_wide,
@@ -881,6 +929,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cdc_kv_decode": f"""
+            {CHANGES_CTE}
+            SELECT arrival_seq, pk,
+              CASE WHEN arrival_seq % 13 = 0 THEN NULL ELSE val END AS val,
+              CASE WHEN arrival_seq % 11 = 0 THEN 'dk'
+                   ELSE COALESCE(json_extract_string(row_json, '$.k'), 'nk')
+                   END AS k,
+              CAST(CASE WHEN pk % 2 = 1
+                        THEN CAST('18446744073709551616' AS HUGEINT) - pk
+                        ELSE CAST(pk AS HUGEINT) END
+                   AS VARCHAR) AS u
+            FROM changes
+        """,
+        "cdc_kv_decode_update": f"""
+            {CHANGES_CTE}
+            SELECT arrival_seq,
+              pk AS old_pk, val - 1.0 AS old_val,
+              CASE WHEN arrival_seq % 11 = 0 THEN 'dk'
+                   ELSE 'old_' ||
+                        COALESCE(json_extract_string(row_json, '$.k'), 'nk')
+                   END AS old_k,
+              pk AS new_pk, val AS new_val,
+              CASE WHEN arrival_seq % 11 = 0 THEN 'dk'
+                   ELSE COALESCE(json_extract_string(row_json, '$.k'), 'nk')
+                   END AS new_k
+            FROM changes
+        """,
         "cdc_snapshot_apply": f"""
             {CHANGES_CTE}, {_OK_CTE},
             last AS (

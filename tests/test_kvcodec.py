@@ -1,0 +1,197 @@
+"""TiDB KV row codec: scalar datum roundtrips, hand-built byte
+fixtures, insert/update row decode semantics (pk-is-handle back-fill,
+default fill, old/new splitting), and the Arrow-batched Spark paths.
+
+Reference semantics: drainer/translator/translator.go:40-123
+(insertRowToDatums), :229-350 (DecodeOldAndNewRow); wire format
+tidb util/codec (EncodeValue / DecodeOne).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tidb_binlog_spark.functions import kvcodec as kv
+
+INFO = kv.KVTableInfo(
+    columns=(
+        kv.ColInfo(1, "pk", "long"),
+        kv.ColInfo(2, "val", "double"),
+        kv.ColInfo(3, "k", "string", default="dk"),
+        kv.ColInfo(4, "u", "ulong"),
+    ),
+    pk_handle_id=1,
+)
+
+
+# -- scalar codec ------------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_varint_roundtrip(v):
+    buf = kv.encode_datum(v, "long")
+    got, flag, pos = kv.decode_datum(buf, 0)
+    assert (got, flag, pos) == (v, kv.VARINT_FLAG, len(buf))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=2**64 - 1))
+def test_uvarint_roundtrip(v):
+    buf = kv.encode_datum(v, "ulong")
+    got, flag, pos = kv.decode_datum(buf, 0)
+    assert (got, flag, pos) == (v, kv.UVARINT_FLAG, len(buf))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(allow_nan=False, allow_infinity=False))
+def test_float_roundtrip(v):
+    buf = kv.encode_datum(v, "double")
+    got, _, _ = kv.decode_datum(buf, 0)
+    assert got == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_string_roundtrip(s):
+    buf = kv.encode_datum(s, "string")
+    got, _, pos = kv.decode_datum(buf, 0)
+    assert got == s and pos == len(buf)
+
+
+def test_known_byte_fixtures():
+    """Wire-format pins (Go binary.PutVarint / LEB128): these byte
+    strings are what TiDB's codec emits — a codec change breaks them."""
+    assert kv.encode_datum(None, "long") == b"\x00"
+    assert kv.encode_datum(0, "long") == b"\x08\x00"          # zigzag(0)=0
+    assert kv.encode_datum(-1, "long") == b"\x08\x01"         # zigzag(-1)=1
+    assert kv.encode_datum(1, "long") == b"\x08\x02"          # zigzag(1)=2
+    assert kv.encode_datum(300, "ulong") == b"\x09\xac\x02"   # LEB128
+    assert kv.encode_datum("ab", "string") == b"\x02\x04ab"   # len zigzagged
+    # float 1.0: bits 0x3ff0... -> sign bit OR'd -> 0xbff0...
+    assert kv.encode_datum(1.0, "double") == \
+        b"\x05\xbf\xf0\x00\x00\x00\x00\x00\x00"
+    # comparable int flag (pk handles in index keys): sign bit flipped
+    v, _, _ = kv.decode_datum(b"\x03\x80\x00\x00\x00\x00\x00\x00\x07", 0)
+    assert v == 7
+    v, _, _ = kv.decode_datum(b"\x03\x7f\xff\xff\xff\xff\xff\xff\xff", 0)
+    assert v == -1
+
+
+def test_unknown_flag_raises():
+    with pytest.raises(ValueError, match="unsupported datum flag"):
+        kv.decode_datum(b"\x06\x00", 0)   # decimal flag: no coverage
+
+
+# -- insert row --------------------------------------------------------------
+
+def test_insert_row_roundtrip_with_backfill():
+    row = kv.encode_insert_row(INFO, 42, {2: 2.5, 4: 2**64 - 42})
+    datums = kv.decode_insert_row(INFO, row)
+    # col 3 missing -> declared default; pk from the handle prefix
+    assert datums == {1: 42, 2: 2.5, 3: "dk", 4: 2**64 - 42}
+
+
+def test_insert_row_null_and_unknown_col():
+    # NULL survives as NULL (issue #9304 branch: nullable col, NULL
+    # value stays NULL, not default); unknown col id 99 is skipped
+    row = kv.encode_insert_row(INFO, 7, {2: None, 3: "x", 99: 5})
+    datums = kv.decode_insert_row(INFO, row)
+    assert datums == {1: 7, 2: None, 3: "x", 4: None}
+
+
+def test_insert_unsigned_handle_fixtype():
+    """fixType: a huge unsigned pk is stored as its negative signed
+    reinterpretation; decode against an unsigned pk col recovers it."""
+    uinfo = kv.KVTableInfo(
+        columns=(kv.ColInfo(1, "pk", "ulong"),
+                 kv.ColInfo(2, "val", "double")),
+        pk_handle_id=1)
+    big = 2**64 - 1            # stored as int64 -1
+    row = kv.encode_insert_row(uinfo, big - 2**64, {2: 1.0})
+    datums = kv.decode_insert_row(uinfo, row)
+    assert datums[1] == big
+
+
+def test_insert_not_null_zero_value():
+    zinfo = kv.KVTableInfo(
+        columns=(kv.ColInfo(1, "pk", "long"),
+                 kv.ColInfo(2, "s", "string", not_null=True),
+                 kv.ColInfo(3, "n", "long", not_null=True)),
+        pk_handle_id=1)
+    datums = kv.decode_insert_row(zinfo, kv.encode_insert_row(zinfo, 1, {}))
+    assert datums == {1: 1, 2: "", 3: 0}
+
+
+# -- update row --------------------------------------------------------------
+
+def test_update_row_old_new_split():
+    old = {1: 5, 2: 1.0, 3: "a"}
+    new = {1: 5, 2: 2.0, 3: "b"}
+    got_old, got_new = kv.decode_update_row(
+        INFO, kv.encode_update_row(INFO, old, new))
+    assert got_old == {1: 5, 2: 1.0, 3: "a", 4: None}
+    assert got_new == {1: 5, 2: 2.0, 3: "b", 4: None}
+
+
+def test_update_row_missing_col_filled_both():
+    old = {1: 5, 2: 1.0}
+    new = {1: 5, 2: 2.0}
+    got_old, got_new = kv.decode_update_row(
+        INFO, kv.encode_update_row(INFO, old, new))
+    assert got_old[3] == "dk" and got_new[3] == "dk"
+
+
+def test_update_row_corrupt_raises():
+    # a column appearing once only -> old/new image sizes diverge
+    buf = (kv.encode_datum(1, "long") + kv.encode_datum(5, "long")
+           + kv.encode_datum(1, "long") + kv.encode_datum(6, "long")
+           + kv.encode_datum(2, "long") + kv.encode_datum(1.0, "double"))
+    with pytest.raises(ValueError, match="corrupted"):
+        kv.decode_update_row(INFO, buf)
+
+
+def test_update_nil_row_empty():
+    assert kv.decode_update_row(INFO, b"\x00") == ({}, {})
+
+
+# -- Spark Arrow paths -------------------------------------------------------
+
+def _src(spark):
+    rows = [(i, 1000 + i, float(i) + 0.5, f"k{i}") for i in range(50)]
+    return spark.createDataFrame(
+        rows, "arrival_seq long, pk long, val double, k string")
+
+
+def test_spark_insert_roundtrip(spark):
+    src = _src(spark)
+    decoded = kv.decode_insert_stream(
+        kv.encode_insert_stream(src, INFO), INFO).collect()
+    assert len(decoded) == 50
+    by_seq = {r["arrival_seq"]: r for r in decoded}
+    assert by_seq[1]["pk"] == 1001 and by_seq[1]["val"] == 1.5
+    assert by_seq[1]["k"] == "k1"
+    assert by_seq[0]["val"] is None          # %13 -> NULL datum
+    assert by_seq[0]["k"] == "dk"            # %11 -> default back-fill
+    assert by_seq[1]["u"] == Decimal(2**64 - 1001)   # odd pk -> top bit
+    assert by_seq[2]["u"] == Decimal(1002)
+
+
+def test_spark_update_roundtrip(spark):
+    info = kv.KVTableInfo(
+        columns=(kv.ColInfo(1, "pk", "long"),
+                 kv.ColInfo(2, "val", "double"),
+                 kv.ColInfo(3, "k", "string", default="dk")),
+        pk_handle_id=1)
+    src = _src(spark)
+    decoded = kv.decode_update_stream(
+        kv.encode_update_stream(src, info), info).collect()
+    by_seq = {r["arrival_seq"]: r for r in decoded}
+    assert by_seq[1]["old_val"] == 0.5 and by_seq[1]["new_val"] == 1.5
+    assert by_seq[1]["old_k"] == "old_k1" and by_seq[1]["new_k"] == "k1"
+    assert by_seq[0]["old_k"] == "dk" and by_seq[0]["new_k"] == "dk"
+    assert by_seq[0]["old_pk"] == by_seq[0]["new_pk"] == 1000

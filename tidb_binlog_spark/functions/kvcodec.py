@@ -1,0 +1,408 @@
+"""TiDB KV row-value codec: decode pump's raw mutation bytes.
+
+The reference never ships rows as JSON — a pump mutation carries the
+TiDB *old row format* value bytes, and the drainer decodes them against
+the table's column info:
+
+- insert rows: ``[handle datum][colID datum, value datum]...`` —
+  reference drainer/translator/translator.go:40-123
+  (``insertRowToDatums``: pk prefix via codec.DecodeOne, remainder via
+  tablecodec.DecodeRowToDatumMap, pk-is-handle back-fill with
+  ``fixType`` re-interpreting an unsigned handle);
+- update rows: ``[colID, value]...`` flat, each column id appearing
+  twice — FIRST occurrence is the old image, SECOND the new
+  (translator.go:229-350 ``DecodeOldAndNewRow``), with default/zero
+  back-fill for columns missing from both when the schema grew
+  (``getDefaultOrZeroValue``, translator.go:160-227).
+
+The datum wire format is TiDB's ``util/codec`` (public): a flag byte
+then a payload —
+
+====  ==============  ===========================================
+flag  name            payload
+====  ==============  ===========================================
+0     nil             (empty)
+2     compact bytes   varint byte-length + raw bytes
+3     int             8-byte big-endian, sign bit flipped
+4     uint            8-byte big-endian
+5     float           8-byte big-endian float64, order-encoded
+8     varint          Go binary.PutVarint (zigzag LEB128)
+9     uvarint         LEB128
+====  ==============  ===========================================
+
+(The memcomparable ``bytes`` flag 1 and decimal/duration/json flags
+carry no fixture coverage here; the decoder rejects them loudly.)
+
+Spark integration is Arrow-batched ``mapInPandas`` — variable-length
+byte parsing is inherently row-iterative, so the Python loop runs once
+per Arrow batch on the executor, never row-at-a-time through the
+serializer. At 100 TB the decode is a narrow map-only stage (no
+shuffle): it scales with executor count and pipelines into whatever
+shuffle the downstream operator needs anyway.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Iterator
+
+NIL_FLAG = 0
+BYTES_FLAG = 1
+COMPACT_BYTES_FLAG = 2
+INT_FLAG = 3
+UINT_FLAG = 4
+FLOAT_FLAG = 5
+VARINT_FLAG = 8
+UVARINT_FLAG = 9
+
+_SIGN_MASK = 0x8000000000000000
+_U64 = 1 << 64
+
+
+# ---------------------------------------------------------------------------
+# scalar codec (Go encoding/binary + tidb util/codec semantics)
+# ---------------------------------------------------------------------------
+
+def _encode_uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _decode_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    result = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("uvarint overflows uint64")
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def encode_datum(value, kind: str) -> bytes:
+    """One datum in EncodeValue (non-comparable) layout: the layout
+    the pump's row values use."""
+    if value is None:
+        return bytes([NIL_FLAG])
+    if kind == "long":
+        return bytes([VARINT_FLAG]) + _encode_uvarint(_zigzag(int(value)))
+    if kind == "ulong":
+        return bytes([UVARINT_FLAG]) + _encode_uvarint(int(value) % _U64)
+    if kind == "double":
+        u = struct.unpack(">Q", struct.pack(">d", float(value)))[0]
+        u = (~u) & (_U64 - 1) if u & _SIGN_MASK else u | _SIGN_MASK
+        return bytes([FLOAT_FLAG]) + struct.pack(">Q", u)
+    if kind == "string":
+        raw = value.encode("utf-8") if isinstance(value, str) else bytes(value)
+        return (bytes([COMPACT_BYTES_FLAG])
+                + _encode_uvarint(_zigzag(len(raw))) + raw)
+    raise ValueError(f"unsupported datum kind {kind!r}")
+
+
+def decode_datum(buf: bytes, pos: int):
+    """-> (python value, flag, next pos). Mirrors codec.DecodeOne."""
+    flag = buf[pos]
+    pos += 1
+    if flag == NIL_FLAG:
+        return None, flag, pos
+    if flag == VARINT_FLAG:
+        u, pos = _decode_uvarint(buf, pos)
+        return _unzigzag(u), flag, pos
+    if flag == UVARINT_FLAG:
+        u, pos = _decode_uvarint(buf, pos)
+        return u, flag, pos
+    if flag == INT_FLAG:
+        (u,) = struct.unpack_from(">Q", buf, pos)
+        return u ^ _SIGN_MASK if u & _SIGN_MASK else u - _U64 + _SIGN_MASK, \
+            flag, pos + 8
+    if flag == UINT_FLAG:
+        (u,) = struct.unpack_from(">Q", buf, pos)
+        return u, flag, pos + 8
+    if flag == FLOAT_FLAG:
+        (u,) = struct.unpack_from(">Q", buf, pos)
+        u = u & ~_SIGN_MASK if u & _SIGN_MASK else (~u) & (_U64 - 1)
+        return struct.unpack(">d", struct.pack(">Q", u))[0], flag, pos + 8
+    if flag == COMPACT_BYTES_FLAG:
+        z, pos = _decode_uvarint(buf, pos)
+        n = _unzigzag(z)
+        return buf[pos:pos + n].decode("utf-8"), flag, pos + n
+    raise ValueError(f"unsupported datum flag {flag} at {pos - 1}")
+
+
+# ---------------------------------------------------------------------------
+# table schema (the slice of model.TableInfo the decoder consumes)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ColInfo:
+    col_id: int
+    name: str
+    kind: str                      # long | ulong | double | string
+    default: object = None         # getDefaultOrZeroValue source
+    not_null: bool = False
+
+
+@dataclass(frozen=True)
+class KVTableInfo:
+    """pk_handle_id: the column whose value IS the row handle
+    (table.PKIsHandle) — its datum is the row prefix, not a
+    [colID, value] pair. Unsigned handles re-interpret the signed
+    int64 (fixType, translator.go:117-121)."""
+    columns: tuple[ColInfo, ...]
+    pk_handle_id: int | None = None
+    _by_id: dict = field(default=None, compare=False, repr=False)
+
+    def col(self, col_id: int) -> ColInfo | None:
+        for c in self.columns:
+            if c.col_id == col_id:
+                return c
+        return None
+
+    def default_or_zero(self, c: ColInfo):
+        """translator.go getDefaultOrZeroValue: declared default, else
+        NULL when nullable, else the type's zero value."""
+        if c.default is not None:
+            return c.default
+        if not c.not_null:
+            return None
+        return {"long": 0, "ulong": 0, "double": 0.0, "string": ""}[c.kind]
+
+
+# ---------------------------------------------------------------------------
+# row-level encode (pump side, used by fixtures) / decode (drainer side)
+# ---------------------------------------------------------------------------
+
+def encode_insert_row(info: KVTableInfo, handle: int,
+                      values: dict[int, object]) -> bytes:
+    """``[handle][colID, value]...`` — the pk-is-handle insert layout
+    insertRowToDatums consumes. ``values`` maps col_id -> value for
+    NON-handle columns; omit a col_id to exercise default back-fill."""
+    out = bytearray(encode_datum(handle, "long"))
+    for col_id, value in values.items():
+        c = info.col(col_id)
+        out += encode_datum(col_id, "long")
+        out += encode_datum(value, c.kind if c else "long")
+    return bytes(out)
+
+
+def encode_update_row(info: KVTableInfo, old: dict[int, object],
+                      new: dict[int, object]) -> bytes:
+    """Flat ``[colID, old, ..., colID, new, ...]`` pairs: all old
+    images first, then all new — DecodeOldAndNewRow keys off each
+    col_id's FIRST vs SECOND occurrence, so any interleaving where
+    old precedes new per column is equivalent."""
+    out = bytearray()
+    for image in (old, new):
+        for col_id, value in image.items():
+            c = info.col(col_id)
+            out += encode_datum(col_id, "long")
+            out += encode_datum(value, c.kind if c else "long")
+    return bytes(out)
+
+
+def decode_insert_row(info: KVTableInfo, row: bytes) -> dict[int, object]:
+    """insertRowToDatums for int-handle tables: pk datum prefix, then
+    [colID, value] pairs, then pk-is-handle + default back-fill."""
+    handle, _, pos = decode_datum(row, 0)
+    datums: dict[int, object] = {}
+    while pos < len(row):
+        col_id, _, pos = decode_datum(row, pos)
+        value, flag, pos = decode_datum(row, pos)
+        c = info.col(col_id)
+        if c is not None:
+            datums[col_id] = value
+    for c in info.columns:
+        if c.col_id == info.pk_handle_id:
+            # fixType: unsigned pk stored as its signed reinterpretation
+            datums[c.col_id] = handle % _U64 if c.kind == "ulong" else handle
+        elif c.col_id not in datums:
+            datums[c.col_id] = info.default_or_zero(c)
+    return datums
+
+
+def decode_update_row(info: KVTableInfo, row: bytes
+                      ) -> tuple[dict[int, object], dict[int, object]]:
+    """DecodeOldAndNewRow: first occurrence -> old, second -> new;
+    columns missing from both get default/zero in BOTH images."""
+    if not row or row[0] == NIL_FLAG:
+        return {}, {}
+    old: dict[int, object] = {}
+    new: dict[int, object] = {}
+    pos, cnt = 0, 0
+    want = sum(1 for c in info.columns) * 2
+    while pos < len(row):
+        col_id, _, pos = decode_datum(row, pos)
+        value, _, pos = decode_datum(row, pos)
+        c = info.col(col_id)
+        if c is None:
+            continue
+        if col_id in old:
+            new[col_id] = value
+        else:
+            old[col_id] = value
+        cnt += 1
+        if cnt == want:
+            break
+    if len(old) != len(new):
+        raise ValueError(
+            f"row data is corrupted: old has {len(old)} cols, "
+            f"new has {len(new)}")
+    for c in info.columns:
+        if c.col_id not in old:
+            v = info.default_or_zero(c)
+            old[c.col_id] = v
+            new[c.col_id] = v
+    return old, new
+
+
+# ---------------------------------------------------------------------------
+# Spark surface: Arrow-batched decode over a binary column
+# ---------------------------------------------------------------------------
+
+def _spark_type(kind: str) -> str:
+    return {"long": "long", "ulong": "decimal(20,0)",
+            "double": "double", "string": "string"}[kind]
+
+
+def decode_insert_stream(raw, info: KVTableInfo,
+                         key_cols: tuple[str, ...] = ("arrival_seq",)):
+    """DataFrame with a BINARY ``row_bytes`` column -> one typed column
+    per schema column (named c.name), carrying ``key_cols`` through.
+    mapInPandas: one Python invocation per Arrow batch."""
+    import pandas as pd
+
+    names = [c.name for c in info.columns]
+    schema = ", ".join([f"{k} long" for k in key_cols]
+                       + [f"{c.name} {_spark_type(c.kind)}"
+                          for c in info.columns])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from decimal import Decimal
+        for pdf in batches:
+            cols: dict[str, list] = {k: pdf[k].tolist() for k in key_cols}
+            out: dict[str, list] = {n: [] for n in names}
+            for raw_row in pdf["row_bytes"]:
+                datums = decode_insert_row(info, bytes(raw_row))
+                for c in info.columns:
+                    v = datums[c.col_id]
+                    if c.kind == "ulong" and v is not None:
+                        v = Decimal(v)
+                    out[c.name].append(v)
+            cols.update(out)
+            yield pd.DataFrame(cols)
+
+    return raw.mapInPandas(decode, schema=schema)
+
+
+def decode_update_stream(raw, info: KVTableInfo,
+                         key_cols: tuple[str, ...] = ("arrival_seq",)):
+    """Update-row decode: emits old_<name> / new_<name> per column."""
+    import pandas as pd
+
+    schema = ", ".join(
+        [f"{k} long" for k in key_cols]
+        + [f"old_{c.name} {_spark_type(c.kind)}" for c in info.columns]
+        + [f"new_{c.name} {_spark_type(c.kind)}" for c in info.columns])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from decimal import Decimal
+        for pdf in batches:
+            cols: dict[str, list] = {k: pdf[k].tolist() for k in key_cols}
+            out: dict[str, list] = {}
+            for c in info.columns:
+                out[f"old_{c.name}"] = []
+                out[f"new_{c.name}"] = []
+            for raw_row in pdf["row_bytes"]:
+                old, new = decode_update_row(info, bytes(raw_row))
+                for c in info.columns:
+                    for pfx, img in (("old_", old), ("new_", new)):
+                        v = img[c.col_id]
+                        if c.kind == "ulong" and v is not None:
+                            v = Decimal(v)
+                        out[f"{pfx}{c.name}"].append(v)
+            cols.update(out)
+            yield pd.DataFrame(cols)
+
+    return raw.mapInPandas(decode, schema=schema)
+
+
+def encode_insert_stream(ch, info: KVTableInfo):
+    """Fixture generator: change-stream rows -> pump-format insert row
+    bytes (handle = pk). Deterministic column omission/NULLs so decode
+    exercises back-fill:
+
+    - arrival_seq % 11 == 0: the string column is OMITTED entirely
+      (schema-grew case -> default back-fill);
+    - arrival_seq % 13 == 0: val encoded as NULL (NilFlag);
+    - odd pk: the unsigned column (if any) carries a top-bit-set
+      value (2^64 - pk) — uvarint + fixType territory.
+    """
+    import pandas as pd
+
+    str_col = next(c for c in info.columns if c.kind == "string")
+    val_col = next(c for c in info.columns if c.kind == "double")
+    u_col = next((c for c in info.columns if c.kind == "ulong"), None)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for seq, pk, val, k in zip(pdf["arrival_seq"], pdf["pk"],
+                                       pdf["val"], pdf["k"]):
+                seq, pk = int(seq), int(pk)
+                values: dict[int, object] = {}
+                values[val_col.col_id] = None if seq % 13 == 0 else float(val)
+                if seq % 11 != 0:
+                    values[str_col.col_id] = str(k)
+                if u_col is not None:
+                    values[u_col.col_id] = _U64 - pk if pk % 2 == 1 else pk
+                rows.append((seq, encode_insert_row(info, pk, values)))
+            yield pd.DataFrame(rows, columns=["arrival_seq", "row_bytes"])
+
+    return ch.mapInPandas(encode, schema="arrival_seq long, row_bytes binary")
+
+
+def encode_update_stream(ch, info: KVTableInfo):
+    """Fixture generator for update rows: old image = (pk, val-1,
+    'old_'+k), new image = (pk, val, k); arrival_seq % 11 == 0 omits
+    the string column from BOTH images (default back-fill in both,
+    DecodeOldAndNewRow's missing-col branch)."""
+    import pandas as pd
+
+    pk_col = next(c for c in info.columns if c.col_id == info.pk_handle_id)
+    str_col = next(c for c in info.columns if c.kind == "string")
+    val_col = next(c for c in info.columns if c.kind == "double")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for seq, pk, val, k in zip(pdf["arrival_seq"], pdf["pk"],
+                                       pdf["val"], pdf["k"]):
+                seq, pk = int(seq), int(pk)
+                old = {pk_col.col_id: pk, val_col.col_id: float(val) - 1.0}
+                new = {pk_col.col_id: pk, val_col.col_id: float(val)}
+                if seq % 11 != 0:
+                    old[str_col.col_id] = "old_" + str(k)
+                    new[str_col.col_id] = str(k)
+                rows.append((seq, encode_update_row(info, old, new)))
+            yield pd.DataFrame(rows, columns=["arrival_seq", "row_bytes"])
+
+    return ch.mapInPandas(encode, schema="arrival_seq long, row_bytes binary")
