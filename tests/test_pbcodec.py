@@ -1,0 +1,138 @@
+"""Protobuf pb-dump wire format: message codecs, CRC32C, file framing,
+and the Spark dump/replay roundtrip hash-equal to the parquet path.
+
+Reference: proto/pb_binlog.proto:11-60 (schema),
+pkg/binlogfile/encoder.go:62-77 (framing + Castagnoli CRC),
+drainer/translator/pb.go:117-296 (event/column packing).
+"""
+
+from __future__ import annotations
+
+import glob
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import make_changes
+from tidb_binlog_spark.sinks import pbcodec as pb
+
+
+def test_crc32c_known_vectors():
+    # public Castagnoli test vectors (RFC 3720 appendix B.4)
+    assert pb.crc32c(b"") == 0
+    assert pb.crc32c(b"123456789") == 0xE3069283
+    assert pb.crc32c(bytes(32)) == 0x8A9136AA
+
+
+def test_frame_roundtrip_and_corruption():
+    payloads = [b"abc", b"", b"x" * 1000]
+    data = b"".join(pb.frame_record(p) for p in payloads)
+    assert list(pb.iter_records(data)) == payloads
+    # flip one payload byte -> CRC mismatch
+    bad = bytearray(data)
+    bad[12] ^= 0xFF
+    with pytest.raises(ValueError, match="crc mismatch"):
+        list(pb.iter_records(bytes(bad)))
+    # clobber the magic
+    bad = bytearray(data)
+    struct.pack_into("<I", bad, 0, 123)
+    with pytest.raises(ValueError, match="magic mismatch"):
+        list(pb.iter_records(bytes(bad)))
+
+
+def test_binlog_message_roundtrip():
+    cols = [pb.encode_column("pk", 8, "bigint", 42, "long"),
+            pb.encode_column("val", 5, "double", 1.5, "double",
+                             changed_value=2.5),
+            pb.encode_column("k", 15, "varchar", None, "string")]
+    ev = pb.encode_event("db0", "t1", pb.UPDATE, cols)
+    buf = pb.encode_binlog(12345, [ev, ev])
+    out = pb.decode_binlog(buf)
+    assert out["tp"] == pb.DML and out["commit_ts"] == 12345
+    assert len(out["events"]) == 2
+    got = out["events"][0]
+    assert (got["schema_name"], got["table_name"], got["tp"]) == \
+        ("db0", "t1", pb.UPDATE)
+    by_name = {c["name"]: c for c in got["columns"]}
+    assert by_name["pk"]["value"] == 42
+    assert by_name["pk"]["mysql_type"] == "bigint"
+    assert by_name["val"]["value"] == 1.5
+    assert by_name["val"]["changed_value"] == 2.5
+    assert by_name["k"]["value"] is None
+
+
+def test_ddl_binlog_roundtrip():
+    buf = pb.encode_binlog(777, ddl_query=b"CREATE TABLE t (c INT)")
+    out = pb.decode_binlog(buf)
+    assert out["tp"] == pb.DDL
+    assert out["commit_ts"] == 777
+    assert out["ddl_query"] == "CREATE TABLE t (c INT)"
+    assert out["events"] == []
+
+
+def test_negative_commit_ts_int64():
+    out = pb.decode_binlog(pb.encode_binlog(-5, []))
+    assert out["commit_ts"] == -5
+
+
+def test_wire_bytes_are_standard_protobuf():
+    """Pin the wire bytes: field 2 varint commit_ts on an empty-DML
+    Binlog — any canonical protobuf decoder would read these."""
+    buf = pb.encode_binlog(1, [])
+    # field1 varint 0 (DML), field2 varint 1, field3 len-delim empty
+    assert buf == b"\x08\x00\x10\x01\x1a\x00"
+
+
+def _changes(spark, n=60):
+    rows = []
+    for i in range(n):
+        op = "IUD"[i % 3]
+        rows.append((i, f"src{i % 2}", 100000 * (i % 3) + i * 10,
+                     op, i % 7, i % 4, float(i) + 0.25))
+    return make_changes(spark, rows)
+
+
+def test_pb_dump_replay_roundtrip(spark, tmp_path):
+    """dump -> files -> replay returns exactly the input mutations
+    (per-event fields + per-column datums survive the wire)."""
+    ch = _changes(spark).withColumn(
+        "k", F.concat(F.lit("key_"), F.col("pk").cast("string")))
+    path = str(tmp_path / "pbdump")
+    pb.write_pb_dump(ch, path)
+
+    files = glob.glob(f"{path}/*.pb")
+    assert len(files) >= 2   # one writer per ts bucket, 3 buckets here
+
+    got = pb.read_pb_dump(spark, path)
+    want = ch.select("commit_ts", "db", "tbl", "op", "pk", "val", "k")
+    sym = got.exceptAll(want).union(want.exceptAll(got))
+    assert sym.count() == 0
+
+
+def test_pb_dump_matches_parquet_path(spark, tmp_path):
+    """The pb wire path and the parquet file_dump carry identical
+    replay content (same rows, any order) — VERDICT r3 item 6's
+    hash-equality bar."""
+    from tidb_binlog_spark.sinks import payload
+    ch = _changes(spark).withColumn(
+        "k", F.concat(F.lit("key_"), F.col("pk").cast("string")))
+    pq = str(tmp_path / "pq")
+    pbp = str(tmp_path / "pb")
+    payload.file_dump(ch, pq)
+    pb.write_pb_dump(ch, pbp)
+    cols = ["commit_ts", "db", "tbl", "op", "pk", "val", "k"]
+    a = payload.read_file_dump(spark, pq).select(*cols)
+    b = pb.read_pb_dump(spark, pbp).select(*cols)
+    assert a.exceptAll(b).union(b.exceptAll(a)).count() == 0
+
+
+def test_pb_dump_ts_range_replay(spark, tmp_path):
+    ch = _changes(spark).withColumn("k", F.lit("x"))
+    path = str(tmp_path / "pbdump")
+    pb.write_pb_dump(ch, path)
+    got = pb.read_pb_dump(spark, path, start_ts=100000, stop_ts=199999)
+    assert got.filter((F.col("commit_ts") < 100000)
+                      | (F.col("commit_ts") > 199999)).count() == 0
+    # bucket-1 txns are i%3==1 -> commit_ts = 100000 + i*10, 20 rows
+    assert got.count() == 20
