@@ -266,6 +266,9 @@ CASE arrival_seq % 250
   WHEN 175 THEN 'LOCK TABLES t WRITE'
   WHEN 200 THEN 'ALTER TABLE t ADD PARTITION (PARTITION p2 VALUES LESS THAN (10))'
   WHEN 225 THEN 'ALTER TABLE t ATTRIBUTES=''merge_option=deny'''
+  WHEN 30  THEN 'ALTER TABLE `my t` ADD COLUMN (a INT, b VARCHAR(10) DEFAULT ''x'')'
+  WHEN 60  THEN 'ALTER TABLE t ADD COLUMN a INT, ADD COLUMN b INT AFTER a'
+  WHEN 90  THEN 'ALTER TABLE t CHANGE COLUMN a b BIGINT NOT NULL'
   ELSE 'CREATE INDEX idx ON t(c)'
 END
 """

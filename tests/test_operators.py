@@ -628,3 +628,60 @@ def test_rename_column_decode_across_versions(spark):
     out = {r["pk"]: r["c"]
            for r in se.decode_with_replay(ch, reg, "t", spark).collect()}
     assert out == {"1": "10", "2": "20", "3": "30"}
+
+
+def test_parse_ddl_multi_column_add_and_audit():
+    """VERDICT r3 item 7: multi-column ADD (both forms), backticked
+    names with spaces, tolerant attribute tails, and the
+    skipped-columns audit signal."""
+    from tidb_binlog_spark.operators import schema_evolution as se
+
+    # parenthesized multi-ADD
+    p = se.parse_ddl(
+        "ALTER TABLE `my t` ADD COLUMN (a INT, b VARCHAR(10) DEFAULT 'x')")
+    assert p["kind"] == "add_columns" and p["table"] == "my t"
+    assert p["columns"] == {"a": None, "b": "x"}
+    assert p["skipped_columns"] == []
+
+    # comma-separated ADD clauses w/ position + NOT NULL tails
+    p = se.parse_ddl("ALTER TABLE t ADD COLUMN a INT NOT NULL, "
+                     "ADD COLUMN b INT DEFAULT '7' AFTER a")
+    assert p["kind"] == "add_columns"
+    assert p["columns"] == {"a": None, "b": "7"}
+
+    # single ADD keeps the narrow kind (back-compat), tolerant tail
+    p = se.parse_ddl("ALTER TABLE t ADD COLUMN c INT DEFAULT '3' FIRST")
+    assert p == {"kind": "add_column", "table": "t", "db": None,
+                 "column": "c", "default": "3"}
+
+    # ADD PARTITION / ADD INDEX must NOT read as columns
+    assert se.parse_ddl(
+        "ALTER TABLE t ADD PARTITION (PARTITION p2 VALUES LESS THAN (10))"
+    )["kind"] == "other"
+    assert se.parse_ddl("ALTER TABLE t ADD INDEX idx (c)")["kind"] == "other"
+
+    # constraints inside CREATE TABLE are not columns and not "skipped";
+    # garbage IS surfaced in skipped_columns
+    p = se.parse_ddl("CREATE TABLE t (id INT, PRIMARY KEY (id), "
+                     "CONSTRAINT fk FOREIGN KEY (id) REFERENCES o(id), "
+                     "%%% not a column %%%)")
+    assert p["columns"] == {"id": None}
+    assert p["skipped_columns"] == ["%%% not a column %%%"]
+
+
+def test_apply_ddl_multi_add_one_version_and_audit_log():
+    from tidb_binlog_spark.operators import schema_evolution as se
+    reg = se.SchemaRegistry()
+    log = reg.apply_ddl_events([
+        (10, "CREATE TABLE t (pk INT)"),
+        (20, "ALTER TABLE t ADD COLUMN (a INT DEFAULT '1', b INT)"),
+        (30, "CREATE TABLE u (id INT, ??? garbage ???)"),
+    ])
+    # one statement -> ONE version bump carrying both columns
+    assert reg.latest_version("t") == 2
+    assert reg.columns_at("t", 2) == {"pk": None, "a": "1", "b": None}
+    assert reg.col_added_at["t"]["a"] == 2 and reg.col_added_at["t"]["b"] == 2
+    # the audit signal reaches the replay log
+    audit = [e for e in log if e.get("skipped_columns")]
+    assert len(audit) == 1 and audit[0]["table"] == "u"
+    assert audit[0]["skipped_columns"] == ["??? garbage ???"]

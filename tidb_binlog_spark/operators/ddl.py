@@ -55,6 +55,7 @@ KIND_PATTERNS = [
     ("^DROP TABLE", "drop_table"),
     ("^ALTER TABLE .* ADD COLUMN", "add_column"),
     ("^ALTER TABLE .* DROP COLUMN", "drop_column"),
+    ("^ALTER TABLE .* (CHANGE|MODIFY) ", "modify_column"),
     ("^ALTER TABLE .* ADD PARTITION", "add_partition"),
     ("^ALTER TABLE .* DROP PARTITION", "drop_partition"),
     ("^ALTER TABLE .* TRUNCATE PARTITION", "truncate_partition"),

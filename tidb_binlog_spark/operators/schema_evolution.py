@@ -42,6 +42,56 @@ def _strip_quotes(lit: str | None) -> str | None:
     return lit
 
 
+# table-level constraint heads inside CREATE TABLE (...) — not columns
+# ("partition" covers ALTER ... ADD PARTITION reaching the ADD-clause
+# splitter: it must fall through to the partition classification, not
+# read as a column)
+_CONSTRAINT_HEADS = frozenset(
+    ("primary", "unique", "key", "index", "constraint", "foreign",
+     "check", "fulltext", "spatial", "partition"))
+
+
+def _parse_col_def(part: str) -> tuple[str, str | None] | None:
+    """One column definition -> (name, default) or None.
+
+    Tolerant of the attribute tail (NOT NULL, COMMENT, AFTER/FIRST
+    position, character sets, generated-column clauses): the catalog
+    only tracks name + DEFAULT, matching what the back-fill consumes
+    (translator.go getDefaultOrZeroValue reads the default only).
+    Backticked names may contain any non-backtick characters."""
+    m = re.match(r"(?is)^\s*(?:`(?P<bq>[^`]+)`|(?P<plain>\w+))\s+"
+                 r"(?P<type>\w+(?:\([^)]*\))?)(?P<rest>.*)$", part)
+    if not m:
+        return None
+    dm = re.search(r"(?is)\bDEFAULT\s+('[^']*'|[^\s,()]+)",
+                   m.group("rest") or "")
+    return (m.group("bq") or m.group("plain"),
+            _strip_quotes(dm.group(1)) if dm else None)
+
+
+def _parse_col_defs(defs_sql: str) -> tuple[dict, list[str]]:
+    """Comma-separated definitions -> ({col: default}, skipped_parts).
+
+    Anything that is neither a recognizable column nor a table-level
+    constraint lands in ``skipped_parts`` — the audit signal replay
+    surfaces so an unparsed definition can never vanish silently."""
+    cols: dict[str, str | None] = {}
+    skipped: list[str] = []
+    for part in re.split(r",(?![^()]*\))", defs_sql):
+        part = part.strip()
+        if not part:
+            continue
+        head = re.match(r"(?is)^`?(\w+)`?", part)
+        if head and head.group(1).lower() in _CONSTRAINT_HEADS:
+            continue
+        parsed = _parse_col_def(part)
+        if parsed is None:
+            skipped.append(part)
+        else:
+            cols[parsed[0]] = parsed[1]
+    return cols, skipped
+
+
 def parse_ddl(sql: str) -> dict:
     """Classify + destructure one DDL statement (the regex analog of
     the reference's TiDB-parser ast switch, drainer/schema.go:360-561).
@@ -51,7 +101,15 @@ def parse_ddl(sql: str) -> dict:
     """
     s = sql.strip().rstrip(";")
     # optionally db-qualified table name: `db`.`tbl` / db.tbl / tbl
-    _T = r"(?:`?(?P<d>\w+)`?\.)?`?(?P<t>\w+)`?"
+    # optionally db-qualified name; backticked names may contain any
+    # non-backtick characters (spaces included)
+    _T = r"(?:(?:`(?P<d1>[^`]+)`|(?P<d2>\w+))\.)?(?:`(?P<t1>[^`]+)`|(?P<t2>\w+))"
+
+    def _t(m):
+        return m.group("t1") or m.group("t2")
+
+    def _d(m):
+        return m.group("d1") or m.group("d2")
     m = re.match(r"(?is)^CREATE\s+(?:DATABASE|SCHEMA)\s+"
                  r"(?:IF\s+NOT\s+EXISTS\s+)?`?(?P<db>\w+)`?\s*$", s)
     if m:
@@ -63,59 +121,74 @@ def parse_ddl(sql: str) -> dict:
     m = re.match(r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
                  + _T + r"\s*\((?P<cols>.*)\)\s*$", s)
     if m:
-        cols: dict[str, str | None] = {}
-        for part in re.split(r",(?![^()]*\))", m.group("cols")):
-            cm = re.match(r"(?is)^\s*`?(?P<c>\w+)`?\s+(?P<type>\w+(?:\([^)]*\))?)"
-                          + _DEFAULT_RE + r"\s*$", part)
-            if cm:
-                cols[cm.group("c")] = _strip_quotes(cm.group("default"))
-        return {"kind": "create_table", "table": m.group("t"),
-                "db": m.group("d"), "columns": cols}
-    m = re.match(r"(?is)^ALTER\s+TABLE\s+" + _T + r"\s+ADD\s+COLUMN\s+"
-                 r"`?(?P<c>\w+)`?\s+(?P<type>\w+(?:\([^)]*\))?)"
-                 + _DEFAULT_RE + r"\s*$", s)
+        cols, skipped = _parse_col_defs(m.group("cols"))
+        return {"kind": "create_table", "table": _t(m),
+                "db": _d(m), "columns": cols,
+                "skipped_columns": skipped}
+    # multi-column ADD, parenthesized form:
+    #   ALTER TABLE t ADD COLUMN (a INT, b VARCHAR(10) DEFAULT 'x')
+    m = re.match(r"(?is)^ALTER\s+TABLE\s+" + _T
+                 + r"\s+ADD\s+(?:COLUMN\s+)?\((?P<cols>.*)\)\s*$", s)
     if m:
-        return {"kind": "add_column", "table": m.group("t"),
-                "db": m.group("d"), "column": m.group("c"),
-                "default": _strip_quotes(m.group("default"))}
+        cols, skipped = _parse_col_defs(m.group("cols"))
+        return {"kind": "add_columns", "table": _t(m),
+                "db": _d(m), "columns": cols,
+                "skipped_columns": skipped}
+    # comma-separated ADD clauses:
+    #   ALTER TABLE t ADD COLUMN a INT, ADD COLUMN b INT AFTER a
+    m = re.match(r"(?is)^ALTER\s+TABLE\s+" + _T
+                 + r"\s+(?P<adds>ADD\s+(?:COLUMN\s+)?.+)$", s)
+    if m and re.match(r"(?is)^ADD\s", m.group("adds")):
+        parts = re.split(r",(?![^()]*\))", m.group("adds"))
+        if all(re.match(r"(?is)^\s*ADD\s+(?:COLUMN\s+)?", p) for p in parts):
+            defs = ", ".join(
+                re.sub(r"(?is)^\s*ADD\s+(?:COLUMN\s+)?", "", p)
+                for p in parts)
+            cols, skipped = _parse_col_defs(defs)
+            if cols or skipped:
+                if len(cols) == 1 and not skipped and len(parts) == 1:
+                    ((c, d),) = cols.items()
+                    return {"kind": "add_column", "table": _t(m),
+                            "db": _d(m), "column": c, "default": d}
+                return {"kind": "add_columns", "table": _t(m),
+                        "db": _d(m), "columns": cols,
+                        "skipped_columns": skipped}
     m = re.match(r"(?is)^ALTER\s+TABLE\s+" + _T + r"\s+DROP\s+COLUMN\s+"
                  r"`?(?P<c>\w+)`?\s*$", s)
     if m:
-        return {"kind": "drop_column", "table": m.group("t"),
-                "db": m.group("d"), "column": m.group("c")}
+        return {"kind": "drop_column", "table": _t(m),
+                "db": _d(m), "column": m.group("c")}
     m = re.match(r"(?is)^ALTER\s+TABLE\s+" + _T + r"\s+RENAME\s+COLUMN\s+"
                  r"`?(?P<a>\w+)`?\s+TO\s+`?(?P<b2>\w+)`?\s*$", s)
     if m:
-        return {"kind": "rename_column", "table": m.group("t"),
-                "db": m.group("d"), "column": m.group("a"),
+        return {"kind": "rename_column", "table": _t(m),
+                "db": _d(m), "column": m.group("a"),
                 "new_column": m.group("b2")}
     m = re.match(r"(?is)^ALTER\s+TABLE\s+" + _T + r"\s+CHANGE\s+(?:COLUMN\s+)?"
-                 r"`?(?P<a>\w+)`?\s+`?(?P<b2>\w+)`?\s+(?P<type>\w+(?:\([^)]*\))?)"
-                 + _DEFAULT_RE + r"\s*$", s)
-    if m:
-        return {"kind": "rename_column", "table": m.group("t"),
-                "db": m.group("d"), "column": m.group("a"),
-                "new_column": m.group("b2"),
-                "default": _strip_quotes(m.group("default"))}
+                 r"`?(?P<a>[^`\s]+)`?\s+(?P<def2>.+)$", s)
+    if m and _parse_col_def(m.group("def2")):
+        c, d = _parse_col_def(m.group("def2"))
+        return {"kind": "rename_column", "table": _t(m),
+                "db": _d(m), "column": m.group("a"),
+                "new_column": c, "default": d}
     m = re.match(r"(?is)^ALTER\s+TABLE\s+" + _T + r"\s+MODIFY\s+(?:COLUMN\s+)?"
-                 r"`?(?P<c>\w+)`?\s+(?P<type>\w+(?:\([^)]*\))?)"
-                 + _DEFAULT_RE + r"\s*$", s)
-    if m:
-        return {"kind": "modify_column", "table": m.group("t"),
-                "db": m.group("d"), "column": m.group("c"),
-                "default": _strip_quotes(m.group("default"))}
+                 r"(?P<def2>.+)$", s)
+    if m and _parse_col_def(m.group("def2")):
+        c, d = _parse_col_def(m.group("def2"))
+        return {"kind": "modify_column", "table": _t(m),
+                "db": _d(m), "column": c, "default": d}
     m = re.match(r"(?is)^RENAME\s+TABLE\s+" + _T
                  + r"\s+TO\s+(?:`?(?P<nd>\w+)`?\.)?`?(?P<b>\w+)`?\s*$", s)
     if m:
-        return {"kind": "rename_table", "table": m.group("t"),
-                "db": m.group("d"), "new_name": m.group("b"),
+        return {"kind": "rename_table", "table": _t(m),
+                "db": _d(m), "new_name": m.group("b"),
                 "new_db": m.group("nd")}
     m = re.match(r"(?is)^TRUNCATE\s+(?:TABLE\s+)?" + _T + r"\s*$", s)
     if m:
-        return {"kind": "truncate", "table": m.group("t"), "db": m.group("d")}
+        return {"kind": "truncate", "table": _t(m), "db": _d(m)}
     m = re.match(r"(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?" + _T + r"\s*$", s)
     if m:
-        return {"kind": "drop_table", "table": m.group("t"), "db": m.group("d")}
+        return {"kind": "drop_table", "table": _t(m), "db": _d(m)}
     return {"kind": "other", "table": None}
 
 
@@ -178,6 +251,10 @@ class SchemaRegistry:
             kind, tbl = info["kind"], info.get("table")
             entry = {"commit_ts": commit_ts, "ddl_sql": sql, "kind": kind,
                      "table": tbl, "applied": True}
+            # audit signal (ADVICE r2): definitions the parser could
+            # not destructure are surfaced, never silently dropped
+            if info.get("skipped_columns"):
+                entry["skipped_columns"] = info["skipped_columns"]
             if kind == "create_schema":
                 self.databases.add(info["db"])
             elif kind == "drop_schema":
@@ -211,6 +288,16 @@ class SchemaRegistry:
                 self._versions[tbl][v] = cols
                 self.version_ts[tbl][v] = commit_ts
                 self.col_added_at[tbl][info["column"]] = v
+            elif kind == "add_columns" and tbl in self._versions:
+                # multi-column ADD: ONE schema version for the whole
+                # statement (one DDL job -> one SchemaVersion bump)
+                v = self.latest_version(tbl) + 1
+                cols = dict(self.columns_at(tbl, v - 1))
+                for c, d in info["columns"].items():
+                    cols[c] = d
+                    self.col_added_at[tbl][c] = v
+                self._versions[tbl][v] = cols
+                self.version_ts[tbl][v] = commit_ts
             elif kind == "rename_column" and tbl in self._versions:
                 old_c, new_c = info["column"], info["new_column"]
                 v = self.latest_version(tbl) + 1
