@@ -36,12 +36,18 @@ STOPWORDS = {
 
 def spread(df: DataFrame) -> DataFrame:
     """Fan a narrow source out to all cores before heavy per-row
-    compute. The fixture tables are single parquet files (one split =
-    one task); a real 100 TB corpus arrives in thousands of splits and
-    would skip this. Round-robin repartition keeps results row-wise
-    deterministic."""
+    compute — but ONLY when the input is under-split. The fixture
+    tables are single parquet files (one split = one task); a real
+    100 TB corpus arrives in thousands of splits, where the old
+    unconditional repartition was a full shuffle of the whole corpus
+    for nothing. No-op once the input supplies at least half the
+    cluster parallelism. Round-robin repartition keeps results
+    row-wise deterministic."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= target:
+        return df
+    return df.repartition(target)
 
 
 def with_tokens(docs: DataFrame) -> DataFrame:

@@ -135,7 +135,7 @@ def crc_mismatches(df: DataFrame, cols: tuple[str, ...],
               .drop("_crc_now"))
 
 
-def file_dump(changes: DataFrame, path: str, partitions: int = 1,
+def file_dump(changes: DataFrame, path: str, partitions: int | None = None,
               with_crc: bool = False,
               crc_cols: tuple[str, ...] = ()) -> None:
     """File-archive sink: the pb-dump equivalent, as parquet partitioned
@@ -143,11 +143,22 @@ def file_dump(changes: DataFrame, path: str, partitions: int = 1,
     prunes files. Retention GC = deleting old ts_bucket partitions.
     ``with_crc`` stamps each record with ``record_crc`` over
     ``crc_cols`` (defaults to every column) for vlog-style end-to-end
-    integrity on top of parquet's page checksums."""
+    integrity on top of parquet's page checksums.
+
+    ``partitions`` defaults to the ts_bucket count (bounded by 4x the
+    cluster parallelism): the dump's writer count SCALES WITH THE DATA
+    — a 100 TB day never funnels through one task. Pass an explicit
+    value only for single-file test fixtures."""
     out = changes
     if with_crc:
         cols = crc_cols or tuple(changes.columns)
         out = out.withColumn("record_crc", record_crc(changes, cols))
+    if partitions is None:
+        sc = changes.sparkSession.sparkContext
+        n_buckets = changes.selectExpr(
+            "count(distinct cast(commit_ts / 100000 as long)) AS n"
+        ).first()["n"]
+        partitions = max(1, min(int(n_buckets), sc.defaultParallelism * 4))
     (out
      .withColumn("ts_bucket", (F.col("commit_ts") / 100000).cast("long"))
      .repartition(partitions, "ts_bucket")
