@@ -95,15 +95,16 @@ def main() -> None:
          .agg(*[F.sum(F.col("arr")[i]).alias(f"s{i}") for i in range(64)])
          .write.format("noop").mode("overwrite").save())
 
-    # min of 2 runs per query: this host shows ±15% co-tenant noise with
-    # occasional 2-3x stragglers (documented in BASELINE.md); the min is
-    # the standard straggler-robust estimator (pytest-benchmark, go
-    # test -bench best-of-N). Both runs execute the full plan — nothing
-    # is cached between them (release_all unpersists).
+    # min of 3 runs per query: this host shows ±15% co-tenant noise with
+    # occasional 2-3x stragglers (documented in BASELINE.md) that can hit
+    # two consecutive runs; the min is the standard straggler-robust
+    # estimator (pytest-benchmark, go test -bench best-of-N). Every run
+    # executes the full plan — nothing is cached between them
+    # (release_all unpersists).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop") \
                 .mode("overwrite").save()
@@ -117,7 +118,7 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "runs_per_query": 2,
+        "runs_per_query": 3,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
