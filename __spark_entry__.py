@@ -107,13 +107,20 @@ def q_cdc_kway_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   sink_sql_oracle_dialect -> folded into sink_sql_generation
 #   text_{token_count,quality,lang_id,repetition,normalize} -> text_profile
 #   mm_decode_meta + mm_frame_sample -> mm_assets
-#   dedup_simhash     -> signatures are the direct input of
-#                        dedup_simhash_pairs (same module path)
-#   dedup_minhash_clusters -> CC operator verified by
-#                        cdc_causality_groups + dedup_embedding_clusters;
-#                        pair generation by dedup_minhash_lsh
 #   events_value_by_type -> warm-up-only aggregate; snapshot_* cover
 #                        the snapshot-analytics shape
+#
+# Rotation r4 (VERDICT r3 item 10: indirect surfaces re-earn a driver
+# row at least every other round): cdc_truncated_drop /
+# dedup_minhash_clusters / dedup_simhash rotate BACK IN; retired to
+# make room (each r2+r3+r4-green, operator re-verified elsewhere):
+#   cdc_update_images -> old/new image handling verified by
+#                        cdc_wide_row_apply + sink_sql_wide (NULL-safe
+#                        WHERE in the wide statement builder)
+#   cdc_event_counters -> the counter aggregate shape inside
+#                        cdc_order_audit + cdc_txn_batches
+#   snapshot_top_customers -> TakeOrderedAndProject top-k; plan
+#                        contract kept in tests (test_scale_contracts)
 
 
 def _pc_frames(spark: SparkSession, sf_dir: str):
@@ -327,6 +334,19 @@ def q_cdc_partition_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = partitions.resolve_partitions(ch, dim)
     return out.select("arrival_seq", "physical_id", "db", "logical_tbl",
                       "partition_name", "partition_status")
+
+
+def q_cdc_truncated_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutations under pre-truncate physical table ids are dropped
+    (drainer/syncer.go:744-762): ids derived as tbl-base + pk%4, with
+    the ptest/p1 incarnation (id 101) truncated away."""
+    ch = _spark_changes(spark, sf_dir).withColumn(
+        "table_id",
+        F.when(F.col("tbl") == "ptest", 100)
+         .when(F.col("tbl") == "itest", 200)
+         .otherwise(300) + F.col("pk") % 4)
+    kept = filters.drop_truncated_tables(ch, [101, 203])
+    return kept.select("arrival_seq", "table_id", "tbl", "pk")
 
 
 def q_cdc_loopback_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -738,6 +758,22 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedupfn.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the LSH candidate
+    graph — the same distributed CC operator that powers causality
+    grouping, reused for dedup cluster assignment."""
+    pairs = dedupfn.minhash_lsh_pairs(_docs(spark, sf_dir))
+    edges = (pairs.selectExpr("doc_a AS txn_id", "CAST(doc_b AS STRING) AS key")
+             .unionByName(pairs.selectExpr("doc_b AS txn_id",
+                                           "CAST(doc_b AS STRING) AS key")))
+    groups = causality.causality_groups(edges)
+    return groups.selectExpr("txn_id AS doc_id", "group_id AS cluster_id")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedupfn.simhash(_docs(spark, sf_dir))
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     return dedupfn.simhash_pairs(_docs(spark, sf_dir))
 
@@ -882,7 +918,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_orders": q_snapshot_diff_orders,
         "snapshot_pricing_summary": q_snapshot_pricing_summary,
         "snapshot_revenue_by_nation": q_snapshot_revenue_by_nation,
-        "snapshot_top_customers": q_snapshot_top_customers,
+        # -- rotated back in r4 (indirect in r3; VERDICT item 10) ---------
+        "cdc_truncated_drop": q_cdc_truncated_drop,
+        "dedup_minhash_clusters": q_dedup_minhash_clusters,
+        "dedup_simhash": q_dedup_simhash,
         # -- r1-only, rotated back through the gate ----------------------
         "cdc_gc_safepoint": q_cdc_gc_safepoint,
         "cdc_causality_groups": q_cdc_causality_groups,
@@ -910,8 +949,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_partition_route": q_cdc_partition_route,
         "cdc_loopback_filter": q_cdc_loopback_filter,
         "cdc_txn_batches": q_cdc_txn_batches,
-        "cdc_event_counters": q_cdc_event_counters,
-        "cdc_update_images": q_cdc_update_images,
         "curation_pipeline": q_curation_pipeline,
         "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
@@ -1295,12 +1332,18 @@ def oracle_sql() -> dict[str, str]:
             FROM changes c JOIN b USING (commit_ts)
             GROUP BY batch_no
         """,
-        "cdc_event_counters": f"""
-            {CHANGES_CTE}
-            SELECT db, op, COUNT(*) AS n_events,
-                   COUNT(DISTINCT commit_ts) AS n_txns
-            FROM changes GROUP BY db, op
+        "cdc_truncated_drop": f"""
+            {CHANGES_CTE},
+            ids AS (SELECT *,
+                      (CASE tbl WHEN 'ptest' THEN 100
+                                WHEN 'itest' THEN 200
+                                ELSE 300 END) + pk % 4 AS table_id
+                    FROM changes)
+            SELECT arrival_seq, table_id, tbl, pk
+            FROM ids WHERE table_id NOT IN (101, 203)
         """,
+        "dedup_minhash_clusters": osql.DEDUP_MINHASH_CLUSTERS,
+        "dedup_simhash": osql.DEDUP_SIMHASH,
         "cdc_type_format": """
             WITH ev AS (
               SELECT *,
@@ -1344,17 +1387,6 @@ def oracle_sql() -> dict[str, str]:
               strftime(to_timestamp(sec) AT TIME ZONE 'Asia/Kolkata',
                        '%Y-%m-%d %H:%M:%S') AS kolkata_ts
             FROM ev
-        """,
-        "cdc_update_images": f"""
-            {CHANGES_CTE},
-            u AS (SELECT * FROM changes WHERE op = 'U'),
-            w AS (SELECT *, CASE WHEN arrival_seq % 13 = 0 THEN NULL
-                                 ELSE val - 1.0 END AS old_val
-                  FROM u)
-            SELECT arrival_seq, pk, old_val, val,
-              CASE WHEN old_val IS NULL THEN '`val` IS NULL'
-                   ELSE '`val` = ' || CAST(old_val AS STRING) END AS where_clause
-            FROM w
         """,
         "cdc_causality_groups": f"""
             {CHANGES_CTE},
@@ -1620,18 +1652,5 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
-        """,
-        "snapshot_top_customers": """
-            WITH rev AS (
-              SELECT o_custkey,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
-                COUNT(*) AS n_orders
-              FROM orders GROUP BY o_custkey),
-            ranked AS (
-              SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey) AS rank
-              FROM rev)
-            SELECT rank, o_custkey, c_name, revenue, n_orders
-            FROM ranked JOIN customer ON o_custkey = c_custkey
-            WHERE rank <= 10
         """,
     }
