@@ -254,6 +254,8 @@ def test_escaping_roundtrips_arbitrary_strings(spark, tmp_path):
                                blacklist_characters="\x00"),
         min_size=0, max_size=40)
 
+    example_no = iter(range(10**9))
+
     @settings(max_examples=15, deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture])
     @given(vals=st.lists(tricky, min_size=1, max_size=4, unique=True))
@@ -266,7 +268,11 @@ def test_escaping_roundtrips_arbitrary_strings(spark, tmp_path):
         stmts = sqlgen.generate_sql(
             ch, pk_cols=("pk",), value_cols=("pk", "val"),
             dialect="sqlite").withColumn("worker_id", F.lit(0))
-        db_dir = str(tmp_path / f"dbs_{abs(hash(tuple(vals))) % 10**8}")
+        # dir must be unique PER EXAMPLE, not per content: hypothesis
+        # can generate the same vals twice (or replay while shrinking),
+        # and re-applying inserts into an existing db violates the pk —
+        # the historical flake in this test (r2/r4)
+        db_dir = str(tmp_path / f"dbs_{next(example_no)}")
         jdbc.apply_statements(
             stmts, db_dir, num_workers=1,
             setup_sql=("CREATE TABLE IF NOT EXISTS `t` "

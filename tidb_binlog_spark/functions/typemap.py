@@ -133,9 +133,10 @@ def set_names(elems: str, mask: str) -> Column:
 def set_value(elems: str, names_csv) -> Column:
     """SET comma-joined names -> numeric bitmask (ParseSetName): sum of
     2^(position-1) per member name; '' -> 0. Unknown names contribute
-    0 (guarded by the position > 0 check). Column-name (SQL fragment)
-    arguments, same reason as set_names; names_csv may be a Column
-    (aliased via a temp projection)."""
+    0 (guarded by the position > 0 check). BOTH arguments must be SQL
+    fragments (column names / expressions) — same reason as set_names;
+    a Column object raises TypeError (alias it into a named column
+    first and pass the name)."""
     if not isinstance(names_csv, str):
         raise TypeError("set_value takes SQL fragments (column names)")
     return F.expr(
