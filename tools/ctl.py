@@ -86,20 +86,40 @@ def main() -> int:
         return 0
 
     if cmd == "generate_meta":
-        # binlogctl GenerateMetaInfo (binlogctl/meta.go:34-51): record
-        # the newest commit ts as the initial drainer savepoint. Our
-        # TSO analog is the change log's max commit_ts.
+        # binlogctl GenerateMetaInfo (binlogctl/meta.go:34-51,82-107):
+        # record the newest commit ts as the initial drainer savepoint.
+        # Our TSO analog is the change log's max commit_ts. Mirrors
+        # saveMeta exactly: TOML `commitTS = N`, optional rough-time
+        # trailer lines for a timezone (TSOToRoughTime = physical ms
+        # from ts >> 18), atomic write (temp + rename).
         from pyspark.sql import functions as F
 
         from tidb_binlog_spark.sources.changestream import change_stream
         data_dir = sys.argv[3]
+        time_zone = sys.argv[4] if len(sys.argv) > 4 else ""
         os.makedirs(data_dir, exist_ok=True)
         ts = change_stream(spark, target) \
             .agg(F.max("commit_ts").alias("m")).collect()[0]["m"]
-        meta = {"commitTS": int(ts if ts is not None else 0)}
-        with open(os.path.join(data_dir, "savepoint"), "w") as f:
-            json.dump(meta, f)
-        print(json.dumps(meta))
+        ts = int(ts if ts is not None else 0)
+        buf = f"commitTS = {ts}\n"
+        if time_zone:
+            import datetime
+            import zoneinfo
+            rough = datetime.datetime.fromtimestamp(
+                (ts >> 18) / 1000.0, tz=datetime.timezone.utc)
+            try:
+                loc = zoneinfo.ZoneInfo(time_zone)
+                buf += f"{rough}\n{rough.astimezone(loc)}\n"
+            except (KeyError, zoneinfo.ZoneInfoNotFoundError):
+                pass  # meta.go warns and writes the TOML alone
+        meta_file = os.path.join(data_dir, "savepoint")
+        tmp = meta_file + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, meta_file)
+        print(json.dumps({"commitTS": ts}))
         return 0
 
     if cmd == "replay":
