@@ -304,3 +304,35 @@ def test_parse_timezone_rules(spark):
     got = [r[0] for r in df.select(
         tm.format_timestamp_tz(F.col("ns"), "America/New_York")).collect()]
     assert got == ["2021-07-01 08:00:00", "2021-01-01 07:00:00"]
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    from tidb_binlog_spark.functions import curation
+    d = docs_df(spark, [
+        "contact me at alice@example.com or +1 555 123 4567 ok",
+        "server 10.0.0.1 and ssn 123-45-6789 leaked",
+        "clean document with no identifiers at all",
+    ])
+    got = {r["doc_id"]: r for r in curation.pii_scrub(d).collect()}
+    assert got[0]["n_email"] == 1 and got[0]["n_phone"] == 1
+    assert "<EMAIL>" in got[0]["clean_text"]
+    assert "<PHONE>" in got[0]["clean_text"]
+    assert "alice@example.com" not in got[0]["clean_text"]
+    assert got[1]["n_ipv4"] == 1 and got[1]["n_ssn"] == 1
+    assert "<IPV4>" in got[1]["clean_text"]
+    assert "<SSN>" in got[1]["clean_text"]
+    assert got[2]["has_pii"] is False
+    assert got[2]["clean_text"] == "clean document with no identifiers at all"
+    assert got[0]["has_pii"] is True
+
+
+def test_url_domains_rollup(spark):
+    from tidb_binlog_spark.functions import curation
+    d = docs_df(spark, [
+        "see https://example.com/a and https://example.com/b plus http://other.org/x",
+        "again https://EXAMPLE.com/c here",
+        "no links",
+    ])
+    got = {r["domain"]: (r["n_urls"], r["n_docs"])
+           for r in curation.url_domains(d).collect()}
+    assert got == {"example.com": (3, 2), "other.org": (1, 1)}

@@ -112,3 +112,64 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
                         F.floor((F.col("cum") - F.col("n_tokens")) / budget)
                          .cast("long"))
             .select(stratum_col, "doc_id", "n_tokens", "bin_id"))
+
+
+# the standard pretraining-scrub targets; each pattern is supported by
+# both Spark (Java regex) and DuckDB (RE2) so oracle parity holds
+_PII_PATTERNS = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"),
+    ("phone", r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+)
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction pass: mask emails / phone-ish numbers / IPv4
+    addresses / SSN-shaped ids with typed placeholders, and count each
+    class per document so the pipeline can gate or audit (the standard
+    pre-training scrub, e.g. the C4/Dolma cleanup stage).
+
+    Pure per-row regex projection — zero shuffle, scales as a map-only
+    stage; counts come from the length delta of a sentinel-free
+    replace so each class is counted on the ORIGINAL text (classes
+    never cascade)."""
+    out = docs.select("doc_id", "text")
+    counts = []
+    for name, pat in _PII_PATTERNS:
+        # the SQL-literal path eats one level of backslashes; the
+        # Column-API path (regexp_replace below) takes them raw
+        sql_pat = pat.replace("\\", "\\\\")
+        counts.append(
+            F.expr(f"size(regexp_extract_all(text, '{sql_pat}', 0))")
+             .alias(f"n_{name}"))
+    scrubbed = F.col("text")
+    for name, pat in _PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return out.select(
+        "doc_id", *counts, scrubbed.alias("clean_text")).withColumn(
+        "has_pii",
+        sum(F.col(f"n_{n}") for n, _ in _PII_PATTERNS) > 0)
+
+
+_URL_PATTERN = r"https?://[^\s\"'<>]+"
+
+
+def url_domains(docs: DataFrame) -> DataFrame:
+    """Per-document URL extraction + corpus-level domain frequency —
+    the input to domain allow/block-list filtering (Common-Crawl-style
+    curation). Extraction is a zero-shuffle projection; the domain
+    rollup is one map-side-combinable groupBy."""
+    sql_pat = _URL_PATTERN.replace("\\", "\\\\").replace("'", "\\'")
+    urls = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(f"regexp_extract_all(text, '{sql_pat}', 0)"))
+         .alias("url"))
+    domains = urls.filter(F.col("url").isNotNull()).select(
+        "doc_id",
+        F.lower(F.regexp_extract("url", r"https?://([^/:]+)", 1))
+         .alias("domain"))
+    return (domains.groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.countDistinct("doc_id").alias("n_docs")))
