@@ -27,6 +27,7 @@ HEADLINE = [
     "cdc_kway_merge",            # multi-source merge + watermark gate
     "cdc_wide_row_apply",        # per-PK merge over the map row model
     "cdc_pc_match",              # P/C binlog join
+    "cdc_kv_decode",             # KV row-value codec (Arrow mapInPandas)
     "sink_bulk_batches",         # compaction + batched statement build
     "sink_sql_generation",       # dual-dialect statement projection
     "dedup_exact",               # content-hash dedup clusters

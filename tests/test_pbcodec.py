@@ -136,3 +136,25 @@ def test_pb_dump_ts_range_replay(spark, tmp_path):
                       | (F.col("commit_ts") > 199999)).count() == 0
     # bucket-1 txns are i%3==1 -> commit_ts = 100000 + i*10, 20 rows
     assert got.count() == 20
+
+
+def test_pb_dump_with_ddl_records(spark, tmp_path):
+    """Mixed dump: DDL Binlogs interleave with DML (pb.go:43-55 USE
+    prefix rule, bare ';' for CREATE DATABASE); the DML replay is
+    unaffected and the DDL reader returns the barriers in ts order."""
+    ch = _changes(spark, 30).withColumn("k", F.lit("x"))
+    ddls = spark.createDataFrame(
+        [(15, "db0", "CREATE DATABASE shop"),
+         (150005, "shop", "CREATE TABLE t (id INT)"),
+         (200005, "shop", "ALTER TABLE t ADD COLUMN c INT")],
+        "commit_ts long, db string, ddl_sql string")
+    path = str(tmp_path / "pbdump")
+    pb.write_pb_dump(ch, path, ddls=ddls)
+
+    dml = pb.read_pb_dump(spark, path)
+    assert dml.count() == 30
+    got = {r["commit_ts"]: r["ddl_query"]
+           for r in pb.read_pb_dump_ddl(spark, path).collect()}
+    assert got[15] == "CREATE DATABASE shop;"
+    assert got[150005] == "use `shop`; CREATE TABLE t (id INT);"
+    assert got[200005] == "use `shop`; ALTER TABLE t ADD COLUMN c INT;"

@@ -290,7 +290,36 @@ def binlog_payloads(changes) -> "DataFrame":  # noqa: F821
             .applyInPandas(assemble, schema="commit_ts long, payload binary"))
 
 
-def write_pb_dump(changes, path: str, partitions: int | None = None) -> None:
+def ddl_payloads(ddls) -> "DataFrame":  # noqa: F821
+    """(commit_ts, db, ddl_sql) -> marshalled DDL Binlog records with
+    the reference's USE-prefix rule (pb.go:43-55: CREATE DATABASE gets
+    a bare ';', everything else 'use `db`; <sql>;')."""
+    from pyspark.sql import functions as F
+    prefixed = ddls.select(
+        "commit_ts",
+        F.when(F.upper(F.col("ddl_sql"))
+                .rlike("^CREATE (DATABASE|SCHEMA)"),
+               F.concat(F.col("ddl_sql"), F.lit(";")))
+         .otherwise(F.concat(F.lit("use `"), F.col("db"), F.lit("`; "),
+                             F.col("ddl_sql"), F.lit(";")))
+         .alias("ddl_query"))
+
+    import pandas as pd
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "commit_ts": pdf["commit_ts"],
+                "payload": [
+                    encode_binlog(int(ct), ddl_query=q.encode())
+                    for ct, q in zip(pdf["commit_ts"], pdf["ddl_query"])]})
+
+    return prefixed.mapInPandas(assemble,
+                                schema="commit_ts long, payload binary")
+
+
+def write_pb_dump(changes, path: str, partitions: int | None = None,
+                  ddls=None) -> None:
     """Frame + append binlog records into <path>/binlog-<part>.pb files,
     bucketed by commit-ts range like the parquet dump (each task writes
     one file; on a cluster ``path`` is shared storage). Records within
@@ -304,6 +333,8 @@ def write_pb_dump(changes, path: str, partitions: int | None = None) -> None:
         ).first()["n"]
         partitions = max(1, int(buckets))
     payloads = binlog_payloads(changes)
+    if ddls is not None:
+        payloads = payloads.unionByName(ddl_payloads(ddls))
     os.makedirs(path, exist_ok=True)
 
     def write_partition(it):
@@ -335,6 +366,8 @@ def read_pb_dump(spark, path: str, start_ts: int | None = None,
             for content in pdf["content"]:
                 for payload in iter_records(bytes(content)):
                     b = decode_binlog(payload)
+                    if b["tp"] == DDL:
+                        continue   # read_pb_dump_ddl reads these
                     for ev in b["events"]:
                         vals = {c["name"]: c for c in ev["columns"]}
                         op = {INSERT: "I", UPDATE: "U", DELETE: "D"}[ev["tp"]]
@@ -361,3 +394,24 @@ def read_pb_dump(spark, path: str, start_ts: int | None = None,
     if stop_ts is not None:
         df = df.where(df["commit_ts"] <= stop_ts)
     return df
+
+
+def read_pb_dump_ddl(spark, path: str) -> "DataFrame":  # noqa: F821
+    """The DDL records of a dump: (commit_ts, ddl_query) — reparo
+    replays these as barriers between the DML ranges."""
+    import pandas as pd
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for payload in iter_records(bytes(content)):
+                    b = decode_binlog(payload)
+                    if b["tp"] == DDL:
+                        rows.append((b["commit_ts"], b["ddl_query"]))
+            yield pd.DataFrame(rows, columns=["commit_ts", "ddl_query"])
+
+    return (spark.read.format("binaryFile").load(os.path.join(path, "*.pb"))
+            .select("content")
+            .mapInPandas(decode,
+                         schema="commit_ts long, ddl_query string"))
