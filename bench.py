@@ -55,8 +55,14 @@ def main() -> None:
     missing = [n for n in HEADLINE if n not in qs]
     assert not missing, f"HEADLINE names not in queries(): {missing}"
 
-    # warm up the JVM + parquet footers + Python workers once (not timed)
-    qs["cdc_event_counters"](spark, sf_dir).write.format("noop") \
+    # warm up the JVM + parquet footers + Python workers once (not
+    # timed). Chosen BY EXCLUSION from the live registry — a
+    # hard-coded name here is a rotation hazard (the r3 bench crash,
+    # and cdc_event_counters' r4 retirement, were both exactly this).
+    # A non-HEADLINE query keeps the warm-up from pre-warming any
+    # timed query's own first pass.
+    warm_name = next(n for n in qs if n not in set(HEADLINE))
+    qs[warm_name](spark, sf_dir).write.format("noop") \
         .mode("overwrite").save()
 
     def _ident(batches):
