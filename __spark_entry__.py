@@ -261,21 +261,25 @@ def q_cdc_schema_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "target_tbl", "k", "label")
 
 
+# switched on floor(arrival_seq / 50) % 14 because cdc_ddl_stream
+# gates on arrival_seq % 50 == 0: under that gate EVERY branch below
+# is reachable (the old `arrival_seq % 250` switch silently dead-ended
+# five of its ten WHENs — multiples of 50 mod 250 only hit 0/50/.../200)
 DDL_CASE = """
-CASE arrival_seq % 250
+CASE CAST(floor(arrival_seq / 50) AS BIGINT) % 14
   WHEN 0   THEN 'ALTER TABLE t ADD COLUMN c INT'
-  WHEN 25  THEN 'ALTER TABLE t TRUNCATE PARTITION p0'
-  WHEN 50  THEN 'DROP TABLE old_t'
-  WHEN 75  THEN 'CREATE SEQUENCE seq START WITH 1'
-  WHEN 100 THEN 'CREATE PLACEMENT POLICY p FOLLOWERS=4'
-  WHEN 125 THEN 'DROP DATABASE legacy'
-  WHEN 150 THEN 'TRUNCATE TABLE t'
-  WHEN 175 THEN 'LOCK TABLES t WRITE'
-  WHEN 200 THEN 'ALTER TABLE t ADD PARTITION (PARTITION p2 VALUES LESS THAN (10))'
-  WHEN 225 THEN 'ALTER TABLE t ATTRIBUTES=''merge_option=deny'''
-  WHEN 30  THEN 'ALTER TABLE `my t` ADD COLUMN (a INT, b VARCHAR(10) DEFAULT ''x'')'
-  WHEN 60  THEN 'ALTER TABLE t ADD COLUMN a INT, ADD COLUMN b INT AFTER a'
-  WHEN 90  THEN 'ALTER TABLE t CHANGE COLUMN a b BIGINT NOT NULL'
+  WHEN 1   THEN 'ALTER TABLE t TRUNCATE PARTITION p0'
+  WHEN 2   THEN 'DROP TABLE old_t'
+  WHEN 3   THEN 'CREATE SEQUENCE seq START WITH 1'
+  WHEN 4   THEN 'CREATE PLACEMENT POLICY p FOLLOWERS=4'
+  WHEN 5   THEN 'DROP DATABASE legacy'
+  WHEN 6   THEN 'TRUNCATE TABLE t'
+  WHEN 7   THEN 'LOCK TABLES t WRITE'
+  WHEN 8   THEN 'ALTER TABLE t ADD PARTITION (PARTITION p2 VALUES LESS THAN (10))'
+  WHEN 9   THEN 'ALTER TABLE t ATTRIBUTES=''merge_option=deny'''
+  WHEN 10  THEN 'ALTER TABLE `my t` ADD COLUMN (a INT, b VARCHAR(10) DEFAULT ''x'')'
+  WHEN 11  THEN 'ALTER TABLE t ADD COLUMN a INT, ADD COLUMN b INT AFTER a'
+  WHEN 12  THEN 'ALTER TABLE t CHANGE COLUMN a b BIGINT NOT NULL'
   ELSE 'CREATE INDEX idx ON t(c)'
 END
 """

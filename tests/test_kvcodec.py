@@ -272,3 +272,23 @@ def test_kv_decode_streaming(spark, tmp_path):
     want = kv.decode_insert_stream(raw, INFO).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert glob.glob(f"{out_dir}/*.parquet")
+
+
+def test_update_stream_skips_nil_rows(spark):
+    """A NIL/empty update row value decodes to nil maps and the
+    reference skips the mutation; the stream decoder must emit nothing
+    for it (not KeyError the stage) while decoding its neighbors."""
+    import pandas as pd
+    info = kv.KVTableInfo(
+        columns=(kv.ColInfo(1, "pk", "long"),
+                 kv.ColInfo(2, "val", "double")),
+        pk_handle_id=1)
+    good = kv.encode_update_row(info, {1: 7, 2: 1.0}, {1: 7, 2: 2.0})
+    raw = spark.createDataFrame(
+        pd.DataFrame({"arrival_seq": [0, 1, 2],
+                      "row_bytes": [b"\x00", good, b""]}),
+        "arrival_seq long, row_bytes binary")
+    got = kv.decode_update_stream(raw, info).collect()
+    assert len(got) == 1
+    assert got[0]["arrival_seq"] == 1
+    assert got[0]["old_val"] == 1.0 and got[0]["new_val"] == 2.0

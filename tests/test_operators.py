@@ -685,3 +685,36 @@ def test_apply_ddl_multi_add_one_version_and_audit_log():
     audit = [e for e in log if e.get("skipped_columns")]
     assert len(audit) == 1 and audit[0]["table"] == "u"
     assert audit[0]["skipped_columns"] == ["??? garbage ???"]
+
+
+def test_parse_ddl_backticked_keyword_columns_and_comment_default():
+    """Review findings: a backticked `key`/`index`/`partition` is an
+    identifier, not a constraint head — it must parse as a column;
+    DEFAULT inside a COMMENT string literal must not invent a
+    default."""
+    from tidb_binlog_spark.operators import schema_evolution as se
+
+    p = se.parse_ddl("CREATE TABLE t (`key` INT DEFAULT '5', v INT)")
+    assert p["columns"] == {"key": "5", "v": None}
+    assert p["skipped_columns"] == []
+
+    p = se.parse_ddl("ALTER TABLE t ADD COLUMN `index` INT DEFAULT '2'")
+    assert p["kind"] == "add_column" and p["column"] == "index"
+    assert p["default"] == "2"
+
+    # unquoted heads are still constraints / partition clauses
+    assert "key" not in se.parse_ddl(
+        "CREATE TABLE t (id INT, KEY k1 (id))")["columns"]
+    assert se.parse_ddl(
+        "ALTER TABLE t ADD PARTITION (PARTITION p9 VALUES LESS THAN (9))"
+    )["kind"] == "other"
+
+    # DEFAULT mentioned inside a COMMENT literal is NOT a default...
+    p = se.parse_ddl(
+        "ALTER TABLE t ADD COLUMN c INT COMMENT 'no DEFAULT 5 here'")
+    assert p == {"kind": "add_column", "table": "t", "db": None,
+                 "column": "c", "default": None}
+    # ...while a real DEFAULT after a COMMENT still parses
+    p = se.parse_ddl("ALTER TABLE t ADD COLUMN c INT "
+                     "COMMENT 'x' DEFAULT '7'")
+    assert p["default"] == "7"

@@ -163,10 +163,10 @@ def url_domains(docs: DataFrame) -> DataFrame:
     sql_pat = _URL_PATTERN.replace("\\", "\\\\").replace("'", "\\'")
     urls = docs.select(
         "doc_id",
-        F.explode_outer(
+        F.explode(
             F.expr(f"regexp_extract_all(text, '{sql_pat}', 0)"))
          .alias("url"))
-    domains = urls.filter(F.col("url").isNotNull()).select(
+    domains = urls.select(
         "doc_id",
         F.lower(F.regexp_extract("url", r"https?://([^/:]+)", 1))
          .alias("domain"))

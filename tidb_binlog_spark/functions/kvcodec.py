@@ -171,11 +171,14 @@ class KVTableInfo:
     pk_handle_id: int | None = None
     _by_id: dict = field(default=None, compare=False, repr=False)
 
+    def __post_init__(self):
+        # col() runs once per datum pair per row inside the decode hot
+        # loop: an id->ColInfo dict keeps that O(1) per lookup
+        object.__setattr__(
+            self, "_by_id", {c.col_id: c for c in self.columns})
+
     def col(self, col_id: int) -> ColInfo | None:
-        for c in self.columns:
-            if c.col_id == col_id:
-                return c
-        return None
+        return self._by_id.get(col_id)
 
     def default_or_zero(self, c: ColInfo):
         """translator.go getDefaultOrZeroValue: declared default, else
@@ -326,21 +329,28 @@ def decode_update_stream(raw, info: KVTableInfo,
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from decimal import Decimal
         for pdf in batches:
-            cols: dict[str, list] = {k: pdf[k].tolist() for k in key_cols}
+            keys: dict[str, list] = {k: [] for k in key_cols}
             out: dict[str, list] = {}
             for c in info.columns:
                 out[f"old_{c.name}"] = []
                 out[f"new_{c.name}"] = []
-            for raw_row in pdf["row_bytes"]:
+            for idx, raw_row in enumerate(pdf["row_bytes"]):
                 old, new = decode_update_row(info, bytes(raw_row))
+                if not old and not new:
+                    # NIL/empty row value: DecodeOldAndNewRow returns
+                    # nil maps and the reference skips the mutation —
+                    # emit nothing rather than KeyError the stage
+                    continue
+                for k in key_cols:
+                    keys[k].append(pdf[k].iloc[idx])
                 for c in info.columns:
                     for pfx, img in (("old_", old), ("new_", new)):
                         v = img[c.col_id]
                         if c.kind == "ulong" and v is not None:
                             v = Decimal(v)
                         out[f"{pfx}{c.name}"].append(v)
-            cols.update(out)
-            yield pd.DataFrame(cols)
+            keys.update(out)
+            yield pd.DataFrame(keys)
 
     return raw.mapInPandas(decode, schema=schema)
 

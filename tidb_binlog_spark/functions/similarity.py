@@ -173,9 +173,11 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.3,
                         dims: int = 64,
                         max_bucket_size: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: same-LSH-bucket candidate
-    join, exact cosine >= threshold. Bucket membership is capped so a
-    degenerate bucket (identical vectors repeated en masse) cannot go
-    quadratic (see dedup.cap_buckets)."""
+    join, exact cosine >= threshold. Default is UNCAPPED (exact,
+    oracle-identical); pass max_bucket_size to guard a degenerate
+    bucket (identical vectors repeated en masse) from going quadratic,
+    paired with dedup.bucket_cap_report so truncation is never
+    silent."""
     from .dedup import cap_buckets
     b = with_norm(lsh_buckets(embeddings, dims), "embedding", "n")
     b = managed_persist(cap_buckets(b, ["bucket"], max_bucket_size,

@@ -51,6 +51,26 @@ _CONSTRAINT_HEADS = frozenset(
      "check", "fulltext", "spatial", "partition"))
 
 
+def _default_literal(rest: str) -> str | None:
+    """The DEFAULT literal in an attribute tail, scanning OUTSIDE
+    string literals only — `COMMENT 'no DEFAULT 5 here'` must not
+    invent a default (the naive re.search over the whole tail did)."""
+    i, n = 0, len(rest)
+    while i < n:
+        if rest[i] == "'":
+            j = rest.find("'", i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if (rest[i] in "Dd"
+                and (i == 0 or not (rest[i - 1].isalnum()
+                                    or rest[i - 1] == "_"))):
+            m = re.match(r"(?is)DEFAULT\s+('[^']*'|[^\s,()]+)", rest[i:])
+            if m:
+                return m.group(1)
+        i += 1
+    return None
+
+
 def _parse_col_def(part: str) -> tuple[str, str | None] | None:
     """One column definition -> (name, default) or None.
 
@@ -63,10 +83,8 @@ def _parse_col_def(part: str) -> tuple[str, str | None] | None:
                  r"(?P<type>\w+(?:\([^)]*\))?)(?P<rest>.*)$", part)
     if not m:
         return None
-    dm = re.search(r"(?is)\bDEFAULT\s+('[^']*'|[^\s,()]+)",
-                   m.group("rest") or "")
-    return (m.group("bq") or m.group("plain"),
-            _strip_quotes(dm.group(1)) if dm else None)
+    lit = _default_literal(m.group("rest") or "")
+    return (m.group("bq") or m.group("plain"), _strip_quotes(lit))
 
 
 def _parse_col_defs(defs_sql: str) -> tuple[dict, list[str]]:
@@ -81,7 +99,10 @@ def _parse_col_defs(defs_sql: str) -> tuple[dict, list[str]]:
         part = part.strip()
         if not part:
             continue
-        head = re.match(r"(?is)^`?(\w+)`?", part)
+        # only an UNQUOTED head can be a constraint keyword — a
+        # backticked `key`/`index`/`partition` is an identifier and
+        # must parse as a column, not vanish
+        head = re.match(r"(?is)^(\w+)", part)
         if head and head.group(1).lower() in _CONSTRAINT_HEADS:
             continue
         parsed = _parse_col_def(part)

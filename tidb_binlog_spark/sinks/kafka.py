@@ -40,20 +40,28 @@ def kafka_frame(changes: DataFrame, cluster_id: int = 0,
     (key BINARY, value BINARY, topic STRING, partition INT).
 
     key is NULL and partition is the constant 0, mirroring the manual
-    partitioner — every message lands on one partition, preserving
-    commit order end-to-end. At 100 TB this is a deliberate
-    single-writer bottleneck the REFERENCE also has (total order is
-    the product contract); shard-by-table topics would relax it."""
+    partitioner. A single target partition is NOT by itself a
+    total-order guarantee — concurrent Spark tasks would race their
+    sends into the broker's append order — so the frame is coalesced
+    to ONE producing task sorted by commit_ts, matching the
+    reference's single sequential producer goroutine
+    (kafka.go:153-187). At 100 TB this is a deliberate single-writer
+    bottleneck the REFERENCE also has (total order is the product
+    contract); shard-by-table topics would relax it."""
     topic = topic or default_topic(cluster_id)
     if wide_info is not None:
         msgs = payload_mod.obinlog_payload_wide(changes, wide_info)
     else:
         msgs = payload_mod.obinlog_payload(changes)
-    return msgs.select(
+    frame = msgs.select(
         F.lit(None).cast("binary").alias("key"),
         F.encode(F.col("payload"), "UTF-8").alias("value"),
         F.lit(topic).alias("topic"),
-        F.lit(0).cast("int").alias("partition"))
+        F.lit(0).cast("int").alias("partition"),
+        F.col("commit_ts").alias("_order"))
+    return (frame.coalesce(1)
+            .sortWithinPartitions("_order")
+            .drop("_order"))
 
 
 def producer_options(bootstrap_servers: str,
