@@ -718,3 +718,54 @@ def test_parse_ddl_backticked_keyword_columns_and_comment_default():
     p = se.parse_ddl("ALTER TABLE t ADD COLUMN c INT "
                      "COMMENT 'x' DEFAULT '7'")
     assert p["default"] == "7"
+
+
+def test_parse_ddl_property_roundtrip():
+    """Property: for generated column sets, CREATE + multi/single ADD
+    parse to exactly the declared (name -> default) maps regardless of
+    backticks, attribute tails, or qualified names — and replay ends
+    with the full column set at the right defaults."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from tidb_binlog_spark.operators import schema_evolution as se
+
+    names = st.lists(
+        st.text(alphabet="abcdefgh_ xyz", min_size=1, max_size=8)
+          .map(str.strip).filter(
+              lambda s: s and not s.replace(" ", "").isdigit()),
+        min_size=1, max_size=5, unique=True)
+    defaults = st.one_of(st.none(), st.integers(0, 99).map(str))
+    tails = st.sampled_from(["", " NOT NULL", " COMMENT 'has DEFAULT 9'",
+                             " FIRST"])
+
+    @settings(max_examples=60, deadline=None)
+    @given(cols=names, ds=st.lists(defaults, min_size=5, max_size=5),
+           ts=st.lists(tails, min_size=5, max_size=5))
+    def run(cols, ds, ts):
+        def quote(c):
+            return f"`{c}`" if (" " in c or True) else c
+        defs = []
+        want = {}
+        for c, d, t in zip(cols, ds, ts):
+            frag = f"{quote(c)} INT"
+            if d is not None:
+                frag += f" DEFAULT '{d}'"
+            defs.append(frag + t)
+            want[c] = d
+        p = se.parse_ddl(f"CREATE TABLE db1.t ({', '.join(defs)})")
+        assert p["kind"] == "create_table" and p["db"] == "db1"
+        assert p["columns"] == want and p["skipped_columns"] == []
+
+        p2 = se.parse_ddl("ALTER TABLE t ADD COLUMN ("
+                          + ", ".join(defs) + ")")
+        assert p2["columns"] == want
+
+        reg = se.SchemaRegistry()
+        reg.apply_ddl_events([
+            (10, "CREATE TABLE t (pk INT)"),
+            (20, "ALTER TABLE t ADD COLUMN (" + ", ".join(defs) + ")"),
+        ])
+        got = reg.columns_at("t", reg.latest_version("t"))
+        assert got == {"pk": None, **want}
+
+    run()
