@@ -84,7 +84,7 @@ def test_known_byte_fixtures():
 
 def test_unknown_flag_raises():
     with pytest.raises(ValueError, match="unsupported datum flag"):
-        kv.decode_datum(b"\x06\x00", 0)   # decimal flag: no coverage
+        kv.decode_datum(b"\x0a\x00", 0)   # json flag: no coverage
 
 
 # -- insert row --------------------------------------------------------------
@@ -292,3 +292,68 @@ def test_update_stream_skips_nil_rows(spark):
     assert len(got) == 1
     assert got[0]["arrival_seq"] == 1
     assert got[0]["old_val"] == 1.0 and got[0]["new_val"] == 2.0
+
+
+# -- decimal / duration datums ----------------------------------------------
+
+def test_decimal_known_vector():
+    """Hand-computed decimal2bin layout for 1234567890.1234 (precision
+    14, frac 4): int part = 1 leading digit (1 byte) + one base-10^9
+    word (4 bytes), frac part = 4 digits (2 bytes), first byte sign-bit
+    flipped."""
+    buf = kv.encode_mysql_decimal(Decimal("1234567890.1234"))
+    assert buf[0] == 14 and buf[1] == 4          # precision, frac
+    body = buf[2:]
+    assert body == bytes([0x01 ^ 0x80]) \
+        + (234567890).to_bytes(4, "big") + (1234).to_bytes(2, "big")
+    d, _ = kv.decode_mysql_decimal(buf, 0)
+    assert d == Decimal("1234567890.1234")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.decimals(allow_nan=False, allow_infinity=False,
+                   min_value=-10**20, max_value=10**20, places=6))
+def test_decimal_roundtrip(d):
+    buf = kv.encode_datum(d, "decimal")
+    got, flag, pos = kv.decode_datum(buf, 0)
+    assert flag == kv.DECIMAL_FLAG and pos == len(buf)
+    assert got == d.normalize() or got == d   # trailing-zero-insensitive
+    assert Decimal(got) - Decimal(d) == 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=10**12 - 1),
+       st.integers(min_value=0, max_value=10**6 - 1))
+def test_decimal_memcomparable_same_shape(a, b):
+    """For a fixed (precision, frac) the binary form orders like the
+    number — the property TiDB's index keys rely on."""
+    da = Decimal(a) + Decimal(b) / 10**6
+    db_ = Decimal(10**12 - 1 - a) + Decimal(b) / 10**6
+    ba = kv.encode_mysql_decimal(da, precision=18, frac=6)
+    bb = kv.encode_mysql_decimal(db_, precision=18, frac=6)
+    assert (ba < bb) == (da < db_)
+    assert (ba == bb) == (da == db_)
+    # negatives order below positives and by magnitude
+    if da > 0:
+        bn = kv.encode_mysql_decimal(-da, precision=18, frac=6)
+        assert bn < kv.encode_mysql_decimal(Decimal(0),
+                                            precision=18, frac=6)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+def test_duration_roundtrip(ns):
+    buf = kv.encode_datum(ns, "duration")
+    got, flag, pos = kv.decode_datum(buf, 0)
+    assert (got, flag, pos) == (ns, kv.DURATION_FLAG, len(buf))
+
+
+def test_duration_timedelta_and_order():
+    import datetime
+    td = datetime.timedelta(hours=25, minutes=1, seconds=1.5)
+    buf = kv.encode_datum(td, "duration")
+    got, _, _ = kv.decode_datum(buf, 0)
+    assert got == int(td.total_seconds() * 1e9)
+    # comparable encoding: -1s < 0 < 1s in byte order
+    enc = lambda n: kv.encode_datum(n, "duration")[1:]  # noqa: E731
+    assert enc(-10**9) < enc(0) < enc(10**9)

@@ -53,6 +53,8 @@ COMPACT_BYTES_FLAG = 2
 INT_FLAG = 3
 UINT_FLAG = 4
 FLOAT_FLAG = 5
+DECIMAL_FLAG = 6
+DURATION_FLAG = 7
 VARINT_FLAG = 8
 UVARINT_FLAG = 9
 
@@ -98,6 +100,96 @@ def _unzigzag(u: int) -> int:
     return (u >> 1) ^ -(u & 1)
 
 
+# MySQL binary decimal (decimal2bin, mirrored by TiDB MyDecimal
+# WriteBin): digits in base-10^9 "words" of 4 bytes, partial leading/
+# trailing groups in dig2bytes[n] bytes, all bytes inverted for
+# negatives, first byte sign-bit XOR — memcomparable for a fixed
+# (precision, frac). TiDB's EncodeDecimal prefixes precision + frac.
+_DIG2BYTES = (0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+
+
+def _decimal_parts(value) -> tuple[bool, str, str]:
+    from decimal import Decimal
+    d = Decimal(str(value))
+    sign, digits, exp = d.as_tuple()
+    s = "".join(map(str, digits))
+    if exp >= 0:
+        return bool(sign), s + "0" * exp, ""
+    if -exp >= len(s):
+        return bool(sign), "", "0" * (-exp - len(s)) + s
+    return bool(sign), s[:exp], s[exp:]
+
+
+def encode_mysql_decimal(value, precision: int | None = None,
+                         frac: int | None = None) -> bytes:
+    neg, intp, fracp = _decimal_parts(value)
+    intp = intp.lstrip("0")
+    if frac is None:
+        frac = len(fracp)
+    if precision is None:
+        precision = max(1, len(intp) + frac)
+    digits_int = precision - frac
+    intp = intp.rjust(digits_int, "0")
+    fracp = fracp.ljust(frac, "0")[:frac]
+    words_int, lead = divmod(digits_int, 9)
+    words_frac, trail = divmod(frac, 9)
+    out = bytearray()
+    pos = 0
+    if lead:
+        out += int(intp[:lead] or "0").to_bytes(_DIG2BYTES[lead], "big")
+        pos = lead
+    for _ in range(words_int):
+        out += int(intp[pos:pos + 9] or "0").to_bytes(4, "big")
+        pos += 9
+    pos = 0
+    for _ in range(words_frac):
+        out += int(fracp[pos:pos + 9] or "0").to_bytes(4, "big")
+        pos += 9
+    if trail:
+        out += int(fracp[pos:pos + trail] or "0").to_bytes(
+            _DIG2BYTES[trail], "big")
+    if neg:
+        out = bytearray((~b) & 0xFF for b in out)
+    out[0] ^= 0x80
+    return bytes([precision, frac]) + bytes(out)
+
+
+def decode_mysql_decimal(buf: bytes, pos: int):
+    from decimal import Decimal
+    precision, frac = buf[pos], buf[pos + 1]
+    pos += 2
+    digits_int = precision - frac
+    words_int, lead = divmod(digits_int, 9)
+    words_frac, trail = divmod(frac, 9)
+    size = (words_int * 4 + _DIG2BYTES[lead]
+            + words_frac * 4 + _DIG2BYTES[trail])
+    raw = bytearray(buf[pos:pos + size])
+    neg = not (raw[0] & 0x80)
+    raw[0] ^= 0x80
+    if neg:
+        raw = bytearray((~b) & 0xFF for b in raw)
+    i = 0
+    intp = ""
+    if lead:
+        n = _DIG2BYTES[lead]
+        intp += str(int.from_bytes(raw[i:i + n], "big")).rjust(lead, "0")
+        i += n
+    for _ in range(words_int):
+        intp += str(int.from_bytes(raw[i:i + 4], "big")).rjust(9, "0")
+        i += 4
+    fracp = ""
+    for _ in range(words_frac):
+        fracp += str(int.from_bytes(raw[i:i + 4], "big")).rjust(9, "0")
+        i += 4
+    if trail:
+        n = _DIG2BYTES[trail]
+        fracp += str(int.from_bytes(raw[i:i + n], "big")).rjust(trail, "0")
+        i += n
+    text = (intp.lstrip("0") or "0") + ("." + fracp if fracp else "")
+    d = Decimal(("-" if neg else "") + text)
+    return d, pos + size
+
+
 def encode_datum(value, kind: str) -> bytes:
     """One datum in EncodeValue (non-comparable) layout: the layout
     the pump's row values use."""
@@ -115,6 +207,15 @@ def encode_datum(value, kind: str) -> bytes:
         raw = value.encode("utf-8") if isinstance(value, str) else bytes(value)
         return (bytes([COMPACT_BYTES_FLAG])
                 + _encode_uvarint(_zigzag(len(raw))) + raw)
+    if kind == "decimal":
+        return bytes([DECIMAL_FLAG]) + encode_mysql_decimal(value)
+    if kind == "duration":
+        # EncodeDuration: comparable int64 (sign-bit-flipped big
+        # endian) of the duration's nanoseconds
+        ns = int(value.total_seconds() * 1e9) \
+            if hasattr(value, "total_seconds") else int(value)
+        u = ns % _U64
+        return bytes([DURATION_FLAG]) + struct.pack(">Q", u ^ _SIGN_MASK)
     raise ValueError(f"unsupported datum kind {kind!r}")
 
 
@@ -145,6 +246,13 @@ def decode_datum(buf: bytes, pos: int):
         z, pos = _decode_uvarint(buf, pos)
         n = _unzigzag(z)
         return buf[pos:pos + n].decode("utf-8"), flag, pos + n
+    if flag == DECIMAL_FLAG:
+        d, pos = decode_mysql_decimal(buf, pos)
+        return d, flag, pos
+    if flag == DURATION_FLAG:
+        (u,) = struct.unpack_from(">Q", buf, pos)
+        v = u ^ _SIGN_MASK
+        return v - _U64 if v >= (1 << 63) else v, flag, pos + 8
     raise ValueError(f"unsupported datum flag {flag} at {pos - 1}")
 
 
