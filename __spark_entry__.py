@@ -436,7 +436,9 @@ KV_INFO = kvcodec.KVTableInfo(
     columns=(kvcodec.ColInfo(1, "pk", "long"),
              kvcodec.ColInfo(2, "val", "double"),
              kvcodec.ColInfo(3, "k", "string", default="dk"),
-             kvcodec.ColInfo(4, "u", "ulong")),
+             kvcodec.ColInfo(4, "u", "ulong"),
+             kvcodec.ColInfo(5, "d10", "decimal"),
+             kvcodec.ColInfo(6, "dur", "duration")),
     pk_handle_id=1)
 
 KV_INFO_UPD = kvcodec.KVTableInfo(
@@ -983,7 +985,10 @@ def oracle_sql() -> dict[str, str]:
               CAST(CASE WHEN pk % 2 = 1
                         THEN CAST('18446744073709551616' AS HUGEINT) - pk
                         ELSE CAST(pk AS HUGEINT) END
-                   AS VARCHAR) AS u
+                   AS VARCHAR) AS u,
+              printf('%d.%02d', (pk * 10001) // 100, (pk * 10001) % 100)
+                AS d10,
+              (arrival_seq % 86400) * 1000000000 AS dur
             FROM changes
         """,
         "cdc_kv_decode_update": f"""

@@ -390,8 +390,12 @@ def decode_update_row(info: KVTableInfo, row: bytes
 # ---------------------------------------------------------------------------
 
 def _spark_type(kind: str) -> str:
+    # decimal surfaces as its exact STRING rendering: precision/frac
+    # ride per-datum in the wire format, so no single Spark decimal
+    # type fits every row; duration surfaces as BIGINT nanos
     return {"long": "long", "ulong": "decimal(20,0)",
-            "double": "double", "string": "string"}[kind]
+            "double": "double", "string": "string",
+            "decimal": "string", "duration": "long"}[kind]
 
 
 def decode_insert_stream(raw, info: KVTableInfo,
@@ -417,6 +421,8 @@ def decode_insert_stream(raw, info: KVTableInfo,
                     v = datums[c.col_id]
                     if c.kind == "ulong" and v is not None:
                         v = Decimal(v)
+                    elif c.kind == "decimal" and v is not None:
+                        v = str(v)
                     out[c.name].append(v)
             cols.update(out)
             yield pd.DataFrame(cols)
@@ -472,13 +478,19 @@ def encode_insert_stream(ch, info: KVTableInfo):
       (schema-grew case -> default back-fill);
     - arrival_seq % 13 == 0: val encoded as NULL (NilFlag);
     - odd pk: the unsigned column (if any) carries a top-bit-set
-      value (2^64 - pk) — uvarint + fixType territory.
+      value (2^64 - pk) — uvarint + fixType territory;
+    - a decimal column (if any) carries pk * 100.01 exactly (2-frac
+      MySQL binary decimal); a duration column carries
+      (arrival_seq % 86400) seconds as comparable int64 nanos.
     """
     import pandas as pd
+    from decimal import Decimal as _D
 
     str_col = next(c for c in info.columns if c.kind == "string")
     val_col = next(c for c in info.columns if c.kind == "double")
     u_col = next((c for c in info.columns if c.kind == "ulong"), None)
+    dec_col = next((c for c in info.columns if c.kind == "decimal"), None)
+    dur_col = next((c for c in info.columns if c.kind == "duration"), None)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -492,6 +504,10 @@ def encode_insert_stream(ch, info: KVTableInfo):
                     values[str_col.col_id] = str(k)
                 if u_col is not None:
                     values[u_col.col_id] = _U64 - pk if pk % 2 == 1 else pk
+                if dec_col is not None:
+                    values[dec_col.col_id] = _D(pk * 10001).scaleb(-2)
+                if dur_col is not None:
+                    values[dur_col.col_id] = (seq % 86400) * 1_000_000_000
                 rows.append((seq, encode_insert_row(info, pk, values)))
             yield pd.DataFrame(rows, columns=["arrival_seq", "row_bytes"])
 
