@@ -357,3 +357,31 @@ def test_duration_timedelta_and_order():
     # comparable encoding: -1s < 0 < 1s in byte order
     enc = lambda n: kv.encode_datum(n, "duration")[1:]  # noqa: E731
     assert enc(-10**9) < enc(0) < enc(10**9)
+
+
+# -- memcomparable bytes (flag 1) -------------------------------------------
+
+def test_comparable_bytes_known_vectors():
+    """Group-of-8 + pad-marker layout: 0xFF continues, 0xF7+n ends."""
+    assert kv.encode_comparable_bytes(b"") == bytes(8) + b"\xf7"
+    assert kv.encode_comparable_bytes(b"ab") == \
+        b"ab" + bytes(6) + b"\xf9"
+    assert kv.encode_comparable_bytes(b"12345678") == \
+        b"12345678\xff" + bytes(8) + b"\xf7"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=64))
+def test_comparable_bytes_roundtrip_and_order(raw):
+    buf = kv.encode_datum(raw, "bytes")
+    got, flag, pos = kv.decode_datum(buf, 0)
+    assert (got, flag, pos) == (raw, kv.BYTES_FLAG, len(buf))
+    # memcomparable: encoding order == raw lexicographic order
+    other = bytes(reversed(raw)) + b"x"
+    assert (kv.encode_comparable_bytes(raw)
+            < kv.encode_comparable_bytes(other)) == (raw < other)
+
+
+def test_comparable_bytes_bad_marker():
+    with pytest.raises(ValueError, match="pad marker"):
+        kv.decode_comparable_bytes(bytes(8) + b"\x01", 0)

@@ -100,6 +100,40 @@ def _unzigzag(u: int) -> int:
     return (u >> 1) ^ -(u & 1)
 
 
+# memcomparable bytes (EncodeBytes): groups of 8 payload bytes padded
+# with zeros, each followed by a marker = 0xF7 + meaningful-byte
+# count; a 0xFF marker means "full group, more follows". Byte order
+# of the encoding equals lexicographic order of the raw bytes — the
+# form index keys use.
+_PAD_GROUP = 8
+_MARKER_BASE = 0xF7
+
+
+def encode_comparable_bytes(raw: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(raw) + 1, _PAD_GROUP):
+        group = raw[i:i + _PAD_GROUP]
+        out += group + b"\x00" * (_PAD_GROUP - len(group))
+        out.append(_MARKER_BASE + len(group))
+        if len(group) < _PAD_GROUP:
+            break
+    return bytes(out)
+
+
+def decode_comparable_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
+    out = bytearray()
+    while True:
+        group = buf[pos:pos + _PAD_GROUP]
+        marker = buf[pos + _PAD_GROUP]
+        pos += _PAD_GROUP + 1
+        n = marker - _MARKER_BASE
+        if not 0 <= n <= _PAD_GROUP:
+            raise ValueError(f"invalid bytes pad marker {marker:#x}")
+        out += group[:n]
+        if n < _PAD_GROUP:
+            return bytes(out), pos
+
+
 # MySQL binary decimal (decimal2bin, mirrored by TiDB MyDecimal
 # WriteBin): digits in base-10^9 "words" of 4 bytes, partial leading/
 # trailing groups in dig2bytes[n] bytes, all bytes inverted for
@@ -207,6 +241,9 @@ def encode_datum(value, kind: str) -> bytes:
         raw = value.encode("utf-8") if isinstance(value, str) else bytes(value)
         return (bytes([COMPACT_BYTES_FLAG])
                 + _encode_uvarint(_zigzag(len(raw))) + raw)
+    if kind == "bytes":
+        raw = value.encode("utf-8") if isinstance(value, str) else bytes(value)
+        return bytes([BYTES_FLAG]) + encode_comparable_bytes(raw)
     if kind == "decimal":
         return bytes([DECIMAL_FLAG]) + encode_mysql_decimal(value)
     if kind == "duration":
@@ -246,6 +283,9 @@ def decode_datum(buf: bytes, pos: int):
         z, pos = _decode_uvarint(buf, pos)
         n = _unzigzag(z)
         return buf[pos:pos + n].decode("utf-8"), flag, pos + n
+    if flag == BYTES_FLAG:
+        raw, pos = decode_comparable_bytes(buf, pos)
+        return raw, flag, pos
     if flag == DECIMAL_FLAG:
         d, pos = decode_mysql_decimal(buf, pos)
         return d, flag, pos
