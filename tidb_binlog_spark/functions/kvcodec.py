@@ -509,6 +509,49 @@ def decode_update_stream(raw, info: KVTableInfo,
     return raw.mapInPandas(decode, schema=schema)
 
 
+# ---------------------------------------------------------------------------
+# TiKV record keys: t{tableID}_r{handle} (tablecodec.EncodeRowKey) —
+# both ints as comparable sign-flipped big-endian. The physical table
+# id in the key is what partition routing consumes.
+# ---------------------------------------------------------------------------
+
+def encode_record_key(table_id: int, handle: int) -> bytes:
+    def comp(v: int) -> bytes:
+        return struct.pack(">Q", (v % _U64) ^ _SIGN_MASK)
+    return b"t" + comp(table_id) + b"_r" + comp(handle)
+
+
+def decode_record_key(key: bytes) -> tuple[int, int]:
+    if len(key) != 19 or key[0:1] != b"t" or key[9:11] != b"_r":
+        raise ValueError("not a record key")
+
+    def uncomp(raw: bytes) -> int:
+        (u,) = struct.unpack(">Q", raw)
+        v = u ^ _SIGN_MASK
+        return v - _U64 if v >= (1 << 63) else v
+    return uncomp(key[1:9]), uncomp(key[11:19])
+
+
+def record_key_columns(df, key_col: str = "key"):
+    """Pure-Catalyst record-key decode: adds ``table_id`` and
+    ``handle`` BIGINT columns from the raw key bytes — no Python in
+    the plan (hex -> base-16 conv -> sign-bias subtract), so key
+    decoding rides whole-stage codegen at any scale."""
+    from pyspark.sql import functions as F
+
+    def comp_long(start: int):
+        # bytes are 1-indexed in substring; conv() yields the unsigned
+        # value as a string; DECIMAL(20,0) holds the full u64 before
+        # the sign-flip bias is removed
+        u = F.conv(F.hex(F.expr(f"substring({key_col}, {start}, 8)")),
+                   16, 10).cast("decimal(20,0)")
+        bias = F.expr("CAST('9223372036854775808' AS DECIMAL(20,0))")
+        return (u - bias).cast("long")
+
+    return (df.withColumn("table_id", comp_long(2))
+              .withColumn("handle", comp_long(12)))
+
+
 def encode_insert_stream(ch, info: KVTableInfo):
     """Fixture generator: change-stream rows -> pump-format insert row
     bytes (handle = pk). Deterministic column omission/NULLs so decode
