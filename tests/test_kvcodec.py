@@ -447,3 +447,90 @@ def test_record_key_feeds_partition_routing(spark):
             r["partition_status"])
     assert by_id[100] == {"ok"} and by_id[102] == {"ok"}
     assert by_id[101] == {"orphan"}     # truncated-away incarnation
+
+
+# -- review-fix regressions ---------------------------------------------------
+
+def test_update_stream_decimal_column(spark):
+    """decode_update_stream must surface decimal values as strings
+    (the Arrow schema declares string) — it crashed on raw Decimals."""
+    import pandas as pd
+    info = kv.KVTableInfo(
+        columns=(kv.ColInfo(1, "pk", "long"),
+                 kv.ColInfo(2, "d", "decimal")),
+        pk_handle_id=1)
+    row = kv.encode_update_row(
+        info, {1: 3, 2: Decimal("1.50")}, {1: 3, 2: Decimal("2.25")})
+    raw = spark.createDataFrame(
+        pd.DataFrame({"arrival_seq": [0], "row_bytes": [row]}),
+        "arrival_seq long, row_bytes binary")
+    got = kv.decode_update_stream(raw, info).collect()[0]
+    assert got["old_d"] == "1.50" and got["new_d"] == "2.25"
+
+
+def test_default_or_zero_new_kinds():
+    info = kv.KVTableInfo(
+        columns=(kv.ColInfo(1, "pk", "long"),
+                 kv.ColInfo(2, "d", "decimal", not_null=True),
+                 kv.ColInfo(3, "t", "duration", not_null=True),
+                 kv.ColInfo(4, "b", "bytes", not_null=True)),
+        pk_handle_id=1)
+    datums = kv.decode_insert_row(info, kv.encode_insert_row(info, 9, {}))
+    assert datums == {1: 9, 2: Decimal(0), 3: 0, 4: b""}
+
+
+def test_duration_timedelta_exact_nanos():
+    """total_seconds() is float and drops ns past ~12 days; the
+    integer-field conversion is exact over the MySQL TIME range."""
+    import datetime
+    td = datetime.timedelta(days=12, hours=11, minutes=5,
+                            seconds=57, microseconds=663517)
+    want = ((td.days * 86400 + td.seconds) * 10**9
+            + td.microseconds * 1000)
+    got, _, _ = kv.decode_datum(kv.encode_datum(td, "duration"), 0)
+    assert got == want
+    assert got % 1000 == 0          # microsecond-aligned, no float dust
+
+
+def test_decimal_overflow_and_negative_zero():
+    with pytest.raises(ValueError, match="overflows"):
+        kv.encode_mysql_decimal(Decimal("12345"), precision=3, frac=0)
+    with pytest.raises(ValueError, match="loses fraction"):
+        kv.encode_mysql_decimal(Decimal("1.234"), precision=5, frac=1)
+    # nonzero-losing truncation rejected, trailing zeros fine
+    assert kv.encode_mysql_decimal(Decimal("1.20"), precision=3, frac=1)
+    # -0 normalizes to +0: identical bytes (MyDecimal WriteBin parity)
+    assert kv.encode_mysql_decimal(Decimal("-0.00")) == \
+        kv.encode_mysql_decimal(Decimal("0.00"))
+
+
+def test_decimal_corrupt_header_rejected():
+    with pytest.raises(ValueError, match="corrupt decimal header"):
+        kv.decode_mysql_decimal(bytes([2, 5, 0x80, 1, 2, 3]), 0)
+    with pytest.raises(ValueError, match="unsupported|corrupt"):
+        kv.decode_datum(bytes([kv.DECIMAL_FLAG, 0, 0, 0x80]), 0)
+
+
+def test_comparable_bytes_truncated_rejected():
+    with pytest.raises(ValueError, match="truncated"):
+        kv.decode_comparable_bytes(b"abc", 0)
+    with pytest.raises(ValueError, match="truncated"):
+        # full first group claims continuation, then the buffer ends
+        kv.decode_comparable_bytes(b"12345678\xff" + b"abc", 0)
+
+
+def test_record_key_columns_nulls_invalid_keys(spark):
+    """Non-record keys (index keys, malformed blobs) must decode to
+    NULL, never to a plausible-looking id (the Python codec raises)."""
+    import pandas as pd
+    good = kv.encode_record_key(101, 7)
+    index_key = good[:9] + b"_i" + good[11:]       # t{tid}_i... index key
+    rows = [(0, good), (1, index_key), (2, b"x" * 19), (3, b"t" + b"\x00" * 8)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["i", "key"]), "i long, key binary")
+    got = {r["i"]: (r["table_id"], r["handle"])
+           for r in kv.record_key_columns(df).collect()}
+    assert got[0] == (101, 7)
+    assert got[1] == (None, None)
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)

@@ -743,7 +743,9 @@ def test_parse_ddl_property_roundtrip():
            ts=st.lists(tails, min_size=5, max_size=5))
     def run(cols, ds, ts):
         def quote(c):
-            return f"`{c}`" if (" " in c or True) else c
+            # genuinely mixed: names with spaces MUST be quoted,
+            # others alternate so the unquoted path gets coverage too
+            return f"`{c}`" if (" " in c or len(c) % 2 == 0) else c
         defs = []
         want = {}
         for c, d, t in zip(cols, ds, ts):

@@ -22,16 +22,20 @@ then a payload —
 flag  name            payload
 ====  ==============  ===========================================
 0     nil             (empty)
+1     bytes           memcomparable: 8-byte groups + 0xF7+n markers
 2     compact bytes   varint byte-length + raw bytes
 3     int             8-byte big-endian, sign bit flipped
 4     uint            8-byte big-endian
 5     float           8-byte big-endian float64, order-encoded
+6     decimal         precision + frac bytes + MySQL decimal2bin
+7     duration        comparable int64 nanoseconds
 8     varint          Go binary.PutVarint (zigzag LEB128)
 9     uvarint         LEB128
 ====  ==============  ===========================================
 
-(The memcomparable ``bytes`` flag 1 and decimal/duration/json flags
-carry no fixture coverage here; the decoder rejects them loudly.)
+(Only the binary-JSON flag 10 is unsupported; the decoder rejects it
+loudly.) Record keys ``t{tableID}_r{handle}`` encode/decode too, with
+a pure-Catalyst column decode for the hot path.
 
 Spark integration is Arrow-batched ``mapInPandas`` — variable-length
 byte parsing is inherently row-iterative, so the Python loop runs once
@@ -123,6 +127,8 @@ def encode_comparable_bytes(raw: bytes) -> bytes:
 def decode_comparable_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
     out = bytearray()
     while True:
+        if pos + _PAD_GROUP + 1 > len(buf):
+            raise ValueError(f"truncated bytes datum at {pos}")
         group = buf[pos:pos + _PAD_GROUP]
         marker = buf[pos + _PAD_GROUP]
         pos += _PAD_GROUP + 1
@@ -162,7 +168,19 @@ def encode_mysql_decimal(value, precision: int | None = None,
         frac = len(fracp)
     if precision is None:
         precision = max(1, len(intp) + frac)
+    if not 0 < precision <= 65 or not 0 <= frac <= 30 or frac > precision:
+        raise ValueError(f"invalid decimal shape ({precision},{frac})")
     digits_int = precision - frac
+    if len(intp) > digits_int:
+        # MySQL/TiDB raise data-out-of-range; silent truncation would
+        # corrupt both the value and its index-byte ordering
+        raise ValueError(
+            f"decimal {value} overflows DECIMAL({precision},{frac})")
+    if len(fracp) > frac and fracp[frac:].strip("0"):
+        raise ValueError(
+            f"decimal {value} loses fraction digits at scale {frac}")
+    if not intp and not fracp.strip("0"):
+        neg = False      # MyDecimal normalizes -0 to +0 before WriteBin
     intp = intp.rjust(digits_int, "0")
     fracp = fracp.ljust(frac, "0")[:frac]
     words_int, lead = divmod(digits_int, 9)
@@ -192,6 +210,9 @@ def decode_mysql_decimal(buf: bytes, pos: int):
     from decimal import Decimal
     precision, frac = buf[pos], buf[pos + 1]
     pos += 2
+    if not 0 < precision <= 65 or not 0 <= frac <= 30 or frac > precision:
+        raise ValueError(
+            f"corrupt decimal header ({precision},{frac}) at {pos - 2}")
     digits_int = precision - frac
     words_int, lead = divmod(digits_int, 9)
     words_frac, trail = divmod(frac, 9)
@@ -248,9 +269,14 @@ def encode_datum(value, kind: str) -> bytes:
         return bytes([DECIMAL_FLAG]) + encode_mysql_decimal(value)
     if kind == "duration":
         # EncodeDuration: comparable int64 (sign-bit-flipped big
-        # endian) of the duration's nanoseconds
-        ns = int(value.total_seconds() * 1e9) \
-            if hasattr(value, "total_seconds") else int(value)
+        # endian) of the duration's nanoseconds. timedelta converts
+        # via exact integer fields — total_seconds() is a float and
+        # drops nanoseconds past ~12 days.
+        if hasattr(value, "total_seconds"):
+            ns = ((value.days * 86400 + value.seconds) * 10**9
+                  + value.microseconds * 1000)
+        else:
+            ns = int(value)
         u = ns % _U64
         return bytes([DURATION_FLAG]) + struct.pack(">Q", u ^ _SIGN_MASK)
     raise ValueError(f"unsupported datum kind {kind!r}")
@@ -304,7 +330,7 @@ def decode_datum(buf: bytes, pos: int):
 class ColInfo:
     col_id: int
     name: str
-    kind: str                      # long | ulong | double | string
+    kind: str    # long | ulong | double | string | bytes | decimal | duration
     default: object = None         # getDefaultOrZeroValue source
     not_null: bool = False
 
@@ -335,7 +361,11 @@ class KVTableInfo:
             return c.default
         if not c.not_null:
             return None
-        return {"long": 0, "ulong": 0, "double": 0.0, "string": ""}[c.kind]
+        if c.kind == "decimal":
+            from decimal import Decimal
+            return Decimal(0)
+        return {"long": 0, "ulong": 0, "double": 0.0, "string": "",
+                "bytes": b"", "duration": 0}[c.kind]
 
 
 # ---------------------------------------------------------------------------
@@ -434,7 +464,7 @@ def _spark_type(kind: str) -> str:
     # ride per-datum in the wire format, so no single Spark decimal
     # type fits every row; duration surfaces as BIGINT nanos
     return {"long": "long", "ulong": "decimal(20,0)",
-            "double": "double", "string": "string",
+            "double": "double", "string": "string", "bytes": "binary",
             "decimal": "string", "duration": "long"}[kind]
 
 
@@ -502,6 +532,8 @@ def decode_update_stream(raw, info: KVTableInfo,
                         v = img[c.col_id]
                         if c.kind == "ulong" and v is not None:
                             v = Decimal(v)
+                        elif c.kind == "decimal" and v is not None:
+                            v = str(v)
                         out[f"{pfx}{c.name}"].append(v)
             keys.update(out)
             yield pd.DataFrame(keys)
@@ -536,8 +568,16 @@ def record_key_columns(df, key_col: str = "key"):
     """Pure-Catalyst record-key decode: adds ``table_id`` and
     ``handle`` BIGINT columns from the raw key bytes — no Python in
     the plan (hex -> base-16 conv -> sign-bias subtract), so key
-    decoding rides whole-stage codegen at any scale."""
+    decoding rides whole-stage codegen at any scale.
+
+    Non-record keys (index keys t..._i..., malformed blobs) decode to
+    NULL in both columns — the Catalyst analog of the Python codec's
+    ValueError, so garbage can never masquerade as a routable id."""
     from pyspark.sql import functions as F
+
+    valid = ((F.length(F.col(key_col)) == 19)
+             & (F.expr(f"substring({key_col}, 1, 1)") == F.expr("X'74'"))
+             & (F.expr(f"substring({key_col}, 10, 2)") == F.expr("X'5F72'")))
 
     def comp_long(start: int):
         # bytes are 1-indexed in substring; conv() yields the unsigned
@@ -546,7 +586,7 @@ def record_key_columns(df, key_col: str = "key"):
         u = F.conv(F.hex(F.expr(f"substring({key_col}, {start}, 8)")),
                    16, 10).cast("decimal(20,0)")
         bias = F.expr("CAST('9223372036854775808' AS DECIMAL(20,0))")
-        return (u - bias).cast("long")
+        return F.when(valid, (u - bias).cast("long"))
 
     return (df.withColumn("table_id", comp_long(2))
               .withColumn("handle", comp_long(12)))
