@@ -336,3 +336,30 @@ def test_url_domains_rollup(spark):
     got = {r["domain"]: (r["n_urls"], r["n_docs"])
            for r in curation.url_domains(d).collect()}
     assert got == {"example.com": (3, 2), "other.org": (1, 1)}
+
+
+def test_multimodal_resize_stub(spark):
+    d = docs_df(spark, ["x" * 1000, "y" * 10])
+    got = {r["doc_id"]: r for r in
+           multimodal.resize_stub(d, max_side=256).collect()}
+    # 1000 bytes -> 361x41 dims; scale = 361/256; stride = 1
+    assert (got[0]["src_width"], got[0]["src_height"]) == (361, 41)
+    assert got[0]["dst_width"] == int(361 / (361 / 256))
+    assert got[0]["dst_height"] == max(1, int(41 / (361 / 256)))
+    # small asset: no downscale, digest == md5 of the full payload
+    import hashlib
+    assert (got[1]["dst_width"], got[1]["dst_height"]) == \
+        (got[1]["src_width"], got[1]["src_height"])
+    assert got[1]["resized_md5"] == hashlib.md5(b"y" * 10).hexdigest()
+
+
+def test_multimodal_audio_features_stub(spark):
+    d = docs_df(spark, ["ab" * 800])   # 1600 'samples' at 16 kHz
+    got = multimodal.audio_features_stub(d).collect()[0]
+    assert got["n_samples"] == 1600
+    assert got["duration_ms"] == 100
+    import numpy as np
+    pcm = np.frombuffer(b"ab" * 800, dtype=np.int8).astype(float)
+    assert abs(got["rms"] - float(np.sqrt(np.mean(pcm ** 2)))) < 1e-9
+    assert got["peak"] == int(np.max(np.abs(pcm)))
+    assert got["zero_crossings"] == 0   # all-positive ASCII bytes
