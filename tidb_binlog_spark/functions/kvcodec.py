@@ -150,7 +150,8 @@ _DIG2BYTES = (0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
 
 def _decimal_parts(value) -> tuple[bool, str, str]:
     from decimal import Decimal
-    d = Decimal(str(value))
+    # hot loop: skip the str() round-trip when already a Decimal
+    d = value if isinstance(value, Decimal) else Decimal(str(value))
     sign, digits, exp = d.as_tuple()
     s = "".join(map(str, digits))
     if exp >= 0:
