@@ -446,9 +446,14 @@ KV_INFO_UPD = kvcodec.KVTableInfo(
 
 
 def _kv_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_binlog_spark.functions.text import spread
     ch = _spark_changes(spark, sf_dir)
     k = F.coalesce(F.get_json_object("row_json", "$.k"), F.lit("nk"))
-    return ch.select("arrival_seq", "pk", "val", k.alias("k"))
+    # fan the narrow 4-column frame across cores before the Python
+    # encode/decode roundtrip: the single-file fixture otherwise runs
+    # the whole mapInPandas chain in ONE task (spread() no-ops on
+    # well-split real inputs)
+    return spread(ch.select("arrival_seq", "pk", "val", k.alias("k")))
 
 
 def q_cdc_kv_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
