@@ -84,7 +84,7 @@ def test_known_byte_fixtures():
 
 def test_unknown_flag_raises():
     with pytest.raises(ValueError, match="unsupported datum flag"):
-        kv.decode_datum(b"\x0a\x00", 0)   # json flag: no coverage
+        kv.decode_datum(b"\xfa\x00", 0)   # flag 250: maxFlag territory
 
 
 # -- insert row --------------------------------------------------------------
@@ -534,3 +534,31 @@ def test_record_key_columns_nulls_invalid_keys(spark):
     assert got[1] == (None, None)
     assert got[2] == (None, None)
     assert got[3] == (None, None)
+
+
+# -- json scalar datums -------------------------------------------------------
+
+def test_json_scalar_roundtrips():
+    cases = [True, False, 0, -42, 2**63 + 5, 1.5, "", "héllo"]
+    for v in cases:
+        buf = kv.encode_datum(v, "json")
+        got, flag, pos = kv.decode_datum(buf, 0)
+        assert flag == kv.JSON_FLAG and pos == len(buf)
+        assert got == v and type(got) is type(v)
+    # SQL NULL of a json column is a NIL datum (global None rule);
+    # the JSON literal null is its own wire value
+    assert kv.encode_datum(None, "json") == b"\x00"
+    lit_null, pos = kv.decode_json_scalar(bytes([0x04, 0x00]), 0)
+    assert lit_null is None and pos == 2
+
+
+def test_json_containers_rejected_loudly():
+    with pytest.raises(NotImplementedError, match="scalar JSON"):
+        kv.encode_datum({"a": 1}, "json")
+    with pytest.raises(NotImplementedError, match="scalar JSON"):
+        kv.encode_datum([1, 2], "json")
+    # container TYPE CODES on the wire are rejected on decode too
+    with pytest.raises(ValueError, match="container"):
+        kv.decode_datum(bytes([kv.JSON_FLAG, 0x01, 0x00]), 0)
+    with pytest.raises(ValueError, match="unknown json type code"):
+        kv.decode_datum(bytes([kv.JSON_FLAG, 0x7f]), 0)

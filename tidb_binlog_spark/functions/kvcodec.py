@@ -31,11 +31,13 @@ flag  name            payload
 7     duration        comparable int64 nanoseconds
 8     varint          Go binary.PutVarint (zigzag LEB128)
 9     uvarint         LEB128
+10    json            type-code byte + payload (scalar subset; the
+                      object/array offset-table layout is rejected
+                      loudly, never silently stubbed)
 ====  ==============  ===========================================
 
-(Only the binary-JSON flag 10 is unsupported; the decoder rejects it
-loudly.) Record keys ``t{tableID}_r{handle}`` encode/decode too, with
-a pure-Catalyst column decode for the hot path.
+Record keys ``t{tableID}_r{handle}`` encode/decode too, with a
+pure-Catalyst column decode for the hot path.
 
 Spark integration is Arrow-batched ``mapInPandas`` — variable-length
 byte parsing is inherently row-iterative, so the Python loop runs once
@@ -61,6 +63,16 @@ DECIMAL_FLAG = 6
 DURATION_FLAG = 7
 VARINT_FLAG = 8
 UVARINT_FLAG = 9
+JSON_FLAG = 10
+
+# TiDB binary JSON type codes (types/json_binary.go); the scalar
+# subset is supported, containers are rejected loudly
+_JSON_LITERAL = 0x04
+_JSON_INT64 = 0x09
+_JSON_UINT64 = 0x0A
+_JSON_FLOAT64 = 0x0B
+_JSON_STRING = 0x0C
+_JSON_CONTAINERS = (0x01, 0x03)     # object, array
 
 _SIGN_MASK = 0x8000000000000000
 _U64 = 1 << 64
@@ -266,6 +278,8 @@ def encode_datum(value, kind: str) -> bytes:
     if kind == "bytes":
         raw = value.encode("utf-8") if isinstance(value, str) else bytes(value)
         return bytes([BYTES_FLAG]) + encode_comparable_bytes(raw)
+    if kind == "json":
+        return bytes([JSON_FLAG]) + encode_json_scalar(value)
     if kind == "decimal":
         return bytes([DECIMAL_FLAG]) + encode_mysql_decimal(value)
     if kind == "duration":
@@ -320,7 +334,56 @@ def decode_datum(buf: bytes, pos: int):
         (u,) = struct.unpack_from(">Q", buf, pos)
         v = u ^ _SIGN_MASK
         return v - _U64 if v >= (1 << 63) else v, flag, pos + 8
+    if flag == JSON_FLAG:
+        v, pos = decode_json_scalar(buf, pos)
+        return v, flag, pos
     raise ValueError(f"unsupported datum flag {flag} at {pos - 1}")
+
+
+def encode_json_scalar(value) -> bytes:
+    """TiDB binary JSON, scalar subset: type-code byte + payload
+    (json_binary.go). Containers (object/array) need the full
+    offset-table layout and are rejected loudly — NotImplementedError,
+    never a silent stand-in."""
+    if isinstance(value, (dict, list, tuple)):
+        raise NotImplementedError(
+            "JSON object/array binary layout not implemented; "
+            "scalar JSON values only")
+    if value is None:
+        return bytes([_JSON_LITERAL, 0x00])
+    if isinstance(value, bool):
+        return bytes([_JSON_LITERAL, 0x01 if value else 0x02])
+    if isinstance(value, int):
+        if value >= 1 << 63:
+            return bytes([_JSON_UINT64]) + struct.pack("<Q", value)
+        return bytes([_JSON_INT64]) + struct.pack("<q", value)
+    if isinstance(value, float):
+        return bytes([_JSON_FLOAT64]) + struct.pack("<d", value)
+    if isinstance(value, str):
+        raw = value.encode("utf-8")
+        return bytes([_JSON_STRING]) + _encode_uvarint(len(raw)) + raw
+    raise ValueError(f"unsupported json scalar {type(value).__name__}")
+
+
+def decode_json_scalar(buf: bytes, pos: int):
+    code = buf[pos]
+    pos += 1
+    if code in _JSON_CONTAINERS:
+        raise ValueError(
+            "json container (object/array) decode not supported")
+    if code == _JSON_LITERAL:
+        lit = buf[pos]
+        return {0x00: None, 0x01: True, 0x02: False}[lit], pos + 1
+    if code == _JSON_INT64:
+        return struct.unpack_from("<q", buf, pos)[0], pos + 8
+    if code == _JSON_UINT64:
+        return struct.unpack_from("<Q", buf, pos)[0], pos + 8
+    if code == _JSON_FLOAT64:
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if code == _JSON_STRING:
+        n, pos = _decode_uvarint(buf, pos)
+        return buf[pos:pos + n].decode("utf-8"), pos + n
+    raise ValueError(f"unknown json type code {code:#x}")
 
 
 # ---------------------------------------------------------------------------
