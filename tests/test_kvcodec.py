@@ -552,13 +552,38 @@ def test_json_scalar_roundtrips():
     assert lit_null is None and pos == 2
 
 
-def test_json_containers_rejected_loudly():
-    with pytest.raises(NotImplementedError, match="scalar JSON"):
-        kv.encode_datum({"a": 1}, "json")
-    with pytest.raises(NotImplementedError, match="scalar JSON"):
-        kv.encode_datum([1, 2], "json")
-    # container TYPE CODES on the wire are rejected on decode too
-    with pytest.raises(ValueError, match="container"):
-        kv.decode_datum(bytes([kv.JSON_FLAG, 0x01, 0x00]), 0)
+def test_json_container_roundtrips():
+    cases = [
+        {},
+        [],
+        {"a": 1, "bb": "x", "c": None},
+        [1, "two", 3.0, True, None],
+        {"nested": {"deep": [1, {"k": False}]}, "s": "v"},
+        [[1, 2], [], {"a": [3]}],
+    ]
+    for v in cases:
+        buf = kv.encode_datum(v, "json")
+        got, flag, pos = kv.decode_datum(buf, 0)
+        assert flag == kv.JSON_FLAG and pos == len(buf)
+        assert got == v, (v, got)
+
+
+def test_json_object_keys_mysql_sorted():
+    """Binary object keys sort length-first then bytewise (the MySQL
+    JSON binary key order) — key order in the Python dict is
+    irrelevant to the wire bytes."""
+    a = kv.encode_datum({"bb": 1, "a": 2, "ab": 3}, "json")
+    b = kv.encode_datum({"ab": 3, "bb": 1, "a": 2}, "json")
+    assert a == b
+    got, _, _ = kv.decode_datum(a, 0)
+    assert got == {"a": 2, "ab": 3, "bb": 1}
+
+
+def test_json_corrupt_container_rejected():
+    good = kv.encode_datum({"a": 1}, "json")
+    bad = bytearray(good)
+    bad[6] ^= 0x01        # corrupt the size field
+    with pytest.raises(ValueError, match="corrupt json container"):
+        kv.decode_datum(bytes(bad), 0)
     with pytest.raises(ValueError, match="unknown json type code"):
         kv.decode_datum(bytes([kv.JSON_FLAG, 0x7f]), 0)

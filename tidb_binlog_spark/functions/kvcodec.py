@@ -31,9 +31,9 @@ flag  name            payload
 7     duration        comparable int64 nanoseconds
 8     varint          Go binary.PutVarint (zigzag LEB128)
 9     uvarint         LEB128
-10    json            type-code byte + payload (scalar subset; the
-                      object/array offset-table layout is rejected
-                      loudly, never silently stubbed)
+10    json            type-code byte + payload; objects/arrays use
+                      the MySQL offset-table layout with
+                      length-then-bytes key ordering
 ====  ==============  ===========================================
 
 Record keys ``t{tableID}_r{handle}`` encode/decode too, with a
@@ -65,14 +65,14 @@ VARINT_FLAG = 8
 UVARINT_FLAG = 9
 JSON_FLAG = 10
 
-# TiDB binary JSON type codes (types/json_binary.go); the scalar
-# subset is supported, containers are rejected loudly
+# TiDB binary JSON type codes (types/json_binary.go)
+_JSON_OBJECT = 0x01
+_JSON_ARRAY = 0x03
 _JSON_LITERAL = 0x04
 _JSON_INT64 = 0x09
 _JSON_UINT64 = 0x0A
 _JSON_FLOAT64 = 0x0B
 _JSON_STRING = 0x0C
-_JSON_CONTAINERS = (0x01, 0x03)     # object, array
 
 _SIGN_MASK = 0x8000000000000000
 _U64 = 1 << 64
@@ -340,37 +340,130 @@ def decode_datum(buf: bytes, pos: int):
     raise ValueError(f"unsupported datum flag {flag} at {pos - 1}")
 
 
-def encode_json_scalar(value) -> bytes:
-    """TiDB binary JSON, scalar subset: type-code byte + payload
-    (json_binary.go). Containers (object/array) need the full
-    offset-table layout and are rejected loudly — NotImplementedError,
-    never a silent stand-in."""
-    if isinstance(value, (dict, list, tuple)):
-        raise NotImplementedError(
-            "JSON object/array binary layout not implemented; "
-            "scalar JSON values only")
+def _json_code_and_payload(value) -> tuple[int, bytes]:
+    """-> (type_code, payload bytes WITHOUT the code byte)."""
+    if isinstance(value, dict):
+        return _JSON_OBJECT, _encode_json_container(value)
+    if isinstance(value, (list, tuple)):
+        return _JSON_ARRAY, _encode_json_container(value)
     if value is None:
-        return bytes([_JSON_LITERAL, 0x00])
+        return _JSON_LITERAL, b"\x00"
     if isinstance(value, bool):
-        return bytes([_JSON_LITERAL, 0x01 if value else 0x02])
+        return _JSON_LITERAL, b"\x01" if value else b"\x02"
     if isinstance(value, int):
         if value >= 1 << 63:
-            return bytes([_JSON_UINT64]) + struct.pack("<Q", value)
-        return bytes([_JSON_INT64]) + struct.pack("<q", value)
+            return _JSON_UINT64, struct.pack("<Q", value)
+        return _JSON_INT64, struct.pack("<q", value)
     if isinstance(value, float):
-        return bytes([_JSON_FLOAT64]) + struct.pack("<d", value)
+        return _JSON_FLOAT64, struct.pack("<d", value)
     if isinstance(value, str):
         raw = value.encode("utf-8")
-        return bytes([_JSON_STRING]) + _encode_uvarint(len(raw)) + raw
+        return _JSON_STRING, _encode_uvarint(len(raw)) + raw
     raise ValueError(f"unsupported json scalar {type(value).__name__}")
+
+
+def _encode_json_container(value) -> bytes:
+    """Object/array offset-table layout (json_binary.go, the MySQL
+    JSON binary large format): elemCount u32 | totalSize u32 |
+    [keyEntry: keyOff u32 + keyLen u16]* | [valueEntry: code byte +
+    u32 offset-or-inlined-literal]* | key bytes | non-inlined values.
+    Offsets are relative to the container payload start; object keys
+    sort MySQL-style (length first, then bytes)."""
+    is_obj = isinstance(value, dict)
+    if is_obj:
+        keys = sorted((k.encode("utf-8") for k in value),
+                      key=lambda b: (len(b), b))
+        elems = [value[k.decode("utf-8")] for k in keys]
+    else:
+        keys = []
+        elems = list(value)
+    n = len(elems)
+    header = 8 + (6 * n if is_obj else 0) + 5 * n
+    key_blob = b"".join(keys)
+    tail = bytearray()
+    entries = []
+    for elem in elems:
+        code, payload = _json_code_and_payload(elem)
+        if code == _JSON_LITERAL:
+            entries.append((code, payload[0], None))   # inlined in u32
+        else:
+            entries.append((code, None, payload))
+    out = bytearray(struct.pack("<II", n, 0))          # size patched below
+    off = header
+    for kb in keys:
+        out += struct.pack("<IH", off, len(kb))
+        off += len(kb)
+    val_off = header + len(key_blob)
+    for code, inlined, payload in entries:
+        if payload is None:
+            out += bytes([code]) + struct.pack("<I", inlined)
+        else:
+            out += bytes([code]) + struct.pack("<I", val_off + len(tail))
+            tail += payload
+    out += key_blob + tail
+    struct.pack_into("<I", out, 4, len(out))
+    return bytes(out)
+
+
+def _decode_json_container(payload: bytes, is_obj: bool):
+    n, size = struct.unpack_from("<II", payload, 0)
+    if size != len(payload):
+        raise ValueError(
+            f"corrupt json container: size {size} != {len(payload)}")
+    pos = 8
+    keys = []
+    if is_obj:
+        for _ in range(n):
+            koff, klen = struct.unpack_from("<IH", payload, pos)
+            keys.append(payload[koff:koff + klen].decode("utf-8"))
+            pos += 6
+    vals = []
+    for _ in range(n):
+        code = payload[pos]
+        (u32,) = struct.unpack_from("<I", payload, pos + 1)
+        pos += 5
+        if code == _JSON_LITERAL:
+            vals.append({0x00: None, 0x01: True, 0x02: False}[u32 & 0xFF])
+        else:
+            vals.append(_decode_json_at(payload, code, u32))
+    return dict(zip(keys, vals)) if is_obj else vals
+
+
+def _decode_json_at(payload: bytes, code: int, off: int):
+    if code == _JSON_OBJECT:
+        _, size = struct.unpack_from("<II", payload, off)
+        return _decode_json_container(payload[off:off + size], True)
+    if code == _JSON_ARRAY:
+        _, size = struct.unpack_from("<II", payload, off)
+        return _decode_json_container(payload[off:off + size], False)
+    if code == _JSON_INT64:
+        return struct.unpack_from("<q", payload, off)[0]
+    if code == _JSON_UINT64:
+        return struct.unpack_from("<Q", payload, off)[0]
+    if code == _JSON_FLOAT64:
+        return struct.unpack_from("<d", payload, off)[0]
+    if code == _JSON_STRING:
+        nlen, p = _decode_uvarint(payload, off)
+        return payload[p:p + nlen].decode("utf-8")
+    raise ValueError(f"unknown json type code {code:#x}")
+
+
+def encode_json_scalar(value) -> bytes:
+    """TiDB binary JSON (json_binary.go): type-code byte + payload.
+    Scalars AND containers (the offset-table layout) are supported;
+    the name is historical — kept for API stability."""
+    code, payload = _json_code_and_payload(value)
+    return bytes([code]) + payload
 
 
 def decode_json_scalar(buf: bytes, pos: int):
     code = buf[pos]
     pos += 1
-    if code in _JSON_CONTAINERS:
-        raise ValueError(
-            "json container (object/array) decode not supported")
+    if code in (_JSON_OBJECT, _JSON_ARRAY):
+        _, size = struct.unpack_from("<II", buf, pos)
+        v = _decode_json_container(buf[pos:pos + size],
+                                   code == _JSON_OBJECT)
+        return v, pos + size
     if code == _JSON_LITERAL:
         lit = buf[pos]
         return {0x00: None, 0x01: True, 0x02: False}[lit], pos + 1
