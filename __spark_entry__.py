@@ -458,12 +458,15 @@ def _kv_src(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cdc_kv_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TiDB KV insert-row decode over REAL pump-format bytes: the
-    change stream is encoded into `[handle][colID, datum]...` row
-    values (tidb util/codec wire format), then decoded back against
-    the column info — pk-is-handle back-fill, NULL datums, missing-col
-    default back-fill, unsigned fixType (translator.go:40-123). The
-    oracle states the expected decode output directly from the stream;
-    equality proves encode∘decode == the declared row semantics."""
+    change stream is encoded into `[handle][row body]` values — every
+    third row in ROW FORMAT V2 (rowcodec, version byte 128; TiDB >=
+    4.0's default), the rest in the old `[colID, datum]...` pairs —
+    then decoded back against the column info with per-row format
+    dispatch (tablecodec.DecodeRowToDatumMap semantics): pk-is-handle
+    back-fill, NULL datums, missing-col default back-fill, unsigned
+    fixType (translator.go:40-123). The oracle states the expected
+    decode output directly from the stream; equality proves
+    encode∘decode == the declared row semantics for BOTH formats."""
     raw = kvcodec.encode_insert_stream(_kv_src(spark, sf_dir), KV_INFO)
     out = kvcodec.decode_insert_stream(raw, KV_INFO)
     # DECIMAL(20,0) -> STRING for the compare surface only: DuckDB's

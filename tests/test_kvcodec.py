@@ -587,3 +587,173 @@ def test_json_corrupt_container_rejected():
         kv.decode_datum(bytes(bad), 0)
     with pytest.raises(ValueError, match="unknown json type code"):
         kv.decode_datum(bytes([kv.JSON_FLAG, 0x7f]), 0)
+
+
+# -- row format v2 (rowcodec) ------------------------------------------------
+
+INFO_DEC = kv.KVTableInfo(
+    columns=(
+        kv.ColInfo(1, "pk", "long"),
+        kv.ColInfo(2, "val", "double"),
+        kv.ColInfo(3, "k", "string", default="dk"),
+        kv.ColInfo(4, "u", "ulong"),
+        kv.ColInfo(5, "d10", "decimal"),
+        kv.ColInfo(6, "dur", "duration"),
+        kv.ColInfo(7, "j", "json"),
+        kv.ColInfo(8, "b", "bytes"),
+    ),
+    pk_handle_id=1,
+)
+
+
+def test_v2_header_layout():
+    """Wire pins for the rowcodec layout: version byte 128, flags,
+    LE u16 counts, ascending ids, END offsets."""
+    row = kv.encode_row_v2(INFO_DEC, {3: "ab", 2: 1.0, 4: None})
+    assert row[0] == 128 and row[1] == 0          # small
+    assert row[2:6] == b"\x02\x00\x01\x00"        # 2 not-null, 1 null
+    assert list(row[6:8]) == [2, 3]               # not-null ids ascending
+    assert row[8] == 4                            # null id
+    # offsets: val (8 bytes float) ends at 8, "ab" ends at 10
+    assert row[9:13] == b"\x08\x00\x0a\x00"
+    assert row[13:21] == b"\xbf\xf0\x00\x00\x00\x00\x00\x00"  # 1.0 ordered
+    assert row[21:23] == b"ab"
+
+
+def test_v2_int_width_selection():
+    """encodeInt picks the smallest of 1/2/4/8 LE bytes."""
+    for v, width in ((0, 1), (127, 1), (-128, 1), (128, 2), (-129, 2),
+                     (32767, 2), (32768, 4), (-2**31, 4), (2**31, 8),
+                     (-2**63, 8), (2**63 - 1, 8)):
+        raw = kv._encode_int_v2(v)
+        assert len(raw) == width, (v, width, len(raw))
+        assert kv._decode_int_v2(raw) == v
+    for v, width in ((255, 1), (256, 2), (65536, 4), (2**32, 8),
+                     (2**64 - 1, 8)):
+        raw = kv._encode_uint_v2(v)
+        assert len(raw) == width
+        assert kv._decode_uint_v2(raw) == v
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+       st.floats(allow_nan=False, allow_infinity=False),
+       st.text(max_size=60))
+def test_v2_roundtrip_property(i, f, s):
+    vals = {1: i, 2: f, 3: s, 4: abs(i),
+            5: Decimal(i % 10**6).scaleb(-2),
+            6: i % 86_400_000_000_000,
+            7: {"a": [i, s, None]}, 8: s.encode("utf-8")}
+    assert kv.decode_row_v2(INFO_DEC, kv.encode_row_v2(INFO_DEC, vals)) \
+        == vals
+
+
+def test_v2_null_vs_omitted():
+    """Explicit NULL rides the null-ID section; an omitted column is
+    absent entirely (decode_insert_row then default-back-fills it)."""
+    row = kv.encode_row_v2(INFO_DEC, {2: None})
+    assert kv.decode_row_v2(INFO_DEC, row) == {2: None}
+    full = kv.encode_insert_row(INFO_DEC, 9, {2: None}, row_format=2)
+    datums = kv.decode_insert_row(INFO_DEC, full)
+    assert datums[2] is None          # explicit NULL survives
+    assert datums[3] == "dk"          # omitted -> declared default
+    assert datums[1] == 9             # pk-is-handle back-fill
+
+
+def test_v2_large_flag():
+    """colID > 255 or data > 64KiB flips the wide (u32) layout."""
+    wide_info = kv.KVTableInfo(
+        columns=(kv.ColInfo(1, "pk", "long"),
+                 kv.ColInfo(300, "wide", "string")), pk_handle_id=1)
+    row = kv.encode_row_v2(wide_info, {300: "x"})
+    assert row[1] & 1
+    assert kv.decode_row_v2(wide_info, row) == {300: "x"}
+    big = kv.encode_row_v2(INFO_DEC, {3: "y" * 70_000})
+    assert big[1] & 1
+    assert kv.decode_row_v2(INFO_DEC, big)[3] == "y" * 70_000
+    forced = kv.encode_row_v2(INFO_DEC, {3: "z"}, force_large=True)
+    assert kv.decode_row_v2(INFO_DEC, forced) == {3: "z"}
+
+
+def test_v2_unknown_column_skipped():
+    """Ids missing from the schema are skipped like the reference's
+    cols-map filter — held slots must not shift later offsets."""
+    donor = kv.KVTableInfo(
+        columns=INFO_DEC.columns + (kv.ColInfo(99, "ghost", "string"),),
+        pk_handle_id=1)
+    row = kv.encode_row_v2(donor, {2: 2.5, 99: "gone", 3: "keep"})
+    assert kv.decode_row_v2(INFO_DEC, row) == {2: 2.5, 3: "keep"}
+
+
+def test_v2_corrupt_rejected():
+    row = bytearray(kv.encode_row_v2(INFO_DEC, {3: "ab"}))
+    with pytest.raises(ValueError, match="not a v2 row"):
+        kv.decode_row_v2(INFO_DEC, bytes([1]) + bytes(row[1:]))
+    row[-3] += 1   # last END offset no longer == len(data)
+    with pytest.raises(ValueError, match="corrupt v2 row"):
+        kv.decode_row_v2(INFO_DEC, bytes(row))
+
+
+def test_format_dispatch_mixed_stream():
+    """decode_row_to_datum_map dispatches per row on the version byte
+    (tablecodec.DecodeRowToDatumMap via rowcodec.IsNewFormat) — the
+    exact same logical row decodes identically from either format."""
+    vals = {2: 3.25, 3: "k1", 4: 2**64 - 5}
+    old = kv.encode_insert_row(INFO_DEC, 7, vals, row_format=1)
+    new = kv.encode_insert_row(INFO_DEC, 7, vals, row_format=2)
+    assert old[1:2] != b"\x80" and kv.is_new_format(new[
+        len(kv.encode_datum(7, 'long')):])
+    assert kv.decode_insert_row(INFO_DEC, old) \
+        == kv.decode_insert_row(INFO_DEC, new)
+
+
+def test_common_handle_prefix_decode():
+    """Clustered-index tables: one datum per PK column prefixes the
+    row (translator.go:46-77); row-body columns win over the prefix
+    (sort-key pks), absent ones back-fill from it."""
+    info = kv.KVTableInfo(
+        columns=(kv.ColInfo(1, "region", "string"),
+                 kv.ColInfo(2, "id", "long"),
+                 kv.ColInfo(3, "val", "double")),
+        common_pk_ids=(1, 2))
+    for fmt in (1, 2):
+        row = kv.encode_insert_row_common(
+            info, ("eu", 42), {3: 1.5}, row_format=fmt)
+        assert kv.decode_insert_row(info, row) \
+            == {1: "eu", 2: 42, 3: 1.5}, fmt
+    # row body carries the full-collation value: it wins
+    row = kv.encode_insert_row_common(
+        info, ("EU-SORTKEY", 42), {1: "eu", 3: 2.5}, row_format=2)
+    assert kv.decode_insert_row(info, row)[1] == "eu"
+
+
+def test_delete_row_full_old_image():
+    """deleteRowToRow: full old row, NO handle prefix, either format,
+    default back-fill for predating columns."""
+    vals = {1: 5, 2: 1.25, 4: 2**63 + 3}
+    for fmt in (1, 2):
+        raw = kv._encode_row_body(INFO_DEC, vals, fmt)
+        datums = kv.decode_delete_row(INFO_DEC, raw)
+        assert datums[1] == 5 and datums[2] == 1.25
+        assert datums[4] == 2**63 + 3
+        assert datums[3] == "dk"      # default back-fill
+        assert datums[7] is None      # nullable, no default
+
+
+def test_delete_stream_spark(spark):
+    import pandas as pd
+
+    def enc(batches):
+        for pdf in batches:
+            rows = [(int(s), kv._encode_row_body(
+                        INFO_DEC, {1: int(s), 2: float(s) / 2}, 
+                        2 if s % 2 == 0 else 1))
+                    for s in pdf["arrival_seq"]]
+            yield pd.DataFrame(rows, columns=["arrival_seq", "row_bytes"])
+
+    src = spark.range(0, 40).selectExpr("id AS arrival_seq")
+    raw = src.mapInPandas(enc, "arrival_seq long, row_bytes binary")
+    out = kv.decode_delete_stream(raw, INFO_DEC).orderBy("arrival_seq")
+    rows = out.collect()
+    assert len(rows) == 40
+    assert rows[7].pk == 7 and rows[7].val == 3.5 and rows[7].k == "dk"

@@ -480,6 +480,210 @@ def decode_json_scalar(buf: bytes, pos: int):
 
 
 # ---------------------------------------------------------------------------
+# row format v2 (TiDB util/rowcodec): version byte 128, schema-
+# dependent values. tablecodec.DecodeRowToDatumMap dispatches on the
+# first byte (IsNewFormat), which is why the reference — via
+# drainer/translator/translator.go:80 and kafka.go:175-177 — decodes
+# BOTH formats; TiDB >= 4.0 writes v2 by default.
+#
+# Layout (little-endian throughout, unlike the big-endian old codec):
+#   byte 0   CodecVer = 128
+#   byte 1   flags (bit 0 = "large": some colID > 255 or data > 64KiB)
+#   u16      numNotNullCols
+#   u16      numNullCols
+#   colIDs   ascending, not-null section then null section
+#            (u8 each when small, u32 each when large)
+#   offsets  one per NOT-NULL column: END offset of its value bytes
+#            (u16 small / u32 large)
+#   data     concatenated value bytes
+#
+# Values are NOT flag-prefixed — the column's FieldType drives the
+# interpretation: ints/durations as 1/2/4/8-byte LE (smallest that
+# fits), uints likewise, floats as the order-preserving 8-byte form,
+# strings/bytes raw, decimals as the same precision+frac+bin blob the
+# old codec uses, JSON as typecode+payload. NULL columns carry no
+# value at all (they live in the null-ID section).
+# ---------------------------------------------------------------------------
+
+CODEC_VER_V2 = 128
+
+
+def is_new_format(row: bytes) -> bool:
+    """rowcodec.IsNewFormat: old-format rows start with a datum flag
+    (<= 10) or are empty; v2 rows start with the version byte 128."""
+    return len(row) > 0 and row[0] == CODEC_VER_V2
+
+
+def _encode_int_v2(v: int) -> bytes:
+    if -0x80 <= v <= 0x7F:
+        return struct.pack("<b", v)
+    if -0x8000 <= v <= 0x7FFF:
+        return struct.pack("<h", v)
+    if -0x80000000 <= v <= 0x7FFFFFFF:
+        return struct.pack("<i", v)
+    return struct.pack("<q", v)
+
+
+def _decode_int_v2(raw: bytes) -> int:
+    fmt = {1: "<b", 2: "<h", 4: "<i", 8: "<q"}.get(len(raw))
+    if fmt is None:
+        raise ValueError(f"invalid v2 int width {len(raw)}")
+    return struct.unpack(fmt, raw)[0]
+
+
+def _encode_uint_v2(v: int) -> bytes:
+    if v <= 0xFF:
+        return struct.pack("<B", v)
+    if v <= 0xFFFF:
+        return struct.pack("<H", v)
+    if v <= 0xFFFFFFFF:
+        return struct.pack("<I", v)
+    return struct.pack("<Q", v)
+
+
+def _decode_uint_v2(raw: bytes) -> int:
+    fmt = {1: "<B", 2: "<H", 4: "<I", 8: "<Q"}.get(len(raw))
+    if fmt is None:
+        raise ValueError(f"invalid v2 uint width {len(raw)}")
+    return struct.unpack(fmt, raw)[0]
+
+
+def _encode_value_v2(value, kind: str) -> bytes:
+    if kind == "long":
+        return _encode_int_v2(int(value))
+    if kind == "ulong":
+        return _encode_uint_v2(int(value) % _U64)
+    if kind == "double":
+        u = struct.unpack(">Q", struct.pack(">d", float(value)))[0]
+        u = (~u) & (_U64 - 1) if u & _SIGN_MASK else u | _SIGN_MASK
+        return struct.pack(">Q", u)
+    if kind in ("string", "bytes"):
+        return value.encode("utf-8") if isinstance(value, str) else bytes(value)
+    if kind == "decimal":
+        return encode_mysql_decimal(value)
+    if kind == "duration":
+        if hasattr(value, "total_seconds"):
+            ns = ((value.days * 86400 + value.seconds) * 10**9
+                  + value.microseconds * 1000)
+        else:
+            ns = int(value)
+        return _encode_int_v2(ns)
+    if kind == "json":
+        return encode_json_scalar(value)
+    raise ValueError(f"unsupported v2 kind {kind!r}")
+
+
+def _decode_value_v2(raw: bytes, kind: str):
+    if kind == "long":
+        return _decode_int_v2(raw)
+    if kind == "ulong":
+        return _decode_uint_v2(raw)
+    if kind == "double":
+        (u,) = struct.unpack(">Q", raw)
+        u = u & ~_SIGN_MASK if u & _SIGN_MASK else (~u) & (_U64 - 1)
+        return struct.unpack(">d", struct.pack(">Q", u))[0]
+    if kind == "string":
+        return raw.decode("utf-8")
+    if kind == "bytes":
+        return bytes(raw)
+    if kind == "decimal":
+        d, pos = decode_mysql_decimal(raw, 0)
+        if pos != len(raw):
+            raise ValueError("trailing bytes after v2 decimal")
+        return d
+    if kind == "duration":
+        return _decode_int_v2(raw)
+    if kind == "json":
+        v, pos = decode_json_scalar(raw, 0)
+        if pos != len(raw):
+            raise ValueError("trailing bytes after v2 json")
+        return v
+    raise ValueError(f"unsupported v2 kind {kind!r}")
+
+
+def encode_row_v2(info, values: dict[int, object],
+                  force_large: bool = False) -> bytes:
+    """rowcodec Encoder.Encode: ``values`` maps col_id -> value
+    (None = explicit NULL, which lands in the null-ID section);
+    omitted ids are simply absent (schema-grew back-fill territory).
+    ``large`` is chosen exactly like the writer: any col id > 255 or
+    total value bytes > 0xFFFF."""
+    not_null = sorted(cid for cid, v in values.items() if v is not None)
+    nulls = sorted(cid for cid, v in values.items() if v is None)
+    blobs = []
+    for cid in not_null:
+        c = info.col(cid)
+        blobs.append(_encode_value_v2(values[cid], c.kind if c else "long"))
+    total = sum(len(b) for b in blobs)
+    large = (force_large or total > 0xFFFF
+             or any(cid > 0xFF for cid in values))
+    id_fmt, off_fmt = ("<I", "<I") if large else ("<B", "<H")
+    out = bytearray([CODEC_VER_V2, 1 if large else 0])
+    out += struct.pack("<HH", len(not_null), len(nulls))
+    for cid in not_null + nulls:
+        out += struct.pack(id_fmt, cid)
+    off = 0
+    for b in blobs:
+        off += len(b)
+        out += struct.pack(off_fmt, off)
+    for b in blobs:
+        out += b
+    return bytes(out)
+
+
+def decode_row_v2(info, row: bytes) -> dict[int, object]:
+    """rowcodec row.fromBytes + per-column decode. Unknown column ids
+    (not in ``info``) are skipped, like the reference's cols-map
+    filter. NULL columns decode to None."""
+    if row[0] != CODEC_VER_V2:
+        raise ValueError(f"not a v2 row (version byte {row[0]})")
+    large = bool(row[1] & 1)
+    n_notnull, n_null = struct.unpack_from("<HH", row, 2)
+    pos = 6
+    id_w, id_fmt = (4, "<I") if large else (1, "<B")
+    off_w, off_fmt = (4, "<I") if large else (2, "<H")
+    notnull_ids = [struct.unpack_from(id_fmt, row, pos + i * id_w)[0]
+                   for i in range(n_notnull)]
+    pos += n_notnull * id_w
+    null_ids = [struct.unpack_from(id_fmt, row, pos + i * id_w)[0]
+                for i in range(n_null)]
+    pos += n_null * id_w
+    ends = [struct.unpack_from(off_fmt, row, pos + i * off_w)[0]
+            for i in range(n_notnull)]
+    pos += n_notnull * off_w
+    data = row[pos:]
+    if ends and ends[-1] != len(data):
+        raise ValueError(
+            f"corrupt v2 row: last offset {ends[-1]} != data {len(data)}")
+    datums: dict[int, object] = {}
+    start = 0
+    for cid, end in zip(notnull_ids, ends):
+        c = info.col(cid)
+        if c is not None:
+            datums[cid] = _decode_value_v2(data[start:end], c.kind)
+        start = end
+    for cid in null_ids:
+        if info.col(cid) is not None:
+            datums[cid] = None
+    return datums
+
+
+def decode_row_to_datum_map(info, row: bytes) -> dict[int, object]:
+    """tablecodec.DecodeRowToDatumMap: dispatch old/new format on the
+    first byte — the exact branch the reference decode rides."""
+    if is_new_format(row):
+        return decode_row_v2(info, row)
+    datums: dict[int, object] = {}
+    pos = 0
+    while pos < len(row):
+        col_id, _, pos = decode_datum(row, pos)
+        value, _, pos = decode_datum(row, pos)
+        if info.col(col_id) is not None:
+            datums[col_id] = value
+    return datums
+
+
+# ---------------------------------------------------------------------------
 # table schema (the slice of model.TableInfo the decoder consumes)
 # ---------------------------------------------------------------------------
 
@@ -497,9 +701,17 @@ class KVTableInfo:
     """pk_handle_id: the column whose value IS the row handle
     (table.PKIsHandle) — its datum is the row prefix, not a
     [colID, value] pair. Unsigned handles re-interpret the signed
-    int64 (fixType, translator.go:117-121)."""
+    int64 (fixType, translator.go:117-121).
+
+    common_pk_ids: clustered-index ("common handle") tables instead
+    prefix the row with ONE DATUM PER PK COLUMN, in index-column
+    order (translator.go:46-77: pkLen = len(commonPKInfo.Columns),
+    back-filled into the datum map only when the row body doesn't
+    already carry the column). Mutually exclusive with
+    pk_handle_id."""
     columns: tuple[ColInfo, ...]
     pk_handle_id: int | None = None
+    common_pk_ids: tuple[int, ...] = ()
     _by_id: dict = field(default=None, compare=False, repr=False)
 
     def __post_init__(self):
@@ -530,15 +742,42 @@ class KVTableInfo:
 # ---------------------------------------------------------------------------
 
 def encode_insert_row(info: KVTableInfo, handle: int,
-                      values: dict[int, object]) -> bytes:
-    """``[handle][colID, value]...`` — the pk-is-handle insert layout
+                      values: dict[int, object],
+                      row_format: int = 1) -> bytes:
+    """``[handle][row body]`` — the pk-is-handle insert layout
     insertRowToDatums consumes. ``values`` maps col_id -> value for
-    NON-handle columns; omit a col_id to exercise default back-fill."""
+    NON-handle columns; omit a col_id to exercise default back-fill.
+    ``row_format=1`` writes the old flat [colID, value] datum pairs;
+    ``row_format=2`` writes the rowcodec v2 body (TiDB >= 4.0's
+    default) — the decoder dispatches per row, so mixed streams (a
+    cluster mid-upgrade) decode correctly."""
     out = bytearray(encode_datum(handle, "long"))
+    out += _encode_row_body(info, values, row_format)
+    return bytes(out)
+
+
+def _encode_row_body(info: KVTableInfo, values: dict[int, object],
+                     row_format: int) -> bytes:
+    if row_format == 2:
+        return encode_row_v2(info, values)
+    out = bytearray()
     for col_id, value in values.items():
         c = info.col(col_id)
         out += encode_datum(col_id, "long")
         out += encode_datum(value, c.kind if c else "long")
+    return bytes(out)
+
+
+def encode_insert_row_common(info: KVTableInfo, pk_values: tuple,
+                             values: dict[int, object],
+                             row_format: int = 1) -> bytes:
+    """Clustered-index insert layout: one datum per PK column (in
+    common_pk_ids order), then the row body."""
+    out = bytearray()
+    for cid, v in zip(info.common_pk_ids, pk_values):
+        c = info.col(cid)
+        out += encode_datum(v, c.kind if c else "long")
+    out += _encode_row_body(info, values, row_format)
     return bytes(out)
 
 
@@ -558,21 +797,42 @@ def encode_update_row(info: KVTableInfo, old: dict[int, object],
 
 
 def decode_insert_row(info: KVTableInfo, row: bytes) -> dict[int, object]:
-    """insertRowToDatums for int-handle tables: pk datum prefix, then
-    [colID, value] pairs, then pk-is-handle + default back-fill."""
-    handle, _, pos = decode_datum(row, 0)
-    datums: dict[int, object] = {}
-    while pos < len(row):
-        col_id, _, pos = decode_datum(row, pos)
-        value, flag, pos = decode_datum(row, pos)
-        c = info.col(col_id)
-        if c is not None:
-            datums[col_id] = value
+    """insertRowToDatums: pk datum prefix (one datum for int-handle
+    tables, len(common_pk_ids) datums for clustered-index tables),
+    then the row body in EITHER format via decode_row_to_datum_map,
+    then pk back-fill + default back-fill."""
+    pk: list = []
+    pos = 0
+    for _ in range(max(1, len(info.common_pk_ids))):
+        v, _, pos = decode_datum(row, pos)
+        pk.append(v)
+    datums = decode_row_to_datum_map(info, row[pos:])
+    if info.common_pk_ids:
+        # translator.go:90-103: the row body wins over the pk prefix
+        # (new-collation sort-key pks carry only the sort form)
+        for cid, v in zip(info.common_pk_ids, pk):
+            if cid not in datums:
+                c = info.col(cid)
+                if c is not None and c.kind == "ulong" and v is not None:
+                    v = v % _U64
+                datums[cid] = v
     for c in info.columns:
         if c.col_id == info.pk_handle_id:
             # fixType: unsigned pk stored as its signed reinterpretation
-            datums[c.col_id] = handle % _U64 if c.kind == "ulong" else handle
+            datums[c.col_id] = pk[0] % _U64 if c.kind == "ulong" else pk[0]
         elif c.col_id not in datums:
+            datums[c.col_id] = info.default_or_zero(c)
+    return datums
+
+
+def decode_delete_row(info: KVTableInfo, row: bytes) -> dict[int, object]:
+    """deleteRowToRow (drainer/translator/kafka.go:171-196,
+    mysql.go:88-105): a delete mutation carries the FULL OLD ROW with
+    no handle prefix — straight DecodeRowToDatumMap (either format)
+    plus default back-fill for columns the old row predates."""
+    datums = decode_row_to_datum_map(info, row)
+    for c in info.columns:
+        if c.col_id not in datums:
             datums[c.col_id] = info.default_or_zero(c)
     return datums
 
@@ -620,9 +880,27 @@ def _spark_type(kind: str) -> str:
     # decimal surfaces as its exact STRING rendering: precision/frac
     # ride per-datum in the wire format, so no single Spark decimal
     # type fits every row; duration surfaces as BIGINT nanos
+    # json surfaces as its compact string form (kafka.go:283-284)
     return {"long": "long", "ulong": "decimal(20,0)",
             "double": "double", "string": "string", "bytes": "binary",
-            "decimal": "string", "duration": "long"}[kind]
+            "decimal": "string", "duration": "long",
+            "json": "string"}[kind]
+
+
+def _surface_value(v, kind: str):
+    """Python datum -> Spark surface value (shared by the decode
+    streams): ulong -> Decimal(20,0), decimal/json -> string."""
+    if v is None:
+        return None
+    if kind == "ulong":
+        from decimal import Decimal
+        return Decimal(v)
+    if kind == "decimal":
+        return str(v)
+    if kind == "json":
+        import json as _json
+        return _json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+    return v
 
 
 def decode_insert_stream(raw, info: KVTableInfo,
@@ -638,19 +916,41 @@ def decode_insert_stream(raw, info: KVTableInfo,
                           for c in info.columns])
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from decimal import Decimal
         for pdf in batches:
             cols: dict[str, list] = {k: pdf[k].tolist() for k in key_cols}
             out: dict[str, list] = {n: [] for n in names}
             for raw_row in pdf["row_bytes"]:
                 datums = decode_insert_row(info, bytes(raw_row))
                 for c in info.columns:
-                    v = datums[c.col_id]
-                    if c.kind == "ulong" and v is not None:
-                        v = Decimal(v)
-                    elif c.kind == "decimal" and v is not None:
-                        v = str(v)
-                    out[c.name].append(v)
+                    out[c.name].append(
+                        _surface_value(datums[c.col_id], c.kind))
+            cols.update(out)
+            yield pd.DataFrame(cols)
+
+    return raw.mapInPandas(decode, schema=schema)
+
+
+def decode_delete_stream(raw, info: KVTableInfo,
+                         key_cols: tuple[str, ...] = ("arrival_seq",)):
+    """Delete-row decode over a BINARY ``row_bytes`` column: full old
+    row, no handle prefix (deleteRowToRow). Same Arrow-batched
+    map-only shape as the insert path."""
+    import pandas as pd
+
+    names = [c.name for c in info.columns]
+    schema = ", ".join([f"{k} long" for k in key_cols]
+                       + [f"{c.name} {_spark_type(c.kind)}"
+                          for c in info.columns])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {k: pdf[k].tolist() for k in key_cols}
+            out: dict[str, list] = {n: [] for n in names}
+            for raw_row in pdf["row_bytes"]:
+                datums = decode_delete_row(info, bytes(raw_row))
+                for c in info.columns:
+                    out[c.name].append(
+                        _surface_value(datums[c.col_id], c.kind))
             cols.update(out)
             yield pd.DataFrame(cols)
 
@@ -668,7 +968,6 @@ def decode_update_stream(raw, info: KVTableInfo,
         + [f"new_{c.name} {_spark_type(c.kind)}" for c in info.columns])
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from decimal import Decimal
         for pdf in batches:
             keys: dict[str, list] = {k: [] for k in key_cols}
             out: dict[str, list] = {}
@@ -686,12 +985,8 @@ def decode_update_stream(raw, info: KVTableInfo,
                     keys[k].append(pdf[k].iloc[idx])
                 for c in info.columns:
                     for pfx, img in (("old_", old), ("new_", new)):
-                        v = img[c.col_id]
-                        if c.kind == "ulong" and v is not None:
-                            v = Decimal(v)
-                        elif c.kind == "decimal" and v is not None:
-                            v = str(v)
-                        out[f"{pfx}{c.name}"].append(v)
+                        out[f"{pfx}{c.name}"].append(
+                            _surface_value(img[c.col_id], c.kind))
             keys.update(out)
             yield pd.DataFrame(keys)
 
@@ -754,9 +1049,15 @@ def encode_insert_stream(ch, info: KVTableInfo):
     bytes (handle = pk). Deterministic column omission/NULLs so decode
     exercises back-fill:
 
+    - arrival_seq % 3 == 0: the row body is encoded in ROW FORMAT V2
+      (rowcodec, version byte 128) instead of the old datum pairs —
+      the decoder dispatches per row exactly like
+      tablecodec.DecodeRowToDatumMap, so the mixed stream models a
+      cluster mid-upgrade;
     - arrival_seq % 11 == 0: the string column is OMITTED entirely
       (schema-grew case -> default back-fill);
-    - arrival_seq % 13 == 0: val encoded as NULL (NilFlag);
+    - arrival_seq % 13 == 0: val encoded as NULL (NilFlag old-format,
+      null-ID section in v2);
     - odd pk: the unsigned column (if any) carries a top-bit-set
       value (2^64 - pk) — uvarint + fixType territory;
     - a decimal column (if any) carries pk * 100.01 exactly (2-frac
@@ -788,7 +1089,9 @@ def encode_insert_stream(ch, info: KVTableInfo):
                     values[dec_col.col_id] = _D(pk * 10001).scaleb(-2)
                 if dur_col is not None:
                     values[dur_col.col_id] = (seq % 86400) * 1_000_000_000
-                rows.append((seq, encode_insert_row(info, pk, values)))
+                fmt = 2 if seq % 3 == 0 else 1
+                rows.append((seq, encode_insert_row(info, pk, values,
+                                                    row_format=fmt)))
             yield pd.DataFrame(rows, columns=["arrival_seq", "row_bytes"])
 
     return ch.mapInPandas(encode, schema="arrival_seq long, row_bytes binary")
