@@ -19,6 +19,12 @@ surface — pumps/drainers/pause-*/offline-*/update-*):
   update-pump <registry.json> <node_id> <state>     force a state
   update-drainer <registry.json> <node_id> <state>
 
+Config-password utility (binlogctl/encrypt.go + pkg/encrypt):
+
+  encrypt <plaintext>     print base64(iv @ AES-CFB ciphertext)
+  decrypt <ciphertext>    inverse (reads $BINLOG_SECRET_KEY like the
+                          reference; falls back to its default key)
+
 Usage: python tools/ctl.py status /root/testdata/sf0.001
 """
 
@@ -36,6 +42,18 @@ def main() -> int:
         print(__doc__)
         return 2
     cmd, target = sys.argv[1], sys.argv[2]
+
+    if cmd == "encrypt":
+        # binlogctl EncryptHandler (binlogctl/encrypt.go:10-18): print
+        # the base64 iv@cfb ciphertext for a config password.
+        from tidb_binlog_spark.encrypt import encrypt as _encrypt
+        print(_encrypt(target))
+        return 0
+
+    if cmd == "decrypt":
+        from tidb_binlog_spark.encrypt import decrypt as _decrypt
+        print(_decrypt(target))
+        return 0
 
     if cmd in ("pumps", "drainers"):
         from tidb_binlog_spark.registry import NodeRegistry
