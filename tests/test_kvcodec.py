@@ -757,3 +757,36 @@ def test_delete_stream_spark(spark):
     rows = out.collect()
     assert len(rows) == 40
     assert rows[7].pk == 7 and rows[7].val == 3.5 and rows[7].k == "dk"
+
+
+def test_v2_hardening():
+    """Review hardening: truncated rows and non-monotonic offsets are
+    loud ValueErrors, not silent misdecodes; pk-shape misuse fails at
+    construction/encode time."""
+    # truncated header / truncated id-offset section
+    with pytest.raises(ValueError, match="corrupt v2 row"):
+        kv.decode_row_v2(INFO_DEC, b"\x80")
+    with pytest.raises(ValueError, match="corrupt v2 row"):
+        kv.decode_row_v2(INFO_DEC, b"\x80\x00\x05\x00\x00\x00")
+    # non-monotonic END offsets
+    good = bytearray(kv.encode_row_v2(INFO_DEC, {3: "ab", 2: 1.0}))
+    # two not-null cols -> offsets at bytes 8..12; swap them
+    good[8:10], good[10:12] = good[10:12], good[8:10]
+    with pytest.raises(ValueError, match="corrupt v2 row"):
+        kv.decode_row_v2(INFO_DEC, bytes(good))
+    # all-NULL row with trailing garbage
+    nulls = kv.encode_row_v2(INFO_DEC, {2: None, 3: None})
+    with pytest.raises(ValueError, match="corrupt v2 row"):
+        kv.decode_row_v2(INFO_DEC, nulls + b"junk")
+    assert kv.decode_row_v2(INFO_DEC, nulls) == {2: None, 3: None}
+    # handle-shape misuse
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        kv.KVTableInfo(columns=INFO_DEC.columns[:2],
+                       pk_handle_id=1, common_pk_ids=(1, 2))
+    info = kv.KVTableInfo(
+        columns=(kv.ColInfo(1, "a", "string"),
+                 kv.ColInfo(2, "b", "long"),
+                 kv.ColInfo(3, "v", "double")),
+        common_pk_ids=(1, 2))
+    with pytest.raises(ValueError):
+        kv.encode_insert_row_common(info, ("only-one",), {3: 1.0})

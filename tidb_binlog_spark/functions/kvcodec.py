@@ -49,8 +49,10 @@ shuffle the downstream operator needs anyway.
 
 from __future__ import annotations
 
+import json as _json
 import struct
 from dataclasses import dataclass, field
+from decimal import Decimal as _Decimal
 from typing import Iterator
 
 NIL_FLAG = 0
@@ -76,6 +78,28 @@ _JSON_STRING = 0x0C
 
 _SIGN_MASK = 0x8000000000000000
 _U64 = 1 << 64
+
+
+def _float_to_ordered_u64(value: float) -> int:
+    """codec.EncodeFloat's order-preserving transform: positive floats
+    get the sign bit set, negatives are fully inverted — u64 order ==
+    float order."""
+    u = struct.unpack(">Q", struct.pack(">d", float(value)))[0]
+    return (~u) & (_U64 - 1) if u & _SIGN_MASK else u | _SIGN_MASK
+
+
+def _ordered_u64_to_float(u: int) -> float:
+    u = u & ~_SIGN_MASK if u & _SIGN_MASK else (~u) & (_U64 - 1)
+    return struct.unpack(">d", struct.pack(">Q", u))[0]
+
+
+def _duration_ns(value) -> int:
+    """timedelta/int -> exact integer nanoseconds (total_seconds() is
+    a float and drops nanos past ~12 days)."""
+    if hasattr(value, "total_seconds"):
+        return ((value.days * 86400 + value.seconds) * 10**9
+                + value.microseconds * 1000)
+    return int(value)
 
 
 # ---------------------------------------------------------------------------
@@ -268,9 +292,8 @@ def encode_datum(value, kind: str) -> bytes:
     if kind == "ulong":
         return bytes([UVARINT_FLAG]) + _encode_uvarint(int(value) % _U64)
     if kind == "double":
-        u = struct.unpack(">Q", struct.pack(">d", float(value)))[0]
-        u = (~u) & (_U64 - 1) if u & _SIGN_MASK else u | _SIGN_MASK
-        return bytes([FLOAT_FLAG]) + struct.pack(">Q", u)
+        return bytes([FLOAT_FLAG]) + struct.pack(
+            ">Q", _float_to_ordered_u64(value))
     if kind == "string":
         raw = value.encode("utf-8") if isinstance(value, str) else bytes(value)
         return (bytes([COMPACT_BYTES_FLAG])
@@ -284,15 +307,8 @@ def encode_datum(value, kind: str) -> bytes:
         return bytes([DECIMAL_FLAG]) + encode_mysql_decimal(value)
     if kind == "duration":
         # EncodeDuration: comparable int64 (sign-bit-flipped big
-        # endian) of the duration's nanoseconds. timedelta converts
-        # via exact integer fields — total_seconds() is a float and
-        # drops nanoseconds past ~12 days.
-        if hasattr(value, "total_seconds"):
-            ns = ((value.days * 86400 + value.seconds) * 10**9
-                  + value.microseconds * 1000)
-        else:
-            ns = int(value)
-        u = ns % _U64
+        # endian) of the duration's nanoseconds
+        u = _duration_ns(value) % _U64
         return bytes([DURATION_FLAG]) + struct.pack(">Q", u ^ _SIGN_MASK)
     raise ValueError(f"unsupported datum kind {kind!r}")
 
@@ -318,8 +334,7 @@ def decode_datum(buf: bytes, pos: int):
         return u, flag, pos + 8
     if flag == FLOAT_FLAG:
         (u,) = struct.unpack_from(">Q", buf, pos)
-        u = u & ~_SIGN_MASK if u & _SIGN_MASK else (~u) & (_U64 - 1)
-        return struct.unpack(">d", struct.pack(">Q", u))[0], flag, pos + 8
+        return _ordered_u64_to_float(u), flag, pos + 8
     if flag == COMPACT_BYTES_FLAG:
         z, pos = _decode_uvarint(buf, pos)
         n = _unzigzag(z)
@@ -554,20 +569,13 @@ def _encode_value_v2(value, kind: str) -> bytes:
     if kind == "ulong":
         return _encode_uint_v2(int(value) % _U64)
     if kind == "double":
-        u = struct.unpack(">Q", struct.pack(">d", float(value)))[0]
-        u = (~u) & (_U64 - 1) if u & _SIGN_MASK else u | _SIGN_MASK
-        return struct.pack(">Q", u)
+        return struct.pack(">Q", _float_to_ordered_u64(value))
     if kind in ("string", "bytes"):
         return value.encode("utf-8") if isinstance(value, str) else bytes(value)
     if kind == "decimal":
         return encode_mysql_decimal(value)
     if kind == "duration":
-        if hasattr(value, "total_seconds"):
-            ns = ((value.days * 86400 + value.seconds) * 10**9
-                  + value.microseconds * 1000)
-        else:
-            ns = int(value)
-        return _encode_int_v2(ns)
+        return _encode_int_v2(_duration_ns(value))
     if kind == "json":
         return encode_json_scalar(value)
     raise ValueError(f"unsupported v2 kind {kind!r}")
@@ -579,9 +587,9 @@ def _decode_value_v2(raw: bytes, kind: str):
     if kind == "ulong":
         return _decode_uint_v2(raw)
     if kind == "double":
-        (u,) = struct.unpack(">Q", raw)
-        u = u & ~_SIGN_MASK if u & _SIGN_MASK else (~u) & (_U64 - 1)
-        return struct.unpack(">d", struct.pack(">Q", u))[0]
+        if len(raw) != 8:
+            raise ValueError(f"invalid v2 float width {len(raw)}")
+        return _ordered_u64_to_float(struct.unpack(">Q", raw)[0])
     if kind == "string":
         return raw.decode("utf-8")
     if kind == "bytes":
@@ -635,13 +643,20 @@ def decode_row_v2(info, row: bytes) -> dict[int, object]:
     """rowcodec row.fromBytes + per-column decode. Unknown column ids
     (not in ``info``) are skipped, like the reference's cols-map
     filter. NULL columns decode to None."""
+    if len(row) < 6:
+        raise ValueError(f"corrupt v2 row: {len(row)} bytes < header")
     if row[0] != CODEC_VER_V2:
         raise ValueError(f"not a v2 row (version byte {row[0]})")
     large = bool(row[1] & 1)
     n_notnull, n_null = struct.unpack_from("<HH", row, 2)
     pos = 6
-    id_w, id_fmt = (4, "<I") if large else (1, "<B")
+    id_w = 4 if large else 1
     off_w, off_fmt = (4, "<I") if large else (2, "<H")
+    id_fmt = "<I" if large else "<B"
+    header = pos + (n_notnull + n_null) * id_w + n_notnull * off_w
+    if len(row) < header:
+        raise ValueError(
+            f"corrupt v2 row: {len(row)} bytes < declared header {header}")
     notnull_ids = [struct.unpack_from(id_fmt, row, pos + i * id_w)[0]
                    for i in range(n_notnull)]
     pos += n_notnull * id_w
@@ -652,9 +667,13 @@ def decode_row_v2(info, row: bytes) -> dict[int, object]:
             for i in range(n_notnull)]
     pos += n_notnull * off_w
     data = row[pos:]
-    if ends and ends[-1] != len(data):
+    # END offsets must be non-decreasing and span exactly the data
+    # section — otherwise corruption masquerades as empty/shifted
+    # values (data[10:2] slices to b"" silently)
+    if any(a > b for a, b in zip(ends, ends[1:])) \
+            or (ends[-1] if ends else 0) != len(data):
         raise ValueError(
-            f"corrupt v2 row: last offset {ends[-1]} != data {len(data)}")
+            f"corrupt v2 row: offsets {ends} vs data {len(data)}")
     datums: dict[int, object] = {}
     start = 0
     for cid, end in zip(notnull_ids, ends):
@@ -715,6 +734,10 @@ class KVTableInfo:
     _by_id: dict = field(default=None, compare=False, repr=False)
 
     def __post_init__(self):
+        if self.pk_handle_id is not None and self.common_pk_ids:
+            raise ValueError(
+                "pk_handle_id and common_pk_ids are mutually exclusive "
+                "(a table has either an int handle or a common handle)")
         # col() runs once per datum pair per row inside the decode hot
         # loop: an id->ColInfo dict keeps that O(1) per lookup
         object.__setattr__(
@@ -774,7 +797,9 @@ def encode_insert_row_common(info: KVTableInfo, pk_values: tuple,
     """Clustered-index insert layout: one datum per PK column (in
     common_pk_ids order), then the row body."""
     out = bytearray()
-    for cid, v in zip(info.common_pk_ids, pk_values):
+    # strict: a short pk tuple would silently shift the decoder into
+    # reading row-body bytes as pk datums
+    for cid, v in zip(info.common_pk_ids, pk_values, strict=True):
         c = info.col(cid)
         out += encode_datum(v, c.kind if c else "long")
     out += _encode_row_body(info, values, row_format)
@@ -893,68 +918,53 @@ def _surface_value(v, kind: str):
     if v is None:
         return None
     if kind == "ulong":
-        from decimal import Decimal
-        return Decimal(v)
+        return _Decimal(v)
     if kind == "decimal":
         return str(v)
     if kind == "json":
-        import json as _json
         return _json.dumps(v, separators=(",", ":"), ensure_ascii=False)
     return v
+
+
+def _one_image_stream(raw, info: KVTableInfo, key_cols, row_decode):
+    """Shared mapInPandas wrapper for the single-image decodes
+    (insert: handle prefix + body; delete: body only): one typed
+    column per schema column, key_cols carried through, one Python
+    invocation per Arrow batch."""
+    import pandas as pd
+
+    names = [c.name for c in info.columns]
+    schema = ", ".join([f"{k} long" for k in key_cols]
+                       + [f"{c.name} {_spark_type(c.kind)}"
+                          for c in info.columns])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {k: pdf[k].tolist() for k in key_cols}
+            out: dict[str, list] = {n: [] for n in names}
+            for raw_row in pdf["row_bytes"]:
+                datums = row_decode(info, bytes(raw_row))
+                for c in info.columns:
+                    out[c.name].append(
+                        _surface_value(datums[c.col_id], c.kind))
+            cols.update(out)
+            yield pd.DataFrame(cols)
+
+    return raw.mapInPandas(decode, schema=schema)
 
 
 def decode_insert_stream(raw, info: KVTableInfo,
                          key_cols: tuple[str, ...] = ("arrival_seq",)):
     """DataFrame with a BINARY ``row_bytes`` column -> one typed column
-    per schema column (named c.name), carrying ``key_cols`` through.
-    mapInPandas: one Python invocation per Arrow batch."""
-    import pandas as pd
-
-    names = [c.name for c in info.columns]
-    schema = ", ".join([f"{k} long" for k in key_cols]
-                       + [f"{c.name} {_spark_type(c.kind)}"
-                          for c in info.columns])
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            cols: dict[str, list] = {k: pdf[k].tolist() for k in key_cols}
-            out: dict[str, list] = {n: [] for n in names}
-            for raw_row in pdf["row_bytes"]:
-                datums = decode_insert_row(info, bytes(raw_row))
-                for c in info.columns:
-                    out[c.name].append(
-                        _surface_value(datums[c.col_id], c.kind))
-            cols.update(out)
-            yield pd.DataFrame(cols)
-
-    return raw.mapInPandas(decode, schema=schema)
+    per schema column (named c.name), carrying ``key_cols`` through."""
+    return _one_image_stream(raw, info, key_cols, decode_insert_row)
 
 
 def decode_delete_stream(raw, info: KVTableInfo,
                          key_cols: tuple[str, ...] = ("arrival_seq",)):
     """Delete-row decode over a BINARY ``row_bytes`` column: full old
-    row, no handle prefix (deleteRowToRow). Same Arrow-batched
-    map-only shape as the insert path."""
-    import pandas as pd
-
-    names = [c.name for c in info.columns]
-    schema = ", ".join([f"{k} long" for k in key_cols]
-                       + [f"{c.name} {_spark_type(c.kind)}"
-                          for c in info.columns])
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            cols: dict[str, list] = {k: pdf[k].tolist() for k in key_cols}
-            out: dict[str, list] = {n: [] for n in names}
-            for raw_row in pdf["row_bytes"]:
-                datums = decode_delete_row(info, bytes(raw_row))
-                for c in info.columns:
-                    out[c.name].append(
-                        _surface_value(datums[c.col_id], c.kind))
-            cols.update(out)
-            yield pd.DataFrame(cols)
-
-    return raw.mapInPandas(decode, schema=schema)
+    row, no handle prefix (deleteRowToRow)."""
+    return _one_image_stream(raw, info, key_cols, decode_delete_row)
 
 
 def decode_update_stream(raw, info: KVTableInfo,
