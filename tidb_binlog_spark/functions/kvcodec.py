@@ -1107,6 +1107,34 @@ def encode_insert_stream(ch, info: KVTableInfo):
     return ch.mapInPandas(encode, schema="arrival_seq long, row_bytes binary")
 
 
+def encode_delete_stream(ch, info: KVTableInfo):
+    """Fixture generator for delete rows: the FULL OLD IMAGE with no
+    handle prefix (deleteRowToRow input shape). Same deterministic
+    rules as the insert fixture so one oracle covers both paths:
+    v2 every third row, %11 omits the string column, %13 NULLs val."""
+    import pandas as pd
+
+    pk_col = next(c for c in info.columns if c.kind == "long")
+    str_col = next(c for c in info.columns if c.kind == "string")
+    val_col = next(c for c in info.columns if c.kind == "double")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for seq, pk, val, k in zip(pdf["arrival_seq"], pdf["pk"],
+                                       pdf["val"], pdf["k"]):
+                seq, pk = int(seq), int(pk)
+                values: dict[int, object] = {pk_col.col_id: pk}
+                values[val_col.col_id] = None if seq % 13 == 0 else float(val)
+                if seq % 11 != 0:
+                    values[str_col.col_id] = str(k)
+                fmt = 2 if seq % 3 == 0 else 1
+                rows.append((seq, _encode_row_body(info, values, fmt)))
+            yield pd.DataFrame(rows, columns=["arrival_seq", "row_bytes"])
+
+    return ch.mapInPandas(encode, schema="arrival_seq long, row_bytes binary")
+
+
 def encode_update_stream(ch, info: KVTableInfo):
     """Fixture generator for update rows: old image = (pk, val-1,
     'old_'+k), new image = (pk, val, k); arrival_seq % 11 == 0 omits
