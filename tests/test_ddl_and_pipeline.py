@@ -69,3 +69,63 @@ def test_declarative_pipeline_composes(spark):
     out = build_pipeline(ch, cfg)
     got = {r["pk"]: (r["op"], r["val"], r["target_tbl"]) for r in out.collect()}
     assert got == {1: ("U", 7.0, "t_out")}
+
+
+def test_pipeline_schema_level_rules_and_sync_ddl(spark):
+    """drainer schema-level config semantics: ignore-schemas defaults
+    to the system schemas (case-insensitive, config.go:246),
+    replicate-do-db allows whole schemas (config.go:108), and
+    sync-ddl=false drops DDL events (syncer.go:514)."""
+    import pytest as _pytest
+
+    from tidb_binlog_spark.plans.pipeline import ReplicationConfig as RC
+    from tidb_binlog_spark.plans.pipeline import build_pipeline as bp
+
+    ch = make_changes(spark, [(1, "s0", 10, "I", 1), (2, "s0", 20, "I", 2),
+                              (3, "s0", 30, "I", 3), (4, "s0", 40, "I", 4)])
+    ch = (ch.withColumn(
+            "db", F.when(F.col("pk") == 1, "MySQL")      # case-insensitive
+                   .when(F.col("pk") == 2, "information_schema")
+                   .otherwise(F.col("db")))
+            .withColumn("op", F.when(F.col("pk") == 4, "DDL")
+                               .otherwise(F.col("op"))))
+
+    # default ignore-schemas: system-schema rows dropped, rest kept
+    got = {r["pk"] for r in bp(ch, RC(compact=False)).collect()}
+    assert got == {3, 4}
+
+    # sync-ddl=false additionally drops the DDL row
+    got = {r["pk"] for r in bp(ch, RC(compact=False,
+                                      sync_ddl=False)).collect()}
+    assert got == {3}
+
+    # replicate-do-db allowlists a whole schema (fixture db is db0..3)
+    got = {r["pk"] for r in bp(ch, RC(compact=False, do_dbs=["~^db.*"],
+                                      sync_ddl=True)).collect()}
+    assert got == {3, 4}
+    # an operator override narrows the ignore list
+    got = {r["pk"] for r in bp(
+        ch, RC(compact=False, ignore_schemas=("mysql",))).collect()}
+    assert got == {2, 3, 4}
+
+    # config.go:402: empty schema name rejected at construction
+    with _pytest.raises(ValueError, match="empty schema name"):
+        RC(ignore_schemas=("mysql", ""))
+
+
+def test_config_loader_schema_level_keys(tmp_path):
+    from tidb_binlog_spark.plans import config as cfgmod
+    p = tmp_path / "drainer.toml"
+    p.write_text("""
+[filter]
+ignore-schemas = "INFORMATION_SCHEMA,PERFORMANCE_SCHEMA,mysql,test"
+replicate-do-db = ["db0", "~^db[12]$"]
+
+[sync]
+sync-ddl = false
+""")
+    cfg = cfgmod.load_config(str(p))
+    assert cfg.ignore_schemas == ("INFORMATION_SCHEMA",
+                                  "PERFORMANCE_SCHEMA", "mysql", "test")
+    assert cfg.do_dbs == ["db0", "~^db[12]$"]
+    assert not cfg.sync_ddl

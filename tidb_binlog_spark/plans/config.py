@@ -51,15 +51,25 @@ def parse_config(raw: dict) -> ReplicationConfig:
     if "loopback" in raw:
         loopback = (raw["loopback"].get("mark-db", "retl"),
                     raw["loopback"].get("mark-table", "_drainer_repl_mark"))
+    kw = {}
+    if "ignore-schemas" in filt:
+        # drainer config: one comma-separated string
+        # (drainer/config.go:246); default = the system schemas
+        kw["ignore_schemas"] = tuple(
+            s.strip() for s in filt["ignore-schemas"].split(","))
     return ReplicationConfig(
         do_tables=[tuple(t) for t in filt["do-tables"]]
             if filt.get("do-tables") else None,
         ignore_tables=[tuple(t) for t in filt["ignore-tables"]]
             if filt.get("ignore-tables") else None,
+        do_dbs=list(filt["replicate-do-db"])
+            if filt.get("replicate-do-db") else None,
         event_rules=event_rules,
         ignore_commit_ts=list(filt.get("ignore-txn-commit-ts", [])),
         route_rules=routes,
         loopback_mark=loopback,
         safe_mode=bool(sync.get("safe-mode", False)),
         compact=bool(sync.get("compact", True)),
+        sync_ddl=bool(sync.get("sync-ddl", True)),
+        **kw,
     )

@@ -19,8 +19,15 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators import batching, compaction, filters, ordering, router, safe_mode
+
+
+# drainer -ignore-schemas default (drainer/config.go:246): system
+# schemas never replicate unless the operator overrides the list
+DEFAULT_IGNORE_SCHEMAS = ("INFORMATION_SCHEMA", "PERFORMANCE_SCHEMA",
+                          "mysql")
 
 
 @dataclass
@@ -28,6 +35,11 @@ class ReplicationConfig:
     # pkg/filter/filter.go rules: (db_pattern, tbl_pattern); ~regex or exact
     do_tables: list[tuple[str, str]] | None = None
     ignore_tables: list[tuple[str, str]] | None = None
+    # schema-level rules: replicate-do-db / ignore-schemas
+    # (drainer/config.go:99,108 — db-only patterns through the same
+    # pkg/filter allow-then-block evaluation)
+    do_dbs: list[str] | None = None
+    ignore_schemas: tuple[str, ...] = DEFAULT_IGNORE_SCHEMAS
     # (db_pattern, tbl_pattern, [ops]) event-kind rules
     event_rules: list[tuple[str, str, list[str]]] = field(default_factory=list)
     ignore_commit_ts: list[int] = field(default_factory=list)
@@ -36,6 +48,13 @@ class ReplicationConfig:
     loopback_mark: tuple[str, str] | None = None      # (mark_db, mark_tbl)
     safe_mode: bool = False
     compact: bool = True
+    # sync-ddl=false drops DDL events entirely (drainer/syncer.go:514)
+    sync_ddl: bool = True
+
+    def __post_init__(self):
+        if any(not s for s in self.ignore_schemas):
+            # config.go:402: "empty schema name in `ignore-schemas`"
+            raise ValueError("empty schema name in ignore-schemas config")
 
 
 def build_pipeline(changes: DataFrame, cfg: ReplicationConfig) -> DataFrame:
@@ -45,8 +64,14 @@ def build_pipeline(changes: DataFrame, cfg: ReplicationConfig) -> DataFrame:
         df = filters.filter_ignore_commit_ts(df, cfg.ignore_commit_ts)
     if cfg.loopback_mark:
         df = batching.loopback_filter(df, *cfg.loopback_mark)
-    if cfg.do_tables or cfg.ignore_tables:
-        df = filters.filter_allow_block(df, cfg.do_tables, cfg.ignore_tables)
+    do_rules = list(cfg.do_tables or []) + \
+        [(d, "") for d in (cfg.do_dbs or [])]
+    ignore_rules = list(cfg.ignore_tables or []) + \
+        [(s, "") for s in cfg.ignore_schemas]
+    if do_rules or ignore_rules:
+        df = filters.filter_allow_block(df, do_rules or None, ignore_rules)
+    if not cfg.sync_ddl and "op" in df.columns:
+        df = df.filter(F.col("op") != "DDL")
     if cfg.event_rules:
         df = filters.filter_event_kinds(df, cfg.event_rules)
     if cfg.route_rules:
