@@ -129,3 +129,44 @@ sync-ddl = false
                                   "PERFORMANCE_SCHEMA", "mysql", "test")
     assert cfg.do_dbs == ["db0", "~^db[12]$"]
     assert not cfg.sync_ddl
+
+
+def test_config_operational_knobs_drive_sink_stage(spark, tmp_path):
+    """A full drainer.toml drives the sink stage too: txn-batch bounds
+    the apply batches, worker-count fans out the appliers, db-type
+    picks the SQL dialect (drainer/config.go:242-248 defaults)."""
+    from tidb_binlog_spark.operators import batching
+    from tidb_binlog_spark.plans import config as cfgmod
+    from tidb_binlog_spark.sinks import sqlgen
+
+    p = tmp_path / "drainer.toml"
+    p.write_text("""
+[sync]
+txn-batch = 3
+worker-count = 5
+db-type = "oracle"
+channel-id = 42
+""")
+    cfg = cfgmod.load_config(str(p))
+    assert (cfg.txn_batch, cfg.worker_count, cfg.db_type,
+            cfg.channel_id) == (3, 5, "oracle", 42)
+
+    ch = make_changes(spark, [(i, "s0", 10 * i, "I", i)
+                              for i in range(1, 10)])
+    batches = batching.assign_txn_batches(ch, max_dmls=cfg.txn_batch)
+    per_batch = {}
+    for r in batches.select("commit_ts", "batch_no").collect():
+        per_batch.setdefault(r["batch_no"], 0)
+        per_batch[r["batch_no"]] += 1
+    assert max(per_batch.values()) <= cfg.txn_batch
+
+    sql = sqlgen.generate_sql(ch, dialect=cfg.db_type)
+    assert all(":1" in r["sql_text"] or "INSERT" in r["sql_text"]
+               for r in sql.limit(3).collect())
+
+    # worker fan-out: causality-hash into cfg.worker_count workers
+    from pyspark.sql import functions as F2
+    workers = (ch.withColumn(
+        "worker_id", F2.abs(F2.xxhash64("pk")) % cfg.worker_count)
+        .select("worker_id").distinct().count())
+    assert workers <= cfg.worker_count

@@ -71,5 +71,9 @@ def parse_config(raw: dict) -> ReplicationConfig:
         safe_mode=bool(sync.get("safe-mode", False)),
         compact=bool(sync.get("compact", True)),
         sync_ddl=bool(sync.get("sync-ddl", True)),
+        txn_batch=int(sync.get("txn-batch", 20)),
+        worker_count=int(sync.get("worker-count", 16)),
+        db_type=str(sync.get("db-type", "mysql")),
+        channel_id=int(sync.get("channel-id", 0)),
         **kw,
     )

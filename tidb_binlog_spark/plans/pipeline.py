@@ -50,6 +50,13 @@ class ReplicationConfig:
     compact: bool = True
     # sync-ddl=false drops DDL events entirely (drainer/syncer.go:514)
     sync_ddl: bool = True
+    # operational knobs for the sink stage (drainer/config.go:242-248
+    # defaults): events per apply batch, parallel appliers, dialect
+    txn_batch: int = 20
+    worker_count: int = 16
+    db_type: str = "mysql"          # mysql | tidb | oracle | file | kafka
+    # channel id stamped on loopback mark rows (config.go:245)
+    channel_id: int = 0
 
     def __post_init__(self):
         if any(not s for s in self.ignore_schemas):
