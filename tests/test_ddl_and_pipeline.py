@@ -170,3 +170,25 @@ channel-id = 42
         "worker_id", F2.abs(F2.xxhash64("pk")) % cfg.worker_count)
         .select("worker_id").distinct().count())
     assert workers <= cfg.worker_count
+
+
+def test_event_filter_case_sensitivity(spark):
+    """config.go:128 case-sensitive switches the v2 rule matching;
+    the allow/block lists stay case-insensitive regardless."""
+    from tidb_binlog_spark.operators import filters as flt
+
+    ch = make_changes(spark, [(1, "s0", 10, "D", 1),
+                              (2, "s0", 20, "D", 2)])
+    ch = ch.withColumn("db", F.when(F.col("pk") == 1, "DB0")
+                              .otherwise("db0"))
+
+    # insensitive (default): both rows match the rule and drop
+    out = flt.filter_event_kinds(ch, [("db0", "~.*", ["D"])])
+    assert out.count() == 0
+    # sensitive: only the exact-case row drops
+    out = flt.filter_event_kinds(ch, [("db0", "~.*", ["D"])],
+                                 case_sensitive=True)
+    assert [r["pk"] for r in out.collect()] == [1]
+    # allow/block stays insensitive even in sensitive deployments
+    kept = flt.filter_allow_block(ch, ignore_rules=[("db0", "")])
+    assert kept.count() == 0

@@ -655,3 +655,44 @@ def test_file_dump_record_crc_detects_corruption(spark, tmp_path):
                 .otherwise(F.col("val")))
     bad = pl.crc_mismatches(tampered, cols).collect()
     assert [r["arrival_seq"] for r in bad] == [7]
+
+
+def test_sql_apply_stream_initial_commit_ts(spark, tmp_path):
+    """drainer -initial-commit-ts (config.go:240): with NO saved
+    checkpoint, replication starts strictly after the configured tso;
+    once a checkpoint exists it wins over the config value."""
+    import sqlite3
+
+    from tidb_binlog_spark.sinks import jdbc
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    db_dir = str(tmp_path / "db")
+    setup = ("CREATE TABLE IF NOT EXISTS t (pk INTEGER PRIMARY KEY, val REAL)",)
+
+    make_changes(spark, [(1, "s0", 10, "I", 1, 0, 1.0),
+                         (2, "s0", 20, "I", 2, 0, 2.0),
+                         (3, "s0", 30, "I", 3, 0, 3.0)]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = pipeline.run_sql_apply_stream(
+        spark, src, db_dir, str(tmp_path / "ck1"), num_workers=1,
+        setup_sql=setup, initial_commit_ts=20)
+    q.awaitTermination(120)
+
+    con = sqlite3.connect(os.path.join(db_dir, "worker_0.db"))
+    got = sorted(con.execute("SELECT pk FROM t").fetchall())
+    con.close()
+    assert got == [(3,)]                      # ts 10, 20 skipped
+    assert jdbc.load_checkpoint(db_dir)[0] == 30
+
+    # an existing checkpoint outranks initial-commit-ts on restart
+    make_changes(spark, [(4, "s0", 40, "I", 4, 0, 4.0)]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q2 = pipeline.run_sql_apply_stream(
+        spark, src, db_dir, str(tmp_path / "ck2"), num_workers=1,
+        setup_sql=setup, initial_commit_ts=99)
+    q2.awaitTermination(120)
+    con = sqlite3.connect(os.path.join(db_dir, "worker_0.db"))
+    got = sorted(con.execute("SELECT pk FROM t").fetchall())
+    con.close()
+    assert got == [(3,), (4,)]

@@ -22,14 +22,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _pattern_to_col(col: Column, pattern: str) -> Column:
+def _pattern_to_col(col: Column, pattern: str,
+                    case_sensitive: bool = False) -> Column:
     """One table-rule token -> predicate. ``~`` prefix = regex matched
     case-insensitively via the `(?i)` flag — exactly the reference's
     regexp.MustCompile("(?i)" + pattern); lower-casing the PATTERN
     would invert case-sensitive escape classes like \\D/\\S. Non-regex
-    tokens are case-insensitive exact matches (filter.go:48-77)."""
+    tokens are case-insensitive exact matches (filter.go:48-77).
+
+    ``case_sensitive=True`` is the binlog-filter v2 rule mode
+    (drainer/config.go:128 + drainer/util.go rule assembly) — the
+    allow/block lists stay case-insensitive regardless
+    (filter.go:120 lowercases unconditionally)."""
     if pattern.startswith("~"):
-        return col.rlike("(?i)" + pattern[1:])
+        return col.rlike(pattern[1:] if case_sensitive
+                         else "(?i)" + pattern[1:])
+    if case_sensitive:
+        return col == pattern
     return F.lower(col) == pattern.lower()
 
 
@@ -66,15 +75,17 @@ def filter_allow_block(changes: DataFrame,
 
 
 def filter_event_kinds(changes: DataFrame,
-                       rules: Sequence[tuple[str, str, Sequence[str]]]) -> DataFrame:
+                       rules: Sequence[tuple[str, str, Sequence[str]]],
+                       case_sensitive: bool = False) -> DataFrame:
     """Event-kind rules: (db_pattern, tbl_pattern, [ops to ignore]).
     Drops matching rows in place (the reference edits the txn's
     Sequence arrays in place, drainer/syncer.go:596-673 — row-level
-    filtering is the DataFrame-native equivalent)."""
+    filtering is the DataFrame-native equivalent). ``case_sensitive``
+    switches the v2 rule matching mode (config.go:128)."""
     drop = F.lit(False)
     for db_pat, tbl_pat, ops in rules:
-        m = _pattern_to_col(F.col("db"), db_pat) & \
-            _pattern_to_col(F.col("tbl"), tbl_pat) & \
+        m = _pattern_to_col(F.col("db"), db_pat, case_sensitive) & \
+            _pattern_to_col(F.col("tbl"), tbl_pat, case_sensitive) & \
             F.col("op").isin([o.upper() for o in ops])
         drop = drop | m
     return changes.filter(~drop)

@@ -75,5 +75,7 @@ def parse_config(raw: dict) -> ReplicationConfig:
         worker_count=int(sync.get("worker-count", 16)),
         db_type=str(sync.get("db-type", "mysql")),
         channel_id=int(sync.get("channel-id", 0)),
+        case_sensitive=bool(filt.get("case-sensitive", False)),
+        initial_commit_ts=int(sync.get("initial-commit-ts", -1)),
         **kw,
     )

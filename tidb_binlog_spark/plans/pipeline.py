@@ -57,6 +57,12 @@ class ReplicationConfig:
     db_type: str = "mysql"          # mysql | tidb | oracle | file | kafka
     # channel id stamped on loopback mark rows (config.go:245)
     channel_id: int = 0
+    # binlog-filter v2 rule matching mode (config.go:128); the
+    # allow/block lists stay case-insensitive regardless
+    case_sensitive: bool = False
+    # start strictly after this tso when no checkpoint exists
+    # (drainer -initial-commit-ts, config.go:240)
+    initial_commit_ts: int = -1
 
     def __post_init__(self):
         if any(not s for s in self.ignore_schemas):
@@ -80,7 +86,8 @@ def build_pipeline(changes: DataFrame, cfg: ReplicationConfig) -> DataFrame:
     if not cfg.sync_ddl and "op" in df.columns:
         df = df.filter(F.col("op") != "DDL")
     if cfg.event_rules:
-        df = filters.filter_event_kinds(df, cfg.event_rules)
+        df = filters.filter_event_kinds(df, cfg.event_rules,
+                                        cfg.case_sensitive)
     if cfg.route_rules:
         df = router.route_tables(df, cfg.route_rules)
     if "old_pk" in df.columns:

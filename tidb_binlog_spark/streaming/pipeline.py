@@ -109,7 +109,8 @@ def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
                          safe_window=None,
                          num_workers: int = 2,
                          setup_sql: tuple[str, ...] = (),
-                         available_now: bool = True):
+                         available_now: bool = True,
+                         initial_commit_ts: int = -1):
     """The executed-SQL replication path (loader -> MySQL analog,
     SQLite-backed locally) with the reference's auto safe-mode window:
     batches applied while ``safe_window.active()`` are rewritten
@@ -128,6 +129,11 @@ def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
     from ..sinks import jdbc, sqlgen
 
     resume_ts, status = jdbc.load_checkpoint(db_dir)
+    if resume_ts < 0 <= initial_commit_ts:
+        # drainer -initial-commit-ts (drainer/config.go:240): with no
+        # saved checkpoint, start replication strictly after the
+        # configured tso instead of from the beginning of the log
+        resume_ts = initial_commit_ts
     if safe_window is not None:
         window = safe_window
     elif resume_ts >= 0 and status == jdbc.STATUS_NORMAL:
