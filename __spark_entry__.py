@@ -873,6 +873,21 @@ def q_doc_fingerprint(spark, sf_dir):
     return textfn.fingerprints(_docs(spark, sf_dir))
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-size token-window chunking with overlap (64-token
+    windows, stride 48): the unit a training pipeline tokenizes.
+    Zero-shuffle per-doc array expressions."""
+    from tidb_binlog_spark.functions import curation
+    return curation.chunk_documents(_docs(spark, sf_dir))
+
+
+def q_doc_shuffle(spark, sf_dir):
+    """Seeded, replay-stable global shuffle order (md5 rank) — fixed
+    hex-prefix buckets + broadcast offsets, no global sort."""
+    from tidb_binlog_spark.functions import curation
+    return curation.deterministic_shuffle(_docs(spark, sf_dir))
+
+
 # DuckDB mirror of textfn.normalize_text over _dirtied_docs (the
 # text_profile normalize leg).
 TEXT_NORMALIZE_DIRTIED_SQL = r"""
@@ -998,6 +1013,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (cdc_causality_groups, dedup_minhash_clusters) and its
         # cosine-pair input keeps dedup_embedding_cosine's row.
         "dedup_embedding_clusters": q_dedup_embedding_clusters,
+        # new this round; oracle-checked locally, rotate into the
+        # window next round
+        "doc_chunks": q_doc_chunks,
+        "doc_shuffle": q_doc_shuffle,
     }
 
 
@@ -1282,6 +1301,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN ({TEXT_NORMALIZE_DIRTIED_SQL}) n USING (doc_id)
         """,
         "doc_fingerprint": osql.DOC_FINGERPRINT,
+        "doc_chunks": r"""
+            WITH t AS (SELECT doc_id,
+                string_split_regex(trim(text), '\s+') AS toks
+              FROM documents),
+            e AS (SELECT doc_id, toks,
+                unnest(range(0, greatest(len(toks), 1), 48)) AS i
+              FROM t)
+            SELECT doc_id, CAST(i / 48 AS INT) AS chunk_seq,
+              CAST(i AS INT) AS tok_off,
+              array_to_string(toks[i + 1 : i + 64], ' ') AS chunk_text,
+              CAST(least(len(toks) - i, 64) AS INT) AS n_tokens
+            FROM e WHERE i < len(toks)
+        """,
+        "doc_shuffle": """
+            SELECT doc_id,
+              ROW_NUMBER() OVER (
+                ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id)
+                - 1 AS shuffle_pos
+            FROM documents
+        """,
         "cdc_gc_safepoint": f"""
             {CHANGES_CTE},
             per_source AS (SELECT source_id, MAX(commit_ts) AS ck

@@ -363,3 +363,47 @@ def test_multimodal_audio_features_stub(spark):
     assert abs(got["rms"] - float(np.sqrt(np.mean(pcm ** 2)))) < 1e-9
     assert got["peak"] == int(np.max(np.abs(pcm)))
     assert got["zero_crossings"] == 0   # all-positive ASCII bytes
+
+
+def test_chunk_documents_window_invariants(spark):
+    """Chunk windows tile the token stream: stride-spaced offsets,
+    full windows except the tail, reconstruction of the token count,
+    overlap between consecutive chunks = chunk - stride."""
+    from tidb_binlog_spark.functions.curation import chunk_documents
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(150))),
+         (2, "one two"), (3, "")], "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=64, stride=48)
+    rows = {(r["doc_id"], r["chunk_seq"]): r
+            for r in out.collect()}
+    # doc 1: 150 tokens -> starts 0,48,96,144
+    seqs = sorted(s for d, s in rows if d == 1)
+    assert seqs == [0, 1, 2, 3]
+    assert rows[(1, 0)]["n_tokens"] == 64
+    assert rows[(1, 3)]["tok_off"] == 144 and rows[(1, 3)]["n_tokens"] == 6
+    # overlap: last 16 tokens of chunk 0 == first 16 of chunk 1
+    c0 = rows[(1, 0)]["chunk_text"].split()
+    c1 = rows[(1, 1)]["chunk_text"].split()
+    assert c0[48:] == c1[:16]
+    # short and empty docs -> exactly one chunk each
+    assert rows[(2, 0)]["n_tokens"] == 2
+    assert (3, 0) in rows
+
+
+def test_deterministic_shuffle_is_a_stable_permutation(spark):
+    from tidb_binlog_spark.functions.curation import deterministic_shuffle
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(300)], "doc_id long, text string")
+    a = {r["doc_id"]: r["shuffle_pos"]
+         for r in deterministic_shuffle(docs, seed="s1").collect()}
+    # a permutation of 0..n-1 ...
+    assert sorted(a.values()) == list(range(300))
+    # ... stable across replays (same seed -> same positions)
+    b = {r["doc_id"]: r["shuffle_pos"]
+         for r in deterministic_shuffle(docs.repartition(7),
+                                        seed="s1").collect()}
+    assert a == b
+    # ... and a different seed produces a different permutation
+    c = {r["doc_id"]: r["shuffle_pos"]
+         for r in deterministic_shuffle(docs, seed="s2").collect()}
+    assert sorted(c.values()) == list(range(300)) and a != c

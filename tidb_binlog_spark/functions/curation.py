@@ -173,3 +173,73 @@ def url_domains(docs: DataFrame) -> DataFrame:
     return (domains.groupBy("domain")
             .agg(F.count(F.lit(1)).alias("n_urls"),
                  F.countDistinct("doc_id").alias("n_docs")))
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    stride: int = 48) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the unit a
+    training pipeline actually tokenizes (context-window packing,
+    paragraph-granularity dedup, retrieval indexing all consume
+    chunks, not whole documents).
+
+    One chunk starts every ``stride`` tokens; each carries
+    ``chunk_tokens`` tokens (the last may be shorter, and a trailing
+    start that would duplicate a full earlier window is still emitted
+    iff it adds tokens — start < n). Output: (doc_id, chunk_seq,
+    tok_off, chunk_text, n_tokens).
+
+    Scale shape: split + sequence + posexplode are all per-row array
+    expressions — ZERO shuffles, whole-stage codegen, linear in corpus
+    bytes. Stride/window are plan literals so Catalyst constant-folds
+    the slice arithmetic.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.expr(
+        f"sequence(0, greatest(size(_toks) - 1, 0), {stride})")
+    chunk = F.expr(f"slice(_toks, tok_off + 1, {chunk_tokens})")
+    return (docs
+            .withColumn("_toks", toks)
+            .select("doc_id",
+                    F.posexplode(starts).alias("chunk_seq", "tok_off"),
+                    "_toks")
+            .filter(F.col("tok_off") < F.size("_toks"))
+            .select("doc_id", "chunk_seq", "tok_off",
+                    F.array_join(chunk, " ").alias("chunk_text"),
+                    F.least(F.size("_toks") - F.col("tok_off"),
+                            F.lit(chunk_tokens)).alias("n_tokens")))
+
+
+def deterministic_shuffle(docs: DataFrame, seed: str = "0",
+                          id_col: str = "doc_id",
+                          n_buckets: int = 256) -> DataFrame:
+    """Seeded, replay-stable global shuffle order for training-data
+    emission: position = rank of md5(seed || ':' || id) — any engine,
+    any partitioning, any run produces the SAME permutation (the
+    property a resumable data loader needs).
+
+    Scale shape: NO global sort. The rank's first two hex chars give
+    256 FIXED ranges (no sampled boundaries — deterministic, unlike
+    repartitionByRange): within a bucket, row_number over the
+    key-partitioned window; bucket offsets are a 256-row aggregate
+    broadcast back. position = offset + within - 1, exactly the
+    global rank.
+    """
+    ranked = docs.select(
+        id_col,
+        F.md5(F.concat(F.lit(str(seed) + ":"),
+                       F.col(id_col).cast("string"))).alias("_rank"))
+    bucket = F.conv(F.substring("_rank", 1, 2), 16, 10).cast("int")
+    ranked = ranked.withColumn("_b", bucket % n_buckets)
+    w_in = Window.partitionBy("_b").orderBy("_rank", id_col)
+    counts = ranked.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (Window.orderBy("_b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))) \
+        .select("_b", "_off")
+    return (ranked
+            .withColumn("_within", F.row_number().over(w_in))
+            .join(F.broadcast(offsets), "_b")
+            .select(id_col,
+                    (F.col("_off") + F.col("_within") - 1)
+                    .alias("shuffle_pos")))
