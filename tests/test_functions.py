@@ -407,3 +407,43 @@ def test_deterministic_shuffle_is_a_stable_permutation(spark):
     c = {r["doc_id"]: r["shuffle_pos"]
          for r in deterministic_shuffle(docs, seed="s2").collect()}
     assert sorted(c.values()) == list(range(300)) and a != c
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Lloyd's iterations on three well-separated blobs: assignments
+    partition the blobs exactly, centroids land on the blob means,
+    and the result is deterministic across replays."""
+    from tidb_binlog_spark.functions.similarity import (
+        kmeans_assign, kmeans_centroids)
+    pts = []
+    for b, base in enumerate([0.0, 10.0, 20.0]):
+        for i in range(20):
+            pts.append((b * 20 + i, [base + (i % 5) * 0.1,
+                                     base - (i % 3) * 0.1]))
+    docs = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(docs, k=3, iters=4)
+    got = kmeans_assign(docs, cents).select("vec_id", "centroid_id").collect()
+    groups = {}
+    for r in got:
+        groups.setdefault(r["centroid_id"], set()).add(r["vec_id"])
+    assert sorted(len(g) for g in groups.values()) == [20, 20, 20]
+    for g in groups.values():           # blobs never split
+        assert len({v // 20 for v in g}) == 1
+    # determinism
+    c2 = kmeans_centroids(docs.repartition(5), k=3, iters=4)
+    assert sorted(map(tuple, (r["c_emb"] for r in cents.collect()))) == \
+        sorted(map(tuple, (r["c_emb"] for r in c2.collect())))
+
+
+def test_semantic_dedup_keeps_lowest_id_representative(spark):
+    from tidb_binlog_spark.functions.similarity import semantic_dedup
+    docs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.001]),   # near-identical pair
+         (3, [0.0, 1.0]),                         # unique direction
+         (4, [1.0, 0.002])],                      # dup of 1 too
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["is_kept"]
+           for r in semantic_dedup(docs, k=2, iters=2,
+                                   threshold=0.999).collect()}
+    assert out[1] and out[3]            # representatives survive
+    assert not out[2] and not out[4]    # higher-id near-dups dropped

@@ -17,7 +17,7 @@ key at write time so queries prune partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..cache import managed_persist
@@ -190,3 +190,101 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.3,
                      F.expr(cosine_prenorm_expr("x.embedding", "y.embedding",
                                                 "x.n", "y.n")).alias("cosine")))
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def _sq_l2_expr(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"0D, (acc, v) -> acc + v)")
+
+
+def kmeans_centroids(embeddings: DataFrame, k: int = 16, iters: int = 5,
+                     id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means over an embedding column — the trained coarse
+    quantizer for IVF (`ivf_assign`'s sampled centroids are the
+    untrained stand-in) and the clustering stage of SemDeDup-style
+    semantic dedup.
+
+    Deterministic: init = the k lowest-id vectors; ties in assignment
+    break toward the lowest centroid id; means are exact (sum/count
+    per dimension). Iteration is a bounded DRIVER loop — per round,
+    one broadcast of k centroids out, one (k x dims)-row aggregate
+    back; the corpus itself never moves (assignment is a map-side
+    crossJoin with k rows, the mean is one map-side-combinable
+    groupBy). At 100 TB each round costs one scan — iters stays
+    single-digit, exactly the standard Spark k-means shape.
+    """
+    spark = embeddings.sparkSession
+    cents = [r[emb_col] for r in
+             embeddings.select(id_col, emb_col)
+                       .orderBy(id_col).limit(k).collect()]
+
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(i, list(map(float, c))) for i, c in enumerate(cents)],
+            f"centroid_id int, c_emb array<double>")
+        w = Window.partitionBy(id_col).orderBy("d2", "centroid_id")
+        assigned = (embeddings.select(id_col, emb_col)
+                    .crossJoin(F.broadcast(cdf))
+                    .withColumn("d2", F.expr(_sq_l2_expr(emb_col, "c_emb")))
+                    .withColumn("rk", F.row_number().over(w))
+                    .filter(F.col("rk") == 1))
+        # exact per-dimension means: (k x dims) tiny aggregate
+        means = (assigned
+                 .select("centroid_id",
+                         F.posexplode(emb_col).alias("pos", "v"))
+                 .groupBy("centroid_id", "pos").agg(F.avg("v").alias("m"))
+                 .groupBy("centroid_id")
+                 .agg(F.expr("transform(array_sort(collect_list("
+                             "struct(pos, m))), s -> s.m)").alias("c_emb"))
+                 .collect())
+        new = {r["centroid_id"]: r["c_emb"] for r in means}
+        # an emptied centroid keeps its previous position
+        cents = [new.get(i, cents[i]) for i in range(k)]
+
+    return spark.createDataFrame(
+        [(i, list(map(float, c))) for i, c in enumerate(cents)],
+        "centroid_id int, c_emb array<double>")
+
+
+def kmeans_assign(embeddings: DataFrame, centroids: DataFrame,
+                  id_col: str = "vec_id",
+                  emb_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid assignment against a trained centroid set:
+    broadcast crossJoin + argmin — the corpus stays put."""
+    w = Window.partitionBy(id_col).orderBy("d2", "centroid_id")
+    return (embeddings
+            .crossJoin(F.broadcast(centroids))
+            .withColumn("d2", F.expr(_sq_l2_expr(emb_col, "c_emb")))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk", "c_emb"))
+
+
+def semantic_dedup(embeddings: DataFrame, k: int = 16, iters: int = 3,
+                   threshold: float = 0.95,
+                   id_col: str = "vec_id",
+                   emb_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means-cluster the corpus, then
+    within each cluster drop every vector whose cosine to a LOWER-id
+    cluster member exceeds ``threshold`` (the keep-one-representative
+    greedy rule). Pairwise work is bounded per cluster — the classic
+    way to make semantic dedup sub-quadratic at corpus scale.
+
+    Returns (id, centroid_id, is_kept)."""
+    cents = kmeans_centroids(embeddings, k, iters, id_col, emb_col)
+    a = with_norm(
+        kmeans_assign(embeddings, cents, id_col, emb_col)
+        .select(id_col, emb_col, "centroid_id"), emb_col, "n")
+    x, y = a.alias("x"), a.alias("y")
+    dup_ids = (x.join(y, (F.col("x.centroid_id") == F.col("y.centroid_id"))
+                      & (F.col(f"x.{id_col}") > F.col(f"y.{id_col}")))
+               .withColumn("cosine", F.expr(cosine_prenorm_expr(
+                   f"x.{emb_col}", f"y.{emb_col}", "x.n", "y.n")))
+               .filter(F.col("cosine") >= threshold)
+               .select(F.col(f"x.{id_col}").alias(id_col)).distinct())
+    return (a.select(id_col, "centroid_id")
+            .join(dup_ids.withColumn("_dup", F.lit(True)), id_col, "left")
+            .select(id_col, "centroid_id",
+                    F.coalesce(~F.col("_dup"), F.lit(True))
+                     .alias("is_kept")))
