@@ -29,6 +29,7 @@ from tidb_binlog_spark.functions import text as textfn
 from tidb_binlog_spark.functions import dedup as dedupfn
 from tidb_binlog_spark.functions import similarity as simfn
 from tidb_binlog_spark.functions import oracle_sql as osql
+from tidb_binlog_spark.functions import scoring
 from tidb_binlog_spark.functions import checksum as cksum
 from tidb_binlog_spark.functions import multimodal as mm
 from tidb_binlog_spark.functions import kvcodec
@@ -888,6 +889,41 @@ def q_doc_shuffle(spark, sf_dir):
     return curation.deterministic_shuffle(_docs(spark, sf_dir))
 
 
+# 8 tokens = exactly one line_dedup window, so every 5th doc shares
+# line 0 — deterministic boilerplate the corpus itself lacks
+BOILER_HEADER = "sign up for our newsletter today click here"
+
+
+def q_text_line_dedup(spark, sf_dir):
+    """Line-level boilerplate removal (CCNet/RefinedWeb stage): lines
+    (8-token windows) present in >= 3 distinct docs are stripped;
+    every 5th doc gets a known boilerplate header injected so the
+    removal path is exercised, not a no-op."""
+    from tidb_binlog_spark.functions import curation
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(BOILER_HEADER + " "), F.col("text")))
+         .otherwise(F.col("text")))
+    return curation.line_dedup(docs)
+
+
+def q_text_bm25(spark, sf_dir):
+    """BM25 keyword relevance against a fixed query — corpus stats
+    (N, avgdl, df) broadcast, per-term scores micro-quantized before
+    the integer sum so the DuckDB oracle matches bit-for-bit."""
+    from tidb_binlog_spark.functions import scoring
+    return scoring.bm25_scores(_docs(spark, sf_dir))
+
+
+def q_text_unigram_lm(spark, sf_dir):
+    """Unigram-LM surprisal per doc (perplexity-style quality score):
+    corpus-ML token probabilities, micro-nat quantization per
+    occurrence, exact integer aggregation."""
+    from tidb_binlog_spark.functions import scoring
+    return scoring.unigram_surprisal(_docs(spark, sf_dir))
+
+
 # DuckDB mirror of textfn.normalize_text over _dirtied_docs (the
 # text_profile normalize leg).
 TEXT_NORMALIZE_DIRTIED_SQL = r"""
@@ -955,6 +991,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_kv_decode": q_cdc_kv_decode,
         "cdc_kv_decode_update": q_cdc_kv_decode_update,
         "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
+        # -- new r4 (late): corpus scoring + line dedup + chunk/shuffle --
+        "text_line_dedup": q_text_line_dedup,
+        "text_bm25": q_text_bm25,
+        "text_unigram_lm": q_text_unigram_lm,
+        "doc_chunks": q_doc_chunks,
+        "doc_shuffle": q_doc_shuffle,
         # -- never driver-checked before r3 ------------------------------
         "cdc_wide_row_apply": q_cdc_wide_row_apply,
         "sink_sql_wide": q_sink_sql_wide,
@@ -986,13 +1028,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_txn_resolve": q_cdc_txn_resolve,
         "cdc_update_pk_split": q_cdc_update_pk_split,
         "cdc_safe_mode": q_cdc_safe_mode,
-        "cdc_schema_backfill": q_cdc_schema_backfill,
         "cdc_schema_replay": q_cdc_schema_replay,
         "cdc_full_pipeline": q_cdc_full_pipeline,
         "cdc_ddl_stream": q_cdc_ddl_stream,
         "cdc_partition_route": q_cdc_partition_route,
-        "cdc_loopback_filter": q_cdc_loopback_filter,
-        "cdc_txn_batches": q_cdc_txn_batches,
         "curation_pipeline": q_curation_pipeline,
         "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
@@ -1001,22 +1040,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": q_text_pack_sequences,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "doc_fingerprint": q_doc_fingerprint,
         # -- below the driver's 50-row window (position 51+): still in
-        # queries() for bench/tests, rotated out of the gate this round.
-        # dedup_embedding_clusters' CC core keeps two green rows
-        # (cdc_causality_groups, dedup_minhash_clusters) and its
-        # cosine-pair input keeps dedup_embedding_cosine's row.
+        # queries() + the local gate, rotated out of the driver window
+        # this round. Each keeps live evidence: loopback/txn_batches/
+        # schema_backfill green r2+r3+local-r4 with pytest coverage;
+        # ann_lsh keeps its bucketing verified via dedup_embedding_cosine
+        # (same LSH_BUCKET) and ann family rows stay via cosine+ivf;
+        # ngram_jaccard's shingle join shape re-verifies inside
+        # text_contamination; dedup_embedding_clusters' CC core keeps
+        # two green rows (cdc_causality_groups, dedup_minhash_clusters).
+        "cdc_loopback_filter": q_cdc_loopback_filter,
+        "cdc_txn_batches": q_cdc_txn_batches,
+        "cdc_schema_backfill": q_cdc_schema_backfill,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_clusters": q_dedup_embedding_clusters,
-        # new this round; oracle-checked locally, rotate into the
-        # window next round
-        "doc_chunks": q_doc_chunks,
-        "doc_shuffle": q_doc_shuffle,
     }
 
 
@@ -1301,6 +1343,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN ({TEXT_NORMALIZE_DIRTIED_SQL}) n USING (doc_id)
         """,
         "doc_fingerprint": osql.DOC_FINGERPRINT,
+        "text_line_dedup": osql.line_dedup_sql(BOILER_HEADER),
+        "text_bm25": osql.bm25_sql(scoring.QUERY_TERMS),
+        "text_unigram_lm": osql.UNIGRAM_SURPRISAL,
         "doc_chunks": r"""
             WITH t AS (SELECT doc_id,
                 string_split_regex(trim(text), '\s+') AS toks

@@ -447,3 +447,60 @@ def test_semantic_dedup_keeps_lowest_id_representative(spark):
                                    threshold=0.999).collect()}
     assert out[1] and out[3]            # representatives survive
     assert not out[2] and not out[4]    # higher-id near-dups dropped
+
+
+def test_line_dedup_strips_shared_lines_only(spark):
+    from tidb_binlog_spark.functions.curation import line_dedup
+    boiler = "a b c d e f g h"          # one full 8-token line
+    docs = spark.createDataFrame(
+        [(1, boiler + " unique one text here now ok yes no"),
+         (2, boiler + " other words entirely different from before x"),
+         (3, boiler),                    # all-boilerplate doc
+         (4, "totally unrelated text nothing shared at all here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_docs=3).collect()}
+    assert len(out) == 4
+    # the shared first line vanishes from every doc that carries it
+    for i in (1, 2, 3):
+        assert out[i]["n_removed"] == 1
+        assert boiler not in out[i]["clean_text"]
+    assert out[1]["clean_text"] == "unique one text here now ok yes no"
+    # all-boilerplate doc survives as an empty row, not a dropped one
+    assert out[3]["clean_text"] == "" and out[3]["n_lines"] == 1
+    # below-threshold docs keep everything
+    assert out[4]["n_removed"] == 0
+    assert out[4]["clean_text"] == docs.where("doc_id = 4").first()["text"]
+
+
+def test_bm25_ranks_rare_terms_above_common(spark):
+    from tidb_binlog_spark.functions.scoring import bm25_scores
+    # 'hash' appears in 1 of 20 docs, 'table' in all 20: the rare-term
+    # doc must outscore any common-term-only doc of the same length
+    rows = [(0, "hash xx yy zz")] + \
+           [(i, "table xx yy zz") for i in range(1, 20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bm25_scores(docs).collect()}
+    assert len(out) == 20               # every doc matches >= 1 term
+    assert out[0]["n_matched_terms"] == 1
+    assert out[0]["bm25_micro"] > out[1]["bm25_micro"] > 0
+    # no-match docs are excluded
+    out2 = bm25_scores(spark.createDataFrame(
+        [(9, "zz yy")], "doc_id long, text string")).collect()
+    assert out2 == []
+
+
+def test_unigram_surprisal_orders_rare_above_common(spark):
+    from tidb_binlog_spark.functions.scoring import unigram_surprisal
+    # 'common' dominates the corpus; doc 2's rare tokens make it the
+    # more surprising (higher mean micro-nats) document
+    docs = spark.createDataFrame(
+        [(1, "common common common common"),
+         (2, "rare1 rare2 common common")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_surprisal(docs).collect()}
+    assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 4
+    assert out[2]["mean_surprisal_micro"] > out[1]["mean_surprisal_micro"]
+    # every micro-nat count is non-negative and sums consistently
+    for r in out.values():
+        assert 0 <= r["mean_surprisal_micro"] <= r["surprisal_micro"]
+        assert r["surprisal_micro"] // r["n_tokens"] == r["mean_surprisal_micro"]

@@ -209,6 +209,52 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
                             F.lit(chunk_tokens)).alias("n_tokens")))
 
 
+def line_dedup(docs: DataFrame, line_tokens: int = 8,
+               min_docs: int = 3) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb dedup
+    stage): lines occurring in >= ``min_docs`` DISTINCT documents are
+    boilerplate (headers, nav bars, cookie banners) and are stripped
+    from every document; the rest of each document survives in order.
+
+    The corpus here carries no newlines, so a 'line' is a fixed
+    non-overlapping ``line_tokens``-token window — the same shape at
+    paragraph granularity, and what a chunk-level dedup consumes.
+
+    Returns (doc_id, n_lines, n_removed, clean_text) for every doc.
+
+    Scale shape: explode lines -> md5 -> count distinct docs per line
+    hash (map-side-combinable) -> hash join back -> per-doc ordered
+    re-assembly. Both shuffles key on high-cardinality columns (line
+    hash, doc_id); no broadcast of the corpus, no global sort.
+    """
+    from .text import with_tokens
+    lines_expr = (
+        f"CASE WHEN size(toks) = 0 THEN array() ELSE "
+        f"transform(sequence(0, CAST(ceil(size(toks) / {line_tokens}.0) "
+        f"AS INT) - 1), "
+        f"i -> array_join(slice(toks, i * {line_tokens} + 1, "
+        f"{line_tokens}), ' ')) END")
+    lines = managed_persist(
+        with_tokens(docs)
+        .select("doc_id", F.posexplode(F.expr(lines_expr))
+                .alias("line_no", "line"))
+        .withColumn("lh", F.md5("line")))
+    freq = (lines.groupBy("lh")
+            .agg(F.countDistinct("doc_id").alias("n_docs_with")))
+    flagged = (lines.join(freq, "lh")
+               .withColumn("is_boiler",
+                           F.col("n_docs_with") >= min_docs))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
+                 # collect_list skips NULLs, so boiler lines vanish and
+                 # the ordered re-join rebuilds the surviving text
+                 F.expr("array_join(transform(sort_array(collect_list("
+                        "CASE WHEN NOT is_boiler "
+                        "THEN struct(line_no, line) END)), "
+                        "x -> x.line), ' ')").alias("clean_text")))
+
+
 def deterministic_shuffle(docs: DataFrame, seed: str = "0",
                           id_col: str = "doc_id",
                           n_buckets: int = 256) -> DataFrame:

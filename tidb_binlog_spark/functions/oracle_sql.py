@@ -384,3 +384,89 @@ r AS (
 )
 SELECT txn_id AS vec_id, MIN(label) AS cluster_id FROM r GROUP BY txn_id
 """
+
+
+# --- scoring.py mirrors ------------------------------------------------------
+# Quantization contract (see functions/scoring.py docstring): per-term
+# doubles come from identical expression trees over exact integers;
+# floor(x * 1e6) -> BIGINT before any cross-row sum, so aggregation
+# order cannot perturb the result.
+
+def bm25_sql(terms, k1: str = "1.2", b: str = "0.75") -> str:
+    """DuckDB mirror of scoring.bm25_scores for the same term tuple —
+    clause-by-clause identical arithmetic, list_* for array_*."""
+    dfs = ",\n  ".join(
+        f"SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END)"
+        f" AS df_{i}" for i, t in enumerate(terms))
+    dl = "CAST(len(toks) AS DOUBLE)"
+    avgdl = "(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    parts = []
+    for i, t in enumerate(terms):
+        tf = f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
+        idf = (f"ln((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+               f" / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0)")
+        score = (f"({idf}) * (({tf}) * ({k1} + 1.0)) / "
+                 f"(({tf}) + {k1} * (1.0 - {b} + {b} * ({dl}) / {avgdl}))")
+        parts.append(f"CAST(floor(({score}) * 1000000.0) AS BIGINT)")
+    micro = " + ".join(parts)
+    matched = " + ".join(
+        f"CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END"
+        for t in terms)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+  {dfs}
+  FROM toks)
+SELECT doc_id,
+  CAST(({matched}) AS INT) AS n_matched_terms,
+  CAST(len(toks) AS INT) AS dl,
+  ({micro}) AS bm25_micro
+FROM toks, stats
+WHERE ({matched}) > 0
+"""
+
+
+UNIGRAM_SURPRISAL = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+exploded AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+totals AS (SELECT COUNT(*) AS total_tokens FROM exploded),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM exploded GROUP BY tok),
+scored AS (SELECT tok,
+    CAST(floor(-ln(CAST(cnt AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS micro_nats
+  FROM vocab, totals)
+SELECT doc_id, COUNT(*) AS n_tokens,
+  CAST(SUM(micro_nats) AS BIGINT) AS surprisal_micro,
+  CAST(SUM(micro_nats) AS BIGINT) // COUNT(*) AS mean_surprisal_micro
+FROM exploded JOIN scored USING (tok)
+GROUP BY doc_id
+"""
+
+
+def line_dedup_sql(header: str, line_tokens: int = 8,
+                   min_docs: int = 3) -> str:
+    """DuckDB mirror of curation.line_dedup over the header-injected
+    corpus (every 5th doc gets the boilerplate header prepended)."""
+    n = line_tokens
+    return f"""
+WITH d AS (SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN '{header} ' || text ELSE text END AS text
+  FROM documents),
+toks AS (SELECT doc_id, {TOKS} AS toks FROM d),
+e AS (SELECT doc_id, toks,
+    unnest(range(0, CAST(ceil(len(toks) / {n}.0) AS INT))) AS i
+  FROM toks),
+lines AS (SELECT doc_id, CAST(i AS INT) AS line_no,
+    array_to_string(toks[i * {n} + 1 : i * {n} + {n}], ' ') AS line
+  FROM e),
+freq AS (SELECT md5(line) AS lh, COUNT(DISTINCT doc_id) AS n_docs_with
+         FROM lines GROUP BY 1),
+flagged AS (SELECT l.*, f.n_docs_with >= {min_docs} AS is_boiler
+            FROM lines l JOIN freq f ON md5(l.line) = f.lh)
+SELECT doc_id, COUNT(*) AS n_lines,
+  CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  COALESCE(string_agg(CASE WHEN NOT is_boiler THEN line END, ' '
+                      ORDER BY line_no), '') AS clean_text
+FROM flagged GROUP BY doc_id
+"""

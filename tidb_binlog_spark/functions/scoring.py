@@ -1,0 +1,133 @@
+"""Corpus-statistics document scoring: BM25 keyword relevance and
+unigram language-model surprisal — the retrieval/quality-scoring
+staples of a pretraining pipeline (quality-classifier features,
+perplexity-style filtering, keyword-targeted subset selection).
+
+Scale design:
+- corpus statistics (doc count, total tokens, per-term document
+  frequencies) are ONE tiny map-side-combinable aggregate, broadcast
+  back onto the corpus — the corpus itself is never shuffled for BM25;
+- unigram surprisal shuffles only (token, count) vocabulary rows plus
+  one exploded token stream through a single hash join keyed on the
+  token — vocabulary is tiny next to corpus bytes, and AQE broadcasts
+  it when it fits;
+- NO row-at-a-time Python anywhere: every expression is a Catalyst
+  builtin inside whole-stage codegen.
+
+Determinism contract (oracle parity): floating scores are quantized
+per term to integer MICRO-units (floor(x * 1e6) as BIGINT) *before*
+any cross-row aggregation, so document totals are exact integer sums
+— invariant to aggregation order, bit-identical in any engine. The
+per-term doubles themselves come from identical expression trees over
+exact integers (counts), and ln/division/multiplication are IEEE
+operations both Spark and DuckDB evaluate identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import with_tokens
+
+# default keyword query for the BM25 surface (terms from the corpus
+# vocabulary so every score path — common term, rare term, absent
+# term — is exercised)
+QUERY_TERMS = ("table", "scan", "merge", "hash", "row",
+               "index", "batch", "agg")
+
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+
+
+def _bm25_term_exprs(terms: tuple[str, ...]) -> list[str]:
+    """Per-term micro-quantized BM25 contribution expressions.
+
+    idf uses the +1 'BM25+' flavor (always positive):
+      idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)
+    tf saturation with document-length normalization:
+      tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    """
+    dl = "CAST(size(toks) AS DOUBLE)"
+    avgdl = "(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    out = []
+    for i, t in enumerate(terms):
+        tf = f"CAST(size(filter(toks, x -> x = '{t}')) AS DOUBLE)"
+        idf = (f"ln((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+               f" / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0)")
+        score = (f"({idf}) * (({tf}) * ({BM25_K1} + 1.0)) / "
+                 f"(({tf}) + {BM25_K1} * "
+                 f"(1.0 - {BM25_B} + {BM25_B} * ({dl}) / {avgdl}))")
+        out.append(f"CAST(floor(({score}) * 1000000.0) AS BIGINT)")
+    return out
+
+
+def bm25_scores(docs: DataFrame,
+                terms: tuple[str, ...] = QUERY_TERMS) -> DataFrame:
+    """BM25 relevance of every document against a fixed keyword query.
+
+    Returns (doc_id, n_matched_terms, dl, bm25_micro) for documents
+    matching at least one query term; bm25_micro is the micro-unit
+    integer score (sum over terms of floor(term_score * 1e6)).
+
+    Plan shape: one corpus-stats aggregate (count/sum/per-term df)
+    broadcast-cross-joined back; tf per term is a per-row array
+    filter — zero shuffle over the corpus itself.
+    """
+    toks = with_tokens(docs)
+    aggs = [F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr("size(toks)")).alias("total_tokens")]
+    for i, t in enumerate(terms):
+        aggs.append(
+            F.sum(F.expr(
+                f"CASE WHEN array_contains(toks, '{t}') THEN 1 ELSE 0 END"))
+            .alias(f"df_{i}"))
+    stats = toks.agg(*aggs)
+    scored = toks.crossJoin(F.broadcast(stats))
+    micro = " + ".join(_bm25_term_exprs(terms))
+    matched = " + ".join(
+        f"CASE WHEN array_contains(toks, '{t}') THEN 1 ELSE 0 END"
+        for t in terms)
+    return (scored.select(
+                "doc_id",
+                F.expr(f"CAST(({matched}) AS INT)").alias("n_matched_terms"),
+                F.expr("size(toks)").alias("dl"),
+                F.expr(f"({micro})").alias("bm25_micro"))
+            .filter(F.col("n_matched_terms") > 0))
+
+
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Unigram language-model surprisal per document — the cheap
+    perplexity-style quality score (documents of improbable tokens
+    score high; boilerplate of corpus-dominant tokens scores low).
+
+    The model is the corpus itself (maximum-likelihood unigram):
+      surprisal(t) = -ln(count(t) / total_tokens), quantized to
+      integer micro-nats per OCCURRENCE, then summed per document.
+    Returns (doc_id, n_tokens, surprisal_micro, mean_surprisal_micro)
+    with mean = surprisal_micro DIV n_tokens (exact integer division).
+
+    Plan shape: explode -> vocabulary aggregate (map-side combine) ->
+    one hash join token-stream x vocabulary -> per-doc sum. The only
+    corpus-wide shuffles are keyed on the token (vocabulary-sized
+    domain) and doc_id.
+    """
+    from ..cache import managed_persist
+    exploded = managed_persist(
+        with_tokens(docs).select("doc_id", F.explode("toks").alias("tok")))
+    totals = exploded.agg(F.count(F.lit(1)).alias("total_tokens"))
+    vocab = (exploded.groupBy("tok")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .crossJoin(F.broadcast(totals))
+             .select(
+                 "tok",
+                 F.expr("CAST(floor(-ln(CAST(cnt AS DOUBLE) / "
+                        "CAST(total_tokens AS DOUBLE)) * 1000000.0) "
+                        "AS BIGINT)").alias("micro_nats")))
+    return (exploded.join(vocab, "tok")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("micro_nats").alias("surprisal_micro"))
+            .select("doc_id", "n_tokens", "surprisal_micro",
+                    F.expr("surprisal_micro DIV n_tokens")
+                     .alias("mean_surprisal_micro")))
