@@ -38,6 +38,9 @@ HEADLINE = [
     "curation_pipeline",         # lang-ID + quality + dedup composed
     "events_sessionize",         # gap-based sessionization
     "text_profile",              # all per-doc text metrics, projection-joined
+    "text_line_dedup",           # corpus-frequency line removal
+    "text_bm25",                 # broadcast-stats keyword relevance
+    "text_unigram_lm",           # unigram surprisal scoring
     "doc_fingerprint",           # winnowing fingerprints
     "mm_assets",                 # mapInPandas multimodal plumbing
     "snapshot_pricing_summary",  # wide aggregate over lineitem

@@ -696,3 +696,76 @@ def test_sql_apply_stream_initial_commit_ts(spark, tmp_path):
     got = sorted(con.execute("SELECT pk FROM t").fetchall())
     con.close()
     assert got == [(3,), (4,)]
+
+
+def _write_doc_segment(spark, path, rows):
+    from tidb_binlog_spark.streaming.corpus_stream import DOC_SCHEMA
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(path)
+
+
+def test_corpus_stream_gates_dedups_and_decontaminates(spark, tmp_path):
+    import datetime as dt
+    from tidb_binlog_spark.streaming.corpus_stream import run_curation_stream
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ck = str(tmp_path / "ck")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    good = "the quick brown fox jumps over the lazy dog"
+    contaminated = "held out benchmark prompt text appears here verbatim"
+    # segment 1: a good doc, an exact duplicate, a too-short doc
+    _write_doc_segment(spark, src, [
+        (1, good, "en", "crawl_a", len(good), t0),
+        (2, good, "en", "crawl_b", len(good), t0),
+        (3, "too short", "en", "crawl_a", 9, t0),
+    ])
+    # segment 2: a contaminated doc and a distinct clean doc
+    clean2 = "an entirely different clean document with many tokens"
+    _write_doc_segment(spark, src, [
+        (4, contaminated, "en", "crawl_a", len(contaminated), t0),
+        (5, clean2, "en", "crawl_b", len(clean2), t0),
+    ])
+    bench = spark.createDataFrame(
+        [("held out benchmark",), ("benchmark prompt text",)], "sh string")
+    q = run_curation_stream(spark, src, ck, out, bench_shingles=bench)
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # doc 1 xor 2 survives dedup (same content hash); 3 fails the
+    # token gate; 4 is decontaminated away; 5 survives
+    assert 5 in got and 3 not in got and 4 not in got
+    assert len(got & {1, 2}) == 1 and len(got) == 2
+
+
+def test_corpus_stream_source_quality_stats_windowed(spark, tmp_path):
+    import datetime as dt
+    from tidb_binlog_spark.streaming.corpus_stream import (
+        read_document_stream, source_quality_stats)
+    import time
+    src = str(tmp_path / "docs_in")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 30)
+    _write_doc_segment(spark, src, [
+        (1, "one two three four five six", "en", "crawl_a", 27, t0),
+        (2, "tiny", "en", "crawl_a", 4, t0),
+        (3, "a b c d e f g h i j", "en", "crawl_b", 19, t0),
+    ])
+    time.sleep(1.1)   # distinct mtime: file source processes oldest first
+    # a much-later segment advances the watermark past t0's window, so
+    # append mode finalizes it during the second micro-batch
+    late = t0 + dt.timedelta(minutes=10)
+    _write_doc_segment(spark, src, [
+        (9, "later segment keeps the clock moving", "en", "crawl_a",
+         36, late),
+    ])
+    stats = source_quality_stats(
+        read_document_stream(spark, src, max_files_per_trigger=1))
+    q = (stats.writeStream.format("memory").queryName("cs_stats")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["source"]: r for r in spark.sql(
+        "SELECT * FROM cs_stats WHERE window_start < timestamp"
+        "'2024-01-01 12:05:00'").collect()}
+    assert rows["crawl_a"]["n_docs"] == 2
+    assert rows["crawl_a"]["n_too_short"] == 1
+    assert rows["crawl_b"]["total_tokens"] == 10

@@ -43,6 +43,10 @@ def spread(df: DataFrame) -> DataFrame:
     for nothing. No-op once the input supplies at least half the
     cluster parallelism. Round-robin repartition keeps results
     row-wise deterministic."""
+    if df.isStreaming:
+        # micro-batches already arrive split; .rdd (the split probe)
+        # is unsupported on streaming frames anyway
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() * 2 >= target:

@@ -1,0 +1,134 @@
+"""Streaming corpus ingestion: the curation pipeline as a Structured
+Streaming flow — the shape a continuously-arriving crawl takes before
+it reaches batch dedup/packing.
+
+Stages:
+- file-source readStream over a documents landing zone (each dropped
+  file is one crawl segment; the checkpoint tracks consumed files,
+  same replay-from-cursor contract as the change-stream source);
+- STATELESS gates run the exact batch expressions (token/quality
+  projections — identical code path, so batch and streaming cannot
+  drift);
+- exact dedup is STATEFUL ``dropDuplicatesWithinWatermark`` keyed on
+  the content hash — the ingest-time watermark bounds state, so a
+  forever-running ingest does not accumulate unbounded hashes (the
+  streaming analog of functions/dedup.exact_dedup's groupBy);
+- decontamination runs per micro-batch inside foreachBatch as the
+  batch broadcast anti-join (a stream-side re-join of a derived
+  stream would be an unsupported stream-stream self-join; foreachBatch
+  gives each micro-batch full batch semantics — the pattern the CDC
+  apply path already uses);
+- per-source rolling quality stats are a windowed aggregation
+  (watermark + append mode), the monitoring surface an ingest
+  pipeline alarms on.
+
+Scale: the stream side is shuffled only by the stateful dedup (keyed
+on content hash — uniform) and the windowed stats (keyed on
+(window, source) — bounded cardinality). State stores partition by
+key across executors; watermarks cap their size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+    T.StructField("ingest_ts", T.TimestampType()),
+])
+
+
+def read_document_stream(spark: SparkSession, source_dir: str,
+                         max_files_per_trigger: int | None = None
+                         ) -> DataFrame:
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    return reader.parquet(source_dir)
+
+
+def curate_stream(docs: DataFrame,
+                  watermark_delay: str = "10 minutes",
+                  min_tokens: int = 5,
+                  max_non_alpha: float = 0.4) -> DataFrame:
+    """Quality-gate + stateful-dedup a document stream. Returns the
+    surviving stream with quality columns attached: (doc_id, source,
+    ingest_ts, n_tokens, non_alpha_ratio, content_hash, text)."""
+    from ..functions.text import TOKENS
+    gated = (docs
+             .withWatermark("ingest_ts", watermark_delay)
+             .withColumn("toks", F.expr(TOKENS))
+             .withColumn("n_tokens", F.expr("size(toks)"))
+             .withColumn(
+                 "non_alpha_ratio",
+                 F.expr("CAST(size(regexp_extract_all(text, '[^a-z ]', 0))"
+                        " AS DOUBLE) / CAST(length(text) AS DOUBLE)"))
+             .filter((F.col("n_tokens") >= min_tokens)
+                     & (F.col("non_alpha_ratio") <= max_non_alpha))
+             .withColumn("content_hash", F.md5("text")))
+    return (gated
+            .dropDuplicatesWithinWatermark(["content_hash"])
+            .select("doc_id", "source", "ingest_ts", "n_tokens",
+                    "non_alpha_ratio", "content_hash", "text"))
+
+
+def contaminated_ids(batch_docs: DataFrame,
+                     bench_shingles: DataFrame) -> DataFrame:
+    """Doc ids sharing any word-3-gram shingle with the (broadcast)
+    benchmark set — batch semantics, called per micro-batch."""
+    from ..functions.dedup import with_shingles
+    doc_sh = (with_shingles(batch_docs.select("doc_id", "text"))
+              .select("doc_id", F.explode("shingles").alias("sh")))
+    return (doc_sh.join(F.broadcast(bench_shingles), "sh", "left_semi")
+            .select("doc_id").distinct())
+
+
+def source_quality_stats(docs: DataFrame,
+                         window_size: str = "1 minute",
+                         watermark_delay: str = "2 minutes") -> DataFrame:
+    """Windowed per-source ingest monitoring: doc counts, token
+    totals, reject counts — append-mode once the watermark passes a
+    window (the alarm surface of a continuously-running ingest)."""
+    from ..functions.text import TOKENS
+    return (docs
+            .withWatermark("ingest_ts", watermark_delay)
+            .withColumn("n_tokens", F.expr(f"size({TOKENS})"))
+            .groupBy(F.window("ingest_ts", window_size).alias("w"),
+                     "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.count(F.when(F.col("n_tokens") < 5, 1))
+                  .alias("n_too_short"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "source", "n_docs", "total_tokens", "n_too_short"))
+
+
+def run_curation_stream(spark: SparkSession, source_dir: str,
+                        checkpoint_dir: str, out_dir: str,
+                        bench_shingles: DataFrame | None = None,
+                        available_now: bool = True):
+    """Wire the curated stream to a parquet output directory; the
+    optional decontamination anti-join runs inside foreachBatch.
+    Returns the StreamingQuery (caller awaits termination)."""
+    stream = curate_stream(read_document_stream(spark, source_dir))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df
+        if bench_shingles is not None:
+            out = out.join(contaminated_ids(out, bench_shingles),
+                           "doc_id", "left_anti")
+        out.write.mode("append").parquet(out_dir)
+
+    writer = (stream.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
