@@ -827,6 +827,13 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return simfn.embedding_near_dups(_embs(spark, sf_dir))
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: sampled per-subspace codebooks,
+    zero-shuffle argmin encode, asymmetric-distance search over the
+    reconstructions (Jegou et al., PAMI'11)."""
+    return simfn.pq_topk(_embs(spark, sf_dir))
+
+
 def q_dedup_embedding_clusters(spark, sf_dir):
     """Embedding near-dup CLUSTERS: connected components over the
     cosine near-dup graph — the canonical-representative assignment a
@@ -1059,6 +1066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_clusters": q_dedup_embedding_clusters,
+        # new this round; oracle-checked locally, rotate into the
+        # window next round
+        "ann_pq_topk": q_ann_pq_topk,
     }
 
 
@@ -1346,6 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         "text_line_dedup": osql.line_dedup_sql(BOILER_HEADER),
         "text_bm25": osql.bm25_sql(scoring.QUERY_TERMS),
         "text_unigram_lm": osql.UNIGRAM_SURPRISAL,
+        "ann_pq_topk": osql.pq_topk_sql(),
         "doc_chunks": r"""
             WITH t AS (SELECT doc_id,
                 string_split_regex(trim(text), '\s+') AS toks

@@ -504,3 +504,27 @@ def test_unigram_surprisal_orders_rare_above_common(spark):
     for r in out.values():
         assert 0 <= r["mean_surprisal_micro"] <= r["surprisal_micro"]
         assert r["surprisal_micro"] // r["n_tokens"] == r["mean_surprisal_micro"]
+
+
+def test_pq_encode_reconstructs_codebook_samples_exactly(spark):
+    import pyspark.sql.functions as F
+    from tidb_binlog_spark.functions.similarity import (
+        pq_codebooks, pq_encode, pq_topk)
+    # 64-dim vectors in two well-separated clusters around +/- 10
+    rows = []
+    for i in range(120):
+        base = 10.0 if i % 2 == 0 else -10.0
+        rows.append((i, [base + (0.01 * ((i * 7 + d) % 5))
+                         for d in range(64)]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_codebooks(embs, codebook_mod=59)
+    enc = pq_encode(embs, cb)
+    # a vector that seeded the codebook reconstructs to itself exactly
+    sample = {r["vec_id"]: r for r in
+              enc.filter(F.col("vec_id") % 59 == 1).collect()}
+    for r in sample.values():
+        assert r["pq_recon"] == r["embedding"]
+    # search: every query's top neighbors come from its own cluster
+    top = pq_topk(embs, query_mod=40, k=5, codebook_mod=59)
+    for r in top.collect():
+        assert r["query_id"] % 2 == r["vec_id"] % 2

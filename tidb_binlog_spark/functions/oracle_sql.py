@@ -470,3 +470,54 @@ SELECT doc_id, COUNT(*) AS n_lines,
                       ORDER BY line_no), '') AS clean_text
 FROM flagged GROUP BY doc_id
 """
+
+
+def pq_topk_sql(m: int = 8, dims: int = 64, codebook_mod: int = 59,
+                query_mod: int = 100, k: int = 5) -> str:
+    """DuckDB mirror of similarity.pq_topk: sampled codebooks, per-
+    subspace argmin encode, reconstruction, asymmetric-distance rank.
+    Folds are list_reduce with a prepended 0.0 (== Spark aggregate
+    with 0.0 init, bit-for-bit)."""
+    sub = dims // m
+
+    def sq_fold(a: str, b: str) -> str:
+        return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(list_zip({a}, {b}), "
+                f"z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * "
+                f"(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), "
+                f"(acc, v) -> acc + v)")
+
+    code_cols = []
+    for j in range(m):
+        sv = f"embedding[{j * sub + 1} : {j * sub + sub}]"
+        dists = (f"list_transform(list_filter(cb, x -> x.j = {j}), "
+                 f"c -> {sq_fold(sv, 'c.codeword')})")
+        code_cols.append(
+            f"CAST(list_position({dists}, list_min({dists})) - 1 AS INT)"
+            f" AS c{j}")
+    recon = " || ".join(
+        f"list_filter(cb, x -> x.j = {j})[c{j} + 1].codeword"
+        for j in range(m))
+    return f"""
+WITH s AS (SELECT vec_id, embedding,
+    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+  FROM embeddings WHERE vec_id % {codebook_mod} = 1),
+cbrows AS (SELECT j, code,
+    embedding[j * {sub} + 1 : j * {sub} + {sub}] AS codeword
+  FROM s, (SELECT unnest(generate_series(0, {m - 1})) AS j)),
+cbagg AS (SELECT list(struct_pack(j := j, code := code,
+                                  codeword := codeword)
+                      ORDER BY j, code) AS cb FROM cbrows),
+coded AS (SELECT vec_id, embedding, {', '.join(code_cols)}
+  FROM embeddings, cbagg),
+enc AS (SELECT vec_id, ({recon}) AS pq_recon FROM coded, cbagg),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id % {query_mod} = 0),
+scored AS (SELECT q.query_id, e.vec_id,
+    {sq_fold('q.q_emb', 'e.pq_recon')} AS adc_dist
+  FROM enc e, q WHERE e.vec_id <> q.query_id),
+ranked AS (SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, adc_dist, rank FROM ranked WHERE rank <= {k}
+"""

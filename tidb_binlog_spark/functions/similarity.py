@@ -288,3 +288,104 @@ def semantic_dedup(embeddings: DataFrame, k: int = 16, iters: int = 3,
             .select(id_col, "centroid_id",
                     F.coalesce(~F.col("_dup"), F.lit(True))
                      .alias("is_kept")))
+
+
+# --- product quantization ----------------------------------------------------
+# The memory-bounded ANN scale path (Jegou et al., PAMI'11): split each
+# d-dim vector into M subvectors, quantize each against a per-subspace
+# codebook of K codewords, store M small codes per vector. At 100 TB
+# the corpus holds M bytes/vector instead of 4d, codebooks stay
+# broadcast-tiny, and search reconstructs distances from the codes.
+
+PQ_M = 8            # subspaces (64 dims -> 8 dims each)
+PQ_CODEBOOK_MOD = 59   # deterministic codebook sample: vec_id % mod == 1
+
+
+def _subvec(vec: str, j: int, sub_dim: int) -> str:
+    return f"slice({vec}, {j * sub_dim + 1}, {sub_dim})"
+
+
+def pq_codebooks(embeddings: DataFrame, m: int = PQ_M,
+                 codebook_mod: int = PQ_CODEBOOK_MOD,
+                 dims: int = 64) -> DataFrame:
+    """Per-subspace codebooks from a deterministic corpus sample
+    (vec_id % mod == 1), one row per (subspace j, code c): the sampled
+    vectors' j-th subvectors, code ids assigned by vec_id order.
+    (kmeans_centroids can refine these; the encode/search machinery is
+    identical — same trade as ivf_assign's sampled coarse quantizer.)"""
+    sub = dims // m
+    sample = embeddings.filter(F.col("vec_id") % codebook_mod == 1)
+    w = Window.orderBy("vec_id")   # codebook_size rows only — tiny
+    coded = sample.withColumn("code", F.row_number().over(w) - 1)
+    parts = []
+    for j in range(m):
+        parts.append(coded.select(
+            F.lit(j).alias("j"), "code",
+            F.expr(_subvec("embedding", j, sub)).alias("codeword")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_encode(embeddings: DataFrame, codebooks: DataFrame,
+              m: int = PQ_M, dims: int = 64) -> DataFrame:
+    """Assign every vector its M-byte PQ code AND the reconstructed
+    (decoded) vector — argmin squared-L2 per subspace against the
+    broadcast codebook, ties to the lowest code id.
+
+    The codebook arrives as ONE broadcast row of
+    array<struct<j,code,codeword>> sorted by (j, code); the per-row
+    argmin is a pure array fold — no explode of the corpus, no
+    shuffle."""
+    sub = dims // m
+    cb = codebooks.agg(F.expr(
+        "sort_array(collect_list(struct(j, code, codeword))) AS cb"))
+    e = embeddings.crossJoin(F.broadcast(cb))
+    code_cols, recon_parts = [], []
+    for j in range(m):
+        sv = _subvec("embedding", j, sub)
+        dists = (f"transform(filter(cb, x -> x.j = {j}), "
+                 f"c -> aggregate(zip_with({sv}, c.codeword, "
+                 f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+                 f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+                 f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+        code = (f"array_position({dists}, array_min({dists})) - 1")
+        code_cols.append(F.expr(f"CAST({code} AS INT)").alias(f"c{j}"))
+    e = e.select("vec_id", "embedding", "cb", *code_cols)
+    for j in range(m):
+        recon_parts.append(
+            f"filter(cb, x -> x.j = {j})[c{j}].codeword")
+    recon = "concat(" + ", ".join(recon_parts) + ")"
+    return e.select(
+        "vec_id", "embedding",
+        F.array(*[F.col(f"c{j}") for j in range(m)]).alias("pq_code"),
+        F.expr(recon).alias("pq_recon"))
+
+
+def pq_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
+            m: int = PQ_M, codebook_mod: int = PQ_CODEBOOK_MOD) -> DataFrame:
+    """PQ asymmetric-distance search: queries stay exact, corpus
+    vectors are represented by their reconstructions (sum over
+    subspaces of query-to-codeword distances == squared L2 to the
+    concatenated reconstruction), ranked per query ascending.
+
+    Scale: the corpus carries only codes; one broadcast of the query
+    set; the only shuffle is the per-query top-k window."""
+    cb = pq_codebooks(embeddings, m, codebook_mod)
+    enc = pq_encode(embeddings, cb, m)
+    q = (embeddings.filter(F.col("vec_id") % query_mod == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    sq = ("aggregate(zip_with(q_emb, pq_recon, "
+          "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+          "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    joined = (enc.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .withColumn("adc_dist", F.expr(sq)))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                               F.asc("vec_id"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "adc_dist", "rank"))
