@@ -919,7 +919,6 @@ def q_text_bm25(spark, sf_dir):
     """BM25 keyword relevance against a fixed query — corpus stats
     (N, avgdl, df) broadcast, per-term scores micro-quantized before
     the integer sum so the DuckDB oracle matches bit-for-bit."""
-    from tidb_binlog_spark.functions import scoring
     return scoring.bm25_scores(_docs(spark, sf_dir))
 
 
@@ -927,7 +926,6 @@ def q_text_unigram_lm(spark, sf_dir):
     """Unigram-LM surprisal per doc (perplexity-style quality score):
     corpus-ML token probabilities, micro-nat quantization per
     occurrence, exact integer aggregation."""
-    from tidb_binlog_spark.functions import scoring
     return scoring.unigram_surprisal(_docs(spark, sf_dir))
 
 

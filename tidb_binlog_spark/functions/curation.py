@@ -244,15 +244,23 @@ def line_dedup(docs: DataFrame, line_tokens: int = 8,
     flagged = (lines.join(freq, "lh")
                .withColumn("is_boiler",
                            F.col("n_docs_with") >= min_docs))
-    return (flagged.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_lines"),
-                 F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
-                 # collect_list skips NULLs, so boiler lines vanish and
-                 # the ordered re-join rebuilds the surviving text
-                 F.expr("array_join(transform(sort_array(collect_list("
-                        "CASE WHEN NOT is_boiler "
-                        "THEN struct(line_no, line) END)), "
-                        "x -> x.line), ' ')").alias("clean_text")))
+    agg = (flagged.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
+                # collect_list skips NULLs, so boiler lines vanish and
+                # the ordered re-join rebuilds the surviving text
+                F.expr("array_join(transform(sort_array(collect_list("
+                       "CASE WHEN NOT is_boiler "
+                       "THEN struct(line_no, line) END)), "
+                       "x -> x.line), ' ')").alias("clean_text")))
+    # zero-token docs have no lines to explode; the promised
+    # one-row-per-doc contract still holds via the left-join fill
+    return (docs.select("doc_id").join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+                    F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+                    F.coalesce("clean_text", F.lit(""))
+                     .alias("clean_text")))
 
 
 def deterministic_shuffle(docs: DataFrame, seed: str = "0",

@@ -463,17 +463,23 @@ lines AS (SELECT doc_id, CAST(i AS INT) AS line_no,
 freq AS (SELECT md5(line) AS lh, COUNT(DISTINCT doc_id) AS n_docs_with
          FROM lines GROUP BY 1),
 flagged AS (SELECT l.*, f.n_docs_with >= {min_docs} AS is_boiler
-            FROM lines l JOIN freq f ON md5(l.line) = f.lh)
-SELECT doc_id, COUNT(*) AS n_lines,
+            FROM lines l JOIN freq f ON md5(l.line) = f.lh),
+agg AS (SELECT doc_id, COUNT(*) AS n_lines,
   CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
   COALESCE(string_agg(CASE WHEN NOT is_boiler THEN line END, ' '
                       ORDER BY line_no), '') AS clean_text
-FROM flagged GROUP BY doc_id
+FROM flagged GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(agg.n_lines, 0) AS n_lines,
+  COALESCE(agg.n_removed, 0) AS n_removed,
+  COALESCE(agg.clean_text, '') AS clean_text
+FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
 
 def pq_topk_sql(m: int = 8, dims: int = 64, codebook_mod: int = 59,
-                query_mod: int = 100, k: int = 5) -> str:
+                query_mod: int = 100, k: int = 5,
+                codebook_size: int = 16) -> str:
     """DuckDB mirror of similarity.pq_topk: sampled codebooks, per-
     subspace argmin encode, reconstruction, asymmetric-distance rank.
     Folds are list_reduce with a prepended 0.0 (== Spark aggregate
@@ -501,7 +507,9 @@ def pq_topk_sql(m: int = 8, dims: int = 64, codebook_mod: int = 59,
     return f"""
 WITH s AS (SELECT vec_id, embedding,
     ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
-  FROM embeddings WHERE vec_id % {codebook_mod} = 1),
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % {codebook_mod} = 1
+        ORDER BY vec_id LIMIT {codebook_size})),
 cbrows AS (SELECT j, code,
     embedding[j * {sub} + 1 : j * {sub} + {sub}] AS codeword
   FROM s, (SELECT unnest(generate_series(0, {m - 1})) AS j)),

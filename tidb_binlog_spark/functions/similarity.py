@@ -299,6 +299,7 @@ def semantic_dedup(embeddings: DataFrame, k: int = 16, iters: int = 3,
 
 PQ_M = 8            # subspaces (64 dims -> 8 dims each)
 PQ_CODEBOOK_MOD = 59   # deterministic codebook sample: vec_id % mod == 1
+PQ_CODEBOOK_SIZE = 16  # K codewords per subspace (fixed regardless of corpus)
 
 
 def _subvec(vec: str, j: int, sub_dim: int) -> str:
@@ -307,14 +308,22 @@ def _subvec(vec: str, j: int, sub_dim: int) -> str:
 
 def pq_codebooks(embeddings: DataFrame, m: int = PQ_M,
                  codebook_mod: int = PQ_CODEBOOK_MOD,
-                 dims: int = 64) -> DataFrame:
+                 dims: int = 64,
+                 codebook_size: int = PQ_CODEBOOK_SIZE) -> DataFrame:
     """Per-subspace codebooks from a deterministic corpus sample
-    (vec_id % mod == 1), one row per (subspace j, code c): the sampled
-    vectors' j-th subvectors, code ids assigned by vec_id order.
-    (kmeans_centroids can refine these; the encode/search machinery is
-    identical — same trade as ivf_assign's sampled coarse quantizer.)"""
+    (vec_id % mod == 1, lowest ``codebook_size`` vec_ids), one row per
+    (subspace j, code c): the sampled vectors' j-th subvectors, code
+    ids assigned by vec_id order. K is FIXED regardless of corpus size
+    so the broadcast codebook and the per-row argmin cost never grow
+    with the data. (kmeans_centroids can refine these; the
+    encode/search machinery is identical — same trade as ivf_assign's
+    sampled coarse quantizer.)"""
     sub = dims // m
-    sample = embeddings.filter(F.col("vec_id") % codebook_mod == 1)
+    # orderBy().limit() compiles to TakeOrderedAndProject (per-partition
+    # heap + driver merge of K rows) — the unpartitioned row_number
+    # window below then runs over K rows only, never the corpus sample
+    sample = (embeddings.filter(F.col("vec_id") % codebook_mod == 1)
+              .orderBy("vec_id").limit(codebook_size))
     w = Window.orderBy("vec_id")   # codebook_size rows only — tiny
     coded = sample.withColumn("code", F.row_number().over(w) - 1)
     parts = []
@@ -364,7 +373,8 @@ def pq_encode(embeddings: DataFrame, codebooks: DataFrame,
 
 
 def pq_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
-            m: int = PQ_M, codebook_mod: int = PQ_CODEBOOK_MOD) -> DataFrame:
+            m: int = PQ_M, codebook_mod: int = PQ_CODEBOOK_MOD,
+            codebook_size: int = PQ_CODEBOOK_SIZE) -> DataFrame:
     """PQ asymmetric-distance search: queries stay exact, corpus
     vectors are represented by their reconstructions (sum over
     subspaces of query-to-codeword distances == squared L2 to the
@@ -372,7 +382,8 @@ def pq_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
 
     Scale: the corpus carries only codes; one broadcast of the query
     set; the only shuffle is the per-query top-k window."""
-    cb = pq_codebooks(embeddings, m, codebook_mod)
+    cb = pq_codebooks(embeddings, m, codebook_mod,
+                      codebook_size=codebook_size)
     enc = pq_encode(embeddings, cb, m)
     q = (embeddings.filter(F.col("vec_id") % query_mod == 0)
          .select(F.col("vec_id").alias("query_id"),

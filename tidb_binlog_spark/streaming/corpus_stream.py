@@ -48,15 +48,20 @@ def read_document_stream(spark: SparkSession, source_dir: str,
                          max_files_per_trigger: int | None = None
                          ) -> DataFrame:
     reader = spark.readStream.schema(DOC_SCHEMA)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger",
                                str(max_files_per_trigger))
     return reader.parquet(source_dir)
 
 
+# shared by the gate and the monitoring surface so the alarm metric
+# cannot drift from what the gate actually rejects
+DEFAULT_MIN_TOKENS = 5
+
+
 def curate_stream(docs: DataFrame,
                   watermark_delay: str = "10 minutes",
-                  min_tokens: int = 5,
+                  min_tokens: int = DEFAULT_MIN_TOKENS,
                   max_non_alpha: float = 0.4) -> DataFrame:
     """Quality-gate + stateful-dedup a document stream. Returns the
     surviving stream with quality columns attached: (doc_id, source,
@@ -92,7 +97,8 @@ def contaminated_ids(batch_docs: DataFrame,
 
 def source_quality_stats(docs: DataFrame,
                          window_size: str = "1 minute",
-                         watermark_delay: str = "2 minutes") -> DataFrame:
+                         watermark_delay: str = "2 minutes",
+                         min_tokens: int = DEFAULT_MIN_TOKENS) -> DataFrame:
     """Windowed per-source ingest monitoring: doc counts, token
     totals, reject counts — append-mode once the watermark passes a
     window (the alarm surface of a continuously-running ingest)."""
@@ -104,7 +110,7 @@ def source_quality_stats(docs: DataFrame,
                      "source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens"),
-                 F.count(F.when(F.col("n_tokens") < 5, 1))
+                 F.count(F.when(F.col("n_tokens") < min_tokens, 1))
                   .alias("n_too_short"))
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
@@ -125,7 +131,14 @@ def run_curation_stream(spark: SparkSession, source_dir: str,
         if bench_shingles is not None:
             out = out.join(contaminated_ids(out, bench_shingles),
                            "doc_id", "left_anti")
-        out.write.mode("append").parquet(out_dir)
+        # idempotent under foreachBatch's at-least-once replay: a
+        # re-run of the same micro-batch OVERWRITES its own batch-id
+        # partition instead of appending duplicates
+        (out.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir))
 
     writer = (stream.writeStream.foreachBatch(sink)
               .option("checkpointLocation", checkpoint_dir))
