@@ -834,6 +834,24 @@ def q_ann_pq_topk(spark, sf_dir):
     return simfn.pq_topk(_embs(spark, sf_dir))
 
 
+def q_doc_hash_embed(spark, sf_dir):
+    """Feature-hashing document embeddings (hashing trick): model-free
+    dense vectors for raw text so the ANN/semantic-dedup stack applies
+    to the documents table. Components are exact signed counts; the
+    compare surface serializes them as integer CSV."""
+    emb = scoring.hash_embed(_docs(spark, sf_dir))
+    return emb.select(
+        "doc_id",
+        F.expr("array_join(transform(embedding, "
+               "x -> CAST(CAST(x AS BIGINT) AS STRING)), ',')")
+         .alias("embed_csv"),
+        F.expr("size(filter(embedding, x -> x <> CAST(0.0 AS DOUBLE)))")
+         .alias("nnz"),
+        F.expr("CAST(aggregate(transform(embedding, x -> x * x), "
+               "CAST(0.0 AS DOUBLE), (a, v) -> a + v) AS BIGINT)")
+         .alias("l2_sq"))
+
+
 def q_dedup_embedding_clusters(spark, sf_dir):
     """Embedding near-dup CLUSTERS: connected components over the
     cosine near-dup graph — the canonical-representative assignment a
@@ -1067,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round; oracle-checked locally, rotate into the
         # window next round
         "ann_pq_topk": q_ann_pq_topk,
+        "doc_hash_embed": q_doc_hash_embed,
     }
 
 
@@ -1355,6 +1374,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bm25": osql.bm25_sql(scoring.QUERY_TERMS),
         "text_unigram_lm": osql.UNIGRAM_SURPRISAL,
         "ann_pq_topk": osql.pq_topk_sql(),
+        "doc_hash_embed": osql.HASH_EMBED,
         "doc_chunks": r"""
             WITH t AS (SELECT doc_id,
                 string_split_regex(trim(text), '\s+') AS toks

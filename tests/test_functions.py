@@ -528,3 +528,37 @@ def test_pq_encode_reconstructs_codebook_samples_exactly(spark):
     top = pq_topk(embs, query_mod=40, k=5, codebook_mod=59)
     for r in top.collect():
         assert r["query_id"] % 2 == r["vec_id"] % 2
+
+
+def test_hash_embed_deterministic_and_count_scaled(spark):
+    from tidb_binlog_spark.functions.scoring import hash_embed
+    from tidb_binlog_spark.functions.similarity import semantic_dedup
+    import pyspark.sql.functions as F
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"),
+         (2, "alpha beta gamma"),            # same multiset -> same vector
+         (3, "alpha alpha beta gamma"),      # repeat amplifies one bucket
+         (4, ""),                            # zero-token doc
+         (5, "delta epsilon zeta eta")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: list(r["embedding"])
+           for r in hash_embed(docs).collect()}
+    assert len(out) == 5
+    assert out[1] == out[2]
+    assert out[4] == [0.0] * 64
+    # doc 3 differs from doc 1 in exactly alpha's bucket, by +/-1
+    diff = [a - b for a, b in zip(out[3], out[1])]
+    assert sorted(map(abs, diff)) == [0.0] * 63 + [1.0]
+    # every component is an exact signed integer count
+    for v in out.values():
+        assert all(x == int(x) for x in v)
+    # the embeddings feed the semantic-dedup stack directly (zero
+    # vectors gated first — cosine is undefined on them): the two
+    # identical docs collapse to the lower id
+    emb = (hash_embed(docs)
+           .filter(F.expr("exists(embedding, x -> x <> 0D)"))
+           .select(F.col("doc_id").alias("vec_id"), "embedding"))
+    kept = {r["vec_id"]: r["is_kept"]
+            for r in semantic_dedup(emb, k=2, iters=1,
+                                    threshold=0.999).collect()}
+    assert kept[1] and not kept[2]

@@ -529,3 +529,30 @@ ranked AS (SELECT *, ROW_NUMBER() OVER (
   FROM scored)
 SELECT query_id, vec_id, adc_dist, rank FROM ranked WHERE rank <= {k}
 """
+
+
+# scoring.hash_embed mirror: DuckDB computes each dimension as a
+# per-doc fold over the token list; Spark uses explode + groupBy.
+# The routes agree EXACTLY because every component is a sum of +/-1.0
+# (small integers are exact in doubles, addition order irrelevant).
+HASH_EMBED = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+emb AS (SELECT doc_id,
+  list_transform(generate_series(0, 63), d ->
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(toks, t -> CASE WHEN
+        CAST(concat('0x', substring(md5(t), 1, 4)) AS INTEGER) % 64 = d
+        THEN (CASE WHEN substring(md5(t), 5, 1) >= '8'
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)
+        ELSE CAST(0.0 AS DOUBLE) END)),
+      (acc, u) -> acc + u)) AS v
+  FROM toks)
+SELECT doc_id,
+  array_to_string(list_transform(v, x ->
+    CAST(CAST(x AS BIGINT) AS VARCHAR)), ',') AS embed_csv,
+  len(list_filter(v, x -> x <> 0)) AS nnz,
+  CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list_transform(v, x -> x * x)), (acc, u) -> acc + u) AS BIGINT)
+    AS l2_sq
+FROM emb
+"""

@@ -131,3 +131,42 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
             .select("doc_id", "n_tokens", "surprisal_micro",
                     F.expr("surprisal_micro DIV n_tokens")
                      .alias("mean_surprisal_micro")))
+
+
+def hash_embed(docs: DataFrame, dims: int = 64) -> DataFrame:
+    """Feature-hashing (hashing-trick) document embeddings: each token
+    hashes to one of ``dims`` buckets with a +/-1 sign; the document
+    vector is the signed bucket-count histogram. Gives every document
+    a model-free dense vector so the ANN / semantic-dedup stack
+    (similarity.py) applies to raw text corpora.
+
+    Returns (doc_id, embedding array<double>) for EVERY doc
+    (zero-token docs get the zero vector).
+
+    Plan shape: explode -> per-(doc, bucket) sum -> per-doc map
+    assembly — two doc-keyed shuffles, md5 computed ONCE per token.
+    Components are signed integer counts (exact in doubles), so the
+    result is aggregation-order-invariant and engine-exact.
+    """
+    from ..cache import managed_persist
+    ex = (with_tokens(docs)
+          .select("doc_id", F.explode("toks").alias("tok")))
+    bs = ex.select(
+        "doc_id",
+        F.expr(f"CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS INT)"
+               f" % {dims}").alias("bucket"),
+        F.expr("IF(substring(md5(tok), 5, 1) >= '8', "
+               "CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE))").alias("sign"))
+    sums = bs.groupBy("doc_id", "bucket").agg(F.sum("sign").alias("val"))
+    vecs = (sums.groupBy("doc_id")
+            .agg(F.expr("map_from_entries(collect_list(struct(bucket, val)))")
+                 .alias("m"))
+            .select("doc_id", F.expr(
+                f"transform(sequence(0, {dims - 1}), "
+                f"d -> coalesce(element_at(m, d), CAST(0.0 AS DOUBLE)))")
+                .alias("embedding")))
+    zero = ", ".join(["CAST(0.0 AS DOUBLE)"] * dims)
+    return (docs.select("doc_id").join(vecs, "doc_id", "left")
+            .select("doc_id",
+                    F.expr(f"coalesce(embedding, array({zero}))")
+                     .alias("embedding")))
