@@ -834,6 +834,19 @@ def q_ann_pq_topk(spark, sf_dir):
     return simfn.pq_topk(_embs(spark, sf_dir))
 
 
+def q_corpus_token_stats(spark, sf_dir):
+    """Zipf-curve vocabulary report: top-50 tokens with rank and
+    cumulative share, plus vocab/total counts — the corpus-audit
+    surface."""
+    return scoring.corpus_token_stats(_docs(spark, sf_dir))
+
+
+def q_text_bigram_lm(spark, sf_dir):
+    """Interpolated bigram-LM surprisal per doc — the step up from
+    unigram scoring; micro-nat integer quantization per occurrence."""
+    return scoring.bigram_surprisal(_docs(spark, sf_dir))
+
+
 def q_doc_hash_embed(spark, sf_dir):
     """Feature-hashing document embeddings (hashing trick): model-free
     dense vectors for raw text so the ANN/semantic-dedup stack applies
@@ -1086,6 +1099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window next round
         "ann_pq_topk": q_ann_pq_topk,
         "doc_hash_embed": q_doc_hash_embed,
+        "corpus_token_stats": q_corpus_token_stats,
+        "text_bigram_lm": q_text_bigram_lm,
     }
 
 
@@ -1375,6 +1390,8 @@ def oracle_sql() -> dict[str, str]:
         "text_unigram_lm": osql.UNIGRAM_SURPRISAL,
         "ann_pq_topk": osql.pq_topk_sql(),
         "doc_hash_embed": osql.HASH_EMBED,
+        "corpus_token_stats": osql.CORPUS_TOKEN_STATS,
+        "text_bigram_lm": osql.BIGRAM_SURPRISAL,
         "doc_chunks": r"""
             WITH t AS (SELECT doc_id,
                 string_split_regex(trim(text), '\s+') AS toks

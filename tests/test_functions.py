@@ -562,3 +562,29 @@ def test_hash_embed_deterministic_and_count_scaled(spark):
             for r in semantic_dedup(emb, k=2, iters=1,
                                     threshold=0.999).collect()}
     assert kept[1] and not kept[2]
+
+
+def test_corpus_token_stats_zipf_surface(spark):
+    from tidb_binlog_spark.functions.scoring import corpus_token_stats
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")], "doc_id long, text string")
+    rows = sorted(corpus_token_stats(docs, top_k=3).collect(),
+                  key=lambda r: r["rank"])
+    assert [(r["tok"], r["cnt"]) for r in rows] == [("a", 4), ("b", 3), ("c", 1)]
+    assert [r["cum_cnt"] for r in rows] == [4, 7, 8]
+    assert rows[0]["vocab_size"] == 4 and rows[0]["total_tokens"] == 9
+    assert rows[-1]["cum_share"] == 8 / 9
+
+
+def test_bigram_surprisal_scores_every_token_once(spark):
+    from tidb_binlog_spark.functions.scoring import bigram_surprisal
+    docs = spark.createDataFrame(
+        [(1, "a b a b"),            # predictable alternation
+         (2, "a x")],               # 'x' after 'a' is rarer
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_surprisal(docs).collect()}
+    # head + one score per bigram == token count
+    assert out[1]["n_scored"] == 4 and out[2]["n_scored"] == 2
+    # the doc with the unpredictable continuation is more surprising
+    assert (out[2]["mean_surprisal_micro"] >
+            out[1]["mean_surprisal_micro"] >= 0)

@@ -556,3 +556,53 @@ SELECT doc_id,
     AS l2_sq
 FROM emb
 """
+
+
+CORPUS_TOKEN_STATS = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+counts AS (SELECT tok, COUNT(*) AS cnt FROM ex GROUP BY tok),
+totals AS (SELECT COUNT(*) AS vocab_size,
+                  CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM counts),
+top AS (SELECT * FROM counts ORDER BY cnt DESC, tok LIMIT 50),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank,
+        CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+      FROM top)
+SELECT rank, tok, cnt, cum_cnt,
+  CAST(cum_cnt AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS cum_share,
+  vocab_size, total_tokens
+FROM r, totals
+"""
+
+
+BIGRAM_SURPRISAL = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+uni AS (SELECT tok, COUNT(*) AS c1 FROM ex GROUP BY tok),
+total AS (SELECT COUNT(*) AS t FROM ex),
+bi0 AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i,
+               toks
+        FROM toks WHERE len(toks) >= 2),
+bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM bi0),
+bic AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+sb AS (SELECT doc_id,
+    CAST(floor(-ln(0.75 * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) +
+                   (1.0 - 0.75) * (CAST(c1w2 AS DOUBLE) / CAST(t AS DOUBLE)))
+               * 1000000.0) AS BIGINT) AS micro
+  FROM bi
+  JOIN bic USING (w1, w2)
+  JOIN uni u1 ON bi.w1 = u1.tok
+  JOIN (SELECT tok AS tok2, c1 AS c1w2 FROM uni) u2 ON bi.w2 = u2.tok2,
+  total),
+sh AS (SELECT doc_id,
+    CAST(floor(-ln(CAST(c1 AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0)
+         AS BIGINT) AS micro
+  FROM (SELECT doc_id, toks[1] AS tok FROM toks WHERE len(toks) >= 1) h
+  JOIN uni USING (tok), total)
+SELECT doc_id, COUNT(*) AS n_scored,
+  CAST(SUM(micro) AS BIGINT) AS surprisal_micro,
+  CAST(SUM(micro) AS BIGINT) // COUNT(*) AS mean_surprisal_micro
+FROM (SELECT * FROM sb UNION ALL SELECT * FROM sh)
+GROUP BY doc_id
+"""

@@ -170,3 +170,97 @@ def hash_embed(docs: DataFrame, dims: int = 64) -> DataFrame:
             .select("doc_id",
                     F.expr(f"coalesce(embedding, array({zero}))")
                      .alias("embedding")))
+
+
+def corpus_token_stats(docs: DataFrame, top_k: int = 50) -> DataFrame:
+    """Corpus vocabulary report (the Zipf-curve surface a corpus audit
+    reads): the ``top_k`` most frequent tokens with rank, count,
+    cumulative count and cumulative share, plus vocabulary size and
+    total token count on every row (broadcast totals).
+
+    Scale shape: one token-keyed count aggregate (map-side combine),
+    orderBy().limit() -> TakeOrderedAndProject for the top-k (never a
+    global sort), then a row_number window over the K collected rows.
+    Cumulative share is one exact BIGINT prefix sum divided once.
+    """
+    from pyspark.sql import Window
+    ex = (with_tokens(docs)
+          .select("doc_id", F.explode("toks").alias("tok")))
+    counts = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("cnt").alias("total_tokens"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(top_k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))   # top_k rows only
+    return (top
+            .withColumn("rank", F.row_number().over(w))
+            .withColumn("cum_cnt",
+                        F.sum("cnt").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0)))
+            .crossJoin(F.broadcast(totals))
+            .select("rank", "tok", "cnt", "cum_cnt",
+                    (F.col("cum_cnt").cast("double")
+                     / F.col("total_tokens").cast("double"))
+                    .alias("cum_share"),
+                    "vocab_size", "total_tokens"))
+
+
+def bigram_surprisal(docs: DataFrame,
+                     lambda1: str = "0.75") -> DataFrame:
+    """Interpolated bigram-LM surprisal per document — one step up
+    from the unigram score: p(w2|w1) interpolates the ML conditional
+    with the unigram fallback,
+      p = l1 * c(w1,w2)/c1(w1) + (1-l1) * c1(w2)/T,
+    scored per bigram occurrence in micro-nats (floor(-ln(p)*1e6) as
+    BIGINT), summed exactly per document; the first token of each doc
+    is scored by its unigram probability. Returns (doc_id, n_scored,
+    surprisal_micro, mean_surprisal_micro).
+
+    Scale shape: bigram counts shuffle on the (w1,w2) key, unigram
+    counts on the token key; the doc's scored stream joins each once,
+    then one doc_id aggregate. Integer quantization before any
+    cross-row sum keeps it engine- and order-exact.
+    """
+    from ..cache import managed_persist
+    toks = with_tokens(docs)
+    # (doc_id, pos, w1, w2) for pos >= 1; pos 0 is the unigram-scored head
+    bi = managed_persist(
+        toks.select(
+            "doc_id",
+            F.posexplode(F.expr(
+                "CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) "
+                "ELSE array() END")).alias("pos", "b"))
+        .select("doc_id", "pos", "b.w1", "b.w2"))
+    heads = toks.filter(F.expr("size(toks) >= 1")).select(
+        "doc_id", F.expr("toks[0]").alias("tok"))
+    ex = (with_tokens(docs)
+          .select("doc_id", F.explode("toks").alias("tok")))
+    uni = managed_persist(
+        ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c1")))
+    total = ex.agg(F.count(F.lit(1)).alias("t"))
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    p_bi = (f"({lambda1} * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) + "
+            f"(1.0 - {lambda1}) * (CAST(c1w2 AS DOUBLE) / CAST(t AS DOUBLE)))")
+    scored_bi = (bi
+                 .join(bic, ["w1", "w2"])
+                 .join(uni.withColumnRenamed("tok", "w1"), "w1")
+                 .join(uni.select(F.col("tok").alias("w2"),
+                                  F.col("c1").alias("c1w2")), "w2")
+                 .crossJoin(F.broadcast(total))
+                 .select("doc_id", F.expr(
+                     f"CAST(floor(-ln({p_bi}) * 1000000.0) AS BIGINT)")
+                     .alias("micro")))
+    scored_head = (heads.join(uni, "tok")
+                   .crossJoin(F.broadcast(total))
+                   .select("doc_id", F.expr(
+                       "CAST(floor(-ln(CAST(c1 AS DOUBLE) / CAST(t AS DOUBLE))"
+                       " * 1000000.0) AS BIGINT)").alias("micro")))
+    return (scored_bi.unionByName(scored_head)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_scored"),
+                 F.sum("micro").alias("surprisal_micro"))
+            .select("doc_id", "n_scored", "surprisal_micro",
+                    F.expr("surprisal_micro DIV n_scored")
+                     .alias("mean_surprisal_micro")))
