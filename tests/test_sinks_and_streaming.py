@@ -769,3 +769,39 @@ def test_corpus_stream_source_quality_stats_windowed(spark, tmp_path):
     assert rows["crawl_a"]["n_docs"] == 2
     assert rows["crawl_a"]["n_too_short"] == 1
     assert rows["crawl_b"]["total_tokens"] == 10
+
+
+def test_streaming_sessionization_closes_on_gap(spark, tmp_path):
+    import datetime as dt
+    import time
+    from tidb_binlog_spark.streaming.corpus_stream import (
+        EVENT_SCHEMA, read_event_stream, sessionize_stream)
+    src = str(tmp_path / "events_in")
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+
+    def seg(rows):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    # user 7: two bursts 40 minutes apart -> two sessions under a
+    # 30-minute gap; user 8: one event
+    seg([(1, 7, "click", t0),
+         (2, 7, "view", t0 + dt.timedelta(minutes=5)),
+         (3, 8, "click", t0 + dt.timedelta(minutes=1))])
+    time.sleep(1.1)
+    seg([(4, 7, "click", t0 + dt.timedelta(minutes=45)),
+         # far-future row advances the watermark so earlier sessions close
+         (9, 99, "tick", t0 + dt.timedelta(hours=3))])
+    q = (sessionize_stream(
+            read_event_stream(spark, src, max_files_per_trigger=1))
+         .writeStream.format("memory").queryName("sess")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess WHERE user_id = 7").collect()
+    assert sorted(r["n_events"] for r in rows) == [1, 2]
+    first = min(rows, key=lambda r: r["session_start"])
+    assert first["n_event_types"] == 2 and first["first_event_id"] == 1
+    assert spark.sql(
+        "SELECT count(*) c FROM sess WHERE user_id = 8").first()["c"] == 1

@@ -145,3 +145,50 @@ def run_curation_stream(spark: SparkSession, source_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("event_ts", T.TimestampType()),
+])
+
+
+def read_event_stream(spark: SparkSession, source_dir: str,
+                      max_files_per_trigger: int | None = None
+                      ) -> DataFrame:
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    return reader.parquet(source_dir)
+
+
+def sessionize_stream(events: DataFrame,
+                      gap: str = "30 minutes",
+                      watermark_delay: str = "10 minutes") -> DataFrame:
+    """Streaming gap-based sessionization — the streaming twin of the
+    batch events_sessionize query, on Spark's native session_window
+    (state merges windows within the gap; the watermark closes and
+    emits sessions whose gap has passed). Returns one row per closed
+    (user, session): start/end, event count, distinct event types.
+
+    Scale: session state is keyed (user_id, window) and partitioned
+    across executors; the watermark bounds both state size and
+    emission latency — exactly the fake-binlog/idle-source trade the
+    CDC merge makes, applied to behavioral sessions."""
+    return (events
+            .withWatermark("event_ts", watermark_delay)
+            .groupBy(F.session_window("event_ts", gap).alias("w"),
+                     "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 # countDistinct is unsupported in streaming aggs; the
+                 # per-session type set is tiny so collect_set is exact
+                 F.size(F.collect_set("event_type"))
+                  .alias("n_event_types"),
+                 F.min("event_id").alias("first_event_id"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "n_event_types", "first_event_id"))
