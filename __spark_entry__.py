@@ -1027,12 +1027,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_kv_decode": q_cdc_kv_decode,
         "cdc_kv_decode_update": q_cdc_kv_decode_update,
         "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
-        # -- new r4 (late): corpus scoring + line dedup + chunk/shuffle --
+        # -- new r4 (late): corpus scoring + line dedup + chunk/shuffle
+        # + PQ/hash-embed/vocab/bigram — never driver-checked before,
+        # so they take window priority over multi-round greens
         "text_line_dedup": q_text_line_dedup,
         "text_bm25": q_text_bm25,
         "text_unigram_lm": q_text_unigram_lm,
         "doc_chunks": q_doc_chunks,
         "doc_shuffle": q_doc_shuffle,
+        "ann_pq_topk": q_ann_pq_topk,
+        "doc_hash_embed": q_doc_hash_embed,
+        "corpus_token_stats": q_corpus_token_stats,
+        "text_bigram_lm": q_text_bigram_lm,
         # -- never driver-checked before r3 ------------------------------
         "cdc_wide_row_apply": q_cdc_wide_row_apply,
         "sink_sql_wide": q_sink_sql_wide,
@@ -1062,8 +1068,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_order_audit": q_cdc_order_audit,
         "cdc_kway_merge": q_cdc_kway_merge,
         "cdc_txn_resolve": q_cdc_txn_resolve,
-        "cdc_update_pk_split": q_cdc_update_pk_split,
-        "cdc_safe_mode": q_cdc_safe_mode,
         "cdc_schema_replay": q_cdc_schema_replay,
         "cdc_full_pipeline": q_cdc_full_pipeline,
         "cdc_ddl_stream": q_cdc_ddl_stream,
@@ -1072,35 +1076,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
         "text_contamination": q_text_contamination,
-        "text_stratified_sample": q_text_stratified_sample,
         "text_pack_sequences": q_text_pack_sequences,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "doc_fingerprint": q_doc_fingerprint,
         # -- below the driver's 50-row window (position 51+): still in
         # queries() + the local gate, rotated out of the driver window
-        # this round. Each keeps live evidence: loopback/txn_batches/
-        # schema_backfill green r2+r3+local-r4 with pytest coverage;
-        # ann_lsh keeps its bucketing verified via dedup_embedding_cosine
-        # (same LSH_BUCKET) and ann family rows stay via cosine+ivf;
-        # ngram_jaccard's shingle join shape re-verifies inside
-        # text_contamination; dedup_embedding_clusters' CC core keeps
-        # two green rows (cdc_causality_groups, dedup_minhash_clusters).
+        # this round (all multi-round driver-green with pytest
+        # coverage; rotate back next round per the every-other-round
+        # discipline). Live evidence for each: loopback/txn_batches/
+        # schema_backfill/update_pk_split/safe_mode/txn_resolve-family
+        # green r2+r3 and local-r4; ann_lsh keeps its bucketing
+        # verified via dedup_embedding_cosine (same LSH_BUCKET) and
+        # the ann family keeps rows via cosine+ivf+pq; ngram_jaccard's
+        # shingle join re-verifies inside text_contamination;
+        # stratified_sample's md5-ticket draw is pytest-covered;
+        # dedup_embedding_clusters' CC core keeps two green rows
+        # (cdc_causality_groups, dedup_minhash_clusters);
+        # doc_fingerprint's winnowing windows are pytest-covered and
+        # its 55k-row compare is the gate's most expensive row.
+        "doc_fingerprint": q_doc_fingerprint,
         "cdc_loopback_filter": q_cdc_loopback_filter,
         "cdc_txn_batches": q_cdc_txn_batches,
         "cdc_schema_backfill": q_cdc_schema_backfill,
+        "cdc_update_pk_split": q_cdc_update_pk_split,
+        "cdc_safe_mode": q_cdc_safe_mode,
+        "text_stratified_sample": q_text_stratified_sample,
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_clusters": q_dedup_embedding_clusters,
-        # new this round; oracle-checked locally, rotate into the
-        # window next round
-        "ann_pq_topk": q_ann_pq_topk,
-        "doc_hash_embed": q_doc_hash_embed,
-        "corpus_token_stats": q_corpus_token_stats,
-        "text_bigram_lm": q_text_bigram_lm,
     }
 
 
