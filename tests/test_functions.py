@@ -588,3 +588,62 @@ def test_bigram_surprisal_scores_every_token_once(spark):
     # the doc with the unpredictable continuation is more surprising
     assert (out[2]["mean_surprisal_micro"] >
             out[1]["mean_surprisal_micro"] >= 0)
+
+
+def test_write_training_shards_replay_stable_and_uniform(spark, tmp_path):
+    from tidb_binlog_spark.functions.curation import write_training_shards
+    docs = spark.createDataFrame(
+        [(i, f"token{i} " * ((i % 7) + 3), "en" if i % 3 else "es",
+          "src", 10) for i in range(200)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out1 = str(tmp_path / "shards1")
+    write_training_shards(docs, out1, n_shards=4)
+    a = spark.read.parquet(out1)
+    # every doc exactly once, spread over 4 shards
+    assert a.count() == 200
+    assert a.select("doc_id").distinct().count() == 200
+    sizes = {r["shard"]: r["c"] for r in
+             a.groupBy("shard").agg(F.count("*").alias("c")).collect()}
+    assert len(sizes) == 4 and all(30 <= c <= 70 for c in sizes.values())
+    # replay-stable: a second run writes the identical assignment
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, n_shards=4)
+    b = spark.read.parquet(out2)
+    key = ["doc_id", "shard", "shuffle_pos", "bin_id"]
+    assert (a.select(*key).exceptAll(b.select(*key)).count() == 0
+            and b.select(*key).exceptAll(a.select(*key)).count() == 0)
+    # a different seed reshuffles
+    out3 = str(tmp_path / "shards3")
+    write_training_shards(docs, out3, n_shards=4, seed="other")
+    c = spark.read.parquet(out3)
+    assert c.select("doc_id", "shuffle_pos") \
+        .exceptAll(a.select("doc_id", "shuffle_pos")).count() > 0
+
+
+def test_bpe_learns_frequent_pairs_and_encodes_reversibly(spark):
+    from tidb_binlog_spark.functions import bpe
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lower newest newest newest newest"),
+         (2, "widest widest low newest")],
+        "doc_id long, text string")
+    merges = bpe.learn_bpe(docs, n_merges=20)
+    # the tiny corpus saturates before 20 merges; learning stops clean
+    assert 10 <= len(merges) <= 20
+    # 'newest' x5 dominates: its pairs are learned early; 'es' or
+    # 'e'+'s…' merges must appear before any 'wid…' merge
+    flat = ["".join(p) for p in merges]
+    assert any("es" in m or "est" in m for m in flat[:6])
+    enc = {r["doc_id"]: r for r in bpe.bpe_encode(docs, merges).collect()}
+    # concatenating subwords and stripping markers recovers the text
+    for doc_id, text in ((1, "low low low lower lower newest newest "
+                             "newest newest"),
+                         (2, "widest widest low newest")):
+        rebuilt = (enc[doc_id]["bpe_text"].replace(" ", "")
+                   .replace(bpe.END, " ").strip())
+        assert rebuilt == text
+        assert enc[doc_id]["n_words"] == len(text.split())
+        # merging never yields more tokens than characters
+        assert enc[doc_id]["n_bpe_tokens"] <= len(text.replace(" ", "")) \
+            + enc[doc_id]["n_words"]
+    # a fully-merged frequent word collapses to ONE token
+    assert "newest" + bpe.END in enc[1]["bpe_text"].split()

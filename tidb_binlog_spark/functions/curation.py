@@ -297,3 +297,36 @@ def deterministic_shuffle(docs: DataFrame, seed: str = "0",
             .select(id_col,
                     (F.col("_off") + F.col("_within") - 1)
                     .alias("shuffle_pos")))
+
+
+def write_training_shards(docs: DataFrame, out_dir: str,
+                          n_shards: int = 8,
+                          budget: int = 2048,
+                          seed: str = "0",
+                          stratum_col: str = "lang") -> None:
+    """Terminal sink of the curation pipeline: emit the corpus as
+    training-ready parquet shards. Documents get the deterministic
+    global shuffle order, are packed into ~``budget``-token bins per
+    stratum, and land in ``n_shards`` shard directories; a data
+    loader streams shard files in name order and sees a replay-stable,
+    well-mixed, bin-annotated sequence.
+
+    Shard assignment is md5-rank based (shuffle_pos % n_shards), so
+    every shard holds a uniform slice of the global order — loaders
+    can consume any subset of shards and still get an unbiased mix.
+
+    Scale shape: reuses deterministic_shuffle (fixed-bucket rank) and
+    pack_sequences (two-phase prefix sum); the write repartitions by
+    shard id ONLY (n_shards ~ loader parallelism), and each shard file
+    is internally ordered by shuffle_pos via sortWithinPartitions.
+    """
+    order = deterministic_shuffle(docs, seed=seed)
+    bins = pack_sequences(docs, budget=budget, stratum_col=stratum_col)
+    out = (docs.join(order, "doc_id").join(bins, ["doc_id", stratum_col])
+           .withColumn("shard", (F.col("shuffle_pos") % n_shards)
+                       .cast("int")))
+    (out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shuffle_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir))
