@@ -834,6 +834,34 @@ def q_ann_pq_topk(spark, sf_dir):
     return simfn.pq_topk(_embs(spark, sf_dir))
 
 
+def q_corpus_full_curation(spark, sf_dir):
+    """End-to-end corpus curation as ONE composed plan: line-level
+    boilerplate removal -> unigram-surprisal scoring on the CLEANED
+    text -> token/surprisal gates -> per-language token-budget packing
+    — this round's operators chained the way a production pipeline
+    runs them, verified as a whole against the composed oracle."""
+    from tidb_binlog_spark.functions import curation
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(BOILER_HEADER + " "), F.col("text")))
+         .otherwise(F.col("text")))
+    cleaned = curation.line_dedup(docs)
+    docs2 = (cleaned.filter(F.col("n_lines") > F.col("n_removed"))
+             .select("doc_id", F.col("clean_text").alias("text")))
+    surp = scoring.unigram_surprisal(docs2)
+    lang = _docs(spark, sf_dir).select("doc_id", "lang")
+    kept = (surp.join(lang, "doc_id")
+            .filter((F.col("n_tokens") >= 20)
+                    & (F.col("mean_surprisal_micro") <= 3_450_000)))
+    packin = kept.select("doc_id", "lang").join(docs2, "doc_id")
+    bins = curation.pack_sequences(packin, budget=2048)
+    return (bins.join(kept.select("doc_id", "mean_surprisal_micro"),
+                      "doc_id")
+            .select("doc_id", "lang", "n_tokens", "bin_id",
+                    "mean_surprisal_micro"))
+
+
 def q_corpus_token_stats(spark, sf_dir):
     """Zipf-curve vocabulary report: top-50 tokens with rank and
     cumulative share, plus vocab/total counts — the corpus-audit
@@ -1039,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash_embed": q_doc_hash_embed,
         "corpus_token_stats": q_corpus_token_stats,
         "text_bigram_lm": q_text_bigram_lm,
+        "corpus_full_curation": q_corpus_full_curation,
         # -- never driver-checked before r3 ------------------------------
         "cdc_wide_row_apply": q_cdc_wide_row_apply,
         "sink_sql_wide": q_sink_sql_wide,
@@ -1081,7 +1110,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         # -- below the driver's 50-row window (position 51+): still in
         # queries() + the local gate, rotated out of the driver window
         # this round (all multi-round driver-green with pytest
@@ -1096,8 +1124,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_embedding_clusters' CC core keeps two green rows
         # (cdc_causality_groups, dedup_minhash_clusters);
         # doc_fingerprint's winnowing windows are pytest-covered and
-        # its 55k-row compare is the gate's most expensive row.
+        # its 55k-row compare is the gate's most expensive row;
+        # dedup_embedding_cosine (green r2+r3) keeps its LSH bucketing
+        # exercised by ann_lsh/pq rows and its pairs by the clusters CC.
         "doc_fingerprint": q_doc_fingerprint,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "cdc_loopback_filter": q_cdc_loopback_filter,
         "cdc_txn_batches": q_cdc_txn_batches,
         "cdc_schema_backfill": q_cdc_schema_backfill,
@@ -1398,6 +1429,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_hash_embed": osql.HASH_EMBED,
         "corpus_token_stats": osql.CORPUS_TOKEN_STATS,
         "text_bigram_lm": osql.BIGRAM_SURPRISAL,
+        "corpus_full_curation": osql.corpus_full_curation_sql(BOILER_HEADER),
         "doc_chunks": r"""
             WITH t AS (SELECT doc_id,
                 string_split_regex(trim(text), '\s+') AS toks

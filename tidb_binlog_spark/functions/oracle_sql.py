@@ -427,8 +427,11 @@ WHERE ({matched}) > 0
 """
 
 
-UNIGRAM_SURPRISAL = f"""
-WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+def unigram_surprisal_sql(source: str = "documents") -> str:
+    """The unigram-surprisal mirror over any (doc_id, text) source —
+    reused by the composed corpus-curation oracle."""
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM {source}),
 exploded AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
 totals AS (SELECT COUNT(*) AS total_tokens FROM exploded),
 vocab AS (SELECT tok, COUNT(*) AS cnt FROM exploded GROUP BY tok),
@@ -442,6 +445,9 @@ SELECT doc_id, COUNT(*) AS n_tokens,
 FROM exploded JOIN scored USING (tok)
 GROUP BY doc_id
 """
+
+
+UNIGRAM_SURPRISAL = unigram_surprisal_sql()
 
 
 def line_dedup_sql(header: str, line_tokens: int = 8,
@@ -605,4 +611,36 @@ SELECT doc_id, COUNT(*) AS n_scored,
   CAST(SUM(micro) AS BIGINT) // COUNT(*) AS mean_surprisal_micro
 FROM (SELECT * FROM sb UNION ALL SELECT * FROM sh)
 GROUP BY doc_id
+"""
+
+
+def corpus_full_curation_sql(header: str,
+                             min_tokens: int = 20,
+                             max_mean_surprisal: int = 3_450_000,
+                             budget: int = 2048) -> str:
+    """The composed end-to-end curation oracle: line dedup over the
+    header-injected corpus -> surprisal scoring on the CLEANED text ->
+    quality + surprisal gates -> per-language token packing. Mirrors
+    q_corpus_full_curation stage for stage."""
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, clean_text AS text
+  FROM ({line_dedup_sql(header)}) ld
+  WHERE ld.n_lines > ld.n_removed),
+surp AS (SELECT * FROM ({unigram_surprisal_sql('docs2')}) s),
+kept AS (
+  SELECT surp.doc_id, dd.lang, surp.n_tokens, surp.mean_surprisal_micro
+  FROM surp JOIN documents dd USING (doc_id)
+  WHERE surp.n_tokens >= {min_tokens}
+    AND surp.mean_surprisal_micro <= {max_mean_surprisal}),
+cum AS (
+  SELECT lang, doc_id, n_tokens, mean_surprisal_micro,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM kept)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {budget}) AS BIGINT)
+         AS bin_id,
+       mean_surprisal_micro
+FROM cum
 """
