@@ -862,6 +862,18 @@ def q_corpus_full_curation(spark, sf_dir):
                     "mean_surprisal_micro"))
 
 
+def q_ann_doc_lsh(spark, sf_dir):
+    """Doc-level ANN without a model: feature-hashing embeddings ->
+    LSH buckets -> in-bucket exact cosine top-k — the raw-text
+    similarity search path (zero vectors gated; exact integer vectors
+    keep every fold engine-exact)."""
+    emb = (scoring.hash_embed(_docs(spark, sf_dir))
+           .filter(F.expr("exists(embedding, x -> x <> CAST(0.0 AS DOUBLE))"))
+           .select(F.col("doc_id").alias("vec_id"), "embedding"))
+    return simfn.lsh_topk(emb, query_mod=50, k=5) \
+        .select("query_id", "vec_id", "cosine", "rank")
+
+
 def q_corpus_token_stats(spark, sf_dir):
     """Zipf-curve vocabulary report: top-50 tokens with rank and
     cumulative share, plus vocab/total counts — the corpus-audit
@@ -1129,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exercised by ann_lsh/pq rows and its pairs by the clusters CC.
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        # new this session; oracle-checked locally, r5 window rotation
+        "ann_doc_lsh": q_ann_doc_lsh,
         "cdc_loopback_filter": q_cdc_loopback_filter,
         "cdc_txn_batches": q_cdc_txn_batches,
         "cdc_schema_backfill": q_cdc_schema_backfill,
@@ -1430,6 +1444,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_token_stats": osql.CORPUS_TOKEN_STATS,
         "text_bigram_lm": osql.BIGRAM_SURPRISAL,
         "corpus_full_curation": osql.corpus_full_curation_sql(BOILER_HEADER),
+        "ann_doc_lsh": osql.ann_doc_lsh_sql(),
         "doc_chunks": r"""
             WITH t AS (SELECT doc_id,
                 string_split_regex(trim(text), '\s+') AS toks

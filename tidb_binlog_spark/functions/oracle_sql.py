@@ -541,17 +541,19 @@ SELECT query_id, vec_id, adc_dist, rank FROM ranked WHERE rank <= {k}
 # per-doc fold over the token list; Spark uses explode + groupBy.
 # The routes agree EXACTLY because every component is a sum of +/-1.0
 # (small integers are exact in doubles, addition order irrelevant).
-HASH_EMBED = f"""
-WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
-emb AS (SELECT doc_id,
-  list_transform(generate_series(0, 63), d ->
+HASH_EMBED_VEC = """list_transform(generate_series(0, 63), d ->
     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       list_transform(toks, t -> CASE WHEN
         CAST(concat('0x', substring(md5(t), 1, 4)) AS INTEGER) % 64 = d
         THEN (CASE WHEN substring(md5(t), 5, 1) >= '8'
               THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)
         ELSE CAST(0.0 AS DOUBLE) END)),
-      (acc, u) -> acc + u)) AS v
+      (acc, u) -> acc + u))"""
+
+HASH_EMBED = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+emb AS (SELECT doc_id,
+  {HASH_EMBED_VEC} AS v
   FROM toks)
 SELECT doc_id,
   array_to_string(list_transform(v, x ->
@@ -643,4 +645,25 @@ SELECT doc_id, lang, n_tokens,
          AS bin_id,
        mean_surprisal_micro
 FROM cum
+"""
+
+
+def ann_doc_lsh_sql(query_mod: int = 50, k: int = 5) -> str:
+    """Composed doc-ANN mirror: hash-embed vectors -> LSH buckets ->
+    in-bucket exact cosine top-k. Vectors are exact integer counts so
+    every projection/cosine fold is engine-exact."""
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+emb0 AS (SELECT doc_id, {HASH_EMBED_VEC} AS v FROM toks),
+b AS (SELECT doc_id AS vec_id, v AS embedding, {LSH_BUCKET} AS bucket
+      FROM emb0 WHERE len(list_filter(v, x -> x <> 0)) > 0),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+      FROM b WHERE vec_id % {query_mod} = 0),
+j AS (SELECT q.query_id, b.vec_id,
+             {cosine('q.q_emb', 'b.embedding')} AS cosine
+      FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM j)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= {k}
 """
