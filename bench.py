@@ -41,6 +41,7 @@ HEADLINE = [
     "text_line_dedup",           # corpus-frequency line removal
     "text_bm25",                 # broadcast-stats keyword relevance
     "text_unigram_lm",           # unigram surprisal scoring
+    "corpus_full_curation",      # composed line-dedup->score->gate->pack
     "doc_fingerprint",           # winnowing fingerprints
     "mm_assets",                 # mapInPandas multimodal plumbing
     "snapshot_pricing_summary",  # wide aggregate over lineitem

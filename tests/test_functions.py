@@ -647,3 +647,54 @@ def test_bpe_learns_frequent_pairs_and_encodes_reversibly(spark):
             + enc[doc_id]["n_words"]
     # a fully-merged frequent word collapses to ONE token
     assert "newest" + bpe.END in enc[1]["bpe_text"].split()
+
+
+def test_bpe_encode_word_property_roundtrip():
+    """Pure-python property: for ANY word and ANY learned merge list,
+    BPE tokens concatenate back to word + end marker, and applying
+    merges never yields a symbol not derivable from the merges."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from tidb_binlog_spark.functions import bpe
+
+    words = st.text(alphabet="abcdef", min_size=1, max_size=12)
+
+    @given(st.lists(words, min_size=1, max_size=8), words)
+    @settings(max_examples=50, deadline=None)
+    def check(corpus_words, probe):
+        vocab = {tuple(list(w) + [bpe.END]): 1 for w in corpus_words}
+        merges = []
+        for _ in range(10):
+            pairs = bpe._pair_counts(vocab)
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            vocab = bpe._merge_vocab(vocab, best)
+        ranks = {p: i for i, p in enumerate(merges)}
+        toks = bpe.encode_word(probe, ranks)
+        assert "".join(toks) == probe + bpe.END
+        # a corpus word it has fully learned encodes to ONE token when
+        # every adjacent pair along the way was merged
+        for w in corpus_words:
+            assert "".join(bpe.encode_word(w, ranks)) == w + bpe.END
+
+    check()
+
+
+def test_line_dedup_identity_when_no_shared_lines(spark):
+    """Property at fixture scale: a corpus with NO cross-doc repeated
+    8-token windows passes through line_dedup unchanged (modulo the
+    window re-join separator, which is the same single space)."""
+    from tidb_binlog_spark.functions.curation import line_dedup
+    # doc i's tokens are all tagged with i -> no window repeats across docs
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range((i % 13) + 1)))
+         for i in range(60)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_docs=2).collect()}
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(out) == 60
+    for i in range(60):
+        assert out[i]["n_removed"] == 0
+        assert out[i]["clean_text"] == src[i]
