@@ -862,6 +862,31 @@ def q_corpus_full_curation(spark, sf_dir):
                     "mean_surprisal_micro"))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup: the doc_id%3==0 slice arrives as the
+    'new batch' against the rest of the corpus as the existing index.
+    Deterministic injections exercise both paths: every 15th new doc
+    carries an exact copy of a seen doc's text; every 21st carries a
+    near-copy (seen text + one extra word) that passes the exact gate
+    but shares MinHash band buckets."""
+    docs = _docs(spark, sf_dir)
+    shifted = docs.select((F.col("doc_id") - 1).alias("doc_id"),
+                          F.col("text").alias("next_text"))
+    new0 = (docs.join(shifted, "doc_id", "left")
+            .filter(F.col("doc_id") % 3 == 0)
+            .select(
+                "doc_id",
+                F.when((F.col("doc_id") % 15 == 0)
+                       & F.col("next_text").isNotNull(),
+                       F.col("next_text"))
+                 .when((F.col("doc_id") % 21 == 0)
+                       & F.col("next_text").isNotNull(),
+                       F.concat(F.col("next_text"), F.lit(" extraword")))
+                 .otherwise(F.col("text")).alias("text")))
+    seen = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    return dedupfn.incremental_dedup(new0, seen)
+
+
 def q_ann_doc_lsh(spark, sf_dir):
     """Doc-level ANN without a model: feature-hashing embeddings ->
     LSH buckets -> in-bucket exact cosine top-k — the raw-text
@@ -1143,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         # new this session; oracle-checked locally, r5 window rotation
         "ann_doc_lsh": q_ann_doc_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "cdc_loopback_filter": q_cdc_loopback_filter,
         "cdc_txn_batches": q_cdc_txn_batches,
         "cdc_schema_backfill": q_cdc_schema_backfill,
@@ -1445,6 +1471,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bigram_lm": osql.BIGRAM_SURPRISAL,
         "corpus_full_curation": osql.corpus_full_curation_sql(BOILER_HEADER),
         "ann_doc_lsh": osql.ann_doc_lsh_sql(),
+        "dedup_incremental": osql.DEDUP_INCREMENTAL,
         "doc_chunks": r"""
             WITH t AS (SELECT doc_id,
                 string_split_regex(trim(text), '\s+') AS toks

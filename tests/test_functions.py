@@ -698,3 +698,24 @@ def test_line_dedup_identity_when_no_shared_lines(spark):
     for i in range(60):
         assert out[i]["n_removed"] == 0
         assert out[i]["clean_text"] == src[i]
+
+
+def test_incremental_dedup_exact_near_and_batch_paths(spark):
+    from tidb_binlog_spark.functions.dedup import incremental_dedup
+    base = "the quick brown fox jumps over the lazy dog again today"
+    seen = spark.createDataFrame(
+        [(100, base),
+         (101, "an unrelated existing corpus document right here ok")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, base),                          # exact dup of corpus
+         (2, base + " extra"),               # near dup (shares bands)
+         (3, "completely novel words that match nothing at all"),
+         (4, "completely novel words that match nothing at all"),  # in-batch dup
+         (5, "another genuinely fresh document with its own words")],
+        "doc_id long, text string")
+    got = sorted(r["doc_id"]
+                 for r in incremental_dedup(new, seen).collect())
+    # 1 exact-dropped, 2 near-dropped, 3 kept (wins in-batch), 4
+    # dropped (in-batch dup of 3), 5 kept
+    assert got == [3, 5]

@@ -265,3 +265,54 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return (pairs.withColumn("jaccard", F.expr(jac))
                  .filter(F.col("jaccard") >= threshold)
                  .select("doc_a", "doc_b", "jaccard"))
+
+
+def incremental_dedup(new_docs: DataFrame, seen: DataFrame,
+                      k: int = 12, bands: int = 4) -> DataFrame:
+    """Incremental-ingest dedup: drop new documents that duplicate the
+    EXISTING corpus — exact (content hash) or near (any shared MinHash
+    band bucket) — and dedup the new batch against itself exactly.
+    Returns surviving (doc_id, content_hash) rows.
+
+    This is the shape a continuously-growing corpus actually runs:
+    the historical side is a pre-computed index (hashes + band
+    buckets, persisted corpus-side), so each increment joins two
+    SMALL-key indexes instead of re-deduping the whole corpus.
+
+    Scale: both joins key on high-entropy hashes (uniform); the
+    historical index is read-only and partition-pruned by bucket at
+    real scale. No pairwise work at all — membership tests only.
+    """
+    new_hashed = (new_docs
+                  .select("doc_id", F.md5("text").alias("content_hash")))
+    seen_hashed = seen.select(F.md5("text").alias("content_hash"))
+    # exact: drop if hash exists in the corpus; in-batch keep min id
+    survivors = (new_hashed
+                 .join(seen_hashed.distinct(), "content_hash", "left_anti"))
+    w_batch = (survivors.groupBy("content_hash")
+               .agg(F.min("doc_id").alias("doc_id")))
+    exact_ok = w_batch.select("doc_id", "content_hash")
+    # near: any shared band bucket with the historical index
+    new_bands = _band_buckets(new_docs, k, bands)
+    seen_bands = _band_buckets(seen, k, bands).select("band", "bucket")
+    near_dups = (new_bands
+                 .join(seen_bands.distinct(), ["band", "bucket"],
+                       "left_semi")
+                 .select("doc_id").distinct())
+    return exact_ok.join(near_dups, "doc_id", "left_anti")
+
+
+def _band_buckets(docs: DataFrame, k: int = 12,
+                  bands: int = 4) -> DataFrame:
+    """(doc_id, band, bucket) banded MinHash index rows — the
+    persisted per-corpus index incremental_dedup joins against."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(docs, k)
+    return (sigs.withColumn(
+        "bb", F.explode(F.expr(
+            f"transform(sequence(0, {bands - 1}), b -> "
+            f"named_struct('band', b, 'key', md5(concat("
+            + ", ".join(f"sig[b * {rows_per_band} + {i}]"
+                        for i in range(rows_per_band)) + "))))")))
+        .select("doc_id", F.col("bb.band").alias("band"),
+                F.col("bb.key").alias("bucket")))

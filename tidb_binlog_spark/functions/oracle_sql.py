@@ -667,3 +667,45 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM j)
 SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= {k}
 """
+
+
+def _band_index_sql(source: str, p: str) -> str:
+    """Banded-MinHash index CTEs over any (doc_id, text) source —
+    identical band keys to MINHASH_PAIRS_CTES."""
+    return f"""
+{p}toks AS (SELECT doc_id, text, {TOKS} AS toks FROM {source}),
+{p}sh AS (SELECT doc_id, {SHINGLES} AS shingles FROM {p}toks),
+{p}bh AS (SELECT doc_id, list_transform(shingles, s -> md5(s))
+            AS base_hashes FROM {p}sh),
+{p}sigs AS (SELECT doc_id, {_SIG} AS sig FROM {p}bh),
+{p}bands AS (SELECT doc_id, b.band,
+    md5(sig[b.band * 3 + 1] || sig[b.band * 3 + 2] || sig[b.band * 3 + 3])
+      AS bucket
+  FROM {p}sigs, (SELECT unnest(generate_series(0, 3)) AS band) b)"""
+
+
+DEDUP_INCREMENTAL = f"""
+WITH new0 AS (
+  SELECT d.doc_id,
+    CASE WHEN d.doc_id % 15 = 0 AND n.text IS NOT NULL THEN n.text
+         WHEN d.doc_id % 21 = 0 AND n.text IS NOT NULL
+           THEN n.text || ' extraword'
+         ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 3 = 0),
+seen AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+nh AS (SELECT doc_id, md5(text) AS content_hash FROM new0),
+shh AS (SELECT DISTINCT md5(text) AS content_hash FROM seen),
+surv AS (SELECT * FROM nh
+         WHERE content_hash NOT IN (SELECT content_hash FROM shh)),
+ex_ok AS (SELECT MIN(doc_id) AS doc_id, content_hash
+          FROM surv GROUP BY content_hash),
+{_band_index_sql('new0', 'n')},
+{_band_index_sql('seen', 's')},
+near AS (SELECT DISTINCT nb.doc_id
+         FROM nbands nb
+         JOIN (SELECT DISTINCT band, bucket FROM sbands) sb
+           USING (band, bucket))
+SELECT doc_id, content_hash FROM ex_ok
+WHERE doc_id NOT IN (SELECT doc_id FROM near)
+"""
