@@ -862,6 +862,14 @@ def q_corpus_full_curation(spark, sf_dir):
                     "mean_surprisal_micro"))
 
 
+def q_doc_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (hash-gated breakpoints): byte-level
+    dedup-storage chunks whose boundaries survive insertions — the
+    chunk-store primitive under near-dup storage systems."""
+    from tidb_binlog_spark.functions import curation
+    return curation.cdc_chunks(_docs(spark, sf_dir))
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental-ingest dedup: the doc_id%3==0 slice arrives as the
     'new batch' against the rest of the corpus as the existing index.
@@ -1169,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this session; oracle-checked locally, r5 window rotation
         "ann_doc_lsh": q_ann_doc_lsh,
         "dedup_incremental": q_dedup_incremental,
+        "doc_cdc_chunks": q_doc_cdc_chunks,
         "cdc_loopback_filter": q_cdc_loopback_filter,
         "cdc_txn_batches": q_cdc_txn_batches,
         "cdc_schema_backfill": q_cdc_schema_backfill,
@@ -1472,6 +1481,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_full_curation": osql.corpus_full_curation_sql(BOILER_HEADER),
         "ann_doc_lsh": osql.ann_doc_lsh_sql(),
         "dedup_incremental": osql.DEDUP_INCREMENTAL,
+        "doc_cdc_chunks": osql.CDC_CHUNKS,
         "doc_chunks": r"""
             WITH t AS (SELECT doc_id,
                 string_split_regex(trim(text), '\s+') AS toks

@@ -719,3 +719,25 @@ def test_incremental_dedup_exact_near_and_batch_paths(spark):
     # 1 exact-dropped, 2 near-dropped, 3 kept (wins in-batch), 4
     # dropped (in-batch dup of 3), 5 kept
     assert got == [3, 5]
+
+
+def test_cdc_chunks_cover_and_survive_insertion(spark):
+    from tidb_binlog_spark.functions.curation import cdc_chunks
+    txt = "the quick brown fox jumps over the lazy dog etc " * 5
+    docs = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    out = sorted(cdc_chunks(docs).collect(), key=lambda r: r["chunk_no"])
+    # exact cover: contiguous, non-empty, summing to the text length
+    assert out[0]["start"] == 1
+    assert sum(r["chunk_len"] for r in out) == len(txt)
+    for prev, cur in zip(out, out[1:]):
+        assert cur["start"] == prev["start"] + prev["chunk_len"]
+        assert cur["chunk_len"] >= 1
+    # content-defined locality: an insertion near the front leaves the
+    # majority of chunk hashes intact (fixed-size chunking would shift
+    # every downstream chunk)
+    docs2 = spark.createDataFrame([(1, txt[:3] + "XY" + txt[3:])],
+                                  "doc_id long, text string")
+    out2 = cdc_chunks(docs2).collect()
+    h1 = {r["chunk_md5"] for r in out}
+    h2 = {r["chunk_md5"] for r in out2}
+    assert len(h1 & h2) >= len(h1) * 3 // 5

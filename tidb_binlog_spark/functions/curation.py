@@ -330,3 +330,48 @@ def write_training_shards(docs: DataFrame, out_dir: str,
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(out_dir))
+
+
+def cdc_chunks(docs: DataFrame, window: int = 8,
+               zero_digits: int = 1) -> DataFrame:
+    """Content-defined chunking: a chunk boundary falls AFTER any
+    position whose ``window``-gram md5 starts with ``zero_digits``
+    zero hex digits (boundary probability 16^-zero_digits, expected
+    chunk length ~16^zero_digits chars). Unlike fixed-size chunking,
+    an insertion early in a document only perturbs the chunks around
+    it — the locality property dedup storage (and chunk-level
+    near-dup) relies on.
+
+    Returns (doc_id, chunk_no, start, chunk_len, chunk_md5), chunks
+    covering the document exactly.
+
+    Scale shape: boundary detection + chunk emission are per-row
+    array expressions over character positions — zero shuffle, linear
+    in corpus bytes, same family as winnowing fingerprints.
+    """
+    zeros = "0" * zero_digits
+    bounds = (
+        f"CASE WHEN length(text) <= {window} THEN array(length(text)) "
+        f"ELSE concat(filter(transform("
+        f"sequence(1, length(text) - {window}), "
+        f"p -> IF(substring(md5(substring(text, p, {window})), 1, "
+        f"{zero_digits}) = '{zeros}', p + {window} - 1, -1)), "
+        # a candidate at the exact end would duplicate the appended
+        # final boundary; exclude it so the list is strictly increasing
+        f"x -> x > 0 AND x < length(text)), "
+        f"array(length(text))) END")
+    starts = ("transform(bnds, (b, i) -> "
+              "named_struct('chunk_no', i, "
+              "'start', IF(i = 0, 1, bnds[i-1] + 1), "
+              "'stop', b))")
+    return (docs
+            .withColumn("bnds", F.expr(bounds))
+            .select("doc_id", "text", F.explode(F.expr(starts)).alias("c"))
+            .filter(F.col("c.stop") >= F.col("c.start"))
+            .select("doc_id",
+                    F.col("c.chunk_no").alias("chunk_no"),
+                    F.col("c.start").alias("start"),
+                    (F.col("c.stop") - F.col("c.start") + 1)
+                    .alias("chunk_len"),
+                    F.expr("md5(substring(text, c.start, "
+                           "c.stop - c.start + 1))").alias("chunk_md5")))

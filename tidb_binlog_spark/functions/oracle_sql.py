@@ -709,3 +709,25 @@ near AS (SELECT DISTINCT nb.doc_id
 SELECT doc_id, content_hash FROM ex_ok
 WHERE doc_id NOT IN (SELECT doc_id FROM near)
 """
+
+
+CDC_CHUNKS = """
+WITH b AS (SELECT doc_id, text,
+    CASE WHEN length(text) <= 8 THEN [length(text)]
+      ELSE list_concat(list_filter(list_transform(
+        generate_series(1, length(text) - 8),
+        p -> CASE WHEN substring(md5(substring(text, p, 8)), 1, 1) = '0'
+             THEN p + 8 - 1 ELSE -1 END),
+        x -> x > 0 AND x < length(text)), [length(text)]) END AS bnds
+  FROM documents),
+e AS (SELECT doc_id, text, bnds,
+        unnest(generate_series(1, len(bnds))) AS i FROM b),
+c AS (SELECT doc_id, text, CAST(i - 1 AS INT) AS chunk_no,
+        CASE WHEN i = 1 THEN 1 ELSE bnds[i - 1] + 1 END AS start,
+        bnds[i] AS stop
+      FROM e)
+SELECT doc_id, chunk_no, CAST(start AS INT) AS start,
+  CAST(stop - start + 1 AS INT) AS chunk_len,
+  md5(substring(text, start, CAST(stop - start + 1 AS INT))) AS chunk_md5
+FROM c WHERE stop >= start
+"""
