@@ -834,6 +834,14 @@ def q_ann_pq_topk(spark, sf_dir):
     return simfn.pq_topk(_embs(spark, sf_dir))
 
 
+# gate/packing constants shared by q_corpus_full_curation AND its
+# oracle builder — pass-through, never restated, so the two sides
+# cannot drift (same rule as BOILER_HEADER)
+CURATION_MIN_TOKENS = 20
+CURATION_MAX_SURPRISAL = 3_450_000
+CURATION_BUDGET = 2048
+
+
 def q_corpus_full_curation(spark, sf_dir):
     """End-to-end corpus curation as ONE composed plan: line-level
     boilerplate removal -> unigram-surprisal scoring on the CLEANED
@@ -852,10 +860,11 @@ def q_corpus_full_curation(spark, sf_dir):
     surp = scoring.unigram_surprisal(docs2)
     lang = _docs(spark, sf_dir).select("doc_id", "lang")
     kept = (surp.join(lang, "doc_id")
-            .filter((F.col("n_tokens") >= 20)
-                    & (F.col("mean_surprisal_micro") <= 3_450_000)))
+            .filter((F.col("n_tokens") >= CURATION_MIN_TOKENS)
+                    & (F.col("mean_surprisal_micro")
+                       <= CURATION_MAX_SURPRISAL)))
     packin = kept.select("doc_id", "lang").join(docs2, "doc_id")
-    bins = curation.pack_sequences(packin, budget=2048)
+    bins = curation.pack_sequences(packin, budget=CURATION_BUDGET)
     return (bins.join(kept.select("doc_id", "mean_surprisal_micro"),
                       "doc_id")
             .select("doc_id", "lang", "n_tokens", "bin_id",
@@ -1478,7 +1487,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_hash_embed": osql.HASH_EMBED,
         "corpus_token_stats": osql.CORPUS_TOKEN_STATS,
         "text_bigram_lm": osql.BIGRAM_SURPRISAL,
-        "corpus_full_curation": osql.corpus_full_curation_sql(BOILER_HEADER),
+        "corpus_full_curation": osql.corpus_full_curation_sql(
+            BOILER_HEADER,
+            min_tokens=CURATION_MIN_TOKENS,
+            max_mean_surprisal=CURATION_MAX_SURPRISAL,
+            budget=CURATION_BUDGET),
         "ann_doc_lsh": osql.ann_doc_lsh_sql(),
         "dedup_incremental": osql.DEDUP_INCREMENTAL,
         "doc_cdc_chunks": osql.CDC_CHUNKS,

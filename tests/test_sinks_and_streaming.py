@@ -784,8 +784,10 @@ def test_streaming_sessionization_closes_on_gap(spark, tmp_path):
             .write.mode("append").parquet(src)
 
     # user 7: two bursts 40 minutes apart -> two sessions under a
-    # 30-minute gap; user 8: one event
-    seg([(1, 7, "click", t0),
+    # 30-minute gap; user 8: one event. Event ids are NOT monotone in
+    # time (id 10 opens the session) — first_event_id must follow
+    # event TIME, not the smallest id
+    seg([(10, 7, "click", t0),
          (2, 7, "view", t0 + dt.timedelta(minutes=5)),
          (3, 8, "click", t0 + dt.timedelta(minutes=1))])
     time.sleep(1.1)
@@ -802,6 +804,6 @@ def test_streaming_sessionization_closes_on_gap(spark, tmp_path):
     rows = spark.sql("SELECT * FROM sess WHERE user_id = 7").collect()
     assert sorted(r["n_events"] for r in rows) == [1, 2]
     first = min(rows, key=lambda r: r["session_start"])
-    assert first["n_event_types"] == 2 and first["first_event_id"] == 1
+    assert first["n_event_types"] == 2 and first["first_event_id"] == 10
     assert spark.sql(
         "SELECT count(*) c FROM sess WHERE user_id = 8").first()["c"] == 1

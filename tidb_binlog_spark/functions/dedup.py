@@ -124,24 +124,15 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4,
     Per-(band, bucket) membership is capped (see cap_buckets) so a
     massively duplicated doc cannot produce a quadratic bucket.
     """
-    r = k // bands
     # materialize signatures once: the band explode and both sides of
     # the candidate join reuse them (at 100 TB you persist signatures
     # to a table instead).
     sigs = managed_persist(minhash_signatures(docs, k))
-    band_exprs = []
-    for b in range(bands):
-        parts = ", ".join(f"sig[{b * r + j}]" for j in range(r))
-        band_exprs.append(f"named_struct('band', {b}, 'key', md5(concat({parts})))")
     # the bucket stream stays NARROW (doc_id, band, bucket): the cap
     # window and the self-join shuffle 3 small columns, never the
     # signature arrays — those rejoin per PAIR afterwards (pairs are
     # orders of magnitude fewer than bucket memberships).
-    exploded = (sigs
-                .withColumn("band", F.explode(F.expr(f"array({', '.join(band_exprs)})")))
-                .select("doc_id",
-                        F.col("band.band").alias("band"),
-                        F.col("band.key").alias("bucket")))
+    exploded = _band_buckets_from_sigs(sigs, k, bands)
     exploded = managed_persist(
         cap_buckets(exploded, ["band", "bucket"], max_bucket_size))
     a = exploded.alias("a")
@@ -306,13 +297,21 @@ def _band_buckets(docs: DataFrame, k: int = 12,
                   bands: int = 4) -> DataFrame:
     """(doc_id, band, bucket) banded MinHash index rows — the
     persisted per-corpus index incremental_dedup joins against."""
-    rows_per_band = k // bands
-    sigs = minhash_signatures(docs, k)
+    return _band_buckets_from_sigs(minhash_signatures(docs, k), k, bands)
+
+
+def _band_buckets_from_sigs(sigs: DataFrame, k: int = 12,
+                            bands: int = 4) -> DataFrame:
+    """THE banded bucket-key construction (md5 over concatenated
+    per-band signature slices) — single implementation shared by
+    minhash_lsh_pairs and the incremental-dedup index so the oracle
+    band keys can never diverge between them."""
+    r = k // bands
     return (sigs.withColumn(
         "bb", F.explode(F.expr(
             f"transform(sequence(0, {bands - 1}), b -> "
             f"named_struct('band', b, 'key', md5(concat("
-            + ", ".join(f"sig[b * {rows_per_band} + {i}]"
-                        for i in range(rows_per_band)) + "))))")))
+            + ", ".join(f"sig[b * {r} + {i}]" for i in range(r))
+            + "))))")))
         .select("doc_id", F.col("bb.band").alias("band"),
                 F.col("bb.key").alias("bucket")))

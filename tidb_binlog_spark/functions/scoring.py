@@ -148,7 +148,6 @@ def hash_embed(docs: DataFrame, dims: int = 64) -> DataFrame:
     Components are signed integer counts (exact in doubles), so the
     result is aggregation-order-invariant and engine-exact.
     """
-    from ..cache import managed_persist
     ex = (with_tokens(docs)
           .select("doc_id", F.explode("toks").alias("tok")))
     bs = ex.select(
@@ -223,20 +222,21 @@ def bigram_surprisal(docs: DataFrame,
     """
     from ..cache import managed_persist
     toks = with_tokens(docs)
-    # (doc_id, pos, w1, w2) for pos >= 1; pos 0 is the unigram-scored head
+    # (doc_id, w1, w2) bigram stream; the doc's first token is the
+    # unigram-scored head
     bi = managed_persist(
         toks.select(
             "doc_id",
-            F.posexplode(F.expr(
+            F.explode(F.expr(
                 "CASE WHEN size(toks) >= 2 THEN "
                 "transform(sequence(1, size(toks) - 1), "
                 "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) "
-                "ELSE array() END")).alias("pos", "b"))
-        .select("doc_id", "pos", "b.w1", "b.w2"))
+                "ELSE array() END")).alias("b"))
+        .select("doc_id", "b.w1", "b.w2"))
     heads = toks.filter(F.expr("size(toks) >= 1")).select(
         "doc_id", F.expr("toks[0]").alias("tok"))
-    ex = (with_tokens(docs)
-          .select("doc_id", F.explode("toks").alias("tok")))
+    ex = managed_persist(
+        toks.select("doc_id", F.explode("toks").alias("tok")))
     uni = managed_persist(
         ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c1")))
     total = ex.agg(F.count(F.lit(1)).alias("t"))

@@ -187,7 +187,12 @@ def sessionize_stream(events: DataFrame,
                  # per-session type set is tiny so collect_set is exact
                  F.size(F.collect_set("event_type"))
                   .alias("n_event_types"),
-                 F.min("event_id").alias("first_event_id"))
+                 # temporally-first event (ties by id) — same
+                 # (ts, event_id) attribution as the batch twin, NOT
+                 # min(event_id), which misattributes when ids are not
+                 # monotone in time
+                 F.min(F.struct("event_ts", "event_id"))
+                  .getField("event_id").alias("first_event_id"))
             .select("user_id",
                     F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
