@@ -854,15 +854,22 @@ def q_corpus_full_curation(spark, sf_dir):
         F.when(F.col("doc_id") % 5 == 0,
                F.concat(F.lit(BOILER_HEADER + " "), F.col("text")))
          .otherwise(F.col("text")))
+    from tidb_binlog_spark.cache import managed_persist
     cleaned = curation.line_dedup(docs)
-    docs2 = (cleaned.filter(F.col("n_lines") > F.col("n_removed"))
-             .select("doc_id", F.col("clean_text").alias("text")))
+    # the cleaned corpus feeds BOTH the surprisal model and the packing
+    # input; without the persist each consumer re-runs the whole
+    # line-dedup explode/join chain (measured 5.1s -> 2.2s at sf0.1)
+    docs2 = managed_persist(
+        cleaned.filter(F.col("n_lines") > F.col("n_removed"))
+        .select("doc_id", F.col("clean_text").alias("text")))
     surp = scoring.unigram_surprisal(docs2)
     lang = _docs(spark, sf_dir).select("doc_id", "lang")
-    kept = (surp.join(lang, "doc_id")
-            .filter((F.col("n_tokens") >= CURATION_MIN_TOKENS)
-                    & (F.col("mean_surprisal_micro")
-                       <= CURATION_MAX_SURPRISAL)))
+    # kept feeds the packing input AND the final score join
+    kept = managed_persist(
+        surp.join(lang, "doc_id")
+        .filter((F.col("n_tokens") >= CURATION_MIN_TOKENS)
+                & (F.col("mean_surprisal_micro")
+                   <= CURATION_MAX_SURPRISAL)))
     packin = kept.select("doc_id", "lang").join(docs2, "doc_id")
     bins = curation.pack_sequences(packin, budget=CURATION_BUDGET)
     return (bins.join(kept.select("doc_id", "mean_surprisal_micro"),
