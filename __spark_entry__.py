@@ -878,6 +878,19 @@ def q_corpus_full_curation(spark, sf_dir):
                     "mean_surprisal_micro"))
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment over LSH candidates: flags partial
+    copies (doc quoted inside another) that symmetric Jaccard
+    dedup misses."""
+    return dedupfn.containment_pairs(_docs(spark, sf_dir))
+
+
+def q_corpus_source_report(spark, sf_dir):
+    """Per-source corpus audit: doc/token/short/dup counts and
+    language diversity — the mix report behind sampling weights."""
+    return scoring.corpus_source_report(_docs(spark, sf_dir))
+
+
 def q_doc_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (hash-gated breakpoints): byte-level
     dedup-storage chunks whose boundaries survive insertions — the
@@ -1194,6 +1207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_doc_lsh": q_ann_doc_lsh,
         "dedup_incremental": q_dedup_incremental,
         "doc_cdc_chunks": q_doc_cdc_chunks,
+        "dedup_containment": q_dedup_containment,
+        "corpus_source_report": q_corpus_source_report,
         "cdc_loopback_filter": q_cdc_loopback_filter,
         "cdc_txn_batches": q_cdc_txn_batches,
         "cdc_schema_backfill": q_cdc_schema_backfill,
@@ -1502,6 +1517,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_doc_lsh": osql.ann_doc_lsh_sql(),
         "dedup_incremental": osql.DEDUP_INCREMENTAL,
         "doc_cdc_chunks": osql.CDC_CHUNKS,
+        "dedup_containment": osql.CONTAINMENT_PAIRS,
+        "corpus_source_report": osql.CORPUS_SOURCE_REPORT,
         "doc_chunks": r"""
             WITH t AS (SELECT doc_id,
                 string_split_regex(trim(text), '\s+') AS toks

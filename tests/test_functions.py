@@ -741,3 +741,38 @@ def test_cdc_chunks_cover_and_survive_insertion(spark):
     h1 = {r["chunk_md5"] for r in out}
     h2 = {r["chunk_md5"] for r in out2}
     assert len(h1 & h2) >= len(h1) * 3 // 5
+
+
+def test_containment_flags_partial_copy(spark):
+    from tidb_binlog_spark.functions.dedup import containment_pairs
+    # A long enough that B's extra shingles rarely displace a band
+    # minimum, so the LSH candidate stage still surfaces the pair
+    a = " ".join(f"w{i}" for i in range(1, 31))
+    b = a + " x1 x2"                  # A embedded in B + a short tail
+    docs = spark.createDataFrame(
+        [(1, a), (2, b),
+         (3, "totally different content with nothing shared at all ok")],
+        "doc_id long, text string")
+    got = containment_pairs(docs, threshold=0.8).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
+    r = got[0]
+    # every shingle of A occurs in B; B has 2 extra shingles
+    assert r["containment_a_in_b"] == 1.0
+    assert r["containment_b_in_a"] < 1.0
+
+
+def test_corpus_source_report_counts(spark):
+    from tidb_binlog_spark.functions.scoring import corpus_source_report
+    long = "tok " * 25
+    docs = spark.createDataFrame(
+        [(1, long, "en", "src_a", 0),
+         (2, long, "en", "src_a", 0),      # exact dup within src_a
+         (3, "short text", "es", "src_a", 0),
+         (4, "another corpus entirely", "en", "src_b", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    rows = {r["source"]: r for r in corpus_source_report(docs).collect()}
+    a = rows["src_a"]
+    assert a["n_docs"] == 3 and a["n_short"] == 1
+    assert a["n_langs"] == 2 and a["n_unique_texts"] == 2
+    assert a["n_dup_texts"] == 1
+    assert rows["src_b"]["n_docs"] == 1 and rows["src_b"]["n_dup_texts"] == 0

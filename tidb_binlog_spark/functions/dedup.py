@@ -315,3 +315,47 @@ def _band_buckets_from_sigs(sigs: DataFrame, k: int = 12,
             + "))))")))
         .select("doc_id", F.col("bb.band").alias("band"),
                 F.col("bb.key").alias("bucket")))
+
+
+def containment_pairs(docs: DataFrame, threshold: float = 0.8,
+                      k: int = 12, bands: int = 4) -> DataFrame:
+    """Asymmetric containment over the banded-LSH candidates:
+    containment(A in B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|
+    — near 1.0 when A is quoted/embedded inside B even though their
+    Jaccard is low (the partial-copy case symmetric dedup misses).
+    Emits candidate pairs with containment in EITHER direction >=
+    ``threshold``: (doc_a, doc_b, n_common, containment_a_in_b,
+    containment_b_in_a).
+
+    Scale: same banded candidate generation as minhash_lsh_pairs
+    (never all-pairs); the exact set intersection runs per PAIR on
+    the two shingle arrays."""
+    sigs = managed_persist(minhash_signatures(docs, k))
+    exploded = managed_persist(_band_buckets_from_sigs(sigs, k, bands))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    sh = (with_shingles(docs)
+          .select("doc_id",
+                  F.expr("array_distinct(shingles)").alias("shset")))
+    sa = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shset").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("shset").alias("sh_b"))
+    common = "size(array_intersect(sh_a, sh_b))"
+    out = (cand.join(sa, "doc_a").join(sb, "doc_b")
+           .select(
+               "doc_a", "doc_b",
+               F.expr(common).alias("n_common"),
+               F.expr(f"CAST({common} AS DOUBLE) / "
+                      f"CAST(size(sh_a) AS DOUBLE)")
+                .alias("containment_a_in_b"),
+               F.expr(f"CAST({common} AS DOUBLE) / "
+                      f"CAST(size(sh_b) AS DOUBLE)")
+                .alias("containment_b_in_a")))
+    return out.filter((F.col("containment_a_in_b") >= threshold)
+                      | (F.col("containment_b_in_a") >= threshold))

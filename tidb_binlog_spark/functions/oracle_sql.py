@@ -731,3 +731,39 @@ SELECT doc_id, chunk_no, CAST(start AS INT) AS start,
   md5(substring(text, start, CAST(stop - start + 1 AS INT))) AS chunk_md5
 FROM c WHERE stop >= start
 """
+
+
+CONTAINMENT_PAIRS = f"""
+WITH {MINHASH_PAIRS_CTES},
+shset AS (SELECT doc_id, list_distinct(shingles) AS shset FROM sh),
+j AS (SELECT p.doc_a, p.doc_b, a.shset AS sh_a, b.shset AS sh_b
+      FROM pairs p
+      JOIN shset a ON p.doc_a = a.doc_id
+      JOIN shset b ON p.doc_b = b.doc_id),
+scored AS (SELECT doc_a, doc_b,
+    len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS n_common,
+    CAST(len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS DOUBLE)
+      / CAST(len(sh_a) AS DOUBLE) AS containment_a_in_b,
+    CAST(len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS DOUBLE)
+      / CAST(len(sh_b) AS DOUBLE) AS containment_b_in_a
+  FROM j)
+SELECT * FROM scored
+WHERE containment_a_in_b >= 0.8 OR containment_b_in_a >= 0.8
+"""
+
+
+CORPUS_SOURCE_REPORT = f"""
+WITH per_doc AS (SELECT source, lang, doc_id,
+    len({TOKS}) AS n_tokens, md5(text) AS content_hash
+  FROM documents)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  COUNT(CASE WHEN n_tokens < 20 THEN 1 END) AS n_short,
+  COUNT(DISTINCT lang) AS n_langs,
+  COUNT(DISTINCT content_hash) AS n_unique_texts,
+  CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS mean_tokens,
+  COUNT(*) - COUNT(DISTINCT content_hash) AS n_dup_texts
+FROM per_doc GROUP BY source
+"""

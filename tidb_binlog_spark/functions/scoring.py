@@ -264,3 +264,31 @@ def bigram_surprisal(docs: DataFrame,
             .select("doc_id", "n_scored", "surprisal_micro",
                     F.expr("surprisal_micro DIV n_scored")
                      .alias("mean_surprisal_micro")))
+
+
+def corpus_source_report(docs: DataFrame,
+                         short_tokens: int = 20) -> DataFrame:
+    """Per-source corpus audit (the mix report a curation run reviews
+    before fixing sampling weights): doc/token counts, short-doc
+    counts, language diversity, duplicate-text incidence. One
+    map-side-combinable aggregate keyed on the (tiny) source domain;
+    exact BIGINT counts + single divisions only.
+    """
+    per_doc = (with_tokens(docs)
+               .select("source", "lang", "doc_id",
+                       F.expr("size(toks)").alias("n_tokens"),
+                       F.md5("text").alias("content_hash")))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.count(F.when(F.col("n_tokens") < short_tokens, 1))
+                  .alias("n_short"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.countDistinct("content_hash").alias("n_unique_texts"))
+            .select("source", "n_docs", "total_tokens", "n_short",
+                    "n_langs", "n_unique_texts",
+                    (F.col("total_tokens").cast("double")
+                     / F.col("n_docs").cast("double"))
+                    .alias("mean_tokens"),
+                    (F.col("n_docs") - F.col("n_unique_texts"))
+                    .alias("n_dup_texts")))
