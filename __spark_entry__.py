@@ -878,6 +878,26 @@ def q_corpus_full_curation(spark, sf_dir):
                     "mean_surprisal_micro"))
 
 
+def q_dedup_chunk_minhash(spark, sf_dir):
+    """Paragraph-granularity NEAR dedup: 32-token non-overlapping
+    chunks become MinHash units (composite id doc*1000+chunk), so
+    repeated passages surface even when whole documents differ —
+    line_dedup's exact counterpart at the near-dup level."""
+    from tidb_binlog_spark.functions import curation
+    chunks = curation.chunk_documents(_docs(spark, sf_dir),
+                                      chunk_tokens=32, stride=32)
+    units = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_seq")).alias("doc_id"),
+        F.col("chunk_text").alias("text"))
+    pairs = dedupfn.minhash_lsh_pairs(units)
+    return pairs.select(
+        F.expr("doc_a DIV 1000").alias("doc_a"),
+        F.expr("CAST(doc_a % 1000 AS INT)").alias("chunk_a"),
+        F.expr("doc_b DIV 1000").alias("doc_b"),
+        F.expr("CAST(doc_b % 1000 AS INT)").alias("chunk_b"),
+        "est_jaccard")
+
+
 def q_dedup_containment(spark, sf_dir):
     """Asymmetric containment over LSH candidates: flags partial
     copies (doc quoted inside another) that symmetric Jaccard
@@ -1209,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cdc_chunks": q_doc_cdc_chunks,
         "dedup_containment": q_dedup_containment,
         "corpus_source_report": q_corpus_source_report,
+        "dedup_chunk_minhash": q_dedup_chunk_minhash,
         "cdc_loopback_filter": q_cdc_loopback_filter,
         "cdc_txn_batches": q_cdc_txn_batches,
         "cdc_schema_backfill": q_cdc_schema_backfill,
@@ -1519,6 +1540,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_cdc_chunks": osql.CDC_CHUNKS,
         "dedup_containment": osql.CONTAINMENT_PAIRS,
         "corpus_source_report": osql.CORPUS_SOURCE_REPORT,
+        "dedup_chunk_minhash": osql.CHUNK_MINHASH_PAIRS,
         "doc_chunks": r"""
             WITH t AS (SELECT doc_id,
                 string_split_regex(trim(text), '\s+') AS toks

@@ -64,8 +64,12 @@ _SIG = ("list_transform(generate_series(0, 11), j -> "
         "list_min(list_transform(base_hashes, "
         "h -> substring(h, 1 + (j * 5) % 24, 8))))")
 
-MINHASH_PAIRS_CTES = f"""
-toks AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+def minhash_pairs_ctes(source: str = "documents") -> str:
+    """The banded-MinHash candidate CTE chain over any
+    (doc_id, text) source — kept as a builder so chunk-level and
+    incremental variants share the exact band keys."""
+    return f"""
+toks AS (SELECT doc_id, text, {TOKS} AS toks FROM {source}),
 sh AS (SELECT doc_id, {SHINGLES} AS shingles FROM toks),
 bh AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS base_hashes
        FROM sh),
@@ -80,6 +84,9 @@ pairs AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
 """
+
+
+MINHASH_PAIRS_CTES = minhash_pairs_ctes()
 
 DEDUP_MINHASH_LSH = f"""
 WITH {MINHASH_PAIRS_CTES}
@@ -766,4 +773,27 @@ SELECT source,
     / CAST(COUNT(*) AS DOUBLE) AS mean_tokens,
   COUNT(*) - COUNT(DISTINCT content_hash) AS n_dup_texts
 FROM per_doc GROUP BY source
+"""
+
+
+# paragraph-granularity near dedup: 32-token non-overlapping chunks as
+# units, composite unit id = doc_id * 1000 + chunk_seq, then the SAME
+# banded candidate chain + signature-agreement estimate
+CHUNK_MINHASH_PAIRS = f"""
+WITH t0 AS (SELECT doc_id,
+    string_split_regex(trim(text), '\\s+') AS dtoks
+  FROM documents),
+e AS (SELECT doc_id, dtoks,
+    unnest(range(0, greatest(len(dtoks), 1), 32)) AS i
+  FROM t0),
+units AS (SELECT doc_id * 1000 + CAST(i / 32 AS INT) AS doc_id,
+    array_to_string(dtoks[i + 1 : i + 32], ' ') AS text
+  FROM e WHERE i < len(dtoks)),
+{minhash_pairs_ctes('units')}
+SELECT doc_a // 1000 AS doc_a, CAST(doc_a % 1000 AS INT) AS chunk_a,
+  doc_b // 1000 AS doc_b, CAST(doc_b % 1000 AS INT) AS chunk_b,
+  CAST(len(list_filter(generate_series(0, 11),
+      j -> sig_a[j+1] = sig_b[j+1])) AS DOUBLE)
+    / CAST(12 AS DOUBLE) AS est_jaccard
+FROM pairs
 """
