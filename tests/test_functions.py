@@ -776,3 +776,45 @@ def test_corpus_source_report_counts(spark):
     assert a["n_langs"] == 2 and a["n_unique_texts"] == 2
     assert a["n_dup_texts"] == 1
     assert rows["src_b"]["n_docs"] == 1 and rows["src_b"]["n_dup_texts"] == 0
+
+
+def test_chunk_minhash_finds_repeated_paragraph(spark):
+    """A 32-token paragraph shared by two otherwise-different docs
+    must surface as a chunk-level near-dup pair."""
+    import __spark_entry__ as e
+    para = " ".join(f"p{i}" for i in range(32))
+    docs = spark.createDataFrame(
+        [(1, para + " " + " ".join(f"a{i}" for i in range(32))),
+         (2, " ".join(f"b{i}" for i in range(32)) + " " + para),
+         (3, " ".join(f"c{i}" for i in range(40)))],
+        "doc_id long, text string")
+    from tidb_binlog_spark.functions import curation, dedup
+    import pyspark.sql.functions as F
+    chunks = curation.chunk_documents(docs, chunk_tokens=32, stride=32)
+    units = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_seq")).alias("doc_id"),
+        F.col("chunk_text").alias("text"))
+    pairs = dedup.minhash_lsh_pairs(units).collect()
+    # doc1-chunk0 == doc2-chunk1 (ids 1000 and 2001)
+    assert [(p["doc_a"], p["doc_b"], p["est_jaccard"])
+            for p in pairs] == [(1000, 2001, 1.0)]
+
+
+def test_ann_doc_lsh_ranks_identical_docs_first(spark):
+    """Hash-embed + LSH search: a doc identical to the query doc is
+    its top neighbor with cosine 1.0."""
+    from tidb_binlog_spark.functions.scoring import hash_embed
+    from tidb_binlog_spark.functions.similarity import lsh_topk
+    import pyspark.sql.functions as F
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(0, same), (7, same),
+         (3, "totally different words everywhere here now yes ok")],
+        "doc_id long, text string")
+    emb = (hash_embed(docs)
+           .filter(F.expr("exists(embedding, x -> x <> 0D)"))
+           .select(F.col("doc_id").alias("vec_id"), "embedding"))
+    got = lsh_topk(emb, query_mod=100, k=2).collect()  # query = doc 0
+    top = min(got, key=lambda r: r["rank"])
+    # sqrt rounding keeps self-cosine a hair under 1.0
+    assert top["vec_id"] == 7 and top["cosine"] > 0.999999
