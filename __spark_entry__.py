@@ -927,6 +927,30 @@ def q_text_mix_weights(spark, sf_dir):
     return curation.mix_to_weights(_docs(spark, sf_dir), MIX_WEIGHTS)
 
 
+def q_text_decontaminate_spans(spark, sf_dir):
+    """Surgical decontamination: only the >=16-token passages shared
+    with the held-out set (doc_id % 50 == 0) become removable spans —
+    the quote goes, the document stays (contrast text_contamination,
+    which flags whole documents). Every 7th corpus doc gets a 24-token
+    quote of the first bench doc appended (the line_dedup
+    header-injection pattern), so the span detector has corpus-wide
+    work to do, not just the fixture's accidental overlaps."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    quote = (bench.orderBy("doc_id").limit(1)
+             .select(F.expr(
+                 "concat_ws(' ', slice(filter(split(text, ' '), "
+                 "x -> x <> ''), 1, 24))").alias("q")))
+    corpus = (docs.filter(F.col("doc_id") % 50 != 0)
+              .crossJoin(F.broadcast(quote))
+              .withColumn("text",
+                          F.when(F.col("doc_id") % 7 == 3,
+                                 F.concat_ws(" ", "text", "q"))
+                           .otherwise(F.col("text")))
+              .drop("q"))
+    return dedupfn.decontaminate_spans(corpus, bench, w=16)
+
+
 def q_corpus_source_report(spark, sf_dir):
     """Per-source corpus audit: doc/token/short/dup counts and
     language diversity — the mix report behind sampling weights."""
@@ -1174,8 +1198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (their fixes still need a recorded driver row), and one-round
     # greens. Rotated below: 19 queries with r2+r3(+r4) green rows.
     return {
-        # -- new r5: substring-span dedup + domain mixing ----------------
+        # -- new r5: substring-span dedup + span decontam + mixing -------
         "dedup_substring_spans": q_dedup_substring_spans,
+        "text_decontaminate_spans": q_text_decontaminate_spans,
         "text_mix_weights": q_text_mix_weights,
         # -- sat out the r4 window (position 51+ last round) -------------
         "doc_fingerprint": q_doc_fingerprint,
@@ -1229,8 +1254,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pc_match": q_cdc_pc_match,
         "cdc_wide_row_apply": q_cdc_wide_row_apply,
         "sink_sql_wide": q_sink_sql_wide,
-        "sink_obinlog_wide": q_sink_obinlog_wide,
         # -- below the driver's 50-row window (position 51+): still in
+        # queries() + the local gate. sink_obinlog_wide (green r3+r4)
+        # rotates below to make room for the third new r5 query; its
+        # payload shape stays exercised by sink_payload_roundtrip +
+        # test_obinlog_wide_roundtrip.
+        "sink_obinlog_wide": q_sink_obinlog_wide,
         # queries() + the local gate; all r2+r3(+r4) driver-green with
         # pytest coverage; rotate back next round per the
         # every-other-round discipline. Live indirect evidence:
@@ -1268,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_substring_spans": osql.DUPLICATE_SPANS,
+        "text_decontaminate_spans": osql.DECONTAMINATE_SPANS,
         "text_mix_weights": osql.mix_to_weights_sql(MIX_WEIGHTS),
         "cdc_kv_decode": f"""
             {CHANGES_CTE}

@@ -883,3 +883,25 @@ def test_mix_to_weights_exact_proportions_and_determinism(spark):
     again = mix_to_weights(docs.repartition(13), {"en": 3.0, "fr": 1.0})
     got = {(r["doc_id"], r["lang"]) for r in again.collect()}
     assert got == {(r["doc_id"], r["lang"]) for r in out}
+
+
+def test_decontaminate_spans_strips_only_shared_passage(spark):
+    from tidb_binlog_spark.functions.dedup import (decontaminate_spans,
+                                                   strip_spans)
+    q = " ".join(f"q{i}" for i in range(12))       # benchmark question
+    bench = spark.createDataFrame([(100, "intro " + q + " outro")],
+                                  "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "article start " + q + " article end continues onward"),
+         (2, "clean document with no overlap at all whatsoever here")],
+        "doc_id long, text string")
+    spans = decontaminate_spans(corpus, bench, w=8).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_end"])
+            for r in spans] == [(1, 2, 13)]
+    cleaned = {r["doc_id"]: r for r in
+               strip_spans(corpus,
+                           decontaminate_spans(corpus, bench, w=8)).collect()}
+    # the quote is gone, the article survives
+    assert cleaned[1]["clean_text"] == "article start article end continues onward"
+    assert cleaned[1]["n_dup_tokens"] == 12
+    assert cleaned[2]["n_dup_tokens"] == 0

@@ -397,9 +397,7 @@ def duplicate_spans(docs: DataFrame, w: int = 16, min_count: int = 2,
         f"i -> md5(concat_ws(' ', slice(toks, i + 1, {w})))) "
         f"ELSE cast(array() AS array<string>) END"
     )
-    occ = (with_tokens(docs)
-           .select("doc_id",
-                   F.posexplode(F.expr(wins_expr)).alias("pos", "whash")))
+    occ = _window_occurrences(docs, w)
     dup = (occ.groupBy("whash")
            .agg(F.count(F.lit(1)).alias("n_occ"))
            .filter(F.col("n_occ") >= min_count)
@@ -409,6 +407,28 @@ def duplicate_spans(docs: DataFrame, w: int = 16, min_count: int = 2,
         w_first = Window.partitionBy("whash").orderBy("doc_id", "pos")
         marked = (marked.withColumn("_rk", F.row_number().over(w_first))
                   .filter(F.col("_rk") > 1))
+    return _merge_marked_spans(marked, w)
+
+
+def _window_occurrences(docs: DataFrame, w: int) -> DataFrame:
+    """(doc_id, pos, md5-of-w-token-window) occurrence table — the
+    shared first stage of duplicate_spans and decontaminate_spans."""
+    from .text import with_tokens
+    wins_expr = (
+        f"CASE WHEN size(toks) >= {w} THEN "
+        f"transform(sequence(0, size(toks) - {w}), "
+        f"i -> md5(concat_ws(' ', slice(toks, i + 1, {w})))) "
+        f"ELSE cast(array() AS array<string>) END"
+    )
+    return (with_tokens(docs)
+            .select("doc_id",
+                    F.posexplode(F.expr(wins_expr)).alias("pos", "whash")))
+
+
+def _merge_marked_spans(marked: DataFrame, w: int) -> DataFrame:
+    """Merge marked window positions (doc_id, pos; each covering
+    [pos, pos+w-1]) into maximal overlapping-or-adjacent spans.
+    One window partitioning per doc_id — the classic island merge."""
     w_prev = (Window.partitionBy("doc_id").orderBy("pos")
               .rowsBetween(Window.unboundedPreceding, -1))
     w_ord = Window.partitionBy("doc_id").orderBy("pos")
@@ -424,6 +444,29 @@ def duplicate_spans(docs: DataFrame, w: int = 16, min_count: int = 2,
                  (F.max("pos") + (w - 1)).alias("span_end"),
                  F.count(F.lit(1)).alias("n_windows"))
             .select("doc_id", "span_start", "span_end", "n_windows"))
+
+
+def decontaminate_spans(corpus: DataFrame, bench: DataFrame,
+                        w: int = 16) -> DataFrame:
+    """Surgical benchmark decontamination: where
+    ``curation.contamination`` flags and drops any document sharing a
+    shingle with the held-out set, this removes ONLY the overlapping
+    passages — every corpus window whose exact w-token sequence occurs
+    anywhere in ``bench`` is marked and merged into maximal spans,
+    ready for ``strip_spans``. The rest of the document survives, so
+    a news article quoting one benchmark question loses the quote, not
+    the article — the span-level policy frontier pipelines use when
+    whole-doc dropping is too lossy.
+
+    Scale: bench window hashes are a DISTINCT projection of the
+    held-out set (benchmark-sized, usually broadcastable — Spark
+    auto-broadcasts under the threshold; the join degrades to a
+    hash-shuffle join on whash when bench outgrows it). The corpus
+    side carries (doc_id, pos, hash) only."""
+    bench_wins = (_window_occurrences(bench, w)
+                  .select("whash").distinct())
+    marked = _window_occurrences(corpus, w).join(bench_wins, "whash")
+    return _merge_marked_spans(marked, w)
 
 
 def strip_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:

@@ -799,27 +799,25 @@ FROM pairs
 """
 
 
-def duplicate_spans_sql(w: int = 16, min_count: int = 2) -> str:
-    """DuckDB mirror of dedup.duplicate_spans (keep_first=True):
-    window-hash occurrence table -> corpus-duplicated hashes ->
-    rank-within-hash (first occurrence survives) -> per-doc
-    overlapping/adjacent interval merge."""
+def _span_occ_sql(src: str, prefix: str, w: int) -> str:
+    """CTE fragment: (doc_id, pos, w-token window md5) over ``src`` —
+    the shared occurrence stage of the span-dedup oracles (mirrors
+    dedup._window_occurrences)."""
     return f"""
-WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
-e AS (SELECT doc_id, toks,
+{prefix}t AS (SELECT doc_id, {TOKS} AS toks FROM {src}),
+{prefix}e AS (SELECT doc_id, toks,
         unnest(CASE WHEN len(toks) >= {w}
                THEN generate_series(0, len(toks) - {w}) ELSE [] END) AS pos
-      FROM t),
-occ AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+      FROM {prefix}t),
+{prefix}occ AS (SELECT doc_id, CAST(pos AS INT) AS pos,
           md5(array_to_string(toks[pos + 1 : pos + {w}], ' ')) AS whash
-        FROM e),
-dup AS (SELECT whash FROM occ GROUP BY whash
-        HAVING COUNT(*) >= {min_count}),
-marked0 AS (SELECT o.doc_id, o.pos,
-              ROW_NUMBER() OVER (PARTITION BY o.whash
-                                 ORDER BY o.doc_id, o.pos) AS rk
-            FROM occ o JOIN dup USING (whash)),
-marked AS (SELECT doc_id, pos FROM marked0 WHERE rk > 1),
+        FROM {prefix}e)"""
+
+
+def _span_merge_sql(w: int) -> str:
+    """CTE chain + final select: merge a ``marked`` (doc_id, pos) set
+    into maximal spans (mirrors dedup._merge_marked_spans)."""
+    return f"""
 isl AS (SELECT doc_id, pos,
           MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -836,11 +834,52 @@ isl3 AS (SELECT doc_id, pos,
 SELECT doc_id, MIN(pos) AS span_start,
        CAST(MAX(pos) + {w} - 1 AS INT) AS span_end,
        COUNT(*) AS n_windows
-FROM isl3 GROUP BY doc_id, island
+FROM isl3 GROUP BY doc_id, island"""
+
+
+def duplicate_spans_sql(w: int = 16, min_count: int = 2) -> str:
+    """DuckDB mirror of dedup.duplicate_spans (keep_first=True):
+    window-hash occurrence table -> corpus-duplicated hashes ->
+    rank-within-hash (first occurrence survives) -> per-doc
+    overlapping/adjacent interval merge."""
+    return f"""
+WITH {_span_occ_sql('documents', '', w)},
+dup AS (SELECT whash FROM occ GROUP BY whash
+        HAVING COUNT(*) >= {min_count}),
+marked0 AS (SELECT o.doc_id, o.pos,
+              ROW_NUMBER() OVER (PARTITION BY o.whash
+                                 ORDER BY o.doc_id, o.pos) AS rk
+            FROM occ o JOIN dup USING (whash)),
+marked AS (SELECT doc_id, pos FROM marked0 WHERE rk > 1),
+{_span_merge_sql(w)}
 """
 
 
 DUPLICATE_SPANS = duplicate_spans_sql()
+
+
+def decontaminate_spans_sql(w: int = 16) -> str:
+    """DuckDB mirror of dedup.decontaminate_spans over the standard
+    bench/corpus split (every 50th doc is the held-out set; every 7th
+    corpus doc gets a 24-token quote of the first bench doc appended,
+    mirroring the entry query's injection)."""
+    return f"""
+WITH bench AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+quote AS (SELECT array_to_string(({TOKS})[1:24], ' ') AS q
+          FROM bench ORDER BY doc_id LIMIT 1),
+corpus AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN text || ' ' || q
+                  ELSE text END AS text
+           FROM documents, quote WHERE doc_id % 50 <> 0),
+{_span_occ_sql('bench', 'b', w)},
+bwins AS (SELECT DISTINCT whash FROM bocc),
+{_span_occ_sql('corpus', '', w)},
+marked AS (SELECT o.doc_id, o.pos FROM occ o JOIN bwins USING (whash)),
+{_span_merge_sql(w)}
+"""
+
+
+DECONTAMINATE_SPANS = decontaminate_spans_sql()
 
 
 def mix_to_weights_sql(weights: dict[str, float],
