@@ -321,3 +321,34 @@ def test_file_dump_writer_count_scales_with_buckets(spark, tmp_path):
     assert len(buckets) == 4
     # at least one data file per bucket dir, written by parallel tasks
     assert all(glob.glob(f"{b}/*.parquet") for b in buckets)
+
+
+def test_duplicate_spans_plan_no_cartesian_pure_jvm(spark):
+    """Span dedup must stay hash-join + window shaped: no cartesian
+    product, no Python eval, and the interval merge windows are
+    partitioned (no global single-partition window)."""
+    import __spark_entry__ as m
+    plan = _plan(m.queries()["dedup_substring_spans"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Window " in line or "RunningWindowFunction" in line:
+            assert "partitionBy" not in line or "partitionBy=[]" not in line
+
+
+def test_decontaminate_spans_broadcasts_bench(spark):
+    """The held-out set's window hashes are benchmark-sized — they
+    must broadcast; the corpus side must never shuffle for them."""
+    import __spark_entry__ as m
+    plan = _plan(m.queries()["text_decontaminate_spans"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mix_to_weights_caps_broadcast_no_global_window(spark):
+    """Stratum caps join by broadcast; the rank window is keyed on the
+    stratum (never a global single-partition window over the corpus)."""
+    import __spark_entry__ as m
+    plan = _plan(m.queries()["text_mix_weights"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "partitionBy=[]" not in plan.replace(" ", "")
