@@ -957,6 +957,13 @@ def q_corpus_source_report(spark, sf_dir):
     return scoring.corpus_source_report(_docs(spark, sf_dir))
 
 
+def q_corpus_length_quantiles(spark, sf_dir):
+    """Exact per-source token-length quantiles (nearest-rank p50/p90/
+    p99) — the distribution report behind truncation budgets and
+    packing window choices."""
+    return scoring.corpus_length_quantiles(_docs(spark, sf_dir))
+
+
 def q_doc_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (hash-gated breakpoints): byte-level
     dedup-storage chunks whose boundaries survive insertions — the
@@ -1291,6 +1298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        # new this session (late): oracle-checked locally, rotates into
+        # the driver window next round
+        "corpus_length_quantiles": q_corpus_length_quantiles,
     }
 
 
@@ -1299,6 +1309,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_spans": osql.DUPLICATE_SPANS,
         "text_decontaminate_spans": osql.DECONTAMINATE_SPANS,
         "text_mix_weights": osql.mix_to_weights_sql(MIX_WEIGHTS),
+        "corpus_length_quantiles": osql.CORPUS_LENGTH_QUANTILES,
         "cdc_kv_decode": f"""
             {CHANGES_CTE}
             SELECT arrival_seq, pk,

@@ -33,6 +33,9 @@ HEADLINE = [
     "dedup_exact",               # content-hash dedup clusters
     "dedup_minhash_lsh",         # MinHash+LSH near-dup pairs
     "dedup_simhash_pairs",       # SimHash signatures + banded pairs
+    "dedup_substring_spans",     # suffix-array-style span dedup
+    "text_decontaminate_spans",  # span-level benchmark decontam
+    "text_mix_weights",          # domain mixing to target weights
     "ann_cosine_topk",           # brute-force cosine top-k
     "ann_ivf_topk",              # IVF inverted-list search
     "curation_pipeline",         # lang-ID + quality + dedup composed

@@ -905,3 +905,79 @@ def test_decontaminate_spans_strips_only_shared_passage(spark):
     assert cleaned[1]["clean_text"] == "article start article end continues onward"
     assert cleaned[1]["n_dup_tokens"] == 12
     assert cleaned[2]["n_dup_tokens"] == 0
+
+
+def test_duplicate_spans_matches_bruteforce_reference(spark):
+    """Property check: duplicate_spans over random small corpora equals
+    an O(n^2) single-process reference for BOTH keep_first policies."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from tidb_binlog_spark.functions.dedup import duplicate_spans
+
+    W = 4
+
+    def reference(texts: list[str], keep_first: bool):
+        occ = []                                   # (doc_id, pos, window)
+        for d, text in enumerate(texts):
+            toks = [t for t in text.split(" ") if t]
+            for p in range(len(toks) - W + 1):
+                occ.append((d, p, " ".join(toks[p:p + W])))
+        counts = {}
+        for _, _, win in occ:
+            counts[win] = counts.get(win, 0) + 1
+        first = {}
+        for d, p, win in sorted(occ):
+            first.setdefault(win, (d, p))
+        marked = {}
+        for d, p, win in occ:
+            if counts[win] < 2:
+                continue
+            if keep_first and first[win] == (d, p):
+                continue
+            marked.setdefault(d, []).append(p)
+        spans = set()
+        for d, ps in marked.items():
+            ps.sort()
+            start = prev_end = None
+            for p in ps:
+                if start is None or p > prev_end + 1:
+                    if start is not None:
+                        spans.add((d, start, prev_end))
+                    start = p
+                prev_end = max(prev_end if prev_end is not None else -1,
+                               p + W - 1)
+            spans.add((d, start, prev_end))
+        return spans
+
+    @given(st.lists(
+        st.lists(st.sampled_from("a b c d".split()), min_size=0,
+                 max_size=24).map(" ".join),
+        min_size=1, max_size=6),
+        st.booleans())
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def check(texts, keep_first):
+        docs = spark.createDataFrame(list(enumerate(texts)),
+                                     "doc_id long, text string")
+        got = {(r["doc_id"], r["span_start"], r["span_end"])
+               for r in duplicate_spans(docs, w=W,
+                                        keep_first=keep_first).collect()}
+        assert got == reference(texts, keep_first)
+
+    check()
+
+
+def test_corpus_length_quantiles_nearest_rank(spark):
+    from tidb_binlog_spark.functions.scoring import corpus_length_quantiles
+    # src_a lengths sorted: 1..10 -> p50 = rank ceil(5.0)=5 -> 5,
+    # p90 = rank 9 -> 9, p99 = rank ceil(9.9)=10 -> 10
+    rows = [(i, " ".join("t" for _ in range(i)), "src_a")
+            for i in range(1, 11)]
+    rows += [(100, "a b c", "src_b")]          # single-doc stratum
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in corpus_length_quantiles(docs).collect()}
+    a = got["src_a"]
+    assert (a["n_docs"], a["min_tokens"], a["max_tokens"]) == (10, 1, 10)
+    assert (a["p50_tokens"], a["p90_tokens"], a["p99_tokens"]) == (5, 9, 10)
+    b = got["src_b"]
+    assert (b["p50_tokens"], b["p90_tokens"], b["p99_tokens"]) == (3, 3, 3)

@@ -912,3 +912,23 @@ rk AS (SELECT d.doc_id, d.{stratum_col}, c.n_stratum, c.k_target,
 SELECT doc_id, {stratum_col}, n_stratum, k_target
 FROM rk WHERE r <= k_target
 """
+
+
+CORPUS_LENGTH_QUANTILES = f"""
+WITH per AS (SELECT source, doc_id, len({TOKS}) AS n_tokens
+             FROM documents),
+r AS (SELECT source, n_tokens,
+        ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY n_tokens, doc_id) AS rk,
+        COUNT(*) OVER (PARTITION BY source) AS n
+      FROM per)
+SELECT source, COUNT(*) AS n_docs,
+  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+  MAX(CASE WHEN rk = CAST(CEIL(0.5 * n) AS BIGINT)
+           THEN n_tokens END) AS p50_tokens,
+  MAX(CASE WHEN rk = CAST(CEIL(0.9 * n) AS BIGINT)
+           THEN n_tokens END) AS p90_tokens,
+  MAX(CASE WHEN rk = CAST(CEIL(0.99 * n) AS BIGINT)
+           THEN n_tokens END) AS p99_tokens
+FROM r GROUP BY source
+"""

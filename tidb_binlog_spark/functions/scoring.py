@@ -25,7 +25,7 @@ operations both Spark and DuckDB evaluate identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import with_tokens
@@ -292,3 +292,35 @@ def corpus_source_report(docs: DataFrame,
                     .alias("mean_tokens"),
                     (F.col("n_docs") - F.col("n_unique_texts"))
                     .alias("n_dup_texts")))
+
+
+def corpus_length_quantiles(docs: DataFrame,
+                            quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+                            stratum_col: str = "source") -> DataFrame:
+    """EXACT per-stratum token-length quantiles (nearest-rank
+    definition: the value at rank ceil(q * n) of the sorted lengths) —
+    the distribution report behind truncation budgets and packing
+    window choices. No interpolation and no sketch, so any engine
+    reproduces the numbers bit-for-bit.
+
+    Scale: one shuffle keyed on the stratum; the rank window sorts
+    within each stratum (the exact path). At 100 TB with huge strata,
+    the documented swap is percentile_approx / t-digest sketches —
+    same report shape, bounded memory, approximate answers.
+    """
+    per_doc = with_tokens(docs).select(
+        stratum_col, "doc_id", F.expr("size(toks)").alias("n_tokens"))
+    w_rank = Window.partitionBy(stratum_col).orderBy("n_tokens", "doc_id")
+    ranked = (per_doc
+              .withColumn("rk", F.row_number().over(w_rank))
+              .withColumn("n", F.count(F.lit(1))
+                          .over(Window.partitionBy(stratum_col))))
+    aggs = [F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens")]
+    for q in quantiles:
+        tag = f"p{int(round(q * 100))}"
+        aggs.append(F.max(F.when(
+            F.col("rk") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+            F.col("n_tokens"))).alias(f"{tag}_tokens"))
+    return ranked.groupBy(stratum_col).agg(*aggs)
