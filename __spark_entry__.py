@@ -957,6 +957,14 @@ def q_corpus_source_report(spark, sf_dir):
     return scoring.corpus_source_report(_docs(spark, sf_dir))
 
 
+def q_text_strip_spans(spark, sf_dir):
+    """The strip stage composed with span detection: every document
+    rebuilt with its duplicated >=16-token passages removed (first
+    occurrence corpus-wide survives), plus the removed-token count."""
+    docs = _docs(spark, sf_dir)
+    return dedupfn.strip_spans(docs, dedupfn.duplicate_spans(docs, w=16))
+
+
 def q_corpus_length_quantiles(spark, sf_dir):
     """Exact per-source token-length quantiles (nearest-rank p50/p90/
     p99) — the distribution report behind truncation budgets and
@@ -1301,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this session (late): oracle-checked locally, rotates into
         # the driver window next round
         "corpus_length_quantiles": q_corpus_length_quantiles,
+        "text_strip_spans": q_text_strip_spans,
     }
 
 
@@ -1310,6 +1319,7 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate_spans": osql.DECONTAMINATE_SPANS,
         "text_mix_weights": osql.mix_to_weights_sql(MIX_WEIGHTS),
         "corpus_length_quantiles": osql.CORPUS_LENGTH_QUANTILES,
+        "text_strip_spans": osql.STRIP_SPANS,
         "cdc_kv_decode": f"""
             {CHANGES_CTE}
             SELECT arrival_seq, pk,

@@ -932,3 +932,41 @@ SELECT source, COUNT(*) AS n_docs,
            THEN n_tokens END) AS p99_tokens
 FROM r GROUP BY source
 """
+
+
+def strip_spans_sql(w: int = 16, min_count: int = 2) -> str:
+    """DuckDB mirror of duplicate_spans + strip_spans composed: spans
+    via the shared CTE chain, then per-doc token rebuild keeping only
+    positions outside every span (string_agg ordered by token index)."""
+    return f"""
+WITH {_span_occ_sql('documents', '', w)},
+dup AS (SELECT whash FROM occ GROUP BY whash
+        HAVING COUNT(*) >= {min_count}),
+marked0 AS (SELECT o.doc_id, o.pos,
+              ROW_NUMBER() OVER (PARTITION BY o.whash
+                                 ORDER BY o.doc_id, o.pos) AS rk
+            FROM occ o JOIN dup USING (whash)),
+marked AS (SELECT doc_id, pos FROM marked0 WHERE rk > 1),
+{_span_merge_sql(w).replace('SELECT doc_id, MIN(pos)',
+                            ', spans AS (SELECT doc_id, MIN(pos)')}),
+ti AS (SELECT doc_id, toks,
+         unnest(CASE WHEN len(toks) >= 1
+                THEN generate_series(0, len(toks) - 1) ELSE [] END) AS i
+       FROM t),
+tok AS (SELECT doc_id, CAST(i AS INT) AS i, toks[i + 1] AS tok FROM ti),
+keep AS (SELECT k.doc_id, k.i, k.tok FROM tok k
+         WHERE NOT EXISTS (SELECT 1 FROM spans s
+                           WHERE s.doc_id = k.doc_id
+                             AND k.i BETWEEN s.span_start AND s.span_end)),
+agg AS (SELECT doc_id,
+          COALESCE(string_agg(tok, ' ' ORDER BY i), '') AS clean_text,
+          COUNT(*) AS n_kept
+        FROM keep GROUP BY doc_id)
+SELECT t.doc_id,
+  COALESCE(agg.clean_text, '') AS clean_text,
+  CAST(len(t.toks) - COALESCE(agg.n_kept, 0) AS INT) AS n_dup_tokens
+FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+"""
+
+
+STRIP_SPANS = strip_spans_sql()
