@@ -981,3 +981,12 @@ def test_corpus_length_quantiles_nearest_rank(spark):
     assert (a["p50_tokens"], a["p90_tokens"], a["p99_tokens"]) == (5, 9, 10)
     b = got["src_b"]
     assert (b["p50_tokens"], b["p90_tokens"], b["p99_tokens"]) == (3, 3, 3)
+
+
+def test_mix_to_weights_absent_weighted_stratum_pins_scale_to_zero(spark):
+    from tidb_binlog_spark.functions.curation import mix_to_weights
+    docs = spark.createDataFrame([(i, "t", "en") for i in range(50)],
+                                 "doc_id long, text string, lang string")
+    # 'de' is weighted but absent from the corpus: the target mixture
+    # is unachievable -> EMPTY output, never a silent 100% 'en' drift
+    assert mix_to_weights(docs, {"en": 0.5, "de": 0.5}).count() == 0

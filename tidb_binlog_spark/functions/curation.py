@@ -393,7 +393,11 @@ def mix_to_weights(docs: DataFrame, weights: dict[str, float],
     output mixture matches ``weights`` to integer rounding, no stratum
     is over-drawn, and the draw is replay-stable under reshuffling
     (ticket depends only on seed + key). Strata not in ``weights``
-    contribute nothing.
+    contribute nothing. A WEIGHTED stratum absent from the corpus pins
+    ``min_s(n_s / w_s)`` to 0 — the target mixture is unachievable and
+    the output is EMPTY rather than silently renormalized to whatever
+    strata happen to exist (check the per-stratum ``k_target`` caps
+    when diagnosing; an all-zero cap column means a missing stratum).
 
     Scale: stratum counts are a tiny map-side-combinable aggregate;
     caps broadcast back; the per-stratum selection is ONE rank window
@@ -409,7 +413,12 @@ def mix_to_weights(docs: DataFrame, weights: dict[str, float],
         [(k, v) for k, v in norm.items()], f"{stratum_col} string, w double")
     counts = docs.groupBy(stratum_col).agg(
         F.count(F.lit(1)).alias("n_stratum"))
-    capped = (counts.join(wdf, stratum_col)
+    # LEFT join from the weights side: a weighted stratum with no
+    # corpus rows must keep its row (n=0 -> ratio 0 -> scale 0), not
+    # vanish and let the mixture drift to the remaining strata
+    capped = (wdf.join(counts, stratum_col, "left")
+              .withColumn("n_stratum",
+                          F.coalesce(F.col("n_stratum"), F.lit(0)))
               .withColumn("_ratio", F.col("n_stratum") / F.col("w")))
     scale = capped.agg(F.min("_ratio").alias("_scale"))
     caps = (capped.crossJoin(F.broadcast(scale))

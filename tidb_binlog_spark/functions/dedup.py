@@ -390,13 +390,6 @@ def duplicate_spans(docs: DataFrame, w: int = 16, min_count: int = 2,
     anywhere, so a pathological passage repeated 10^6 times costs
     O(occurrences), not O(occurrences^2).
     """
-    from .text import with_tokens
-    wins_expr = (
-        f"CASE WHEN size(toks) >= {w} THEN "
-        f"transform(sequence(0, size(toks) - {w}), "
-        f"i -> md5(concat_ws(' ', slice(toks, i + 1, {w})))) "
-        f"ELSE cast(array() AS array<string>) END"
-    )
     occ = _window_occurrences(docs, w)
     dup = (occ.groupBy("whash")
            .agg(F.count(F.lit(1)).alias("n_occ"))
@@ -481,13 +474,16 @@ def strip_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
                     F.collect_list(F.struct("span_start", "span_end")))
                     .alias("_spans")))
     from .text import with_tokens
+    # materialize the kept-token array ONCE: Spark skips common-
+    # subexpression elimination for lambda expressions, so inlining
+    # the filter into both outputs would pay the O(tokens x spans)
+    # exists() scan twice per document
     return (with_tokens(docs).join(span_arr, "doc_id", "left")
-            .withColumn("clean_text", F.expr(
-                "concat_ws(' ', filter(toks, (t, i) -> _spans IS NULL OR "
+            .withColumn("_kept", F.expr(
+                "filter(toks, (t, i) -> _spans IS NULL OR "
                 "NOT exists(_spans, s -> i >= s.span_start "
-                "AND i <= s.span_end)))"))
-            .withColumn("n_dup_tokens", F.expr(
-                "size(toks) - size(filter(toks, (t, i) -> _spans IS NULL "
-                "OR NOT exists(_spans, s -> i >= s.span_start "
-                "AND i <= s.span_end)))"))
-            .select("doc_id", "clean_text", "n_dup_tokens"))
+                "AND i <= s.span_end))"))
+            .select("doc_id",
+                    F.expr("concat_ws(' ', _kept)").alias("clean_text"),
+                    F.expr("size(toks) - size(_kept)")
+                     .alias("n_dup_tokens")))

@@ -814,9 +814,19 @@ def _span_occ_sql(src: str, prefix: str, w: int) -> str:
         FROM {prefix}e)"""
 
 
-def _span_merge_sql(w: int) -> str:
+def _span_merge_sql(w: int, cte_name: str | None = None) -> str:
     """CTE chain + final select: merge a ``marked`` (doc_id, pos) set
-    into maximal spans (mirrors dedup._merge_marked_spans)."""
+    into maximal spans (mirrors dedup._merge_marked_spans). With
+    ``cte_name`` the final select is wrapped as a further CTE
+    ``, <name> AS (...)`` so callers can keep composing instead of
+    patching the generated SQL text."""
+    final = f"""
+SELECT doc_id, MIN(pos) AS span_start,
+       CAST(MAX(pos) + {w} - 1 AS INT) AS span_end,
+       COUNT(*) AS n_windows
+FROM isl3 GROUP BY doc_id, island"""
+    if cte_name is not None:
+        final = f", {cte_name} AS ({final})"
     return f"""
 isl AS (SELECT doc_id, pos,
           MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
@@ -830,11 +840,7 @@ isl2 AS (SELECT doc_id, pos,
 isl3 AS (SELECT doc_id, pos,
            SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
                              ROWS UNBOUNDED PRECEDING) AS island
-         FROM isl2)
-SELECT doc_id, MIN(pos) AS span_start,
-       CAST(MAX(pos) + {w} - 1 AS INT) AS span_end,
-       COUNT(*) AS n_windows
-FROM isl3 GROUP BY doc_id, island"""
+         FROM isl2){final}"""
 
 
 def duplicate_spans_sql(w: int = 16, min_count: int = 2) -> str:
@@ -896,9 +902,10 @@ def mix_to_weights_sql(weights: dict[str, float],
 WITH wts({stratum_col}, w) AS (VALUES {vals}),
 counts AS (SELECT {stratum_col}, COUNT(*) AS n_stratum
            FROM documents GROUP BY 1),
-capped AS (SELECT c.{stratum_col}, c.n_stratum, w.w,
-                  CAST(c.n_stratum AS DOUBLE) / w.w AS ratio
-           FROM counts c JOIN wts w USING ({stratum_col})),
+capped AS (SELECT w.{stratum_col},
+                  COALESCE(c.n_stratum, 0) AS n_stratum, w.w,
+                  CAST(COALESCE(c.n_stratum, 0) AS DOUBLE) / w.w AS ratio
+           FROM wts w LEFT JOIN counts c USING ({stratum_col})),
 scale AS (SELECT MIN(ratio) AS s FROM capped),
 caps AS (SELECT {stratum_col}, n_stratum,
                 CAST(FLOOR(w * s) AS BIGINT) AS k_target
@@ -947,8 +954,7 @@ marked0 AS (SELECT o.doc_id, o.pos,
                                  ORDER BY o.doc_id, o.pos) AS rk
             FROM occ o JOIN dup USING (whash)),
 marked AS (SELECT doc_id, pos FROM marked0 WHERE rk > 1),
-{_span_merge_sql(w).replace('SELECT doc_id, MIN(pos)',
-                            ', spans AS (SELECT doc_id, MIN(pos)')}),
+{_span_merge_sql(w, cte_name='spans')},
 ti AS (SELECT doc_id, toks,
          unnest(CASE WHEN len(toks) >= 1
                 THEN generate_series(0, len(toks) - 1) ELSE [] END) AS i
