@@ -807,3 +807,33 @@ def test_streaming_sessionization_closes_on_gap(spark, tmp_path):
     assert first["n_event_types"] == 2 and first["first_event_id"] == 10
     assert spark.sql(
         "SELECT count(*) c FROM sess WHERE user_id = 8").first()["c"] == 1
+
+
+def test_corpus_stream_span_scrub_keeps_doc_drops_quote(spark, tmp_path):
+    import datetime as dt
+    from tidb_binlog_spark.streaming.corpus_stream import run_curation_stream
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ck = str(tmp_path / "ck")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    # must exceed the 16-token window so the bench set produces
+    # window hashes at all
+    quote = " ".join(f"q{i}" for i in range(20))
+    article = ("reporting before the quote " + quote
+               + " analysis after the quote continues at length")
+    clean = "an entirely separate clean document with many long tokens"
+    _write_doc_segment(spark, src, [
+        (1, article, "en", "crawl_a", len(article), t0),
+        (2, clean, "en", "crawl_b", len(clean), t0),
+    ])
+    bench = spark.createDataFrame([(100, "intro " + quote + " outro")],
+                                  "doc_id long, text string")
+    q = run_curation_stream(spark, src, ck, out, bench_docs=bench,
+                            available_now=True)
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    # the article survives with the quote spans removed; untouched
+    # docs keep their text byte-for-byte
+    assert set(got) == {1, 2}
+    assert "q0" not in got[1] and "analysis" in got[1]
+    assert got[2] == clean

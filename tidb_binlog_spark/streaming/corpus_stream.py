@@ -117,12 +117,31 @@ def source_quality_stats(docs: DataFrame,
                     "source", "n_docs", "total_tokens", "n_too_short"))
 
 
+def scrub_contaminated_spans(batch_docs: DataFrame,
+                             bench_docs: DataFrame,
+                             w: int = 16) -> DataFrame:
+    """Span-level decontamination for a micro-batch: remove ONLY the
+    >=w-token passages shared with the (broadcast-sized) benchmark
+    set, keep the rest of each document. Documents scrubbed down to
+    nothing are dropped — they were pure benchmark material."""
+    from ..functions.dedup import decontaminate_spans, strip_spans
+    texts = batch_docs.select("doc_id", "text")
+    cleaned = strip_spans(texts, decontaminate_spans(texts, bench_docs, w))
+    return (batch_docs.drop("text")
+            .join(cleaned.select(
+                "doc_id", F.col("clean_text").alias("text")), "doc_id")
+            .filter(F.col("text") != ""))
+
+
 def run_curation_stream(spark: SparkSession, source_dir: str,
                         checkpoint_dir: str, out_dir: str,
                         bench_shingles: DataFrame | None = None,
+                        bench_docs: DataFrame | None = None,
                         available_now: bool = True):
     """Wire the curated stream to a parquet output directory; the
-    optional decontamination anti-join runs inside foreachBatch.
+    optional decontamination runs inside foreachBatch — whole-doc
+    drop via ``bench_shingles`` (anti-join) and/or surgical span
+    scrub via ``bench_docs`` (quote removed, document kept).
     Returns the StreamingQuery (caller awaits termination)."""
     stream = curate_stream(read_document_stream(spark, source_dir))
 
@@ -131,6 +150,8 @@ def run_curation_stream(spark: SparkSession, source_dir: str,
         if bench_shingles is not None:
             out = out.join(contaminated_ids(out, bench_shingles),
                            "doc_id", "left_anti")
+        if bench_docs is not None:
+            out = scrub_contaminated_spans(out, bench_docs)
         # idempotent under foreachBatch's at-least-once replay: a
         # re-run of the same micro-batch OVERWRITES its own batch-id
         # partition instead of appending duplicates
