@@ -957,6 +957,60 @@ def q_corpus_source_report(spark, sf_dir):
     return scoring.corpus_source_report(_docs(spark, sf_dir))
 
 
+def q_events_asof_attribution(spark, sf_dir):
+    """Purchase->view attribution: for each purchase, the user's
+    latest view at-or-before it (generic as-of join — union +
+    carry-forward window, one shuffle, no range explosion). Checked
+    against DuckDB's NATIVE ASOF LEFT JOIN, an independent
+    implementation of the same semantics."""
+    from tidb_binlog_spark.operators.asof import asof_join
+    load_tables(spark, sf_dir, "events")
+    ev = spark.table("events")   # ts is BIGINT nanos (load contract)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("event_id").alias("purchase_id"),
+                         "ts"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("view_id")))
+    out = asof_join(purchases, views, ["user_id"],
+                    value_cols=["view_id"])
+    return out.select("user_id", "purchase_id", "ts", "asof_ts",
+                      "view_id",
+                      (F.col("ts") - F.col("asof_ts")).alias("gap_ns"))
+
+
+def q_events_session_stitch(spark, sf_dir):
+    """Range join: every error event assigned to the user's session
+    interval containing it (sessions built from NON-error events, so
+    errors between sessions stay unmatched). The bucketed
+    point-in-interval join replaces the quadratic inequality join."""
+    from pyspark.sql import Window
+    from tidb_binlog_spark.operators.rangejoin import point_in_interval_join
+    load_tables(spark, sf_dir, "events")
+    ev = spark.table("events")   # ts is BIGINT nanos
+    core = ev.filter(F.col("event_type") != "error")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = 30 * 60 * 1_000_000_000
+    flagged = core.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull()
+               | ((F.col("ts") - F.lag("ts").over(w)) > gap_ns), 1)
+         .otherwise(0))
+    sess = (flagged.withColumn("session_no", F.sum("new_session").over(w))
+            .groupBy("user_id", "session_no")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count(F.lit(1)).alias("n_core_events")))
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("user_id", F.col("event_id").alias("error_id"), "ts"))
+    out = point_in_interval_join(errors, sess, ["user_id"], "ts",
+                                 "session_start", "session_end",
+                                 bucket_width=3_600_000_000_000,
+                                 how="left")
+    return out.select("user_id", "error_id", "ts", "session_no",
+                      "session_start", "session_end", "n_core_events")
+
+
 def q_text_strip_spans(spark, sf_dir):
     """The strip stage composed with span detection: every document
     rebuilt with its duplicated >=16-token passages removed (first
@@ -1310,6 +1364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the driver window next round
         "corpus_length_quantiles": q_corpus_length_quantiles,
         "text_strip_spans": q_text_strip_spans,
+        "events_asof_attribution": q_events_asof_attribution,
+        "events_session_stitch": q_events_session_stitch,
     }
 
 
@@ -1320,6 +1376,52 @@ def oracle_sql() -> dict[str, str]:
         "text_mix_weights": osql.mix_to_weights_sql(MIX_WEIGHTS),
         "corpus_length_quantiles": osql.CORPUS_LENGTH_QUANTILES,
         "text_strip_spans": osql.STRIP_SPANS,
+        "events_asof_attribution": """
+            WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+                              event_type FROM events),
+            p AS (SELECT user_id, event_id AS purchase_id, ts_ns
+                  FROM e WHERE event_type = 'purchase'),
+            v AS (SELECT user_id, ts_ns, MAX(event_id) AS view_id
+                  FROM e WHERE event_type = 'view' GROUP BY 1, 2)
+            SELECT p.user_id, p.purchase_id, p.ts_ns AS ts,
+                   v.ts_ns AS asof_ts, v.view_id,
+                   p.ts_ns - v.ts_ns AS gap_ns
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts_ns >= v.ts_ns
+        """,
+        "events_session_stitch": """
+            WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+                              event_type FROM events),
+            core AS (SELECT * FROM e WHERE event_type <> 'error'),
+            flagged AS (
+              SELECT user_id, event_id, ts_ns,
+                CASE WHEN lag(ts_ns) OVER w IS NULL
+                          OR ts_ns - lag(ts_ns) OVER w > 1800000000000
+                     THEN 1 ELSE 0 END AS new_session
+              FROM core
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+            sess0 AS (
+              SELECT user_id, ts_ns,
+                SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts_ns, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                  AS session_no
+              FROM flagged),
+            sess AS (SELECT user_id, session_no,
+                            MIN(ts_ns) AS session_start,
+                            MAX(ts_ns) AS session_end,
+                            COUNT(*) AS n_core_events
+                     FROM sess0 GROUP BY 1, 2),
+            err AS (SELECT user_id, event_id AS error_id, ts_ns
+                    FROM e WHERE event_type = 'error')
+            SELECT err.user_id, err.error_id, err.ts_ns AS ts,
+                   s.session_no, s.session_start, s.session_end,
+                   s.n_core_events
+            FROM err LEFT JOIN sess s
+              ON err.user_id = s.user_id
+             AND s.session_start <= err.ts_ns
+             AND err.ts_ns <= s.session_end
+        """,
         "cdc_kv_decode": f"""
             {CHANGES_CTE}
             SELECT arrival_seq, pk,

@@ -40,6 +40,8 @@ HEADLINE = [
     "ann_ivf_topk",              # IVF inverted-list search
     "curation_pipeline",         # lang-ID + quality + dedup composed
     "events_sessionize",         # gap-based sessionization
+    "events_asof_attribution",   # as-of join (union + carry window)
+    "events_session_stitch",     # bucketed point-in-interval join
     "text_profile",              # all per-doc text metrics, projection-joined
     "text_line_dedup",           # corpus-frequency line removal
     "text_bm25",                 # broadcast-stats keyword relevance

@@ -771,3 +771,46 @@ def test_parse_ddl_property_roundtrip():
         assert got == {"pk": None, **want}
 
     run()
+
+
+def test_asof_join_inclusive_ties_tolerance_and_null_values(spark):
+    from tidb_binlog_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 25, "c"), (2, 5, "d")],
+        "k long, ts long, name string")
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 20, None), (2, 7, 700.0)],
+        "k long, ts long, val double")
+    got = {r["name"]: (r["asof_ts"], r["val"])
+           for r in asof_join(left, right, ["k"]).collect()}
+    assert got["a"] == (8, 100.0)
+    # equal timestamps match inclusively, and a NULL value column in
+    # the matched row stays NULL (no leak from the older 100.0 row)
+    assert got["b"] == (20, None)
+    assert got["c"] == (20, None)
+    assert got["d"] == (None, None)        # right row is AFTER the left
+    # tolerance: match older than the window nulls out entirely
+    tol = {r["name"]: (r["asof_ts"], r["val"])
+           for r in asof_join(left, right, ["k"], tolerance=3).collect()}
+    assert tol["a"] == (8, 100.0)          # gap 2 <= 3
+    assert tol["c"] == (None, None)        # gap 5 > 3
+
+
+def test_point_in_interval_join_overlaps_and_left(spark):
+    from tidb_binlog_spark.operators.rangejoin import point_in_interval_join
+    pts = spark.createDataFrame([(1, 5), (1, 15), (1, 99), (2, 50)],
+                                "k long, t long")
+    iv = spark.createDataFrame(
+        [(1, 0, 10, "s1"), (1, 12, 20, "s2"), (1, 3, 18, "wide"),
+         (2, 100, 200, "s3")],
+        "k long, s long, e long, tag string")
+    # tiny bucket width stresses the multi-bucket explode; results
+    # must be identical for any width
+    for width in (2, 8, 1000):
+        got = {(r["t"], r["tag"]) for r in point_in_interval_join(
+            pts, iv, ["k"], "t", "s", "e", width).collect()}
+        assert got == {(5, "s1"), (5, "wide"), (15, "s2"), (15, "wide")}
+    left = point_in_interval_join(pts, iv, ["k"], "t", "s", "e", 8,
+                                  how="left").collect()
+    assert len(left) == 6            # 4 matches + 2 unmatched points
+    assert {r["t"] for r in left if r["tag"] is None} == {99, 50}

@@ -365,3 +365,15 @@ def test_mix_to_weights_caps_broadcast_no_global_window(spark):
     assert "BroadcastHashJoin" in plan
     assert "Window [" in plan          # the per-stratum rank window
     _assert_windows_partitioned(plan)
+
+
+def test_asof_and_range_join_plans_are_equi_join_shaped(spark):
+    """The reason these operators exist: neither may fall back to a
+    nested-loop/cartesian plan, and the as-of carry windows must be
+    keyed."""
+    import __spark_entry__ as m
+    for q in ("events_asof_attribution", "events_session_stitch"):
+        plan = _plan(m.queries()[q](spark, SF))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        _assert_windows_partitioned(plan)
