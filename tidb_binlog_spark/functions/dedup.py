@@ -206,31 +206,38 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
     keyspace, so bucket sizes shrink with corpus diversity instead of
     saturating at 256 buckets the way 8-bit chunks would."""
     sh = simhash(docs)
+    # the 64-char binary string splits into two 32-bit ints once per
+    # doc; per-PAIR hamming is then 2 x (xor + popcount) instead of 64
+    # substring compares, and the candidate join carries 16 bytes of
+    # signature instead of 64 chars — at fixture density (5k docs ->
+    # 530k candidates) that is the dominant cost of this operator
     chunks = sh.select(
-        "doc_id", "simhash",
+        "doc_id",
+        F.expr("CAST(conv(substring(simhash, 1, 32), 2, 10) AS BIGINT)")
+         .alias("hi"),
+        F.expr("CAST(conv(substring(simhash, 33, 32), 2, 10) AS BIGINT)")
+         .alias("lo"),
         F.explode(F.expr(
             "transform(sequence(0, 3), c -> "
             "named_struct('chunk', c, 'key', substring(simhash, c * 16 + 1, 16)))"
         )).alias("ck"))
-    chunks = chunks.select("doc_id", "simhash",
+    chunks = chunks.select("doc_id", "hi", "lo",
                            F.col("ck.chunk").alias("chunk"),
                            F.col("ck.key").alias("key"))
     chunks = cap_buckets(chunks, ["chunk", "key"], max_bucket_size)
     chunks = managed_persist(chunks)
     a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
-                    & (F.col("a.key") == F.col("b.key"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"),
-                     F.col("a.simhash").alias("sh_a"),
-                     F.col("b.simhash").alias("sh_b"))
-             .dropDuplicates(["doc_a", "doc_b"]))
-    hamming = (f"size(filter(sequence(1, {SIMHASH_BITS}), "
-               f"p -> substring(sh_a, p, 1) <> substring(sh_b, p, 1)))")
-    return (pairs.withColumn("hamming", F.expr(hamming))
-                 .filter(F.col("hamming") <= max_hamming)
-                 .select("doc_a", "doc_b", "hamming"))
+    hamming = ("bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo)")
+    # hamming filters BEFORE the distinct: it is pair-functional, so
+    # filter-then-dedup equals dedup-then-filter with fewer rows kept
+    return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .withColumn("hamming", F.expr(hamming))
+            .filter(F.col("hamming") <= max_hamming)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"), "hamming")
+            .dropDuplicates(["doc_a", "doc_b"]))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
