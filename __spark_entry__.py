@@ -1019,6 +1019,13 @@ def q_text_strip_spans(spark, sf_dir):
     return dedupfn.strip_spans(docs, dedupfn.duplicate_spans(docs, w=16))
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic leak-proof train/val/test assignment by md5
+    ticket range — a doc's split never changes as the corpus grows."""
+    from tidb_binlog_spark.functions import curation
+    return curation.split_corpus(_docs(spark, sf_dir))
+
+
 def q_corpus_length_quantiles(spark, sf_dir):
     """Exact per-source token-length quantiles (nearest-rank p50/p90/
     p99) — the distribution report behind truncation budgets and
@@ -1366,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_strip_spans": q_text_strip_spans,
         "events_asof_attribution": q_events_asof_attribution,
         "events_session_stitch": q_events_session_stitch,
+        "corpus_split": q_corpus_split,
     }
 
 
@@ -1375,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate_spans": osql.DECONTAMINATE_SPANS,
         "text_mix_weights": osql.mix_to_weights_sql(MIX_WEIGHTS),
         "corpus_length_quantiles": osql.CORPUS_LENGTH_QUANTILES,
+        "corpus_split": osql.split_corpus_sql(),
         "text_strip_spans": osql.STRIP_SPANS,
         "events_asof_attribution": """
             WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,

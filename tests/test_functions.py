@@ -990,3 +990,25 @@ def test_mix_to_weights_absent_weighted_stratum_pins_scale_to_zero(spark):
     # 'de' is weighted but absent from the corpus: the target mixture
     # is unachievable -> EMPTY output, never a silent 100% 'en' drift
     assert mix_to_weights(docs, {"en": 0.5, "de": 0.5}).count() == 0
+
+
+def test_split_corpus_disjoint_stable_and_growth_proof(spark):
+    from tidb_binlog_spark.functions.curation import split_corpus
+    docs = spark.createDataFrame([(i, "t") for i in range(400)],
+                                 "doc_id long, text string")
+    got = {r["doc_id"]: r["split"]
+           for r in split_corpus(docs, {"train": 0.8, "val": 0.1,
+                                        "test": 0.1}).collect()}
+    assert len(got) == 400                       # exactly one label each
+    counts = {}
+    for s in got.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert set(counts) == {"train", "val", "test"}
+    # growth-proof: a doc's split is identical in a larger corpus
+    bigger = spark.createDataFrame([(i, "t") for i in range(800)],
+                                   "doc_id long, text string")
+    again = {r["doc_id"]: r["split"]
+             for r in split_corpus(bigger, {"train": 0.8, "val": 0.1,
+                                            "test": 0.1}).collect()}
+    assert all(again[d] == s for d, s in got.items())

@@ -814,3 +814,47 @@ def test_point_in_interval_join_overlaps_and_left(spark):
                                   how="left").collect()
     assert len(left) == 6            # 4 matches + 2 unmatched points
     assert {r["t"] for r in left if r["tag"] is None} == {99, 50}
+
+
+def test_asof_join_matches_bruteforce_reference(spark):
+    """Property check: asof_join over random keyed point sets equals
+    the O(n^2) single-process reference, with and without tolerance."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from tidb_binlog_spark.operators.asof import asof_join
+
+    def reference(lefts, rights, tol):
+        out = {}
+        for i, (k, t) in enumerate(lefts):
+            cand = [(rt, rv) for (rk, rt, rv) in rights
+                    if rk == k and rt <= t
+                    and (tol is None or t - rt <= tol)]
+            out[i] = max(cand)[0] if cand else None
+        return out
+
+    @given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30)),
+                    min_size=1, max_size=12),
+           st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30),
+                              st.integers(0, 9)),
+                    min_size=0, max_size=12),
+           st.one_of(st.none(), st.integers(0, 10)))
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def check(lefts, rights, tol):
+        # right side must be unique per (key, ts) — the operator's
+        # documented contract; keep max value like the oracle would
+        dedup = {}
+        for rk, rt, rv in rights:
+            dedup[(rk, rt)] = max(dedup.get((rk, rt), -1), rv)
+        rlist = [(k, t, v) for (k, t), v in dedup.items()]
+        ldf = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(lefts)],
+            "row_id long, k long, ts long")
+        rdf = spark.createDataFrame(rlist or [(99, -1, 0)],
+                                    "k long, ts long, v long")
+        got = {r["row_id"]: r["asof_ts"]
+               for r in asof_join(ldf, rdf, ["k"],
+                                  tolerance=tol).collect()}
+        assert got == reference(lefts, rlist, tol)
+
+    check()

@@ -433,3 +433,36 @@ def mix_to_weights(docs: DataFrame, weights: dict[str, float],
             .withColumn("_rk", F.row_number().over(w_rank))
             .filter(F.col("_rk") <= F.col("k_target"))
             .select(key_col, stratum_col, "n_stratum", "k_target"))
+
+
+def split_corpus(docs: DataFrame,
+                 fractions: dict[str, float] | None = None,
+                 key_col: str = "doc_id",
+                 seed: str = "split") -> DataFrame:
+    """Deterministic disjoint train/val/test assignment: the first 8
+    hex chars of md5(seed:key) place each doc on [0, 2^32); cumulative
+    fraction boundaries become hex thresholds, and the label is the
+    first range containing the ticket. Replay-stable (depends only on
+    seed + key), leak-proof (a doc can never change split when the
+    corpus grows), zero shuffles — a pure projection any engine
+    reproduces exactly."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fractions.values())
+    bounds: list[tuple[str, str]] = []
+    cum = 0.0
+    for name, frac in fractions.items():     # insertion order = ranges
+        cum += frac / total
+        bounds.append((name, format(min(int(cum * 2**32), 2**32 - 1),
+                                    "08x")))
+    ticket = F.substring(
+        F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string"))),
+        1, 8)
+    # ascending when-chain: the FIRST upper bound at or above the
+    # ticket wins; the last range catches the tail
+    expr = None
+    for name, upper in bounds[:-1]:
+        cond = ticket <= F.lit(upper)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    label = (expr.otherwise(bounds[-1][0]) if expr is not None
+             else F.lit(bounds[-1][0]))
+    return docs.select(key_col, label.alias("split"))

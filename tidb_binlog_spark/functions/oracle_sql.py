@@ -976,3 +976,27 @@ FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
 
 
 STRIP_SPANS = strip_spans_sql()
+
+
+def split_corpus_sql(fractions: dict[str, float] | None = None,
+                     seed: str = "split") -> str:
+    """DuckDB mirror of curation.split_corpus: the hex thresholds are
+    computed by the same Python arithmetic, so both engines compare
+    the same ticket against the same literals."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fractions.values())
+    cases, cum = [], 0.0
+    names = list(fractions.items())
+    for name, frac in names[:-1]:
+        cum += frac / total
+        upper = format(min(int(cum * 2**32), 2**32 - 1), "08x")
+        cases.append(f"WHEN t <= '{upper}' THEN '{name}'")
+    case = ("CASE " + " ".join(cases)
+            + f" ELSE '{names[-1][0]}' END")
+    return f"""
+WITH tk AS (SELECT doc_id,
+              substring(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                AS t
+            FROM documents)
+SELECT doc_id, {case} AS split FROM tk
+"""
