@@ -829,7 +829,7 @@ def test_asof_join_matches_bruteforce_reference(spark):
             cand = [(rt, rv) for (rk, rt, rv) in rights
                     if rk == k and rt <= t
                     and (tol is None or t - rt <= tol)]
-            out[i] = max(cand)[0] if cand else None
+            out[i] = max(cand) if cand else (None, None)
         return out
 
     @given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30)),
@@ -852,9 +852,25 @@ def test_asof_join_matches_bruteforce_reference(spark):
             "row_id long, k long, ts long")
         rdf = spark.createDataFrame(rlist or [(99, -1, 0)],
                                     "k long, ts long, v long")
-        got = {r["row_id"]: r["asof_ts"]
+        got = {r["row_id"]: (r["asof_ts"], r["v"])
                for r in asof_join(ldf, rdf, ["k"],
                                   tolerance=tol).collect()}
         assert got == reference(lefts, rlist, tol)
 
     check()
+
+
+def test_point_in_interval_left_mode_null_payload_no_duplicates(spark):
+    """A matched point whose NON-join columns are NULL must appear
+    exactly once (the old anti-join formulation duplicated it)."""
+    from tidb_binlog_spark.operators.rangejoin import point_in_interval_join
+    pts = spark.createDataFrame([(1, 5, None), (1, 99, "x")],
+                                "k long, t long, note string")
+    iv = spark.createDataFrame([(1, 0, 10, "s1")],
+                               "k long, s long, e long, tag string")
+    rows = point_in_interval_join(pts, iv, ["k"], "t", "s", "e", 8,
+                                  how="left").collect()
+    assert len(rows) == 2
+    by_t = {r["t"]: r for r in rows}
+    assert by_t[5]["tag"] == "s1" and by_t[5]["note"] is None
+    assert by_t[99]["tag"] is None        # refine-failed values nulled

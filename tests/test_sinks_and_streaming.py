@@ -821,7 +821,9 @@ def test_corpus_stream_span_scrub_keeps_doc_drops_quote(spark, tmp_path):
     quote = " ".join(f"q{i}" for i in range(20))
     article = ("reporting before the quote " + quote
                + " analysis after the quote continues at length")
-    clean = "an entirely separate clean document with many long tokens"
+    # double space: byte-for-byte preservation is only provable on
+    # text the tokenize+rejoin path would alter
+    clean = "an entirely separate clean  document with many long tokens"
     _write_doc_segment(spark, src, [
         (1, article, "en", "crawl_a", len(article), t0),
         (2, clean, "en", "crawl_b", len(clean), t0),
@@ -831,9 +833,15 @@ def test_corpus_stream_span_scrub_keeps_doc_drops_quote(spark, tmp_path):
     q = run_curation_stream(spark, src, ck, out, bench_docs=bench,
                             available_now=True)
     q.awaitTermination(120)
-    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     # the article survives with the quote spans removed; untouched
     # docs keep their text byte-for-byte
     assert set(got) == {1, 2}
-    assert "q0" not in got[1] and "analysis" in got[1]
-    assert got[2] == clean
+    assert "q0" not in got[1]["text"] and "analysis" in got[1]["text"]
+    assert got[2]["text"] == clean
+    # derived metadata tracks the WRITTEN text on both paths
+    import hashlib
+    for d in (1, 2):
+        assert got[d]["content_hash"] == \
+            hashlib.md5(got[d]["text"].encode()).hexdigest()
+        assert got[d]["n_tokens"] == len(got[d]["text"].split())

@@ -435,6 +435,21 @@ def mix_to_weights(docs: DataFrame, weights: dict[str, float],
             .select(key_col, stratum_col, "n_stratum", "k_target"))
 
 
+def split_bounds(fractions: dict[str, float] | None) -> list[tuple[str, str]]:
+    """(name, hex upper bound) ranges for split_corpus — ONE place
+    computes the cumulative-threshold arithmetic so the Spark operator
+    and its DuckDB oracle can never diverge on boundary tickets."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fractions.values())
+    bounds: list[tuple[str, str]] = []
+    cum = 0.0
+    for name, frac in fractions.items():     # insertion order = ranges
+        cum += frac / total
+        bounds.append((name, format(min(int(cum * 2**32), 2**32 - 1),
+                                    "08x")))
+    return bounds
+
+
 def split_corpus(docs: DataFrame,
                  fractions: dict[str, float] | None = None,
                  key_col: str = "doc_id",
@@ -446,14 +461,7 @@ def split_corpus(docs: DataFrame,
     seed + key), leak-proof (a doc can never change split when the
     corpus grows), zero shuffles — a pure projection any engine
     reproduces exactly."""
-    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
-    total = sum(fractions.values())
-    bounds: list[tuple[str, str]] = []
-    cum = 0.0
-    for name, frac in fractions.items():     # insertion order = ranges
-        cum += frac / total
-        bounds.append((name, format(min(int(cum * 2**32), 2**32 - 1),
-                                    "08x")))
+    bounds = split_bounds(fractions)
     ticket = F.substring(
         F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string"))),
         1, 8)

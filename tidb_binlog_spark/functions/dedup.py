@@ -206,28 +206,33 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
     keyspace, so bucket sizes shrink with corpus diversity instead of
     saturating at 256 buckets the way 8-bit chunks would."""
     sh = simhash(docs)
-    # the 64-char binary string splits into two 32-bit ints once per
-    # doc; per-PAIR hamming is then 2 x (xor + popcount) instead of 64
-    # substring compares, and the candidate join carries 16 bytes of
-    # signature instead of 64 chars — at fixture density (5k docs ->
-    # 530k candidates) that is the dominant cost of this operator
+    # the binary string splits into 32-bit words once per doc (widths
+    # derived from SIMHASH_BITS, so a wider fingerprint stays correct);
+    # per-PAIR hamming is then one xor + popcount per word instead of
+    # SIMHASH_BITS substring compares, and the candidate join carries
+    # 8 bytes per word instead of the full character string — at
+    # fixture density (5k docs -> 530k candidates) that per-pair cost
+    # dominates the operator
+    n_words = SIMHASH_BITS // 32
+    n_chunks = SIMHASH_BITS // 16
+    word_cols = [
+        F.expr(f"CAST(conv(substring(simhash, {i * 32 + 1}, 32), 2, 10) "
+               f"AS BIGINT)").alias(f"w{i}")
+        for i in range(n_words)]
     chunks = sh.select(
-        "doc_id",
-        F.expr("CAST(conv(substring(simhash, 1, 32), 2, 10) AS BIGINT)")
-         .alias("hi"),
-        F.expr("CAST(conv(substring(simhash, 33, 32), 2, 10) AS BIGINT)")
-         .alias("lo"),
+        "doc_id", *word_cols,
         F.explode(F.expr(
-            "transform(sequence(0, 3), c -> "
+            f"transform(sequence(0, {n_chunks - 1}), c -> "
             "named_struct('chunk', c, 'key', substring(simhash, c * 16 + 1, 16)))"
         )).alias("ck"))
-    chunks = chunks.select("doc_id", "hi", "lo",
+    chunks = chunks.select("doc_id", *[f"w{i}" for i in range(n_words)],
                            F.col("ck.chunk").alias("chunk"),
                            F.col("ck.key").alias("key"))
     chunks = cap_buckets(chunks, ["chunk", "key"], max_bucket_size)
     chunks = managed_persist(chunks)
     a, b = chunks.alias("a"), chunks.alias("b")
-    hamming = ("bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo)")
+    hamming = " + ".join(f"bit_count(a.w{i} ^ b.w{i})"
+                         for i in range(n_words))
     # hamming filters BEFORE the distinct: it is pair-functional, so
     # filter-then-dedup equals dedup-then-filter with fewer rows kept
     return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))

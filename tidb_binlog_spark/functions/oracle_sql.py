@@ -980,19 +980,15 @@ STRIP_SPANS = strip_spans_sql()
 
 def split_corpus_sql(fractions: dict[str, float] | None = None,
                      seed: str = "split") -> str:
-    """DuckDB mirror of curation.split_corpus: the hex thresholds are
-    computed by the same Python arithmetic, so both engines compare
-    the same ticket against the same literals."""
-    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
-    total = sum(fractions.values())
-    cases, cum = [], 0.0
-    names = list(fractions.items())
-    for name, frac in names[:-1]:
-        cum += frac / total
-        upper = format(min(int(cum * 2**32), 2**32 - 1), "08x")
-        cases.append(f"WHEN t <= '{upper}' THEN '{name}'")
+    """DuckDB mirror of curation.split_corpus: the hex thresholds come
+    from the SAME split_bounds helper the Spark operator uses, so both
+    engines compare the same ticket against the same literals."""
+    from .curation import split_bounds
+    bounds = split_bounds(fractions)
+    cases = [f"WHEN t <= '{upper}' THEN '{name}'"
+             for name, upper in bounds[:-1]]
     case = ("CASE " + " ".join(cases)
-            + f" ELSE '{names[-1][0]}' END")
+            + f" ELSE '{bounds[-1][0]}' END")
     return f"""
 WITH tk AS (SELECT doc_id,
               substring(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 8)

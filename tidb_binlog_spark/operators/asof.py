@@ -44,6 +44,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     if value_cols is None:
         value_cols = [c for c in right.columns
                       if c not in on and c != right_ts]
+    reserved = {"_t", "_side", "_r", "_m", "_ts"}
+    bad = reserved & set(left.columns) | reserved & set(right.columns)
+    if bad:
+        raise ValueError(f"asof_join reserves column names {sorted(bad)}")
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"value_cols {sorted(clash)} already exist on the left side; "
+            f"rename before joining")
+    if matched_ts_col in left.columns:
+        raise ValueError(f"matched_ts_col {matched_ts_col!r} already "
+                         f"exists on the left side")
     payload = F.struct(F.col(right_ts).alias("_ts"),
                        *[F.col(c) for c in value_cols])
     r = (right.select(*on,

@@ -20,7 +20,7 @@ the explode factor ~2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -31,8 +31,17 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
                            how: str = "inner") -> DataFrame:
     """Join each point row to every interval row (same ``on`` key)
     with ``start_col <= point_ts <= end_col``. ``how='left'`` keeps
-    unmatched points with NULL interval columns (built as inner +
-    anti-join union, so the bucketed path stays an equi-join)."""
+    unmatched points with NULL interval columns.
+
+    Left mode is ONE pass: a left bucket join tags each candidate row
+    with the exact-range verdict, then a per-point window keeps the
+    matched rows — or, for points with no match at all, exactly one
+    representative row with the interval columns nulled. (An
+    anti-join on the point columns would evaluate the join twice AND
+    mis-classify points carrying NULLs in non-join columns, since
+    anti-join equality is null-unsafe.)"""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how: {how!r}")
     b = (intervals.withColumn(
         "_buckets", F.expr(
             f"sequence(CAST(floor({start_col} / {bucket_width}) AS LONG), "
@@ -40,18 +49,21 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
         .withColumn("_b", F.explode("_buckets")).drop("_buckets"))
     p = points.withColumn(
         "_b", F.expr(f"CAST(floor({point_ts} / {bucket_width}) AS LONG)"))
-    joined = (p.join(b, on + ["_b"])
-              .filter((F.col(start_col) <= F.col(point_ts))
-                      & (F.col(point_ts) <= F.col(end_col)))
-              .drop("_b"))
+    ok = ((F.col(start_col).isNotNull())
+          & (F.col(start_col) <= F.col(point_ts))
+          & (F.col(point_ts) <= F.col(end_col)))
     if how == "inner":
-        return joined
-    if how != "left":
-        raise ValueError(f"unsupported how: {how!r}")
-    interval_cols = [c for c in intervals.columns if c not in on]
-    unmatched = (points.join(joined.select(*points.columns),
-                             points.columns, "left_anti"))
-    for c in interval_cols:
-        unmatched = unmatched.withColumn(
-            c, F.lit(None).cast(dict(intervals.dtypes)[c]))
-    return joined.unionByName(unmatched)
+        return (p.join(b, on + ["_b"]).filter(ok).drop("_b"))
+    p = p.withColumn("_rid", F.monotonically_increasing_id())
+    j = (p.join(b, on + ["_b"], "left").withColumn("_ok", ok))
+    w = Window.partitionBy("_rid")
+    w_pick = Window.partitionBy("_rid").orderBy(F.desc("_ok"))
+    out = (j.withColumn("_any", F.max(F.col("_ok").cast("int")).over(w))
+           .withColumn("_rn", F.row_number().over(w_pick))
+           .filter(F.col("_ok")
+                   | ((F.col("_any") == 0) & (F.col("_rn") == 1))))
+    # a refine-failed candidate chosen as the unmatched representative
+    # must not leak its interval values
+    for c in [c for c in intervals.columns if c not in on]:
+        out = out.withColumn(c, F.when(F.col("_ok"), F.col(c)))
+    return out.drop("_b", "_rid", "_ok", "_any", "_rn")

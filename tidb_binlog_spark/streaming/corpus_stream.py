@@ -122,15 +122,35 @@ def scrub_contaminated_spans(batch_docs: DataFrame,
                              w: int = 16) -> DataFrame:
     """Span-level decontamination for a micro-batch: remove ONLY the
     >=w-token passages shared with the (broadcast-sized) benchmark
-    set, keep the rest of each document. Documents scrubbed down to
-    nothing are dropped — they were pure benchmark material."""
+    set, keep the rest of each document. Documents WITHOUT any shared
+    span keep their text byte-for-byte (strip_spans' tokenize+rejoin
+    rewrite touches only the spanned docs); documents scrubbed down
+    to nothing are dropped — they were pure benchmark material.
+    Text-derived quality columns attached upstream (content_hash,
+    n_tokens) are recomputed for rewritten docs so the written output
+    never pairs pre-scrub metadata with post-scrub text."""
     from ..functions.dedup import decontaminate_spans, strip_spans
+    from ..functions.text import TOKENS
     texts = batch_docs.select("doc_id", "text")
-    cleaned = strip_spans(texts, decontaminate_spans(texts, bench_docs, w))
-    return (batch_docs.drop("text")
-            .join(cleaned.select(
-                "doc_id", F.col("clean_text").alias("text")), "doc_id")
-            .filter(F.col("text") != ""))
+    spans = decontaminate_spans(texts, bench_docs, w)
+    spanned = texts.join(spans.select("doc_id").distinct(), "doc_id",
+                         "left_semi")
+    cleaned = strip_spans(spanned, spans)
+    out = (batch_docs
+           .join(cleaned.select("doc_id",
+                                F.col("clean_text").alias("_new_text")),
+                 "doc_id", "left")
+           .withColumn("_rewritten", F.col("_new_text").isNotNull())
+           .withColumn("text", F.coalesce("_new_text", "text"))
+           .drop("_new_text")
+           .filter(F.col("text") != ""))
+    for col, expr in (("content_hash", "md5(text)"),
+                      ("n_tokens", f"size({TOKENS})")):
+        if col in out.columns:
+            out = out.withColumn(
+                col, F.when(F.col("_rewritten"),
+                            F.expr(expr)).otherwise(F.col(col)))
+    return out.drop("_rewritten")
 
 
 def run_curation_stream(spark: SparkSession, source_dir: str,
