@@ -799,6 +799,24 @@ def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groups.selectExpr("txn_id AS doc_id", "group_id AS cluster_id")
 
 
+def q_dedup_quality_canonicals(spark, sf_dir):
+    """Near-dup cluster collapse with a QUALITY-preferring survivor:
+    the longest member (token count, doc_id tiebreak) represents each
+    cluster — the keep-the-best-copy policy real curation runs use
+    instead of keep-lowest-id."""
+    from pyspark.sql import Window
+    from tidb_binlog_spark.functions.text import TOKENS
+    clusters = q_dedup_minhash_clusters(spark, sf_dir)
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(f"size({TOKENS})").alias("n_tokens"))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_tokens"),
+                                                 "doc_id")
+    return (clusters.join(toks, "doc_id")
+            .withColumn("rk", F.row_number().over(w))
+            .select("doc_id", "cluster_id", "n_tokens",
+                    (F.col("rk") == 1).alias("is_canonical")))
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedupfn.simhash(_docs(spark, sf_dir))
 
@@ -1374,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_attribution": q_events_asof_attribution,
         "events_session_stitch": q_events_session_stitch,
         "corpus_split": q_corpus_split,
+        "dedup_quality_canonicals": q_dedup_quality_canonicals,
     }
 
 
@@ -1384,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         "text_mix_weights": osql.mix_to_weights_sql(MIX_WEIGHTS),
         "corpus_length_quantiles": osql.CORPUS_LENGTH_QUANTILES,
         "corpus_split": osql.split_corpus_sql(),
+        "dedup_quality_canonicals": osql.DEDUP_QUALITY_CANONICALS,
         "text_strip_spans": osql.STRIP_SPANS,
         "events_asof_attribution": """
             WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,

@@ -996,3 +996,29 @@ WITH tk AS (SELECT doc_id,
             FROM documents)
 SELECT doc_id, {case} AS split FROM tk
 """
+
+
+DEDUP_QUALITY_CANONICALS = f"""
+WITH RECURSIVE {MINHASH_PAIRS_CTES},
+e0 AS (
+  SELECT doc_a AS txn_id, CAST(doc_b AS STRING) AS key FROM pairs
+  UNION ALL
+  SELECT doc_b AS txn_id, CAST(doc_b AS STRING) AS key FROM pairs),
+tk AS (SELECT DISTINCT txn_id, key FROM e0),
+e AS (SELECT DISTINCT a.txn_id AS src, b.txn_id AS dst
+      FROM tk a JOIN tk b ON a.key = b.key),
+r AS (
+  SELECT txn_id, txn_id AS label FROM (SELECT DISTINCT txn_id FROM tk)
+  UNION
+  SELECT e.src AS txn_id, r.label FROM r JOIN e ON e.dst = r.txn_id
+),
+clusters AS (SELECT txn_id AS doc_id, MIN(label) AS cluster_id
+             FROM r GROUP BY txn_id),
+sized AS (SELECT doc_id, len({TOKS}) AS n_tokens FROM documents),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id, s.n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY s.n_tokens DESC, c.doc_id) AS rk
+  FROM clusters c JOIN sized s USING (doc_id))
+SELECT doc_id, cluster_id, n_tokens, rk = 1 AS is_canonical FROM ranked
+"""
