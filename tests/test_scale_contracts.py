@@ -320,19 +320,26 @@ def test_file_dump_writer_count_scales_with_buckets(spark, tmp_path):
 
 
 def _assert_windows_partitioned(plan: str) -> None:
-    """Every Window node must print THREE bracket groups
-    (functions, partition spec, order spec). An unpartitioned window
-    prints only two — 'Window [funcs], [order]' — so counting
-    'partitionBy'-ish tokens or matching two groups passes vacuously
-    (empirically verified: the token 'partitionBy' never occurs in
-    executedPlan() strings)."""
+    """Every Window node must carry a partition spec. The plan prints
+    'Window [funcs], [part], [order]'; an ORDER-less partitioned
+    window prints two groups ('[funcs], [part]') and an UNpartitioned
+    ordered window ALSO prints two ('[funcs], [order]') — so group
+    count alone cannot decide. Disambiguate by shape: an order spec
+    always prints 'ASC/DESC NULLS FIRST/LAST' tokens, a partition
+    spec never does. ('partitionBy' itself never occurs in
+    executedPlan() strings, so token-grepping it passes vacuously.)"""
     import re
-    n_windows = len(re.findall(r"\bWindow \[", plan))
-    n_partitioned = len(re.findall(
-        r"\bWindow \[[^\]]*\], \[[^\]]*\], \[[^\]]*\]", plan))
-    assert n_windows == n_partitioned, \
-        f"{n_windows - n_partitioned} unpartitioned Window node(s):\n" \
-        + "\n".join(l for l in plan.splitlines() if "Window [" in l)
+    bad = []
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        groups = re.findall(r"\[[^\]]*\]", line[line.index("Window ["):])
+        order_like = re.compile(r"\b(ASC|DESC) NULLS (FIRST|LAST)\b")
+        if len(groups) < 2 or (len(groups) == 2
+                               and order_like.search(groups[1])):
+            bad.append(line)
+    assert not bad, \
+        f"{len(bad)} unpartitioned Window node(s):\n" + "\n".join(bad)
 
 
 def test_duplicate_spans_plan_no_cartesian_pure_jvm(spark):
