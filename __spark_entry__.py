@@ -1029,6 +1029,21 @@ def q_events_session_stitch(spark, sf_dir):
                       "session_start", "session_end", "n_core_events")
 
 
+FUNNEL_STEPS = ["signup", "view", "purchase"]
+FUNNEL_WINDOW_NS = 72 * 3_600_000_000_000   # 72 h conversion window
+
+
+def q_events_funnel(spark, sf_dir):
+    """Conversion funnel signup->view->purchase: per user the earliest
+    greedy completion times, later steps confined to a 72 h window of
+    the signup (k-1 user-keyed min-after joins, nothing quadratic —
+    at sf0.01 the window caps ~1/3 of users below stage 3)."""
+    from tidb_binlog_spark.operators.funnel import funnel
+    load_tables(spark, sf_dir, "events")
+    ev = spark.table("events")   # ts is BIGINT nanos (load contract)
+    return funnel(ev, FUNNEL_STEPS, window=FUNNEL_WINDOW_NS)
+
+
 def q_text_strip_spans(spark, sf_dir):
     """The strip stage composed with span detection: every document
     rebuilt with its duplicated >=16-token passages removed (first
@@ -1292,6 +1307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (their fixes still need a recorded driver row), and one-round
     # greens. Rotated below: 19 queries with r2+r3(+r4) green rows.
     return {
+        # -- new this round: funnel analysis ------------------------------
+        "events_funnel": q_events_funnel,
         # -- new r5: substring-span dedup + span decontam + mixing -------
         "dedup_substring_spans": q_dedup_substring_spans,
         "text_decontaminate_spans": q_text_decontaminate_spans,
@@ -1347,12 +1364,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_checksum_orders": q_snapshot_checksum_orders,
         "cdc_pc_match": q_cdc_pc_match,
         "cdc_wide_row_apply": q_cdc_wide_row_apply,
-        "sink_sql_wide": q_sink_sql_wide,
         # -- below the driver's 50-row window (position 51+): still in
         # queries() + the local gate. sink_obinlog_wide (green r3+r4)
         # rotates below to make room for the third new r5 query; its
         # payload shape stays exercised by sink_payload_roundtrip +
-        # test_obinlog_wide_roundtrip.
+        # test_obinlog_wide_roundtrip. sink_sql_wide (green r2+r3)
+        # rotates below to make room for events_funnel; its wide
+        # NULL-safe SQL path stays exercised by
+        # test_generate_sql_wide_uk_fallback_chain.
+        "sink_sql_wide": q_sink_sql_wide,
         "sink_obinlog_wide": q_sink_obinlog_wide,
         # queries() + the local gate; all r2+r3(+r4) driver-green with
         # pytest coverage; rotate back next round per the
@@ -1398,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_funnel": osql.funnel_sql(FUNNEL_STEPS, FUNNEL_WINDOW_NS),
         "dedup_substring_spans": osql.DUPLICATE_SPANS,
         "text_decontaminate_spans": osql.DECONTAMINATE_SPANS,
         "text_mix_weights": osql.mix_to_weights_sql(MIX_WEIGHTS),

@@ -42,6 +42,7 @@ HEADLINE = [
     "events_sessionize",         # gap-based sessionization
     "events_asof_attribution",   # as-of join (union + carry window)
     "events_session_stitch",     # bucketed point-in-interval join
+    "events_funnel",             # k-step conversion funnel
     "text_profile",              # all per-doc text metrics, projection-joined
     "text_line_dedup",           # corpus-frequency line removal
     "text_bm25",                 # broadcast-stats keyword relevance

@@ -874,3 +874,33 @@ def test_point_in_interval_left_mode_null_payload_no_duplicates(spark):
     by_t = {r["t"]: r for r in rows}
     assert by_t[5]["tag"] == "s1" and by_t[5]["note"] is None
     assert by_t[99]["tag"] is None        # refine-failed values nulled
+
+
+def test_funnel_greedy_window_and_missing_steps(spark):
+    """Greedy funnel: t_i is the earliest step-i event strictly after
+    t_{i-1}; the window bounds every later step relative to t0; users
+    with no step-0 event are absent; unreached steps are NULL."""
+    from tidb_binlog_spark.operators.funnel import funnel
+    rows = [
+        # u1 completes in order within the window
+        (1, 10, "signup"), (1, 20, "view"), (1, 30, "purchase"),
+        # u2: purchase BEFORE its view must not count; no later purchase
+        (2, 10, "signup"), (2, 40, "view"), (2, 30, "purchase"),
+        # u3: view lands outside the window
+        (3, 10, "signup"), (3, 200, "view"),
+        # u4: never signed up
+        (4, 5, "view"), (4, 6, "purchase"),
+        # u5: earliest signup wins; pre-signup view ignored
+        (5, 50, "view"), (5, 60, "signup"), (5, 70, "signup"),
+        (5, 80, "view"), (5, 90, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {r["user_id"]: (r["t0"], r["t1"], r["t2"], r["max_stage"])
+           for r in funnel(ev, ["signup", "view", "purchase"],
+                           window=100).collect()}
+    assert got == {
+        1: (10, 20, 30, 3),
+        2: (10, 40, None, 2),
+        3: (10, None, None, 1),
+        5: (60, 80, 90, 3),
+    }

@@ -1022,3 +1022,37 @@ ranked AS (
   FROM clusters c JOIN sized s USING (doc_id))
 SELECT doc_id, cluster_id, n_tokens, rk = 1 AS is_canonical FROM ranked
 """
+
+
+def funnel_sql(steps: list[str], window_ns: int | None = None) -> str:
+    """DuckDB CTE chain mirroring operators/funnel.funnel over the
+    events table: level i = earliest step-i event after t_{i-1}
+    (within ``window_ns`` of t0 when given), greedy per user."""
+    ctes = [
+        "e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_type "
+        "FROM events)",
+        f"l0 AS (SELECT user_id, MIN(ts_ns) AS t0 FROM e "
+        f"WHERE event_type = '{steps[0]}' GROUP BY 1)",
+    ]
+    for i in range(1, len(steps)):
+        prev = f"l{i - 1}"
+        carry = ", ".join(f"ANY_VALUE({prev}.t{j}) AS t{j}"
+                          for j in range(i))
+        wf = (f" AND e.ts_ns - {prev}.t0 <= {window_ns}"
+              if window_ns is not None else "")
+        ctes.append(
+            f"l{i} AS (SELECT e.user_id, {carry}, MIN(e.ts_ns) AS t{i}"
+            f" FROM e JOIN {prev} USING (user_id)"
+            f" WHERE e.event_type = '{steps[i]}'"
+            f" AND e.ts_ns > {prev}.t{i - 1}{wf}"
+            f" GROUP BY e.user_id)")
+    k = len(steps)
+    ts_cols = ", ".join(["l0.t0"] + [f"l{i}.t{i}" for i in range(1, k)])
+    stage = " + ".join(
+        [f"CASE WHEN l{i}.t{i} IS NOT NULL THEN 1 ELSE 0 END"
+         for i in range(1, k)] or ["0"])
+    joins = " ".join(f"LEFT JOIN l{i} USING (user_id)"
+                     for i in range(1, k))
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT l0.user_id, {ts_cols}, 1 + {stage} AS max_stage "
+            f"FROM l0 {joins}")
