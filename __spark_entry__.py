@@ -33,7 +33,7 @@ from tidb_binlog_spark.functions import scoring
 from tidb_binlog_spark.functions import checksum as cksum
 from tidb_binlog_spark.functions import multimodal as mm
 from tidb_binlog_spark.functions import kvcodec
-from tidb_binlog_spark.operators import causality, ddl, batching
+from tidb_binlog_spark.operators import causality, ddl, batching, scd2
 from tidb_binlog_spark.plans.pipeline import ReplicationConfig, build_pipeline
 from tidb_binlog_spark.sinks import sqlgen, payload
 
@@ -88,6 +88,31 @@ def q_cdc_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdc_kway_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = ordering.kway_merge(_spark_changes(spark, sf_dir))
     return merged.select("arrival_seq", "source_id", "commit_ts", "op")
+
+
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 version table from the ordered stream: each change
+    opens [valid_from, valid_to); a DELETE closes without opening.
+    One lead window per key — single PK-keyed shuffle."""
+    ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
+    return scd2.scd2_history(ok).select(
+        "db", "tbl", "pk", "val", "valid_from", "valid_to", "is_current")
+
+
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read at T = max(commit_ts)/2 — a pure filter over
+    the SCD2 history (reparo PITR: replay to stop-tso). The oracle
+    derives the same state INDEPENDENTLY, by last-image-wins apply of
+    only the changes with commit_ts <= T."""
+    ch = _spark_changes(spark, sf_dir)
+    ok = ordering.ordered_stream(ch)
+    hist = scd2.scd2_history(ok)
+    t = ch.agg(F.floor(F.max("commit_ts") / 2)
+               .cast("long").alias("t_as_of"))
+    return (scd2.snapshot_as_of(hist.crossJoin(F.broadcast(t)),
+                                F.col("t_as_of"))
+            .select("db", "tbl", "pk", "val",
+                    "valid_from", "t_as_of"))
 
 
 # Retired r3 (driver 50-slot correctness window; VERDICT r2 item 1).
@@ -1307,8 +1332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (their fixes still need a recorded driver row), and one-round
     # greens. Rotated below: 19 queries with r2+r3(+r4) green rows.
     return {
-        # -- new this round: funnel analysis ------------------------------
+        # -- new this round: funnel, SCD2 history, time travel ------------
         "events_funnel": q_events_funnel,
+        "cdc_scd2_history": q_cdc_scd2_history,
+        "cdc_time_travel": q_cdc_time_travel,
         # -- new r5: substring-span dedup + span decontam + mixing -------
         "dedup_substring_spans": q_dedup_substring_spans,
         "text_decontaminate_spans": q_text_decontaminate_spans,
@@ -1362,8 +1389,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_causality_groups": q_cdc_causality_groups,
         "sink_bulk_batches": q_sink_bulk_batches,
         "snapshot_checksum_orders": q_snapshot_checksum_orders,
-        "cdc_pc_match": q_cdc_pc_match,
-        "cdc_wide_row_apply": q_cdc_wide_row_apply,
         # -- below the driver's 50-row window (position 51+): still in
         # queries() + the local gate. sink_obinlog_wide (green r3+r4)
         # rotates below to make room for the third new r5 query; its
@@ -1371,7 +1396,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test_obinlog_wide_roundtrip. sink_sql_wide (green r2+r3)
         # rotates below to make room for events_funnel; its wide
         # NULL-safe SQL path stays exercised by
-        # test_generate_sql_wide_uk_fallback_chain.
+        # test_generate_sql_wide_uk_fallback_chain; cdc_pc_match and
+        # cdc_wide_row_apply (green r2+r3) rotate below for the two
+        # SCD2 queries — pc_match stays live via the streaming suite
+        # (test_pc_match_stream), the wide merge via test_operators'
+        # compact_wide cases and the bench headline.
+        "cdc_pc_match": q_cdc_pc_match,
+        "cdc_wide_row_apply": q_cdc_wide_row_apply,
         "sink_sql_wide": q_sink_sql_wide,
         "sink_obinlog_wide": q_sink_obinlog_wide,
         # queries() + the local gate; all r2+r3(+r4) driver-green with
@@ -1419,6 +1450,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "events_funnel": osql.funnel_sql(FUNNEL_STEPS, FUNNEL_WINDOW_NS),
+        "cdc_scd2_history": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            hist AS (
+              SELECT db, tbl, pk, val, op, commit_ts AS valid_from,
+                     LEAD(commit_ts) OVER (
+                         PARTITION BY db, tbl, pk
+                         ORDER BY commit_ts, seq, arrival_seq) AS valid_to
+              FROM ok)
+            SELECT db, tbl, pk, val, valid_from, valid_to,
+                   valid_to IS NULL AS is_current
+            FROM hist WHERE op <> 'D'
+        """,
+        # independent derivation: last-image-wins apply of the prefix
+        # commit_ts <= T, not the history-filter the engine runs
+        "cdc_time_travel": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            t AS (SELECT CAST(FLOOR(MAX(commit_ts) / 2) AS BIGINT)
+                         AS t_as_of FROM changes),
+            upto AS (SELECT ok.*, t.t_as_of FROM ok, t
+                     WHERE ok.commit_ts <= t.t_as_of),
+            last AS (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY db, tbl, pk
+                  ORDER BY commit_ts DESC, seq DESC, arrival_seq DESC) AS rn
+              FROM upto)
+            SELECT db, tbl, pk, val, commit_ts AS valid_from, t_as_of
+            FROM last WHERE rn = 1 AND op <> 'D'
+        """,
         "dedup_substring_spans": osql.DUPLICATE_SPANS,
         "text_decontaminate_spans": osql.DECONTAMINATE_SPANS,
         "text_mix_weights": osql.mix_to_weights_sql(MIX_WEIGHTS),

@@ -904,3 +904,47 @@ def test_funnel_greedy_window_and_missing_steps(spark):
         3: (10, None, None, 1),
         5: (60, 80, 90, 3),
     }
+
+
+def test_scd2_history_intervals_and_time_travel(spark):
+    """Delete closes the open interval without opening one; a later
+    insert starts a fresh version; snapshot_as_of(T) equals the
+    last-image-wins replay of changes with commit_ts <= T at EVERY
+    change timestamp (brute-force cross-check)."""
+    from tidb_binlog_spark.operators.scd2 import scd2_history, snapshot_as_of
+    rows = [  # (db, tbl, pk, commit_ts, seq, arrival_seq, op, val)
+        ("d", "t", 1, 10, 0, 0, "I", 1.0),
+        ("d", "t", 1, 20, 0, 1, "U", 2.0),
+        ("d", "t", 1, 30, 0, 2, "D", 2.0),
+        ("d", "t", 1, 40, 0, 3, "I", 3.0),
+        ("d", "t", 2, 15, 0, 4, "I", 9.0),
+        ("d", "t", 3, 25, 0, 5, "I", 7.0),
+        ("d", "t", 3, 35, 0, 6, "D", 7.0),
+    ]
+    ch = spark.createDataFrame(
+        rows, "db string, tbl string, pk long, commit_ts long, "
+              "seq int, arrival_seq long, op string, val double")
+    hist = scd2_history(ch)
+    got = {(r["pk"], r["valid_from"]): (r["valid_to"], r["is_current"])
+           for r in hist.collect()}
+    assert got == {
+        (1, 10): (20, False), (1, 20): (30, False), (1, 40): (None, True),
+        (2, 15): (None, True), (3, 25): (35, False),
+    }
+    hist_rows = [r.asDict() for r in hist.collect()]
+    for t in [5, 10, 15, 20, 25, 30, 35, 40, 99]:
+        visible = {(h["pk"]): h["val"] for h in hist_rows
+                   if h["valid_from"] <= t
+                   and (h["valid_to"] is None or h["valid_to"] > t)}
+        replay: dict = {}
+        for db, tbl, pk, ts, seq, aseq, op, val in sorted(
+                rows, key=lambda r: r[3]):
+            if ts > t:
+                continue
+            if op == "D":
+                replay.pop(pk, None)
+            else:
+                replay[pk] = val
+        assert visible == replay, f"T={t}"
+        assert {r["pk"]: r["val"]
+                for r in snapshot_as_of(hist, t).collect()} == replay
