@@ -1054,6 +1054,51 @@ def q_events_session_stitch(spark, sf_dir):
                       "session_start", "session_end", "n_core_events")
 
 
+def _gap_sessions(ev, pred, gap_ns: int, prefix: str):
+    """Gap-based sessions over the events subset ``pred``: one row per
+    (user, session) with [start, end] and the event count, columns
+    named ``{prefix}_no/{prefix}_start/{prefix}_end/n_{prefix}``."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.filter(pred).withColumn(
+        "new_s",
+        F.when(F.lag("ts").over(w).isNull()
+               | ((F.col("ts") - F.lag("ts").over(w)) > gap_ns), 1)
+         .otherwise(0))
+    return (flagged.withColumn(f"{prefix}_no", F.sum("new_s").over(w))
+            .groupBy("user_id", f"{prefix}_no")
+            .agg(F.min("ts").alias(f"{prefix}_start"),
+                 F.max("ts").alias(f"{prefix}_end"),
+                 F.count(F.lit(1)).alias(f"n_{prefix}")))
+
+
+def q_events_overlap_bursts(spark, sf_dir):
+    """Interval x interval overlap join: per-user activity sessions
+    (non-error, 30 min gap) overlapped with error bursts (errors,
+    10 min gap) — which sessions were degraded, and for how long.
+    Bucketed overlap join (canonical-bucket exactly-once), never a
+    nested-loop; left mode keeps burst-free sessions."""
+    from tidb_binlog_spark.operators.rangejoin import interval_overlap_join
+    load_tables(spark, sf_dir, "events")
+    ev = spark.table("events")   # ts is BIGINT nanos
+    sess = _gap_sessions(ev, F.col("event_type") != "error",
+                         30 * 60 * 1_000_000_000, "session")
+    burst = _gap_sessions(ev, F.col("event_type") == "error",
+                          10 * 60 * 1_000_000_000, "burst") \
+        .drop("n_burst")
+    out = interval_overlap_join(
+        sess, burst, ["user_id"], "session_start", "session_end",
+        "burst_start", "burst_end",
+        bucket_width=3_600_000_000_000, how="left")
+    return out.select(
+        "user_id", "session_no", "session_start", "session_end",
+        "n_session", "burst_no", "burst_start", "burst_end",
+        F.when(F.col("burst_no").isNotNull(),
+               F.least("session_end", "burst_end")
+               - F.greatest("session_start", "burst_start"))
+         .alias("overlap_ns"))
+
+
 FUNNEL_STEPS = ["signup", "view", "purchase"]
 FUNNEL_WINDOW_NS = 72 * 3_600_000_000_000   # 72 h conversion window
 
@@ -1336,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_time_travel": q_cdc_time_travel,
+        "events_overlap_bursts": q_events_overlap_bursts,
         # -- new r5: substring-span dedup + span decontam + mixing -------
         "dedup_substring_spans": q_dedup_substring_spans,
         "text_decontaminate_spans": q_text_decontaminate_spans,
@@ -1388,9 +1434,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_gc_safepoint": q_cdc_gc_safepoint,
         "cdc_causality_groups": q_cdc_causality_groups,
         "sink_bulk_batches": q_sink_bulk_batches,
-        "snapshot_checksum_orders": q_snapshot_checksum_orders,
         # -- below the driver's 50-row window (position 51+): still in
-        # queries() + the local gate. sink_obinlog_wide (green r3+r4)
+        # queries() + the local gate. snapshot_checksum_orders (green
+        # r2+r3) rotates below for events_overlap_bursts; the digest
+        # path stays on the bench headline + test_functions checksums.
+        "snapshot_checksum_orders": q_snapshot_checksum_orders,
+        # sink_obinlog_wide (green r3+r4)
         # rotates below to make room for the third new r5 query; its
         # payload shape stays exercised by sink_payload_roundtrip +
         # test_obinlog_wide_roundtrip. sink_sql_wide (green r2+r3)
@@ -1447,8 +1496,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _gap_sessions_cte(pred: str, gap_ns: int, prefix: str) -> str:
+    """DuckDB mirror of _gap_sessions (CTE chain ``{prefix}s``).
+    Assumes a CTE ``e(user_id, event_id, ts_ns, event_type)``."""
+    return f"""
+    {prefix}_f AS (
+      SELECT user_id, event_id, ts_ns,
+        CASE WHEN lag(ts_ns) OVER w IS NULL
+                  OR ts_ns - lag(ts_ns) OVER w > {gap_ns}
+             THEN 1 ELSE 0 END AS new_s
+      FROM e WHERE {pred}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+    {prefix}_n AS (
+      SELECT user_id, ts_ns,
+        CAST(SUM(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts_ns, event_id
+                              ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS {prefix}_no
+      FROM {prefix}_f),
+    {prefix}s AS (
+      SELECT user_id, {prefix}_no, MIN(ts_ns) AS {prefix}_start,
+             MAX(ts_ns) AS {prefix}_end, COUNT(*) AS n_{prefix}
+      FROM {prefix}_n GROUP BY 1, 2)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_overlap_bursts": f"""
+            WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+                              event_type FROM events),
+            {_gap_sessions_cte("event_type <> 'error'",
+                               30 * 60 * 1_000_000_000, "session")},
+            {_gap_sessions_cte("event_type = 'error'",
+                               10 * 60 * 1_000_000_000, "burst")}
+            SELECT s.user_id, s.session_no, s.session_start,
+                   s.session_end, s.n_session, b.burst_no,
+                   b.burst_start, b.burst_end,
+                   CASE WHEN b.burst_no IS NULL THEN NULL
+                        ELSE LEAST(s.session_end, b.burst_end)
+                             - GREATEST(s.session_start, b.burst_start)
+                   END AS overlap_ns
+            FROM sessions s LEFT JOIN bursts b
+              ON s.user_id = b.user_id
+             AND s.session_start <= b.burst_end
+             AND b.burst_start <= s.session_end
+        """,
         "events_funnel": osql.funnel_sql(FUNNEL_STEPS, FUNNEL_WINDOW_NS),
         "cdc_scd2_history": f"""
             {CHANGES_CTE}, {_OK_CTE},

@@ -948,3 +948,46 @@ def test_scd2_history_intervals_and_time_travel(spark):
         assert visible == replay, f"T={t}"
         assert {r["pk"]: r["val"]
                 for r in snapshot_as_of(hist, t).collect()} == replay
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Bucketed overlap join == brute-force O(n^2) overlap test, inner
+    and left modes, across bucket widths smaller/larger than the
+    intervals (seeded RNG; intervals span multiple buckets, tie edges,
+    zero-length, and cross-key non-matches)."""
+    import random
+    from tidb_binlog_spark.operators.rangejoin import interval_overlap_join
+    rng = random.Random(47)
+    lrows = [(f"k{rng.randint(0, 3)}", i, s, s + rng.randint(0, 40))
+             for i in range(60)
+             for s in [rng.randint(0, 300)]]
+    rrows = [(f"k{rng.randint(0, 3)}", 100 + i, s, s + rng.randint(0, 25))
+             for i in range(50)
+             for s in [rng.randint(0, 300)]]
+    left = spark.createDataFrame(
+        lrows, "key string, a_id int, a_start long, a_end long")
+    right = spark.createDataFrame(
+        rrows, "key string, b_id int, b_start long, b_end long")
+    expect = {(k, a, b) for (k, a, s1, e1) in lrows
+              for (k2, b, s2, e2) in rrows
+              if k == k2 and s1 <= e2 and s2 <= e1}
+    for bw in (7, 64, 1000):
+        got = interval_overlap_join(
+            left, right, ["key"], "a_start", "a_end",
+            "b_start", "b_end", bucket_width=bw)
+        pairs = [(r["key"], r["a_id"], r["b_id"]) for r in got.collect()]
+        assert len(pairs) == len(set(pairs)), f"dup pairs at bw={bw}"
+        assert set(pairs) == expect, f"bw={bw}"
+        lgot = interval_overlap_join(
+            left, right, ["key"], "a_start", "a_end",
+            "b_start", "b_end", bucket_width=bw, how="left").collect()
+        matched = [(r["key"], r["a_id"], r["b_id"])
+                   for r in lgot if r["b_id"] is not None]
+        assert set(matched) == expect and len(matched) == len(expect)
+        unmatched = {(r["key"], r["a_id"]) for r in lgot
+                     if r["b_id"] is None}
+        assert unmatched == {(k, a) for (k, a, _, _) in lrows
+                             if not any(p[1] == a for p in expect)}
+        assert all(r["b_start"] is None and r["b_end"] is None
+                   for r in lgot if r["b_id"] is None)
+        assert len(lgot) == len(expect) + len(unmatched)

@@ -379,7 +379,8 @@ def test_asof_and_range_join_plans_are_equi_join_shaped(spark):
     nested-loop/cartesian plan, and the as-of carry windows must be
     keyed."""
     import __spark_entry__ as m
-    for q in ("events_asof_attribution", "events_session_stitch"):
+    for q in ("events_asof_attribution", "events_session_stitch",
+              "events_overlap_bursts"):
         plan = _plan(m.queries()[q](spark, SF))
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
