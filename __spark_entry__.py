@@ -1099,6 +1099,34 @@ def q_events_overlap_bursts(spark, sf_dir):
          .alias("overlap_ns"))
 
 
+WEEK_NS = 7 * 86_400 * 1_000_000_000
+
+
+def q_events_rolling_activity(spark, sf_dir):
+    """Per-event 7-day rolling activity: count + exact value sum of
+    the user's events in [ts - 7d, ts]. One range-frame window — a
+    single user-keyed shuffle, O(rows) frame sweep, no self-join."""
+    from tidb_binlog_spark.operators.timeseries import rolling_window
+    load_tables(spark, sf_dir, "events")
+    ev = spark.table("events")   # ts is BIGINT nanos
+    out = rolling_window(ev, ["user_id"], "ts", WEEK_NS, "value")
+    return out.select("user_id", "event_id", "ts",
+                      F.col("n_window").alias("n_7d"),
+                      F.col("sum_window").alias("value_7d"))
+
+
+def q_events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by signup week, counted
+    once per later active week. Events reduce to distinct (user,
+    week) before the cohort join — the aggregate runs on users x
+    weeks, not raw events."""
+    from tidb_binlog_spark.operators.timeseries import cohort_retention
+    load_tables(spark, sf_dir, "events")
+    ev = spark.table("events")
+    return cohort_retention(ev, "user_id", "ts", WEEK_NS,
+                            F.col("event_type") == "signup")
+
+
 FUNNEL_STEPS = ["signup", "view", "purchase"]
 FUNNEL_WINDOW_NS = 72 * 3_600_000_000_000   # 72 h conversion window
 
@@ -1382,6 +1410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_time_travel": q_cdc_time_travel,
         "events_overlap_bursts": q_events_overlap_bursts,
+        "events_rolling_activity": q_events_rolling_activity,
+        "events_cohort_retention": q_events_cohort_retention,
         # -- new r5: substring-span dedup + span decontam + mixing -------
         "dedup_substring_spans": q_dedup_substring_spans,
         "text_decontaminate_spans": q_text_decontaminate_spans,
@@ -1432,12 +1462,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "dedup_simhash": q_dedup_simhash,
         "cdc_gc_safepoint": q_cdc_gc_safepoint,
+        # -- below the driver's 50-row window (position 51+): still in
+        # queries() + the local gate. Rotated below this round for the
+        # six new queries (funnel, scd2 x2, overlap, rolling, cohort):
+        # snapshot_checksum_orders, cdc_causality_groups,
+        # sink_bulk_batches (each green r2+r3; checksum digests stay on
+        # the bench headline + test_functions, causality CC inside
+        # dedup_*_clusters, batch building in test_jdbc_sink).
         "cdc_causality_groups": q_cdc_causality_groups,
         "sink_bulk_batches": q_sink_bulk_batches,
-        # -- below the driver's 50-row window (position 51+): still in
-        # queries() + the local gate. snapshot_checksum_orders (green
-        # r2+r3) rotates below for events_overlap_bursts; the digest
-        # path stays on the bench headline + test_functions checksums.
         "snapshot_checksum_orders": q_snapshot_checksum_orders,
         # sink_obinlog_wide (green r3+r4)
         # rotates below to make room for the third new r5 query; its
@@ -1522,6 +1555,33 @@ def _gap_sessions_cte(pred: str, gap_ns: int, prefix: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_rolling_activity": f"""
+            WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+                              value FROM events)
+            SELECT user_id, event_id, ts_ns AS ts,
+                   COUNT(*) OVER w AS n_7d,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w
+                        AS DOUBLE) AS value_7d
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns
+                         RANGE BETWEEN {WEEK_NS} PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "events_cohort_retention": f"""
+            WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns,
+                              event_type FROM events),
+            f AS (SELECT user_id, MIN(ts_ns) // {WEEK_NS}
+                         AS cohort_period
+                  FROM e WHERE event_type = 'signup' GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id, ts_ns // {WEEK_NS} AS p
+                  FROM e)
+            SELECT f.cohort_period, a.p - f.cohort_period
+                     AS period_offset,
+                   COUNT(*) AS n_users
+            FROM a JOIN f USING (user_id)
+            WHERE a.p >= f.cohort_period
+            GROUP BY 1, 2
+        """,
         "events_overlap_bursts": f"""
             WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
                               event_type FROM events),

@@ -991,3 +991,35 @@ def test_interval_overlap_join_matches_bruteforce(spark):
         assert all(r["b_start"] is None and r["b_end"] is None
                    for r in lgot if r["b_id"] is None)
         assert len(lgot) == len(expect) + len(unmatched)
+
+
+def test_rolling_window_and_cohort_retention(spark):
+    """Closed-range rolling frame (row at exactly ts-window included,
+    one tick older excluded; ties all included) and cohort offsets
+    (pre-signup activity excluded, distinct per period)."""
+    from pyspark.sql import functions as F
+    from tidb_binlog_spark.operators.timeseries import (cohort_retention,
+                                                        rolling_window)
+    ev = spark.createDataFrame(
+        [(1, 0, 2.0), (1, 50, 3.0), (1, 100, 5.0), (1, 101, 7.0),
+         (2, 100, 1.0), (2, 100, 1.5)],
+        "user long, ts long, value double")
+    got = {(r["user"], r["ts"], r["value"]): (r["n_window"], r["sum_window"])
+           for r in rolling_window(ev, ["user"], "ts", 100,
+                                   "value").collect()}
+    assert got[(1, 100, 5.0)] == (3, 10.0)      # ts-100=0 included
+    assert got[(1, 101, 7.0)] == (3, 15.0)      # ts=0 aged out
+    assert got[(2, 100, 1.0)] == (2, 2.5)       # ties share the frame
+    assert got[(2, 100, 1.5)] == (2, 2.5)
+
+    ev2 = spark.createDataFrame(
+        [(1, 5, "signup"), (1, 12, "view"), (1, 27, "view"),
+         (2, 3, "view"),                     # never signs up
+         (3, 19, "signup"), (3, 2, "view"),  # pre-signup activity
+         (3, 21, "view"), (3, 22, "view")],  # same period, once
+        "user_id long, ts long, event_type string")
+    ret = {(r["cohort_period"], r["period_offset"]): r["n_users"]
+           for r in cohort_retention(
+               ev2, "user_id", "ts", 10,
+               F.col("event_type") == "signup").collect()}
+    assert ret == {(0, 0): 1, (0, 1): 1, (0, 2): 1, (1, 0): 1, (1, 1): 1}
