@@ -43,6 +43,11 @@ HEADLINE = [
     "events_asof_attribution",   # as-of join (union + carry window)
     "events_session_stitch",     # bucketed point-in-interval join
     "events_funnel",             # k-step conversion funnel
+    "events_rolling_activity",   # range-frame rolling aggregates
+    "events_cohort_retention",   # weekly cohort retention matrix
+    "events_overlap_bursts",     # interval x interval overlap join
+    "cdc_scd2_history",          # SCD2 version intervals per PK
+    "cdc_time_travel",           # as-of read over the history
     "text_profile",              # all per-doc text metrics, projection-joined
     "text_line_dedup",           # corpus-frequency line removal
     "text_bm25",                 # broadcast-stats keyword relevance
