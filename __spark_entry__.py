@@ -1099,6 +1099,20 @@ def q_events_overlap_bursts(spark, sf_dir):
          .alias("overlap_ns"))
 
 
+def q_text_weighted_sample(spark, sf_dir):
+    """Quality-weighted corpus downsample: deterministic A-ES draw of
+    20 docs per language with inclusion odds proportional to
+    1 + token count (no RNG — md5 tickets, micro-quantized rank
+    keys, replay-stable)."""
+    from tidb_binlog_spark.functions import curation
+    sized = textfn.with_tokens(_docs(spark, sf_dir)).select(
+        "doc_id", "lang",
+        (F.size("toks") + 1).cast("long").alias("w"))
+    out = curation.weighted_sample(sized, "w", 20, "lang")
+    return out.select("doc_id", "lang", "w", "score_micro",
+                      "sample_rank")
+
+
 WEEK_NS = 7 * 86_400 * 1_000_000_000
 
 
@@ -1412,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_overlap_bursts": q_events_overlap_bursts,
         "events_rolling_activity": q_events_rolling_activity,
         "events_cohort_retention": q_events_cohort_retention,
+        "text_weighted_sample": q_text_weighted_sample,
         # -- new r5: substring-span dedup + span decontam + mixing -------
         "dedup_substring_spans": q_dedup_substring_spans,
         "text_decontaminate_spans": q_text_decontaminate_spans,
@@ -1461,14 +1476,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_truncated_drop": q_cdc_truncated_drop,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "dedup_simhash": q_dedup_simhash,
-        "cdc_gc_safepoint": q_cdc_gc_safepoint,
         # -- below the driver's 50-row window (position 51+): still in
         # queries() + the local gate. Rotated below this round for the
-        # six new queries (funnel, scd2 x2, overlap, rolling, cohort):
-        # snapshot_checksum_orders, cdc_causality_groups,
-        # sink_bulk_batches (each green r2+r3; checksum digests stay on
-        # the bench headline + test_functions, causality CC inside
-        # dedup_*_clusters, batch building in test_jdbc_sink).
+        # seven new queries (funnel, scd2 x2, overlap, rolling, cohort,
+        # weighted sample): cdc_gc_safepoint, snapshot_checksum_orders,
+        # cdc_causality_groups, sink_bulk_batches (each green r2+r3;
+        # GC retention stays tested in test_sinks_and_streaming,
+        # checksum digests on the bench headline + test_functions,
+        # causality CC inside dedup_*_clusters, batch building in
+        # test_jdbc_sink).
+        "cdc_gc_safepoint": q_cdc_gc_safepoint,
         "cdc_causality_groups": q_cdc_causality_groups,
         "sink_bulk_batches": q_sink_bulk_batches,
         "snapshot_checksum_orders": q_snapshot_checksum_orders,
@@ -1555,6 +1572,27 @@ def _gap_sessions_cte(pred: str, gap_ns: int, prefix: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "text_weighted_sample": f"""
+            WITH s AS (
+              SELECT doc_id, lang,
+                     CAST(len({osql.TOKS}) + 1 AS BIGINT) AS w,
+                     CAST(concat('0x', substring(
+                          md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) AS h
+              FROM documents),
+            sc AS (
+              SELECT doc_id, lang, w,
+                     CAST(FLOOR(ln((h + 1) / 4294967296.0) / w
+                                * 1000000) AS BIGINT) AS score_micro
+              FROM s),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY lang
+                  ORDER BY score_micro DESC, doc_id) AS sample_rank
+              FROM sc)
+            SELECT doc_id, lang, w, score_micro, sample_rank
+            FROM r WHERE sample_rank <= 20
+        """,
         "events_rolling_activity": f"""
             WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
                               value FROM events)

@@ -1012,3 +1012,22 @@ def test_split_corpus_disjoint_stable_and_growth_proof(spark):
              for r in split_corpus(bigger, {"train": 0.8, "val": 0.1,
                                             "test": 0.1}).collect()}
     assert all(again[d] == s for d, s in got.items())
+
+
+def test_weighted_sample_bias_determinism_and_k(spark):
+    """A-ES: k rows per stratum, ranks 1..k, replay-stable, and
+    heavily-weighted docs crowd out light ones."""
+    from pyspark.sql import functions as F
+    from tidb_binlog_spark.functions.curation import weighted_sample
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2 == 0).alias("heavy"),
+        F.when(F.col("id") % 2 == 0, 500.0).otherwise(1.0).alias("w"),
+        F.lit("s").alias("stratum"))
+    out = weighted_sample(docs, "w", 20, "stratum").collect()
+    assert len(out) == 20
+    assert sorted(r["sample_rank"] for r in out) == list(range(1, 21))
+    n_heavy = sum(r["heavy"] for r in out)
+    assert n_heavy >= 17, n_heavy   # 500x weight dominates the draw
+    again = weighted_sample(docs, "w", 20, "stratum").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -474,3 +474,38 @@ def split_corpus(docs: DataFrame,
     label = (expr.otherwise(bounds[-1][0]) if expr is not None
              else F.lit(bounds[-1][0]))
     return docs.select(key_col, label.alias("split"))
+
+
+def weighted_sample(docs: DataFrame, weight_col: str, k: int,
+                    stratum_col: str | None = None,
+                    key_col: str = "doc_id",
+                    seed: str = "ws") -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): u = (hex32(md5(seed:key)) + 1) / 2^32
+    in (0, 1], rank key ln(u) / w, keep the k largest per stratum —
+    inclusion probability proportional to weight, replay-stable (no
+    RNG), identical on any engine.
+
+    Scores quantize to integer micro-units BEFORE ranking (the BM25 /
+    LM-surprisal convention) so both engines order identical integers;
+    ties break on the sample key. Weights must be > 0.
+
+    Scale shape: one window keyed on the stratum (rank <= k filter);
+    for a single gigantic stratum the documented swap is a two-phase
+    threshold draw — sample score quantiles, broadcast the k-th
+    threshold, filter, exact-rank only the boundary — same result
+    shape, no full-stratum sort.
+    """
+    part = [stratum_col] if stratum_col else []
+    h = (F.conv(F.substring(
+            F.md5(F.concat(F.lit(seed + ":"),
+                           F.col(key_col).cast("string"))), 1, 8),
+         16, 10).cast("long"))
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    score = F.floor(F.log(u) / F.col(weight_col) * 1_000_000) \
+        .cast("long")
+    w = Window.partitionBy(*part).orderBy(
+        F.desc("score_micro"), F.col(key_col))
+    return (docs.withColumn("score_micro", score)
+            .withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= k))
