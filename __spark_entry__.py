@@ -1072,6 +1072,24 @@ def _gap_sessions(ev, pred, gap_ns: int, prefix: str):
                  F.count(F.lit(1)).alias(f"n_{prefix}")))
 
 
+def q_cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: history built to T =
+    max(commit_ts)/2, then the remainder applied as a new batch
+    (close-open-intervals + append — the foreachBatch shape). The
+    oracle is the FULL-recompute history SQL, so agreement proves the
+    incremental path converges to the batch semantics."""
+    ch = _spark_changes(spark, sf_dir)
+    ok = ordering.ordered_stream(ch)
+    t = ch.agg(F.floor(F.max("commit_ts") / 2)
+               .cast("long").alias("_t_split"))
+    okt = ok.crossJoin(F.broadcast(t))
+    h1 = scd2.scd2_history(okt.filter(F.col("commit_ts") <= F.col("_t_split")))
+    h2 = scd2.scd2_apply_increment(
+        h1, okt.filter(F.col("commit_ts") > F.col("_t_split")))
+    return h2.select("db", "tbl", "pk", "val", "valid_from",
+                     "valid_to", "is_current")
+
+
 def q_events_overlap_bursts(spark, sf_dir):
     """Interval x interval overlap join: per-user activity sessions
     (non-error, 30 min gap) overlapped with error bursts (errors,
@@ -1408,52 +1426,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # keys (verified in VERDICT r2). Queries whose driver evidence is
-    # stale lead; multi-round greens rotate below the window so every
-    # operator re-earns a driver row at least every other round.
-    #
-    # r5 window rotation: the 17 queries below the window in r4 (plus
-    # the 2 new r5 queries) lead; the KV-codec triple stays in as a
-    # hedge (its only driver evidence would be r4); then the late-r4
-    # additions, the queries that FAILED in r3 and were repaired in r4
-    # (their fixes still need a recorded driver row), and one-round
-    # greens. Rotated below: 19 queries with r2+r3(+r4) green rows.
+    # keys (verified in VERDICT r2). This is DRIVER round 4 (last
+    # recorded gate: CORRECTNESS_r03), so the window leads with every
+    # query that has no driver row at all (new + all local additions
+    # since r3) and the seven r3 failures whose repairs need a
+    # recorded green; queries that PASSED in r3 wait below and rotate
+    # back next round (every-other-round discipline).
     return {
-        # -- new this round: funnel, SCD2 history, time travel ------------
+        # -- new this round: funnel, SCD2 + time travel + incremental, overlap/rolling/cohort, weighted sample
         "events_funnel": q_events_funnel,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_time_travel": q_cdc_time_travel,
+        "cdc_scd2_incremental": q_cdc_scd2_incremental,
         "events_overlap_bursts": q_events_overlap_bursts,
         "events_rolling_activity": q_events_rolling_activity,
         "events_cohort_retention": q_events_cohort_retention,
         "text_weighted_sample": q_text_weighted_sample,
-        # -- new r5: substring-span dedup + span decontam + mixing -------
+        # -- never driver-checked: late prior-session additions
+        "corpus_length_quantiles": q_corpus_length_quantiles,
+        "text_strip_spans": q_text_strip_spans,
+        "events_asof_attribution": q_events_asof_attribution,
+        "events_session_stitch": q_events_session_stitch,
+        "corpus_split": q_corpus_split,
+        "dedup_quality_canonicals": q_dedup_quality_canonicals,
+        # -- retired at r3 with only r2 evidence (VERDICT r3 item 10)
+        "dedup_simhash": q_dedup_simhash,
+        "cdc_truncated_drop": q_cdc_truncated_drop,
+        "dedup_minhash_clusters": q_dedup_minhash_clusters,
+        # -- substring-span dedup + span decontam + domain mixing
         "dedup_substring_spans": q_dedup_substring_spans,
         "text_decontaminate_spans": q_text_decontaminate_spans,
         "text_mix_weights": q_text_mix_weights,
-        # -- sat out the r4 window (position 51+ last round) -------------
-        "doc_fingerprint": q_doc_fingerprint,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "ann_doc_lsh": q_ann_doc_lsh,
-        "dedup_incremental": q_dedup_incremental,
-        "doc_cdc_chunks": q_doc_cdc_chunks,
-        "dedup_containment": q_dedup_containment,
-        "corpus_source_report": q_corpus_source_report,
-        "dedup_chunk_minhash": q_dedup_chunk_minhash,
-        "cdc_loopback_filter": q_cdc_loopback_filter,
-        "cdc_txn_batches": q_cdc_txn_batches,
-        "cdc_schema_backfill": q_cdc_schema_backfill,
-        "cdc_update_pk_split": q_cdc_update_pk_split,
-        "cdc_safe_mode": q_cdc_safe_mode,
-        "text_stratified_sample": q_text_stratified_sample,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding_clusters": q_dedup_embedding_clusters,
-        # -- KV row codec over real pump-format bytes (r4; hedge) --------
+        # -- KV row codec over real pump-format bytes
         "cdc_kv_decode": q_cdc_kv_decode,
         "cdc_kv_decode_update": q_cdc_kv_decode_update,
         "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
-        # -- late-r4 corpus operators (one driver round at most) ---------
+        # -- corpus operators with no driver row yet
         "text_line_dedup": q_text_line_dedup,
         "text_bm25": q_text_bm25,
         "text_unigram_lm": q_text_unigram_lm,
@@ -1464,7 +1472,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_stats": q_corpus_token_stats,
         "text_bigram_lm": q_text_bigram_lm,
         "corpus_full_curation": q_corpus_full_curation,
-        # -- FAILED r3, repaired r4: keep until a driver row records it --
+        "ann_doc_lsh": q_ann_doc_lsh,
+        "dedup_incremental": q_dedup_incremental,
+        "doc_cdc_chunks": q_doc_cdc_chunks,
+        "dedup_containment": q_dedup_containment,
+        "corpus_source_report": q_corpus_source_report,
+        "dedup_chunk_minhash": q_dedup_chunk_minhash,
+        # -- FAILED r3, repaired: the fixes still need a recorded driver row
         "cdc_progress": q_cdc_progress,
         "cdc_type_format": q_cdc_type_format,
         "text_profile": q_text_profile,
@@ -1472,50 +1486,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
         "sink_sql_generation": q_sink_sql_generation,
         "events_sessionize": q_events_sessionize,
-        # -- one-round-recent greens -------------------------------------
-        "cdc_truncated_drop": q_cdc_truncated_drop,
-        "dedup_minhash_clusters": q_dedup_minhash_clusters,
-        "dedup_simhash": q_dedup_simhash,
-        # -- below the driver's 50-row window (position 51+): still in
-        # queries() + the local gate. Rotated below this round for the
-        # seven new queries (funnel, scd2 x2, overlap, rolling, cohort,
-        # weighted sample): cdc_gc_safepoint, snapshot_checksum_orders,
-        # cdc_causality_groups, sink_bulk_batches (each green r2+r3;
-        # GC retention stays tested in test_sinks_and_streaming,
-        # checksum digests on the bench headline + test_functions,
-        # causality CC inside dedup_*_clusters, batch building in
-        # test_jdbc_sink).
+        # -- r3-green fillers (remaining slots; oldest-cited operators)
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "cdc_loopback_filter": q_cdc_loopback_filter,
+        "cdc_txn_batches": q_cdc_txn_batches,
+        # -- below the driver's 50-row window (position 51+): all r3-green
+        # -- (or r2+r3-green) with pytest coverage; they rotate back next
+        # -- round per the every-other-round discipline
+        "cdc_schema_backfill": q_cdc_schema_backfill,
+        "cdc_update_pk_split": q_cdc_update_pk_split,
+        "cdc_safe_mode": q_cdc_safe_mode,
+        "text_stratified_sample": q_text_stratified_sample,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_clusters": q_dedup_embedding_clusters,
         "cdc_gc_safepoint": q_cdc_gc_safepoint,
         "cdc_causality_groups": q_cdc_causality_groups,
         "sink_bulk_batches": q_sink_bulk_batches,
         "snapshot_checksum_orders": q_snapshot_checksum_orders,
-        # sink_obinlog_wide (green r3+r4)
-        # rotates below to make room for the third new r5 query; its
-        # payload shape stays exercised by sink_payload_roundtrip +
-        # test_obinlog_wide_roundtrip. sink_sql_wide (green r2+r3)
-        # rotates below to make room for events_funnel; its wide
-        # NULL-safe SQL path stays exercised by
-        # test_generate_sql_wide_uk_fallback_chain; cdc_pc_match and
-        # cdc_wide_row_apply (green r2+r3) rotate below for the two
-        # SCD2 queries — pc_match stays live via the streaming suite
-        # (test_pc_match_stream), the wide merge via test_operators'
-        # compact_wide cases and the bench headline.
         "cdc_pc_match": q_cdc_pc_match,
         "cdc_wide_row_apply": q_cdc_wide_row_apply,
         "sink_sql_wide": q_sink_sql_wide,
         "sink_obinlog_wide": q_sink_obinlog_wide,
-        # queries() + the local gate; all r2+r3(+r4) driver-green with
-        # pytest coverage; rotate back next round per the
-        # every-other-round discipline. Live indirect evidence:
-        # cdc_snapshot_apply is entry()'s smoke query every round;
-        # order/kway/full_pipeline compose the same ordering + filter
-        # operators exercised by cdc_truncated_drop + cdc_loopback;
-        # dedup_exact/minhash_lsh/simhash_pairs keep their band-key
-        # construction verified via dedup_chunk_minhash + containment
-        # + incremental (shared _band_buckets); ann_cosine/ivf keep
-        # rows via ann_lsh/pq/doc_lsh; contamination's shingle
-        # semi-join re-verifies inside dedup_ngram_jaccard;
-        # pack_sequences runs whole inside corpus_full_curation.
         "snapshot_diff_orders": q_snapshot_diff_orders,
         "snapshot_pricing_summary": q_snapshot_pricing_summary,
         "snapshot_revenue_by_nation": q_snapshot_revenue_by_nation,
@@ -1535,15 +1528,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        # new this session (late): oracle-checked locally, rotates into
-        # the driver window next round
-        "corpus_length_quantiles": q_corpus_length_quantiles,
-        "text_strip_spans": q_text_strip_spans,
-        "events_asof_attribution": q_events_asof_attribution,
-        "events_session_stitch": q_events_session_stitch,
-        "corpus_split": q_corpus_split,
-        "dedup_quality_canonicals": q_dedup_quality_canonicals,
     }
+
+
+_SCD2_HISTORY_SQL = f"""
+    {CHANGES_CTE}, {_OK_CTE},
+    hist AS (
+      SELECT db, tbl, pk, val, op, commit_ts AS valid_from,
+             LEAD(commit_ts) OVER (
+                 PARTITION BY db, tbl, pk
+                 ORDER BY commit_ts, seq, arrival_seq) AS valid_to
+      FROM ok)
+    SELECT db, tbl, pk, val, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM hist WHERE op <> 'D'
+"""
 
 
 def _gap_sessions_cte(pred: str, gap_ns: int, prefix: str) -> str:
@@ -1640,18 +1639,11 @@ def oracle_sql() -> dict[str, str]:
              AND b.burst_start <= s.session_end
         """,
         "events_funnel": osql.funnel_sql(FUNNEL_STEPS, FUNNEL_WINDOW_NS),
-        "cdc_scd2_history": f"""
-            {CHANGES_CTE}, {_OK_CTE},
-            hist AS (
-              SELECT db, tbl, pk, val, op, commit_ts AS valid_from,
-                     LEAD(commit_ts) OVER (
-                         PARTITION BY db, tbl, pk
-                         ORDER BY commit_ts, seq, arrival_seq) AS valid_to
-              FROM ok)
-            SELECT db, tbl, pk, val, valid_from, valid_to,
-                   valid_to IS NULL AS is_current
-            FROM hist WHERE op <> 'D'
-        """,
+        "cdc_scd2_history": _SCD2_HISTORY_SQL,
+        # the incremental path must converge to the full recompute:
+        # same oracle, different engine derivation (split at T, close
+        # open intervals, append the new batch's versions)
+        "cdc_scd2_incremental": _SCD2_HISTORY_SQL,
         # independent derivation: last-image-wins apply of the prefix
         # commit_ts <= T, not the history-filter the engine runs
         "cdc_time_travel": f"""

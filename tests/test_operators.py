@@ -1023,3 +1023,39 @@ def test_rolling_window_and_cohort_retention(spark):
                ev2, "user_id", "ts", 10,
                F.col("event_type") == "signup").collect()}
     assert ret == {(0, 0): 1, (0, 1): 1, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_scd2_incremental_converges_to_full_recompute(spark):
+    """Applying the stream in 1..N batches (every split point, then a
+    3-way fold) yields exactly the full-history recompute — including
+    delete-only batches and delete-then-reinsert across batch
+    boundaries."""
+    from tidb_binlog_spark.operators.scd2 import (scd2_apply_increment,
+                                                  scd2_history)
+    rows = [
+        ("d", "t", 1, 10, 0, 0, "I", 1.0),
+        ("d", "t", 1, 20, 0, 1, "U", 2.0),
+        ("d", "t", 1, 30, 0, 2, "D", 2.0),
+        ("d", "t", 2, 15, 0, 3, "I", 9.0),
+        ("d", "t", 1, 40, 0, 4, "I", 3.0),
+        ("d", "t", 2, 45, 0, 5, "D", 9.0),
+        ("d", "t", 3, 50, 0, 6, "I", 7.0),
+    ]
+    schema = ("db string, tbl string, pk long, commit_ts long, "
+              "seq int, arrival_seq long, op string, val double")
+    full = sorted(map(tuple, scd2_history(
+        spark.createDataFrame(rows, schema)).collect()))
+    ts_points = sorted({r[3] for r in rows})
+    for t in ts_points[:-1]:
+        h = scd2_history(spark.createDataFrame(
+            [r for r in rows if r[3] <= t], schema))
+        inc = spark.createDataFrame([r for r in rows if r[3] > t], schema)
+        got = sorted(map(tuple, scd2_apply_increment(h, inc).collect()))
+        assert got == full, f"split at {t}"
+    # 3-way fold: 0..20 | 30..40 (delete + reinsert) | 45..50
+    h = scd2_history(spark.createDataFrame(
+        [r for r in rows if r[3] <= 20], schema))
+    for lo, hi in ((20, 40), (40, 99)):
+        h = scd2_apply_increment(h, spark.createDataFrame(
+            [r for r in rows if lo < r[3] <= hi], schema))
+    assert sorted(map(tuple, h.collect())) == full

@@ -52,6 +52,40 @@ def scd2_history(ok_changes: DataFrame,
             .withColumn("is_current", F.col("valid_to").isNull()))
 
 
+def scd2_apply_increment(history: DataFrame, new_ok_changes: DataFrame,
+                         keys: list[str] = KEY,
+                         ts_col: str = "commit_ts",
+                         op_col: str = "op",
+                         order_cols: tuple[str, ...] = ("seq",
+                                                        "arrival_seq"),
+                         ) -> DataFrame:
+    """Incrementally maintain an SCD2 history from a new batch of
+    ordered changes — the foreachBatch shape: never recompute applied
+    history, only (a) close each key's open interval at the key's
+    FIRST new change (a new DELETE closes it too), and (b) append the
+    batch's own version table.
+
+    Checkpoint contract (what ordered_stream + a commit-ts checkpoint
+    guarantee): every new change's ts is greater than every applied
+    change's ts for the same key. Cost per batch: one key-grouped
+    min over the batch + one key join against the history — the
+    history itself is never re-shuffled beyond that join (co-located
+    for free when stored bucketed by the key, sinks/bucketed.py).
+    """
+    firsts = new_ok_changes.groupBy(*keys).agg(
+        F.min(ts_col).alias("_first_new_ts"))
+    closed = (history.join(firsts, keys, "left")
+              .withColumn(
+                  "valid_to",
+                  F.when(F.col("valid_to").isNull(),
+                         F.col("_first_new_ts"))
+                   .otherwise(F.col("valid_to")))
+              .withColumn("is_current", F.col("valid_to").isNull())
+              .drop("_first_new_ts"))
+    inc = scd2_history(new_ok_changes, keys, ts_col, op_col, order_cols)
+    return closed.unionByName(inc.select(*closed.columns))
+
+
 def as_of_predicate(ts: int | Column,
                     from_col: str = "valid_from",
                     to_col: str = "valid_to") -> Column:
