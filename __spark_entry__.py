@@ -34,6 +34,7 @@ from tidb_binlog_spark.functions import checksum as cksum
 from tidb_binlog_spark.functions import multimodal as mm
 from tidb_binlog_spark.functions import kvcodec
 from tidb_binlog_spark.operators import causality, ddl, batching, scd2
+from tidb_binlog_spark.operators import incremental_agg
 from tidb_binlog_spark.plans.pipeline import ReplicationConfig, build_pipeline
 from tidb_binlog_spark.sinks import sqlgen, payload
 
@@ -1090,6 +1091,19 @@ def q_cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "valid_to", "is_current")
 
 
+def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of per-(db, tbl) COUNT/SUM purely
+    from change deltas — never materializing the snapshot (the Spark-
+    first answer to 'query the replicated table', scale:
+    one group-keyed partial agg instead of a per-PK apply). The oracle
+    derives the same numbers the OPPOSITE way: last-image-wins snapshot
+    apply, then GROUP BY — so agreement proves the delta algebra."""
+    ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
+    cl = incremental_agg.coherent_changelog(ok)
+    out = incremental_agg.maintain_group_aggregates(cl, ["db", "tbl"])
+    return out.select("db", "tbl", "n_rows", "sum_val")
+
+
 def q_events_overlap_bursts(spark, sf_dir):
     """Interval x interval overlap join: per-user activity sessions
     (non-error, 30 min gap) overlapped with error bursts (errors,
@@ -1438,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_scd2_incremental": q_cdc_scd2_incremental,
+        "cdc_incremental_agg": q_cdc_incremental_agg,
         "events_overlap_bursts": q_events_overlap_bursts,
         "events_rolling_activity": q_events_rolling_activity,
         "events_cohort_retention": q_events_cohort_retention,
@@ -1644,6 +1659,24 @@ def oracle_sql() -> dict[str, str]:
         # same oracle, different engine derivation (split at T, close
         # open intervals, append the new batch's versions)
         "cdc_scd2_incremental": _SCD2_HISTORY_SQL,
+        # independent derivation: the engine never materializes the
+        # snapshot (pure delta aggregation); the oracle applies
+        # last-image-wins and aggregates the applied state
+        "cdc_incremental_agg": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            last AS (
+              SELECT db, tbl, pk, val, op,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY db, tbl, pk
+                         ORDER BY commit_ts DESC, seq DESC,
+                                  arrival_seq DESC) AS rn
+              FROM ok)
+            SELECT db, tbl, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE)
+                       AS sum_val
+            FROM last WHERE rn = 1 AND op <> 'D'
+            GROUP BY db, tbl
+        """,
         # independent derivation: last-image-wins apply of the prefix
         # commit_ts <= T, not the history-filter the engine runs
         "cdc_time_travel": f"""

@@ -1059,3 +1059,51 @@ def test_scd2_incremental_converges_to_full_recompute(spark):
         h = scd2_apply_increment(h, spark.createDataFrame(
             [r for r in rows if lo < r[3] <= hi], schema))
     assert sorted(map(tuple, h.collect())) == full
+
+
+def test_incremental_agg_coherence_and_batch_additivity(spark):
+    """coherent_changelog re-images the raw op stream (U-as-first -> I,
+    delete-of-nothing dropped, re-insert after delete -> I, true prior
+    values); the delta aggregate equals the brute-force snapshot
+    aggregate and is additive across batch splits (the streaming-fold
+    contract, drop_empty=False)."""
+    from tidb_binlog_spark.operators.incremental_agg import (
+        coherent_changelog, maintain_group_aggregates)
+    rows = [
+        ("d", "t",  1, 10, 0, 0, "I", 1.5),
+        ("d", "t",  2, 15, 0, 1, "U", 9.0),   # U as first -> I
+        ("d", "t",  1, 20, 0, 2, "U", 2.5),
+        ("d", "t",  3, 12, 0, 3, "D", 5.0),   # delete of nothing -> drop
+        ("d", "t",  1, 30, 0, 4, "D", 2.5),
+        ("d", "t",  1, 40, 0, 5, "I", 4.0),   # re-insert after delete
+        ("d", "t",  2, 45, 0, 6, "D", 9.0),
+        ("d", "t",  3, 50, 0, 7, "I", 7.25),
+        ("d", "t2", 4, 60, 0, 8, "I", 3.0),
+        ("d", "t2", 4, 70, 0, 9, "U", 1.0),
+    ]
+    schema = ("db string, tbl string, pk long, commit_ts long, "
+              "seq int, arrival_seq long, op string, val double")
+    cl = coherent_changelog(spark.createDataFrame(rows, schema))
+    labeled = {(r["pk"], r["commit_ts"]): (r["eff_op"], r["old_val"])
+               for r in cl.collect()}
+    assert (3, 12) not in labeled                  # no-op delete dropped
+    assert labeled[(2, 15)] == ("I", None)         # U coerced to insert
+    assert labeled[(1, 20)] == ("U", 1.5)          # true prior value
+    assert labeled[(1, 30)] == ("D", 2.5)
+    assert labeled[(1, 40)] == ("I", None)         # revival
+    full = {(r["db"], r["tbl"]): (r["n_rows"], r["sum_val"])
+            for r in maintain_group_aggregates(cl, ["db", "tbl"]).collect()}
+    # live: pk1=4.0, pk3=7.25 in t; pk4=1.0 in t2; pk2 dead
+    assert full == {("d", "t"): (2, 11.25), ("d", "t2"): (1, 1.0)}
+    # batch additivity: per-batch partials (zero groups kept) sum to full
+    merged: dict = {}
+    for lo, hi in ((0, 20), (20, 45), (45, 99)):
+        part = maintain_group_aggregates(
+            cl.filter((F.col("commit_ts") > lo)
+                      & (F.col("commit_ts") <= hi)),
+            ["db", "tbl"], drop_empty=False)
+        for r in part.collect():
+            k = (r["db"], r["tbl"])
+            n, s = merged.get(k, (0, 0.0))
+            merged[k] = (n + r["n_rows"], s + r["sum_val"])
+    assert {k: v for k, v in merged.items() if v[0] > 0} == full

@@ -1,0 +1,106 @@
+"""Incremental maintenance of group aggregates from a CDC delta stream.
+
+The reference replays every mutation into the downstream table and any
+aggregate is recomputed by querying that table. At 100 TB the Spark-
+first answer is delta maintenance: each change event carries its old
+and new row images (pkg/loader/model.go:50-64 DML.Values/OldValues),
+so SUM/COUNT per group are maintainable with a SINGLE group-keyed
+partial aggregation over the deltas — no per-PK shuffle, no snapshot
+materialization, O(changes) work regardless of table size. This is
+the standard incremental-view-maintenance translation of SUM/COUNT
+(self-maintainable aggregates: insert adds, delete subtracts, update
+adds the difference).
+
+Two pieces:
+
+- ``coherent_changelog``: fixture adapter. A real binlog guarantees
+  coherent images (every UPDATE's old image equals the prior version's
+  new image, translator/translator.go:229-350). The synthetic stream
+  does not, so this derives coherence per PK with ONE lag window:
+  liveness before row i is simply ``lag(op) != 'D'`` (dead stays dead
+  through a dropped no-op delete, live dies on a real delete), the
+  true old value is ``lag(val)``. Production pipelines fed by an
+  actual binlog skip this step entirely.
+
+- ``maintain_group_aggregates``: the operator proper. Pure
+  ``groupBy(group_keys).agg(sum(delta))`` — Catalyst plans it as a
+  partial (map-side) aggregate + one exchange on the GROUP keys (not
+  the PK), so a 1000-executor cluster sees one tiny shuffle however
+  wide the key space is. Deltas are computed in DECIMAL(38,6) so the
+  sum telescopes exactly: the result equals aggregating the applied
+  snapshot, in any order, on any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PK_KEYS = ["db", "tbl", "pk"]
+VERSION_ORDER = ["commit_ts", "seq", "arrival_seq"]
+
+
+def coherent_changelog(ok_changes: DataFrame,
+                       pk_keys: list[str] = PK_KEYS,
+                       order_cols: list[str] = VERSION_ORDER,
+                       val_col: str = "val") -> DataFrame:
+    """Re-image an ordered per-PK op stream into a coherent changelog.
+
+    Output adds ``eff_op`` ('I'/'U'/'D') and ``old_val``:
+    - first live-making change of a PK (or any change after a delete)
+      is an INSERT regardless of its labeled op;
+    - a change while live is an UPDATE carrying the TRUE prior value;
+    - a delete while live is a DELETE carrying the prior value as its
+      old image; a delete while dead is a no-op and is dropped.
+    """
+    w = Window.partitionBy(*pk_keys).orderBy(*order_cols)
+    prev_op = F.lag("op").over(w)
+    prev_val = F.lag(val_col).over(w)
+    live = prev_op.isNotNull() & (prev_op != F.lit("D"))
+    out = (ok_changes
+           .withColumn("_live", live)
+           .withColumn("_prev_val", prev_val)
+           .withColumn(
+               "eff_op",
+               F.when(F.col("op") == "D",
+                      F.when(F.col("_live"), F.lit("D")))
+                .otherwise(F.when(F.col("_live"), F.lit("U"))
+                            .otherwise(F.lit("I"))))
+           .withColumn("old_val",
+                       F.when(F.col("_live"), F.col("_prev_val"))))
+    return out.filter(F.col("eff_op").isNotNull()).drop("_live", "_prev_val")
+
+
+def maintain_group_aggregates(changelog: DataFrame,
+                              group_keys: list[str],
+                              val_col: str = "val",
+                              old_col: str = "old_val",
+                              op_col: str = "eff_op",
+                              drop_empty: bool = True) -> DataFrame:
+    """Maintain COUNT(*) and SUM(val) per group purely from deltas.
+
+    insert: +val / +1 row; update: +(val - old_val) / +0;
+    delete: -old_val / -1. With ``drop_empty`` groups whose net row
+    count is zero are omitted (no live rows — matching an aggregate
+    over the applied snapshot); a streaming fold that merges per-batch
+    partials into a state store passes ``drop_empty=False`` so interim
+    zero groups stay mergeable. Exact DECIMAL(38,6) arithmetic makes
+    the telescoped sum identical to the snapshot aggregate.
+    """
+    dec = "decimal(38,6)"
+    new_v = F.col(val_col).cast(dec)
+    old_v = F.col(old_col).cast(dec)
+    delta = (F.when(F.col(op_col) == "I", new_v)
+              .when(F.col(op_col) == "U", new_v - old_v)
+              .otherwise(-old_v))
+    cnt = (F.when(F.col(op_col) == "I", F.lit(1))
+            .when(F.col(op_col) == "U", F.lit(0))
+            .otherwise(F.lit(-1)))
+    out = (changelog
+           .groupBy(*group_keys)
+           .agg(F.sum(delta).alias("_sum_dec"),
+                F.sum(cnt).cast("long").alias("n_rows")))
+    if drop_empty:
+        out = out.filter(F.col("n_rows") > 0)
+    return (out.withColumn("sum_val", F.col("_sum_dec").cast("double"))
+               .drop("_sum_dec"))
