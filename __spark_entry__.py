@@ -773,6 +773,53 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, "documents")["documents"]
 
 
+# Deterministic PII/URL seeding of the (digit- and @-free) documents
+# fixture — the SAME SQL text runs under Spark and DuckDB (the
+# CDC-ification pattern), so both engines scrub identical inputs and
+# every PII/URL match in the corpus is a seeded, known quantity.
+PII_DOCS_SELECT = """
+SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS STRING)
+          || '@mail' || CAST(doc_id % 7 AS STRING) || '.example.com now'
+     ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN ' call +1 555 '
+          || CAST(100 + doc_id % 900 AS STRING) || '-1234' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.'
+          || CAST(doc_id % 256 AS STRING) || '.1 up' ELSE '' END
+  || CASE WHEN doc_id % 13 = 0 THEN ' id 123-45-'
+          || CAST(1000 + doc_id % 9000 AS STRING) || ' ok' ELSE '' END
+  || CASE WHEN doc_id % 3 = 0 THEN ' see https://sub'
+          || CAST(doc_id % 9 AS STRING) || '.example.org/p/'
+          || CAST(doc_id AS STRING) || ' and http://ex'
+          || CAST(doc_id % 4 AS STRING) || '.net/q?x=1' ELSE '' END
+  AS text
+FROM documents
+"""
+
+
+def _seeded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "documents")
+    return spark.sql(PII_DOCS_SELECT)
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction over the seeded corpus: emails/phones/IPv4/SSN-
+    shaped ids masked with typed placeholders, per-class counts on the
+    original text. Zero-shuffle regex projection (curation.pii_scrub);
+    the oracle re-implements the same sequential scrub in DuckDB."""
+    from tidb_binlog_spark.functions import curation
+    return curation.pii_scrub(_seeded_docs(spark, sf_dir))
+
+
+def q_corpus_url_domains(spark, sf_dir):
+    """URL extraction + per-domain rollup over the seeded corpus (the
+    input to domain allow/block-list curation). Extraction is a
+    projection; the rollup one map-side-combinable groupBy."""
+    from tidb_binlog_spark.functions import curation
+    return curation.url_domains(_seeded_docs(spark, sf_dir))
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, "embeddings")["embeddings"]
 
@@ -1453,6 +1500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_scd2_incremental": q_cdc_scd2_incremental,
         "cdc_incremental_agg": q_cdc_incremental_agg,
+        "text_pii_scrub": q_text_pii_scrub,
+        "corpus_url_domains": q_corpus_url_domains,
         "events_overlap_bursts": q_events_overlap_bursts,
         "events_rolling_activity": q_events_rolling_activity,
         "events_cohort_retention": q_events_cohort_retention,
@@ -1659,6 +1708,51 @@ def oracle_sql() -> dict[str, str]:
         # same oracle, different engine derivation (split at T, close
         # open intervals, append the new batch's versions)
         "cdc_scd2_incremental": _SCD2_HISTORY_SQL,
+        # DuckDB re-implementation of the sequential scrub (RE2 regex;
+        # single-backslash literals — DuckDB strings don't process
+        # escapes). Counts on the ORIGINAL text, classes never cascade.
+        "text_pii_scrub": f"""
+            WITH seeded AS ({PII_DOCS_SELECT}),
+            c AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text,
+                    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}'))
+                    AS n_email,
+                len(regexp_extract_all(text,
+                    '\\+?[0-9]{{1,3}}[- ][0-9]{{3}}[- ][0-9]{{3,4}}[- ]?[0-9]{{0,4}}'))
+                    AS n_phone,
+                len(regexp_extract_all(text,
+                    '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) AS n_ipv4,
+                len(regexp_extract_all(text,
+                    '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b')) AS n_ssn,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                    text,
+                    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}',
+                    '<EMAIL>', 'g'),
+                    '\\+?[0-9]{{1,3}}[- ][0-9]{{3}}[- ][0-9]{{3,4}}[- ]?[0-9]{{0,4}}',
+                    '<PHONE>', 'g'),
+                    '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b',
+                    '<IPV4>', 'g'),
+                    '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b',
+                    '<SSN>', 'g') AS clean_text
+              FROM seeded)
+            SELECT doc_id, n_email, n_phone, n_ipv4, n_ssn, clean_text,
+                   (n_email + n_phone + n_ipv4 + n_ssn) > 0 AS has_pii
+            FROM c
+        """,
+        "corpus_url_domains": f"""
+            WITH seeded AS ({PII_DOCS_SELECT}),
+            u AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text,
+                         'https?://[^\\s"''<>]+')) AS url
+              FROM seeded)
+            SELECT lower(regexp_extract(url, 'https?://([^/:]+)', 1))
+                       AS domain,
+                   COUNT(*) AS n_urls,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM u GROUP BY 1
+        """,
         # independent derivation: the engine never materializes the
         # snapshot (pure delta aggregation); the oracle applies
         # last-image-wins and aggregates the applied state
