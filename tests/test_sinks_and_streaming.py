@@ -845,3 +845,82 @@ def test_corpus_stream_span_scrub_keeps_doc_drops_quote(spark, tmp_path):
         assert got[d]["content_hash"] == \
             hashlib.md5(got[d]["text"].encode()).hexdigest()
         assert got[d]["n_tokens"] == len(got[d]["text"].split())
+
+
+def test_ivm_stream_exact_across_batches(spark, tmp_path):
+    """Streaming materialized aggregate == the whole-history batch
+    derivation, across micro-batch boundaries that exercise every
+    cross-batch hazard: a late row whose disorder is only visible
+    through the stored per-source cursor, an update whose prior
+    version lives in an earlier batch, a first-op U (state absence ->
+    insert), and a delete + revival split across batches."""
+    from tidb_binlog_spark.operators.incremental_agg import (
+        coherent_changelog, maintain_group_aggregates)
+    from tidb_binlog_spark.streaming.ivm import (MaterializedAggregate,
+                                                 run_ivm_stream)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [(1, "s0", 10, "I", 1, 0, 2.0), (2, "s0", 20, "I", 2, 0, 5.0),
+         (3, "s0", 30, "U", 1, 0, 3.0)],
+        # ts 25 would pass a naive per-batch gate (batch prefix max
+        # empty) but the stored cursor (30) must quarantine it
+        [(4, "s0", 25, "I", 9, 0, 99.0),
+         (5, "s0", 40, "D", 1, 0, 3.0),
+         (6, "s0", 50, "U", 2, 0, 6.0),     # prior version in batch 1
+         (7, "s0", 60, "U", 3, 0, 9.0)],    # first op U -> insert
+        [(8, "s0", 70, "I", 1, 0, 1.5)],    # revival after x-batch D
+    ]
+    frames = [make_changes(spark, rows) for rows in batches]
+    for b in frames:
+        b.coalesce(1).write.mode("append").parquet(src)
+
+    q = run_ivm_stream(spark, src, str(tmp_path / "state"),
+                       str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    view = MaterializedAggregate(spark, str(tmp_path / "state"))
+    got = {(r["db"], r["tbl"]): (r["n_rows"], r["sum_val"])
+           for r in view.read().collect()}
+    assert got == {("db0", "t"): (3, 16.5)}   # pk1 1.5 + pk2 6.0 + pk3 9.0
+
+    allb = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    batch = maintain_group_aggregates(
+        coherent_changelog(ordering.ordered_stream(allb)), ["db", "tbl"])
+    assert {(r["db"], r["tbl"]): (r["n_rows"], r["sum_val"])
+            for r in batch.collect()} == got
+
+
+def test_ivm_stream_converges_on_fixture_stream(spark, tmp_path):
+    """4-way split of the sf0.001 change stream (engineered late and
+    duplicate commit_ts rows land across batch boundaries): the
+    maintained view equals the whole-history batch aggregate."""
+    from tidb_binlog_spark.operators.incremental_agg import (
+        coherent_changelog, maintain_group_aggregates)
+    from tidb_binlog_spark.sources.changestream import change_stream
+    from tidb_binlog_spark.streaming.ivm import (MaterializedAggregate,
+                                                 run_ivm_stream)
+    ch = change_stream(spark, "/root/testdata/sf0.001").select(
+        "arrival_seq", "source_id", "commit_ts", "start_ts", "op",
+        "db", "tbl", "pk", "seq", "schema_version", "val", "row_json")
+    n = ch.count()
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    cut = n // 4 + 1
+    for i in range(4):
+        (ch.filter((F.col("arrival_seq") >= i * cut)
+                   & (F.col("arrival_seq") < (i + 1) * cut))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    q = run_ivm_stream(spark, src, str(tmp_path / "state"),
+                       str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    view = MaterializedAggregate(spark, str(tmp_path / "state"))
+    got = {(r["db"], r["tbl"]): (r["n_rows"], r["sum_val"])
+           for r in view.read().collect()}
+    batch = maintain_group_aggregates(
+        coherent_changelog(ordering.ordered_stream(ch)), ["db", "tbl"])
+    want = {(r["db"], r["tbl"]): (r["n_rows"], r["sum_val"])
+            for r in batch.collect()}
+    assert got == want and len(want) == 12

@@ -76,7 +76,8 @@ def maintain_group_aggregates(changelog: DataFrame,
                               val_col: str = "val",
                               old_col: str = "old_val",
                               op_col: str = "eff_op",
-                              drop_empty: bool = True) -> DataFrame:
+                              drop_empty: bool = True,
+                              as_decimal: bool = False) -> DataFrame:
     """Maintain COUNT(*) and SUM(val) per group purely from deltas.
 
     insert: +val / +1 row; update: +(val - old_val) / +0;
@@ -84,8 +85,11 @@ def maintain_group_aggregates(changelog: DataFrame,
     count is zero are omitted (no live rows — matching an aggregate
     over the applied snapshot); a streaming fold that merges per-batch
     partials into a state store passes ``drop_empty=False`` so interim
-    zero groups stay mergeable. Exact DECIMAL(38,6) arithmetic makes
-    the telescoped sum identical to the snapshot aggregate.
+    zero groups stay mergeable, and ``as_decimal=True`` to keep the
+    raw ``sum_dec`` column (decimal addition is associative, double
+    addition is not — exactness across any batch split requires the
+    state itself to stay decimal). Exact DECIMAL(38,6) arithmetic
+    makes the telescoped sum identical to the snapshot aggregate.
     """
     dec = "decimal(38,6)"
     new_v = F.col(val_col).cast(dec)
@@ -98,9 +102,11 @@ def maintain_group_aggregates(changelog: DataFrame,
             .otherwise(F.lit(-1)))
     out = (changelog
            .groupBy(*group_keys)
-           .agg(F.sum(delta).alias("_sum_dec"),
+           .agg(F.sum(delta).alias("sum_dec"),
                 F.sum(cnt).cast("long").alias("n_rows")))
     if drop_empty:
         out = out.filter(F.col("n_rows") > 0)
-    return (out.withColumn("sum_val", F.col("_sum_dec").cast("double"))
-               .drop("_sum_dec"))
+    if as_decimal:
+        return out
+    return (out.withColumn("sum_val", F.col("sum_dec").cast("double"))
+               .drop("sum_dec"))
