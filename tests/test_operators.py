@@ -1107,3 +1107,36 @@ def test_incremental_agg_coherence_and_batch_additivity(spark):
             n, s = merged.get(k, (0, 0.0))
             merged[k] = (n + r["n_rows"], s + r["sum_val"])
     assert {k: v for k, v in merged.items() if v[0] > 0} == full
+
+
+def test_parse_ddl_lexer_handles_literals_and_options():
+    """The lexer-backed parser survives exactly what regex parsing
+    cannot: commas/parens/quotes inside string literals, escaped
+    identifiers, and trailing table options."""
+    from tidb_binlog_spark.operators import schema_evolution as se
+
+    p = se.parse_ddl("CREATE TABLE t (a INT COMMENT 'x,y', "
+                     "b ENUM('a)','b(') DEFAULT 'a)', c INT)")
+    assert p["columns"] == {"a": None, "b": "a)", "c": None}
+    assert p["skipped_columns"] == []
+
+    p = se.parse_ddl("CREATE TABLE t (id INT, note TEXT DEFAULT 'it''s') "
+                     "ENGINE=InnoDB COMMENT='trailing (stuff)'")
+    assert p["kind"] == "create_table"
+    assert p["columns"] == {"id": None, "note": "it's"}
+
+    p = se.parse_ddl("ALTER TABLE t ADD COLUMN `we``ird` INT DEFAULT '1'")
+    assert p == {"kind": "add_column", "table": "t", "db": None,
+                 "column": "we`ird", "default": "1"}
+
+    # COMMENT text can never invent a default
+    assert se.parse_ddl(
+        "ALTER TABLE t ADD COLUMN d VARCHAR(10) COMMENT 'DEFAULT 5'"
+    )["default"] is None
+
+    # a multi-action mixed ALTER is refused whole, never half-parsed
+    assert se.parse_ddl(
+        "ALTER TABLE t CHANGE a b INT, DROP COLUMN c")["kind"] == "other"
+
+    assert se.parse_ddl("TRUNCATE TABLE `sp ace`.`t 2`") == {
+        "kind": "truncate", "table": "t 2", "db": "sp ace"}

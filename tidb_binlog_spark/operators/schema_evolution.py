@@ -25,191 +25,236 @@ version-interval dimension — pure Catalyst, no per-row Python.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-
-_DEFAULT_RE = r"(?:\s+DEFAULT\s+(?P<default>'[^']*'|[^\s,()]+))?"
-
-
-def _strip_quotes(lit: str | None) -> str | None:
-    if lit is None:
-        return None
-    if len(lit) >= 2 and lit[0] == "'" and lit[-1] == "'":
-        return lit[1:-1]
-    return lit
+from ..functions import sqltok
 
 
 # table-level constraint heads inside CREATE TABLE (...) — not columns
 # ("partition" covers ALTER ... ADD PARTITION reaching the ADD-clause
-# splitter: it must fall through to the partition classification, not
+# path: it must fall through to the partition classification, not
 # read as a column)
 _CONSTRAINT_HEADS = frozenset(
     ("primary", "unique", "key", "index", "constraint", "foreign",
      "check", "fulltext", "spatial", "partition"))
 
 
-def _default_literal(rest: str) -> str | None:
-    """The DEFAULT literal in an attribute tail, scanning OUTSIDE
-    string literals only — `COMMENT 'no DEFAULT 5 here'` must not
-    invent a default (the naive re.search over the whole tail did)."""
-    i, n = 0, len(rest)
-    while i < n:
-        if rest[i] == "'":
-            j = rest.find("'", i + 1)
-            i = n if j < 0 else j + 1
-            continue
-        if (rest[i] in "Dd"
-                and (i == 0 or not (rest[i - 1].isalnum()
-                                    or rest[i - 1] == "_"))):
-            m = re.match(r"(?is)DEFAULT\s+('[^']*'|[^\s,()]+)", rest[i:])
-            if m:
-                return m.group(1)
+def _name_at(toks, i):
+    """Identifier token at ``i`` -> (value, next_i), else None."""
+    if i < len(toks) and toks[i].kind in ("ident", "word"):
+        return toks[i].value, i + 1
+    return None
+
+
+def _qualified_name(toks, i):
+    """``[db.]table`` -> (db, table, next_i), else None. Backticked
+    names may contain any non-backtick characters (spaces included)."""
+    r = _name_at(toks, i)
+    if r is None:
+        return None
+    first, j = r
+    if j < len(toks) and sqltok.is_punct(toks[j], "."):
+        r2 = _name_at(toks, j + 1)
+        if r2 is None:
+            return None
+        return first, r2[0], r2[1]
+    return None, first, j
+
+
+def _default_from_tail(toks, i):
+    """The DEFAULT literal in an attribute tail. String literals are
+    single tokens, so ``COMMENT 'no DEFAULT 5 here'`` can never invent
+    a default (the historical regex failure mode)."""
+    while i < len(toks):
+        if sqltok.kw(toks[i]) == "default" and i + 1 < len(toks):
+            t = toks[i + 1]
+            if t.kind == "string":
+                return t.value
+            if t.kind in ("number", "word"):
+                return t.text
+            return None          # DEFAULT (expr) — not tracked
         i += 1
     return None
 
 
-def _parse_col_def(part: str) -> tuple[str, str | None] | None:
-    """One column definition -> (name, default) or None.
+def _col_def_tokens(toks):
+    """One column definition (token span) -> (name, default) or None.
 
-    Tolerant of the attribute tail (NOT NULL, COMMENT, AFTER/FIRST
-    position, character sets, generated-column clauses): the catalog
-    only tracks name + DEFAULT, matching what the back-fill consumes
-    (translator.go getDefaultOrZeroValue reads the default only).
-    Backticked names may contain any non-backtick characters."""
-    m = re.match(r"(?is)^\s*(?:`(?P<bq>[^`]+)`|(?P<plain>\w+))\s+"
-                 r"(?P<type>\w+(?:\([^)]*\))?)(?P<rest>.*)$", part)
-    if not m:
+    Tolerant of the attribute tail (NOT NULL, COMMENT, AFTER/FIRST,
+    character sets, generated-column clauses): the catalog only tracks
+    name + DEFAULT, matching what the back-fill consumes
+    (translator.go getDefaultOrZeroValue reads the default only)."""
+    if not toks or toks[0].kind not in ("ident", "word"):
         return None
-    lit = _default_literal(m.group("rest") or "")
-    return (m.group("bq") or m.group("plain"), _strip_quotes(lit))
+    name = toks[0].value
+    i = 1
+    if i >= len(toks) or toks[i].kind != "word":
+        return None              # a type is required
+    i += 1
+    g = sqltok.paren_group(toks, i)     # VARCHAR(10) / ENUM('a','b')
+    if g is not None:
+        i = g[1]
+    return name, _default_from_tail(toks, i)
 
 
-def _parse_col_defs(defs_sql: str) -> tuple[dict, list[str]]:
-    """Comma-separated definitions -> ({col: default}, skipped_parts).
+def _parse_col_defs_tokens(sql, toks):
+    """Comma-separated definitions -> ({col: default}, skipped_raw).
 
     Anything that is neither a recognizable column nor a table-level
-    constraint lands in ``skipped_parts`` — the audit signal replay
-    surfaces so an unparsed definition can never vanish silently."""
-    cols: dict[str, str | None] = {}
-    skipped: list[str] = []
-    for part in re.split(r",(?![^()]*\))", defs_sql):
-        part = part.strip()
+    constraint lands in ``skipped`` as its RAW source text — the audit
+    signal replay surfaces so an unparsed definition can never vanish
+    silently."""
+    cols, skipped = {}, []
+    for part in sqltok.split_top_level(toks):
         if not part:
             continue
         # only an UNQUOTED head can be a constraint keyword — a
         # backticked `key`/`index`/`partition` is an identifier and
         # must parse as a column, not vanish
-        head = re.match(r"(?is)^(\w+)", part)
-        if head and head.group(1).lower() in _CONSTRAINT_HEADS:
+        if part[0].kind == "word" and part[0].value.lower() in _CONSTRAINT_HEADS:
             continue
-        parsed = _parse_col_def(part)
-        if parsed is None:
-            skipped.append(part)
+        cd = _col_def_tokens(part)
+        if cd is None:
+            skipped.append(sqltok.raw_span(sql, part).strip())
         else:
-            cols[parsed[0]] = parsed[1]
+            cols[cd[0]] = cd[1]
     return cols, skipped
 
 
+def _skip_if_clause(toks, i, *words):
+    """Skip an optional keyword run (IF NOT EXISTS / IF EXISTS)."""
+    if all(i + k < len(toks) and sqltok.kw(toks[i + k]) == w
+           for k, w in enumerate(words)):
+        return i + len(words)
+    return i
+
+
+def _alter_actions(sql, db, tbl, actions):
+    """Classify the comma-separated action list of an ALTER TABLE."""
+    k = sqltok.kw
+    if len(actions) == 1:
+        a = actions[0]
+        if (len(a) == 3 and k(a[0]) == "drop" and k(a[1]) == "column"
+                and a[2].kind in ("ident", "word")):
+            return {"kind": "drop_column", "table": tbl, "db": db,
+                    "column": a[2].value}
+        if (len(a) == 5 and k(a[0]) == "rename" and k(a[1]) == "column"
+                and a[2].kind in ("ident", "word") and k(a[3]) == "to"
+                and a[4].kind in ("ident", "word")):
+            return {"kind": "rename_column", "table": tbl, "db": db,
+                    "column": a[2].value, "new_column": a[4].value}
+        if k(a[0]) == "change" and len(a) > 1:
+            i = 2 if k(a[1]) == "column" else 1
+            if i < len(a) and a[i].kind in ("ident", "word"):
+                cd = _col_def_tokens(a[i + 1:])
+                if cd is not None:
+                    return {"kind": "rename_column", "table": tbl,
+                            "db": db, "column": a[i].value,
+                            "new_column": cd[0], "default": cd[1]}
+        if k(a[0]) == "modify" and len(a) > 1:
+            i = 2 if k(a[1]) == "column" else 1
+            cd = _col_def_tokens(a[i:])
+            if cd is not None:
+                return {"kind": "modify_column", "table": tbl, "db": db,
+                        "column": cd[0], "default": cd[1]}
+    # ADD [COLUMN] path — every action must be an ADD; constraint-ish
+    # ADDs (PARTITION/INDEX/KEY/...) contribute nothing, garbage is
+    # audited, and if nothing column-like remains the statement is not
+    # a catalog event.
+    cols, skipped = {}, []
+    paren_form = False
+    for a in actions:
+        if len(a) < 2 or k(a[0]) != "add":
+            return {"kind": "other", "table": None}
+        i = 2 if k(a[1]) == "column" else 1
+        g = sqltok.paren_group(a, i)
+        if g is not None and g[1] == len(a):
+            c, s = _parse_col_defs_tokens(sql, g[0])
+            cols.update(c)
+            skipped.extend(s)
+            paren_form = True
+            continue
+        if i >= len(a):
+            return {"kind": "other", "table": None}
+        if a[i].kind == "word" and a[i].value.lower() in _CONSTRAINT_HEADS:
+            continue
+        cd = _col_def_tokens(a[i:])
+        if cd is None:
+            skipped.append(sqltok.raw_span(sql, a[i:]).strip())
+        else:
+            cols[cd[0]] = cd[1]
+    if not cols and not skipped:
+        return {"kind": "other", "table": None}
+    if (len(cols) == 1 and not skipped and len(actions) == 1
+            and not paren_form):
+        ((c, d),) = cols.items()
+        return {"kind": "add_column", "table": tbl, "db": db,
+                "column": c, "default": d}
+    return {"kind": "add_columns", "table": tbl, "db": db,
+            "columns": cols, "skipped_columns": skipped}
+
+
 def parse_ddl(sql: str) -> dict:
-    """Classify + destructure one DDL statement (the regex analog of
-    the reference's TiDB-parser ast switch, drainer/schema.go:360-561).
+    """Classify + destructure one DDL statement — a real lexer-backed
+    parser standing in for the reference's TiDB-parser ast switch
+    (drainer/schema.go:360-561, pkg/loader/load.go:380-399). String
+    literals are single tokens, so commas/parens inside COMMENT or
+    ENUM defaults can never derail structure.
 
     Returns {kind, table, ...kind-specific fields}; kind='other' for
     statements the catalog does not track.
     """
-    s = sql.strip().rstrip(";")
-    # optionally db-qualified table name: `db`.`tbl` / db.tbl / tbl
-    # optionally db-qualified name; backticked names may contain any
-    # non-backtick characters (spaces included)
-    _T = r"(?:(?:`(?P<d1>[^`]+)`|(?P<d2>\w+))\.)?(?:`(?P<t1>[^`]+)`|(?P<t2>\w+))"
+    toks = sqltok.tokenize(sql)
+    while toks and sqltok.is_punct(toks[-1], ";"):
+        toks = toks[:-1]
+    if len(toks) < 2:
+        return {"kind": "other", "table": None}
+    k = sqltok.kw
+    k0, k1 = k(toks[0]), k(toks[1])
 
-    def _t(m):
-        return m.group("t1") or m.group("t2")
-
-    def _d(m):
-        return m.group("d1") or m.group("d2")
-    m = re.match(r"(?is)^CREATE\s+(?:DATABASE|SCHEMA)\s+"
-                 r"(?:IF\s+NOT\s+EXISTS\s+)?`?(?P<db>\w+)`?\s*$", s)
-    if m:
-        return {"kind": "create_schema", "table": None, "db": m.group("db")}
-    m = re.match(r"(?is)^DROP\s+(?:DATABASE|SCHEMA)\s+"
-                 r"(?:IF\s+EXISTS\s+)?`?(?P<db>\w+)`?\s*$", s)
-    if m:
-        return {"kind": "drop_schema", "table": None, "db": m.group("db")}
-    m = re.match(r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-                 + _T + r"\s*\((?P<cols>.*)\)\s*$", s)
-    if m:
-        cols, skipped = _parse_col_defs(m.group("cols"))
-        return {"kind": "create_table", "table": _t(m),
-                "db": _d(m), "columns": cols,
-                "skipped_columns": skipped}
-    # multi-column ADD, parenthesized form:
-    #   ALTER TABLE t ADD COLUMN (a INT, b VARCHAR(10) DEFAULT 'x')
-    m = re.match(r"(?is)^ALTER\s+TABLE\s+" + _T
-                 + r"\s+ADD\s+(?:COLUMN\s+)?\((?P<cols>.*)\)\s*$", s)
-    if m:
-        cols, skipped = _parse_col_defs(m.group("cols"))
-        return {"kind": "add_columns", "table": _t(m),
-                "db": _d(m), "columns": cols,
-                "skipped_columns": skipped}
-    # comma-separated ADD clauses:
-    #   ALTER TABLE t ADD COLUMN a INT, ADD COLUMN b INT AFTER a
-    m = re.match(r"(?is)^ALTER\s+TABLE\s+" + _T
-                 + r"\s+(?P<adds>ADD\s+(?:COLUMN\s+)?.+)$", s)
-    if m and re.match(r"(?is)^ADD\s", m.group("adds")):
-        parts = re.split(r",(?![^()]*\))", m.group("adds"))
-        if all(re.match(r"(?is)^\s*ADD\s+(?:COLUMN\s+)?", p) for p in parts):
-            defs = ", ".join(
-                re.sub(r"(?is)^\s*ADD\s+(?:COLUMN\s+)?", "", p)
-                for p in parts)
-            cols, skipped = _parse_col_defs(defs)
-            if cols or skipped:
-                if len(cols) == 1 and not skipped and len(parts) == 1:
-                    ((c, d),) = cols.items()
-                    return {"kind": "add_column", "table": _t(m),
-                            "db": _d(m), "column": c, "default": d}
-                return {"kind": "add_columns", "table": _t(m),
-                        "db": _d(m), "columns": cols,
+    if k0 == "create" and k1 in ("database", "schema"):
+        i = _skip_if_clause(toks, 2, "if", "not", "exists")
+        nm = _name_at(toks, i)
+        if nm is not None and nm[1] == len(toks):
+            return {"kind": "create_schema", "table": None, "db": nm[0]}
+    if k0 == "drop" and k1 in ("database", "schema"):
+        i = _skip_if_clause(toks, 2, "if", "exists")
+        nm = _name_at(toks, i)
+        if nm is not None and nm[1] == len(toks):
+            return {"kind": "drop_schema", "table": None, "db": nm[0]}
+    if k0 == "create" and k1 == "table":
+        i = _skip_if_clause(toks, 2, "if", "not", "exists")
+        q = _qualified_name(toks, i)
+        if q is not None:
+            g = sqltok.paren_group(toks, q[2])
+            if g is not None:   # trailing table options are tolerated
+                cols, skipped = _parse_col_defs_tokens(sql, g[0])
+                return {"kind": "create_table", "table": q[1],
+                        "db": q[0], "columns": cols,
                         "skipped_columns": skipped}
-    m = re.match(r"(?is)^ALTER\s+TABLE\s+" + _T + r"\s+DROP\s+COLUMN\s+"
-                 r"`?(?P<c>\w+)`?\s*$", s)
-    if m:
-        return {"kind": "drop_column", "table": _t(m),
-                "db": _d(m), "column": m.group("c")}
-    m = re.match(r"(?is)^ALTER\s+TABLE\s+" + _T + r"\s+RENAME\s+COLUMN\s+"
-                 r"`?(?P<a>\w+)`?\s+TO\s+`?(?P<b2>\w+)`?\s*$", s)
-    if m:
-        return {"kind": "rename_column", "table": _t(m),
-                "db": _d(m), "column": m.group("a"),
-                "new_column": m.group("b2")}
-    m = re.match(r"(?is)^ALTER\s+TABLE\s+" + _T + r"\s+CHANGE\s+(?:COLUMN\s+)?"
-                 r"`?(?P<a>[^`\s]+)`?\s+(?P<def2>.+)$", s)
-    if m and _parse_col_def(m.group("def2")):
-        c, d = _parse_col_def(m.group("def2"))
-        return {"kind": "rename_column", "table": _t(m),
-                "db": _d(m), "column": m.group("a"),
-                "new_column": c, "default": d}
-    m = re.match(r"(?is)^ALTER\s+TABLE\s+" + _T + r"\s+MODIFY\s+(?:COLUMN\s+)?"
-                 r"(?P<def2>.+)$", s)
-    if m and _parse_col_def(m.group("def2")):
-        c, d = _parse_col_def(m.group("def2"))
-        return {"kind": "modify_column", "table": _t(m),
-                "db": _d(m), "column": c, "default": d}
-    m = re.match(r"(?is)^RENAME\s+TABLE\s+" + _T
-                 + r"\s+TO\s+(?:`?(?P<nd>\w+)`?\.)?`?(?P<b>\w+)`?\s*$", s)
-    if m:
-        return {"kind": "rename_table", "table": _t(m),
-                "db": _d(m), "new_name": m.group("b"),
-                "new_db": m.group("nd")}
-    m = re.match(r"(?is)^TRUNCATE\s+(?:TABLE\s+)?" + _T + r"\s*$", s)
-    if m:
-        return {"kind": "truncate", "table": _t(m), "db": _d(m)}
-    m = re.match(r"(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?" + _T + r"\s*$", s)
-    if m:
-        return {"kind": "drop_table", "table": _t(m), "db": _d(m)}
+    if k0 == "alter" and k1 == "table":
+        q = _qualified_name(toks, 2)
+        if q is not None and q[2] < len(toks):
+            actions = sqltok.split_top_level(toks[q[2]:])
+            return _alter_actions(sql, q[0], q[1], actions)
+    if k0 == "rename" and k1 == "table":
+        q = _qualified_name(toks, 2)
+        if q is not None and q[2] < len(toks) and k(toks[q[2]]) == "to":
+            q2 = _qualified_name(toks, q[2] + 1)
+            if q2 is not None and q2[2] == len(toks):
+                return {"kind": "rename_table", "table": q[1],
+                        "db": q[0], "new_name": q2[1], "new_db": q2[0]}
+    if k0 == "truncate":
+        i = 2 if k1 == "table" else 1
+        q = _qualified_name(toks, i)
+        if q is not None and q[2] == len(toks):
+            return {"kind": "truncate", "table": q[1], "db": q[0]}
+    if k0 == "drop" and k1 == "table":
+        i = _skip_if_clause(toks, 2, "if", "exists")
+        q = _qualified_name(toks, i)
+        if q is not None and q[2] == len(toks):
+            return {"kind": "drop_table", "table": q[1], "db": q[0]}
     return {"kind": "other", "table": None}
 
 
