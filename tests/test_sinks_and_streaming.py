@@ -917,6 +917,9 @@ def test_ivm_stream_converges_on_fixture_stream(spark, tmp_path):
     q.awaitTermination(300)
 
     view = MaterializedAggregate(spark, str(tmp_path / "state"))
+    # multi-source interleave: the min-watermark gate parks the tail
+    # beyond min(max per source); sources are complete, so drain it
+    view.flush()
     got = {(r["db"], r["tbl"]): (r["n_rows"], r["sum_val"])
            for r in view.read().collect()}
     batch = maintain_group_aggregates(
@@ -924,3 +927,41 @@ def test_ivm_stream_converges_on_fixture_stream(spark, tmp_path):
     want = {(r["db"], r["tbl"]): (r["n_rows"], r["sum_val"])
             for r in batch.collect()}
     assert got == want and len(want) == 12
+
+
+def test_scd2_stream_watermark_orders_cross_source_keys(spark, tmp_path):
+    """Streaming SCD2 with two sources whose changes for ONE key
+    interleave against arrival order: s1's ts-30 update arrives before
+    s0 has shown anything. With s0 declared, the min-watermark gate
+    parks everything until s0 appears, so versions always apply in
+    commit-ts order; the final history equals the batch recompute."""
+    from tidb_binlog_spark.operators.scd2 import scd2_history
+    from tidb_binlog_spark.streaming.ivm import (MaterializedSCD2,
+                                                 run_scd2_stream)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = make_changes(spark, [(2, "s1", 30, "U", 1, 0, 3.0)])
+    b2 = make_changes(spark, [(1, "s0", 10, "I", 1, 0, 1.0),
+                              (3, "s0", 50, "U", 1, 0, 5.0)])
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    q = run_scd2_stream(spark, src, str(tmp_path / "state"),
+                        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+                        sources=("s0", "s1"))
+    q.awaitTermination(180)
+    view = MaterializedSCD2(spark, str(tmp_path / "state"),
+                            sources=("s0", "s1"))
+    view.flush()
+
+    got = sorted((r["pk"], r["valid_from"], r["valid_to"],
+                  r["is_current"], r["val"])
+                 for r in view.read().collect())
+    want = sorted((r["pk"], r["valid_from"], r["valid_to"],
+                   r["is_current"], r["val"])
+                  for r in scd2_history(
+                      ordering.ordered_stream(b1.unionByName(b2)))
+                  .collect())
+    assert got == want
+    assert got == [(1, 10, 30, False, 1.0), (1, 30, 50, False, 3.0),
+                   (1, 50, None, True, 5.0)]

@@ -1,39 +1,50 @@
-"""Streaming incremental view maintenance: group aggregates kept
-exactly up to date across micro-batches, without ever materializing
-or re-scanning the replicated table.
+"""Streaming incremental view maintenance: group aggregates and SCD2
+history kept exactly up to date across micro-batches, without ever
+materializing or re-scanning the replicated table.
 
-This composes the batch pieces into the foreachBatch shape:
+The foreachBatch shape composes the unchanged batch operators with
+three pieces of cross-batch state (all tiny or bounded):
 
-- ``operators/ordering`` semantics across batches: the stored
-  per-source max commit_ts cursor is injected as one pseudo-row per
-  source (arrival_seq = -1) so ``classify_disorder``'s prefix max
-  continues seamlessly from earlier batches — a late row that would
-  have been quarantined by the whole-history gate is quarantined here
-  too. (Cross-batch duplicate commit_ts needs no extra state for a
-  binlog-shaped stream: a repeated ts is <= the per-source prefix max
-  by definition of "already seen from this source", so the disorder
-  gate drops it; production sources with cross-SOURCE ts collisions
-  bound the residual risk with dropDuplicatesWithinWatermark.)
+- **min-watermark gate + pending zone** (drainer/merge.go:268-297):
+  a batch may interleave sources arbitrarily, so a row is applied
+  only once its commit_ts is <= the min over sources of the max
+  commit_ts seen — everything above parks in a pending zone and
+  re-enters with the next batch. This is what makes cross-batch
+  per-key ts monotonicity hold (each round's applied set lives in
+  ``(prev_watermark, watermark]``), which the SCD2 increment and the
+  changelog's liveness seed both rely on. The watermark never
+  regresses (a newly seen lagging source blocks progress, it does not
+  rewind it).
 
-- ``operators/incremental_agg`` liveness across batches: the PK state
-  (a SnapshotTable, tombstones included) is seeded into
+- **per-source applied cursor** (drainer/pump.go:186-195): injected
+  as one arrival_seq = -1 pseudo-row per source so
+  ``classify_disorder``'s per-source prefix max continues seamlessly
+  from earlier batches — a late row invisible to a per-batch gate is
+  still quarantined. (A repeated commit_ts from the same source is
+  <= that source's prefix max, so the same gate drops duplicates;
+  production sources with cross-source ts collisions bound the
+  residual with dropDuplicatesWithinWatermark.)
+
+- **PK liveness state** (aggregate view only): the applied last-image
+  table (a SnapshotTable, tombstones included) is seeded into
   ``coherent_changelog`` as arrival_seq = -1 rows — a live row seeds
-  op 'I', a tombstone seeds op 'D' — so the first change of a PK in
-  this batch sees its true prior version through the same lag window
-  the batch operator uses. Seeds are dropped from the output.
+  op 'I', a tombstone seeds op 'D' — so the first change of a PK in a
+  batch sees its true prior version through the same lag window the
+  batch operator uses.
 
-- aggregate state stays DECIMAL(38,6): per-batch partials merge by
-  decimal addition (associative), so any batch split yields the exact
-  whole-history answer. State writes are versioned directories with
-  an atomically-renamed JSON checkpoint (the SnapshotTable recipe) —
-  idempotent re-apply after a crash is guaranteed by Spark's
-  streaming checkpoint replaying the same batch into the same
-  version-advance.
+State writes are versioned directories with an atomically-renamed
+JSON checkpoint (the SnapshotTable recipe); Spark's streaming
+checkpoint replaying a batch re-applies it into the same
+version-advance, so crash recovery is idempotent. Aggregate state
+stays DECIMAL(38,6): decimal addition is associative, so any batch
+split yields the exact whole-history answer.
 
-Scale: per batch the work is O(batch) — one PK-state join keyed on
-the PK (co-located for free when the state table is stored bucketed,
-sinks/bucketed.py) and one group-keyed partial aggregate; the
-aggregate state itself is #groups rows, never #rows.
+Scale: per batch the work is O(batch + pending) — one PK-state join
+keyed on the PK (co-located for free when the state is stored
+bucketed, sinks/bucketed.py) and one group-keyed partial aggregate;
+aggregate state is #groups rows, never #rows; the pending zone is
+bounded by source skew (how far the fastest source runs ahead of the
+slowest), the same bound the reference's merger queues have.
 """
 
 from __future__ import annotations
@@ -45,120 +56,219 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import compaction, ordering
+from ..operators import compaction, ordering, scd2
 from ..operators.incremental_agg import (coherent_changelog,
                                          maintain_group_aggregates)
 from ..sinks.table_sink import SnapshotTable
 
 
-class MaterializedAggregate:
+def gate_with_cursor(spark: SparkSession, batch_df: DataFrame,
+                     applied_max: dict) -> DataFrame:
+    """``ordered_stream`` with the stored per-source applied cursor
+    carried in as arrival_seq = -1 pseudo-rows (they extend the prefix
+    max across batches and are dropped from the output)."""
+    if not applied_max:
+        return ordering.ordered_stream(batch_df)
+    seed = (spark.createDataFrame(
+                [(s, int(m)) for s, m in applied_max.items()],
+                "source_id string, commit_ts long")
+            .withColumn("arrival_seq", F.lit(-1).cast("long")))
+    seeded = batch_df.unionByName(seed, allowMissingColumns=True)
+    return (ordering.ordered_stream(seeded)
+            .filter(F.col("arrival_seq") >= 0))
+
+
+def advance_cursors(df: DataFrame, cursors: dict) -> dict:
+    """New per-source cursors: max(stored, df max per source)."""
+    out = dict(cursors)
+    for r in (df.groupBy("source_id")
+              .agg(F.max("commit_ts").alias("m")).collect()):
+        if r["m"] is None:
+            continue
+        old = out.get(r["source_id"])
+        out[r["source_id"]] = int(r["m"]) if old is None \
+            else max(int(old), int(r["m"]))
+    return out
+
+
+class _StreamView:
+    """Shared cross-batch machinery: checkpoint JSON, pending zone,
+    watermark gate, applied cursors, versioned state directories.
+    Subclasses fold the gated+watermarked rows into their own state."""
+
+    _STATE = "state"          # subclass state dir prefix
+
+    def __init__(self, spark: SparkSession, root: str,
+                 sources: tuple[str, ...] | None = None):
+        self.spark = spark
+        self.root = root
+        # the reference's merger knows its pump list from the etcd
+        # registry and BLOCKS until every source has shown an item
+        # (drainer/merge.go:268-297, collector.go:150-259). With
+        # ``sources`` declared, the watermark stays None until each
+        # has appeared; None = discover lazily (single-source zones,
+        # tests).
+        self.sources = tuple(sources) if sources is not None else None
+
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.root, "view_checkpoint.json")
+
+    def _checkpoint(self) -> dict:
+        if not os.path.exists(self._ckpt_path()):
+            return {"version": 0, "seen_max": {}, "applied_max": {},
+                    "watermark": None}
+        with open(self._ckpt_path()) as f:
+            return json.load(f)
+
+    def _save_checkpoint(self, ck: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._ckpt_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ck, f)
+        os.replace(tmp, self._ckpt_path())
+
+    def _vdir(self, prefix: str, version: int) -> str:
+        return os.path.join(self.root, f"{prefix}_v{version}")
+
+    def _read_versioned(self, prefix: str, version: int) -> DataFrame | None:
+        path = self._vdir(prefix, version)
+        if version == 0 or not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def _gc(self, prefix: str, keep_version: int) -> None:
+        for v in range(1, keep_version - 1):
+            stale = self._vdir(prefix, v)
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+
+    # -- subclass hooks -----------------------------------------------------
+    def _fold(self, prior: DataFrame | None, emit: DataFrame,
+              version: int) -> None:
+        raise NotImplementedError
+
+    def _state(self) -> DataFrame | None:
+        ck = self._checkpoint()
+        return self._read_versioned(self._STATE, ck["version"])
+
+    # -- one micro-batch ----------------------------------------------------
+    def apply_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
+        ck = self._checkpoint()
+        pending = self._read_versioned("pending", ck["version"])
+        combined = (batch_df if pending is None
+                    else batch_df.unionByName(pending)).persist()
+        try:
+            seen = advance_cursors(combined, ck["seen_max"])
+            if self.sources is not None:
+                wm = (min(seen[s] for s in self.sources)
+                      if all(s in seen for s in self.sources) else None)
+            else:
+                wm = min(seen.values()) if seen else None
+            if wm is not None and ck["watermark"] is not None:
+                wm = max(wm, ck["watermark"])    # never regresses
+            ok = gate_with_cursor(self.spark, combined,
+                                  ck["applied_max"]).persist()
+            if wm is None:
+                emit = ok.limit(0)
+                park = combined
+            else:
+                emit = ok.filter(F.col("commit_ts") <= wm)
+                # disorder/duplicate rows die immediately (they are
+                # quarantined, never re-tried) — only in-order rows
+                # beyond the watermark park for the next round, with
+                # the audit column stripped back to the wire schema
+                park = (ok.filter(F.col("commit_ts") > wm)
+                          .drop("order_status"))
+
+            new_version = ck["version"] + 1
+            self._fold(self._state(), emit, new_version)
+            park.write.mode("overwrite").parquet(
+                self._vdir("pending", new_version))
+
+            self._save_checkpoint({
+                "version": new_version,
+                "seen_max": seen,
+                "applied_max": advance_cursors(emit, ck["applied_max"]),
+                "watermark": wm,
+            })
+            self._gc("pending", new_version)
+            self._gc(self._STATE, new_version)
+            ok.unpersist()
+        finally:
+            combined.unpersist()
+
+    def flush(self) -> None:
+        """Force-apply the pending zone (end-of-stream finalization
+        when every source is known complete — the graceful-drain
+        analog of drainer shutdown)."""
+        ck = self._checkpoint()
+        pending = self._read_versioned("pending", ck["version"])
+        if pending is None:
+            return
+        ok = gate_with_cursor(self.spark, pending, ck["applied_max"])
+        new_version = ck["version"] + 1
+        self._fold(self._state(), ok, new_version)
+        pending.limit(0).write.mode("overwrite").parquet(
+            self._vdir("pending", new_version))
+        self._save_checkpoint({
+            "version": new_version,
+            "seen_max": ck["seen_max"],
+            "applied_max": advance_cursors(ok, ck["applied_max"]),
+            "watermark": ck["watermark"],
+        })
+        self._gc("pending", new_version)
+        self._gc(self._STATE, new_version)
+
+
+class MaterializedAggregate(_StreamView):
     """Exactly-maintained COUNT/SUM per group over a CDC stream."""
+
+    _STATE = "agg"
 
     def __init__(self, spark: SparkSession, root: str,
                  group_keys: tuple[str, ...] = ("db", "tbl"),
-                 pk_keys: tuple[str, ...] = ("db", "tbl", "pk")):
-        self.spark = spark
-        self.root = root
+                 pk_keys: tuple[str, ...] = ("db", "tbl", "pk"),
+                 sources: tuple[str, ...] | None = None):
+        super().__init__(spark, root, sources=sources)
         self.group_keys = list(group_keys)
         self.pk_keys = list(pk_keys)
         self.pk_state = SnapshotTable(spark, os.path.join(root, "pkstate"),
                                       key_cols=tuple(pk_keys))
 
-    # -- agg-state checkpoint ----------------------------------------------
-    def _ckpt_path(self) -> str:
-        return os.path.join(self.root, "agg_checkpoint.json")
-
-    def _checkpoint(self) -> dict:
-        if not os.path.exists(self._ckpt_path()):
-            return {"version": 0, "source_max": {}}
-        with open(self._ckpt_path()) as f:
-            return json.load(f)
-
-    def _save_checkpoint(self, version: int, source_max: dict) -> None:
-        os.makedirs(self.root, exist_ok=True)
-        tmp = self._ckpt_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": version, "source_max": source_max}, f)
-        os.replace(tmp, self._ckpt_path())
-
-    def _read_agg(self) -> DataFrame | None:
-        ck = self._checkpoint()
-        if ck["version"] == 0:
-            return None
-        return self.spark.read.parquet(
-            os.path.join(self.root, f"agg_v{ck['version']}"))
-
     def read(self) -> DataFrame | None:
         """The maintained view: (group_keys..., n_rows, sum_val);
         empty groups omitted — identical to aggregating the applied
         snapshot."""
-        agg = self._read_agg()
+        agg = self._state()
         if agg is None:
             return None
         return (agg.filter(F.col("n_rows") > 0)
                    .withColumn("sum_val", F.col("sum_dec").cast("double"))
                    .drop("sum_dec"))
 
-    # -- one micro-batch ----------------------------------------------------
-    def apply_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
-        ck = self._checkpoint()
-        batch_df = batch_df.persist()
-        try:
-            ok = self._gate(batch_df, ck["source_max"]).persist()
-            cl = self._changelog(ok)
-            partial = maintain_group_aggregates(
-                cl, self.group_keys, drop_empty=False, as_decimal=True)
-            prior = self._read_agg()
-            merged = (partial if prior is None
-                      else prior.unionByName(partial)
-                      .groupBy(*self.group_keys)
-                      .agg(F.sum("sum_dec").cast("decimal(38,6)")
-                            .alias("sum_dec"),
-                           F.sum("n_rows").cast("long").alias("n_rows")))
-            new_version = ck["version"] + 1
-            out = os.path.join(self.root, f"agg_v{new_version}")
-            merged.write.mode("overwrite").parquet(out)
+    def _fold(self, prior: DataFrame | None, emit: DataFrame,
+              version: int) -> None:
+        cl = self._changelog(emit)
+        partial = maintain_group_aggregates(
+            cl, self.group_keys, drop_empty=False, as_decimal=True)
+        merged = (partial if prior is None
+                  else prior.unionByName(partial)
+                  .groupBy(*self.group_keys)
+                  .agg(F.sum("sum_dec").cast("decimal(38,6)")
+                        .alias("sum_dec"),
+                       F.sum("n_rows").cast("long").alias("n_rows")))
+        merged.write.mode("overwrite").parquet(
+            self._vdir(self._STATE, version))
+        # PK liveness state advances with the same applied rows
+        self.pk_state.apply_batch(compaction.compact_last_image(emit))
 
-            # PK liveness state advances with the same gated batch
-            self.pk_state.apply_batch(compaction.compact_last_image(ok))
-
-            # per-source cursors advance to max(stored, batch max)
-            smax = dict(ck["source_max"])
-            for r in (batch_df.groupBy("source_id")
-                      .agg(F.max("commit_ts").alias("m")).collect()):
-                old = smax.get(r["source_id"])
-                smax[r["source_id"]] = int(r["m"]) if old is None \
-                    else max(int(old), int(r["m"]))
-            self._save_checkpoint(new_version, smax)
-            for v in range(1, new_version - 1):
-                stale = os.path.join(self.root, f"agg_v{v}")
-                if os.path.exists(stale):
-                    shutil.rmtree(stale)
-            ok.unpersist()
-        finally:
-            batch_df.unpersist()
-
-    def _gate(self, batch_df: DataFrame, source_max: dict) -> DataFrame:
-        """ordered_stream with the per-source cursor carried in as
-        arrival_seq = -1 pseudo-rows (they extend the prefix max and
-        are dropped from the output)."""
-        if not source_max:
-            return ordering.ordered_stream(batch_df)
-        seed = (self.spark.createDataFrame(
-                    [(s, int(m)) for s, m in source_max.items()],
-                    "source_id string, commit_ts long")
-                .withColumn("arrival_seq", F.lit(-1).cast("long")))
-        seeded = batch_df.unionByName(seed, allowMissingColumns=True)
-        return (ordering.ordered_stream(seeded)
-                .filter(F.col("arrival_seq") >= 0))
-
-    def _changelog(self, ok: DataFrame) -> DataFrame:
+    def _changelog(self, emit: DataFrame) -> DataFrame:
         """coherent_changelog with PK liveness seeded from state:
         live rows seed op 'I', tombstones seed op 'D', both at
         arrival_seq = -1 so they only feed the lag window."""
         state = self.pk_state._read_full()
         if state is None:
-            return coherent_changelog(ok)
+            return coherent_changelog(emit)
         seed = (state.select(
                     *self.pk_keys,
                     F.col("val"),
@@ -167,20 +277,68 @@ class MaterializedAggregate:
                 .withColumn("commit_ts", F.lit(-1).cast("long"))
                 .withColumn("seq", F.lit(-1).cast("int"))
                 .withColumn("arrival_seq", F.lit(-1).cast("long")))
-        seeded = ok.unionByName(seed, allowMissingColumns=True)
+        seeded = emit.unionByName(seed, allowMissingColumns=True)
         return (coherent_changelog(seeded)
                 .filter(F.col("arrival_seq") >= 0))
+
+
+class MaterializedSCD2(_StreamView):
+    """SCD Type-2 history maintained across micro-batches: each
+    round's applied rows close touched keys' open intervals and
+    append their own version table (operators/scd2.scd2_apply_increment)
+    — the history is never recomputed. The watermark gate is what
+    guarantees the increment's contract (every applied round lives in
+    an ascending commit_ts band, so a key's new changes always follow
+    its applied history)."""
+
+    _STATE = "hist"
+    _COLS = ["db", "tbl", "pk", "val", "valid_from", "valid_to",
+             "is_current"]
+
+    def read(self) -> DataFrame | None:
+        """The maintained history: (db, tbl, pk, val, valid_from,
+        valid_to, is_current)."""
+        return self._state()
+
+    def _fold(self, prior: DataFrame | None, emit: DataFrame,
+              version: int) -> None:
+        if prior is None:
+            hist = scd2.scd2_history(emit).select(*self._COLS)
+        else:
+            hist = scd2.scd2_apply_increment(prior, emit).select(*self._COLS)
+        hist.write.mode("overwrite").parquet(
+            self._vdir(self._STATE, version))
 
 
 def run_ivm_stream(spark: SparkSession, source_dir: str, state_root: str,
                    checkpoint_dir: str, available_now: bool = True,
                    max_files_per_trigger: int | None = None,
-                   group_keys: tuple[str, ...] = ("db", "tbl")):
+                   group_keys: tuple[str, ...] = ("db", "tbl"),
+                   sources: tuple[str, ...] | None = None):
     """The maintained aggregate as one streaming query over a change
     landing zone. Returns the StreamingQuery; read the result with
-    ``MaterializedAggregate(spark, state_root).read()`` afterwards."""
+    ``MaterializedAggregate(spark, state_root).read()`` afterwards
+    (``.flush()`` first if every source is known complete)."""
     from .pipeline import read_change_stream
-    view = MaterializedAggregate(spark, state_root, group_keys=group_keys)
+    view = MaterializedAggregate(spark, state_root, group_keys=group_keys,
+                                 sources=sources)
+    stream = read_change_stream(spark, source_dir,
+                                max_files_per_trigger=max_files_per_trigger)
+    writer = (stream.writeStream
+              .foreachBatch(view.apply_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_scd2_stream(spark: SparkSession, source_dir: str, state_root: str,
+                    checkpoint_dir: str, available_now: bool = True,
+                    max_files_per_trigger: int | None = None,
+                    sources: tuple[str, ...] | None = None):
+    """SCD2 history maintenance as one streaming query."""
+    from .pipeline import read_change_stream
+    view = MaterializedSCD2(spark, state_root, sources=sources)
     stream = read_change_stream(spark, source_dir,
                                 max_files_per_trigger=max_files_per_trigger)
     writer = (stream.writeStream
