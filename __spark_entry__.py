@@ -708,6 +708,28 @@ def q_snapshot_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double").alias("revenue")))
 
 
+def q_snapshot_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets analytics: revenue by (nation, order-year) with
+    ROLLUP subtotals and a grand total — the OLAP surface the
+    reference lacks outright but a replicated warehouse runs daily.
+    Catalyst expands the rollup into one Expand + single aggregate
+    (one shuffle, no N-pass union); both broadcast joins stay
+    map-side. Oracle: DuckDB GROUP BY ROLLUP, identical NULL-subtotal
+    semantics."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    return (t["orders"]
+            .join(F.broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["nation"]),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .withColumn("o_year", F.year("o_orderdate"))
+            .rollup("n_name", "o_year")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                  .cast("double").alias("revenue"))
+            .select("n_name", "o_year", "n_orders", "revenue"))
+
+
 def q_snapshot_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     t = load_tables(spark, sf_dir, "orders", "customer")
@@ -1502,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_agg": q_cdc_incremental_agg,
         "text_pii_scrub": q_text_pii_scrub,
         "corpus_url_domains": q_corpus_url_domains,
+        "snapshot_rollup_revenue": q_snapshot_rollup_revenue,
         "events_overlap_bursts": q_events_overlap_bursts,
         "events_rolling_activity": q_events_rolling_activity,
         "events_cohort_retention": q_events_cohort_retention,
@@ -2573,5 +2596,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "snapshot_rollup_revenue": """
+            WITH j AS (
+              SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+                     o_totalprice
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey)
+            SELECT n_name, o_year, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+            FROM j GROUP BY ROLLUP (n_name, o_year)
         """,
     }
