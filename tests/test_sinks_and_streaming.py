@@ -965,3 +965,41 @@ def test_scd2_stream_watermark_orders_cross_source_keys(spark, tmp_path):
     assert got == want
     assert got == [(1, 10, 30, False, 1.0), (1, 30, 50, False, 3.0),
                    (1, 50, None, True, 5.0)]
+
+
+def test_ivm_stream_heartbeats_advance_but_never_fold(spark, tmp_path):
+    """An idle source's FAKE heartbeats must unblock the watermark
+    (pump/server.go:467-526) without ever entering the maintained
+    view; heartbeats beyond the watermark also never park."""
+    from tidb_binlog_spark.streaming.ivm import MaterializedAggregate
+    view = MaterializedAggregate(spark, str(tmp_path / "state"),
+                                 sources=("s0", "s1"))
+    # s1 idle: only a heartbeat; without it the watermark would be None
+    b1 = make_changes(spark, [(1, "s0", 10, "I", 1, 0, 2.0),
+                              (2, "s1", 99, "FAKE", 0, 0, 0.0)])
+    view.apply_batch(b1, 0)
+    got = {(r["db"], r["tbl"]): (r["n_rows"], r["sum_val"])
+           for r in view.read().collect()}
+    assert got == {("db0", "t"): (1, 2.0)}      # heartbeat not counted
+    ck = view._checkpoint()
+    assert ck["watermark"] == 10 and ck["seen_max"]["s1"] == 99
+    # nothing parked (the heartbeat's ts lives in the cursors)
+    pend = view._read_versioned("pending", ck["version"])
+    assert pend is not None and pend.count() == 0
+    # s0 runs past the heartbeat ts: the update must PARK (s1 might
+    # still produce ts in (10, 99]; only its next heartbeat clears it)
+    view.apply_batch(make_changes(
+        spark, [(3, "s0", 120, "U", 1, 0, 7.0)]), 1)
+    got = {(r["db"], r["tbl"]): (r["n_rows"], r["sum_val"])
+           for r in view.read().collect()}
+    assert got == {("db0", "t"): (1, 2.0)}
+    ck = view._checkpoint()
+    assert ck["watermark"] == 99
+    assert view._read_versioned("pending", ck["version"]).count() == 1
+    # the idle source's next heartbeat releases the parked update
+    view.apply_batch(make_changes(
+        spark, [(4, "s1", 130, "FAKE", 0, 0, 0.0)]), 2)
+    got = {(r["db"], r["tbl"]): (r["n_rows"], r["sum_val"])
+           for r in view.read().collect()}
+    assert got == {("db0", "t"): (1, 7.0)}
+    assert view._checkpoint()["watermark"] == 120

@@ -172,12 +172,19 @@ class _StreamView:
                 emit = ok.limit(0)
                 park = combined
             else:
-                emit = ok.filter(F.col("commit_ts") <= wm)
+                # heartbeat rows (op FAKE, pump/server.go:467-526)
+                # advance cursors and the watermark — that is their
+                # whole purpose — but never enter the view fold
+                emit = ok.filter((F.col("commit_ts") <= wm)
+                                 & (F.col("op") != "FAKE"))
                 # disorder/duplicate rows die immediately (they are
                 # quarantined, never re-tried) — only in-order rows
                 # beyond the watermark park for the next round, with
                 # the audit column stripped back to the wire schema
-                park = (ok.filter(F.col("commit_ts") > wm)
+                # heartbeats never park either: their ts is already
+                # folded into the persisted seen_max cursors
+                park = (ok.filter((F.col("commit_ts") > wm)
+                                  & (F.col("op") != "FAKE"))
                           .drop("order_status"))
 
             new_version = ck["version"] + 1
@@ -205,7 +212,9 @@ class _StreamView:
         pending = self._read_versioned("pending", ck["version"])
         if pending is None:
             return
-        ok = gate_with_cursor(self.spark, pending, ck["applied_max"])
+        ok = gate_with_cursor(self.spark, pending,
+                              ck["applied_max"]).filter(
+                                  F.col("op") != "FAKE")
         new_version = ck["version"] + 1
         self._fold(self._state(), ok, new_version)
         pending.limit(0).write.mode("overwrite").parquet(
