@@ -48,6 +48,10 @@ HEADLINE = [
     "events_overlap_bursts",     # interval x interval overlap join
     "cdc_scd2_history",          # SCD2 version intervals per PK
     "cdc_time_travel",           # as-of read over the history
+    "cdc_scd2_incremental",      # split-apply SCD2 maintenance
+    "cdc_incremental_agg",       # delta-maintained group aggregates
+    "snapshot_rollup_revenue",   # grouping-sets Expand aggregate
+    "text_pii_scrub",            # regex scrub projection
     "text_profile",              # all per-doc text metrics, projection-joined
     "text_line_dedup",           # corpus-frequency line removal
     "text_bm25",                 # broadcast-stats keyword relevance
