@@ -423,3 +423,31 @@ def test_bucketed_tables_join_and_aggregate_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS b_changes")
         spark.sql("DROP TABLE IF EXISTS b_snap")
+
+
+def test_incremental_agg_single_group_exchange(spark):
+    """Downstream of the order gate, the IVM operator adds exactly
+    TWO shuffles: the per-PK changelog lag window and the group-keyed
+    aggregate — with a map-side partial sum below the latter (a real
+    binlog skips even the changelog window: images arrive coherent,
+    leaving ONE group-keyed exchange). No Python eval anywhere."""
+    from tidb_binlog_spark.operators.incremental_agg import (
+        coherent_changelog, maintain_group_aggregates)
+    ch = make_changes(spark, [(i, "s0", 10 * i + 10, "IUD"[i % 3],
+                               i % 7) for i in range(64)])
+    df = maintain_group_aggregates(coherent_changelog(ch), ["db", "tbl"])
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_rollup_is_expand_plus_single_aggregate(spark):
+    """ROLLUP compiles to one Expand + one aggregate — not an N-pass
+    union of grouping sets; dimension joins stay broadcast."""
+    import __spark_entry__ as m
+    plan = _plan(m.queries()["snapshot_rollup_revenue"](spark, SF))
+    assert plan.count("Expand") >= 1
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "Union" not in plan
+    assert "SortMergeJoin" not in plan
