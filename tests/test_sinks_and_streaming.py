@@ -883,6 +883,11 @@ def test_ivm_stream_exact_across_batches(spark, tmp_path):
     got = {(r["db"], r["tbl"]): (r["n_rows"], r["sum_val"])
            for r in view.read().collect()}
     assert got == {("db0", "t"): (3, 16.5)}   # pk1 1.5 + pk2 6.0 + pk3 9.0
+    # the cross-batch late row was counted and dead-lettered, not lost
+    dead = [(r["arrival_seq"], r["order_status"])
+            for r in view.dead_letter().collect()]
+    assert dead == [(4, "disorder")]
+    assert view._checkpoint()["audit"] == {"disorder": 1}
 
     allb = frames[0].unionByName(frames[1]).unionByName(frames[2])
     batch = maintain_group_aggregates(

@@ -62,20 +62,27 @@ from ..operators.incremental_agg import (coherent_changelog,
 from ..sinks.table_sink import SnapshotTable
 
 
-def gate_with_cursor(spark: SparkSession, batch_df: DataFrame,
-                     applied_max: dict) -> DataFrame:
-    """``ordered_stream`` with the stored per-source applied cursor
+def classify_with_cursor(spark: SparkSession, batch_df: DataFrame,
+                         applied_max: dict) -> DataFrame:
+    """``classify_disorder`` with the stored per-source applied cursor
     carried in as arrival_seq = -1 pseudo-rows (they extend the prefix
     max across batches and are dropped from the output)."""
     if not applied_max:
-        return ordering.ordered_stream(batch_df)
+        return ordering.classify_disorder(batch_df)
     seed = (spark.createDataFrame(
                 [(s, int(m)) for s, m in applied_max.items()],
                 "source_id string, commit_ts long")
             .withColumn("arrival_seq", F.lit(-1).cast("long")))
     seeded = batch_df.unionByName(seed, allowMissingColumns=True)
-    return (ordering.ordered_stream(seeded)
+    return (ordering.classify_disorder(seeded)
             .filter(F.col("arrival_seq") >= 0))
+
+
+def gate_with_cursor(spark: SparkSession, batch_df: DataFrame,
+                     applied_max: dict) -> DataFrame:
+    """The appliable subset of ``classify_with_cursor``."""
+    return (classify_with_cursor(spark, batch_df, applied_max)
+            .filter(F.col("order_status") == "ok"))
 
 
 def advance_cursors(df: DataFrame, cursors: dict) -> dict:
@@ -151,6 +158,14 @@ class _StreamView:
         ck = self._checkpoint()
         return self._read_versioned(self._STATE, ck["version"])
 
+    def dead_letter(self) -> DataFrame | None:
+        """Quarantined rows (order_status disorder/duplicate) — the
+        counted-not-applied stream of drainer/merge.go:318-329."""
+        path = os.path.join(self.root, "deadletter")
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
     # -- one micro-batch ----------------------------------------------------
     def apply_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
         ck = self._checkpoint()
@@ -166,8 +181,18 @@ class _StreamView:
                 wm = min(seen.values()) if seen else None
             if wm is not None and ck["watermark"] is not None:
                 wm = max(wm, ck["watermark"])    # never regresses
-            ok = gate_with_cursor(self.spark, combined,
-                                  ck["applied_max"]).persist()
+            classified = classify_with_cursor(
+                self.spark, combined, ck["applied_max"]).persist()
+            ok = classified.filter(F.col("order_status") == "ok")
+            # the reference COUNTS disorder and duplicates and never
+            # applies them out of order (drainer/merge.go:318-329);
+            # here they land in a dead-letter zone with their verdict
+            dead = classified.filter(F.col("order_status") != "ok")
+            dead.write.mode("append").parquet(
+                os.path.join(self.root, "deadletter"))
+            dead_counts = {r["order_status"]: r["n"] for r in
+                           dead.groupBy("order_status")
+                           .agg(F.count(F.lit(1)).alias("n")).collect()}
             if wm is None:
                 emit = ok.limit(0)
                 park = combined
@@ -192,15 +217,19 @@ class _StreamView:
             park.write.mode("overwrite").parquet(
                 self._vdir("pending", new_version))
 
+            stats = dict(ck.get("audit", {}))
+            for k, v in dead_counts.items():
+                stats[k] = stats.get(k, 0) + int(v)
             self._save_checkpoint({
                 "version": new_version,
                 "seen_max": seen,
                 "applied_max": advance_cursors(emit, ck["applied_max"]),
                 "watermark": wm,
+                "audit": stats,
             })
             self._gc("pending", new_version)
             self._gc(self._STATE, new_version)
-            ok.unpersist()
+            classified.unpersist()
         finally:
             combined.unpersist()
 
