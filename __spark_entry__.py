@@ -1173,6 +1173,20 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("db", "tbl", "n_rows", "sum_val")
 
 
+def q_cdc_incremental_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX per (db, tbl) maintained from change deltas — the
+    non-self-maintainable aggregate, solved with a delta-maintained
+    auxiliary multiset (per-(group, value) live reference counts).
+    The oracle derives the same numbers from the applied snapshot, so
+    agreement proves a delete retiring the current extremum is
+    handled (pure +/- maintenance cannot see it)."""
+    ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
+    cl = incremental_agg.coherent_changelog(ok)
+    return (incremental_agg.maintain_group_extrema(cl, ["db", "tbl"])
+            .select("db", "tbl", "min_val", "max_val",
+                    "n_distinct_live"))
+
+
 def q_events_overlap_bursts(spark, sf_dir):
     """Interval x interval overlap join: per-user activity sessions
     (non-error, 30 min gap) overlapped with error bursts (errors,
@@ -1522,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_scd2_incremental": q_cdc_scd2_incremental,
         "cdc_incremental_agg": q_cdc_incremental_agg,
+        "cdc_incremental_extrema": q_cdc_incremental_extrema,
         "text_pii_scrub": q_text_pii_scrub,
         "corpus_url_domains": q_corpus_url_domains,
         "snapshot_rollup_revenue": q_snapshot_rollup_revenue,
@@ -1775,6 +1790,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_urls,
                    COUNT(DISTINCT doc_id) AS n_docs
             FROM u GROUP BY 1
+        """,
+        # independent derivation: the engine reads extrema off a
+        # delta-maintained value multiset; the oracle MIN/MAXes the
+        # applied snapshot
+        "cdc_incremental_extrema": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            last AS (
+              SELECT db, tbl, pk, val, op,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY db, tbl, pk
+                         ORDER BY commit_ts DESC, seq DESC,
+                                  arrival_seq DESC) AS rn
+              FROM ok)
+            SELECT db, tbl, MIN(val) AS min_val, MAX(val) AS max_val,
+                   COUNT(DISTINCT val) AS n_distinct_live
+            FROM last WHERE rn = 1 AND op <> 'D'
+            GROUP BY db, tbl
         """,
         # independent derivation: the engine never materializes the
         # snapshot (pure delta aggregation); the oracle applies

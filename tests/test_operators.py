@@ -1140,3 +1140,38 @@ def test_parse_ddl_lexer_handles_literals_and_options():
 
     assert se.parse_ddl("TRUNCATE TABLE `sp ace`.`t 2`") == {
         "kind": "truncate", "table": "t 2", "db": "sp ace"}
+
+
+def test_incremental_extrema_delete_retires_max_and_folds(spark):
+    """A delete retiring the current MAX is the case pure +/-
+    maintenance cannot see; the value multiset handles it, shared
+    values keep refcounts, and per-batch aux partials fold by
+    addition to the exact whole-history answer."""
+    from tidb_binlog_spark.operators.incremental_agg import (
+        coherent_changelog, extrema_from_multiset,
+        maintain_group_extrema, value_multiset)
+    rows = [
+        ("d", "t", 1, 10, 0, 0, "I", 9.0),    # max
+        ("d", "t", 2, 20, 0, 1, "I", 4.0),
+        ("d", "t", 3, 30, 0, 2, "I", 4.0),    # shared value, refcount 2
+        ("d", "t", 1, 40, 0, 3, "D", 9.0),    # retire the max
+        ("d", "t", 2, 50, 0, 4, "U", 1.0),    # 4.0 refcount 2 -> 1
+    ]
+    schema = ("db string, tbl string, pk long, commit_ts long, "
+              "seq int, arrival_seq long, op string, val double")
+    cl = coherent_changelog(spark.createDataFrame(rows, schema))
+    got = maintain_group_extrema(cl, ["db", "tbl"]).collect()
+    assert [(r["min_val"], r["max_val"], r["n_distinct_live"])
+            for r in got] == [(1.0, 4.0, 2)]   # 9.0 gone, 4.0 survives
+    # streaming fold: aux partials per ts-band merged by addition
+    parts = []
+    for lo, hi in ((0, 20), (20, 40), (40, 99)):
+        parts.append(value_multiset(
+            cl.filter((F.col("commit_ts") > lo)
+                      & (F.col("commit_ts") <= hi)), ["db", "tbl"]))
+    merged = (parts[0].unionByName(parts[1]).unionByName(parts[2])
+              .groupBy("db", "tbl", "v")
+              .agg(F.sum("live_count").alias("live_count")))
+    folded = extrema_from_multiset(merged, ["db", "tbl"]).collect()
+    assert [(r["min_val"], r["max_val"], r["n_distinct_live"])
+            for r in folded] == [(1.0, 4.0, 2)]

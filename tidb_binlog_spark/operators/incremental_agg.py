@@ -110,3 +110,58 @@ def maintain_group_aggregates(changelog: DataFrame,
         return out
     return (out.withColumn("sum_val", F.col("sum_dec").cast("double"))
                .drop("sum_dec"))
+
+
+def maintain_group_extrema(changelog: DataFrame,
+                           group_keys: list[str],
+                           val_col: str = "val",
+                           old_col: str = "old_val",
+                           op_col: str = "eff_op") -> DataFrame:
+    """Maintain MIN/MAX per group from deltas — the textbook
+    non-self-maintainable aggregate (a delete may retire the current
+    extremum, which pure +/- cannot see). The classical fix: maintain
+    the auxiliary MULTISET of live values as per-(group, value)
+    reference counts — itself fully delta-maintainable (insert +1 on
+    the new value, update -1 old / +1 new, delete -1 old) — and read
+    the extrema off the counts > 0 support.
+
+    Scale shape: the aux table is #distinct live (group, value) pairs
+    (bounded by live rows, usually far smaller); both the count
+    maintenance and the extrema read are ONE map-side-combinable
+    aggregate each, keyed on (group, value) then group. Per-batch aux
+    partials merge by addition, so the streaming fold is exact.
+    """
+    return extrema_from_multiset(
+        value_multiset(changelog, group_keys, val_col, old_col, op_col),
+        group_keys)
+
+
+def value_multiset(changelog: DataFrame, group_keys: list[str],
+                   val_col: str = "val", old_col: str = "old_val",
+                   op_col: str = "eff_op") -> DataFrame:
+    """The auxiliary state: per-(group, value) live reference counts
+    from deltas. Per-batch partials merge by summing ``live_count``
+    (the streaming fold)."""
+    up = (F.when(F.col(op_col).isin("I", "U"), F.col(val_col)))
+    down = (F.when(F.col(op_col).isin("D", "U"), F.col(old_col)))
+    return (changelog
+            .select(*group_keys,
+                    F.explode(F.array(
+                        F.struct(up.alias("v"), F.lit(1).alias("d")),
+                        F.struct(down.alias("v"), F.lit(-1).alias("d"))))
+                     .alias("m"))
+            .select(*group_keys, "m.v", "m.d")
+            .filter(F.col("v").isNotNull())
+            .groupBy(*group_keys, "v")
+            .agg(F.sum("d").cast("long").alias("live_count")))
+
+
+def extrema_from_multiset(aux: DataFrame,
+                          group_keys: list[str]) -> DataFrame:
+    """Read MIN/MAX (+ live distinct-value count) off the counts > 0
+    support of the maintained multiset."""
+    return (aux.filter(F.col("live_count") > 0)
+            .groupBy(*group_keys)
+            .agg(F.min("v").alias("min_val"),
+                 F.max("v").alias("max_val"),
+                 F.count(F.lit(1)).alias("n_distinct_live")))
