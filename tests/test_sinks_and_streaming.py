@@ -1008,3 +1008,19 @@ def test_ivm_stream_heartbeats_advance_but_never_fold(spark, tmp_path):
            for r in view.read().collect()}
     assert got == {("db0", "t"): (1, 7.0)}
     assert view._checkpoint()["watermark"] == 120
+
+
+def test_ivm_replay_of_same_batch_is_noop(spark, tmp_path):
+    """Crash replay delivers the same micro-batch id again; the
+    additive fold must not double-count."""
+    from tidb_binlog_spark.streaming.ivm import MaterializedAggregate
+    view = MaterializedAggregate(spark, str(tmp_path / "state"))
+    b = make_changes(spark, [(1, "s0", 10, "I", 1, 0, 2.0)])
+    view.apply_batch(b, 7)
+    view.apply_batch(b, 7)          # replay
+    got = [(r["n_rows"], r["sum_val"]) for r in view.read().collect()]
+    assert got == [(1, 2.0)]
+    view.apply_batch(make_changes(
+        spark, [(2, "s0", 20, "I", 2, 0, 3.0)]), 8)
+    got = [(r["n_rows"], r["sum_val"]) for r in view.read().collect()]
+    assert got == [(2, 5.0)]

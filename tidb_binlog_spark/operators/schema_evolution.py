@@ -73,6 +73,9 @@ def _default_from_tail(toks, i):
                 return t.value
             if t.kind in ("number", "word"):
                 return t.text
+            if (sqltok.is_punct(t, "-") and i + 2 < len(toks)
+                    and toks[i + 2].kind == "number"):
+                return "-" + toks[i + 2].text     # DEFAULT -1
             return None          # DEFAULT (expr) — not tracked
         i += 1
     return None

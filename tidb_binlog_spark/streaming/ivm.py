@@ -123,7 +123,7 @@ class _StreamView:
     def _checkpoint(self) -> dict:
         if not os.path.exists(self._ckpt_path()):
             return {"version": 0, "seen_max": {}, "applied_max": {},
-                    "watermark": None}
+                    "watermark": None, "last_batch_id": None}
         with open(self._ckpt_path()) as f:
             return json.load(f)
 
@@ -169,6 +169,13 @@ class _StreamView:
     # -- one micro-batch ----------------------------------------------------
     def apply_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
         ck = self._checkpoint()
+        # exactly-once under crash replay: the fold is ADDITIVE, so a
+        # replayed micro-batch must be a no-op. Spark re-delivers a
+        # crashed batch with the SAME batch_id; the id is committed
+        # atomically with the state version, so skip what's applied.
+        last = ck.get("last_batch_id")
+        if last is not None and batch_id <= last:
+            return
         pending = self._read_versioned("pending", ck["version"])
         combined = (batch_df if pending is None
                     else batch_df.unionByName(pending)).persist()
@@ -226,6 +233,7 @@ class _StreamView:
                 "applied_max": advance_cursors(emit, ck["applied_max"]),
                 "watermark": wm,
                 "audit": stats,
+                "last_batch_id": batch_id,
             })
             self._gc("pending", new_version)
             self._gc(self._STATE, new_version)
@@ -253,6 +261,8 @@ class _StreamView:
             "seen_max": ck["seen_max"],
             "applied_max": advance_cursors(ok, ck["applied_max"]),
             "watermark": ck["watermark"],
+            "audit": ck.get("audit", {}),
+            "last_batch_id": ck.get("last_batch_id"),
         })
         self._gc("pending", new_version)
         self._gc(self._STATE, new_version)
