@@ -1024,3 +1024,34 @@ def test_ivm_replay_of_same_batch_is_noop(spark, tmp_path):
         spark, [(2, "s0", 20, "I", 2, 0, 3.0)]), 8)
     got = [(r["n_rows"], r["sum_val"]) for r in view.read().collect()]
     assert got == [(2, 5.0)]
+
+
+def test_ivm_dynamic_source_offline_unblocks_watermark(spark, tmp_path):
+    """Registry-driven source list, re-evaluated every batch: a
+    paused/offlined pump drops out of the min (its silence no longer
+    blocks), and its earlier data stays applied."""
+    from tidb_binlog_spark.registry import NodeRegistry
+    from tidb_binlog_spark.streaming.ivm import MaterializedAggregate
+    reg = NodeRegistry(str(tmp_path / "reg.json"))
+    reg.register("s0", "pump")
+    reg.register("s1", "pump")
+    live = lambda: [n["node_id"] for n in reg.nodes_by_kind("pump")
+                    if n["state"] == "online"]
+    view = MaterializedAggregate(spark, str(tmp_path / "state"),
+                                 sources=live)
+    view.apply_batch(make_changes(
+        spark, [(1, "s0", 10, "I", 1, 0, 2.0),
+                (2, "s1", 15, "I", 2, 0, 4.0),
+                (3, "s0", 40, "U", 1, 0, 6.0)]), 0)
+    # s1's cursor (15) pins the watermark: the ts-40 update parks
+    assert {(r["n_rows"], r["sum_val"])
+            for r in view.read().collect()} == {(2, 6.0)}
+    assert view._checkpoint()["watermark"] == 15
+    # s1 goes offline -> next (empty-ish) batch re-mins over s0 only
+    reg.apply_action("s1", "close")
+    reg.complete_shutdown("s1")
+    view.apply_batch(make_changes(
+        spark, [(4, "s0", 50, "FAKE", 0, 0, 0.0)]), 1)
+    assert view._checkpoint()["watermark"] == 50
+    assert {(r["n_rows"], r["sum_val"])
+            for r in view.read().collect()} == {(2, 10.0)}

@@ -114,8 +114,19 @@ class _StreamView:
         # (drainer/merge.go:268-297, collector.go:150-259). With
         # ``sources`` declared, the watermark stays None until each
         # has appeared; None = discover lazily (single-source zones,
-        # tests).
-        self.sources = tuple(sources) if sources is not None else None
+        # tests). A CALLABLE is re-evaluated every batch — the
+        # pause-world -> re-min reconfiguration: feed it
+        # ``lambda: [n["node_id"] for n in registry.nodes_by_kind(
+        # "pump") if n["state"] == "online"]`` and pausing/offlining
+        # a pump drops it from the min between batches (merge.go:
+        # 153-335), while a newly registered pump blocks until it
+        # shows its first item.
+        self.sources = sources if callable(sources) or sources is None \
+            else tuple(sources)
+
+    def _current_sources(self) -> tuple | None:
+        s = self.sources
+        return tuple(s()) if callable(s) else s
 
     def _ckpt_path(self) -> str:
         return os.path.join(self.root, "view_checkpoint.json")
@@ -181,9 +192,10 @@ class _StreamView:
                     else batch_df.unionByName(pending)).persist()
         try:
             seen = advance_cursors(combined, ck["seen_max"])
-            if self.sources is not None:
-                wm = (min(seen[s] for s in self.sources)
-                      if all(s in seen for s in self.sources) else None)
+            srcs = self._current_sources()
+            if srcs is not None:
+                wm = (min(seen[s] for s in srcs)
+                      if srcs and all(s in seen for s in srcs) else None)
             else:
                 wm = min(seen.values()) if seen else None
             if wm is not None and ck["watermark"] is not None:
