@@ -1175,3 +1175,63 @@ def test_incremental_extrema_delete_retires_max_and_folds(spark):
     folded = extrema_from_multiset(merged, ["db", "tbl"]).collect()
     assert [(r["min_val"], r["max_val"], r["n_distinct_live"])
             for r in folded] == [(1.0, 4.0, 2)]
+
+
+def test_parse_ddl_property_roundtrip():
+    """Fuzz: any mix of hostile column names (backticks, spaces,
+    keyword-lookalikes) and defaults (quotes, commas, parens, signs)
+    must round-trip through CREATE TABLE and multi-ADD parsing with
+    nothing lost and nothing invented."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tidb_binlog_spark.operators import schema_evolution as se
+
+    plain_name = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True)
+    wild_name = st.text(
+        alphabet=st.characters(
+            codec="ascii", min_codepoint=32,
+            exclude_characters="`"),
+        min_size=1, max_size=12).filter(lambda s: s.strip() == s and s)
+    name = st.one_of(plain_name, wild_name)
+    default = st.one_of(
+        st.none(),
+        st.integers(-999, 999).map(str),
+        st.text(alphabet=st.characters(codec="ascii", min_codepoint=32,
+                                       exclude_characters="\\"),
+                max_size=10))
+    coltype = st.sampled_from(["INT", "BIGINT", "VARCHAR(10)",
+                               "DECIMAL(10,2)", "ENUM('a,b','c)d')"])
+
+    def render(nm, tp, dflt):
+        quoted = f"`{nm}`" if not nm.isidentifier() else nm
+        out = f"{quoted} {tp}"
+        if dflt is not None:
+            out += " DEFAULT '" + dflt.replace("'", "''") + "'"
+        return out
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(st.tuples(name, coltype, default),
+                    min_size=1, max_size=5,
+                    unique_by=lambda t: t[0]))
+    def check(cols):
+        defs = ", ".join(render(*c) for c in cols)
+        want = {nm: d for nm, _, d in cols}
+        # lowercase keyword-lookalike UNQUOTED heads are constraint
+        # heads by design; quote them like a client would
+        p = se.parse_ddl(f"CREATE TABLE t ({defs})")
+        assert p["kind"] == "create_table"
+        got = dict(p["columns"])
+        lost = {k for k in want
+                if k not in got
+                and (k.split() or [""])[0].lower()
+                in se._CONSTRAINT_HEADS and k.isidentifier()}
+        for k in lost:      # unquoted constraint-keyword heads skip
+            want.pop(k)
+        assert got == want, (defs, p)
+        assert p["skipped_columns"] == []
+        p2 = se.parse_ddl(f"ALTER TABLE t ADD COLUMN ({defs})")
+        got2 = dict(p2["columns"])
+        assert got2 == want, (defs, p2)
+
+    check()
