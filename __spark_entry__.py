@@ -1187,6 +1187,20 @@ def q_cdc_incremental_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_distinct_live"))
 
 
+def q_cdc_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank p50/p90/p99 per (db, tbl) read off the SAME
+    delta-maintained value multiset that serves MIN/MAX — quantiles
+    without a snapshot and without sorting raw rows (cumulative
+    refcounts rank every live row implicitly). Oracle ranks the
+    applied snapshot's values directly."""
+    ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
+    cl = incremental_agg.coherent_changelog(ok)
+    aux = incremental_agg.value_multiset(cl, ["db", "tbl"])
+    return (incremental_agg.quantiles_from_multiset(aux, ["db", "tbl"])
+            .select("db", "tbl", "n_live", "p50_val", "p90_val",
+                    "p99_val"))
+
+
 def q_events_overlap_bursts(spark, sf_dir):
     """Interval x interval overlap join: per-user activity sessions
     (non-error, 30 min gap) overlapped with error bursts (errors,
@@ -1537,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_incremental": q_cdc_scd2_incremental,
         "cdc_incremental_agg": q_cdc_incremental_agg,
         "cdc_incremental_extrema": q_cdc_incremental_extrema,
+        "cdc_incremental_quantiles": q_cdc_incremental_quantiles,
         "text_pii_scrub": q_text_pii_scrub,
         "corpus_url_domains": q_corpus_url_domains,
         "snapshot_rollup_revenue": q_snapshot_rollup_revenue,
@@ -1790,6 +1805,32 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_urls,
                    COUNT(DISTINCT doc_id) AS n_docs
             FROM u GROUP BY 1
+        """,
+        # independent derivation: the engine ranks through multiset
+        # refcounts; the oracle row_numbers the applied snapshot
+        "cdc_incremental_quantiles": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            last AS (
+              SELECT db, tbl, pk, val, op,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY db, tbl, pk
+                         ORDER BY commit_ts DESC, seq DESC,
+                                  arrival_seq DESC) AS rn
+              FROM ok),
+            ranked AS (
+              SELECT db, tbl, val,
+                     ROW_NUMBER() OVER (PARTITION BY db, tbl
+                                        ORDER BY val) AS rk,
+                     COUNT(*) OVER (PARTITION BY db, tbl) AS n
+              FROM last WHERE rn = 1 AND op <> 'D')
+            SELECT db, tbl, CAST(MAX(n) AS BIGINT) AS n_live,
+                   MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT)
+                       THEN val END) AS p50_val,
+                   MAX(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT)
+                       THEN val END) AS p90_val,
+                   MAX(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT)
+                       THEN val END) AS p99_val
+            FROM ranked GROUP BY db, tbl
         """,
         # independent derivation: the engine reads extrema off a
         # delta-maintained value multiset; the oracle MIN/MAXes the

@@ -1235,3 +1235,17 @@ def test_parse_ddl_property_roundtrip():
         assert got2 == want, (defs, p2)
 
     check()
+
+
+def test_multiset_quantiles_rank_through_refcounts(spark):
+    """Nearest-rank quantiles off the multiset must count every live
+    ROW through its value's refcount, not distinct values: 9 rows of
+    value 1.0 and one of 100.0 -> p50 = 1.0, p99 = 100.0."""
+    from tidb_binlog_spark.operators.incremental_agg import (
+        quantiles_from_multiset)
+    aux = spark.createDataFrame(
+        [("d", "t", 1.0, 9), ("d", "t", 100.0, 1), ("d", "t", 50.0, 0)],
+        "db string, tbl string, v double, live_count long")
+    r = quantiles_from_multiset(aux, ["db", "tbl"]).collect()[0]
+    assert (r["n_live"], r["p50_val"], r["p90_val"], r["p99_val"]) \
+        == (10, 1.0, 1.0, 100.0)   # dead 50.0 invisible

@@ -165,3 +165,32 @@ def extrema_from_multiset(aux: DataFrame,
             .agg(F.min("v").alias("min_val"),
                  F.max("v").alias("max_val"),
                  F.count(F.lit(1)).alias("n_distinct_live")))
+
+
+def quantiles_from_multiset(aux: DataFrame, group_keys: list[str],
+                            quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+                            ) -> DataFrame:
+    """EXACT nearest-rank quantiles per group read off the maintained
+    value multiset — the same aux state that serves MIN/MAX also
+    serves p50/p90/p99 with no snapshot and no sort of the raw rows:
+    a cumulative sum over the (far smaller) distinct-value table
+    ranks every live row implicitly through its value's refcount.
+
+    Nearest-rank definition (matches scoring.corpus_length_quantiles):
+    the value whose cumulative live count first reaches
+    ceil(q * n_live).
+    """
+    live = aux.filter(F.col("live_count") > 0)
+    w_cum = (Window.partitionBy(*group_keys).orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy(*group_keys)
+    cum = (live
+           .withColumn("cum", F.sum("live_count").over(w_cum))
+           .withColumn("n", F.sum("live_count").over(w_all)))
+    aggs = [F.max("n").cast("long").alias("n_live")]
+    for q in quantiles:
+        tag = f"p{int(round(q * 100))}"
+        target = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        aggs.append(F.min(F.when(F.col("cum") >= target, F.col("v")))
+                    .alias(f"{tag}_val"))
+    return cum.groupBy(*group_keys).agg(*aggs)
