@@ -1201,6 +1201,23 @@ def q_cdc_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "p99_val"))
 
 
+def q_cdc_incremental_topvals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(db, tbl) heavy hitters — the 3 most frequent live value
+    buckets (floor(val)) — read off a delta-maintained multiset over
+    the DERIVED value domain (old/new images pass through the same
+    quantization, so refcounts stay exact). Oracle ranks the applied
+    snapshot's bucket frequencies with the same total order."""
+    ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
+    cl = (incremental_agg.coherent_changelog(ok)
+          .withColumn("val_b", F.floor("val").cast("long"))
+          .withColumn("old_val_b", F.floor("old_val").cast("long")))
+    aux = incremental_agg.value_multiset(
+        cl, ["db", "tbl"], val_col="val_b", old_col="old_val_b")
+    return (incremental_agg.top_values_from_multiset(aux, ["db", "tbl"], 3)
+            .select("db", "tbl", "rank",
+                    F.col("v").alias("val_bucket"), "live_count"))
+
+
 def q_events_overlap_bursts(spark, sf_dir):
     """Interval x interval overlap join: per-user activity sessions
     (non-error, 30 min gap) overlapped with error bursts (errors,
@@ -1552,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_agg": q_cdc_incremental_agg,
         "cdc_incremental_extrema": q_cdc_incremental_extrema,
         "cdc_incremental_quantiles": q_cdc_incremental_quantiles,
+        "cdc_incremental_topvals": q_cdc_incremental_topvals,
         "text_pii_scrub": q_text_pii_scrub,
         "corpus_url_domains": q_corpus_url_domains,
         "snapshot_rollup_revenue": q_snapshot_rollup_revenue,
@@ -1807,6 +1825,33 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_urls,
                    COUNT(DISTINCT doc_id) AS n_docs
             FROM u GROUP BY 1
+        """,
+        # independent derivation: the engine ranks bucket refcounts
+        # maintained from deltas; the oracle counts the applied
+        # snapshot's buckets directly (same count-desc, bucket-asc
+        # total order)
+        "cdc_incremental_topvals": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            last AS (
+              SELECT db, tbl, pk, val, op,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY db, tbl, pk
+                         ORDER BY commit_ts DESC, seq DESC,
+                                  arrival_seq DESC) AS rn
+              FROM ok),
+            freq AS (
+              SELECT db, tbl, CAST(floor(val) AS BIGINT) AS val_bucket,
+                     COUNT(*) AS live_count
+              FROM last WHERE rn = 1 AND op <> 'D'
+              GROUP BY db, tbl, CAST(floor(val) AS BIGINT)),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY db, tbl
+                  ORDER BY live_count DESC, val_bucket ASC) AS rank
+              FROM freq)
+            SELECT db, tbl, CAST(rank AS INT) AS rank, val_bucket,
+                   live_count
+            FROM ranked WHERE rank <= 3
         """,
         # independent derivation: the engine ranks through multiset
         # refcounts; the oracle row_numbers the applied snapshot

@@ -194,3 +194,17 @@ def quantiles_from_multiset(aux: DataFrame, group_keys: list[str],
         aggs.append(F.min(F.when(F.col("cum") >= target, F.col("v")))
                     .alias(f"{tag}_val"))
     return cum.groupBy(*group_keys).agg(*aggs)
+
+
+def top_values_from_multiset(aux: DataFrame, group_keys: list[str],
+                             n: int = 3) -> DataFrame:
+    """Per-group heavy hitters read off the maintained multiset: the
+    ``n`` most frequent live values (live_count desc, value asc for a
+    total order). One rank window over the distinct-value table —
+    never over raw rows."""
+    w = (Window.partitionBy(*group_keys)
+         .orderBy(F.desc("live_count"), F.asc("v")))
+    return (aux.filter(F.col("live_count") > 0)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n)
+            .select(*group_keys, "rank", "v", "live_count"))
