@@ -932,6 +932,24 @@ def test_ivm_stream_converges_on_fixture_stream(spark, tmp_path):
     want = {(r["db"], r["tbl"]): (r["n_rows"], r["sum_val"])
             for r in batch.collect()}
     assert got == want and len(want) == 12
+    # the streamed value multiset serves extrema + exact quantiles,
+    # equal to the batch derivation over the whole history
+    from tidb_binlog_spark.operators.incremental_agg import (
+        maintain_group_extrema, quantiles_from_multiset, value_multiset)
+    cl = coherent_changelog(ordering.ordered_stream(ch))
+    want_ext = {(r["db"], r["tbl"]): (r["min_val"], r["max_val"])
+                for r in maintain_group_extrema(cl, ["db", "tbl"])
+                .collect()}
+    got_ext = {(r["db"], r["tbl"]): (r["min_val"], r["max_val"])
+               for r in view.read_extrema().collect()}
+    assert got_ext == want_ext
+    want_q = {(r["db"], r["tbl"]): r["p90_val"]
+              for r in quantiles_from_multiset(
+                  value_multiset(cl, ["db", "tbl"]), ["db", "tbl"])
+              .collect()}
+    got_q = {(r["db"], r["tbl"]): r["p90_val"]
+             for r in view.read_quantiles().collect()}
+    assert got_q == want_q
 
 
 def test_scd2_stream_watermark_orders_cross_source_keys(spark, tmp_path):

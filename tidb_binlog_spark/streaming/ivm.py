@@ -58,7 +58,11 @@ from pyspark.sql import functions as F
 
 from ..operators import compaction, ordering, scd2
 from ..operators.incremental_agg import (coherent_changelog,
-                                         maintain_group_aggregates)
+                                         extrema_from_multiset,
+                                         maintain_group_aggregates,
+                                         quantiles_from_multiset,
+                                         top_values_from_multiset,
+                                         value_multiset)
 from ..sinks.table_sink import SnapshotTable
 
 
@@ -249,6 +253,7 @@ class _StreamView:
             })
             self._gc("pending", new_version)
             self._gc(self._STATE, new_version)
+            self._gc("aux", new_version)
             classified.unpersist()
         finally:
             combined.unpersist()
@@ -278,6 +283,7 @@ class _StreamView:
         })
         self._gc("pending", new_version)
         self._gc(self._STATE, new_version)
+        self._gc("aux", new_version)
 
 
 class MaterializedAggregate(_StreamView):
@@ -306,6 +312,28 @@ class MaterializedAggregate(_StreamView):
                    .withColumn("sum_val", F.col("sum_dec").cast("double"))
                    .drop("sum_dec"))
 
+    def _aux(self) -> DataFrame | None:
+        ck = self._checkpoint()
+        return self._read_versioned("aux", ck["version"])
+
+    def read_extrema(self) -> DataFrame | None:
+        """MIN/MAX per group off the maintained value multiset."""
+        aux = self._aux()
+        return None if aux is None else \
+            extrema_from_multiset(aux, self.group_keys)
+
+    def read_quantiles(self, quantiles=(0.5, 0.9, 0.99)) -> DataFrame | None:
+        """Exact nearest-rank quantiles off the maintained multiset."""
+        aux = self._aux()
+        return None if aux is None else \
+            quantiles_from_multiset(aux, self.group_keys, quantiles)
+
+    def read_top_values(self, n: int = 3) -> DataFrame | None:
+        """Per-group heavy hitters off the maintained multiset."""
+        aux = self._aux()
+        return None if aux is None else \
+            top_values_from_multiset(aux, self.group_keys, n)
+
     def _fold(self, prior: DataFrame | None, emit: DataFrame,
               version: int) -> None:
         cl = self._changelog(emit)
@@ -319,6 +347,15 @@ class MaterializedAggregate(_StreamView):
                        F.sum("n_rows").cast("long").alias("n_rows")))
         merged.write.mode("overwrite").parquet(
             self._vdir(self._STATE, version))
+        # the value multiset (serving MIN/MAX, exact quantiles, heavy
+        # hitters) folds additively alongside the sums
+        aux_partial = value_multiset(cl, self.group_keys)
+        prior_aux = self._aux()
+        aux = (aux_partial if prior_aux is None
+               else prior_aux.unionByName(aux_partial)
+               .groupBy(*self.group_keys, "v")
+               .agg(F.sum("live_count").cast("long").alias("live_count")))
+        aux.write.mode("overwrite").parquet(self._vdir("aux", version))
         # PK liveness state advances with the same applied rows
         self.pk_state.apply_batch(compaction.compact_last_image(emit))
 
