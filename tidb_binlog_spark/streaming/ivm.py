@@ -211,14 +211,23 @@ class _StreamView:
             # applies them out of order (drainer/merge.go:318-329);
             # here they land in a dead-letter zone with their verdict
             dead = classified.filter(F.col("order_status") != "ok")
-            dead.write.mode("append").parquet(
-                os.path.join(self.root, "deadletter"))
+            # partitioned by batch id and OVERWRITTEN, so a crash
+            # replay rewrites the same partition instead of appending
+            # duplicates
+            dead.write.mode("overwrite").parquet(
+                os.path.join(self.root, "deadletter",
+                             f"batch={batch_id}"))
             dead_counts = {r["order_status"]: r["n"] for r in
                            dead.groupBy("order_status")
                            .agg(F.count(F.lit(1)).alias("n")).collect()}
             if wm is None:
+                # nothing can apply yet, but the verdicts stand:
+                # quarantined rows die now (they were dead-lettered
+                # above; parking them would double-count on re-entry)
+                # and heartbeat ts live in the cursors
                 emit = ok.limit(0)
-                park = combined
+                park = (ok.filter(F.col("op") != "FAKE")
+                          .drop("order_status"))
             else:
                 # heartbeat rows (op FAKE, pump/server.go:467-526)
                 # advance cursors and the watermark — that is their
