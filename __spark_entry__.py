@@ -1218,6 +1218,41 @@ def q_cdc_incremental_topvals(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("v").alias("val_bucket"), "live_count"))
 
 
+# a slowly-changing dimension DERIVED from events (shared SQL): every
+# 20th event re-tiers one account; the current image is the last
+# change per account
+DIM_CHANGES_SELECT = """
+SELECT event_id                          AS d_arrival,
+       user_id % 50                      AS account,
+       event_id * 10                     AS d_ts,
+       CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'gold'
+            WHEN 1 THEN 'silver' ELSE 'bronze' END AS tier
+FROM events WHERE event_id % 20 = 7
+"""
+
+
+def q_cdc_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-join IVM: revenue per dimension TIER maintained
+    from fact deltas alone — per-account partial sums (level 1, from
+    the changelog) broadcast-joined to the current dimension image
+    (level 2); raw facts never join the dimension, and a re-tiered
+    account moves its whole partial at read time. Oracle joins the
+    applied fact snapshot to the same dimension image directly."""
+    ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
+    cl = (incremental_agg.coherent_changelog(ok)
+          .withColumn("account", F.col("pk") % 50))
+    load_tables(spark, sf_dir, "events")
+    dimch = spark.sql(DIM_CHANGES_SELECT)
+    from pyspark.sql import Window as W
+    w = W.partitionBy("account").orderBy(F.desc("d_ts"),
+                                         F.desc("d_arrival"))
+    dim_last = (dimch.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).select("account", "tier"))
+    return (incremental_agg.maintain_join_aggregate(
+                cl, dim_last, ["account"], ["tier"])
+            .select("tier", "n_rows", "sum_val"))
+
+
 def q_events_overlap_bursts(spark, sf_dir):
     """Interval x interval overlap join: per-user activity sessions
     (non-error, 30 min gap) overlapped with error bursts (errors,
@@ -1570,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_extrema": q_cdc_incremental_extrema,
         "cdc_incremental_quantiles": q_cdc_incremental_quantiles,
         "cdc_incremental_topvals": q_cdc_incremental_topvals,
+        "cdc_incremental_join_agg": q_cdc_incremental_join_agg,
         "text_pii_scrub": q_text_pii_scrub,
         "corpus_url_domains": q_corpus_url_domains,
         "snapshot_rollup_revenue": q_snapshot_rollup_revenue,
@@ -1825,6 +1861,34 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_urls,
                    COUNT(DISTINCT doc_id) AS n_docs
             FROM u GROUP BY 1
+        """,
+        # independent derivation: the engine never joins raw facts to
+        # the dimension (per-account partials broadcast-joined); the
+        # oracle joins the applied snapshot to the dimension directly
+        "cdc_incremental_join_agg": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            last AS (
+              SELECT db, tbl, pk, val, op,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY db, tbl, pk
+                         ORDER BY commit_ts DESC, seq DESC,
+                                  arrival_seq DESC) AS rn
+              FROM ok),
+            live AS (
+              SELECT pk % 50 AS account, val
+              FROM last WHERE rn = 1 AND op <> 'D'),
+            dimch AS ({DIM_CHANGES_SELECT}),
+            dim_last AS (
+              SELECT account, tier FROM (
+                SELECT account, tier, ROW_NUMBER() OVER (
+                    PARTITION BY account
+                    ORDER BY d_ts DESC, d_arrival DESC) AS rn2
+                FROM dimch) WHERE rn2 = 1)
+            SELECT d.tier AS tier, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(l.val AS DECIMAL(38,6))) AS DOUBLE)
+                       AS sum_val
+            FROM live l LEFT JOIN dim_last d ON l.account = d.account
+            GROUP BY d.tier
         """,
         # independent derivation: the engine ranks bucket refcounts
         # maintained from deltas; the oracle counts the applied

@@ -1249,3 +1249,41 @@ def test_multiset_quantiles_rank_through_refcounts(spark):
     r = quantiles_from_multiset(aux, ["db", "tbl"]).collect()[0]
     assert (r["n_live"], r["p50_val"], r["p90_val"], r["p99_val"]) \
         == (10, 1.0, 1.0, 100.0)   # dead 50.0 invisible
+
+
+def test_join_aggregate_ivm_retier_moves_partial(spark):
+    """Aggregate-over-join IVM: a dimension attribute change moves the
+    foreign key's WHOLE partial between groups; unmatched fks surface
+    as the NULL group; facts never meet the dimension (broadcast join
+    over aggregated partials only)."""
+    from tidb_binlog_spark.operators.incremental_agg import (
+        coherent_changelog, maintain_join_aggregate)
+    rows = [
+        ("d", "t", 100, 10, 0, 0, "I", 5.0),   # account A
+        ("d", "t", 101, 20, 0, 1, "I", 2.0),   # account B
+        ("d", "t", 100, 30, 0, 2, "U", 7.0),
+        ("d", "t", 102, 40, 0, 3, "I", 1.5),   # account C: no dim row
+    ]
+    schema = ("db string, tbl string, pk long, commit_ts long, "
+              "seq int, arrival_seq long, op string, val double")
+    cl = (coherent_changelog(spark.createDataFrame(rows, schema))
+          .withColumn("account", F.col("pk")))
+    dim1 = spark.createDataFrame(
+        [(100, "gold"), (101, "silver")], "account long, tier string")
+    view = {r["tier"]: (r["n_rows"], r["sum_val"])
+            for r in maintain_join_aggregate(
+                cl, dim1, ["account"], ["tier"]).collect()}
+    assert view == {"gold": (1, 7.0), "silver": (1, 2.0),
+                    None: (1, 1.5)}
+    # re-tier account 100: its whole partial moves, facts untouched
+    dim2 = spark.createDataFrame(
+        [(100, "silver"), (101, "silver")], "account long, tier string")
+    df = maintain_join_aggregate(cl, dim2, ["account"], ["tier"])
+    view2 = {r["tier"]: (r["n_rows"], r["sum_val"])
+             for r in df.collect()}
+    assert view2 == {"silver": (2, 9.0), None: (1, 1.5)}
+    plan = (df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])   # AQE prints both plans
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # shuffles: pk changelog window, fk partials, dim-group regroup
+    assert plan.count("Exchange hashpartitioning") <= 3, plan

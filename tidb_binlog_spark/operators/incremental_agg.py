@@ -208,3 +208,36 @@ def top_values_from_multiset(aux: DataFrame, group_keys: list[str],
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= n)
             .select(*group_keys, "rank", "v", "live_count"))
+
+
+def maintain_join_aggregate(fact_changelog: DataFrame,
+                            dim_last: DataFrame,
+                            fk_cols: list[str],
+                            dim_group_cols: list[str],
+                            val_col: str = "val",
+                            old_col: str = "old_val",
+                            op_col: str = "eff_op") -> DataFrame:
+    """Aggregate-over-join IVM: SUM/COUNT per DIMENSION attribute,
+    maintained without ever joining raw facts to the dimension.
+
+    Two-level maintenance (the standard warehouse decomposition):
+    level 1 is the per-foreign-key partial sum table, maintained
+    purely from fact deltas (self-maintainable, #distinct-fk rows);
+    level 2 joins those partials to the CURRENT dimension image and
+    regroups — a broadcast join over #fk rows, never #fact rows.
+    A dimension row changing its attribute moves the fk's whole
+    partial between groups at the next read; fact churn touches only
+    level 1. Unmatched foreign keys surface as a NULL group (left
+    join), never silently dropped.
+    """
+    fk_sums = maintain_group_aggregates(
+        fact_changelog, fk_cols, val_col=val_col, old_col=old_col,
+        op_col=op_col, drop_empty=False, as_decimal=True)
+    return (fk_sums
+            .join(F.broadcast(dim_last), fk_cols, "left")
+            .groupBy(*dim_group_cols)
+            .agg(F.sum("sum_dec").cast("decimal(38,6)").alias("_s"),
+                 F.sum("n_rows").cast("long").alias("n_rows"))
+            .filter(F.col("n_rows") > 0)
+            .withColumn("sum_val", F.col("_s").cast("double"))
+            .drop("_s"))
