@@ -1073,3 +1073,26 @@ def test_ivm_dynamic_source_offline_unblocks_watermark(spark, tmp_path):
     assert view._checkpoint()["watermark"] == 50
     assert {(r["n_rows"], r["sum_val"])
             for r in view.read().collect()} == {(2, 10.0)}
+
+
+def test_ivm_stream_read_joined_dimension(spark, tmp_path):
+    """Streaming two-level join IVM: the view maintained per foreign
+    key, the dimension applied at read time — a re-tier between reads
+    moves whole partials with no fact reprocessing."""
+    from tidb_binlog_spark.streaming.ivm import MaterializedAggregate
+    view = MaterializedAggregate(spark, str(tmp_path / "state"),
+                                 group_keys=("pk",))
+    view.apply_batch(make_changes(
+        spark, [(1, "s0", 10, "I", 100, 0, 5.0),
+                (2, "s0", 20, "I", 101, 0, 2.0),
+                (3, "s0", 30, "U", 100, 0, 7.0)]), 0)
+    dim = spark.createDataFrame(
+        [(100, "gold"), (101, "silver")], "pk long, tier string")
+    got = {r["tier"]: (r["n_rows"], r["sum_val"])
+           for r in view.read_joined(dim, ["tier"]).collect()}
+    assert got == {"gold": (1, 7.0), "silver": (1, 2.0)}
+    dim2 = spark.createDataFrame(
+        [(100, "silver"), (101, "silver")], "pk long, tier string")
+    got2 = {r["tier"]: (r["n_rows"], r["sum_val"])
+            for r in view.read_joined(dim2, ["tier"]).collect()}
+    assert got2 == {"silver": (2, 9.0)}

@@ -343,6 +343,26 @@ class MaterializedAggregate(_StreamView):
         return None if aux is None else \
             top_values_from_multiset(aux, self.group_keys, n)
 
+    def read_joined(self, dim_last: DataFrame,
+                    dim_group_cols: list[str]) -> DataFrame | None:
+        """Aggregate-over-join at read time: broadcast-join the
+        maintained per-key partials (NOT raw facts) to the current
+        dimension image and regroup — a re-keyed dimension row moves
+        its whole partial with zero fact work. Maintain the view with
+        ``group_keys`` = the foreign key for this to be the two-level
+        IVM decomposition (operators/incremental_agg.maintain_join_
+        aggregate)."""
+        agg = self._state()
+        if agg is None:
+            return None
+        return (agg.join(F.broadcast(dim_last), self.group_keys, "left")
+                .groupBy(*dim_group_cols)
+                .agg(F.sum("sum_dec").cast("decimal(38,6)").alias("_s"),
+                     F.sum("n_rows").cast("long").alias("n_rows"))
+                .filter(F.col("n_rows") > 0)
+                .withColumn("sum_val", F.col("_s").cast("double"))
+                .drop("_s"))
+
     def _fold(self, prior: DataFrame | None, emit: DataFrame,
               version: int) -> None:
         cl = self._changelog(emit)
