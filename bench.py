@@ -50,6 +50,7 @@ HEADLINE = [
     "cdc_time_travel",           # as-of read over the history
     "cdc_scd2_incremental",      # split-apply SCD2 maintenance
     "cdc_incremental_agg",       # delta-maintained group aggregates
+    "cdc_incremental_join_agg",  # two-level fact x dim IVM
     "snapshot_rollup_revenue",   # grouping-sets Expand aggregate
     "text_pii_scrub",            # regex scrub projection
     "text_profile",              # all per-doc text metrics, projection-joined
