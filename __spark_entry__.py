@@ -1218,6 +1218,19 @@ def q_cdc_incremental_topvals(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("v").alias("val_bucket"), "live_count"))
 
 
+def q_cdc_incremental_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean and population variance per (db, tbl) maintained from
+    change deltas — COUNT/SUM/SUM-of-squares are all self-maintainable
+    (exact DECIMAL telescoping), so second-moment statistics need zero
+    extra state. Oracle computes the identical decimal sums over the
+    applied snapshot and the same final double expression."""
+    ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
+    cl = incremental_agg.coherent_changelog(ok)
+    return (incremental_agg.maintain_group_moments(cl, ["db", "tbl"])
+            .select("db", "tbl", "n_rows", "sum_val", "mean_val",
+                    "var_val"))
+
+
 # a slowly-changing dimension DERIVED from events (shared SQL): every
 # 20th event re-tiers one account; the current image is the last
 # change per account
@@ -1606,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_quantiles": q_cdc_incremental_quantiles,
         "cdc_incremental_topvals": q_cdc_incremental_topvals,
         "cdc_incremental_join_agg": q_cdc_incremental_join_agg,
+        "cdc_incremental_moments": q_cdc_incremental_moments,
         "text_pii_scrub": q_text_pii_scrub,
         "corpus_url_domains": q_corpus_url_domains,
         "snapshot_rollup_revenue": q_snapshot_rollup_revenue,
@@ -1861,6 +1875,33 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_urls,
                    COUNT(DISTINCT doc_id) AS n_docs
             FROM u GROUP BY 1
+        """,
+        # identical exact decimal sums from the applied snapshot, same
+        # final double expression — the deltas must telescope to them
+        "cdc_incremental_moments": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            last AS (
+              SELECT db, tbl, pk, val, op,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY db, tbl, pk
+                         ORDER BY commit_ts DESC, seq DESC,
+                                  arrival_seq DESC) AS rn
+              FROM ok),
+            sums AS (
+              SELECT db, tbl, COUNT(*) AS n_rows,
+                     CAST(SUM(CAST(val AS DECIMAL(38,6)))
+                          AS DOUBLE) AS s,
+                     CAST(SUM(CAST(CAST(val AS DECIMAL(18,6))
+                                   * CAST(val AS DECIMAL(18,6))
+                                   AS DECIMAL(38,12)))
+                          AS DOUBLE) AS ss
+              FROM last WHERE rn = 1 AND op <> 'D'
+              GROUP BY db, tbl)
+            SELECT db, tbl, n_rows, s AS sum_val,
+                   s / CAST(n_rows AS DOUBLE) AS mean_val,
+                   (ss - s * s / CAST(n_rows AS DOUBLE))
+                       / CAST(n_rows AS DOUBLE) AS var_val
+            FROM sums
         """,
         # independent derivation: the engine never joins raw facts to
         # the dimension (per-account partials broadcast-joined); the

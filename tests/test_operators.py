@@ -1287,3 +1287,27 @@ def test_join_aggregate_ivm_retier_moves_partial(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     # shuffles: pk changelog window, fk partials, dim-group regroup
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_incremental_moments_match_bruteforce(spark):
+    """Second moments maintained through insert/update/delete deltas
+    equal the brute-force mean/variance of the surviving rows."""
+    import statistics
+
+    from tidb_binlog_spark.operators.incremental_agg import (
+        coherent_changelog, maintain_group_moments)
+    rows = [
+        ("d", "t", 1, 10, 0, 0, "I", 2.0),
+        ("d", "t", 2, 20, 0, 1, "I", 8.0),
+        ("d", "t", 3, 30, 0, 2, "I", 5.0),
+        ("d", "t", 2, 40, 0, 3, "U", 4.0),
+        ("d", "t", 3, 50, 0, 4, "D", 5.0),
+    ]
+    schema = ("db string, tbl string, pk long, commit_ts long, "
+              "seq int, arrival_seq long, op string, val double")
+    cl = coherent_changelog(spark.createDataFrame(rows, schema))
+    r = maintain_group_moments(cl, ["db", "tbl"]).collect()[0]
+    live = [2.0, 4.0]
+    assert r["n_rows"] == 2 and r["sum_val"] == 6.0
+    assert abs(r["mean_val"] - statistics.mean(live)) < 1e-12
+    assert abs(r["var_val"] - statistics.pvariance(live)) < 1e-12

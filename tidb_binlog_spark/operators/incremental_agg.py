@@ -241,3 +241,55 @@ def maintain_join_aggregate(fact_changelog: DataFrame,
             .filter(F.col("n_rows") > 0)
             .withColumn("sum_val", F.col("_s").cast("double"))
             .drop("_s"))
+
+
+def maintain_group_moments(changelog: DataFrame,
+                           group_keys: list[str],
+                           val_col: str = "val",
+                           old_col: str = "old_val",
+                           op_col: str = "eff_op",
+                           drop_empty: bool = True,
+                           as_decimal: bool = False) -> DataFrame:
+    """Maintain the first two moments per group from deltas: COUNT,
+    SUM, and SUM of squares are all self-maintainable, so mean /
+    variance / stddev come with zero extra state. Squares are exact
+    DECIMAL(38,12) (inputs are DECIMAL(38,6), so products carry 12
+    fractional digits exactly and telescope in any order); the
+    variance read is the standard population form
+    ``(ss - s^2/n) / n`` computed at the very end in DOUBLE.
+    """
+    dec, dec2 = "decimal(38,6)", "decimal(38,12)"
+    new_v = F.col(val_col).cast(dec)
+    old_v = F.col(old_col).cast(dec)
+    # squares multiply (18,6) operands -> (37,12): exact, no engine
+    # hits its 38-digit cap (a (38,6)x(38,6) product would force a
+    # silent scale reduction on Spark and an overflow on DuckDB)
+    new_s = F.col(val_col).cast("decimal(18,6)")
+    old_s = F.col(old_col).cast("decimal(18,6)")
+    d1 = (F.when(F.col(op_col) == "I", new_v)
+           .when(F.col(op_col) == "U", new_v - old_v)
+           .otherwise(-old_v))
+    d2 = (F.when(F.col(op_col) == "I", (new_s * new_s).cast(dec2))
+           .when(F.col(op_col) == "U",
+                 (new_s * new_s).cast(dec2) - (old_s * old_s).cast(dec2))
+           .otherwise(-(old_s * old_s).cast(dec2)))
+    cnt = (F.when(F.col(op_col) == "I", F.lit(1))
+            .when(F.col(op_col) == "U", F.lit(0))
+            .otherwise(F.lit(-1)))
+    out = (changelog
+           .groupBy(*group_keys)
+           .agg(F.sum(d1).cast(dec).alias("sum_dec"),
+                F.sum(d2).cast(dec2).alias("sumsq_dec"),
+                F.sum(cnt).cast("long").alias("n_rows")))
+    if drop_empty:
+        out = out.filter(F.col("n_rows") > 0)
+    if as_decimal:
+        return out
+    s = F.col("sum_dec").cast("double")
+    ss = F.col("sumsq_dec").cast("double")
+    n = F.col("n_rows").cast("double")
+    return (out.withColumn("mean_val", s / n)
+               .withColumn("var_val", (ss - s * s / n) / n)
+               .select(*group_keys, "n_rows",
+                       F.col("sum_dec").cast("double").alias("sum_val"),
+                       "mean_val", "var_val"))
