@@ -730,6 +730,28 @@ def q_snapshot_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_name", "o_year", "n_orders", "revenue"))
 
 
+def q_snapshot_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority over the replica: unshipped
+    BUILDING-segment orders ranked by revenue. The small filtered
+    dimension broadcasts; the orders-lineitem join shuffles on the
+    order key; top-10 compiles to TakeOrderedAndProject (per-partition
+    heap, never a global sort). Exact decimal revenue both engines."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cut = "TIMESTAMP '1998-06-01 00:00:00'"
+    rev_expr = ("CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * "
+                "CAST(1 - l_discount AS DECIMAL(18,6)) "
+                "AS DECIMAL(38,12))")
+    rev = (t["lineitem"].filter(F.expr(f"l_shipdate > {cut}"))
+           .join(t["orders"].filter(F.expr(f"o_orderdate < {cut}")),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(t["customer"]
+                             .filter(F.col("c_mktsegment") == "BUILDING")),
+                 F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+           .agg(F.sum(F.expr(rev_expr)).cast("double").alias("revenue")))
+    return rev.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
 def q_snapshot_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     t = load_tables(spark, sf_dir, "orders", "customer")
@@ -1623,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "corpus_url_domains": q_corpus_url_domains,
         "snapshot_rollup_revenue": q_snapshot_rollup_revenue,
+        "snapshot_shipping_priority": q_snapshot_shipping_priority,
         "events_overlap_bursts": q_events_overlap_bursts,
         "events_rolling_activity": q_events_rolling_activity,
         "events_cohort_retention": q_events_cohort_retention,
@@ -2821,6 +2844,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "snapshot_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                                 * CAST(1 - l_discount AS DECIMAL(18,6))
+                                 AS DECIMAL(38,12))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
         """,
         "snapshot_rollup_revenue": """
             WITH j AS (
