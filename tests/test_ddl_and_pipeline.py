@@ -192,3 +192,18 @@ def test_event_filter_case_sensitivity(spark):
     # allow/block stays insensitive even in sensitive deployments
     kept = flt.filter_allow_block(ch, ignore_rules=[("db0", "")])
     assert kept.count() == 0
+
+
+def test_cache_skip_requires_cache_clause_not_identifier(spark):
+    """ALTER TABLE t CACHE is skipped (drainer/schema.go:333-353), but
+    an identifier merely NAMED cache at statement end must not be."""
+    from tidb_binlog_spark.operators import ddl as ddlmod
+    rows = [("db0", "ALTER TABLE t CACHE"),
+            ("db0", "ALTER TABLE `my t` NOCACHE"),
+            ("db0", "ALTER TABLE t RENAME COLUMN a TO cache")]
+    df = spark.createDataFrame(rows, "db string, ddl_sql string")
+    got = {r["ddl_sql"]: r["should_skip"]
+           for r in ddlmod.classify_ddl(df).collect()}
+    assert got["ALTER TABLE t CACHE"] is True
+    assert got["ALTER TABLE `my t` NOCACHE"] is True
+    assert got["ALTER TABLE t RENAME COLUMN a TO cache"] is False

@@ -32,8 +32,11 @@ UNSUPPORTED_DDL_PATTERNS = [
     "^CREATE RESOURCE GROUP",
     "^ALTER RESOURCE GROUP",
     "^DROP RESOURCE GROUP",
-    "^ALTER TABLE .* CACHE$",
-    "^ALTER TABLE .* NOCACHE$",
+    # exactly ALTER TABLE <name> [NO]CACHE — ".* CACHE$" would also
+    # match e.g. "RENAME COLUMN a TO cache" (an identifier, not the
+    # cache clause); the name is one bare token or one backtick run
+    "^ALTER TABLE (`[^`]+`|[^ ]+) CACHE$",
+    "^ALTER TABLE (`[^`]+`|[^ ]+) NOCACHE$",
     "^SELECT SETVAL",
     "^LOCK TABLES",
     "^UNLOCK TABLES",
