@@ -5,6 +5,7 @@ Read-only commands over a change log / snapshot table:
 
   status <sf_dir|change_log>   per-source watermarks + heartbeat progress
   checkpoint <table_root>      snapshot table version + commit-ts cursor
+  view-status <view_root>      maintained-view cursors/watermark/audit
   replay <dump_dir> <start_ts> <stop_ts>   count replayable events in range
 
 Node operations over a registry file (binlogctl/nodes.go command
@@ -75,6 +76,18 @@ def main() -> int:
         from tidb_binlog_spark.registry import NodeRegistry
         print(json.dumps(NodeRegistry(target).update_state(
             sys.argv[3], sys.argv[4])))
+        return 0
+
+    if cmd == "view-status":
+        # maintained-view ops surface: version, per-source cursors,
+        # watermark, quarantine counters (streaming/ivm checkpoint)
+        ck_path = os.path.join(target, "view_checkpoint.json")
+        if not os.path.exists(ck_path):
+            print(json.dumps({"error": "no view checkpoint",
+                              "root": target}))
+            return 1
+        with open(ck_path) as f:
+            print(json.dumps(json.load(f)))
         return 0
 
     if cmd == "checkpoint":
