@@ -1240,6 +1240,31 @@ def q_cdc_incremental_topvals(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("v").alias("val_bucket"), "live_count"))
 
 
+def q_cdc_incremental_agg_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The map-model twin of cdc_incremental_agg: deltas extracted
+    from full row images (values/old_values string maps — the DML
+    shape a real binlog feed arrives in, pkg/loader/model.go:50-64).
+    Same independent snapshot oracle, so the element_at/cast
+    extraction path is verified end to end."""
+    ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
+    cl = incremental_agg.coherent_changelog(ok)
+    val_s = F.col("val").cast("string")
+    old_s = F.col("old_val").cast("string")
+    wide = (cl.withColumn(
+                "values", F.create_map(F.lit("pk"),
+                                       F.col("pk").cast("string"),
+                                       F.lit("val"), val_s))
+              .withColumn(
+                "old_values",
+                F.when(old_s.isNotNull(),
+                       F.create_map(F.lit("pk"),
+                                    F.col("pk").cast("string"),
+                                    F.lit("val"), old_s))))
+    out = incremental_agg.maintain_group_aggregates_wide(
+        wide, ["db", "tbl"], field="val")
+    return out.select("db", "tbl", "n_rows", "sum_val")
+
+
 def q_cdc_incremental_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean and population variance per (db, tbl) maintained from
     change deltas — COUNT/SUM/SUM-of-squares are all self-maintainable
@@ -1696,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally oracle-green, they rotate in next round)
         "corpus_source_report": q_corpus_source_report,
         "dedup_chunk_minhash": q_dedup_chunk_minhash,
+        "cdc_incremental_agg_wide": q_cdc_incremental_agg_wide,
         # -- r3-green fillers (below the window; oldest-cited operators)
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1777,6 +1803,22 @@ def _gap_sessions_cte(pred: str, gap_ns: int, prefix: str) -> str:
       SELECT user_id, {prefix}_no, MIN(ts_ns) AS {prefix}_start,
              MAX(ts_ns) AS {prefix}_end, COUNT(*) AS n_{prefix}
       FROM {prefix}_n GROUP BY 1, 2)"""
+
+
+_INC_AGG_ORACLE_SQL = f"""
+    {CHANGES_CTE}, {_OK_CTE},
+    last AS (
+      SELECT db, tbl, pk, val, op,
+             ROW_NUMBER() OVER (
+                 PARTITION BY db, tbl, pk
+                 ORDER BY commit_ts DESC, seq DESC,
+                          arrival_seq DESC) AS rn
+      FROM ok)
+    SELECT db, tbl, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS sum_val
+    FROM last WHERE rn = 1 AND op <> 'D'
+    GROUP BY db, tbl
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2026,22 +2068,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # independent derivation: the engine never materializes the
         # snapshot (pure delta aggregation); the oracle applies
-        # last-image-wins and aggregates the applied state
-        "cdc_incremental_agg": f"""
-            {CHANGES_CTE}, {_OK_CTE},
-            last AS (
-              SELECT db, tbl, pk, val, op,
-                     ROW_NUMBER() OVER (
-                         PARTITION BY db, tbl, pk
-                         ORDER BY commit_ts DESC, seq DESC,
-                                  arrival_seq DESC) AS rn
-              FROM ok)
-            SELECT db, tbl, COUNT(*) AS n_rows,
-                   CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE)
-                       AS sum_val
-            FROM last WHERE rn = 1 AND op <> 'D'
-            GROUP BY db, tbl
-        """,
+        # last-image-wins and aggregates the applied state. The wide
+        # (map-model) twin must telescope to the same answer.
+        "cdc_incremental_agg": _INC_AGG_ORACLE_SQL,
+        "cdc_incremental_agg_wide": _INC_AGG_ORACLE_SQL,
         # independent derivation: last-image-wins apply of the prefix
         # commit_ts <= T, not the history-filter the engine runs
         "cdc_time_travel": f"""

@@ -293,3 +293,35 @@ def maintain_group_moments(changelog: DataFrame,
                .select(*group_keys, "n_rows",
                        F.col("sum_dec").cast("double").alias("sum_val"),
                        "mean_val", "var_val"))
+
+
+def maintain_group_aggregates_wide(changelog: DataFrame,
+                                   group_keys: list[str],
+                                   field: str,
+                                   values_col: str = "values",
+                                   old_values_col: str = "old_values",
+                                   op_col: str = "eff_op",
+                                   drop_empty: bool = True) -> DataFrame:
+    """The map-model twin of ``maintain_group_aggregates``: deltas
+    extracted from the reference's full row images
+    (``Values``/``OldValues`` string maps, pkg/loader/model.go:50-64)
+    — the shape a real binlog feed arrives in. One element_at + cast
+    per row, then the identical group-keyed DECIMAL fold.
+    """
+    dec = "decimal(38,6)"
+    new_v = F.element_at(F.col(values_col), field).cast(dec)
+    old_v = F.element_at(F.col(old_values_col), field).cast(dec)
+    delta = (F.when(F.col(op_col) == "I", new_v)
+              .when(F.col(op_col) == "U", new_v - old_v)
+              .otherwise(-old_v))
+    cnt = (F.when(F.col(op_col) == "I", F.lit(1))
+            .when(F.col(op_col) == "U", F.lit(0))
+            .otherwise(F.lit(-1)))
+    out = (changelog
+           .groupBy(*group_keys)
+           .agg(F.sum(delta).alias("_s"),
+                F.sum(cnt).cast("long").alias("n_rows")))
+    if drop_empty:
+        out = out.filter(F.col("n_rows") > 0)
+    return (out.withColumn("sum_val", F.col("_s").cast("double"))
+               .drop("_s"))
