@@ -1650,11 +1650,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # keys (verified in VERDICT r2). This is DRIVER round 4 (last
-    # recorded gate: CORRECTNESS_r03), so the window leads with every
-    # query that has no driver row at all (new + all local additions
-    # since r3) and the seven r3 failures whose repairs need a
-    # recorded green; queries that PASSED in r3 wait below and rotate
-    # back next round (every-other-round discipline).
+    # recorded gate: CORRECTNESS_r03). Priority order: this session's
+    # new operators, the seven r3 FAILURES whose repairs need a
+    # recorded green, then never-driver-checked local additions —
+    # more of those exist than fit, so the tail of that group (from
+    # corpus_full_curation down) waits below the window with local
+    # oracle evidence and rotates in next round; r3-green queries sit
+    # below them (every-other-round discipline).
     return {
         # -- new this round: funnel, SCD2 + time travel + incremental, overlap/rolling/cohort, weighted sample
         "events_funnel": q_events_funnel,
@@ -1717,8 +1719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "doc_cdc_chunks": q_doc_cdc_chunks,
         "dedup_containment": q_dedup_containment,
-        # (the two below sit just past the 50-row window this round —
-        # locally oracle-green, they rotate in next round)
+        # (everything from corpus_full_curation down sits past the
+        # 50-row window this round — locally oracle-green, never
+        # driver-checked; they rotate into the window next round)
         "corpus_source_report": q_corpus_source_report,
         "dedup_chunk_minhash": q_dedup_chunk_minhash,
         "cdc_incremental_agg_wide": q_cdc_incremental_agg_wide,

@@ -200,10 +200,14 @@ def test_cache_skip_requires_cache_clause_not_identifier(spark):
     from tidb_binlog_spark.operators import ddl as ddlmod
     rows = [("db0", "ALTER TABLE t CACHE"),
             ("db0", "ALTER TABLE `my t` NOCACHE"),
+            ("db0", "ALTER TABLE `my db`.`my t` CACHE"),
+            ("db0", "ALTER TABLE db1.t2 NOCACHE"),
             ("db0", "ALTER TABLE t RENAME COLUMN a TO cache")]
     df = spark.createDataFrame(rows, "db string, ddl_sql string")
     got = {r["ddl_sql"]: r["should_skip"]
            for r in ddlmod.classify_ddl(df).collect()}
     assert got["ALTER TABLE t CACHE"] is True
     assert got["ALTER TABLE `my t` NOCACHE"] is True
+    assert got["ALTER TABLE `my db`.`my t` CACHE"] is True
+    assert got["ALTER TABLE db1.t2 NOCACHE"] is True
     assert got["ALTER TABLE t RENAME COLUMN a TO cache"] is False

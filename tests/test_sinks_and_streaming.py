@@ -1026,6 +1026,14 @@ def test_ivm_stream_heartbeats_advance_but_never_fold(spark, tmp_path):
            for r in view.read().collect()}
     assert got == {("db0", "t"): (1, 7.0)}
     assert view._checkpoint()["watermark"] == 120
+    # the heartbeat advanced s1's ORDER cursor too: an s1 row arriving
+    # after its own ts-130 heartbeat with a lower ts is disorder
+    view.apply_batch(make_changes(
+        spark, [(5, "s1", 110, "U", 1, 0, 99.0)]), 3)
+    got = {(r["db"], r["tbl"]): (r["n_rows"], r["sum_val"])
+           for r in view.read().collect()}
+    assert got == {("db0", "t"): (1, 7.0)}     # 99.0 never applied
+    assert view._checkpoint()["audit"].get("disorder", 0) >= 1
 
 
 def test_ivm_replay_of_same_batch_is_noop(spark, tmp_path):
@@ -1096,3 +1104,35 @@ def test_ivm_stream_read_joined_dimension(spark, tmp_path):
     got2 = {r["tier"]: (r["n_rows"], r["sum_val"])
             for r in view.read_joined(dim2, ["tier"]).collect()}
     assert got2 == {"silver": (2, 9.0)}
+
+
+def test_ivm_crash_between_fold_and_checkpoint_replays_exactly(spark, tmp_path):
+    """Crash AFTER the state folds but BEFORE the view checkpoint
+    commits: the replayed batch must re-derive from the PRE-batch
+    state (every state piece — aggregate, multiset, PK liveness — is
+    versioned on the ONE checkpoint, so the half-written version is
+    simply overwritten)."""
+    import shutil as _sh
+
+    from tidb_binlog_spark.streaming.ivm import MaterializedAggregate
+    root = str(tmp_path / "state")
+    view = MaterializedAggregate(spark, root)
+    view.apply_batch(make_changes(
+        spark, [(1, "s0", 10, "I", 1, 0, 2.0)]), 0)
+    ckpt = os.path.join(root, "view_checkpoint.json")
+    saved = open(ckpt).read()
+    view.apply_batch(make_changes(
+        spark, [(2, "s0", 20, "I", 2, 0, 3.0),
+                (3, "s0", 30, "U", 1, 0, 5.0)]), 1)
+    # simulate the crash: state dirs for v2 exist, checkpoint rolled
+    # back to v1 (the atomic-commit boundary)
+    with open(ckpt, "w") as f:
+        f.write(saved)
+    view.apply_batch(make_changes(
+        spark, [(2, "s0", 20, "I", 2, 0, 3.0),
+                (3, "s0", 30, "U", 1, 0, 5.0)]), 1)   # replay
+    got = {r["db"]: (r["n_rows"], r["sum_val"])
+           for r in view.read().collect()}
+    assert got == {"db0": (2, 8.0)}       # 5.0 + 3.0, once
+    ext = view.read_extrema().collect()[0]
+    assert (ext["min_val"], ext["max_val"]) == (3.0, 5.0)

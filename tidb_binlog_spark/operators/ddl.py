@@ -34,9 +34,10 @@ UNSUPPORTED_DDL_PATTERNS = [
     "^DROP RESOURCE GROUP",
     # exactly ALTER TABLE <name> [NO]CACHE — ".* CACHE$" would also
     # match e.g. "RENAME COLUMN a TO cache" (an identifier, not the
-    # cache clause); the name is one bare token or one backtick run
-    "^ALTER TABLE (`[^`]+`|[^ ]+) CACHE$",
-    "^ALTER TABLE (`[^`]+`|[^ ]+) NOCACHE$",
+    # cache clause); the optionally db-qualified name is bare tokens
+    # or backtick runs (backticked parts may contain spaces)
+    "^ALTER TABLE (`[^`]+`|[^ .]+)(\\.(`[^`]+`|[^ ]+))? CACHE$",
+    "^ALTER TABLE (`[^`]+`|[^ .]+)(\\.(`[^`]+`|[^ ]+))? NOCACHE$",
     "^SELECT SETVAL",
     "^LOCK TABLES",
     "^UNLOCK TABLES",

@@ -233,6 +233,15 @@ def maintain_join_aggregate(fact_changelog: DataFrame,
     fk_sums = maintain_group_aggregates(
         fact_changelog, fk_cols, val_col=val_col, old_col=old_col,
         op_col=op_col, drop_empty=False, as_decimal=True)
+    return regroup_partials(fk_sums, dim_last, fk_cols, dim_group_cols)
+
+
+def regroup_partials(fk_sums: DataFrame, dim_last: DataFrame,
+                     fk_cols: list[str],
+                     dim_group_cols: list[str]) -> DataFrame:
+    """Level 2 of the join IVM, shared by the batch operator and the
+    streaming read: broadcast-join the per-key PARTIALS (sum_dec,
+    n_rows) to the current dimension image and regroup."""
     return (fk_sums
             .join(F.broadcast(dim_last), fk_cols, "left")
             .groupBy(*dim_group_cols)

@@ -61,10 +61,9 @@ from ..operators.incremental_agg import (coherent_changelog,
                                          extrema_from_multiset,
                                          maintain_group_aggregates,
                                          quantiles_from_multiset,
+                                         regroup_partials,
                                          top_values_from_multiset,
                                          value_multiset)
-from ..sinks.table_sink import SnapshotTable
-
 
 def classify_with_cursor(spark: SparkSession, batch_df: DataFrame,
                          applied_max: dict) -> DataFrame:
@@ -194,6 +193,7 @@ class _StreamView:
         pending = self._read_versioned("pending", ck["version"])
         combined = (batch_df if pending is None
                     else batch_df.unionByName(pending)).persist()
+        classified = None
         try:
             seen = advance_cursors(combined, ck["seen_max"])
             srcs = self._current_sources()
@@ -202,8 +202,11 @@ class _StreamView:
                       if srcs and all(s in seen for s in srcs) else None)
             else:
                 wm = min(seen.values()) if seen else None
-            if wm is not None and ck["watermark"] is not None:
-                wm = max(wm, ck["watermark"])    # never regresses
+            if ck["watermark"] is not None:
+                # never regresses — including THROUGH a blocked round
+                # (wm None must not erase the persisted watermark)
+                wm = ck["watermark"] if wm is None \
+                    else max(wm, ck["watermark"])
             classified = classify_with_cursor(
                 self.spark, combined, ck["applied_max"]).persist()
             ok = classified.filter(F.col("order_status") == "ok")
@@ -252,10 +255,15 @@ class _StreamView:
             stats = dict(ck.get("audit", {}))
             for k, v in dead_counts.items():
                 stats[k] = stats.get(k, 0) + int(v)
+            cursor_rows = ok.filter(
+                (F.col("op") == "FAKE")
+                | ((F.col("commit_ts") <= wm) if wm is not None
+                   else F.lit(False)))
             self._save_checkpoint({
                 "version": new_version,
                 "seen_max": seen,
-                "applied_max": advance_cursors(emit, ck["applied_max"]),
+                "applied_max": advance_cursors(cursor_rows,
+                                               ck["applied_max"]),
                 "watermark": wm,
                 "audit": stats,
                 "last_batch_id": batch_id,
@@ -263,9 +271,11 @@ class _StreamView:
             self._gc("pending", new_version)
             self._gc(self._STATE, new_version)
             self._gc("aux", new_version)
-            classified.unpersist()
+            self._gc("pkstate", new_version)
         finally:
             combined.unpersist()
+            if classified is not None:
+                classified.unpersist()
 
     def flush(self) -> None:
         """Force-apply the pending zone (end-of-stream finalization
@@ -307,8 +317,6 @@ class MaterializedAggregate(_StreamView):
         super().__init__(spark, root, sources=sources)
         self.group_keys = list(group_keys)
         self.pk_keys = list(pk_keys)
-        self.pk_state = SnapshotTable(spark, os.path.join(root, "pkstate"),
-                                      key_cols=tuple(pk_keys))
 
     def read(self) -> DataFrame | None:
         """The maintained view: (group_keys..., n_rows, sum_val);
@@ -355,13 +363,8 @@ class MaterializedAggregate(_StreamView):
         agg = self._state()
         if agg is None:
             return None
-        return (agg.join(F.broadcast(dim_last), self.group_keys, "left")
-                .groupBy(*dim_group_cols)
-                .agg(F.sum("sum_dec").cast("decimal(38,6)").alias("_s"),
-                     F.sum("n_rows").cast("long").alias("n_rows"))
-                .filter(F.col("n_rows") > 0)
-                .withColumn("sum_val", F.col("_s").cast("double"))
-                .drop("_s"))
+        return regroup_partials(agg, dim_last, self.group_keys,
+                                dim_group_cols)
 
     def _fold(self, prior: DataFrame | None, emit: DataFrame,
               version: int) -> None:
@@ -374,6 +377,11 @@ class MaterializedAggregate(_StreamView):
                   .agg(F.sum("sum_dec").cast("decimal(38,6)")
                         .alias("sum_dec"),
                        F.sum("n_rows").cast("long").alias("n_rows")))
+        # exact-zero rows prune safely (absent == zero for any future
+        # delta) — without this, state grows with every group EVER
+        # seen instead of staying bounded by live groups
+        merged = merged.filter((F.col("n_rows") != 0)
+                               | (F.col("sum_dec") != 0))
         merged.write.mode("overwrite").parquet(
             self._vdir(self._STATE, version))
         # the value multiset (serving MIN/MAX, exact quantiles, heavy
@@ -384,15 +392,37 @@ class MaterializedAggregate(_StreamView):
                else prior_aux.unionByName(aux_partial)
                .groupBy(*self.group_keys, "v")
                .agg(F.sum("live_count").cast("long").alias("live_count")))
+        aux = aux.filter(F.col("live_count") != 0)
         aux.write.mode("overwrite").parquet(self._vdir("aux", version))
-        # PK liveness state advances with the same applied rows
-        self.pk_state.apply_batch(compaction.compact_last_image(emit))
+        # PK liveness state advances with the same applied rows — as a
+        # view-versioned directory, NOT a self-committing table: every
+        # state piece becomes visible atomically with the ONE view
+        # checkpoint, so a crash-replayed batch re-derives its
+        # changelog from the PRE-batch liveness (a SnapshotTable with
+        # its own checkpoint would already hold the batch's images and
+        # re-image the replay's inserts into no-op updates)
+        prior_pk = self._read_versioned("pkstate",
+                                        self._checkpoint()["version"])
+        batch_last = compaction.compact_last_image(emit)
+        if prior_pk is None:
+            new_pk = batch_last
+        else:
+            from pyspark.sql import Window
+            w = Window.partitionBy(*self.pk_keys).orderBy(
+                F.desc("commit_ts"), F.desc("seq"), F.desc("arrival_seq"))
+            new_pk = (prior_pk.unionByName(batch_last,
+                                           allowMissingColumns=True)
+                      .withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") == 1).drop("_rn"))
+        new_pk.write.mode("overwrite").parquet(
+            self._vdir("pkstate", version))
 
     def _changelog(self, emit: DataFrame) -> DataFrame:
         """coherent_changelog with PK liveness seeded from state:
         live rows seed op 'I', tombstones seed op 'D', both at
         arrival_seq = -1 so they only feed the lag window."""
-        state = self.pk_state._read_full()
+        state = self._read_versioned("pkstate",
+                                     self._checkpoint()["version"])
         if state is None:
             return coherent_changelog(emit)
         seed = (state.select(
@@ -436,6 +466,20 @@ class MaterializedSCD2(_StreamView):
             self._vdir(self._STATE, version))
 
 
+def _run_view_stream(view: _StreamView, source_dir: str,
+                     checkpoint_dir: str, available_now: bool,
+                     max_files_per_trigger: int | None):
+    from .pipeline import read_change_stream
+    stream = read_change_stream(view.spark, source_dir,
+                                max_files_per_trigger=max_files_per_trigger)
+    writer = (stream.writeStream
+              .foreachBatch(view.apply_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_ivm_stream(spark: SparkSession, source_dir: str, state_root: str,
                    checkpoint_dir: str, available_now: bool = True,
                    max_files_per_trigger: int | None = None,
@@ -445,17 +489,10 @@ def run_ivm_stream(spark: SparkSession, source_dir: str, state_root: str,
     landing zone. Returns the StreamingQuery; read the result with
     ``MaterializedAggregate(spark, state_root).read()`` afterwards
     (``.flush()`` first if every source is known complete)."""
-    from .pipeline import read_change_stream
     view = MaterializedAggregate(spark, state_root, group_keys=group_keys,
                                  sources=sources)
-    stream = read_change_stream(spark, source_dir,
-                                max_files_per_trigger=max_files_per_trigger)
-    writer = (stream.writeStream
-              .foreachBatch(view.apply_batch)
-              .option("checkpointLocation", checkpoint_dir))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _run_view_stream(view, source_dir, checkpoint_dir,
+                            available_now, max_files_per_trigger)
 
 
 def run_scd2_stream(spark: SparkSession, source_dir: str, state_root: str,
@@ -463,13 +500,6 @@ def run_scd2_stream(spark: SparkSession, source_dir: str, state_root: str,
                     max_files_per_trigger: int | None = None,
                     sources: tuple[str, ...] | None = None):
     """SCD2 history maintenance as one streaming query."""
-    from .pipeline import read_change_stream
     view = MaterializedSCD2(spark, state_root, sources=sources)
-    stream = read_change_stream(spark, source_dir,
-                                max_files_per_trigger=max_files_per_trigger)
-    writer = (stream.writeStream
-              .foreachBatch(view.apply_batch)
-              .option("checkpointLocation", checkpoint_dir))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _run_view_stream(view, source_dir, checkpoint_dir,
+                            available_now, max_files_per_trigger)
