@@ -1265,6 +1265,44 @@ def q_cdc_incremental_agg_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("db", "tbl", "n_rows", "sum_val")
 
 
+# deterministic fact sample for the temporal join (shared SQL)
+TEMPORAL_FACTS_SELECT = """
+SELECT event_id            AS fact_id,
+       user_id             AS pk,
+       event_id * 10 + 3   AS fact_ts
+FROM events WHERE event_id % 7 = 0
+"""
+
+
+def q_cdc_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) join: each fact row joined to the SCD2
+    dimension VERSION valid at the fact's own timestamp — composed
+    from scd2_history + the bucketed point-in-interval join (no
+    inequality-join explosion; open current intervals capped at the
+    max fact ts before bucket-explode so the candidate set stays
+    bounded). Oracle is DuckDB's native inequality LEFT join."""
+    from tidb_binlog_spark.operators import rangejoin
+    ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
+    hist = (scd2.scd2_history(ok)
+            .filter((F.col("db") == "db1") & (F.col("tbl") == "ptest"))
+            .select("pk", "val", "valid_from", "valid_to"))
+    load_tables(spark, sf_dir, "events")
+    facts = spark.sql(TEMPORAL_FACTS_SELECT)
+    cap = facts.agg(F.max("fact_ts").alias("_cap"))
+    hist_b = (hist.crossJoin(F.broadcast(cap))
+              .withColumn("valid_end",
+                          F.least(F.coalesce(F.col("valid_to") - 1,
+                                             F.col("_cap")),
+                                  F.col("_cap")))
+              .filter(F.col("valid_from") <= F.col("valid_end"))
+              .drop("_cap"))
+    j = rangejoin.point_in_interval_join(
+        facts, hist_b, on=["pk"], point_ts="fact_ts",
+        start_col="valid_from", end_col="valid_end",
+        bucket_width=4096, how="left")
+    return j.select("fact_id", "pk", "fact_ts", "val", "valid_from")
+
+
 def q_cdc_incremental_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean and population variance per (db, tbl) maintained from
     change deltas — COUNT/SUM/SUM-of-squares are all self-maintainable
@@ -1725,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_report": q_corpus_source_report,
         "dedup_chunk_minhash": q_dedup_chunk_minhash,
         "cdc_incremental_agg_wide": q_cdc_incremental_agg_wide,
+        "cdc_temporal_join": q_cdc_temporal_join,
         # -- r3-green fillers (below the window; oldest-cited operators)
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -2075,6 +2114,24 @@ def oracle_sql() -> dict[str, str]:
         # (map-model) twin must telescope to the same answer.
         "cdc_incremental_agg": _INC_AGG_ORACLE_SQL,
         "cdc_incremental_agg_wide": _INC_AGG_ORACLE_SQL,
+        # independent derivation: DuckDB's native inequality LEFT join
+        # vs the engine's bucketed interval join
+        "cdc_temporal_join": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            hist AS (
+              SELECT pk, val, op, commit_ts AS valid_from,
+                     LEAD(commit_ts) OVER (
+                         PARTITION BY db, tbl, pk
+                         ORDER BY commit_ts, seq, arrival_seq)
+                         AS valid_to
+              FROM ok WHERE db = 'db1' AND tbl = 'ptest'),
+            h AS (SELECT * FROM hist WHERE op <> 'D'),
+            facts AS ({TEMPORAL_FACTS_SELECT})
+            SELECT f.fact_id, f.pk, f.fact_ts, h.val, h.valid_from
+            FROM facts f LEFT JOIN h
+              ON h.pk = f.pk AND h.valid_from <= f.fact_ts
+             AND (h.valid_to IS NULL OR f.fact_ts < h.valid_to)
+        """,
         # independent derivation: last-image-wins apply of the prefix
         # commit_ts <= T, not the history-filter the engine runs
         "cdc_time_travel": f"""
