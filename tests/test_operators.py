@@ -1311,3 +1311,28 @@ def test_incremental_moments_match_bruteforce(spark):
     assert r["n_rows"] == 2 and r["sum_val"] == 6.0
     assert abs(r["mean_val"] - statistics.mean(live)) < 1e-12
     assert abs(r["var_val"] - statistics.pvariance(live)) < 1e-12
+
+
+def test_temporal_join_exclusive_boundary_and_open_interval(spark):
+    """A fact at EXACTLY a version's valid_to belongs to the NEXT
+    version ([from, to) exclusivity); facts after the last version hit
+    the open current interval; pre-history facts match nothing."""
+    from tidb_binlog_spark.operators import rangejoin
+    hist = spark.createDataFrame(
+        [(1, 10.0, 100, 200), (1, 20.0, 200, None)],
+        "pk long, val double, valid_from long, valid_to long")
+    cap = 10_000
+    h = (hist.withColumn(
+            "valid_end",
+            F.least(F.coalesce(F.col("valid_to") - 1, F.lit(cap)),
+                    F.lit(cap)))
+         .filter(F.col("valid_from") <= F.col("valid_end")))
+    facts = spark.createDataFrame(
+        [(1, 1, 50), (2, 1, 150), (3, 1, 200), (4, 1, 9999)],
+        "fact_id long, pk long, fact_ts long")
+    got = {r["fact_id"]: r["val"]
+           for r in rangejoin.point_in_interval_join(
+               facts, h, on=["pk"], point_ts="fact_ts",
+               start_col="valid_from", end_col="valid_end",
+               bucket_width=256, how="left").collect()}
+    assert got == {1: None, 2: 10.0, 3: 20.0, 4: 20.0}
