@@ -1136,3 +1136,59 @@ def test_ivm_crash_between_fold_and_checkpoint_replays_exactly(spark, tmp_path):
     assert got == {"db0": (2, 8.0)}       # 5.0 + 3.0, once
     ext = view.read_extrema().collect()[0]
     assert (ext["min_val"], ext["max_val"]) == (3.0, 5.0)
+
+
+def test_ivm_property_random_streams_and_splits(spark):
+    """Property: for ANY op sequence over any sources and ANY batch
+    split, the streamed view (+flush) equals the whole-history batch
+    aggregate. Exercises random interleavings the hand fixtures
+    cannot enumerate."""
+    import shutil as _sh
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tidb_binlog_spark.operators.incremental_agg import (
+        coherent_changelog, maintain_group_aggregates)
+    from tidb_binlog_spark.streaming.ivm import MaterializedAggregate
+
+    ev = st.tuples(st.integers(0, 1),          # source
+                   st.integers(0, 3),          # pk
+                   st.sampled_from("IUD"),     # op
+                   st.integers(1, 9))          # value
+    streams = st.lists(ev, min_size=1, max_size=14)
+    cuts = st.lists(st.integers(1, 13), max_size=2, unique=True)
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(streams, cuts)
+    def check(events, cut_points):
+        rows = [(i, f"s{src}", 10 + i * 10, op, pk, 0, float(v))
+                for i, (src, pk, op, v) in enumerate(events)]
+        ch = make_changes(spark, rows)
+        want = {(r["db"], r["tbl"]): (r["n_rows"], round(r["sum_val"], 6))
+                for r in maintain_group_aggregates(
+                    coherent_changelog(ordering.ordered_stream(ch)),
+                    ["db", "tbl"]).collect()}
+        root = tempfile.mkdtemp(prefix="ivm_prop_")
+        try:
+            view = MaterializedAggregate(spark, root)
+            bounds = sorted({c for c in cut_points if c < len(rows)})
+            lo = 0
+            for b, hi in enumerate(bounds + [len(rows)]):
+                batch = rows[lo:hi]
+                if batch:
+                    view.apply_batch(make_changes(spark, batch), b)
+                lo = hi
+            view.flush()
+            got_df = view.read()
+            got = {} if got_df is None else \
+                {(r["db"], r["tbl"]): (r["n_rows"],
+                                       round(r["sum_val"], 6))
+                 for r in got_df.collect()}
+            assert got == want, (rows, bounds)
+        finally:
+            _sh.rmtree(root, ignore_errors=True)
+
+    check()
