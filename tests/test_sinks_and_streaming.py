@@ -1192,3 +1192,55 @@ def test_ivm_property_random_streams_and_splits(spark):
             _sh.rmtree(root, ignore_errors=True)
 
     check()
+
+
+def test_scd2_stream_property_random_streams_and_splits(spark):
+    """Property: streamed SCD2 history (+flush) equals the batch
+    recompute for ANY op interleaving over two sources and ANY batch
+    split — the watermark gate must order every cross-source per-key
+    hazard."""
+    import shutil as _sh
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tidb_binlog_spark.operators.scd2 import scd2_history
+    from tidb_binlog_spark.streaming.ivm import MaterializedSCD2
+
+    ev = st.tuples(st.integers(0, 1), st.integers(0, 2),
+                   st.sampled_from("IUD"), st.integers(1, 9))
+    streams = st.lists(ev, min_size=2, max_size=12)
+    cuts = st.lists(st.integers(1, 11), max_size=2, unique=True)
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(streams, cuts)
+    def check(events, cut_points):
+        rows = [(i, f"s{src}", 10 + i * 10, op, pk, 0, float(v))
+                for i, (src, pk, op, v) in enumerate(events)]
+        ch = make_changes(spark, rows)
+        want = sorted((r["pk"], r["valid_from"], r["valid_to"],
+                       r["is_current"], r["val"])
+                      for r in scd2_history(
+                          ordering.ordered_stream(ch)).collect())
+        root = tempfile.mkdtemp(prefix="scd2_prop_")
+        try:
+            view = MaterializedSCD2(spark, root, sources=("s0", "s1"))
+            bounds = sorted({c for c in cut_points if c < len(rows)})
+            lo = 0
+            for b, hi in enumerate(bounds + [len(rows)]):
+                if rows[lo:hi]:
+                    view.apply_batch(make_changes(spark, rows[lo:hi]), b)
+                lo = hi
+            view.flush()
+            hist = view.read()
+            got = [] if hist is None else \
+                sorted((r["pk"], r["valid_from"], r["valid_to"],
+                        r["is_current"], r["val"])
+                       for r in hist.collect())
+            assert got == want, (rows, bounds)
+        finally:
+            _sh.rmtree(root, ignore_errors=True)
+
+    check()
