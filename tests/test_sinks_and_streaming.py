@@ -1244,3 +1244,26 @@ def test_scd2_stream_property_random_streams_and_splits(spark):
             _sh.rmtree(root, ignore_errors=True)
 
     check()
+
+
+def test_scd2_history_retention_gc(spark, tmp_path):
+    """gc_history drops only versions fully closed at or before the
+    safepoint; current rows and reads above it are untouched, and
+    maintenance continues normally afterwards."""
+    from tidb_binlog_spark.streaming.ivm import MaterializedSCD2
+    view = MaterializedSCD2(spark, str(tmp_path / "state"))
+    view.apply_batch(make_changes(
+        spark, [(1, "s0", 10, "I", 1, 0, 1.0),
+                (2, "s0", 20, "U", 1, 0, 2.0),
+                (3, "s0", 30, "U", 1, 0, 3.0)]), 0)
+    assert view.read().count() == 3
+    view.gc_history(20)     # [10,20) dies; [20,30) and [30,None) live
+    got = sorted((r["valid_from"], r["valid_to"])
+                 for r in view.read().collect())
+    assert got == [(20, 30), (30, None)]
+    # maintenance keeps working on the compacted history
+    view.apply_batch(make_changes(
+        spark, [(4, "s0", 40, "D", 1, 0, 3.0)]), 1)
+    got = sorted((r["valid_from"], r["valid_to"], r["is_current"])
+                 for r in view.read().collect())
+    assert got == [(20, 30, False), (30, 40, False)]

@@ -465,6 +465,32 @@ class MaterializedSCD2(_StreamView):
         hist.write.mode("overwrite").parquet(
             self._vdir(self._STATE, version))
 
+    def gc_history(self, safe_ts: int) -> None:
+        """Retention GC over the maintained history — the at-rest
+        analog of the reference's GC safepoint (pump
+        storage.go:663-798: never reclaim what a consumer may still
+        read): CLOSED versions whose interval ended at or before
+        ``safe_ts`` drop; open/current rows and anything a time-travel
+        read at ts > safe_ts could touch survive. Commits as a normal
+        version advance (atomic with the view checkpoint)."""
+        ck = self._checkpoint()
+        hist = self._state()
+        if hist is None:
+            return
+        kept = hist.filter(F.col("valid_to").isNull()
+                           | (F.col("valid_to") > safe_ts))
+        new_version = ck["version"] + 1
+        kept.write.mode("overwrite").parquet(
+            self._vdir(self._STATE, new_version))
+        pending = self._read_versioned("pending", ck["version"])
+        if pending is not None:   # carry the zone; absent stays absent
+            pending.write.mode("overwrite").parquet(
+                self._vdir("pending", new_version))
+        ck["version"] = new_version
+        self._save_checkpoint(ck)
+        self._gc("pending", new_version)
+        self._gc(self._STATE, new_version)
+
 
 def _run_view_stream(view: _StreamView, source_dir: str,
                      checkpoint_dir: str, available_now: bool,
