@@ -1265,6 +1265,19 @@ def q_cdc_incremental_agg_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("db", "tbl", "n_rows", "sum_val")
 
 
+def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained cube: COUNT/SUM at EVERY granularity of
+    (db, tbl) — per-table, per-db subtotal, grand total — from change
+    deltas in ONE pass (rollup on the delta aggregation; sums
+    telescope per grouping set exactly as per group). Oracle applies
+    the snapshot and ROLLUPs it."""
+    ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
+    cl = incremental_agg.coherent_changelog(ok)
+    out = incremental_agg.maintain_group_aggregates(
+        cl, ["db", "tbl"], rollup=True)
+    return out.select("db", "tbl", "n_rows", "sum_val")
+
+
 # deterministic fact sample for the temporal join (shared SQL)
 TEMPORAL_FACTS_SELECT = """
 SELECT event_id            AS fact_id,
@@ -1764,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunk_minhash": q_dedup_chunk_minhash,
         "cdc_incremental_agg_wide": q_cdc_incremental_agg_wide,
         "cdc_temporal_join": q_cdc_temporal_join,
+        "cdc_incremental_rollup": q_cdc_incremental_rollup,
         # -- r3-green fillers (below the window; oldest-cited operators)
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -2114,6 +2128,21 @@ def oracle_sql() -> dict[str, str]:
         # (map-model) twin must telescope to the same answer.
         "cdc_incremental_agg": _INC_AGG_ORACLE_SQL,
         "cdc_incremental_agg_wide": _INC_AGG_ORACLE_SQL,
+        "cdc_incremental_rollup": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            last AS (
+              SELECT db, tbl, pk, val, op,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY db, tbl, pk
+                         ORDER BY commit_ts DESC, seq DESC,
+                                  arrival_seq DESC) AS rn
+              FROM ok)
+            SELECT db, tbl, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE)
+                       AS sum_val
+            FROM last WHERE rn = 1 AND op <> 'D'
+            GROUP BY ROLLUP (db, tbl)
+        """,
         # independent derivation: DuckDB's native inequality LEFT join
         # vs the engine's bucketed interval join
         "cdc_temporal_join": f"""

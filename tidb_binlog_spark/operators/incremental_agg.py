@@ -77,7 +77,8 @@ def maintain_group_aggregates(changelog: DataFrame,
                               old_col: str = "old_val",
                               op_col: str = "eff_op",
                               drop_empty: bool = True,
-                              as_decimal: bool = False) -> DataFrame:
+                              as_decimal: bool = False,
+                              rollup: bool = False) -> DataFrame:
     """Maintain COUNT(*) and SUM(val) per group purely from deltas.
 
     insert: +val / +1 row; update: +(val - old_val) / +0;
@@ -100,10 +101,13 @@ def maintain_group_aggregates(changelog: DataFrame,
     cnt = (F.when(F.col(op_col) == "I", F.lit(1))
             .when(F.col(op_col) == "U", F.lit(0))
             .otherwise(F.lit(-1)))
-    out = (changelog
-           .groupBy(*group_keys)
-           .agg(F.sum(delta).alias("sum_dec"),
-                F.sum(cnt).cast("long").alias("n_rows")))
+    # rollup=True maintains EVERY granularity of the cube in the same
+    # single pass: deltas telescope per grouping set just as they do
+    # per group (Catalyst plans one Expand + one aggregate)
+    grouped = (changelog.rollup(*group_keys) if rollup
+               else changelog.groupBy(*group_keys))
+    out = grouped.agg(F.sum(delta).alias("sum_dec"),
+                      F.sum(cnt).cast("long").alias("n_rows"))
     if drop_empty:
         out = out.filter(F.col("n_rows") > 0)
     if as_decimal:
