@@ -414,6 +414,15 @@ class MaterializedAggregate(_StreamView):
                                            allowMissingColumns=True)
                       .withColumn("_rn", F.row_number().over(w))
                       .filter(F.col("_rn") == 1).drop("_rn"))
+        # tombstones below the min applied cursor can never matter:
+        # the order gate quarantines anything older, and any future
+        # emitted change is newer and wins regardless — pruning them
+        # keeps PK state bounded by LIVE keys, not all keys ever seen
+        cursors = self._checkpoint().get("applied_max") or {}
+        if cursors:
+            floor_ts = min(int(v) for v in cursors.values())
+            new_pk = new_pk.filter((F.col("op") != "D")
+                                   | (F.col("commit_ts") >= floor_ts))
         new_pk.write.mode("overwrite").parquet(
             self._vdir("pkstate", version))
 
