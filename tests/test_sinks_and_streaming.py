@@ -1267,3 +1267,28 @@ def test_scd2_history_retention_gc(spark, tmp_path):
     got = sorted((r["valid_from"], r["valid_to"], r["is_current"])
                  for r in view.read().collect())
     assert got == [(20, 30, False), (30, 40, False)]
+
+
+def test_ivm_read_joined_as_of_dimension_version(spark, tmp_path):
+    """Composition: the maintained per-FK partials regrouped against
+    the dimension AS OF any timestamp (scd2.snapshot_as_of over the
+    dimension history) — the join view time-travels with zero fact
+    work."""
+    from tidb_binlog_spark.operators import scd2 as scd2mod
+    from tidb_binlog_spark.streaming.ivm import MaterializedAggregate
+    view = MaterializedAggregate(spark, str(tmp_path / "state"),
+                                 group_keys=("pk",))
+    view.apply_batch(make_changes(
+        spark, [(1, "s0", 10, "I", 100, 0, 5.0),
+                (2, "s0", 20, "I", 101, 0, 2.0)]), 0)
+    # dimension history: account 100 was gold until ts 1000, silver after
+    hist = spark.createDataFrame(
+        [(100, "gold", 0, 1000), (100, "silver", 1000, None),
+         (101, "silver", 0, None)],
+        "pk long, tier string, valid_from long, valid_to long")
+    def tiers_at(ts):
+        dim = hist.filter(scd2mod.as_of_predicate(ts)).select("pk", "tier")
+        return {r["tier"]: (r["n_rows"], r["sum_val"])
+                for r in view.read_joined(dim, ["tier"]).collect()}
+    assert tiers_at(500) == {"gold": (1, 5.0), "silver": (1, 2.0)}
+    assert tiers_at(1500) == {"silver": (2, 7.0)}
