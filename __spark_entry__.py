@@ -36,7 +36,8 @@ from tidb_binlog_spark.functions import kvcodec
 from tidb_binlog_spark.operators import causality, ddl, batching, scd2
 from tidb_binlog_spark.operators import incremental_agg
 from tidb_binlog_spark.plans.pipeline import ReplicationConfig, build_pipeline
-from tidb_binlog_spark.sinks import sqlgen, payload
+from tidb_binlog_spark.sinks import kafka, pbcodec, sqlgen, payload
+from tidb_binlog_spark.functions import bpe
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -635,6 +636,67 @@ def q_sink_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (parsed.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("arrival_seq", "commit_ts", "op", "db", "tbl", "pk", "seq"))
+
+
+def q_sink_kafka_obinlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka transport over the REAL secondary-binlog protobuf wire:
+    change stream -> kafka_frame (one marshalled Binlog per txn, nil
+    key, manual partition 0) -> simulated broker echo -> arbiter-side
+    decode back to typed mutation rows with old images
+    (drainer/translator/kafka.go:38-150 out, drainer/sync/kafka.go
+    transport, pkg/loader/translate.go in). Subsampled %7 because the
+    frame funnels through the reference's own single-producer
+    total-order contract."""
+    from pyspark.sql import Window
+    ch = (_spark_changes(spark, sf_dir)
+          .filter(F.col("arrival_seq") % 7 == 0))
+    frame = kafka.kafka_frame(ch, cluster_id=42)
+    # what the broker hands back: assigned offsets + the value bytes
+    w = Window.partitionBy("partition").orderBy("value")
+    echoed = frame.withColumn("offset",
+                              F.row_number().over(w).cast("long"))
+    # consumers fan the single-partition topic back out: the decode
+    # need not inherit the producer's one-task layout
+    echoed = echoed.repartition(
+        spark.sparkContext.defaultParallelism)
+    decoded = kafka.decode_kafka_batch(echoed)
+    return decoded.select("commit_ts", "db", "tbl", "op", "pk", "val",
+                          "k", "old_val", "old_k")
+
+
+def q_cdc_reparo_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pb-dump file sink -> reparo replay with commit-ts range
+    pruning, over the REAL wire format: changes marshalled into
+    pb_binlog protobuf records (magic + length + CRC32C framing),
+    written as .pb files bucketed by ts range, then scanned back with
+    the reparo-equivalent reader and a BETWEEN prune
+    (drainer/sync/pb.go out, reparo/read.go:28-120 in). Subsampled
+    %11 to bound the per-txn Python assembly; the ts range is integer
+    arithmetic on MAX(commit_ts) so the oracle mirrors it exactly."""
+    import tempfile
+    ch = kafka.with_row_image(
+        _spark_changes(spark, sf_dir)
+        .filter(F.col("arrival_seq") % 11 == 0))
+    path = tempfile.mkdtemp(prefix="reparo_dump_")
+    pbcodec.write_pb_dump(ch, path)
+    mx = int(ch.agg(F.max("commit_ts")).first()[0])
+    return pbcodec.read_pb_dump(spark, path,
+                                start_ts=mx * 2 // 10,
+                                stop_ts=mx * 8 // 10)
+
+
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenization: merges learned driver-side from
+    the BOUNDED word-frequency head (min_count=2 + capped top-K pushed
+    into Spark before the collect), then applied corpus-wide through
+    an Arrow-batched mapInPandas. Genuinely non-SQL-expressible
+    (iterative merge application) -> rows-only driver check; exact
+    learner/encoder equivalence is pytest-covered
+    (test_functions.py::test_bpe_*)."""
+    docs = _docs(spark, sf_dir)
+    merges = bpe.learn_bpe(docs, n_merges=40, min_count=2)
+    return (bpe.bpe_encode(docs, merges)
+            .select("doc_id", "n_words", "n_bpe_tokens"))
 
 
 def q_sink_bulk_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1700,92 +1762,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # keys (verified in VERDICT r2). This is DRIVER round 4 (last
-    # recorded gate: CORRECTNESS_r03). Priority order: this session's
-    # new operators, the seven r3 FAILURES whose repairs need a
-    # recorded green, then never-driver-checked local additions —
-    # more of those exist than fit, so the tail of that group (from
-    # corpus_full_curation down) waits below the window with local
-    # oracle evidence and rotates in next round; r3-green queries sit
-    # below them (every-other-round discipline).
+    # keys (verified in VERDICT r2). This is DRIVER round 5 (last
+    # recorded gate: CORRECTNESS_r04, 50/50 green). Rotation: (1) the
+    # nine queries that have NEVER had a driver row (VERDICT r4 item
+    # 1), (2) this round's new operators, (3) every r3-green query
+    # (their evidence is now two rounds old) — 9 + 3 + 38 = exactly
+    # 50. Every r4-green query rests below the window this round and
+    # rotates back in r6 (the every-other-round discipline).
     return {
-        # -- new this round: funnel, SCD2 + time travel + incremental, overlap/rolling/cohort, weighted sample
-        "events_funnel": q_events_funnel,
-        "cdc_scd2_history": q_cdc_scd2_history,
-        "cdc_time_travel": q_cdc_time_travel,
-        "cdc_scd2_incremental": q_cdc_scd2_incremental,
-        "cdc_incremental_agg": q_cdc_incremental_agg,
-        "cdc_incremental_extrema": q_cdc_incremental_extrema,
-        "cdc_incremental_quantiles": q_cdc_incremental_quantiles,
-        "cdc_incremental_topvals": q_cdc_incremental_topvals,
-        "cdc_incremental_join_agg": q_cdc_incremental_join_agg,
-        "cdc_incremental_moments": q_cdc_incremental_moments,
-        "text_pii_scrub": q_text_pii_scrub,
-        "corpus_url_domains": q_corpus_url_domains,
-        "snapshot_rollup_revenue": q_snapshot_rollup_revenue,
-        "snapshot_shipping_priority": q_snapshot_shipping_priority,
-        "events_overlap_bursts": q_events_overlap_bursts,
-        "events_rolling_activity": q_events_rolling_activity,
-        "events_cohort_retention": q_events_cohort_retention,
-        "text_weighted_sample": q_text_weighted_sample,
-        # -- never driver-checked: late prior-session additions
-        "corpus_length_quantiles": q_corpus_length_quantiles,
-        "text_strip_spans": q_text_strip_spans,
-        "events_asof_attribution": q_events_asof_attribution,
-        "events_session_stitch": q_events_session_stitch,
-        "corpus_split": q_corpus_split,
-        "dedup_quality_canonicals": q_dedup_quality_canonicals,
-        # -- FAILED r3, repaired: the fixes still need a recorded driver row
-        "cdc_progress": q_cdc_progress,
-        "cdc_type_format": q_cdc_type_format,
-        "text_profile": q_text_profile,
-        "mm_assets": q_mm_assets,
-        "sink_payload_roundtrip": q_sink_payload_roundtrip,
-        "sink_sql_generation": q_sink_sql_generation,
-        "events_sessionize": q_events_sessionize,
-        # -- retired at r3 with only r2 evidence (VERDICT r3 item 10)
-        "dedup_simhash": q_dedup_simhash,
-        "cdc_truncated_drop": q_cdc_truncated_drop,
-        "dedup_minhash_clusters": q_dedup_minhash_clusters,
-        # -- substring-span dedup + span decontam + domain mixing
-        "dedup_substring_spans": q_dedup_substring_spans,
-        "text_decontaminate_spans": q_text_decontaminate_spans,
-        "text_mix_weights": q_text_mix_weights,
-        # -- KV row codec over real pump-format bytes
-        "cdc_kv_decode": q_cdc_kv_decode,
-        "cdc_kv_decode_update": q_cdc_kv_decode_update,
-        "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
-        # -- corpus operators with no driver row yet
-        "text_line_dedup": q_text_line_dedup,
-        "text_bm25": q_text_bm25,
-        "text_unigram_lm": q_text_unigram_lm,
-        "doc_chunks": q_doc_chunks,
-        "doc_shuffle": q_doc_shuffle,
-        "ann_pq_topk": q_ann_pq_topk,
-        "doc_hash_embed": q_doc_hash_embed,
-        "corpus_token_stats": q_corpus_token_stats,
-        "text_bigram_lm": q_text_bigram_lm,
-        "corpus_full_curation": q_corpus_full_curation,
+        # -- never driver-checked until now (VERDICT r4 item 1)
         "ann_doc_lsh": q_ann_doc_lsh,
         "dedup_incremental": q_dedup_incremental,
         "doc_cdc_chunks": q_doc_cdc_chunks,
         "dedup_containment": q_dedup_containment,
-        # (everything from corpus_full_curation down sits past the
-        # 50-row window this round — locally oracle-green, never
-        # driver-checked; they rotate into the window next round)
         "corpus_source_report": q_corpus_source_report,
         "dedup_chunk_minhash": q_dedup_chunk_minhash,
         "cdc_incremental_agg_wide": q_cdc_incremental_agg_wide,
         "cdc_temporal_join": q_cdc_temporal_join,
         "cdc_incremental_rollup": q_cdc_incremental_rollup,
-        # -- r3-green fillers (below the window; oldest-cited operators)
+        # -- new this round: real protobuf bytes on the Kafka wire,
+        # -- pb-dump -> reparo replay over the framed pb files, and
+        # -- the (rows-only) distributed BPE encode
+        "sink_kafka_obinlog": q_sink_kafka_obinlog,
+        "cdc_reparo_replay": q_cdc_reparo_replay,
+        "text_bpe_encode": q_text_bpe_encode,
+        # -- r3-green, refreshing their evidence (all 38)
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "cdc_loopback_filter": q_cdc_loopback_filter,
         "cdc_txn_batches": q_cdc_txn_batches,
-        # -- below the driver's 50-row window (position 51+): all r3-green
-        # -- (or r2+r3-green) with pytest coverage; they rotate back next
-        # -- round per the every-other-round discipline
         "cdc_schema_backfill": q_cdc_schema_backfill,
         "cdc_update_pk_split": q_cdc_update_pk_split,
         "cdc_safe_mode": q_cdc_safe_mode,
@@ -1820,6 +1825,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        # ------------------------------------------------------------
+        # below the driver's 50-row window (position 51+): ALL r4-green
+        # in CORRECTNESS_r04 (50/50), pytest-covered, unchanged since;
+        # they rotate back into the window next round
+        # ------------------------------------------------------------
+        "events_funnel": q_events_funnel,
+        "cdc_scd2_history": q_cdc_scd2_history,
+        "cdc_time_travel": q_cdc_time_travel,
+        "cdc_scd2_incremental": q_cdc_scd2_incremental,
+        "cdc_incremental_agg": q_cdc_incremental_agg,
+        "cdc_incremental_extrema": q_cdc_incremental_extrema,
+        "cdc_incremental_quantiles": q_cdc_incremental_quantiles,
+        "cdc_incremental_topvals": q_cdc_incremental_topvals,
+        "cdc_incremental_join_agg": q_cdc_incremental_join_agg,
+        "cdc_incremental_moments": q_cdc_incremental_moments,
+        "text_pii_scrub": q_text_pii_scrub,
+        "corpus_url_domains": q_corpus_url_domains,
+        "snapshot_rollup_revenue": q_snapshot_rollup_revenue,
+        "snapshot_shipping_priority": q_snapshot_shipping_priority,
+        "events_overlap_bursts": q_events_overlap_bursts,
+        "events_rolling_activity": q_events_rolling_activity,
+        "events_cohort_retention": q_events_cohort_retention,
+        "text_weighted_sample": q_text_weighted_sample,
+        "corpus_length_quantiles": q_corpus_length_quantiles,
+        "text_strip_spans": q_text_strip_spans,
+        "events_asof_attribution": q_events_asof_attribution,
+        "events_session_stitch": q_events_session_stitch,
+        "corpus_split": q_corpus_split,
+        "dedup_quality_canonicals": q_dedup_quality_canonicals,
+        "cdc_progress": q_cdc_progress,
+        "cdc_type_format": q_cdc_type_format,
+        "text_profile": q_text_profile,
+        "mm_assets": q_mm_assets,
+        "sink_payload_roundtrip": q_sink_payload_roundtrip,
+        "sink_sql_generation": q_sink_sql_generation,
+        "events_sessionize": q_events_sessionize,
+        "dedup_simhash": q_dedup_simhash,
+        "cdc_truncated_drop": q_cdc_truncated_drop,
+        "dedup_minhash_clusters": q_dedup_minhash_clusters,
+        "dedup_substring_spans": q_dedup_substring_spans,
+        "text_decontaminate_spans": q_text_decontaminate_spans,
+        "text_mix_weights": q_text_mix_weights,
+        "cdc_kv_decode": q_cdc_kv_decode,
+        "cdc_kv_decode_update": q_cdc_kv_decode_update,
+        "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
+        "text_line_dedup": q_text_line_dedup,
+        "text_bm25": q_text_bm25,
+        "text_unigram_lm": q_text_unigram_lm,
+        "doc_chunks": q_doc_chunks,
+        "doc_shuffle": q_doc_shuffle,
+        "ann_pq_topk": q_ann_pq_topk,
+        "doc_hash_embed": q_doc_hash_embed,
+        "corpus_token_stats": q_corpus_token_stats,
+        "text_bigram_lm": q_text_bigram_lm,
+        "corpus_full_curation": q_corpus_full_curation,
     }
 
 
@@ -2859,6 +2919,27 @@ def oracle_sql() -> dict[str, str]:
                   FROM changes)
             SELECT arrival_seq, commit_ts, op, db, tbl, pk, seq
             FROM r WHERE rn = 1
+        """,
+        "sink_kafka_obinlog": f"""
+            {CHANGES_CTE},
+            w AS (SELECT *,
+                    COALESCE(json_extract_string(row_json, '$.k'), 'nk') AS kx
+                  FROM changes WHERE arrival_seq % 7 = 0)
+            SELECT commit_ts, db, tbl, op, pk, val, kx AS k,
+                   CASE WHEN op = 'U' THEN val - 1 END AS old_val,
+                   CASE WHEN op = 'U' THEN 'old_' || kx END AS old_k
+            FROM w
+        """,
+        "cdc_reparo_replay": f"""
+            {CHANGES_CTE},
+            s AS (SELECT *,
+                    COALESCE(json_extract_string(row_json, '$.k'), 'nk') AS kx
+                  FROM changes WHERE arrival_seq % 11 = 0),
+            b AS (SELECT CAST(MAX(commit_ts) AS BIGINT) * 2 // 10 AS lo,
+                         CAST(MAX(commit_ts) AS BIGINT) * 8 // 10 AS hi
+                  FROM s)
+            SELECT commit_ts, db, tbl, op, pk, val, kx AS k
+            FROM s, b WHERE commit_ts >= lo AND commit_ts <= hi
         """,
         "sink_bulk_batches": f"""
             {CHANGES_CTE}, {_OK_CTE},

@@ -63,6 +63,21 @@ HEADLINE = [
     "snapshot_pricing_summary",  # wide aggregate over lineitem
     "snapshot_revenue_by_nation",# broadcast join chain
     "snapshot_checksum_orders",  # sync-diff style checksum
+    # r5: the nine newly driver-rotated queries record cost in the
+    # same round their first CORRECTNESS row lands (VERDICT r4 item 9)
+    "ann_doc_lsh",               # hash_embed -> LSH -> top-k composition
+    "dedup_incremental",         # anti-join ingest vs persisted index
+    "doc_cdc_chunks",            # content-defined chunking
+    "dedup_containment",         # banded-LSH partial-copy candidates
+    "corpus_source_report",      # per-source corpus aggregate
+    "dedup_chunk_minhash",       # paragraph-level MinHash reuse
+    "cdc_incremental_agg_wide",  # IVM over the wide map model
+    "cdc_temporal_join",         # fact x SCD2 interval join
+    "cdc_incremental_rollup",    # delta-maintained ROLLUP cube
+    # r5: new operators
+    "sink_kafka_obinlog",        # protobuf wire + single-producer frame
+    "cdc_reparo_replay",         # pb dump -> CRC-framed file replay
+    "text_bpe_encode",           # capped BPE learn + Arrow encode
 ]
 
 

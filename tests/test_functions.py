@@ -649,6 +649,52 @@ def test_bpe_learns_frequent_pairs_and_encodes_reversibly(spark):
     assert "newest" + bpe.END in enc[1]["bpe_text"].split()
 
 
+def test_bpe_incremental_learner_matches_naive_greedy(spark):
+    """The index+heap incremental merge loop must produce EXACTLY the
+    merge sequence of the textbook recompute-everything greedy
+    (same counts, same lexicographic tie-break)."""
+    from tidb_binlog_spark.functions import bpe
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lower newest newest newest newest"),
+         (2, "widest widest low newest aaa aaa abab abab abab")],
+        "doc_id long, text string")
+    got = bpe.learn_bpe(docs, n_merges=30)
+    # naive reference: recompute all pair counts every iteration
+    freqs = {r["word"]: r["cnt"]
+             for r in bpe.word_frequencies(docs).collect()}
+    vocab = {tuple(list(w) + [bpe.END]): c for w, c in freqs.items()}
+    want = []
+    for _ in range(30):
+        pairs = bpe._pair_counts(vocab)
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want.append(best)
+        vocab = bpe._merge_vocab(vocab, best)
+    assert got == want
+
+
+def test_bpe_learning_collect_is_capped(spark):
+    """Heavy-tail vocabulary: the driver-side learning table is
+    bounded by max_words/min_count (pushed into Spark BEFORE the
+    collect), and merges learned on the dominating head are unchanged
+    by dropping the tail."""
+    from tidb_binlog_spark.functions import bpe
+    head = "hello world hello world hello spark " * 20
+    # 400 distinct tail "words" (typo/URL-like), each appearing once
+    tail_docs = [(100 + i, f"zq{i}x{i}tail") for i in range(400)]
+    docs = spark.createDataFrame(
+        [(1, head), (2, head)] + tail_docs, "doc_id long, text string")
+    # the cap holds inside Spark: collected table never exceeds it
+    assert bpe.word_frequencies(docs, max_words=10).count() <= 10
+    assert bpe.word_frequencies(docs, min_count=2).count() == 3
+    capped = bpe.learn_bpe(docs, n_merges=15, min_count=2)
+    head_only = spark.createDataFrame(
+        [(1, head), (2, head)], "doc_id long, text string")
+    uncapped_head = bpe.learn_bpe(head_only, n_merges=15)
+    assert capped == uncapped_head
+
+
 def test_bpe_encode_word_property_roundtrip():
     """Pure-python property: for ANY word and ANY learned merge list,
     BPE tokens concatenate back to word + end marker, and applying

@@ -36,6 +36,12 @@ def test_kafka_frame_contract(spark):
     assert all(r["partition"] == 0 for r in rows)       # manual partition 0
     assert all(r["topic"] == "42_obinlog" for r in rows)
     assert all(isinstance(r["value"], (bytes, bytearray)) for r in rows)
+    # default wire: one message PER TRANSACTION (30 events, 30 distinct
+    # commit_ts -> 30 messages), each value a decodable protobuf Binlog
+    from tidb_binlog_spark.sinks import obinlog_pb as ob
+    assert len(rows) == 30
+    decoded = ob.decode_secondary_binlog(bytes(rows[0]["value"]))
+    assert decoded["type"] == ob.DML and decoded["tables"]
 
 
 def test_producer_consumer_options():
@@ -48,17 +54,96 @@ def test_producer_consumer_options():
     assert c["startingOffsets"] == "earliest"
 
 
-def test_produce_decode_roundtrip_without_broker(spark):
-    """kafka_frame -> (simulated broker echo: offset + value) ->
-    decode_kafka_batch reconstructs the change rows exactly."""
+def test_produce_decode_roundtrip_without_broker_json_wire(spark):
+    """JSON stand-in wire: kafka_frame -> (simulated broker echo:
+    offset + value) -> decode_kafka_batch reconstructs the change rows
+    exactly (per-event messages carry seq)."""
     from pyspark.sql import Window
     ch = _ch(spark)
-    frame = kafka.kafka_frame(ch)
+    frame = kafka.kafka_frame(ch, wire="json")
     # what the broker hands back: assigned offsets + the value bytes
     w = Window.partitionBy("partition").orderBy(F.col("value"))
     echoed = frame.withColumn(
         "offset", F.row_number().over(w).cast("long"))
-    decoded = kafka.decode_kafka_batch(echoed)
+    decoded = kafka.decode_kafka_batch(echoed, wire="json")
     got = decoded.select("commit_ts", "op", "db", "tbl", "pk", "seq")
     want = ch.select("commit_ts", "op", "db", "tbl", "pk", "seq")
     assert got.exceptAll(want).union(want.exceptAll(got)).count() == 0
+
+
+def test_produce_decode_roundtrip_protobuf_wire(spark):
+    """Default (protobuf) wire: the value bytes are real secondary-
+    binlog Binlogs; the arbiter-side decode recovers every mutation's
+    typed row and old image, with the broker offset carried through as
+    arrival_seq."""
+    from pyspark.sql import Window
+    ch = _ch(spark)
+    frame = kafka.kafka_frame(ch)
+    w = Window.partitionBy("partition").orderBy(F.col("value"))
+    echoed = frame.withColumn(
+        "offset", F.row_number().over(w).cast("long"))
+    decoded = kafka.decode_kafka_batch(echoed)
+    assert "arrival_seq" in decoded.columns
+    got = decoded.select("commit_ts", "op", "db", "tbl", "pk", "val",
+                         "old_val")
+    # the normalized stream's k rides row_json ('{"k": 1}'); the old
+    # image rule is the wide model's (val-1 for updates)
+    want = ch.select(
+        "commit_ts", "op", "db", "tbl", "pk", "val",
+        F.when(F.col("op") == "U", F.col("val") - 1).alias("old_val"))
+    assert got.exceptAll(want).union(want.exceptAll(got)).count() == 0
+
+
+def test_ack_window_stall_and_resume():
+    """The 90 MB in-flight window (drainer/sync/kafka.go:186-278):
+    a full window refuses sends (producer stalls); acking frees space
+    and the producer resumes."""
+    w = kafka.AckWindow(max_in_flight_bytes=100, ack_timeout_s=30.0)
+    s0 = w.try_send(60, now=0.0)
+    s1 = w.try_send(40, now=1.0)
+    assert s0 == 0 and s1 == 1 and w.in_flight_bytes == 100
+    # window full: the next send stalls
+    assert w.try_send(10, now=2.0) is None
+    # broker acks the first message -> space frees -> send succeeds
+    assert w.ack(s0) == [0]
+    s2 = w.try_send(10, now=3.0)
+    assert s2 == 2 and w.in_flight_bytes == 50
+
+
+def test_ack_window_success_callbacks_fire_in_send_order():
+    """Out-of-order broker acks must not fire out-of-order success
+    callbacks — the saved checkpoint only advances over the contiguous
+    acked prefix (kafka.go success-channel consumption order)."""
+    w = kafka.AckWindow()
+    a, b, c = (w.try_send(10, 0.0) for _ in range(3))
+    assert w.ack(c) == []            # acked, but 0 and 1 still pending
+    assert w.ack(a) == [0]           # prefix [0] fires
+    assert w.ack(b) == [1, 2]        # prefix completes: 1 then 2
+    assert w.committed == [0, 1, 2]
+
+
+def test_ack_window_error_after_timeout():
+    """An unacked message past the 30 s deadline is an ERROR, not a
+    silent wait (kafka.go maxWaitTimeToSendMSG)."""
+    import pytest
+    w = kafka.AckWindow(ack_timeout_s=30.0)
+    s0 = w.try_send(10, now=0.0)
+    w.check_timeouts(now=29.0)       # inside the deadline: fine
+    w.ack(s0)
+    s1 = w.try_send(10, now=40.0)
+    w.check_timeouts(now=69.0)       # the acked one no longer counts
+    with pytest.raises(kafka.KafkaAckTimeout):
+        w.check_timeouts(now=71.0)   # s1 unacked for 31 s
+    assert s1 == 1
+
+
+def test_ack_window_oversize_single_message_still_sends():
+    """A single message larger than the window must not deadlock (the
+    reference sizes max.request.size ABOVE the stall threshold): an
+    empty window always accepts one message."""
+    w = kafka.AckWindow(max_in_flight_bytes=100)
+    s0 = w.try_send(500, now=0.0)    # empty window: accepted
+    assert s0 == 0
+    assert w.try_send(1, now=0.0) is None   # then stalls
+    w.ack(s0)
+    assert w.try_send(1, now=1.0) == 1

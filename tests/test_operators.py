@@ -773,6 +773,116 @@ def test_parse_ddl_property_roundtrip():
     run()
 
 
+def test_parse_ddl_dailytest_corpus():
+    """The reference's randomized daily suite issues these exact DDL
+    shapes mid-DML (tests/dailytest/ddl.go, case.go:386-495, job.go:
+    138-159). Every one must classify correctly with ZERO unaudited
+    skipped columns."""
+    from tidb_binlog_spark.operators import schema_evolution as se
+
+    corpus = {
+        "create database if not exists test":
+            ("create_schema", None),
+        "create table if not exists test.test1"
+        "(id int primary key, v1 int default null)":
+            ("create_table", {"id": None, "v1": "null"}),
+        "drop database test": ("drop_schema", None),
+        "truncate table test.test1": ("truncate", None),
+        "ALTER TABLE growing_cols ADD COLUMN col7 VARCHAR(50);":
+            ("add_column", None),
+        "ALTER TABLE many_cols DROP COLUMN col3;": ("drop_column", None),
+        # index-only DDL is not a catalog column event
+        "ALTER TABLE binlog_pk_add_duplicate_uk ADD UNIQUE INDEX "
+        "aidx(a1);": ("other", None),
+        # job.go:159 — backticked name + AFTER placement
+        "alter table t add column `col9` varchar(45) after col8":
+            ("add_column", None),
+        "create table pkuk(pk int primary key, uk int, v int, "
+        "unique key uk(uk));":
+            ("create_table", {"pk": None, "uk": None, "v": None}),
+        # case.go:486-495 — generated columns (virtual and STORED)
+        "CREATE TABLE gen_contacts (\n"
+        " id INT AUTO_INCREMENT PRIMARY KEY,\n"
+        " first_name VARCHAR(50) NOT NULL,\n"
+        " last_name VARCHAR(50) NOT NULL,\n"
+        " fullname VARCHAR(101) GENERATED ALWAYS AS "
+        "(CONCAT(first_name,' ',last_name)),\n"
+        " initial VARCHAR(101) GENERATED ALWAYS AS "
+        "(CONCAT(LEFT(first_name, 1),' ',LEFT(last_name,1))) STORED\n"
+        ");": ("create_table",
+               {"id": None, "first_name": None, "last_name": None,
+                "fullname": None, "initial": None}),
+        # dailytest.go:31-53 — the three worker tables
+        "create table ptest(a int primary key, b double NOT NULL "
+        "DEFAULT 2.0, c varchar(10) NOT NULL, d time unique);":
+            ("create_table",
+             {"a": None, "b": "2.0", "c": None, "d": None}),
+        "create table itest(a int, b double NOT NULL DEFAULT 2.0, "
+        "c varchar(10) NOT NULL, d time unique, PRIMARY KEY(a, b));":
+            ("create_table",
+             {"a": None, "b": "2.0", "c": None, "d": None}),
+    }
+    for sql, (kind, cols) in corpus.items():
+        p = se.parse_ddl(sql)
+        assert p["kind"] == kind, (sql, p)
+        if cols is not None:
+            assert p["columns"] == cols, (sql, p)
+        assert p.get("skipped_columns", []) == [], (sql, p)
+
+
+def test_parse_ddl_dailytest_shaped_fuzz():
+    """Hypothesis over the dailytest generators' parameter space:
+    growing-cols ADD (with optional backticks and AFTER/FIRST
+    placement, job.go:159), many-cols DROP, and a registry replay of
+    a random add/drop interleave converging to the surviving column
+    set — the DDL-while-DML torture, minus the DML."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from tidb_binlog_spark.operators import schema_evolution as se
+
+    idx = st.integers(0, 300)
+    tick = st.booleans()
+    place = st.sampled_from(["", " FIRST", " AFTER col0"])
+    vtype = st.sampled_from(["VARCHAR(50)", "varchar(45)", "INT",
+                             "DECIMAL(10,2)", "TIMESTAMP"])
+
+    @settings(max_examples=60, deadline=None)
+    @given(i=idx, q=tick, p=place, t=vtype,
+           ops=st.lists(st.tuples(st.booleans(), st.integers(0, 5)),
+                        min_size=1, max_size=12))
+    def run(i, q, p, t, ops):
+        name = f"col{i}"
+        quoted = f"`{name}`" if q else name
+        add = se.parse_ddl(
+            f"ALTER TABLE growing_cols ADD COLUMN {quoted} {t}{p};")
+        assert add["kind"] == "add_column" and add["column"] == name
+        drop = se.parse_ddl(
+            f"ALTER TABLE many_cols DROP COLUMN {quoted};")
+        assert drop["kind"] == "drop_column" and drop["column"] == name
+
+        # registry replay of an interleave (ADD is a no-op re-add on
+        # an existing name; DROP of an absent column is ignored by
+        # parse->apply like the reference's schema tracker)
+        reg = se.SchemaRegistry()
+        events = [(10, "CREATE TABLE t (col0 INT)")]
+        alive = {"col0"}
+        ts = 20
+        for is_add, j in ops:
+            c = f"c{j}"
+            if is_add and c not in alive:
+                events.append((ts, f"ALTER TABLE t ADD COLUMN {c} INT"))
+                alive.add(c)
+            elif not is_add and c in alive and c != "col0":
+                events.append((ts, f"ALTER TABLE t DROP COLUMN {c}"))
+                alive.discard(c)
+            ts += 10
+        reg.apply_ddl_events(events)
+        got = set(reg.columns_at("t", reg.latest_version("t")))
+        assert got == alive
+
+    run()
+
+
 def test_asof_join_inclusive_ties_tolerance_and_null_values(spark):
     from tidb_binlog_spark.operators.asof import asof_join
     left = spark.createDataFrame(

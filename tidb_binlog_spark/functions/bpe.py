@@ -4,10 +4,14 @@ apply them distributed — upgrading the BPE-ish regex token count
 
 Split of labor mirrors production tokenizer training:
 - LEARNING runs on the word-frequency table (Sennrich et al., 2016):
-  the corpus collapses to (word, count) via one distributed groupBy —
-  vocabulary-sized, bounded — and the greedy merge loop runs driver-
-  side over that table. A 100 TB corpus still has a bounded
-  vocabulary; the driver never sees corpus rows.
+  the corpus collapses to (word, count) via one distributed groupBy,
+  then a ``min_count`` filter and a deterministic top-``max_words``
+  cut run INSIDE Spark before the collect — a web-scale corpus has an
+  unbounded long tail of distinct "words" (typos, URLs, hashes), so
+  the driver-side learning table is explicitly capped (default 100k
+  rows ≈ a few MB), exactly how production tokenizer trainers bound
+  their vocab. Merges learned on the frequency head are unchanged by
+  the cut for any tail mass the head dominates.
 - ENCODING is an Arrow-batched pandas UDF over mapInPandas (per-word
   merge application is inherently iterative — not expressible as
   Catalyst array expressions), with the merge ranks broadcast once.
@@ -28,12 +32,22 @@ from .text import with_tokens
 END = "</w>"   # end-of-word marker (standard BPE word-boundary symbol)
 
 
-def word_frequencies(docs: DataFrame) -> DataFrame:
+def word_frequencies(docs: DataFrame, min_count: int = 1,
+                     max_words: int | None = None) -> DataFrame:
     """(word, count) over the whitespace tokens — the only corpus-wide
-    aggregate BPE learning needs."""
-    return (with_tokens(docs)
-            .select(F.explode("toks").alias("word"))
-            .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+    aggregate BPE learning needs. ``min_count`` prunes the long tail
+    map-side-combinably; ``max_words`` keeps the deterministic
+    frequency head (count desc, word asc — a TakeOrderedAndProject,
+    never a full sort) so the collect is bounded no matter the
+    corpus."""
+    wf = (with_tokens(docs)
+          .select(F.explode("toks").alias("word"))
+          .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+    if min_count > 1:
+        wf = wf.filter(F.col("cnt") >= min_count)
+    if max_words is not None:
+        wf = wf.orderBy(F.desc("cnt"), F.asc("word")).limit(max_words)
+    return wf
 
 
 def _pair_counts(vocab: dict[tuple[str, ...], int]) -> Counter:
@@ -62,19 +76,71 @@ def _merge_vocab(vocab: dict[tuple[str, ...], int],
     return out
 
 
-def learn_bpe(docs: DataFrame, n_merges: int = 50) -> list[tuple[str, str]]:
+def learn_bpe(docs: DataFrame, n_merges: int = 50, min_count: int = 1,
+              max_words: int | None = 100_000) -> list[tuple[str, str]]:
     """Learn an ordered merge list from the corpus word-frequency
-    table (greedy most-frequent-pair; ties lexicographic)."""
-    freqs = {r["word"]: r["cnt"] for r in word_frequencies(docs).collect()}
-    vocab = {tuple(list(w) + [END]): c for w, c in freqs.items()}
+    table (greedy most-frequent-pair; ties lexicographic).
+
+    Driver memory bound: the collected table holds at most
+    ``max_words`` rows (default 100k — pass None only for corpora
+    with a provably bounded vocabulary). The merge loop is
+    incremental: each merge rewrites only the words CONTAINING the
+    merged pair (pair->words inverted index) and candidate selection
+    is a lazy max-heap — O(affected) per merge, not O(vocab), so a
+    real 32k-merge vocabulary is tractable."""
+    import heapq
+    from collections import defaultdict
+
+    freqs = {r["word"]: r["cnt"] for r in
+             word_frequencies(docs, min_count, max_words).collect()}
+    vocab: dict[str, tuple[tuple[str, ...], int]] = {
+        w: (tuple(list(w) + [END]), c) for w, c in freqs.items()}
+    pairs: Counter = Counter()
+    index: dict[tuple[str, str], set[str]] = defaultdict(set)
+    for w, (sym, cnt) in vocab.items():
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            pairs[p] += cnt
+            index[p].add(w)
+    # lazy heap: stale entries are skipped when their count no longer
+    # matches; ties break lexicographically like the reference greedy
+    heap = [(-c, p) for p, c in pairs.items()]
+    heapq.heapify(heap)
+
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pairs = _pair_counts(vocab)
-        if not pairs:
+    while len(merges) < n_merges:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if -negc > 0 and pairs.get(p, 0) == -negc:
+                best = p
+                break
+        if best is None:
             break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
-        vocab = _merge_vocab(vocab, best)
+        # rewrite only the words that contain the pair; index entries
+        # can be stale (word rewritten since) — the subtract/re-add is
+        # still a correct net update
+        touched: set[tuple[str, str]] = set()
+        for w in list(index.pop(best, ())):
+            sym, cnt = vocab[w]
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] -= cnt
+                touched.add(p)
+            new_sym = next(iter(_merge_vocab({sym: cnt}, best)))
+            vocab[w] = (new_sym, cnt)
+            for i in range(len(new_sym) - 1):
+                p = (new_sym[i], new_sym[i + 1])
+                pairs[p] += cnt
+                index[p].add(w)
+                touched.add(p)
+        # one fresh heap entry per touched pair at its FINAL count —
+        # decreased pairs need one too, or they could never win again
+        for p in touched:
+            c = pairs.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 

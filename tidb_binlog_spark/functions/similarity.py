@@ -261,17 +261,38 @@ def kmeans_assign(embeddings: DataFrame, centroids: DataFrame,
             .drop("rk", "c_emb"))
 
 
-def semantic_dedup(embeddings: DataFrame, k: int = 16, iters: int = 3,
+def semantic_dedup(embeddings: DataFrame, k: int | None = None,
+                   iters: int = 3,
                    threshold: float = 0.95,
                    id_col: str = "vec_id",
-                   emb_col: str = "embedding") -> DataFrame:
+                   emb_col: str = "embedding",
+                   target_cluster_size: int = 1_000,
+                   max_cluster_size: int | None = 10_000) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means-cluster the corpus, then
     within each cluster drop every vector whose cosine to a LOWER-id
     cluster member exceeds ``threshold`` (the keep-one-representative
     greedy rule). Pairwise work is bounded per cluster — the classic
     way to make semantic dedup sub-quadratic at corpus scale.
 
+    The bound only holds if K SCALES WITH THE CORPUS: a fixed k makes
+    average clusters O(n/k) and the per-cluster self-join quadratic.
+    So by default k is DERIVED, k = ceil(n / target_cluster_size)
+    (one count() scan — negligible next to the dedup itself), and an
+    explicitly-passed k is validated against ``max_cluster_size``
+    (expected AVERAGE cluster size; pass None to opt out for corpora
+    known to be small).
+
     Returns (id, centroid_id, is_kept)."""
+    if k is None or max_cluster_size is not None:
+        n = embeddings.count()
+    if k is None:
+        k = max(1, -(-n // target_cluster_size))
+    if max_cluster_size is not None and n / k > max_cluster_size:
+        raise ValueError(
+            f"semantic_dedup: k={k} gives ~{n // k} vectors/cluster "
+            f"(> max_cluster_size={max_cluster_size}); the per-cluster "
+            f"self-join would be quadratic at this size — raise k, or "
+            f"pass max_cluster_size=None to override")
     cents = kmeans_centroids(embeddings, k, iters, id_col, emb_col)
     a = with_norm(
         kmeans_assign(embeddings, cents, id_col, emb_col)

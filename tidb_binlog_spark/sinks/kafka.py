@@ -5,8 +5,14 @@ Reference contract (drainer/sync/kafka.go:38-278):
 - messages are produced with Key=nil to PARTITION 0 via a manual
   partitioner (kafka.go:96,153) — the single-partition topic IS the
   total-order guarantee consumers rely on;
-- the value is the marshalled secondary-binlog message (our JSON
-  stand-in from sinks/payload, byte-identical across engines);
+- the value is the MARSHALLED SECONDARY-BINLOG PROTOBUF
+  (drainer/translator/kafka.go:38-150 builds the tipb message;
+  sinks/obinlog_pb encodes the same public slave_binlog proto) —
+  one message per transaction. ``wire="json"`` keeps the flat JSON
+  stand-in (one message per change event, carries seq) for
+  engine-neutral fixtures;
+- the producer bounds its in-flight window and errors on unacked
+  messages (kafka.go:186-278) — modeled by :class:`AckWindow`;
 - the arbiter consumes from a saved offset and deduplicates re-reads
   by commit_ts (arbiter/server.go:287-317 — the dedup operator lives
   in the sink_payload_roundtrip surface).
@@ -25,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import obinlog_pb
 from . import payload as payload_mod
 
 
@@ -33,11 +40,30 @@ def default_topic(cluster_id: int) -> str:
     return f"{cluster_id}_obinlog"
 
 
+def with_row_image(changes: DataFrame) -> DataFrame:
+    """Ensure the typed row image columns the protobuf marshal needs:
+    the normalized stream carries ``k`` inside row_json; the wire
+    message carries it as a typed column (same derivation rule as
+    sources/changestream.wide_stream)."""
+    if "k" in changes.columns:
+        return changes
+    if "row_json" not in changes.columns:
+        raise ValueError("protobuf wire needs a 'k' column or row_json")
+    return changes.withColumn(
+        "k", F.coalesce(F.get_json_object("row_json", "$.k"),
+                        F.lit("nk")))
+
+
 def kafka_frame(changes: DataFrame, cluster_id: int = 0,
                 topic: str | None = None,
-                wide_info=None) -> DataFrame:
+                wide_info=None, wire: str = "protobuf") -> DataFrame:
     """Change events -> the Spark Kafka sink's column contract:
     (key BINARY, value BINARY, topic STRING, partition INT).
+
+    ``wire="protobuf"`` (default, the reference's actual format):
+    value is one marshalled secondary-binlog Binlog PER TRANSACTION
+    (drainer/translator/kafka.go:38-150 via sinks/obinlog_pb).
+    ``wire="json"`` keeps the flat per-event JSON stand-in.
 
     key is NULL and partition is the constant 0, mirroring the manual
     partitioner. A single target partition is NOT by itself a
@@ -49,17 +75,27 @@ def kafka_frame(changes: DataFrame, cluster_id: int = 0,
     bottleneck the REFERENCE also has (total order is the product
     contract); shard-by-table topics would relax it."""
     topic = topic or default_topic(cluster_id)
-    if wide_info is not None:
+    if wire == "protobuf":
+        msgs = obinlog_pb.secondary_binlog_payloads(
+            with_row_image(changes))
+        value = F.col("payload")            # already protobuf bytes
+    elif wide_info is not None:
         msgs = payload_mod.obinlog_payload_wide(changes, wide_info)
+        value = F.encode(F.col("payload"), "UTF-8")
     else:
         msgs = payload_mod.obinlog_payload(changes)
+        value = F.encode(F.col("payload"), "UTF-8")
     frame = msgs.select(
         F.lit(None).cast("binary").alias("key"),
-        F.encode(F.col("payload"), "UTF-8").alias("value"),
+        value.alias("value"),
         F.lit(topic).alias("topic"),
         F.lit(0).cast("int").alias("partition"),
         F.col("commit_ts").alias("_order"))
-    return (frame.coalesce(1)
+    # repartition(1), NOT coalesce(1): coalesce would collapse the
+    # message ASSEMBLY upstream into the same single task; the
+    # explicit shuffle keeps the marshal parallel and serializes only
+    # the (much smaller) framed messages into the single producer
+    return (frame.repartition(1)
             .sortWithinPartitions("_order")
             .drop("_order"))
 
@@ -92,9 +128,9 @@ def consumer_options(bootstrap_servers: str, cluster_id: int = 0,
 
 def write_kafka(changes: DataFrame, bootstrap_servers: str,
                 cluster_id: int = 0, topic: str | None = None,
-                wide_info=None) -> None:
+                wide_info=None, wire: str = "protobuf") -> None:
     """Batch produce (requires the spark-sql-kafka package + broker)."""
-    frame = kafka_frame(changes, cluster_id, topic, wide_info)
+    frame = kafka_frame(changes, cluster_id, topic, wide_info, wire)
     writer = frame.write.format("kafka")
     for k, v in producer_options(bootstrap_servers).items():
         writer = writer.option(k, v)
@@ -103,7 +139,8 @@ def write_kafka(changes: DataFrame, bootstrap_servers: str,
 
 def read_kafka_stream(spark: SparkSession, bootstrap_servers: str,
                       cluster_id: int = 0, topic: str | None = None,
-                      starting_offsets: str = "earliest") -> DataFrame:
+                      starting_offsets: str = "earliest",
+                      wire: str = "protobuf") -> DataFrame:
     """Arbiter-style streaming consume -> normalized change rows.
     The kafka source emits (key, value, topic, partition, offset,
     timestamp, ...); offset is carried through as arrival_seq so the
@@ -113,13 +150,101 @@ def read_kafka_stream(spark: SparkSession, bootstrap_servers: str,
                                  starting_offsets).items():
         reader = reader.option(k, v)
     raw = reader.load()
-    return decode_kafka_batch(raw)
+    return decode_kafka_batch(raw, wire=wire)
 
 
-def decode_kafka_batch(raw: DataFrame) -> DataFrame:
+def decode_kafka_batch(raw: DataFrame, wire: str = "protobuf") -> DataFrame:
     """The decode projection shared by the stream reader and tests:
-    value bytes -> payload JSON -> parsed rows, offset -> arrival_seq."""
+    value bytes -> parsed rows, offset -> arrival_seq. The protobuf
+    wire unpacks one row per MUTATION inside each per-txn Binlog
+    (arbiter-side translate, pkg/loader/translate.go); the json wire
+    is one row per message."""
+    if wire == "protobuf":
+        return obinlog_pb.parse_secondary_binlog_stream(
+            raw.select(F.col("offset").alias("arrival_seq"),
+                       F.col("value").alias("payload")),
+            carry=("arrival_seq",))
     msgs = raw.select(
         F.col("offset").alias("arrival_seq"),
         F.decode(F.col("value"), "UTF-8").alias("payload"))
     return payload_mod.parse_obinlog(msgs, carry=("arrival_seq",))
+
+
+class KafkaAckTimeout(RuntimeError):
+    """Raised when a produced message stays unacked past the deadline
+    (drainer/sync/kafka.go: maxWaitTimeToSendMSG — the sync errors
+    out rather than buffering forever against a dead broker)."""
+
+
+class AckWindow:
+    """The producer's bounded in-flight window and in-order success
+    callbacks (drainer/sync/kafka.go:186-278):
+
+    - at most ``max_in_flight_bytes`` (reference: ~90 MB) of messages
+      may be in flight; ``try_send`` refuses (stalls the producer)
+      beyond that;
+    - the oldest unacked message older than ``ack_timeout_s``
+      (reference: 30 s) is an ERROR, not a silent retry —
+      ``check_timeouts`` raises :class:`KafkaAckTimeout`;
+    - success callbacks fire IN SEND ORDER regardless of broker ack
+      order (the saved checkpoint ts only ever advances over a
+      contiguous acked prefix — same rule as the drainer's success
+      channel consumption).
+
+    This is the transport-side state machine Spark's Kafka sink
+    enforces internally via kafka.acks/max.request.size; it exists
+    here so the contract is testable without a broker."""
+
+    def __init__(self, max_in_flight_bytes: int = 90 << 20,
+                 ack_timeout_s: float = 30.0):
+        self.max_in_flight_bytes = int(max_in_flight_bytes)
+        self.ack_timeout_s = float(ack_timeout_s)
+        self._inflight: dict[int, tuple[int, float]] = {}  # seq -> (bytes, sent_at)
+        self._acked: set[int] = set()
+        self._bytes = 0
+        self._next_seq = 0
+        self._callback_seq = 0       # next seq whose success fires
+        self.committed: list[int] = []   # seqs whose callback fired
+
+    @property
+    def in_flight_bytes(self) -> int:
+        return self._bytes
+
+    def try_send(self, nbytes: int, now: float) -> int | None:
+        """Reserve window space; returns the message seq, or None when
+        the window is full (producer must stall and retry)."""
+        if self._bytes + int(nbytes) > self.max_in_flight_bytes \
+                and self._inflight:
+            return None
+        seq = self._next_seq
+        self._next_seq += 1
+        self._inflight[seq] = (int(nbytes), float(now))
+        self._bytes += int(nbytes)
+        return seq
+
+    def ack(self, seq: int) -> list[int]:
+        """Broker acked ``seq``; returns the seqs whose SUCCESS
+        callbacks fire now — only the contiguous acked prefix, in
+        order, however the acks arrived."""
+        if seq not in self._inflight:
+            return []
+        nbytes, _ = self._inflight.pop(seq)
+        self._bytes -= nbytes
+        self._acked.add(seq)
+        fired = []
+        while self._callback_seq in self._acked:
+            self._acked.remove(self._callback_seq)
+            fired.append(self._callback_seq)
+            self._callback_seq += 1
+        self.committed.extend(fired)
+        return fired
+
+    def check_timeouts(self, now: float) -> None:
+        """Error out if any in-flight message is older than the ack
+        deadline (kafka.go's maxWaitTimeToSendMSG error path)."""
+        for seq, (_, sent_at) in self._inflight.items():
+            if float(now) - sent_at > self.ack_timeout_s:
+                raise KafkaAckTimeout(
+                    f"message seq={seq} unacked for "
+                    f"{float(now) - sent_at:.1f}s "
+                    f"(> {self.ack_timeout_s}s)")

@@ -212,20 +212,45 @@ _COLSPEC = (("pk", "bigint", True), ("val", "double", False),
             ("k", "varchar", False))
 
 
-def secondary_binlog_payloads(changes) -> "DataFrame":  # noqa: F821
+def secondary_binlog_payloads(changes, n_buckets: int | None = None
+                              ) -> "DataFrame":  # noqa: F821
     """Change events -> (commit_ts, payload BINARY): one secondary
     Binlog per commit, mutations grouped per (db, tbl) into Table
     messages (TiBinlogToSecondaryBinlog, kafka.go:38-94), each with
-    ColumnInfo and the PRIMARY Key entry (genTable)."""
+    ColumnInfo and the PRIMARY Key entry (genTable).
+
+    Arrow granularity: grouping Spark-side by COMMIT would pay one
+    Python call + pandas frame per (usually tiny) transaction, so the
+    applyInPandas groups are hash(commit_ts) % n_buckets (default
+    4 x parallelism — even load at any ts density) and the per-commit
+    split is ONE in-batch sort + linear scan — thousands of txns per
+    Arrow exchange."""
     import pandas as pd
 
     col_infos = [encode_column_info(n, t, pk) for n, t, pk in _COLSPEC]
     uk = [encode_key("PRIMARY", ["pk"])]
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["seq", "arrival_seq"])
+        pdf = pdf.sort_values(["commit_ts", "seq", "arrival_seq"])
+        out_ts: list[int] = []
+        out_payload: list[bytes] = []
+        cur_ct = None
         tables: dict[tuple[str, str], list[bytes]] = {}
+
+        def flush():
+            if cur_ct is None:
+                return
+            tbl_msgs = [encode_table(db, tbl, col_infos, muts, uk)
+                        for (db, tbl), muts in sorted(tables.items())]
+            out_ts.append(int(cur_ct))
+            out_payload.append(
+                encode_secondary_binlog(int(cur_ct), tbl_msgs))
+
         for r in pdf.itertuples():
+            if r.commit_ts != cur_ct:
+                flush()
+                cur_ct = r.commit_ts
+                tables = {}
             tp = {"I": INSERT, "U": UPDATE, "D": DELETE}[r.op]
             vals = (int(r.pk), float(r.val), str(r.k))
             row = encode_row([
@@ -239,26 +264,39 @@ def secondary_binlog_payloads(changes) -> "DataFrame":  # noqa: F821
                     for v, (_, t, _pk) in zip(old, _COLSPEC)])
             tables.setdefault((r.db, r.tbl), []).append(
                 encode_mutation(tp, row, change))
-        ct = int(pdf["commit_ts"].iloc[0])
-        tbl_msgs = [encode_table(db, tbl, col_infos, muts, uk)
-                    for (db, tbl), muts in sorted(tables.items())]
-        return pd.DataFrame(
-            {"commit_ts": [ct],
-             "payload": [encode_secondary_binlog(ct, tbl_msgs)]})
+        flush()
+        return pd.DataFrame({"commit_ts": out_ts,
+                             "payload": out_payload})
 
-    return (changes.groupBy("commit_ts")
-            .applyInPandas(assemble, schema="commit_ts long, payload binary"))
+    from pyspark.sql import functions as F
+    if n_buckets is None:
+        n_buckets = changes.sparkSession.sparkContext \
+            .defaultParallelism * 4
+    bucketed = changes.withColumn(
+        "_tsb", F.pmod(F.hash("commit_ts"), F.lit(n_buckets)))
+    return (bucketed.groupBy("_tsb")
+            .applyInPandas(assemble,
+                           schema="commit_ts long, payload binary"))
 
 
-def parse_secondary_binlog_stream(payloads) -> "DataFrame":  # noqa: F821
-    """Inverse: (commit_ts, payload) -> one row per mutation with the
-    typed values recovered — the arbiter-side translate.go decode."""
+def parse_secondary_binlog_stream(payloads,
+                                  carry: tuple[str, ...] = ()
+                                  ) -> "DataFrame":  # noqa: F821
+    """Inverse: (payload, ...) -> one row per mutation with the typed
+    values recovered — the arbiter-side translate.go decode. ``carry``
+    names transport columns (e.g. the Kafka offset as arrival_seq)
+    replicated onto every mutation row of their message."""
     import pandas as pd
+
+    out_cols = [*carry, "commit_ts", "db", "tbl", "op", "pk",
+                "val", "k", "old_val", "old_k"]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for payload in pdf["payload"]:
+            carried = [pdf[c] for c in carry]
+            for i, payload in enumerate(pdf["payload"]):
+                pre = tuple(c.iloc[i] for c in carried)
                 b = decode_secondary_binlog(bytes(payload))
                 for t in b["tables"]:
                     names = [c["name"] for c in t["column_info"]]
@@ -267,17 +305,18 @@ def parse_secondary_binlog_stream(payloads) -> "DataFrame":  # noqa: F821
                         old = dict(zip(names, mu["change_row"])) \
                             if mu["change_row"] else {}
                         rows.append((
+                            *pre,
                             b["commit_ts"], t["schema_name"],
                             t["table_name"],
                             {INSERT: "I", UPDATE: "U", DELETE: "D"}[
                                 mu["type"]],
                             vals["pk"], vals["val"], vals["k"],
                             old.get("val"), old.get("k")))
-            yield pd.DataFrame(
-                rows, columns=["commit_ts", "db", "tbl", "op", "pk",
-                               "val", "k", "old_val", "old_k"])
+            yield pd.DataFrame(rows, columns=out_cols)
 
+    carry_schema = "".join(f"{c} long, " for c in carry)
     return payloads.mapInPandas(
-        decode, schema="commit_ts long, db string, tbl string, op string, "
+        decode, schema=carry_schema +
+                       "commit_ts long, db string, tbl string, op string, "
                        "pk long, val double, k string, "
                        "old_val double, old_k string")

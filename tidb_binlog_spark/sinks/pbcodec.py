@@ -252,18 +252,35 @@ _COLSPEC = (("pk", "long", 8, "bigint"),
             ("k", "string", 15, "varchar"))
 
 
-def binlog_payloads(changes) -> "DataFrame":  # noqa: F821
+def binlog_payloads(changes, n_buckets: int | None = None
+                    ) -> "DataFrame":  # noqa: F821
     """One marshalled pb.Binlog per TRANSACTION (commit_ts), events in
     (seq, arrival_seq) order — the reference writes one file record per
-    commit (drainer/sync/pb.go). applyInPandas over the commit_ts
-    groups; the shuffle is the same per-txn assembly the reference's
-    loader performs. Emits (commit_ts, payload BINARY)."""
+    commit (drainer/sync/pb.go). Emits (commit_ts, payload BINARY).
+
+    Arrow granularity: the applyInPandas groups are hash(commit_ts) %
+    n_buckets (default 4 x parallelism — even load at any ts density);
+    the per-commit split is ONE in-batch sort + linear scan, not a
+    Python call per (tiny) transaction."""
     import pandas as pd
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["seq", "arrival_seq"])
-        events = []
+        pdf = pdf.sort_values(["commit_ts", "seq", "arrival_seq"])
+        out_ts: list[int] = []
+        out_payload: list[bytes] = []
+        cur_ct = None
+        events: list[bytes] = []
+
+        def flush():
+            if cur_ct is not None:
+                out_ts.append(int(cur_ct))
+                out_payload.append(encode_binlog(int(cur_ct), events))
+
         for r in pdf.itertuples():
+            if r.commit_ts != cur_ct:
+                flush()
+                cur_ct = r.commit_ts
+                events = []
             tp = {"I": INSERT, "U": UPDATE, "D": DELETE}[r.op]
             cols = []
             for name, kind, code, mysql_type in _COLSPEC:
@@ -281,12 +298,17 @@ def binlog_payloads(changes) -> "DataFrame":  # noqa: F821
                     cols.append(encode_column(name, code, mysql_type,
                                               value, kind))
             events.append(encode_event(r.db, r.tbl, tp, cols))
-        ct = int(pdf["commit_ts"].iloc[0])
-        return pd.DataFrame(
-            {"commit_ts": [ct],
-             "payload": [encode_binlog(ct, events)]})
+        flush()
+        return pd.DataFrame({"commit_ts": out_ts,
+                             "payload": out_payload})
 
-    return (changes.groupBy("commit_ts")
+    from pyspark.sql import functions as F
+    if n_buckets is None:
+        n_buckets = changes.sparkSession.sparkContext \
+            .defaultParallelism * 4
+    bucketed = changes.withColumn(
+        "_tsb", F.pmod(F.hash("commit_ts"), F.lit(n_buckets)))
+    return (bucketed.groupBy("_tsb")
             .applyInPandas(assemble, schema="commit_ts long, payload binary"))
 
 
