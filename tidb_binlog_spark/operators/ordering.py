@@ -44,7 +44,14 @@ def classify_disorder(changes: DataFrame,
     b = F.floor(F.col("arrival_seq") / arrival_bucket)
     w_in = (Window.partitionBy("source_id", "_b").orderBy("arrival_seq")
             .rowsBetween(Window.unboundedPreceding, -1))
-    w_dup = Window.partitionBy("commit_ts").orderBy("arrival_seq", "source_id")
+    # cursor pseudo-rows (arrival_seq < 0, injected by the streaming
+    # gate) carry per-source order state only — they must never win a
+    # commit_ts duplicate partition against a REAL row: a synthesized
+    # cursor value (e.g. min-parked-1) can coincide with another
+    # source's genuine commit_ts, and ranking the seed first would
+    # quarantine that row as a duplicate. Seeds rank among themselves.
+    w_dup = Window.partitionBy("commit_ts", F.col("arrival_seq") < 0) \
+        .orderBy("arrival_seq", "source_id")
     bucketed = changes.withColumn("_b", b)
     # the carry aggregate re-reads only 3 columns of the source lineage
     # (column pruning reaches the scan); persisting the full stream here

@@ -5,7 +5,13 @@ under DuckDB at a given scale factor, then compares row count, column
 names, and an order-insensitive value hash (columns sorted by name,
 rows sorted, values canonicalized). Exit code 1 on any mismatch.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json out.json] [sf_dir] [query ...]
+
+``--json`` writes a CORRECTNESS_r{N}-shaped ledger (one record per
+query: rows_match/schema_match/hash_match/spark_rows/oracle_rows/err;
+rows-only queries record oracle_rows=None) — the committed
+LEDGER_r{N}.json artifact that carries recorded local evidence for
+queries outside the driver's 50-slot window.
 """
 
 from __future__ import annotations
@@ -48,8 +54,13 @@ def frame_hash(df: pd.DataFrame) -> tuple[int, list[str], str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from tidb_binlog_spark.cache import release_all
@@ -65,6 +76,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    ledger: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -74,20 +86,33 @@ def main() -> int:
             release_all()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            ledger[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None, "err": f"spark: {e}"}
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
+            ledger[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(sdf),
+                            "oracle_rows": None, "err": None}
             print(f"weak  {name}: rows={len(sdf)} (no oracle, rows-only)")
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            ledger[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(sdf),
+                            "oracle_rows": None, "err": f"duckdb: {e}"}
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         sn, scols, shash = frame_hash(sdf)
         on, ocols, ohash = frame_hash(odf)
         ok = (sn, scols, shash) == (on, ocols, ohash)
+        ledger[name] = {"rows_match": sn == on,
+                        "schema_match": scols == ocols,
+                        "hash_match": shash == ohash,
+                        "spark_rows": sn, "oracle_rows": on, "err": None}
         status = "ok  " if ok else "FAIL"
         print(f"{status}  {name}: rows {sn}/{on} cols={scols == ocols} "
               f"hash={'match' if shash == ohash else 'MISMATCH'} "
@@ -109,6 +134,11 @@ def main() -> int:
                         print(f"      spark: {a!r}\n      duck : {b!r}")
                         break
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        import json as _json
+        with open(json_out, "w") as f:
+            _json.dump(ledger, f, indent=1)
+        print(f"ledger written: {json_out} ({len(ledger)} queries)")
     return 1 if failures else 0
 
 
