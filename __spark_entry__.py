@@ -685,6 +685,95 @@ def q_cdc_reparo_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 stop_ts=mx * 8 // 10)
 
 
+def q_cdc_pitr_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time restore, end to end over the real wire: the
+    ok-gated change stream is dumped as CRC-framed pb files, replayed
+    up to a target ts (reparo's -stop-tso, reparo/read.go:28-120 +
+    binlogctl's tso math), and compacted into the as-of snapshot —
+    the reference's full PITR story (SURVEY §3.3) as one composition.
+    The ok gate makes commit_ts globally unique, so last-image-per-PK
+    by commit_ts is exact and the oracle mirrors it clause for
+    clause. Subsampled %3 to bound the pb marshal."""
+    import tempfile
+    from pyspark.sql import Window
+    ch = kafka.with_row_image(
+        ordering.ordered_stream(_spark_changes(spark, sf_dir))
+        .filter(F.col("arrival_seq") % 3 == 0))
+    path = tempfile.mkdtemp(prefix="pitr_dump_")
+    pbcodec.write_pb_dump(ch, path)
+    mx = int(ch.agg(F.max("commit_ts")).first()[0])
+    replay = pbcodec.read_pb_dump(spark, path, stop_ts=mx * 6 // 10)
+    w = Window.partitionBy("db", "tbl", "pk").orderBy(
+        F.desc("commit_ts"))
+    return (replay.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+            .select("db", "tbl", "pk", "val", "k", "commit_ts"))
+
+
+def q_corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed posting-list build: term -> df + capped ascending
+    doc_id postings (rank-window cap BEFORE any collect, so stopword
+    terms never materialize unbounded lists)."""
+    return scoring.inverted_index(_docs(spark, sf_dir))
+
+
+def q_snapshot_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue per customer (TPC-H Q10 flavor): the
+    lineitem x orders shuffle join carries only returned rows (filter
+    pushed below the join), customer/nation broadcast, top 20 by
+    revenue with a deterministic key tie-break
+    (TakeOrderedAndProject)."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer",
+                    "nation")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (t["lineitem"].filter(F.col("l_returnflag") == "R")
+            .join(t["orders"],
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["nation"]),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(rev.cast("decimal(38,6)")).cast("double")
+                  .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+def q_snapshot_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-pair shipping volume by year (TPC-H Q7 flavor):
+    customer nation -> supplier nation revenue matrix; both nation
+    sides resolve through broadcast joins, the fact-side shuffle is
+    only lineitem x orders on the order key."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer",
+                    "supplier", "nation")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    cust_n = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"))
+    supp_n = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"))
+    return (t["lineitem"]
+            .join(t["orders"],
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["supplier"]),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(cust_n),
+                  F.col("c_nationkey") == F.col("cn_key"))
+            .join(F.broadcast(supp_n),
+                  F.col("s_nationkey") == F.col("sn_key"))
+            .filter(F.col("cust_nation") != F.col("supp_nation"))
+            .groupBy("cust_nation", "supp_nation",
+                     F.year("l_shipdate").alias("ship_year"))
+            .agg(F.sum(rev.cast("decimal(38,6)")).cast("double")
+                  .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
 def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenization: merges learned driver-side from
     the BOUNDED word-frequency head (min_count=2 + capped top-K pushed
@@ -1880,6 +1969,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_stats": q_corpus_token_stats,
         "text_bigram_lm": q_text_bigram_lm,
         "corpus_full_curation": q_corpus_full_curation,
+        # -- new in r5 below the window (locally oracle-checked via
+        # -- LEDGER_r5.json; first-window candidates for the r6
+        # -- rotation)
+        "cdc_pitr_restore": q_cdc_pitr_restore,
+        "corpus_inverted_index": q_corpus_inverted_index,
+        "snapshot_returned_items": q_snapshot_returned_items,
+        "snapshot_volume_shipping": q_snapshot_volume_shipping,
     }
 
 
@@ -2940,6 +3036,64 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT commit_ts, db, tbl, op, pk, val, kx AS k
             FROM s, b WHERE commit_ts >= lo AND commit_ts <= hi
+        """,
+        "cdc_pitr_restore": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            s AS (SELECT *,
+                    COALESCE(json_extract_string(row_json, '$.k'), 'nk') AS kx
+                  FROM ok WHERE arrival_seq % 3 = 0),
+            b AS (SELECT CAST(MAX(commit_ts) AS BIGINT) * 6 // 10
+                           AS stop_ts FROM s),
+            r AS (SELECT db, tbl, pk, val, kx, commit_ts, op,
+                    ROW_NUMBER() OVER (PARTITION BY db, tbl, pk
+                                       ORDER BY commit_ts DESC) AS rn
+                  FROM s, b WHERE commit_ts <= stop_ts)
+            SELECT db, tbl, pk, val, kx AS k, commit_ts
+            FROM r WHERE rn = 1 AND op <> 'D'
+        """,
+        "corpus_inverted_index": f"""
+            WITH toks AS (SELECT doc_id, {osql.TOKS} AS toks
+                          FROM documents),
+            pairs AS (SELECT DISTINCT doc_id, unnest(toks) AS term
+                      FROM toks),
+            ranked AS (SELECT term, doc_id,
+                         ROW_NUMBER() OVER (PARTITION BY term
+                                            ORDER BY doc_id) AS rk
+                       FROM pairs)
+            SELECT term, COUNT(*) AS df,
+                   string_agg(CASE WHEN rk <= 20
+                                   THEN CAST(doc_id AS STRING) END,
+                              ',' ORDER BY doc_id) AS postings
+            FROM ranked GROUP BY term HAVING COUNT(*) >= 5
+        """,
+        "snapshot_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+              CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                            AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "snapshot_volume_shipping": """
+            SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+              year(l_shipdate) AS ship_year,
+              CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                            AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE cn.n_name <> sn.n_name
+            GROUP BY cn.n_name, sn.n_name, year(l_shipdate)
         """,
         "sink_bulk_batches": f"""
             {CHANGES_CTE}, {_OK_CTE},

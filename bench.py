@@ -78,6 +78,10 @@ HEADLINE = [
     "sink_kafka_obinlog",        # protobuf wire + single-producer frame
     "cdc_reparo_replay",         # pb dump -> CRC-framed file replay
     "text_bpe_encode",           # capped BPE learn + Arrow encode
+    "cdc_pitr_restore",          # pb dump -> stop-tso replay -> snapshot
+    "corpus_inverted_index",     # rank-capped posting lists
+    "snapshot_returned_items",   # Q10-flavor top-k revenue
+    "snapshot_volume_shipping",  # Q7-flavor nation-pair matrix
 ]
 
 

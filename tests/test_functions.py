@@ -1077,3 +1077,26 @@ def test_weighted_sample_bias_determinism_and_k(spark):
     assert n_heavy >= 17, n_heavy   # 500x weight dominates the draw
     again = weighted_sample(docs, "w", 20, "stratum").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_inverted_index_caps_postings_before_collect(spark):
+    """Posting lists are capped at max_postings (lowest doc_ids,
+    ascending NUMERIC order), df counts the FULL term frequency, and
+    min_df prunes the tail."""
+    from tidb_binlog_spark.functions.scoring import inverted_index
+    docs = spark.createDataFrame(
+        [(i, "common " + ("rare " if i <= 3 else "") + f"unique{i}")
+         for i in range(1, 13)] + [(100, "common end")],
+        "doc_id long, text string")
+    out = {r["term"]: (r["df"], r["postings"])
+           for r in inverted_index(docs, min_df=3,
+                                   max_postings=5).collect()}
+    # 'common' in all 13 docs: df full, postings capped at 5 lowest,
+    # numerically ascending (9 < 100 would break a lexicographic sort)
+    assert out["common"] == (13, "1,2,3,4,5")
+    assert out["rare"] == (3, "1,2,3")
+    assert "unique1" not in out          # below min_df
+    big = {r["term"]: r["postings"]
+           for r in inverted_index(docs, min_df=13,
+                                   max_postings=20).collect()}
+    assert big["common"].split(",")[-1] == "100"

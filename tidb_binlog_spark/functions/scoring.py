@@ -324,3 +324,38 @@ def corpus_length_quantiles(docs: DataFrame,
             F.col("rk") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
             F.col("n_tokens"))).alias(f"{tag}_tokens"))
     return ranked.groupBy(stratum_col).agg(*aggs)
+
+
+def inverted_index(docs: DataFrame, min_df: int = 5,
+                   max_postings: int = 20) -> DataFrame:
+    """Posting-list builder: (term, df, postings) where ``postings``
+    is the first ``max_postings`` doc_ids ascending, comma-joined —
+    the keyword-retrieval index behind bm25_scores' broadcast stats
+    when the corpus is too large to rescore per query.
+
+    Scale shape: the (term, doc) pairs are de-duplicated per document
+    (distinct), the per-term posting CAP is applied by a rank window
+    BEFORE any list is collected (the window streams its sorted
+    partition — no term ever materializes an unbounded doc list, so
+    a stopword's million-document posting costs max_postings slots),
+    and df is a plain count in the same aggregate. High-df terms skew
+    the rank-window partition; at corpus scale pre-filter known
+    stopwords or raise spark.sql.shuffle.partitions for this stage.
+    """
+    pairs = (with_tokens(docs)
+             .select(F.explode("toks").alias("term"), "doc_id")
+             .distinct())
+    w = Window.partitionBy("term").orderBy("doc_id")
+    ranked = pairs.withColumn("rk", F.row_number().over(w))
+    return (ranked.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 # sort NUMERIC ids, stringify after — lexicographic
+                 # order ("10" < "9") would diverge from the oracle
+                 F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.when(F.col("rk") <= max_postings,
+                                    F.col("doc_id")))),
+                         lambda x: x.cast("string")),
+                     ",").alias("postings"))
+            .filter(F.col("df") >= min_df))
