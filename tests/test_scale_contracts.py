@@ -476,3 +476,31 @@ def test_semantic_dedup_k_scales_with_corpus(spark):
     small = semantic_dedup(emb.limit(40), k=2, iters=1,
                            max_cluster_size=None)
     assert small.count() == 40
+
+
+def test_new_snapshot_queries_plan_contracts(spark):
+    """Q10/Q7-flavor plans: every dimension join broadcasts, the only
+    shuffle join is the fact-side lineitem x orders key join, the
+    returned-items filter is pushed to the scan, and top-k compiles
+    to TakeOrderedAndProject (never a global sort)."""
+    import __spark_entry__ as m
+    p10 = _plan(m.queries()["snapshot_returned_items"](spark, SF))
+    # dims broadcast; the fact join may ALSO broadcast at tiny SF
+    # (size-based promotion) but must never exceed one shuffle join
+    assert p10.count("BroadcastHashJoin") >= 2           # customer, nation
+    assert p10.count("SortMergeJoin") + p10.count("ShuffledHashJoin") <= 1
+    assert "TakeOrderedAndProject" in p10                # top-k, no sort
+    assert "EqualTo(l_returnflag,R)" in p10              # scan pushdown
+    p7 = _plan(m.queries()["snapshot_volume_shipping"](spark, SF))
+    assert p7.count("BroadcastHashJoin") >= 4   # cust, supp, 2x nation
+    assert p7.count("SortMergeJoin") + p7.count("ShuffledHashJoin") <= 1
+
+
+def test_inverted_index_plan_is_jvm_only(spark):
+    """The posting-list build never leaves the JVM and its rank cap
+    sits under a single term-keyed exchange pair (distinct + window
+    + aggregate all share the term hash)."""
+    import __spark_entry__ as m
+    plan = _plan(m.queries()["corpus_inverted_index"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -336,10 +336,17 @@ class MaterializedAggregate(_StreamView):
     def __init__(self, spark: SparkSession, root: str,
                  group_keys: tuple[str, ...] = ("db", "tbl"),
                  pk_keys: tuple[str, ...] = ("db", "tbl", "pk"),
-                 sources: tuple[str, ...] | None = None):
+                 sources: tuple[str, ...] | None = None,
+                 emit_changelog: bool = False):
         super().__init__(spark, root, sources=sources)
         self.group_keys = list(group_keys)
         self.pk_keys = list(pk_keys)
+        # opt-in: the maintained view emits ITS OWN change stream
+        # (per-group old/new images per fold) so a downstream sync —
+        # another drainer, a cache, a serving store — consumes the
+        # view incrementally instead of re-reading it. The warehouse
+        # analog of the reference emitting obinlog for its appliers.
+        self.emit_changelog = emit_changelog
 
     def read(self) -> DataFrame | None:
         """The maintained view: (group_keys..., n_rows, sum_val);
@@ -407,6 +414,8 @@ class MaterializedAggregate(_StreamView):
                                | (F.col("sum_dec") != 0))
         merged.write.mode("overwrite").parquet(
             self._vdir(self._STATE, version))
+        if self.emit_changelog:
+            self._emit_changelog(prior, version)
         # the value multiset (serving MIN/MAX, exact quantiles, heavy
         # hitters) folds additively alongside the sums
         aux_partial = value_multiset(cl, self.group_keys)
@@ -448,6 +457,56 @@ class MaterializedAggregate(_StreamView):
                                    | (F.col("commit_ts") >= floor_ts))
         new_pk.write.mode("overwrite").parquet(
             self._vdir("pkstate", version))
+
+    def _emit_changelog(self, prior: DataFrame | None,
+                        version: int) -> None:
+        """Per-group (old, new) images for this fold, written to
+        ``changelog/version=N`` (overwrite per version — a crash
+        replay of the same fold rewrites the identical partition, so
+        the changelog stays exactly-once with the view). op follows
+        the CDC convention: I (group appeared), U (values moved),
+        D (group emptied). Cost: one join of two #groups-sized
+        frames — never touches fact rows."""
+        new = self.spark.read.parquet(self._vdir(self._STATE, version))
+        oldc = [F.col(f"old.{c}") for c in ("n_rows", "sum_dec")]
+        newc = [F.col(f"new.{c}") for c in ("n_rows", "sum_dec")]
+        if prior is None:
+            delta = new.select(
+                *self.group_keys, F.lit("I").alias("op"),
+                F.lit(None).cast("long").alias("old_n_rows"),
+                F.lit(None).cast("double").alias("old_sum_val"),
+                F.col("n_rows").alias("new_n_rows"),
+                F.col("sum_dec").cast("double").alias("new_sum_val"))
+        else:
+            j = prior.alias("old").join(new.alias("new"),
+                                        self.group_keys, "full_outer")
+            delta = (j.select(
+                *self.group_keys,
+                F.when(oldc[0].isNull(), F.lit("I"))
+                 .when(newc[0].isNull(), F.lit("D"))
+                 .otherwise(F.lit("U")).alias("op"),
+                oldc[0].alias("old_n_rows"),
+                oldc[1].cast("double").alias("old_sum_val"),
+                newc[0].alias("new_n_rows"),
+                newc[1].cast("double").alias("new_sum_val"))
+                .filter((F.col("old_n_rows").isNull()
+                         != F.col("new_n_rows").isNull())
+                        | ~F.col("old_n_rows").eqNullSafe(
+                            F.col("new_n_rows"))
+                        | ~F.col("old_sum_val").eqNullSafe(
+                            F.col("new_sum_val"))))
+        delta.write.mode("overwrite").parquet(
+            os.path.join(self.root, "changelog", f"version={version}"))
+
+    def read_changelog(self) -> DataFrame | None:
+        """The view's own CDC stream: (group_keys..., op, old/new
+        images, version) across every fold — consume it downstream
+        exactly like any change feed (``WHERE version > last_seen``
+        is the incremental read)."""
+        path = os.path.join(self.root, "changelog")
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
 
     def _changelog(self, emit: DataFrame) -> DataFrame:
         """coherent_changelog with PK liveness seeded from state:
