@@ -674,9 +674,12 @@ def q_cdc_reparo_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     %11 to bound the per-txn Python assembly; the ts range is integer
     arithmetic on MAX(commit_ts) so the oracle mirrors it exactly."""
     import tempfile
-    ch = kafka.with_row_image(
+    from tidb_binlog_spark.cache import managed_persist
+    # three actions consume ch (bucket count, dump write, max ts):
+    # persist once, released by the harness's release_all()
+    ch = managed_persist(kafka.with_row_image(
         _spark_changes(spark, sf_dir)
-        .filter(F.col("arrival_seq") % 11 == 0))
+        .filter(F.col("arrival_seq") % 11 == 0)))
     path = tempfile.mkdtemp(prefix="reparo_dump_")
     pbcodec.write_pb_dump(ch, path)
     mx = int(ch.agg(F.max("commit_ts")).first()[0])
@@ -696,9 +699,13 @@ def q_cdc_pitr_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     clause. Subsampled %3 to bound the pb marshal."""
     import tempfile
     from pyspark.sql import Window
-    ch = kafka.with_row_image(
+    from tidb_binlog_spark.cache import managed_persist
+    # the ordered_stream gate is windowed and consumed by three
+    # actions (bucket count, dump write, max ts): persist once,
+    # released by the harness's release_all()
+    ch = managed_persist(kafka.with_row_image(
         ordering.ordered_stream(_spark_changes(spark, sf_dir))
-        .filter(F.col("arrival_seq") % 3 == 0))
+        .filter(F.col("arrival_seq") % 3 == 0)))
     path = tempfile.mkdtemp(prefix="pitr_dump_")
     pbcodec.write_pb_dump(ch, path)
     mx = int(ch.agg(F.max("commit_ts")).first()[0])

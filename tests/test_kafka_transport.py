@@ -117,9 +117,11 @@ def test_ack_window_success_callbacks_fire_in_send_order():
     w = kafka.AckWindow()
     a, b, c = (w.try_send(10, 0.0) for _ in range(3))
     assert w.ack(c) == []            # acked, but 0 and 1 still pending
+    assert w.committed_through == -1     # checkpoint cannot advance
     assert w.ack(a) == [0]           # prefix [0] fires
+    assert w.committed_through == 0
     assert w.ack(b) == [1, 2]        # prefix completes: 1 then 2
-    assert w.committed == [0, 1, 2]
+    assert w.committed_through == 2
 
 
 def test_ack_window_error_after_timeout():

@@ -43,15 +43,15 @@ def default_topic(cluster_id: int) -> str:
 def with_row_image(changes: DataFrame) -> DataFrame:
     """Ensure the typed row image columns the protobuf marshal needs:
     the normalized stream carries ``k`` inside row_json; the wire
-    message carries it as a typed column (same derivation rule as
-    sources/changestream.wide_stream)."""
+    message carries it as a typed column (THE shared image rule,
+    sources/changestream.row_image_k — one definition for the wide
+    model, the wire, and the oracles)."""
     if "k" in changes.columns:
         return changes
     if "row_json" not in changes.columns:
         raise ValueError("protobuf wire needs a 'k' column or row_json")
-    return changes.withColumn(
-        "k", F.coalesce(F.get_json_object("row_json", "$.k"),
-                        F.lit("nk")))
+    from ..sources.changestream import row_image_k
+    return changes.withColumn("k", row_image_k())
 
 
 def kafka_frame(changes: DataFrame, cluster_id: int = 0,
@@ -74,6 +74,17 @@ def kafka_frame(changes: DataFrame, cluster_id: int = 0,
     (kafka.go:153-187). At 100 TB this is a deliberate single-writer
     bottleneck the REFERENCE also has (total order is the product
     contract); shard-by-table topics would relax it."""
+    if wire not in ("protobuf", "json"):
+        # a typo must never silently pick a different wire format —
+        # the mismatch would only surface at the consumer's decode
+        raise ValueError(f"unknown wire {wire!r}: use 'protobuf' or 'json'")
+    if wire == "protobuf" and wide_info is not None:
+        # the protobuf message derives its ColumnInfo from the typed
+        # row model, not a TableInfo — accepting-and-ignoring would
+        # silently drop the caller's wide payload shape
+        raise ValueError("wide_info applies to wire='json' only "
+                         "(the protobuf wire carries the typed row "
+                         "image itself)")
     topic = topic or default_topic(cluster_id)
     if wire == "protobuf":
         msgs = obinlog_pb.secondary_binlog_payloads(
@@ -204,11 +215,18 @@ class AckWindow:
         self._bytes = 0
         self._next_seq = 0
         self._callback_seq = 0       # next seq whose success fires
-        self.committed: list[int] = []   # seqs whose callback fired
 
     @property
     def in_flight_bytes(self) -> int:
         return self._bytes
+
+    @property
+    def committed_through(self) -> int:
+        """Highest seq whose success callback has fired (and every
+        seq below it) — the checkpoint the consumer saves. O(1)
+        state: a long-lived producer must never accumulate a
+        per-message record (the window itself is the bound)."""
+        return self._callback_seq - 1
 
     def try_send(self, nbytes: int, now: float) -> int | None:
         """Reserve window space; returns the message seq, or None when
@@ -236,7 +254,6 @@ class AckWindow:
             self._acked.remove(self._callback_seq)
             fired.append(self._callback_seq)
             self._callback_seq += 1
-        self.committed.extend(fired)
         return fired
 
     def check_timeouts(self, now: float) -> None:

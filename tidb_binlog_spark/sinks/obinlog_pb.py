@@ -314,7 +314,11 @@ def parse_secondary_binlog_stream(payloads,
                             old.get("val"), old.get("k")))
             yield pd.DataFrame(rows, columns=out_cols)
 
-    carry_schema = "".join(f"{c} long, " for c in carry)
+    # carry columns keep their INPUT types — hardcoding long would
+    # break string/timestamp transport columns at the Arrow boundary
+    in_types = {f.name: f.dataType.simpleString()
+                for f in payloads.schema.fields}
+    carry_schema = "".join(f"{c} {in_types[c]}, " for c in carry)
     return payloads.mapInPandas(
         decode, schema=carry_schema +
                        "commit_ts long, db string, tbl string, op string, "

@@ -88,6 +88,15 @@ def change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_MEMO: dict = {}
 
 
+def row_image_k() -> "F.Column":
+    """THE image rule for the ``k`` column: extracted from row_json,
+    'nk' when absent. Single definition — wide_stream, the protobuf
+    wire (sinks/kafka.with_row_image), and every oracle SQL mirror
+    (``COALESCE(json_extract_string(row_json, '$.k'), 'nk')``) must
+    agree on this derivation, so it lives in exactly one place."""
+    return F.coalesce(F.get_json_object("row_json", "$.k"), F.lit("nk"))
+
+
 def wide_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The change stream lifted to the reference's full row model:
     ``values MAP<STRING,STRING>`` / ``old_values MAP<STRING,STRING>``
@@ -105,7 +114,7 @@ def wide_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
       the old row in Values), old_values = NULL.
     """
     ch = change_stream(spark, sf_dir)
-    k = F.coalesce(F.get_json_object("row_json", "$.k"), F.lit("nk"))
+    k = row_image_k()
     pk_s = F.col("pk").cast("string")
     val_s = F.col("val").cast("string")
     image = F.create_map(

@@ -120,10 +120,10 @@ def _make_fold(gap_ns: int, idle_timeout_ms: int | None):
         if start is not None:
             state.update((start, last, n, n_late))
             if idle_timeout_ms is not None:
-                try:
-                    state.setTimeoutDuration(idle_timeout_ms)
-                except Exception:   # NoTimeout mode: park silently
-                    pass
+                # no guard: in ProcessingTimeTimeout mode a failure to
+                # register the alarm would silently stop open-tail
+                # flushes and grow state unbounded — surface it
+                state.setTimeoutDuration(idle_timeout_ms)
 
     return fold
 
