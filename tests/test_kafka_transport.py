@@ -149,3 +149,44 @@ def test_ack_window_oversize_single_message_still_sends():
     assert w.try_send(1, now=0.0) is None   # then stalls
     w.ack(s0)
     assert w.try_send(1, now=1.0) == 1
+
+
+def test_kafka_frame_sharded_per_table_order(spark):
+    """Sharded frame: every (db, tbl) maps to exactly ONE partition,
+    messages within a partition are commit_ts-ascending, and the
+    decode over all partitions recovers every mutation exactly once
+    (a txn spanning shards splits into one Binlog per shard)."""
+    from pyspark.sql import Window
+    from tidb_binlog_spark.sinks import obinlog_pb as ob
+    ch = _ch(spark)
+    frame = kafka.kafka_frame_sharded(ch, n_partitions=4, cluster_id=9)
+    rows = frame.collect()
+    assert {r["topic"] for r in rows} == {"9_obinlog"}
+    assert {r["partition"] for r in rows} <= set(range(4))
+    # decode every message; check table->partition is a function
+    table_parts: dict[tuple, set] = {}
+    per_part_ts: dict[int, list] = {}
+    n_mutations = 0
+    for r in rows:
+        b = ob.decode_secondary_binlog(bytes(r["value"]))
+        per_part_ts.setdefault(r["partition"], []).append(b["commit_ts"])
+        for t in b["tables"]:
+            table_parts.setdefault(
+                (t["schema_name"], t["table_name"]),
+                set()).add(r["partition"])
+            n_mutations += len(t["mutations"])
+    assert all(len(ps) == 1 for ps in table_parts.values())
+    assert n_mutations == 30                # nothing lost or doubled
+    # NOTE: collect() order within a partition is the frame's task
+    # order (sortWithinPartitions) — assert ascending per partition
+    for p, ts in per_part_ts.items():
+        assert ts == sorted(ts), (p, ts)
+
+
+def test_kafka_frame_rejects_bad_wire_and_wide_protobuf(spark):
+    import pytest
+    ch = _ch(spark)
+    with pytest.raises(ValueError, match="unknown wire"):
+        kafka.kafka_frame(ch, wire="proto")
+    with pytest.raises(ValueError, match="wide_info"):
+        kafka.kafka_frame(ch, wide_info=object())

@@ -54,6 +54,42 @@ def with_row_image(changes: DataFrame) -> DataFrame:
     return changes.withColumn("k", row_image_k())
 
 
+def kafka_frame_sharded(changes: DataFrame, n_partitions: int,
+                        cluster_id: int = 0,
+                        topic: str | None = None) -> DataFrame:
+    """The 100 TB relaxation of the single-partition contract: one
+    Kafka partition per (db, tbl) hash shard, each partition's
+    messages commit_ts-ordered within its own producing task.
+    Consumers get per-TABLE total order (what the arbiter's apply
+    actually needs — row causality never crosses tables without a
+    shared key, and cross-table atomicity is already relaxed by the
+    reference's own at-least-once batching) while the producer
+    scales to ``n_partitions`` writers instead of one. A commit
+    whose tables span shards becomes one Binlog per (txn, shard),
+    each carrying only that shard's Table list.
+
+    Deliberately NOT the default: the reference's product contract
+    is GLOBAL total order on partition 0 (``kafka_frame``). Use this
+    when the topic is provisioned with n_partitions and consumers
+    track progress per table."""
+    topic = topic or default_topic(cluster_id)
+    base = with_row_image(changes).withColumn(
+        "_shard",
+        F.pmod(F.xxhash64("db", "tbl"), F.lit(n_partitions))
+         .cast("int"))
+    msgs = obinlog_pb.secondary_binlog_payloads(
+        base, carry_group=("_shard",))
+    frame = msgs.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.col("payload").alias("value"),
+        F.lit(topic).alias("topic"),
+        F.col("_shard").alias("partition"),
+        F.col("commit_ts").alias("_order"))
+    return (frame.repartition(n_partitions, "partition")
+            .sortWithinPartitions("partition", "_order")
+            .drop("_order"))
+
+
 def kafka_frame(changes: DataFrame, cluster_id: int = 0,
                 topic: str | None = None,
                 wide_info=None, wire: str = "protobuf") -> DataFrame:

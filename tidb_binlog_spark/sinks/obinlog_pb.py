@@ -212,7 +212,8 @@ _COLSPEC = (("pk", "bigint", True), ("val", "double", False),
             ("k", "varchar", False))
 
 
-def secondary_binlog_payloads(changes, n_buckets: int | None = None
+def secondary_binlog_payloads(changes, n_buckets: int | None = None,
+                              carry_group: tuple[str, ...] = ()
                               ) -> "DataFrame":  # noqa: F821
     """Change events -> (commit_ts, payload BINARY): one secondary
     Binlog per commit, mutations grouped per (db, tbl) into Table
@@ -224,16 +225,22 @@ def secondary_binlog_payloads(changes, n_buckets: int | None = None
     applyInPandas groups are hash(commit_ts) % n_buckets (default
     4 x parallelism — even load at any ts density) and the per-commit
     split is ONE in-batch sort + linear scan — thousands of txns per
-    Arrow exchange."""
+    Arrow exchange.
+
+    ``carry_group`` columns join the GROUP key and are replicated
+    onto the output rows — the sharded Kafka frame uses it to marshal
+    one Binlog per (txn, shard)."""
     import pandas as pd
 
     col_infos = [encode_column_info(n, t, pk) for n, t, pk in _COLSPEC]
     uk = [encode_key("PRIMARY", ["pk"])]
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        # carry columns are group keys: constant within this pdf
+        carry_vals = tuple(pdf[c].iloc[0] for c in carry_group) \
+            if len(pdf) else ()
         pdf = pdf.sort_values(["commit_ts", "seq", "arrival_seq"])
-        out_ts: list[int] = []
-        out_payload: list[bytes] = []
+        rows: list[tuple] = []
         cur_ct = None
         tables: dict[tuple[str, str], list[bytes]] = {}
 
@@ -242,9 +249,9 @@ def secondary_binlog_payloads(changes, n_buckets: int | None = None
                 return
             tbl_msgs = [encode_table(db, tbl, col_infos, muts, uk)
                         for (db, tbl), muts in sorted(tables.items())]
-            out_ts.append(int(cur_ct))
-            out_payload.append(
-                encode_secondary_binlog(int(cur_ct), tbl_msgs))
+            rows.append((int(cur_ct),
+                         encode_secondary_binlog(int(cur_ct), tbl_msgs),
+                         *carry_vals))
 
         for r in pdf.itertuples():
             if r.commit_ts != cur_ct:
@@ -265,18 +272,22 @@ def secondary_binlog_payloads(changes, n_buckets: int | None = None
             tables.setdefault((r.db, r.tbl), []).append(
                 encode_mutation(tp, row, change))
         flush()
-        return pd.DataFrame({"commit_ts": out_ts,
-                             "payload": out_payload})
+        return pd.DataFrame(rows, columns=["commit_ts", "payload",
+                                           *carry_group])
 
     from pyspark.sql import functions as F
     if n_buckets is None:
         n_buckets = changes.sparkSession.sparkContext \
             .defaultParallelism * 4
+    in_types = {f.name: f.dataType.simpleString()
+                for f in changes.schema.fields}
+    carry_schema = "".join(f", {c} {in_types[c]}" for c in carry_group)
     bucketed = changes.withColumn(
         "_tsb", F.pmod(F.hash("commit_ts"), F.lit(n_buckets)))
-    return (bucketed.groupBy("_tsb")
+    return (bucketed.groupBy("_tsb", *carry_group)
             .applyInPandas(assemble,
-                           schema="commit_ts long, payload binary"))
+                           schema="commit_ts long, payload binary"
+                                  + carry_schema))
 
 
 def parse_secondary_binlog_stream(payloads,
