@@ -781,6 +781,29 @@ def q_snapshot_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_items")))
 
 
+def q_snapshot_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive-balance customers with no RECENT orders (>= 2000),
+    per nation (TPC-H Q22 flavor): the anti-join plan shape —
+    Catalyst compiles NOT EXISTS to an anti join against the filtered
+    orders key set (filter pushed to the scan), never a per-row
+    subquery."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "nation")
+    recent = (t["orders"]
+              .filter(F.col("o_orderdate")
+                      >= F.lit("2000-01-01").cast("timestamp_ntz"))
+              .select("o_custkey"))
+    return (t["customer"].filter(F.col("c_acctbal") > 0.0)
+            .join(recent,
+                  F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti")
+            .join(F.broadcast(t["nation"]),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+                  .cast("double").alias("total_bal")))
+
+
 def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenization: merges learned driver-side from
     the BOUNDED word-frequency head (min_count=2 + capped top-K pushed
@@ -1983,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_inverted_index": q_corpus_inverted_index,
         "snapshot_returned_items": q_snapshot_returned_items,
         "snapshot_volume_shipping": q_snapshot_volume_shipping,
+        "snapshot_cust_no_orders": q_snapshot_cust_no_orders,
     }
 
 
@@ -3086,6 +3110,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "snapshot_cust_no_orders": """
+            SELECT n_name, COUNT(*) AS n_cust,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                AS total_bal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > 0.0
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >=
+                                    TIMESTAMP '2000-01-01 00:00:00')
+            GROUP BY n_name
         """,
         "snapshot_volume_shipping": """
             SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,

@@ -82,6 +82,7 @@ HEADLINE = [
     "corpus_inverted_index",     # rank-capped posting lists
     "snapshot_returned_items",   # Q10-flavor top-k revenue
     "snapshot_volume_shipping",  # Q7-flavor nation-pair matrix
+    "snapshot_cust_no_orders",   # Q22-flavor anti join
 ]
 
 
