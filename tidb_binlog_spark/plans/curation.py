@@ -56,8 +56,7 @@ class CurationConfig:
             raise ValueError(
                 f"near_dedup must be None|minhash|simhash, "
                 f"got {self.near_dedup!r}")
-        if self.decontaminate and self.mix_weights is not None \
-                and not self.mix_weights:
+        if self.mix_weights is not None and not self.mix_weights:
             raise ValueError("mix_weights must be non-empty when set")
 
 
@@ -74,7 +73,6 @@ def build_curation(docs: DataFrame, cfg: CurationConfig,
         raise ValueError("decontaminate=True needs a bench DataFrame")
 
     # -- gates: pure filters, single-branch, no checkpoint needed
-    gated = docs
     q = text.quality_score(docs).select(
         "doc_id", "n_tokens", "stopword_ratio")
     conds = [F.col("n_tokens") >= cfg.min_tokens]

@@ -206,6 +206,8 @@ def decode_kafka_batch(raw: DataFrame, wire: str = "protobuf") -> DataFrame:
     wire unpacks one row per MUTATION inside each per-txn Binlog
     (arbiter-side translate, pkg/loader/translate.go); the json wire
     is one row per message."""
+    if wire not in ("protobuf", "json"):
+        raise ValueError(f"wire must be 'protobuf' or 'json', got {wire!r}")
     if wire == "protobuf":
         return obinlog_pb.parse_secondary_binlog_stream(
             raw.select(F.col("offset").alias("arrival_seq"),
