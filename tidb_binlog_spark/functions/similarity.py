@@ -93,17 +93,29 @@ def lsh_buckets(embeddings: DataFrame, dims: int = 64) -> DataFrame:
 
 
 def lsh_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
-             dims: int = 64) -> DataFrame:
+             dims: int = 64,
+             max_bucket_size: int | None = None) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
-    bucket, then exact cosine rank within the bucket."""
+    bucket, then exact cosine rank within the bucket.
+
+    Default is UNCAPPED (exact within the bucket, oracle-identical);
+    ``max_bucket_size`` bounds the CANDIDATE side of the bucket join
+    (a corpus with one vector duplicated 10^6 times would otherwise
+    put every copy in one bucket and go quadratic against its
+    queries). Queries are drawn from the uncapped set — a cap never
+    silently drops a query, only tail candidates — and deployments
+    pair it with dedup.bucket_cap_report on the bucketed corpus so
+    truncation is never silent."""
     from pyspark.sql import Window
+    from .dedup import cap_buckets
     b = managed_persist(with_norm(lsh_buckets(embeddings, dims), "embedding", "e_norm"))
     q = (b.filter(F.col("vec_id") % query_mod == 0)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb"),
                  F.col("e_norm").alias("q_norm"),
                  F.col("bucket").alias("q_bucket")))
-    joined = (b.join(q, (F.col("bucket") == F.col("q_bucket"))
+    cand = cap_buckets(b, ["bucket"], max_bucket_size, order_col="vec_id")
+    joined = (cand.join(q, (F.col("bucket") == F.col("q_bucket"))
                      & (F.col("vec_id") != F.col("query_id")))
               .withColumn("cosine", F.expr(cosine_prenorm_expr(
                   "q_emb", "embedding", "q_norm", "e_norm"))))
@@ -139,11 +151,22 @@ def ivf_assign(embeddings: DataFrame, centroid_mod: int = 37) -> DataFrame:
 
 
 def ivf_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
-             nprobe: int = 2, centroid_mod: int = 37) -> DataFrame:
+             nprobe: int = 2, centroid_mod: int = 37,
+             max_list_size: int | None = None) -> DataFrame:
     """IVF search: probe the query's nprobe nearest inverted lists,
-    exact cosine rank within the candidates."""
+    exact cosine rank within the candidates.
+
+    ``max_list_size`` caps each inverted list before the probe join
+    (default None = exact): a degenerate corpus that assigns a huge
+    mass of near-identical vectors to one centroid otherwise makes
+    every probe of that list a straggler. Same contract as
+    dedup.cap_buckets — deterministic lowest-vec_id survivors, audit
+    with dedup.bucket_cap_report(assign, ["centroid_id"], cap)."""
     from pyspark.sql import Window
-    assign = managed_persist(ivf_assign(embeddings, centroid_mod))
+    from .dedup import cap_buckets
+    assign = managed_persist(cap_buckets(
+        ivf_assign(embeddings, centroid_mod), ["centroid_id"],
+        max_list_size, order_col="vec_id"))
     cents = (with_norm(embeddings.filter(F.col("vec_id") % centroid_mod == 1),
                        "embedding", "c_norm")
              .select(F.col("vec_id").alias("centroid_id"),
