@@ -718,12 +718,25 @@ WHERE doc_id NOT IN (SELECT doc_id FROM near)
 """
 
 
-CDC_CHUNKS = """
+# the boundary hash mirrors curation.cdc_poly_expr (window=8,
+# zero_digits=1): an unrolled polynomial over the window-gram's char
+# codes mod CDC_MOD, boundary when divisible by 16 — same integer
+# arithmetic on both engines, no per-position md5
+def _cdc_poly_sql(window: int = 8, base: int = 131,
+                  mod: int = 1_000_000_007) -> str:
+    terms = " + ".join(
+        f"ascii(substring(text, p + {j}, 1)) * "
+        f"CAST({base ** (window - 1 - j)} AS BIGINT)"
+        for j in range(window))
+    return f"(({terms}) % {mod})"
+
+
+CDC_CHUNKS = f"""
 WITH b AS (SELECT doc_id, text,
     CASE WHEN length(text) <= 8 THEN [length(text)]
       ELSE list_concat(list_filter(list_transform(
         generate_series(1, length(text) - 8),
-        p -> CASE WHEN substring(md5(substring(text, p, 8)), 1, 1) = '0'
+        p -> CASE WHEN {_cdc_poly_sql()} % 16 = 0
              THEN p + 8 - 1 ELSE -1 END),
         x -> x > 0 AND x < length(text)), [length(text)]) END AS bnds
   FROM documents),
