@@ -160,6 +160,45 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # second-tier metric (VERDICT r5 item 6): FULL-RATE wire marshal —
+    # the un-subsampled change stream through the secondary-binlog
+    # protobuf assembly and the CRC-framed pb-dump writer, reported as
+    # events/s (the analog of the reference's kafka marshal bench,
+    # drainer/sync/bench_kafka_test.go:52). The headline queries
+    # subsample these paths to bound per-round cost; this records the
+    # raw marshal throughput so regressions in the Arrow/protobuf hot
+    # loop are tracked even when the subsampled rows stay flat.
+    import shutil
+    import tempfile
+
+    from tidb_binlog_spark.sinks import kafka as kafka_sink
+    from tidb_binlog_spark.sinks import obinlog_pb, pbcodec
+    from tidb_binlog_spark.sources.changestream import change_stream
+
+    ch = kafka_sink.with_row_image(change_stream(spark, sf_dir)).persist()
+    n_events = ch.count()
+    obinlog_best = None
+    for _ in range(2):
+        t0 = time.time()
+        obinlog_pb.secondary_binlog_payloads(ch).write.format("noop") \
+            .mode("overwrite").save()
+        dt = time.time() - t0
+        obinlog_best = dt if obinlog_best is None else min(obinlog_best, dt)
+    dump_best = None
+    for _ in range(2):
+        dump_dir = tempfile.mkdtemp(prefix="bench_pbdump_")
+        t0 = time.time()
+        pbcodec.write_pb_dump(ch, dump_dir)
+        dt = time.time() - t0
+        dump_best = dt if dump_best is None else min(dump_best, dt)
+        shutil.rmtree(dump_dir, ignore_errors=True)
+    ch.unpersist()
+    wire_marshal = {
+        "n_events": int(n_events),
+        "obinlog_marshal_events_per_s": round(n_events / obinlog_best),
+        "pb_dump_events_per_s": round(n_events / dump_best),
+    }
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -167,6 +206,7 @@ def main() -> None:
         "unit": "sec",
         "runs_per_query": 3,
         "queries": timings,
+        "wire_marshal": wire_marshal,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

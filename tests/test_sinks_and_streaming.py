@@ -679,7 +679,7 @@ def test_sql_apply_stream_initial_commit_ts(spark, tmp_path):
         setup_sql=setup, initial_commit_ts=20)
     q.awaitTermination(120)
 
-    con = sqlite3.connect(os.path.join(db_dir, "worker_0.db"))
+    con = sqlite3.connect(os.path.join(db_dir, jdbc.SHARED_DB_NAME))
     got = sorted(con.execute("SELECT pk FROM t").fetchall())
     con.close()
     assert got == [(3,)]                      # ts 10, 20 skipped
@@ -692,7 +692,7 @@ def test_sql_apply_stream_initial_commit_ts(spark, tmp_path):
         spark, src, db_dir, str(tmp_path / "ck2"), num_workers=1,
         setup_sql=setup, initial_commit_ts=99)
     q2.awaitTermination(120)
-    con = sqlite3.connect(os.path.join(db_dir, "worker_0.db"))
+    con = sqlite3.connect(os.path.join(db_dir, jdbc.SHARED_DB_NAME))
     got = sorted(con.execute("SELECT pk FROM t").fetchall())
     con.close()
     assert got == [(3,), (4,)]
@@ -1478,3 +1478,151 @@ def test_ivm_changelog_off_by_default(spark, tmp_path):
     view.apply_batch(make_changes(
         spark, [(1, "s0", 10, "I", 1, 0, 2.0)]), 0)
     assert view.read_changelog() is None
+
+
+def _mixed_stream_rows(spark, rows):
+    """(arrival_seq, commit_ts, op, pk, val, row_json) -> CHANGE_SCHEMA
+    rows; op='DDL' carries the DDL text in row_json."""
+    full = [(a, "s0", cts, cts - 1, op, "db0", "t", pk, 0, 1,
+             float(val), rj) for a, cts, op, pk, val, rj in rows]
+    return spark.createDataFrame(
+        full,
+        "arrival_seq long, source_id string, commit_ts long, start_ts long, "
+        "op string, db string, tbl string, pk long, seq int, "
+        "schema_version long, val double, row_json string")
+
+
+def _shared_catalog(db_dir):
+    import sqlite3
+
+    from tidb_binlog_spark.sinks import catalog as cat_mod
+    from tidb_binlog_spark.sinks import jdbc
+
+    def fetch(schema, table):
+        conn = sqlite3.connect(os.path.join(db_dir, jdbc.SHARED_DB_NAME))
+        try:
+            return cat_mod.fetch_table_info_sqlite(conn, schema, table)
+        finally:
+            conn.close()
+    return cat_mod.SinkCatalog(fetch)
+
+
+def test_sql_apply_stream_sequences_ddl_mid_stream(spark, tmp_path):
+    """VERDICT r5 item 1: DML+DDL mixed in one stream. Each DDL is a
+    barrier — DML below it applies first, the DDL executes with the
+    catalog evicted and the checkpoint saved immediately, and later
+    DML builds statements against the POST-DDL schema (mid-stream ADD
+    COLUMN widens the writes; DROP COLUMN narrows them). Final SQLite
+    state must equal the batch decode_with_replay answer."""
+    import sqlite3
+
+    from pyspark.sql import Window
+    from tidb_binlog_spark.operators.schema_evolution import (
+        SchemaRegistry, decode_with_replay)
+    from tidb_binlog_spark.sinks import jdbc
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    db_dir = str(tmp_path / "db")
+    setup = ("CREATE TABLE IF NOT EXISTS t (pk INTEGER PRIMARY KEY, val REAL)",)
+
+    add_d = "ALTER TABLE t ADD COLUMN d TEXT"
+    add_c = "ALTER TABLE t ADD COLUMN c TEXT"
+    drop_d = "ALTER TABLE t DROP COLUMN d"
+    events = [
+        (1, 10, "I", 1, 1.0, '{"val": "1.0"}'),
+        (2, 20, "I", 2, 2.0, '{"val": "2.0"}'),
+        (3, 25, "DDL", 0, 0.0, add_d),
+        (4, 30, "DDL", 0, 0.0, add_c),
+        (5, 40, "I", 3, 3.0, '{"val": "3.0", "c": "x3", "d": "d3"}'),
+        (6, 50, "U", 1, 9.0, '{"val": "9.0", "c": "y1"}'),
+        (7, 60, "DDL", 0, 0.0, drop_d),
+        # d is gone: the statement for ts 70 must NOT write it
+        (8, 70, "I", 4, 4.0, '{"val": "4.0", "c": "x4", "d": "zz"}'),
+    ]
+    _mixed_stream_rows(spark, events).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    q = pipeline.run_sql_apply_stream(
+        spark, src, db_dir, str(tmp_path / "ck"), num_workers=2,
+        setup_sql=setup, catalog=_shared_catalog(db_dir))
+    q.awaitTermination(120)
+
+    conn = sqlite3.connect(os.path.join(db_dir, jdbc.SHARED_DB_NAME))
+    cols = [r[1] for r in conn.execute("PRAGMA table_info(t)")]
+    got = sorted(conn.execute("SELECT pk, val, c FROM t").fetchall())
+    conn.close()
+    assert cols == ["pk", "val", "c"]          # d added then dropped
+    assert got == [(1, 9.0, "y1"), (2, 2.0, None),
+                   (3, 3.0, "x3"), (4, 4.0, "x4")]
+    assert jdbc.load_checkpoint(db_dir)[0] == 70
+
+    # batch oracle: the SAME ddl stream through the schema registry,
+    # the SAME dml stream through decode_with_replay, compacted to the
+    # final image per pk — must agree with the streamed SQLite state
+    reg = SchemaRegistry()
+    reg.apply_ddl_events([(1, "CREATE TABLE t (val VARCHAR)"),
+                          (25, add_d), (30, add_c), (60, drop_d)])
+    dml = _mixed_stream_rows(
+        spark, [e for e in events if e[2] != "DDL"])
+    decoded = decode_with_replay(dml, reg, "t", spark)
+    w = Window.partitionBy("pk").orderBy(F.desc("commit_ts"))
+    final = (decoded.withColumn("rn", F.row_number().over(w))
+             .filter((F.col("rn") == 1) & (F.col("op") != "D")))
+    batch = sorted((r["pk"], float(r["val"]), r["c"])
+                   for r in final.collect())
+    assert batch == got
+    assert "d" not in decoded.columns          # latest schema dropped d
+
+
+def test_sql_apply_stream_uk_conflict_serializes_on_one_worker(spark, tmp_path):
+    """VERDICT r5 item 2: two txns touching DIFFERENT PKs but the same
+    sink-side UNIQUE key value must apply in commit order on one
+    worker (pkg/loader/causality.go) — with pmod(pk) routing they
+    could race and the re-insert of a just-freed UK value could hit a
+    UNIQUE violation. Safe mode is disabled so raw INSERTs make any
+    misordering fatal rather than masked by REPLACE."""
+    import sqlite3
+
+    from tidb_binlog_spark.operators import causality
+    from tidb_binlog_spark.operators.safe_mode import SafeModeWindow
+    from tidb_binlog_spark.sinks import jdbc
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    db_dir = str(tmp_path / "db")
+    setup = (
+        "CREATE TABLE IF NOT EXISTS t "
+        "(pk INTEGER PRIMARY KEY, val REAL, k TEXT)",
+        "CREATE UNIQUE INDEX IF NOT EXISTS uk_k ON t(k)",
+    )
+    events = [
+        (1, 10, "I", 1, 1.0, '{"k": "KK"}'),
+        (2, 20, "D", 1, 1.0, '{"k": "KK"}'),   # frees the UK value
+        (3, 30, "I", 2, 2.0, '{"k": "KK"}'),   # re-claims it, new pk
+        (4, 40, "I", 7, 7.0, '{"k": "ZZ"}'),   # disjoint group
+    ]
+    _mixed_stream_rows(spark, events).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    q = pipeline.run_sql_apply_stream(
+        spark, src, db_dir, str(tmp_path / "ck"), num_workers=4,
+        setup_sql=setup, catalog=_shared_catalog(db_dir),
+        safe_window=SafeModeWindow(duration_s=0.0))
+    q.awaitTermination(120)
+
+    conn = sqlite3.connect(os.path.join(db_dir, jdbc.SHARED_DB_NAME))
+    got = sorted(conn.execute("SELECT pk, val, k FROM t").fetchall())
+    conn.close()
+    assert got == [(2, 2.0, "KK"), (7, 7.0, "ZZ")]
+
+    # mechanism: the UK key-string links txns 10/20/30 into ONE
+    # causality group (single worker, commit order); txn 40 is its own
+    keys = spark.createDataFrame(
+        [(10, "pk1"), (10, "ukKK"), (20, "pk1"), (20, "ukKK"),
+         (30, "pk2"), (30, "ukKK"), (40, "pk7"), (40, "ukZZ")],
+        "txn_id long, key string")
+    groups = {r["txn_id"]: r["group_id"]
+              for r in causality.causality_groups(keys).collect()}
+    assert groups[10] == groups[20] == groups[30]
+    assert groups[40] != groups[10]

@@ -46,6 +46,11 @@ CKPT_SETUP = (f"CREATE TABLE IF NOT EXISTS {CKPT_TABLE}("
 STATUS_RUNNING = 0   # arbiter/server.go StatusRunning
 STATUS_NORMAL = 1    # graceful shutdown (server.go:220)
 
+# single-downstream layout (apply_statements shared_db=True): all
+# workers connect to this one file; per-worker cursors live under
+# "<topic>@<worker_id>" rows of CKPT_TABLE
+SHARED_DB_NAME = "downstream.db"
+
 
 class RetryPolicy:
     """Retry/backoff policy for transient downstream errors.
@@ -120,16 +125,32 @@ def apply_statements(stmts: DataFrame, db_dir: str,
                      retry: RetryPolicy | None = None,
                      inject=None,
                      checkpoint_ts: int | None = None,
-                     topic: str = "default") -> None:
+                     topic: str = "default",
+                     shared_db: bool = False) -> None:
     """Execute the ``sql_text`` column per worker, partitioned by
     worker id.
 
     stmts: columns (worker_id, commit_ts, seq, sub_seq, sql_text).
-    Each worker writes <db_dir>/worker_<id>.db; per-worker order is
-    (commit_ts, seq, sub_seq) — exactly the per-causality-group order
-    guarantee of the reference's dispatch. Transient failures are
-    retried per ``retry`` (default: the reference's 100x policy with a
-    10ms local backoff).
+    Per-worker order is (commit_ts, seq, sub_seq) — exactly the
+    per-causality-group order guarantee of the reference's dispatch.
+    Transient failures are retried per ``retry`` (default: the
+    reference's 100x policy with a 10ms local backoff).
+
+    ``shared_db`` selects the downstream topology:
+    - False (default): each worker writes its own
+      <db_dir>/worker_<id>.db — the sharded test layout. Row placement
+      then follows routing, so the router must be STABLE per row
+      across batches (pmod(pk)-style).
+    - True: every worker is a connection to ONE database
+      (<db_dir>/downstream.db) — the reference's actual topology
+      (pkg/loader/executor.go: N workers, one MySQL). Routing only
+      decides execution order/parallelism, so causality-group worker
+      ids (which vary per batch) are safe, and sink-side UNIQUE
+      constraints span all rows. SQLite serializes the writers via
+      its file lock (busy_timeout); a real MySQL executes them
+      concurrently. Workers sharing a Spark partition apply
+      sequentially (group-by-worker first) so one partition never
+      holds two open transactions against the same file.
 
     ``inject``: optional callable(sql_text) raised into every execute —
     the deterministic transient-failure injector used by tests.
@@ -138,8 +159,9 @@ def apply_statements(stmts: DataFrame, db_dir: str,
     REPLACEs it into the downstream checkpoint table in the SAME
     transaction as its data (arbiter/checkpoint.go Save) — the commit
     makes rows + cursor atomic, so ``load_checkpoint`` (min over
-    workers) is always the last FULLY-applied batch after any crash.
-    Never regresses (MAX against the stored ts).
+    workers; per-worker ``topic@wid`` rows in shared mode) is always
+    the last FULLY-applied batch after any crash. Never regresses
+    (MAX against the stored ts).
     """
     os.makedirs(db_dir, exist_ok=True)
     setup = list(setup_sql)
@@ -147,8 +169,37 @@ def apply_statements(stmts: DataFrame, db_dir: str,
         setup.append(CKPT_SETUP)
     policy = retry if retry is not None else RetryPolicy(backoff_s=0.01)
 
+    ckpt_upsert = (f"INSERT INTO {CKPT_TABLE}(topic_name, ts, status) "
+                   f"VALUES (?, ?, ?) ON CONFLICT(topic_name) DO "
+                   f"UPDATE SET ts = MAX(ts, excluded.ts), "
+                   f"status = excluded.status")
+
     def run_partition(rows) -> None:
         import sqlite3
+        if shared_db:
+            # one txn per worker, applied sequentially: a partition
+            # must never hold two open write txns on the same file
+            path = os.path.join(db_dir, SHARED_DB_NAME)
+            by_wid: dict = {}
+            for row in rows:
+                by_wid.setdefault(row[worker_col], []).append(row)
+            for wid, wrows in by_wid.items():
+                conn = sqlite3.connect(path)
+                conn.execute("PRAGMA busy_timeout=30000")
+                try:
+                    for s in setup:
+                        conn.execute(s)
+                    for row in wrows:
+                        _execute_with_retry(conn, row["sql_text"],
+                                            policy, inject)
+                    if checkpoint_ts is not None:
+                        conn.execute(ckpt_upsert,
+                                     (f"{topic}@{wid}", int(checkpoint_ts),
+                                      STATUS_RUNNING))
+                    conn.commit()
+                finally:
+                    conn.close()
+            return
         conns: dict = {}
         try:
             for row in rows:
@@ -163,12 +214,8 @@ def apply_statements(stmts: DataFrame, db_dir: str,
                 _execute_with_retry(conn, row["sql_text"], policy, inject)
             for conn in conns.values():
                 if checkpoint_ts is not None:
-                    conn.execute(
-                        f"INSERT INTO {CKPT_TABLE}(topic_name, ts, status) "
-                        f"VALUES (?, ?, ?) ON CONFLICT(topic_name) DO "
-                        f"UPDATE SET ts = MAX(ts, excluded.ts), "
-                        f"status = excluded.status",
-                        (topic, int(checkpoint_ts), STATUS_RUNNING))
+                    conn.execute(ckpt_upsert,
+                                 (topic, int(checkpoint_ts), STATUS_RUNNING))
                 conn.commit()
         finally:
             for conn in conns.values():
@@ -185,21 +232,37 @@ def apply_statements(stmts: DataFrame, db_dir: str,
         # need their cursor advanced or they pin the min forever; a
         # crash RIGHT HERE only leaves a conservative cursor -> the
         # batch replays under safe mode, which is idempotent.
-        import sqlite3
-        for fname in sorted(os.listdir(db_dir)):
-            if not fname.endswith(".db"):
-                continue
-            conn = sqlite3.connect(os.path.join(db_dir, fname))
-            try:
-                conn.execute(CKPT_SETUP)
-                conn.execute(
-                    f"INSERT INTO {CKPT_TABLE}(topic_name, ts, status) "
-                    f"VALUES (?, ?, ?) ON CONFLICT(topic_name) DO "
-                    f"UPDATE SET ts = MAX(ts, excluded.ts)",
-                    (topic, int(checkpoint_ts), STATUS_RUNNING))
-                conn.commit()
-            finally:
-                conn.close()
+        save_checkpoint(db_dir, checkpoint_ts, topic)
+
+
+def save_checkpoint(db_dir: str, ts: int, topic: str = "default") -> None:
+    """Advance every downstream cursor to ``ts`` (never regresses —
+    MAX against the stored value): the plain topic row per shard plus,
+    in the shared layout, every per-worker ``topic@wid`` row (the
+    apply barrier has passed, so raising idle/stale workers is
+    correct). Used by the post-apply idle-worker sweep and by the
+    streaming DDL barrier, which saves the checkpoint IMMEDIATELY
+    after a DDL executes (drainer/syncer.go:234-238 savePoint)."""
+    import sqlite3
+    for fname in sorted(os.listdir(db_dir)):
+        if not fname.endswith(".db"):
+            continue
+        conn = sqlite3.connect(os.path.join(db_dir, fname))
+        try:
+            conn.execute("PRAGMA busy_timeout=30000")
+            conn.execute(CKPT_SETUP)
+            conn.execute(
+                f"INSERT INTO {CKPT_TABLE}(topic_name, ts, status) "
+                f"VALUES (?, ?, ?) ON CONFLICT(topic_name) DO "
+                f"UPDATE SET ts = MAX(ts, excluded.ts)",
+                (topic, int(ts), STATUS_RUNNING))
+            conn.execute(
+                f"UPDATE {CKPT_TABLE} SET ts = MAX(ts, ?) "
+                f"WHERE topic_name LIKE ? || '@%'",
+                (int(ts), topic))
+            conn.commit()
+        finally:
+            conn.close()
 
 
 def execute_ddl(db_dir: str, ddl_sql: str,
@@ -229,6 +292,28 @@ def execute_ddl(db_dir: str, ddl_sql: str,
         catalog.evict(schema, table)
 
 
+def ensure_shards(db_dir: str, num_workers: int,
+                  setup_sql: tuple[str, ...] = (),
+                  shared_db: bool = False) -> None:
+    """Create the downstream file(s) up front with ``setup_sql``
+    applied (idempotent CREATE IF NOT EXISTS). The streaming DDL
+    barrier needs this: a DDL arriving before any DML (CREATE TABLE
+    first in the log) must reach the downstream, and
+    execute_ddl/save_checkpoint iterate the files that exist."""
+    import sqlite3
+    os.makedirs(db_dir, exist_ok=True)
+    names = ([SHARED_DB_NAME] if shared_db
+             else [f"worker_{i}.db" for i in range(num_workers)])
+    for name in names:
+        conn = sqlite3.connect(os.path.join(db_dir, name))
+        try:
+            for s in setup_sql:
+                conn.execute(s)
+            conn.commit()
+        finally:
+            conn.close()
+
+
 def load_checkpoint(db_dir: str, topic: str = "default") -> tuple[int, int]:
     """Restart cursor: the MIN over worker DBs of their saved ts — any
     worker that died pre-commit holds the previous batch's ts, so the
@@ -243,11 +328,12 @@ def load_checkpoint(db_dir: str, topic: str = "default") -> tuple[int, int]:
                 continue
             conn = sqlite3.connect(os.path.join(db_dir, fname))
             try:
-                row = conn.execute(
+                rows = conn.execute(
                     f"SELECT ts, status FROM {CKPT_TABLE} "
-                    f"WHERE topic_name = ?", (topic,)).fetchone()
-                if row is not None:
-                    found.append((int(row[0]), int(row[1])))
+                    f"WHERE topic_name = ? "
+                    f"OR topic_name LIKE ? || '@%'",
+                    (topic, topic)).fetchall()
+                found.extend((int(r[0]), int(r[1])) for r in rows)
             except sqlite3.OperationalError:
                 pass            # worker never created the table
             finally:
@@ -269,8 +355,9 @@ def finalize_checkpoint(db_dir: str, topic: str = "default") -> None:
         conn = sqlite3.connect(os.path.join(db_dir, fname))
         try:
             conn.execute(
-                f"UPDATE {CKPT_TABLE} SET status = ? WHERE topic_name = ?",
-                (STATUS_NORMAL, topic))
+                f"UPDATE {CKPT_TABLE} SET status = ? WHERE topic_name = ? "
+                f"OR topic_name LIKE ? || '@%'",
+                (STATUS_NORMAL, topic, topic))
             conn.commit()
         except sqlite3.OperationalError:
             pass

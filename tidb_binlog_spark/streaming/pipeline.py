@@ -110,7 +110,9 @@ def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
                          num_workers: int = 2,
                          setup_sql: tuple[str, ...] = (),
                          available_now: bool = True,
-                         initial_commit_ts: int = -1):
+                         initial_commit_ts: int = -1,
+                         sync_ddl: bool = True,
+                         catalog=None):
     """The executed-SQL replication path (loader -> MySQL analog,
     SQLite-backed locally) with the reference's auto safe-mode window:
     batches applied while ``safe_window.active()`` are rewritten
@@ -124,11 +126,33 @@ def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
     or below the stored cursor are filtered out (arbiter
     server.go:126-136 resume), and a cursor left in StatusRunning (=
     crash) keeps the safe-mode window active regardless of clock.
+
+    ``sync_ddl``: rows with op = 'DDL' (statement text in row_json)
+    act as barriers inside each micro-batch — DML below the DDL's
+    commit_ts applies first, the DDL executes on every shard, the
+    checkpoint saves immediately (syncer.go:234-238), and later DML
+    builds statements against the post-DDL schema.
+
+    ``catalog``: an optional sinks.catalog.SinkCatalog over the shard
+    DBs. When wired, (a) statement width per table follows the LIVE
+    downstream schema (a mid-stream ADD COLUMN widens the very next
+    sub-batch, with non-(pk,val) columns extracted from the row
+    image), and (b) the causality keys include every sink-side UNIQUE
+    key's values, so UK-colliding txns serialize in commit order.
+
+    Worker routing is causality-group dispatch (conflict_free_
+    partitions, pkg/loader/causality.go:31-99), NOT pmod(pk): a whole
+    txn lands on one worker, and txns linked by any shared PK/UK
+    key-string share a group — per-group commit order with cross-group
+    parallelism, the loader's exact guarantee.
     """
+    from ..operators import causality
+    from ..operators import ddl as ddl_mod
     from ..operators import safe_mode as sm
     from ..sinks import jdbc, sqlgen
 
     resume_ts, status = jdbc.load_checkpoint(db_dir)
+    jdbc.ensure_shards(db_dir, num_workers, setup_sql, shared_db=True)
     if resume_ts < 0 <= initial_commit_ts:
         # drainer -initial-commit-ts (drainer/config.go:240): with no
         # saved checkpoint, start replication strictly after the
@@ -144,6 +168,92 @@ def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
     else:
         window = sm.SafeModeWindow()
 
+    def table_value_cols(tbl: str) -> tuple[str, ...]:
+        """Statement width for one table: the sink catalog's CURRENT
+        column list (so a mid-stream ADD/DROP COLUMN widens/narrows
+        the very next sub-batch, executor.go:336-405 refresh-on-DDL);
+        static (pk, val) when no catalog is wired."""
+        if catalog is None:
+            return ("pk", "val")
+        try:
+            return tuple(catalog.table_info("main", tbl).columns)
+        except LookupError:     # table not created yet: setup_sql width
+            return ("pk", "val")
+
+    def apply_dml(seg: DataFrame, ckpt_ts: int) -> None:
+        """Order-gated DML sub-batch -> safe-mode rewrite -> per-table
+        statement build -> causality-routed parallel apply."""
+        if window.active():
+            prepared = sm.safe_mode_rewrite(seg)
+        else:
+            prepared = seg.withColumn("sub_seq", F.lit(0))
+        prepared = prepared.persist()
+        tables = [r["tbl"] for r in prepared.select("tbl").distinct().collect()]
+        if not tables:
+            prepared.unpersist()
+            jdbc.save_checkpoint(db_dir, ckpt_ts)
+            return
+        # per-table statement width (few tables; the per-table build is
+        # a union of narrow projections over the SAME cached sub-batch)
+        stmts = None
+        key_frames = []
+        for tbl in tables:
+            cols = table_value_cols(tbl)
+            part = prepared.filter(F.col("tbl") == tbl)
+            # columns beyond the typed (pk, val) ride the row image —
+            # extracted as strings, quoted by the statement builder
+            for c in cols:
+                if c not in ("pk", "val"):
+                    part = part.withColumn(
+                        c, F.get_json_object(F.col("row_json"), f"$.{c}"))
+            s = sqlgen.generate_sql(part, dialect="sqlite",
+                                    value_cols=cols) \
+                      .select("commit_ts", "seq", "sub_seq", "pk", "sql_text")
+            stmts = s if stmts is None else stmts.unionByName(s)
+            # causality keys: every PK/UK key-string the statements
+            # touch (pkg/loader/model.go:459-512) — (db, tbl, pk)
+            # always; each sink-side UNIQUE key's column values too,
+            # so txns with different PKs colliding on a UK serialize
+            # onto one worker in commit order (causality.go:31-99)
+            pk_key = F.concat_ws("\x01", F.col("db"), F.col("tbl"),
+                                 F.lit("pk"), F.col("pk").cast("string"))
+            keys = part.select(F.col("commit_ts").alias("txn_id"),
+                               pk_key.alias("key"))
+            if catalog is not None:
+                try:
+                    uks = catalog.table_info("main", tbl).unique_keys
+                except LookupError:
+                    uks = ()
+                for uk_name, uk_cols in uks:
+                    if uk_name == "PRIMARY" or not set(uk_cols) <= set(cols):
+                        continue
+                    uk_key = F.concat_ws(
+                        "\x01", F.col("db"), F.col("tbl"), F.lit(uk_name),
+                        *[F.col(c).cast("string") for c in uk_cols])
+                    keys = keys.unionByName(
+                        part.filter(F.concat_ws(
+                            "", *[F.col(c) for c in uk_cols]) != "")
+                        .select(F.col("commit_ts").alias("txn_id"),
+                                uk_key.alias("key")))
+            key_frames.append(keys)
+        txn_keys = key_frames[0]
+        for kf in key_frames[1:]:
+            txn_keys = txn_keys.unionByName(kf)
+        # conflict-free dispatch replaces pmod(pk): whole txns route by
+        # causality group, so cross-txn key conflicts apply in commit
+        # order while disjoint groups parallelize (load.go:508-575)
+        routed = causality.conflict_free_partitions(
+            stmts, txn_keys, num_workers=num_workers,
+            txn_col="commit_ts")
+        # shared_db: the downstream is ONE database (the reference's
+        # topology) — causality worker ids vary per batch, which is
+        # only sound when routing doesn't decide row placement
+        jdbc.apply_statements(routed, db_dir, num_workers,
+                              setup_sql=setup_sql,
+                              checkpoint_ts=ckpt_ts,
+                              shared_db=True)
+        prepared.unpersist()
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # persist: the safe-mode rewrite is a 4-way union over the gated
         # stream — without caching, each branch re-scans the source
@@ -152,21 +262,47 @@ def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
         if wm_row["wm"] is None:        # batch fully below the cursor
             batch_df.unpersist()
             return
+        wm = int(wm_row["wm"])
         # FAKE heartbeats advance the watermark (computed above) but
         # must never reach the statement builder — generate_sql has no
         # case for them and would emit NULL sql_text.
         ok = (ordering.ordered_stream(batch_df)
-              .filter(F.col("op") != "FAKE"))
-        if window.active():
-            prepared = sm.safe_mode_rewrite(ok)
-        else:
-            prepared = ok.withColumn("sub_seq", F.lit(0))
-        stmts = (sqlgen.generate_sql(prepared, dialect="sqlite")
-                 .withColumn("worker_id", F.pmod(F.col("pk"),
-                                                 F.lit(num_workers))))
-        jdbc.apply_statements(stmts, db_dir, num_workers,
-                              setup_sql=setup_sql,
-                              checkpoint_ts=int(wm_row["wm"]))
+              .filter(F.col("op") != "FAKE")).persist()
+        # DDL events (op = 'DDL', statement text in row_json) split the
+        # batch into barriers: DML below the DDL applies first, then
+        # the DDL runs on every shard with the catalog evicted and the
+        # checkpoint saved IMMEDIATELY, then the next sub-batch builds
+        # statements against the POST-DDL schema
+        # (drainer/syncer.go:433-537; pkg/loader/load.go:401-496).
+        ddl_rows = []
+        if sync_ddl:
+            ddl_rows = (ddl_mod.prep_for_apply(
+                ok.filter(F.col("op") == "DDL")
+                  .withColumn("ddl_sql", F.col("row_json")))
+                .select("commit_ts", "db", "tbl", "ddl_sql",
+                        "should_skip")
+                .orderBy("commit_ts").collect())
+        dml = ok.filter(F.col("op") != "DDL")
+        lo = resume_ts
+        for d in ddl_rows:
+            seg = dml.filter((F.col("commit_ts") > lo)
+                             & (F.col("commit_ts") < d["commit_ts"]))
+            apply_dml(seg, ckpt_ts=int(d["commit_ts"]) - 1)
+            if not d["should_skip"]:
+                # sqlite shards are single-database files, so the
+                # mysql-wire `USE db;` prefix (apply_sql) is moot —
+                # the raw statement applies to every shard
+                jdbc.execute_ddl(db_dir, d["ddl_sql"],
+                                 catalog=catalog, table=d["tbl"])
+            elif catalog is not None:
+                # skipped DDL still evicts the cached downstream info
+                # (syncer.go shouldSkip path: empty sql forces the
+                # table-info refresh)
+                catalog.evict("main", d["tbl"])
+            jdbc.save_checkpoint(db_dir, int(d["commit_ts"]))
+            lo = int(d["commit_ts"])
+        apply_dml(dml.filter(F.col("commit_ts") > lo), ckpt_ts=wm)
+        ok.unpersist()
         batch_df.unpersist()
 
     stream = read_change_stream(spark, source_dir)
