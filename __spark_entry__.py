@@ -1939,6 +1939,72 @@ def _ddl_stream_oracle() -> str:
 # driver contract
 # ---------------------------------------------------------------------------
 
+
+def q_corpus_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical top-k document similarity over an inverted-index
+    join (scoring.tfidf_topk): df-capped postings, milli-quantized idf,
+    exact integer dot products — the lexical complement of the dense
+    ANN family."""
+    return scoring.tfidf_topk(_docs(spark, sf_dir))
+
+
+def q_snapshot_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 flavor): the lineitem aggregate
+    shuffles on the order key once; the HAVING filter reduces it to a
+    sliver before the orders join; customer broadcasts; deterministic
+    top-50 via TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (t["lineitem"].groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+                 .alias("qty_d"))
+           .filter(F.col("qty_d") > 300))
+    return (big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice",
+                    F.col("qty_d").cast("double").alias("total_qty"))
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(50))
+
+
+def q_snapshot_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier(s) by 1997 revenue (TPC-H Q15 flavor): revenue per
+    supplier is one map-side-combinable aggregate (~#suppliers rows);
+    the max threshold broadcasts back as a 1-row frame (the scalar
+    subquery of the reference query) and the comparison stays DECIMAL
+    so ties are exact, never float-fuzzy."""
+    t = load_tables(spark, sf_dir, "lineitem", "supplier")
+    rev = (t["lineitem"].filter(F.year("l_shipdate") == 1997)
+           .groupBy("l_suppkey")
+           .agg(F.sum((F.col("l_extendedprice")
+                       * (F.lit(1.0) - F.col("l_discount")))
+                      .cast("decimal(38,6)")).alias("rev_d")))
+    mx = rev.agg(F.max("rev_d").alias("mx_d"))
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("rev_d") == F.col("mx_d"))
+            .join(F.broadcast(t["supplier"]),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey"), F.col("s_name"),
+                    F.col("rev_d").cast("double").alias("total_revenue")))
+
+
+def q_snapshot_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-change forecast (TPC-H Q6 flavor): a pure
+    filter-aggregate whose predicates all push to the parquet scan —
+    the canonical pushdown showcase (one row out, zero joins)."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    return (t["lineitem"]
+            .filter((F.year("l_shipdate") == 1997)
+                    & (F.col("l_discount") >= 0.05)
+                    & (F.col("l_discount") <= 0.07)
+                    & (F.col("l_quantity") < 24))
+            .agg(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                       .cast("decimal(38,6)")).cast("double")
+                  .alias("revenue_effect"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's main 'query' — apply an ordered,
     deduplicated change stream to a table snapshot (SURVEY §3.1)."""
@@ -2077,6 +2143,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        # -- new in r6 (ledger-checked now; window candidates for r7)
+        "corpus_tfidf_topk": q_corpus_tfidf_topk,
+        "snapshot_large_orders": q_snapshot_large_orders,
+        "snapshot_top_supplier": q_snapshot_top_supplier,
+        "snapshot_forecast_revenue": q_snapshot_forecast_revenue,
     }
 
 
@@ -3363,6 +3434,74 @@ def oracle_sql() -> dict[str, str]:
                         ELSE concat('`val` = ', CAST(old_val AS STRING))
                    END AS where_clause
             FROM u
+        """,
+        "corpus_tfidf_topk": f"""
+            WITH tf AS (
+              SELECT doc_id, t.term, COUNT(*) AS tf
+              FROM (SELECT doc_id, unnest({osql.TOKS}) AS term
+                    FROM documents) t
+              GROUP BY doc_id, t.term),
+            idf AS (
+              SELECT term, COUNT(*) AS df,
+                CAST(FLOOR(ln(CAST((SELECT COUNT(*) FROM documents)
+                                   AS DOUBLE) / COUNT(*)) * 1000.0)
+                     AS BIGINT) AS idf_milli
+              FROM tf GROUP BY term
+              HAVING COUNT(*) <= CAST(FLOOR(0.85 *
+                  (SELECT COUNT(*) FROM documents)) AS BIGINT)),
+            w AS (SELECT doc_id, tf.term, tf * idf_milli AS wt
+                  FROM tf JOIN idf USING (term)),
+            q AS (SELECT doc_id AS query_id, term, wt AS q_wt
+                  FROM w WHERE doc_id % 50 = 0),
+            pairs AS (
+              SELECT query_id, w.doc_id,
+                     COUNT(*) AS n_shared_terms,
+                     CAST(SUM(q_wt * wt) AS BIGINT) AS dot_milli2
+              FROM q JOIN w USING (term)
+              WHERE w.doc_id <> query_id
+              GROUP BY query_id, w.doc_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY query_id
+                      ORDER BY dot_milli2 DESC, doc_id) AS rank
+                  FROM pairs)
+            SELECT query_id, doc_id, n_shared_terms, dot_milli2, rank
+            FROM r WHERE rank <= 5
+        """,
+        "snapshot_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty_d
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 300)
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, CAST(qty_d AS DOUBLE) AS total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 50
+        """,
+        "snapshot_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(38,6))) AS rev_d
+              FROM lineitem WHERE year(l_shipdate) = 1997
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name,
+                   CAST(rev_d AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev_d = (SELECT MAX(rev_d) FROM rev)
+        """,
+        "snapshot_forecast_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                                 AS DECIMAL(38,6))) AS DOUBLE)
+                     AS revenue_effect,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE year(l_shipdate) = 1997
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
         "snapshot_top_customers": """
             WITH rev AS (

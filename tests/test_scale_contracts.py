@@ -558,3 +558,27 @@ def test_ann_topk_caps_bound_degenerate_buckets(spark):
                              centroid_mod=37)
     assert sorted(map(tuple, ivf_loose.collect())) == \
            sorted(map(tuple, ivf_exact.collect()))
+
+
+def test_tfidf_topk_plan_jvm_only_and_df_cap(spark):
+    """corpus_tfidf_topk: pure-JVM plan (no Python eval), the rank
+    window partitions by query_id (never a global window over data),
+    and the df cap drops ubiquitous terms from the join."""
+    from tidb_binlog_spark.functions import scoring
+
+    docs = spark.createDataFrame(
+        [(i, "common shared words here plus "
+          + ("alpha beta" if i % 2 == 0 else "gamma delta"))
+         for i in range(100)],
+        "doc_id long, text string")
+    out = scoring.tfidf_topk(docs, query_mod=10, k=3, max_df_frac=0.6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = out.collect()
+    assert rows
+    # 'common shared words here plus' have df=100 (dropped by the 0.6
+    # cap); alpha/beta + gamma/delta have df=50 (kept) -> pairs only
+    # link same-parity docs
+    for r in rows:
+        assert r["query_id"] % 2 == r["doc_id"] % 2
+        assert r["n_shared_terms"] == 2          # the two parity terms

@@ -359,3 +359,60 @@ def inverted_index(docs: DataFrame, min_df: int = 5,
                          lambda x: x.cast("string")),
                      ",").alias("postings"))
             .filter(F.col("df") >= min_df))
+
+
+def tfidf_topk(docs: DataFrame, query_mod: int = 50, k: int = 5,
+               max_df_frac: float = 0.85) -> DataFrame:
+    """Sparse lexical similarity search: for each query document
+    (doc_id % query_mod == 0) the top-k most similar documents by
+    tf-idf dot product over SHARED terms — the inverted-index
+    complement of the dense-embedding ANN family (similarity.py):
+    candidate generation and scoring happen in one term-keyed join,
+    so only documents sharing at least one surviving term ever pair.
+
+    Scale design:
+    - terms with df > max_df_frac * N are DROPPED before the join
+      (the posting-list cap: stopword-grade terms would otherwise
+      contribute O(N)-length postings and quadratic pair blowup —
+      same bound an inverted index enforces);
+    - the query side carries corpus/query_mod documents; the join is
+      keyed on the term (inverted-index shape), the pair aggregate
+      map-side combines;
+    - integer parity: idf is quantized to MILLI-units per term
+      (floor(ln(N/df) * 1e3)) BEFORE weighting, so pair scores are
+      exact BIGINT sums of tf_q * tf_d * idf_milli^2 — order-invariant
+      and engine-exact, with headroom (tf <= doc length, idf_milli <=
+      ~15e3 at web scale => per-term products < 2^50).
+
+    Returns (query_id, doc_id, n_shared_terms, dot_milli2, rank).
+    """
+    n_docs = docs.count()
+    max_df = int(max_df_frac * n_docs)
+    terms = (with_tokens(docs)
+             .select("doc_id", F.explode("toks").alias("term"))
+             .groupBy("doc_id", "term")
+             .agg(F.count(F.lit(1)).alias("tf")))
+    from ..cache import managed_persist
+    terms = managed_persist(terms)
+    idf = (terms.groupBy("term")
+           .agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") <= max_df)
+           .withColumn("idf_milli",
+                       F.expr(f"CAST(FLOOR(ln(CAST({n_docs} AS DOUBLE)"
+                              f" / df) * 1000.0) AS BIGINT)")))
+    w = (terms.join(idf.select("term", "idf_milli"), "term")
+         .withColumn("wt", F.col("tf") * F.col("idf_milli")))
+    q = (w.filter(F.col("doc_id") % query_mod == 0)
+         .select(F.col("doc_id").alias("query_id"), "term",
+                 F.col("wt").alias("q_wt")))
+    pairs = (q.join(w, "term")
+             .filter(F.col("doc_id") != F.col("query_id"))
+             .groupBy("query_id", "doc_id")
+             .agg(F.count(F.lit(1)).alias("n_shared_terms"),
+                  F.sum(F.col("q_wt") * F.col("wt")).alias("dot_milli2")))
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_milli2"), F.asc("doc_id"))
+    return (pairs.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "n_shared_terms",
+                    "dot_milli2", "rank"))
