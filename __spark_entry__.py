@@ -2005,6 +2005,56 @@ def q_snapshot_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_items")))
 
 
+
+def q_cdc_disorder_displacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational disorder audit: per source, how far events arrive
+    from their commit-ts order (|arrival rank - ts rank| per event,
+    aggregated). The monitoring-surface complement of the order gate
+    — the reference alerts on disorder counts (merge.go quarantine
+    metrics); this quantifies the displacement distribution so
+    watermark delay can be SIZED from data. Windows partition by
+    source (never global); outputs are exact integers (mean scaled
+    x100 via integer division)."""
+    from pyspark.sql import Window
+    ch = _spark_changes(spark, sf_dir)
+    wa = Window.partitionBy("source_id").orderBy("arrival_seq")
+    wt = Window.partitionBy("source_id").orderBy("commit_ts",
+                                                 "arrival_seq")
+    d = (ch.withColumn("arr_rank", F.row_number().over(wa))
+         .withColumn("ts_rank", F.row_number().over(wt))
+         .withColumn("disp", F.abs(F.col("arr_rank") - F.col("ts_rank"))))
+    agg = d.groupBy("source_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("disp") > 0, 1).otherwise(0))
+         .alias("n_displaced"),
+        F.max("disp").cast("long").alias("max_disp"),
+        F.sum("disp").alias("_sum_disp"))
+    return agg.select(
+        "source_id", "n_events", "n_displaced", "max_disp",
+        F.expr("(_sum_disp * 100) DIV n_events").alias("mean_disp_x100"))
+
+
+def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate overlap matrix: MinHash-LSH
+    candidate links labeled with each endpoint's source, rolled up per
+    unordered source pair — the audit that tells a corpus curator
+    WHICH feeds duplicate each other (e.g. a crawl mirroring another).
+    The pair set is tiny next to the corpus; the source labels join on
+    the doc key (no broadcast of the corpus-sized dimension)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedupfn.minhash_lsh_pairs(docs)
+    lab = docs.select("doc_id", "source")
+    j = (pairs
+         .join(lab.select(F.col("doc_id").alias("doc_a"),
+                          F.col("source").alias("src_a")), "doc_a")
+         .join(lab.select(F.col("doc_id").alias("doc_b"),
+                          F.col("source").alias("src_b")), "doc_b"))
+    return (j.select(F.least("src_a", "src_b").alias("source_a"),
+                     F.greatest("src_a", "src_b").alias("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_links")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's main 'query' — apply an ordered,
     deduplicated change stream to a table snapshot (SURVEY §3.1)."""
@@ -2148,6 +2198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_large_orders": q_snapshot_large_orders,
         "snapshot_top_supplier": q_snapshot_top_supplier,
         "snapshot_forecast_revenue": q_snapshot_forecast_revenue,
+        "cdc_disorder_displacement": q_cdc_disorder_displacement,
+        "corpus_source_overlap": q_corpus_source_overlap,
     }
 
 
@@ -3502,6 +3554,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE year(l_shipdate) = 1997
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "cdc_disorder_displacement": f"""
+            {CHANGES_CTE},
+            d AS (SELECT source_id,
+                    ROW_NUMBER() OVER (PARTITION BY source_id
+                                       ORDER BY arrival_seq) AS arr_rank,
+                    ROW_NUMBER() OVER (PARTITION BY source_id
+                                       ORDER BY commit_ts, arrival_seq)
+                      AS ts_rank
+                  FROM changes)
+            SELECT source_id, COUNT(*) AS n_events,
+              CAST(SUM(CASE WHEN arr_rank <> ts_rank THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_displaced,
+              CAST(MAX(ABS(arr_rank - ts_rank)) AS BIGINT) AS max_disp,
+              CAST((SUM(ABS(arr_rank - ts_rank)) * 100) // COUNT(*)
+                   AS BIGINT) AS mean_disp_x100
+            FROM d GROUP BY source_id
+        """,
+        "corpus_source_overlap": f"""
+            WITH {osql.MINHASH_PAIRS_CTES},
+            lab AS (SELECT doc_id, source FROM documents)
+            SELECT LEAST(a.source, b.source) AS source_a,
+                   GREATEST(a.source, b.source) AS source_b,
+                   COUNT(*) AS n_links
+            FROM pairs p
+            JOIN lab a ON p.doc_a = a.doc_id
+            JOIN lab b ON p.doc_b = b.doc_id
+            GROUP BY 1, 2
         """,
         "snapshot_top_customers": """
             WITH rev AS (

@@ -582,3 +582,35 @@ def test_tfidf_topk_plan_jvm_only_and_df_cap(spark):
     for r in rows:
         assert r["query_id"] % 2 == r["doc_id"] % 2
         assert r["n_shared_terms"] == 2          # the two parity terms
+
+
+def test_replicated_skew_join_equals_plain_join(spark):
+    """replicated_skew_join: identical rows to the plain equi-join
+    (inner and left) while spreading a hot key over n_salts
+    sub-partitions."""
+    from tidb_binlog_spark.operators import skew
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 1000), (3, 2000)],
+        "k int, payload int")           # k=1 is the hot key
+    small = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (9, "nine")], "k int, name string")
+
+    plain = big.join(small, "k").select("k", "payload", "name")
+    salted = skew.replicated_skew_join(big, small, "k", n_salts=8) \
+                 .select("k", "payload", "name")
+    assert sorted(map(tuple, salted.collect())) == \
+           sorted(map(tuple, plain.collect()))
+
+    plain_l = big.join(small, "k", "left").select("k", "payload", "name")
+    salted_l = skew.replicated_skew_join(big, small, "k", n_salts=8,
+                                         how="left") \
+                   .select("k", "payload", "name")
+    assert sorted(map(tuple, salted_l.collect()),
+                  key=lambda t: (t[0], t[1], str(t[2]))) == \
+           sorted(map(tuple, plain_l.collect()),
+                  key=lambda t: (t[0], t[1], str(t[2])))
+    # the hot key's rows really carry n_salts distinct sub-keys
+    n_sub = (skew.with_salt(big.filter("k = 1"), 8)
+             .select("_salt").distinct().count())
+    assert n_sub == 8

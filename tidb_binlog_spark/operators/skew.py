@@ -65,3 +65,29 @@ def salted_last_image_count(changes: DataFrame,
         F.max("_last").getField("op").alias("last_op"),
     ]
     return salted_agg(changes, ["db", "tbl", "pk"], partial, final, n_salts)
+
+
+def replicated_skew_join(big: DataFrame, small: DataFrame,
+                         key: str, n_salts: int = 16,
+                         how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join: the big side salts its key from a per-row
+    hash; the small side REPLICATES n_salts ways; the join runs on
+    (key, salt) so one hot key spreads over n_salts tasks instead of
+    one straggler. Result == the plain join, row for row (verified by
+    test). AQE's runtime skew handling covers most cases — this is
+    the explicit form for plans where AQE is unavailable (streaming
+    foreachBatch) or the skew is known up front; the small side costs
+    n_salts x its size, so keep it broadcast-scale.
+
+    ``how`` supports inner/left (left rows with no match keep exactly
+    one copy: the NULL-extended row appears once per (key, salt) only
+    on the salt the row carries)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"replicated_skew_join supports inner/left, "
+                         f"got {how!r}")
+    salted = with_salt(big, n_salts)
+    rep = (small.withColumn(
+               "_salt", F.explode(F.array(*[F.lit(i)
+                                            for i in range(n_salts)]))))
+    out = salted.join(rep, [key, "_salt"], how)
+    return out.drop("_salt")
