@@ -1975,7 +1975,12 @@ def q_snapshot_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery of the reference query) and the comparison stays DECIMAL
     so ties are exact, never float-fuzzy."""
     t = load_tables(spark, sf_dir, "lineitem", "supplier")
-    rev = (t["lineitem"].filter(F.year("l_shipdate") == 1997)
+    # range predicate, not year(): a function over the column would
+    # block parquet predicate pushdown (asserted in
+    # test_scale_contracts.test_r6_snapshot_pushdown)
+    rev = (t["lineitem"]
+           .filter((F.col("l_shipdate") >= "1997-01-01")
+                   & (F.col("l_shipdate") < "1998-01-01"))
            .groupBy("l_suppkey")
            .agg(F.sum((F.col("l_extendedprice")
                        * (F.lit(1.0) - F.col("l_discount")))
@@ -1995,7 +2000,8 @@ def q_snapshot_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical pushdown showcase (one row out, zero joins)."""
     t = load_tables(spark, sf_dir, "lineitem")
     return (t["lineitem"]
-            .filter((F.year("l_shipdate") == 1997)
+            .filter((F.col("l_shipdate") >= "1997-01-01")
+                    & (F.col("l_shipdate") < "1998-01-01")
                     & (F.col("l_discount") >= 0.05)
                     & (F.col("l_discount") <= 0.07)
                     & (F.col("l_quantity") < 24))
@@ -3538,7 +3544,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT l_suppkey,
                 SUM(CAST(l_extendedprice * (1.0 - l_discount)
                          AS DECIMAL(38,6))) AS rev_d
-              FROM lineitem WHERE year(l_shipdate) = 1997
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
               GROUP BY l_suppkey)
             SELECT s_suppkey, s_name,
                    CAST(rev_d AS DOUBLE) AS total_revenue
@@ -3551,7 +3559,8 @@ def oracle_sql() -> dict[str, str]:
                      AS revenue_effect,
                    COUNT(*) AS n_items
             FROM lineitem
-            WHERE year(l_shipdate) = 1997
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
         """,

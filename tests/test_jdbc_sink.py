@@ -282,3 +282,35 @@ def test_escaping_roundtrips_arbitrary_strings(spark, tmp_path):
         assert got == {i: v for i, v in enumerate(vals)}
 
     run()
+
+
+def test_execute_ddl_replay_is_tolerated(tmp_path):
+    """Crash-replay of a DDL (restart between the DDL commit and the
+    immediate checkpoint save) must converge: re-executing an applied
+    ALTER/CREATE/DROP is swallowed as already-applied, while a
+    genuinely broken DDL still raises."""
+    import os
+    import sqlite3
+
+    import pytest
+    from tidb_binlog_spark.sinks import jdbc
+
+    db_dir = str(tmp_path / "db")
+    jdbc.ensure_shards(db_dir, 1, (
+        "CREATE TABLE IF NOT EXISTS t (pk INTEGER PRIMARY KEY)",),
+        shared_db=True)
+    jdbc.execute_ddl(db_dir, "ALTER TABLE t ADD COLUMN c TEXT")
+    # replay: same DDL again -> duplicate column, tolerated
+    jdbc.execute_ddl(db_dir, "ALTER TABLE t ADD COLUMN c TEXT")
+    # replayed drop of an already-dropped column: tolerated
+    jdbc.execute_ddl(db_dir, "ALTER TABLE t DROP COLUMN c")
+    jdbc.execute_ddl(db_dir, "ALTER TABLE t DROP COLUMN c")
+    conn = sqlite3.connect(os.path.join(db_dir, jdbc.SHARED_DB_NAME))
+    cols = [r[1] for r in conn.execute("PRAGMA table_info(t)")]
+    conn.close()
+    assert cols == ["pk"]
+    # a genuinely malformed DDL still surfaces
+    with pytest.raises(Exception):
+        jdbc.execute_ddl(db_dir, "ALTER TABLZZZ t ADD COLUMN x",
+                         retry=jdbc.RetryPolicy(max_retries=1,
+                                                backoff_s=0))

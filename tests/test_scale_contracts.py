@@ -614,3 +614,18 @@ def test_replicated_skew_join_equals_plain_join(spark):
     n_sub = (skew.with_salt(big.filter("k = 1"), 8)
              .select("_salt").distinct().count())
     assert n_sub == 8
+
+
+def test_r6_snapshot_pushdown(spark):
+    """Q6/Q15-flavor queries: the shipdate RANGE predicates (not
+    year()) must reach the parquet scan as pushed filters, with the
+    read schema pruned to the touched columns."""
+    import __spark_entry__ as entry
+    df = entry.queries()["snapshot_forecast_revenue"](
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "l_shipdate" in scan.split("PushedFilters")[-1] \
+        or "l_shipdate" in scan     # pushed filter names the column
+    assert "PushedFilters: []" not in plan
+    assert "l_returnflag" not in scan       # column pruning held

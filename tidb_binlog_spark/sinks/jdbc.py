@@ -265,17 +265,33 @@ def save_checkpoint(db_dir: str, ts: int, topic: str = "default") -> None:
             conn.close()
 
 
+# error fragments that mean "this DDL already took effect downstream"
+# — seen when a crash lands between the DDL commit and the immediate
+# checkpoint save, so the restart replays it (the same replay window
+# the reference has; its loader surfaces the duplicate-DDL error to
+# the operator). Tolerating exactly these makes the replay a no-op.
+_DDL_APPLIED_FRAGMENTS = ("duplicate column name", "already exists",
+                          "no such column", "no such table")
+
+
 def execute_ddl(db_dir: str, ddl_sql: str,
                 retry: RetryPolicy | None = None,
                 catalog=None, schema: str = "main",
-                table: str | None = None) -> None:
+                table: str | None = None,
+                tolerate_applied: bool = True) -> None:
     """DDL through the executed-SQL sink: the reference flushes pending
     DMLs, then runs the DDL with its own 5x retry budget
     (pkg/loader/load.go:40-45 maxDDLRetryCount, load.go:476-500
-    execDDL) and refreshes the cached table info afterwards. Our
-    logical downstream is sharded across per-worker DBs, so the DDL
-    applies to every shard; ``catalog.evict`` makes the next statement
-    build see the new schema (executor.go:336-405)."""
+    execDDL) and refreshes the cached table info afterwards. The DDL
+    applies to every downstream file (one in the shared layout);
+    ``catalog.evict`` makes the next statement build see the new
+    schema (executor.go:336-405).
+
+    ``tolerate_applied``: a crash between the DDL's commit and the
+    immediate checkpoint save makes the restart re-execute it; errors
+    that can only mean "already applied" (duplicate column, already
+    exists, no such column/table) are then swallowed so the replay
+    converges instead of wedging the stream."""
     import sqlite3
     policy = retry if retry is not None else RetryPolicy(
         max_retries=MAX_DDL_RETRY, backoff_s=0.01)
@@ -284,7 +300,13 @@ def execute_ddl(db_dir: str, ddl_sql: str,
             continue
         conn = sqlite3.connect(os.path.join(db_dir, fname))
         try:
-            _execute_with_retry(conn, ddl_sql, policy)
+            try:
+                _execute_with_retry(conn, ddl_sql, policy)
+            except sqlite3.OperationalError as e:
+                msg = str(e).lower()
+                if not (tolerate_applied
+                        and any(f in msg for f in _DDL_APPLIED_FRAGMENTS)):
+                    raise
             conn.commit()
         finally:
             conn.close()
