@@ -83,6 +83,17 @@ HEADLINE = [
     "snapshot_returned_items",   # Q10-flavor top-k revenue
     "snapshot_volume_shipping",  # Q7-flavor nation-pair matrix
     "snapshot_cust_no_orders",   # Q22-flavor anti join
+    # r6: first-driver-window queries + new operators record cost in
+    # the same round their first CORRECTNESS row lands
+    "cdc_event_counters",        # per-(db,op) metrics aggregate
+    "cdc_update_images",         # old/new image NULL-safe WHERE build
+    "snapshot_top_customers",    # TakeOrderedAndProject top-k + rank
+    "corpus_tfidf_topk",         # inverted-index lexical similarity
+    "snapshot_large_orders",     # Q18-flavor HAVING sliver join
+    "snapshot_top_supplier",     # Q15-flavor scalar-max threshold
+    "snapshot_forecast_revenue", # Q6-flavor pushdown aggregate
+    "cdc_disorder_displacement", # per-source disorder audit
+    "corpus_source_overlap",     # near-dup source-pair matrix
 ]
 
 
