@@ -1626,3 +1626,96 @@ def test_sql_apply_stream_uk_conflict_serializes_on_one_worker(spark, tmp_path):
               for r in causality.causality_groups(keys).collect()}
     assert groups[10] == groups[20] == groups[30]
     assert groups[40] != groups[10]
+
+
+def test_sql_apply_stream_randomized_ddl_interleave(spark, tmp_path):
+    """Property-style check of the streaming DDL barrier: a seeded
+    random interleaving of DML (I/U/D over a small pk pool, row
+    images carrying the evolving columns) and DDL (ADD COLUMN c1..c3
+    in random positions, one trailing DROP) must leave the SQLite
+    downstream equal to the batch SchemaRegistry + decode_with_replay
+    answer on the final schema."""
+    import json as jsonlib
+    import random
+    import sqlite3
+
+    from pyspark.sql import Window
+    from tidb_binlog_spark.operators.schema_evolution import (
+        SchemaRegistry, decode_with_replay)
+    from tidb_binlog_spark.sinks import jdbc
+
+    rng = random.Random(20260814)
+    adds = [f"ALTER TABLE t ADD COLUMN c{i} TEXT" for i in (1, 2, 3)]
+    events, ddl_log = [], []
+    live_cols: list = []
+    ts = 0
+    arrival = 0
+    live_rows: set = set()
+    for _ in range(120):
+        ts += rng.randint(1, 3)
+        arrival += 1
+        if adds and rng.random() < 0.06:
+            sql = adds.pop(0)
+            col = sql.split()[-2]
+            events.append((arrival, ts, "DDL", 0, 0.0, sql))
+            ddl_log.append((ts, sql))
+            live_cols.append(col)
+            continue
+        pk = rng.randint(1, 12)
+        if pk in live_rows and rng.random() < 0.2:
+            op = "D"
+            live_rows.discard(pk)
+        elif pk in live_rows:
+            op = "U"
+        else:
+            op = "I"
+            live_rows.add(pk)
+        val = round(rng.uniform(0, 100), 3)
+        rj = {"val": str(val)}
+        for c in live_cols:
+            if rng.random() < 0.7:
+                rj[c] = f"{c}v{rng.randint(0, 9)}"
+        events.append((arrival, ts, op, pk, val, jsonlib.dumps(rj)))
+    # one trailing DROP so narrowing is exercised too
+    ts += 2
+    arrival += 1
+    events.append((arrival, ts, "DDL", 0, 0.0,
+                   "ALTER TABLE t DROP COLUMN c2"))
+    ddl_log.append((ts, "ALTER TABLE t DROP COLUMN c2"))
+    ts += 2
+    arrival += 1
+    pk = rng.randint(13, 15)
+    events.append((arrival, ts, "I", pk, 7.5,
+                   jsonlib.dumps({"val": "7.5", "c1": "tail",
+                                  "c2": "ghost", "c3": "z"})))
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    db_dir = str(tmp_path / "db")
+    setup = ("CREATE TABLE IF NOT EXISTS t (pk INTEGER PRIMARY KEY, val REAL)",)
+    _mixed_stream_rows(spark, events).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = pipeline.run_sql_apply_stream(
+        spark, src, db_dir, str(tmp_path / "ck"), num_workers=3,
+        setup_sql=setup, catalog=_shared_catalog(db_dir))
+    q.awaitTermination(180)
+
+    conn = sqlite3.connect(os.path.join(db_dir, jdbc.SHARED_DB_NAME))
+    cols = [r[1] for r in conn.execute("PRAGMA table_info(t)")]
+    assert cols == ["pk", "val", "c1", "c3"]
+    got = sorted(conn.execute(
+        "SELECT pk, val, c1, c3 FROM t").fetchall())
+    conn.close()
+
+    reg = SchemaRegistry()
+    reg.apply_ddl_events([(1, "CREATE TABLE t (val VARCHAR)")]
+                         + ddl_log)
+    dml = _mixed_stream_rows(
+        spark, [e for e in events if e[2] != "DDL"])
+    decoded = decode_with_replay(dml, reg, "t", spark)
+    w = Window.partitionBy("pk").orderBy(F.desc("commit_ts"))
+    final = (decoded.withColumn("rn", F.row_number().over(w))
+             .filter((F.col("rn") == 1) & (F.col("op") != "D")))
+    batch = sorted((r["pk"], float(r["val"]), r["c1"], r["c3"])
+                   for r in final.collect())
+    assert batch == [(p, v, c1, c3) for p, v, c1, c3 in got]
