@@ -118,6 +118,77 @@ def main(work: str) -> int:
     as_of = hist_view.read().filter(
         scd2.as_of_predicate(int(mid))).count()
     print(f"time travel AS OF {int(mid)}: {as_of} rows")
+
+    # -- 5. the executed-SQL path with DDL mid-stream (round 6) ----------
+    # a second, schema-evolving table replicated through the statement
+    # sink: DML -> DDL barrier (immediate checkpoint, catalog refresh)
+    # -> post-DDL DML with the widened statement, workers routed by
+    # causality group against ONE shared downstream database
+    import json as jsonlib
+    import sqlite3
+
+    from tidb_binlog_spark.operators.schema_evolution import (
+        SchemaRegistry, decode_with_replay)
+    from tidb_binlog_spark.sinks import catalog as cat_mod
+    from tidb_binlog_spark.sinks import jdbc
+
+    sql_zone = os.path.join(work, "sql_zone")
+    os.makedirs(sql_zone, exist_ok=True)
+    add_c = "ALTER TABLE t ADD COLUMN c TEXT"
+    mixed = [
+        (1, 10, "I", 1, 1.0, jsonlib.dumps({"val": "1.0"})),
+        (2, 20, "I", 2, 2.0, jsonlib.dumps({"val": "2.0"})),
+        (3, 30, "DDL", 0, 0.0, add_c),
+        (4, 40, "U", 1, 9.0, jsonlib.dumps({"val": "9.0", "c": "y"})),
+        (5, 50, "I", 3, 3.0, jsonlib.dumps({"val": "3.0", "c": "z"})),
+    ]
+    rows = [(a, "s0", ts, ts - 1, op, "db0", "t", pk, 0, 1, v, rj)
+            for a, ts, op, pk, v, rj in mixed]
+    spark.createDataFrame(
+        rows, ("arrival_seq long, source_id string, commit_ts long, "
+               "start_ts long, op string, db string, tbl string, "
+               "pk long, seq int, schema_version long, val double, "
+               "row_json string")) \
+        .coalesce(1).write.mode("append").parquet(sql_zone)
+    db_dir = os.path.join(work, "sql_sink")
+
+    def fetch(schema, table):
+        conn = sqlite3.connect(os.path.join(db_dir, jdbc.SHARED_DB_NAME))
+        try:
+            return cat_mod.fetch_table_info_sqlite(conn, schema, table)
+        finally:
+            conn.close()
+
+    sq = pipeline.run_sql_apply_stream(
+        spark, sql_zone, db_dir, os.path.join(work, "ckpt_sql"),
+        num_workers=2,
+        setup_sql=("CREATE TABLE IF NOT EXISTS t "
+                   "(pk INTEGER PRIMARY KEY, val REAL)",),
+        catalog=cat_mod.SinkCatalog(fetch))
+    sq.awaitTermination(300)
+    conn = sqlite3.connect(os.path.join(db_dir, jdbc.SHARED_DB_NAME))
+    got_sql = sorted(conn.execute("SELECT pk, val, c FROM t").fetchall())
+    conn.close()
+    reg = SchemaRegistry()
+    reg.apply_ddl_events([(1, "CREATE TABLE t (val VARCHAR)"),
+                          (30, add_c)])
+    dml = spark.createDataFrame(
+        [r for r in rows if r[4] != "DDL"],
+        ("arrival_seq long, source_id string, commit_ts long, "
+         "start_ts long, op string, db string, tbl string, pk long, "
+         "seq int, schema_version long, val double, row_json string"))
+    dec = decode_with_replay(dml, reg, "t", spark)
+    from pyspark.sql import Window as W
+    fin = (dec.withColumn(
+               "rn", F.row_number().over(
+                   W.partitionBy("pk").orderBy(F.desc("commit_ts"))))
+           .filter((F.col("rn") == 1) & (F.col("op") != "D")))
+    want_sql = sorted((r["pk"], float(r["val"]), r["c"])
+                      for r in fin.collect())
+    assert got_sql == want_sql, (got_sql, want_sql)
+    print(f"sql sink with mid-stream DDL: {len(got_sql)} rows, "
+          f"checkpoint {jdbc.load_checkpoint(db_dir)[0]} "
+          f"(== batch decode_with_replay)")
     print("ALL STAGES AGREE")
     return 0
 
