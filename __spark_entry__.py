@@ -2079,6 +2079,15 @@ def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_links")))
 
 
+
+def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.7) mixture sampling over the language
+    strata with a 300-doc budget — small strata upweighted relative
+    to their natural share, exact integer caps, md5-ticket draw."""
+    from tidb_binlog_spark.functions import curation
+    return curation.temperature_mix(_docs(spark, sf_dir), budget=300)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's main 'query' — apply an ordered,
     deduplicated change stream to a table snapshot (SURVEY §3.1)."""
@@ -2224,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_forecast_revenue": q_snapshot_forecast_revenue,
         "cdc_disorder_displacement": q_cdc_disorder_displacement,
         "corpus_source_overlap": q_corpus_source_overlap,
+        "corpus_temperature_mix": q_corpus_temperature_mix,
     }
 
 
@@ -3598,6 +3608,31 @@ def oracle_sql() -> dict[str, str]:
               CAST((SUM(ABS(arr_rank - ts_rank)) * 100) // COUNT(*)
                    AS BIGINT) AS mean_disp_x100
             FROM d GROUP BY source_id
+        """,
+        "corpus_temperature_mix": """
+            WITH counts AS (
+              SELECT lang, COUNT(*) AS n_stratum,
+                CAST(FLOOR(POWER(CAST(COUNT(*) AS DOUBLE), 0.7)
+                           * 1000000.0) AS BIGINT) AS q_micro
+              FROM documents GROUP BY lang),
+            caps AS (
+              SELECT lang, n_stratum,
+                LEAST(n_stratum,
+                      (CAST(300 AS BIGINT) * q_micro)
+                        // (SELECT SUM(q_micro) FROM counts))
+                  AS k_target
+              FROM counts),
+            ranked AS (
+              SELECT doc_id, lang,
+                ROW_NUMBER() OVER (
+                    PARTITION BY lang
+                    ORDER BY md5('tmix:' || CAST(doc_id AS VARCHAR)),
+                             doc_id) AS sample_rank
+              FROM documents)
+            SELECT doc_id, r.lang AS stratum, n_stratum,
+                   CAST(k_target AS BIGINT) AS k_target, sample_rank
+            FROM ranked r JOIN caps c ON r.lang = c.lang
+            WHERE sample_rank <= k_target
         """,
         "corpus_source_overlap": f"""
             WITH {osql.MINHASH_PAIRS_CTES},

@@ -548,3 +548,53 @@ def weighted_sample(docs: DataFrame, weight_col: str, k: int,
     return (docs.withColumn("score_micro", score)
             .withColumn("sample_rank", F.row_number().over(w))
             .filter(F.col("sample_rank") <= k))
+
+
+def temperature_mix(docs: DataFrame, budget: int, alpha: float = 0.7,
+                    stratum_col: str = "lang",
+                    key_col: str = "doc_id",
+                    seed: str = "tmix") -> DataFrame:
+    """Temperature-based mixture sampling (the mT5 / multilingual-LM
+    alpha-sampling staple): stratum s draws k_s = min(n_s,
+    (budget * n_s^alpha) / sum_t n_t^alpha) documents — alpha < 1
+    upweights small strata relative to their natural share, alpha = 1
+    reproduces proportional sampling. Complements mix_to_weights
+    (explicit targets) with the power-law recipe.
+
+    Determinism/parity: n_s^alpha is quantized to MICRO-units per
+    stratum BEFORE the cap arithmetic, so every k_s is an exact
+    integer expression over BIGINTs (the pow/ln-then-floor contract
+    scoring.py already relies on); the draw itself is the md5-ticket
+    rank (replay-stable, engine-exact, no RNG).
+
+    Scale: the stratum-count aggregate is tiny (#strata rows); its
+    total joins back via broadcast (no global window over data); the
+    per-stratum rank window partitions on the stratum like every
+    other sampler here.
+
+    Returns (doc_id, stratum, n_stratum, k_target, sample_rank) for
+    the kept documents.
+    """
+    counts = (docs.groupBy(stratum_col)
+              .agg(F.count(F.lit(1)).alias("n_stratum"))
+              .withColumn("q_micro",
+                          F.expr(f"CAST(FLOOR(POWER(CAST(n_stratum AS "
+                                 f"DOUBLE), {alpha}) * 1000000.0) AS "
+                                 f"BIGINT)")))
+    total = counts.agg(F.sum("q_micro").alias("q_total"))
+    caps = (counts.crossJoin(F.broadcast(total))
+            .withColumn("k_target",
+                        F.least(F.col("n_stratum"),
+                                F.expr(f"(CAST({int(budget)} AS BIGINT) "
+                                       f"* q_micro) DIV q_total")))
+            .select(stratum_col, "n_stratum", "k_target"))
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.concat_ws(":", F.lit(seed),
+                          F.col(key_col).cast("string"))),
+        F.col(key_col))
+    ranked = (docs.select(key_col, stratum_col)
+              .withColumn("sample_rank", F.row_number().over(w)))
+    return (ranked.join(F.broadcast(caps), stratum_col)
+            .filter(F.col("sample_rank") <= F.col("k_target"))
+            .select(key_col, F.col(stratum_col).alias("stratum"),
+                    "n_stratum", "k_target", "sample_rank"))
