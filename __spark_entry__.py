@@ -2088,6 +2088,39 @@ def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.temperature_mix(_docs(spark, sf_dir), budget=300)
 
 
+
+def q_events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov counts): for
+    each user-consecutive (from_type -> to_type) pair, global counts
+    and the micro-quantized row-conditional probability — the
+    behavioral-analytics companion of the funnel/sessionize family.
+    One per-user lag window (partitioned, never global) + one tiny
+    (from, to) aggregate; probabilities divide exact integers."""
+    from pyspark.sql import Window
+    load_tables(spark, sf_dir, "events")
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (ev.withColumn("to_type", F.lead("event_type").over(w))
+             .filter(F.col("to_type").isNotNull())
+             .groupBy(F.col("event_type").alias("from_type"), "to_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    tot = Window.partitionBy("from_type")
+    return (trans
+            .withColumn("n_from", F.sum("n").over(tot))
+            .withColumn("p_micro",
+                        F.expr("(n * 1000000) DIV n_from"))
+            .select("from_type", "to_type", "n", "n_from", "p_micro"))
+
+
+
+def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction plumbing (mm.audio_features_stub):
+    fixed 256-byte sample windows -> integer features per window
+    through the Arrow mapInPandas path; exact-integer features make
+    the full multimodal framing path oracle-checkable."""
+    return mm.audio_features_stub(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's main 'query' — apply an ordered,
     deduplicated change stream to a table snapshot (SURVEY §3.1)."""
@@ -2234,6 +2267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_disorder_displacement": q_cdc_disorder_displacement,
         "corpus_source_overlap": q_corpus_source_overlap,
         "corpus_temperature_mix": q_corpus_temperature_mix,
+        "events_type_transitions": q_events_type_transitions,
+        "mm_audio_features": q_mm_audio_features,
     }
 
 
@@ -3608,6 +3643,49 @@ def oracle_sql() -> dict[str, str]:
               CAST((SUM(ABS(arr_rank - ts_rank)) * 100) // COUNT(*)
                    AS BIGINT) AS mean_disp_x100
             FROM d GROUP BY source_id
+        """,
+        "mm_audio_features": """
+            WITH codes AS (
+              SELECT doc_id,
+                list_transform(string_split(text, ''), ch -> ascii(ch))
+                  AS cs,
+                length(text) AS n
+              FROM documents),
+            w AS (SELECT doc_id, cs, n,
+                    unnest(generate_series(0, (n + 255) // 256 - 1))
+                      AS window_no
+                  FROM codes),
+            s AS (SELECT doc_id, window_no,
+                    list_slice(cs, window_no * 256 + 1,
+                               LEAST((window_no + 1) * 256, n)) AS win
+                  FROM w)
+            SELECT doc_id, window_no,
+              CAST(len(win) AS BIGINT) AS n_samples,
+              CAST(list_aggregate(list_transform(win, x -> x * x),
+                                  'sum') AS BIGINT) AS energy,
+              CAST(list_aggregate(win, 'max') AS BIGINT) AS peak,
+              CAST((list_aggregate(win, 'sum') * 100) // len(win)
+                   AS BIGINT) AS mean_x100
+            FROM s
+        """,
+        "events_type_transitions": """
+            WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+                              event_type FROM events),
+            t AS (SELECT event_type AS from_type,
+                    LEAD(event_type) OVER (
+                        PARTITION BY user_id
+                        ORDER BY ts_ns, event_id) AS to_type
+                  FROM e),
+            c AS (SELECT from_type, to_type, COUNT(*) AS n
+                  FROM t WHERE to_type IS NOT NULL
+                  GROUP BY from_type, to_type)
+            SELECT from_type, to_type, n,
+              CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+                AS n_from,
+              CAST((n * 1000000)
+                   // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+                AS p_micro
+            FROM c
         """,
         "corpus_temperature_mix": """
             WITH counts AS (

@@ -214,3 +214,47 @@ def audio_features_stub(docs: DataFrame,
 
     return as_binary_payload(docs).mapInPandas(
         features, schema=AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("window_no", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("energy", T.LongType()),
+    T.StructField("peak", T.LongType()),
+    T.StructField("mean_x100", T.LongType()),
+])
+
+
+def audio_features_stub(docs: DataFrame,
+                        window_bytes: int = 256) -> DataFrame:
+    """Audio feature-extraction plumbing: fixed-size sample windows
+    over the byte stream, one feature row per window (the
+    librosa/torchaudio framing shape — 1 asset in, N frames out,
+    numeric features per frame). A real pipeline swaps the body for an
+    actual decoder + FFT; the Spark side — Arrow batches, numpy
+    vectorization per window, deterministic integer features — is the
+    production shape. STUB features are exact integer functions of the
+    bytes (energy = sum of squared sample values, peak, mean x100 via
+    integer division), so the whole path is oracle-checkable."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8) \
+                        .astype(np.int64)
+                for wno in range(0, (len(raw) + window_bytes - 1)
+                                 // window_bytes):
+                    w = raw[wno * window_bytes:(wno + 1) * window_bytes]
+                    s = int(w.sum())
+                    rows.append((int(doc_id), wno, len(w),
+                                 int((w * w).sum()), int(w.max()),
+                                 (s * 100) // len(w)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "window_no", "n_samples",
+                               "energy", "peak", "mean_x100"])
+
+    return as_binary_payload(docs).mapInPandas(
+        feats, schema=AUDIO_FEATURES_SCHEMA)
