@@ -42,17 +42,30 @@ from tidb_binlog_spark.functions import bpe
 SF0001 = "/root/testdata/sf0.001"
 
 
+# docs whose text is pure ASCII (1 byte per char): queries whose
+# DuckDB oracle mirrors byte-level Spark work via char codes apply
+# this predicate on BOTH sides so the equivalence holds by
+# construction on any corpus (escape-free char-code test — regex
+# escape handling differs between the engines' string literals)
+ASCII_ONLY_PRED = "NOT exists(split(text, ''), ch -> ascii(ch) > 127)"
+
+
 def _scratch_dir(name: str) -> str:
-    """Fixed per-session scratch directory for queries that write an
+    """Per-process scratch directory for queries that write an
     intermediate dump (pb files) before reading it back. Wiped and
-    recreated on every call so repeated bench/correctness runs reuse
-    one path instead of accumulating mkdtemp directories."""
+    recreated on every call (repeated bench/correctness runs reuse
+    one path instead of accumulating mkdtemp directories); the pid
+    suffix keeps concurrent sessions from wiping each other's
+    in-flight dumps, and an atexit hook removes the tree on clean
+    process exit."""
+    import atexit
     import shutil
     import tempfile
     path = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_scratch_{name}")
+                        f"spark_graft_scratch_{name}_{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 
 # ---------------------------------------------------------------------------
@@ -816,6 +829,11 @@ def q_snapshot_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double").alias("total_bal")))
 
 
+# NOTE: a fixed path (not pid-scoped) because the driver may evaluate
+# oracle_sql() in a different process than the query run; the
+# correctness harness runs one session at a time, and content is
+# deterministic per (sf_dir, merges) so a same-config overwrite is
+# byte-identical anyway.
 BPE_ORACLE_PATH = "/tmp/spark_graft_bpe_oracle.parquet"
 
 
@@ -2114,11 +2132,15 @@ def q_events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio feature-extraction plumbing (mm.audio_features_stub):
-    fixed 256-byte sample windows -> integer features per window
-    through the Arrow mapInPandas path; exact-integer features make
-    the full multimodal framing path oracle-checkable."""
-    return mm.audio_features_stub(_docs(spark, sf_dir))
+    """Audio framing plumbing (mm.audio_frame_features_stub): fixed
+    256-byte sample windows -> integer features per window through
+    the Arrow mapInPandas path; exact-integer features make the full
+    multimodal framing path oracle-checkable. ASCII-only docs: the
+    byte/char-window equivalence the DuckDB oracle relies on holds
+    only for 1-byte chars, so multi-byte docs are excluded
+    identically on both sides."""
+    return mm.audio_frame_features_stub(
+        _docs(spark, sf_dir).filter(F.expr(ASCII_ONLY_PRED)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3650,7 +3672,9 @@ def oracle_sql() -> dict[str, str]:
                 list_transform(string_split(text, ''), ch -> ascii(ch))
                   AS cs,
                 length(text) AS n
-              FROM documents),
+              FROM documents
+              WHERE len(list_filter(string_split(text, ''),
+                         ch -> ascii(ch) > 127)) = 0),
             w AS (SELECT doc_id, cs, n,
                     unnest(generate_series(0, (n + 255) // 256 - 1))
                       AS window_no

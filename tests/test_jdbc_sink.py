@@ -314,3 +314,9 @@ def test_execute_ddl_replay_is_tolerated(tmp_path):
         jdbc.execute_ddl(db_dir, "ALTER TABLZZZ t ADD COLUMN x",
                          retry=jdbc.RetryPolicy(max_retries=1,
                                                 backoff_s=0))
+    # tolerance is scoped to the DDL's own effect: an ADD COLUMN
+    # against a MISSING table is divergence, not a replay, and raises
+    with pytest.raises(Exception):
+        jdbc.execute_ddl(db_dir, "ALTER TABLE missing ADD COLUMN x TEXT",
+                         retry=jdbc.RetryPolicy(max_retries=1,
+                                                backoff_s=0))

@@ -523,13 +523,21 @@ def test_ann_topk_caps_bound_degenerate_buckets(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
     # query vec_id % 100 == 0 -> queries 0, 100, 1000 (dup bucket has 2)
-    capped = sim.lsh_topk(emb, query_mod=100, k=5, dims=16,
+    # k is set ABOVE the cap so the per-query row bound can only come
+    # from the candidate cap itself (k=5 would bound rows at 5 even
+    # with a broken cap); uncapped, the dup-bucket queries would see
+    # 199 candidates each
+    capped = sim.lsh_topk(emb, query_mod=100, k=50, dims=16,
                           max_bucket_size=8)
-    # per query at most cap-1 in-bucket candidates survive -> <= k rows,
-    # and the duplicated bucket contributed at most 7 candidates each
     per_q = {r["query_id"]: r["n"] for r in
              capped.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
-    assert all(n <= 7 for n in per_q.values())
+    # a query OUTSIDE the capped membership pairs with all cap members
+    # (a capped member with the other cap-1): bound is the cap itself
+    assert all(n <= 8 for n in per_q.values())
+    uncapped_q = {r["query_id"]: r["n"] for r in
+                  sim.lsh_topk(emb, query_mod=100, k=50, dims=16)
+                  .groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert max(uncapped_q.values()) > 8      # the cap did the bounding
     # queries are drawn pre-cap: both dup-bucket queries still answered
     assert 0 in per_q and 100 in per_q
 

@@ -348,9 +348,12 @@ def cdc_poly_expr(window: int, codes: str = "codes",
     Indexing a code ARRAY matters: ``substring(text, p, 1)`` walks
     the string's bytes from the start on every call (UTF-8 offsets),
     turning the scan quadratic per document; ``element_at(codes, p)``
-    is O(1). The partial sums never exceed window * 127 *
-    BASE^(window-1) < 2^63 for window <= 8, so ANSI-mode Spark
-    cannot overflow."""
+    is O(1). Codes are clamped to ``% 256`` when materialized
+    (cdc_chunks below): ascii() returns the full Unicode codepoint,
+    and an unclamped CJK char (~2e4) times BASE^7 would overflow
+    int64. With codes < 256 the partial sums never exceed window *
+    255 * BASE^(window-1) < 2^63 for window <= 8, so ANSI-mode Spark
+    cannot overflow on ANY text."""
     if window > 8:
         raise ValueError(
             f"cdc_poly_expr unrolls without intermediate mods; "
@@ -403,7 +406,8 @@ def cdc_chunks(docs: DataFrame, window: int = 8,
               "'stop', b))")
     return (spread(docs)
             .withColumn("codes",
-                        F.expr("transform(split(text, ''), ch -> ascii(ch))"))
+                        F.expr("transform(split(text, ''), "
+                               "ch -> ascii(ch) % 256)"))
             .withColumn("bnds", F.expr(bounds))
             .select("doc_id", "text", F.explode(F.expr(starts)).alias("c"))
             .filter(F.col("c.stop") >= F.col("c.start"))
@@ -581,13 +585,17 @@ def temperature_mix(docs: DataFrame, budget: int, alpha: float = 0.7,
                           F.expr(f"CAST(FLOOR(POWER(CAST(n_stratum AS "
                                  f"DOUBLE), {alpha}) * 1000000.0) AS "
                                  f"BIGINT)")))
-    total = counts.agg(F.sum("q_micro").alias("q_total"))
-    caps = (counts.crossJoin(F.broadcast(total))
-            .withColumn("k_target",
-                        F.least(F.col("n_stratum"),
-                                F.expr(f"(CAST({int(budget)} AS BIGINT) "
-                                       f"* q_micro) DIV q_total")))
-            .select(stratum_col, "n_stratum", "k_target"))
+    # cap arithmetic runs DRIVER-side over the tiny per-stratum rows:
+    # budget * q_micro can exceed int64 at web scale (1e9 budget x
+    # 4e14 micro-weight), and Python/DuckDB-HUGEINT integer math stays
+    # exact where a Spark BIGINT expression would overflow
+    stat_rows = counts.collect()
+    q_total = sum(r["q_micro"] for r in stat_rows)
+    caps = docs.sparkSession.createDataFrame(
+        [(r[stratum_col], r["n_stratum"],
+          min(r["n_stratum"], (int(budget) * r["q_micro"]) // q_total))
+         for r in stat_rows],
+        f"{stratum_col} string, n_stratum long, k_target long")
     w = Window.partitionBy(stratum_col).orderBy(
         F.md5(F.concat_ws(":", F.lit(seed),
                           F.col(key_col).cast("string"))),

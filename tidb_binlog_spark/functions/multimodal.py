@@ -216,7 +216,7 @@ def audio_features_stub(docs: DataFrame,
         features, schema=AUDIO_FEATURES_SCHEMA)
 
 
-AUDIO_FEATURES_SCHEMA = T.StructType([
+AUDIO_FRAME_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("window_no", T.LongType()),
     T.StructField("n_samples", T.LongType()),
@@ -226,9 +226,11 @@ AUDIO_FEATURES_SCHEMA = T.StructType([
 ])
 
 
-def audio_features_stub(docs: DataFrame,
-                        window_bytes: int = 256) -> DataFrame:
-    """Audio feature-extraction plumbing: fixed-size sample windows
+def audio_frame_features_stub(docs: DataFrame,
+                              window_bytes: int = 256) -> DataFrame:
+    """Audio FRAMING plumbing (per-window features; the whole-asset
+    gating features live in audio_features_stub above): fixed-size
+    sample windows
     over the byte stream, one feature row per window (the
     librosa/torchaudio framing shape — 1 asset in, N frames out,
     numeric features per frame). A real pipeline swaps the body for an
@@ -257,4 +259,4 @@ def audio_features_stub(docs: DataFrame,
                                "energy", "peak", "mean_x100"])
 
     return as_binary_payload(docs).mapInPandas(
-        feats, schema=AUDIO_FEATURES_SCHEMA)
+        feats, schema=AUDIO_FRAME_SCHEMA)

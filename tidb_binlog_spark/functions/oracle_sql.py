@@ -722,10 +722,11 @@ WHERE doc_id NOT IN (SELECT doc_id FROM near)
 # zero_digits=1): an unrolled polynomial over the window-gram's char
 # codes mod CDC_MOD, boundary when divisible by 16 — same integer
 # arithmetic on both engines, no per-position md5
-def _cdc_poly_sql(window: int = 8, base: int = 131,
-                  mod: int = 1_000_000_007) -> str:
+def _cdc_poly_sql(window: int = 8) -> str:
+    from .curation import CDC_BASE as base
+    from .curation import CDC_MOD as mod
     terms = " + ".join(
-        f"ascii(substring(text, p + {j}, 1)) * "
+        f"(ascii(substring(text, p + {j}, 1)) % 256) * "
         f"CAST({base ** (window - 1 - j)} AS BIGINT)"
         for j in range(window))
     return f"(({terms}) % {mod})"

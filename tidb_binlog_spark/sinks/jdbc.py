@@ -265,13 +265,25 @@ def save_checkpoint(db_dir: str, ts: int, topic: str = "default") -> None:
             conn.close()
 
 
-# error fragments that mean "this DDL already took effect downstream"
-# — seen when a crash lands between the DDL commit and the immediate
-# checkpoint save, so the restart replays it (the same replay window
-# the reference has; its loader surfaces the duplicate-DDL error to
-# the operator). Tolerating exactly these makes the replay a no-op.
-_DDL_APPLIED_FRAGMENTS = ("duplicate column name", "already exists",
-                          "no such column", "no such table")
+def _applied_fragments_for(ddl_sql: str) -> tuple[str, ...]:
+    """Error fragments that can only mean "this exact DDL already took
+    effect downstream" — seen when a crash lands between the DDL
+    commit and the immediate checkpoint save, so the restart replays
+    it. Scoped to the DDL's own shape: an ADD COLUMN replay hitting
+    'duplicate column name' is the DDL's own effect, but a 'no such
+    table' there is genuine divergence and must raise."""
+    u = " ".join(ddl_sql.split()).upper()
+    if u.startswith("ALTER") and " ADD " in u:
+        return ("duplicate column name",)
+    if " DROP COLUMN " in u:
+        return ("no such column",)
+    if u.startswith("CREATE"):
+        return ("already exists",)
+    if u.startswith("DROP"):
+        return ("no such table", "no such index", "no such view")
+    if u.startswith("RENAME") or " RENAME TO " in u:
+        return ("no such table", "already exists")
+    return ()
 
 
 def execute_ddl(db_dir: str, ddl_sql: str,
@@ -289,12 +301,23 @@ def execute_ddl(db_dir: str, ddl_sql: str,
 
     ``tolerate_applied``: a crash between the DDL's commit and the
     immediate checkpoint save makes the restart re-execute it; errors
-    that can only mean "already applied" (duplicate column, already
-    exists, no such column/table) are then swallowed so the replay
-    converges instead of wedging the stream."""
+    that can only be THIS DDL's own prior effect (scoped per DDL kind
+    by _applied_fragments_for — e.g. 'duplicate column name' for an
+    ADD COLUMN) are swallowed so the replay converges instead of
+    wedging the stream; anything else ('no such table' on an ADD)
+    still raises. Matching errors are classified non-transient so the
+    replay is a true no-op, not 5 retries with backoff first."""
     import sqlite3
+    frags = _applied_fragments_for(ddl_sql) if tolerate_applied else ()
+
+    def is_transient(exc: Exception) -> bool:
+        if any(f in str(exc).lower() for f in frags):
+            return False
+        return default_is_transient(exc)
+
     policy = retry if retry is not None else RetryPolicy(
-        max_retries=MAX_DDL_RETRY, backoff_s=0.01)
+        max_retries=MAX_DDL_RETRY, backoff_s=0.01,
+        is_transient=is_transient)
     for fname in sorted(os.listdir(db_dir)):
         if not fname.endswith(".db"):
             continue
@@ -304,8 +327,7 @@ def execute_ddl(db_dir: str, ddl_sql: str,
                 _execute_with_retry(conn, ddl_sql, policy)
             except sqlite3.OperationalError as e:
                 msg = str(e).lower()
-                if not (tolerate_applied
-                        and any(f in msg for f in _DDL_APPLIED_FRAGMENTS)):
+                if not any(f in msg for f in frags):
                     raise
             conn.commit()
         finally:

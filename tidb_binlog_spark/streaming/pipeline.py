@@ -158,6 +158,12 @@ def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
         # saved checkpoint, start replication strictly after the
         # configured tso instead of from the beginning of the log
         resume_ts = initial_commit_ts
+    # FLOOR the shared-layout cursor before the first apply: without a
+    # plain topic row, a worker that crashes pre-commit on the FIRST
+    # batch leaves no cursor at all, and load_checkpoint's min over
+    # the other workers' fresh topic@wid rows would skip the crashed
+    # worker's rows forever. MAX-upsert never lowers an existing one.
+    jdbc.save_checkpoint(db_dir, resume_ts)
     if safe_window is not None:
         window = safe_window
     elif resume_ts >= 0 and status == jdbc.STATUS_NORMAL:
