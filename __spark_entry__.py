@@ -2143,6 +2143,26 @@ def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir).filter(F.expr(ASCII_ONLY_PRED)))
 
 
+
+def q_snapshot_diff_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase sync-diff (cksum.diff_drilldown): key-bucketed digest
+    compare, then row-level diff restricted to mismatched buckets —
+    the sync_diff_inspector chunk-then-recheck loop as one plan, over
+    the same perturbed downstream as snapshot_diff_orders."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    src = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    kept = (src.filter(F.col("o_orderkey") % 89 != 0)
+            .withColumn("o_totalprice",
+                        F.when(F.col("o_orderkey") % 97 == 0,
+                               F.col("o_totalprice") + 1.0)
+                         .otherwise(F.col("o_totalprice"))))
+    extra = (src.filter(F.col("o_orderkey") % 83 == 0)
+             .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000))
+    dst = kept.unionByName(extra)
+    return cksum.diff_drilldown(src, dst, ["o_orderkey"],
+                                ["o_orderstatus", "o_totalprice"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's main 'query' — apply an ordered,
     deduplicated change stream to a table snapshot (SURVEY §3.1)."""
@@ -2291,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature_mix": q_corpus_temperature_mix,
         "events_type_transitions": q_events_type_transitions,
         "mm_audio_features": q_mm_audio_features,
+        "snapshot_diff_drilldown": q_snapshot_diff_drilldown,
     }
 
 
@@ -3482,6 +3503,58 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows,
                    md5(string_agg(row_md5, '' ORDER BY row_md5)) AS digest
             FROM hashed GROUP BY substring(row_md5, 1, 2)
+        """,
+        "snapshot_diff_drilldown": """
+            WITH src AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                         FROM orders),
+            kept AS (SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice
+                     FROM src WHERE o_orderkey % 89 <> 0),
+            extra AS (SELECT o_orderkey + 10000000 AS o_orderkey,
+                             o_orderstatus, o_totalprice
+                      FROM src WHERE o_orderkey % 83 = 0),
+            dst AS (SELECT * FROM kept UNION ALL SELECT * FROM extra),
+            sb AS (SELECT *, substring(md5(CAST(o_orderkey AS STRING)),
+                                       1, 2) AS bucket FROM src),
+            db_ AS (SELECT *, substring(md5(CAST(o_orderkey AS STRING)),
+                                        1, 2) AS bucket FROM dst),
+            sdig AS (SELECT bucket,
+                       md5(string_agg(md5(concat_ws('|',
+                         CAST(o_orderkey AS STRING), o_orderstatus,
+                         CAST(o_totalprice AS STRING))), ''
+                         ORDER BY md5(concat_ws('|',
+                         CAST(o_orderkey AS STRING), o_orderstatus,
+                         CAST(o_totalprice AS STRING))))) AS src_digest
+                     FROM sb GROUP BY bucket),
+            ddig AS (SELECT bucket,
+                       md5(string_agg(md5(concat_ws('|',
+                         CAST(o_orderkey AS STRING), o_orderstatus,
+                         CAST(o_totalprice AS STRING))), ''
+                         ORDER BY md5(concat_ws('|',
+                         CAST(o_orderkey AS STRING), o_orderstatus,
+                         CAST(o_totalprice AS STRING))))) AS dst_digest
+                     FROM db_ GROUP BY bucket),
+            mism AS (SELECT COALESCE(sdig.bucket, ddig.bucket) AS bucket
+                     FROM sdig FULL OUTER JOIN ddig USING (bucket)
+                     WHERE src_digest IS DISTINCT FROM dst_digest),
+            s2 AS (SELECT sb.* FROM sb JOIN mism USING (bucket)),
+            d2 AS (SELECT db_.* FROM db_ JOIN mism USING (bucket)),
+            j AS (
+              SELECT COALESCE(s.bucket, d.bucket) AS bucket,
+                COALESCE(s.o_orderkey, d.o_orderkey) AS o_orderkey,
+                CASE WHEN d.o_orderkey IS NULL THEN 'only_src'
+                     WHEN s.o_orderkey IS NULL THEN 'only_dst'
+                     WHEN s.o_orderstatus IS DISTINCT FROM d.o_orderstatus
+                       OR s.o_totalprice IS DISTINCT FROM d.o_totalprice
+                       THEN 'changed' END AS diff_status,
+                s.o_orderstatus AS src_o_orderstatus,
+                s.o_totalprice  AS src_o_totalprice,
+                d.o_orderstatus AS dst_o_orderstatus,
+                d.o_totalprice  AS dst_o_totalprice
+              FROM s2 s FULL OUTER JOIN d2 d
+                ON s.bucket = d.bucket AND s.o_orderkey = d.o_orderkey)
+            SELECT * FROM j WHERE diff_status IS NOT NULL
         """,
         "snapshot_diff_orders": """
             WITH src AS (SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -1100,3 +1100,27 @@ def test_inverted_index_caps_postings_before_collect(spark):
            for r in inverted_index(docs, min_df=13,
                                    max_postings=20).collect()}
     assert big["common"].split(",")[-1] == "100"
+
+
+def test_diff_drilldown_matches_full_diff_and_localizes(spark):
+    """diff_drilldown == snapshot_diff on the same inputs (keys +
+    statuses), with each diff row carrying the key bucket its digest
+    mismatch localized to."""
+    import hashlib
+
+    from tidb_binlog_spark.functions import checksum as cksum
+
+    src = spark.range(0, 3000).selectExpr("id AS k", "id * 2 AS v")
+    dst = (src.withColumn("v", F.when(F.col("k") == 1234,
+                                      F.col("v") + 1).otherwise(F.col("v")))
+           .filter(F.col("k") != 77))       # one changed + one dropped
+    drill = cksum.diff_drilldown(src, dst, ["k"], ["v"]).collect()
+    full = cksum.snapshot_diff(src, dst, ["k"], ["v"]).collect()
+    assert sorted((r["k"], r["diff_status"]) for r in drill) == \
+           sorted((r["k"], r["diff_status"]) for r in full)
+    by_k = {r["k"]: r for r in drill}
+    assert by_k[1234]["diff_status"] == "changed"
+    assert by_k[77]["diff_status"] == "only_src"
+    # the bucket is the key-md5 prefix: mismatches localized, so a
+    # healthy 100 TB table drills into ~0/256 of its rows
+    assert by_k[1234]["bucket"] == hashlib.md5(b"1234").hexdigest()[:2]
