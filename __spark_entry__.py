@@ -2163,6 +2163,24 @@ def q_snapshot_diff_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ["o_orderstatus", "o_totalprice"])
 
 
+
+def q_dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-tuning telemetry (dedup.lsh_calibration): per
+    signature-agreement level, candidate count, exact-Jaccard true
+    positives and integer-quantized precision/mean — the report that
+    sizes bands vs rows-per-band without re-running dedup."""
+    return dedupfn.lsh_calibration(_docs(spark, sf_dir))
+
+
+
+def q_corpus_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explainable filtering audit (curation.gate_report): every doc
+    with its verdict and fixed-order fail reasons (length, stopword,
+    non-alpha, language gates)."""
+    from tidb_binlog_spark.functions import curation
+    return curation.gate_report(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's main 'query' — apply an ordered,
     deduplicated change stream to a table snapshot (SURVEY §3.1)."""
@@ -2312,6 +2330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_transitions": q_events_type_transitions,
         "mm_audio_features": q_mm_audio_features,
         "snapshot_diff_drilldown": q_snapshot_diff_drilldown,
+        "dedup_lsh_calibration": q_dedup_lsh_calibration,
+        "corpus_gate_report": q_corpus_gate_report,
     }
 
 
@@ -3503,6 +3523,70 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows,
                    md5(string_agg(row_md5, '' ORDER BY row_md5)) AS digest
             FROM hashed GROUP BY substring(row_md5, 1, 2)
+        """,
+        "corpus_gate_report": f"""
+            WITH toks AS (SELECT doc_id, lang, text, {osql.TOKS} AS toks
+                          FROM documents),
+            q AS (SELECT doc_id,
+                    len(toks) AS n_tokens,
+                    CAST(len(list_filter(toks, t -> list_contains(
+                         [{osql._EN}], t))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+                    CAST(len(regexp_extract_all(text, '[^a-z ]'))
+                         AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                      AS non_alpha_ratio
+                  FROM toks),
+            lid AS ({osql.text_lang_id_sql(textfn.STOPWORDS)}),
+            j AS (SELECT q.doc_id, q.n_tokens, q.stopword_ratio,
+                         q.non_alpha_ratio, lid.pred_lang
+                  FROM q JOIN lid ON q.doc_id = lid.doc_id),
+            r AS (SELECT doc_id, pred_lang, n_tokens,
+                    concat_ws(',',
+                      CASE WHEN n_tokens < 30 THEN 'too_short' END,
+                      CASE WHEN stopword_ratio > 0.45
+                           THEN 'stopword_heavy' END,
+                      CASE WHEN non_alpha_ratio > 0.2
+                           THEN 'non_alpha_heavy' END,
+                      CASE WHEN pred_lang NOT IN ('en', 'es')
+                           THEN 'lang_blocked' END) AS fail_reasons,
+                    (CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END
+                     + CASE WHEN stopword_ratio > 0.45 THEN 1 ELSE 0 END
+                     + CASE WHEN non_alpha_ratio > 0.2 THEN 1 ELSE 0 END
+                     + CASE WHEN pred_lang NOT IN ('en', 'es')
+                            THEN 1 ELSE 0 END) AS n_failed
+                  FROM j)
+            SELECT doc_id, pred_lang, n_tokens,
+                   fail_reasons = '' AS passed,
+                   CAST(n_failed AS INT) AS n_failed, fail_reasons
+            FROM r
+        """,
+        "dedup_lsh_calibration": f"""
+            WITH {osql.MINHASH_PAIRS_CTES},
+            shset AS (SELECT doc_id, shingles FROM sh),
+            sc AS (
+              SELECT p.doc_a, p.doc_b,
+                len(list_filter(generate_series(0, 11),
+                                j -> sig_a[j+1] = sig_b[j+1])) AS n_agree,
+                (CAST(len(list_filter(list_distinct(a.shingles),
+                      x -> list_contains(b.shingles, x))) AS BIGINT)
+                 * 1000000)
+                // (len(list_distinct(a.shingles))
+                    + len(list_distinct(b.shingles))
+                    - len(list_filter(list_distinct(a.shingles),
+                          x -> list_contains(b.shingles, x))))
+                  AS jac_micro
+              FROM pairs p
+              JOIN shset a ON p.doc_a = a.doc_id
+              JOIN shset b ON p.doc_b = b.doc_id)
+            SELECT CAST(n_agree AS INT) AS n_agree,
+              COUNT(*) AS n_pairs,
+              CAST(SUM(CASE WHEN jac_micro >= 500000 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_true,
+              CAST((SUM(CASE WHEN jac_micro >= 500000 THEN 1 ELSE 0 END)
+                    * 1000000) // COUNT(*) AS BIGINT) AS precision_micro,
+              CAST(SUM(jac_micro) // COUNT(*) AS BIGINT)
+                AS mean_jaccard_micro
+            FROM sc GROUP BY n_agree
         """,
         "snapshot_diff_drilldown": """
             WITH src AS (SELECT o_orderkey, o_orderstatus, o_totalprice

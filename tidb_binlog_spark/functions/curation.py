@@ -606,3 +606,38 @@ def temperature_mix(docs: DataFrame, budget: int, alpha: float = 0.7,
             .filter(F.col("sample_rank") <= F.col("k_target"))
             .select(key_col, F.col(stratum_col).alias("stratum"),
                     "n_stratum", "k_target", "sample_rank"))
+
+
+def gate_report(docs: DataFrame, min_tokens: int = 30,
+                max_stopword_ratio: float = 0.45,
+                max_non_alpha: float = 0.2,
+                allowed_langs: tuple[str, ...] = ("en", "es")
+                ) -> DataFrame:
+    """Explainable filtering: every document with its gating verdict
+    AND the reasons — the audit surface a curation pipeline needs
+    before dropping data (per-reason counts tell you which gate is
+    doing the cutting; a doc-level sample tells you whether it cuts
+    the right things). Composes the existing quality/lang signals as
+    pure projections + one doc-keyed join; reasons render as a
+    fixed-order comma-joined string (engine-stable, no array-hash
+    ambiguity).
+
+    Returns (doc_id, pred_lang, n_tokens, passed, n_failed,
+    fail_reasons)."""
+    from .text import lang_id, quality_score
+    q = quality_score(docs)
+    lid = lang_id(docs).select("doc_id", "pred_lang")
+    j = q.join(lid, "doc_id")
+    checks = [
+        ("too_short", F.col("n_tokens") < min_tokens),
+        ("stopword_heavy", F.col("stopword_ratio") > max_stopword_ratio),
+        ("non_alpha_heavy", F.col("non_alpha_ratio") > max_non_alpha),
+        ("lang_blocked", ~F.col("pred_lang").isin(*allowed_langs)),
+    ]
+    reasons = F.concat_ws(",", *[
+        F.when(cond, F.lit(name)) for name, cond in checks])
+    n_failed = sum(cond.cast("int") for _, cond in checks)
+    return j.select("doc_id", "pred_lang", "n_tokens",
+                    (reasons == "").alias("passed"),
+                    n_failed.alias("n_failed"),
+                    reasons.alias("fail_reasons"))

@@ -499,3 +499,48 @@ def strip_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
                     F.expr("concat_ws(' ', _kept)").alias("clean_text"),
                     F.expr("size(toks) - size(_kept)")
                      .alias("n_dup_tokens")))
+
+
+def lsh_calibration(docs: DataFrame, k: int = 12, bands: int = 4,
+                    threshold_micro: int = 500_000) -> DataFrame:
+    """LSH calibration report — the tuning telemetry for the
+    bands/rows trade-off: for every candidate pair, the exact
+    word-3-gram Jaccard, rolled up per signature-agreement level
+    (n_agree of k minhashes). Read it as "at agreement level a, the
+    banded index surfaced n_pairs candidates of which n_true are real
+    near-dups (exact >= threshold)" — precision per level tells you
+    whether to add bands (recall) or rows-per-band (precision)
+    without re-running dedup.
+
+    All-integer outputs (jaccard micro-quantized via integer
+    division before any aggregation) — engine-exact. Same bounded
+    candidate generation as minhash_lsh_pairs; the exact-verify join
+    touches only candidate pairs, never all pairs."""
+    cand = minhash_lsh_pairs(docs, k, bands)
+    sh = managed_persist(with_shingles(docs).select("doc_id", "shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (cand
+             .join(a, F.col("doc_a") == F.col("a.doc_id"))
+             .join(b, F.col("doc_b") == F.col("b.doc_id"))
+             .select("doc_a", "doc_b", "est_jaccard",
+                     F.col("a.shingles").alias("sh_a"),
+                     F.col("b.shingles").alias("sh_b")))
+    inter = "size(array_intersect(sh_a, sh_b))"
+    union = ("size(array_distinct(sh_a)) + size(array_distinct(sh_b)) "
+             f"- {inter}")
+    scored = (pairs
+              .withColumn("n_agree",
+                          F.expr(f"CAST(round(est_jaccard * {k}) AS INT)"))
+              .withColumn("jac_micro",
+                          F.expr(f"(CAST({inter} AS BIGINT) * 1000000) "
+                                 f"DIV ({union})")))
+    return (scored.groupBy("n_agree")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(F.when(F.col("jac_micro") >= threshold_micro, 1)
+                        .otherwise(0)).alias("n_true"),
+                 F.sum("jac_micro").alias("_jsum"))
+            .select("n_agree", "n_pairs", "n_true",
+                    F.expr("(n_true * 1000000) DIV n_pairs")
+                     .alias("precision_micro"),
+                    F.expr("_jsum DIV n_pairs")
+                     .alias("mean_jaccard_micro")))
