@@ -2181,6 +2181,72 @@ def q_corpus_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.gate_report(_docs(spark, sf_dir))
 
 
+
+def q_cdc_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental COUNT(DISTINCT val) per (db, tbl) off the
+    delta-maintained value multiset (no snapshot, no HLL
+    approximation) — the oracle counts distinct values over the
+    applied snapshot directly."""
+    ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
+    cl = incremental_agg.coherent_changelog(ok)
+    aux = incremental_agg.value_multiset(cl, ["db", "tbl"])
+    return incremental_agg.distinct_count_from_multiset(aux, ["db", "tbl"])
+
+
+
+def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the top 20 session-opening event-type paths
+    (first 3 events of each 30-min-gap session, '>'-joined) with
+    session counts — the funnel-discovery complement of the fixed
+    funnel query. All windows partition per user; paths aggregate
+    map-side; top-k via TakeOrderedAndProject."""
+    from pyspark.sql import Window
+    load_tables(spark, sf_dir, "events")
+    ev = spark.table("events")   # ts is BIGINT nanos
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = 30 * 60 * 1_000_000_000
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(F.lag("ts").over(w).isNull()
+               | ((F.col("ts") - F.lag("ts").over(w)) > gap_ns), 1)
+         .otherwise(0))
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    ws = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    first3 = (numbered.withColumn("rn", F.row_number().over(ws))
+              .filter(F.col("rn") <= 3))
+    paths = (first3.groupBy("user_id", "session_no")
+             .agg(F.expr("concat_ws('>', transform("
+                         "array_sort(collect_list(struct(rn, event_type))),"
+                         " s -> s.event_type))").alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+            .orderBy(F.desc("n_sessions"), F.asc("path"))
+            .limit(20))
+
+
+
+def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings report: near-dup cluster-size histogram + the
+    chars a keep-one-per-cluster policy would remove — the
+    before/after accounting a curation run publishes. Builds on the
+    same LSH clusters (CC over banded candidates); all aggregates are
+    cluster-count-sized."""
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    clusters = q_dedup_minhash_clusters(spark, sf_dir)
+    sized = (clusters.join(docs, "doc_id")
+             .groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("cluster_size"),
+                  F.sum("n_chars").alias("chars_total"),
+                  F.min("n_chars").alias("_keep_chars")))
+    return (sized.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 F.sum(F.col("cluster_size") - 1).alias("n_removable"),
+                 F.sum(F.col("chars_total") - F.col("_keep_chars"))
+                  .alias("chars_removable")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's main 'query' — apply an ordered,
     deduplicated change stream to a table snapshot (SURVEY §3.1)."""
@@ -2332,6 +2398,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_drilldown": q_snapshot_diff_drilldown,
         "dedup_lsh_calibration": q_dedup_lsh_calibration,
         "corpus_gate_report": q_corpus_gate_report,
+        "cdc_incremental_distinct": q_cdc_incremental_distinct,
+        "events_session_paths": q_events_session_paths,
+        "dedup_savings_report": q_dedup_savings_report,
     }
 
 
@@ -3523,6 +3592,79 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows,
                    md5(string_agg(row_md5, '' ORDER BY row_md5)) AS digest
             FROM hashed GROUP BY substring(row_md5, 1, 2)
+        """,
+        "dedup_savings_report": f"""
+            WITH RECURSIVE {osql.MINHASH_PAIRS_CTES},
+            e0 AS (
+              SELECT doc_a AS txn_id, CAST(doc_b AS STRING) AS key
+              FROM pairs
+              UNION ALL
+              SELECT doc_b AS txn_id, CAST(doc_b AS STRING) AS key
+              FROM pairs),
+            tk AS (SELECT DISTINCT txn_id, key FROM e0),
+            e AS (SELECT DISTINCT a.txn_id AS src, b.txn_id AS dst
+                  FROM tk a JOIN tk b ON a.key = b.key),
+            r AS (
+              SELECT txn_id, txn_id AS label
+              FROM (SELECT DISTINCT txn_id FROM tk)
+              UNION
+              SELECT e.src AS txn_id, r.label
+              FROM r JOIN e ON e.dst = r.txn_id),
+            cl AS (SELECT txn_id AS doc_id, MIN(label) AS cluster_id
+                   FROM r GROUP BY txn_id),
+            sized AS (
+              SELECT cluster_id, COUNT(*) AS cluster_size,
+                     SUM(n_chars) AS chars_total,
+                     MIN(n_chars) AS keep_chars
+              FROM cl JOIN documents USING (doc_id)
+              GROUP BY cluster_id)
+            SELECT cluster_size,
+                   COUNT(*) AS n_clusters,
+                   CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable,
+                   CAST(SUM(chars_total - keep_chars) AS BIGINT)
+                     AS chars_removable
+            FROM sized GROUP BY cluster_size
+        """,
+        "events_session_paths": f"""
+            WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+                              event_type FROM events),
+            fl AS (SELECT user_id, event_id, ts_ns, event_type,
+                     CASE WHEN lag(ts_ns) OVER w IS NULL
+                               OR ts_ns - lag(ts_ns) OVER w
+                                  > {30 * 60 * 1_000_000_000}
+                          THEN 1 ELSE 0 END AS new_s
+                   FROM e WINDOW w AS (PARTITION BY user_id
+                                       ORDER BY ts_ns, event_id)),
+            num AS (SELECT *, SUM(new_s) OVER (
+                        PARTITION BY user_id ORDER BY ts_ns, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_no
+                    FROM fl),
+            f3 AS (SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY user_id, session_no
+                       ORDER BY ts_ns, event_id) AS rn
+                   FROM num QUALIFY rn <= 3),
+            p AS (SELECT user_id, session_no,
+                    string_agg(event_type, '>' ORDER BY rn) AS path
+                  FROM f3 GROUP BY user_id, session_no)
+            SELECT path, COUNT(*) AS n_sessions
+            FROM p GROUP BY path
+            ORDER BY n_sessions DESC, path ASC
+            LIMIT 20
+        """,
+        "cdc_incremental_distinct": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            last AS (
+              SELECT db, tbl, pk, val, op,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY db, tbl, pk
+                         ORDER BY commit_ts DESC, seq DESC,
+                                  arrival_seq DESC) AS rn
+              FROM ok),
+            live AS (SELECT db, tbl, pk, val FROM last
+                     WHERE rn = 1 AND op <> 'D')
+            SELECT db, tbl, COUNT(DISTINCT val) AS n_distinct,
+                   COUNT(*) AS n_live
+            FROM live GROUP BY db, tbl
         """,
         "corpus_gate_report": f"""
             WITH toks AS (SELECT doc_id, lang, text, {osql.TOKS} AS toks

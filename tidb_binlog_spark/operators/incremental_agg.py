@@ -338,3 +338,18 @@ def maintain_group_aggregates_wide(changelog: DataFrame,
         out = out.filter(F.col("n_rows") > 0)
     return (out.withColumn("sum_val", F.col("_s").cast("double"))
                .drop("_s"))
+
+
+def distinct_count_from_multiset(aux: DataFrame,
+                                 group_keys: list[str]) -> DataFrame:
+    """EXACT per-group COUNT(DISTINCT value) read off the maintained
+    value multiset — the aggregate SQL engines usually approximate
+    (HLL) becomes a trivial count of live (group, value) rows in the
+    same aux state that already serves MIN/MAX/quantiles/top-k. A
+    delete that retires a value's last reference drops it from the
+    count automatically (live_count reaches 0); no snapshot rescan,
+    state is #distinct live pairs."""
+    return (aux.filter(F.col("live_count") > 0)
+            .groupBy(*group_keys)
+            .agg(F.count(F.lit(1)).alias("n_distinct"),
+                 F.sum("live_count").alias("n_live")))
