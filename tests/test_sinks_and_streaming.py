@@ -1719,3 +1719,54 @@ def test_sql_apply_stream_randomized_ddl_interleave(spark, tmp_path):
     batch = sorted((r["pk"], float(r["val"]), r["c1"], r["c3"])
                    for r in final.collect())
     assert batch == [(p, v, c1, c3) for p, v, c1, c3 in got]
+
+
+def test_sql_apply_stream_with_replication_config(spark, tmp_path):
+    """The drainer.toml surface drives the streaming SQL path: the
+    SAME declarative stages as the batch plan run inside each
+    micro-batch (ignore-schemas drops tmp_x's rows; route_rules remap
+    db9.t9 onto t; ignore-commit-ts skips the poisoned txn), and
+    worker-count/sync-ddl come from the config."""
+    import sqlite3
+
+    from tidb_binlog_spark.plans.pipeline import ReplicationConfig
+    from tidb_binlog_spark.sinks import jdbc
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    db_dir = str(tmp_path / "db")
+    setup = ("CREATE TABLE IF NOT EXISTS t (pk INTEGER PRIMARY KEY, val REAL)",)
+
+    rows = [
+        # (arrival, cts, op, db, tbl, pk, val)
+        (1, 10, "I", "db0", "t", 1, 1.0),
+        (2, 20, "I", "tmp_x", "t", 2, 2.0),     # ignored schema
+        (3, 30, "I", "db9", "t9", 3, 3.0),      # routed -> db0.t
+        (4, 40, "I", "db0", "t", 4, 4.0),       # poisoned commit ts
+        (5, 50, "U", "db0", "t", 1, 9.0),
+    ]
+    full = [(a, "s0", c, c - 1, op, db, tb, pk, 0, 1, v, '{"k": 1}')
+            for a, c, op, db, tb, pk, v in rows]
+    spark.createDataFrame(
+        full,
+        "arrival_seq long, source_id string, commit_ts long, start_ts long, "
+        "op string, db string, tbl string, pk long, seq int, "
+        "schema_version long, val double, row_json string") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    cfg = ReplicationConfig(
+        ignore_schemas=("tmp_x",),
+        route_rules=[("db9", "t9", "db0", "t")],
+        ignore_commit_ts=[40],
+        worker_count=3)
+    q = pipeline.run_sql_apply_stream(
+        spark, src, db_dir, str(tmp_path / "ck"),
+        setup_sql=setup, cfg=cfg)
+    q.awaitTermination(120)
+
+    conn = sqlite3.connect(os.path.join(db_dir, jdbc.SHARED_DB_NAME))
+    got = sorted(conn.execute("SELECT pk, val FROM t").fetchall())
+    conn.close()
+    # pk2 filtered (schema), pk4 filtered (ignore-ts), pk3 routed in
+    assert got == [(1, 9.0), (3, 3.0)]
+    assert jdbc.load_checkpoint(db_dir)[0] == 50

@@ -70,9 +70,14 @@ class ReplicationConfig:
             raise ValueError("empty schema name in ignore-schemas config")
 
 
-def build_pipeline(changes: DataFrame, cfg: ReplicationConfig) -> DataFrame:
-    """Compose the full replication dataflow as ONE DataFrame plan."""
-    df = ordering.ordered_stream(changes)
+def apply_filters_and_routes(df: DataFrame,
+                             cfg: ReplicationConfig) -> DataFrame:
+    """The config-driven filter/route stages shared by the batch plan
+    (build_pipeline) and the streaming SQL runner
+    (streaming.pipeline.run_sql_apply_stream(cfg=...)): ignore-ts,
+    loopback, allow/block, sync-ddl drop, event-kind rules, table
+    routing — everything between the order gate and the
+    compact/apply stage."""
     if cfg.ignore_commit_ts:
         df = filters.filter_ignore_commit_ts(df, cfg.ignore_commit_ts)
     if cfg.loopback_mark:
@@ -90,6 +95,13 @@ def build_pipeline(changes: DataFrame, cfg: ReplicationConfig) -> DataFrame:
                                         cfg.case_sensitive)
     if cfg.route_rules:
         df = router.route_tables(df, cfg.route_rules)
+    return df
+
+
+def build_pipeline(changes: DataFrame, cfg: ReplicationConfig) -> DataFrame:
+    """Compose the full replication dataflow as ONE DataFrame plan."""
+    df = ordering.ordered_stream(changes)
+    df = apply_filters_and_routes(df, cfg)
     if "old_pk" in df.columns:
         df = safe_mode.split_pk_change(df)
     if cfg.compact:

@@ -112,7 +112,8 @@ def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
                          available_now: bool = True,
                          initial_commit_ts: int = -1,
                          sync_ddl: bool = True,
-                         catalog=None):
+                         catalog=None,
+                         cfg=None):
     """The executed-SQL replication path (loader -> MySQL analog,
     SQLite-backed locally) with the reference's auto safe-mode window:
     batches applied while ``safe_window.active()`` are rewritten
@@ -145,11 +146,28 @@ def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
     txn lands on one worker, and txns linked by any shared PK/UK
     key-string share a group — per-group commit order with cross-group
     parallelism, the loader's exact guarantee.
+
+    ``cfg``: an optional plans.pipeline.ReplicationConfig (the
+    drainer.toml surface). When set it drives the declarative stages
+    inside each micro-batch — ignore-ts, loopback, allow/block,
+    event-kind rules, table routing (the SAME
+    apply_filters_and_routes the batch plan uses) — and overrides
+    sync_ddl / num_workers / initial_commit_ts from its
+    sync-ddl / worker-count / initial-commit-ts keys. Routed DDL
+    executes under its routed (db, tbl) for catalog purposes; the
+    statement text itself is not rewritten (document your routes
+    accordingly, as the reference's pb sink does).
     """
     from ..operators import causality
     from ..operators import ddl as ddl_mod
     from ..operators import safe_mode as sm
     from ..sinks import jdbc, sqlgen
+
+    if cfg is not None:
+        sync_ddl = cfg.sync_ddl
+        num_workers = cfg.worker_count
+        if initial_commit_ts < 0:
+            initial_commit_ts = cfg.initial_commit_ts
 
     resume_ts, status = jdbc.load_checkpoint(db_dir)
     jdbc.ensure_shards(db_dir, num_workers, setup_sql, shared_db=True)
@@ -273,7 +291,16 @@ def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
         # must never reach the statement builder — generate_sql has no
         # case for them and would emit NULL sql_text.
         ok = (ordering.ordered_stream(batch_df)
-              .filter(F.col("op") != "FAKE")).persist()
+              .filter(F.col("op") != "FAKE"))
+        if cfg is not None:
+            from ..plans.pipeline import apply_filters_and_routes
+            ok = apply_filters_and_routes(ok, cfg)
+            if "target_db" in ok.columns:
+                # the statement sink writes the ROUTED identity
+                ok = (ok.withColumn("db", F.col("target_db"))
+                      .withColumn("tbl", F.col("target_tbl"))
+                      .drop("target_db", "target_tbl"))
+        ok = ok.persist()
         # DDL events (op = 'DDL', statement text in row_json) split the
         # batch into barriers: DML below the DDL applies first, then
         # the DDL runs on every shard with the catalog evicted and the
