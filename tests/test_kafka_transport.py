@@ -190,3 +190,58 @@ def test_kafka_frame_rejects_bad_wire_and_wide_protobuf(spark):
         kafka.kafka_frame(ch, wire="proto")
     with pytest.raises(ValueError, match="wide_info"):
         kafka.kafka_frame(ch, wide_info=object())
+
+
+def test_arbiter_path_end_to_end_wire_to_sqlite(spark, tmp_path):
+    """The full arbiter story (SURVEY §3.4) over the real wire: change
+    events -> per-txn secondary-binlog protobuf frames -> broker echo
+    -> arbiter decode -> statement build -> shared-downstream apply.
+    Final SQLite state must equal applying the ORIGINAL events
+    directly (the wire round trip loses nothing the sink needs)."""
+    import os
+    import sqlite3
+
+    from pyspark.sql import Window
+    from tests.conftest import make_changes
+    from tidb_binlog_spark.sinks import jdbc, kafka, sqlgen
+
+    events = [(1, "s0", 10, "I", 1, 0, 1.0),
+              (2, "s0", 20, "I", 2, 0, 2.0),
+              (3, "s0", 30, "U", 1, 1, 9.0),
+              (4, "s0", 40, "D", 2, 0, 2.0),
+              (5, "s0", 50, "I", 3, 0, 3.0)]
+    ch = kafka.with_row_image(make_changes(spark, events))
+
+    frame = kafka.kafka_frame(ch, cluster_id=7)
+    w = Window.partitionBy("partition").orderBy("value")
+    echoed = frame.withColumn("offset",
+                              F.row_number().over(w).cast("long"))
+    decoded = kafka.decode_kafka_batch(echoed)
+
+    # arbiter -> loader: decoded mutations become ordered statements
+    stmts = (sqlgen.generate_sql(
+                decoded.withColumn("seq", F.lit(0))
+                       .withColumn("sub_seq", F.lit(0)),
+                dialect="sqlite")
+             .withColumn("worker_id", F.lit(0)))
+    db_dir = str(tmp_path / "db")
+    setup = ("CREATE TABLE IF NOT EXISTS t (pk INTEGER PRIMARY KEY, val REAL)",)
+    jdbc.apply_statements(stmts, db_dir, 1, setup_sql=setup,
+                          checkpoint_ts=50, shared_db=True)
+    conn = sqlite3.connect(os.path.join(db_dir, jdbc.SHARED_DB_NAME))
+    got = sorted(conn.execute("SELECT pk, val FROM t").fetchall())
+    conn.close()
+
+    # direct apply of the original events, bypassing the wire
+    direct_stmts = (sqlgen.generate_sql(
+                        ch.withColumn("sub_seq", F.lit(0)),
+                        dialect="sqlite")
+                    .withColumn("worker_id", F.lit(0)))
+    db2 = str(tmp_path / "db2")
+    jdbc.apply_statements(direct_stmts, db2, 1, setup_sql=setup,
+                          checkpoint_ts=50, shared_db=True)
+    conn = sqlite3.connect(os.path.join(db2, jdbc.SHARED_DB_NAME))
+    want = sorted(conn.execute("SELECT pk, val FROM t").fetchall())
+    conn.close()
+    assert got == want == [(1, 9.0), (3, 3.0)]
+    assert jdbc.load_checkpoint(db_dir)[0] == 50

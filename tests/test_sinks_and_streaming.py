@@ -1770,3 +1770,47 @@ def test_sql_apply_stream_with_replication_config(spark, tmp_path):
     # pk2 filtered (schema), pk4 filtered (ignore-ts), pk3 routed in
     assert got == [(1, 9.0), (3, 3.0)]
     assert jdbc.load_checkpoint(db_dir)[0] == 50
+
+
+def test_shared_db_worker_crash_keeps_data_and_cursor_atomic(spark, tmp_path):
+    """Shared-downstream atomicity: a worker that dies mid-transaction
+    (injected failure on its second statement) leaves NO partial rows
+    and NO cursor for itself — the floor row keeps the resume min at
+    the pre-batch position so a restart replays everything."""
+    import pytest
+    from tidb_binlog_spark.sinks import jdbc
+
+    db_dir = str(tmp_path / "db")
+    setup = ("CREATE TABLE IF NOT EXISTS t (pk INTEGER PRIMARY KEY, val REAL)",)
+    jdbc.ensure_shards(db_dir, 2, setup, shared_db=True)
+    jdbc.save_checkpoint(db_dir, -1)          # the pre-batch floor
+
+    ch = (make_changes(spark, [(1, "s0", 10, "I", 1, 0, 1.0),
+                               (2, "s0", 20, "I", 3, 0, 3.0)])
+          .withColumn("sub_seq", F.lit(0)))
+    stmts = (sqlgen.generate_sql(ch, dialect="sqlite")
+             .withColumn("worker_id", F.pmod(F.col("pk"), F.lit(2))))
+
+    calls = {"n": 0}
+
+    def inject(sql_text):
+        if "INSERT" in sql_text and "(3, " in sql_text:
+            raise sqlite3_integrity("boom: die before commit")
+
+    class sqlite3_integrity(Exception):
+        pass
+    sqlite3_integrity.__name__ = "IntegrityError"   # non-transient
+
+    with pytest.raises(Exception):
+        jdbc.apply_statements(stmts, db_dir, 2, setup_sql=setup,
+                              checkpoint_ts=20, shared_db=True,
+                              inject=inject)
+    import sqlite3
+    conn = sqlite3.connect(os.path.join(db_dir, jdbc.SHARED_DB_NAME))
+    rows = sorted(conn.execute("SELECT pk FROM t").fetchall())
+    conn.close()
+    # the dead worker's txn rolled back entirely; the other worker's
+    # txn may or may not have committed, but pk=3 can never be partial
+    assert (3,) not in rows
+    # resume cursor: min over (floor, any committed worker) = floor
+    assert jdbc.load_checkpoint(db_dir)[0] == -1
