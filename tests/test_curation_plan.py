@@ -102,3 +102,36 @@ def test_temperature_mix_upweights_small_strata(spark):
     # replay-stable: identical second run
     again = temperature_mix(docs, budget=200, alpha=0.5).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_curation_config_temperature_mix_stage(spark):
+    """mix_temperature_budget drives the alpha-sampling stage inside
+    build_curation (equivalent to hand-composing temperature_mix on
+    the post-dedup corpus); mixing modes are mutually exclusive."""
+    import pytest
+    from tidb_binlog_spark.functions.curation import temperature_mix
+    from tidb_binlog_spark.plans.curation import (CurationConfig,
+                                                  build_curation,
+                                                  parse_curation_config)
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " * 3
+          + f"uniq{i} " * 2, "big" if i < 90 else "small")
+         for i in range(100)],
+        "doc_id long, text string, source string")
+    cfg = CurationConfig(min_tokens=2, exact_dedup=False,
+                         line_dedup=False, near_dedup=None,
+                         mix_temperature_budget=40,
+                         mix_temperature_alpha=0.5)
+    out = build_curation(docs, cfg)
+    picked = temperature_mix(docs.select("doc_id", "source"),
+                             budget=40, alpha=0.5,
+                             stratum_col="source")
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+           sorted(r["doc_id"] for r in picked.collect())
+    with pytest.raises(ValueError):
+        CurationConfig(mix_weights={"a": 1.0},
+                       mix_temperature_budget=10)
+    cfg2 = parse_curation_config(
+        {"mix_temperature_budget": 40, "mix_temperature_alpha": 0.5})
+    assert cfg2.mix_temperature_budget == 40

@@ -44,6 +44,11 @@ class CurationConfig:
     # optional stages
     decontaminate: bool = False              # needs bench= at build time
     mix_weights: dict[str, float] | None = None
+    # temperature (alpha) sampling — the power-law alternative to
+    # explicit mix_weights (curation.temperature_mix); mutually
+    # exclusive with mix_weights
+    mix_temperature_budget: int | None = None
+    mix_temperature_alpha: float = 0.7
     mix_stratum: str = "source"
     shuffle_seed: str | None = None
     pack_budget: int | None = None
@@ -58,6 +63,14 @@ class CurationConfig:
                 f"got {self.near_dedup!r}")
         if self.mix_weights is not None and not self.mix_weights:
             raise ValueError("mix_weights must be non-empty when set")
+        if self.mix_weights is not None \
+                and self.mix_temperature_budget is not None:
+            raise ValueError(
+                "mix_weights and mix_temperature_budget are mutually "
+                "exclusive — pick explicit targets OR alpha sampling")
+        if self.mix_temperature_budget is not None \
+                and self.mix_temperature_budget <= 0:
+            raise ValueError("mix_temperature_budget must be positive")
 
 
 def _cut(df: DataFrame, cfg: CurationConfig) -> DataFrame:
@@ -120,10 +133,17 @@ def build_curation(docs: DataFrame, cfg: CurationConfig,
             .select("doc_id", F.col("clean_text").alias("text"))
             .join(cur.select(*carried), "doc_id"), cfg)
 
-    # -- mixing
+    # -- mixing: explicit targets OR temperature (alpha) sampling
     if cfg.mix_weights:
         picked = curation.mix_to_weights(
             cur.select("doc_id", cfg.mix_stratum), cfg.mix_weights,
+            stratum_col=cfg.mix_stratum)
+        cur = _cut(cur.join(picked.select("doc_id"), "doc_id"), cfg)
+    elif cfg.mix_temperature_budget is not None:
+        picked = curation.temperature_mix(
+            cur.select("doc_id", cfg.mix_stratum),
+            budget=cfg.mix_temperature_budget,
+            alpha=cfg.mix_temperature_alpha,
             stratum_col=cfg.mix_stratum)
         cur = _cut(cur.join(picked.select("doc_id"), "doc_id"), cfg)
 
