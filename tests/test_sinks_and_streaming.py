@@ -1814,3 +1814,55 @@ def test_shared_db_worker_crash_keeps_data_and_cursor_atomic(spark, tmp_path):
     assert (3,) not in rows
     # resume cursor: min over (floor, any committed worker) = floor
     assert jdbc.load_checkpoint(db_dir)[0] == -1
+
+
+def test_sql_apply_stream_relay_recovers_unapplied_window(spark, tmp_path):
+    """Relay WAL on the executed-SQL path: a crashed run leaves WAL'd
+    events the downstream never applied (and no consistent marker);
+    the next start feeds them back through the SAME applier in forced
+    safe mode before streaming resumes — even with the original
+    source gone (the scenario the relay exists for)."""
+    import sqlite3
+
+    from tidb_binlog_spark.sinks import jdbc
+    from tidb_binlog_spark.sinks.relay import RelayLog
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    db_dir = str(tmp_path / "db")
+    relay_dir = str(tmp_path / "relay")
+    setup = ("CREATE TABLE IF NOT EXISTS t (pk INTEGER PRIMARY KEY, val REAL)",)
+
+    make_changes(spark, [(1, "s0", 10, "I", 1, 0, 1.0)]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = pipeline.run_sql_apply_stream(
+        spark, src, db_dir, str(tmp_path / "ck1"),
+        setup_sql=setup, relay_dir=relay_dir)
+    q.awaitTermination(120)
+    assert jdbc.load_checkpoint(db_dir)[0] == 10
+
+    # crash simulation: a batch reached the WAL but the downstream
+    # apply never happened, and no graceful mark_consistent ran
+    relay = RelayLog(relay_dir)
+    relay.append(make_changes(spark, [(2, "s0", 20, "I", 2, 0, 2.0),
+                                      (3, "s0", 30, "U", 1, 0, 9.0)]))
+    assert not relay.is_consistent()
+
+    # restart with a FRESH source (original segments lost) — recovery
+    # must come from the relay alone
+    src2 = str(tmp_path / "src2")
+    os.makedirs(src2)
+    make_changes(spark, [(4, "s0", 40, "I", 4, 0, 4.0)]) \
+        .coalesce(1).write.mode("append").parquet(src2)
+    q2 = pipeline.run_sql_apply_stream(
+        spark, src2, db_dir, str(tmp_path / "ck2"),
+        setup_sql=setup, relay_dir=relay_dir)
+    q2.awaitTermination(120)
+
+    conn = sqlite3.connect(os.path.join(db_dir, jdbc.SHARED_DB_NAME))
+    got = sorted(conn.execute("SELECT pk, val FROM t").fetchall())
+    conn.close()
+    assert got == [(1, 9.0), (2, 2.0), (4, 4.0)]
+    assert jdbc.load_checkpoint(db_dir)[0] == 40
+    relay.mark_consistent()            # graceful stop
+    assert RelayLog(relay_dir).is_consistent()

@@ -104,6 +104,221 @@ def run_apply_stream(spark: SparkSession, source_dir: str, table_root: str,
     return writer.start()
 
 
+class SqlBatchApplier:
+    """The executed-SQL micro-batch applier — the body of
+    run_sql_apply_stream's foreachBatch, factored out so the relay
+    recovery path (feed_sql_by_relay_if_needed) replays a crashed
+    window through the IDENTICAL machinery: resume filter, order
+    gate, config filter/route stages, DDL barriers with immediate
+    checkpoints, per-table statement widths, causality-routed
+    shared-downstream apply."""
+
+    def __init__(self, db_dir: str, setup_sql: tuple[str, ...] = (),
+                 num_workers: int = 2, window=None, sync_ddl: bool = True,
+                 catalog=None, cfg=None, resume_ts: int = -1,
+                 relay=None):
+        from ..operators import safe_mode as sm
+        self.db_dir = db_dir
+        self.setup_sql = setup_sql
+        self.num_workers = num_workers
+        self.window = window if window is not None else sm.SafeModeWindow()
+        self.sync_ddl = sync_ddl
+        self.catalog = catalog
+        self.cfg = cfg
+        self.resume_ts = resume_ts
+        self.relay = relay
+
+    def _table_value_cols(self, tbl: str) -> tuple[str, ...]:
+        """Statement width for one table: the sink catalog's CURRENT
+        column list (so a mid-stream ADD/DROP COLUMN widens/narrows
+        the very next sub-batch, executor.go:336-405 refresh-on-DDL);
+        static (pk, val) when no catalog is wired."""
+        if self.catalog is None:
+            return ("pk", "val")
+        try:
+            return tuple(self.catalog.table_info("main", tbl).columns)
+        except LookupError:     # table not created yet: setup_sql width
+            return ("pk", "val")
+
+    def _apply_dml(self, seg: DataFrame, ckpt_ts: int) -> None:
+        """Order-gated DML sub-batch -> safe-mode rewrite -> per-table
+        statement build -> causality-routed parallel apply."""
+        from ..operators import causality
+        from ..operators import safe_mode as sm
+        from ..sinks import jdbc, sqlgen
+        catalog, num_workers = self.catalog, self.num_workers
+        if self.window.active():
+            prepared = sm.safe_mode_rewrite(seg)
+        else:
+            prepared = seg.withColumn("sub_seq", F.lit(0))
+        prepared = prepared.persist()
+        tables = [r["tbl"] for r in prepared.select("tbl").distinct().collect()]
+        if not tables:
+            prepared.unpersist()
+            jdbc.save_checkpoint(self.db_dir, ckpt_ts)
+            return
+        # per-table statement width (few tables; the per-table build is
+        # a union of narrow projections over the SAME cached sub-batch)
+        stmts = None
+        key_frames = []
+        for tbl in tables:
+            cols = self._table_value_cols(tbl)
+            part = prepared.filter(F.col("tbl") == tbl)
+            # columns beyond the typed (pk, val) ride the row image —
+            # extracted as strings, quoted by the statement builder
+            for c in cols:
+                if c not in ("pk", "val"):
+                    part = part.withColumn(
+                        c, F.get_json_object(F.col("row_json"), f"$.{c}"))
+            s = sqlgen.generate_sql(part, dialect="sqlite",
+                                    value_cols=cols) \
+                      .select("commit_ts", "seq", "sub_seq", "pk", "sql_text")
+            stmts = s if stmts is None else stmts.unionByName(s)
+            # causality keys: every PK/UK key-string the statements
+            # touch (pkg/loader/model.go:459-512) — (db, tbl, pk)
+            # always; each sink-side UNIQUE key's column values too,
+            # so txns with different PKs colliding on a UK serialize
+            # onto one worker in commit order (causality.go:31-99)
+            pk_key = F.concat_ws("\x01", F.col("db"), F.col("tbl"),
+                                 F.lit("pk"), F.col("pk").cast("string"))
+            keys = part.select(F.col("commit_ts").alias("txn_id"),
+                               pk_key.alias("key"))
+            if catalog is not None:
+                try:
+                    uks = catalog.table_info("main", tbl).unique_keys
+                except LookupError:
+                    uks = ()
+                for uk_name, uk_cols in uks:
+                    if uk_name == "PRIMARY" or not set(uk_cols) <= set(cols):
+                        continue
+                    uk_key = F.concat_ws(
+                        "\x01", F.col("db"), F.col("tbl"), F.lit(uk_name),
+                        *[F.col(c).cast("string") for c in uk_cols])
+                    keys = keys.unionByName(
+                        part.filter(F.concat_ws(
+                            "", *[F.col(c) for c in uk_cols]) != "")
+                        .select(F.col("commit_ts").alias("txn_id"),
+                                uk_key.alias("key")))
+            key_frames.append(keys)
+        txn_keys = key_frames[0]
+        for kf in key_frames[1:]:
+            txn_keys = txn_keys.unionByName(kf)
+        # conflict-free dispatch replaces pmod(pk): whole txns route by
+        # causality group, so cross-txn key conflicts apply in commit
+        # order while disjoint groups parallelize (load.go:508-575)
+        routed = causality.conflict_free_partitions(
+            stmts, txn_keys, num_workers=num_workers,
+            txn_col="commit_ts")
+        # shared_db: the downstream is ONE database (the reference's
+        # topology) — causality worker ids vary per batch, which is
+        # only sound when routing doesn't decide row placement
+        jdbc.apply_statements(routed, self.db_dir, num_workers,
+                              setup_sql=self.setup_sql,
+                              checkpoint_ts=ckpt_ts,
+                              shared_db=True)
+        prepared.unpersist()
+
+    def apply(self, batch_df: DataFrame) -> None:
+        from ..operators import ddl as ddl_mod
+        from ..sinks import jdbc
+        catalog = self.catalog
+        if self.relay is not None:
+            self.relay.append(batch_df)     # WAL before any apply
+        # persist: the safe-mode rewrite is a 4-way union over the gated
+        # stream — without caching, each branch re-scans the source
+        batch_df = batch_df.filter(
+            F.col("commit_ts") > self.resume_ts).persist()
+        wm_row = batch_df.agg(F.max("commit_ts").alias("wm")).collect()[0]
+        if wm_row["wm"] is None:        # batch fully below the cursor
+            batch_df.unpersist()
+            return
+        wm = int(wm_row["wm"])
+        # FAKE heartbeats advance the watermark (computed above) but
+        # must never reach the statement builder — generate_sql has no
+        # case for them and would emit NULL sql_text.
+        ok = (ordering.ordered_stream(batch_df)
+              .filter(F.col("op") != "FAKE"))
+        if self.cfg is not None:
+            from ..plans.pipeline import apply_filters_and_routes
+            ok = apply_filters_and_routes(ok, self.cfg)
+            if "target_db" in ok.columns:
+                # the statement sink writes the ROUTED identity
+                ok = (ok.withColumn("db", F.col("target_db"))
+                      .withColumn("tbl", F.col("target_tbl"))
+                      .drop("target_db", "target_tbl"))
+        ok = ok.persist()
+        # DDL events (op = 'DDL', statement text in row_json) split the
+        # batch into barriers: DML below the DDL applies first, then
+        # the DDL runs on every shard with the catalog evicted and the
+        # checkpoint saved IMMEDIATELY, then the next sub-batch builds
+        # statements against the POST-DDL schema
+        # (drainer/syncer.go:433-537; pkg/loader/load.go:401-496).
+        ddl_rows = []
+        if self.sync_ddl:
+            ddl_rows = (ddl_mod.prep_for_apply(
+                ok.filter(F.col("op") == "DDL")
+                  .withColumn("ddl_sql", F.col("row_json")))
+                .select("commit_ts", "db", "tbl", "ddl_sql",
+                        "should_skip")
+                .orderBy("commit_ts").collect())
+        dml = ok.filter(F.col("op") != "DDL")
+        lo = self.resume_ts
+        for d in ddl_rows:
+            seg = dml.filter((F.col("commit_ts") > lo)
+                             & (F.col("commit_ts") < d["commit_ts"]))
+            self._apply_dml(seg, ckpt_ts=int(d["commit_ts"]) - 1)
+            if not d["should_skip"]:
+                # sqlite shards are single-database files, so the
+                # mysql-wire `USE db;` prefix (apply_sql) is moot —
+                # the raw statement applies to every shard
+                jdbc.execute_ddl(self.db_dir, d["ddl_sql"],
+                                 catalog=catalog, table=d["tbl"])
+            elif catalog is not None:
+                # skipped DDL still evicts the cached downstream info
+                # (syncer.go shouldSkip path: empty sql forces the
+                # table-info refresh)
+                catalog.evict("main", d["tbl"])
+            jdbc.save_checkpoint(self.db_dir, int(d["commit_ts"]))
+            lo = int(d["commit_ts"])
+        self._apply_dml(dml.filter(F.col("commit_ts") > lo), ckpt_ts=wm)
+        ok.unpersist()
+        batch_df.unpersist()
+
+
+def feed_sql_by_relay_if_needed(spark: SparkSession, relay, db_dir: str,
+                                setup_sql: tuple[str, ...] = (),
+                                num_workers: int = 2,
+                                sync_ddl: bool = True,
+                                catalog=None, cfg=None) -> dict:
+    """drainer/relay.go feedByRelayLogIfNeed for the executed-SQL
+    sink: no-op when the last shutdown was graceful; otherwise relay
+    events ABOVE the downstream cursor replay through the SAME batch
+    applier in FORCED safe mode (relay.go:83 SetSafeMode(true) — the
+    REPLACE/DELETE+REPLACE rewrite makes the replay idempotent), the
+    cursor advances, and the log is marked consistent. Returns
+    {replayed, checkpoint}."""
+    from ..operators import safe_mode as sm
+    from ..sinks import jdbc
+    if relay.is_consistent():
+        return {"replayed": 0,
+                "checkpoint": jdbc.load_checkpoint(db_dir)[0]}
+    ck, _status = jdbc.load_checkpoint(db_dir)
+    jdbc.ensure_shards(db_dir, num_workers, setup_sql, shared_db=True)
+    pending = relay.read(spark, start_ts=ck).drop("ts_bucket").persist()
+    n = pending.count()
+    if n:
+        applier = SqlBatchApplier(
+            db_dir, setup_sql=setup_sql, num_workers=num_workers,
+            window=sm.SafeModeWindow(),       # forced safe mode
+            sync_ddl=sync_ddl, catalog=catalog, cfg=cfg,
+            resume_ts=ck)
+        applier.apply(pending)
+    pending.unpersist()
+    relay.mark_consistent()
+    return {"replayed": int(n),
+            "checkpoint": jdbc.load_checkpoint(db_dir)[0]}
+
+
 def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
                          checkpoint_dir: str,
                          safe_window=None,
@@ -113,7 +328,8 @@ def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
                          initial_commit_ts: int = -1,
                          sync_ddl: bool = True,
                          catalog=None,
-                         cfg=None):
+                         cfg=None,
+                         relay_dir: str | None = None):
     """The executed-SQL replication path (loader -> MySQL analog,
     SQLite-backed locally) with the reference's auto safe-mode window:
     batches applied while ``safe_window.active()`` are rewritten
@@ -169,6 +385,20 @@ def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
         if initial_commit_ts < 0:
             initial_commit_ts = cfg.initial_commit_ts
 
+    # relay WAL (drainer/relay.go): recover a crashed run from the
+    # relay log BEFORE resuming — re-applies relay events above the
+    # downstream cursor in forced safe mode, then marks inconsistent
+    # for the run ahead (the caller marks consistent after a graceful
+    # awaitTermination, exactly like run_apply_stream's relay flow)
+    from ..sinks.relay import RelayLog
+    relay = RelayLog(relay_dir) if relay_dir else None
+    if relay is not None:
+        feed_sql_by_relay_if_needed(
+            spark, relay, db_dir, setup_sql=setup_sql,
+            num_workers=num_workers, sync_ddl=sync_ddl,
+            catalog=catalog, cfg=cfg)
+        relay.mark_inconsistent()
+
     resume_ts, status = jdbc.load_checkpoint(db_dir)
     jdbc.ensure_shards(db_dir, num_workers, setup_sql, shared_db=True)
     if resume_ts < 0 <= initial_commit_ts:
@@ -192,155 +422,14 @@ def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
     else:
         window = sm.SafeModeWindow()
 
-    def table_value_cols(tbl: str) -> tuple[str, ...]:
-        """Statement width for one table: the sink catalog's CURRENT
-        column list (so a mid-stream ADD/DROP COLUMN widens/narrows
-        the very next sub-batch, executor.go:336-405 refresh-on-DDL);
-        static (pk, val) when no catalog is wired."""
-        if catalog is None:
-            return ("pk", "val")
-        try:
-            return tuple(catalog.table_info("main", tbl).columns)
-        except LookupError:     # table not created yet: setup_sql width
-            return ("pk", "val")
-
-    def apply_dml(seg: DataFrame, ckpt_ts: int) -> None:
-        """Order-gated DML sub-batch -> safe-mode rewrite -> per-table
-        statement build -> causality-routed parallel apply."""
-        if window.active():
-            prepared = sm.safe_mode_rewrite(seg)
-        else:
-            prepared = seg.withColumn("sub_seq", F.lit(0))
-        prepared = prepared.persist()
-        tables = [r["tbl"] for r in prepared.select("tbl").distinct().collect()]
-        if not tables:
-            prepared.unpersist()
-            jdbc.save_checkpoint(db_dir, ckpt_ts)
-            return
-        # per-table statement width (few tables; the per-table build is
-        # a union of narrow projections over the SAME cached sub-batch)
-        stmts = None
-        key_frames = []
-        for tbl in tables:
-            cols = table_value_cols(tbl)
-            part = prepared.filter(F.col("tbl") == tbl)
-            # columns beyond the typed (pk, val) ride the row image —
-            # extracted as strings, quoted by the statement builder
-            for c in cols:
-                if c not in ("pk", "val"):
-                    part = part.withColumn(
-                        c, F.get_json_object(F.col("row_json"), f"$.{c}"))
-            s = sqlgen.generate_sql(part, dialect="sqlite",
-                                    value_cols=cols) \
-                      .select("commit_ts", "seq", "sub_seq", "pk", "sql_text")
-            stmts = s if stmts is None else stmts.unionByName(s)
-            # causality keys: every PK/UK key-string the statements
-            # touch (pkg/loader/model.go:459-512) — (db, tbl, pk)
-            # always; each sink-side UNIQUE key's column values too,
-            # so txns with different PKs colliding on a UK serialize
-            # onto one worker in commit order (causality.go:31-99)
-            pk_key = F.concat_ws("\x01", F.col("db"), F.col("tbl"),
-                                 F.lit("pk"), F.col("pk").cast("string"))
-            keys = part.select(F.col("commit_ts").alias("txn_id"),
-                               pk_key.alias("key"))
-            if catalog is not None:
-                try:
-                    uks = catalog.table_info("main", tbl).unique_keys
-                except LookupError:
-                    uks = ()
-                for uk_name, uk_cols in uks:
-                    if uk_name == "PRIMARY" or not set(uk_cols) <= set(cols):
-                        continue
-                    uk_key = F.concat_ws(
-                        "\x01", F.col("db"), F.col("tbl"), F.lit(uk_name),
-                        *[F.col(c).cast("string") for c in uk_cols])
-                    keys = keys.unionByName(
-                        part.filter(F.concat_ws(
-                            "", *[F.col(c) for c in uk_cols]) != "")
-                        .select(F.col("commit_ts").alias("txn_id"),
-                                uk_key.alias("key")))
-            key_frames.append(keys)
-        txn_keys = key_frames[0]
-        for kf in key_frames[1:]:
-            txn_keys = txn_keys.unionByName(kf)
-        # conflict-free dispatch replaces pmod(pk): whole txns route by
-        # causality group, so cross-txn key conflicts apply in commit
-        # order while disjoint groups parallelize (load.go:508-575)
-        routed = causality.conflict_free_partitions(
-            stmts, txn_keys, num_workers=num_workers,
-            txn_col="commit_ts")
-        # shared_db: the downstream is ONE database (the reference's
-        # topology) — causality worker ids vary per batch, which is
-        # only sound when routing doesn't decide row placement
-        jdbc.apply_statements(routed, db_dir, num_workers,
-                              setup_sql=setup_sql,
-                              checkpoint_ts=ckpt_ts,
-                              shared_db=True)
-        prepared.unpersist()
-
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # persist: the safe-mode rewrite is a 4-way union over the gated
-        # stream — without caching, each branch re-scans the source
-        batch_df = batch_df.filter(F.col("commit_ts") > resume_ts).persist()
-        wm_row = batch_df.agg(F.max("commit_ts").alias("wm")).collect()[0]
-        if wm_row["wm"] is None:        # batch fully below the cursor
-            batch_df.unpersist()
-            return
-        wm = int(wm_row["wm"])
-        # FAKE heartbeats advance the watermark (computed above) but
-        # must never reach the statement builder — generate_sql has no
-        # case for them and would emit NULL sql_text.
-        ok = (ordering.ordered_stream(batch_df)
-              .filter(F.col("op") != "FAKE"))
-        if cfg is not None:
-            from ..plans.pipeline import apply_filters_and_routes
-            ok = apply_filters_and_routes(ok, cfg)
-            if "target_db" in ok.columns:
-                # the statement sink writes the ROUTED identity
-                ok = (ok.withColumn("db", F.col("target_db"))
-                      .withColumn("tbl", F.col("target_tbl"))
-                      .drop("target_db", "target_tbl"))
-        ok = ok.persist()
-        # DDL events (op = 'DDL', statement text in row_json) split the
-        # batch into barriers: DML below the DDL applies first, then
-        # the DDL runs on every shard with the catalog evicted and the
-        # checkpoint saved IMMEDIATELY, then the next sub-batch builds
-        # statements against the POST-DDL schema
-        # (drainer/syncer.go:433-537; pkg/loader/load.go:401-496).
-        ddl_rows = []
-        if sync_ddl:
-            ddl_rows = (ddl_mod.prep_for_apply(
-                ok.filter(F.col("op") == "DDL")
-                  .withColumn("ddl_sql", F.col("row_json")))
-                .select("commit_ts", "db", "tbl", "ddl_sql",
-                        "should_skip")
-                .orderBy("commit_ts").collect())
-        dml = ok.filter(F.col("op") != "DDL")
-        lo = resume_ts
-        for d in ddl_rows:
-            seg = dml.filter((F.col("commit_ts") > lo)
-                             & (F.col("commit_ts") < d["commit_ts"]))
-            apply_dml(seg, ckpt_ts=int(d["commit_ts"]) - 1)
-            if not d["should_skip"]:
-                # sqlite shards are single-database files, so the
-                # mysql-wire `USE db;` prefix (apply_sql) is moot —
-                # the raw statement applies to every shard
-                jdbc.execute_ddl(db_dir, d["ddl_sql"],
-                                 catalog=catalog, table=d["tbl"])
-            elif catalog is not None:
-                # skipped DDL still evicts the cached downstream info
-                # (syncer.go shouldSkip path: empty sql forces the
-                # table-info refresh)
-                catalog.evict("main", d["tbl"])
-            jdbc.save_checkpoint(db_dir, int(d["commit_ts"]))
-            lo = int(d["commit_ts"])
-        apply_dml(dml.filter(F.col("commit_ts") > lo), ckpt_ts=wm)
-        ok.unpersist()
-        batch_df.unpersist()
+    applier = SqlBatchApplier(db_dir, setup_sql=setup_sql,
+                              num_workers=num_workers, window=window,
+                              sync_ddl=sync_ddl, catalog=catalog,
+                              cfg=cfg, resume_ts=resume_ts, relay=relay)
 
     stream = read_change_stream(spark, source_dir)
     writer = (stream.writeStream
-              .foreachBatch(apply_batch)
+              .foreachBatch(lambda df, _bid: applier.apply(df))
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         writer = writer.trigger(availableNow=True)
