@@ -3746,20 +3746,26 @@ def oracle_sql() -> dict[str, str]:
             db_ AS (SELECT *, substring(md5(CAST(o_orderkey AS STRING)),
                                         1, 2) AS bucket FROM dst),
             sdig AS (SELECT bucket,
-                       md5(string_agg(md5(concat_ws('|',
-                         CAST(o_orderkey AS STRING), o_orderstatus,
-                         CAST(o_totalprice AS STRING))), ''
-                         ORDER BY md5(concat_ws('|',
-                         CAST(o_orderkey AS STRING), o_orderstatus,
-                         CAST(o_totalprice AS STRING))))) AS src_digest
+                       md5(string_agg(md5(concat_ws(chr(31),
+                         COALESCE(CAST(o_orderkey AS STRING), chr(0)),
+                         COALESCE(o_orderstatus, chr(0)),
+                         COALESCE(CAST(o_totalprice AS STRING), chr(0)))),
+                         '' ORDER BY md5(concat_ws(chr(31),
+                         COALESCE(CAST(o_orderkey AS STRING), chr(0)),
+                         COALESCE(o_orderstatus, chr(0)),
+                         COALESCE(CAST(o_totalprice AS STRING), chr(0))))))
+                         AS src_digest
                      FROM sb GROUP BY bucket),
             ddig AS (SELECT bucket,
-                       md5(string_agg(md5(concat_ws('|',
-                         CAST(o_orderkey AS STRING), o_orderstatus,
-                         CAST(o_totalprice AS STRING))), ''
-                         ORDER BY md5(concat_ws('|',
-                         CAST(o_orderkey AS STRING), o_orderstatus,
-                         CAST(o_totalprice AS STRING))))) AS dst_digest
+                       md5(string_agg(md5(concat_ws(chr(31),
+                         COALESCE(CAST(o_orderkey AS STRING), chr(0)),
+                         COALESCE(o_orderstatus, chr(0)),
+                         COALESCE(CAST(o_totalprice AS STRING), chr(0)))),
+                         '' ORDER BY md5(concat_ws(chr(31),
+                         COALESCE(CAST(o_orderkey AS STRING), chr(0)),
+                         COALESCE(o_orderstatus, chr(0)),
+                         COALESCE(CAST(o_totalprice AS STRING), chr(0))))))
+                         AS dst_digest
                      FROM db_ GROUP BY bucket),
             mism AS (SELECT COALESCE(sdig.bucket, ddig.bucket) AS bucket
                      FROM sdig FULL OUTER JOIN ddig USING (bucket)

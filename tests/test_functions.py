@@ -1124,3 +1124,26 @@ def test_diff_drilldown_matches_full_diff_and_localizes(spark):
     # the bucket is the key-md5 prefix: mismatches localized, so a
     # healthy 100 TB table drills into ~0/256 of its rows
     assert by_k[1234]["bucket"] == hashlib.md5(b"1234").hexdigest()[:2]
+
+
+def test_diff_drilldown_catches_null_position_swaps(spark):
+    """Review regression: rows differing only in WHICH column is NULL
+    must not hash identically in phase 1 (concat_ws silently skips
+    NULLs) — the sentinel fingerprint keeps drill-down == full diff
+    on NULL-bearing columns and on values containing the old '|'
+    separator."""
+    from tidb_binlog_spark.functions import checksum as cksum
+
+    src = spark.createDataFrame(
+        [(1, "x", None), (2, "a|b", "c"), (3, "p", "q")],
+        "k long, a string, b string")
+    dst = spark.createDataFrame(
+        [(1, None, "x"),            # NULL swapped columns
+         (2, "a", "b|c"),           # '|' shifted across the separator
+         (3, "p", "q")],
+        "k long, a string, b string")
+    drill = cksum.diff_drilldown(src, dst, ["k"], ["a", "b"]).collect()
+    full = cksum.snapshot_diff(src, dst, ["k"], ["a", "b"]).collect()
+    assert sorted((r["k"], r["diff_status"]) for r in drill) == \
+           sorted((r["k"], r["diff_status"]) for r in full) == \
+           [(1, "changed"), (2, "changed")]

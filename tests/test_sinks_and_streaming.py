@@ -1785,16 +1785,17 @@ def test_shared_db_worker_crash_keeps_data_and_cursor_atomic(spark, tmp_path):
     jdbc.ensure_shards(db_dir, 2, setup, shared_db=True)
     jdbc.save_checkpoint(db_dir, -1)          # the pre-batch floor
 
+    # pks 1 and 2 land on DIFFERENT workers (pmod 2): the dying
+    # worker's rollback must not be masked by the surviving worker's
+    # commit, and the floor row must keep the min cursor behind both
     ch = (make_changes(spark, [(1, "s0", 10, "I", 1, 0, 1.0),
-                               (2, "s0", 20, "I", 3, 0, 3.0)])
+                               (2, "s0", 20, "I", 2, 0, 2.0)])
           .withColumn("sub_seq", F.lit(0)))
     stmts = (sqlgen.generate_sql(ch, dialect="sqlite")
              .withColumn("worker_id", F.pmod(F.col("pk"), F.lit(2))))
 
-    calls = {"n": 0}
-
     def inject(sql_text):
-        if "INSERT" in sql_text and "(3, " in sql_text:
+        if "INSERT" in sql_text and "(2, " in sql_text:
             raise sqlite3_integrity("boom: die before commit")
 
     class sqlite3_integrity(Exception):
@@ -1810,8 +1811,8 @@ def test_shared_db_worker_crash_keeps_data_and_cursor_atomic(spark, tmp_path):
     rows = sorted(conn.execute("SELECT pk FROM t").fetchall())
     conn.close()
     # the dead worker's txn rolled back entirely; the other worker's
-    # txn may or may not have committed, but pk=3 can never be partial
-    assert (3,) not in rows
+    # txn may or may not have committed, but pk=2 can never be partial
+    assert (2,) not in rows
     # resume cursor: min over (floor, any committed worker) = floor
     assert jdbc.load_checkpoint(db_dir)[0] == -1
 

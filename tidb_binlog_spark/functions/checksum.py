@@ -108,8 +108,20 @@ def diff_drilldown(src: DataFrame, dst: DataFrame,
                 "|", *[F.col(c).cast("string") for c in key_cols])),
                 1, bucket_hex))
 
+    # phase-1 fingerprint must agree with phase-2's eqNullSafe: render
+    # NULLs as a sentinel (concat_ws would silently SKIP them, making
+    # (x, NULL) and (NULL, x) hash identically) and use a control-char
+    # separator so values containing '|' can't alias a column shift
+    def null_safe_hash(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "row_md5",
+            F.md5(F.concat_ws(
+                "\x1f",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                  for c in key_cols + value_cols])))
+
     def digests(df: DataFrame) -> DataFrame:
-        h = row_hash(with_bucket(df), key_cols + value_cols)
+        h = null_safe_hash(with_bucket(df))
         return (h.groupBy("bucket")
                 .agg(F.md5(F.concat_ws("", F.array_sort(
                      F.collect_list("row_md5")))).alias("digest")))

@@ -636,7 +636,10 @@ def gate_report(docs: DataFrame, min_tokens: int = 30,
     ]
     reasons = F.concat_ws(",", *[
         F.when(cond, F.lit(name)) for name, cond in checks])
-    n_failed = sum(cond.cast("int") for _, cond in checks)
+    # NULL-safe: a NULL condition (e.g. 0/0 stopword_ratio on an empty
+    # doc) counts as not-failed, matching the oracle's CASE...ELSE 0
+    n_failed = sum(F.coalesce(cond, F.lit(False)).cast("int")
+                   for _, cond in checks)
     return j.select("doc_id", "pred_lang", "n_tokens",
                     (reasons == "").alias("passed"),
                     n_failed.alias("n_failed"),

@@ -160,11 +160,19 @@ def value_multiset(changelog: DataFrame, group_keys: list[str],
             .agg(F.sum("d").cast("long").alias("live_count")))
 
 
+def live_support(aux: DataFrame) -> DataFrame:
+    """The counts > 0 support of the maintained multiset — the single
+    liveness definition every multiset reader shares (extrema,
+    quantiles, top-k, distinct count), so a future change to the
+    predicate (e.g. retraction-underflow handling) lands once."""
+    return aux.filter(F.col("live_count") > 0)
+
+
 def extrema_from_multiset(aux: DataFrame,
                           group_keys: list[str]) -> DataFrame:
     """Read MIN/MAX (+ live distinct-value count) off the counts > 0
     support of the maintained multiset."""
-    return (aux.filter(F.col("live_count") > 0)
+    return (live_support(aux)
             .groupBy(*group_keys)
             .agg(F.min("v").alias("min_val"),
                  F.max("v").alias("max_val"),
@@ -184,7 +192,7 @@ def quantiles_from_multiset(aux: DataFrame, group_keys: list[str],
     the value whose cumulative live count first reaches
     ceil(q * n_live).
     """
-    live = aux.filter(F.col("live_count") > 0)
+    live = live_support(aux)
     w_cum = (Window.partitionBy(*group_keys).orderBy("v")
              .rowsBetween(Window.unboundedPreceding, 0))
     w_all = Window.partitionBy(*group_keys)
@@ -208,7 +216,7 @@ def top_values_from_multiset(aux: DataFrame, group_keys: list[str],
     never over raw rows."""
     w = (Window.partitionBy(*group_keys)
          .orderBy(F.desc("live_count"), F.asc("v")))
-    return (aux.filter(F.col("live_count") > 0)
+    return (live_support(aux)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= n)
             .select(*group_keys, "rank", "v", "live_count"))
@@ -349,7 +357,7 @@ def distinct_count_from_multiset(aux: DataFrame,
     delete that retires a value's last reference drops it from the
     count automatically (live_count reaches 0); no snapshot rescan,
     state is #distinct live pairs."""
-    return (aux.filter(F.col("live_count") > 0)
+    return (live_support(aux)
             .groupBy(*group_keys)
             .agg(F.count(F.lit(1)).alias("n_distinct"),
                  F.sum("live_count").alias("n_live")))

@@ -222,15 +222,18 @@ class SqlBatchApplier:
         from ..operators import ddl as ddl_mod
         from ..sinks import jdbc
         catalog = self.catalog
+        # persist the RAW batch first: the relay WAL and the filtered
+        # main path both read it (one source scan, not two); the
+        # safe-mode rewrite is a 4-way union over the gated stream and
+        # would re-scan per branch without the cache
+        batch_df = batch_df.persist()
         if self.relay is not None:
             self.relay.append(batch_df)     # WAL before any apply
-        # persist: the safe-mode rewrite is a 4-way union over the gated
-        # stream — without caching, each branch re-scans the source
-        batch_df = batch_df.filter(
-            F.col("commit_ts") > self.resume_ts).persist()
+        batch_df2 = batch_df
+        batch_df = batch_df.filter(F.col("commit_ts") > self.resume_ts)
         wm_row = batch_df.agg(F.max("commit_ts").alias("wm")).collect()[0]
         if wm_row["wm"] is None:        # batch fully below the cursor
-            batch_df.unpersist()
+            batch_df2.unpersist()
             return
         wm = int(wm_row["wm"])
         # FAKE heartbeats advance the watermark (computed above) but
@@ -282,7 +285,7 @@ class SqlBatchApplier:
             lo = int(d["commit_ts"])
         self._apply_dml(dml.filter(F.col("commit_ts") > lo), ckpt_ts=wm)
         ok.unpersist()
-        batch_df.unpersist()
+        batch_df2.unpersist()
 
 
 def feed_sql_by_relay_if_needed(spark: SparkSession, relay, db_dir: str,
@@ -322,11 +325,11 @@ def feed_sql_by_relay_if_needed(spark: SparkSession, relay, db_dir: str,
 def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
                          checkpoint_dir: str,
                          safe_window=None,
-                         num_workers: int = 2,
+                         num_workers: int | None = None,
                          setup_sql: tuple[str, ...] = (),
                          available_now: bool = True,
                          initial_commit_ts: int = -1,
-                         sync_ddl: bool = True,
+                         sync_ddl: bool | None = None,
                          catalog=None,
                          cfg=None,
                          relay_dir: str | None = None):
@@ -374,16 +377,17 @@ def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
     statement text itself is not rewritten (document your routes
     accordingly, as the reference's pb sink does).
     """
-    from ..operators import causality
-    from ..operators import ddl as ddl_mod
     from ..operators import safe_mode as sm
-    from ..sinks import jdbc, sqlgen
+    from ..sinks import jdbc
 
-    if cfg is not None:
-        sync_ddl = cfg.sync_ddl
-        num_workers = cfg.worker_count
-        if initial_commit_ts < 0:
-            initial_commit_ts = cfg.initial_commit_ts
+    # cfg fills only what the caller left UNSET — an explicit
+    # sync_ddl=False or num_workers=N always wins over the config
+    if sync_ddl is None:
+        sync_ddl = cfg.sync_ddl if cfg is not None else True
+    if num_workers is None:
+        num_workers = cfg.worker_count if cfg is not None else 2
+    if cfg is not None and initial_commit_ts < 0:
+        initial_commit_ts = cfg.initial_commit_ts
 
     # relay WAL (drainer/relay.go): recover a crashed run from the
     # relay log BEFORE resuming — re-applies relay events above the
