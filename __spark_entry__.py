@@ -2247,6 +2247,31 @@ def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("chars_removable")))
 
 
+
+def q_cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detector: the top-20 most-written primary keys with
+    per-op counts and each key's share of its table's writes
+    (micro-quantized integer division) — the observable that tells an
+    operator WHERE to point the skew toolkit (salting, causality
+    group splits) before a straggler shows up. One map-side-combinable
+    key aggregate + a tiny table-total broadcast;
+    TakeOrderedAndProject caps the report."""
+    ch = _spark_changes(spark, sf_dir)
+    per_key = (ch.filter(F.col("op").isin("I", "U", "D"))
+               .groupBy("db", "tbl", "pk")
+               .agg(F.count(F.lit(1)).alias("n_writes"),
+                    F.sum(F.when(F.col("op") == "U", 1).otherwise(0))
+                     .alias("n_updates")))
+    totals = per_key.groupBy("db", "tbl").agg(
+        F.sum("n_writes").alias("tbl_writes"))
+    return (per_key.join(F.broadcast(totals), ["db", "tbl"])
+            .withColumn("share_micro",
+                        F.expr("(n_writes * 1000000) DIV tbl_writes"))
+            .orderBy(F.desc("n_writes"), F.asc("db"), F.asc("tbl"),
+                     F.asc("pk"))
+            .limit(20))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's main 'query' — apply an ordered,
     deduplicated change stream to a table snapshot (SURVEY §3.1)."""
@@ -2401,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_distinct": q_cdc_incremental_distinct,
         "events_session_paths": q_events_session_paths,
         "dedup_savings_report": q_dedup_savings_report,
+        "cdc_hot_keys": q_cdc_hot_keys,
     }
 
 
@@ -3592,6 +3618,25 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows,
                    md5(string_agg(row_md5, '' ORDER BY row_md5)) AS digest
             FROM hashed GROUP BY substring(row_md5, 1, 2)
+        """,
+        "cdc_hot_keys": f"""
+            {CHANGES_CTE},
+            per_key AS (
+              SELECT db, tbl, pk, COUNT(*) AS n_writes,
+                CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_updates
+              FROM changes WHERE op IN ('I', 'U', 'D')
+              GROUP BY db, tbl, pk),
+            totals AS (SELECT db, tbl, SUM(n_writes) AS tbl_writes
+                       FROM per_key GROUP BY db, tbl)
+            SELECT p.db, p.tbl, p.pk, p.n_writes, p.n_updates,
+              CAST(t.tbl_writes AS BIGINT) AS tbl_writes,
+              CAST((p.n_writes * 1000000) // t.tbl_writes AS BIGINT)
+                AS share_micro
+            FROM per_key p JOIN totals t
+              ON p.db = t.db AND p.tbl = t.tbl
+            ORDER BY p.n_writes DESC, p.db, p.tbl, p.pk
+            LIMIT 20
         """,
         "dedup_savings_report": f"""
             WITH RECURSIVE {osql.MINHASH_PAIRS_CTES},
