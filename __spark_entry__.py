@@ -2272,6 +2272,31 @@ def q_cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+
+def q_snapshot_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-bracket revenue (TPC-H Q19 flavor, sans part): an
+    OR-of-ANDs predicate over quantity/discount brackets, aggregated
+    per bracket — the disjunctive-pushdown shape (each disjunct is
+    scan-friendly; Catalyst pushes the OR of range predicates)."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    li = t["lineitem"]
+    bracket = (F.when((F.col("l_quantity") <= 15)
+                      & (F.col("l_discount") >= 0.07), "small_deep")
+               .when((F.col("l_quantity") > 15) & (F.col("l_quantity") <= 35)
+                     & (F.col("l_discount").between(0.03, 0.07)),
+                     "mid_standard")
+               .when((F.col("l_quantity") > 35)
+                     & (F.col("l_discount") <= 0.03), "large_thin"))
+    return (li.withColumn("bracket", bracket)
+            .filter(F.col("bracket").isNotNull())
+            .groupBy("bracket")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum((F.col("l_extendedprice")
+                        * (F.lit(1.0) - F.col("l_discount")))
+                       .cast("decimal(38,6)")).cast("double")
+                  .alias("revenue")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's main 'query' — apply an ordered,
     deduplicated change stream to a table snapshot (SURVEY §3.1)."""
@@ -2427,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_paths": q_events_session_paths,
         "dedup_savings_report": q_dedup_savings_report,
         "cdc_hot_keys": q_cdc_hot_keys,
+        "snapshot_bracket_revenue": q_snapshot_bracket_revenue,
     }
 
 
@@ -3618,6 +3644,25 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows,
                    md5(string_agg(row_md5, '' ORDER BY row_md5)) AS digest
             FROM hashed GROUP BY substring(row_md5, 1, 2)
+        """,
+        "snapshot_bracket_revenue": """
+            WITH b AS (
+              SELECT CASE
+                WHEN l_quantity <= 15 AND l_discount >= 0.07
+                  THEN 'small_deep'
+                WHEN l_quantity > 15 AND l_quantity <= 35
+                     AND l_discount BETWEEN 0.03 AND 0.07
+                  THEN 'mid_standard'
+                WHEN l_quantity > 35 AND l_discount <= 0.03
+                  THEN 'large_thin'
+                END AS bracket,
+                l_extendedprice, l_discount
+              FROM lineitem)
+            SELECT bracket, COUNT(*) AS n_items,
+              CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                            AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+            FROM b WHERE bracket IS NOT NULL
+            GROUP BY bracket
         """,
         "cdc_hot_keys": f"""
             {CHANGES_CTE},
