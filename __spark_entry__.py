@@ -2305,31 +2305,111 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # keys. This is DRIVER round 6 (last recorded gate: CORRECTNESS_r05,
-    # 49/50 green + 1 rows-only). Rotation (VERDICT r5 item 4): (1) the
-    # five r5-new queries that have never had a driver row, (2)
-    # text_bpe_encode with its NEW pure-Python oracle (upgrading the
-    # rows-only r5 row to hash-checked), (3) the three re-registered
-    # queries (VERDICT r5 item 8: cdc_event_counters resumes its retired
-    # r2 slot; cdc_update_images / snapshot_top_customers gain first
-    # oracles), (4) 41 of the 50 r4-green rows (evidence two rounds old).
-    # The nine r4-green leave-outs (kv_decode trio, payload/sqlgen/
-    # typemap/profile/mm/progress) are the most pytest-backed rows in the
-    # registry and rotate in r7 with the r5-greens.
+    # keys. This is DRIVER round 7 (last recorded gate: CORRECTNESS_r06,
+    # 50/50 hash-green). Rotation (every-other-round discipline,
+    # VERDICT r5 item 4): (1) the 17 r6-new queries that have never had
+    # a driver row (ledger-green in LEDGER_r6), (2) the nine r4-green
+    # pytest-heavy leave-outs whose driver evidence is now three rounds
+    # old (kv_decode trio, payload/sqlgen/typemap/profile/mm/progress),
+    # (3) 24 of the 49 r5-green rows (evidence two rounds old). The
+    # remaining 25 r5-green rows sit below the window — every one
+    # ledger-checked each round — and rotate in r8 together with any
+    # r7-new queries.
     return {
-        # -- never driver-checked (r5-new, ledger-green in LEDGER_r5)
+        # -- never driver-checked (r6-new, ledger-green in LEDGER_r6)
+        "corpus_tfidf_topk": q_corpus_tfidf_topk,
+        "snapshot_large_orders": q_snapshot_large_orders,
+        "snapshot_top_supplier": q_snapshot_top_supplier,
+        "snapshot_forecast_revenue": q_snapshot_forecast_revenue,
+        "cdc_disorder_displacement": q_cdc_disorder_displacement,
+        "corpus_source_overlap": q_corpus_source_overlap,
+        "corpus_temperature_mix": q_corpus_temperature_mix,
+        "events_type_transitions": q_events_type_transitions,
+        "mm_audio_features": q_mm_audio_features,
+        "snapshot_diff_drilldown": q_snapshot_diff_drilldown,
+        "dedup_lsh_calibration": q_dedup_lsh_calibration,
+        "corpus_gate_report": q_corpus_gate_report,
+        "cdc_incremental_distinct": q_cdc_incremental_distinct,
+        "events_session_paths": q_events_session_paths,
+        "dedup_savings_report": q_dedup_savings_report,
+        "cdc_hot_keys": q_cdc_hot_keys,
+        "snapshot_bracket_revenue": q_snapshot_bracket_revenue,
+        # -- r4-green leave-outs, driver evidence three rounds old (9)
+        "cdc_kv_decode": q_cdc_kv_decode,
+        "cdc_kv_decode_update": q_cdc_kv_decode_update,
+        "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
+        "sink_payload_roundtrip": q_sink_payload_roundtrip,
+        "sink_sql_generation": q_sink_sql_generation,
+        "cdc_type_format": q_cdc_type_format,
+        "text_profile": q_text_profile,
+        "mm_assets": q_mm_assets,
+        "cdc_progress": q_cdc_progress,
+        # -- r5-green rows refreshing their driver evidence (24)
+        "ann_doc_lsh": q_ann_doc_lsh,
+        "dedup_incremental": q_dedup_incremental,
+        "doc_cdc_chunks": q_doc_cdc_chunks,
+        "dedup_containment": q_dedup_containment,
+        "corpus_source_report": q_corpus_source_report,
+        "dedup_chunk_minhash": q_dedup_chunk_minhash,
+        "cdc_incremental_agg_wide": q_cdc_incremental_agg_wide,
+        "cdc_temporal_join": q_cdc_temporal_join,
+        "cdc_incremental_rollup": q_cdc_incremental_rollup,
+        "sink_kafka_obinlog": q_sink_kafka_obinlog,
+        "cdc_reparo_replay": q_cdc_reparo_replay,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "cdc_loopback_filter": q_cdc_loopback_filter,
+        "cdc_txn_batches": q_cdc_txn_batches,
+        "cdc_schema_backfill": q_cdc_schema_backfill,
+        "cdc_update_pk_split": q_cdc_update_pk_split,
+        "cdc_safe_mode": q_cdc_safe_mode,
+        "text_stratified_sample": q_text_stratified_sample,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_clusters": q_dedup_embedding_clusters,
+        "cdc_gc_safepoint": q_cdc_gc_safepoint,
+        "cdc_causality_groups": q_cdc_causality_groups,
+        # ------------------------------------------------------------
+        # below the driver's 50-row window (position 51+): the 25
+        # remaining r5-green rows (rotating in r8 with r7-new), then
+        # the 17 r6-green rows checked by CORRECTNESS_r06 last round —
+        # all ledger-checked each round (LEDGER_r7)
+        # ------------------------------------------------------------
+        "sink_bulk_batches": q_sink_bulk_batches,
+        "snapshot_checksum_orders": q_snapshot_checksum_orders,
+        "cdc_pc_match": q_cdc_pc_match,
+        "cdc_wide_row_apply": q_cdc_wide_row_apply,
+        "sink_sql_wide": q_sink_sql_wide,
+        "sink_obinlog_wide": q_sink_obinlog_wide,
+        "snapshot_diff_orders": q_snapshot_diff_orders,
+        "snapshot_pricing_summary": q_snapshot_pricing_summary,
+        "snapshot_revenue_by_nation": q_snapshot_revenue_by_nation,
+        "cdc_snapshot_apply": q_cdc_snapshot_apply,
+        "cdc_order_audit": q_cdc_order_audit,
+        "cdc_kway_merge": q_cdc_kway_merge,
+        "cdc_txn_resolve": q_cdc_txn_resolve,
+        "cdc_schema_replay": q_cdc_schema_replay,
+        "cdc_full_pipeline": q_cdc_full_pipeline,
+        "cdc_ddl_stream": q_cdc_ddl_stream,
+        "cdc_partition_route": q_cdc_partition_route,
+        "curation_pipeline": q_curation_pipeline,
+        "dedup_exact": q_dedup_exact,
+        "text_contamination": q_text_contamination,
+        "text_pack_sequences": q_text_pack_sequences,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        # -- r6-green (CORRECTNESS_r06, freshest driver evidence)
         "cdc_pitr_restore": q_cdc_pitr_restore,
         "corpus_inverted_index": q_corpus_inverted_index,
         "snapshot_returned_items": q_snapshot_returned_items,
         "snapshot_volume_shipping": q_snapshot_volume_shipping,
         "snapshot_cust_no_orders": q_snapshot_cust_no_orders,
-        # -- rows-only in r5; now hash-checked via _write_bpe_oracle
         "text_bpe_encode": q_text_bpe_encode,
-        # -- re-registered this round (VERDICT r5 item 8)
         "cdc_event_counters": q_cdc_event_counters,
         "cdc_update_images": q_cdc_update_images,
         "snapshot_top_customers": q_snapshot_top_customers,
-        # -- r4-green, refreshing their driver evidence (41)
         "events_funnel": q_events_funnel,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_time_travel": q_cdc_time_travel,
@@ -2371,88 +2451,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_stats": q_corpus_token_stats,
         "text_bigram_lm": q_text_bigram_lm,
         "corpus_full_curation": q_corpus_full_curation,
-        # ------------------------------------------------------------
-        # below the driver's 50-row window (position 51+): 9 r4-green
-        # pytest-heavy leave-outs, then the 49 r5-green rows
-        # (CORRECTNESS_r05 49/50) — all ledger-checked each round and
-        # rotating back in r7
-        # ------------------------------------------------------------
-        "cdc_kv_decode": q_cdc_kv_decode,
-        "cdc_kv_decode_update": q_cdc_kv_decode_update,
-        "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
-        "sink_payload_roundtrip": q_sink_payload_roundtrip,
-        "sink_sql_generation": q_sink_sql_generation,
-        "cdc_type_format": q_cdc_type_format,
-        "text_profile": q_text_profile,
-        "mm_assets": q_mm_assets,
-        "cdc_progress": q_cdc_progress,
-        "ann_doc_lsh": q_ann_doc_lsh,
-        "dedup_incremental": q_dedup_incremental,
-        "doc_cdc_chunks": q_doc_cdc_chunks,
-        "dedup_containment": q_dedup_containment,
-        "corpus_source_report": q_corpus_source_report,
-        "dedup_chunk_minhash": q_dedup_chunk_minhash,
-        "cdc_incremental_agg_wide": q_cdc_incremental_agg_wide,
-        "cdc_temporal_join": q_cdc_temporal_join,
-        "cdc_incremental_rollup": q_cdc_incremental_rollup,
-        "sink_kafka_obinlog": q_sink_kafka_obinlog,
-        "cdc_reparo_replay": q_cdc_reparo_replay,
-        "doc_fingerprint": q_doc_fingerprint,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "cdc_loopback_filter": q_cdc_loopback_filter,
-        "cdc_txn_batches": q_cdc_txn_batches,
-        "cdc_schema_backfill": q_cdc_schema_backfill,
-        "cdc_update_pk_split": q_cdc_update_pk_split,
-        "cdc_safe_mode": q_cdc_safe_mode,
-        "text_stratified_sample": q_text_stratified_sample,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding_clusters": q_dedup_embedding_clusters,
-        "cdc_gc_safepoint": q_cdc_gc_safepoint,
-        "cdc_causality_groups": q_cdc_causality_groups,
-        "sink_bulk_batches": q_sink_bulk_batches,
-        "snapshot_checksum_orders": q_snapshot_checksum_orders,
-        "cdc_pc_match": q_cdc_pc_match,
-        "cdc_wide_row_apply": q_cdc_wide_row_apply,
-        "sink_sql_wide": q_sink_sql_wide,
-        "sink_obinlog_wide": q_sink_obinlog_wide,
-        "snapshot_diff_orders": q_snapshot_diff_orders,
-        "snapshot_pricing_summary": q_snapshot_pricing_summary,
-        "snapshot_revenue_by_nation": q_snapshot_revenue_by_nation,
-        "cdc_snapshot_apply": q_cdc_snapshot_apply,
-        "cdc_order_audit": q_cdc_order_audit,
-        "cdc_kway_merge": q_cdc_kway_merge,
-        "cdc_txn_resolve": q_cdc_txn_resolve,
-        "cdc_schema_replay": q_cdc_schema_replay,
-        "cdc_full_pipeline": q_cdc_full_pipeline,
-        "cdc_ddl_stream": q_cdc_ddl_stream,
-        "cdc_partition_route": q_cdc_partition_route,
-        "curation_pipeline": q_curation_pipeline,
-        "dedup_exact": q_dedup_exact,
-        "text_contamination": q_text_contamination,
-        "text_pack_sequences": q_text_pack_sequences,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        # -- new in r6 (ledger-checked now; window candidates for r7)
-        "corpus_tfidf_topk": q_corpus_tfidf_topk,
-        "snapshot_large_orders": q_snapshot_large_orders,
-        "snapshot_top_supplier": q_snapshot_top_supplier,
-        "snapshot_forecast_revenue": q_snapshot_forecast_revenue,
-        "cdc_disorder_displacement": q_cdc_disorder_displacement,
-        "corpus_source_overlap": q_corpus_source_overlap,
-        "corpus_temperature_mix": q_corpus_temperature_mix,
-        "events_type_transitions": q_events_type_transitions,
-        "mm_audio_features": q_mm_audio_features,
-        "snapshot_diff_drilldown": q_snapshot_diff_drilldown,
-        "dedup_lsh_calibration": q_dedup_lsh_calibration,
-        "corpus_gate_report": q_corpus_gate_report,
-        "cdc_incremental_distinct": q_cdc_incremental_distinct,
-        "events_session_paths": q_events_session_paths,
-        "dedup_savings_report": q_dedup_savings_report,
-        "cdc_hot_keys": q_cdc_hot_keys,
-        "snapshot_bracket_revenue": q_snapshot_bracket_revenue,
     }
 
 
