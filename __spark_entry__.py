@@ -2297,6 +2297,257 @@ def q_snapshot_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("revenue")))
 
 
+def q_snapshot_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority late-shipment check (TPC-H Q4 flavor, adapted:
+    no l_commitdate column, so "late" = any lineitem shipped >30 days
+    after the order date). The EXISTS becomes a LEFT SEMI join —
+    Catalyst keeps only the order keys, no row multiplication from
+    multi-lineitem orders; the date-range filter on orders pushes to
+    the parquet scan before the shuffle."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o = (t["orders"]
+         .filter((F.col("o_orderdate") >= "1996-07-01")
+                 & (F.col("o_orderdate") < "1996-10-01")))
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+def q_snapshot_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 flavor): NATION_5's share of
+    AMERICA-region PROMO-part revenue per year. The widest star join
+    in the snapshot family — lineitem shuffles once on l_orderkey for
+    the orders join; part, customer, supplier, nation, region all
+    broadcast (each <= a few thousand rows at any SF — dims don't
+    scale with fact volume). Share numerator/denominator are exact
+    DECIMAL sums; the division happens once per year row in DOUBLE."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer",
+                    "supplier", "part", "nation", "region")
+    amer_nations = (t["nation"]
+                    .join(t["region"],
+                          F.col("n_regionkey") == F.col("r_regionkey"))
+                    .filter(F.col("r_name") == "AMERICA")
+                    .select(F.col("n_nationkey").alias("cust_natkey")))
+    promo = (t["part"].filter(F.col("p_type") == "PROMO")
+             .select("p_partkey"))
+    supp_nat = (t["supplier"]
+                .join(t["nation"],
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+                .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    o = (t["orders"]
+         .filter((F.col("o_orderdate") >= "1996-01-01")
+                 & (F.col("o_orderdate") < "1998-01-01")))
+    vol = (t["lineitem"]
+           .join(F.broadcast(promo),
+                 F.col("l_partkey") == F.col("p_partkey"))
+           .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(t["customer"]),
+                 F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(amer_nations),
+                 F.col("c_nationkey") == F.col("cust_natkey"), "left_semi")
+           .join(F.broadcast(supp_nat),
+                 F.col("l_suppkey") == F.col("s_suppkey"))
+           .select(F.year("o_orderdate").alias("o_year"),
+                   (F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount")))
+                   .cast("decimal(38,6)").alias("vol_d"),
+                   F.col("supp_nation")))
+    return (vol.groupBy("o_year")
+            .agg(F.sum(F.when(F.col("supp_nation") == "NATION_5",
+                              F.col("vol_d"))
+                        .otherwise(F.lit(0).cast("decimal(38,6)")))
+                  .cast("double").alias("nation_volume"),
+                 F.sum("vol_d").cast("double").alias("total_volume"))
+            .withColumn("mkt_share",
+                        F.col("nation_volume") / F.col("total_volume"))
+            .orderBy("o_year"))
+
+
+def q_snapshot_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-line profit by supplier nation and year (TPC-H Q9
+    flavor, adapted: no partsupp table, so unit cost is modeled as
+    0.6 * p_retailprice). lineitem shuffles once on l_orderkey; part
+    (LIKE-filtered), supplier, nation broadcast. Profit terms stay
+    DECIMAL until the final cast so the nation/year sums are exact."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier",
+                    "part", "nation")
+    widgets = (t["part"].filter(F.col("p_name").like("%widget%"))
+               .select("p_partkey", "p_retailprice"))
+    supp_nat = (t["supplier"]
+                .join(t["nation"],
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+                .select("s_suppkey", F.col("n_name").alias("nation")))
+    profit = (t["lineitem"]
+              .join(F.broadcast(widgets),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .join(F.broadcast(supp_nat),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(t["orders"],
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+              .select(F.col("nation"),
+                      F.year("o_orderdate").alias("o_year"),
+                      (F.col("l_extendedprice")
+                       * (F.lit(1.0) - F.col("l_discount"))
+                       - F.lit(0.6) * F.col("p_retailprice")
+                       * F.col("l_quantity"))
+                      .cast("decimal(38,6)").alias("amount_d")))
+    return (profit.groupBy("nation", "o_year")
+            .agg(F.sum("amount_d").cast("double").alias("sum_profit"))
+            .orderBy(F.asc("nation"), F.desc("o_year")))
+
+
+def q_snapshot_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 flavor): LEFT
+    OUTER join so zero-order customers survive with count 0, then a
+    second aggregation histograms the counts. Two shuffles by
+    construction (per-customer count, then per-count count) — the
+    second input is only #customers rows and the histogram is ~tens
+    of rows; both aggregates are map-side combinable."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    o = (t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+         .select("o_custkey", "o_orderkey"))
+    per_cust = (t["customer"]
+                .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+def q_snapshot_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share for one month (TPC-H Q14 flavor):
+    conditional aggregate over a broadcast part join; the month range
+    pushes to the lineitem scan. Numerator and denominator are exact
+    DECIMAL sums; one DOUBLE division at the end (single output
+    row)."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li = (t["lineitem"]
+          .filter((F.col("l_shipdate") >= "1997-09-01")
+                  & (F.col("l_shipdate") < "1997-10-01")))
+    j = (li.join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+                 F.col("l_partkey") == F.col("p_partkey"))
+         .select(F.col("p_type"),
+                 (F.col("l_extendedprice")
+                  * (F.lit(1.0) - F.col("l_discount")))
+                 .cast("decimal(38,6)").alias("rev_d")))
+    return (j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_d"))
+               .otherwise(F.lit(0).cast("decimal(38,6)")))
+         .cast("double").alias("promo_revenue"),
+        F.sum("rev_d").cast("double").alias("total_revenue"))
+        .withColumn("promo_pct",
+                    F.lit(100.0) * F.col("promo_revenue")
+                    / F.col("total_revenue")))
+
+
+def q_snapshot_small_qty_revenue(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Small-quantity order revenue (TPC-H Q17 flavor): the
+    correlated per-part AVG subquery becomes a part-keyed aggregate
+    joined back — lineitem shuffles on l_partkey once for the
+    threshold build and the filtered brand slice broadcasts against
+    it (per-part averages are only #parts rows). Output is yearly
+    average revenue = SUM/7 (the fixture spans ~7 ship years)."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    brand_parts = (t["part"].filter(F.col("p_brand") == "Brand#5")
+                   .select("p_partkey"))
+    li = t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice")
+    # decimal-sum/count instead of AVG: double summation order differs
+    # between engines; the exact-DECIMAL fold is order-insensitive
+    thresholds = (li.groupBy("l_partkey")
+                  .agg((F.lit(0.2)
+                        * (F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+                            .cast("double") / F.count(F.lit(1))))
+                        .alias("qty_threshold"))
+                  .withColumnRenamed("l_partkey", "t_partkey"))
+    small = (li.join(F.broadcast(brand_parts),
+                     F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+             .join(thresholds,
+                   F.col("l_partkey") == F.col("t_partkey"))
+             .filter(F.col("l_quantity") < F.col("qty_threshold")))
+    return small.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+          .cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+def q_snapshot_waiting_suppliers(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 flavor, adapted:
+    "late" = shipped >60 days after order date; no receipt dates in
+    the fixture). The classic EXISTS/NOT-EXISTS pair becomes a LEFT
+    SEMI (another supplier on the order) followed by a LEFT ANTI
+    (no OTHER supplier was also late) — three scans of lineitem all
+    shuffling on l_orderkey, so AQE coalesces them into one exchange
+    reuse; supplier broadcast at the end; top 25 via
+    TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    fo = (t["orders"].filter(F.col("o_orderstatus") == "F")
+          .select("o_orderkey", "o_orderdate"))
+    l1 = (li.join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+          .filter(F.col("l_shipdate")
+                  > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+          .select("l_orderkey", "l_suppkey", "o_orderdate"))
+    l2 = li.select(F.col("l_orderkey").alias("k2"),
+                   F.col("l_suppkey").alias("s2"))
+    l3 = (li.join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+          .filter(F.col("l_shipdate")
+                  > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+          .select(F.col("l_orderkey").alias("k3"),
+                  F.col("l_suppkey").alias("s3")))
+    waiting = (l1
+               .join(l2, (F.col("l_orderkey") == F.col("k2"))
+                     & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+               .join(l3, (F.col("l_orderkey") == F.col("k3"))
+                     & (F.col("l_suppkey") != F.col("s3")), "left_anti"))
+    return (waiting
+            .join(F.broadcast(t["supplier"]),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(25))
+
+
+def q_snapshot_idle_customers(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Idle high-balance customers by nation (TPC-H Q22 flavor): the
+    scalar AVG subquery broadcasts as a 1-row frame; "no recent
+    orders" (nothing since 2000-01-01 — every customer in the fixture
+    has SOME order, mirroring Q22's 7-year recency clause) is a LEFT
+    ANTI join on the date-filtered orders key set, where the date
+    predicate pushes to the orders scan before the anti-join
+    shuffles. Balance sums stay DECIMAL until the final cast."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    c = t["customer"]
+    # exact decimal fold, not AVG: see q_snapshot_small_qty_revenue
+    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+                      .cast("double") / F.count(F.lit(1)))
+                    .alias("avg_bal")))
+    rich = (c.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("avg_bal")))
+    recent = (t["orders"]
+              .filter(F.col("o_orderdate") >= "2000-01-01")
+              .select("o_custkey"))
+    idle = rich.join(recent,
+                     F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (idle.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+                  .cast("double").alias("totacctbal"))
+            .orderBy("c_nationkey"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's main 'query' — apply an ordered,
     deduplicated change stream to a table snapshot (SURVEY §3.1)."""
@@ -2451,6 +2702,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_stats": q_corpus_token_stats,
         "text_bigram_lm": q_text_bigram_lm,
         "corpus_full_curation": q_corpus_full_curation,
+        # -- new in r7 (ledger-checked; window candidates for r8)
+        "snapshot_late_orders": q_snapshot_late_orders,
+        "snapshot_market_share": q_snapshot_market_share,
+        "snapshot_product_profit": q_snapshot_product_profit,
+        "snapshot_order_counts": q_snapshot_order_counts,
+        "snapshot_promo_revenue": q_snapshot_promo_revenue,
+        "snapshot_small_qty_revenue": q_snapshot_small_qty_revenue,
+        "snapshot_waiting_suppliers": q_snapshot_waiting_suppliers,
+        "snapshot_idle_customers": q_snapshot_idle_customers,
     }
 
 
@@ -4041,6 +4301,144 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "snapshot_late_orders": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "snapshot_market_share": """
+            WITH vol AS (
+              SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                     CAST(l_extendedprice * (1.0 - l_discount)
+                          AS DECIMAL(38,6)) AS vol_d,
+                     n2.n_name AS supp_nation
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+                         AND r_name = 'AMERICA'
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+            SELECT o_year,
+              CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol_d
+                            ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                AS nation_volume,
+              CAST(SUM(vol_d) AS DOUBLE) AS total_volume,
+              CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol_d
+                            ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                / CAST(SUM(vol_d) AS DOUBLE) AS mkt_share
+            FROM vol GROUP BY o_year ORDER BY o_year
+        """,
+        "snapshot_product_profit": """
+            WITH profit AS (
+              SELECT n_name AS nation,
+                     EXTRACT(year FROM o_orderdate) AS o_year,
+                     CAST(l_extendedprice * (1.0 - l_discount)
+                          - 0.6 * p_retailprice * l_quantity
+                          AS DECIMAL(38,6)) AS amount_d
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+                       AND p_name LIKE '%widget%'
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN orders ON l_orderkey = o_orderkey)
+            SELECT nation, o_year,
+                   CAST(SUM(amount_d) AS DOUBLE) AS sum_profit
+            FROM profit GROUP BY nation, o_year
+            ORDER BY nation ASC, o_year DESC
+        """,
+        "snapshot_order_counts": """
+            WITH per_cust AS (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey
+               AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+            SELECT c_count, COUNT(*) AS custdist
+            FROM per_cust GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "snapshot_promo_revenue": """
+            WITH j AS (
+              SELECT p_type,
+                     CAST(l_extendedprice * (1.0 - l_discount)
+                          AS DECIMAL(38,6)) AS rev_d
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00')
+            SELECT
+              CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_d
+                            ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                AS promo_revenue,
+              CAST(SUM(rev_d) AS DOUBLE) AS total_revenue,
+              100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_d
+                                    ELSE CAST(0 AS DECIMAL(38,6)) END)
+                           AS DOUBLE)
+                / CAST(SUM(rev_d) AS DOUBLE) AS promo_pct
+            FROM j
+        """,
+        "snapshot_small_qty_revenue": """
+            WITH th AS (
+              SELECT l_partkey AS t_partkey,
+                     0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                                 AS DOUBLE) / COUNT(*)) AS qty_threshold
+              FROM lineitem GROUP BY l_partkey)
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                        AS DOUBLE) / 7.0 AS avg_yearly,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#5'
+            JOIN th ON l_partkey = t_partkey
+            WHERE l_quantity < qty_threshold
+        """,
+        "snapshot_waiting_suppliers": """
+            WITH l1 AS (
+              SELECT l_orderkey, l_suppkey
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            SELECT s_name, COUNT(*) AS numwait
+            FROM l1
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                    SELECT 1
+                    FROM lineitem l3
+                    JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND o3.o_orderstatus = 'F'
+                      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 25
+        """,
+        "snapshot_idle_customers": """
+            SELECT c_nationkey, COUNT(*) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                     AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (
+                    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6)))
+                                AS DOUBLE) / COUNT(*)
+                    FROM customer WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (
+                    SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+            GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         "cdc_disorder_displacement": f"""
             {CHANGES_CTE},

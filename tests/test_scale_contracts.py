@@ -637,3 +637,39 @@ def test_r6_snapshot_pushdown(spark):
         or "l_shipdate" in scan     # pushed filter names the column
     assert "PushedFilters: []" not in plan
     assert "l_returnflag" not in scan       # column pruning held
+
+
+def test_r7_snapshot_semi_anti_plan_contracts(spark):
+    """Q4/Q21-flavor plans: EXISTS / NOT EXISTS compile to LeftSemi /
+    LeftAnti joins (key-shuffled, never a row-multiplying inner join
+    plus distinct), and Q21's three lineitem passes all shuffle on the
+    same order key so the exchange is reusable."""
+    import __spark_entry__ as m
+    p4 = _plan(m.queries()["snapshot_late_orders"](spark, SF))
+    assert "LeftSemi" in p4
+    assert "Distinct" not in p4 and "HashAggregate(keys=[l_orderkey" not in p4
+    p21 = _plan(m.queries()["snapshot_waiting_suppliers"](spark, SF))
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    assert "TakeOrderedAndProject" in p21          # top-25, no global sort
+    p22 = _plan(m.queries()["snapshot_idle_customers"](spark, SF))
+    assert "LeftAnti" in p22
+    # the recency predicate reaches the orders parquet scan
+    assert "o_orderdate" in p22.split("PushedFilters")[-1] \
+        or any("o_orderdate" in l for l in p22.splitlines()
+               if "FileScan" in l and "orders" in l)
+
+
+def test_r7_snapshot_star_join_plan_contracts(spark):
+    """Q8/Q9-flavor plans: every dimension (part slice, supplier x
+    nation, customer, region) broadcasts; the only shuffle join is
+    lineitem x orders on the order key. Q17's per-part threshold
+    aggregate is the one additional part-keyed exchange."""
+    import __spark_entry__ as m
+    p8 = _plan(m.queries()["snapshot_market_share"](spark, SF))
+    assert p8.count("BroadcastHashJoin") >= 3
+    assert p8.count("SortMergeJoin") + p8.count("ShuffledHashJoin") <= 1
+    p9 = _plan(m.queries()["snapshot_product_profit"](spark, SF))
+    assert p9.count("BroadcastHashJoin") >= 2
+    assert p9.count("SortMergeJoin") + p9.count("ShuffledHashJoin") <= 1
+    p17 = _plan(m.queries()["snapshot_small_qty_revenue"](spark, SF))
+    assert "LeftSemi" in p17                       # brand slice semi-join
