@@ -34,6 +34,7 @@ from tidb_binlog_spark.functions import checksum as cksum
 from tidb_binlog_spark.functions import multimodal as mm
 from tidb_binlog_spark.functions import kvcodec
 from tidb_binlog_spark.operators import causality, ddl, batching, scd2
+from tidb_binlog_spark.operators import telemetry
 from tidb_binlog_spark.operators import incremental_agg
 from tidb_binlog_spark.plans.pipeline import ReplicationConfig, build_pipeline
 from tidb_binlog_spark.sinks import kafka, pbcodec, sqlgen, payload
@@ -2297,6 +2298,27 @@ def q_snapshot_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("revenue")))
 
 
+def q_cdc_write_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes-per-key distribution per table (doubling buckets + max):
+    the salting/AQE-skew sizing report — full histogram shape where
+    cdc_hot_keys gives only the top-N offenders."""
+    return telemetry.write_skew_profile(_spark_changes(spark, sf_dir))
+
+
+def q_cdc_source_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source commit-ts gap quantiles (nearest-rank, exact
+    integer ranks): the staleness report behind heartbeat-interval
+    and watermark-delay sizing."""
+    return telemetry.source_gap_quantiles(_spark_changes(spark, sf_dir))
+
+
+def q_cdc_conflict_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causality-conflict rate per commit-ts bucket: the fraction of
+    txns sharing a key with another txn in the bucket — intrinsic
+    serialization pressure on the causality-routed apply workers."""
+    return telemetry.conflict_rate(_spark_changes(spark, sf_dir))
+
+
 def q_snapshot_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-priority late-shipment check (TPC-H Q4 flavor, adapted:
     no l_commitdate column, so "late" = any lineitem shipped >30 days
@@ -2703,6 +2725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": q_text_bigram_lm,
         "corpus_full_curation": q_corpus_full_curation,
         # -- new in r7 (ledger-checked; window candidates for r8)
+        "cdc_write_skew": q_cdc_write_skew,
+        "cdc_source_gaps": q_cdc_source_gaps,
+        "cdc_conflict_rate": q_cdc_conflict_rate,
         "snapshot_late_orders": q_snapshot_late_orders,
         "snapshot_market_share": q_snapshot_market_share,
         "snapshot_product_profit": q_snapshot_product_profit,
@@ -2988,11 +3013,11 @@ def oracle_sql() -> dict[str, str]:
                      COUNT(*) OVER (PARTITION BY db, tbl) AS n
               FROM last WHERE rn = 1 AND op <> 'D')
             SELECT db, tbl, CAST(MAX(n) AS BIGINT) AS n_live,
-                   MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT)
+                   MAX(CASE WHEN rk = (50 * n + 99) // 100
                        THEN val END) AS p50_val,
-                   MAX(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT)
+                   MAX(CASE WHEN rk = (90 * n + 99) // 100
                        THEN val END) AS p90_val,
-                   MAX(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT)
+                   MAX(CASE WHEN rk = (99 * n + 99) // 100
                        THEN val END) AS p99_val
             FROM ranked GROUP BY db, tbl
         """,
@@ -4301,6 +4326,69 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "cdc_write_skew": f"""
+            {CHANGES_CTE},
+            per_key AS (
+              SELECT db, tbl, pk, COUNT(*) AS n_writes
+              FROM changes GROUP BY db, tbl, pk)
+            SELECT db, tbl, COUNT(*) AS n_keys,
+                   CAST(SUM(n_writes) AS BIGINT) AS n_writes,
+                   COUNT(CASE WHEN n_writes = 1 THEN 1 END) AS keys_1,
+                   COUNT(CASE WHEN n_writes BETWEEN 2 AND 3 THEN 1 END)
+                     AS keys_2_3,
+                   COUNT(CASE WHEN n_writes BETWEEN 4 AND 7 THEN 1 END)
+                     AS keys_4_7,
+                   COUNT(CASE WHEN n_writes >= 8 THEN 1 END) AS keys_8_up,
+                   MAX(n_writes) AS max_writes_per_key
+            FROM per_key GROUP BY db, tbl
+        """,
+        "cdc_source_gaps": f"""
+            {CHANGES_CTE},
+            ts AS (SELECT DISTINCT source_id, commit_ts FROM changes),
+            g AS (
+              SELECT source_id, commit_ts,
+                     commit_ts - LAG(commit_ts) OVER (
+                         PARTITION BY source_id ORDER BY commit_ts) AS gap
+              FROM ts),
+            gg AS (SELECT * FROM g WHERE gap IS NOT NULL),
+            r AS (
+              SELECT source_id, gap,
+                     ROW_NUMBER() OVER (PARTITION BY source_id
+                                        ORDER BY gap, commit_ts) AS rk,
+                     COUNT(*) OVER (PARTITION BY source_id) AS n
+              FROM gg)
+            SELECT source_id, COUNT(*) AS n_gaps,
+                   MAX(CASE WHEN rk = (50 * n + 99) // 100
+                            THEN gap END) AS p50_gap,
+                   MAX(CASE WHEN rk = (90 * n + 99) // 100
+                            THEN gap END) AS p90_gap,
+                   MAX(gap) AS max_gap
+            FROM r GROUP BY source_id
+        """,
+        "cdc_conflict_rate": f"""
+            {CHANGES_CTE},
+            keyed AS (
+              SELECT DISTINCT
+                CAST(FLOOR(commit_ts / 8192.0) AS BIGINT) AS bucket,
+                db, tbl, pk, commit_ts
+              FROM changes),
+            per_key AS (
+              SELECT bucket, db, tbl, pk, COUNT(*) AS n_txns_on_key
+              FROM keyed GROUP BY bucket, db, tbl, pk),
+            txn_flag AS (
+              SELECT k.bucket, k.commit_ts,
+                     MAX(CASE WHEN p.n_txns_on_key > 1 THEN 1 ELSE 0 END)
+                       AS conflicted
+              FROM keyed k
+              JOIN per_key p ON k.bucket = p.bucket AND k.db = p.db
+                            AND k.tbl = p.tbl AND k.pk = p.pk
+              GROUP BY k.bucket, k.commit_ts)
+            SELECT bucket, COUNT(*) AS n_txns,
+                   CAST(SUM(conflicted) AS BIGINT) AS n_conflicted,
+                   CAST(FLOOR(10000.0 * SUM(conflicted) / COUNT(*))
+                        AS BIGINT) AS conflict_pct_x100
+            FROM txn_flag GROUP BY bucket
         """,
         "snapshot_late_orders": """
             SELECT o_orderpriority, COUNT(*) AS order_count

@@ -673,3 +673,18 @@ def test_r7_snapshot_star_join_plan_contracts(spark):
     assert p9.count("SortMergeJoin") + p9.count("ShuffledHashJoin") <= 1
     p17 = _plan(m.queries()["snapshot_small_qty_revenue"](spark, SF))
     assert "LeftSemi" in p17                       # brand slice semi-join
+
+
+def test_r7_telemetry_plan_contracts(spark):
+    """Telemetry reports: gap windows partition per source (never a
+    global order), skew/conflict rollups are plain key-shuffled
+    aggregates with no window at all, and the float-free quantile
+    ranks compile to integer `div` arithmetic."""
+    import __spark_entry__ as m
+    p_gap = _plan(m.queries()["cdc_source_gaps"](spark, SF))
+    _assert_windows_partitioned(p_gap)
+    p_skew = _plan(m.queries()["cdc_write_skew"](spark, SF))
+    assert "Window" not in p_skew and "Sort" not in p_skew.split(
+        "Exchange")[0]
+    p_conf = _plan(m.queries()["cdc_conflict_rate"](spark, SF))
+    assert "Window" not in p_conf

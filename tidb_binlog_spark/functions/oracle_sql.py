@@ -945,11 +945,11 @@ r AS (SELECT source, n_tokens,
       FROM per)
 SELECT source, COUNT(*) AS n_docs,
   MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
-  MAX(CASE WHEN rk = CAST(CEIL(0.5 * n) AS BIGINT)
+  MAX(CASE WHEN rk = (50 * n + 99) // 100
            THEN n_tokens END) AS p50_tokens,
-  MAX(CASE WHEN rk = CAST(CEIL(0.9 * n) AS BIGINT)
+  MAX(CASE WHEN rk = (90 * n + 99) // 100
            THEN n_tokens END) AS p90_tokens,
-  MAX(CASE WHEN rk = CAST(CEIL(0.99 * n) AS BIGINT)
+  MAX(CASE WHEN rk = (99 * n + 99) // 100
            THEN n_tokens END) AS p99_tokens
 FROM r GROUP BY source
 """

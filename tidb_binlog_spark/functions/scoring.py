@@ -319,10 +319,14 @@ def corpus_length_quantiles(docs: DataFrame,
             F.min("n_tokens").alias("min_tokens"),
             F.max("n_tokens").alias("max_tokens")]
     for q in quantiles:
-        tag = f"p{int(round(q * 100))}"
+        pct = int(round(q * 100))
+        # nearest-rank ceil(q*n) in EXACT integer arithmetic
+        # ((pct*n + 99) div 100): float q*n diverges between engines —
+        # DuckDB parses 0.9 as DECIMAL (exact products) while Spark's
+        # lit(0.9) is DOUBLE, so 0.9*10 ceils to 10 there, not 9
         aggs.append(F.max(F.when(
-            F.col("rk") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
-            F.col("n_tokens"))).alias(f"{tag}_tokens"))
+            F.col("rk") == F.expr(f"({pct} * n + 99) div 100"),
+            F.col("n_tokens"))).alias(f"p{pct}_tokens"))
     return ranked.groupBy(stratum_col).agg(*aggs)
 
 

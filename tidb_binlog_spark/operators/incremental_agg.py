@@ -201,10 +201,12 @@ def quantiles_from_multiset(aux: DataFrame, group_keys: list[str],
            .withColumn("n", F.sum("live_count").over(w_all)))
     aggs = [F.max("n").cast("long").alias("n_live")]
     for q in quantiles:
-        tag = f"p{int(round(q * 100))}"
-        target = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        pct = int(round(q * 100))
+        # exact integer nearest-rank: see corpus_length_quantiles
+        # (float q*n diverges between DuckDB DECIMAL and Spark DOUBLE)
+        target = F.expr(f"({pct} * n + 99) div 100")
         aggs.append(F.min(F.when(F.col("cum") >= target, F.col("v")))
-                    .alias(f"{tag}_val"))
+                    .alias(f"p{pct}_val"))
     return cum.groupBy(*group_keys).agg(*aggs)
 
 

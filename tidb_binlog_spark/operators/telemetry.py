@@ -1,0 +1,114 @@
+"""Operational telemetry over the change stream — the reports an
+operator reads before tuning the pipeline (worker counts, watermark
+delay, salting).
+
+Reference parity: the reference exposes these as Prometheus metrics —
+binlog/txn size histograms and event counters (drainer/metrics.go,
+pump/metrics.go), heartbeat staleness per pump (drainer/pump.go
+heartbeat checks), and the causality conflict path that forces
+serialization (pkg/loader/causality.go:31-99). Here each becomes a
+first-class DataFrame report with an exact integer surface, so the
+DuckDB oracle can check it bit-for-bit.
+
+All outputs are exact integers (percentiles are nearest-rank; means
+are scaled integer divisions) — no float summation anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def write_skew_profile(changes: DataFrame) -> DataFrame:
+    """Writes-per-key distribution per (db, tbl): how skewed is the
+    write workload — the sizing report for salting / AQE skew joins
+    (the complement of the hot-keys top-N: full histogram shape, in
+    doubling buckets, plus the exact max).
+
+    Scale: one (db, tbl, pk) aggregate (map-side combinable) whose
+    output is #keys rows, then a tiny per-table rollup. No windows,
+    no sorts; the heaviest shuffle keys on the same (db, tbl, pk) the
+    apply path already uses.
+    """
+    per_key = (changes.groupBy("db", "tbl", "pk")
+               .agg(F.count(F.lit(1)).alias("n_writes")))
+    b = F.col("n_writes")
+    return (per_key.groupBy("db", "tbl")
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.sum("n_writes").alias("n_writes"),
+                 F.count(F.when(b == 1, 1)).alias("keys_1"),
+                 F.count(F.when((b >= 2) & (b <= 3), 1)).alias("keys_2_3"),
+                 F.count(F.when((b >= 4) & (b <= 7), 1)).alias("keys_4_7"),
+                 F.count(F.when(b >= 8, 1)).alias("keys_8_up"),
+                 F.max("n_writes").alias("max_writes_per_key")))
+
+
+def source_gap_quantiles(changes: DataFrame) -> DataFrame:
+    """Per-source commit-ts gap distribution (nearest-rank p50/p90 +
+    max over gaps between consecutive DISTINCT commit timestamps in
+    commit order) — the staleness report that sizes heartbeat
+    intervals and watermark delay (a silent pump shows up as a fat
+    max-gap long before it trips the drainer's heartbeat alarm).
+
+    Scale: distinct (source, commit_ts) pairs, then lag + rank
+    windows both partitioned per source — never a global order. The
+    output is #sources rows.
+    """
+    ts = changes.select("source_id", "commit_ts").distinct()
+    w = Window.partitionBy("source_id").orderBy("commit_ts")
+    gaps = (ts.withColumn("gap", F.col("commit_ts")
+                          - F.lag("commit_ts").over(w))
+            .filter(F.col("gap").isNotNull()))
+    w_rank = Window.partitionBy("source_id").orderBy("gap", "commit_ts")
+    ranked = (gaps.withColumn("rk", F.row_number().over(w_rank))
+              .withColumn("n", F.count(F.lit(1))
+                          .over(Window.partitionBy("source_id"))))
+    def nearest(pct: int, name: str):
+        # nearest-rank ceil(pct*n/100) in EXACT integer arithmetic
+        # ((pct*n + 99) div 100): a float q*n diverges between engines
+        # (DuckDB parses 0.9 as DECIMAL and gets exact products; Spark
+        # lit(0.9) is DOUBLE and 0.9*10 ceils to 10, not 9)
+        return F.max(F.when(
+            F.col("rk") == F.expr(f"({pct} * n + 99) div 100"),
+            F.col("gap"))).alias(name)
+    return (ranked.groupBy("source_id")
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 nearest(50, "p50_gap"),
+                 nearest(90, "p90_gap"),
+                 F.max("gap").alias("max_gap")))
+
+
+def conflict_rate(changes: DataFrame,
+                  bucket_width: int = 1 << 13) -> DataFrame:
+    """Causality-conflict rate per commit-ts bucket: the fraction of
+    transactions that touch a (db, tbl, pk) key some OTHER txn in the
+    same bucket also touches. This is the workload's intrinsic
+    serialization pressure — exactly what the reference's causality
+    map turns into worker hand-offs (causality.go DetectConflict) —
+    so a rising rate predicts apply-path convoy before throughput
+    drops.
+
+    Scale: distinct (bucket, key, txn) triples -> per-(bucket, key)
+    txn counts -> per-txn conflicted flag -> per-bucket rollup. All
+    shuffles key on (bucket, key) or (bucket, txn); the report is
+    ts_range / bucket_width rows. Percentage is an exact scaled
+    integer (x100, integer division).
+    """
+    keyed = (changes
+             .select((F.floor(F.col("commit_ts") / bucket_width))
+                     .cast("long").alias("bucket"),
+                     "db", "tbl", "pk", "commit_ts")
+             .distinct())
+    per_key = (keyed.groupBy("bucket", "db", "tbl", "pk")
+               .agg(F.count(F.lit(1)).alias("n_txns_on_key")))
+    txn_flag = (keyed.join(per_key, ["bucket", "db", "tbl", "pk"])
+                .groupBy("bucket", "commit_ts")
+                .agg(F.max(F.when(F.col("n_txns_on_key") > 1, 1)
+                           .otherwise(0)).alias("conflicted")))
+    return (txn_flag.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_txns"),
+                 F.sum("conflicted").alias("n_conflicted"))
+            .withColumn("conflict_pct_x100",
+                        F.floor(F.lit(10000) * F.col("n_conflicted")
+                                / F.col("n_txns")).cast("long")))
