@@ -2298,6 +2298,102 @@ def q_snapshot_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("revenue")))
 
 
+PCA_ORACLE_PATH = "/tmp/spark_graft_pca_oracle.parquet"
+
+
+def _write_pca_oracle(sf_dir: str, dims: int = 64, k: int = 8,
+                      scale: int = 1_000_000) -> None:
+    """Independent numpy derivation of the PCA projection over the
+    same embeddings parquet: quantize -> int64 matmul moments ->
+    shared deterministic basis (pca_basis_from_moments — a pure
+    function of the EXACT integer moments both routes compute
+    independently) -> per-row pure-Python integer projection. Written
+    where the DuckDB oracle reads it (BPE-oracle pattern), with a
+    fingerprint sidecar so repeated same-config runs skip the
+    rebuild."""
+    import hashlib
+    import json
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key = hashlib.sha256(
+        json.dumps([sf_dir, dims, k, scale]).encode()).hexdigest()
+    meta_path = PCA_ORACLE_PATH + ".meta"
+    try:
+        if (open(meta_path).read() == key
+                and os.path.exists(PCA_ORACLE_PATH)):
+            return
+    except OSError:
+        pass
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id").fetchall()
+    con.close()
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    Q = np.floor(X * scale).astype(np.int64)
+    n = Q.shape[0]
+    s = Q.sum(axis=0)
+    G = Q.T @ Q
+    basis = simfn.pca_basis_from_moments(
+        n, [int(x) for x in s], [[int(x) for x in row] for row in G],
+        k, scale)
+    out: dict = {"vec_id": [int(r[0]) for r in rows]}
+    for j, v in enumerate(basis):
+        va = np.array(v, dtype=np.int64)
+        off = int(s @ va)
+        out[f"pc{j}"] = [int(n) * int(Q[i] @ va) - off for i in range(n)]
+    pq.write_table(pa.table(out), PCA_ORACLE_PATH)
+    with open(meta_path, "w") as f:
+        f.write(key)
+
+
+def q_ann_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PCA projection of the embeddings corpus to its
+    top-8 principal components (dimensionality reduction ahead of
+    clustering / IVF): distributed integer moment pass + driver eigh
+    + broadcast integer basis. The oracle is an independent numpy
+    route over the same parquet (moments by int64 matmul, projection
+    by per-row integer dots) — hash-exact because every cross-row
+    fold is integer arithmetic."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    _write_pca_oracle(sf_dir)
+    return simfn.pca_project(emb, dims=64, k=8)
+
+
+def q_rag_retrieve_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly end to end: lexical tf-idf retrieval
+    (inverted-index top-5 per query doc) -> exact content dedup of
+    the hits -> greedy rank-order packing into a 192-token context
+    budget. The retrieval->prompt composition a retrieval-augmented
+    pipeline runs per request, expressed as one Catalyst plan."""
+    from tidb_binlog_spark.functions import curation
+    docs = _docs(spark, sf_dir)
+    topk = scoring.tfidf_topk(docs)
+    return curation.retrieve_pack(docs, topk, budget_tokens=192)
+
+
+def q_corpus_source_divergence(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-source total-variation distance vs the rest of the corpus:
+    the distribution-shift report behind mixture reweighting, exact
+    in integer arithmetic (no engine-variant transcendentals)."""
+    return scoring.source_divergence(_docs(spark, sf_dir))
+
+
+def q_text_quality_classifier(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """fastText-shaped hashed-feature linear classifier with
+    deterministic weights — the model-free stand-in that keeps the
+    learned-classifier plan shape (explode -> weight lookup -> doc
+    sum) oracle-checkable."""
+    return scoring.hashed_linear_score(_docs(spark, sf_dir))
+
+
 def q_cdc_write_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Writes-per-key distribution per table (doubling buckets + max):
     the salting/AQE-skew sizing report — full histogram shape where
@@ -2725,6 +2821,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": q_text_bigram_lm,
         "corpus_full_curation": q_corpus_full_curation,
         # -- new in r7 (ledger-checked; window candidates for r8)
+        "ann_pca_project": q_ann_pca_project,
+        "rag_retrieve_pack": q_rag_retrieve_pack,
+        "corpus_source_divergence": q_corpus_source_divergence,
+        "text_quality_classifier": q_text_quality_classifier,
         "cdc_write_skew": q_cdc_write_skew,
         "cdc_source_gaps": q_cdc_source_gaps,
         "cdc_conflict_rate": q_cdc_conflict_rate,
@@ -2791,6 +2891,40 @@ _INC_AGG_ORACLE_SQL = f"""
     FROM last WHERE rn = 1 AND op <> 'D'
     GROUP BY db, tbl
 """
+
+
+# shared DuckDB mirror of scoring.tfidf_topk (query_mod=50, k via the
+# consumer's rank filter, max_df_frac=0.85): ends at CTE ``r`` with
+# (query_id, doc_id, n_shared_terms, dot_milli2, rank)
+_TFIDF_TOPK_CTE = f"""
+            WITH tf AS (
+              SELECT doc_id, t.term, COUNT(*) AS tf
+              FROM (SELECT doc_id, unnest({osql.TOKS}) AS term
+                    FROM documents) t
+              GROUP BY doc_id, t.term),
+            idf AS (
+              SELECT term, COUNT(*) AS df,
+                CAST(FLOOR(ln(CAST((SELECT COUNT(*) FROM documents)
+                                   AS DOUBLE) / COUNT(*)) * 1000.0)
+                     AS BIGINT) AS idf_milli
+              FROM tf GROUP BY term
+              HAVING COUNT(*) <= CAST(FLOOR(0.85 *
+                  (SELECT COUNT(*) FROM documents)) AS BIGINT)),
+            w AS (SELECT doc_id, tf.term, tf * idf_milli AS wt
+                  FROM tf JOIN idf USING (term)),
+            q AS (SELECT doc_id AS query_id, term, wt AS q_wt
+                  FROM w WHERE doc_id % 50 = 0),
+            pairs AS (
+              SELECT query_id, w.doc_id,
+                     COUNT(*) AS n_shared_terms,
+                     CAST(SUM(q_wt * wt) AS BIGINT) AS dot_milli2
+              FROM q JOIN w USING (term)
+              WHERE w.doc_id <> query_id
+              GROUP BY query_id, w.doc_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY query_id
+                      ORDER BY dot_milli2 DESC, doc_id) AS rank
+                  FROM pairs)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4257,36 +4391,33 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "corpus_tfidf_topk": f"""
-            WITH tf AS (
-              SELECT doc_id, t.term, COUNT(*) AS tf
-              FROM (SELECT doc_id, unnest({osql.TOKS}) AS term
-                    FROM documents) t
-              GROUP BY doc_id, t.term),
-            idf AS (
-              SELECT term, COUNT(*) AS df,
-                CAST(FLOOR(ln(CAST((SELECT COUNT(*) FROM documents)
-                                   AS DOUBLE) / COUNT(*)) * 1000.0)
-                     AS BIGINT) AS idf_milli
-              FROM tf GROUP BY term
-              HAVING COUNT(*) <= CAST(FLOOR(0.85 *
-                  (SELECT COUNT(*) FROM documents)) AS BIGINT)),
-            w AS (SELECT doc_id, tf.term, tf * idf_milli AS wt
-                  FROM tf JOIN idf USING (term)),
-            q AS (SELECT doc_id AS query_id, term, wt AS q_wt
-                  FROM w WHERE doc_id % 50 = 0),
-            pairs AS (
-              SELECT query_id, w.doc_id,
-                     COUNT(*) AS n_shared_terms,
-                     CAST(SUM(q_wt * wt) AS BIGINT) AS dot_milli2
-              FROM q JOIN w USING (term)
-              WHERE w.doc_id <> query_id
-              GROUP BY query_id, w.doc_id),
-            r AS (SELECT *, ROW_NUMBER() OVER (
-                      PARTITION BY query_id
-                      ORDER BY dot_milli2 DESC, doc_id) AS rank
-                  FROM pairs)
+            {_TFIDF_TOPK_CTE}
             SELECT query_id, doc_id, n_shared_terms, dot_milli2, rank
             FROM r WHERE rank <= 5
+        """,
+        "rag_retrieve_pack": f"""
+            {_TFIDF_TOPK_CTE},
+            topk AS (SELECT query_id, doc_id, rank
+                     FROM r WHERE rank <= 5),
+            meta AS (SELECT doc_id, md5(text) AS thash,
+                            len({osql.TOKS}) AS n_tokens
+                     FROM documents),
+            jj AS (SELECT topk.query_id, topk.doc_id, topk.rank,
+                          meta.thash, meta.n_tokens
+                   FROM topk JOIN meta USING (doc_id)),
+            dd AS (SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY query_id, thash ORDER BY rank)
+                     AS dup_rn
+                   FROM jj),
+            packed AS (
+              SELECT query_id, doc_id, rank, n_tokens,
+                     CAST(SUM(n_tokens) OVER (
+                         PARTITION BY query_id ORDER BY rank
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_tokens
+              FROM dd WHERE dup_rn = 1)
+            SELECT query_id, doc_id, rank, n_tokens, cum_tokens
+            FROM packed WHERE cum_tokens <= 192
         """,
         "snapshot_large_orders": """
             WITH big AS (
@@ -4326,6 +4457,52 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "ann_pca_project": f"""
+            SELECT vec_id, pc0, pc1, pc2, pc3, pc4, pc5, pc6, pc7
+            FROM read_parquet('{PCA_ORACLE_PATH}')
+        """,
+        "corpus_source_divergence": f"""
+            WITH t AS (SELECT source, {osql.TOKS} AS toks FROM documents),
+            tok AS (SELECT source, unnest(toks) AS tok FROM t),
+            c AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+            tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s
+                    FROM c GROUP BY 1),
+            gtok AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS g
+                     FROM c GROUP BY 1),
+            na AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM c),
+            j AS (SELECT c.source, c.c, gtok.g, tot.n_s,
+                         na.n_all - tot.n_s AS n_r, gtok.g - c.c AS r
+                  FROM c JOIN gtok USING (tok) JOIN tot USING (source)
+                  CROSS JOIN na),
+            per AS (SELECT source,
+                      CAST(SUM(ABS(c * n_r - r * n_s)) AS BIGINT)
+                        AS sum_abs,
+                      CAST(SUM(r) AS BIGINT) AS sum_r_in,
+                      COUNT(*) AS vocab_src,
+                      MAX(n_s) AS n_tokens_src, MAX(n_r) AS n_rest
+                    FROM j GROUP BY source)
+            SELECT source, n_tokens_src, vocab_src,
+                   sum_abs + n_tokens_src * (n_rest - sum_r_in) AS tv_num,
+                   2 * n_tokens_src * n_rest AS tv_den,
+                   (1000000 * (sum_abs + n_tokens_src
+                               * (n_rest - sum_r_in)))
+                     // (2 * n_tokens_src * n_rest) AS tv_x1e6
+            FROM per
+        """,
+        "text_quality_classifier": f"""
+            WITH t AS (SELECT doc_id, {osql.TOKS} AS toks FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            per AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                      CAST(SUM(CAST(concat('0x', substring(md5(tok), 1, 8))
+                                    AS BIGINT) % 2001 - 1000) AS BIGINT)
+                        AS score_num
+                    FROM tok GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(per.n_tokens, 0) AS n_tokens,
+                   COALESCE(per.score_num, 0) AS score_num,
+                   COALESCE(per.score_num, 0) > 0 AS label
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         """,
         "cdc_write_skew": f"""
             {CHANGES_CTE},

@@ -1147,3 +1147,87 @@ def test_diff_drilldown_catches_null_position_swaps(spark):
     assert sorted((r["k"], r["diff_status"]) for r in drill) == \
            sorted((r["k"], r["diff_status"]) for r in full) == \
            [(1, "changed"), (2, "changed")]
+
+
+def test_pca_project_exact_and_centered(spark):
+    """PCA projection invariants on a tiny synthetic corpus: the
+    per-component outputs are n-times-centered integer projections,
+    so each pc column must sum to ~0 over the corpus (exactly 0 up to
+    the per-row floor quantization residue, bounded by n * d), and
+    the basis derivation is deterministic across calls."""
+    from tidb_binlog_spark.functions import similarity as sim
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out1 = sim.pca_project(df, dims=8, k=3).collect()
+    out2 = sim.pca_project(df, dims=8, k=3).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    n = len(rows)
+    for j in range(3):
+        col_sum = sum(r[f"pc{j}"] for r in out1)
+        # sum_i [n*(q_i . v) - s . v] = 0 exactly when offsets use the
+        # same s; quantization enters only through floor on v and q,
+        # which cancels in the sum by construction
+        assert col_sum == 0, (j, col_sum)
+    # components are not degenerate (the corpus has variance)
+    assert any(r["pc0"] != 0 for r in out1)
+
+
+def test_hashed_linear_score_covers_every_doc(spark):
+    """The classifier scores token-less documents as 0/false and the
+    per-doc score equals the direct per-token weight sum."""
+    from tidb_binlog_spark.functions import scoring as sc
+    import hashlib
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta", "en", "s", 15),
+         (2, "", "en", "s", 0),
+         (3, "gamma", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["doc_id"]: r for r in sc.hashed_linear_score(df).collect()}
+    def w(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 2001 - 1000
+    assert out[1]["score_num"] == w("alpha") + 2 * w("beta")
+    assert out[1]["label"] == (out[1]["score_num"] > 0)
+    assert out[2]["n_tokens"] == 0 and out[2]["score_num"] == 0
+    assert out[2]["label"] is False
+    assert out[3]["score_num"] == w("gamma")
+
+
+def test_source_divergence_identical_sources_score_zero(spark):
+    """Two sources with IDENTICAL token distributions diverge by 0;
+    a source with a disjoint vocabulary diverges by exactly 1 (TV is
+    1 for disjoint supports): tv_num == tv_den."""
+    from tidb_binlog_spark.functions import scoring as sc
+    df = spark.createDataFrame(
+        [(1, "a b c", "en", "s1", 5), (2, "a b c", "en", "s2", 5),
+         (3, "x y z", "en", "s3", 5), (4, "a b c", "en", "s1", 5),
+         (5, "a b c", "en", "s2", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["source"]: r for r in sc.source_divergence(df).collect()}
+    # s3 is disjoint from the rest: TV = 1
+    assert out["s3"]["tv_num"] == out["s3"]["tv_den"]
+    # s1 and s2 have the same distribution as each other but not as
+    # the rest (the rest includes s3's disjoint mass): equal nonzero
+    assert out["s1"]["tv_x1e6"] == out["s2"]["tv_x1e6"] > 0
+
+
+def test_retrieve_pack_budget_and_dedup(spark):
+    """Packing keeps rank order, drops exact-duplicate texts at worse
+    ranks, and never exceeds the token budget."""
+    from tidb_binlog_spark.functions import curation
+    docs = spark.createDataFrame(
+        [(10, "one two three", "en", "s", 13),      # 3 tokens
+         (11, "one two three", "en", "s", 13),      # dup of 10
+         (12, "four five", "en", "s", 9),           # 2 tokens
+         (13, "six seven eight nine", "en", "s", 20)],  # 4 tokens
+        "doc_id long, text string, lang string, source string, n_chars long")
+    topk = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (0, 13, 4)],
+        "query_id long, doc_id long, rank int")
+    out = sorted(curation.retrieve_pack(docs, topk, budget_tokens=6)
+                 .collect(), key=lambda r: r["rank"])
+    # doc 11 (dup text) dropped; 10 (3) + 12 (2) = 5 <= 6; adding 13
+    # (4 tokens) would blow the budget
+    assert [(r["doc_id"], r["cum_tokens"]) for r in out] == [(10, 3), (12, 5)]

@@ -644,3 +644,37 @@ def gate_report(docs: DataFrame, min_tokens: int = 30,
                     (reasons == "").alias("passed"),
                     n_failed.alias("n_failed"),
                     reasons.alias("fail_reasons"))
+
+
+def retrieve_pack(docs: DataFrame, topk: DataFrame,
+                  budget_tokens: int = 192) -> DataFrame:
+    """RAG context assembly over a retrieval result: per query, drop
+    retrieved documents whose TEXT duplicates a better-ranked hit
+    (exact md5 content dedup — near-dup retrieval results are the
+    norm on crawled corpora), then greedily pack the survivors in
+    rank order until the token budget is exhausted. The end-to-end
+    retrieve -> dedup -> pack step every retrieval-augmented pipeline
+    runs between the index and the prompt.
+
+    ``topk`` is any (query_id, doc_id, rank) frame (tfidf_topk,
+    ann top-k, ...); returns (query_id, doc_id, rank, n_tokens,
+    cum_tokens) for the packed context, cum_tokens exact.
+
+    Scale shape: one doc-keyed join to fetch (hash, length) metadata,
+    then two windows BOTH partitioned per query (dup rank, running
+    token sum) — per-query state only, never a corpus-wide window.
+    """
+    from .text import with_tokens
+    meta = with_tokens(docs).select(
+        "doc_id", F.md5("text").alias("thash"),
+        F.expr("size(toks)").alias("n_tokens"))
+    j = topk.join(meta, "doc_id")
+    w_dup = Window.partitionBy("query_id", "thash").orderBy("rank")
+    dd = (j.withColumn("dup_rn", F.row_number().over(w_dup))
+          .filter(F.col("dup_rn") == 1))
+    w_pack = (Window.partitionBy("query_id").orderBy("rank")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    return (dd.withColumn("cum_tokens", F.sum("n_tokens").over(w_pack))
+            .filter(F.col("cum_tokens") <= budget_tokens)
+            .select("query_id", "doc_id", "rank", "n_tokens",
+                    "cum_tokens"))

@@ -420,3 +420,94 @@ def tfidf_topk(docs: DataFrame, query_mod: int = 50, k: int = 5,
             .filter(F.col("rank") <= k)
             .select("query_id", "doc_id", "n_shared_terms",
                     "dot_milli2", "rank"))
+
+
+def source_divergence(docs: DataFrame) -> DataFrame:
+    """Per-source TOTAL-VARIATION distance between the source's
+    unigram token distribution and the REST of the corpus — the
+    distribution-shift report behind mixture reweighting (a source
+    drifting away from the corpus shows up here before it skews
+    training). TV instead of KL because TV over count distributions
+    is EXACT in integer arithmetic — no transcendental whose last ulp
+    differs between engines:
+
+        TV(p, q) = num / den,
+        num = sum_t |c_t * N_r - r_t * N_s|   (+ the absent-token term
+              N_s * (N_r - sum_{t in s} r_t), folded in algebraically)
+        den = 2 * N_s * N_r
+
+    emitted as the exact (tv_num, tv_den) pair plus the scaled
+    integer quotient tv_x1e6 = (1e6 * num) div den.
+
+    Scale shape: one (source, token) count, one token-keyed global
+    count join, per-source totals broadcast (#sources rows), and a
+    final per-source fold. The token join is the only data-sized
+    shuffle. BIGINT bounds: terms reach c*N_r <= N_s*N_r; at
+    corpus scales where N_s*N_r approaches 2^63 the sums promote to
+    DECIMAL(38,0) on both engines (same code shape).
+
+    A single-source corpus has N_r = 0 -> tv_den = 0 and a NULL
+    quotient (nothing to diverge from).
+    """
+    tok = with_tokens(docs).select("source", F.explode("toks").alias("tok"))
+    c = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    from ..cache import managed_persist
+    c = managed_persist(c)      # feeds three aggregates below
+    tot = c.groupBy("source").agg(F.sum("c").alias("n_s"))
+    glob = c.groupBy("tok").agg(F.sum("c").alias("g"))
+    n_all = c.agg(F.sum("c").alias("n_all"))
+    j = (c.join(glob, "tok")
+         .join(F.broadcast(tot), "source")
+         .crossJoin(F.broadcast(n_all))
+         .withColumn("n_r", F.col("n_all") - F.col("n_s"))
+         .withColumn("r", F.col("g") - F.col("c")))
+    per = (j.groupBy("source")
+           .agg(F.sum(F.abs(F.col("c") * F.col("n_r")
+                            - F.col("r") * F.col("n_s"))).alias("sum_abs"),
+                F.sum("r").alias("sum_r_in"),
+                F.count(F.lit(1)).alias("vocab_src"),
+                F.max("n_s").alias("n_tokens_src"),
+                F.max("n_r").alias("n_rest")))
+    return (per
+            .withColumn("tv_num",
+                        F.col("sum_abs") + F.col("n_tokens_src")
+                        * (F.col("n_rest") - F.col("sum_r_in")))
+            .withColumn("tv_den",
+                        F.lit(2) * F.col("n_tokens_src") * F.col("n_rest"))
+            .withColumn("tv_x1e6",
+                        F.expr("(1000000 * tv_num) div tv_den"))
+            .select("source", "n_tokens_src", "vocab_src",
+                    "tv_num", "tv_den", "tv_x1e6"))
+
+
+def hashed_linear_score(docs: DataFrame,
+                        n_weights: int = 2001) -> DataFrame:
+    """fastText-shaped linear text classifier over hashed features
+    with DETERMINISTIC pseudo-random weights — the model-free stand-in
+    for learned quality classifiers in a curation pipeline (swap the
+    md5-derived weight for a broadcast learned-weight table and the
+    plan is unchanged). Each token hashes to an integer weight in
+    [-(n_weights//2), +n_weights//2]; the document score is the exact
+    integer sum over token OCCURRENCES; label = score > 0.
+
+    Returns (doc_id, n_tokens, score_num, label) for every doc
+    (token-less docs score 0 / label false).
+
+    Scale shape: explode -> one doc-keyed sum -> left join back to
+    the full doc set. Pure JVM (md5 + conv + integer sum), map-side
+    combinable, no windows. The weight range is odd so the weight
+    distribution is symmetric around 0.
+    """
+    half = n_weights // 2
+    ex = with_tokens(docs).select("doc_id", F.explode("toks").alias("tok"))
+    w = F.expr(f"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"
+               f" % {n_weights} - {half}")
+    per = (ex.withColumn("w", w)
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_tokens"),
+                F.sum("w").alias("score_num")))
+    return (docs.select("doc_id").join(per, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("score_num", F.lit(0)).alias("score_num"))
+            .withColumn("label", F.col("score_num") > 0))

@@ -444,3 +444,120 @@ def pq_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
     return (joined.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "adc_dist", "rank"))
+
+
+def quantized_vec_expr(vec: str = "embedding",
+                       scale: int = 1_000_000) -> str:
+    """Micro-quantized integer copy of a float vector:
+    q_i = floor(x_i * scale) as BIGINT. Exact and engine-identical
+    (float32 -> float64 promotion then one IEEE multiply + floor), the
+    entry point of every exact-integer vector pipeline here."""
+    return (f"transform({vec}, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT))")
+
+
+def pca_moments(embeddings: DataFrame, dims: int,
+                vec_col: str = "embedding",
+                scale: int = 1_000_000):
+    """EXACT integer second-moment statistics of the quantized corpus:
+    returns (n, s, G) where s[i] = sum q_i (length-d int list) and
+    G[i][j] = sum q_i*q_j (upper triangle, mirrored to full) — the
+    sufficient statistics for PCA, computed distributed with NO float
+    summation (integer partial aggregation is order-exact).
+
+    Plan shape: per-row upper-triangle pair explode -> one (i, j)-keyed
+    integer sum. The shuffle after partial aggregation is at most
+    d*(d+1)/2 + d rows PER PARTITION regardless of corpus size — the
+    100 TB-safe way to fit a d x d model (d small, corpus huge).
+    Driver sees only the d x d moment rows, never data.
+    """
+    # materialize q ONCE per row: inlining the transform into every
+    # element_at would re-quantize the whole vector per (i, j) pair
+    # and grow the expression tree ~d^2-fold
+    qdf = embeddings.select(
+        F.expr(quantized_vec_expr(vec_col, scale)).alias("q"))
+    pairs = qdf.select(F.explode(F.expr(
+        f"flatten(transform(sequence(0, {dims - 1}), i -> "
+        f"transform(sequence(i, {dims - 1}), j -> "
+        f"struct(i AS i, j AS j, "
+        f"element_at(q, i + 1) * element_at(q, j + 1) AS p, "
+        f"IF(j = i, element_at(q, i + 1), CAST(0 AS BIGINT)) AS s"
+        f"))))")).alias("e"))
+    mom = (pairs.groupBy("e.i", "e.j")
+           .agg(F.sum("e.p").alias("g"), F.sum("e.s").alias("s"),
+                F.count(F.lit(1)).alias("n"))
+           .collect())
+    n = 0
+    s = [0] * dims
+    G = [[0] * dims for _ in range(dims)]
+    for row in mom:
+        G[row["i"]][row["j"]] = row["g"]
+        G[row["j"]][row["i"]] = row["g"]
+        if row["i"] == row["j"]:
+            s[row["i"]] = row["s"]
+            n = row["n"]
+    return n, s, G
+
+
+def pca_basis_from_moments(n: int, s: list, G: list, k: int,
+                           scale: int = 1_000_000) -> list[list[int]]:
+    """Deterministic top-k PCA basis from exact integer moments:
+    covariance C = (G - s s^T / n) / n in float64, numpy eigh
+    (symmetric, ascending), take the top-k eigenvectors, fix each
+    sign so the largest-|component| entry is positive (first index on
+    ties), and micro-quantize to integer vectors. Identical integer
+    moments -> bit-identical basis, so the distributed engine and the
+    oracle agree exactly."""
+    import numpy as np
+    sv = np.array(s, dtype=np.float64)
+    Gm = np.array(G, dtype=np.float64)
+    C = (Gm - np.outer(sv, sv) / float(n)) / float(n)
+    _vals, vecs = np.linalg.eigh(C)
+    basis = []
+    for j in range(1, k + 1):
+        v = vecs[:, -j].copy()
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        basis.append([int(np.floor(x * scale)) for x in v])
+    return basis
+
+
+def pca_project(embeddings: DataFrame, dims: int = 64, k: int = 8,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                scale: int = 1_000_000) -> DataFrame:
+    """PCA projection of an embedding corpus to its top-k principal
+    components — the dimensionality-reduction step before clustering
+    / IVF coarse quantization, kept EXACT end to end:
+
+      pc_j(x) = n * (q . v_j) - (s . v_j)
+
+    i.e. n times the centered projection, with q the micro-quantized
+    vector, v_j the micro-quantized basis and s the corpus component
+    sums — pure BIGINT arithmetic on both engines (the only float
+    step, eigh over the d x d integer moments, runs once on the
+    driver and is shared bit-for-bit by engine and oracle).
+
+    Scale: one moment pass (see pca_moments — shuffle bounded by d^2
+    per partition), then a map-only projection with the d x k basis
+    broadcast as a literal. No corpus shuffle at all.
+    """
+    from ..cache import managed_persist
+    emb = managed_persist(embeddings)     # moments pass + projection
+    n, s, G = pca_moments(emb, dims, vec_col, scale)
+    basis = pca_basis_from_moments(n, s, G, k, scale)
+    # materialize q once per row (see pca_moments), then k integer folds
+    qdf = emb.select(
+        F.col(id_col),
+        F.expr(quantized_vec_expr(vec_col, scale)).alias("q"))
+    cols = [F.col(id_col)]
+    for j, v in enumerate(basis):
+        offset = sum(si * vi for si, vi in zip(s, v))
+        arr = ", ".join(f"CAST({x} AS BIGINT)" for x in v)
+        dot = (f"aggregate(zip_with(q, array({arr}), "
+               f"(a, b) -> a * b), CAST(0 AS BIGINT), "
+               f"(acc, x) -> acc + x)")
+        cols.append(F.expr(f"CAST({n} AS BIGINT) * ({dot}) "
+                           f"- CAST({offset} AS BIGINT)")
+                    .alias(f"pc{j}"))
+    return qdf.select(*cols)
