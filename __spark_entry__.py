@@ -2666,6 +2666,166 @@ def q_snapshot_idle_customers(spark: SparkSession,
             .orderBy("c_nationkey"))
 
 
+def q_snapshot_min_cost_supplier(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Min-cost supplier per part (TPC-H Q2 flavor, adapted: no
+    partsupp, so the supply relation is the DISTINCT (part, supplier)
+    pairs observed in lineitem and "cost" is the supplier's account
+    balance). The correlated MIN subquery becomes a part-keyed
+    aggregate self-joined on equality; supplier x nation x region
+    broadcast; deterministic top-20 parts by retail price."""
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "part",
+                    "nation", "region")
+    eu_supp = (t["supplier"]
+               .join(t["nation"],
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+               .join(t["region"],
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+               .filter(F.col("r_name") == "EUROPE")
+               .select("s_suppkey", "s_name", "s_acctbal",
+                       F.col("n_name").alias("supp_nation")))
+    supplies = (t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+                .join(F.broadcast(eu_supp),
+                      F.col("l_suppkey") == F.col("s_suppkey")))
+    min_cost = (supplies.groupBy("l_partkey")
+                .agg(F.min("s_acctbal").alias("min_bal")))
+    return (supplies
+            .join(min_cost.withColumnRenamed("l_partkey", "m_partkey"),
+                  (F.col("l_partkey") == F.col("m_partkey"))
+                  & (F.col("s_acctbal") == F.col("min_bal")))
+            .join(F.broadcast(t["part"]),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .select("p_partkey", "p_name", "p_retailprice", "s_suppkey",
+                    "s_name", "supp_nation", "s_acctbal")
+            .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"),
+                     F.asc("s_suppkey"))
+            .limit(20))
+
+
+def q_snapshot_important_parts(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Important-stock threshold (TPC-H Q11 flavor, adapted: "value"
+    of a part is the lineitem revenue shipped by NATION_3 suppliers).
+    The HAVING > fraction * SUM(total) scalar subquery becomes a
+    1-row broadcast against the per-part aggregate; sums fold in
+    exact DECIMAL and the threshold compares via one IEEE-identical
+    DOUBLE multiply on both engines."""
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    n3_supp = (t["supplier"]
+               .join(t["nation"],
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+               .filter(F.col("n_name") == "NATION_3")
+               .select("s_suppkey"))
+    vals = (t["lineitem"]
+            .join(F.broadcast(n3_supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+            .groupBy("l_partkey")
+            .agg(F.sum((F.col("l_extendedprice")
+                        * (F.lit(1.0) - F.col("l_discount")))
+                       .cast("decimal(38,6)")).alias("value_d")))
+    tot = vals.agg(F.sum("value_d").alias("total_d"))
+    # threshold compares in DOUBLE on both engines: decimal x literal
+    # promotion rules differ (DuckDB widens past 38 -> DOUBLE anyway),
+    # and one IEEE multiply of exact decimal-sourced values is
+    # engine-identical
+    return (vals.crossJoin(F.broadcast(tot))
+            .filter(F.col("value_d").cast("double") * F.lit(500.0)
+                    > F.col("total_d").cast("double"))
+            .select("l_partkey",
+                    F.col("value_d").cast("double").alias("part_value"))
+            .orderBy(F.desc("part_value"), F.asc("l_partkey")))
+
+
+def q_snapshot_ship_priority_mix(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Shipping-delay priority mix (TPC-H Q12 flavor, adapted: no
+    l_shipmode, so lineitems bucket by ship delay — <=30d fast,
+    <=60d medium, else slow). One order-keyed join + conditional
+    counts per bucket; the CASE runs post-join on already-pruned
+    columns."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    j = (t["lineitem"].select("l_orderkey", "l_shipdate")
+         .join(t["orders"].select("o_orderkey", "o_orderdate",
+                                  "o_orderpriority"),
+               F.col("l_orderkey") == F.col("o_orderkey")))
+    delay_bucket = (
+        F.when(F.col("l_shipdate")
+               <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+               "fast")
+        .when(F.col("l_shipdate")
+              <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+              "medium")
+        .otherwise("slow"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.withColumn("delay_bucket", delay_bucket)
+            .groupBy("delay_bucket")
+            .agg(F.count(F.when(high, 1)).alias("high_line_count"),
+                 F.count(F.when(~high, 1)).alias("low_line_count"))
+            .orderBy("delay_bucket"))
+
+
+def q_snapshot_supplier_part_counts(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Supplier counts by part attributes (TPC-H Q16 flavor, adapted:
+    supply pairs from lineitem; the "customer complaints" exclusion
+    is suppliers with negative account balance, as a LEFT ANTI join).
+    COUNT(DISTINCT supplier) per (brand, type, size-bucket) after
+    excluding one brand — the distinct-aggregate + anti-join shape."""
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "part")
+    bad_supp = (t["supplier"].filter(F.col("s_acctbal") < 0.0)
+                .select("s_suppkey"))
+    pairs = (t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+             .join(F.broadcast(bad_supp),
+                   F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+             .join(F.broadcast(
+                 t["part"].filter(F.col("p_brand") != "Brand#1")),
+                 F.col("l_partkey") == F.col("p_partkey")))
+    return (pairs
+            .withColumn("size_bucket",
+                        (F.col("p_size") - 1) - (F.col("p_size") - 1) % 10)
+            .groupBy("p_brand", "p_type", "size_bucket")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"),
+                     F.asc("p_type"), F.asc("size_bucket")))
+
+
+def q_snapshot_dominant_suppliers(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Dominant promo-part suppliers (TPC-H Q20 flavor, adapted: a
+    supplier qualifies when it shipped MORE THAN A SIXTH of some
+    PROMO part's total quantity, ~3x its fair share on this fixture —
+    the excess-availability analog without partsupp). Per-(part,
+    supplier) and per-part aggregates share one part-keyed shuffle;
+    the threshold compares via one engine-identical DOUBLE multiply
+    over exact DECIMAL sums."""
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "part",
+                    "nation")
+    promo = t["part"].filter(F.col("p_type") == "PROMO") \
+        .select("p_partkey")
+    li = (t["lineitem"]
+          .join(F.broadcast(promo),
+                F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+          .select("l_partkey", "l_suppkey", "l_quantity"))
+    pair = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+                  .alias("pair_qty")))
+    tot = (pair.groupBy("l_partkey")
+           .agg(F.sum("pair_qty").alias("total_qty"))
+           .withColumnRenamed("l_partkey", "t_partkey"))
+    # DOUBLE comparison on both engines (see q_snapshot_important_parts)
+    dom = (pair.join(tot, F.col("l_partkey") == F.col("t_partkey"))
+           .filter(F.col("pair_qty").cast("double") * F.lit(6.0)
+                   > F.col("total_qty").cast("double"))
+           .select("l_suppkey").distinct())
+    return (dom.join(F.broadcast(t["supplier"]),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(t["nation"]),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name",
+                    F.col("n_name").alias("nation"))
+            .orderBy("s_suppkey"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's main 'query' — apply an ordered,
     deduplicated change stream to a table snapshot (SURVEY §3.1)."""
@@ -2836,6 +2996,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_small_qty_revenue": q_snapshot_small_qty_revenue,
         "snapshot_waiting_suppliers": q_snapshot_waiting_suppliers,
         "snapshot_idle_customers": q_snapshot_idle_customers,
+        "snapshot_min_cost_supplier": q_snapshot_min_cost_supplier,
+        "snapshot_important_parts": q_snapshot_important_parts,
+        "snapshot_ship_priority_mix": q_snapshot_ship_priority_mix,
+        "snapshot_supplier_part_counts": q_snapshot_supplier_part_counts,
+        "snapshot_dominant_suppliers": q_snapshot_dominant_suppliers,
     }
 
 
@@ -4566,6 +4731,99 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(10000.0 * SUM(conflicted) / COUNT(*))
                         AS BIGINT) AS conflict_pct_x100
             FROM txn_flag GROUP BY bucket
+        """,
+        "snapshot_min_cost_supplier": """
+            WITH eu AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name AS supp_nation
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'),
+            sup AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            se AS (SELECT sup.l_partkey, eu.*
+                   FROM sup JOIN eu ON l_suppkey = s_suppkey),
+            mc AS (SELECT l_partkey, MIN(s_acctbal) AS min_bal
+                   FROM se GROUP BY 1)
+            SELECT p_partkey, p_name, p_retailprice, s_suppkey, s_name,
+                   supp_nation, s_acctbal
+            FROM se JOIN mc USING (l_partkey)
+            JOIN part ON l_partkey = p_partkey
+            WHERE s_acctbal = min_bal
+            ORDER BY p_retailprice DESC, p_partkey ASC, s_suppkey ASC
+            LIMIT 20
+        """,
+        "snapshot_important_parts": """
+            WITH n3 AS (
+              SELECT s_suppkey FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_3'),
+            vals AS (
+              SELECT l_partkey,
+                SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(38,6))) AS value_d
+              FROM lineitem
+              WHERE l_suppkey IN (SELECT s_suppkey FROM n3)
+              GROUP BY l_partkey),
+            tot AS (SELECT SUM(value_d) AS total_d FROM vals)
+            SELECT l_partkey, CAST(value_d AS DOUBLE) AS part_value
+            FROM vals, tot
+            WHERE CAST(value_d AS DOUBLE) * 500.0
+                  > CAST(total_d AS DOUBLE)
+            ORDER BY part_value DESC, l_partkey ASC
+        """,
+        "snapshot_ship_priority_mix": """
+            SELECT CASE
+                     WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
+                       THEN 'fast'
+                     WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY
+                       THEN 'medium'
+                     ELSE 'slow' END AS delay_bucket,
+                   COUNT(CASE WHEN o_orderpriority IN
+                              ('1-URGENT', '2-HIGH') THEN 1 END)
+                     AS high_line_count,
+                   COUNT(CASE WHEN o_orderpriority NOT IN
+                              ('1-URGENT', '2-HIGH') THEN 1 END)
+                     AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "snapshot_supplier_part_counts": """
+            WITH pairs AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            ok_pairs AS (
+              SELECT * FROM pairs
+              WHERE NOT EXISTS (SELECT 1 FROM supplier
+                                WHERE s_suppkey = l_suppkey
+                                  AND s_acctbal < 0.0)),
+            j AS (SELECT p_brand, p_type,
+                         (p_size - 1) - (p_size - 1) % 10 AS size_bucket,
+                         l_suppkey
+                  FROM ok_pairs JOIN part ON l_partkey = p_partkey
+                  WHERE p_brand <> 'Brand#1')
+            SELECT p_brand, p_type, size_bucket,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM j GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, size_bucket
+        """,
+        "snapshot_dominant_suppliers": """
+            WITH promo AS (
+              SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+            li AS (SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+                   WHERE l_partkey IN (SELECT p_partkey FROM promo)),
+            pair AS (SELECT l_partkey, l_suppkey,
+                       SUM(CAST(l_quantity AS DECIMAL(38,6))) AS pair_qty
+                     FROM li GROUP BY 1, 2),
+            tot AS (SELECT l_partkey, SUM(pair_qty) AS total_qty
+                    FROM pair GROUP BY 1),
+            dom AS (SELECT DISTINCT l_suppkey
+                    FROM pair JOIN tot USING (l_partkey)
+                    WHERE CAST(pair_qty AS DOUBLE) * 6.0
+                          > CAST(total_qty AS DOUBLE))
+            SELECT s_suppkey, s_name, n_name AS nation
+            FROM dom
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            ORDER BY s_suppkey
         """,
         "snapshot_late_orders": """
             SELECT o_orderpriority, COUNT(*) AS order_count

@@ -94,6 +94,19 @@ HEADLINE = [
     "snapshot_forecast_revenue", # Q6-flavor pushdown aggregate
     "cdc_disorder_displacement", # per-source disorder audit
     "corpus_source_overlap",     # near-dup source-pair matrix
+    # r7: late-r6 operators whose first driver CORRECTNESS rows land
+    # this round (same-round cost-recording convention)
+    "corpus_temperature_mix",    # alpha-sampling mixture caps
+    "events_type_transitions",   # event-type Markov matrix
+    "mm_audio_features",         # Arrow audio feature-framing stub
+    "snapshot_diff_drilldown",   # chunk-checksum -> recheck drilldown
+    "dedup_lsh_calibration",     # bands-vs-rows tuning telemetry
+    "corpus_gate_report",        # explainable filter audit
+    "cdc_incremental_distinct",  # exact distinct off the multiset
+    "events_session_paths",      # per-session path rollup
+    "dedup_savings_report",      # dedup byte-savings report
+    "cdc_hot_keys",              # top-written-PK skew report
+    "snapshot_bracket_revenue",  # Q19-flavor disjunctive brackets
 ]
 
 

@@ -688,3 +688,17 @@ def test_r7_telemetry_plan_contracts(spark):
         "Exchange")[0]
     p_conf = _plan(m.queries()["cdc_conflict_rate"](spark, SF))
     assert "Window" not in p_conf
+
+
+def test_r7_tpch_completion_plan_contracts(spark):
+    """Q2/Q16/Q20-flavor plans: the supply relation is the DISTINCT
+    (part, supplier) pair set (one aggregate, no raw-lineitem join
+    fan-out), exclusions compile to LeftAnti / LeftSemi, and Q20's
+    pair/total aggregates share the part-keyed exchange."""
+    import __spark_entry__ as m
+    p2 = _plan(m.queries()["snapshot_min_cost_supplier"](spark, SF))
+    assert "TakeOrderedAndProject" in p2
+    p16 = _plan(m.queries()["snapshot_supplier_part_counts"](spark, SF))
+    assert "LeftAnti" in p16
+    p20 = _plan(m.queries()["snapshot_dominant_suppliers"](spark, SF))
+    assert "LeftSemi" in p20
