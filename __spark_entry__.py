@@ -1140,6 +1140,15 @@ def q_text_pii_scrub(spark, sf_dir):
     return curation.pii_scrub(_seeded_docs(spark, sf_dir))
 
 
+def q_dedup_url_canonical(spark, sf_dir):
+    """Crawl-frontier URL dedup: canonicalize every extracted URL
+    (lowercase host+path, query/fragment/trailing-slash stripped) and
+    roll up occurrence/variant/doc counts per canonical key — the
+    pre-fetch dedup that precedes all content-level dedup."""
+    from tidb_binlog_spark.functions import curation
+    return curation.url_canonical_dedup(_seeded_docs(spark, sf_dir))
+
+
 def q_corpus_url_domains(spark, sf_dir):
     """URL extraction + per-domain rollup over the seeded corpus (the
     input to domain allow/block-list curation). Extraction is a
@@ -2983,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r7 (ledger-checked; window candidates for r8)
         "ann_pca_project": q_ann_pca_project,
         "rag_retrieve_pack": q_rag_retrieve_pack,
+        "dedup_url_canonical": q_dedup_url_canonical,
         "corpus_source_divergence": q_corpus_source_divergence,
         "text_quality_classifier": q_text_quality_classifier,
         "cdc_write_skew": q_cdc_write_skew,
@@ -3198,6 +3208,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_email, n_phone, n_ipv4, n_ssn, clean_text,
                    (n_email + n_phone + n_ipv4 + n_ssn) > 0 AS has_pii
             FROM c
+        """,
+        "dedup_url_canonical": f"""
+            WITH seeded AS ({PII_DOCS_SELECT}),
+            u AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text,
+                         'https?://[^\\s"''<>]+')) AS url
+              FROM seeded),
+            c AS (
+              SELECT doc_id, url,
+                     concat(
+                       lower(regexp_extract(url,
+                           'https?://([^/\\s?#]+)', 1)),
+                       regexp_replace(regexp_extract(url,
+                           'https?://[^/\\s?#]+([^?#\\s]*)', 1),
+                           '/$', '')) AS canon_url
+              FROM u)
+            SELECT canon_url, COUNT(*) AS n_occurrences,
+                   COUNT(DISTINCT url) AS n_raw_variants,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   MIN(doc_id) AS canonical_doc
+            FROM c GROUP BY canon_url
         """,
         "corpus_url_domains": f"""
             WITH seeded AS ({PII_DOCS_SELECT}),

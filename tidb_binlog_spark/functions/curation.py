@@ -678,3 +678,37 @@ def retrieve_pack(docs: DataFrame, topk: DataFrame,
             .filter(F.col("cum_tokens") <= budget_tokens)
             .select("query_id", "doc_id", "rank", "n_tokens",
                     "cum_tokens"))
+
+
+def url_canonical_dedup(docs: DataFrame) -> DataFrame:
+    """URL-keyed deduplication report: extract every URL, canonicalize
+    (lowercase host + path, query string / fragment / trailing slash
+    stripped), and roll up per canonical URL — the crawl-frontier
+    dedup step that collapses `http://ex.net/q?x=1` with
+    `http://ex.net/q?x=2` before any content fetch or text dedup
+    runs. Returns (canon_url, n_occurrences, n_raw_variants, n_docs,
+    canonical_doc = lowest doc_id carrying it).
+
+    Scale shape: zero-shuffle extraction/canonicalization projection,
+    then ONE canon-keyed aggregate (map-side combinable; countDistinct
+    expands to two phases on the same key). The canonical key is the
+    natural partition key for a crawl store, so at scale this
+    aggregate co-locates with the frontier's own layout.
+    """
+    sql_pat = _URL_PATTERN.replace("\\", "\\\\").replace("'", "\\'")
+    urls = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(text, '{sql_pat}', 0)"))
+         .alias("url"))
+    canon = (F.concat(
+        F.lower(F.regexp_extract("url", r"https?://([^/\s?#]+)", 1)),
+        F.regexp_replace(
+            F.regexp_extract("url", r"https?://[^/\s?#]+([^?#\s]*)", 1),
+            r"/$", "")))
+    return (urls.withColumn("canon_url", canon)
+            .groupBy("canon_url")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.countDistinct("url").alias("n_raw_variants"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.min("doc_id").alias("canonical_doc")))
