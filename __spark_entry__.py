@@ -2841,6 +2841,78 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_cdc_snapshot_apply(spark, SF0001)
 
 
+def q_ann_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer k-means over micro-quantized embeddings (k=10,
+    2 Lloyd rounds, floor-mean updates): the verification-grade twin
+    of similarity.kmeans_centroids that upgrades the coarse-quantizer
+    evidence from pytest-only to hash-checked. Per iteration the
+    corpus is scanned, never reshuffled (broadcast centroids +
+    (k x dims) aggregate back)."""
+    from pyspark.sql import Window
+    q = _embs(spark, sf_dir).select(
+        "vec_id",
+        F.expr(simfn.quantized_vec_expr("embedding", 1000)).alias("qvec"))
+    asg = simfn.kmeans_integer(q, k=10, iters=2)
+    w = Window.partitionBy("cluster_id")
+    return asg.select("vec_id", "cluster_id", "dist",
+                      F.count(F.lit(1)).over(w).alias("cluster_n"))
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable SemDeDup: integer k-means clusters, then
+    keep-lowest-id within each cluster under a cross-multiplied BIGINT
+    cosine test (cos >= 0.35, no float division anywhere). Upgrades
+    the semantic-dedup evidence from pytest-only to hash-checked;
+    `similarity.semantic_dedup` stays the production variant with
+    derived k."""
+    return simfn.semantic_dedup_exact(_embs(spark, sf_dir))
+
+
+def q_cdc_bootstrap_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-dump bootstrap + incremental catch-up (the reference's
+    deployment story: restore a full backup, then start drainer at
+    initial-commit-ts — drainer/config.go InitialCommitTS,
+    syncer.go:60-108): snapshot the stream at T = 60% of max
+    commit_ts (the "backup"), re-feed that snapshot as synthetic
+    seed images, apply only the post-T tail over it, and converge.
+    The oracle derives the final state INDEPENDENTLY by one
+    last-image-wins pass over the whole stream — the equivalence is
+    exactly the guarantee a bootstrap + catch-up deployment relies
+    on."""
+    ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
+    cols = ["db", "tbl", "pk", "commit_ts", "seq", "arrival_seq",
+            "op", "val", "row_json"]
+    t = ok.agg(F.expr("CAST(max(commit_ts) * 3 DIV 5 AS BIGINT)")
+               .alias("t_split"))
+    okt = ok.crossJoin(F.broadcast(t))
+    base = (compaction.apply_snapshot(okt.filter(F.col("commit_ts")
+                                                 <= F.col("t_split")))
+            .withColumn("seq", F.lit(-1))
+            .withColumn("arrival_seq", F.lit(-1))
+            .select(*cols))
+    tail = okt.filter(F.col("commit_ts") > F.col("t_split")).select(*cols)
+    final = compaction.compact_last_image(base.unionByName(tail))
+    return (final.filter(F.col("op") != "D")
+            .select("db", "tbl", "pk", "commit_ts", "val"))
+
+
+def q_cdc_txn_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table transaction fanout histogram per source — the
+    dispatch-parallelism decision input (one upstream txn = one
+    downstream txn, but mutations dispatch per table)."""
+    return telemetry.txn_fanout(
+        ordering.ordered_stream(_spark_changes(spark, sf_dir)))
+
+
+def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget selection per source (DCLM-style
+    "best docs until the budget fills"): classifier score rank + ONE
+    stratum-keyed prefix-sum window."""
+    from tidb_binlog_spark.functions import curation
+    return curation.budget_select(_docs(spark, sf_dir),
+                                  budget_tokens=800, by="source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # keys. This is DRIVER round 7 (last recorded gate: CORRECTNESS_r06,
@@ -3011,6 +3083,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_ship_priority_mix": q_snapshot_ship_priority_mix,
         "snapshot_supplier_part_counts": q_snapshot_supplier_part_counts,
         "snapshot_dominant_suppliers": q_snapshot_dominant_suppliers,
+        "ann_kmeans_clusters": q_ann_kmeans_clusters,
+        "dedup_semantic": q_dedup_semantic,
+        "cdc_bootstrap_catchup": q_cdc_bootstrap_catchup,
+        "cdc_txn_fanout": q_cdc_txn_fanout,
+        "corpus_budget_select": q_corpus_budget_select,
     }
 
 
@@ -5107,5 +5184,56 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY revenue DESC, o_custkey LIMIT 10)
             SELECT rank, o_custkey, c_name, revenue, n_orders
             FROM top JOIN customer ON o_custkey = c_custkey
+        """,
+        "ann_kmeans_clusters": osql.ANN_KMEANS_CLUSTERS,
+        "dedup_semantic": osql.DEDUP_SEMANTIC,
+        # independent derivation: ONE last-image-wins pass over the
+        # whole stream — the split bootstrap+catch-up path must
+        # converge to it for any split point
+        "cdc_bootstrap_catchup": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            last AS (
+              SELECT db, tbl, pk, commit_ts, val, op,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY db, tbl, pk
+                         ORDER BY commit_ts DESC, seq DESC,
+                                  arrival_seq DESC) AS rn
+              FROM ok)
+            SELECT db, tbl, pk, commit_ts, val
+            FROM last WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_txn_fanout": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            txn AS (
+              SELECT source_id, commit_ts,
+                     COUNT(DISTINCT db || '.' || tbl) AS n_tables,
+                     COUNT(*) AS n_events
+              FROM ok GROUP BY source_id, commit_ts)
+            SELECT source_id, n_tables, COUNT(*) AS n_txns,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events,
+                   MAX(n_events) AS max_txn_events
+            FROM txn GROUP BY source_id, n_tables
+        """,
+        "corpus_budget_select": f"""
+            WITH t AS (SELECT doc_id, {osql.TOKS} AS toks FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            per AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                      CAST(SUM(CAST(concat('0x', substring(md5(tok), 1, 8))
+                                    AS BIGINT) % 2001 - 1000) AS BIGINT)
+                        AS score_num
+                    FROM tok GROUP BY doc_id),
+            scored AS (
+              SELECT d.doc_id, d.source AS stratum,
+                     COALESCE(per.score_num, 0) AS score_num,
+                     COALESCE(per.n_tokens, 0) AS n_tokens
+              FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id),
+            cum AS (
+              SELECT *, CAST(SUM(n_tokens) OVER (
+                  PARTITION BY stratum
+                  ORDER BY score_num DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM scored)
+            SELECT doc_id, stratum, score_num, n_tokens, cum_tokens
+            FROM cum WHERE cum_tokens <= 800
         """,
     }

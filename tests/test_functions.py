@@ -1231,3 +1231,65 @@ def test_retrieve_pack_budget_and_dedup(spark):
     # doc 11 (dup text) dropped; 10 (3) + 12 (2) = 5 <= 6; adding 13
     # (4 tokens) would blow the budget
     assert [(r["doc_id"], r["cum_tokens"]) for r in out] == [(10, 3), (12, 5)]
+
+
+def test_kmeans_integer_exact_separated_and_empty_cluster(spark):
+    """Integer Lloyd: separated integer blobs partition exactly; with
+    k above the natural cluster count the surplus centroid empties and
+    carries its previous position (no crash, no NULL centroid); the
+    result is partition-layout independent."""
+    from tidb_binlog_spark.functions.similarity import kmeans_integer
+    pts = []
+    for b, base in enumerate([0, 1000, 2000]):
+        for i in range(12):
+            pts.append((b * 12 + i, [base + (i % 4), base - (i % 3)]))
+    vecs = spark.createDataFrame(pts, "vec_id long, qvec array<long>")
+    got = kmeans_integer(vecs, k=3, iters=3).collect()
+    groups = {}
+    for r in got:
+        groups.setdefault(r["cluster_id"], set()).add(r["vec_id"])
+    assert sorted(len(g) for g in groups.values()) == [12, 12, 12]
+    for g in groups.values():
+        assert len({v // 12 for v in g}) == 1
+    # k=5 over 3 blobs: two centroids go empty, everything still
+    # assigned, deterministic across a repartition
+    a5 = kmeans_integer(vecs, k=5, iters=2)
+    b5 = kmeans_integer(vecs.repartition(7), k=5, iters=2)
+    asg_a = {r["vec_id"]: (r["cluster_id"], r["dist"]) for r in a5.collect()}
+    asg_b = {r["vec_id"]: (r["cluster_id"], r["dist"]) for r in b5.collect()}
+    assert len(asg_a) == 36 and asg_a == asg_b
+
+
+def test_semantic_dedup_exact_drops_planted_near_dup(spark):
+    """The BIGINT cross-multiplied cosine test: a planted near-copy is
+    dropped in favor of its lower-id twin; an orthogonal vector
+    survives; every input id comes back exactly once."""
+    from tidb_binlog_spark.functions.similarity import semantic_dedup_exact
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.0]), (4, [0.0, 0.0, 1.0])]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["is_kept"]
+           for r in semantic_dedup_exact(embs, k=2, iters=1,
+                                         thr_num=9, thr_den=10).collect()}
+    assert sorted(out) == [1, 2, 3, 4]
+    assert out[1] and not out[2]
+    assert out[3] and out[4]
+
+
+def test_budget_select_admission_boundary_and_strata(spark):
+    """The admission rule is 'running total INCLUDING the doc fits':
+    the doc that would cross the budget is excluded even if later,
+    smaller docs would have fit (greedy prefix, not knapsack); strata
+    fill independently."""
+    from tidb_binlog_spark.functions.curation import budget_select
+    docs = spark.createDataFrame(
+        [(1, "a " * 5, "s1"), (2, "b " * 5, "s1"), (3, "c " * 5, "s1"),
+         (4, "d " * 2, "s2")],
+        "doc_id long, text string, source string")
+    out = budget_select(docs, budget_tokens=10, by="source")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    s1 = [d for d in rows if rows[d]["stratum"] == "s1"]
+    assert len(s1) == 2                  # third 5-token doc crosses 10
+    assert 4 in rows                     # s2 fills independently
+    for r in rows.values():
+        assert r["cum_tokens"] <= 10

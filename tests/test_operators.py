@@ -1446,3 +1446,50 @@ def test_temporal_join_exclusive_boundary_and_open_interval(spark):
                start_col="valid_from", end_col="valid_end",
                bucket_width=256, how="left").collect()}
     assert got == {1: None, 2: 10.0, 3: 20.0, 4: 20.0}
+
+
+def test_bootstrap_catchup_converges_for_any_split(spark):
+    """Full-dump bootstrap + tail catch-up == one-pass apply for EVERY
+    split point: seed images re-enter compaction at their own
+    commit_ts with seq/arrival_seq = -1, so any genuine tail event on
+    the same key outranks them and a key untouched after the split
+    survives unchanged. Deletes in the tail must erase bootstrapped
+    keys."""
+    from tidb_binlog_spark.operators import ordering
+    rows = [(1, "s0", 10, "I", 1), (2, "s0", 20, "I", 2),
+            (3, "s0", 30, "U", 1, 0, 7.0), (4, "s0", 40, "D", 2),
+            (5, "s0", 50, "I", 3), (6, "s0", 60, "U", 3, 0, 9.0)]
+    ok = ordering.ordered_stream(make_changes(spark, rows))
+    cols = ["db", "tbl", "pk", "commit_ts", "seq", "arrival_seq",
+            "op", "val", "row_json"]
+    full = {(r["pk"]): (r["commit_ts"], r["val"])
+            for r in compaction.apply_snapshot(ok).collect()}
+    for t_split in (0, 10, 30, 40, 55, 60):
+        base = (compaction.apply_snapshot(
+                    ok.filter(F.col("commit_ts") <= t_split))
+                .withColumn("seq", F.lit(-1))
+                .withColumn("arrival_seq", F.lit(-1)).select(*cols))
+        tail = ok.filter(F.col("commit_ts") > t_split).select(*cols)
+        final = (compaction.compact_last_image(base.unionByName(tail))
+                 .filter(F.col("op") != "D"))
+        got = {r["pk"]: (r["commit_ts"], r["val"])
+               for r in final.collect()}
+        assert got == full, f"diverged at split {t_split}"
+
+
+def test_txn_fanout_counts_tables_per_txn(spark):
+    """Two events of one txn in different tables count as fanout 2;
+    single-table txns land in the n_tables=1 bucket."""
+    from tidb_binlog_spark.operators.telemetry import txn_fanout
+    ch = make_changes(spark, [
+        (1, "s0", 10, "I", 1), (2, "s0", 10, "I", 2),
+        (3, "s0", 20, "U", 1), (4, "s1", 10, "I", 5)])
+    # route the second event of txn ts=10 to another table
+    ch = ch.withColumn(
+        "tbl", F.when(F.col("arrival_seq") == 2, "t2").otherwise("t"))
+    got = {(r["source_id"], r["n_tables"]): (r["n_txns"], r["n_events"],
+                                             r["max_txn_events"])
+           for r in txn_fanout(ch).collect()}
+    assert got[("s0", 2)] == (1, 2, 2)       # the cross-table txn
+    assert got[("s0", 1)] == (1, 1, 1)       # ts=20 single-table
+    assert got[("s1", 1)] == (1, 1, 1)

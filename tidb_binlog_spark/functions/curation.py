@@ -712,3 +712,35 @@ def url_canonical_dedup(docs: DataFrame) -> DataFrame:
                  F.countDistinct("url").alias("n_raw_variants"),
                  F.countDistinct("doc_id").alias("n_docs"),
                  F.min("doc_id").alias("canonical_doc")))
+
+
+def budget_select(docs: DataFrame, budget_tokens: int = 2_000,
+                  by: str = "source") -> DataFrame:
+    """Quality-ranked token-budget selection (the DCLM/FineWeb "take
+    the best documents until the token budget is full" recipe): score
+    every doc with the hashed linear classifier, rank within each
+    stratum by score (desc, doc_id tiebreak), and admit greedily while
+    the stratum's cumulative token count stays within budget — a doc
+    is admitted iff the running total INCLUDING it fits.
+
+    Scale shape: the classifier is one explode + doc-keyed sum; the
+    admission is ONE stratum-keyed prefix-sum window (rows, not
+    range). No global sort, no driver loop; strata fill in parallel.
+    All-integer (exact classifier scores, exact token counts), so the
+    selection is engine-reproducible.
+
+    Returns admitted docs: (doc_id, stratum, score_num, n_tokens,
+    cum_tokens).
+    """
+    from .scoring import hashed_linear_score
+    scored = (hashed_linear_score(docs)
+              .join(docs.select("doc_id", F.col(by).alias("stratum")),
+                    "doc_id"))
+    w = (Window.partitionBy("stratum")
+         .orderBy(F.col("score_num").desc(), "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (scored
+            .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .filter(F.col("cum_tokens") <= budget_tokens)
+            .select("doc_id", "stratum", "score_num", "n_tokens",
+                    "cum_tokens"))

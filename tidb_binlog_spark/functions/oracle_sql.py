@@ -1070,3 +1070,91 @@ def funnel_sql(steps: list[str], window_ns: int | None = None) -> str:
     return (f"WITH {', '.join(ctes)} "
             f"SELECT l0.user_id, {ts_cols}, 1 + {stage} AS max_stage "
             f"FROM l0 {joins}")
+
+
+# exact-integer k-means (similarity.kmeans_integer oracle) ------------------
+
+def _int_sqdist(a: str, b: str) -> str:
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(list_zip({a}, {b}), "
+            f"z -> (z[1] - z[2]) * (z[1] - z[2]))), (acc, v) -> acc + v)")
+
+
+def _int_dot(a: str, b: str) -> str:
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(list_zip({a}, {b}), "
+            f"z -> z[1] * z[2])), (acc, v) -> acc + v)")
+
+
+QUANT_EMB_CTE = """emb AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS vec
+  FROM embeddings)"""
+
+
+def kmeans_int_ctes(k: int = 10, iters: int = 2, dims: int = 64) -> str:
+    """CTE chain mirroring similarity.kmeans_integer over a CTE
+    ``emb(id, vec)`` of BIGINT lists. Ends in ``afin(id, vec, cid,
+    dist)`` — the final assignment under the post-update centroids.
+    Unrolled per iteration: assignment (argmin dist, ties to lowest
+    cid), floor-mean centroid update, empty-cluster carry-over."""
+    parts = [f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, vec AS cvec
+  FROM (SELECT id, vec FROM emb ORDER BY id LIMIT {k}))"""]
+    for i in range(iters):
+        d = _int_sqdist("e.vec", "c.cvec")
+        parts.append(f"""d{i} AS (
+  SELECT e.id, e.vec, c.cid, {d} AS dist
+  FROM emb e CROSS JOIN c{i} c),
+a{i} AS (
+  SELECT id, vec, cid, dist FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY id ORDER BY dist, cid) AS rn FROM d{i})
+  WHERE rn = 1),
+x{i} AS (
+  SELECT cid, d,
+         CAST(floor(CAST(SUM(vec[d + 1]) AS DOUBLE) / COUNT(*))
+              AS BIGINT) AS cv
+  FROM a{i} CROSS JOIN
+       (SELECT unnest(generate_series(0, {dims - 1})) AS d) dims
+  GROUP BY cid, d),
+n{i} AS (SELECT cid, list(cv ORDER BY d) AS cvec FROM x{i} GROUP BY cid),
+c{i + 1} AS (
+  SELECT c{i}.cid, COALESCE(n{i}.cvec, c{i}.cvec) AS cvec
+  FROM c{i} LEFT JOIN n{i} USING (cid))""")
+    d = _int_sqdist("e.vec", "c.cvec")
+    parts.append(f"""dfin AS (
+  SELECT e.id, e.vec, c.cid, {d} AS dist
+  FROM emb e CROSS JOIN c{iters} c),
+afin AS (
+  SELECT id, vec, cid, dist FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY id ORDER BY dist, cid) AS rn FROM dfin)
+  WHERE rn = 1)""")
+    return ",\n".join(parts)
+
+
+ANN_KMEANS_CLUSTERS = f"""
+WITH {QUANT_EMB_CTE},
+{kmeans_int_ctes()}
+SELECT id AS vec_id, cid AS cluster_id, dist,
+       COUNT(*) OVER (PARTITION BY cid) AS cluster_n
+FROM afin
+"""
+
+DEDUP_SEMANTIC = f"""
+WITH {QUANT_EMB_CTE},
+{kmeans_int_ctes()},
+m AS (SELECT id, cid, vec, {_int_dot("vec", "vec")} AS n2 FROM afin),
+dups AS (
+  SELECT DISTINCT b.id AS dup_id
+  FROM m a JOIN m b ON a.cid = b.cid AND a.id < b.id
+  WHERE {_int_dot("a.vec", "b.vec")} > 0
+    AND 400 * ({_int_dot("a.vec", "b.vec")})
+            * ({_int_dot("a.vec", "b.vec")})
+        >= 49 * a.n2 * b.n2)
+SELECT m.id AS vec_id, m.cid AS cluster_id,
+       dups.dup_id IS NULL AS is_kept
+FROM m LEFT JOIN dups ON m.id = dups.dup_id
+"""

@@ -561,3 +561,122 @@ def pca_project(embeddings: DataFrame, dims: int = 64, k: int = 8,
                            f"- CAST({offset} AS BIGINT)")
                     .alias(f"pc{j}"))
     return qdf.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# exact-integer k-means + oracle-checkable semantic dedup
+# ---------------------------------------------------------------------------
+
+def _sq_l2_int_expr(a: str, b: str) -> str:
+    """Integer squared-L2 over two BIGINT arrays — exact, so Spark and
+    the DuckDB oracle agree bit-for-bit."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+
+def _dot_int_expr(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+
+def _assign_int(vecs: DataFrame, cents: DataFrame, id_col: str,
+                vec_col: str) -> DataFrame:
+    """argmin-distance assignment of integer vectors to integer
+    centroids: broadcast crossJoin (k rows) + one per-id rank window —
+    the corpus itself never shuffles on anything but its own id."""
+    w = Window.partitionBy(id_col).orderBy("dist", "cluster_id")
+    return (vecs
+            .crossJoin(F.broadcast(cents))
+            .withColumn("dist", F.expr(_sq_l2_int_expr(vec_col, "cvec")))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk", "cvec"))
+
+
+def kmeans_integer(vecs: DataFrame, k: int = 10, iters: int = 2,
+                   id_col: str = "vec_id",
+                   vec_col: str = "qvec") -> DataFrame:
+    """Lloyd k-means over INTEGER vectors with floor-mean centroid
+    updates — every quantity (distance, centroid component) is exact
+    BIGINT algebra, so the whole clustering is engine-reproducible and
+    the DuckDB oracle can re-derive it independently (the float
+    ``kmeans_centroids`` above is the production variant; this is the
+    verification-grade twin that upgrades the k-means evidence from
+    pytest-only to hash-checked).
+
+    Deterministic contract (mirrored by ``oracle_sql.kmeans_int_ctes``):
+    init = the k lowest-id vectors as centroids 0..k-1; assignment ties
+    break toward the lowest cluster id; update = per-dimension
+    floor(sum/count) (floor of an exact integer-ratio double — both
+    engines compute the identical IEEE division); an emptied cluster
+    keeps its previous centroid.
+
+    Scale shape: per iteration, one broadcast of k centroids out and
+    one (k x dims)-row map-side-combinable aggregate back — the corpus
+    is scanned, never reshuffled. Returns the FINAL assignment
+    (id, vec, cluster_id, dist).
+    """
+    wk = Window.orderBy(id_col)     # k rows only, post-limit
+    cents = (vecs.orderBy(id_col).limit(k)
+             .select((F.row_number().over(wk) - 1).alias("cluster_id"),
+                     F.col(vec_col).alias("cvec")))
+    for _ in range(iters):
+        assigned = _assign_int(vecs, cents, id_col, vec_col)
+        newc = (assigned
+                .select("cluster_id", F.posexplode(vec_col).alias("pos", "v"))
+                .groupBy("cluster_id", "pos")
+                .agg(F.expr("CAST(floor(CAST(sum(v) AS DOUBLE) / "
+                            "count(*)) AS BIGINT)").alias("cv"))
+                .groupBy("cluster_id")
+                .agg(F.expr("transform(array_sort(collect_list("
+                            "struct(pos, cv))), s -> s.cv)")
+                     .alias("new_cvec")))
+        cents = (cents.join(newc, "cluster_id", "left")
+                 .select("cluster_id",
+                         F.coalesce("new_cvec", "cvec").alias("cvec")))
+    return _assign_int(vecs, cents, id_col, vec_col)
+
+
+def semantic_dedup_exact(embeddings: DataFrame, k: int = 10,
+                         iters: int = 2, scale: int = 1000,
+                         thr_num: int = 7, thr_den: int = 20,
+                         id_col: str = "vec_id",
+                         emb_col: str = "embedding") -> DataFrame:
+    """Oracle-checkable SemDeDup (Abbas et al. 2023): micro-quantize,
+    cluster with ``kmeans_integer``, then inside each cluster drop any
+    vector whose cosine to a LOWER-id member reaches thr_num/thr_den.
+    The cosine test is cross-multiplied into pure BIGINT algebra —
+    ``den^2 * dot^2 >= num^2 * |a|^2 * |b|^2`` with ``dot > 0`` — so no
+    float division or sqrt ever runs and both engines agree exactly.
+
+    ``semantic_dedup`` (above) is the production variant with derived k
+    and per-cluster caps; this twin trades the knobs for exact
+    verifiability. Pairwise work stays bounded per cluster (the
+    SemDeDup contract); the pair join shuffles on cluster_id only.
+
+    Returns every input id: (id, cluster_id, is_kept).
+    """
+    q = embeddings.select(
+        F.col(id_col),
+        F.expr(quantized_vec_expr(emb_col, scale)).alias("qvec"))
+    asg = kmeans_integer(q, k=k, iters=iters,
+                         id_col=id_col, vec_col="qvec")
+    m = asg.select(F.col(id_col).alias("id"), "cluster_id",
+                   F.col("qvec").alias("qv"),
+                   F.expr(_dot_int_expr("qvec", "qvec")).alias("n2"))
+    a = m.select(F.col("id").alias("id_a"), "cluster_id",
+                 F.col("qv").alias("qa"), F.col("n2").alias("na2"))
+    b = m.select(F.col("id").alias("id_b"), "cluster_id",
+                 F.col("qv").alias("qb"), F.col("n2").alias("nb2"))
+    t2n = thr_num * thr_num
+    t2d = thr_den * thr_den
+    dups = (a.join(b, "cluster_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("dot", F.expr(_dot_int_expr("qa", "qb")))
+            .filter((F.col("dot") > 0) &
+                    (F.lit(t2d) * F.col("dot") * F.col("dot") >=
+                     F.lit(t2n) * F.col("na2") * F.col("nb2")))
+            .select(F.col("id_b").alias("dup_id")).distinct())
+    return (asg.join(dups, asg[id_col] == dups["dup_id"], "left")
+            .select(F.col(id_col), "cluster_id",
+                    F.col("dup_id").isNull().alias("is_kept")))

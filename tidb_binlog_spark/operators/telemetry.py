@@ -112,3 +112,27 @@ def conflict_rate(changes: DataFrame,
             .withColumn("conflict_pct_x100",
                         F.floor(F.lit(10000) * F.col("n_conflicted")
                                 / F.col("n_txns")).cast("long")))
+
+
+def txn_fanout(changes: DataFrame) -> DataFrame:
+    """Multi-table transaction fanout report: how many distinct tables
+    each transaction touches, rolled up per source. The reference
+    applies each binlog (= one upstream txn) as one downstream txn but
+    DISPATCHES its mutations per table for parallel apply
+    (drainer/syncer.go:335-420, pkg/loader executor batching) — this
+    report is the decision input: a corpus of single-table txns can
+    dispatch freely; heavy cross-table txns constrain causality-safe
+    parallelism.
+
+    Two map-side-combinable aggregations keyed (source_id, commit_ts)
+    then (source_id, n_tables) — no windows, no driver loop.
+    """
+    txn = (changes
+           .groupBy("source_id", "commit_ts")
+           .agg(F.countDistinct(F.concat_ws(".", "db", "tbl"))
+                .alias("n_tables"),
+                F.count(F.lit(1)).alias("n_events")))
+    return (txn.groupBy("source_id", "n_tables")
+            .agg(F.count(F.lit(1)).alias("n_txns"),
+                 F.sum("n_events").alias("n_events"),
+                 F.max("n_events").alias("max_txn_events")))
