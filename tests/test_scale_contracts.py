@@ -702,3 +702,33 @@ def test_r7_tpch_completion_plan_contracts(spark):
     assert "LeftAnti" in p16
     p20 = _plan(m.queries()["snapshot_dominant_suppliers"](spark, SF))
     assert "LeftSemi" in p20
+
+
+def test_r7_kmeans_and_selection_plan_contracts(spark):
+    """Integer k-means: the corpus meets centroids only through
+    broadcast nested-loop joins (k rows), never a shuffled or
+    cartesian corpus-x-corpus join; semantic dedup's pair join is
+    keyed on cluster_id (no CartesianProduct anywhere); budget
+    selection runs ONE stratum-partitioned prefix window; txn fanout
+    is pure aggregates (no window, no join)."""
+    import __spark_entry__ as m
+    qs = m.queries()
+    p_km = _plan(qs["ann_kmeans_clusters"](spark, SF))
+    assert "CartesianProduct" not in p_km
+    assert "BroadcastNestedLoopJoin" in p_km   # k-row centroid joins
+    assert "SortMergeJoin" not in p_km         # corpus never self-joins
+    p_sd = _plan(qs["dedup_semantic"](spark, SF))
+    assert "CartesianProduct" not in p_sd      # pairs keyed on cluster_id
+    p_bs = _plan(qs["corpus_budget_select"](spark, SF))
+    assert "CartesianProduct" not in p_bs
+    _assert_windows_partitioned(p_bs)
+    p_tf = _plan(qs["cdc_txn_fanout"](spark, SF))
+    # only the order-gate machinery (per-source windows + its
+    # broadcast bucket join); the fanout itself is two keyed
+    # aggregates — nothing shuffle-joins
+    _assert_windows_partitioned(p_tf)
+    assert "SortMergeJoin" not in p_tf
+    assert "CartesianProduct" not in p_tf
+    p_bc = _plan(qs["cdc_bootstrap_catchup"](spark, SF))
+    assert "CartesianProduct" not in p_bc      # 1-row split ts broadcasts
+    _assert_windows_partitioned(p_bc)

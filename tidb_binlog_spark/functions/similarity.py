@@ -631,7 +631,7 @@ def kmeans_integer(vecs: DataFrame, k: int = 10, iters: int = 2,
                 .agg(F.expr("transform(array_sort(collect_list("
                             "struct(pos, cv))), s -> s.cv)")
                      .alias("new_cvec")))
-        cents = (cents.join(newc, "cluster_id", "left")
+        cents = (cents.join(F.broadcast(newc), "cluster_id", "left")
                  .select("cluster_id",
                          F.coalesce("new_cvec", "cvec").alias("cvec")))
     return _assign_int(vecs, cents, id_col, vec_col)
