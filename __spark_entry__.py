@@ -2904,6 +2904,36 @@ def q_cdc_txn_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordering.ordered_stream(_spark_changes(spark, sf_dir)))
 
 
+def q_cdc_relay_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relay-WAL crash recovery through the REAL file path
+    (drainer/relay.go:18-73 feedByRelayLogIfNeed): the ordered stream
+    is written to the ts-bucketed relay WAL (the write that precedes
+    every downstream apply, relayer.go WriteBinlog), a crash leaves
+    the checkpoint at T = 60% of max commit_ts, recovery reads ONLY
+    the pending suffix back from the WAL files (partition-pruned
+    commit_ts > T, relay.go:131-132) and re-applies it over the
+    checkpointed snapshot. The oracle re-derives the final state
+    INDEPENDENTLY with one last-image-wins pass over the whole
+    stream — recovery must converge to it. Upgrades the relay-reader
+    evidence from pytest-only to hash-checked; the driver-side max-ts
+    read is a bounded scalar (same class as the watermark collects)."""
+    from tidb_binlog_spark.sinks.relay import RelayLog
+    ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
+    cols = ["db", "tbl", "pk", "commit_ts", "seq", "arrival_seq",
+            "op", "val", "row_json"]
+    relay = RelayLog(_scratch_dir("relay_recovery"))
+    relay.append(ok)
+    t = ok.agg(F.max("commit_ts")).first()[0] * 3 // 5
+    pending = relay.read(spark, start_ts=t).select(*cols)
+    base = (compaction.apply_snapshot(ok.filter(F.col("commit_ts") <= t))
+            .withColumn("seq", F.lit(-1))
+            .withColumn("arrival_seq", F.lit(-1))
+            .select(*cols))
+    final = compaction.compact_last_image(base.unionByName(pending))
+    return (final.filter(F.col("op") != "D")
+            .select("db", "tbl", "pk", "commit_ts", "val"))
+
+
 def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ranked token-budget selection per source (DCLM-style
     "best docs until the budget fills"): classifier score rank + ONE
@@ -3088,6 +3118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_bootstrap_catchup": q_cdc_bootstrap_catchup,
         "cdc_txn_fanout": q_cdc_txn_fanout,
         "corpus_budget_select": q_corpus_budget_select,
+        "cdc_relay_recovery": q_cdc_relay_recovery,
     }
 
 
@@ -5191,6 +5222,20 @@ def oracle_sql() -> dict[str, str]:
         # whole stream — the split bootstrap+catch-up path must
         # converge to it for any split point
         "cdc_bootstrap_catchup": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            last AS (
+              SELECT db, tbl, pk, commit_ts, val, op,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY db, tbl, pk
+                         ORDER BY commit_ts DESC, seq DESC,
+                                  arrival_seq DESC) AS rn
+              FROM ok)
+            SELECT db, tbl, pk, commit_ts, val
+            FROM last WHERE rn = 1 AND op <> 'D'
+        """,
+        # same independent one-pass oracle as bootstrap_catchup: the
+        # relay replay must converge to it through the file path
+        "cdc_relay_recovery": f"""
             {CHANGES_CTE}, {_OK_CTE},
             last AS (
               SELECT db, tbl, pk, commit_ts, val, op,

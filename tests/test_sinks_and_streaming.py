@@ -1867,3 +1867,123 @@ def test_sql_apply_stream_relay_recovers_unapplied_window(spark, tmp_path):
     assert jdbc.load_checkpoint(db_dir)[0] == 40
     relay.mark_consistent()            # graceful stop
     assert RelayLog(relay_dir).is_consistent()
+
+
+def test_sql_apply_stream_chaos_crash_ddl_uk_relay(spark, tmp_path):
+    """The composed worst case, randomized: DML with UNIQUE-key
+    free/re-claim chains across DIFFERENT pks, a mid-stream ADD
+    COLUMN, and a crash that loses the source while the un-applied
+    window (INCLUDING the DDL) survives only in the relay WAL. The
+    restart must feed the WAL window back through the identical
+    machinery — DDL barrier, catalog-driven widths, causality-routed
+    workers — before streaming the fresh source, and land exactly on
+    an independent last-writer-wins simulation of every event. Safe
+    mode stays off for the live phases so any UK misordering is a
+    fatal UNIQUE violation, not masked by REPLACE."""
+    import json as jsonlib
+    import random
+    import sqlite3
+
+    from tidb_binlog_spark.operators.safe_mode import SafeModeWindow
+    from tidb_binlog_spark.sinks import jdbc
+    from tidb_binlog_spark.sinks.relay import RelayLog
+
+    rng = random.Random(7_2026)
+    uk_pool = ["KA", "KB", "KC", "KD"]
+    sim: dict = {}                       # pk -> {val, k, c1}
+    held: dict = {}                      # uk value -> pk
+    events = []
+    ts, arrival = 0, 0
+    has_c1 = False
+
+    def emit(op, pk, val, rj):
+        nonlocal ts, arrival
+        ts += rng.randint(1, 3)
+        arrival += 1
+        events.append((arrival, ts, op, pk, val, rj))
+
+    for i in range(90):
+        if i == 45:                      # DDL lands mid-phase-B
+            emit("DDL", 0, 0.0, "ALTER TABLE t ADD COLUMN c1 TEXT")
+            has_c1 = True
+            continue
+        r = rng.random()
+        if sim and r < 0.25:             # delete frees its UK value
+            pk = rng.choice(sorted(sim))
+            k = sim[pk]["k"]
+            emit("D", pk, sim[pk]["val"], jsonlib.dumps({"k": k}))
+            del sim[pk]
+            del held[k]
+        elif sim and r < 0.5:            # update keeps the UK value
+            pk = rng.choice(sorted(sim))
+            val = round(rng.uniform(0, 100), 3)
+            row = {"k": sim[pk]["k"]}
+            if has_c1:
+                row["c1"] = f"u{i}"
+            sim[pk].update(val=val, c1=row.get("c1", sim[pk]["c1"]))
+            emit("U", pk, val, jsonlib.dumps(row))
+        else:                            # insert claims a free UK value
+            free = [k for k in uk_pool if k not in held]
+            pk = rng.choice([p for p in range(1, 13) if p not in sim]
+                            or [99])
+            if not free or pk == 99:
+                continue
+            k = rng.choice(free)         # often a JUST-freed value:
+            held[k] = pk                 # cross-pk causality chain
+            val = round(rng.uniform(0, 100), 3)
+            row = {"k": k}
+            if has_c1:
+                row["c1"] = f"i{i}"
+            sim[pk] = {"val": val, "k": k, "c1": row.get("c1")}
+            emit("I", pk, val, jsonlib.dumps(row))
+
+    ddl_pos = next(j for j, e in enumerate(events) if e[2] == "DDL")
+    a_end = ddl_pos - 5                  # crash window straddles the DDL
+    b_end = ddl_pos + 12
+    phase_a, phase_b, phase_c = (events[:a_end], events[a_end:b_end],
+                                 events[b_end:])
+    assert any(e[2] == "DDL" for e in phase_b)
+
+    db_dir = str(tmp_path / "db")
+    relay_dir = str(tmp_path / "relay")
+    setup = (
+        "CREATE TABLE IF NOT EXISTS t "
+        "(pk INTEGER PRIMARY KEY, val REAL, k TEXT)",
+        "CREATE UNIQUE INDEX IF NOT EXISTS uk_k ON t(k)",
+    )
+    cat = _shared_catalog(db_dir)
+
+    src1 = str(tmp_path / "src1")
+    os.makedirs(src1)
+    _mixed_stream_rows(spark, phase_a).coalesce(1) \
+        .write.mode("append").parquet(src1)
+    q1 = pipeline.run_sql_apply_stream(
+        spark, src1, db_dir, str(tmp_path / "ck1"), num_workers=3,
+        setup_sql=setup, catalog=cat, relay_dir=relay_dir,
+        safe_window=SafeModeWindow(duration_s=0.0))
+    q1.awaitTermination(180)
+
+    # crash: phase B reached the WAL, never the downstream, and no
+    # graceful mark_consistent ran
+    RelayLog(relay_dir).append(_mixed_stream_rows(spark, phase_b))
+    assert not RelayLog(relay_dir).is_consistent()
+
+    src2 = str(tmp_path / "src2")        # original source segments lost
+    os.makedirs(src2)
+    _mixed_stream_rows(spark, phase_c).coalesce(1) \
+        .write.mode("append").parquet(src2)
+    q2 = pipeline.run_sql_apply_stream(
+        spark, src2, db_dir, str(tmp_path / "ck2"), num_workers=3,
+        setup_sql=setup, catalog=cat, relay_dir=relay_dir,
+        safe_window=SafeModeWindow(duration_s=0.0))
+    q2.awaitTermination(180)
+
+    conn = sqlite3.connect(os.path.join(db_dir, jdbc.SHARED_DB_NAME))
+    cols = [r[1] for r in conn.execute("PRAGMA table_info(t)")]
+    assert cols == ["pk", "val", "k", "c1"]
+    got = sorted(conn.execute("SELECT pk, val, k, c1 FROM t").fetchall())
+    conn.close()
+    want = sorted((pk, s["val"], s["k"], s["c1"])
+                  for pk, s in sim.items())
+    assert got == want
+    assert jdbc.load_checkpoint(db_dir)[0] == max(e[1] for e in events)
