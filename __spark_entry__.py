@@ -2904,6 +2904,50 @@ def q_cdc_txn_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordering.ordered_stream(_spark_changes(spark, sf_dir)))
 
 
+def q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal consensus dedup: the MinHash-LSH candidate graph,
+    the SimHash hamming<=6 graph, and the exact n-gram-Jaccard>=0.5
+    graph UNION into one edge set (per-edge signal count = consensus
+    weight), then one connected-components pass labels clusters. The
+    production rationale: single-signal dedup over web corpora either
+    over-merges (LSH false positives) or under-merges (SimHash misses
+    re-orderings); the union graph with signal counts lets a curation
+    run require 2-of-3 agreement before dropping. Each signal is
+    bucketed/banded (never all-pairs); the union adds one small
+    edge-keyed aggregate on top."""
+    from tidb_binlog_spark.cache import managed_persist as _mp
+    docs = _docs(spark, sf_dir)
+    mh_pairs = _mp(dedupfn.minhash_lsh_pairs(docs)
+                   .select("doc_a", "doc_b"))
+    mh = mh_pairs.select("doc_a", "doc_b", F.lit("minhash").alias("sig"))
+    sh = (dedupfn.simhash_pairs(docs)
+          .select("doc_a", "doc_b", F.lit("simhash").alias("sig")))
+    # the Jaccard verifier reuses the materialized LSH candidates —
+    # one signature build serves both signals
+    nj = (dedupfn.ngram_jaccard_pairs(docs, candidates=mh_pairs)
+          .select("doc_a", "doc_b", F.lit("jaccard").alias("sig")))
+    ep = (mh.unionByName(sh).unionByName(nj).distinct()
+          .groupBy("doc_a", "doc_b")
+          .agg(F.countDistinct("sig").alias("n_signals")))
+    from tidb_binlog_spark.cache import managed_persist
+    ep = managed_persist(ep)             # CC + reports reread the edges
+    ek = (ep.selectExpr("doc_a AS txn_id", "CAST(doc_b AS STRING) AS key")
+          .unionByName(ep.selectExpr("doc_b AS txn_id",
+                                     "CAST(doc_b AS STRING) AS key")))
+    members = (causality.causality_groups(ek)
+               .selectExpr("txn_id AS doc_id", "group_id AS cluster_id"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("cluster_id")
+    cmax = (ep.join(members.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .groupBy("cluster_id")
+            .agg(F.max("n_signals").alias("max_edge_signals")))
+    return (members
+            .withColumn("n_members", F.count(F.lit(1)).over(w))
+            .join(cmax, "cluster_id")
+            .select("doc_id", "cluster_id", "n_members",
+                    "max_edge_signals"))
+
+
 def q_cdc_relay_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relay-WAL crash recovery through the REAL file path
     (drainer/relay.go:18-73 feedByRelayLogIfNeed): the ordered stream
@@ -3119,6 +3163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_txn_fanout": q_cdc_txn_fanout,
         "corpus_budget_select": q_corpus_budget_select,
         "cdc_relay_recovery": q_cdc_relay_recovery,
+        "dedup_consensus": q_dedup_consensus,
     }
 
 
@@ -5217,6 +5262,7 @@ def oracle_sql() -> dict[str, str]:
             FROM top JOIN customer ON o_custkey = c_custkey
         """,
         "ann_kmeans_clusters": osql.ANN_KMEANS_CLUSTERS,
+        "dedup_consensus": osql.DEDUP_CONSENSUS,
         "dedup_semantic": osql.DEDUP_SEMANTIC,
         # independent derivation: ONE last-image-wins pass over the
         # whole stream — the split bootstrap+catch-up path must

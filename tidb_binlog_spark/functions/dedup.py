@@ -245,15 +245,21 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
             .dropDuplicates(["doc_a", "doc_b"]))
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                        candidates: DataFrame | None = None) -> DataFrame:
     """Exact word-3-gram Jaccard verification over the banded-LSH
     candidate pairs — the exact-verifier layered on minhash_lsh_pairs.
 
     Candidates come from the banded LSH join (bounded bucket sizes),
     NOT from a single global-minhash bucket: near-duplicate-heavy
     corpora share one global min shingle and would collapse into a
-    single quadratic bucket with one straggler task."""
-    cand = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    single quadratic bucket with one straggler task.
+
+    Pass ``candidates`` (a (doc_a, doc_b) frame) when the LSH pairs
+    are already materialized — multi-signal compositions reuse one
+    signature build instead of recomputing it here."""
+    cand = (candidates if candidates is not None
+            else minhash_lsh_pairs(docs)).select("doc_a", "doc_b")
     sh = managed_persist(with_shingles(docs).select("doc_id", "shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (cand

@@ -1158,3 +1158,70 @@ SELECT m.id AS vec_id, m.cid AS cluster_id,
        dups.dup_id IS NULL AS is_kept
 FROM m LEFT JOIN dups ON m.id = dups.dup_id
 """
+
+
+# multi-signal consensus dedup --------------------------------------------
+
+_SIM_HAMMING = ("len(list_filter(generate_series(1, 64), "
+                "p -> substring(sh_a, p, 1) <> substring(sh_b, p, 1)))")
+
+DEDUP_CONSENSUS = f"""
+WITH RECURSIVE {MINHASH_PAIRS_CTES},
+sth AS (SELECT doc_id, {_TOK_HASHES} AS tok_hashes FROM toks),
+ssh AS (SELECT doc_id, {_SIMHASH} AS simhash FROM sth),
+schunks AS (
+  SELECT doc_id, simhash, c.chunk,
+         substring(simhash, c.chunk * 16 + 1, 16) AS key
+  FROM ssh, (SELECT unnest(generate_series(0, 3)) AS chunk) c),
+spairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM schunks a JOIN schunks b
+    ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id),
+sedges AS (SELECT doc_a, doc_b FROM spairs WHERE {_SIM_HAMMING} <= 6),
+jsc AS (
+  SELECT p.doc_a, p.doc_b, a.shingles AS sh_a, b.shingles AS sh_b
+  FROM pairs p
+  JOIN sh a ON p.doc_a = a.doc_id
+  JOIN sh b ON p.doc_b = b.doc_id),
+jedges AS (
+  SELECT doc_a, doc_b FROM jsc
+  WHERE CAST(len(list_filter(list_distinct(sh_a),
+                 x -> list_contains(sh_b, x))) AS DOUBLE)
+      / CAST(len(list_distinct(sh_a)) + len(list_distinct(sh_b))
+             - len(list_filter(list_distinct(sh_a),
+                   x -> list_contains(sh_b, x))) AS DOUBLE) >= 0.5),
+alledges AS (
+  SELECT doc_a, doc_b, 'minhash' AS sig FROM pairs
+  UNION SELECT doc_a, doc_b, 'simhash' AS sig FROM sedges
+  UNION SELECT doc_a, doc_b, 'jaccard' AS sig FROM jedges),
+-- MATERIALIZED: the recursive CC below re-reads e every
+-- iteration; without the hint DuckDB re-evaluates the whole
+-- signal chain per iteration (~10x blowup)
+ep AS MATERIALIZED (SELECT doc_a, doc_b, COUNT(DISTINCT sig) AS n_signals
+       FROM alledges GROUP BY doc_a, doc_b),
+e0 AS (
+  SELECT doc_a AS txn_id, CAST(doc_b AS STRING) AS key FROM ep
+  UNION ALL
+  SELECT doc_b AS txn_id, CAST(doc_b AS STRING) AS key FROM ep),
+tk AS MATERIALIZED (SELECT DISTINCT txn_id, key FROM e0),
+e AS MATERIALIZED (SELECT DISTINCT a.txn_id AS src, b.txn_id AS dst
+      FROM tk a JOIN tk b ON a.key = b.key),
+r AS (
+  SELECT txn_id, txn_id AS label FROM (SELECT DISTINCT txn_id FROM tk)
+  UNION
+  SELECT e.src AS txn_id, r.label FROM r JOIN e ON e.dst = r.txn_id
+),
+members AS (SELECT txn_id AS doc_id, MIN(label) AS cluster_id
+            FROM r GROUP BY txn_id),
+elab AS (SELECT m.cluster_id, ep.n_signals
+         FROM ep JOIN members m ON ep.doc_a = m.doc_id),
+cmax AS (SELECT cluster_id, MAX(n_signals) AS max_edge_signals
+         FROM elab GROUP BY cluster_id),
+sizes AS (SELECT cluster_id, COUNT(*) AS n_members
+          FROM members GROUP BY cluster_id)
+SELECT m.doc_id, m.cluster_id, s.n_members, c.max_edge_signals
+FROM members m
+JOIN sizes s USING (cluster_id)
+JOIN cmax c USING (cluster_id)
+"""
