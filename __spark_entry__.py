@@ -2904,6 +2904,14 @@ def q_cdc_txn_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordering.ordered_stream(_spark_changes(spark, sf_dir)))
 
 
+def q_cdc_schema_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-version rollout telemetry: per-table version ranges and
+    whether consecutive versions' commit-ts windows interleave — the
+    observable that says the schema-version gate / default back-fill
+    path is live, not dormant."""
+    return telemetry.schema_adoption(_spark_changes(spark, sf_dir))
+
+
 def q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-signal consensus dedup: the MinHash-LSH candidate graph,
     the SimHash hamming<=6 graph, and the exact n-gram-Jaccard>=0.5
@@ -3164,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_budget_select": q_corpus_budget_select,
         "cdc_relay_recovery": q_cdc_relay_recovery,
         "dedup_consensus": q_dedup_consensus,
+        "cdc_schema_adoption": q_cdc_schema_adoption,
     }
 
 
@@ -5292,6 +5301,23 @@ def oracle_sql() -> dict[str, str]:
               FROM ok)
             SELECT db, tbl, pk, commit_ts, val
             FROM last WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_schema_adoption": f"""
+            {CHANGES_CTE},
+            per AS (
+              SELECT db, tbl, schema_version,
+                     COUNT(*) AS n_events,
+                     COUNT(DISTINCT source_id) AS n_sources,
+                     MIN(commit_ts) AS first_ts,
+                     MAX(commit_ts) AS last_ts
+              FROM changes GROUP BY db, tbl, schema_version)
+            SELECT db, tbl, schema_version, n_events, n_sources,
+                   first_ts, last_ts,
+                   COALESCE(LEAD(first_ts) OVER (
+                       PARTITION BY db, tbl
+                       ORDER BY schema_version) < last_ts, FALSE)
+                     AS interleaved
+            FROM per
         """,
         "cdc_txn_fanout": f"""
             {CHANGES_CTE}, {_OK_CTE},

@@ -1493,3 +1493,21 @@ def test_txn_fanout_counts_tables_per_txn(spark):
     assert got[("s0", 2)] == (1, 2, 2)       # the cross-table txn
     assert got[("s0", 1)] == (1, 1, 1)       # ts=20 single-table
     assert got[("s1", 1)] == (1, 1, 1)
+
+
+def test_schema_adoption_flags_interleaved_versions(spark):
+    """v1 and v2 windows overlap (a v1 writer lags behind the DDL) ->
+    v1 flagged interleaved; the last version never is."""
+    from tidb_binlog_spark.operators.telemetry import schema_adoption
+    ch = make_changes(spark, [
+        (1, "s0", 10, "I", 1), (2, "s0", 30, "U", 1),   # v1: ts 10..30
+        (3, "s1", 20, "I", 2), (4, "s1", 40, "U", 2),   # v2: ts 20..40
+    ])
+    ch = ch.withColumn(
+        "schema_version",
+        F.when(F.col("arrival_seq").isin(1, 2), 1).otherwise(2))
+    got = {r["schema_version"]: (r["n_events"], r["first_ts"],
+                                 r["last_ts"], r["interleaved"])
+           for r in schema_adoption(ch).collect()}
+    assert got[1] == (2, 10, 30, True)      # v2 started before v1 ended
+    assert got[2] == (2, 20, 40, False)

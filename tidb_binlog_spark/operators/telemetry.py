@@ -136,3 +136,34 @@ def txn_fanout(changes: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_txns"),
                  F.sum("n_events").alias("n_events"),
                  F.max("n_events").alias("max_txn_events")))
+
+
+def schema_adoption(changes: DataFrame) -> DataFrame:
+    """Schema-version rollout report per table: each version's event
+    count, commit-ts range, and whether its range OVERLAPS the next
+    version's (an interleaved window = writers on both schemas at
+    once — exactly when the schema-version gate and default back-fill
+    (operators/schema_evolution) are load-bearing; reference: the
+    drainer holds multiple schema versions live until the job's
+    commit-ts passes, drainer/schema.go handlePrevSchemas).
+
+    One (db,tbl,version) aggregate + one per-table LEAD window over
+    #versions rows — the heavy lifting is map-side combinable; the
+    window input is tiny.
+    """
+    per = (changes
+           .groupBy("db", "tbl", "schema_version")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("source_id").alias("n_sources"),
+                F.min("commit_ts").alias("first_ts"),
+                F.max("commit_ts").alias("last_ts")))
+    w = (Window.partitionBy("db", "tbl")
+         .orderBy("schema_version"))
+    return (per
+            .withColumn("next_first_ts",
+                        F.lead("first_ts").over(w))
+            .withColumn("interleaved",
+                        F.coalesce(F.col("next_first_ts")
+                                   < F.col("last_ts"), F.lit(False)))
+            .select("db", "tbl", "schema_version", "n_events",
+                    "n_sources", "first_ts", "last_ts", "interleaved"))
