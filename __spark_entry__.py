@@ -2995,6 +2995,29 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   budget_tokens=800, by="source")
 
 
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter (approximate membership for
+    incremental ingest): same new/seen split as dedup_incremental,
+    every 15th new doc carrying an exact copy of a seen doc
+    (guaranteed true hits). The filter is deliberately undersized
+    (m=16384 bits, k=3) so deterministic false positives appear and
+    the audit columns quantify them; no-false-negatives is the
+    property the pipeline relies on."""
+    docs = _docs(spark, sf_dir)
+    shifted = docs.select((F.col("doc_id") - 1).alias("doc_id"),
+                          F.col("text").alias("next_text"))
+    new0 = (docs.join(shifted, "doc_id", "left")
+            .filter(F.col("doc_id") % 3 == 0)
+            .select(
+                "doc_id",
+                F.when((F.col("doc_id") % 15 == 0)
+                       & F.col("next_text").isNotNull(),
+                       F.col("next_text"))
+                 .otherwise(F.col("text")).alias("text")))
+    seen = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    return dedupfn.bloom_membership(new0, seen, m_bits=16384, k_hashes=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # keys. This is DRIVER round 7 (last recorded gate: CORRECTNESS_r06,
@@ -3173,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_relay_recovery": q_cdc_relay_recovery,
         "dedup_consensus": q_dedup_consensus,
         "cdc_schema_adoption": q_cdc_schema_adoption,
+        "dedup_bloom": q_dedup_bloom,
     }
 
 
@@ -5352,5 +5376,44 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, stratum, score_num, n_tokens, cum_tokens
             FROM cum WHERE cum_tokens <= 800
+        """,
+        # bloom positions: int(md5(hash || '#i')[:8]) % m, identical
+        # arithmetic to dedup._bloom_positions (m=16384, k=3 — sized
+        # small on purpose so deterministic false positives appear)
+        "dedup_bloom": """
+            WITH new0 AS (
+              SELECT d.doc_id,
+                CASE WHEN d.doc_id % 15 = 0 AND n.text IS NOT NULL
+                     THEN n.text ELSE d.text END AS text
+              FROM documents d
+              LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+              WHERE d.doc_id % 3 = 0),
+            nh AS (SELECT doc_id, md5(text) AS content_hash FROM new0),
+            shh AS (SELECT DISTINCT md5(text) AS content_hash
+                    FROM documents WHERE doc_id % 3 <> 0),
+            ks AS (SELECT unnest(generate_series(0, 2)) AS i),
+            bits AS (
+              SELECT DISTINCT
+                CAST(concat('0x', substring(md5(concat(content_hash,
+                     '#', CAST(i AS STRING))), 1, 8)) AS BIGINT) % 16384
+                  AS pos
+              FROM shh, ks),
+            probes AS (
+              SELECT doc_id, content_hash,
+                CAST(concat('0x', substring(md5(concat(content_hash,
+                     '#', CAST(i AS STRING))), 1, 8)) AS BIGINT) % 16384
+                  AS pos
+              FROM nh, ks),
+            hits AS (
+              SELECT doc_id, content_hash,
+                     BOOL_AND(pos IN (SELECT pos FROM bits))
+                       AS maybe_seen
+              FROM probes GROUP BY doc_id, content_hash)
+            SELECT doc_id, content_hash, maybe_seen,
+              maybe_seen AND content_hash IN
+                  (SELECT content_hash FROM shh) AS seen_exact,
+              maybe_seen AND content_hash NOT IN
+                  (SELECT content_hash FROM shh) AS false_positive
+            FROM hits
         """,
     }

@@ -1293,3 +1293,30 @@ def test_budget_select_admission_boundary_and_strata(spark):
     assert 4 in rows                     # s2 fills independently
     for r in rows.values():
         assert r["cum_tokens"] <= 10
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    """Every exactly-seen doc MUST be bloom-positive (the property the
+    pre-filter's correctness rests on), and with an undersized filter
+    deterministic false positives appear and are flagged."""
+    seen_texts = [f"seen document number {i} alpha beta" for i in range(40)]
+    new_texts = (seen_texts[:10]          # exact copies -> must hit
+                 + [f"fresh document {i} gamma delta" for i in range(60)])
+    seen = docs_df(spark, seen_texts)
+    new = docs_df(spark, new_texts)
+    # m tiny on purpose: 60 fresh docs x 3 probes over 256 bits
+    out = {r["doc_id"]: r for r in
+           dedup.bloom_membership(new, seen, m_bits=256,
+                                  k_hashes=3).collect()}
+    assert len(out) == 70
+    for i in range(10):                    # copies of seen docs
+        assert out[i]["maybe_seen"] and out[i]["seen_exact"]
+        assert not out[i]["false_positive"]
+    fps = [r for r in out.values() if r["false_positive"]]
+    assert fps, "undersized filter should produce false positives"
+    for r in fps:
+        assert r["maybe_seen"] and not r["seen_exact"]
+    # a rightly-sized filter drives FPs to zero on the same corpus
+    out_big = dedup.bloom_membership(new, seen, m_bits=1 << 20,
+                                     k_hashes=4).collect()
+    assert not [r for r in out_big if r["false_positive"]]

@@ -732,3 +732,12 @@ def test_r7_kmeans_and_selection_plan_contracts(spark):
     p_bc = _plan(qs["cdc_bootstrap_catchup"](spark, SF))
     assert "CartesianProduct" not in p_bc      # 1-row split ts broadcasts
     _assert_windows_partitioned(p_bc)
+
+
+def test_bloom_filter_broadcasts_bit_positions(spark):
+    """The bloom bit-position set (bounded by m_bits, independent of
+    corpus size) must reach the probe join as a broadcast; the new
+    batch must never shuffle for the membership test."""
+    import __spark_entry__ as m
+    plan = _plan(m.queries()["dedup_bloom"](spark, SF))
+    assert "BroadcastHashJoin" in plan

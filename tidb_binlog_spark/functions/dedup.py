@@ -550,3 +550,66 @@ def lsh_calibration(docs: DataFrame, k: int = 12, bands: int = 4,
                      .alias("precision_micro"),
                     F.expr("_jsum DIV n_pairs")
                      .alias("mean_jaccard_micro")))
+
+
+def _bloom_positions(hash_col: str, m_bits: int, k_hashes: int) -> str:
+    """Array of k deterministic Bloom bit positions for a content
+    hash: position_i = int(md5(hash || '#i')[:8 hex]) mod m. Pure
+    md5/conv arithmetic so the DuckDB oracle reproduces every bit."""
+    return ("array(" + ", ".join(
+        f"CAST(conv(substring(md5(concat({hash_col}, '#', '{i}')), 1, 8),"
+        f" 16, 10) AS BIGINT) % {m_bits}"
+        for i in range(k_hashes)) + ")")
+
+
+def bloom_membership(new_docs: DataFrame, seen: DataFrame,
+                     m_bits: int = 1 << 20,
+                     k_hashes: int = 4) -> DataFrame:
+    """Bloom-filter membership pre-filter for incremental ingest: the
+    approximate-membership stage that lets a 100 TB corpus answer
+    "definitely new?" without shuffling itself.
+
+    Build: the seen corpus's content hashes each set k bit positions;
+    the filter is the DISTINCT set of positions (<= m_bits rows — a
+    few MB regardless of corpus size), broadcast to every executor.
+    Probe: a new doc is `maybe_seen` iff ALL k of its positions are
+    set. Only the bloom-positive minority reaches the exact-membership
+    semi-join (the expensive corpus-side lookup incremental_dedup
+    runs); the definitely-new majority skips it entirely — no false
+    negatives by construction, so nothing new is ever misdropped.
+
+    Returns per new doc: (doc_id, content_hash, maybe_seen,
+    seen_exact, false_positive). false_positive quantifies the m/k
+    sizing: expected rate ~= (1 - e^(-k*n/m))^k.
+
+    Scale: the filter build is one map-side-combinable distinct over
+    hashes; the probe is a broadcast join (positions set is bounded by
+    m_bits, independent of corpus size); the exact check touches only
+    bloom-positive rows. Mirrors the reference's checkpoint-membership
+    idea (pump storage dedups binlog items by ts key before sort,
+    pump/storage.go) lifted to corpus scale."""
+    pos = _bloom_positions("content_hash", m_bits, k_hashes)
+    new_h = new_docs.select("doc_id", F.md5("text").alias("content_hash"))
+    seen_h = (seen.select(F.md5("text").alias("content_hash")).distinct())
+    bloom_bits = (seen_h
+                  .select(F.explode(F.expr(pos)).alias("pos")).distinct()
+                  .withColumn("is_set", F.lit(1)))
+    probes = (new_h
+              .select("doc_id", "content_hash",
+                      F.explode(F.expr(pos)).alias("pos")))
+    verdicts = (probes
+                .join(F.broadcast(bloom_bits), "pos", "left")
+                .groupBy("doc_id", "content_hash")
+                .agg((F.sum(F.when(F.col("is_set").isNull(), 1)
+                            .otherwise(0)) == 0).alias("maybe_seen")))
+    # exact check ONLY for bloom-positive rows — the production shape
+    exact_hits = (verdicts.filter(F.col("maybe_seen"))
+                  .join(seen_h, "content_hash", "left_semi")
+                  .select("doc_id").withColumn("hit", F.lit(True)))
+    return (verdicts
+            .join(exact_hits, "doc_id", "left")
+            .select("doc_id", "content_hash", "maybe_seen",
+                    F.coalesce(F.col("hit"), F.lit(False))
+                     .alias("seen_exact"))
+            .withColumn("false_positive",
+                        F.col("maybe_seen") & ~F.col("seen_exact")))
