@@ -2995,6 +2995,13 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   budget_tokens=800, by="source")
 
 
+def q_corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-10 bigram collocations: the boilerplate /
+    tokenizer-merge audit over the documents table (one stratum-keyed
+    count + one partitioned rank window, never a global sort)."""
+    return scoring.ngram_topk(_docs(spark, sf_dir), n=2, k=10)
+
+
 def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership pre-filter (approximate membership for
     incremental ingest): same new/seen split as dedup_incremental,
@@ -3197,6 +3204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_consensus": q_dedup_consensus,
         "cdc_schema_adoption": q_cdc_schema_adoption,
         "dedup_bloom": q_dedup_bloom,
+        "corpus_ngram_topk": q_corpus_ngram_topk,
     }
 
 
@@ -5415,5 +5423,21 @@ def oracle_sql() -> dict[str, str]:
               maybe_seen AND content_hash NOT IN
                   (SELECT content_hash FROM shh) AS false_positive
             FROM hits
+        """,
+        "corpus_ngram_topk": f"""
+            WITH t AS (SELECT source AS stratum, {osql.TOKS} AS toks
+                       FROM documents),
+            g AS (SELECT stratum,
+                    unnest(list_transform(
+                      generate_series(1, len(toks) - 1),
+                      i -> concat_ws(' ', toks[i], toks[i + 1]))) AS gram
+                  FROM t WHERE len(toks) >= 2),
+            c AS (SELECT stratum, gram, COUNT(*) AS cnt
+                  FROM g GROUP BY stratum, gram),
+            r AS (SELECT stratum, gram, cnt,
+                    ROW_NUMBER() OVER (PARTITION BY stratum
+                                       ORDER BY cnt DESC, gram) AS rank
+                  FROM c)
+            SELECT stratum, rank, gram, cnt FROM r WHERE rank <= 10
         """,
     }

@@ -1320,3 +1320,21 @@ def test_bloom_membership_no_false_negatives(spark):
     out_big = dedup.bloom_membership(new, seen, m_bits=1 << 20,
                                      k_hashes=4).collect()
     assert not [r for r in out_big if r["false_positive"]]
+
+
+def test_ngram_topk_counts_and_rank_order(spark):
+    from tidb_binlog_spark.functions.scoring import ngram_topk
+    d = spark.createDataFrame(
+        [(0, "a b a b", "en", "s1", 7), (1, "a b c", "en", "s1", 5),
+         (2, "x y", "en", "s2", 3), (3, "z", "en", "s2", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {(r["stratum"], r["gram"]): (r["rank"], r["cnt"])
+           for r in ngram_topk(d, n=2, k=3).collect()}
+    # s1: "a b" x3 (two in doc0, one in doc1), "b a" x1, "b c" x1
+    assert got[("s1", "a b")] == (1, 3)
+    assert got[("s1", "b a")][1] == 1 and got[("s1", "b c")][1] == 1
+    # tie at cnt=1 breaks lexicographically: "b a" before "b c"
+    assert got[("s1", "b a")][0] == 2 and got[("s1", "b c")][0] == 3
+    # s2: single bigram; the 1-token doc contributes nothing
+    assert got[("s2", "x y")] == (1, 1)
+    assert len([k for k in got if k[0] == "s2"]) == 1

@@ -511,3 +511,32 @@ def hashed_linear_score(docs: DataFrame,
                     F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
                     F.coalesce("score_num", F.lit(0)).alias("score_num"))
             .withColumn("label", F.col("score_num") > 0))
+
+
+def ngram_topk(docs: DataFrame, n: int = 2, k: int = 10,
+               by: str = "source") -> DataFrame:
+    """Per-stratum top-k word n-grams — the collocation report behind
+    boilerplate detection (navigation chrome, license headers) and
+    tokenizer-merge audits; corpus-wide unigram top-k is
+    corpus_token_stats, this is its n>=2, per-source sibling.
+
+    Scale shape: one explode -> one (stratum, gram)-keyed count
+    (map-side combine), then ONE rank window partitioned by the
+    stratum — never a global sort, and the window input is already
+    count-reduced (|vocab| per stratum, not |tokens|). Deterministic
+    gram-lexicographic tiebreak keeps the report replay-stable."""
+    grams = (with_tokens(docs)
+             .select(F.col(by).alias("stratum"),
+                     F.explode(F.expr(
+                         f"CASE WHEN size(toks) >= {n} THEN "
+                         f"transform(sequence(0, size(toks) - {n}), "
+                         f"i -> concat_ws(' ', "
+                         + ", ".join(f"toks[i + {j}]" for j in range(n))
+                         + ")) ELSE array() END")).alias("gram")))
+    counts = (grams.groupBy("stratum", "gram")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("stratum").orderBy(F.desc("cnt"), F.asc("gram"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("stratum", "rank", "gram", "cnt"))
