@@ -2995,6 +2995,22 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   budget_tokens=800, by="source")
 
 
+def q_snapshot_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout report over orders, interleaving
+    (o_custkey, orderdate-day): per would-be-file row counts and
+    BOTH-dimension zone-map spans — the evidence that a z-ordered
+    rewrite lets min/max pruning skip files for customer-keyed AND
+    date-keyed predicates at 100 TB. Pure unrolled bit arithmetic,
+    whole-stage codegen, one small agg."""
+    from tidb_binlog_spark.operators import layout
+    t = load_tables(spark, sf_dir, "orders")
+    df = t["orders"].select(
+        (F.col("o_custkey") % 65536).alias("ck"),
+        (F.expr("datediff(o_orderdate, DATE '1992-01-01')") % 65536)
+         .alias("day"))
+    return layout.zorder_layout_report(df, "ck", "day", file_bits=16)
+
+
 def q_corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source top-10 bigram collocations: the boilerplate /
     tokenizer-merge audit over the documents table (one stratum-keyed
@@ -3205,6 +3221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_adoption": q_cdc_schema_adoption,
         "dedup_bloom": q_dedup_bloom,
         "corpus_ngram_topk": q_corpus_ngram_topk,
+        "snapshot_zorder_layout": q_snapshot_zorder_layout,
     }
 
 
@@ -3294,6 +3311,13 @@ _TFIDF_TOPK_CTE = f"""
                       PARTITION BY query_id
                       ORDER BY dot_milli2 DESC, doc_id) AS rank
                   FROM pairs)"""
+
+
+# DuckDB mirror of operators/layout.zorder_expr (bits=16): even bit
+# positions take ck, odd take day — identical integer arithmetic
+_ZORDER_SQL = "(" + " + ".join(
+    f"(((ck >> {b}) & 1) << {2 * b}) + (((day >> {b}) & 1) << {2 * b + 1})"
+    for b in range(16)) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5439,5 +5463,21 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY cnt DESC, gram) AS rank
                   FROM c)
             SELECT stratum, rank, gram, cnt FROM r WHERE rank <= 10
+        """,
+        "snapshot_zorder_layout": f"""
+            WITH d AS (
+              SELECT o_custkey % 65536 AS ck,
+                     datediff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)) % 65536 AS day
+              FROM orders),
+            z AS (SELECT ck AS xv, day AS yv,
+                         {_ZORDER_SQL} >> 16 AS file_id
+                  FROM d)
+            SELECT file_id, COUNT(*) AS n_rows,
+                   MIN(xv) AS x_min, MAX(xv) AS x_max,
+                   MIN(yv) AS y_min, MAX(yv) AS y_max,
+                   MAX(xv) - MIN(xv) AS x_span,
+                   MAX(yv) - MIN(yv) AS y_span
+            FROM z GROUP BY file_id
         """,
     }

@@ -1511,3 +1511,25 @@ def test_schema_adoption_flags_interleaved_versions(spark):
            for r in schema_adoption(ch).collect()}
     assert got[1] == (2, 10, 30, True)      # v2 started before v1 ended
     assert got[2] == (2, 20, 40, False)
+
+
+def test_zorder_key_interleaves_and_bounds_spans(spark):
+    """zorder_expr: exact Morton interleave on known values; the
+    layout report bounds BOTH dimension spans per file — the zone-map
+    pruning property a single-column sort cannot give."""
+    from tidb_binlog_spark.operators.layout import (zorder_expr,
+                                                    zorder_layout_report)
+    import pyspark.sql.functions as F
+    got = (spark.range(1)
+           .select(F.expr(zorder_expr("5", "3", bits=4)).alias("z"))
+           .first()["z"])
+    # x=5 (0101) on even bits -> 0b00010001; y=3 (0011) on odd bits
+    # -> 0b00001010; interleaved = 0b00011011 = 27
+    assert got == 27
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "xc long, yc long")
+    rep = zorder_layout_report(df, "xc", "yc", bits=6, file_bits=4).collect()
+    assert sum(r["n_rows"] for r in rep) == 64 * 64
+    assert len(rep) == 16
+    for r in rep:   # each of 16 z-range files covers a 16x16 tile
+        assert r["x_span"] <= 15 and r["y_span"] <= 15
