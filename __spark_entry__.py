@@ -2995,6 +2995,27 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   budget_tokens=800, by="source")
 
 
+def q_mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over the multimodal payload
+    column: byte-level dHash through the Arrow mapInPandas decode
+    path, banded 16-bit chunks bounding the candidate join. Every 7th
+    ASCII doc carries an exact copy of the previous doc's payload
+    (guaranteed hamming-0 pairs); naturally similar assets surface
+    with small nonzero hamming."""
+    docs = (_docs(spark, sf_dir)
+            .filter(F.expr(ASCII_ONLY_PRED))
+            .filter(F.length("text") >= 1))
+    prev = docs.select((F.col("doc_id") + 1).alias("doc_id"),
+                       F.col("text").alias("prev_text"))
+    corpus = (docs.join(prev, "doc_id", "left")
+              .select("doc_id",
+                      F.when((F.col("doc_id") % 7 == 0)
+                             & F.col("prev_text").isNotNull(),
+                             F.col("prev_text"))
+                       .otherwise(F.col("text")).alias("text")))
+    return mm.phash_pairs(corpus, max_hamming=4)
+
+
 def q_snapshot_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout report over orders, interleaving
     (o_custkey, orderdate-day): per would-be-file row counts and
@@ -3222,6 +3243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom": q_dedup_bloom,
         "corpus_ngram_topk": q_corpus_ngram_topk,
         "snapshot_zorder_layout": q_snapshot_zorder_layout,
+        "mm_phash_pairs": q_mm_phash_pairs,
     }
 
 
@@ -5480,4 +5502,5 @@ def oracle_sql() -> dict[str, str]:
                    MAX(yv) - MIN(yv) AS y_span
             FROM z GROUP BY file_id
         """,
+        "mm_phash_pairs": osql.MM_PHASH_PAIRS,
     }

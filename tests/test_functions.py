@@ -1338,3 +1338,24 @@ def test_ngram_topk_counts_and_rank_order(spark):
     # s2: single bigram; the 1-token doc contributes nothing
     assert got[("s2", "x y")] == (1, 1)
     assert len([k for k in got if k[0] == "s2"]) == 1
+
+
+def test_phash_exact_copy_and_near_copy(spark):
+    """Byte-identical payloads pair at hamming 0; a lightly-perturbed
+    payload pairs at small nonzero hamming; an unrelated payload with
+    no shared 16-bit chunk never becomes a candidate."""
+    base = "".join(chr(65 + (i * 7) % 26) for i in range(200))
+    near = base[:100] + "z" + base[101:]          # one byte changed
+    rising = "".join(chr(33 + i % 94) for i in range(200))
+    d = docs_df(spark, [base, base, near, rising])
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in multimodal.phash_pairs(d, max_hamming=10).collect()}
+    assert got[(0, 1)] == 0
+    # the single flipped byte sits between dHash grid samples, so the
+    # near copy still pairs, at distance 0..10
+    assert got.get((0, 2), got.get((1, 2), 99)) <= 10
+    assert not [p for p in got if 3 in p]
+    ph = {r["doc_id"]: r["phash"]
+          for r in multimodal.phash_stub(d).collect()}
+    assert len(ph[0]) == 64 and set(ph[0]) <= {"0", "1"}
+    assert ph[0] == ph[1] != ph[3]

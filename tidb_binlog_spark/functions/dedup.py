@@ -205,25 +205,38 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
     Scale shape: the join key is (chunk, 16-bit pattern) — a 4 x 65536
     keyspace, so bucket sizes shrink with corpus diversity instead of
     saturating at 256 buckets the way 8-bit chunks would."""
-    sh = simhash(docs)
-    # the binary string splits into 32-bit words once per doc (widths
-    # derived from SIMHASH_BITS, so a wider fingerprint stays correct);
-    # per-PAIR hamming is then one xor + popcount per word instead of
-    # SIMHASH_BITS substring compares, and the candidate join carries
-    # 8 bytes per word instead of the full character string — at
-    # fixture density (5k docs -> 530k candidates) that per-pair cost
-    # dominates the operator
-    n_words = SIMHASH_BITS // 32
-    n_chunks = SIMHASH_BITS // 16
+    return banded_hamming_pairs(simhash(docs), "simhash",
+                                bits=SIMHASH_BITS,
+                                max_hamming=max_hamming,
+                                max_bucket_size=max_bucket_size)
+
+
+def banded_hamming_pairs(fps: DataFrame, fp_col: str,
+                         bits: int = 64, max_hamming: int = 6,
+                         max_bucket_size: int | None = None) -> DataFrame:
+    """Banded candidate pairing over ANY '0'/'1' fingerprint column
+    (simhash, byte-level phash, ...): docs sharing any 16-bit chunk
+    pair up, filtered to hamming <= max_hamming.
+
+    The binary string splits into 32-bit words once per doc (widths
+    derived from ``bits``, so a wider fingerprint stays correct);
+    per-PAIR hamming is then one xor + popcount per word instead of
+    ``bits`` substring compares, and the candidate join carries
+    8 bytes per word instead of the full character string — at
+    fixture density (5k docs -> 530k candidates) that per-pair cost
+    dominates the operator."""
+    n_words = bits // 32
+    n_chunks = bits // 16
     word_cols = [
-        F.expr(f"CAST(conv(substring(simhash, {i * 32 + 1}, 32), 2, 10) "
+        F.expr(f"CAST(conv(substring({fp_col}, {i * 32 + 1}, 32), 2, 10) "
                f"AS BIGINT)").alias(f"w{i}")
         for i in range(n_words)]
-    chunks = sh.select(
+    chunks = fps.select(
         "doc_id", *word_cols,
         F.explode(F.expr(
             f"transform(sequence(0, {n_chunks - 1}), c -> "
-            "named_struct('chunk', c, 'key', substring(simhash, c * 16 + 1, 16)))"
+            f"named_struct('chunk', c, 'key', "
+            f"substring({fp_col}, c * 16 + 1, 16)))"
         )).alias("ck"))
     chunks = chunks.select("doc_id", *[f"w{i}" for i in range(n_words)],
                            F.col("ck.chunk").alias("chunk"),

@@ -260,3 +260,49 @@ def audio_frame_features_stub(docs: DataFrame,
 
     return as_binary_payload(docs).mapInPandas(
         feats, schema=AUDIO_FRAME_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("phash", T.StringType()),
+])
+
+
+def phash_stub(docs: DataFrame) -> DataFrame:
+    """Perceptual-hash plumbing for image dedup: a 64-bit dHash over
+    the payload bytes, computed vectorized in the Arrow mapInPandas
+    path (where a real pipeline would decode + downscale to a 9x8
+    grayscale grid first; the gradient-sign fingerprint over 65
+    resampled byte positions is the same math on the stub payload).
+    Emitted as a '0'/'1' string so dedup.banded_hamming_pairs — and
+    the DuckDB oracle — consume it exactly like a simhash."""
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(raw)
+                if n == 0:
+                    rows.append((int(doc_id), "0" * 64))
+                    continue
+                # resample to 65 grid points; bit i = sample i > i+1
+                idx = (np.arange(65, dtype=np.int64) * (n - 1)) // 64
+                s = raw[idx].astype(np.int64)
+                bits = (s[:-1] > s[1:]).astype(np.uint8)
+                rows.append((int(doc_id),
+                             "".join("1" if b else "0" for b in bits)))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return as_binary_payload(docs).mapInPandas(hashes, schema=PHASH_SCHEMA)
+
+
+def phash_pairs(docs: DataFrame, max_hamming: int = 6,
+                max_bucket_size: int | None = None) -> DataFrame:
+    """Near-duplicate asset pairs by perceptual hash: the multimodal
+    analog of simhash_pairs — banded 16-bit chunks bound the candidate
+    join (never all-pairs), xor+popcount hamming per candidate."""
+    from .dedup import banded_hamming_pairs
+    return banded_hamming_pairs(phash_stub(docs), "phash",
+                                bits=64, max_hamming=max_hamming,
+                                max_bucket_size=max_bucket_size)

@@ -1225,3 +1225,44 @@ FROM members m
 JOIN sizes s USING (cluster_id)
 JOIN cmax c USING (cluster_id)
 """
+
+
+# byte-level dHash mirror of multimodal.phash_stub over the %7
+# exact-copy injected ASCII corpus (byte == char for 1-byte chars, the
+# same equivalence mm_audio_features relies on)
+MM_PHASH_PAIRS = """
+WITH adocs AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(list_filter(string_split(text, ''), ch -> ascii(ch) > 127)) = 0
+    AND length(text) >= 1),
+corpus AS (
+  SELECT d.doc_id,
+    CASE WHEN d.doc_id % 7 = 0 AND p.text IS NOT NULL
+         THEN p.text ELSE d.text END AS text
+  FROM adocs d LEFT JOIN adocs p ON p.doc_id = d.doc_id - 1),
+codes AS (SELECT doc_id,
+            list_transform(string_split(text, ''), ch -> ascii(ch)) AS cs,
+            length(text) AS n
+          FROM corpus),
+ph AS (SELECT doc_id,
+  array_to_string(list_transform(generate_series(0, 63), i ->
+    CASE WHEN cs[(i * (n - 1)) // 64 + 1] >
+              cs[((i + 1) * (n - 1)) // 64 + 1]
+         THEN '1' ELSE '0' END), '') AS phash
+  FROM codes),
+chunks AS (
+  SELECT doc_id, phash, c.chunk,
+         substring(phash, c.chunk * 16 + 1, 16) AS key
+  FROM ph, (SELECT unnest(generate_series(0, 3)) AS chunk) c),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash AS ph_a, b.phash AS ph_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+  len(list_filter(generate_series(1, 64),
+      p -> substring(ph_a, p, 1) <> substring(ph_b, p, 1))) AS hamming
+FROM pairs
+WHERE len(list_filter(generate_series(1, 64),
+      p -> substring(ph_a, p, 1) <> substring(ph_b, p, 1))) <= 4
+"""
