@@ -2995,6 +2995,35 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   budget_tokens=800, by="source")
 
 
+def q_cdc_checkpoint_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source checkpoint / merge-watermark lag report over the
+    appliable stream — which source holds the k-way merge back, by
+    how much, and how many rows are queued above the watermark."""
+    ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
+    return telemetry.checkpoint_lag(ok)
+
+
+def q_events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window top-k: per 6-hour window, the 3 most frequent
+    event types with counts — the standard streaming-analytics report
+    shape (window + count + per-window rank), batch-expressed. The
+    rank window partitions per time bucket over already-count-reduced
+    rows; never a global sort."""
+    t = load_tables(spark, sf_dir, "events")
+    win_ns = 6 * 3_600_000_000_000
+    bucketed = (t["events"]
+                .select((F.col("ts") - F.pmod(F.col("ts"), F.lit(win_ns)))
+                        .alias("window_start"), "event_type"))
+    counts = (bucketed.groupBy("window_start", "event_type")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("window_start")
+         .orderBy(F.desc("cnt"), F.asc("event_type")))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("window_start", "rank", "event_type", "cnt"))
+
+
 def q_mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup pairs over the multimodal payload
     column: byte-level dHash through the Arrow mapInPandas decode
@@ -3244,6 +3273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_ngram_topk": q_corpus_ngram_topk,
         "snapshot_zorder_layout": q_snapshot_zorder_layout,
         "mm_phash_pairs": q_mm_phash_pairs,
+        "cdc_checkpoint_lag": q_cdc_checkpoint_lag,
+        "events_windowed_topk": q_events_windowed_topk,
     }
 
 
@@ -5503,4 +5534,38 @@ def oracle_sql() -> dict[str, str]:
             FROM z GROUP BY file_id
         """,
         "mm_phash_pairs": osql.MM_PHASH_PAIRS,
+        "cdc_checkpoint_lag": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            per AS (
+              SELECT source_id, MAX(commit_ts) AS checkpoint_ts,
+                     COUNT(*) AS n_ok
+              FROM ok GROUP BY source_id),
+            blocked AS (
+              SELECT source_id, COUNT(*) AS n_blocked
+              FROM ok
+              WHERE commit_ts > (SELECT MIN(checkpoint_ts) FROM per)
+              GROUP BY source_id)
+            SELECT per.source_id, per.checkpoint_ts, per.n_ok,
+                   (SELECT MAX(checkpoint_ts) FROM per)
+                     - per.checkpoint_ts AS lag_ts,
+                   COALESCE(blocked.n_blocked, 0) AS n_blocked
+            FROM per
+            LEFT JOIN blocked ON per.source_id = blocked.source_id
+        """,
+        "events_windowed_topk": """
+            WITH b AS (
+              SELECT epoch_ns(ts) - epoch_ns(ts) % 21600000000000
+                       AS window_start,
+                     event_type
+              FROM events),
+            c AS (SELECT window_start, event_type, COUNT(*) AS cnt
+                  FROM b GROUP BY window_start, event_type),
+            r AS (SELECT window_start, event_type, cnt,
+                    ROW_NUMBER() OVER (PARTITION BY window_start
+                                       ORDER BY cnt DESC, event_type)
+                      AS rank
+                  FROM c)
+            SELECT window_start, rank, event_type, cnt
+            FROM r WHERE rank <= 3
+        """,
     }

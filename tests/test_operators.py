@@ -1533,3 +1533,19 @@ def test_zorder_key_interleaves_and_bounds_spans(spark):
     assert len(rep) == 16
     for r in rep:   # each of 16 z-range files covers a 16x16 tile
         assert r["x_span"] <= 15 and r["y_span"] <= 15
+
+
+def test_checkpoint_lag_blames_the_slow_source(spark):
+    """A source whose checkpoint trails the others shows the lag and
+    every OTHER source's rows above the merge watermark count as
+    blocked (the k-way merge cannot emit past the slowest source)."""
+    from tidb_binlog_spark.operators.telemetry import checkpoint_lag
+    rows = [("fast", 10), ("fast", 50), ("slow", 20), ("fast", 40),
+            ("slow", 30), ("fast", 45)]
+    ok = spark.createDataFrame(rows, "source_id string, commit_ts long")
+    got = {r["source_id"]: r for r in checkpoint_lag(ok).collect()}
+    assert got["slow"]["checkpoint_ts"] == 30
+    assert got["fast"]["lag_ts"] == 0 and got["slow"]["lag_ts"] == 20
+    # watermark = 30: fast has 40,45,50 queued above it; slow has none
+    assert got["fast"]["n_blocked"] == 3
+    assert got["slow"]["n_blocked"] == 0

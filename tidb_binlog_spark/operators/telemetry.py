@@ -167,3 +167,35 @@ def schema_adoption(changes: DataFrame) -> DataFrame:
                                    < F.col("last_ts"), F.lit(False)))
             .select("db", "tbl", "schema_version", "n_events",
                     "n_sources", "first_ts", "last_ts", "interleaved"))
+
+
+def checkpoint_lag(ok: DataFrame) -> DataFrame:
+    """Per-source replication-lag report over the appliable stream:
+    each source's checkpoint (max appliable commit_ts), its lag behind
+    the global high-water mark, and how many of its events sit ABOVE
+    the k-way merge watermark (min checkpoint across sources) — the
+    rows the merged stream cannot emit until the slowest source
+    advances. This is the drainer's pump-window observability
+    (drainer/merge.go latest-ts map; drainer/metrics.go checkpoint
+    tso gauge) as one report: it tells an operator WHICH source is
+    holding the merge back and by how much.
+
+    Shape: one per-source aggregate, then two single-row aggregates
+    (global max / min checkpoint) broadcast back — no second pass
+    over the stream, no window over unpartitioned data."""
+    per = (ok.groupBy("source_id")
+           .agg(F.max("commit_ts").alias("checkpoint_ts"),
+                F.count(F.lit(1)).alias("n_ok")))
+    marks = per.agg(
+        F.max("checkpoint_ts").alias("global_max_ts"),
+        F.min("checkpoint_ts").alias("merge_watermark_ts"))
+    blocked = (ok.crossJoin(F.broadcast(marks))
+               .filter(F.col("commit_ts") > F.col("merge_watermark_ts"))
+               .groupBy("source_id")
+               .agg(F.count(F.lit(1)).alias("n_blocked")))
+    return (per.crossJoin(F.broadcast(marks))
+            .join(blocked, "source_id", "left")
+            .select("source_id", "checkpoint_ts", "n_ok",
+                    (F.col("global_max_ts") - F.col("checkpoint_ts"))
+                     .alias("lag_ts"),
+                    F.coalesce("n_blocked", F.lit(0)).alias("n_blocked")))
