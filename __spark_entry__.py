@@ -2995,6 +2995,14 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   budget_tokens=800, by="source")
 
 
+def q_corpus_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-shingle cardinality: KMV sketch estimate
+    (k=256 smallest md5 hashes — constant state per stratum at any
+    corpus size) next to the exact count, error oracle-checked in
+    ppm because the hashing is deterministic on both engines."""
+    return scoring.kmv_distinct(_docs(spark, sf_dir), k=256)
+
+
 def q_cdc_checkpoint_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source checkpoint / merge-watermark lag report over the
     appliable stream — which source holds the k-way merge back, by
@@ -3275,6 +3283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash_pairs": q_mm_phash_pairs,
         "cdc_checkpoint_lag": q_cdc_checkpoint_lag,
         "events_windowed_topk": q_events_windowed_topk,
+        "corpus_kmv_distinct": q_corpus_kmv_distinct,
     }
 
 
@@ -5567,5 +5576,36 @@ def oracle_sql() -> dict[str, str]:
                   FROM c)
             SELECT window_start, rank, event_type, cnt
             FROM r WHERE rank <= 3
+        """,
+        "corpus_kmv_distinct": f"""
+            WITH toks AS (SELECT doc_id, source, text, {osql.TOKS} AS toks
+                          FROM documents),
+            sh AS (SELECT source AS stratum,
+                          unnest({osql.SHINGLES}) AS shingle
+                   FROM toks),
+            h AS (SELECT DISTINCT stratum,
+                    CAST(concat('0x', substring(md5(shingle), 1, 12))
+                         AS BIGINT) AS h
+                  FROM sh),
+            r AS (SELECT stratum, h,
+                    ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY h)
+                      AS rank
+                  FROM h),
+            sk AS (SELECT stratum, MAX(h) AS kth_hash,
+                          COUNT(*) AS k_used
+                   FROM r WHERE rank <= 256 GROUP BY stratum),
+            ex AS (SELECT stratum, COUNT(*) AS exact_distinct
+                   FROM h GROUP BY stratum),
+            j AS (SELECT sk.stratum, k_used, kth_hash, exact_distinct,
+                    CASE WHEN k_used < 256 THEN exact_distinct
+                         ELSE ((k_used - 1) *
+                               CAST(281474976710656 AS BIGINT))
+                              // kth_hash END AS est_distinct
+                  FROM sk JOIN ex USING (stratum))
+            SELECT stratum, k_used, kth_hash, est_distinct,
+                   exact_distinct,
+                   (abs(est_distinct - exact_distinct) * 1000000)
+                     // exact_distinct AS err_ppm
+            FROM j
         """,
     }

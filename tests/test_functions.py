@@ -1359,3 +1359,23 @@ def test_phash_exact_copy_and_near_copy(spark):
           for r in multimodal.phash_stub(d).collect()}
     assert len(ph[0]) == 64 and set(ph[0]) <= {"0", "1"}
     assert ph[0] == ph[1] != ph[3]
+
+
+def test_kmv_distinct_small_stratum_is_exact_and_big_estimates(spark):
+    from tidb_binlog_spark.functions.scoring import kmv_distinct
+    texts = ([f"alpha beta gamma {i} delta {i % 7}" for i in range(400)]
+             + ["tiny corpus one two three"])
+    rows = ([(i, t, "en", "big", len(t)) for i, t in enumerate(texts[:400])]
+            + [(400, texts[400], "en", "small", 26)])
+    d = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r["stratum"]: r for r in kmv_distinct(d, k=64).collect()}
+    # below k distinct shingles -> the sketch degrades to exact
+    assert got["small"]["k_used"] < 64
+    assert got["small"]["est_distinct"] == got["small"]["exact_distinct"]
+    # above k -> estimate within 30% of truth (k=64 -> ~12% stderr)
+    big = got["big"]
+    assert big["k_used"] == 64
+    assert abs(big["est_distinct"] - big["exact_distinct"]) \
+        <= big["exact_distinct"] * 0.30

@@ -540,3 +540,46 @@ def ngram_topk(docs: DataFrame, n: int = 2, k: int = 10,
     return (counts.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("stratum", "rank", "gram", "cnt"))
+
+
+def kmv_distinct(docs: DataFrame, k: int = 256,
+                 by: str = "source") -> DataFrame:
+    """K-minimum-values cardinality sketch per stratum: estimate the
+    distinct-shingle count from the k smallest md5-derived hash values
+    (est = (k-1) * 2^48 / kth_min — Bar-Yossef et al. 2002), next to
+    the exact count for audit. The sketch is the 100 TB shape: its
+    state is k numbers per stratum regardless of corpus size, merges
+    by union+truncate across partitions/days, and never shuffles the
+    corpus the way COUNT(DISTINCT) must at full key cardinality.
+
+    Deterministic md5 hashing -> both engines compute identical
+    estimates, so even the ERROR is oracle-checked. The rank window
+    runs over already-DISTINCT (stratum, hash) rows."""
+    from pyspark.sql import Window
+    from .dedup import with_shingles
+    sh = (with_shingles(docs.select("doc_id", by, "text"))
+          .select(F.col(by).alias("stratum"),
+                  F.explode("shingles").alias("shingle")))
+    hashed = sh.select(
+        "stratum",
+        F.expr("CAST(conv(substring(md5(shingle), 1, 12), 16, 10) "
+               "AS BIGINT)").alias("h"))
+    d = hashed.distinct()
+    w = Window.partitionBy("stratum").orderBy("h")
+    sketch = (d.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= k)
+              .groupBy("stratum")
+              .agg(F.max("h").alias("kth_hash"),
+                   F.count(F.lit(1)).alias("k_used")))
+    exact = d.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("exact_distinct"))
+    est = ("CASE WHEN k_used < " + str(k) + " THEN exact_distinct "
+           "ELSE ((k_used - 1) * CAST(281474976710656 AS BIGINT)) "
+           "DIV kth_hash END")
+    return (sketch.join(exact, "stratum")
+            .withColumn("est_distinct", F.expr(est))
+            .withColumn("err_ppm",
+                        F.expr("(abs(est_distinct - exact_distinct) "
+                               "* 1000000) DIV exact_distinct"))
+            .select("stratum", "k_used", "kth_hash", "est_distinct",
+                    "exact_distinct", "err_ppm"))
