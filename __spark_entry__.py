@@ -2995,6 +2995,17 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   budget_tokens=800, by="source")
 
 
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling anomaly flags over event values: trailing
+    8-row window, 3-sigma test in squared BIGINT form (milli-quantized
+    values, no sqrt) so the flag itself — not just the inputs — is
+    engine-exact. One per-user rows-frame window."""
+    from tidb_binlog_spark.operators.timeseries import rolling_anomaly
+    t = load_tables(spark, sf_dir, "events")
+    return rolling_anomaly(t["events"], ["user_id"],
+                           ["ts", "event_id"], "value")
+
+
 def q_corpus_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct-shingle cardinality: KMV sketch estimate
     (k=256 smallest md5 hashes — constant state per stratum at any
@@ -3284,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_checkpoint_lag": q_cdc_checkpoint_lag,
         "events_windowed_topk": q_events_windowed_topk,
         "corpus_kmv_distinct": q_corpus_kmv_distinct,
+        "events_anomaly_zscore": q_events_anomaly_zscore,
     }
 
 
@@ -5607,5 +5619,29 @@ def oracle_sql() -> dict[str, str]:
                    (abs(est_distinct - exact_distinct) * 1000000)
                      // exact_distinct AS err_ppm
             FROM j
+        """,
+        "events_anomaly_zscore": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_ns(ts) AS ts,
+                     CAST(floor(value * 1000) AS BIGINT) AS v_milli
+              FROM events),
+            w AS (
+              SELECT user_id, ts, event_id, v_milli,
+                CAST(COUNT(v_milli) OVER win AS BIGINT) AS n_trail,
+                CAST(SUM(v_milli) OVER win AS BIGINT) AS sum_trail,
+                CAST(SUM(v_milli * v_milli) OVER win AS BIGINT)
+                  AS sumsq_trail
+              FROM e
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 8 PRECEDING
+                                      AND 1 PRECEDING))
+            SELECT user_id, ts, event_id, v_milli, n_trail,
+                   sum_trail, sumsq_trail,
+                   n_trail >= 2
+                   AND (n_trail * v_milli - sum_trail)
+                       * (n_trail * v_milli - sum_trail)
+                     > 9 * (n_trail * sumsq_trail
+                            - sum_trail * sum_trail) AS is_anomaly
+            FROM w
         """,
     }

@@ -1549,3 +1549,21 @@ def test_checkpoint_lag_blames_the_slow_source(spark):
     # watermark = 30: fast has 40,45,50 queued above it; slow has none
     assert got["fast"]["n_blocked"] == 3
     assert got["slow"]["n_blocked"] == 0
+
+
+def test_rolling_anomaly_flags_spike_not_noise(spark):
+    from tidb_binlog_spark.operators.timeseries import rolling_anomaly
+    vals = [10.0, 10.1, 9.9, 10.0, 10.1, 9.9, 10.0, 500.0, 10.0]
+    rows = [("u1", i, float(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts double, value double")
+    got = {r["event_id"]: r for r in
+           rolling_anomaly(df, ["user_id"], ["event_id"],
+                           "value").collect()}
+    assert got[7]["is_anomaly"]            # the 500 spike
+    assert not got[0]["is_anomaly"]        # empty trailing frame
+    assert not got[1]["is_anomaly"]        # n_trail == 1 never flags
+    assert not any(got[i]["is_anomaly"] for i in (2, 3, 4, 5, 6))
+    # the row AFTER the spike: the spike inflates trailing variance,
+    # so a normal value is not flagged
+    assert not got[8]["is_anomaly"]

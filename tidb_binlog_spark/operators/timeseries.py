@@ -76,3 +76,44 @@ def cohort_retention(events: DataFrame, user_col: str, ts_col: str,
                      (F.col("_p") - F.col("cohort_period"))
                      .alias("period_offset"))
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def rolling_anomaly(df: DataFrame, keys: list[str],
+                    order_cols: list[str], value_col: str,
+                    trailing_rows: int = 8,
+                    z_threshold: int = 3) -> DataFrame:
+    """Per-key rolling anomaly flags, ENGINE-EXACT: a row is anomalous
+    when its value deviates from the trailing ``trailing_rows`` window
+    mean by more than ``z_threshold`` sample deviations. The z-test is
+    evaluated in squared integer form — values are milli-quantized to
+    BIGINT once, then the comparison
+        (n*x - sum)^2 > z^2 * (n*sumsq - sum^2)
+    is pure BIGINT arithmetic (no sqrt, no float accumulation), so
+    Spark and the DuckDB oracle agree bit-for-bit even on ties.
+
+    Shape: ONE per-key rows-frame window (partitioned, never global);
+    the trailing frame EXCLUDES the current row so a spike can't mask
+    itself. Rows with fewer than 2 trailing samples or zero variance
+    are never flagged (deviation from a constant history is flagged
+    whenever x != mean).
+
+    Overflow bound: |v_milli| <= ~2.9e6 at driver scales; with n <= 8,
+    (n*x - sum)^2 <= (8 * 5.8e6)^2 ~= 2.2e15 << 2^63."""
+    w = (Window.partitionBy(*keys)
+         .orderBy(*[F.col(c) for c in order_cols])
+         .rowsBetween(-trailing_rows, -1))
+    v = F.expr(f"CAST(floor({value_col} * 1000) AS BIGINT)")
+    out = (df
+           .withColumn("v_milli", v)
+           .withColumn("n_trail", F.count("v_milli").over(w))
+           .withColumn("sum_trail", F.sum("v_milli").over(w))
+           .withColumn("sumsq_trail",
+                       F.sum(F.expr("v_milli * v_milli")).over(w)))
+    dev = "(n_trail * v_milli - sum_trail)"
+    var = "(n_trail * sumsq_trail - sum_trail * sum_trail)"
+    flag = (f"n_trail >= 2 AND {dev} * {dev} "
+            f"> {z_threshold * z_threshold} * {var}")
+    return (out.withColumn("is_anomaly", F.expr(flag))
+            .select(*keys, *order_cols,
+                    "v_milli", "n_trail", "sum_trail", "sumsq_trail",
+                    "is_anomaly"))
