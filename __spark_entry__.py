@@ -2995,6 +2995,15 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   budget_tokens=800, by="source")
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed search (FAISS IndexIVFPQ shape): coarse probe
+    -> M-byte-code asymmetric shortlist -> exact re-rank of 15 per
+    query. The full-vector read is confined to the re-rank join."""
+    from tidb_binlog_spark.functions import similarity
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.ivfpq_topk(emb)
+
+
 def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user rolling anomaly flags over event values: trailing
     8-row window, 3-sigma test in squared BIGINT form (milli-quantized
@@ -3296,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_topk": q_events_windowed_topk,
         "corpus_kmv_distinct": q_corpus_kmv_distinct,
         "events_anomaly_zscore": q_events_anomaly_zscore,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
     }
 
 
@@ -5644,4 +5654,5 @@ def oracle_sql() -> dict[str, str]:
                             - sum_trail * sum_trail) AS is_anomaly
             FROM w
         """,
+        "ann_ivfpq_topk": osql.ivfpq_topk_sql(),
     }

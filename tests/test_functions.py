@@ -1379,3 +1379,23 @@ def test_kmv_distinct_small_stratum_is_exact_and_big_estimates(spark):
     assert big["k_used"] == 64
     assert abs(big["est_distinct"] - big["exact_distinct"]) \
         <= big["exact_distinct"] * 0.30
+
+
+def test_ivfpq_recall_vs_exact_and_rerank_scoring(spark):
+    """IVF-PQ returns exact cosines for whatever it returns (the
+    re-rank stage reads true vectors), and with all lists probed and
+    rerank covering the corpus it matches brute force exactly."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    rows = [(int(i), [float(x) for x in rng.randn(64)])
+            for i in range(1, 120)] + [(0, [1.0] * 64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.ivfpq_topk(emb, query_mod=60, k=3, nprobe=4,
+                                centroid_mod=29, rerank=200).collect()
+    exact = {(r["query_id"], r["vec_id"]): r["cosine"]
+             for r in similarity.brute_force_topk(
+                 emb, query_mod=60, k=119).collect()}
+    assert got, "queries must return results"
+    for r in got:
+        # cosine is the EXACT score (not the ADC approximation)
+        assert abs(exact[(r["query_id"], r["vec_id"])] - r["cosine"]) < 1e-12

@@ -490,35 +490,33 @@ FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
 
-def pq_topk_sql(m: int = 8, dims: int = 64, codebook_mod: int = 59,
-                query_mod: int = 100, k: int = 5,
-                codebook_size: int = 16) -> str:
-    """DuckDB mirror of similarity.pq_topk: sampled codebooks, per-
-    subspace argmin encode, reconstruction, asymmetric-distance rank.
-    Folds are list_reduce with a prepended 0.0 (== Spark aggregate
-    with 0.0 init, bit-for-bit)."""
+def _pq_sq_fold(a: str, b: str) -> str:
+    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip({a}, {b}), "
+            f"z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * "
+            f"(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), "
+            f"(acc, v) -> acc + v)")
+
+
+def pq_cte_block(m: int = 8, dims: int = 64, codebook_mod: int = 59,
+                 codebook_size: int = 16) -> str:
+    """The PQ encode CTE chain (``s, cbrows, cbagg, coded, enc``):
+    sampled codebooks, per-subspace argmin encode, reconstruction —
+    shared by pq_topk_sql and the IVF-PQ composition so the two
+    oracles can never diverge on codebook/encode semantics."""
     sub = dims // m
-
-    def sq_fold(a: str, b: str) -> str:
-        return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-                f"list_transform(list_zip({a}, {b}), "
-                f"z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * "
-                f"(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), "
-                f"(acc, v) -> acc + v)")
-
     code_cols = []
     for j in range(m):
         sv = f"embedding[{j * sub + 1} : {j * sub + sub}]"
         dists = (f"list_transform(list_filter(cb, x -> x.j = {j}), "
-                 f"c -> {sq_fold(sv, 'c.codeword')})")
+                 f"c -> {_pq_sq_fold(sv, 'c.codeword')})")
         code_cols.append(
             f"CAST(list_position({dists}, list_min({dists})) - 1 AS INT)"
             f" AS c{j}")
     recon = " || ".join(
         f"list_filter(cb, x -> x.j = {j})[c{j} + 1].codeword"
         for j in range(m))
-    return f"""
-WITH s AS (SELECT vec_id, embedding,
+    return f"""s AS (SELECT vec_id, embedding,
     ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
   FROM (SELECT vec_id, embedding FROM embeddings
         WHERE vec_id % {codebook_mod} = 1
@@ -531,16 +529,82 @@ cbagg AS (SELECT list(struct_pack(j := j, code := code,
                       ORDER BY j, code) AS cb FROM cbrows),
 coded AS (SELECT vec_id, embedding, {', '.join(code_cols)}
   FROM embeddings, cbagg),
-enc AS (SELECT vec_id, ({recon}) AS pq_recon FROM coded, cbagg),
+enc AS (SELECT vec_id, ({recon}) AS pq_recon FROM coded, cbagg)"""
+
+
+def pq_topk_sql(m: int = 8, dims: int = 64, codebook_mod: int = 59,
+                query_mod: int = 100, k: int = 5,
+                codebook_size: int = 16) -> str:
+    """DuckDB mirror of similarity.pq_topk: sampled codebooks, per-
+    subspace argmin encode, reconstruction, asymmetric-distance rank.
+    Folds are list_reduce with a prepended 0.0 (== Spark aggregate
+    with 0.0 init, bit-for-bit)."""
+    return f"""
+WITH {pq_cte_block(m, dims, codebook_mod, codebook_size)},
 q AS (SELECT vec_id AS query_id, embedding AS q_emb
       FROM embeddings WHERE vec_id % {query_mod} = 0),
 scored AS (SELECT q.query_id, e.vec_id,
-    {sq_fold('q.q_emb', 'e.pq_recon')} AS adc_dist
+    {_pq_sq_fold('q.q_emb', 'e.pq_recon')} AS adc_dist
   FROM enc e, q WHERE e.vec_id <> q.query_id),
 ranked AS (SELECT *, ROW_NUMBER() OVER (
     PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) AS rank
   FROM scored)
 SELECT query_id, vec_id, adc_dist, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def ivfpq_topk_sql(m: int = 8, dims: int = 64, codebook_mod: int = 59,
+                   codebook_size: int = 16, centroid_mod: int = 37,
+                   query_mod: int = 100, nprobe: int = 2,
+                   rerank: int = 15, k: int = 5) -> str:
+    """DuckDB mirror of similarity.ivfpq_topk: IVF coarse probe ->
+    PQ asymmetric-distance shortlist -> exact cosine re-rank. Shares
+    pq_cte_block with pq_topk_sql and the probe/assign shapes with
+    ANN_IVF_TOPK."""
+    return f"""
+WITH {pq_cte_block(m, dims, codebook_mod, codebook_size)},
+cents AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id % {centroid_mod} = 1),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY {cosine('e.embedding', 'c.c_emb')} DESC,
+                 c.centroid_id) AS crank
+    FROM embeddings e, cents c) t
+  WHERE crank = 1),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id % {query_mod} = 0),
+probes AS (
+  SELECT query_id, q_emb, centroid_id FROM (
+    SELECT q.query_id, q.q_emb, c.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY {cosine('q.q_emb', 'c.c_emb')} DESC,
+                 c.centroid_id) AS prank
+    FROM q, cents c) t
+  WHERE prank <= {nprobe}),
+adc AS (
+  SELECT p.query_id, p.q_emb, a.vec_id,
+         {_pq_sq_fold('p.q_emb', 'e.pq_recon')} AS adc_dist
+  FROM probes p
+  JOIN assigned a USING (centroid_id)
+  JOIN enc e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id),
+short AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY adc_dist ASC, vec_id ASC) AS adc_rank
+    FROM adc) t
+  WHERE adc_rank <= {rerank}),
+ex AS (
+  SELECT sh.query_id, sh.vec_id, sh.adc_dist,
+         {cosine('sh.q_emb', 'f.embedding')} AS cosine
+  FROM short sh JOIN embeddings f ON f.vec_id = sh.vec_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM ex)
+SELECT query_id, vec_id, adc_dist, cosine, rank FROM r WHERE rank <= {k}
 """
 
 

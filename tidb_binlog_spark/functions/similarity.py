@@ -680,3 +680,72 @@ def semantic_dedup_exact(embeddings: DataFrame, k: int = 10,
     return (asg.join(dups, asg[id_col] == dups["dup_id"], "left")
             .select(F.col(id_col), "cluster_id",
                     F.col("dup_id").isNull().alias("is_kept")))
+
+
+def ivfpq_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
+               nprobe: int = 2, centroid_mod: int = 37,
+               m: int = PQ_M, codebook_mod: int = PQ_CODEBOOK_MOD,
+               codebook_size: int = PQ_CODEBOOK_SIZE,
+               rerank: int = 15,
+               max_list_size: int | None = None) -> DataFrame:
+    """IVF-PQ two-stage ANN — the composition production vector search
+    actually runs at 10^9+ vectors (Jegou et al. PAMI'11; FAISS
+    IndexIVFPQ): the coarse IVF probe bounds candidates to ``nprobe``
+    inverted lists, PQ asymmetric distance ranks those candidates from
+    M-value codes (the corpus's full vectors never travel), and only
+    the top ``rerank`` per query are re-scored exactly.
+
+    Scale: centroids and codebooks broadcast (both fixed-size);
+    candidate volume = nprobe lists (cap with ``max_list_size``);
+    the exact re-rank touches rerank rows per query — the ONLY stage
+    that reads full corpus vectors, via a vec_id-keyed join that
+    partition-prunes at real scale. Three windows, all per-query."""
+    from .dedup import cap_buckets
+    assign = managed_persist(cap_buckets(
+        ivf_assign(embeddings, centroid_mod), ["centroid_id"],
+        max_list_size, order_col="vec_id"))
+    cents = (with_norm(embeddings.filter(
+                 F.col("vec_id") % centroid_mod == 1),
+                 "embedding", "c_norm")
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("embedding").alias("c_emb"), "c_norm"))
+    q = (with_norm(embeddings.filter(F.col("vec_id") % query_mod == 0),
+                   "embedding", "q_norm")
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"), "q_norm"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("p_cos"),
+                                                F.asc("centroid_id"))
+    probes = (q.crossJoin(F.broadcast(cents))
+              .withColumn("p_cos", F.expr(cosine_prenorm_expr(
+                  "q_emb", "c_emb", "q_norm", "c_norm")))
+              .withColumn("prank", F.row_number().over(wq))
+              .filter(F.col("prank") <= nprobe)
+              .select("query_id", "q_emb", "centroid_id"))
+    cb = pq_codebooks(embeddings, m, codebook_mod,
+                      codebook_size=codebook_size)
+    enc = pq_encode(embeddings, cb, m)
+    sq = ("aggregate(zip_with(q_emb, pq_recon, "
+          "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+          "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                                F.asc("vec_id"))
+    shortlist = (probes
+                 .join(assign.select("centroid_id", "vec_id"),
+                       "centroid_id")
+                 .filter(F.col("vec_id") != F.col("query_id"))
+                 .join(enc.select("vec_id", "pq_recon"), "vec_id")
+                 .withColumn("adc_dist", F.expr(sq))
+                 .withColumn("adc_rank", F.row_number().over(wa))
+                 .filter(F.col("adc_rank") <= rerank))
+    exact = (shortlist
+             .join(embeddings.select("vec_id",
+                                     F.col("embedding").alias("c_full")),
+                   "vec_id")
+             .withColumn("cosine", F.expr(cosine_expr("q_emb",
+                                                      "c_full"))))
+    wf = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                F.asc("vec_id"))
+    return (exact.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "adc_dist", "cosine", "rank"))
