@@ -741,3 +741,23 @@ def test_bloom_filter_broadcasts_bit_positions(spark):
     import __spark_entry__ as m
     plan = _plan(m.queries()["dedup_bloom"](spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_r7_session_ops_plan_contracts(spark):
+    """Plan contracts for the r7 session additions: every window
+    carries a partition spec (rank/prefix windows key on their
+    stratum), the IVF-PQ probe/codebook joins broadcast, and the
+    KMV/ngram/topk reports contain no cartesian products."""
+    import __spark_entry__ as m
+    qs = m.queries()
+    for name in ("corpus_ngram_topk", "corpus_kmv_distinct",
+                 "events_windowed_topk", "events_anomaly_zscore",
+                 "cdc_checkpoint_lag"):
+        plan = _plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        _assert_windows_partitioned(plan)
+    ivfpq = _plan(qs["ann_ivfpq_topk"](spark, SF))
+    # centroid probe + PQ codebook + query joins all broadcast; the
+    # only SortMergeJoins allowed are the vec_id-keyed candidate joins
+    assert ivfpq.count("BroadcastHashJoin") + \
+        ivfpq.count("BroadcastNestedLoopJoin") >= 2
