@@ -2995,6 +2995,14 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   budget_tokens=800, by="source")
 
 
+def q_corpus_surprisal_histogram(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-source surprisal histogram (fixed 0.5-nat bins, clamped):
+    the quality-distribution audit behind surprisal-gate choices —
+    map-side combinable, no per-source sort."""
+    return scoring.surprisal_histogram(_docs(spark, sf_dir))
+
+
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed search (FAISS IndexIVFPQ shape): coarse probe
     -> M-byte-code asymmetric shortlist -> exact re-rank of 15 per
@@ -3306,6 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_kmv_distinct": q_corpus_kmv_distinct,
         "events_anomaly_zscore": q_events_anomaly_zscore,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "corpus_surprisal_histogram": q_corpus_surprisal_histogram,
     }
 
 
@@ -5655,4 +5664,20 @@ def oracle_sql() -> dict[str, str]:
             FROM w
         """,
         "ann_ivfpq_topk": osql.ivfpq_topk_sql(),
+        "corpus_surprisal_histogram": f"""
+            WITH base AS ({osql.BIGRAM_SURPRISAL}),
+            j AS (SELECT d.source AS stratum, b.doc_id, b.n_scored,
+                         b.mean_surprisal_micro
+                  FROM base b JOIN documents d USING (doc_id))
+            SELECT stratum,
+                   LEAST(CAST(9 AS BIGINT),
+                         mean_surprisal_micro // 500000) AS bucket,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_scored) AS BIGINT) AS n_scored,
+                   CAST(SUM(mean_surprisal_micro) AS BIGINT)
+                     // COUNT(*) AS mean_of_means_micro,
+                   MIN(mean_surprisal_micro) AS lo_micro,
+                   MAX(mean_surprisal_micro) AS hi_micro
+            FROM j GROUP BY stratum, bucket
+        """,
     }

@@ -583,3 +583,32 @@ def kmv_distinct(docs: DataFrame, k: int = 256,
                                "* 1000000) DIV exact_distinct"))
             .select("stratum", "k_used", "kth_hash", "est_distinct",
                     "exact_distinct", "err_ppm"))
+
+
+def surprisal_histogram(docs: DataFrame, bucket_micro: int = 500_000,
+                        max_bucket: int = 9,
+                        by: str = "source") -> DataFrame:
+    """Per-source quality-distribution report: docs bucketed by mean
+    bigram-LM surprisal into fixed-width bins (0.5-nat wide, clamped
+    to ``max_bucket``) — the histogram a curation run reads before
+    choosing its surprisal gate, per source so a noisy source's tail
+    is visible instead of averaged away.
+
+    Fixed-width bins (not rank deciles) on purpose: deciles need a
+    per-source total order — a straggler sort when one source holds
+    most of the corpus — while this is one map-side-combinable
+    aggregate over per-doc score rows. All-integer (micro-nat
+    quantized scores, integer-division means)."""
+    base = bigram_surprisal(docs)
+    j = base.join(docs.select("doc_id", F.col(by).alias("stratum")),
+                  "doc_id")
+    bucket = F.expr(f"least(CAST({max_bucket} AS BIGINT), "
+                    f"mean_surprisal_micro DIV {bucket_micro})")
+    return (j.withColumn("bucket", bucket)
+            .groupBy("stratum", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_scored").alias("n_scored"),
+                 F.expr("sum(mean_surprisal_micro) DIV count(1)")
+                  .alias("mean_of_means_micro"),
+                 F.min("mean_surprisal_micro").alias("lo_micro"),
+                 F.max("mean_surprisal_micro").alias("hi_micro")))
