@@ -2995,6 +2995,63 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   budget_tokens=800, by="source")
 
 
+def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-6h-window engagement: events, distinct active users, and
+    first-seen (new) users. Two map-side-combinable aggregates — the
+    new-user count reuses each user's min-window row, never a second
+    scan of the stream."""
+    t = load_tables(spark, sf_dir, "events")
+    win_ns = 6 * 3_600_000_000_000
+    b = t["events"].select(
+        (F.col("ts") - F.pmod(F.col("ts"), F.lit(win_ns)))
+         .alias("window_start"), "user_id")
+    per = (b.groupBy("window_start")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users")))
+    first = (b.groupBy("user_id")
+             .agg(F.min("window_start").alias("window_start"))
+             .groupBy("window_start")
+             .agg(F.count(F.lit(1)).alias("n_new_users")))
+    return (per.join(first, "window_start", "left")
+            .select("window_start", "n_events", "n_users",
+                    F.coalesce("n_new_users", F.lit(0))
+                     .alias("n_new_users")))
+
+
+def q_events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot detection by inter-arrival regularity: users whose event
+    gaps are near-constant (squared coefficient of variation below
+    1%, evaluated as 100 * n * (n*sumsq - sum^2) < sum^2 in exact
+    DECIMAL arithmetic — no float variance, no sqrt). One per-user
+    lag window + one per-user aggregate."""
+    t = load_tables(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (t["events"]
+            .select("user_id", "ts", "event_id")
+            .withColumn("prev_ts", F.lag("ts").over(w))
+            .filter(F.col("prev_ts").isNotNull())
+            .select("user_id",
+                    F.expr("(ts - prev_ts) DIV 1000000000")
+                     .alias("gap_s")))
+    # sumsq stays DECIMAL(38,0) internally (gap^2 * n can pass 2^63);
+    # only BIGINT-safe columns are emitted
+    agg = (gaps.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_gaps"),
+                F.sum("gap_s").alias("sum_s"),
+                F.sum(F.expr("CAST(gap_s AS DECIMAL(38,0)) * gap_s"))
+                 .alias("sumsq_s")))
+    dec = "CAST({} AS DECIMAL(38,0))"
+    cv_test = (f"100 * {dec.format('n_gaps')} * "
+               f"({dec.format('n_gaps')} * sumsq_s "
+               f"- {dec.format('sum_s')} * {dec.format('sum_s')}) "
+               f"< {dec.format('sum_s')} * {dec.format('sum_s')}")
+    return (agg.filter(F.col("n_gaps") >= 5)
+            .select("user_id", "n_gaps", "sum_s",
+                    F.expr("sum_s DIV n_gaps").alias("mean_gap_s"),
+                    F.expr(cv_test).alias("is_regular")))
+
+
 def q_corpus_surprisal_histogram(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Per-source surprisal histogram (fixed 0.5-nat bins, clamped):
@@ -3315,6 +3372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_zscore": q_events_anomaly_zscore,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "corpus_surprisal_histogram": q_corpus_surprisal_histogram,
+        "events_active_users": q_events_active_users,
+        "events_bot_regularity": q_events_bot_regularity,
     }
 
 
@@ -5679,5 +5738,45 @@ def oracle_sql() -> dict[str, str]:
                    MIN(mean_surprisal_micro) AS lo_micro,
                    MAX(mean_surprisal_micro) AS hi_micro
             FROM j GROUP BY stratum, bucket
+        """,
+        "events_active_users": """
+            WITH b AS (
+              SELECT epoch_ns(ts) - epoch_ns(ts) % 21600000000000
+                       AS window_start,
+                     user_id
+              FROM events),
+            per AS (SELECT window_start, COUNT(*) AS n_events,
+                           COUNT(DISTINCT user_id) AS n_users
+                    FROM b GROUP BY window_start),
+            fw AS (SELECT user_id, MIN(window_start) AS window_start
+                   FROM b GROUP BY user_id),
+            first AS (SELECT window_start, COUNT(*) AS n_new_users
+                      FROM fw GROUP BY window_start)
+            SELECT per.window_start, per.n_events, per.n_users,
+                   COALESCE(first.n_new_users, 0) AS n_new_users
+            FROM per LEFT JOIN first USING (window_start)
+        """,
+        "events_bot_regularity": """
+            WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns
+                       FROM events),
+            g0 AS (SELECT user_id, ts_ns,
+                     LAG(ts_ns) OVER (PARTITION BY user_id
+                                      ORDER BY ts_ns, event_id)
+                       AS prev_ns
+                   FROM e),
+            g AS (SELECT user_id,
+                         (ts_ns - prev_ns) // 1000000000 AS gap_s
+                  FROM g0 WHERE prev_ns IS NOT NULL),
+            a AS (SELECT user_id, COUNT(*) AS n_gaps,
+                         CAST(SUM(gap_s) AS BIGINT) AS sum_s,
+                         SUM(CAST(gap_s AS HUGEINT) * gap_s) AS sumsq_s
+                  FROM g GROUP BY user_id)
+            SELECT user_id, n_gaps, sum_s,
+                   sum_s // n_gaps AS mean_gap_s,
+                   100 * CAST(n_gaps AS HUGEINT)
+                     * (n_gaps * sumsq_s
+                        - CAST(sum_s AS HUGEINT) * sum_s)
+                     < CAST(sum_s AS HUGEINT) * sum_s AS is_regular
+            FROM a WHERE n_gaps >= 5
         """,
     }
