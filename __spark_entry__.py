@@ -2995,6 +2995,27 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   budget_tokens=800, by="source")
 
 
+def q_snapshot_diff_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fix-SQL over the orders sync-diff: DELETE the extra downstream
+    rows, REPLACE the missing/changed ones with the upstream image —
+    the statement files a diff run hands back to the operator. Values
+    render via DECIMAL casts / escaped literals so the statement TEXT
+    is engine-stable and hash-checked."""
+    from tidb_binlog_spark.sinks.sqlgen import _escape_str_lit
+    diff = q_snapshot_diff_orders(spark, sf_dir)
+    rendered = diff.select(
+        F.col("o_orderkey").cast("string").alias("o_orderkey"),
+        "diff_status",
+        _escape_str_lit(F.col("src_o_orderstatus"))
+            .alias("src_o_orderstatus"),
+        F.expr("CAST(CAST(src_o_totalprice AS DECIMAL(18,2)) AS STRING)")
+            .alias("src_o_totalprice"))
+    out = cksum.repair_sql(rendered, "`orders`", ["o_orderkey"],
+                           ["o_orderstatus", "o_totalprice"])
+    return out.select(F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                      "diff_status", "repair_sql")
+
+
 def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-6h-window engagement: events, distinct active users, and
     first-seen (new) users. Two map-side-combinable aggregates — the
@@ -3374,6 +3395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_surprisal_histogram": q_corpus_surprisal_histogram,
         "events_active_users": q_events_active_users,
         "events_bot_regularity": q_events_bot_regularity,
+        "snapshot_diff_repair": q_snapshot_diff_repair,
     }
 
 
@@ -5778,5 +5800,44 @@ def oracle_sql() -> dict[str, str]:
                         - CAST(sum_s AS HUGEINT) * sum_s)
                      < CAST(sum_s AS HUGEINT) * sum_s AS is_regular
             FROM a WHERE n_gaps >= 5
+        """,
+        "snapshot_diff_repair": """
+            WITH src AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                         FROM orders),
+            kept AS (SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice
+                     FROM src WHERE o_orderkey % 89 <> 0),
+            extra AS (SELECT o_orderkey + 10000000 AS o_orderkey,
+                             o_orderstatus, o_totalprice
+                      FROM src WHERE o_orderkey % 83 = 0),
+            dst AS (SELECT * FROM kept UNION ALL SELECT * FROM extra),
+            j AS (
+              SELECT COALESCE(s.o_orderkey, d.o_orderkey) AS o_orderkey,
+                CASE WHEN d.o_orderkey IS NULL THEN 'only_src'
+                     WHEN s.o_orderkey IS NULL THEN 'only_dst'
+                     WHEN s.o_orderstatus IS DISTINCT FROM d.o_orderstatus
+                       OR s.o_totalprice IS DISTINCT FROM d.o_totalprice
+                       THEN 'changed' END AS diff_status,
+                s.o_orderstatus AS src_o_orderstatus,
+                s.o_totalprice  AS src_o_totalprice
+              FROM src s FULL OUTER JOIN dst d
+                ON s.o_orderkey = d.o_orderkey),
+            d2 AS (SELECT * FROM j WHERE diff_status IS NOT NULL)
+            SELECT o_orderkey, diff_status,
+              CASE WHEN diff_status = 'only_dst'
+                THEN 'DELETE FROM `orders` WHERE `o_orderkey` = '
+                     || CAST(o_orderkey AS STRING) || ' LIMIT 1'
+                ELSE 'REPLACE INTO `orders`(`o_orderkey`, '
+                     || '`o_orderstatus`, `o_totalprice`) VALUES('
+                     || CAST(o_orderkey AS STRING) || ', '
+                     || '''' || replace(replace(src_o_orderstatus,
+                            '\\', '\\\\'), '''', '''''') || ''''
+                     || ', '
+                     || CAST(CAST(src_o_totalprice AS DECIMAL(18,2))
+                             AS STRING)
+                     || ')'
+              END AS repair_sql
+            FROM d2
         """,
     }

@@ -1399,3 +1399,19 @@ def test_ivfpq_recall_vs_exact_and_rerank_scoring(spark):
     for r in got:
         # cosine is the EXACT score (not the ADC approximation)
         assert abs(exact[(r["query_id"], r["vec_id"])] - r["cosine"]) < 1e-12
+
+
+def test_repair_sql_statement_shapes(spark):
+    import pyspark.sql.functions as F
+    from tidb_binlog_spark.functions.checksum import repair_sql
+    diff = spark.createDataFrame(
+        [("1", "only_src", "'A'", "10.00"),
+         ("2", "only_dst", None, None),
+         ("3", "changed", "'B''s'", "20.50")],
+        "k string, diff_status string, src_v1 string, src_v2 string")
+    got = {r["k"]: r["repair_sql"] for r in
+           repair_sql(diff, "`t`", ["k"], ["v1", "v2"]).collect()}
+    assert got["1"] == "REPLACE INTO `t`(`k`, `v1`, `v2`) VALUES(1, 'A', 10.00)"
+    assert got["2"] == "DELETE FROM `t` WHERE `k` = 2 LIMIT 1"
+    assert got["3"] == ("REPLACE INTO `t`(`k`, `v1`, `v2`) "
+                        "VALUES(3, 'B''s', 20.50)")

@@ -136,3 +136,37 @@ def diff_drilldown(src: DataFrame, dst: DataFrame,
     s2 = with_bucket(src).join(F.broadcast(mism), "bucket", "left_semi")
     d2 = with_bucket(dst).join(F.broadcast(mism), "bucket", "left_semi")
     return snapshot_diff(s2, d2, ["bucket"] + key_cols, value_cols)
+
+
+def repair_sql(diff: DataFrame, table: str, key_cols: list[str],
+               value_cols: list[str]) -> DataFrame:
+    """Fix-SQL generation over a snapshot_diff frame — the step after
+    the diff that sync tooling actually ships (sync-diff's fix-sql
+    files; the loader's REPLACE upsert shape, pkg/loader/model.go):
+      only_dst  -> DELETE ... WHERE pk LIMIT 1   (extra downstream row)
+      only_src / changed -> REPLACE INTO (the upstream image wins)
+
+    Key and value columns must arrive PRE-RENDERED as SQL literal
+    strings (caller chooses the exact rendering per type — e.g.
+    DECIMAL casts for floats so the text is engine-stable, quoted +
+    escaped for strings). Statement text is built as a column (pure
+    concat projection, zero shuffle beyond the diff itself), so a
+    JDBC writer executes partitions without collecting to the driver.
+    """
+    from ..sinks.sqlgen import _q
+    cols_sql = ", ".join(_q(c) for c in (key_cols + value_cols))
+    vals = F.concat_ws(
+        ", ", *[F.col(c) for c in key_cols],
+        *[F.col(f"src_{c}") for c in value_cols])
+    where = F.concat_ws(
+        " AND ", *[F.concat(F.lit(f"{_q(c)} = "), F.col(c))
+                   for c in key_cols])
+    replace_stmt = F.concat(
+        F.lit(f"REPLACE INTO {table}({cols_sql}) VALUES("),
+        vals, F.lit(")"))
+    delete_stmt = F.concat(F.lit(f"DELETE FROM {table} WHERE "),
+                           where, F.lit(" LIMIT 1"))
+    stmt = (F.when(F.col("diff_status") == "only_dst", delete_stmt)
+             .otherwise(replace_stmt))
+    return diff.select(*key_cols, "diff_status",
+                       stmt.alias("repair_sql"))
