@@ -2995,6 +2995,16 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   budget_tokens=800, by="source")
 
 
+def q_corpus_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate threshold sweep: docs/tokens surviving each
+    candidate classifier threshold, from ONE corpus pass (the
+    pick-the-gate audit; re-running the pipeline per candidate is the
+    anti-pattern). Cumulative window runs over n_bins aggregated rows
+    only."""
+    from tidb_binlog_spark.functions import curation
+    return curation.gate_sweep(_docs(spark, sf_dir))
+
+
 def q_snapshot_diff_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fix-SQL over the orders sync-diff: DELETE the extra downstream
     rows, REPLACE the missing/changed ones with the upstream image —
@@ -3396,6 +3406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_active_users": q_events_active_users,
         "events_bot_regularity": q_events_bot_regularity,
         "snapshot_diff_repair": q_snapshot_diff_repair,
+        "corpus_gate_sweep": q_corpus_gate_sweep,
     }
 
 
@@ -5839,5 +5850,34 @@ def oracle_sql() -> dict[str, str]:
                      || ')'
               END AS repair_sql
             FROM d2
+        """,
+        "corpus_gate_sweep": f"""
+            WITH t AS (SELECT doc_id, {osql.TOKS} AS toks FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            per AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                      CAST(SUM(CAST(concat('0x', substring(md5(tok), 1, 8))
+                                    AS BIGINT) % 2001 - 1000) AS BIGINT)
+                        AS score_num
+                    FROM tok GROUP BY doc_id),
+            scored AS (
+              SELECT d.doc_id,
+                     COALESCE(per.n_tokens, 0) AS n_tokens,
+                     COALESCE(per.score_num, 0) AS score_num
+              FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id),
+            binned AS (
+              SELECT GREATEST(CAST(0 AS BIGINT),
+                       LEAST(CAST(9 AS BIGINT), score_num // 200))
+                       AS bin,
+                     n_tokens
+              FROM scored),
+            agg AS (SELECT bin, COUNT(*) AS n_docs,
+                           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+                    FROM binned GROUP BY bin)
+            SELECT bin * 200 AS threshold, n_docs, n_tokens,
+              CAST(SUM(n_docs) OVER (ORDER BY bin DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs_kept,
+              CAST(SUM(n_tokens) OVER (ORDER BY bin DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_kept
+            FROM agg
         """,
     }

@@ -1415,3 +1415,16 @@ def test_repair_sql_statement_shapes(spark):
     assert got["2"] == "DELETE FROM `t` WHERE `k` = 2 LIMIT 1"
     assert got["3"] == ("REPLACE INTO `t`(`k`, `v1`, `v2`) "
                         "VALUES(3, 'B''s', 20.50)")
+
+
+def test_gate_sweep_monotone_and_total(spark):
+    """docs_kept/tokens_kept are non-increasing in threshold and the
+    lowest threshold keeps the whole corpus."""
+    from tidb_binlog_spark.functions.curation import gate_sweep
+    d = docs_df(spark, [f"word{i} filler text number {i}" for i in range(60)])
+    rows = sorted(gate_sweep(d).collect(), key=lambda r: r["threshold"])
+    assert rows[0]["docs_kept"] == 60
+    kept = [r["docs_kept"] for r in rows]
+    assert kept == sorted(kept, reverse=True)
+    toks = [r["tokens_kept"] for r in rows]
+    assert toks == sorted(toks, reverse=True)

@@ -744,3 +744,37 @@ def budget_select(docs: DataFrame, budget_tokens: int = 2_000,
             .filter(F.col("cum_tokens") <= budget_tokens)
             .select("doc_id", "stratum", "score_num", "n_tokens",
                     "cum_tokens"))
+
+
+def gate_sweep(docs: DataFrame, n_bins: int = 10,
+               bin_width: int = 200) -> DataFrame:
+    """Threshold-sweep curve for a quality gate: for each candidate
+    classifier threshold, how many docs and tokens survive — the
+    audit a curation run reads BEFORE fixing its gate (one pass, every
+    threshold at once, instead of re-running the pipeline per
+    candidate).
+
+    Scores come from the hashed linear classifier (swap in a learned
+    model without changing the plan); thresholds are fixed-width bins
+    clamped to [0, n_bins-1]. Shape: one score pass + one tiny
+    (n_bins-row) aggregate + ONE cumulative window over those n_bins
+    rows — the corpus is scanned once, the sweep itself is free."""
+    from pyspark.sql import Window
+    from .scoring import hashed_linear_score
+    scored = hashed_linear_score(docs)
+    binned = scored.withColumn(
+        "bin", F.expr(f"greatest(CAST(0 AS BIGINT), least("
+                      f"CAST({n_bins - 1} AS BIGINT), "
+                      f"score_num DIV {bin_width}))"))
+    per = (binned.groupBy("bin")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens")))
+    # survivors at threshold t = docs in bins >= t: a suffix sum over
+    # the n_bins aggregated rows (unpartitioned window over <= n_bins
+    # rows — never data-sized)
+    w = (Window.orderBy(F.desc("bin"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (per.withColumn("docs_kept", F.sum("n_docs").over(w))
+            .withColumn("tokens_kept", F.sum("n_tokens").over(w))
+            .select(F.expr(f"bin * {bin_width}").alias("threshold"),
+                    "n_docs", "n_tokens", "docs_kept", "tokens_kept"))
