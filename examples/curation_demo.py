@@ -56,6 +56,26 @@ def main() -> int:
     n_exact = canon.count()
     assert n_exact <= n_gated
 
+    # 2a'. incremental ingest with a Bloom pre-filter: "tomorrow's"
+    # batch probes "today's" filter; only bloom-positive docs pay the
+    # exact membership join. Admission must EQUAL the plain anti-join
+    # (a Bloom filter has no false negatives), with the filter itself
+    # a broadcast-sized position set at any corpus size.
+    day1 = canon.filter(F.col("doc_id") % 2 == 0)
+    day2 = canon.filter(F.col("doc_id") % 2 == 1)
+    verdicts = dedup.bloom_membership(day2, day1,
+                                      m_bits=1 << 16, k_hashes=4)
+    admitted = verdicts.filter(~F.col("seen_exact")).select("doc_id")
+    plain = (day2.select("doc_id", F.md5("text").alias("h"))
+             .join(day1.select(F.md5("text").alias("h")).distinct(),
+                   "h", "left_anti").select("doc_id"))
+    assert admitted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(admitted).count() == 0
+    n_fp = verdicts.filter(F.col("false_positive")).count()
+    n_skip = verdicts.filter(~F.col("maybe_seen")).count()
+    print(f"bloom ingest: {n_skip} definitely-new skipped the exact "
+          f"join, {n_fp} false positives paid it needlessly")
+
     # 2b. line-level boilerplate removal (does not drop docs;
     # clean_text becomes the working text, source rides along)
     cleaned = (curation.line_dedup(canon)
