@@ -3051,36 +3051,11 @@ def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bot detection by inter-arrival regularity: users whose event
-    gaps are near-constant (squared coefficient of variation below
-    1%, evaluated as 100 * n * (n*sumsq - sum^2) < sum^2 in exact
-    DECIMAL arithmetic — no float variance, no sqrt). One per-user
-    lag window + one per-user aggregate."""
+    gaps are near-constant — population CV^2 below 1%, exact integer
+    test 100 * (n*sumsq - sum^2) < sum^2 (telemetry.
+    interarrival_regularity). One per-user lag window + aggregate."""
     t = load_tables(spark, sf_dir, "events")
-    from pyspark.sql import Window
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = (t["events"]
-            .select("user_id", "ts", "event_id")
-            .withColumn("prev_ts", F.lag("ts").over(w))
-            .filter(F.col("prev_ts").isNotNull())
-            .select("user_id",
-                    F.expr("(ts - prev_ts) DIV 1000000000")
-                     .alias("gap_s")))
-    # sumsq stays DECIMAL(38,0) internally (gap^2 * n can pass 2^63);
-    # only BIGINT-safe columns are emitted
-    agg = (gaps.groupBy("user_id")
-           .agg(F.count(F.lit(1)).alias("n_gaps"),
-                F.sum("gap_s").alias("sum_s"),
-                F.sum(F.expr("CAST(gap_s AS DECIMAL(38,0)) * gap_s"))
-                 .alias("sumsq_s")))
-    dec = "CAST({} AS DECIMAL(38,0))"
-    cv_test = (f"100 * {dec.format('n_gaps')} * "
-               f"({dec.format('n_gaps')} * sumsq_s "
-               f"- {dec.format('sum_s')} * {dec.format('sum_s')}) "
-               f"< {dec.format('sum_s')} * {dec.format('sum_s')}")
-    return (agg.filter(F.col("n_gaps") >= 5)
-            .select("user_id", "n_gaps", "sum_s",
-                    F.expr("sum_s DIV n_gaps").alias("mean_gap_s"),
-                    F.expr(cv_test).alias("is_regular")))
+    return telemetry.interarrival_regularity(t["events"])
 
 
 def q_corpus_surprisal_histogram(spark: SparkSession,
@@ -5806,9 +5781,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM g GROUP BY user_id)
             SELECT user_id, n_gaps, sum_s,
                    sum_s // n_gaps AS mean_gap_s,
-                   100 * CAST(n_gaps AS HUGEINT)
-                     * (n_gaps * sumsq_s
-                        - CAST(sum_s AS HUGEINT) * sum_s)
+                   100 * (CAST(n_gaps AS HUGEINT) * sumsq_s
+                          - CAST(sum_s AS HUGEINT) * sum_s)
                      < CAST(sum_s AS HUGEINT) * sum_s AS is_regular
             FROM a WHERE n_gaps >= 5
         """,

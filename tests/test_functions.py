@@ -1390,15 +1390,19 @@ def test_ivfpq_recall_vs_exact_and_rerank_scoring(spark):
     rows = [(int(i), [float(x) for x in rng.randn(64)])
             for i in range(1, 120)] + [(0, [1.0] * 64)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    got = similarity.ivfpq_topk(emb, query_mod=60, k=3, nprobe=4,
+    # 5 centroids (vec_id % 29 == 1 over 0..119); nprobe=5 probes ALL
+    # lists and rerank=200 exceeds the corpus, so the two-stage search
+    # must return EXACTLY the brute-force top-k
+    got = similarity.ivfpq_topk(emb, query_mod=60, k=3, nprobe=5,
                                 centroid_mod=29, rerank=200).collect()
-    exact = {(r["query_id"], r["vec_id"]): r["cosine"]
-             for r in similarity.brute_force_topk(
-                 emb, query_mod=60, k=119).collect()}
+    bf = similarity.brute_force_topk(emb, query_mod=60, k=119).collect()
+    exact = {(r["query_id"], r["vec_id"]): r["cosine"] for r in bf}
     assert got, "queries must return results"
     for r in got:
         # cosine is the EXACT score (not the ADC approximation)
         assert abs(exact[(r["query_id"], r["vec_id"])] - r["cosine"]) < 1e-12
+    top3 = {(r["query_id"], r["vec_id"]) for r in bf if r["rank"] <= 3}
+    assert {(r["query_id"], r["vec_id"]) for r in got} == top3
 
 
 def test_repair_sql_statement_shapes(spark):

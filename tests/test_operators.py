@@ -1570,10 +1570,13 @@ def test_rolling_anomaly_flags_spike_not_noise(spark):
 
 
 def test_bot_regularity_flags_metronome_not_human(spark):
-    """A metronome user (constant gaps) is flagged; a user with
-    varied gaps is not; users under 5 gaps are excluded."""
-    import __spark_entry__ as m
-    import pyspark.sql.functions as F
+    """The PRODUCTION operator (telemetry.interarrival_regularity)
+    flags a metronome AND a lightly-jittered long-lived bot (CV^2 is
+    n-independent — the flag must not get stricter as n grows); a
+    human with wild gaps is not flagged; keys under 5 gaps are
+    excluded."""
+    from tidb_binlog_spark.operators.telemetry import (
+        interarrival_regularity)
     rows = []
     for i in range(10):                       # bot: exactly 60s apart
         rows.append((1, i, i * 60_000_000_000))
@@ -1583,24 +1586,14 @@ def test_bot_regularity_flags_metronome_not_human(spark):
         t += g * 1_000_000_000
         rows.append((2, 100 + i, t))
     rows += [(3, 200, 0), (3, 201, 1_000_000_000)]   # too few gaps
+    t = 0
+    for i in range(40):                       # jittered bot: 57s/63s
+        t += (57 if i % 2 == 0 else 63) * 1_000_000_000
+        rows.append((4, 300 + i, t))          # CV^2 = 0.25% < 1%
     df = spark.createDataFrame(rows, "user_id long, event_id long, ts long")
-    from pyspark.sql import Window
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = (df.withColumn("prev_ts", F.lag("ts").over(w))
-            .filter(F.col("prev_ts").isNotNull())
-            .select("user_id",
-                    F.expr("(ts - prev_ts) DIV 1000000000").alias("gap_s")))
-    agg = (gaps.groupBy("user_id")
-           .agg(F.count(F.lit(1)).alias("n_gaps"),
-                F.sum("gap_s").alias("sum_s"),
-                F.sum(F.expr("CAST(gap_s AS DECIMAL(38,0)) * gap_s"))
-                 .alias("sumsq_s")))
-    cv = ("100 * CAST(n_gaps AS DECIMAL(38,0)) * "
-          "(CAST(n_gaps AS DECIMAL(38,0)) * sumsq_s "
-          "- CAST(sum_s AS DECIMAL(38,0)) * CAST(sum_s AS DECIMAL(38,0)))"
-          " < CAST(sum_s AS DECIMAL(38,0)) * CAST(sum_s AS DECIMAL(38,0))")
-    got = {r["user_id"]: r for r in
-           (agg.filter(F.col("n_gaps") >= 5)
-            .withColumn("is_regular", F.expr(cv)).collect())}
-    assert got[1]["is_regular"] and not got[2]["is_regular"]
+    got = {r["user_id"]: r for r in interarrival_regularity(df).collect()}
+    assert got[1]["is_regular"]
+    assert got[4]["is_regular"], "n-grown jittered bot must stay flagged"
+    assert not got[2]["is_regular"]
     assert 3 not in got
+    assert got[1]["mean_gap_s"] == 60 and got[1]["n_gaps"] == 9

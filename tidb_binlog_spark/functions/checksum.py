@@ -155,9 +155,13 @@ def repair_sql(diff: DataFrame, table: str, key_cols: list[str],
     """
     from ..sinks.sqlgen import _q
     cols_sql = ", ".join(_q(c) for c in (key_cols + value_cols))
+    # NULL-rendered values become the literal NULL — concat_ws would
+    # silently DROP them and misalign the VALUES arity (same trap
+    # diff_drilldown documents; sqlgen.generate_sql coalesces too)
     vals = F.concat_ws(
         ", ", *[F.col(c) for c in key_cols],
-        *[F.col(f"src_{c}") for c in value_cols])
+        *[F.coalesce(F.col(f"src_{c}"), F.lit("NULL"))
+          for c in value_cols])
     where = F.concat_ws(
         " AND ", *[F.concat(F.lit(f"{_q(c)} = "), F.col(c))
                    for c in key_cols])

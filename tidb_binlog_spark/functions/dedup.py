@@ -603,18 +603,23 @@ def bloom_membership(new_docs: DataFrame, seen: DataFrame,
     pump/storage.go) lifted to corpus scale."""
     pos = _bloom_positions("content_hash", m_bits, k_hashes)
     new_h = new_docs.select("doc_id", F.md5("text").alias("content_hash"))
-    seen_h = (seen.select(F.md5("text").alias("content_hash")).distinct())
+    # seen_h feeds the filter build AND the exact semi-join; verdicts
+    # feeds the exact check AND the final join — persist both so the
+    # corpus is hashed once and the probe aggregate runs once
+    seen_h = managed_persist(
+        seen.select(F.md5("text").alias("content_hash")).distinct())
     bloom_bits = (seen_h
                   .select(F.explode(F.expr(pos)).alias("pos")).distinct()
                   .withColumn("is_set", F.lit(1)))
     probes = (new_h
               .select("doc_id", "content_hash",
                       F.explode(F.expr(pos)).alias("pos")))
-    verdicts = (probes
-                .join(F.broadcast(bloom_bits), "pos", "left")
-                .groupBy("doc_id", "content_hash")
-                .agg((F.sum(F.when(F.col("is_set").isNull(), 1)
-                            .otherwise(0)) == 0).alias("maybe_seen")))
+    verdicts = managed_persist(
+        probes
+        .join(F.broadcast(bloom_bits), "pos", "left")
+        .groupBy("doc_id", "content_hash")
+        .agg((F.sum(F.when(F.col("is_set").isNull(), 1)
+                    .otherwise(0)) == 0).alias("maybe_seen")))
     # exact check ONLY for bloom-positive rows — the production shape
     exact_hits = (verdicts.filter(F.col("maybe_seen"))
                   .join(seen_h, "content_hash", "left_semi")

@@ -180,9 +180,14 @@ def checkpoint_lag(ok: DataFrame) -> DataFrame:
     tso gauge) as one report: it tells an operator WHICH source is
     holding the merge back and by how much.
 
-    Shape: one per-source aggregate, then two single-row aggregates
-    (global max / min checkpoint) broadcast back — no second pass
-    over the stream, no window over unpartitioned data."""
+    Shape: the appliable stream persists once (it is typically an
+    order-gate window pipeline — without the persist the blocked
+    recount would re-run that whole lineage), then one per-source
+    aggregate, two single-row aggregates (global max / min
+    checkpoint) broadcast back, and one filtered recount over the
+    cached rows. No window over unpartitioned data."""
+    from ..cache import managed_persist
+    ok = managed_persist(ok.select("source_id", "commit_ts"))
     per = (ok.groupBy("source_id")
            .agg(F.max("commit_ts").alias("checkpoint_ts"),
                 F.count(F.lit(1)).alias("n_ok")))
@@ -199,3 +204,44 @@ def checkpoint_lag(ok: DataFrame) -> DataFrame:
                     (F.col("global_max_ts") - F.col("checkpoint_ts"))
                      .alias("lag_ts"),
                     F.coalesce("n_blocked", F.lit(0)).alias("n_blocked")))
+
+
+def interarrival_regularity(events: DataFrame,
+                            key_col: str = "user_id",
+                            ts_col: str = "ts",
+                            order_col: str = "event_id",
+                            min_gaps: int = 5,
+                            cv2_pct: int = 1) -> DataFrame:
+    """Bot detection by inter-arrival regularity: flag keys whose
+    event gaps are near-constant — squared coefficient of variation
+    below ``cv2_pct`` percent, evaluated in exact integer form as
+        (100/pct) * (n*sumsq - sum^2) < sum^2
+    (population CV^2 = (n*sumsq - sum^2) / sum^2; no float variance,
+    no sqrt, so the flag is engine-exact). Gaps quantize to whole
+    seconds; sumsq stays DECIMAL(38,0) internally (gap^2 * n can pass
+    2^63) and only BIGINT-safe columns are emitted.
+
+    Shape: ONE per-key lag window + one per-key aggregate."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    gaps = (events
+            .select(key_col, ts_col, order_col)
+            .withColumn("prev_ts", F.lag(ts_col).over(w))
+            .filter(F.col("prev_ts").isNotNull())
+            .select(key_col,
+                    F.expr(f"({ts_col} - prev_ts) DIV 1000000000")
+                     .alias("gap_s")))
+    agg = (gaps.groupBy(key_col)
+           .agg(F.count(F.lit(1)).alias("n_gaps"),
+                F.sum("gap_s").alias("sum_s"),
+                F.sum(F.expr("CAST(gap_s AS DECIMAL(38,0)) * gap_s"))
+                 .alias("sumsq_s")))
+    dec = "CAST({} AS DECIMAL(38,0))"
+    cv_test = (f"{100 // cv2_pct} * "
+               f"({dec.format('n_gaps')} * sumsq_s "
+               f"- {dec.format('sum_s')} * {dec.format('sum_s')}) "
+               f"< {dec.format('sum_s')} * {dec.format('sum_s')}")
+    return (agg.filter(F.col("n_gaps") >= min_gaps)
+            .select(key_col, "n_gaps", "sum_s",
+                    F.expr("sum_s DIV n_gaps").alias("mean_gap_s"),
+                    F.expr(cv_test).alias("is_regular")))
