@@ -2995,6 +2995,34 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   budget_tokens=800, by="source")
 
 
+def q_corpus_chunk_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-store dedup savings per source: content-defined chunks
+    (boundary-stable under insertions) rolled up to stored-vs-logical
+    bytes — the report that justifies a CDC chunk store. Two
+    map-side-combinable aggregates over the chunk frame (one plain,
+    one over the per-source distinct chunk set)."""
+    from tidb_binlog_spark.cache import managed_persist as _mp
+    from tidb_binlog_spark.functions import curation
+    docs = _docs(spark, sf_dir)
+    # both rollups read the chunk frame; persist so the rolling-hash
+    # boundary pass runs once
+    chunks = _mp(curation.cdc_chunks(docs)
+                 .join(docs.select("doc_id", "source"), "doc_id")
+                 .select("source", "chunk_md5", "chunk_len"))
+    total = (chunks.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_chunks"),
+                  F.sum("chunk_len").alias("bytes_total")))
+    uniq = (chunks.select("source", "chunk_md5", "chunk_len").distinct()
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_unique"),
+                 F.sum("chunk_len").alias("bytes_unique")))
+    return (total.join(uniq, "source")
+            .select("source", "n_chunks", "n_unique",
+                    "bytes_total", "bytes_unique",
+                    F.expr("((bytes_total - bytes_unique) * 1000000) "
+                           "DIV bytes_total").alias("savings_ppm")))
+
+
 def q_corpus_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-gate threshold sweep: docs/tokens surviving each
     candidate classifier threshold, from ONE corpus pass (the
@@ -3382,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bot_regularity": q_events_bot_regularity,
         "snapshot_diff_repair": q_snapshot_diff_repair,
         "corpus_gate_sweep": q_corpus_gate_sweep,
+        "corpus_chunk_savings": q_corpus_chunk_savings,
     }
 
 
@@ -5853,5 +5882,25 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(n_tokens) OVER (ORDER BY bin DESC
                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_kept
             FROM agg
+        """,
+        "corpus_chunk_savings": f"""
+            WITH chunks0 AS ({osql.CDC_CHUNKS}),
+            chunks AS (SELECT c.*, d.source
+                       FROM chunks0 c JOIN documents d USING (doc_id)),
+            total AS (SELECT source, COUNT(*) AS n_chunks,
+                             CAST(SUM(chunk_len) AS BIGINT)
+                               AS bytes_total
+                      FROM chunks GROUP BY source),
+            uniq AS (SELECT source, COUNT(*) AS n_unique,
+                            CAST(SUM(chunk_len) AS BIGINT)
+                              AS bytes_unique
+                     FROM (SELECT DISTINCT source, chunk_md5, chunk_len
+                           FROM chunks) u
+                     GROUP BY source)
+            SELECT source, n_chunks, n_unique, bytes_total,
+                   bytes_unique,
+                   ((bytes_total - bytes_unique) * 1000000)
+                     // bytes_total AS savings_ppm
+            FROM total JOIN uniq USING (source)
         """,
     }
