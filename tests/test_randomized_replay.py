@@ -132,3 +132,38 @@ def test_compact_wide_stitching_randomized(spark):
             want = (want_op, final.get(col),
                     first_old.get(col) if first_old else None)
             assert got[pk][col] == want, f"pk {pk} col {col}"
+
+
+def test_random_bloom_membership_never_false_negative(spark):
+    """Randomized corpora (overlapping seen/new, duplicates inside
+    both, tiny filters to force false positives): a seen doc is ALWAYS
+    bloom-positive, and admission (NOT seen_exact) always equals the
+    plain hash anti-join — the contract that makes the pre-filter safe
+    to deploy at any m/k sizing."""
+    from tidb_binlog_spark.functions.dedup import bloom_membership
+
+    def docs(texts, start=0):
+        return spark.createDataFrame(
+            [(start + i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+
+    for seed in range(3):
+        rng = random.Random(1000 + seed)
+        vocab = [f"w{j}" for j in range(30)]
+        mk = lambda: " ".join(rng.choice(vocab)  # noqa: E731
+                              for _ in range(rng.randint(1, 8)))
+        seen_texts = [mk() for _ in range(60)]
+        new_texts = ([rng.choice(seen_texts) for _ in range(20)]
+                     + [mk() for _ in range(40)])
+        seen, new = docs(seen_texts), docs(new_texts, start=1000)
+        out = bloom_membership(new, seen, m_bits=128,
+                               k_hashes=3).collect()
+        seen_set = set(seen_texts)
+        for r in out:
+            t = new_texts[r["doc_id"] - 1000]
+            if t in seen_set:
+                assert r["maybe_seen"] and r["seen_exact"], \
+                    f"seed {seed}: false negative on doc {r['doc_id']}"
+            assert r["seen_exact"] == (t in seen_set)
+            assert r["false_positive"] == (
+                r["maybe_seen"] and not r["seen_exact"])
