@@ -2995,6 +2995,15 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   budget_tokens=800, by="source")
 
 
+def q_corpus_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV mergeability, self-verified: per-part sketches over a
+    doc_id%2 split union+re-truncate to EXACTLY the whole-corpus
+    sketch (merge_exact flag, oracle-checked) — the daily-fold
+    contract that lets cardinality state merge without re-reading
+    corpora."""
+    return scoring.kmv_merge_check(_docs(spark, sf_dir), k=64)
+
+
 def q_corpus_chunk_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-store dedup savings per source: content-defined chunks
     (boundary-stable under insertions) rolled up to stored-vs-logical
@@ -3411,6 +3420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_repair": q_snapshot_diff_repair,
         "corpus_gate_sweep": q_corpus_gate_sweep,
         "corpus_chunk_savings": q_corpus_chunk_savings,
+        "corpus_kmv_merge": q_corpus_kmv_merge,
     }
 
 
@@ -5902,5 +5912,44 @@ def oracle_sql() -> dict[str, str]:
                    ((bytes_total - bytes_unique) * 1000000)
                      // bytes_total AS savings_ppm
             FROM total JOIN uniq USING (source)
+        """,
+        "corpus_kmv_merge": f"""
+            WITH toks AS (SELECT doc_id, source, text, {osql.TOKS} AS toks
+                          FROM documents),
+            sh AS (SELECT doc_id, source AS stratum,
+                          unnest({osql.SHINGLES}) AS shingle
+                   FROM toks),
+            h AS (SELECT DISTINCT doc_id, stratum,
+                    CAST(concat('0x', substring(md5(shingle), 1, 12))
+                         AS BIGINT) AS h
+                  FROM sh),
+            p0 AS (SELECT DISTINCT stratum, h FROM h WHERE doc_id % 2 = 0),
+            p1 AS (SELECT DISTINCT stratum, h FROM h WHERE doc_id % 2 = 1),
+            s0 AS (SELECT stratum, h FROM (
+                     SELECT stratum, h, ROW_NUMBER() OVER (
+                       PARTITION BY stratum ORDER BY h) AS r FROM p0) t
+                   WHERE r <= 64),
+            s1 AS (SELECT stratum, h FROM (
+                     SELECT stratum, h, ROW_NUMBER() OVER (
+                       PARTITION BY stratum ORDER BY h) AS r FROM p1) t
+                   WHERE r <= 64),
+            u AS (SELECT DISTINCT stratum, h FROM
+                    (SELECT * FROM s0 UNION ALL SELECT * FROM s1) x),
+            merged AS (SELECT stratum, MAX(h) AS kth_merged,
+                              COUNT(*) AS k_merged
+                       FROM (SELECT stratum, h, ROW_NUMBER() OVER (
+                               PARTITION BY stratum ORDER BY h) AS r
+                             FROM u) t
+                       WHERE r <= 64 GROUP BY stratum),
+            dall AS (SELECT DISTINCT stratum, h FROM h),
+            direct AS (SELECT stratum, MAX(h) AS kth_direct,
+                              COUNT(*) AS k_direct
+                       FROM (SELECT stratum, h, ROW_NUMBER() OVER (
+                               PARTITION BY stratum ORDER BY h) AS r
+                             FROM dall) t
+                       WHERE r <= 64 GROUP BY stratum)
+            SELECT stratum, k_merged, k_direct, kth_merged, kth_direct,
+                   kth_merged = kth_direct AS merge_exact
+            FROM merged JOIN direct USING (stratum)
         """,
     }

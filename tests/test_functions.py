@@ -1432,3 +1432,16 @@ def test_gate_sweep_monotone_and_total(spark):
     assert kept == sorted(kept, reverse=True)
     toks = [r["tokens_kept"] for r in rows]
     assert toks == sorted(toks, reverse=True)
+
+
+def test_kmv_sketch_merge_equals_direct(spark):
+    """Union + re-truncate of per-part KMV sketches equals the direct
+    whole-corpus sketch EXACTLY (each part's k-minimum set contains
+    every global k-minimum element) — the daily-fold contract."""
+    from tidb_binlog_spark.functions.scoring import kmv_merge_check
+    texts = [f"mergeable sketch doc {i} token {i % 13} tail {i % 5}"
+             for i in range(300)]
+    d = docs_df(spark, texts)
+    rows = kmv_merge_check(d, k=32, split_mod=3).collect()
+    assert rows and all(r["merge_exact"] for r in rows)
+    assert all(r["k_merged"] == r["k_direct"] for r in rows)

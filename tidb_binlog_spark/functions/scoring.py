@@ -612,3 +612,61 @@ def surprisal_histogram(docs: DataFrame, bucket_micro: int = 500_000,
                   .alias("mean_of_means_micro"),
                  F.min("mean_surprisal_micro").alias("lo_micro"),
                  F.max("mean_surprisal_micro").alias("hi_micro")))
+
+
+def kmv_sketch(docs: DataFrame, k: int = 256,
+               by: str = "source") -> DataFrame:
+    """The raw KMV sketch rows: per stratum, the k smallest distinct
+    48-bit shingle hashes (rank included). This is the mergeable
+    state kmv_distinct summarizes — union two days' sketches and
+    re-truncate to k and you get EXACTLY the sketch of the union
+    (each part's k-minimum set contains every global k-minimum
+    element), so daily sketches fold without touching the corpora."""
+    from pyspark.sql import Window
+    from .dedup import with_shingles
+    sh = (with_shingles(docs.select("doc_id", by, "text"))
+          .select(F.col(by).alias("stratum"),
+                  F.explode("shingles").alias("shingle")))
+    d = (sh.select(
+            "stratum",
+            F.expr("CAST(conv(substring(md5(shingle), 1, 12), 16, 10) "
+                   "AS BIGINT)").alias("h"))
+         .distinct())
+    w = Window.partitionBy("stratum").orderBy("h")
+    return (d.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def kmv_merge_check(docs: DataFrame, k: int = 64,
+                    split_mod: int = 2,
+                    by: str = "source") -> DataFrame:
+    """Self-verifying mergeability proof for the KMV sketch: build
+    per-part sketches over a doc_id split, union + re-truncate, and
+    compare the merged kth-minimum against the direct whole-corpus
+    sketch. Output carries BOTH estimates and the equality flag — at
+    scale this is the daily-fold contract (sketches merge; corpora
+    never re-shuffle)."""
+    from pyspark.sql import Window
+    parts = [docs.filter(F.col("doc_id") % split_mod == i)
+             for i in range(split_mod)]
+    sketches = [kmv_sketch(p, k, by).select("stratum", "h")
+                for p in parts]
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    u = u.distinct()
+    w = Window.partitionBy("stratum").orderBy("h")
+    merged = (u.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= k)
+              .groupBy("stratum")
+              .agg(F.max("h").alias("kth_merged"),
+                   F.count(F.lit(1)).alias("k_merged")))
+    direct = (kmv_sketch(docs, k, by)
+              .groupBy("stratum")
+              .agg(F.max("h").alias("kth_direct"),
+                   F.count(F.lit(1)).alias("k_direct")))
+    return (merged.join(direct, "stratum")
+            .select("stratum", "k_merged", "k_direct",
+                    "kth_merged", "kth_direct",
+                    (F.col("kth_merged") == F.col("kth_direct"))
+                     .alias("merge_exact")))
