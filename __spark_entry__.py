@@ -2995,6 +2995,16 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   budget_tokens=800, by="source")
 
 
+def q_doc_semantic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling-style topic-boundary chunking: split where the
+    adjacent 8-token windows' vocabulary Jaccard drops below 0.2 —
+    semantic long-doc splitting next to the fixed-window
+    (doc_chunks) and byte-rolling-hash (doc_cdc_chunks) variants.
+    Zero-shuffle array expressions per doc."""
+    from tidb_binlog_spark.functions import curation
+    return curation.semantic_chunks(_docs(spark, sf_dir))
+
+
 def q_corpus_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV mergeability, self-verified: per-part sketches over a
     doc_id%2 split union+re-truncate to EXACTLY the whole-corpus
@@ -3421,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_gate_sweep": q_corpus_gate_sweep,
         "corpus_chunk_savings": q_corpus_chunk_savings,
         "corpus_kmv_merge": q_corpus_kmv_merge,
+        "doc_semantic_chunks": q_doc_semantic_chunks,
     }
 
 
@@ -5951,5 +5962,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT stratum, k_merged, k_direct, kth_merged, kth_direct,
                    kth_merged = kth_direct AS merge_exact
             FROM merged JOIN direct USING (stratum)
+        """,
+        "doc_semantic_chunks": f"""
+            WITH t AS (SELECT doc_id, {osql.TOKS} AS toks FROM documents),
+            b AS (SELECT doc_id, toks,
+                CASE WHEN len(toks) <= 16 THEN [len(toks)]
+                ELSE list_concat(list_filter(list_transform(
+                  generate_series(8, len(toks) - 8), p ->
+                    CASE WHEN (CAST(len(list_filter(
+                        list_distinct(toks[p - 7 : p]),
+                        x -> list_contains(toks[p + 1 : p + 8], x)))
+                        AS BIGINT) * 1000000)
+                      // (len(list_distinct(toks[p - 7 : p]))
+                          + len(list_distinct(toks[p + 1 : p + 8]))
+                          - len(list_filter(
+                              list_distinct(toks[p - 7 : p]),
+                              x -> list_contains(toks[p + 1 : p + 8],
+                                                 x))))
+                      < 200000 THEN p ELSE -1 END),
+                  x -> x > 0), [len(toks)]) END AS bnds
+              FROM t WHERE len(toks) >= 1),
+            e AS (SELECT doc_id, toks, bnds,
+                    unnest(generate_series(1, len(bnds))) AS i
+                  FROM b),
+            c AS (SELECT doc_id, CAST(i - 1 AS INT) AS chunk_no,
+                    CASE WHEN i = 1 THEN 1 ELSE bnds[i - 1] + 1 END
+                      AS start_tok,
+                    bnds[i] AS end_tok, toks
+                  FROM e)
+            SELECT doc_id, chunk_no, start_tok, end_tok,
+              end_tok - start_tok + 1 AS n_tokens,
+              md5(array_to_string(toks[start_tok : end_tok], ' '))
+                AS chunk_md5
+            FROM c WHERE end_tok >= start_tok
         """,
     }

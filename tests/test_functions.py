@@ -1445,3 +1445,25 @@ def test_kmv_sketch_merge_equals_direct(spark):
     rows = kmv_merge_check(d, k=32, split_mod=3).collect()
     assert rows and all(r["merge_exact"] for r in rows)
     assert all(r["k_merged"] == r["k_direct"] for r in rows)
+
+
+def test_semantic_chunks_split_at_topic_shift(spark):
+    """A document with two disjoint vocabularies splits at the shift;
+    a homogeneous document stays one chunk; chunks tile the doc."""
+    from tidb_binlog_spark.functions.curation import semantic_chunks
+    topic_a = " ".join(f"alpha{i % 6} beta{i % 4}" for i in range(10))
+    topic_b = " ".join(f"gamma{i % 6} delta{i % 4}" for i in range(10))
+    shifty = topic_a + " " + topic_b
+    uniform = " ".join(f"same{i % 3} word{i % 2}" for i in range(20))
+    d = docs_df(spark, [shifty, uniform])
+    got = {}
+    for r in semantic_chunks(d).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    shift_chunks = sorted(got[0], key=lambda r: r["chunk_no"])
+    assert len(shift_chunks) >= 2, "topic shift must split"
+    # chunks tile: starts/ends contiguous, total tokens preserved
+    assert shift_chunks[0]["start_tok"] == 1
+    for a, b in zip(shift_chunks, shift_chunks[1:]):
+        assert b["start_tok"] == a["end_tok"] + 1
+    assert sum(r["n_tokens"] for r in shift_chunks) == 40
+    assert len(got[1]) == 1 and got[1][0]["n_tokens"] == 40

@@ -778,3 +778,53 @@ def gate_sweep(docs: DataFrame, n_bins: int = 10,
             .withColumn("tokens_kept", F.sum("n_tokens").over(w))
             .select(F.expr(f"bin * {bin_width}").alias("threshold"),
                     "n_docs", "n_tokens", "docs_kept", "tokens_kept"))
+
+
+def semantic_chunks(docs: DataFrame, w: int = 8,
+                    threshold_micro: int = 200_000) -> DataFrame:
+    """TextTiling-style semantic chunking: split a document where the
+    vocabulary shifts — the boundary score at token position p is the
+    Jaccard overlap of the w-token windows before/after p; positions
+    scoring below ``threshold_micro`` (micro-quantized) become chunk
+    breaks. The long-document splitting primitive that respects topic
+    boundaries where fixed-size windows (chunk_documents) cut
+    mid-thought.
+
+    Zero-shuffle: boundaries, spans and chunk digests are all array
+    expressions per document (same plan family as cdc_chunks); the
+    Jaccard is exact integer micro-division, and the intersection /
+    union are spelled with the SAME distinct+contains formula on both
+    engines (array_intersect's dedup semantics differ subtly)."""
+    from .text import with_tokens
+    inter = (f"size(filter(array_distinct(slice(toks, p - {w} + 1, {w})), "
+             f"x -> array_contains(slice(toks, p + 1, {w}), x)))")
+    uni = (f"(size(array_distinct(slice(toks, p - {w} + 1, {w}))) "
+           f"+ size(array_distinct(slice(toks, p + 1, {w}))) "
+           f"- {inter})")
+    bnds = (f"CASE WHEN size(toks) <= {2 * w} THEN array(size(toks)) "
+            f"ELSE concat(filter(transform("
+            f"sequence({w}, size(toks) - {w}), "
+            f"p -> IF((CAST({inter} AS BIGINT) * 1000000) DIV {uni} "
+            f"< {threshold_micro}, p, -1)), x -> x > 0), "
+            f"array(size(toks))) END")
+    # boundary positions are strictly increasing and all < size(toks),
+    # so the list is duplicate-free by construction (no distinct —
+    # DuckDB's list_distinct does not guarantee order)
+    b = (with_tokens(docs)
+         .filter(F.expr("size(toks) >= 1"))
+         .select("doc_id", "toks", F.expr(bnds).alias("bnds")))
+    e = b.select(
+        "doc_id", "toks", "bnds",
+        F.expr("explode(sequence(1, size(bnds)))").alias("i"))
+    return (e.select(
+        "doc_id",
+        F.expr("CAST(i - 1 AS INT)").alias("chunk_no"),
+        F.expr("IF(i = 1, 1, bnds[i - 2] + 1)").alias("start_tok"),
+        F.expr("bnds[i - 1]").alias("end_tok"),
+        F.expr("bnds[i - 1] - IF(i = 1, 1, bnds[i - 2] + 1) + 1")
+         .alias("n_tokens"),
+        F.expr("md5(concat_ws(' ', slice(toks, "
+               "IF(i = 1, 1, bnds[i - 2] + 1), "
+               "bnds[i - 1] - IF(i = 1, 1, bnds[i - 2] + 1) + 1)))")
+         .alias("chunk_md5"))
+        .filter(F.col("n_tokens") >= 1))
