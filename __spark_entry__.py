@@ -2995,6 +2995,24 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   budget_tokens=800, by="source")
 
 
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-predicted language confusion matrix + per-declared-
+    lang agreement rate (ppm): the audit that tells a curation run
+    whether to trust the metadata lang column or the detector. One
+    (lang, pred_lang) aggregate over zero-shuffle per-doc scores."""
+    pred = textfn.lang_id(_docs(spark, sf_dir))
+    cell = (pred.groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+    per = (pred.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_lang"),
+                F.count(F.when(F.col("pred_lang") == F.col("lang"), 1))
+                 .alias("n_agree")))
+    return (cell.join(per, "lang")
+            .select("lang", "pred_lang", "n_docs", "n_lang",
+                    F.expr("(n_agree * 1000000) DIV n_lang")
+                     .alias("agree_ppm")))
+
+
 def q_doc_semantic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextTiling-style topic-boundary chunking: split where the
     adjacent 8-token windows' vocabulary Jaccard drops below 0.2 —
@@ -3432,6 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_chunk_savings": q_corpus_chunk_savings,
         "corpus_kmv_merge": q_corpus_kmv_merge,
         "doc_semantic_chunks": q_doc_semantic_chunks,
+        "text_lang_confusion": q_text_lang_confusion,
     }
 
 
@@ -5995,5 +6014,17 @@ def oracle_sql() -> dict[str, str]:
               md5(array_to_string(toks[start_tok : end_tok], ' '))
                 AS chunk_md5
             FROM c WHERE end_tok >= start_tok
+        """,
+        "text_lang_confusion": f"""
+            WITH pred AS ({osql.text_lang_id_sql(textfn.STOPWORDS)}),
+            cell AS (SELECT lang, pred_lang, COUNT(*) AS n_docs
+                     FROM pred GROUP BY lang, pred_lang),
+            per AS (SELECT lang, COUNT(*) AS n_lang,
+                      COUNT(CASE WHEN pred_lang = lang THEN 1 END)
+                        AS n_agree
+                    FROM pred GROUP BY lang)
+            SELECT cell.lang, cell.pred_lang, cell.n_docs, per.n_lang,
+                   (per.n_agree * 1000000) // per.n_lang AS agree_ppm
+            FROM cell JOIN per ON cell.lang = per.lang
         """,
     }
