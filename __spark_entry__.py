@@ -2995,6 +2995,33 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   budget_tokens=800, by="source")
 
 
+def q_events_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel drop-off table: users reaching each stage, step-over-
+    step and end-to-end conversion (ppm) — the report read off the
+    per-user funnel frame with one tiny stage aggregate."""
+    from tidb_binlog_spark.operators.funnel import funnel
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    per_user = funnel(ev, FUNNEL_STEPS, window=FUNNEL_WINDOW_NS)
+    stages = spark.range(1, len(FUNNEL_STEPS) + 1).toDF("stage")
+    reached = (per_user.crossJoin(F.broadcast(stages))
+               .filter(F.col("max_stage") >= F.col("stage"))
+               .groupBy("stage")
+               .agg(F.count(F.lit(1)).alias("n_users")))
+    from pyspark.sql import Window
+    w = Window.orderBy("stage")   # k rows only (k = #steps)
+    return (reached
+            .withColumn("prev_users", F.lag("n_users").over(w))
+            .withColumn("step_conv_ppm",
+                        F.expr("IF(prev_users IS NULL, 1000000, "
+                               "(n_users * 1000000) DIV prev_users)"))
+            .withColumn("total_users", F.first("n_users").over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)))
+            .select("stage", "n_users", "step_conv_ppm",
+                    F.expr("(n_users * 1000000) DIV total_users")
+                     .alias("overall_conv_ppm")))
+
+
 def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-vs-predicted language confusion matrix + per-declared-
     lang agreement rate (ppm): the audit that tells a curation run
@@ -3451,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_kmv_merge": q_corpus_kmv_merge,
         "doc_semantic_chunks": q_doc_semantic_chunks,
         "text_lang_confusion": q_text_lang_confusion,
+        "events_funnel_dropoff": q_events_funnel_dropoff,
     }
 
 
@@ -6026,5 +6054,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell.lang, cell.pred_lang, cell.n_docs, per.n_lang,
                    (per.n_agree * 1000000) // per.n_lang AS agree_ppm
             FROM cell JOIN per ON cell.lang = per.lang
+        """,
+        "events_funnel_dropoff": f"""
+            WITH fu AS ({osql.funnel_sql(FUNNEL_STEPS,
+                                         FUNNEL_WINDOW_NS)}),
+            st AS (SELECT unnest(generate_series(1,
+                     {len(FUNNEL_STEPS)})) AS stage),
+            reached AS (
+              SELECT stage, COUNT(*) AS n_users
+              FROM fu, st WHERE fu.max_stage >= st.stage
+              GROUP BY stage),
+            w AS (
+              SELECT stage, n_users,
+                LAG(n_users) OVER (ORDER BY stage) AS prev_users,
+                FIRST_VALUE(n_users) OVER (ORDER BY stage
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS total_users
+              FROM reached)
+            SELECT stage, n_users,
+              CASE WHEN prev_users IS NULL THEN 1000000
+                   ELSE (n_users * 1000000) // prev_users END
+                AS step_conv_ppm,
+              (n_users * 1000000) // total_users AS overall_conv_ppm
+            FROM w
         """,
     }
