@@ -2995,6 +2995,68 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   budget_tokens=800, by="source")
 
 
+def q_corpus_fold_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe k-fold assignment audit: folding by CONTENT hash
+    puts every exact duplicate in one fold (cross-fold dup pairs = 0
+    by construction); folding by doc_id leaks duplicates across
+    folds. The report shows both schemes' per-fold sizes and
+    cross-fold duplicate-pair counts — the eval-hygiene argument in
+    one query. One content-hash aggregate + two tiny rollups."""
+    from tidb_binlog_spark.cache import managed_persist as _mp
+    k = 5
+    docs = _docs(spark, sf_dir)
+    h = _mp(docs.select(
+        "doc_id", F.md5("text").alias("content_hash"),
+        F.expr(f"CAST(conv(substring(md5(text), 1, 8), 16, 10) "
+               f"AS BIGINT) % {k}").alias("fold_by_content"),
+        (F.col("doc_id") % k).alias("fold_by_id")))
+    # cross-fold duplicate pairs per scheme: for a hash spanning
+    # cluster c with fold multiplicities m_i, leaked pairs =
+    # (C(c,2) - sum_i C(m_i,2))
+    def leaked(col: str) -> DataFrame:
+        per = (h.groupBy("content_hash", col)
+               .agg(F.count(F.lit(1)).alias("m")))
+        return (per.groupBy("content_hash")
+                .agg(F.sum("m").alias("c"),
+                     F.sum(F.expr("m * (m - 1) DIV 2")).alias("inpairs"))
+                .agg(F.sum(F.expr("c * (c - 1) DIV 2 - inpairs"))
+                      .alias(f"leaked_{col}")))
+    sizes = (h.groupBy(F.col("fold_by_content").alias("fold"))
+             .agg(F.count(F.lit(1)).alias("n_by_content")))
+    sizes_id = (h.groupBy(F.col("fold_by_id").alias("fold"))
+                .agg(F.count(F.lit(1)).alias("n_by_id")))
+    return (sizes.join(sizes_id, "fold")
+            .crossJoin(F.broadcast(leaked("fold_by_content")))
+            .crossJoin(F.broadcast(leaked("fold_by_id")))
+            .select("fold", "n_by_content", "n_by_id",
+                    "leaked_fold_by_content", "leaked_fold_by_id"))
+
+
+def q_corpus_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-weighted effective dataset size per source: each doc
+    contributes n_tokens / cluster_size (micro-quantized integer) so
+    a 5x-duplicated page counts once. Raw-vs-effective token totals
+    per source — the honest dataset-size number. One content-hash
+    aggregate + one source rollup."""
+    docs = _docs(spark, sf_dir)
+    toks = textfn.token_count(docs).select(
+        "doc_id", F.col("n_ws_tokens").alias("n_tokens"))
+    hashed = docs.select("doc_id", "source",
+                         F.md5("text").alias("content_hash"))
+    clusters = (hashed.groupBy("content_hash")
+                .agg(F.count(F.lit(1)).alias("cluster_size")))
+    per = (hashed.join(toks, "doc_id").join(clusters, "content_hash"))
+    return (per.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("raw_tokens"),
+                 F.sum(F.expr("(n_tokens * 1000000) DIV cluster_size"))
+                  .alias("effective_tokens_micro"))
+            .withColumn("dup_inflation_ppm",
+                        F.expr("(raw_tokens * 1000000) "
+                               "DIV (effective_tokens_micro DIV 1000000)"
+                               " - 1000000")))
+
+
 def q_events_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel drop-off table: users reaching each stage, step-over-
     step and end-to-end conversion (ppm) — the report read off the
@@ -3479,6 +3541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_semantic_chunks": q_doc_semantic_chunks,
         "text_lang_confusion": q_text_lang_confusion,
         "events_funnel_dropoff": q_events_funnel_dropoff,
+        "corpus_fold_leakage": q_corpus_fold_leakage,
+        "corpus_effective_tokens": q_corpus_effective_tokens,
     }
 
 
@@ -6077,5 +6141,56 @@ def oracle_sql() -> dict[str, str]:
                 AS step_conv_ppm,
               (n_users * 1000000) // total_users AS overall_conv_ppm
             FROM w
+        """,
+        "corpus_fold_leakage": """
+            WITH h AS (
+              SELECT doc_id, md5(text) AS content_hash,
+                CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT)
+                  % 5 AS fold_by_content,
+                doc_id % 5 AS fold_by_id
+              FROM documents),
+            pc AS (SELECT content_hash, fold_by_content, COUNT(*) AS m
+                   FROM h GROUP BY content_hash, fold_by_content),
+            lc AS (SELECT CAST(SUM(c * (c - 1) // 2 - inpairs)
+                          AS BIGINT) AS leaked_fold_by_content
+                   FROM (SELECT content_hash, SUM(m) AS c,
+                                SUM(m * (m - 1) // 2) AS inpairs
+                         FROM pc GROUP BY content_hash) t),
+            pi AS (SELECT content_hash, fold_by_id, COUNT(*) AS m
+                   FROM h GROUP BY content_hash, fold_by_id),
+            li AS (SELECT CAST(SUM(c * (c - 1) // 2 - inpairs)
+                          AS BIGINT) AS leaked_fold_by_id
+                   FROM (SELECT content_hash, SUM(m) AS c,
+                                SUM(m * (m - 1) // 2) AS inpairs
+                         FROM pi GROUP BY content_hash) t),
+            sc AS (SELECT fold_by_content AS fold,
+                          COUNT(*) AS n_by_content
+                   FROM h GROUP BY fold_by_content),
+            si AS (SELECT fold_by_id AS fold, COUNT(*) AS n_by_id
+                   FROM h GROUP BY fold_by_id)
+            SELECT sc.fold, n_by_content, n_by_id,
+                   leaked_fold_by_content, leaked_fold_by_id
+            FROM sc JOIN si USING (fold), lc, li
+        """,
+        "corpus_effective_tokens": f"""
+            WITH toks AS (SELECT doc_id, len({osql.TOKS}) AS n_tokens
+                          FROM documents),
+            h AS (SELECT doc_id, source, md5(text) AS content_hash
+                  FROM documents),
+            cl AS (SELECT content_hash, COUNT(*) AS cluster_size
+                   FROM h GROUP BY content_hash),
+            per AS (SELECT h.source, t.n_tokens, cl.cluster_size
+                    FROM h JOIN toks t USING (doc_id)
+                    JOIN cl USING (content_hash)),
+            agg AS (SELECT source, COUNT(*) AS n_docs,
+                      CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+                      CAST(SUM((n_tokens * 1000000) // cluster_size)
+                           AS BIGINT) AS effective_tokens_micro
+                    FROM per GROUP BY source)
+            SELECT source, n_docs, raw_tokens, effective_tokens_micro,
+                   (raw_tokens * 1000000)
+                     // (effective_tokens_micro // 1000000)
+                     - 1000000 AS dup_inflation_ppm
+            FROM agg
         """,
     }

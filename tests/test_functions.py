@@ -1467,3 +1467,29 @@ def test_semantic_chunks_split_at_topic_shift(spark):
         assert b["start_tok"] == a["end_tok"] + 1
     assert sum(r["n_tokens"] for r in shift_chunks) == 40
     assert len(got[1]) == 1 and got[1][0]["n_tokens"] == 40
+
+
+def test_fold_leakage_content_folding_never_leaks(spark):
+    """Content-hash folding puts a duplicated doc's copies in ONE
+    fold (leaked pairs 0); id folding spreads the planted 3-copy
+    cluster across folds (leaked pairs > 0)."""
+    import __spark_entry__ as m
+    import pyspark.sql.functions as F
+    # doc_ids 0,1,2 share text -> id%5 folds 0,1,2 leak 3 pairs
+    texts = ["dup dup dup"] * 3 + [f"unique doc {i}" for i in range(12)]
+    d = docs_df(spark, texts)
+    k = 5
+    h = d.select(
+        "doc_id", F.md5("text").alias("content_hash"),
+        F.expr(f"CAST(conv(substring(md5(text), 1, 8), 16, 10) "
+               f"AS BIGINT) % {k}").alias("fold_by_content"),
+        (F.col("doc_id") % k).alias("fold_by_id"))
+    def leaked(col):
+        per = h.groupBy("content_hash", col).agg(F.count(F.lit(1)).alias("m"))
+        return (per.groupBy("content_hash")
+                .agg(F.sum("m").alias("c"),
+                     F.sum(F.expr("m * (m - 1) DIV 2")).alias("inp"))
+                .agg(F.sum(F.expr("c * (c - 1) DIV 2 - inp")).alias("l"))
+                .first()["l"])
+    assert leaked("fold_by_content") == 0
+    assert leaked("fold_by_id") == 3   # C(3,2) pairs split 1/1/1
