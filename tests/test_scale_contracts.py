@@ -761,3 +761,23 @@ def test_r7_session_ops_plan_contracts(spark):
     # only SortMergeJoins allowed are the vec_id-keyed candidate joins
     assert ivfpq.count("BroadcastHashJoin") + \
         ivfpq.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_phash_pairs_bucket_cap_bounds_degenerate_corpus(spark):
+    """A mass-duplicated asset corpus (every payload identical — the
+    web-crawl logo case) makes every 16-bit chunk one giant bucket;
+    max_bucket_size must bound the candidate join while keeping the
+    surviving pairs exact."""
+    from tidb_binlog_spark.functions import multimodal
+    texts = ["identical payload bytes for every asset"] * 40
+    d = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    capped = multimodal.phash_pairs(d, max_hamming=0,
+                                    max_bucket_size=5).collect()
+    # cap keeps the 5 lowest doc_ids per bucket -> C(5,2) pairs max
+    assert 0 < len(capped) <= 10
+    assert all(r["hamming"] == 0 for r in capped)
+    assert max(max(r["doc_a"], r["doc_b"]) for r in capped) <= 4
+    full = multimodal.phash_pairs(d, max_hamming=0).collect()
+    assert len(full) == 40 * 39 // 2      # uncapped default is exact
