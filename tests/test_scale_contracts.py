@@ -781,3 +781,34 @@ def test_phash_pairs_bucket_cap_bounds_degenerate_corpus(spark):
     assert max(max(r["doc_a"], r["doc_b"]) for r in capped) <= 4
     full = multimodal.phash_pairs(d, max_hamming=0).collect()
     assert len(full) == 40 * 39 // 2      # uncapped default is exact
+
+
+def test_zorder_layout_prunes_both_dims_vs_single_sort(spark):
+    """The zone-map pruning claim, quantified: under a z-order layout
+    a point predicate on EITHER dimension admits only a small
+    fraction of files; under a single-column sort the unsorted
+    dimension's predicate admits (nearly) every file."""
+    from tidb_binlog_spark.operators.layout import zorder_layout_report
+    import pyspark.sql.functions as F
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "xc long, yc long")
+    z = zorder_layout_report(df, "xc", "yc", bits=6, file_bits=4).collect()
+    # single-column sort stand-in: files = ranges of x, y spans full
+    xsorted = (df.withColumn("file_id", F.expr("xc DIV 4"))
+               .groupBy("file_id")
+               .agg(F.min("xc").alias("x_min"), F.max("xc").alias("x_max"),
+                    F.min("yc").alias("y_min"), F.max("yc").alias("y_max"))
+               .collect())
+
+    def admitted(files, dim, v):
+        return sum(1 for r in files
+                   if r[f"{dim}_min"] <= v <= r[f"{dim}_max"]) / len(files)
+
+    for v in (3, 31, 60):
+        # z-order: a point predicate on either dim admits <= 1/4 of
+        # files (4 of 16 tiles per row/column of the tile grid)
+        assert admitted(z, "x", v) <= 0.25
+        assert admitted(z, "y", v) <= 0.25
+        # x-sorted layout: x prunes hard but y admits EVERY file
+        assert admitted(xsorted, "x", v) <= 0.1
+        assert admitted(xsorted, "y", v) == 1.0
