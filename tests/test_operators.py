@@ -1597,3 +1597,19 @@ def test_bot_regularity_flags_metronome_not_human(spark):
     assert not got[2]["is_regular"]
     assert 3 not in got
     assert got[1]["mean_gap_s"] == 60 and got[1]["n_gaps"] == 9
+
+
+def test_bot_regularity_zero_gap_burst_not_flagged(spark):
+    """All-zero gaps (sub-second burst collapsing under whole-second
+    quantization) have mean 0 — CV is undefined and the squared test
+    0 < 0 is false, so a burst is NOT flagged by the regularity
+    detector (rate-based burst detection is a different operator:
+    events_overlap_bursts). Pinned so a refactor can't silently turn
+    division-free algebra into a divide-by-zero."""
+    from tidb_binlog_spark.operators.telemetry import (
+        interarrival_regularity)
+    rows = [(1, i, i * 1000) for i in range(10)]   # 1 microsecond apart
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts long")
+    got = interarrival_regularity(df).collect()
+    assert len(got) == 1
+    assert got[0]["mean_gap_s"] == 0 and not got[0]["is_regular"]
