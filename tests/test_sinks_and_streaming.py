@@ -1987,3 +1987,48 @@ def test_sql_apply_stream_chaos_crash_ddl_uk_relay(spark, tmp_path):
                   for pk, s in sim.items())
     assert got == want
     assert jdbc.load_checkpoint(db_dir)[0] == max(e[1] for e in events)
+
+
+def test_streaming_windowed_counts_match_batch_topk(spark, tmp_path):
+    """The q_events_windowed_topk shape, stream-fed: tumbling-window
+    per-type counts maintained by Structured Streaming across
+    micro-batches equal the batch aggregate on the same rows, so the
+    downstream rank stage gives the identical top-k report."""
+    import os
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    src = str(tmp_path / "wtk_src")
+    os.makedirs(src)
+    schema = "event_id long, ts long, event_type string"
+    W = 1000
+    rows = [(i, (i * 37) % 3000, ["a", "b", "c"][i % 3])
+            for i in range(90)]
+    for lo, hi in ((0, 30), (30, 60), (60, 90)):
+        (spark.createDataFrame(rows[lo:hi], schema)
+         .coalesce(1).write.mode("append").parquet(src))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    counts = (stream
+              .withColumn("window_start",
+                          F.col("ts") - F.pmod(F.col("ts"), F.lit(W)))
+              .groupBy("window_start", "event_type").count())
+    q = (counts.writeStream.format("memory").queryName("wtk_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    def topk(df):
+        w = (Window.partitionBy("window_start")
+             .orderBy(F.desc("count"), F.asc("event_type")))
+        return sorted((r["window_start"], r["rank"], r["event_type"],
+                       r["count"])
+                      for r in df.withColumn(
+                          "rank", F.row_number().over(w))
+                      .filter(F.col("rank") <= 2).collect())
+
+    streamed = topk(spark.sql("SELECT * FROM wtk_counts"))
+    batch = topk(spark.createDataFrame(rows, schema)
+                 .withColumn("window_start",
+                             F.col("ts") - F.pmod(F.col("ts"), F.lit(W)))
+                 .groupBy("window_start", "event_type").count())
+    assert streamed == batch and len(streamed) > 0
