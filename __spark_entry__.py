@@ -3344,6 +3344,44 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupfn.bloom_membership(new0, seen, m_bits=16384, k_hashes=3)
 
 
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, 6h-bucket) OHLC downsample of the value stream
+    — open/high/low/close + count + exact DECIMAL volume. One shuffle
+    keyed (type, bucket); open/close windows share that Exchange."""
+    from tidb_binlog_spark.operators.timeseries import ohlc_downsample
+    t = load_tables(spark, sf_dir, "events")
+    return ohlc_downsample(t["events"], ["event_type"], "ts", "value",
+                           6 * 3_600_000_000_000, ["event_id"])
+
+
+def q_cdc_salt_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting plan for hot keys: every (db,tbl,pk) above the per-task
+    row target gets a recommended salt count and the projected
+    post-salt task bound — the actionable half of cdc_hot_keys
+    (exact-integer ceil arithmetic; output is just the flagged
+    tail)."""
+    from tidb_binlog_spark.operators.skew import salt_advisor
+    return salt_advisor(_spark_changes(spark, sf_dir),
+                        target_rows_per_task=8, max_salts=16)
+
+
+def q_corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary ppm against the global top-64
+    token vocabulary — the tokenizer-coverage audit (broadcast vocab,
+    two map-side-combinable aggregates)."""
+    return scoring.oov_rate(_docs(spark, sf_dir), vocab_size=64)
+
+
+def q_events_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: clicks in the 6 h before each
+    purchase share its credit equally in exact ppm (last touch absorbs
+    the floor remainder, so each conversion's credits sum to exactly
+    1e6). User-keyed join + one per-conversion rank window."""
+    from tidb_binlog_spark.operators.funnel import multitouch_attribution
+    t = load_tables(spark, sf_dir, "events")
+    return multitouch_attribution(t["events"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # keys. This is DRIVER round 7 (last recorded gate: CORRECTNESS_r06,
@@ -3543,6 +3581,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_dropoff": q_events_funnel_dropoff,
         "corpus_fold_leakage": q_corpus_fold_leakage,
         "corpus_effective_tokens": q_corpus_effective_tokens,
+        # -- new late-r7 (this session; ledger-checked, window
+        #    candidates for the round after the r7-new block rotates)
+        "events_ohlc": q_events_ohlc,
+        "cdc_salt_advisor": q_cdc_salt_advisor,
+        "corpus_oov_rate": q_corpus_oov_rate,
+        "events_multitouch": q_events_multitouch,
     }
 
 
@@ -6192,5 +6236,98 @@ def oracle_sql() -> dict[str, str]:
                      // (effective_tokens_micro // 1000000)
                      - 1000000 AS dup_inflation_ppm
             FROM agg
+        """,
+        "events_ohlc": """
+            WITH e AS (SELECT event_type, event_id, epoch_ns(ts) AS ts_ns,
+                              value
+                       FROM events),
+            b AS (SELECT event_type, event_id, ts_ns, value,
+                         ts_ns - ts_ns % 21600000000000 AS bucket_start
+                  FROM e),
+            r AS (SELECT *,
+                    ROW_NUMBER() OVER (PARTITION BY event_type, bucket_start
+                                       ORDER BY ts_ns, event_id) AS rn_a,
+                    ROW_NUMBER() OVER (PARTITION BY event_type, bucket_start
+                                       ORDER BY ts_ns DESC, event_id DESC)
+                      AS rn_d
+                  FROM b)
+            SELECT event_type, bucket_start,
+                   MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+                   MAX(value) AS high,
+                   MIN(value) AS low,
+                   MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS volume
+            FROM r GROUP BY event_type, bucket_start
+        """,
+        "cdc_salt_advisor": f"""
+            {CHANGES_CTE},
+            per_key AS (
+              SELECT db, tbl, pk, COUNT(*) AS n_writes
+              FROM changes WHERE op IN ('I', 'U', 'D')
+              GROUP BY db, tbl, pk),
+            f AS (SELECT db, tbl, pk, n_writes,
+                    LEAST(CAST(16 AS BIGINT), (n_writes + 7) // 8)
+                      AS n_salts
+                  FROM per_key WHERE n_writes > 8)
+            SELECT db, tbl, pk, n_writes,
+                   CAST(n_salts AS BIGINT) AS n_salts,
+                   CAST((n_writes + n_salts - 1) // n_salts AS BIGINT)
+                     AS projected_rows_per_task
+            FROM f
+        """,
+        "corpus_oov_rate": f"""
+            WITH toks AS (SELECT source AS stratum,
+                                 unnest({osql.TOKS}) AS tok
+                          FROM documents),
+            vc AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+            vr AS (SELECT tok,
+                     ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+                   FROM vc),
+            vocab AS (SELECT tok FROM vr WHERE rnk <= 64),
+            j AS (SELECT t.stratum, t.tok,
+                         v.tok IS NOT NULL AS in_vocab
+                  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+            SELECT stratum, COUNT(*) AS total_tokens,
+                   CAST(SUM(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END)
+                        AS BIGINT) AS oov_tokens,
+                   CAST(COUNT(DISTINCT CASE WHEN NOT in_vocab
+                                            THEN tok END)
+                        AS BIGINT) AS oov_types,
+                   (CAST(SUM(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END)
+                         AS BIGINT) * 1000000) // COUNT(*) AS oov_ppm
+            FROM j GROUP BY stratum
+        """,
+        "events_multitouch": """
+            WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+                              event_type
+                       FROM events),
+            conv AS (SELECT user_id, event_id AS conversion_id,
+                            ts_ns AS conv_ts
+                     FROM e WHERE event_type = 'purchase'),
+            tch AS (SELECT user_id, event_id AS touch_id,
+                           ts_ns AS touch_ts
+                    FROM e WHERE event_type = 'click'),
+            j AS (SELECT c.user_id, c.conversion_id, c.conv_ts,
+                         t.touch_id, t.touch_ts
+                  FROM conv c JOIN tch t ON c.user_id = t.user_id
+                  WHERE t.touch_ts < c.conv_ts
+                    AND t.touch_ts >= c.conv_ts - 21600000000000),
+            r AS (SELECT *,
+                    ROW_NUMBER() OVER (PARTITION BY user_id, conversion_id
+                                       ORDER BY touch_ts, touch_id)
+                      AS touch_rank,
+                    COUNT(*) OVER (PARTITION BY user_id, conversion_id)
+                      AS n_touches
+                  FROM j)
+            SELECT user_id, conversion_id, conv_ts, touch_id,
+                   CAST(touch_rank AS BIGINT) AS touch_rank,
+                   CAST(n_touches AS BIGINT) AS n_touches,
+                   CAST(1000000 // n_touches
+                        + CASE WHEN touch_rank = n_touches
+                               THEN 1000000 % n_touches ELSE 0 END
+                        AS BIGINT) AS credit_ppm
+            FROM r
         """,
     }

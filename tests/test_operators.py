@@ -1613,3 +1613,88 @@ def test_bot_regularity_zero_gap_burst_not_flagged(spark):
     got = interarrival_regularity(df).collect()
     assert len(got) == 1
     assert got[0]["mean_gap_s"] == 0 and not got[0]["is_regular"]
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsample / salt advisor / multi-touch attribution / OOV rate
+# ---------------------------------------------------------------------------
+
+def test_ohlc_downsample_matches_naive(spark):
+    from tidb_binlog_spark.operators.timeseries import ohlc_downsample
+    rows = [("a", i, (i * 37) % 100 * 10**9, float((i * 13) % 50))
+            for i in range(60)] + [("b", 100 + i, i * 10**9, float(i))
+                                   for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts long, value double")
+    out = ohlc_downsample(df, ["event_type"], "ts", "value",
+                          bucket_ns=20 * 10**9,
+                          order_cols=["event_id"]).collect()
+    naive = {}
+    for et, eid, ts, v in rows:
+        b = ts - ts % (20 * 10**9)
+        naive.setdefault((et, b), []).append((ts, eid, v))
+    assert len(out) == len(naive)
+    for r in out:
+        pts = sorted(naive[(r.event_type, r.bucket_start)])
+        assert r.open == pts[0][2] and r.close == pts[-1][2]
+        vals = [p[2] for p in pts]
+        assert r.high == max(vals) and r.low == min(vals)
+        assert r.n_events == len(vals)
+        assert abs(r.volume - sum(vals)) < 1e-6
+
+
+def test_salt_advisor_bounds(spark):
+    from tidb_binlog_spark.operators.skew import salt_advisor
+    # one cold key (5 writes), one warm (20), one pathological (500)
+    rows = ([(i, "s0", 10 + i, "U", 1) for i in range(5)]
+            + [(100 + i, "s0", 200 + i, "U", 2) for i in range(20)]
+            + [(1000 + i, "s0", 2000 + i, "U", 3) for i in range(500)])
+    ch = make_changes(spark, rows)
+    out = {r.pk: r for r in salt_advisor(
+        ch, target_rows_per_task=8, max_salts=16).collect()}
+    assert 1 not in out                       # under target: not flagged
+    assert out[2].n_salts == 3                # ceil(20/8)
+    assert out[2].projected_rows_per_task <= 8
+    assert out[3].n_salts == 16               # capped at max_salts
+    # capped key: projected bound is ceil(n/max_salts), may exceed target
+    assert out[3].projected_rows_per_task == (500 + 15) // 16
+
+
+def test_multitouch_credits_sum_to_one_million(spark):
+    from tidb_binlog_spark.operators.funnel import multitouch_attribution
+    h = 3_600_000_000_000
+    rows = [
+        (1, 1, 0 * h, "click"), (1, 2, 1 * h, "click"),
+        (1, 3, 2 * h, "click"), (1, 4, 5 * h, "purchase"),
+        (1, 5, 20 * h, "purchase"),           # no touches in window
+        (2, 6, 0 * h, "click"), (2, 7, 3 * h, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, event_type string")
+    out = multitouch_attribution(df, window_ns=6 * h)
+    rowsx = out.collect()
+    per_conv = {}
+    for r in rowsx:
+        per_conv.setdefault(r.conversion_id, []).append(r)
+    assert set(per_conv) == {4, 7}            # conversion 5 had no touches
+    assert sum(r.credit_ppm for r in per_conv[4]) == 1_000_000
+    assert len(per_conv[4]) == 3
+    # floor split 333333 x2 + remainder to the last touch
+    by_rank = sorted(per_conv[4], key=lambda r: r.touch_rank)
+    assert [r.credit_ppm for r in by_rank] == [333333, 333333, 333334]
+    assert per_conv[7][0].credit_ppm == 1_000_000
+
+
+def test_oov_rate_identities(spark):
+    from tidb_binlog_spark.functions.scoring import oov_rate
+    docs = spark.createDataFrame(
+        [(0, "a b c", "en", "s0", 5), (1, "a b zz", "en", "s1", 6),
+         (2, "qq rr a", "en", "s1", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r.stratum: r for r in oov_rate(docs, vocab_size=3).collect()}
+    # vocab = top-3 tokens: a(3), b(2), then ties c/qq/rr/zz(1) -> 'c'
+    assert out["s0"].oov_tokens == 0 and out["s0"].oov_ppm == 0
+    assert out["s1"].total_tokens == 6
+    assert out["s1"].oov_tokens == 3          # zz, qq, rr
+    assert out["s1"].oov_types == 3
+    assert out["s1"].oov_ppm == 500_000

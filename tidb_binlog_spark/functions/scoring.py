@@ -670,3 +670,38 @@ def kmv_merge_check(docs: DataFrame, k: int = 64,
                     "kth_merged", "kth_direct",
                     (F.col("kth_merged") == F.col("kth_direct"))
                      .alias("merge_exact")))
+
+
+def oov_rate(docs: DataFrame, vocab_size: int = 64,
+             by: str = "source") -> DataFrame:
+    """Per-stratum out-of-vocabulary rate against the corpus-global
+    top-``vocab_size`` token vocabulary — the tokenizer-coverage audit
+    a pretraining pipeline runs before committing to a vocab (which
+    sources will fragment into bytes/unknowns, where to grow the
+    vocabulary).
+
+    Scale shape: the vocabulary is ONE map-side-combinable global
+    token count capped by TakeOrderedAndProject (vocab_size rows,
+    deterministic (count desc, token asc) tiebreak) and BROADCAST back
+    onto the exploded token stream; the per-stratum report is a second
+    map-side-combinable aggregate. The corpus shuffles only (token,
+    count) vocabulary rows — never document bytes.
+
+    oov_ppm is exact integer division (micro-ppm floor), so the row is
+    engine-exact.
+    """
+    toks = (with_tokens(docs)
+            .select(F.col(by).alias("stratum"),
+                    F.explode("toks").alias("tok")))
+    vocab = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+             .orderBy(F.desc("cnt"), F.asc("tok")).limit(vocab_size)
+             .select("tok", F.lit(True).alias("in_vocab")))
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    return (joined.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+         .cast("bigint").alias("oov_tokens"),
+        F.countDistinct(F.when(F.col("in_vocab").isNull(), F.col("tok")))
+         .alias("oov_types"))
+        .withColumn("oov_ppm",
+                    F.expr("(oov_tokens * 1000000) DIV total_tokens")))

@@ -48,3 +48,55 @@ def funnel(events: DataFrame, steps: list[str],
     stage = reduce(lambda a, i: a + F.col(f"t{i}").isNotNull().cast("int"),
                    range(1, len(steps)), F.lit(1))
     return out.withColumn("max_stage", stage)
+
+
+def multitouch_attribution(events: DataFrame,
+                           conversion_type: str = "purchase",
+                           touch_type: str = "click",
+                           window_ns: int = 6 * 3_600_000_000_000,
+                           ts_col: str = "ts",
+                           id_col: str = "event_id",
+                           user_col: str = "user_id") -> DataFrame:
+    """Linear multi-touch attribution: every ``touch_type`` event in
+    the ``window_ns`` before a conversion shares the conversion's
+    credit equally, in exact integer ppm (floor split; the LAST touch
+    absorbs the remainder so credits per conversion always sum to
+    exactly 1,000,000). The single-touch as-of join
+    (events_asof_attribution) is the last-touch special case; this is
+    the model marketing/ads pipelines actually reconcile against.
+
+    Scale shape: one equi-join keyed on the user (co-partitioned;
+    per-user touch density bounds the fan-out) with the time-range
+    predicate applied inside the join, then one rank window per
+    conversion over already-joined rows. At 100 TB the user key is
+    high-cardinality and uniform — for pathological single-user
+    streams the bucketed interval join (operators/rangejoin.py) is
+    the drop-in replacement. All credit arithmetic is BIGINT.
+    """
+    from pyspark.sql import Window
+    conv = (events.filter(F.col("event_type") == conversion_type)
+            .select(F.col(user_col).alias("user_id"),
+                    F.col(id_col).alias("conversion_id"),
+                    F.col(ts_col).alias("conv_ts")))
+    touch = (events.filter(F.col("event_type") == touch_type)
+             .select(F.col(user_col).alias("user_id"),
+                     F.col(id_col).alias("touch_id"),
+                     F.col(ts_col).alias("touch_ts")))
+    joined = (conv.join(touch, "user_id")
+              .filter((F.col("touch_ts") < F.col("conv_ts"))
+                      & (F.col("touch_ts") >= F.col("conv_ts")
+                         - F.lit(window_ns))))
+    w = (Window.partitionBy("user_id", "conversion_id")
+         .orderBy(F.asc("touch_ts"), F.asc("touch_id")))
+    ranked = (joined
+              .withColumn("touch_rank", F.row_number().over(w))
+              .withColumn("n_touches",
+                          F.count(F.lit(1)).over(
+                              Window.partitionBy("user_id",
+                                                 "conversion_id"))))
+    return ranked.withColumn(
+        "credit_ppm",
+        F.expr("1000000 DIV n_touches + IF(touch_rank = n_touches, "
+               "1000000 % n_touches, 0)")) \
+        .select("user_id", "conversion_id", "conv_ts", "touch_id",
+                "touch_rank", "n_touches", "credit_ppm")

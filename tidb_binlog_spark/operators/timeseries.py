@@ -117,3 +117,49 @@ def rolling_anomaly(df: DataFrame, keys: list[str],
             .select(*keys, *order_cols,
                     "v_milli", "n_trail", "sum_trail", "sumsq_trail",
                     "is_anomaly"))
+
+
+def ohlc_downsample(events: DataFrame, keys: list[str], ts_col: str,
+                    value_col: str, bucket_ns: int,
+                    order_cols: list[str] | None = None) -> DataFrame:
+    """Per-(keys, time-bucket) OHLC downsample: open/high/low/close of
+    ``value_col`` plus count and an exact DECIMAL volume sum — the
+    standard telemetry/market downsampling read (Prometheus recording
+    rules, candlestick feeds) that turns a raw event stream into a
+    bounded per-bucket table.
+
+    Spark-first shape: ONE shuffle keyed (keys, bucket). Open/close
+    are first/last in deterministic (ts, tiebreak) order via two
+    row_number windows over the SAME partitioning the aggregate uses,
+    so Catalyst shares one Exchange across the windows and the final
+    groupBy. High/low/count/volume are plain aggregates (map-side
+    combinable). At 100 TB the bucket count is bounded by
+    time-range/bucket_ns x |keys| — the output is small by
+    construction, and no per-key total order ever exceeds one bucket.
+
+    Determinism: ties on ts break by ``order_cols`` (default: the
+    value column is NOT used — callers pass a unique event id);
+    volume is SUM(DECIMAL(18,2)) surfaced as DOUBLE (engine-exact).
+    """
+    order_cols = order_cols or []
+    bucket = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(bucket_ns))
+              ).alias("bucket_start")
+    df = events.select(*keys, F.col(ts_col), value_col, *order_cols) \
+               .withColumn("bucket_start", bucket)
+    part = [*keys, "bucket_start"]
+    asc = [F.asc(ts_col)] + [F.asc(c) for c in order_cols]
+    desc = [F.desc(ts_col)] + [F.desc(c) for c in order_cols]
+    w_a = Window.partitionBy(*part).orderBy(*asc)
+    w_d = Window.partitionBy(*part).orderBy(*desc)
+    flagged = (df.withColumn("_rn_a", F.row_number().over(w_a))
+                 .withColumn("_rn_d", F.row_number().over(w_d)))
+    return (flagged.groupBy(*part).agg(
+        F.max(F.when(F.col("_rn_a") == 1, F.col(value_col)))
+         .alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max(F.when(F.col("_rn_d") == 1, F.col(value_col)))
+         .alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(f"CAST(SUM(CAST({value_col} AS DECIMAL(18,2))) AS DOUBLE)")
+         .alias("volume")))
