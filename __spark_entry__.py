@@ -3382,6 +3382,33 @@ def q_events_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multitouch_attribution(t["events"])
 
 
+def q_corpus_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register sketch per source with the mergeability
+    proof run in-query (whole-corpus registers == per-register max of
+    the two doc_id-parity halves' registers) and the milli-quantized
+    harmonic estimate checked against the exact distinct count.
+    Constant state (64 registers/stratum) at any corpus size."""
+    return scoring.hll_report(_docs(spark, sf_dir))
+
+
+def q_snapshot_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: lineitem modeled as a
+    (ship-month partition, orderkey-bucket file) listing with exact
+    integer sizes, bin-packed into ~50 KB output files by a window
+    prefix sum — the OPTIMIZE task list (one row per planned output
+    file), metadata-sized at any corpus scale."""
+    from tidb_binlog_spark.operators.layout import compaction_plan
+    t = load_tables(spark, sf_dir, "lineitem")
+    files = (t["lineitem"]
+             .groupBy(F.expr("substring(CAST(l_shipdate AS STRING), 1, 7)")
+                       .alias("part_month"),
+                      (F.col("l_orderkey") % 64).alias("file_id"))
+             .agg(F.expr("CAST(SUM(CAST(l_quantity AS BIGINT) * 100 "
+                         "+ l_linenumber) AS BIGINT)").alias("bytes")))
+    return compaction_plan(files, ["part_month"], "file_id", "bytes",
+                           target_bytes=50_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # keys. This is DRIVER round 7 (last recorded gate: CORRECTNESS_r06,
@@ -3587,6 +3614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_salt_advisor": q_cdc_salt_advisor,
         "corpus_oov_rate": q_corpus_oov_rate,
         "events_multitouch": q_events_multitouch,
+        "corpus_hll_registers": q_corpus_hll_registers,
+        "snapshot_compaction_plan": q_snapshot_compaction_plan,
     }
 
 
@@ -6329,5 +6358,80 @@ def oracle_sql() -> dict[str, str]:
                                THEN 1000000 % n_touches ELSE 0 END
                         AS BIGINT) AS credit_ppm
             FROM r
+        """,
+        "corpus_hll_registers": f"""
+            WITH toks AS (SELECT doc_id, source, text, {osql.TOKS} AS toks
+                          FROM documents),
+            sh AS (SELECT source AS stratum, doc_id,
+                          unnest({osql.SHINGLES}) AS shingle
+                   FROM toks),
+            h0 AS (SELECT stratum, doc_id,
+                     CAST(concat('0x', substring(md5(shingle), 1, 12))
+                          AS BIGINT) AS h
+                   FROM sh),
+            d AS (SELECT DISTINCT stratum, h FROM h0),
+            reg AS (SELECT stratum, h % 64 AS register,
+                      MAX(CASE WHEN h // 64 = 0 THEN 43
+                          ELSE 42 - length(bin(h // 64)) + 1 END) AS rho
+                    FROM d GROUP BY stratum, h % 64),
+            direct AS (SELECT stratum,
+                         COUNT(*) AS n_set,
+                         CAST(SUM(rho) AS BIGINT) AS sum_rho,
+                         MAX(rho) AS max_rho,
+                         CAST(SUM(CAST(pow(2.0, 48 - rho) AS BIGINT))
+                              + (64 - COUNT(*))
+                                * CAST(281474976710656 AS BIGINT)
+                              AS BIGINT) AS s_scaled
+                       FROM reg GROUP BY stratum),
+            hd AS (SELECT DISTINCT stratum, doc_id % 2 AS half, h
+                   FROM h0),
+            reg2 AS (SELECT stratum, half, h % 64 AS register,
+                       MAX(CASE WHEN h // 64 = 0 THEN 43
+                           ELSE 42 - length(bin(h // 64)) + 1 END) AS rho
+                     FROM hd GROUP BY stratum, half, h % 64),
+            mreg AS (SELECT stratum, register, MAX(rho) AS rho
+                     FROM reg2 GROUP BY stratum, register),
+            merged AS (SELECT stratum,
+                         CAST(SUM(CAST(pow(2.0, 48 - rho) AS BIGINT))
+                              + (64 - COUNT(*))
+                                * CAST(281474976710656 AS BIGINT)
+                              AS BIGINT) AS m_s_scaled
+                       FROM mreg GROUP BY stratum),
+            ex AS (SELECT stratum, COUNT(*) AS exact_distinct
+                   FROM d GROUP BY stratum),
+            est AS (SELECT direct.*,
+                      CAST(floor(8.174213467662545e+20
+                                 / CAST(s_scaled AS DOUBLE))
+                           AS BIGINT) AS est_milli
+                    FROM direct)
+            SELECT est.stratum, n_set, sum_rho, max_rho, s_scaled,
+                   est_milli, exact_distinct,
+                   (abs(est_milli // 1000 - exact_distinct) * 1000000)
+                     // exact_distinct AS err_ppm,
+                   s_scaled = m_s_scaled AS merge_equal
+            FROM est
+            JOIN merged ON est.stratum = merged.stratum
+            JOIN ex ON est.stratum = ex.stratum
+        """,
+        "snapshot_compaction_plan": """
+            WITH files AS (
+              SELECT substring(CAST(l_shipdate AS VARCHAR), 1, 7)
+                       AS part_month,
+                     l_orderkey % 64 AS file_id,
+                     CAST(SUM(CAST(l_quantity AS BIGINT) * 100
+                              + l_linenumber) AS BIGINT) AS bytes
+              FROM lineitem GROUP BY 1, 2),
+            off AS (SELECT part_month, file_id, bytes,
+                      CAST(COALESCE(SUM(bytes) OVER (
+                          PARTITION BY part_month ORDER BY file_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS o
+                    FROM files)
+            SELECT part_month, o // 50000 AS bin_id,
+                   COUNT(*) AS n_files,
+                   CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+                   MIN(file_id) AS first_file,
+                   MAX(file_id) AS last_file
+            FROM off GROUP BY part_month, o // 50000
         """,
     }

@@ -1698,3 +1698,54 @@ def test_oov_rate_identities(spark):
     assert out["s1"].oov_tokens == 3          # zz, qq, rr
     assert out["s1"].oov_types == 3
     assert out["s1"].oov_ppm == 500_000
+
+
+def test_compaction_plan_matches_naive_packing(spark):
+    from tidb_binlog_spark.operators.layout import compaction_plan
+    rows = [("p0", i, (i * 131) % 70 + 1) for i in range(40)] \
+         + [("p1", i, 120) for i in range(5)]
+    df = spark.createDataFrame(rows, "part string, file_id long, bytes long")
+    out = compaction_plan(df, ["part"], "file_id", "bytes",
+                          target_bytes=100).collect()
+    naive = {}
+    for part, fid, b in sorted(rows):
+        key = (part,)
+        off = naive.setdefault(part, {"off": 0, "bins": {}})
+        bin_id = off["off"] // 100
+        off["bins"].setdefault(bin_id, []).append((fid, b))
+        off["off"] += b
+    for r in out:
+        fids = naive[r.part]["bins"][r.bin_id]
+        assert r.n_files == len(fids)
+        assert r.bin_bytes == sum(b for _, b in fids)
+        assert r.first_file == min(f for f, _ in fids)
+        assert r.last_file == max(f for f, _ in fids)
+    # every planned file is a run of consecutive files: no partition
+    # bin overlaps another's [first_file, last_file] range
+    by_part = {}
+    for r in out:
+        by_part.setdefault(r.part, []).append(r)
+    for part, bins in by_part.items():
+        bins.sort(key=lambda r: r.bin_id)
+        for a, b in zip(bins, bins[1:]):
+            assert a.last_file < b.first_file
+
+
+def test_hll_report_merge_and_error(spark):
+    from tidb_binlog_spark.functions.scoring import hll_report
+    import random
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(30)),
+             "en", f"s{i % 2}", 0) for i in range(120)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = hll_report(docs).collect()
+    assert {r.stratum for r in out} == {"s0", "s1"}
+    for r in out:
+        assert r.merge_equal          # union-of-halves == direct registers
+        assert 0 < r.n_set <= 64
+        assert r.exact_distinct > 0
+        # 64-register HLL: relative error should be well inside 40%
+        assert r.err_ppm < 400_000

@@ -705,3 +705,101 @@ def oov_rate(docs: DataFrame, vocab_size: int = 64,
          .alias("oov_types"))
         .withColumn("oov_ppm",
                     F.expr("(oov_tokens * 1000000) DIV total_tokens")))
+
+
+# -- HyperLogLog-style register sketch (deterministic, mergeable) ----------
+
+HLL_P = 6                    # 2^6 = 64 registers
+_HLL_M = 1 << HLL_P
+_HLL_WBITS = 48 - HLL_P      # suffix width after the register index
+# alpha_64 * m^2 * 2^48 * 1000 as a double literal — the harmonic-mean
+# estimator numerator (Flajolet et al. 2007, alpha_64 = 0.709); the
+# same expression tree runs in both engines so est_milli is
+# engine-exact.
+_HLL_EST_NUM = "8.174213467662545e+20"  # 0.709 * 64^2 * 2^48 * 1000
+
+
+def _hll_registers(hashed: DataFrame) -> DataFrame:
+    """(stratum, h[48-bit]) -> per-(stratum, register) max rank-of-
+    first-one-bit (rho). Register = low p bits; rho = leading zeros of
+    the remaining 42-bit suffix + 1 (suffix 0 -> 43)."""
+    w = f"(h DIV {_HLL_M})"
+    rho = (f"IF({w} = 0, {_HLL_WBITS + 1}, "
+           f"{_HLL_WBITS} - length(bin({w})) + 1)")
+    return (hashed
+            .select("stratum",
+                    F.expr(f"h % {_HLL_M}").alias("register"),
+                    F.expr(rho).alias("rho"))
+            .groupBy("stratum", "register")
+            .agg(F.max("rho").alias("rho")))
+
+
+def _hll_summary(regs: DataFrame, prefix: str) -> DataFrame:
+    """Fold a register table to one row per stratum: set-register
+    count, rho sum/max, the exact integer harmonic denominator
+    S = sum(2^(48 - rho_j)) (absent registers contribute 2^48), and
+    the milli-quantized HLL estimate."""
+    s_set = f"sum(CAST(pow(2.0, {48} - rho) AS BIGINT))"
+    n_missing = f"({_HLL_M} - count(1))"
+    return (regs.groupBy("stratum").agg(
+        F.expr("count(1)").alias(f"{prefix}n_set"),
+        F.expr("CAST(sum(rho) AS BIGINT)").alias(f"{prefix}sum_rho"),
+        F.expr("max(rho)").alias(f"{prefix}max_rho"),
+        F.expr(f"{s_set} + {n_missing} * CAST(281474976710656 AS BIGINT)")
+         .alias(f"{prefix}s_scaled"))
+        .withColumn(f"{prefix}est_milli",
+                    F.expr(f"CAST(floor({_HLL_EST_NUM} "
+                           f"/ CAST({prefix}s_scaled AS DOUBLE)) "
+                           f"AS BIGINT)")))
+
+
+def hll_report(docs: DataFrame, by: str = "source") -> DataFrame:
+    """HyperLogLog register sketch per stratum with the mergeability
+    proof run IN the query: registers built over the whole corpus
+    must equal the per-register MAX of registers built over the two
+    doc_id-parity halves — the fold that lets daily/partition
+    sketches combine without re-reading corpora (the KMV merge
+    contract's constant-space sibling; state is m=64 small ints per
+    stratum at ANY corpus size).
+
+    Deterministic md5-derived 48-bit hashes -> registers, rho, the
+    exact integer harmonic denominator AND the milli-quantized
+    estimate are all engine-reproducible; even the estimation error
+    vs the exact distinct count is oracle-checked.
+    """
+    from .dedup import with_shingles
+    sh = (with_shingles(docs.select("doc_id", by, "text"))
+          .select(F.col(by).alias("stratum"), "doc_id",
+                  F.explode("shingles").alias("shingle")))
+    hashed = (sh.select(
+        "stratum", "doc_id",
+        F.expr("CAST(conv(substring(md5(shingle), 1, 12), 16, 10) "
+               "AS BIGINT)").alias("h")))
+    d = hashed.select("stratum", "h").distinct()
+    from tidb_binlog_spark.cache import managed_persist
+    d = managed_persist(d)
+    direct = _hll_summary(_hll_registers(d), "")
+    halves = (hashed
+              .select("stratum", (F.col("doc_id") % 2).alias("half"), "h")
+              .distinct()
+              .select(F.concat_ws("#", "stratum",
+                                  F.col("half").cast("string"))
+                       .alias("stratum"), "h"))
+    merged_regs = (_hll_registers(halves)
+                   .select(F.expr("split(stratum, '#')[0]")
+                            .alias("stratum"), "register", "rho")
+                   .groupBy("stratum", "register")
+                   .agg(F.max("rho").alias("rho")))
+    merged = (_hll_summary(merged_regs, "m_")
+              .select("stratum", "m_s_scaled"))
+    exact = d.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("exact_distinct"))
+    return (direct.join(merged, "stratum").join(exact, "stratum")
+            .withColumn("merge_equal",
+                        F.expr("s_scaled = m_s_scaled"))
+            .withColumn("err_ppm",
+                        F.expr("(abs(est_milli DIV 1000 - exact_distinct)"
+                               " * 1000000) DIV exact_distinct"))
+            .select("stratum", "n_set", "sum_rho", "max_rho",
+                    "s_scaled", "est_milli", "exact_distinct",
+                    "err_ppm", "merge_equal"))

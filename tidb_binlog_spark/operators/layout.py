@@ -17,7 +17,7 @@ to the corpus/snapshot tables here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -60,3 +60,35 @@ def zorder_layout_report(df: DataFrame, x: str, y: str,
                     "y_min", "y_max",
                     (F.col("x_max") - F.col("x_min")).alias("x_span"),
                     (F.col("y_max") - F.col("y_min")).alias("y_span")))
+
+
+def compaction_plan(files: DataFrame, part_cols: list[str],
+                    file_col: str, size_col: str,
+                    target_bytes: int) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE bin-packing
+    primitive): within each partition, files are packed in file-id
+    order into output bins of ~``target_bytes`` by assigning each
+    file the bin its cumulative start offset falls in
+    (``bin = prefix_bytes DIV target``). Deterministic, one-pass, and
+    exactly the greedy consecutive packing Delta/Iceberg OPTIMIZE
+    uses — expressed as a window prefix sum instead of a driver loop.
+
+    Scale shape: ONE window keyed on the partition columns (file
+    listings are metadata — millions of rows, not corpus bytes); for
+    a pathological million-file single partition the two-phase
+    bucketed prefix sum (operators/batching.py) is the documented
+    drop-in. Output is one row per planned output file: the rewrite
+    task list.
+    """
+    w = (Window.partitionBy(*part_cols).orderBy(file_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    planned = (files
+               .withColumn("_offset",
+                           F.coalesce(F.sum(size_col).over(w), F.lit(0)))
+               .withColumn("bin_id",
+                           F.expr(f"_offset DIV {int(target_bytes)}")))
+    return (planned.groupBy(*part_cols, "bin_id")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum(size_col).cast("bigint").alias("bin_bytes"),
+                 F.min(file_col).alias("first_file"),
+                 F.max(file_col).alias("last_file")))
