@@ -3409,6 +3409,22 @@ def q_snapshot_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                            target_bytes=50_000)
 
 
+def q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the rare-shingle document graph
+    (edges = docs sharing a 4-gram with df in [2,3]; df cap bounds
+    the fan-out), 3 integer-exact power iterations, top-50 most
+    central docs — the canonical-doc-selection signal that prefers
+    neighborhood centers over min-id representatives."""
+    from tidb_binlog_spark.operators.graph import (pagerank,
+                                                   rare_feature_edges)
+    edges = rare_feature_edges(_docs(spark, sf_dir), n=4)
+    pr = pagerank(edges, iters=3, damping_pct=85)
+    return (pr.orderBy(F.desc("rank_micro"), F.asc("node"))
+            .limit(50)
+            .select(F.col("node").alias("doc_id"), "rank_micro",
+                    "outdeg"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # keys. This is DRIVER round 7 (last recorded gate: CORRECTNESS_r06,
@@ -3616,6 +3632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_multitouch": q_events_multitouch,
         "corpus_hll_registers": q_corpus_hll_registers,
         "snapshot_compaction_plan": q_snapshot_compaction_plan,
+        "corpus_pagerank": q_corpus_pagerank,
     }
 
 
@@ -6433,5 +6450,54 @@ def oracle_sql() -> dict[str, str]:
                    MIN(file_id) AS first_file,
                    MAX(file_id) AS last_file
             FROM off GROUP BY part_month, o // 50000
+        """,
+        "corpus_pagerank": f"""
+            WITH toks AS (SELECT doc_id, {osql.TOKS} AS toks
+                          FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                    unnest(CASE WHEN len(toks) >= 4 THEN
+                      list_transform(generate_series(1, len(toks) - 3),
+                        i -> concat_ws(' ', toks[i], toks[i+1],
+                                       toks[i+2], toks[i+3]))
+                      ELSE CAST([] AS VARCHAR[]) END) AS sh
+                  FROM toks),
+            dfq AS (SELECT sh, COUNT(*) AS df FROM g GROUP BY sh),
+            rare AS (SELECT sh FROM dfq WHERE df BETWEEN 2 AND 3),
+            e AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                  FROM g a JOIN rare USING (sh) JOIN g b USING (sh)
+                  WHERE a.doc_id <> b.doc_id),
+            deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+            r0 AS (SELECT src AS node,
+                          CAST(1000000 AS BIGINT) AS rank_micro
+                   FROM deg),
+            it1 AS (SELECT e.dst AS node,
+                      CAST(150000 + (85 * CAST(SUM(r.rank_micro
+                                                   // d.outdeg)
+                                               AS BIGINT)) // 100
+                           AS BIGINT) AS rank_micro
+                    FROM e JOIN r0 r ON e.src = r.node
+                    JOIN deg d ON e.src = d.src
+                    GROUP BY e.dst),
+            it2 AS (SELECT e.dst AS node,
+                      CAST(150000 + (85 * CAST(SUM(r.rank_micro
+                                                   // d.outdeg)
+                                               AS BIGINT)) // 100
+                           AS BIGINT) AS rank_micro
+                    FROM e JOIN it1 r ON e.src = r.node
+                    JOIN deg d ON e.src = d.src
+                    GROUP BY e.dst),
+            it3 AS (SELECT e.dst AS node,
+                      CAST(150000 + (85 * CAST(SUM(r.rank_micro
+                                                   // d.outdeg)
+                                               AS BIGINT)) // 100
+                           AS BIGINT) AS rank_micro
+                    FROM e JOIN it2 r ON e.src = r.node
+                    JOIN deg d ON e.src = d.src
+                    GROUP BY e.dst)
+            SELECT it3.node AS doc_id, it3.rank_micro,
+                   deg.outdeg
+            FROM it3 JOIN deg ON it3.node = deg.src
+            ORDER BY it3.rank_micro DESC, it3.node
+            LIMIT 50
         """,
     }

@@ -1749,3 +1749,41 @@ def test_hll_report_merge_and_error(spark):
         assert r.exact_distinct > 0
         # 64-register HLL: relative error should be well inside 40%
         assert r.err_ppm < 400_000
+
+
+def test_pagerank_star_centrality_and_exact_arithmetic(spark):
+    from tidb_binlog_spark.operators.graph import pagerank
+    # undirected star: center 0 <-> leaves 1..5, plus a detached pair
+    pairs = [(0, i) for i in range(1, 6)] + [(10, 11)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long")
+    out = {r.node: r for r in pagerank(edges, iters=3).collect()}
+    # python replica of the integer recurrence
+    deg = {0: 5, 10: 1, 11: 1, **{i: 1 for i in range(1, 6)}}
+    ranks = {n: 1_000_000 for n in deg}
+    adj = {}
+    for a, b in pairs + [(b, a) for a, b in pairs]:
+        adj.setdefault(b, []).append(a)
+    for _ in range(3):
+        ranks = {n: 150_000 + (85 * sum(ranks[s] // deg[s]
+                                        for s in srcs)) // 100
+                 for n, srcs in adj.items()}
+    for n, r in ranks.items():
+        assert out[n].rank_micro == r, n
+    # the hub out-centralities: center above every leaf
+    assert all(out[0].rank_micro > out[i].rank_micro
+               for i in range(1, 6))
+
+
+def test_rare_feature_edges_symmetric_and_df_bounded(spark):
+    from tidb_binlog_spark.operators.graph import rare_feature_edges
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta tail0"),
+         (1, "alpha beta gamma delta tail1"),
+         (2, "zz yy xx ww vv"),
+         (3, "unrelated words entirely here now")],
+        "doc_id long, text string")
+    e = {(r.src, r.dst) for r in rare_feature_edges(docs, n=4).collect()}
+    assert (0, 1) in e and (1, 0) in e      # shared rare 4-gram
+    assert not any(2 in p or 3 in p for p in e)
