@@ -1493,3 +1493,51 @@ def test_fold_leakage_content_folding_never_leaks(spark):
                 .first()["l"])
     assert leaked("fold_by_content") == 0
     assert leaked("fold_by_id") == 3   # C(3,2) pairs split 1/1/1
+
+
+def test_ivf_incremental_report_growth_and_retrain(spark):
+    from pyspark.sql import functions as F
+    from tidb_binlog_spark.functions.similarity import (
+        ivf_incremental_report, kmeans_integer_fit, _assign_int)
+    # two well-separated blobs as base; the new batch floods blob 1
+    base_rows = [(i, [0, 0, 0, 0]) for i in range(10, 15)] \
+              + [(i, [100, 100, 100, 100]) for i in range(20, 25)]
+    new_rows = [(100 + i, [99, 101, 100, 100]) for i in range(8)]
+    base = spark.createDataFrame(base_rows, "vec_id long, qvec array<long>")
+    new = spark.createDataFrame(new_rows, "vec_id long, qvec array<long>")
+    out = {r.cluster_id: r
+           for r in ivf_incremental_report(base, new, k=2,
+                                           iters=2).collect()}
+    assert len(out) == 2
+    flooded = [r for r in out.values() if r.new_n == 8]
+    assert len(flooded) == 1 and flooded[0].retrain
+    quiet = [r for r in out.values() if r.new_n == 0]
+    assert len(quiet) == 1 and not quiet[0].retrain
+    # frozen-codebook contract: report counts equal direct assignment
+    cents = kmeans_integer_fit(base, k=2, iters=2)
+    direct = (_assign_int(new, cents, "vec_id", "qvec")
+              .groupBy("cluster_id").count().collect())
+    assert {r.cluster_id: r["count"] for r in direct} == \
+           {cid: r.new_n for cid, r in out.items() if r.new_n > 0}
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    from tidb_binlog_spark.functions.scoring import dsir_weights
+    # target source speaks 'aa bb cc'; the other speaks 'xx yy zz';
+    # doc 50 is an off-source doc written in target language
+    rows = ([(i, "aa bb cc aa bb", "en", "src0", 0) for i in range(20)]
+            + [(100 + i, "xx yy zz xx yy", "en", "srcX", 0)
+               for i in range(20)]
+            + [(50, "aa bb cc aa bb", "en", "srcX", 0)])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = dsir_weights(docs, target_source="src0", n_buckets=64,
+                       top_k=100).collect()
+    w = {r.doc_id: r.weight_micro for r in out}
+    # the target-like off-source doc scores with the target docs,
+    # far above every xx/yy/zz doc
+    assert w[50] == w[0]
+    assert w[50] > w[100]
+    ranks = {r.doc_id: r.rank for r in out}
+    assert ranks[50] <= 21

@@ -803,3 +803,53 @@ def hll_report(docs: DataFrame, by: str = "source") -> DataFrame:
             .select("stratum", "n_set", "sum_rho", "max_rho",
                     "s_scaled", "est_milli", "exact_distinct",
                     "err_ppm", "merge_equal"))
+
+
+def dsir_weights(docs: DataFrame, target_source: str = "src0",
+                 n_buckets: int = 256, top_k: int = 100) -> DataFrame:
+    """Data Selection via Importance Resampling (hashed-feature
+    flavor, Xie et al. 2023): score every document by how much more
+    likely its hashed-unigram features are under a TARGET distribution
+    (here: the docs of ``target_source``) than under the raw corpus,
+    and keep the top-k — the standard cheap way to steer a 100 TB
+    crawl toward a high-quality seed domain without a trained model.
+
+    Determinism/scale contract:
+    - feature table = ``n_buckets`` rows of exact integer counts (one
+      map-side-combinable aggregate over token occurrences), add-1
+      smoothed; per-bucket weight is ONE ln of an exact-integer ratio
+      (every product < 2^53 at any realistic count), floor-quantized
+      to MICRO-nats BEFORE the per-doc sum, so doc scores are exact
+      BIGINT sums — aggregation-order-invariant, engine-identical.
+    - the weight table is broadcast back onto the token stream; the
+      corpus shuffles only (doc_id, partial-sum) rows.
+    """
+    occ = (with_tokens(docs)
+           .select("doc_id", "source", F.explode("toks").alias("tok"))
+           .withColumn("bucket",
+                       F.expr("pmod(CAST(conv(substring(md5(tok), 1, 12), "
+                              f"16, 10) AS BIGINT), {n_buckets})")))
+    counts = (occ.groupBy("bucket")
+              .agg(F.count(F.lit(1)).alias("raw_cnt"),
+                   F.sum(F.when(F.col("source") == target_source, 1)
+                          .otherwise(0)).cast("bigint").alias("tgt_cnt")))
+    totals = counts.agg(F.sum("raw_cnt").cast("bigint").alias("tot_raw"),
+                        F.sum("tgt_cnt").cast("bigint").alias("tot_tgt"))
+    w = (counts.crossJoin(F.broadcast(totals))
+         .withColumn(
+             "w_micro",
+             F.expr(f"CAST(floor(ln((CAST(tgt_cnt + 1 AS DOUBLE) "
+                    f"* CAST(tot_raw + {n_buckets} AS DOUBLE)) "
+                    f"/ (CAST(raw_cnt + 1 AS DOUBLE) "
+                    f"* CAST(tot_tgt + {n_buckets} AS DOUBLE))) "
+                    "* 1000000.0) AS BIGINT)"))
+         .select("bucket", "w_micro"))
+    scored = (occ.join(F.broadcast(w), "bucket")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.sum("w_micro").cast("bigint").alias("weight_micro")))
+    wr = Window.orderBy(F.desc("weight_micro"), F.asc("doc_id"))
+    return (scored.orderBy(F.desc("weight_micro"), F.asc("doc_id"))
+            .limit(top_k)
+            .withColumn("rank", F.row_number().over(wr))
+            .select("rank", "doc_id", "n_tokens", "weight_micro"))

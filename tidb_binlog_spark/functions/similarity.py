@@ -616,6 +616,16 @@ def kmeans_integer(vecs: DataFrame, k: int = 10, iters: int = 2,
     is scanned, never reshuffled. Returns the FINAL assignment
     (id, vec, cluster_id, dist).
     """
+    cents = kmeans_integer_fit(vecs, k, iters, id_col, vec_col)
+    return _assign_int(vecs, cents, id_col, vec_col)
+
+
+def kmeans_integer_fit(vecs: DataFrame, k: int = 10, iters: int = 2,
+                       id_col: str = "vec_id",
+                       vec_col: str = "qvec") -> DataFrame:
+    """The trained centroids of ``kmeans_integer`` (cluster_id, cvec)
+    — exposed so an INCREMENTAL ingest can assign new vectors against
+    a frozen codebook without re-clustering the base corpus."""
     wk = Window.orderBy(id_col)     # k rows only, post-limit
     cents = (vecs.orderBy(id_col).limit(k)
              .select((F.row_number().over(wk) - 1).alias("cluster_id"),
@@ -634,7 +644,50 @@ def kmeans_integer(vecs: DataFrame, k: int = 10, iters: int = 2,
         cents = (cents.join(F.broadcast(newc), "cluster_id", "left")
                  .select("cluster_id",
                          F.coalesce("new_cvec", "cvec").alias("cvec")))
-    return _assign_int(vecs, cents, id_col, vec_col)
+    return cents
+
+
+def ivf_incremental_report(base: DataFrame, new: DataFrame,
+                           k: int = 10, iters: int = 2,
+                           id_col: str = "vec_id",
+                           vec_col: str = "qvec",
+                           retrain_growth_ppm: int = 300_000) -> DataFrame:
+    """Incremental IVF index maintenance: train the coarse quantizer
+    on the BASE corpus once, assign an arriving batch against the
+    frozen centroids (broadcast; the base is never re-clustered or
+    re-shuffled), and report per-list growth + distance drift — the
+    signals that decide when the codebook must be retrained (a
+    growing list degrades probe recall; rising assignment distance
+    means the batch has left the trained distribution).
+
+    All integer: counts, floor-mean distances, ppm growth
+    (``new_n*1e6 DIV base_n``). ``retrain`` flags lists whose growth
+    exceeds ``retrain_growth_ppm`` (lists with no base vectors flag
+    unconditionally when they receive data).
+    """
+    cents = kmeans_integer_fit(base, k, iters, id_col, vec_col)
+    cents = managed_persist(cents)
+
+    def per_list(df: DataFrame, prefix: str) -> DataFrame:
+        a = _assign_int(df, cents, id_col, vec_col)
+        return a.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias(f"{prefix}n"),
+            F.expr("sum(dist) DIV count(1)").alias(f"{prefix}mean_dist"))
+
+    all_lists = cents.select("cluster_id")
+    out = (all_lists
+           .join(per_list(base, "base_"), "cluster_id", "left")
+           .join(per_list(new, "new_"), "cluster_id", "left")
+           .na.fill({"base_n": 0, "new_n": 0}))
+    return (out.withColumn(
+                "growth_ppm",
+                F.expr("IF(base_n = 0, NULL, "
+                       "(new_n * 1000000) DIV base_n)"))
+            .withColumn("retrain",
+                        F.expr(f"IF(base_n = 0, new_n > 0, "
+                               f"growth_ppm > {int(retrain_growth_ppm)})"))
+            .select("cluster_id", "base_n", "new_n", "base_mean_dist",
+                    "new_mean_dist", "growth_ppm", "retrain"))
 
 
 def semantic_dedup_exact(embeddings: DataFrame, k: int = 10,
