@@ -3449,6 +3449,25 @@ def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simfn.ivf_incremental_report(base, new, k=10, iters=2)
 
 
+def q_ann_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding-compression audit: per-vector scale,
+    code sums, saturation count and exact micro-quantized
+    reconstruction-error mass. Zero shuffles — one codegen projection
+    with sequential array folds."""
+    return simfn.int8_quantize_report(_embs(spark, sf_dir))
+
+
+def q_events_rep_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-deviation representative point per (event_type, 6h
+    bucket) — the parallel LTTB stand-in; spike-preserving downsample
+    selected by exact integer |n*v - sum| deviation."""
+    from tidb_binlog_spark.operators.timeseries import representative_points
+    t = load_tables(spark, sf_dir, "events")
+    return representative_points(t["events"], ["event_type"], "ts",
+                                 "value", "event_id",
+                                 6 * 3_600_000_000_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # keys. This is DRIVER round 7 (last recorded gate: CORRECTNESS_r06,
@@ -3659,6 +3678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pagerank": q_corpus_pagerank,
         "corpus_dsir_select": q_corpus_dsir_select,
         "ann_ivf_incremental": q_ann_ivf_incremental,
+        "ann_int8_quant": q_ann_int8_quant,
+        "events_rep_points": q_events_rep_points,
     }
 
 
@@ -6602,5 +6623,67 @@ def oracle_sql() -> dict[str, str]:
             FROM alll a
             LEFT JOIN bl ON a.cid = bl.cid
             LEFT JOIN nl ON a.cid = nl.cid
+        """,
+        "ann_int8_quant": """
+            WITH m AS (
+              SELECT vec_id, embedding,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))),
+                  (acc, v) -> greatest(acc, v)) AS maxabs
+              FROM embeddings),
+            c AS (
+              SELECT vec_id, embedding, maxabs,
+                CASE WHEN maxabs = 0.0
+                     THEN list_transform(embedding,
+                                         x -> CAST(0 AS BIGINT))
+                     ELSE list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs)
+                            AS BIGINT)) END AS codes
+              FROM m)
+            SELECT vec_id,
+              CAST(floor(maxabs * 1000000.0) AS BIGINT) AS scale_micro,
+              list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                          (acc, v) -> acc + v) AS sum_codes,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(codes, q -> abs(q))),
+                (acc, v) -> acc + v) AS sum_abs_codes,
+              len(list_filter(codes, q -> abs(q) = 127))
+                AS n_saturated,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(list_zip(embedding, codes), z ->
+                    CAST(floor(abs(CAST(z[1] AS DOUBLE)
+                                   - z[2] * maxabs / 127.0)
+                               * 1000000.0) AS BIGINT))),
+                (acc, v) -> acc + v) AS err_micro
+            FROM c
+        """,
+        "events_rep_points": """
+            WITH e AS (SELECT event_type, event_id,
+                              epoch_ns(ts) AS ts_ns, value
+                       FROM events),
+            b AS (SELECT event_type, event_id, value,
+                         ts_ns - ts_ns % 21600000000000 AS bucket_start,
+                         CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT) AS centi
+                  FROM e),
+            s AS (SELECT *,
+                    COUNT(*) OVER w AS n,
+                    CAST(SUM(centi) OVER w AS BIGINT) AS sm
+                  FROM b
+                  WINDOW w AS (PARTITION BY event_type, bucket_start)),
+            r AS (SELECT *,
+                    abs(n * centi - sm) AS dev_scaled,
+                    ROW_NUMBER() OVER (
+                        PARTITION BY event_type, bucket_start
+                        ORDER BY abs(n * centi - sm) DESC, event_id)
+                      AS rn
+                  FROM s)
+            SELECT event_type, bucket_start,
+                   CAST(n AS BIGINT) AS n_events,
+                   event_id AS rep_event_id,
+                   value AS rep_value,
+                   CAST(dev_scaled AS BIGINT) AS dev_scaled
+            FROM r WHERE rn = 1
         """,
     }

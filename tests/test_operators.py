@@ -1787,3 +1787,34 @@ def test_rare_feature_edges_symmetric_and_df_bounded(spark):
     e = {(r.src, r.dst) for r in rare_feature_edges(docs, n=4).collect()}
     assert (0, 1) in e and (1, 0) in e      # shared rare 4-gram
     assert not any(2 in p or 3 in p for p in e)
+
+
+def test_representative_points_picks_spike(spark):
+    from tidb_binlog_spark.operators.timeseries import representative_points
+    rows = [("a", i, i * 10**9, 10.0) for i in range(10)]
+    rows[4] = ("a", 4, 4 * 10**9, 99.5)          # the spike
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts long, value double")
+    out = representative_points(df, ["event_type"], "ts", "value",
+                                "event_id", bucket_ns=100 * 10**9).collect()
+    assert len(out) == 1
+    assert out[0].rep_event_id == 4 and out[0].rep_value == 99.5
+    assert out[0].n_events == 10
+
+
+def test_int8_quantize_report_exactness(spark):
+    from tidb_binlog_spark.functions.similarity import int8_quantize_report
+    rows = [(0, [1.0, -1.0, 0.5, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in int8_quantize_report(df).collect()}
+    r0 = out[0]
+    assert r0.scale_micro == 1_000_000
+    # codes: 127, -127, 63 (floor of 63.5), 0
+    assert r0.sum_codes == 127 - 127 + 63 + 0
+    assert r0.sum_abs_codes == 127 + 127 + 63
+    assert r0.n_saturated == 2
+    # err: only the 0.5 component truncates (0.5 - 63/127 = ~0.003937)
+    assert 3000 < r0.err_micro < 4500
+    r1 = out[1]
+    assert r1.scale_micro == 0 and r1.sum_codes == 0
+    assert r1.n_saturated == 0 and r1.err_micro == 0

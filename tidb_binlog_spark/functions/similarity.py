@@ -802,3 +802,45 @@ def ivfpq_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
     return (exact.withColumn("rank", F.row_number().over(wf))
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "adc_dist", "cosine", "rank"))
+
+
+def int8_quantize_report(embeddings: DataFrame,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """Per-vector symmetric int8 quantization audit — the embedding-
+    compression step (4x smaller vectors, SIMD int8 dot products) a
+    100 TB ANN store applies before indexing, with the information a
+    rollout decision needs: the scale, how many components saturate,
+    and the exact reconstruction-error mass.
+
+    codes = floor(x * 127 / max|x|) per component (all-zero vectors
+    quantize to zeros); every reported number is either exact BIGINT
+    (code sums, clip counts) or a micro-floor-quantized integer summed
+    AFTER per-element quantization — order-invariant, engine-exact.
+    Zero shuffles: one projection, whole-stage codegen, sequential
+    array folds.
+    """
+    maxabs = ("aggregate(" + vec_col + ", CAST(0.0 AS DOUBLE), "
+              "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))")
+    codes = (f"IF(_maxabs = 0.0, transform({vec_col}, x -> "
+             f"CAST(0 AS BIGINT)), transform({vec_col}, x -> "
+             f"CAST(floor(CAST(x AS DOUBLE) * 127.0 / _maxabs) "
+             f"AS BIGINT)))")
+    err = (f"aggregate(zip_with({vec_col}, _codes, (x, c) -> "
+           f"CAST(floor(abs(CAST(x AS DOUBLE) "
+           f"- c * _maxabs / 127.0) * 1000000.0) AS BIGINT)), "
+           f"CAST(0 AS BIGINT), (acc, e) -> acc + e)")
+    return (embeddings
+            .withColumn("_maxabs", F.expr(maxabs))
+            .withColumn("_codes", F.expr(codes))
+            .select(
+                id_col,
+                F.expr("CAST(floor(_maxabs * 1000000.0) AS BIGINT)")
+                 .alias("scale_micro"),
+                F.expr("aggregate(_codes, CAST(0 AS BIGINT), "
+                       "(acc, c) -> acc + c)").alias("sum_codes"),
+                F.expr("aggregate(_codes, CAST(0 AS BIGINT), "
+                       "(acc, c) -> acc + abs(c))").alias("sum_abs_codes"),
+                F.expr("size(filter(_codes, c -> abs(c) = 127))")
+                 .alias("n_saturated"),
+                F.expr(err).alias("err_micro")))

@@ -163,3 +163,39 @@ def ohlc_downsample(events: DataFrame, keys: list[str], ts_col: str,
         F.count(F.lit(1)).alias("n_events"),
         F.expr(f"CAST(SUM(CAST({value_col} AS DECIMAL(18,2))) AS DOUBLE)")
          .alias("volume")))
+
+
+def representative_points(events: DataFrame, keys: list[str],
+                          ts_col: str, value_col: str, id_col: str,
+                          bucket_ns: int) -> DataFrame:
+    """Per-(keys, bucket) representative-point downsample: keep the
+    single event deviating MOST from its bucket mean — the parallel
+    stand-in for LTTB (which is inherently sequential across buckets)
+    that preserves spikes where min/max/mean downsampling blurs them.
+
+    Deviation is compared WITHOUT division: |n*v - sum(v)| in exact
+    centi-integers (DECIMAL(18,2)*100), so selection is engine-exact
+    and aggregation-order-invariant. One shuffle keyed (keys, bucket);
+    the deviation windows and the final pick share that Exchange.
+    """
+    bucket = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(bucket_ns))
+              ).alias("bucket_start")
+    centi = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    df = (events.select(*keys, ts_col, value_col, id_col)
+          .withColumn("bucket_start", bucket)
+          .withColumn("_centi", F.expr(centi)))
+    part = [*keys, "bucket_start"]
+    wp = Window.partitionBy(*part)
+    scored = (df.withColumn("_n", F.count(F.lit(1)).over(wp))
+              .withColumn("_sum", F.sum("_centi").over(wp))
+              .withColumn("dev_scaled",
+                          F.expr("abs(_n * _centi - _sum)")))
+    wr = Window.partitionBy(*part).orderBy(F.desc("dev_scaled"),
+                                           F.asc(id_col))
+    return (scored.withColumn("_rn", F.row_number().over(wr))
+            .filter(F.col("_rn") == 1)
+            .select(*part,
+                    F.col("_n").alias("n_events"),
+                    F.col(id_col).alias("rep_event_id"),
+                    F.col(value_col).alias("rep_value"),
+                    "dev_scaled"))
