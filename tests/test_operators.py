@@ -1818,3 +1818,21 @@ def test_int8_quantize_report_exactness(spark):
     r1 = out[1]
     assert r1.scale_micro == 0 and r1.sum_codes == 0
     assert r1.n_saturated == 0 and r1.err_micro == 0
+
+
+def test_partition_stats_merge_proof_holds_and_detects(spark):
+    from tidb_binlog_spark.operators.layout import (
+        partition_stats_with_merge_proof)
+    df = spark.createDataFrame(
+        [(p, i, (i * 7) % 40) for p in ("a", "b", "c")
+         for i in range(50)],
+        "part string, v long, key long")
+    out = partition_stats_with_merge_proof(
+        df, "part", "v", "key", k=8).collect()
+    g = [r for r in out if r.scope == "GLOBAL"]
+    assert len(g) == 1 and g[0].merge_ok
+    assert g[0].n_rows == 150 and g[0].min_v == 0 and g[0].max_v == 49
+    parts = {r.scope: r for r in out if r.scope != "GLOBAL"}
+    assert set(parts) == {"a", "b", "c"}
+    assert all(r.merge_ok is None and r.k_used == 8
+               for r in parts.values())

@@ -92,3 +92,65 @@ def compaction_plan(files: DataFrame, part_cols: list[str],
                  F.sum(size_col).cast("bigint").alias("bin_bytes"),
                  F.min(file_col).alias("first_file"),
                  F.max(file_col).alias("last_file")))
+
+
+def partition_stats_with_merge_proof(df: DataFrame, part_expr: str,
+                                     value_expr: str, ndv_expr: str,
+                                     k: int = 64) -> DataFrame:
+    """Partition-level table statistics (row count, value min/max,
+    KMV NDV sketch) plus an in-query proof that the GLOBAL stats fold
+    from the per-partition ones — the ANALYZE-maintenance contract
+    that lets a 100 TB table keep CBO stats fresh by scanning only
+    changed partitions and merging (count: sum, min/max: min/max,
+    NDV: union the k-minimum hash sets and re-truncate).
+
+    Output: one row per partition (merge_ok NULL) and one
+    scope='GLOBAL' row whose merge_ok asserts the directly-computed
+    global stats equal the merged ones (count/min/max AND the KMV
+    kth hash). All integer/md5 arithmetic — engine-exact.
+    """
+    base = df.select(
+        F.expr(part_expr).alias("scope"),
+        F.expr(value_expr).cast("long").alias("v"),
+        F.expr(f"CAST(conv(substring(md5(CAST(({ndv_expr}) AS STRING)), "
+               "1, 12), 16, 10) AS BIGINT)").alias("h"))
+    from tidb_binlog_spark.cache import managed_persist
+    base = managed_persist(base)
+    agg = base.groupBy("scope").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("v").alias("min_v"), F.max("v").alias("max_v"))
+    dh = base.select("scope", "h").distinct()
+    wp = Window.partitionBy("scope").orderBy("h")
+    mins = managed_persist(
+        dh.withColumn("rnk", F.row_number().over(wp))
+          .filter(F.col("rnk") <= k))
+    sk = mins.groupBy("scope").agg(F.max("h").alias("kth_hash"),
+                                   F.count(F.lit(1)).alias("k_used"))
+    parts = (agg.join(sk, "scope")
+             .withColumn("merge_ok", F.lit(None).cast("boolean")))
+
+    wg = Window.orderBy("h")
+    def global_sketch(hashes):
+        return (hashes.select("h").distinct()
+                .withColumn("rnk", F.row_number().over(wg))
+                .filter(F.col("rnk") <= k)
+                .agg(F.max("h").alias("kth_hash"),
+                     F.count(F.lit(1)).alias("k_used")))
+
+    direct = (base.agg(F.count(F.lit(1)).alias("n_rows"),
+                       F.min("v").alias("min_v"),
+                       F.max("v").alias("max_v"))
+              .crossJoin(global_sketch(base)))
+    merged = (agg.agg(F.sum("n_rows").cast("long").alias("m_n"),
+                      F.min("min_v").alias("m_min"),
+                      F.max("max_v").alias("m_max"))
+              .crossJoin(global_sketch(mins)
+                         .select(F.col("kth_hash").alias("m_kth"),
+                                 F.col("k_used").alias("m_k"))))
+    g = (direct.crossJoin(merged)
+         .select(F.lit("GLOBAL").alias("scope"), "n_rows", "min_v",
+                 "max_v", "kth_hash", "k_used",
+                 F.expr("n_rows = m_n AND min_v = m_min "
+                        "AND max_v = m_max AND kth_hash = m_kth "
+                        "AND k_used = m_k").alias("merge_ok")))
+    return parts.unionByName(g)
