@@ -3487,18 +3487,88 @@ def q_snapshot_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # keys. This is DRIVER round 7 (last recorded gate: CORRECTNESS_r06,
-    # 50/50 hash-green). Rotation (every-other-round discipline,
-    # VERDICT r5 item 4): (1) the 17 r6-new queries that have never had
-    # a driver row (ledger-green in LEDGER_r6), (2) the nine r4-green
-    # pytest-heavy leave-outs whose driver evidence is now three rounds
-    # old (kv_decode trio, payload/sqlgen/typemap/profile/mm/progress),
-    # (3) 24 of the 49 r5-green rows (evidence two rounds old). The
-    # remaining 25 r5-green rows sit below the window — every one
-    # ledger-checked each round — and rotate in r8 together with any
-    # r7-new queries.
+    # keys. Last recorded gate: CORRECTNESS_r06 (50/50 hash-green over
+    # the r6 window — cdc_pitr_restore et al.). The mid-r7 rotation
+    # (17 r6-new + 33 refreshes) was never recorded by a gate, so this
+    # rotation maximizes first-time driver evidence instead: the
+    # 50-query r7-new block (ledger-green in LEDGER_r7, never
+    # driver-checked) takes the whole window. Next round's window:
+    # the 17 r6-new queries (still driver-unchecked), the 12 late-r7
+    # queries, and anything new this session — all parked directly
+    # below the window in that order. Every query below the window is
+    # ledger-checked each round.
     return {
-        # -- never driver-checked (r6-new, ledger-green in LEDGER_r6)
+        # -- never driver-checked (r7-new, ledger-green in LEDGER_r7)
+        "ann_pca_project": q_ann_pca_project,
+        "rag_retrieve_pack": q_rag_retrieve_pack,
+        "dedup_url_canonical": q_dedup_url_canonical,
+        "corpus_source_divergence": q_corpus_source_divergence,
+        "text_quality_classifier": q_text_quality_classifier,
+        "cdc_write_skew": q_cdc_write_skew,
+        "cdc_source_gaps": q_cdc_source_gaps,
+        "cdc_conflict_rate": q_cdc_conflict_rate,
+        "snapshot_late_orders": q_snapshot_late_orders,
+        "snapshot_market_share": q_snapshot_market_share,
+        "snapshot_product_profit": q_snapshot_product_profit,
+        "snapshot_order_counts": q_snapshot_order_counts,
+        "snapshot_promo_revenue": q_snapshot_promo_revenue,
+        "snapshot_small_qty_revenue": q_snapshot_small_qty_revenue,
+        "snapshot_waiting_suppliers": q_snapshot_waiting_suppliers,
+        "snapshot_idle_customers": q_snapshot_idle_customers,
+        "snapshot_min_cost_supplier": q_snapshot_min_cost_supplier,
+        "snapshot_important_parts": q_snapshot_important_parts,
+        "snapshot_ship_priority_mix": q_snapshot_ship_priority_mix,
+        "snapshot_supplier_part_counts": q_snapshot_supplier_part_counts,
+        "snapshot_dominant_suppliers": q_snapshot_dominant_suppliers,
+        "ann_kmeans_clusters": q_ann_kmeans_clusters,
+        "dedup_semantic": q_dedup_semantic,
+        "cdc_bootstrap_catchup": q_cdc_bootstrap_catchup,
+        "cdc_txn_fanout": q_cdc_txn_fanout,
+        "corpus_budget_select": q_corpus_budget_select,
+        "cdc_relay_recovery": q_cdc_relay_recovery,
+        "dedup_consensus": q_dedup_consensus,
+        "cdc_schema_adoption": q_cdc_schema_adoption,
+        "dedup_bloom": q_dedup_bloom,
+        "corpus_ngram_topk": q_corpus_ngram_topk,
+        "snapshot_zorder_layout": q_snapshot_zorder_layout,
+        "mm_phash_pairs": q_mm_phash_pairs,
+        "cdc_checkpoint_lag": q_cdc_checkpoint_lag,
+        "events_windowed_topk": q_events_windowed_topk,
+        "corpus_kmv_distinct": q_corpus_kmv_distinct,
+        "events_anomaly_zscore": q_events_anomaly_zscore,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "corpus_surprisal_histogram": q_corpus_surprisal_histogram,
+        "events_active_users": q_events_active_users,
+        "events_bot_regularity": q_events_bot_regularity,
+        "snapshot_diff_repair": q_snapshot_diff_repair,
+        "corpus_gate_sweep": q_corpus_gate_sweep,
+        "corpus_chunk_savings": q_corpus_chunk_savings,
+        "corpus_kmv_merge": q_corpus_kmv_merge,
+        "doc_semantic_chunks": q_doc_semantic_chunks,
+        "text_lang_confusion": q_text_lang_confusion,
+        "events_funnel_dropoff": q_events_funnel_dropoff,
+        "corpus_fold_leakage": q_corpus_fold_leakage,
+        "corpus_effective_tokens": q_corpus_effective_tokens,
+        # ------------------------------------------------------------
+        # below the driver's 50-row window (position 51+)
+        # ------------------------------------------------------------
+        # -- never driver-checked: in line for the next window together
+        #    with the 17 r6-new heads of the block after this one
+        "events_ohlc": q_events_ohlc,
+        "cdc_salt_advisor": q_cdc_salt_advisor,
+        "corpus_oov_rate": q_corpus_oov_rate,
+        "events_multitouch": q_events_multitouch,
+        "corpus_hll_registers": q_corpus_hll_registers,
+        "snapshot_compaction_plan": q_snapshot_compaction_plan,
+        "corpus_pagerank": q_corpus_pagerank,
+        "corpus_dsir_select": q_corpus_dsir_select,
+        "ann_ivf_incremental": q_ann_ivf_incremental,
+        "ann_int8_quant": q_ann_int8_quant,
+        "events_rep_points": q_events_rep_points,
+        "snapshot_stats_merge": q_snapshot_stats_merge,
+        # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
+        #    driver-checked, next-window priority) + 33 r4/r5-green
+        #    refresh rows
         "corpus_tfidf_topk": q_corpus_tfidf_topk,
         "snapshot_large_orders": q_snapshot_large_orders,
         "snapshot_top_supplier": q_snapshot_top_supplier,
@@ -3633,71 +3703,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_stats": q_corpus_token_stats,
         "text_bigram_lm": q_text_bigram_lm,
         "corpus_full_curation": q_corpus_full_curation,
-        # -- new in r7 (ledger-checked; window candidates for r8)
-        "ann_pca_project": q_ann_pca_project,
-        "rag_retrieve_pack": q_rag_retrieve_pack,
-        "dedup_url_canonical": q_dedup_url_canonical,
-        "corpus_source_divergence": q_corpus_source_divergence,
-        "text_quality_classifier": q_text_quality_classifier,
-        "cdc_write_skew": q_cdc_write_skew,
-        "cdc_source_gaps": q_cdc_source_gaps,
-        "cdc_conflict_rate": q_cdc_conflict_rate,
-        "snapshot_late_orders": q_snapshot_late_orders,
-        "snapshot_market_share": q_snapshot_market_share,
-        "snapshot_product_profit": q_snapshot_product_profit,
-        "snapshot_order_counts": q_snapshot_order_counts,
-        "snapshot_promo_revenue": q_snapshot_promo_revenue,
-        "snapshot_small_qty_revenue": q_snapshot_small_qty_revenue,
-        "snapshot_waiting_suppliers": q_snapshot_waiting_suppliers,
-        "snapshot_idle_customers": q_snapshot_idle_customers,
-        "snapshot_min_cost_supplier": q_snapshot_min_cost_supplier,
-        "snapshot_important_parts": q_snapshot_important_parts,
-        "snapshot_ship_priority_mix": q_snapshot_ship_priority_mix,
-        "snapshot_supplier_part_counts": q_snapshot_supplier_part_counts,
-        "snapshot_dominant_suppliers": q_snapshot_dominant_suppliers,
-        "ann_kmeans_clusters": q_ann_kmeans_clusters,
-        "dedup_semantic": q_dedup_semantic,
-        "cdc_bootstrap_catchup": q_cdc_bootstrap_catchup,
-        "cdc_txn_fanout": q_cdc_txn_fanout,
-        "corpus_budget_select": q_corpus_budget_select,
-        "cdc_relay_recovery": q_cdc_relay_recovery,
-        "dedup_consensus": q_dedup_consensus,
-        "cdc_schema_adoption": q_cdc_schema_adoption,
-        "dedup_bloom": q_dedup_bloom,
-        "corpus_ngram_topk": q_corpus_ngram_topk,
-        "snapshot_zorder_layout": q_snapshot_zorder_layout,
-        "mm_phash_pairs": q_mm_phash_pairs,
-        "cdc_checkpoint_lag": q_cdc_checkpoint_lag,
-        "events_windowed_topk": q_events_windowed_topk,
-        "corpus_kmv_distinct": q_corpus_kmv_distinct,
-        "events_anomaly_zscore": q_events_anomaly_zscore,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "corpus_surprisal_histogram": q_corpus_surprisal_histogram,
-        "events_active_users": q_events_active_users,
-        "events_bot_regularity": q_events_bot_regularity,
-        "snapshot_diff_repair": q_snapshot_diff_repair,
-        "corpus_gate_sweep": q_corpus_gate_sweep,
-        "corpus_chunk_savings": q_corpus_chunk_savings,
-        "corpus_kmv_merge": q_corpus_kmv_merge,
-        "doc_semantic_chunks": q_doc_semantic_chunks,
-        "text_lang_confusion": q_text_lang_confusion,
-        "events_funnel_dropoff": q_events_funnel_dropoff,
-        "corpus_fold_leakage": q_corpus_fold_leakage,
-        "corpus_effective_tokens": q_corpus_effective_tokens,
-        # -- new late-r7 (this session; ledger-checked, window
-        #    candidates for the round after the r7-new block rotates)
-        "events_ohlc": q_events_ohlc,
-        "cdc_salt_advisor": q_cdc_salt_advisor,
-        "corpus_oov_rate": q_corpus_oov_rate,
-        "events_multitouch": q_events_multitouch,
-        "corpus_hll_registers": q_corpus_hll_registers,
-        "snapshot_compaction_plan": q_snapshot_compaction_plan,
-        "corpus_pagerank": q_corpus_pagerank,
-        "corpus_dsir_select": q_corpus_dsir_select,
-        "ann_ivf_incremental": q_ann_ivf_incremental,
-        "ann_int8_quant": q_ann_int8_quant,
-        "events_rep_points": q_events_rep_points,
-        "snapshot_stats_merge": q_snapshot_stats_merge,
     }
 
 

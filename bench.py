@@ -107,6 +107,58 @@ HEADLINE = [
     "dedup_savings_report",      # dedup byte-savings report
     "cdc_hot_keys",              # top-written-PK skew report
     "snapshot_bracket_revenue",  # Q19-flavor disjunctive brackets
+    # r7 window rotation: the 50 r7-new queries record cost in the
+    # same round their first driver CORRECTNESS row lands
+    "ann_pca_project",           # distributed integer moments -> eigh basis
+    "rag_retrieve_pack",         # retrieve -> dedup -> context pack
+    "dedup_url_canonical",       # URL canonicalization dedup
+    "corpus_source_divergence",  # per-source TV divergence (exact ints)
+    "text_quality_classifier",   # hashed linear classifier scores
+    "cdc_write_skew",            # per-(db,tbl) write-skew profile
+    "cdc_source_gaps",           # source-gap nearest-rank quantiles
+    "cdc_conflict_rate",         # UK-conflict rate telemetry
+    "snapshot_late_orders",      # Q4-flavor semi-join counts
+    "snapshot_market_share",     # Q8-flavor share-of-revenue ratio
+    "snapshot_product_profit",   # Q9-flavor profit rollup
+    "snapshot_order_counts",     # Q13-flavor outer-join histogram
+    "snapshot_promo_revenue",    # Q14-flavor conditional ratio
+    "snapshot_small_qty_revenue",# Q17-flavor correlated avg threshold
+    "snapshot_waiting_suppliers",# Q21-flavor multi-exists chain
+    "snapshot_idle_customers",   # Q22-flavor anti-join + scalar avg
+    "snapshot_min_cost_supplier",# Q2-flavor correlated min join
+    "snapshot_important_parts",  # Q11-flavor group-share threshold
+    "snapshot_ship_priority_mix",# Q12-flavor two-bucket counts
+    "snapshot_supplier_part_counts", # Q16-flavor distinct-supplier counts
+    "snapshot_dominant_suppliers",   # Q20-flavor half-stock threshold
+    "ann_kmeans_clusters",       # exact-integer k-means assignment
+    "dedup_semantic",            # SemDeDup within k-means clusters
+    "cdc_bootstrap_catchup",     # snapshot bootstrap + CDC catch-up
+    "cdc_txn_fanout",            # per-txn table/row fanout profile
+    "corpus_budget_select",      # quality-ranked token-budget select
+    "cdc_relay_recovery",        # relay-WAL crash recovery replay
+    "dedup_consensus",           # MinHash∪SimHash∪Jaccard 2-of-3
+    "cdc_schema_adoption",       # schema-version adoption interleave
+    "dedup_bloom",               # Bloom pre-filter incremental ingest
+    "corpus_ngram_topk",         # per-source collocation top-k
+    "snapshot_zorder_layout",    # Morton keys + zone-map spans
+    "mm_phash_pairs",            # dHash near-dup pairs (Arrow path)
+    "cdc_checkpoint_lag",        # merge-watermark blame report
+    "events_windowed_topk",      # tumbling-window per-type top-k
+    "corpus_kmv_distinct",       # KMV cardinality sketch + error
+    "events_anomaly_zscore",     # 3-sigma rolling anomaly flags
+    "ann_ivfpq_topk",            # IVF coarse probe + PQ ADC re-rank
+    "corpus_surprisal_histogram",# fixed-bin quality histogram
+    "events_active_users",       # windowed distinct active users
+    "events_bot_regularity",     # interarrival CV^2 bot detection
+    "snapshot_diff_repair",      # sync-diff fix-SQL generation
+    "corpus_gate_sweep",         # all gate thresholds, one pass
+    "corpus_chunk_savings",      # chunk-store dedup ratio
+    "corpus_kmv_merge",          # KMV mergeability proof in-query
+    "doc_semantic_chunks",       # TextTiling topic-boundary splits
+    "text_lang_confusion",       # declared-vs-detected lang matrix
+    "events_funnel_dropoff",     # per-stage conversion ppm
+    "corpus_fold_leakage",       # leakage-safe k-fold audit
+    "corpus_effective_tokens",   # dedup-weighted effective tokens
 ]
 
 
