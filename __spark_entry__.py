@@ -3485,6 +3485,27 @@ def q_snapshot_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ndv_expr="l_orderkey", k=64)
 
 
+def q_corpus_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length quantiles from the bounded
+    bottom-k-by-ticket sample (k=128 rows per stratum at ANY corpus
+    size, mergeable by union+re-truncate like KMV) next to the exact
+    nearest-rank answer — the sketch swap corpus_length_quantiles
+    documents for 100 TB. Deterministic md5 tickets make the error
+    columns themselves oracle-checked."""
+    return scoring.quantile_sketch(_docs(spark, sf_dir), k=128)
+
+
+def q_corpus_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the top-16 tokens
+    with the CMS overestimate guarantee (est >= exact) flagged
+    in-query — completes the mergeable-sketch family (KMV distinct,
+    HLL registers, bottom-k quantiles, CMS frequencies). Sketch built
+    from the map-side-combined (token,count) aggregate; the
+    depth x width matrix broadcasts onto the candidate probes."""
+    return scoring.cms_heavy_hitters(_docs(spark, sf_dir),
+                                     depth=4, width=512, k=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # keys. Last recorded gate: CORRECTNESS_r06 (50/50 hash-green over
@@ -3566,6 +3587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8_quant": q_ann_int8_quant,
         "events_rep_points": q_events_rep_points,
         "snapshot_stats_merge": q_snapshot_stats_merge,
+        # -- new this session (never driver-checked)
+        "corpus_quantile_sketch": q_corpus_quantile_sketch,
+        "corpus_cms_topk": q_corpus_cms_topk,
         # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
         #    driver-checked, next-window priority) + 33 r4/r5-green
         #    refresh rows
@@ -6762,5 +6786,106 @@ def oracle_sql() -> dict[str, str]:
                            AS merge_ok
                   FROM gdirect, gdirect_sk, gmerged, gmerged_sk)
             SELECT * FROM parts UNION ALL SELECT * FROM g
+        """,
+        "corpus_quantile_sketch": f"""
+            WITH pd AS (
+              SELECT source AS stratum, doc_id,
+                     CAST(len({osql.TOKS}) AS BIGINT) AS v,
+                     CAST(concat('0x', substring(
+                         md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                       AS BIGINT) AS ticket
+              FROM documents),
+            samp AS (
+              SELECT stratum, doc_id, v FROM (
+                SELECT stratum, doc_id, v, ROW_NUMBER() OVER (
+                  PARTITION BY stratum ORDER BY ticket, doc_id)
+                  AS srk
+                FROM pd) t
+              WHERE srk <= 128),
+            sr AS (
+              SELECT stratum, v,
+                ROW_NUMBER() OVER (PARTITION BY stratum
+                                   ORDER BY v, doc_id) AS vrk,
+                COUNT(*) OVER (PARTITION BY stratum) AS k_used
+              FROM samp),
+            est AS (
+              SELECT stratum, MAX(k_used) AS k_used,
+                MAX(CASE WHEN vrk = (25 * k_used + 99) // 100
+                         THEN v END) AS p25_est,
+                MAX(CASE WHEN vrk = (50 * k_used + 99) // 100
+                         THEN v END) AS p50_est,
+                MAX(CASE WHEN vrk = (75 * k_used + 99) // 100
+                         THEN v END) AS p75_est,
+                MAX(CASE WHEN vrk = (90 * k_used + 99) // 100
+                         THEN v END) AS p90_est
+              FROM sr GROUP BY stratum),
+            er AS (
+              SELECT stratum, v,
+                ROW_NUMBER() OVER (PARTITION BY stratum
+                                   ORDER BY v, doc_id) AS vrk,
+                COUNT(*) OVER (PARTITION BY stratum) AS n
+              FROM pd),
+            ex AS (
+              SELECT stratum, MAX(n) AS n_docs,
+                MAX(CASE WHEN vrk = (25 * n + 99) // 100
+                         THEN v END) AS p25_exact,
+                MAX(CASE WHEN vrk = (50 * n + 99) // 100
+                         THEN v END) AS p50_exact,
+                MAX(CASE WHEN vrk = (75 * n + 99) // 100
+                         THEN v END) AS p75_exact,
+                MAX(CASE WHEN vrk = (90 * n + 99) // 100
+                         THEN v END) AS p90_exact
+              FROM er GROUP BY stratum)
+            SELECT stratum, n_docs, k_used,
+                   p25_est, p25_exact, abs(p25_est - p25_exact)
+                     AS p25_abs_err,
+                   p50_est, p50_exact, abs(p50_est - p50_exact)
+                     AS p50_abs_err,
+                   p75_est, p75_exact, abs(p75_est - p75_exact)
+                     AS p75_abs_err,
+                   p90_est, p90_exact, abs(p90_est - p90_exact)
+                     AS p90_abs_err
+            FROM est JOIN ex USING (stratum)
+        """,
+        "corpus_cms_topk": f"""
+            WITH toks AS (
+              SELECT unnest({osql.TOKS}) AS tok FROM documents),
+            exact AS (
+              SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+              FROM toks GROUP BY tok),
+            rows_ AS (
+              SELECT i.row_i,
+                CAST(concat('0x', substring(
+                    md5(concat(CAST(i.row_i AS VARCHAR), ':', tok)),
+                    1, 12)) AS BIGINT) % 512 AS bucket,
+                exact_cnt AS cnt
+              FROM exact CROSS JOIN
+                   (SELECT unnest([0, 1, 2, 3]) AS row_i) i),
+            sketch AS (
+              SELECT row_i, bucket,
+                     CAST(SUM(cnt) AS BIGINT) AS bucket_cnt
+              FROM rows_ GROUP BY row_i, bucket),
+            cand AS (
+              SELECT tok, exact_cnt, ROW_NUMBER() OVER (
+                  ORDER BY exact_cnt DESC, tok) AS rank
+              FROM exact
+              ORDER BY exact_cnt DESC, tok LIMIT 16),
+            probes AS (
+              SELECT rank, tok, exact_cnt, i.row_i,
+                CAST(concat('0x', substring(
+                    md5(concat(CAST(i.row_i AS VARCHAR), ':', tok)),
+                    1, 12)) AS BIGINT) % 512 AS bucket
+              FROM cand CROSS JOIN
+                   (SELECT unnest([0, 1, 2, 3]) AS row_i) i),
+            est AS (
+              SELECT rank, tok, exact_cnt,
+                     MIN(bucket_cnt) AS est_cnt
+              FROM probes JOIN sketch USING (row_i, bucket)
+              GROUP BY rank, tok, exact_cnt)
+            SELECT rank, tok, exact_cnt, est_cnt,
+                   est_cnt >= exact_cnt AS overestimate_ok,
+                   ((est_cnt - exact_cnt) * 1000000) // exact_cnt
+                     AS err_ppm
+            FROM est
         """,
     }

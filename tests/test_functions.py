@@ -1541,3 +1541,77 @@ def test_dsir_weights_prefers_target_like_docs(spark):
     assert w[50] > w[100]
     ranks = {r.doc_id: r.rank for r in out}
     assert ranks[50] <= 21
+
+
+def test_quantile_sketch_small_stratum_exact_and_monotone(spark):
+    """A stratum smaller than k samples everything (est == exact for
+    every percentile); a big stratum's estimates are monotone across
+    percentiles and bounded by the stratum's value range."""
+    from tidb_binlog_spark.functions.scoring import quantile_sketch
+    rows = ([(i, " ".join(["w"] * (5 + i % 40)), "en", "big",
+              10) for i in range(500)]
+            + [(1000 + i, " ".join(["w"] * (3 + i)), "en", "small", 10)
+               for i in range(20)])
+    d = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r["stratum"]: r for r in quantile_sketch(d, k=64).collect()}
+    small = got["small"]
+    assert small["k_used"] == small["n_docs"] == 20
+    for p in (25, 50, 75, 90):
+        assert small[f"p{p}_est"] == small[f"p{p}_exact"]
+        assert small[f"p{p}_abs_err"] == 0
+    big = got["big"]
+    assert big["k_used"] == 64 and big["n_docs"] == 500
+    ests = [big[f"p{p}_est"] for p in (25, 50, 75, 90)]
+    exacts = [big[f"p{p}_exact"] for p in (25, 50, 75, 90)]
+    assert ests == sorted(ests) and exacts == sorted(exacts)
+    assert all(5 <= e <= 44 for e in ests)
+    # k=64 over a 40-value uniform grid: nearest-rank stderr is a few
+    # grid steps — a loose but real accuracy bound
+    for e, x in zip(ests, exacts):
+        assert abs(e - x) <= 6
+
+
+def test_quantile_ticket_sample_merges_exactly(spark):
+    """Bottom-k-by-ticket is mergeable like KMV: union + re-truncate
+    of per-part samples IS the direct whole-corpus sample (every
+    global bottom-k ticket survives in its part's bottom-k)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from tidb_binlog_spark.functions.scoring import quantile_ticket_sample
+    d = docs_df(spark, [f"doc {i} body {i % 9}" for i in range(300)])
+    k = 32
+    direct = {(r["stratum"], r["doc_id"])
+              for r in quantile_ticket_sample(d, k).collect()}
+    parts = [quantile_ticket_sample(
+                 d.filter(F.col("doc_id") % 3 == i), k)
+             .select("stratum", "doc_id", "ticket")
+             for i in range(3)]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = Window.partitionBy("stratum").orderBy("ticket", "doc_id")
+    merged = {(r["stratum"], r["doc_id"])
+              for r in u.withColumn("rk", F.row_number().over(w))
+                        .filter(F.col("rk") <= k).collect()}
+    assert merged == direct and len(direct) == k
+
+
+def test_cms_overestimates_and_pins_heavy_hitter(spark):
+    """CMS never underestimates (bucket sums include the token's own
+    count plus non-negative collisions), ranks the planted heavy
+    hitter first, and its estimate error is bounded by the colliding
+    rare mass."""
+    from tidb_binlog_spark.functions.scoring import cms_heavy_hitters
+    texts = [f"heavy unique{i}" for i in range(200)]
+    d = docs_df(spark, texts)
+    rows = sorted(cms_heavy_hitters(d, depth=4, width=512, k=8).collect(),
+                  key=lambda r: r["rank"])
+    assert all(r["overestimate_ok"] for r in rows)
+    assert rows[0]["tok"] == "heavy" and rows[0]["exact_cnt"] == 200
+    # expected collisions per row ~200/512; min over 4 rows is small
+    assert rows[0]["est_cnt"] - rows[0]["exact_cnt"] <= 5
+    # rare candidates are exact or tiny-overestimated, never under
+    for r in rows[1:]:
+        assert r["exact_cnt"] == 1 and r["est_cnt"] >= 1

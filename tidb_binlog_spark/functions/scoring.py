@@ -853,3 +853,147 @@ def dsir_weights(docs: DataFrame, target_source: str = "src0",
             .limit(top_k)
             .withColumn("rank", F.row_number().over(wr))
             .select("rank", "doc_id", "n_tokens", "weight_micro"))
+
+
+def quantile_ticket_sample(docs: DataFrame, k: int = 128,
+                           by: str = "source") -> DataFrame:
+    """The mergeable state behind :func:`quantile_sketch`: per
+    stratum, the ``k`` docs with the smallest deterministic md5
+    tickets — a uniform random sample under the ticket hash, fixed
+    by content, so both engines (and any two runs) draw the SAME
+    sample. Mergeable exactly like the KMV sketch: each part's
+    bottom-k-by-ticket contains every global bottom-k element, so
+    union + re-truncate of per-part/per-day samples IS the sample of
+    the union (property-tested). State is k rows per stratum at any
+    corpus size.
+
+    Scale: the rank window runs over one row per document. At huge
+    strata the documented refinement is a ticket-threshold prefilter
+    (tickets are uniform on [0, 2^48), so ticket <= C*k/n * 2^48
+    keeps ~C*k rows per stratum before the window sorts anything).
+    """
+    per_doc = with_tokens(docs).select(
+        F.col(by).alias("stratum"), "doc_id",
+        F.expr("size(toks)").alias("v"),
+        F.expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), "
+               "1, 12), 16, 10) AS BIGINT)").alias("ticket"))
+    w_t = Window.partitionBy("stratum").orderBy("ticket", "doc_id")
+    return (per_doc.withColumn("srk", F.row_number().over(w_t))
+            .filter(F.col("srk") <= k))
+
+
+def quantile_sketch(docs: DataFrame, k: int = 128,
+                    pcts: tuple[int, ...] = (25, 50, 75, 90),
+                    by: str = "source") -> DataFrame:
+    """Per-stratum token-length quantiles from the bounded
+    bottom-k-by-ticket sample, next to the exact nearest-rank answer
+    for audit — the sketch swap that corpus_length_quantiles'
+    docstring promises at 100 TB, with the same nearest-rank
+    definition (value at rank ceil(p*n/100) in EXACT integer
+    arithmetic, (p*n + 99) div 100) applied to the sample.
+
+    Deterministic md5 tickets mean even the ERROR columns are
+    engine-exact and oracle-checked. The exact side is the audit; at
+    real scale it is dropped and only the k-row-per-stratum sample
+    survives (mergeable across days/partitions like the KMV sketch —
+    see quantile_ticket_sample).
+    """
+    samp = quantile_ticket_sample(docs, k, by)
+    w_v = Window.partitionBy("stratum").orderBy("v", "doc_id")
+    w_s = Window.partitionBy("stratum")
+    samp = (samp.withColumn("vrk", F.row_number().over(w_v))
+            .withColumn("k_used", F.count(F.lit(1)).over(w_s)))
+    est_aggs = [F.max("k_used").alias("k_used")]
+    for p in pcts:
+        est_aggs.append(F.max(F.when(
+            F.col("vrk") == F.expr(f"({p} * k_used + 99) div 100"),
+            F.col("v"))).alias(f"p{p}_est"))
+    est = samp.groupBy("stratum").agg(*est_aggs)
+
+    per_doc = with_tokens(docs).select(
+        F.col(by).alias("stratum"), "doc_id",
+        F.expr("size(toks)").alias("v"))
+    ex = (per_doc.withColumn("vrk", F.row_number().over(w_v))
+          .withColumn("n", F.count(F.lit(1)).over(w_s)))
+    ex_aggs = [F.max("n").alias("n_docs")]
+    for p in pcts:
+        ex_aggs.append(F.max(F.when(
+            F.col("vrk") == F.expr(f"({p} * n + 99) div 100"),
+            F.col("v"))).alias(f"p{p}_exact"))
+    exact = ex.groupBy("stratum").agg(*ex_aggs)
+
+    out = est.join(exact, "stratum")
+    cols = ["stratum", "n_docs", "k_used"]
+    for p in pcts:
+        out = out.withColumn(
+            f"p{p}_abs_err", F.expr(f"abs(p{p}_est - p{p}_exact)"))
+        cols += [f"p{p}_est", f"p{p}_exact", f"p{p}_abs_err"]
+    return out.select(*cols)
+
+
+def cms_heavy_hitters(docs: DataFrame, depth: int = 4,
+                      width: int = 512, k: int = 16) -> DataFrame:
+    """Count-min-sketch heavy hitters with the CMS overestimate
+    guarantee PROVEN in-query: estimate each candidate token's count
+    as min over ``depth`` salted hash rows of its bucket sum, report
+    it next to the exact count, and flag ``overestimate_ok`` (est >=
+    exact — always true for CMS since every bucket sum includes the
+    token's own occurrences plus non-negative collisions). With
+    deterministic md5 row hashes both engines build the SAME sketch,
+    so the error itself is oracle-checked.
+
+    This completes the mergeable-sketch family next to KMV
+    (distinct), HLL (registers) and the bottom-k quantile sample:
+    CMS state is a depth x width integer matrix that merges by
+    element-wise ADD across partitions/days — the frequency analog
+    of the register-wise MAX HLL merge.
+
+    Scale shape: the sketch is built FROM the (token, count)
+    aggregate (map-side combinable; the per-occurrence insert and
+    the count-weighted insert produce identical matrices), so the
+    corpus shuffles only vocabulary rows. The sketch itself
+    (depth*width rows) broadcasts back onto the candidate probes;
+    candidates come from TakeOrderedAndProject (top-k by exact count
+    here, a guess stream in production).
+    """
+    toks = (with_tokens(docs)
+            .select(F.explode("toks").alias("tok")))
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+
+    def _bucket(i: int) -> str:
+        return (f"pmod(CAST(conv(substring(md5(concat('{i}:', tok)), "
+                f"1, 12), 16, 10) AS BIGINT), {width})")
+
+    rows = None
+    for i in range(depth):
+        r = exact.select(F.lit(i).alias("row_i"),
+                         F.expr(_bucket(i)).alias("bucket"),
+                         F.col("exact_cnt").alias("cnt"))
+        rows = r if rows is None else rows.unionByName(r)
+    sketch = (rows.groupBy("row_i", "bucket")
+              .agg(F.sum("cnt").cast("bigint").alias("bucket_cnt")))
+
+    cand = (exact.orderBy(F.desc("exact_cnt"), F.asc("tok")).limit(k)
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.desc("exact_cnt"), F.asc("tok")))))
+    probes = cand.select(
+        "rank", "tok", "exact_cnt",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row_i"),
+                     F.expr(_bucket(i)).alias("bucket"))
+            for i in range(depth)])).alias("p")
+    ).select("rank", "tok", "exact_cnt",
+             F.col("p.row_i").alias("row_i"),
+             F.col("p.bucket").alias("bucket"))
+    est = (probes.join(F.broadcast(sketch), ["row_i", "bucket"])
+           .groupBy("rank", "tok", "exact_cnt")
+           .agg(F.min("bucket_cnt").alias("est_cnt")))
+    return (est
+            .withColumn("overestimate_ok",
+                        F.col("est_cnt") >= F.col("exact_cnt"))
+            .withColumn("err_ppm",
+                        F.expr("((est_cnt - exact_cnt) * 1000000) "
+                               "DIV exact_cnt"))
+            .select("rank", "tok", "exact_cnt", "est_cnt",
+                    "overestimate_ok", "err_ppm"))
