@@ -3495,6 +3495,25 @@ def q_corpus_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scoring.quantile_sketch(_docs(spark, sf_dir), k=128)
 
 
+def q_events_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-now ranking: per-user activity score where each event
+    weighs 2^-(elapsed 3-day half-lives) — quantized integer decay
+    (1_000_000 >> age micro-units) so the score is engine-exact. One
+    map-side-combinable SUM + TakeOrderedAndProject top-20."""
+    from tidb_binlog_spark.operators.timeseries import decayed_topk
+    t = load_tables(spark, sf_dir, "events")
+    return decayed_topk(t["events"], "user_id", "ts",
+                        half_life_ns=3 * 86_400_000_000_000, k=20)
+
+
+def q_cdc_dml_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table DML-mix drift: I/U/D composition of each commit-ts
+    window in exact ppm plus the L1 distance to the previous window
+    and a mass-delete-style alarm flag — the drift complement of the
+    reference's per-type event counters (drainer/metrics.go)."""
+    return telemetry.dml_mix_drift(_spark_changes(spark, sf_dir))
+
+
 def q_corpus_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimates for the top-16 tokens
     with the CMS overestimate guarantee (est >= exact) flagged
@@ -3590,6 +3609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this session (never driver-checked)
         "corpus_quantile_sketch": q_corpus_quantile_sketch,
         "corpus_cms_topk": q_corpus_cms_topk,
+        "events_decayed_topk": q_events_decayed_topk,
+        "cdc_dml_mix_drift": q_cdc_dml_mix_drift,
         # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
         #    driver-checked, next-window priority) + 33 r4/r5-green
         #    refresh rows
@@ -6887,5 +6908,66 @@ def oracle_sql() -> dict[str, str]:
                    ((est_cnt - exact_cnt) * 1000000) // exact_cnt
                      AS err_ppm
             FROM est
+        """,
+        "events_decayed_topk": """
+            WITH e AS (
+              SELECT user_id, epoch_ns(ts) AS ts FROM events),
+            m AS (SELECT MAX(ts) AS t_max FROM e),
+            w AS (
+              SELECT user_id,
+                     least(CAST(20 AS BIGINT),
+                           (t_max - ts) // 259200000000000) AS age
+              FROM e, m),
+            s AS (
+              SELECT user_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(SUM(CASE WHEN age = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_recent,
+                     CAST(SUM(CAST(1000000 AS BIGINT)
+                              // (CAST(1 AS BIGINT)
+                                  << CAST(age AS INT)))
+                          AS BIGINT) AS decayed_micro
+              FROM w GROUP BY user_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                      ORDER BY decayed_micro DESC, user_id) AS rank
+                  FROM s)
+            SELECT rank, user_id, n_events, n_recent, decayed_micro
+            FROM r WHERE rank <= 20
+        """,
+        "cdc_dml_mix_drift": f"""
+            {CHANGES_CTE},
+            c AS (
+              SELECT db, tbl, commit_ts // 10000 AS win,
+                     CAST(COUNT(*) AS BIGINT) AS n_total,
+                     CAST(COUNT(CASE WHEN op = 'I' THEN 1 END)
+                          AS BIGINT) AS n_ins,
+                     CAST(COUNT(CASE WHEN op = 'U' THEN 1 END)
+                          AS BIGINT) AS n_upd,
+                     CAST(COUNT(CASE WHEN op = 'D' THEN 1 END)
+                          AS BIGINT) AS n_del
+              FROM changes GROUP BY db, tbl, win),
+            p AS (
+              SELECT db, tbl, win, n_total,
+                     (n_ins * 1000000) // n_total AS ins_ppm,
+                     (n_upd * 1000000) // n_total AS upd_ppm,
+                     (n_del * 1000000) // n_total AS del_ppm
+              FROM c),
+            l AS (
+              SELECT *,
+                     lag(ins_ppm) OVER w AS prev_ins,
+                     lag(upd_ppm) OVER w AS prev_upd,
+                     lag(del_ppm) OVER w AS prev_del
+              FROM p
+              WINDOW w AS (PARTITION BY db, tbl ORDER BY win)),
+            d AS (
+              SELECT db, tbl, win, n_total, ins_ppm, upd_ppm,
+                     del_ppm,
+                     abs(ins_ppm - prev_ins) + abs(upd_ppm - prev_upd)
+                       + abs(del_ppm - prev_del) AS drift_ppm
+              FROM l)
+            SELECT db, tbl, win, n_total, ins_ppm, upd_ppm, del_ppm,
+                   drift_ppm,
+                   COALESCE(drift_ppm > 300000, FALSE) AS drift_flag
+            FROM d
         """,
     }

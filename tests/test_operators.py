@@ -1836,3 +1836,48 @@ def test_partition_stats_merge_proof_holds_and_detects(spark):
     assert set(parts) == {"a", "b", "c"}
     assert all(r.merge_ok is None and r.k_used == 8
                for r in parts.values())
+
+
+def test_decayed_topk_recency_beats_stale_volume(spark):
+    """A recent-but-small key outranks a stale-but-large one; events
+    older than max_halvings half-lives contribute exactly zero."""
+    from tidb_binlog_spark.operators.timeseries import decayed_topk
+    hl = 100
+    t_max = 10_000
+    rows = ([(i, 1, t_max) for i in range(3)]                 # 3 fresh
+            + [(10 + i, 2, t_max - 2 * hl) for i in range(10)]  # 10 stale
+            + [(30 + i, 3, t_max - 25 * hl) for i in range(50)])  # dead
+    d = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+    got = {r["user_id"]: r for r in
+           decayed_topk(d, "user_id", "ts", half_life_ns=hl,
+                        max_halvings=20, k=10).collect()}
+    assert got[1]["decayed_micro"] == 3_000_000      # 3 * 1e6
+    assert got[2]["decayed_micro"] == 2_500_000      # 10 * 1e6/4
+    assert got[3]["decayed_micro"] == 0              # 1e6 >> 25 -> 0
+    assert got[1]["rank"] == 1 and got[2]["rank"] == 2
+    assert got[1]["n_recent"] == 3 and got[2]["n_recent"] == 0
+
+
+def test_dml_mix_drift_flags_mass_delete_window(spark):
+    """A table whose mix flips from all-inserts to all-deletes trips
+    the drift flag (L1 = 2_000_000 ppm); a steady table never does;
+    the first window of any table is unflagged (no predecessor)."""
+    from tidb_binlog_spark.operators.telemetry import dml_mix_drift
+    rows = []
+    for i in range(10):                       # steady: always inserts
+        rows.append(("db0", "steady", "I", i * 10))
+        rows.append(("db0", "steady", "I", 1000 + i * 10))
+    for i in range(10):                       # flip: I -> D
+        rows.append(("db0", "flip", "I", i * 10))
+        rows.append(("db0", "flip", "D", 1000 + i * 10))
+    d = spark.createDataFrame(
+        rows, "db string, tbl string, op string, commit_ts long")
+    got = {(r["tbl"], r["win"]): r
+           for r in dml_mix_drift(d, window_ticks=1000).collect()}
+    assert not got[("steady", 0)]["drift_flag"]
+    assert not got[("steady", 1)]["drift_flag"]
+    assert got[("steady", 1)]["drift_ppm"] == 0
+    assert not got[("flip", 0)]["drift_flag"]          # first window
+    assert got[("flip", 0)]["drift_ppm"] is None
+    assert got[("flip", 1)]["drift_flag"]
+    assert got[("flip", 1)]["drift_ppm"] == 2_000_000

@@ -245,3 +245,46 @@ def interarrival_regularity(events: DataFrame,
             .select(key_col, "n_gaps", "sum_s",
                     F.expr("sum_s DIV n_gaps").alias("mean_gap_s"),
                     F.expr(cv_test).alias("is_regular")))
+
+
+def dml_mix_drift(changes: DataFrame, window_ticks: int = 10_000,
+                  drift_ppm_threshold: int = 300_000) -> DataFrame:
+    """Per-(db, tbl) DML-mix drift detector: the I/U/D composition of
+    each commit-ts window in exact ppm, plus the L1 distance to the
+    previous window's mix and a flag when it exceeds the threshold —
+    the ops alarm for "this table suddenly turned into mass deletes"
+    that the reference's per-type event counters
+    (drainer/metrics.go eventCounter, binlogctl status output) leave
+    to the operator's eyeballs.
+
+    All-integer (ppm via integer division, L1 in ppm), so the FLAG
+    itself is engine-exact. The first window of a table has no
+    predecessor: drift is NULL and the flag false.
+
+    Scale: one (db, tbl, window) count aggregate (map-side
+    combinable), then a lag window over the count-reduced frame —
+    #tables * #windows rows, never raw events.
+    """
+    c = (changes.withColumn(
+            "win", F.expr(f"commit_ts DIV {window_ticks}"))
+         .groupBy("db", "tbl", "win")
+         .agg(F.count(F.lit(1)).alias("n_total"),
+              F.count(F.when(F.col("op") == "I", 1)).alias("n_ins"),
+              F.count(F.when(F.col("op") == "U", 1)).alias("n_upd"),
+              F.count(F.when(F.col("op") == "D", 1)).alias("n_del")))
+    for o in ("ins", "upd", "del"):
+        c = c.withColumn(f"{o}_ppm",
+                         F.expr(f"(n_{o} * 1000000) DIV n_total"))
+    w = Window.partitionBy("db", "tbl").orderBy("win")
+    for o in ("ins", "upd", "del"):
+        c = c.withColumn(f"prev_{o}", F.lag(f"{o}_ppm").over(w))
+    c = c.withColumn(
+        "drift_ppm",
+        F.expr("abs(ins_ppm - prev_ins) + abs(upd_ppm - prev_upd) "
+               "+ abs(del_ppm - prev_del)"))
+    return (c.withColumn(
+                "drift_flag",
+                F.coalesce(F.col("drift_ppm")
+                           > F.lit(drift_ppm_threshold), F.lit(False)))
+            .select("db", "tbl", "win", "n_total", "ins_ppm",
+                    "upd_ppm", "del_ppm", "drift_ppm", "drift_flag"))

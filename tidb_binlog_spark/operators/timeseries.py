@@ -199,3 +199,45 @@ def representative_points(events: DataFrame, keys: list[str],
                     F.col(id_col).alias("rep_event_id"),
                     F.col(value_col).alias("rep_value"),
                     "dev_scaled"))
+
+
+def decayed_topk(events: DataFrame, key_col: str = "user_id",
+                 ts_col: str = "ts", half_life_ns: int = 86_400_000_000_000,
+                 max_halvings: int = 20, k: int = 20) -> DataFrame:
+    """Exponentially time-decayed activity ranking — the "trending
+    now" staple: each event contributes ``2^-(age/half_life)`` so
+    yesterday counts half of today, and stale-but-huge keys cannot
+    drown out what is hot right now.
+
+    Engine-exact on purpose: age is an INTEGER number of elapsed
+    half-lives (``(t_max - ts) div half_life``, capped at
+    ``max_halvings``), so the weight is the exact integer
+    ``1_000_000 >> age`` micro-units — no float pow, both engines
+    agree bit-for-bit (the same quantized-decay trick the reference's
+    metrics counters avoid needing only because they reset daily).
+
+    Scale shape: t_max is a one-row aggregate broadcast back; the
+    score is ONE key-grouped map-side-combinable SUM over events; the
+    top-k is TakeOrderedAndProject with a deterministic (score desc,
+    key) tiebreak. No windows over raw events, no global sort.
+    """
+    t_max = events.agg(F.max(ts_col).alias("t_max"))
+    w = (events.crossJoin(F.broadcast(t_max))
+         .withColumn("age", F.expr(
+             f"least(CAST({max_halvings} AS BIGINT), "
+             f"(t_max - {ts_col}) DIV {half_life_ns})"))
+         .withColumn("w_micro", F.expr(
+             "CAST(1000000 AS BIGINT) DIV "
+             "shiftleft(CAST(1 AS BIGINT), CAST(age AS INT))")))
+    scored = (w.groupBy(key_col)
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.when(F.col("age") == 0, 1).otherwise(0))
+                    .cast("bigint").alias("n_recent"),
+                   F.sum("w_micro").cast("bigint")
+                    .alias("decayed_micro")))
+    wr = Window.orderBy(F.desc("decayed_micro"), F.asc(key_col))
+    return (scored.orderBy(F.desc("decayed_micro"), F.asc(key_col))
+            .limit(k)
+            .withColumn("rank", F.row_number().over(wr))
+            .select("rank", key_col, "n_events", "n_recent",
+                    "decayed_micro"))
