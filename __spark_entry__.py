@@ -3514,6 +3514,25 @@ def q_cdc_dml_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return telemetry.dml_mix_drift(_spark_changes(spark, sf_dir))
 
 
+def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly new/retained/resurrected/churned user decomposition
+    (n_active = new+retained+resurrected by construction; churn rows
+    stop at the observed horizon). Raw events reduce to DISTINCT
+    (user, week) before any window touches them."""
+    from tidb_binlog_spark.operators.timeseries import growth_accounting
+    t = load_tables(spark, sf_dir, "events")
+    return growth_accounting(t["events"], "user_id", "ts")
+
+
+def q_corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth per source: distinct-token count
+    after the first 25/50/75/100% of docs (doc_id order) — the
+    saturation read behind vocab sizing and boilerplate detection.
+    One (stratum, token)->min-rank aggregate; the only window ranks
+    documents, never tokens."""
+    return scoring.vocab_growth(_docs(spark, sf_dir))
+
+
 def q_corpus_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimates for the top-16 tokens
     with the CMS overestimate guarantee (est >= exact) flagged
@@ -3611,6 +3630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cms_topk": q_corpus_cms_topk,
         "events_decayed_topk": q_events_decayed_topk,
         "cdc_dml_mix_drift": q_cdc_dml_mix_drift,
+        "events_growth_accounting": q_events_growth_accounting,
+        "corpus_vocab_growth": q_corpus_vocab_growth,
         # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
         #    driver-checked, next-window priority) + 33 r4/r5-green
         #    refresh rows
@@ -6969,5 +6990,74 @@ def oracle_sql() -> dict[str, str]:
                    drift_ppm,
                    COALESCE(drift_ppm > 300000, FALSE) AS drift_flag
             FROM d
+        """,
+        "events_growth_accounting": """
+            WITH uw AS (
+              SELECT DISTINCT user_id AS u,
+                     epoch_ns(ts) // 604800000000000 AS week
+              FROM events),
+            l AS (
+              SELECT u, week,
+                     lag(week) OVER w AS prev_w,
+                     lead(week) OVER w AS next_w
+              FROM uw WINDOW w AS (PARTITION BY u ORDER BY week)),
+            act AS (
+              SELECT week,
+                CAST(COUNT(CASE WHEN prev_w IS NULL THEN 1 END)
+                     AS BIGINT) AS n_new,
+                CAST(COUNT(CASE WHEN prev_w = week - 1 THEN 1 END)
+                     AS BIGINT) AS n_retained,
+                CAST(COUNT(CASE WHEN prev_w < week - 1 THEN 1 END)
+                     AS BIGINT) AS n_resurrected
+              FROM l GROUP BY week),
+            m AS (SELECT MAX(week) AS max_week FROM uw),
+            ch AS (
+              SELECT week + 1 AS week,
+                     CAST(COUNT(*) AS BIGINT) AS n_churned
+              FROM l, m
+              WHERE (next_w IS NULL OR next_w > week + 1)
+                AND week + 1 <= max_week
+              GROUP BY week + 1)
+            SELECT COALESCE(act.week, ch.week) AS week,
+                   COALESCE(n_new, 0) AS n_new,
+                   COALESCE(n_retained, 0) AS n_retained,
+                   COALESCE(n_resurrected, 0) AS n_resurrected,
+                   COALESCE(n_churned, 0) AS n_churned,
+                   COALESCE(n_new, 0) + COALESCE(n_retained, 0)
+                     + COALESCE(n_resurrected, 0) AS n_active
+            FROM act FULL OUTER JOIN ch ON act.week = ch.week
+        """,
+        "corpus_vocab_growth": f"""
+            WITH r AS (
+              SELECT source AS stratum, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY doc_id) AS doc_rank
+              FROM documents),
+            t AS (
+              SELECT source AS stratum, doc_id,
+                     unnest({osql.TOKS}) AS tok
+              FROM documents),
+            ft AS (
+              SELECT t.stratum, tok, MIN(doc_rank) AS first_seen
+              FROM t JOIN r ON t.stratum = r.stratum
+                           AND t.doc_id = r.doc_id
+              GROUP BY t.stratum, tok),
+            nd AS (
+              SELECT source AS stratum,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY source),
+            cps AS (
+              SELECT stratum, n_docs,
+                     unnest([25, 50, 75, 100]) AS pct
+              FROM nd),
+            cp2 AS (
+              SELECT stratum, n_docs, pct,
+                     (pct * n_docs + 99) // 100 AS cp_rank
+              FROM cps)
+            SELECT f.stratum, pct, cp_rank AS docs_seen, n_docs,
+                   CAST(COUNT(CASE WHEN first_seen <= cp_rank
+                              THEN 1 END) AS BIGINT) AS vocab_size
+            FROM ft f JOIN cp2 USING (stratum)
+            GROUP BY f.stratum, pct, cp_rank, n_docs
         """,
     }

@@ -1881,3 +1881,36 @@ def test_dml_mix_drift_flags_mass_delete_window(spark):
     assert got[("flip", 0)]["drift_ppm"] is None
     assert got[("flip", 1)]["drift_flag"]
     assert got[("flip", 1)]["drift_ppm"] == 2_000_000
+
+
+def test_growth_accounting_lifecycle_classification(spark):
+    """User A (weeks 0,1,3): new, retained, churned-into-2,
+    resurrected at 3, no churn row past the horizon. User B (week 0
+    only): new then churned-into-1."""
+    from tidb_binlog_spark.operators.timeseries import growth_accounting
+    wk = 100
+    rows = [(1, "A", 0), (2, "A", wk), (3, "A", 3 * wk), (4, "A", 3 * wk + 5),
+            (5, "B", 1)]
+    d = spark.createDataFrame(rows, "event_id long, user_id string, ts long")
+    got = {r["week"]: r for r in
+           growth_accounting(d, "user_id", "ts", week_ns=wk).collect()}
+    assert got[0]["n_new"] == 2 and got[0]["n_active"] == 2
+    assert got[0]["n_churned"] == 0
+    assert got[1]["n_retained"] == 1 and got[1]["n_churned"] == 1  # B
+    assert got[2]["n_active"] == 0 and got[2]["n_churned"] == 1    # A gap
+    assert got[3]["n_resurrected"] == 1 and got[3]["n_churned"] == 0
+    assert set(got) == {0, 1, 2, 3}
+
+
+def test_vocab_growth_checkpoints_and_saturation(spark):
+    """Checkpoint vocab counts equal the distinct tokens of the doc
+    prefix; a flat segment appears where no new tokens arrive."""
+    from tidb_binlog_spark.functions.scoring import vocab_growth
+    texts = ["a b", "a", "c", "a d"]
+    d = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r["pct"]: r for r in vocab_growth(d).collect()}
+    assert [got[p]["docs_seen"] for p in (25, 50, 75, 100)] == [1, 2, 3, 4]
+    assert [got[p]["vocab_size"] for p in (25, 50, 75, 100)] == [2, 2, 3, 4]
+    assert all(got[p]["n_docs"] == 4 for p in got)

@@ -997,3 +997,48 @@ def cms_heavy_hitters(docs: DataFrame, depth: int = 4,
                                "DIV exact_cnt"))
             .select("rank", "tok", "exact_cnt", "est_cnt",
                     "overestimate_ok", "err_ppm"))
+
+
+def vocab_growth(docs: DataFrame,
+                 pcts: tuple[int, ...] = (25, 50, 75, 100),
+                 by: str = "source") -> DataFrame:
+    """Heaps-law vocabulary-growth audit: per stratum, the distinct
+    token count after seeing the first 25/50/75/100% of documents (in
+    doc_id order) — is the vocabulary saturating (dedup-worthy,
+    tokenizer-coverage safe) or still growing linearly (expect OOV
+    pain)? The saturation read that sizes vocabularies and flags
+    template-heavy sources (flat curve = boilerplate).
+
+    Scale shape: tokens reduce to one (stratum, token) -> MIN(first
+    doc rank) aggregate (map-side combinable); the checkpoint counts
+    are a second count-reduced aggregate. The only window is the
+    per-stratum doc rank — one row per DOCUMENT, not per token.
+    All-integer nearest-rank checkpoints, engine-exact.
+    """
+    ranked = (docs.select(F.col(by).alias("stratum"), "doc_id")
+              .withColumn("doc_rank", F.row_number().over(
+                  Window.partitionBy("stratum").orderBy("doc_id")))
+              .withColumn("n_docs", F.count(F.lit(1)).over(
+                  Window.partitionBy("stratum"))))
+    toks = (with_tokens(docs)
+            .select(F.col(by).alias("stratum"), "doc_id",
+                    F.explode("toks").alias("tok"))
+            .join(ranked.select("stratum", "doc_id", "doc_rank"),
+                  ["stratum", "doc_id"]))
+    first_seen = (toks.groupBy("stratum", "tok")
+                  .agg(F.min("doc_rank").alias("first_seen")))
+    cps = (ranked.groupBy("stratum")
+           .agg(F.max("n_docs").alias("n_docs"))
+           .select("stratum", "n_docs",
+                   F.explode(F.array(
+                       *[F.lit(p) for p in pcts])).alias("pct"))
+           .withColumn("cp_rank",
+                       F.expr("(pct * n_docs + 99) div 100")))
+    grown = (first_seen.join(F.broadcast(cps), "stratum")
+             .groupBy("stratum", "pct", "n_docs", "cp_rank")
+             .agg(F.count(F.when(F.col("first_seen")
+                                 <= F.col("cp_rank"), 1))
+                   .alias("vocab_size")))
+    return grown.select("stratum", "pct",
+                        F.col("cp_rank").alias("docs_seen"),
+                        "n_docs", "vocab_size")

@@ -241,3 +241,54 @@ def decayed_topk(events: DataFrame, key_col: str = "user_id",
             .withColumn("rank", F.row_number().over(wr))
             .select("rank", key_col, "n_events", "n_recent",
                     "decayed_micro"))
+
+
+def growth_accounting(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      week_ns: int = 7 * 86_400_000_000_000) -> DataFrame:
+    """Weekly growth accounting — the new / retained / resurrected /
+    churned decomposition every growth dashboard opens with: a user is
+    *new* in their first active week, *retained* when active the week
+    before, *resurrected* when returning after a gap, and *churned
+    into* week w+1 when active in w but not w+1 (no churn row beyond
+    the observed horizon). n_active = new + retained + resurrected by
+    construction.
+
+    Scale shape: raw events reduce to DISTINCT (user, week) first —
+    every window after that runs on the reduced frame (one lag + one
+    lead per user), and the report is two count aggregates joined on
+    week. All-integer week ids, engine-exact.
+    """
+    uw = (events.select(F.col(user_col).alias("u"),
+                        F.expr(f"{ts_col} DIV {week_ns}").alias("week"))
+          .distinct())
+    w = Window.partitionBy("u").orderBy("week")
+    lab = (uw.withColumn("prev_w", F.lag("week").over(w))
+           .withColumn("next_w", F.lead("week").over(w)))
+    act = (lab.groupBy("week")
+           .agg(F.count(F.when(F.col("prev_w").isNull(), 1))
+                 .alias("n_new"),
+                F.count(F.when(F.col("prev_w") == F.col("week") - 1, 1))
+                 .alias("n_retained"),
+                F.count(F.when(F.col("prev_w") < F.col("week") - 1, 1))
+                 .alias("n_resurrected")))
+    horizon = uw.agg(F.max("week").alias("max_week"))
+    churn = (lab.crossJoin(F.broadcast(horizon))
+             .filter((F.col("next_w").isNull()
+                      | (F.col("next_w") > F.col("week") + 1))
+                     & (F.col("week") + 1 <= F.col("max_week")))
+             .select((F.col("week") + 1).alias("week"))
+             .groupBy("week")
+             .agg(F.count(F.lit(1)).alias("n_churned")))
+    out = (act.join(churn, "week", "full_outer")
+           .select("week",
+                   F.coalesce("n_new", F.lit(0)).alias("n_new"),
+                   F.coalesce("n_retained", F.lit(0))
+                    .alias("n_retained"),
+                   F.coalesce("n_resurrected", F.lit(0))
+                    .alias("n_resurrected"),
+                   F.coalesce("n_churned", F.lit(0))
+                    .alias("n_churned")))
+    return out.withColumn(
+        "n_active",
+        F.expr("n_new + n_retained + n_resurrected"))
