@@ -3533,6 +3533,15 @@ def q_corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scoring.vocab_growth(_docs(spark, sf_dir))
 
 
+def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@5 vs nprobe (1/2/4) against brute force — the
+    probe-budget tuning curve (ANN sibling of dedup_lsh_calibration).
+    One assignment + one probe join at max nprobe; candidates explode
+    only into the curve points that include them; recall is
+    exact-integer ppm and monotone in nprobe."""
+    return simfn.recall_curve(_embs(spark, sf_dir))
+
+
 def q_corpus_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimates for the top-16 tokens
     with the CMS overestimate guarantee (est >= exact) flagged
@@ -3632,6 +3641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dml_mix_drift": q_cdc_dml_mix_drift,
         "events_growth_accounting": q_events_growth_accounting,
         "corpus_vocab_growth": q_corpus_vocab_growth,
+        "ann_recall_curve": q_ann_recall_curve,
         # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
         #    driver-checked, next-window priority) + 33 r4/r5-green
         #    refresh rows
@@ -7059,5 +7069,63 @@ def oracle_sql() -> dict[str, str]:
                               THEN 1 END) AS BIGINT) AS vocab_size
             FROM ft f JOIN cp2 USING (stratum)
             GROUP BY f.stratum, pct, cp_rank, n_docs
+        """,
+        "ann_recall_curve": f"""
+            WITH cents AS (
+              SELECT vec_id AS centroid_id, embedding AS c_emb
+              FROM embeddings WHERE vec_id % 37 = 1),
+            assigned AS (
+              SELECT vec_id, embedding, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                    ORDER BY {osql.cosine('e.embedding', 'c.c_emb')}
+                      DESC, c.centroid_id) AS crank
+                FROM embeddings e, cents c) t
+              WHERE crank = 1),
+            q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                  FROM embeddings WHERE vec_id % 100 = 0),
+            probes AS (
+              SELECT query_id, q_emb, centroid_id, prank FROM (
+                SELECT q.query_id, q.q_emb, c.centroid_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.query_id
+                    ORDER BY {osql.cosine('q.q_emb', 'c.c_emb')}
+                      DESC, c.centroid_id) AS prank
+                FROM q, cents c) t
+              WHERE prank <= 4),
+            cands AS (
+              SELECT p.query_id, p.prank, a.vec_id,
+                     {osql.cosine('p.q_emb', 'a.embedding')} AS cosine
+              FROM probes p JOIN assigned a USING (centroid_id)
+              WHERE a.vec_id <> p.query_id),
+            lv AS (
+              SELECT l.nprobe, c.query_id, c.vec_id, c.cosine
+              FROM cands c CROSS JOIN
+                   (SELECT unnest([1, 2, 4]) AS nprobe) l
+              WHERE c.prank <= l.nprobe),
+            r AS (SELECT nprobe, query_id, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                      ORDER BY cosine DESC, vec_id) AS rank
+                  FROM lv),
+            topk AS (SELECT nprobe, query_id, vec_id
+                     FROM r WHERE rank <= 5),
+            brute AS (
+              SELECT query_id, vec_id FROM (
+                SELECT q.query_id, e.vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.query_id
+                    ORDER BY {osql.cosine('q.q_emb', 'e.embedding')}
+                      DESC, e.vec_id) AS rank
+                FROM embeddings e, q
+                WHERE e.vec_id <> q.query_id) t
+              WHERE rank <= 5),
+            nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+                   FROM q),
+            h AS (
+              SELECT nprobe, CAST(COUNT(b.vec_id) AS BIGINT) AS hits
+              FROM topk t LEFT JOIN brute b
+                ON t.query_id = b.query_id AND t.vec_id = b.vec_id
+              GROUP BY nprobe)
+            SELECT nprobe, n_queries, 5 AS k, hits,
+                   (hits * 1000000) // (n_queries * 5) AS recall_ppm
+            FROM h, nq
         """,
     }

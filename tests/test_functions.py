@@ -1615,3 +1615,23 @@ def test_cms_overestimates_and_pins_heavy_hitter(spark):
     # rare candidates are exact or tiny-overestimated, never under
     for r in rows[1:]:
         assert r["exact_cnt"] == 1 and r["est_cnt"] >= 1
+
+
+def test_recall_curve_monotone_and_full_probe_perfect(spark):
+    """Recall is monotone in nprobe, and probing every list makes the
+    IVF result identical to brute force (recall exactly 1e6 ppm)."""
+    import numpy as np
+    rng = np.random.RandomState(11)
+    rows = [(int(i), [float(x) for x in rng.randn(64)])
+            for i in range(1, 120)] + [(0, [1.0] * 64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["nprobe"]: r for r in
+           similarity.recall_curve(emb, query_mod=60, k=3,
+                                   nprobes=(1, 2, 5),
+                                   centroid_mod=29).collect()}
+    assert set(got) == {1, 2, 5}
+    rec = [got[p]["recall_ppm"] for p in (1, 2, 5)]
+    assert rec == sorted(rec)
+    assert got[5]["recall_ppm"] == 1_000_000
+    assert all(r["n_queries"] == 2 and r["k"] == 3
+               for r in got.values())

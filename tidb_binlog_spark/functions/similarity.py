@@ -844,3 +844,64 @@ def int8_quantize_report(embeddings: DataFrame,
                 F.expr("size(filter(_codes, c -> abs(c) = 127))")
                  .alias("n_saturated"),
                 F.expr(err).alias("err_micro")))
+
+
+def recall_curve(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
+                 nprobes: tuple[int, ...] = (1, 2, 4),
+                 centroid_mod: int = 37) -> DataFrame:
+    """IVF tuning telemetry: recall@k against the exact brute-force
+    top-k as a function of nprobe — the curve an operator reads to
+    choose the probe budget (the ANN sibling of dedup_lsh_calibration's
+    bands-vs-rows table). Recall is exact-integer ppm
+    (hits * 1e6 div (n_queries * k)) and monotone in nprobe by
+    construction (probing more lists only adds candidates).
+
+    One assignment pass and ONE probe join at max(nprobes): each
+    candidate row is tagged with the probe rank that found it and
+    exploded only into the curve points that include it, so the curve
+    costs one IVF search plus a xlen(nprobes) fan-out of the
+    candidate rows — not len(nprobes) separate searches. The exact
+    side is the audit (at scale, run on a sampled query set).
+    """
+    from pyspark.sql import Window
+    max_p = max(nprobes)
+    assign = managed_persist(ivf_assign(embeddings, centroid_mod))
+    cents = (with_norm(embeddings.filter(F.col("vec_id") % centroid_mod == 1),
+                       "embedding", "c_norm")
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("embedding").alias("c_emb"), "c_norm"))
+    q = (with_norm(embeddings.filter(F.col("vec_id") % query_mod == 0),
+                   "embedding", "q_norm")
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"), "q_norm"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("p_cos"),
+                                                F.asc("centroid_id"))
+    probes = (q.crossJoin(F.broadcast(cents))
+              .withColumn("p_cos", F.expr(cosine_prenorm_expr(
+                  "q_emb", "c_emb", "q_norm", "c_norm")))
+              .withColumn("prank", F.row_number().over(wq))
+              .filter(F.col("prank") <= max_p)
+              .select("query_id", "q_emb", "q_norm", "centroid_id",
+                      "prank"))
+    cands = (probes.join(assign, "centroid_id")
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .withColumn("cosine", F.expr(cosine_prenorm_expr(
+                 "q_emb", "embedding", "q_norm", "e_norm"))))
+    lv = (cands.withColumn(
+              "nprobe", F.explode(F.array(*[F.lit(p) for p in nprobes])))
+          .filter(F.col("prank") <= F.col("nprobe")))
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    topk = (lv.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("nprobe", "query_id", "vec_id"))
+    brute = (brute_force_topk(embeddings, query_mod, k)
+             .select("query_id", "vec_id", F.lit(True).alias("in_exact")))
+    nq = q.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    hits = (topk.join(brute, ["query_id", "vec_id"], "left")
+            .groupBy("nprobe")
+            .agg(F.count("in_exact").alias("hits")))
+    return (hits.crossJoin(F.broadcast(nq))
+            .select("nprobe", "n_queries", F.lit(k).alias("k"), "hits",
+                    F.expr(f"(hits * 1000000) DIV (n_queries * {k})")
+                     .alias("recall_ppm")))
