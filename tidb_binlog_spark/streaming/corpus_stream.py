@@ -238,3 +238,54 @@ def sessionize_stream(events: DataFrame,
                     F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
                     "n_events", "n_event_types", "first_event_id"))
+
+
+def attribution_stream(events: DataFrame,
+                       conversion_type: str = "purchase",
+                       touch_type: str = "click",
+                       window: str = "6 hours",
+                       watermark_delay: str = "10 minutes") -> DataFrame:
+    """Streaming twin of the batch linear multi-touch attribution
+    (operators/funnel.multitouch_attribution): a watermarked
+    stream-stream interval join (touches in the ``window`` before
+    each conversion, both sides' state bounded by the watermark +
+    join range) feeding a per-conversion streaming aggregate, then a
+    STATELESS credit split — same floor-ppm arithmetic, last touch
+    absorbs the remainder, credits per conversion sum to exactly 1e6.
+
+    Scale: join and aggregate are both keyed on the user/conversion —
+    state partitions across executors and the watermark bounds it in
+    time exactly like the CDC merge bounds source buffers. The rank
+    the batch twin gets from a window function comes here from
+    sort_array over the per-conversion touch set (bounded by touch
+    density in ``window``), NOT from an unbounded sort.
+    """
+    conv = (events.filter(F.col("event_type") == conversion_type)
+            .select("user_id",
+                    F.col("event_id").alias("conversion_id"),
+                    F.col("event_ts").alias("conv_ts"))
+            .withWatermark("conv_ts", watermark_delay))
+    touch = (events.filter(F.col("event_type") == touch_type)
+             .select(F.col("user_id").alias("t_user"),
+                     F.col("event_id").alias("touch_id"),
+                     F.col("event_ts").alias("touch_ts"))
+             .withWatermark("touch_ts", watermark_delay))
+    j = conv.join(
+        touch,
+        F.expr(f"user_id = t_user AND touch_ts < conv_ts "
+               f"AND touch_ts >= conv_ts - INTERVAL {window}"))
+    agg = (j.groupBy("user_id", "conversion_id", "conv_ts")
+           .agg(F.sort_array(F.collect_list(
+               F.struct("touch_ts", "touch_id"))).alias("touches")))
+    return (agg
+            .select("user_id", "conversion_id", "conv_ts",
+                    F.size("touches").alias("n_touches"),
+                    F.posexplode("touches").alias("pos", "t"))
+            .select("user_id", "conversion_id", "conv_ts",
+                    F.col("t.touch_id").alias("touch_id"),
+                    (F.col("pos") + 1).alias("touch_rank"),
+                    "n_touches",
+                    F.expr("1000000 DIV n_touches "
+                           "+ IF(pos + 1 = n_touches, "
+                           "1000000 % n_touches, 0)")
+                    .alias("credit_ppm")))
