@@ -3542,6 +3542,24 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simfn.recall_curve(_embs(spark, sf_dir))
 
 
+def q_events_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly flags: each (day, hour) cell vs the mean
+    of its weekly slot (same weekday+hour) — cross-multiplied integer
+    comparisons, no float division, so the flags are engine-exact."""
+    from tidb_binlog_spark.operators.timeseries import seasonal_residuals
+    t = load_tables(spark, sf_dir, "events")
+    return seasonal_residuals(t["events"])
+
+
+def q_dedup_lsh_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured precision/recall of banded MinHash-LSH against an
+    independent rare-shingle exact-Jaccard ground truth — the
+    empirical complement of dedup_lsh_calibration's theoretical
+    S-curve. Integer-exact memberships make the reported ppm numbers
+    themselves oracle-checked."""
+    return dedupfn.lsh_accuracy(_docs(spark, sf_dir))
+
+
 def q_corpus_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimates for the top-16 tokens
     with the CMS overestimate guarantee (est >= exact) flagged
@@ -3642,6 +3660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_growth_accounting": q_events_growth_accounting,
         "corpus_vocab_growth": q_corpus_vocab_growth,
         "ann_recall_curve": q_ann_recall_curve,
+        "events_seasonal_residuals": q_events_seasonal_residuals,
+        "dedup_lsh_accuracy": q_dedup_lsh_accuracy,
         # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
         #    driver-checked, next-window priority) + 33 r4/r5-green
         #    refresh rows
@@ -7127,5 +7147,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT nprobe, n_queries, 5 AS k, hits,
                    (hits * 1000000) // (n_queries * 5) AS recall_ppm
             FROM h, nq
+        """,
+        "events_seasonal_residuals": """
+            WITH e AS (SELECT epoch_ns(ts) AS t FROM events),
+            c AS (
+              SELECT t // 86400000000000 AS day,
+                     (t // 86400000000000) % 7 AS dow,
+                     (t % 86400000000000) // 3600000000000 AS hour
+              FROM e),
+            cell AS (
+              SELECT day, dow, hour,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM c GROUP BY day, dow, hour),
+            slot AS (
+              SELECT dow, hour,
+                     CAST(SUM(n) AS BIGINT) AS slot_total,
+                     CAST(COUNT(*) AS BIGINT) AS n_days
+              FROM cell GROUP BY dow, hour)
+            SELECT day, cell.dow, cell.hour, n, n_days, slot_total,
+                   n * n_days > 2 * slot_total AS is_high,
+                   2 * n * n_days < slot_total AS is_low
+            FROM cell JOIN slot USING (dow, hour)
+        """,
+        "dedup_lsh_accuracy": f"""
+            WITH {osql.MINHASH_PAIRS_CTES},
+            shx AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_distinct(shingles)) AS s
+              FROM sh),
+            sizes AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM shx GROUP BY doc_id),
+            rare AS (
+              SELECT s FROM (
+                SELECT s, COUNT(*) AS df FROM shx GROUP BY s) t
+              WHERE df <= 20),
+            rsh AS (SELECT doc_id, s FROM shx JOIN rare USING (s)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM rsh a JOIN rsh b
+                ON a.s = b.s AND a.doc_id < b.doc_id),
+            inter AS (
+              SELECT doc_a, doc_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_inter
+              FROM cand c
+              JOIN shx sa ON c.doc_a = sa.doc_id
+              JOIN shx sb ON c.doc_b = sb.doc_id AND sa.s = sb.s
+              GROUP BY doc_a, doc_b),
+            truth AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes za ON inter.doc_a = za.doc_id
+              JOIN sizes zb ON inter.doc_b = zb.doc_id
+              WHERE (n_inter * 1000000)
+                      // (za.n_sh + zb.n_sh - n_inter) >= 500000),
+            pred AS (
+              SELECT doc_a, doc_b FROM pairs
+              WHERE len(list_filter(generate_series(0, 11),
+                        j -> sig_a[j+1] = sig_b[j+1])) >= 6),
+            tp AS (SELECT p.doc_a FROM pred p
+                   JOIN truth t ON p.doc_a = t.doc_a
+                              AND p.doc_b = t.doc_b),
+            m AS (
+              SELECT
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM pred)
+                  AS n_pred,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM truth)
+                  AS n_truth,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS n_tp)
+            SELECT n_pred, n_truth, n_tp,
+                   CASE WHEN n_pred > 0
+                        THEN (n_tp * 1000000) // n_pred
+                   END AS precision_ppm,
+                   CASE WHEN n_truth > 0
+                        THEN (n_tp * 1000000) // n_truth
+                   END AS recall_ppm
+            FROM m
         """,
     }

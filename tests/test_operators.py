@@ -1914,3 +1914,55 @@ def test_vocab_growth_checkpoints_and_saturation(spark):
     assert [got[p]["docs_seen"] for p in (25, 50, 75, 100)] == [1, 2, 3, 4]
     assert [got[p]["vocab_size"] for p in (25, 50, 75, 100)] == [2, 2, 3, 4]
     assert all(got[p]["n_docs"] == 4 for p in got)
+
+
+def test_seasonal_residuals_slot_baseline_flags(spark):
+    """A spike is judged against its OWN weekly slot (same dow+hour),
+    not a flat mean: the busy slot's normal days never flag, the
+    spike day flags high, a quiet day flags low."""
+    from tidb_binlog_spark.operators.timeseries import seasonal_residuals
+    day, hour = 1000, 100
+    rows = []
+    eid = 0
+    # slot (dow=0, hour=0) across days 0,7,14,21: 12,12,12,50 events
+    # (enough normal days that the spike does not drag them below
+    # half the slot mean)
+    for d, n in ((0, 12), (7, 12), (14, 12), (21, 50)):
+        for i in range(n):
+            rows.append((eid, d * day + i % hour)); eid += 1
+    # slot (dow=1, hour=2): 10,10,10,1 -> day 22 is low
+    for d, n in ((1, 10), (8, 10), (15, 10), (22, 1)):
+        for i in range(n):
+            rows.append((eid, d * day + 2 * hour + i % hour)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts long")
+    got = {(r["day"], r["hour"]): r
+           for r in seasonal_residuals(df, "ts", day, hour).collect()}
+    assert got[(21, 0)]["is_high"] and not got[(21, 0)]["is_low"]
+    assert not got[(0, 0)]["is_high"] and not got[(0, 0)]["is_low"]
+    assert got[(22, 2)]["is_low"] and not got[(22, 2)]["is_high"]
+    assert got[(0, 0)]["slot_total"] == 86 and got[(0, 0)]["n_days"] == 4
+
+
+def test_lsh_accuracy_invariants_and_gray_zone(spark):
+    """On a corpus with identical pairs, a gray-zone pair and noise:
+    tp is bounded by both sides, the ppm ratios are exact, and the
+    planted identical pair is caught by both detectors."""
+    import tidb_binlog_spark.functions.dedup as dd
+    base = " ".join(f"w{i}" for i in range(30))
+    half = " ".join(f"w{i}" for i in range(15)) + " " + \
+        " ".join(f"x{i}" for i in range(15))
+    texts = [base, base, half] + \
+        [" ".join(f"n{j}_{i}" for i in range(20)) for j in range(20)]
+    d = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    r = dd.lsh_accuracy(d, threshold_ppm=500_000, df_cap=30).collect()[0]
+    assert r["n_tp"] <= min(r["n_pred"], r["n_truth"])
+    assert r["n_tp"] >= 1          # the identical pair
+    if r["n_pred"]:
+        assert r["precision_ppm"] == r["n_tp"] * 1_000_000 // r["n_pred"]
+    if r["n_truth"]:
+        assert r["recall_ppm"] == r["n_tp"] * 1_000_000 // r["n_truth"]
+    # determinism: md5-everything means a rerun is bit-identical
+    r2 = dd.lsh_accuracy(d, threshold_ppm=500_000, df_cap=30).collect()[0]
+    assert r == r2

@@ -631,3 +631,77 @@ def bloom_membership(new_docs: DataFrame, seen: DataFrame,
                      .alias("seen_exact"))
             .withColumn("false_positive",
                         F.col("maybe_seen") & ~F.col("seen_exact")))
+
+
+def lsh_accuracy(docs: DataFrame, threshold_ppm: int = 500_000,
+                 df_cap: int = 20) -> DataFrame:
+    """Empirical precision/recall of the banded MinHash-LSH detector
+    against an INDEPENDENT exact-Jaccard ground truth — the measured
+    complement of dedup_lsh_calibration's theoretical S-curve. Truth
+    candidates come from the rare-shingle graph (pairs sharing a
+    shingle with document frequency <= ``df_cap`` — a different,
+    bounded candidate generator than the banded buckets), then exact
+    word-3-gram Jaccard >= threshold decides membership; predictions
+    are the LSH pairs whose signature-agreement estimate crosses the
+    same threshold. Because the two candidate generators differ, both
+    precision AND recall are informative (truth is not a subset of
+    predictions).
+
+    All memberships are integer-exact: the estimate threshold is
+    ceil(threshold * k) signature agreements, Jaccard is floor-ppm —
+    both engines compute identical sets, so the REPORTED precision
+    and recall are oracle-checked numbers, not approximations.
+
+    Scale: both candidate generators are bounded (banded buckets with
+    caps; rare shingles with df <= cap); the exact-J verify joins
+    shingle sets only for candidate pairs. One output row.
+    """
+    base = docs.select("doc_id", "text")
+    sh = (with_shingles(base)
+          .select("doc_id", F.explode("shingles").alias("sh"))
+          .distinct())
+    sh = managed_persist(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap).select("sh"))
+    rsh = sh.join(rare, "sh")
+    cand = (rsh.alias("a")
+            .join(rsh.alias("b"),
+                  (F.col("a.sh") == F.col("b.sh"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    inter = (cand
+             .join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+             .join(sh.alias("sb"),
+                   (F.col("doc_b") == F.col("sb.doc_id"))
+                   & (F.col("sa.sh") == F.col("sb.sh")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    truth = (inter
+             .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("n_sh").alias("n_a")), "doc_a")
+             .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                                F.col("n_sh").alias("n_b")), "doc_b")
+             .filter(F.expr(
+                 "(n_inter * 1000000) DIV (n_a + n_b - n_inter) "
+                 f">= {threshold_ppm}"))
+             .select("doc_a", "doc_b"))
+    k = 12
+    min_agree = -((-threshold_ppm * k) // 1_000_000)  # ceil
+    pred = (minhash_lsh_pairs(docs, k=k)
+            .filter(F.expr(
+                f"CAST(round(est_jaccard * {k}) AS BIGINT) "
+                f">= {min_agree}"))
+            .select("doc_a", "doc_b"))
+    tp = pred.join(truth, ["doc_a", "doc_b"])
+    counts = (pred.agg(F.count(F.lit(1)).alias("n_pred"))
+              .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+              .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_tp"))))
+    return counts.select(
+        "n_pred", "n_truth", "n_tp",
+        F.expr("CASE WHEN n_pred > 0 THEN (n_tp * 1000000) DIV n_pred "
+               "END").alias("precision_ppm"),
+        F.expr("CASE WHEN n_truth > 0 THEN (n_tp * 1000000) DIV n_truth "
+               "END").alias("recall_ppm"))

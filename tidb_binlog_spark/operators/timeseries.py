@@ -292,3 +292,39 @@ def growth_accounting(events: DataFrame, user_col: str = "user_id",
     return out.withColumn(
         "n_active",
         F.expr("n_new + n_retained + n_resurrected"))
+
+
+def seasonal_residuals(events: DataFrame, ts_col: str = "ts",
+                       day_ns: int = 86_400_000_000_000,
+                       hour_ns: int = 3_600_000_000_000) -> DataFrame:
+    """Seasonal-naive anomaly flags: each (day, hour) cell's event
+    count is compared against the mean of its OWN weekly seasonal slot
+    (same weekday + hour across all observed days) — the baseline that
+    doesn't fire every Monday morning the way a flat rolling mean
+    does. Flags are exact cross-multiplied integer comparisons
+    (n * n_days vs 2x / 0.5x slot_total): no float division, so the
+    flag is engine-exact.
+
+    Slots with no events on a given day contribute no cell row (the
+    baseline mean is over OBSERVED days — documented semantics; a
+    calendar fill would impute zeros).
+
+    Scale: one (day,dow,hour) count aggregate (map-side combinable),
+    one 168-rows-max slot rollup broadcast back. Raw events are never
+    windowed or sorted.
+    """
+    e = events.select(
+        F.expr(f"{ts_col} DIV {day_ns}").alias("day"),
+        F.expr(f"({ts_col} DIV {day_ns}) % 7").alias("dow"),
+        F.expr(f"({ts_col} % {day_ns}) DIV {hour_ns}").alias("hour"))
+    cell = (e.groupBy("day", "dow", "hour")
+            .agg(F.count(F.lit(1)).alias("n")))
+    slot = (cell.groupBy("dow", "hour")
+            .agg(F.sum("n").cast("bigint").alias("slot_total"),
+                 F.count(F.lit(1)).alias("n_days")))
+    return (cell.join(F.broadcast(slot), ["dow", "hour"])
+            .select("day", "dow", "hour", "n", "n_days", "slot_total",
+                    (F.expr("n * n_days") > F.expr("2 * slot_total"))
+                     .alias("is_high"),
+                    (F.expr("2 * n * n_days") < F.col("slot_total"))
+                     .alias("is_low")))
