@@ -3542,6 +3542,98 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simfn.recall_curve(_embs(spark, sf_dir))
 
 
+def q_events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution: 4-step conversion
+    probability from START on the journey chain, recomputed with each
+    channel's outgoing edges removed; credit = the conversion
+    probability the channel takes with it. All floor-ppm integers,
+    sum-then-divide per iteration, so every reported number is
+    engine-exact."""
+    from tidb_binlog_spark.operators.funnel import markov_attribution
+    t = load_tables(spark, sf_dir, "events")
+    return markov_attribution(t["events"])
+
+
+def _markov_sql(iters: int = 4) -> str:
+    """DuckDB mirror of operators/funnel.markov_attribution: the same
+    transition ppm table and the same fixed-iteration value recursion,
+    unrolled (the PageRank-oracle pattern)."""
+    ctes = ["""
+    e AS (SELECT user_id AS u, epoch_ns(ts) AS t, event_id AS i,
+                 event_type AS typ FROM events),
+    r AS (SELECT u, t, i, typ,
+                 ROW_NUMBER() OVER (PARTITION BY u ORDER BY t, i)
+                   AS rn
+          FROM e),
+    fc AS (SELECT u, MIN(rn) AS conv_rn FROM r
+           WHERE typ = 'purchase' GROUP BY u),
+    kept AS (SELECT r.u, r.rn,
+                    CASE WHEN typ = 'purchase' THEN 'CONV'
+                         ELSE typ END AS state
+             FROM r LEFT JOIN fc ON r.u = fc.u
+             WHERE fc.conv_rn IS NULL OR r.rn <= fc.conv_rn),
+    seq AS (SELECT u, rn, state,
+                   lead(state) OVER (PARTITION BY u ORDER BY rn)
+                     AS nxt
+            FROM kept),
+    body AS (SELECT state AS src,
+                    COALESCE(nxt, CASE WHEN state <> 'CONV'
+                                       THEN 'NULL' END) AS dst
+             FROM seq),
+    tr0 AS (SELECT src, dst FROM body WHERE dst IS NOT NULL
+            UNION ALL
+            SELECT 'START' AS src, state AS dst FROM seq
+            WHERE rn = 1),
+    trans AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM tr0 GROUP BY src, dst),
+    o AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS out_total
+          FROM trans GROUP BY src),
+    p AS (SELECT trans.src, dst,
+                 CAST((cnt * 1000000) // out_total AS BIGINT)
+                   AS p_ppm
+          FROM trans JOIN o ON trans.src = o.src),
+    chan AS (SELECT DISTINCT src AS removed FROM p
+             WHERE src NOT IN ('START', 'CONV')
+             UNION ALL SELECT '(none)'),
+    edges AS (SELECT c.removed, p.src, p.dst, p.p_ppm
+              FROM p CROSS JOIN chan c WHERE p.src <> c.removed),
+    v0 AS (SELECT removed, 'CONV' AS state,
+                  CAST(1000000 AS BIGINT) AS v_ppm
+           FROM chan)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+    v{k} AS (
+      SELECT removed, state, v_ppm FROM (
+        SELECT e.removed, e.src AS state,
+               CAST(SUM(p_ppm * v_ppm) // 1000000 AS BIGINT)
+                 AS v_ppm
+        FROM edges e JOIN v{k - 1} v
+          ON e.removed = v.removed AND e.dst = v.state
+        GROUP BY e.removed, e.src) t
+      WHERE state <> 'CONV'
+      UNION ALL
+      SELECT removed, 'CONV', CAST(1000000 AS BIGINT) FROM chan)""")
+    return f"""
+    WITH {','.join(ctes)},
+    sv AS (SELECT removed, v_ppm AS conv_ppm FROM v{iters}
+           WHERE state = 'START'),
+    fullv AS (SELECT conv_ppm AS full_ppm FROM sv
+              WHERE removed = '(none)'),
+    per AS (SELECT removed AS channel, full_ppm,
+                   conv_ppm AS removed_ppm,
+                   full_ppm - conv_ppm AS drop_ppm
+            FROM sv, fullv WHERE removed <> '(none)'),
+    tot AS (SELECT CAST(SUM(drop_ppm) AS BIGINT) AS total_drop
+            FROM per)
+    SELECT channel, full_ppm, removed_ppm, drop_ppm,
+           CASE WHEN total_drop > 0
+                THEN CAST((drop_ppm * 1000000) // total_drop
+                          AS BIGINT)
+           END AS share_ppm
+    FROM per, tot
+    """
+
+
 def q_events_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive anomaly flags: each (day, hour) cell vs the mean
     of its weekly slot (same weekday+hour) — cross-multiplied integer
@@ -3662,6 +3754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_curve": q_ann_recall_curve,
         "events_seasonal_residuals": q_events_seasonal_residuals,
         "dedup_lsh_accuracy": q_dedup_lsh_accuracy,
+        "events_markov_attribution": q_events_markov_attribution,
         # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
         #    driver-checked, next-window priority) + 33 r4/r5-green
         #    refresh rows
@@ -7223,4 +7316,5 @@ def oracle_sql() -> dict[str, str]:
                    END AS recall_ppm
             FROM m
         """,
+        "events_markov_attribution": _markov_sql(4),
     }

@@ -1966,3 +1966,23 @@ def test_lsh_accuracy_invariants_and_gray_zone(spark):
     # determinism: md5-everything means a rerun is bit-identical
     r2 = dd.lsh_accuracy(d, threshold_ppm=500_000, df_cap=30).collect()[0]
     assert r == r2
+
+
+def test_markov_attribution_hand_computed_chain(spark):
+    """Three journeys (A->conv, A->B->conv, B->end) give a chain whose
+    4-step removal effects are hand-computable in exact ppm."""
+    from tidb_binlog_spark.operators.funnel import markov_attribution
+    rows = [(1, 10, "A", 0), (1, 20, "purchase", 1),
+            (2, 10, "A", 2), (2, 20, "B", 3), (2, 30, "purchase", 4),
+            (3, 10, "B", 5)]
+    d = spark.createDataFrame(
+        rows, "user_id long, ts long, event_type string, event_id long")
+    got = {r["channel"]: r for r in markov_attribution(d).collect()}
+    assert set(got) == {"A", "B"}
+    assert got["A"]["full_ppm"] == 666666
+    assert got["A"]["removed_ppm"] == 166666
+    assert got["A"]["drop_ppm"] == 500000
+    assert got["B"]["removed_ppm"] == 333333
+    assert got["B"]["drop_ppm"] == 333333
+    assert got["A"]["share_ppm"] == 600000
+    assert got["B"]["share_ppm"] == 399999

@@ -18,6 +18,8 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import managed_persist
+
 
 def funnel(events: DataFrame, steps: list[str],
            user_col: str = "user_id", ts_col: str = "ts",
@@ -100,3 +102,97 @@ def multitouch_attribution(events: DataFrame,
                "1000000 % n_touches, 0)")) \
         .select("user_id", "conversion_id", "conv_ts", "touch_id",
                 "touch_rank", "n_touches", "credit_ppm")
+
+
+def markov_attribution(events: DataFrame,
+                       conversion_type: str = "purchase",
+                       iters: int = 4,
+                       ts_col: str = "ts",
+                       id_col: str = "event_id",
+                       user_col: str = "user_id") -> DataFrame:
+    """Markov removal-effect attribution — the principled sibling of
+    the linear split (multitouch_attribution): build the first-order
+    journey chain (START -> event types -> CONV/NULL, each user's
+    sequence truncated at their first conversion), compute the
+    ``iters``-step conversion probability from START, then re-compute
+    it with each channel's outgoing transitions removed (paths through
+    the channel die, the standard removal effect). A channel's credit
+    is the conversion probability it would take with it.
+
+    Everything is exact integer arithmetic: transition probabilities
+    are floor-ppm, each value iteration divides ONCE after the BIGINT
+    dot product, and the report carries full/removed/drop ppm plus
+    the normalized share. Fixed ``iters`` (like the PageRank
+    operator) keeps the computation a finite, engine-exact formula.
+
+    Scale shape: the distributed work is ONE user-partitioned window
+    chain (rank + first-conversion + lead share the same shuffle) and
+    one (src,dst) count aggregate. The |states|^2 transition matrix
+    is bounded bookkeeping (like the k-means centroid collect) — the
+    removal-effect recursion runs on it driver-side in exact ints,
+    never shuffling anything again.
+    """
+    from pyspark.sql import Window
+    CONV, NULLS, START = "CONV", "NULL", "START"
+    w = Window.partitionBy("u").orderBy("t", "i")
+    wu = Window.partitionBy("u")
+    e = (events.select(F.col(user_col).alias("u"),
+                       F.col(ts_col).alias("t"),
+                       F.col(id_col).alias("i"),
+                       F.col("event_type").alias("typ"))
+         .withColumn("rn", F.row_number().over(w))
+         .withColumn("conv_rn",
+                     F.min(F.when(F.col("typ") == conversion_type,
+                                  F.col("rn"))).over(wu)))
+    kept = (e.filter(F.col("conv_rn").isNull()
+                     | (F.col("rn") <= F.col("conv_rn")))
+            .withColumn("state",
+                        F.when(F.col("typ") == conversion_type,
+                               F.lit(CONV)).otherwise(F.col("typ"))))
+    w2 = Window.partitionBy("u").orderBy("rn")
+    seq = kept.withColumn("nxt", F.lead("state").over(w2))
+    body = (seq.select(
+        F.col("state").alias("src"),
+        F.coalesce("nxt",
+                   F.when(F.col("state") != CONV, F.lit(NULLS)))
+         .alias("dst"))
+        .filter(F.col("dst").isNotNull()))
+    starts = (seq.filter(F.col("rn") == 1)
+              .select(F.lit(START).alias("src"),
+                      F.col("state").alias("dst")))
+    trans = (body.unionByName(starts)
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+
+    # bounded bookkeeping collect: |states|^2 rows
+    rows = trans.collect()
+    out: dict[str, int] = {}
+    for r in rows:
+        out[r["src"]] = out.get(r["src"], 0) + r["cnt"]
+    p = {(r["src"], r["dst"]): r["cnt"] * 1_000_000 // out[r["src"]]
+         for r in rows}
+    channels = sorted({s for s, _ in p if s not in (START, CONV)})
+
+    def conv_prob(removed: str | None) -> int:
+        v = {CONV: 1_000_000}
+        for _ in range(iters):
+            acc: dict[str, int] = {}
+            for (s, d), pp in p.items():
+                if s == removed:
+                    continue
+                acc[s] = acc.get(s, 0) + pp * v.get(d, 0)
+            v = {s: val // 1_000_000 for s, val in acc.items()
+                 if s != CONV}
+            v[CONV] = 1_000_000
+        return v.get(START, 0)
+
+    full = conv_prob(None)
+    per = [(c, full, conv_prob(c)) for c in channels]
+    total_drop = sum(full - rc for _, _, rc in per)
+    data = [(c, full, rc, full - rc,
+             ((full - rc) * 1_000_000 // total_drop
+              if total_drop > 0 else None))
+            for c, full, rc in per]
+    return events.sparkSession.createDataFrame(
+        data, "channel string, full_ppm bigint, removed_ppm bigint, "
+              "drop_ppm bigint, share_ppm bigint")
