@@ -812,3 +812,42 @@ def test_zorder_layout_prunes_both_dims_vs_single_sort(spark):
         # x-sorted layout: x prunes hard but y admits EVERY file
         assert admitted(xsorted, "x", v) <= 0.1
         assert admitted(xsorted, "y", v) == 1.0
+
+
+def test_r8_sketch_and_report_plan_contracts(spark):
+    """r8 operators: sketches and reports stay JVM-only with bounded
+    shapes — the CMS sketch broadcasts onto its probes, decayed top-k
+    compiles to TakeOrderedAndProject (never a global sort), the
+    seasonal slot baseline broadcasts back, and every window in the
+    quantile sketch / growth accounting is partitioned."""
+    import __spark_entry__ as m
+    qs = m.queries()
+    for name in ("corpus_quantile_sketch", "corpus_cms_topk",
+                 "events_decayed_topk", "cdc_dml_mix_drift",
+                 "events_growth_accounting", "corpus_vocab_growth",
+                 "events_seasonal_residuals"):
+        plan = _plan(qs[name](spark, SF))
+        assert "BatchEvalPython" not in plan \
+            and "ArrowEvalPython" not in plan, name
+    p_decay = _plan(qs["events_decayed_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in p_decay
+    p_cms = _plan(qs["corpus_cms_topk"](spark, SF))
+    assert "BroadcastHashJoin" in p_cms
+    p_seas = _plan(qs["events_seasonal_residuals"](spark, SF))
+    assert "BroadcastHashJoin" in p_seas and "Window" not in p_seas
+    for name in ("corpus_quantile_sketch", "events_growth_accounting",
+                 "cdc_dml_mix_drift", "corpus_vocab_growth"):
+        _assert_windows_partitioned(_plan(qs[name](spark, SF)))
+
+
+def test_r8_markov_attribution_single_event_pass(spark):
+    """The Markov chain derivation reads raw events through ONE
+    user-keyed window chain: rank, first-conversion and lead reuse a
+    single user-partitioned sort (no second Exchange over events),
+    and the recursion itself adds no distributed stages (the result
+    frame is a LocalTableScan of the bounded channel rows)."""
+    import __spark_entry__ as m
+    out = m.queries()["events_markov_attribution"](spark, SF)
+    plan = _plan(out)
+    assert ("LocalTableScan" in plan or "ExistingRDD" in plan) \
+        and "Exchange" not in plan
