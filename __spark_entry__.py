@@ -3542,6 +3542,51 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simfn.recall_curve(_embs(spark, sf_dir))
 
 
+def q_rag_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the lexical retriever's ranking against the
+    same-source relevance proxy — log discounts are pre-quantized
+    integer constants shared with the oracle, so the metric is exact
+    end to end (no engine evaluates a logarithm)."""
+    return scoring.retrieval_ndcg(_docs(spark, sf_dir))
+
+
+def q_cdc_redelivery_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once made exactly-once, PROVEN in-query: every 3rd
+    event is re-delivered after the whole stream (fresh arrival_seq,
+    same commit_ts — the pump-retry shape), both streams run through
+    the order gate + compaction, and the report carries per-table row
+    counts and image checksums from BOTH runs with an equality flag.
+    The gate's dup/disorder classification is what absorbs the
+    replay (pump at-least-once delivery, drainer dedup —
+    drainer/merge.go, pump/storage re-send semantics)."""
+    ch = _spark_changes(spark, sf_dir)
+    mx = ch.agg(F.max("arrival_seq").alias("mx"))
+    copy = (ch.filter(F.col("arrival_seq") % 3 == 0)
+            .crossJoin(F.broadcast(mx))
+            .withColumn("arrival_seq",
+                        F.col("arrival_seq") + F.col("mx") + 1)
+            .drop("mx"))
+    replayed = ch.unionByName(copy)
+    h = ("sum(CAST(conv(substring(md5(concat_ws('|', db, tbl, "
+         "CAST(pk AS STRING), CAST(val AS STRING), "
+         "CAST(commit_ts AS STRING))), 1, 12), 16, 10) AS BIGINT))")
+
+    def _sum(stream, n_name, h_name):
+        snap = compaction.apply_snapshot(ordering.ordered_stream(stream))
+        return snap.groupBy("db", "tbl").agg(
+            F.count(F.lit(1)).alias(n_name),
+            F.expr(h).cast("bigint").alias(h_name))
+
+    once = _sum(ch, "n_once", "h_once")
+    twice = _sum(replayed, "n_replayed", "h_replayed")
+    return (once.join(twice, ["db", "tbl"])
+            .withColumn("identical",
+                        (F.col("n_once") == F.col("n_replayed"))
+                        & (F.col("h_once") == F.col("h_replayed")))
+            .select("db", "tbl", "n_once", "n_replayed", "h_once",
+                    "h_replayed", "identical"))
+
+
 def q_events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov removal-effect attribution: 4-step conversion
     probability from START on the journey chain, recomputed with each
@@ -3755,6 +3800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_residuals": q_events_seasonal_residuals,
         "dedup_lsh_accuracy": q_dedup_lsh_accuracy,
         "events_markov_attribution": q_events_markov_attribution,
+        "cdc_redelivery_proof": q_cdc_redelivery_proof,
+        "rag_retrieval_ndcg": q_rag_retrieval_ndcg,
         # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
         #    driver-checked, next-window priority) + 33 r4/r5-green
         #    refresh rows
@@ -7317,4 +7364,104 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "events_markov_attribution": _markov_sql(4),
+        "cdc_redelivery_proof": f"""
+            {CHANGES_CTE},
+            mx AS (SELECT MAX(arrival_seq) AS mx FROM changes),
+            rep AS (
+              SELECT * FROM changes
+              UNION ALL
+              SELECT c.* REPLACE (c.arrival_seq + mx.mx + 1
+                                  AS arrival_seq)
+              FROM changes c, mx WHERE c.arrival_seq % 3 = 0),
+            f1 AS (
+              SELECT c.*,
+                MAX(commit_ts) OVER (PARTITION BY source_id
+                  ORDER BY arrival_seq ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING) AS prev_max_ts,
+                ROW_NUMBER() OVER (PARTITION BY commit_ts
+                  ORDER BY arrival_seq, source_id) AS dup_rank
+              FROM changes c),
+            ok1 AS (SELECT * FROM f1 WHERE dup_rank = 1
+                    AND (prev_max_ts IS NULL
+                         OR commit_ts > prev_max_ts)),
+            l1 AS (SELECT * FROM (
+                     SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY db, tbl, pk
+                       ORDER BY commit_ts DESC, seq DESC,
+                                arrival_seq DESC) AS rn
+                     FROM ok1) t WHERE rn = 1 AND op <> 'D'),
+            s1 AS (SELECT db, tbl,
+                     CAST(COUNT(*) AS BIGINT) AS n_once,
+                     CAST(SUM(CAST(concat('0x', substring(md5(
+                       concat_ws('|', db, tbl, CAST(pk AS VARCHAR),
+                                 CAST(val AS VARCHAR),
+                                 CAST(commit_ts AS VARCHAR))),
+                       1, 12)) AS BIGINT)) AS BIGINT) AS h_once
+                   FROM l1 GROUP BY db, tbl),
+            f2 AS (
+              SELECT c.*,
+                MAX(commit_ts) OVER (PARTITION BY source_id
+                  ORDER BY arrival_seq ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING) AS prev_max_ts,
+                ROW_NUMBER() OVER (PARTITION BY commit_ts
+                  ORDER BY arrival_seq, source_id) AS dup_rank
+              FROM rep c),
+            ok2 AS (SELECT * FROM f2 WHERE dup_rank = 1
+                    AND (prev_max_ts IS NULL
+                         OR commit_ts > prev_max_ts)),
+            l2 AS (SELECT * FROM (
+                     SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY db, tbl, pk
+                       ORDER BY commit_ts DESC, seq DESC,
+                                arrival_seq DESC) AS rn
+                     FROM ok2) t WHERE rn = 1 AND op <> 'D'),
+            s2 AS (SELECT db, tbl,
+                     CAST(COUNT(*) AS BIGINT) AS n_replayed,
+                     CAST(SUM(CAST(concat('0x', substring(md5(
+                       concat_ws('|', db, tbl, CAST(pk AS VARCHAR),
+                                 CAST(val AS VARCHAR),
+                                 CAST(commit_ts AS VARCHAR))),
+                       1, 12)) AS BIGINT)) AS BIGINT) AS h_replayed
+                   FROM l2 GROUP BY db, tbl)
+            SELECT db, tbl, n_once, n_replayed, h_once, h_replayed,
+                   n_once = n_replayed AND h_once = h_replayed
+                     AS identical
+            FROM s1 JOIN s2 USING (db, tbl)
+        """,
+        "rag_retrieval_ndcg": f"""
+            {_TFIDF_TOPK_CTE},
+            rk AS (SELECT query_id, doc_id, rank FROM r
+                   WHERE rank <= 5),
+            qs AS (SELECT doc_id AS query_id, source AS q_source
+                   FROM documents WHERE doc_id % 50 = 0),
+            ds AS (SELECT doc_id, source AS d_source FROM documents),
+            lab AS (
+              SELECT rk.query_id, rk.doc_id, rank,
+                CAST(CASE WHEN q_source = d_source THEN 1 ELSE 0 END
+                     AS BIGINT) AS rel,
+                CAST(([1000000, 630929, 500000, 430676,
+                       386852])[rank] AS BIGINT) AS disc_micro
+              FROM rk JOIN qs USING (query_id)
+                      JOIN ds USING (doc_id)),
+            per_q AS (
+              SELECT query_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+                     CAST(SUM(rel) AS BIGINT) AS n_relevant,
+                     CAST(SUM(rel * disc_micro) AS BIGINT)
+                       AS dcg_micro
+              FROM lab GROUP BY query_id),
+            w_i AS (
+              SELECT *, CASE WHEN n_relevant > 0 THEN
+                  CAST(([1000000, 1630929, 2130929, 2561605,
+                         2948457])[CAST(least(n_relevant, 5)
+                                        AS INT)] AS BIGINT)
+                END AS idcg_micro
+              FROM per_q)
+            SELECT query_id, n_retrieved, n_relevant, dcg_micro,
+                   idcg_micro,
+                   CASE WHEN idcg_micro > 0 THEN
+                     (dcg_micro * 1000000) // idcg_micro
+                   END AS ndcg_ppm
+            FROM w_i
+        """,
     }

@@ -1986,3 +1986,34 @@ def test_markov_attribution_hand_computed_chain(spark):
     assert got["B"]["drop_ppm"] == 333333
     assert got["A"]["share_ppm"] == 600000
     assert got["B"]["share_ppm"] == 399999
+
+
+def test_redelivery_proof_identical_on_fixture(spark):
+    """The in-query exactly-once proof: replaying every 3rd event
+    after the stream leaves every table's snapshot byte-identical
+    (the order gate absorbs redeliveries)."""
+    import __spark_entry__ as m
+    rows = m.queries()["cdc_redelivery_proof"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r["identical"] for r in rows)
+    assert all(r["n_once"] == r["n_replayed"] for r in rows)
+
+
+def test_retrieval_ndcg_perfect_when_all_relevant(spark):
+    """Single-source corpus: every retrieved doc is relevant, so
+    NDCG is exactly 1e6 ppm and IDCG equals the discount prefix sum
+    for the retrieved count."""
+    from tidb_binlog_spark.functions.scoring import (
+        NDCG_CUM_MICRO, retrieval_ndcg)
+    texts = [f"shared topic words alpha beta doc{i} tail{i % 7}"
+             for i in range(40)]
+    d = spark.createDataFrame(
+        [(i, t, "en", "only", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    rows = retrieval_ndcg(d, query_mod=10, k=5).collect()
+    assert rows
+    for r in rows:
+        assert r["ndcg_ppm"] == 1_000_000
+        assert r["n_relevant"] == r["n_retrieved"]
+        assert r["idcg_micro"] == NDCG_CUM_MICRO[
+            min(r["n_retrieved"], 5) - 1]

@@ -1042,3 +1042,66 @@ def vocab_growth(docs: DataFrame,
     return grown.select("stratum", "pct",
                         F.col("cp_rank").alias("docs_seen"),
                         "n_docs", "vocab_size")
+
+
+# integer NDCG@5 discount table: floor(1e6 / log2(rank+1)) — shared
+# CONSTANTS with the oracle, so no engine ever evaluates a log
+NDCG_DISC_MICRO = (1_000_000, 630_929, 500_000, 430_676, 386_852)
+NDCG_CUM_MICRO = tuple(
+    sum(NDCG_DISC_MICRO[:i + 1]) for i in range(len(NDCG_DISC_MICRO)))
+
+
+def retrieval_ndcg(docs: DataFrame, query_mod: int = 50,
+                   k: int = 5) -> DataFrame:
+    """Ranking-quality audit for the lexical retriever: NDCG@k of
+    tfidf_topk's ranking, with a deterministic relevance proxy (a
+    retrieved doc is relevant iff it shares the query doc's source —
+    the label a source-siloed RAG corpus gives for free). The ideal
+    ordering is the retrieved set re-sorted (rank-quality semantics:
+    NDCG=1 iff every relevant retrieved doc outranks every irrelevant
+    one).
+
+    Log discounts enter as PRE-QUANTIZED integer constants
+    (floor(1e6/log2(rank+1)) — NDCG_DISC_MICRO), shared with the
+    oracle, so the whole metric is exact integer arithmetic end to
+    end: no engine evaluates a logarithm.
+
+    Scale: the retrieval itself is tfidf_topk's inverted-index join;
+    the metric adds one broadcast source-lookup join and one
+    per-query aggregate over k rows/query.
+    """
+    r = tfidf_topk(docs, query_mod=query_mod, k=k) \
+        .filter(F.col("rank") <= k)
+    src = docs.select("doc_id", "source")
+    q_src = (src.filter(F.col("doc_id") % query_mod == 0)
+             .select(F.col("doc_id").alias("query_id"),
+                     F.col("source").alias("q_source")))
+    d_src = src.select(F.col("doc_id").alias("doc_id"),
+                       F.col("source").alias("d_source"))
+    disc = "array(" + ", ".join(
+        f"CAST({d} AS BIGINT)" for d in NDCG_DISC_MICRO[:k]) + ")"
+    cum = "array(" + ", ".join(
+        f"CAST({c} AS BIGINT)" for c in NDCG_CUM_MICRO[:k]) + ")"
+    lab = (r.join(F.broadcast(q_src), "query_id")
+           .join(d_src, "doc_id")
+           .withColumn("rel",
+                       (F.col("q_source") == F.col("d_source"))
+                       .cast("bigint"))
+           .withColumn("disc_micro",
+                       F.expr(f"element_at({disc}, rank)")))
+    per_q = (lab.groupBy("query_id")
+             .agg(F.count(F.lit(1)).alias("n_retrieved"),
+                  F.sum("rel").cast("bigint").alias("n_relevant"),
+                  F.sum(F.expr("rel * disc_micro")).cast("bigint")
+                   .alias("dcg_micro")))
+    return (per_q.withColumn(
+                "idcg_micro",
+                F.expr(f"CASE WHEN n_relevant > 0 THEN "
+                       f"element_at({cum}, CAST(least(n_relevant, "
+                       f"{k}) AS INT)) END"))
+            .withColumn("ndcg_ppm",
+                        F.expr("CASE WHEN idcg_micro > 0 THEN "
+                               "(dcg_micro * 1000000) DIV idcg_micro "
+                               "END"))
+            .select("query_id", "n_retrieved", "n_relevant",
+                    "dcg_micro", "idcg_micro", "ndcg_ppm"))
