@@ -3542,6 +3542,16 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simfn.recall_curve(_embs(spark, sf_dir))
 
 
+def q_events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workload-inequality report: Lorenz decile table + Gini ppm of
+    per-user event counts (hot_keys names offenders; this measures
+    the skew). Only window runs over the count-reduced per-user
+    frame; rank-weighted sums in DECIMAL(38,0)."""
+    from tidb_binlog_spark.operators.timeseries import activity_gini
+    t = load_tables(spark, sf_dir, "events")
+    return activity_gini(t["events"])
+
+
 def q_rag_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDCG@5 of the lexical retriever's ranking against the
     same-source relevance proxy — log discounts are pre-quantized
@@ -3802,6 +3812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_attribution": q_events_markov_attribution,
         "cdc_redelivery_proof": q_cdc_redelivery_proof,
         "rag_retrieval_ndcg": q_rag_retrieval_ndcg,
+        "events_activity_gini": q_events_activity_gini,
         # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
         #    driver-checked, next-window priority) + 33 r4/r5-green
         #    refresh rows
@@ -7463,5 +7474,41 @@ def oracle_sql() -> dict[str, str]:
                      (dcg_micro * 1000000) // idcg_micro
                    END AS ndcg_ppm
             FROM w_i
+        """,
+        "events_activity_gini": """
+            WITH pu AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY user_id),
+            rked AS (
+              SELECT user_id, n,
+                     ROW_NUMBER() OVER (ORDER BY n, user_id) AS rk
+              FROM pu),
+            tot AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                     SUM(n) AS s,
+                     SUM(CAST(rk AS HUGEINT) * n) AS s1
+              FROM rked),
+            gini AS (
+              SELECT n_users,
+                     CAST(((2 * s1 - (n_users + 1) * s) * 1000000)
+                          // (n_users * s) AS BIGINT) AS gini_ppm,
+                     CAST(s AS BIGINT) AS total_events
+              FROM tot),
+            dec AS (
+              SELECT (10 * rk + n_users - 1) // n_users AS decile,
+                     CAST(COUNT(*) AS BIGINT) AS n_users_decile,
+                     CAST(SUM(n) AS BIGINT) AS n_events
+              FROM rked, tot GROUP BY 1),
+            cum AS (
+              SELECT decile, n_users_decile, n_events,
+                     CAST(SUM(n_events) OVER (ORDER BY decile
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_events
+              FROM dec)
+            SELECT decile, n_users_decile, n_events,
+                   (cum_events * 1000000) // total_events
+                     AS cum_events_ppm,
+                   gini_ppm
+            FROM cum, gini
         """,
     }

@@ -2017,3 +2017,20 @@ def test_retrieval_ndcg_perfect_when_all_relevant(spark):
         assert r["n_relevant"] == r["n_retrieved"]
         assert r["idcg_micro"] == NDCG_CUM_MICRO[
             min(r["n_retrieved"], 5) - 1]
+
+
+def test_activity_gini_hand_computed(spark):
+    """Two users with counts (1, 9): Gini = 0.4 exactly; uniform
+    counts give Gini 0; Lorenz shares are exact ppm."""
+    from tidb_binlog_spark.operators.timeseries import activity_gini
+    rows = [(i, 1) for i in range(1)] + [(100 + i, 2) for i in range(9)]
+    d = spark.createDataFrame(
+        [(eid, u) for eid, u in rows], "event_id long, user_id long")
+    got = {r["decile"]: r for r in activity_gini(d).collect()}
+    assert all(r["gini_ppm"] == 400_000 for r in got.values())
+    assert got[5]["n_events"] == 1 and got[5]["cum_events_ppm"] == 100_000
+    assert got[10]["n_events"] == 9 and got[10]["cum_events_ppm"] == 1_000_000
+    # uniform activity -> zero inequality
+    u = spark.createDataFrame([(i, i % 5) for i in range(25)],
+                              "event_id long, user_id long")
+    assert all(r["gini_ppm"] == 0 for r in activity_gini(u).collect())

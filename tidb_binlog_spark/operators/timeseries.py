@@ -328,3 +328,56 @@ def seasonal_residuals(events: DataFrame, ts_col: str = "ts",
                      .alias("is_high"),
                     (F.expr("2 * n * n_days") < F.col("slot_total"))
                      .alias("is_low")))
+
+
+def activity_gini(events: DataFrame,
+                  user_col: str = "user_id") -> DataFrame:
+    """Activity-concentration report: the Lorenz decile table plus the
+    Gini coefficient of per-user event counts — the quantified answer
+    to "how skewed is this workload" that sizes salting and AQE skew
+    thresholds (cdc_hot_keys names the offenders; this measures the
+    inequality itself).
+
+    Exact integer arithmetic throughout: users are ranked ascending by
+    count (deterministic (n, user) tiebreak), Gini comes from the
+    rank-weighted sum formula G = (2*sum(rk*x) - (n+1)*sum(x)) /
+    (n*sum(x)) in floor ppm, and decile cut points are integer
+    ceil-division. Rank-weighted sums accumulate in DECIMAL(38,0) —
+    at 100 TB rank*count products overflow BIGINT long before they
+    trouble a 38-digit decimal.
+
+    Scale: the only window runs over the COUNT-REDUCED per-user frame
+    (one row per user, never raw events); the decile rollup is 10
+    rows.
+    """
+    per_user = (events.groupBy(user_col)
+                .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy("n", user_col)
+    ranked = (per_user.withColumn("rk", F.row_number().over(w)))
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("CAST(rk AS DECIMAL(38,0)) * n"))
+         .cast("decimal(38,0)").alias("s1"))
+    gini = tot.select(
+        "n_users",
+        F.expr("CAST(((2 * s1 - (n_users + 1) * s) * 1000000) "
+               "DIV (n_users * s) AS BIGINT)").alias("gini_ppm"),
+        F.col("s").cast("bigint").alias("total_events"))
+    dec = (ranked.crossJoin(F.broadcast(gini.select(
+               F.col("n_users").alias("nu"))))
+           .withColumn("decile",
+                       F.expr("(10 * rk + nu - 1) DIV nu"))
+           .groupBy("decile")
+           .agg(F.count(F.lit(1)).alias("n_users_decile"),
+                F.sum("n").cast("bigint").alias("n_events")))
+    wd = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0)
+    out = (dec.withColumn("cum_events",
+                          F.sum("n_events").over(wd).cast("bigint"))
+           .crossJoin(F.broadcast(gini)))
+    return (out.withColumn(
+                "cum_events_ppm",
+                F.expr("(cum_events * 1000000) DIV total_events"))
+            .select("decile", "n_users_decile", "n_events",
+                    "cum_events_ppm", "gini_ppm"))
