@@ -3542,6 +3542,60 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simfn.recall_curve(_embs(spark, sf_dir))
 
 
+def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast per event type over 6h window
+    counts: alpha=beta=1/2 double-exponential smoothing as exact
+    integer halvings (sign-split truncating division keeps negative
+    trends identical across engines); 1-3 step forecasts clamped at
+    zero."""
+    from tidb_binlog_spark.operators.timeseries import holt_forecast
+    t = load_tables(spark, sf_dir, "events")
+    return holt_forecast(t["events"])
+
+
+def _holt_sql(horizon: int = 3) -> str:
+    """DuckDB mirror of timeseries.holt_forecast, as a recursive CTE
+    over the per-key window index (the causality-oracle pattern).
+    NOT list_reduce: DuckDB 1.0.0 miscomputes multi-field struct
+    accumulators there (a 4-element (l,b) fold returns (2750,1625)
+    where the hand recursion gives (3000,3000)) — the recursive CTE
+    is the reliable sequential-fold form."""
+    def tdiv2(v: str) -> str:
+        return (f"CASE WHEN {v} >= 0 THEN ({v}) // 2 "
+                f"ELSE -((-({v})) // 2) END")
+    lp = tdiv2("(idx.x * 1000) + r.l + r.b")
+    bp = tdiv2(f"(({lp}) - r.l) + r.b")
+    fcasts = ",\n".join(
+        f"greatest(CAST(0 AS BIGINT), r.l + {h} * r.b) "
+        f"AS f{h}_milli" for h in range(1, horizon + 1))
+    return f"""
+        WITH RECURSIVE e AS (
+          SELECT event_type AS k,
+                 epoch_ns(ts) // 21600000000000 AS win
+          FROM events),
+        cnt AS (SELECT k, win, CAST(COUNT(*) AS BIGINT) AS x
+                FROM e GROUP BY k, win),
+        idx AS (
+          SELECT k, x, ROW_NUMBER() OVER (PARTITION BY k
+                                          ORDER BY win) AS i
+          FROM cnt),
+        n AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_windows
+              FROM idx GROUP BY k),
+        r AS (
+          SELECT k, i, x * 1000 AS l, CAST(0 AS BIGINT) AS b
+          FROM idx WHERE i = 1
+          UNION ALL
+          SELECT idx.k, idx.i,
+                 CAST({lp} AS BIGINT) AS l,
+                 CAST({bp} AS BIGINT) AS b
+          FROM r JOIN idx ON idx.k = r.k AND idx.i = r.i + 1)
+        SELECT r.k AS event_type, n.n_windows,
+               r.l AS level_milli, r.b AS trend_milli,
+               {fcasts}
+        FROM r JOIN n ON r.k = n.k AND r.i = n.n_windows
+    """
+
+
 def q_events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Workload-inequality report: Lorenz decile table + Gini ppm of
     per-user event counts (hot_keys names offenders; this measures
@@ -3813,6 +3867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_redelivery_proof": q_cdc_redelivery_proof,
         "rag_retrieval_ndcg": q_rag_retrieval_ndcg,
         "events_activity_gini": q_events_activity_gini,
+        "events_holt_forecast": q_events_holt_forecast,
         # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
         #    driver-checked, next-window priority) + 33 r4/r5-green
         #    refresh rows
@@ -7511,4 +7566,5 @@ def oracle_sql() -> dict[str, str]:
                    gini_ppm
             FROM cum, gini
         """,
+        "events_holt_forecast": _holt_sql(3),
     }

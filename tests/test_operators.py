@@ -2034,3 +2034,27 @@ def test_activity_gini_hand_computed(spark):
     u = spark.createDataFrame([(i, i % 5) for i in range(25)],
                               "event_id long, user_id long")
     assert all(r["gini_ppm"] == 0 for r in activity_gini(u).collect())
+
+
+def test_holt_forecast_hand_computed_and_clamped(spark):
+    """Series (10, 1) per window: level/trend follow the exact
+    halving recursion (truncating division on the negative trend) and
+    the 3-step forecast clamps at zero. A single-window series keeps
+    trend 0."""
+    from tidb_binlog_spark.operators.timeseries import holt_forecast
+    rows = ([(i, "down", i) for i in range(10)]          # win 0: 10
+            + [(100, "down", 1000)]                      # win 1: 1
+            + [(200, "flat", 0)])                        # one window
+    d = spark.createDataFrame(rows, "event_id long, event_type string, ts long")
+    got = {r["event_type"]: r
+           for r in holt_forecast(d, "event_type", "ts",
+                                  window_ns=1000).collect()}
+    down = got["down"]
+    # l0=10000,b0=0; l1=(1000+10000+0)//2=5500; b1=trunc(-4500/2)=-2250
+    assert down["level_milli"] == 5500 and down["trend_milli"] == -2250
+    assert down["f1_milli"] == 3250 and down["f2_milli"] == 1000
+    assert down["f3_milli"] == 0    # clamped (would be -1250)
+    flat = got["flat"]
+    assert flat["n_windows"] == 1
+    assert flat["level_milli"] == 1000 and flat["trend_milli"] == 0
+    assert flat["f3_milli"] == 1000

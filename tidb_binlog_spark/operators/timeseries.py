@@ -381,3 +381,62 @@ def activity_gini(events: DataFrame,
                 F.expr("(cum_events * 1000000) DIV total_events"))
             .select("decile", "n_users_decile", "n_events",
                     "cum_events_ppm", "gini_ppm"))
+
+
+def holt_forecast(events: DataFrame, key_col: str = "event_type",
+                  ts_col: str = "ts",
+                  window_ns: int = 6 * 3_600_000_000_000,
+                  horizon: int = 3) -> DataFrame:
+    """Holt linear-trend forecast per series (event-type window
+    counts): level/trend double-exponential smoothing with
+    alpha = beta = 1/2, so every update is an integer halving and the
+    whole recursion is exact — both engines fold the same sequence to
+    the same milli-quantized state, and the h-step forecasts
+    (level + h*trend, clamped at 0) are engine-exact numbers, not
+    approximations. Halving uses explicit TRUNCATING division (Spark
+    DIV truncates toward zero, DuckDB // floors — sign-split keeps
+    negative trends identical on both).
+
+    Empty windows are skipped, not zero-filled (the fold runs over
+    observed windows in order — documented semantics).
+
+    Scale: one (key, window) count aggregate, then a per-key
+    sort_array + sequential fold over the BOUNDED window-count array
+    (#windows per key, not #events). The fold is the standard
+    sequential-scan shape for order-dependent recursions.
+    """
+    tdiv2 = "IF({v} >= 0, ({v}) DIV 2, -((-({v})) DIV 2))"
+    cnt = (events.select(F.col(key_col).alias("k"),
+                         F.expr(f"{ts_col} DIV {window_ns}")
+                          .alias("win"))
+           .groupBy("k", "win")
+           .agg(F.count(F.lit(1)).alias("x")))
+    arr = (cnt.groupBy("k")
+           .agg(F.count(F.lit(1)).alias("n_windows"),
+                F.expr("sort_array(collect_list(struct(win, x)))")
+                 .alias("xs")))
+    lp = tdiv2.format(v="e.l + acc.l + acc.b")
+    bp = tdiv2.format(v=f"(({lp}) - acc.l) + acc.b")
+    fold = f"""aggregate(
+        transform(xs, e -> named_struct(
+            'l', CAST(e.x * 1000 AS BIGINT),
+            'b', CAST(0 AS BIGINT), 's', true)),
+        named_struct('l', CAST(0 AS BIGINT),
+                     'b', CAST(0 AS BIGINT), 's', false),
+        (acc, e) -> IF(NOT acc.s,
+            named_struct('l', e.l, 'b', CAST(0 AS BIGINT),
+                         's', true),
+            named_struct('l', CAST({lp} AS BIGINT),
+                         'b', CAST({bp} AS BIGINT), 's', true)),
+        acc -> acc)"""
+    st = arr.withColumn("st", F.expr(fold))
+    out = st.select(
+        F.col("k").alias(key_col), "n_windows",
+        F.col("st.l").alias("level_milli"),
+        F.col("st.b").alias("trend_milli"))
+    for h in range(1, horizon + 1):
+        out = out.withColumn(
+            f"f{h}_milli",
+            F.expr(f"greatest(CAST(0 AS BIGINT), "
+                   f"level_milli + {h} * trend_milli)"))
+    return out
