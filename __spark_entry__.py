@@ -3542,6 +3542,27 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simfn.recall_curve(_embs(spark, sf_dir))
 
 
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 30-min-gap sessions per day via two-phase
+    prefix sums (per-day running sums + a tiny cross-midnight carry
+    ledger) — never a global boundary sort. Boundary ties count the
+    arriving session."""
+    from tidb_binlog_spark.operators.timeseries import peak_concurrency
+    t = load_tables(spark, sf_dir, "events")
+    return peak_concurrency(t["events"])
+
+
+def q_events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per funnel hop (signup->view->purchase, 72h
+    window): nearest-rank p50/p90 + min/max of the greedy funnel's
+    step latencies, ranked over converted USERS only."""
+    from tidb_binlog_spark.operators.funnel import conversion_latency
+    load_tables(spark, sf_dir, "events")
+    ev = spark.table("events")
+    return conversion_latency(ev, FUNNEL_STEPS,
+                              window=FUNNEL_WINDOW_NS)
+
+
 def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt linear-trend forecast per event type over 6h window
     counts: alpha=beta=1/2 double-exponential smoothing as exact
@@ -3868,6 +3889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_retrieval_ndcg": q_rag_retrieval_ndcg,
         "events_activity_gini": q_events_activity_gini,
         "events_holt_forecast": q_events_holt_forecast,
+        "events_peak_concurrency": q_events_peak_concurrency,
+        "events_conversion_latency": q_events_conversion_latency,
         # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
         #    driver-checked, next-window priority) + 33 r4/r5-green
         #    refresh rows
@@ -7567,4 +7590,72 @@ def oracle_sql() -> dict[str, str]:
             FROM cum, gini
         """,
         "events_holt_forecast": _holt_sql(3),
+        "events_peak_concurrency": f"""
+            WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+                              event_type
+                       FROM events),
+            {_gap_sessions_cte("TRUE", 30 * 60 * 1_000_000_000, "s")},
+            bounds AS (
+              SELECT s_start AS ts, 1 AS delta FROM ss
+              UNION ALL
+              SELECT s_end + 1, -1 FROM ss),
+            g AS (
+              SELECT ts // 86400000000000 AS day, ts,
+                CAST(COUNT(CASE WHEN delta > 0 THEN 1 END)
+                     AS BIGINT) AS n_plus,
+                CAST(COUNT(CASE WHEN delta < 0 THEN 1 END)
+                     AS BIGINT) AS n_minus
+              FROM bounds GROUP BY 1, 2),
+            g2 AS (
+              SELECT *, n_plus - n_minus AS net,
+                SUM(n_plus - n_minus) OVER (PARTITION BY day
+                  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_end
+              FROM g),
+            g3 AS (SELECT day, ts, n_plus, net, run_end,
+                          run_end - net + n_plus AS cand
+                   FROM g2),
+            days AS (
+              SELECT day, CAST(SUM(net) AS BIGINT) AS day_net,
+                     MAX(cand) AS max_cand,
+                     CAST(COUNT(*) AS BIGINT) AS n_boundary_ts
+              FROM g3 GROUP BY day),
+            fin AS (
+              SELECT day, n_boundary_ts,
+                CAST(COALESCE(SUM(day_net) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS carry_in,
+                max_cand
+              FROM days)
+            SELECT day, n_boundary_ts, carry_in,
+                   CAST(carry_in + max_cand AS BIGINT)
+                     AS peak_concurrency
+            FROM fin
+        """,
+        "events_conversion_latency": f"""
+            WITH f AS (SELECT * FROM (
+                {osql.funnel_sql(FUNNEL_STEPS, FUNNEL_WINDOW_NS)}
+              ) sub),
+            lat AS (
+              SELECT 1 AS step, 'signup->view' AS transition,
+                     user_id AS u, t1 - t0 AS lat
+              FROM f WHERE t1 IS NOT NULL
+              UNION ALL
+              SELECT 2, 'view->purchase', user_id, t2 - t1
+              FROM f WHERE t2 IS NOT NULL),
+            r AS (
+              SELECT *,
+                ROW_NUMBER() OVER (PARTITION BY step
+                                   ORDER BY lat, u) AS rk,
+                COUNT(*) OVER (PARTITION BY step) AS n
+              FROM lat)
+            SELECT step, transition,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   MIN(lat) AS min_ns,
+                   MAX(CASE WHEN rk = (50 * n + 99) // 100
+                       THEN lat END) AS p50_ns,
+                   MAX(CASE WHEN rk = (90 * n + 99) // 100
+                       THEN lat END) AS p90_ns,
+                   MAX(lat) AS max_ns
+            FROM r GROUP BY step, transition
+        """,
     }

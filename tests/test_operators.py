@@ -2058,3 +2058,41 @@ def test_holt_forecast_hand_computed_and_clamped(spark):
     assert flat["n_windows"] == 1
     assert flat["level_milli"] == 1000 and flat["trend_milli"] == 0
     assert flat["f3_milli"] == 1000
+
+
+def test_peak_concurrency_carries_across_midnight(spark):
+    """A session spanning the day boundary counts toward the next
+    day's base (carry-in), and same-day overlap peaks are exact."""
+    from tidb_binlog_spark.operators.timeseries import peak_concurrency
+    rows = ([(i, 1, 50 + 90 * i) for i in range(11)]        # u1 [50,950]
+            + [(100, 2, 900), (101, 2, 980), (102, 2, 1060),
+               (103, 2, 1100)]                              # u2 [900,1100]
+            + [(200, 3, 1050)])                             # u3 [1050]
+    d = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+    got = {r["day"]: r for r in
+           peak_concurrency(d, gap_ns=100, day_ns=1000).collect()}
+    assert got[0]["peak_concurrency"] == 2      # u1 + u2 overlap
+    assert got[0]["carry_in"] == 0
+    assert got[1]["carry_in"] == 1              # u2 still open
+    assert got[1]["peak_concurrency"] == 2      # u2 + u3
+
+
+def test_conversion_latency_nearest_rank(spark):
+    """Two converters at step 1 (latencies 10, 50) give p50=10,
+    p90=50; the single step-2 converter pins all quantiles at 20."""
+    from tidb_binlog_spark.operators.funnel import conversion_latency
+    rows = [(1, "A", "signup", 0), (2, "A", "view", 10),
+            (3, "A", "purchase", 30),
+            (4, "B", "signup", 0), (5, "B", "view", 50)]
+    d = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts long")
+    got = {r["step"]: r for r in conversion_latency(
+        d, ["signup", "view", "purchase"]).collect()}
+    s1 = got[1]
+    assert s1["transition"] == "signup->view" and s1["n_users"] == 2
+    assert (s1["min_ns"], s1["p50_ns"], s1["p90_ns"], s1["max_ns"]) \
+        == (10, 10, 50, 50)
+    s2 = got[2]
+    assert s2["n_users"] == 1
+    assert (s2["min_ns"], s2["p50_ns"], s2["p90_ns"], s2["max_ns"]) \
+        == (20, 20, 20, 20)

@@ -196,3 +196,48 @@ def markov_attribution(events: DataFrame,
     return events.sparkSession.createDataFrame(
         data, "channel string, full_ppm bigint, removed_ppm bigint, "
               "drop_ppm bigint, share_ppm bigint")
+
+
+def conversion_latency(events: DataFrame, steps: list[str],
+                       window: int | None = None,
+                       user_col: str = "user_id",
+                       ts_col: str = "ts") -> DataFrame:
+    """Time-to-convert distribution per funnel transition: for every
+    user who reached step i, the latency t_i - t_{i-1} of the greedy
+    funnel times, summarized as nearest-rank p50/p90 plus min/max —
+    the report that turns a funnel's WHERE into its WHEN (which hop
+    loses the user for hours).
+
+    Exact integer nearest-rank (the (pct*n + 99) div 100 form); rank
+    windows run per transition over USER-level rows (one per
+    converted user), never raw events.
+    """
+    from pyspark.sql import Window
+    fo = funnel(events, steps, user_col=user_col, ts_col=ts_col,
+                window=window)
+    parts = None
+    for i in range(1, len(steps)):
+        p = (fo.filter(F.col(f"t{i}").isNotNull())
+             .select(F.lit(i).alias("step"),
+                     F.lit(f"{steps[i - 1]}->{steps[i]}")
+                      .alias("transition"),
+                     F.col(user_col).alias("u"),
+                     (F.col(f"t{i}") - F.col(f"t{i - 1}"))
+                      .alias("lat")))
+        parts = p if parts is None else parts.unionByName(p)
+    w = Window.partitionBy("step").orderBy("lat", "u")
+    ranked = (parts.withColumn("rk", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy("step"))))
+
+    def nearest(pct: int, name: str):
+        return F.max(F.when(
+            F.col("rk") == F.expr(f"({pct} * n + 99) div 100"),
+            F.col("lat"))).alias(name)
+
+    return (ranked.groupBy("step", "transition")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.min("lat").alias("min_ns"),
+                 nearest(50, "p50_ns"),
+                 nearest(90, "p90_ns"),
+                 F.max("lat").alias("max_ns")))

@@ -440,3 +440,70 @@ def holt_forecast(events: DataFrame, key_col: str = "event_type",
             F.expr(f"greatest(CAST(0 AS BIGINT), "
                    f"level_milli + {h} * trend_milli)"))
     return out
+
+
+def peak_concurrency(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     gap_ns: int = 30 * 60 * 1_000_000_000,
+                     day_ns: int = 86_400_000_000_000) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning curve
+    (how many users were on AT ONCE, not how many were active that
+    day). Sessions are the standard 30-min-gap sessionization; a
+    session is concurrent with time t when s_start <= t <= s_end, and
+    boundary ties count the arriving session (at a shared timestamp,
+    +1s apply before -1s).
+
+    Two-phase prefix sums (the sequence-packing pattern), NOT a
+    global running sort: boundary deltas aggregate per (day, ts),
+    each day computes its own running sum, and a tiny per-day ledger
+    carries the open-session count across midnight. The only
+    unpartitioned window runs over the #days frame.
+    """
+    w = Window.partitionBy("u").orderBy("t", "i")
+    e = events.select(F.col(user_col).alias("u"),
+                      F.col(ts_col).alias("t"),
+                      F.col(id_col).alias("i"))
+    flagged = e.withColumn(
+        "new_s",
+        F.when(F.lag("t").over(w).isNull()
+               | ((F.col("t") - F.lag("t").over(w)) > gap_ns), 1)
+        .otherwise(0))
+    numbered = flagged.withColumn(
+        "s_no", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    sess = (numbered.groupBy("u", "s_no")
+            .agg(F.min("t").alias("s_start"),
+                 F.max("t").alias("s_end")))
+    bounds = (sess.select(F.col("s_start").alias("ts"),
+                          F.lit(1).alias("delta"))
+              .unionByName(
+                  sess.select((F.col("s_end") + 1).alias("ts"),
+                              F.lit(-1).alias("delta"))))
+    g = (bounds.withColumn("day", F.expr(f"ts DIV {day_ns}"))
+         .groupBy("day", "ts")
+         .agg(F.sum(F.when(F.col("delta") > 0, 1).otherwise(0))
+               .cast("bigint").alias("n_plus"),
+              F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+               .cast("bigint").alias("n_minus")))
+    wd = Window.partitionBy("day").orderBy("ts")
+    g = (g.withColumn("net", F.col("n_plus") - F.col("n_minus"))
+         .withColumn("run_end", F.sum("net").over(
+             wd.rowsBetween(Window.unboundedPreceding, 0)))
+         # concurrency peak candidate at ts: after this instant's
+         # arrivals, before its departures
+         .withColumn("cand",
+                     F.col("run_end") - F.col("net")
+                     + F.col("n_plus")))
+    days = (g.groupBy("day")
+            .agg(F.sum("net").cast("bigint").alias("day_net"),
+                 F.max("cand").alias("max_cand"),
+                 F.count(F.lit(1)).alias("n_boundary_ts")))
+    wdd = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1)
+    return (days.withColumn(
+                "carry_in",
+                F.coalesce(F.sum("day_net").over(wdd), F.lit(0))
+                 .cast("bigint"))
+            .select("day", "n_boundary_ts", "carry_in",
+                    (F.col("carry_in") + F.col("max_cand"))
+                    .cast("bigint").alias("peak_concurrency")))
