@@ -3542,6 +3542,42 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simfn.recall_curve(_embs(spark, sf_dir))
 
 
+def timeseries_rfm_label() -> str:
+    """The RFM segment CASE, shared verbatim with the Spark side."""
+    from tidb_binlog_spark.operators.timeseries import RFM_LABEL_CASE
+    return RFM_LABEL_CASE
+
+
+def q_cdc_ddl_risk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL pre-flight risk rollup: destructive / additive / reshaping
+    / operational tiers over the DDL stream with skip counts, db
+    fanout and arrival span — the audit an operator reads before
+    letting a DDL backlog replicate."""
+    ch = (_spark_changes(spark, sf_dir)
+          .filter(F.col("arrival_seq") % 50 == 0)
+          .withColumn("ddl_sql", F.expr(DDL_CASE)))
+    return ddl.risk_audit(ch)
+
+
+def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM lifecycle segmentation: recency/frequency/monetary
+    quintiles (integer ceil-division over deterministic ranks,
+    milli-quantized monetary) rolled into champions / loyal /
+    big_spenders / at_risk / dormant / casual segments."""
+    from tidb_binlog_spark.operators.timeseries import rfm_segments
+    t = load_tables(spark, sf_dir, "events")
+    return rfm_segments(t["events"])
+
+
+def q_events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU per day + floor-ppm stickiness: DISTINCT
+    (user, day) reduction first, then ONE range join against the day
+    list (<=30-day fan-out) and per-day conditional distinct counts."""
+    from tidb_binlog_spark.operators.timeseries import dau_wau_mau
+    t = load_tables(spark, sf_dir, "events")
+    return dau_wau_mau(t["events"])
+
+
 def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent 30-min-gap sessions per day via two-phase
     prefix sums (per-day running sums + a tiny cross-midnight carry
@@ -3891,6 +3927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt_forecast": q_events_holt_forecast,
         "events_peak_concurrency": q_events_peak_concurrency,
         "events_conversion_latency": q_events_conversion_latency,
+        "cdc_ddl_risk_audit": q_cdc_ddl_risk_audit,
+        "events_rfm_segments": q_events_rfm_segments,
+        "events_dau_wau_mau": q_events_dau_wau_mau,
         # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
         #    driver-checked, next-window priority) + 33 r4/r5-green
         #    refresh rows
@@ -6563,24 +6602,30 @@ def oracle_sql() -> dict[str, str]:
             FROM merged JOIN direct USING (stratum)
         """,
         "doc_semantic_chunks": f"""
-            WITH t AS (SELECT doc_id, {osql.TOKS} AS toks FROM documents),
+            WITH t AS (SELECT doc_id, {osql.TOKS} AS toks
+                       FROM documents),
+            th AS (SELECT doc_id, toks,
+                     list_transform(toks, tk ->
+                       CAST(concat('0x', substring(md5(tk), 1, 12))
+                            AS BIGINT)) AS hs
+                   FROM t),
             b AS (SELECT doc_id, toks,
                 CASE WHEN len(toks) <= 16 THEN [len(toks)]
                 ELSE list_concat(list_filter(list_transform(
                   generate_series(8, len(toks) - 8), p ->
                     CASE WHEN (CAST(len(list_filter(
-                        list_distinct(toks[p - 7 : p]),
-                        x -> list_contains(toks[p + 1 : p + 8], x)))
+                        list_distinct(hs[p - 7 : p]),
+                        x -> list_contains(hs[p + 1 : p + 8], x)))
                         AS BIGINT) * 1000000)
-                      // (len(list_distinct(toks[p - 7 : p]))
-                          + len(list_distinct(toks[p + 1 : p + 8]))
+                      // (len(list_distinct(hs[p - 7 : p]))
+                          + len(list_distinct(hs[p + 1 : p + 8]))
                           - len(list_filter(
-                              list_distinct(toks[p - 7 : p]),
-                              x -> list_contains(toks[p + 1 : p + 8],
+                              list_distinct(hs[p - 7 : p]),
+                              x -> list_contains(hs[p + 1 : p + 8],
                                                  x))))
                       < 200000 THEN p ELSE -1 END),
                   x -> x > 0), [len(toks)]) END AS bnds
-              FROM t WHERE len(toks) >= 1),
+              FROM th WHERE len(toks) >= 1),
             e AS (SELECT doc_id, toks, bnds,
                     unnest(generate_series(1, len(bnds))) AS i
                   FROM b),
@@ -7657,5 +7702,63 @@ def oracle_sql() -> dict[str, str]:
                        THEN lat END) AS p90_ns,
                    MAX(lat) AS max_ns
             FROM r GROUP BY step, transition
+        """,
+        "cdc_ddl_risk_audit": f"""
+            WITH s AS (SELECT * FROM ({_ddl_stream_oracle()}) t)
+            SELECT {ddl.RISK_TIER_CASE} AS risk_tier, ddl_kind,
+                   CAST(COUNT(*) AS BIGINT) AS n_stmts,
+                   CAST(COUNT(CASE WHEN should_skip THEN 1 END)
+                        AS BIGINT) AS n_skipped,
+                   CAST(COUNT(DISTINCT db) AS BIGINT) AS n_dbs,
+                   MIN(arrival_seq) AS first_seq,
+                   MAX(arrival_seq) AS last_seq
+            FROM s GROUP BY 1, 2
+        """,
+        "events_rfm_segments": f"""
+            WITH pu AS (
+              SELECT user_id AS u, MAX(epoch_ns(ts)) AS r_ts,
+                     CAST(COUNT(*) AS BIGINT) AS freq,
+                     CAST(SUM(CAST(floor(value * 1000) AS BIGINT))
+                          AS BIGINT) AS mon_milli
+              FROM events GROUP BY user_id),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pu),
+            s AS (
+              SELECT u, freq, mon_milli,
+                (5 * ROW_NUMBER() OVER (ORDER BY r_ts, u) + n - 1)
+                  // n AS r_score,
+                (5 * ROW_NUMBER() OVER (ORDER BY freq, u) + n - 1)
+                  // n AS f_score,
+                (5 * ROW_NUMBER() OVER (ORDER BY mon_milli, u)
+                 + n - 1) // n AS m_score
+              FROM pu, nn),
+            l AS (SELECT *,
+                    {timeseries_rfm_label()} AS segment
+                  FROM s)
+            SELECT segment, r_score, f_score, m_score,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(freq) AS BIGINT) AS n_events,
+                   CAST(SUM(mon_milli) AS BIGINT) AS total_milli
+            FROM l GROUP BY 1, 2, 3, 4
+        """,
+        "events_dau_wau_mau": """
+            WITH ud AS (
+              SELECT DISTINCT user_id AS u,
+                     epoch_ns(ts) // 86400000000000 AS day
+              FROM events),
+            days AS (SELECT DISTINCT day AS d FROM ud),
+            j AS (
+              SELECT d, u, day FROM ud JOIN days
+                ON d >= day AND d <= day + 29)
+            SELECT d AS day,
+                   CAST(COUNT(DISTINCT CASE WHEN d = day THEN u END)
+                        AS BIGINT) AS dau,
+                   CAST(COUNT(DISTINCT CASE WHEN d <= day + 6
+                              THEN u END) AS BIGINT) AS wau,
+                   CAST(COUNT(DISTINCT u) AS BIGINT) AS mau,
+                   (CAST(COUNT(DISTINCT CASE WHEN d = day THEN u END)
+                         AS BIGINT) * 1000000)
+                     // CAST(COUNT(DISTINCT u) AS BIGINT)
+                     AS stickiness_ppm
+            FROM j GROUP BY d
         """,
     }

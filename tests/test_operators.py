@@ -2096,3 +2096,72 @@ def test_conversion_latency_nearest_rank(spark):
     assert s2["n_users"] == 1
     assert (s2["min_ns"], s2["p50_ns"], s2["p90_ns"], s2["max_ns"]) \
         == (20, 20, 20, 20)
+
+
+def test_ddl_risk_audit_tiers_and_skips(spark):
+    """Destructive / additive / operational classification with skip
+    accounting: DROP TABLE is destructive and applied, LOCK TABLES is
+    operational and skipped, ADD COLUMN is additive."""
+    from tidb_binlog_spark.operators.ddl import risk_audit
+    rows = [(0, "db0", "DROP TABLE t"),
+            (50, "db1", "LOCK TABLES t WRITE"),
+            (100, "db0", "ALTER TABLE t ADD COLUMN c INT"),
+            (150, "db1", "ALTER TABLE t ADD COLUMN d INT"),
+            (200, "db0", "TRUNCATE TABLE t")]
+    d = spark.createDataFrame(
+        rows, "arrival_seq long, db string, ddl_sql string")
+    got = {(r["risk_tier"], r["ddl_kind"]): r
+           for r in risk_audit(d).collect()}
+    assert got[("destructive", "drop_table")]["n_stmts"] == 1
+    assert got[("destructive", "drop_table")]["n_skipped"] == 0
+    assert got[("destructive", "truncate")]["n_stmts"] == 1
+    assert got[("operational", "other")]["n_skipped"] == 1
+    add = got[("additive", "add_column")]
+    assert add["n_stmts"] == 2 and add["n_dbs"] == 2
+    assert add["first_seq"] == 100 and add["last_seq"] == 150
+
+
+def test_rfm_segments_quintiles_and_labels(spark):
+    """Five users engineered into distinct quintiles: the most
+    recent+frequent lands in champions, the stale single-event user
+    in dormant; segment user counts sum to the population."""
+    from tidb_binlog_spark.operators.timeseries import rfm_segments
+    rows = []
+    eid = 0
+    # user u: u events, last at t=1000*u, each worth u dollars
+    for u in range(1, 6):
+        for j in range(u):
+            rows.append((eid, u, 1000 * u - j, float(u))); eid += 1
+    d = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double")
+    got = rfm_segments(d).collect()
+    by_seg = {}
+    for r in got:
+        by_seg.setdefault(r["segment"], 0)
+        by_seg[r["segment"]] += r["n_users"]
+    assert sum(by_seg.values()) == 5
+    # user 5: rank 5 in all three dims -> scores (5,5,5) -> champions
+    champs = [r for r in got if r["segment"] == "champions"]
+    assert len(champs) == 1 and champs[0]["r_score"] == 5 \
+        and champs[0]["f_score"] == 5 and champs[0]["m_score"] == 5
+    # user 1: rank 1 everywhere -> scores (1,1,1) -> dormant
+    assert any(r["segment"] == "dormant" and r["r_score"] == 1
+               for r in got)
+
+
+def test_dau_wau_mau_trailing_windows(spark):
+    """Users active on scattered days: WAU/MAU count trailing 7/30-day
+    distinct actives, DAU only the day itself, stickiness exact ppm."""
+    from tidb_binlog_spark.operators.timeseries import dau_wau_mau
+    day = 1000
+    rows = [(1, 1, 0), (2, 2, 0),            # day 0: users 1,2
+            (3, 1, 5 * day),                 # day 5: user 1
+            (4, 3, 10 * day)]                # day 10: user 3
+    d = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+    got = {r["day"]: r for r in dau_wau_mau(d, day_ns=day).collect()}
+    assert got[0]["dau"] == 2 and got[0]["wau"] == 2 and got[0]["mau"] == 2
+    assert got[5]["dau"] == 1 and got[5]["wau"] == 2   # {u1,u2}: day 0
+    assert got[5]["mau"] == 2
+    assert got[10]["dau"] == 1 and got[10]["wau"] == 2  # day5 + day10
+    assert got[10]["mau"] == 3                          # users 1,2,3
+    assert got[10]["stickiness_ppm"] == 1_000_000 // 3

@@ -796,23 +796,43 @@ def semantic_chunks(docs: DataFrame, w: int = 8,
     union are spelled with the SAME distinct+contains formula on both
     engines (array_intersect's dedup semantics differ subtly)."""
     from .text import with_tokens
-    inter = (f"size(filter(array_distinct(slice(toks, p - {w} + 1, {w})), "
-             f"x -> array_contains(slice(toks, p + 1, {w}), x)))")
-    uni = (f"(size(array_distinct(slice(toks, p - {w} + 1, {w}))) "
-           f"+ size(array_distinct(slice(toks, p + 1, {w}))) "
-           f"- {inter})")
+    # boundary scoring runs on 48-bit md5 token ids, hashed ONCE per
+    # document (integer window ops instead of per-position string
+    # slicing/distinct — this row was 28.6 s of the sf0.1 bench as
+    # string expressions, the cdc_chunks digest-per-position disease).
+    # Both engines hash with the same formula, so the boundary sets
+    # stay engine-identical by construction; chunk_md5 still digests
+    # the real token strings.
+    hs = ("transform(toks, t -> CAST(conv(substring(md5(t), 1, 12), "
+          "16, 10) AS BIGINT))")
+    # one struct per position: L = distinct left window (built once),
+    # R = raw right window; inter/uni then reuse them
+    wins = (f"transform(sequence({w}, size(toks) - {w}), "
+            f"p -> named_struct("
+            f"'p', p, "
+            f"'L', array_distinct(slice(hs, p - {w} + 1, {w})), "
+            f"'R', slice(hs, p + 1, {w})))")
+    inter = "size(filter(e.L, x -> array_contains(e.R, x)))"
+    uni = f"(size(e.L) + size(array_distinct(e.R)) - {inter})"
     bnds = (f"CASE WHEN size(toks) <= {2 * w} THEN array(size(toks)) "
-            f"ELSE concat(filter(transform("
-            f"sequence({w}, size(toks) - {w}), "
-            f"p -> IF((CAST({inter} AS BIGINT) * 1000000) DIV {uni} "
-            f"< {threshold_micro}, p, -1)), x -> x > 0), "
+            f"ELSE concat(filter(transform({wins}, "
+            f"e -> IF((CAST({inter} AS BIGINT) * 1000000) DIV {uni} "
+            f"< {threshold_micro}, e.p, -1)), x -> x > 0), "
             f"array(size(toks))) END")
     # boundary positions are strictly increasing and all < size(toks),
     # so the list is duplicate-free by construction (no distinct —
     # DuckDB's list_distinct does not guarantee order)
-    b = (with_tokens(docs)
-         .filter(F.expr("size(toks) >= 1"))
-         .select("doc_id", "toks", F.expr(bnds).alias("bnds")))
+    # managed_persist is a CORRECTNESS-OF-COST barrier here, not a
+    # cache: the five chunk columns below each reference bnds, and
+    # projection collapse would inline the whole boundary scan into
+    # EVERY reference of EVERY exploded row (measured 26 s at sf0.1;
+    # the persisted plan is ~1 s)
+    from ..cache import managed_persist
+    b = managed_persist(
+        with_tokens(docs)
+        .filter(F.expr("size(toks) >= 1"))
+        .withColumn("hs", F.expr(hs))
+        .select("doc_id", "toks", F.expr(bnds).alias("bnds")))
     e = b.select(
         "doc_id", "toks", "bnds",
         F.expr("explode(sequence(1, size(bnds)))").alias("i"))

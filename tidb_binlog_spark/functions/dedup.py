@@ -61,10 +61,17 @@ def bucket_cap_report(exploded: DataFrame, bucket_cols: list[str],
                         F.col("bucket_size") - max_bucket_size))
 
 # word 3-gram shingles over whitespace tokens (fallback: whole text)
+# zip_with over shifted slices, NOT an index lambda: after projection
+# collapse inlines `toks`, every `toks[i]` inside a transform lambda
+# re-evaluates the split PER ELEMENT (measured 5.2 s for 260k shingles
+# at sf0.1; this form is 0.6 s with byte-identical output — zip_with
+# evaluates its array children once per ROW)
 SHINGLES = (
     "CASE WHEN size(toks) >= 3 THEN "
-    "transform(sequence(0, size(toks) - 3), "
-    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) "
+    "zip_with(zip_with(slice(toks, 1, size(toks) - 2), "
+    "slice(toks, 2, size(toks) - 2), (a, b) -> concat(a, ' ', b)), "
+    "slice(toks, 3, size(toks) - 2), "
+    "(ab, c) -> concat(ab, ' ', c)) "
     "ELSE array(text) END"
 )
 

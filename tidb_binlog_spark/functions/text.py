@@ -24,6 +24,23 @@ from pyspark.sql import functions as F
 # DuckDB oracle can mirror them clause by clause.
 TOKENS = "filter(split(text, ' '), x -> x <> '')"
 
+
+def ngram_zip_expr(n: int, empty: str = "array()") -> str:
+    """Word n-gram array over a `toks` column via zip_with over
+    shifted slices. NOT an index lambda on purpose: after projection
+    collapse inlines the toks derivation, every `toks[i]` inside a
+    transform lambda re-evaluates the split PER ELEMENT (measured
+    ~9x slower on the shingle path); zip_with evaluates its array
+    children once per ROW. Output strings are byte-identical to the
+    concat_ws form."""
+    length = f"size(toks) - {n - 1}"
+    expr = f"slice(toks, 1, {length})"
+    for k in range(2, n + 1):
+        expr = (f"zip_with({expr}, slice(toks, {k}, {length}), "
+                f"(a, b) -> concat(a, ' ', b))")
+    return (f"CASE WHEN size(toks) >= {n} THEN {expr} "
+            f"ELSE {empty} END")
+
 # simple per-language stopword lists for the n-gram/stopword heuristic
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
@@ -143,10 +160,7 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
     bounded-length documents; corpus-scale cost stays linear in total
     tokens). Clause-by-clause mirrorable in DuckDB list functions.
     """
-    bigrams = ("CASE WHEN size(toks) >= 2 THEN "
-               "transform(sequence(0, size(toks) - 2), "
-               "i -> concat(toks[i], ' ', toks[i+1])) "
-               "ELSE array() END")
+    bigrams = ngram_zip_expr(2)
     top_cnt = ("array_max(transform(array_distinct(toks), "
                "w -> size(filter(toks, x -> x = w))))")
     return (with_tokens(docs)

@@ -100,3 +100,41 @@ def prep_for_apply(ddls: DataFrame, ddl_col: str = "ddl_sql") -> DataFrame:
                          .otherwise(F.concat(F.lit("USE `"), F.col("db"),
                                              F.lit("`; "), F.col(ddl_col))))
             .withColumn("checkpoint_now", F.lit(True)))
+
+
+# risk tiers over ddl_kind — the binlogctl-facing "what is this DDL
+# stream about to do to my downstream" rollup. CASE text is shared
+# with the oracle so both engines classify identically.
+RISK_TIER_CASE = """CASE
+  WHEN ddl_kind IN ('drop_table', 'drop_schema', 'truncate',
+                    'truncate_partition', 'drop_partition',
+                    'drop_column', 'drop_sequence') THEN 'destructive'
+  WHEN ddl_kind IN ('create_table', 'add_column', 'add_partition',
+                    'create_schema', 'create_sequence', 'create_view',
+                    'create_index') THEN 'additive'
+  WHEN ddl_kind IN ('modify_column', 'rename_table')
+    THEN 'reshaping'
+  ELSE 'operational' END"""
+
+
+def risk_audit(ddls: DataFrame, ddl_col: str = "ddl_sql") -> DataFrame:
+    """DDL risk rollup: each statement kind bucketed into
+    destructive / additive / reshaping / operational tiers, with
+    counts, how many the pipeline skips as unsupported, the distinct
+    databases touched, and the arrival span — the pre-flight audit an
+    operator reads before letting a DDL backlog replicate (the
+    reference leaves this to eyeballing drainer logs; binlogctl shows
+    only positions).
+
+    One classification projection (the same regex list the apply path
+    uses) + one count-reduced aggregate. No windows.
+    """
+    tagged = classify_ddl(ddls, ddl_col)
+    return (tagged.withColumn("risk_tier", F.expr(RISK_TIER_CASE))
+            .groupBy("risk_tier", "ddl_kind")
+            .agg(F.count(F.lit(1)).alias("n_stmts"),
+                 F.count(F.when(F.col("should_skip"), 1))
+                  .alias("n_skipped"),
+                 F.countDistinct("db").alias("n_dbs"),
+                 F.min("arrival_seq").alias("first_seq"),
+                 F.max("arrival_seq").alias("last_seq")))

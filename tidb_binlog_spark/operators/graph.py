@@ -41,14 +41,11 @@ def rare_feature_edges(docs: DataFrame, n: int = 4,
     k*(k-1) edges, so the self-join is bounded per key and never
     quadratic in the corpus).
     """
-    from tidb_binlog_spark.functions.text import with_tokens
+    from tidb_binlog_spark.functions.text import (ngram_zip_expr,
+                                                   with_tokens)
     grams = (with_tokens(docs.select("doc_id", "text"))
-             .select("doc_id", F.explode(F.expr(
-                 f"CASE WHEN size(toks) >= {n} THEN "
-                 f"transform(sequence(0, size(toks) - {n}), "
-                 "i -> concat_ws(' ', "
-                 + ", ".join(f"toks[i + {j}]" for j in range(n))
-                 + ")) ELSE array() END")).alias("sh"))
+             .select("doc_id", F.explode(
+                 F.expr(ngram_zip_expr(n))).alias("sh"))
              .distinct())
     dfreq = grams.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     rare = (dfreq.filter((F.col("df") >= min_df) & (F.col("df") <= max_df))

@@ -507,3 +507,86 @@ def peak_concurrency(events: DataFrame, user_col: str = "user_id",
             .select("day", "n_boundary_ts", "carry_in",
                     (F.col("carry_in") + F.col("max_cand"))
                     .cast("bigint").alias("peak_concurrency")))
+
+
+# classic RFM label rules — CASE text shared with the oracle
+RFM_LABEL_CASE = """CASE
+  WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
+  WHEN f_score >= 4 THEN 'loyal'
+  WHEN m_score >= 4 AND r_score >= 3 THEN 'big_spenders'
+  WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+  WHEN r_score <= 2 THEN 'dormant'
+  ELSE 'casual' END"""
+
+
+def rfm_segments(events: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts",
+                 value_col: str = "value") -> DataFrame:
+    """RFM segmentation — recency / frequency / monetary quintiles
+    per user, rolled up into the classic lifecycle segments
+    (champions, loyal, big spenders, at-risk, dormant, casual). The
+    marketing-analytics staple, exact on purpose: quintiles are
+    integer ceil-division over deterministic (metric, user) ranks,
+    monetary is milli-quantized, and the label CASE is shared text
+    with the oracle.
+
+    Scale: one per-user aggregate, then THREE rank windows over the
+    count-reduced user frame (one per dimension), then a tiny segment
+    rollup. Raw events are touched once.
+    """
+    per_user = (events.groupBy(F.col(user_col).alias("u"))
+                .agg(F.max(ts_col).alias("r_ts"),
+                     F.count(F.lit(1)).alias("freq"),
+                     F.sum(F.expr(
+                         f"CAST(floor({value_col} * 1000) AS BIGINT)"))
+                      .cast("bigint").alias("mon_milli")))
+    n_w = Window.partitionBy()
+    out = per_user.withColumn("n", F.count(F.lit(1)).over(n_w))
+    for col, score in (("r_ts", "r_score"), ("freq", "f_score"),
+                       ("mon_milli", "m_score")):
+        w = Window.orderBy(col, "u")
+        out = (out.withColumn("rk", F.row_number().over(w))
+               .withColumn(score,
+                           F.expr("(5 * rk + n - 1) DIV n"))
+               .drop("rk"))
+    out = out.withColumn("segment", F.expr(RFM_LABEL_CASE))
+    return (out.groupBy("segment", "r_score", "f_score", "m_score")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("freq").cast("bigint").alias("n_events"),
+                 F.sum("mon_milli").cast("bigint")
+                  .alias("total_milli")))
+
+
+def dau_wau_mau(events: DataFrame, user_col: str = "user_id",
+                ts_col: str = "ts",
+                day_ns: int = 86_400_000_000_000) -> DataFrame:
+    """Daily / weekly / monthly active users per day plus the DAU/MAU
+    stickiness ratio — the engagement dashboard header row. WAU(d)
+    counts users active in [d-6, d], MAU(d) in [d-29, d]; stickiness
+    is floor ppm so the whole report is engine-exact.
+
+    Scale shape: raw events reduce to DISTINCT (user, day) FIRST; the
+    trailing windows come from ONE range join of that reduced frame
+    against the day list (each membership row fans out to at most 30
+    report days), then per-day conditional distinct counts. No
+    windows over raw events, no per-day rescans.
+    """
+    ud = (events.select(F.col(user_col).alias("u"),
+                        F.expr(f"{ts_col} DIV {day_ns}").alias("day"))
+          .distinct())
+    days = ud.select("day").distinct() \
+             .select(F.col("day").alias("d"))
+    j = ud.join(F.broadcast(days),
+                (F.col("d") >= F.col("day"))
+                & (F.col("d") <= F.col("day") + 29))
+    return (j.groupBy("d")
+            .agg(F.countDistinct(
+                     F.when(F.col("d") == F.col("day"), F.col("u")))
+                  .alias("dau"),
+                 F.countDistinct(
+                     F.when(F.col("d") <= F.col("day") + 6,
+                            F.col("u"))).alias("wau"),
+                 F.countDistinct("u").alias("mau"))
+            .select(F.col("d").alias("day"), "dau", "wau", "mau",
+                    F.expr("(dau * 1000000) DIV mau")
+                     .alias("stickiness_ppm")))
