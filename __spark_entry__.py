@@ -3569,6 +3569,17 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(t["events"])
 
 
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type over 6h window counts:
+    mean-centered deviations by cross-multiplication (x*n_windows -
+    total, zero-sum by construction), running-sum peak = the level
+    shift estimate; completes the anomaly suite (z-score, seasonal
+    slot, Holt forecast, CUSUM shift)."""
+    from tidb_binlog_spark.operators.timeseries import cusum_changepoint
+    t = load_tables(spark, sf_dir, "events")
+    return cusum_changepoint(t["events"])
+
+
 def q_events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU/MAU per day + floor-ppm stickiness: DISTINCT
     (user, day) reduction first, then ONE range join against the day
@@ -3930,6 +3941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_ddl_risk_audit": q_cdc_ddl_risk_audit,
         "events_rfm_segments": q_events_rfm_segments,
         "events_dau_wau_mau": q_events_dau_wau_mau,
+        "events_cusum_changepoint": q_events_cusum_changepoint,
         # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
         #    driver-checked, next-window priority) + 33 r4/r5-green
         #    refresh rows
@@ -7760,5 +7772,34 @@ def oracle_sql() -> dict[str, str]:
                      // CAST(COUNT(DISTINCT u) AS BIGINT)
                      AS stickiness_ppm
             FROM j GROUP BY d
+        """,
+        "events_cusum_changepoint": """
+            WITH e AS (
+              SELECT event_type AS k,
+                     epoch_ns(ts) // 21600000000000 AS win
+              FROM events),
+            cnt AS (SELECT k, win, CAST(COUNT(*) AS BIGINT) AS x
+                    FROM e GROUP BY k, win),
+            tot AS (SELECT k,
+                           CAST(COUNT(*) AS BIGINT) AS n_windows,
+                           CAST(SUM(x) AS BIGINT) AS total
+                    FROM cnt GROUP BY k),
+            c AS (SELECT cnt.k, win, x, n_windows, total,
+                         x * n_windows - total AS dev
+                  FROM cnt JOIN tot ON cnt.k = tot.k),
+            r AS (SELECT *,
+                    CAST(SUM(dev) OVER (PARTITION BY k ORDER BY win
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum
+                  FROM c),
+            p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                    ORDER BY abs(cusum) DESC, win) AS pr
+                  FROM r)
+            SELECT k AS event_type, n_windows, total,
+                   win AS changepoint_win,
+                   CAST(abs(cusum) AS BIGINT) AS max_abs_cusum,
+                   abs(cusum) * CAST(1000000 AS BIGINT)
+                       > CAST(200000 AS BIGINT) * total
+                     AS shift_detected
+            FROM p WHERE pr = 1
         """,
     }

@@ -2140,10 +2140,10 @@ def test_rfm_segments_quintiles_and_labels(spark):
         by_seg.setdefault(r["segment"], 0)
         by_seg[r["segment"]] += r["n_users"]
     assert sum(by_seg.values()) == 5
-    # user 5: rank 5 in all three dims -> scores (5,5,5) -> champions
-    champs = [r for r in got if r["segment"] == "champions"]
-    assert len(champs) == 1 and champs[0]["r_score"] == 5 \
-        and champs[0]["f_score"] == 5 and champs[0]["m_score"] == 5
+    # users 4 and 5 score >=4 on every dimension -> champions
+    champs = {(r["r_score"], r["f_score"], r["m_score"])
+              for r in got if r["segment"] == "champions"}
+    assert champs == {(4, 4, 4), (5, 5, 5)}
     # user 1: rank 1 everywhere -> scores (1,1,1) -> dormant
     assert any(r["segment"] == "dormant" and r["r_score"] == 1
                for r in got)
@@ -2165,3 +2165,27 @@ def test_dau_wau_mau_trailing_windows(spark):
     assert got[10]["dau"] == 1 and got[10]["wau"] == 2  # day5 + day10
     assert got[10]["mau"] == 3                          # users 1,2,3
     assert got[10]["stickiness_ppm"] == 1_000_000 // 3
+
+
+def test_cusum_changepoint_detects_level_shift(spark):
+    """A 10->30 level shift peaks CUSUM exactly at the last pre-shift
+    window and trips the flag; a steady series stays at zero."""
+    from tidb_binlog_spark.operators.timeseries import cusum_changepoint
+    rows = []
+    eid = 0
+    for win in range(20):                  # shift: 10/window then 30
+        n = 10 if win < 10 else 30
+        for i in range(n):
+            rows.append((eid, "shift", win * 100 + i % 100)); eid += 1
+    for win in range(20):                  # steady: always 10
+        for i in range(10):
+            rows.append((eid, "steady", win * 100 + i % 100)); eid += 1
+    d = spark.createDataFrame(rows, "event_id long, event_type string, ts long")
+    got = {r["event_type"]: r for r in
+           cusum_changepoint(d, window_ns=100).collect()}
+    sh = got["shift"]
+    # cusum_t = W*S_t - t*T peaks at |20*100 - 10*400| = 2000 at win 9
+    assert sh["max_abs_cusum"] == 2000 and sh["changepoint_win"] == 9
+    assert sh["shift_detected"]
+    st = got["steady"]
+    assert st["max_abs_cusum"] == 0 and not st["shift_detected"]

@@ -590,3 +590,46 @@ def dau_wau_mau(events: DataFrame, user_col: str = "user_id",
             .select(F.col("d").alias("day"), "dau", "wau", "mau",
                     F.expr("(dau * 1000000) DIV mau")
                      .alias("stickiness_ppm")))
+
+
+def cusum_changepoint(events: DataFrame, key_col: str = "event_type",
+                      ts_col: str = "ts",
+                      window_ns: int = 6 * 3_600_000_000_000,
+                      threshold_ppm: int = 200_000) -> DataFrame:
+    """CUSUM changepoint detection per series: over the window-count
+    sequence, the cumulative sum of mean-centered deviations peaks at
+    the most likely level-shift point (the classic CUSUM estimator).
+    Exact integers via cross-multiplication: dev_t = x_t * n_windows -
+    total (zero-sum by construction, no rational mean), the flag
+    compares max |cusum| against threshold_ppm * total (so the
+    threshold is in fractions of total volume), and the changepoint
+    is the first window attaining the max (deterministic tiebreak).
+
+    Scale: one (key, window) count aggregate, one running-sum window
+    and one rank window — both over the count-reduced window frame,
+    never raw events.
+    """
+    cnt = (events.select(F.col(key_col).alias("k"),
+                         F.expr(f"{ts_col} DIV {window_ns}")
+                          .alias("win"))
+           .groupBy("k", "win")
+           .agg(F.count(F.lit(1)).alias("x")))
+    tot = (cnt.groupBy("k")
+           .agg(F.count(F.lit(1)).alias("n_windows"),
+                F.sum("x").cast("bigint").alias("total")))
+    w_run = (Window.partitionBy("k").orderBy("win")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    c = (cnt.join(tot, "k")
+         .withColumn("dev", F.expr("x * n_windows - total"))
+         .withColumn("cusum", F.sum("dev").over(w_run).cast("bigint")))
+    w_peak = Window.partitionBy("k").orderBy(
+        F.desc(F.abs(F.col("cusum"))), F.asc("win"))
+    peak = (c.withColumn("pk_rank", F.row_number().over(w_peak))
+            .filter(F.col("pk_rank") == 1))
+    return (peak.select(
+        F.col("k").alias(key_col), "n_windows", "total",
+        F.col("win").alias("changepoint_win"),
+        F.abs(F.col("cusum")).cast("bigint").alias("max_abs_cusum"),
+        (F.abs(F.col("cusum")) * F.lit(1_000_000).cast("bigint")
+         > F.expr(f"CAST({threshold_ppm} AS BIGINT) * total"))
+        .alias("shift_detected")))
