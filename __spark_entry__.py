@@ -3569,6 +3569,66 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(t["events"])
 
 
+def q_cdc_asof_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What changed between two points in time: per-table
+    added/removed/changed/unchanged key counts between the as-of
+    states at T1 = 40% and T2 = 80% of max commit_ts — both read from
+    ONE persisted SCD2 history pass (the audit behind 'diff Monday
+    against Friday'). Scalars stay in-plan via broadcast 1-row aggs."""
+    from tidb_binlog_spark.cache import managed_persist as _mp
+    ch = _spark_changes(spark, sf_dir)
+    ok = ordering.ordered_stream(ch)
+    hist = _mp(scd2.scd2_history(ok))
+    ts = ch.agg(F.expr("(MAX(commit_ts) * 2) DIV 5").alias("t1"),
+                F.expr("(MAX(commit_ts) * 4) DIV 5").alias("t2"))
+    h = hist.crossJoin(F.broadcast(ts))
+    s1 = (scd2.snapshot_as_of(h, F.col("t1"))
+          .select("db", "tbl", "pk", F.col("val").alias("val1")))
+    s2 = (scd2.snapshot_as_of(h, F.col("t2"))
+          .select("db", "tbl", "pk", F.col("val").alias("val2")))
+    j = s1.join(s2, ["db", "tbl", "pk"], "full_outer")
+    ct = (F.when(F.col("val1").isNull(), F.lit("added"))
+          .when(F.col("val2").isNull(), F.lit("removed"))
+          .when(F.col("val1") != F.col("val2"), F.lit("changed"))
+          .otherwise(F.lit("unchanged")))
+    return (j.withColumn("change_type", ct)
+            .groupBy("db", "tbl", "change_type")
+            .agg(F.count(F.lit(1)).alias("n_keys")))
+
+
+def q_events_did_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences uplift: synthetic assignment
+    (user_id % 2 — documented stand-in for an experiment flag),
+    periods split at the time midpoint; per-cell event counts,
+    milli-quantized value sums and floor-milli means, with the DiD
+    of cell means attached to every row. Exact integers throughout."""
+    t = load_tables(spark, sf_dir, "events")
+    e = t["events"].select(
+        (F.col("user_id") % 2 == 1).alias("treated"),
+        F.col("ts").alias("ts"),
+        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("v"))
+    mid = e.agg(F.expr("(MIN(ts) + MAX(ts)) DIV 2").alias("mid"))
+    e = (e.crossJoin(F.broadcast(mid))
+         .withColumn("after", F.col("ts") >= F.col("mid")))
+    cells = (e.groupBy("treated", "after")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum("v").cast("bigint").alias("sum_milli")))
+    cells = cells.withColumn("mean_milli",
+                             F.expr("sum_milli DIV n_events"))
+
+    def cell_mean(tr: str, af: str) -> str:
+        return (f"MAX(CASE WHEN treated = {tr} AND after = {af} "
+                f"THEN mean_milli END)")
+
+    did = cells.agg(F.expr(
+        f"({cell_mean('true', 'true')} - {cell_mean('true', 'false')})"
+        f" - ({cell_mean('false', 'true')}"
+        f" - {cell_mean('false', 'false')})").alias("did_milli"))
+    return (cells.crossJoin(F.broadcast(did))
+            .select("treated", "after", "n_events", "sum_milli",
+                    "mean_milli", "did_milli"))
+
+
 def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint per event type over 6h window counts:
     mean-centered deviations by cross-multiplication (x*n_windows -
@@ -3942,6 +4002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rfm_segments": q_events_rfm_segments,
         "events_dau_wau_mau": q_events_dau_wau_mau,
         "events_cusum_changepoint": q_events_cusum_changepoint,
+        "cdc_asof_diff": q_cdc_asof_diff,
+        "events_did_uplift": q_events_did_uplift,
         # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
         #    driver-checked, next-window priority) + 33 r4/r5-green
         #    refresh rows
@@ -7801,5 +7863,68 @@ def oracle_sql() -> dict[str, str]:
                        > CAST(200000 AS BIGINT) * total
                      AS shift_detected
             FROM p WHERE pr = 1
+        """,
+        "cdc_asof_diff": f"""
+            {CHANGES_CTE}, {_OK_CTE},
+            hist AS (
+              SELECT db, tbl, pk, val, op,
+                     commit_ts AS valid_from,
+                     LEAD(commit_ts) OVER (
+                         PARTITION BY db, tbl, pk
+                         ORDER BY commit_ts, seq, arrival_seq)
+                       AS valid_to
+              FROM ok),
+            m AS (SELECT (MAX(commit_ts) * 2) // 5 AS t1,
+                         (MAX(commit_ts) * 4) // 5 AS t2
+                  FROM changes),
+            s1 AS (SELECT db, tbl, pk, val AS val1
+                   FROM hist, m
+                   WHERE op <> 'D' AND valid_from <= t1
+                     AND (valid_to IS NULL OR valid_to > t1)),
+            s2 AS (SELECT db, tbl, pk, val AS val2
+                   FROM hist, m
+                   WHERE op <> 'D' AND valid_from <= t2
+                     AND (valid_to IS NULL OR valid_to > t2)),
+            j AS (
+              SELECT COALESCE(s1.db, s2.db) AS db,
+                     COALESCE(s1.tbl, s2.tbl) AS tbl,
+                     val1, val2
+              FROM s1 FULL OUTER JOIN s2
+                ON s1.db = s2.db AND s1.tbl = s2.tbl
+               AND s1.pk = s2.pk)
+            SELECT db, tbl,
+                   CASE WHEN val1 IS NULL THEN 'added'
+                        WHEN val2 IS NULL THEN 'removed'
+                        WHEN val1 <> val2 THEN 'changed'
+                        ELSE 'unchanged' END AS change_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys
+            FROM j GROUP BY 1, 2, 3
+        """,
+        "events_did_uplift": """
+            WITH e AS (
+              SELECT (user_id % 2 = 1) AS treated, epoch_ns(ts) AS t,
+                     CAST(floor(value * 1000) AS BIGINT) AS v
+              FROM events),
+            m AS (SELECT (MIN(t) + MAX(t)) // 2 AS mid FROM e),
+            cells AS (
+              SELECT treated, t >= mid AS after,
+                     CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(SUM(v) AS BIGINT) AS sum_milli
+              FROM e, m GROUP BY 1, 2),
+            c2 AS (SELECT *, sum_milli // n_events AS mean_milli
+                   FROM cells),
+            did AS (
+              SELECT (MAX(CASE WHEN treated AND after
+                           THEN mean_milli END)
+                      - MAX(CASE WHEN treated AND NOT after
+                            THEN mean_milli END))
+                   - (MAX(CASE WHEN NOT treated AND after
+                          THEN mean_milli END)
+                      - MAX(CASE WHEN NOT treated AND NOT after
+                            THEN mean_milli END)) AS did_milli
+              FROM c2)
+            SELECT treated, after, n_events, sum_milli, mean_milli,
+                   did_milli
+            FROM c2, did
         """,
     }

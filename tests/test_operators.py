@@ -2189,3 +2189,65 @@ def test_cusum_changepoint_detects_level_shift(spark):
     assert sh["shift_detected"]
     st = got["steady"]
     assert st["max_abs_cusum"] == 0 and not st["shift_detected"]
+
+
+def test_asof_diff_matches_independent_snapshots(spark):
+    """The added/removed/changed/unchanged counts agree with two
+    independently computed last-image snapshots at the same T1/T2."""
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+    from tidb_binlog_spark.operators import compaction, ordering
+    from tidb_binlog_spark.sources.changestream import change_stream
+    sf = "/root/testdata/sf0.001"
+    got = {(r["db"], r["tbl"], r["change_type"]): r["n_keys"]
+           for r in m.queries()["cdc_asof_diff"](spark, sf).collect()}
+    ch = change_stream(spark, sf)
+    mx = ch.agg(F.max("commit_ts")).first()[0]
+    t1, t2 = mx * 2 // 5, mx * 4 // 5
+    ok = ordering.ordered_stream(ch)
+    snap = {}
+    for t in (t1, t2):
+        snap[t] = {((r["db"], r["tbl"]), r["pk"]): r["val"]
+                   for r in compaction.apply_snapshot(
+                       ok.filter(F.col("commit_ts") <= t)).collect()}
+    want = {}
+    keys = set(snap[t1]) | set(snap[t2])
+    for (tblkey, pk) in keys:
+        if (tblkey, pk) not in snap[t1]:
+            c = "added"
+        elif (tblkey, pk) not in snap[t2]:
+            c = "removed"
+        elif snap[t1][(tblkey, pk)] != snap[t2][(tblkey, pk)]:
+            c = "changed"
+        else:
+            c = "unchanged"
+        k = (tblkey[0], tblkey[1], c)
+        want[k] = want.get(k, 0) + 1
+    assert got == want and sum(want.values()) > 0
+
+
+def test_did_uplift_hand_computed(spark):
+    """Treated users gain +2.0 after the midpoint, control stays
+    flat: DiD = 2000 milli exactly."""
+    import __spark_entry__ as m
+    rows = [(1, 0, 0, 1.0), (2, 0, 100, 1.0),
+            (3, 1, 0, 1.0), (4, 1, 100, 3.0)]
+    d = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double")
+    from tidb_binlog_spark.operators import timeseries  # noqa: F401
+    # replicate the q body on a local frame (the q reads parquet)
+    from pyspark.sql import functions as F
+    e = d.select((F.col("user_id") % 2 == 1).alias("treated"),
+                 F.col("ts"),
+                 F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("v"))
+    mid = e.agg(F.expr("(MIN(ts) + MAX(ts)) DIV 2").alias("mid"))
+    e = (e.crossJoin(F.broadcast(mid))
+         .withColumn("after", F.col("ts") >= F.col("mid")))
+    cells = (e.groupBy("treated", "after")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("v").cast("bigint").alias("s")))
+    got = {(r["treated"], r["after"]): r["s"] // r["n"]
+           for r in cells.collect()}
+    did = (got[(True, True)] - got[(True, False)]) \
+        - (got[(False, True)] - got[(False, False)])
+    assert did == 2000
