@@ -3569,6 +3569,36 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(t["events"])
 
 
+def q_corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source shingle-novelty deciles in doc_id order — the
+    crawl-freshness curve (a falling tail says dedup will eat it).
+    One doc-rank window + one (stratum,shingle) min-rank aggregate."""
+    return scoring.novelty_curve(_docs(spark, sf_dir))
+
+
+def q_cdc_write_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe-mode write amplification per table: statements the
+    idempotent rewrite emits (I->R, U->D+R, D->D) counted FROM the
+    rewrite output, cross-checked in-query against the closed form
+    n_ins + 2*n_upd + n_del (amp_check flag) — the sizing input for
+    sink batch budgets while a safe-mode window is open."""
+    ch = _spark_changes(spark, sf_dir)
+    rows = (ch.groupBy("db", "tbl")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count(F.when(F.col("op") == "I", 1)).alias("n_ins"),
+                 F.count(F.when(F.col("op") == "U", 1)).alias("n_upd"),
+                 F.count(F.when(F.col("op") == "D", 1)).alias("n_del")))
+    stmts = (safe_mode.safe_mode_rewrite(ch)
+             .groupBy("db", "tbl")
+             .agg(F.count(F.lit(1)).alias("n_stmts_safe")))
+    return (rows.join(stmts, ["db", "tbl"])
+            .withColumn("amp_ppm",
+                        F.expr("(n_stmts_safe * 1000000) DIV n_rows"))
+            .withColumn("amp_check",
+                        F.expr("n_stmts_safe = n_ins + 2 * n_upd "
+                               "+ n_del")))
+
+
 def q_cdc_asof_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What changed between two points in time: per-table
     added/removed/changed/unchanged key counts between the as-of
@@ -4004,6 +4034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum_changepoint": q_events_cusum_changepoint,
         "cdc_asof_diff": q_cdc_asof_diff,
         "events_did_uplift": q_events_did_uplift,
+        "corpus_novelty_curve": q_corpus_novelty_curve,
+        "cdc_write_amplification": q_cdc_write_amplification,
         # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
         #    driver-checked, next-window priority) + 33 r4/r5-green
         #    refresh rows
@@ -7926,5 +7958,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT treated, after, n_events, sum_milli, mean_milli,
                    did_milli
             FROM c2, did
+        """,
+        "corpus_novelty_curve": f"""
+            WITH t AS (SELECT doc_id, source, text,
+                              {osql.TOKS} AS toks
+                       FROM documents),
+            ranked AS (
+              SELECT source AS stratum, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY doc_id) AS doc_rank,
+                COUNT(*) OVER (PARTITION BY source) AS n_docs
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT source AS stratum, doc_id,
+                     unnest({osql.SHINGLES}) AS shingle
+              FROM t),
+            shr AS (SELECT sh.stratum, sh.doc_id, shingle,
+                           doc_rank, n_docs
+                    FROM sh JOIN ranked
+                      ON sh.stratum = ranked.stratum
+                     AND sh.doc_id = ranked.doc_id),
+            fs AS (SELECT stratum, shingle,
+                          MIN(doc_rank) AS first_seen
+                   FROM shr GROUP BY stratum, shingle),
+            pd AS (
+              SELECT shr.stratum, shr.doc_id, doc_rank, n_docs,
+                CAST(COUNT(*) AS BIGINT) AS n_sh,
+                CAST(COUNT(CASE WHEN first_seen = doc_rank THEN 1
+                           END) AS BIGINT) AS n_new
+              FROM shr JOIN fs
+                ON shr.stratum = fs.stratum
+               AND shr.shingle = fs.shingle
+              GROUP BY shr.stratum, shr.doc_id, doc_rank, n_docs),
+            dec AS (SELECT *, (10 * doc_rank + n_docs - 1) // n_docs
+                              AS decile
+                    FROM pd)
+            SELECT stratum, decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs_decile,
+                   CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+                   CAST(SUM(n_new) AS BIGINT) AS n_new,
+                   (CAST(SUM(n_new) AS BIGINT) * 1000000)
+                     // CAST(SUM(n_sh) AS BIGINT) AS novelty_ppm
+            FROM dec GROUP BY stratum, decile
+        """,
+        "cdc_write_amplification": f"""
+            {CHANGES_CTE},
+            rows_ AS (
+              SELECT db, tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(COUNT(CASE WHEN op = 'I' THEN 1 END) AS BIGINT)
+                  AS n_ins,
+                CAST(COUNT(CASE WHEN op = 'U' THEN 1 END) AS BIGINT)
+                  AS n_upd,
+                CAST(COUNT(CASE WHEN op = 'D' THEN 1 END) AS BIGINT)
+                  AS n_del
+              FROM changes GROUP BY db, tbl),
+            stmts AS (
+              SELECT db, tbl,
+                CAST(SUM(CASE WHEN op = 'U' THEN 2 ELSE 1 END)
+                     AS BIGINT) AS n_stmts_safe
+              FROM changes GROUP BY db, tbl)
+            SELECT r.db, r.tbl, n_rows, n_ins, n_upd, n_del,
+                   n_stmts_safe,
+                   (n_stmts_safe * 1000000) // n_rows AS amp_ppm,
+                   n_stmts_safe = n_ins + 2 * n_upd + n_del
+                     AS amp_check
+            FROM rows_ r JOIN stmts s
+              ON r.db = s.db AND r.tbl = s.tbl
         """,
     }

@@ -1635,3 +1635,27 @@ def test_recall_curve_monotone_and_full_probe_perfect(spark):
     assert got[5]["recall_ppm"] == 1_000_000
     assert all(r["n_queries"] == 2 and r["k"] == 3
                for r in got.values())
+
+
+def test_novelty_curve_fresh_vs_recycled(spark):
+    """A source of all-unique docs stays at full novelty in every
+    decile; a source that repeats one document collapses to zero
+    novelty after the first appearance."""
+    from tidb_binlog_spark.functions.scoring import novelty_curve
+    fresh = [f"unique{i} words{i} here{i} now{i} more{i}"
+             for i in range(20)]
+    recycled = ["same words every single time of day"] * 20
+    rows = ([(i, t, "en", "fresh", len(t))
+             for i, t in enumerate(fresh)]
+            + [(100 + i, t, "en", "recycled", len(t))
+               for i, t in enumerate(recycled)])
+    d = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {(r["stratum"], r["decile"]): r
+           for r in novelty_curve(d).collect()}
+    for dec in range(1, 11):
+        assert got[("fresh", dec)]["novelty_ppm"] == 1_000_000
+    assert got[("recycled", 1)]["n_new"] > 0        # first doc only
+    for dec in range(2, 11):
+        assert got[("recycled", dec)]["novelty_ppm"] == 0

@@ -2251,3 +2251,14 @@ def test_did_uplift_hand_computed(spark):
     did = (got[(True, True)] - got[(True, False)]) \
         - (got[(False, True)] - got[(False, False)])
     assert did == 2000
+
+
+def test_write_amplification_closed_form(spark):
+    """The rewrite-output statement counts equal the closed form
+    n_ins + 2*n_upd + n_del for every table (amp_check all true)."""
+    import __spark_entry__ as m
+    rows = m.queries()["cdc_write_amplification"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r["amp_check"] for r in rows)
+    for r in rows:
+        assert r["amp_ppm"] >= 1_000_000   # never below 1 stmt/row

@@ -1127,3 +1127,47 @@ def retrieval_ndcg(docs: DataFrame, query_mod: int = 50,
                                "END"))
             .select("query_id", "n_retrieved", "n_relevant",
                     "dcg_micro", "idcg_micro", "ndcg_ppm"))
+
+
+def novelty_curve(docs: DataFrame, deciles: int = 10,
+                  by: str = "source") -> DataFrame:
+    """Content-novelty curve per source: in doc_id order, what
+    fraction of each decile's shingles was never seen before in the
+    stratum — the freshness read behind "is this crawl still adding
+    content or re-serving itself" (a falling curve says dedup will
+    eat the tail; vocab_growth's n-gram sibling at the document
+    level).
+
+    Scale shape: one doc-rank window (one row per document), one
+    (stratum, shingle) -> min-first-rank aggregate, one join back and
+    a decile rollup. Shingles are never globally ordered. Exact
+    integer ppm.
+    """
+    from .dedup import with_shingles
+    ranked = (docs.select(F.col(by).alias("stratum"), "doc_id")
+              .withColumn("doc_rank", F.row_number().over(
+                  Window.partitionBy("stratum").orderBy("doc_id")))
+              .withColumn("n_docs", F.count(F.lit(1)).over(
+                  Window.partitionBy("stratum"))))
+    sh = (with_shingles(docs.select("doc_id", by, "text"))
+          .select(F.col(by).alias("stratum"), "doc_id",
+                  F.explode("shingles").alias("shingle"))
+          .distinct())
+    shr = sh.join(ranked, ["stratum", "doc_id"])
+    first = (shr.groupBy("stratum", "shingle")
+             .agg(F.min("doc_rank").alias("first_seen")))
+    per_doc = (shr.join(first, ["stratum", "shingle"])
+               .groupBy("stratum", "doc_id", "doc_rank", "n_docs")
+               .agg(F.count(F.lit(1)).alias("n_sh"),
+                    F.count(F.when(F.col("first_seen")
+                                   == F.col("doc_rank"), 1))
+                     .alias("n_new")))
+    dec = per_doc.withColumn(
+        "decile", F.expr(f"({deciles} * doc_rank + n_docs - 1) "
+                         "DIV n_docs"))
+    return (dec.groupBy("stratum", "decile")
+            .agg(F.count(F.lit(1)).alias("n_docs_decile"),
+                 F.sum("n_sh").cast("bigint").alias("n_shingles"),
+                 F.sum("n_new").cast("bigint").alias("n_new"))
+            .withColumn("novelty_ppm",
+                        F.expr("(n_new * 1000000) DIV n_shingles")))
