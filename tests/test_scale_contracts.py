@@ -851,3 +851,29 @@ def test_r8_markov_attribution_single_event_pass(spark):
     plan = _plan(out)
     assert ("LocalTableScan" in plan or "ExistingRDD" in plan) \
         and "Exchange" not in plan
+
+
+def test_r8_second_wave_plan_contracts(spark):
+    """Second-wave r8 operators stay JVM-only; the engagement join
+    broadcasts the day list; drift/novelty/cusum windows are
+    partitioned (gini/rfm/peak-concurrency run documented
+    count-reduced global windows, so only JVM-purity is asserted
+    there)."""
+    import __spark_entry__ as m
+    qs = m.queries()
+    for name in ("events_peak_concurrency", "events_conversion_latency",
+                 "cdc_ddl_risk_audit", "events_rfm_segments",
+                 "events_dau_wau_mau", "events_cusum_changepoint",
+                 "cdc_asof_diff", "events_did_uplift",
+                 "corpus_novelty_curve", "cdc_write_amplification",
+                 "events_holt_forecast", "events_activity_gini"):
+        plan = _plan(qs[name](spark, SF))
+        assert "BatchEvalPython" not in plan \
+            and "ArrowEvalPython" not in plan, name
+    # the day-list range join is non-equi -> broadcast nested loop
+    p_dau = _plan(qs["events_dau_wau_mau"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p_dau \
+        or "BroadcastHashJoin" in p_dau
+    for name in ("events_cusum_changepoint", "corpus_novelty_curve",
+                 "events_conversion_latency"):
+        _assert_windows_partitioned(_plan(qs[name](spark, SF)))
