@@ -289,3 +289,26 @@ def attribution_stream(events: DataFrame,
                            "+ IF(pos + 1 = n_touches, "
                            "1000000 % n_touches, 0)")
                     .alias("credit_ppm")))
+
+
+def dau_stream(events: DataFrame,
+               watermark_delay: str = "10 minutes") -> DataFrame:
+    """Streaming twin of the batch DAU count (the day column of
+    events_dau_wau_mau): watermarked per-(user, day) deduplication
+    feeding a per-day streaming count — the chained stateful
+    dedup -> aggregate shape (state for both operators is keyed and
+    watermark-bounded; after the dedup, COUNT(*) IS the distinct-user
+    count, no unsupported streaming countDistinct needed). Emits one
+    row per closed day in append mode.
+
+    Scale: dedup state is one entry per (user, day) inside the
+    watermark horizon; the day aggregate is a counter per open day.
+    Both partition across executors by their keys.
+    """
+    e = (events
+         .withWatermark("event_ts", watermark_delay)
+         .withColumn("day", F.window("event_ts", "1 day")))
+    d = e.dropDuplicates(["user_id", "day"])
+    return (d.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("dau"))
+            .select(F.col("day.start").alias("day_start"), "dau"))
