@@ -3569,6 +3569,28 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(t["events"])
 
 
+def q_mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level dedup accounting through the REAL Arrow frame path
+    (mapInPandas 1-to-N sampling, the video-pipeline shape): each
+    sampled frame is novel iff its (doc, offset) is the global first
+    occurrence of its frame bytes; per-asset novelty ppm is the
+    chunk-store savings estimate for frames. One frame-hex-keyed
+    aggregate; corpus bytes cross once through the Arrow batch."""
+    from tidb_binlog_spark.cache import managed_persist as _mp
+    fr = _mp(mm.frame_sample_stub(_docs(spark, sf_dir)))
+    first = (fr.groupBy("frame_hex")
+             .agg(F.min(F.struct("doc_id", "frame_offset"))
+                  .alias("f")))
+    j = fr.join(first, "frame_hex")
+    novel = ((F.col("doc_id") == F.col("f.doc_id"))
+             & (F.col("frame_offset") == F.col("f.frame_offset")))
+    return (j.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_frames"),
+                 F.count(F.when(novel, 1)).alias("n_novel"))
+            .withColumn("novel_ppm",
+                        F.expr("(n_novel * 1000000) DIV n_frames")))
+
+
 def q_corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source shingle-novelty deciles in doc_id order — the
     crawl-freshness curve (a falling tail says dedup will eat it).
@@ -4036,6 +4058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_did_uplift": q_events_did_uplift,
         "corpus_novelty_curve": q_corpus_novelty_curve,
         "cdc_write_amplification": q_cdc_write_amplification,
+        "mm_frame_dedup": q_mm_frame_dedup,
         # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
         #    driver-checked, next-window priority) + 33 r4/r5-green
         #    refresh rows
@@ -8024,5 +8047,37 @@ def oracle_sql() -> dict[str, str]:
                      AS amp_check
             FROM rows_ r JOIN stmts s
               ON r.db = s.db AND r.tbl = s.tbl
+        """,
+        "mm_frame_dedup": """
+            WITH b AS (SELECT doc_id, encode(text) AS payload
+                       FROM documents),
+            offs AS (
+              SELECT doc_id, payload,
+                     unnest(generate_series(0,
+                       octet_length(payload) - 1, 1000))
+                       AS frame_offset
+              FROM b),
+            frames AS (
+              SELECT doc_id, frame_offset,
+                     substring(hex(payload),
+                               frame_offset * 2 + 1, 16) AS frame_hex
+              FROM offs),
+            first_ AS (
+              SELECT frame_hex,
+                     MIN(doc_id * 10000000000 + frame_offset)
+                       AS f_key
+              FROM frames GROUP BY frame_hex),
+            j AS (
+              SELECT fr.doc_id,
+                     (fr.doc_id * 10000000000 + fr.frame_offset)
+                       = f_key AS novel
+              FROM frames fr JOIN first_ USING (frame_hex))
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+                   CAST(COUNT(CASE WHEN novel THEN 1 END) AS BIGINT)
+                     AS n_novel,
+                   (CAST(COUNT(CASE WHEN novel THEN 1 END) AS BIGINT)
+                    * 1000000) // CAST(COUNT(*) AS BIGINT)
+                     AS novel_ppm
+            FROM j GROUP BY doc_id
         """,
     }

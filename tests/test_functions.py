@@ -1659,3 +1659,35 @@ def test_novelty_curve_fresh_vs_recycled(spark):
     assert got[("recycled", 1)]["n_new"] > 0        # first doc only
     for dec in range(2, 11):
         assert got[("recycled", dec)]["novelty_ppm"] == 0
+
+
+def test_mm_frame_dedup_counts_global_first_occurrences(spark):
+    """Identical payloads: only the first doc's frames are novel;
+    a unique payload is fully novel; within-doc duplicate frames
+    count once."""
+    import __spark_entry__  # noqa: F401  (pattern parity)
+    from pyspark.sql import functions as F
+    from tidb_binlog_spark.functions import multimodal as mmod
+    # payloads > 1000 bytes so each doc yields multiple frames;
+    # docs 0 and 1 are byte-identical
+    big = ("abcdefgh" * 300)
+    uniq = ("zyxwvuts" * 300)
+    d = spark.createDataFrame(
+        [(0, big, "en", "s", len(big)), (1, big, "en", "s", len(big)),
+         (2, uniq, "en", "s", len(uniq))],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    fr = mmod.frame_sample_stub(d)
+    first = (fr.groupBy("frame_hex")
+             .agg(F.min(F.struct("doc_id", "frame_offset")).alias("f")))
+    j = fr.join(first, "frame_hex")
+    novel = ((F.col("doc_id") == F.col("f.doc_id"))
+             & (F.col("frame_offset") == F.col("f.frame_offset")))
+    got = {r["doc_id"]: (r["n"], r["nv"]) for r in
+           j.groupBy("doc_id").agg(
+               F.count(F.lit(1)).alias("n"),
+               F.count(F.when(novel, 1)).alias("nv")).collect()}
+    assert got[0][0] == got[1][0] == 3          # 2400 bytes -> 3 frames
+    # the repeated 8-byte pattern makes all frames of a payload equal:
+    # doc 0 introduces ONE novel frame, docs 1 and 2's copies don't
+    assert got[0][1] == 1 and got[1][1] == 0
+    assert got[2][1] == 1                        # unique payload's own
