@@ -3569,6 +3569,50 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(t["events"])
 
 
+def q_snapshot_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: top part-brand pairs by lift within
+    orders (support, confidence-free exact-integer lift via
+    cross-multiplied floor ppm). The basket self-join is keyed on the
+    order and bounded by brands-per-order; the part dim broadcasts;
+    the report ranks count-reduced pair rows only."""
+    from pyspark.sql import Window
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    ob = (t["lineitem"].select("l_orderkey", "l_partkey")
+          .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+                F.col("l_partkey") == F.col("p_partkey"))
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("p_brand").alias("brand"))
+          .distinct())
+    n = ob.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
+    c = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (ob.alias("a")
+             .join(ob.alias("b"),
+                   (F.col("a.o") == F.col("b.o"))
+                   & (F.col("a.brand") < F.col("b.brand")))
+             .groupBy(F.col("a.brand").alias("brand_a"),
+                      F.col("b.brand").alias("brand_b"))
+             .agg(F.count(F.lit(1)).alias("c_ab")))
+    j = (pairs
+         .join(c.select(F.col("brand").alias("brand_a"),
+                        F.col("c").alias("c_a")), "brand_a")
+         .join(c.select(F.col("brand").alias("brand_b"),
+                        F.col("c").alias("c_b")), "brand_b")
+         .crossJoin(F.broadcast(n))
+         .withColumn("support_ppm",
+                     F.expr("(c_ab * 1000000) DIV n_orders"))
+         .withColumn("lift_ppm",
+                     F.expr("(c_ab * n_orders * 1000000) "
+                            "DIV (c_a * c_b)")))
+    w = Window.orderBy(F.desc("lift_ppm"), F.asc("brand_a"),
+                       F.asc("brand_b"))
+    return (j.orderBy(F.desc("lift_ppm"), F.asc("brand_a"),
+                      F.asc("brand_b"))
+            .limit(20)
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "brand_a", "brand_b", "c_ab", "c_a",
+                    "c_b", "support_ppm", "lift_ppm"))
+
+
 def q_mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-level dedup accounting through the REAL Arrow frame path
     (mapInPandas 1-to-N sampling, the video-pipeline shape): each
@@ -4059,6 +4103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_novelty_curve": q_corpus_novelty_curve,
         "cdc_write_amplification": q_cdc_write_amplification,
         "mm_frame_dedup": q_mm_frame_dedup,
+        "snapshot_basket_lift": q_snapshot_basket_lift,
         # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
         #    driver-checked, next-window priority) + 33 r4/r5-green
         #    refresh rows
@@ -8079,5 +8124,38 @@ def oracle_sql() -> dict[str, str]:
                     * 1000000) // CAST(COUNT(*) AS BIGINT)
                      AS novel_ppm
             FROM j GROUP BY doc_id
+        """,
+        "snapshot_basket_lift": """
+            WITH ob AS (
+              SELECT DISTINCT l_orderkey AS o, p_brand AS brand
+              FROM lineitem JOIN part
+                ON l_partkey = p_partkey),
+            n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT)
+                    AS n_orders FROM ob),
+            c AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM ob GROUP BY brand),
+            pairs AS (
+              SELECT a.brand AS brand_a, b.brand AS brand_b,
+                     CAST(COUNT(*) AS BIGINT) AS c_ab
+              FROM ob a JOIN ob b
+                ON a.o = b.o AND a.brand < b.brand
+              GROUP BY a.brand, b.brand),
+            j AS (
+              SELECT brand_a, brand_b, c_ab,
+                     ca.c AS c_a, cb.c AS c_b, n_orders,
+                     (c_ab * 1000000) // n_orders AS support_ppm,
+                     (c_ab * n_orders * 1000000) // (ca.c * cb.c)
+                       AS lift_ppm
+              FROM pairs
+              JOIN c ca ON pairs.brand_a = ca.brand
+              JOIN c cb ON pairs.brand_b = cb.brand
+              CROSS JOIN n),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                    ORDER BY lift_ppm DESC, brand_a, brand_b)
+                    AS rank
+                  FROM j)
+            SELECT rank, brand_a, brand_b, c_ab, c_a, c_b,
+                   support_ppm, lift_ppm
+            FROM r WHERE rank <= 20
         """,
     }

@@ -2262,3 +2262,38 @@ def test_write_amplification_closed_form(spark):
     assert rows and all(r["amp_check"] for r in rows)
     for r in rows:
         assert r["amp_ppm"] >= 1_000_000   # never below 1 stmt/row
+
+
+def test_basket_lift_hand_computed(spark):
+    """Two brands always together lift above independence; a brand
+    appearing everywhere has lift exactly 1e6 ppm with anything."""
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+    # reproduce the operator body on a local frame
+    rows = [  # orders: A+B always co-occur; C in every order
+        (1, "A"), (1, "B"), (1, "C"),
+        (2, "A"), (2, "B"), (2, "C"),
+        (3, "C"), (3, "D"),
+        (4, "C"), (4, "D")]
+    ob = spark.createDataFrame(rows, "o long, brand string").distinct()
+    n = ob.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
+    c = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (ob.alias("a").join(
+                 ob.alias("b"),
+                 (F.col("a.o") == F.col("b.o"))
+                 & (F.col("a.brand") < F.col("b.brand")))
+             .groupBy(F.col("a.brand").alias("ba"),
+                      F.col("b.brand").alias("bb"))
+             .agg(F.count(F.lit(1)).alias("c_ab")))
+    j = (pairs.join(c.select(F.col("brand").alias("ba"),
+                             F.col("c").alias("c_a")), "ba")
+         .join(c.select(F.col("brand").alias("bb"),
+                        F.col("c").alias("c_b")), "bb")
+         .crossJoin(F.broadcast(n))
+         .withColumn("lift_ppm",
+                     F.expr("(c_ab * n_orders * 1000000) "
+                            "DIV (c_a * c_b)")))
+    got = {(r["ba"], r["bb"]): r["lift_ppm"] for r in j.collect()}
+    assert got[("A", "B")] == 2_000_000     # 2*4/(2*2)
+    assert got[("A", "C")] == 1_000_000     # independent of universal C
+    assert got[("C", "D")] == 1_000_000
