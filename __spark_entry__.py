@@ -3569,6 +3569,26 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(t["events"])
 
 
+def q_corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source: BPE-ish regex tokens per
+    whitespace word (floor ppm) plus chars-per-word — the
+    tokenizer-efficiency read (high fertility = fragmenting source,
+    budget more sequence length). One map-side-combinable aggregate
+    over per-doc counts that token_count already defines."""
+    from tidb_binlog_spark.functions.text import token_count
+    docs = _docs(spark, sf_dir)
+    tc = token_count(docs).join(docs.select("doc_id", "source"),
+                                "doc_id")
+    return (tc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_ws_tokens").cast("bigint").alias("n_words"),
+                 F.sum("n_bpe_tokens").cast("bigint")
+                  .alias("n_bpe_tokens"))
+            .withColumn("fertility_ppm",
+                        F.expr("(n_bpe_tokens * 1000000) "
+                               "DIV n_words")))
+
+
 def q_snapshot_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association: top part-brand pairs by lift within
     orders (support, confidence-free exact-integer lift via
@@ -4104,6 +4124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_write_amplification": q_cdc_write_amplification,
         "mm_frame_dedup": q_mm_frame_dedup,
         "snapshot_basket_lift": q_snapshot_basket_lift,
+        "corpus_tokenizer_fertility": q_corpus_tokenizer_fertility,
         # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
         #    driver-checked, next-window priority) + 33 r4/r5-green
         #    refresh rows
@@ -8157,5 +8178,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT rank, brand_a, brand_b, c_ab, c_a, c_b,
                    support_ppm, lift_ppm
             FROM r WHERE rank <= 20
+        """,
+        "corpus_tokenizer_fertility": f"""
+            WITH tc AS (
+              SELECT doc_id, source,
+                     CAST(len({osql.TOKS}) AS BIGINT) AS n_ws,
+                     CAST(len(regexp_extract_all(text,
+                       '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+                       AS n_bpe
+              FROM documents)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_ws) AS BIGINT) AS n_words,
+                   CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+                   (CAST(SUM(n_bpe) AS BIGINT) * 1000000)
+                     // CAST(SUM(n_ws) AS BIGINT) AS fertility_ppm
+            FROM tc GROUP BY source
         """,
     }

@@ -1691,3 +1691,26 @@ def test_mm_frame_dedup_counts_global_first_occurrences(spark):
     # doc 0 introduces ONE novel frame, docs 1 and 2's copies don't
     assert got[0][1] == 1 and got[1][1] == 0
     assert got[2][1] == 1                        # unique payload's own
+
+
+def test_tokenizer_fertility_counts(spark):
+    """Pure-letter words keep fertility at exactly 1e6 ppm; mixed
+    alnum words fragment and push it above."""
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+    from tidb_binlog_spark.functions.text import token_count
+    texts_plain = ["simple words only here"] * 3        # 4 ws = 4 bpe
+    texts_frag = ["ab1cd ef2gh"] * 3                    # 2 ws = 6 bpe
+    d = spark.createDataFrame(
+        [(i, t, "en", "plain", len(t))
+         for i, t in enumerate(texts_plain)]
+        + [(10 + i, t, "en", "frag", len(t))
+           for i, t in enumerate(texts_frag)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    tc = token_count(d).join(d.select("doc_id", "source"), "doc_id")
+    got = {r["source"]: r for r in
+           (tc.groupBy("source")
+            .agg(F.sum("n_ws_tokens").alias("w"),
+                 F.sum("n_bpe_tokens").alias("b"))).collect()}
+    assert got["plain"]["b"] * 1_000_000 // got["plain"]["w"] == 1_000_000
+    assert got["frag"]["b"] * 1_000_000 // got["frag"]["w"] == 3_000_000
