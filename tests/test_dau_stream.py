@@ -58,3 +58,42 @@ def test_dau_stream_matches_batch_per_closed_day(spark, tmp_path):
     for day in (_t(0), _t(DAY), _t(2 * DAY)):
         day = day.replace(hour=0, minute=0)
         assert day in got, day
+
+
+def test_dau_stream_randomized_splits_match_batch(spark, tmp_path):
+    """Property (seeded): random users over random days, random
+    micro-batch cuts — closed days equal the batch distinct counts."""
+    import random
+    rng = random.Random(7)
+    DAY = 24 * 60
+    n = 150
+    events = [(i, rng.randrange(8), "view",
+               _t(rng.randrange(0, 5 * DAY))) for i in range(n)]
+    src = str(tmp_path / "dau_rand")
+    os.makedirs(src)
+    cuts = sorted(rng.sample(range(1, n), 5))
+    for a, b in zip([0] + cuts, cuts + [n]):
+        _write(spark, src, events[a:b])
+    _write(spark, src, [(900, 99, "view", _t(100 * DAY))])
+    _write(spark, src, [(901, 99, "view", _t(200 * DAY))])
+
+    stream = (spark.readStream.schema(cs.EVENT_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    # watermark must cover the random arrival disorder (5 days)
+    out = cs.dau_stream(stream, watermark_delay="6 days")
+    q = (out.writeStream.format("memory").queryName("dau_rand_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    got = {r["day_start"]: r["dau"]
+           for r in spark.sql("SELECT * FROM dau_rand_out").collect()}
+
+    batch = (spark.read.parquet(src).filter(F.col("user_id") != 99)
+             .groupBy(F.window("event_ts", "1 day").alias("w"))
+             .agg(F.countDistinct("user_id").alias("dau")))
+    want = {r["w"]["start"]: r["dau"] for r in batch.collect()}
+    assert len(got) >= 5          # all five real days close
+    for day, dau in got.items():
+        if day in want:           # sentinel days may also emit
+            assert want[day] == dau, day
+    for day in want:
+        assert day in got, day
