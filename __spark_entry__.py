@@ -3569,6 +3569,39 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(t["events"])
 
 
+def q_corpus_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability of the bottom-k quantile sample PROVEN in-query
+    (the kmv_merge pattern): per-part samples union + re-truncate to
+    exactly the whole-corpus sample — kth tickets, sizes and p50
+    estimates equal, flag oracle-checked."""
+    return scoring.quantile_sample_merge_check(_docs(spark, sf_dir),
+                                               k=64)
+
+
+def q_dedup_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup convergence PROVEN in-query: re-running exact dedup over
+    the canonical documents is the identity (every second-pass
+    cluster has size 1 and canonicalizes to itself). Per-source
+    counts + all-true flags, oracle-checked."""
+    docs = _docs(spark, sf_dir)
+    first = dedupfn.exact_dedup(docs)
+    canon = (first.filter(F.col("doc_id") == F.col("canonical_id"))
+             .join(docs, "doc_id")
+             .select("doc_id", "text", "source"))
+    second = dedupfn.exact_dedup(canon.select("doc_id", "text"))
+    j = canon.select("doc_id", "source").join(second, "doc_id")
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_canonicals"),
+                 F.count(F.when(F.col("cluster_size") == 1, 1))
+                  .alias("n_singletons"),
+                 F.count(F.when(F.col("doc_id")
+                                == F.col("canonical_id"), 1))
+                  .alias("n_self_canonical"))
+            .withColumn("idempotent",
+                        F.expr("n_canonicals = n_singletons "
+                               "AND n_canonicals = n_self_canonical")))
+
+
 def q_corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per source: BPE-ish regex tokens per
     whitespace word (floor ppm) plus chars-per-word — the
@@ -4125,6 +4158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_dedup": q_mm_frame_dedup,
         "snapshot_basket_lift": q_snapshot_basket_lift,
         "corpus_tokenizer_fertility": q_corpus_tokenizer_fertility,
+        "corpus_quantile_merge": q_corpus_quantile_merge,
+        "dedup_idempotence": q_dedup_idempotence,
         # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
         #    driver-checked, next-window priority) + 33 r4/r5-green
         #    refresh rows
@@ -8193,5 +8228,90 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(SUM(n_bpe) AS BIGINT) * 1000000)
                      // CAST(SUM(n_ws) AS BIGINT) AS fertility_ppm
             FROM tc GROUP BY source
+        """,
+        "corpus_quantile_merge": f"""
+            WITH pd AS (
+              SELECT source AS stratum, doc_id,
+                     CAST(len({osql.TOKS}) AS BIGINT) AS v,
+                     CAST(concat('0x', substring(
+                         md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                       AS BIGINT) AS ticket
+              FROM documents),
+            direct AS (
+              SELECT stratum, doc_id, v, ticket FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY stratum
+                  ORDER BY ticket, doc_id) AS srk FROM pd) t
+              WHERE srk <= 64),
+            parts AS (
+              SELECT stratum, doc_id, v, ticket FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY stratum, doc_id % 2
+                  ORDER BY ticket, doc_id) AS srk FROM pd) t
+              WHERE srk <= 64),
+            merged AS (
+              SELECT stratum, doc_id, v, ticket FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY stratum
+                  ORDER BY ticket, doc_id) AS mrk FROM parts) t
+              WHERE mrk <= 64),
+            ms AS (
+              SELECT stratum,
+                CAST(COUNT(*) AS BIGINT) AS merged_k,
+                MAX(ticket) AS merged_kth_ticket,
+                MAX(CASE WHEN vrk = (50 * ku + 99) // 100
+                    THEN v END) AS merged_p50
+              FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY stratum ORDER BY v, doc_id)
+                      AS vrk,
+                    COUNT(*) OVER (PARTITION BY stratum) AS ku
+                    FROM merged) t
+              GROUP BY stratum),
+            ds AS (
+              SELECT stratum,
+                CAST(COUNT(*) AS BIGINT) AS direct_k,
+                MAX(ticket) AS direct_kth_ticket,
+                MAX(CASE WHEN vrk = (50 * ku + 99) // 100
+                    THEN v END) AS direct_p50
+              FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY stratum ORDER BY v, doc_id)
+                      AS vrk,
+                    COUNT(*) OVER (PARTITION BY stratum) AS ku
+                    FROM direct) t
+              GROUP BY stratum)
+            SELECT ms.stratum, merged_k, merged_kth_ticket,
+                   merged_p50, direct_k, direct_kth_ticket,
+                   direct_p50,
+                   merged_kth_ticket = direct_kth_ticket
+                     AND merged_k = direct_k
+                     AND merged_p50 = direct_p50 AS merge_exact
+            FROM ms JOIN ds ON ms.stratum = ds.stratum
+        """,
+        "dedup_idempotence": """
+            WITH h AS (SELECT doc_id, md5(text) AS ch, source, text
+                       FROM documents),
+            cl AS (SELECT ch, MIN(doc_id) AS canonical_id
+                   FROM h GROUP BY ch),
+            first_ AS (
+              SELECT h.doc_id, h.source, h.text
+              FROM h JOIN cl ON h.ch = cl.ch
+              WHERE h.doc_id = cl.canonical_id),
+            h2 AS (SELECT doc_id, md5(text) AS ch2, source
+                   FROM first_),
+            cl2 AS (SELECT ch2, MIN(doc_id) AS canonical_id2,
+                           CAST(COUNT(*) AS BIGINT) AS cs2
+                    FROM h2 GROUP BY ch2),
+            j AS (SELECT h2.doc_id, h2.source, canonical_id2, cs2
+                  FROM h2 JOIN cl2 USING (ch2))
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_canonicals,
+                   CAST(COUNT(CASE WHEN cs2 = 1 THEN 1 END)
+                        AS BIGINT) AS n_singletons,
+                   CAST(COUNT(CASE WHEN doc_id = canonical_id2
+                              THEN 1 END) AS BIGINT)
+                     AS n_self_canonical,
+                   COUNT(*) = COUNT(CASE WHEN cs2 = 1 THEN 1 END)
+                     AND COUNT(*) = COUNT(CASE WHEN doc_id
+                                          = canonical_id2 THEN 1 END)
+                     AS idempotent
+            FROM j GROUP BY source
         """,
     }

@@ -1714,3 +1714,14 @@ def test_tokenizer_fertility_counts(spark):
                  F.sum("n_bpe_tokens").alias("b"))).collect()}
     assert got["plain"]["b"] * 1_000_000 // got["plain"]["w"] == 1_000_000
     assert got["frag"]["b"] * 1_000_000 // got["frag"]["w"] == 3_000_000
+
+
+def test_quantile_merge_proof_and_idempotence_on_fixture(spark):
+    """Both in-query proofs hold on real data: per-part quantile
+    samples merge exactly, and a second dedup pass is the identity."""
+    import __spark_entry__ as m
+    sf = "/root/testdata/sf0.001"
+    merged = m.queries()["corpus_quantile_merge"](spark, sf).collect()
+    assert merged and all(r["merge_exact"] for r in merged)
+    idem = m.queries()["dedup_idempotence"](spark, sf).collect()
+    assert idem and all(r["idempotent"] for r in idem)

@@ -1171,3 +1171,58 @@ def novelty_curve(docs: DataFrame, deciles: int = 10,
                  F.sum("n_new").cast("bigint").alias("n_new"))
             .withColumn("novelty_ppm",
                         F.expr("(n_new * 1000000) DIV n_shingles")))
+
+
+def quantile_sample_merge_check(docs: DataFrame, k: int = 64,
+                                split_mod: int = 2,
+                                by: str = "source") -> DataFrame:
+    """Mergeability proof for the bottom-k-by-ticket quantile sample,
+    run IN-query (the kmv_merge pattern): per-part samples over a
+    doc_id split union + re-truncate to EXACTLY the whole-corpus
+    sample — same argument as KMV (each part's bottom-k tickets
+    contain every global bottom-k ticket). The output carries both
+    routes' kth tickets, sizes and p50 estimates plus the equality
+    flag, oracle-checked."""
+    base = quantile_ticket_sample(docs, k, by) \
+        .select("stratum", "doc_id", "v", "ticket")
+
+    def _summarize(sample: DataFrame, prefix: str) -> DataFrame:
+        w_v = Window.partitionBy("stratum").orderBy("v", "doc_id")
+        s = (sample.withColumn("vrk", F.row_number().over(w_v))
+             .withColumn("ku", F.count(F.lit(1)).over(
+                 Window.partitionBy("stratum"))))
+        return (s.groupBy("stratum")
+                .agg(F.count(F.lit(1)).alias(f"{prefix}_k"),
+                     F.max("ticket").alias(f"{prefix}_kth_ticket"),
+                     F.max(F.when(
+                         F.col("vrk")
+                         == F.expr("(50 * ku + 99) div 100"),
+                         F.col("v"))).alias(f"{prefix}_p50")))
+
+    # per-part bottom-k over the same ticket derivation, then merge
+    full = (with_tokens(docs).select(
+        F.col(by).alias("stratum"), "doc_id",
+        F.expr("size(toks)").alias("v"),
+        F.expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), "
+               "1, 12), 16, 10) AS BIGINT)").alias("ticket")))
+    parts = None
+    for i in range(split_mod):
+        w_t = Window.partitionBy("stratum").orderBy("ticket", "doc_id")
+        p = (full.filter(F.col("doc_id") % split_mod == i)
+             .withColumn("srk", F.row_number().over(w_t))
+             .filter(F.col("srk") <= k)
+             .select("stratum", "doc_id", "v", "ticket"))
+        parts = p if parts is None else parts.unionByName(p)
+    w_m = Window.partitionBy("stratum").orderBy("ticket", "doc_id")
+    merged = (parts.withColumn("mrk", F.row_number().over(w_m))
+              .filter(F.col("mrk") <= k)
+              .select("stratum", "doc_id", "v", "ticket"))
+    m = _summarize(merged, "merged")
+    d = _summarize(base, "direct")
+    return (m.join(d, "stratum")
+            .withColumn("merge_exact",
+                        (F.col("merged_kth_ticket")
+                         == F.col("direct_kth_ticket"))
+                        & (F.col("merged_k") == F.col("direct_k"))
+                        & (F.col("merged_p50")
+                           == F.col("direct_p50"))))
