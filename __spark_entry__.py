@@ -4051,73 +4051,35 @@ def q_corpus_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # keys. Last recorded gate: CORRECTNESS_r06 (50/50 hash-green over
-    # the r6 window — cdc_pitr_restore et al.). The mid-r7 rotation
-    # (17 r6-new + 33 refreshes) was never recorded by a gate, so this
-    # rotation maximizes first-time driver evidence instead: the
-    # 50-query r7-new block (ledger-green in LEDGER_r7, never
-    # driver-checked) takes the whole window. Next round's window:
-    # the 17 r6-new queries (still driver-unchecked), the 12 late-r7
-    # queries, and anything new this session — all parked directly
-    # below the window in that order. Every query below the window is
-    # ledger-checked each round.
+    # keys. Last recorded gate: CORRECTNESS_r07 (50/50 hash-green over
+    # the r7-new block). This r8 rotation puts every remaining
+    # never-driver-checked query (58 of them; LEDGER_r8-green only)
+    # into the window, stalest first; the 8 that don't fit head the
+    # r9 queue together with the r4-green rows that carry the retired
+    # r1/r2 surfaces.
     return {
-        # -- never driver-checked (r7-new, ledger-green in LEDGER_r7)
-        "ann_pca_project": q_ann_pca_project,
-        "rag_retrieve_pack": q_rag_retrieve_pack,
-        "dedup_url_canonical": q_dedup_url_canonical,
-        "corpus_source_divergence": q_corpus_source_divergence,
-        "text_quality_classifier": q_text_quality_classifier,
-        "cdc_write_skew": q_cdc_write_skew,
-        "cdc_source_gaps": q_cdc_source_gaps,
-        "cdc_conflict_rate": q_cdc_conflict_rate,
-        "snapshot_late_orders": q_snapshot_late_orders,
-        "snapshot_market_share": q_snapshot_market_share,
-        "snapshot_product_profit": q_snapshot_product_profit,
-        "snapshot_order_counts": q_snapshot_order_counts,
-        "snapshot_promo_revenue": q_snapshot_promo_revenue,
-        "snapshot_small_qty_revenue": q_snapshot_small_qty_revenue,
-        "snapshot_waiting_suppliers": q_snapshot_waiting_suppliers,
-        "snapshot_idle_customers": q_snapshot_idle_customers,
-        "snapshot_min_cost_supplier": q_snapshot_min_cost_supplier,
-        "snapshot_important_parts": q_snapshot_important_parts,
-        "snapshot_ship_priority_mix": q_snapshot_ship_priority_mix,
-        "snapshot_supplier_part_counts": q_snapshot_supplier_part_counts,
-        "snapshot_dominant_suppliers": q_snapshot_dominant_suppliers,
-        "ann_kmeans_clusters": q_ann_kmeans_clusters,
-        "dedup_semantic": q_dedup_semantic,
-        "cdc_bootstrap_catchup": q_cdc_bootstrap_catchup,
-        "cdc_txn_fanout": q_cdc_txn_fanout,
-        "corpus_budget_select": q_corpus_budget_select,
-        "cdc_relay_recovery": q_cdc_relay_recovery,
-        "dedup_consensus": q_dedup_consensus,
-        "cdc_schema_adoption": q_cdc_schema_adoption,
-        "dedup_bloom": q_dedup_bloom,
-        "corpus_ngram_topk": q_corpus_ngram_topk,
-        "snapshot_zorder_layout": q_snapshot_zorder_layout,
-        "mm_phash_pairs": q_mm_phash_pairs,
-        "cdc_checkpoint_lag": q_cdc_checkpoint_lag,
-        "events_windowed_topk": q_events_windowed_topk,
-        "corpus_kmv_distinct": q_corpus_kmv_distinct,
-        "events_anomaly_zscore": q_events_anomaly_zscore,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "corpus_surprisal_histogram": q_corpus_surprisal_histogram,
-        "events_active_users": q_events_active_users,
-        "events_bot_regularity": q_events_bot_regularity,
-        "snapshot_diff_repair": q_snapshot_diff_repair,
-        "corpus_gate_sweep": q_corpus_gate_sweep,
-        "corpus_chunk_savings": q_corpus_chunk_savings,
-        "corpus_kmv_merge": q_corpus_kmv_merge,
-        "doc_semantic_chunks": q_doc_semantic_chunks,
-        "text_lang_confusion": q_text_lang_confusion,
-        "events_funnel_dropoff": q_events_funnel_dropoff,
-        "corpus_fold_leakage": q_corpus_fold_leakage,
-        "corpus_effective_tokens": q_corpus_effective_tokens,
-        # ------------------------------------------------------------
-        # below the driver's 50-row window (position 51+)
-        # ------------------------------------------------------------
-        # -- never driver-checked: in line for the next window together
-        #    with the 17 r6-new heads of the block after this one
+        # -- r8 window (VERDICT r7 item 1): every never-driver-checked
+        #    query rotates in, stalest first — 17 r6-new + 12 late-r7 +
+        #    21 of the 29 r7-session-new. All LEDGER_r8-green; this is
+        #    their first driver CORRECTNESS row.
+        "corpus_tfidf_topk": q_corpus_tfidf_topk,
+        "snapshot_large_orders": q_snapshot_large_orders,
+        "snapshot_top_supplier": q_snapshot_top_supplier,
+        "snapshot_forecast_revenue": q_snapshot_forecast_revenue,
+        "cdc_disorder_displacement": q_cdc_disorder_displacement,
+        "corpus_source_overlap": q_corpus_source_overlap,
+        "corpus_temperature_mix": q_corpus_temperature_mix,
+        "events_type_transitions": q_events_type_transitions,
+        "mm_audio_features": q_mm_audio_features,
+        "snapshot_diff_drilldown": q_snapshot_diff_drilldown,
+        "dedup_lsh_calibration": q_dedup_lsh_calibration,
+        "corpus_gate_report": q_corpus_gate_report,
+        "cdc_incremental_distinct": q_cdc_incremental_distinct,
+        "events_session_paths": q_events_session_paths,
+        "dedup_savings_report": q_dedup_savings_report,
+        "cdc_hot_keys": q_cdc_hot_keys,
+        "snapshot_bracket_revenue": q_snapshot_bracket_revenue,
+        # -- late-r7 never-driver-checked (12)
         "events_ohlc": q_events_ohlc,
         "cdc_salt_advisor": q_cdc_salt_advisor,
         "corpus_oov_rate": q_corpus_oov_rate,
@@ -4130,7 +4092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8_quant": q_ann_int8_quant,
         "events_rep_points": q_events_rep_points,
         "snapshot_stats_merge": q_snapshot_stats_merge,
-        # -- new this session (never driver-checked)
+        # -- r7-session-new never-driver-checked (first 21 of 29)
         "corpus_quantile_sketch": q_corpus_quantile_sketch,
         "corpus_cms_topk": q_corpus_cms_topk,
         "events_decayed_topk": q_events_decayed_topk,
@@ -4152,6 +4114,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dau_wau_mau": q_events_dau_wau_mau,
         "events_cusum_changepoint": q_events_cusum_changepoint,
         "cdc_asof_diff": q_cdc_asof_diff,
+        # ------------------------------------------------------------
+        # below the driver's 50-row window (position 51+), in r9
+        # priority order. Every query below is ledger-checked each
+        # round (LEDGER_r9).
+        # ------------------------------------------------------------
+        # -- r9 window heads: the 8 remaining never-driver-checked
         "events_did_uplift": q_events_did_uplift,
         "corpus_novelty_curve": q_corpus_novelty_curve,
         "cdc_write_amplification": q_cdc_write_amplification,
@@ -4160,27 +4128,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_tokenizer_fertility": q_corpus_tokenizer_fertility,
         "corpus_quantile_merge": q_corpus_quantile_merge,
         "dedup_idempotence": q_dedup_idempotence,
-        # -- the unrecorded mid-r7 rotation: 17 r6-new queries (never
-        #    driver-checked, next-window priority) + 33 r4/r5-green
-        #    refresh rows
-        "corpus_tfidf_topk": q_corpus_tfidf_topk,
-        "snapshot_large_orders": q_snapshot_large_orders,
-        "snapshot_top_supplier": q_snapshot_top_supplier,
-        "snapshot_forecast_revenue": q_snapshot_forecast_revenue,
-        "cdc_disorder_displacement": q_cdc_disorder_displacement,
-        "corpus_source_overlap": q_corpus_source_overlap,
-        "corpus_temperature_mix": q_corpus_temperature_mix,
-        "events_type_transitions": q_events_type_transitions,
-        "mm_audio_features": q_mm_audio_features,
-        "snapshot_diff_drilldown": q_snapshot_diff_drilldown,
-        "dedup_lsh_calibration": q_dedup_lsh_calibration,
-        "corpus_gate_report": q_corpus_gate_report,
-        "cdc_incremental_distinct": q_cdc_incremental_distinct,
-        "events_session_paths": q_events_session_paths,
-        "dedup_savings_report": q_dedup_savings_report,
-        "cdc_hot_keys": q_cdc_hot_keys,
-        "snapshot_bracket_revenue": q_snapshot_bracket_revenue,
-        # -- r4-green leave-outs, driver evidence three rounds old (9)
+        # -- r9 next: r4-green rows, driver evidence 4+ rounds old.
+        #    These CARRY the retired r1/r2 surfaces (VERDICT r7 item 3):
+        #    cdc_progress <- cdc_checkpoint_ts + cdc_heartbeat_progress;
+        #    cdc_type_format <- cdc_timezone_format; sink_sql_generation
+        #    <- sink_sql_oracle_dialect; sink_payload_roundtrip <-
+        #    sink_obinlog_payload + cdc_arbiter_dedup.
         "cdc_kv_decode": q_cdc_kv_decode,
         "cdc_kv_decode_update": q_cdc_kv_decode_update,
         "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
@@ -4190,7 +4143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "mm_assets": q_mm_assets,
         "cdc_progress": q_cdc_progress,
-        # -- r5-green rows refreshing their driver evidence (24)
+        # -- r5-green rows (24) awaiting refresh
         "ann_doc_lsh": q_ann_doc_lsh,
         "dedup_incremental": q_dedup_incremental,
         "doc_cdc_chunks": q_doc_cdc_chunks,
@@ -4215,12 +4168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_clusters": q_dedup_embedding_clusters,
         "cdc_gc_safepoint": q_cdc_gc_safepoint,
         "cdc_causality_groups": q_cdc_causality_groups,
-        # ------------------------------------------------------------
-        # below the driver's 50-row window (position 51+): the 25
-        # remaining r5-green rows (rotating in r8 with r7-new), then
-        # the 17 r6-green rows checked by CORRECTNESS_r06 last round —
-        # all ledger-checked each round (LEDGER_r7)
-        # ------------------------------------------------------------
+        # -- r5-green rows (25) awaiting refresh
         "sink_bulk_batches": q_sink_bulk_batches,
         "snapshot_checksum_orders": q_snapshot_checksum_orders,
         "cdc_pc_match": q_cdc_pc_match,
@@ -4246,7 +4194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        # -- r6-green (CORRECTNESS_r06, freshest driver evidence)
+        # -- r6-green rows (CORRECTNESS_r06)
         "cdc_pitr_restore": q_cdc_pitr_restore,
         "corpus_inverted_index": q_corpus_inverted_index,
         "snapshot_returned_items": q_snapshot_returned_items,
@@ -4297,6 +4245,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_stats": q_corpus_token_stats,
         "text_bigram_lm": q_text_bigram_lm,
         "corpus_full_curation": q_corpus_full_curation,
+        # -- r7-green rows (CORRECTNESS_r07, freshest driver evidence)
+        "ann_pca_project": q_ann_pca_project,
+        "rag_retrieve_pack": q_rag_retrieve_pack,
+        "dedup_url_canonical": q_dedup_url_canonical,
+        "corpus_source_divergence": q_corpus_source_divergence,
+        "text_quality_classifier": q_text_quality_classifier,
+        "cdc_write_skew": q_cdc_write_skew,
+        "cdc_source_gaps": q_cdc_source_gaps,
+        "cdc_conflict_rate": q_cdc_conflict_rate,
+        "snapshot_late_orders": q_snapshot_late_orders,
+        "snapshot_market_share": q_snapshot_market_share,
+        "snapshot_product_profit": q_snapshot_product_profit,
+        "snapshot_order_counts": q_snapshot_order_counts,
+        "snapshot_promo_revenue": q_snapshot_promo_revenue,
+        "snapshot_small_qty_revenue": q_snapshot_small_qty_revenue,
+        "snapshot_waiting_suppliers": q_snapshot_waiting_suppliers,
+        "snapshot_idle_customers": q_snapshot_idle_customers,
+        "snapshot_min_cost_supplier": q_snapshot_min_cost_supplier,
+        "snapshot_important_parts": q_snapshot_important_parts,
+        "snapshot_ship_priority_mix": q_snapshot_ship_priority_mix,
+        "snapshot_supplier_part_counts": q_snapshot_supplier_part_counts,
+        "snapshot_dominant_suppliers": q_snapshot_dominant_suppliers,
+        "ann_kmeans_clusters": q_ann_kmeans_clusters,
+        "dedup_semantic": q_dedup_semantic,
+        "cdc_bootstrap_catchup": q_cdc_bootstrap_catchup,
+        "cdc_txn_fanout": q_cdc_txn_fanout,
+        "corpus_budget_select": q_corpus_budget_select,
+        "cdc_relay_recovery": q_cdc_relay_recovery,
+        "dedup_consensus": q_dedup_consensus,
+        "cdc_schema_adoption": q_cdc_schema_adoption,
+        "dedup_bloom": q_dedup_bloom,
+        "corpus_ngram_topk": q_corpus_ngram_topk,
+        "snapshot_zorder_layout": q_snapshot_zorder_layout,
+        "mm_phash_pairs": q_mm_phash_pairs,
+        "cdc_checkpoint_lag": q_cdc_checkpoint_lag,
+        "events_windowed_topk": q_events_windowed_topk,
+        "corpus_kmv_distinct": q_corpus_kmv_distinct,
+        "events_anomaly_zscore": q_events_anomaly_zscore,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "corpus_surprisal_histogram": q_corpus_surprisal_histogram,
+        "events_active_users": q_events_active_users,
+        "events_bot_regularity": q_events_bot_regularity,
+        "snapshot_diff_repair": q_snapshot_diff_repair,
+        "corpus_gate_sweep": q_corpus_gate_sweep,
+        "corpus_chunk_savings": q_corpus_chunk_savings,
+        "corpus_kmv_merge": q_corpus_kmv_merge,
+        "doc_semantic_chunks": q_doc_semantic_chunks,
+        "text_lang_confusion": q_text_lang_confusion,
+        "events_funnel_dropoff": q_events_funnel_dropoff,
+        "corpus_fold_leakage": q_corpus_fold_leakage,
+        "corpus_effective_tokens": q_corpus_effective_tokens,
     }
 
 
