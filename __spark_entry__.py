@@ -2862,9 +2862,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable SemDeDup: integer k-means clusters, then
     keep-lowest-id within each cluster under a cross-multiplied BIGINT
     cosine test (cos >= 0.35, no float division anywhere). Upgrades
-    the semantic-dedup evidence from pytest-only to hash-checked;
-    `similarity.semantic_dedup` stays the production variant with
-    derived k."""
+    the semantic-dedup evidence from pytest-only to hash-checked.
+    k is DERIVED as ceil(n / 50) on both sides (the oracle's kv CTE
+    re-computes it), so the per-cluster pair join stays bounded at
+    any corpus size — the guard refuses quadratic configs."""
     return simfn.semantic_dedup_exact(_embs(spark, sf_dir))
 
 

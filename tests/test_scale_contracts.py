@@ -478,6 +478,33 @@ def test_semantic_dedup_k_scales_with_corpus(spark):
     assert small.count() == 40
 
 
+def test_semantic_dedup_exact_refuses_quadratic_clusters(spark):
+    """The oracle twin carries the SAME guard as the production
+    variant (VERDICT r7 item 2): a mass-duplicate corpus funneled
+    into few clusters cannot trigger the O(n^2) per-cluster self-join
+    — a fixed k too small for n raises, and the derived default
+    yields ceil(n / target) clusters exactly as the oracle's
+    GREATEST(1, (n + t - 1) // t) re-derivation."""
+    import pytest
+    from tidb_binlog_spark.functions.similarity import semantic_dedup_exact
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % 7 + j).cast("double")
+                  for j in range(4)]).alias("embedding"))
+    # a mass-duplicate corpus with k too small -> refused
+    with pytest.raises(ValueError, match="quadratic"):
+        semantic_dedup_exact(emb, k=2, iters=1, max_cluster_size=50)
+    # derived k: n=300, target=50 -> exactly 6 initial centroids
+    out = semantic_dedup_exact(emb, iters=1, target_cluster_size=50,
+                               max_cluster_size=50)
+    assert out.count() == 300
+    assert out.select("cluster_id").distinct().count() >= 2
+    # opt-out for known-small corpora
+    small = semantic_dedup_exact(emb.limit(40), k=2, iters=1,
+                                 max_cluster_size=None)
+    assert small.count() == 40
+
+
 def test_new_snapshot_queries_plan_contracts(spark):
     """Q10/Q7-flavor plans: every dimension join broadcasts, the only
     shuffle join is the fact-side lineitem x orders key join, the

@@ -1157,13 +1157,29 @@ QUANT_EMB_CTE = """emb AS (
   FROM embeddings)"""
 
 
-def kmeans_int_ctes(k: int = 10, iters: int = 2, dims: int = 64) -> str:
+def kmeans_int_ctes(k: int = 10, iters: int = 2, dims: int = 64,
+                    derived_k_target: int | None = None) -> str:
     """CTE chain mirroring similarity.kmeans_integer over a CTE
     ``emb(id, vec)`` of BIGINT lists. Ends in ``afin(id, vec, cid,
     dist)`` — the final assignment under the post-update centroids.
     Unrolled per iteration: assignment (argmin dist, ties to lowest
-    cid), floor-mean centroid update, empty-cluster carry-over."""
-    parts = [f"""c0 AS (
+    cid), floor-mean centroid update, empty-cluster carry-over.
+
+    ``derived_k_target`` mirrors semantic_dedup_exact's derived
+    k = ceil(n / target_cluster_size): Python ``-(-n // t)`` ==
+    ``(n + t - 1) // t`` for n >= 0, emitted here as a ``kv`` scalar
+    CTE so the oracle re-derives the same k the Spark side counts."""
+    if derived_k_target is not None:
+        t = int(derived_k_target)
+        parts = [f"""kv AS (
+  SELECT GREATEST(1, (COUNT(*) + {t - 1}) // {t}) AS k FROM emb),
+c0 AS (
+  SELECT cid, cvec FROM (
+    SELECT row_number() OVER (ORDER BY id) - 1 AS cid, vec AS cvec
+    FROM emb) CROSS JOIN kv
+  WHERE cid < kv.k)"""]
+    else:
+        parts = [f"""c0 AS (
   SELECT row_number() OVER (ORDER BY id) - 1 AS cid, vec AS cvec
   FROM (SELECT id, vec FROM emb ORDER BY id LIMIT {k}))"""]
     for i in range(iters):
@@ -1209,7 +1225,7 @@ FROM afin
 
 DEDUP_SEMANTIC = f"""
 WITH {QUANT_EMB_CTE},
-{kmeans_int_ctes()},
+{kmeans_int_ctes(derived_k_target=50)},
 m AS (SELECT id, cid, vec, {_int_dot("vec", "vec")} AS n2 FROM afin),
 dups AS (
   SELECT DISTINCT b.id AS dup_id

@@ -690,11 +690,14 @@ def ivf_incremental_report(base: DataFrame, new: DataFrame,
                     "new_mean_dist", "growth_ppm", "retrain"))
 
 
-def semantic_dedup_exact(embeddings: DataFrame, k: int = 10,
+def semantic_dedup_exact(embeddings: DataFrame, k: int | None = None,
                          iters: int = 2, scale: int = 1000,
                          thr_num: int = 7, thr_den: int = 20,
                          id_col: str = "vec_id",
-                         emb_col: str = "embedding") -> DataFrame:
+                         emb_col: str = "embedding",
+                         target_cluster_size: int = 50,
+                         max_cluster_size: int | None = 10_000
+                         ) -> DataFrame:
     """Oracle-checkable SemDeDup (Abbas et al. 2023): micro-quantize,
     cluster with ``kmeans_integer``, then inside each cluster drop any
     vector whose cosine to a LOWER-id member reaches thr_num/thr_den.
@@ -702,13 +705,29 @@ def semantic_dedup_exact(embeddings: DataFrame, k: int = 10,
     ``den^2 * dot^2 >= num^2 * |a|^2 * |b|^2`` with ``dot > 0`` — so no
     float division or sqrt ever runs and both engines agree exactly.
 
-    ``semantic_dedup`` (above) is the production variant with derived k
-    and per-cluster caps; this twin trades the knobs for exact
-    verifiability. Pairwise work stays bounded per cluster (the
+    ``semantic_dedup`` (above) is the production float variant; this
+    twin trades float cosine for exact verifiability but keeps the SAME
+    scale guard: by default k is DERIVED, k = ceil(n /
+    target_cluster_size) (``-(-n // t)``; the DuckDB oracle mirrors it
+    as ``GREATEST(1, (COUNT(*) + t - 1) // t)``, so hash parity
+    survives the derivation), and an explicit k is validated against
+    ``max_cluster_size`` — without this, a fixed k makes the
+    per-cluster self-join O(n^2/k), a genuine 100 TB scale-killer.
+    Pairwise work is therefore actually bounded per cluster (the
     SemDeDup contract); the pair join shuffles on cluster_id only.
 
     Returns every input id: (id, cluster_id, is_kept).
     """
+    if k is None or max_cluster_size is not None:
+        n = embeddings.count()
+    if k is None:
+        k = max(1, -(-n // target_cluster_size))
+    if max_cluster_size is not None and n / k > max_cluster_size:
+        raise ValueError(
+            f"semantic_dedup_exact: k={k} gives ~{n // k} vectors/"
+            f"cluster (> max_cluster_size={max_cluster_size}); the "
+            f"per-cluster self-join would be quadratic at this size — "
+            f"raise k, or pass max_cluster_size=None to override")
     q = embeddings.select(
         F.col(id_col),
         F.expr(quantized_vec_expr(emb_col, scale)).alias("qvec"))
