@@ -2307,7 +2307,25 @@ def q_snapshot_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("revenue")))
 
 
-PCA_ORACLE_PATH = "/tmp/spark_graft_pca_oracle.parquet"
+_PCA_SCRATCH: str | None = None
+
+
+def _pca_oracle_path() -> str:
+    """Per-process private scratch path for the PCA oracle artifact.
+    mkdtemp (mode 0700, unpredictable name) instead of a fixed
+    world-writable /tmp name so another local user can neither
+    pre-create nor swap the parquet/.meta pair the oracle trusts
+    (ADVICE r7); the freshness sidecar still skips rebuilds within
+    the process."""
+    global _PCA_SCRATCH
+    if _PCA_SCRATCH is None:
+        import atexit
+        import shutil
+        import tempfile
+        _PCA_SCRATCH = tempfile.mkdtemp(prefix="spark_graft_pca_")
+        atexit.register(shutil.rmtree, _PCA_SCRATCH,
+                        ignore_errors=True)
+    return os.path.join(_PCA_SCRATCH, "pca_oracle.parquet")
 
 
 def _write_pca_oracle(sf_dir: str, dims: int = 64, k: int = 8,
@@ -2330,10 +2348,10 @@ def _write_pca_oracle(sf_dir: str, dims: int = 64, k: int = 8,
 
     key = hashlib.sha256(
         json.dumps([sf_dir, dims, k, scale]).encode()).hexdigest()
-    meta_path = PCA_ORACLE_PATH + ".meta"
+    path = _pca_oracle_path()
+    meta_path = path + ".meta"
     try:
-        if (open(meta_path).read() == key
-                and os.path.exists(PCA_ORACLE_PATH)):
+        if open(meta_path).read() == key and os.path.exists(path):
             return
     except OSError:
         pass
@@ -2356,7 +2374,7 @@ def _write_pca_oracle(sf_dir: str, dims: int = 64, k: int = 8,
         va = np.array(v, dtype=np.int64)
         off = int(s @ va)
         out[f"pc{j}"] = [int(n) * int(Q[i] @ va) - off for i in range(n)]
-    pq.write_table(pa.table(out), PCA_ORACLE_PATH)
+    pq.write_table(pa.table(out), path)
     with open(meta_path, "w") as f:
         f.write(key)
 
@@ -4006,10 +4024,16 @@ def _markov_sql(iters: int = 4) -> str:
            WHERE state = 'START'),
     fullv AS (SELECT conv_ppm AS full_ppm FROM sv
               WHERE removed = '(none)'),
-    per AS (SELECT removed AS channel, full_ppm,
-                   conv_ppm AS removed_ppm,
-                   full_ppm - conv_ppm AS drop_ppm
-            FROM sv, fullv WHERE removed <> '(none)'),
+    -- LEFT JOIN from chan, not sv: if removing a channel leaves START
+    -- with no reachable dst, the recursion emits no START row for it;
+    -- the Spark side materializes an explicit 0 (v.get(START, 0)), so
+    -- the oracle must too (ADVICE r7).
+    per AS (SELECT c.removed AS channel, full_ppm,
+                   COALESCE(sv.conv_ppm, 0) AS removed_ppm,
+                   full_ppm - COALESCE(sv.conv_ppm, 0) AS drop_ppm
+            FROM chan c LEFT JOIN sv ON c.removed = sv.removed,
+                 fullv
+            WHERE c.removed <> '(none)'),
     tot AS (SELECT CAST(SUM(drop_ppm) AS BIGINT) AS total_drop
             FROM per)
     SELECT channel, full_ppm, removed_ppm, drop_ppm,
@@ -5953,7 +5977,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_pca_project": f"""
             SELECT vec_id, pc0, pc1, pc2, pc3, pc4, pc5, pc6, pc7
-            FROM read_parquet('{PCA_ORACLE_PATH}')
+            FROM read_parquet('{_pca_oracle_path()}')
         """,
         "corpus_source_divergence": f"""
             WITH t AS (SELECT source, {osql.TOKS} AS toks FROM documents),
@@ -7143,30 +7167,36 @@ def oracle_sql() -> dict[str, str]:
             r0 AS (SELECT src AS node,
                           CAST(1000000 AS BIGINT) AS rank_micro
                    FROM deg),
-            it1 AS (SELECT e.dst AS node,
-                      CAST(150000 + (85 * CAST(SUM(r.rank_micro
-                                                   // d.outdeg)
-                                               AS BIGINT)) // 100
+            s1 AS (SELECT e.dst,
+                          CAST(SUM(r.rank_micro // d.outdeg) AS BIGINT)
+                            AS s
+                   FROM e JOIN r0 r ON e.src = r.node
+                   JOIN deg d ON e.src = d.src
+                   GROUP BY e.dst),
+            it1 AS (SELECT d0.src AS node,
+                      CAST(150000 + (85 * COALESCE(s1.s, 0)) // 100
                            AS BIGINT) AS rank_micro
-                    FROM e JOIN r0 r ON e.src = r.node
-                    JOIN deg d ON e.src = d.src
-                    GROUP BY e.dst),
-            it2 AS (SELECT e.dst AS node,
-                      CAST(150000 + (85 * CAST(SUM(r.rank_micro
-                                                   // d.outdeg)
-                                               AS BIGINT)) // 100
+                    FROM deg d0 LEFT JOIN s1 ON d0.src = s1.dst),
+            s2 AS (SELECT e.dst,
+                          CAST(SUM(r.rank_micro // d.outdeg) AS BIGINT)
+                            AS s
+                   FROM e JOIN it1 r ON e.src = r.node
+                   JOIN deg d ON e.src = d.src
+                   GROUP BY e.dst),
+            it2 AS (SELECT d0.src AS node,
+                      CAST(150000 + (85 * COALESCE(s2.s, 0)) // 100
                            AS BIGINT) AS rank_micro
-                    FROM e JOIN it1 r ON e.src = r.node
-                    JOIN deg d ON e.src = d.src
-                    GROUP BY e.dst),
-            it3 AS (SELECT e.dst AS node,
-                      CAST(150000 + (85 * CAST(SUM(r.rank_micro
-                                                   // d.outdeg)
-                                               AS BIGINT)) // 100
+                    FROM deg d0 LEFT JOIN s2 ON d0.src = s2.dst),
+            s3 AS (SELECT e.dst,
+                          CAST(SUM(r.rank_micro // d.outdeg) AS BIGINT)
+                            AS s
+                   FROM e JOIN it2 r ON e.src = r.node
+                   JOIN deg d ON e.src = d.src
+                   GROUP BY e.dst),
+            it3 AS (SELECT d0.src AS node,
+                      CAST(150000 + (85 * COALESCE(s3.s, 0)) // 100
                            AS BIGINT) AS rank_micro
-                    FROM e JOIN it2 r ON e.src = r.node
-                    JOIN deg d ON e.src = d.src
-                    GROUP BY e.dst)
+                    FROM deg d0 LEFT JOIN s3 ON d0.src = s3.dst)
             SELECT it3.node AS doc_id, it3.rank_micro,
                    deg.outdeg
             FROM it3 JOIN deg ON it3.node = deg.src

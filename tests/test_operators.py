@@ -1776,6 +1776,32 @@ def test_pagerank_star_centrality_and_exact_arithmetic(spark):
                for i in range(1, 6))
 
 
+def test_pagerank_keeps_source_only_nodes(spark):
+    """Directed graph: a node with out-edges but NO in-edges must stay
+    in the output at base rank (1-d), not vanish after iteration 1,
+    and keep contributing its mass (ADVICE r7)."""
+    from tidb_binlog_spark.operators.graph import pagerank
+    # 0 -> 1 -> 2 -> 1 (node 0 is source-only; 2<->1 cycle)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 1)], "src long, dst long")
+    out = {r.node: r for r in pagerank(edges, iters=3).collect()}
+    # nodes with out-edges all present (2 is a dst too; dangling
+    # nodes with no out-edges stay out by the documented contract)
+    assert set(out) == {0, 1, 2}
+    # source-only node holds exactly the (1-d) base rank every round
+    assert out[0].rank_micro == 150_000
+    # python replica including 0's contribution each iteration
+    deg = {0: 1, 1: 1, 2: 1}
+    ranks = {0: 1_000_000, 1: 1_000_000, 2: 1_000_000}
+    adj = {1: [0, 2], 2: [1], 0: []}
+    for _ in range(3):
+        ranks = {n: 150_000 + (85 * sum(ranks[s] // deg[s]
+                                        for s in srcs)) // 100
+                 for n, srcs in adj.items()}
+    for n in (0, 1, 2):
+        assert out[n].rank_micro == ranks[n], n
+
+
 def test_rare_feature_edges_symmetric_and_df_bounded(spark):
     from tidb_binlog_spark.operators.graph import rare_feature_edges
     docs = spark.createDataFrame(

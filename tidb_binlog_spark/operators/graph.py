@@ -75,13 +75,22 @@ def pagerank(edges: DataFrame, iters: int = 3,
     ranks = deg.select(F.col("src").alias("node"),
                        F.lit(1_000_000).cast("bigint").alias("rank_micro"))
     for _ in range(iters):
-        contrib = (edges.join(deg, "src")
-                   .join(ranks, edges["src"] == ranks["node"])
-                   .select(F.col("dst"),
-                           F.expr("rank_micro DIV outdeg").alias("c")))
-        ranks = (contrib.groupBy("dst")
-                 .agg(F.expr(f"CAST({base} + ({damping_pct} * sum(c)) "
-                             "DIV 100 AS BIGINT)").alias("rank_micro"))
-                 .select(F.col("dst").alias("node"), "rank_micro"))
+        sums = (edges.join(deg, "src")
+                .join(ranks, edges["src"] == ranks["node"])
+                .select(F.col("dst"),
+                        F.expr("rank_micro DIV outdeg").alias("c"))
+                .groupBy("dst")
+                .agg(F.expr("CAST(sum(c) AS BIGINT)").alias("s")))
+        # left-join back onto the FULL node set (deg): a node with
+        # out-edges but no in-edges keeps its (1-d) base rank and its
+        # outgoing contribution instead of silently vanishing after
+        # iteration 1 (only relevant for directed graphs; on symmetric
+        # edge sets every src is also a dst and the join is total).
+        ranks = (deg.select(F.col("src").alias("node"))
+                 .join(sums, F.col("node") == F.col("dst"), "left")
+                 .select("node",
+                         F.expr(f"CAST({base} + ({damping_pct} * "
+                                "coalesce(s, CAST(0 AS BIGINT))) "
+                                "DIV 100 AS BIGINT)").alias("rank_micro")))
     return (ranks.join(deg, ranks["node"] == deg["src"])
             .select("node", "rank_micro", "outdeg"))
