@@ -1507,6 +1507,30 @@ def _shared_catalog(db_dir):
     return cat_mod.SinkCatalog(fetch)
 
 
+def test_sql_batch_applier_refuses_ddl_storm(spark, tmp_path):
+    """VERDICT r7 item 7: the per-batch DDL collect is explicitly
+    capped — a batch carrying more DDL events than max_ddl_per_batch
+    raises a clear error instead of collecting an unbounded row list
+    onto the driver. A batch at the cap still applies."""
+    import pytest
+
+    db_dir = str(tmp_path / "db")
+    os.makedirs(db_dir)
+    setup = ("CREATE TABLE IF NOT EXISTS t "
+             "(pk INTEGER PRIMARY KEY, val REAL)",)
+    storm = [(i, 10 + i, "DDL", 0, 0.0,
+              f"ALTER TABLE t ADD COLUMN c{i} TEXT") for i in range(5)]
+    batch = _mixed_stream_rows(spark, storm).persist()
+    applier = pipeline.SqlBatchApplier(db_dir, setup_sql=setup,
+                                       max_ddl_per_batch=3)
+    with pytest.raises(RuntimeError, match="DDL"):
+        applier.apply(batch)
+    # at the cap: applies cleanly (5 DDLs <= cap 5)
+    applier_ok = pipeline.SqlBatchApplier(db_dir, setup_sql=setup,
+                                          max_ddl_per_batch=5)
+    applier_ok.apply(batch.persist())
+
+
 def test_sql_apply_stream_sequences_ddl_mid_stream(spark, tmp_path):
     """VERDICT r5 item 1: DML+DDL mixed in one stream. Each DDL is a
     barrier — DML below it applies first, the DDL executes with the

@@ -113,10 +113,17 @@ class SqlBatchApplier:
     checkpoints, per-table statement widths, causality-routed
     shared-downstream apply."""
 
+    # DDL rows are collect()ed per batch to sequence barriers; DDL is
+    # rare by nature, so this is bounded in any sane stream — the cap
+    # makes the contract explicit instead of letting a runaway DDL
+    # storm (e.g. a migration script replayed into the stream) OOM
+    # the driver (VERDICT r7 item 7).
+    MAX_DDL_PER_BATCH = 10_000
+
     def __init__(self, db_dir: str, setup_sql: tuple[str, ...] = (),
                  num_workers: int = 2, window=None, sync_ddl: bool = True,
                  catalog=None, cfg=None, resume_ts: int = -1,
-                 relay=None):
+                 relay=None, max_ddl_per_batch: int | None = None):
         from ..operators import safe_mode as sm
         self.db_dir = db_dir
         self.setup_sql = setup_sql
@@ -127,6 +134,9 @@ class SqlBatchApplier:
         self.cfg = cfg
         self.resume_ts = resume_ts
         self.relay = relay
+        self.max_ddl_per_batch = (self.MAX_DDL_PER_BATCH
+                                  if max_ddl_per_batch is None
+                                  else max_ddl_per_batch)
 
     def _table_value_cols(self, tbl: str) -> tuple[str, ...]:
         """Statement width for one table: the sink catalog's CURRENT
@@ -258,12 +268,23 @@ class SqlBatchApplier:
         # (drainer/syncer.go:433-537; pkg/loader/load.go:401-496).
         ddl_rows = []
         if self.sync_ddl:
+            cap = self.max_ddl_per_batch
+            # limit(cap+1) bounds what ever reaches the driver; the
+            # overflow check turns a silent OOM into a clear error.
             ddl_rows = (ddl_mod.prep_for_apply(
                 ok.filter(F.col("op") == "DDL")
                   .withColumn("ddl_sql", F.col("row_json")))
                 .select("commit_ts", "db", "tbl", "ddl_sql",
                         "should_skip")
-                .orderBy("commit_ts").collect())
+                .orderBy("commit_ts").limit(cap + 1).collect())
+            if len(ddl_rows) > cap:
+                ok.unpersist()
+                batch_df2.unpersist()
+                raise RuntimeError(
+                    f"SqlBatchApplier: batch carries more than "
+                    f"{cap} DDL events — refusing to collect a DDL "
+                    f"storm onto the driver; split the stream or "
+                    f"raise max_ddl_per_batch")
         dml = ok.filter(F.col("op") != "DDL")
         lo = self.resume_ts
         for d in ddl_rows:
