@@ -21,145 +21,96 @@ import __spark_entry__ as entry
 from tidb_binlog_spark.cache import release_all
 from tidb_binlog_spark.session import get_spark
 
-HEADLINE = [
+# Tiered bench (VERDICT r7 item 6): a STABLE core tracked
+# round-over-round (the pipeline spine, the 13 queries shared with the
+# round-1 operative baseline, and the heaviest per-family
+# representatives — names never rotate, so BENCH_r{N} cores diff
+# directly), plus a rotating EXTENDED tier carrying the same-round
+# cost-recording convention (each query appears the round its first
+# driver CORRECTNESS row lands, then drops out).
+CORE = [
+    # spine
     "cdc_snapshot_apply",        # full pipeline spine: order->compact->apply
     "cdc_full_pipeline",         # declarative config: filter+route+compact
     "cdc_kway_merge",            # multi-source merge + watermark gate
     "cdc_wide_row_apply",        # per-PK merge over the map row model
     "cdc_pc_match",              # P/C binlog join
     "cdc_kv_decode",             # KV row-value codec (Arrow mapInPandas)
+    "cdc_relay_recovery",        # CRC-framed WAL write + pruned re-apply
+    "cdc_scd2_history",          # SCD2 version intervals per PK
+    "cdc_incremental_agg",       # delta-maintained group aggregates
+    # sinks / wire
     "sink_bulk_batches",         # compaction + batched statement build
     "sink_sql_generation",       # dual-dialect statement projection
+    "sink_kafka_obinlog",        # protobuf wire + single-producer frame
+    # dedup family
     "dedup_exact",               # content-hash dedup clusters
     "dedup_minhash_lsh",         # MinHash+LSH near-dup pairs
     "dedup_simhash_pairs",       # SimHash signatures + banded pairs
-    "dedup_substring_spans",     # suffix-array-style span dedup
-    "text_decontaminate_spans",  # span-level benchmark decontam
-    "text_mix_weights",          # domain mixing to target weights
+    "dedup_consensus",           # 2-of-3 multi-signal dedup (heaviest)
+    "dedup_semantic",            # SemDeDup, derived-k guarded
+    # ANN family
     "ann_cosine_topk",           # brute-force cosine top-k
     "ann_ivf_topk",              # IVF inverted-list search
-    "curation_pipeline",         # lang-ID + quality + dedup composed
-    "events_sessionize",         # gap-based sessionization
-    "events_asof_attribution",   # as-of join (union + carry window)
-    "events_session_stitch",     # bucketed point-in-interval join
-    "events_funnel",             # k-step conversion funnel
-    "events_rolling_activity",   # range-frame rolling aggregates
-    "events_cohort_retention",   # weekly cohort retention matrix
-    "events_overlap_bursts",     # interval x interval overlap join
-    "cdc_scd2_history",          # SCD2 version intervals per PK
-    "cdc_time_travel",           # as-of read over the history
-    "cdc_scd2_incremental",      # split-apply SCD2 maintenance
-    "cdc_incremental_agg",       # delta-maintained group aggregates
-    "cdc_incremental_join_agg",  # two-level fact x dim IVM
-    "snapshot_rollup_revenue",   # grouping-sets Expand aggregate
-    "text_pii_scrub",            # regex scrub projection
-    "text_profile",              # all per-doc text metrics, projection-joined
-    "text_line_dedup",           # corpus-frequency line removal
+    "ann_pca_project",           # integer moments -> eigh basis
+    # text / corpus
     "text_bm25",                 # broadcast-stats keyword relevance
-    "text_unigram_lm",           # unigram surprisal scoring
+    "text_profile",              # all per-doc text metrics
+    "text_bpe_encode",           # capped BPE learn + Arrow encode
+    "doc_semantic_chunks",       # TextTiling topic-boundary splits
+    "corpus_kmv_merge",          # KMV sketch + in-query merge proof
     "corpus_full_curation",      # composed line-dedup->score->gate->pack
-    "doc_fingerprint",           # winnowing fingerprints
+    "curation_pipeline",         # lang-ID + quality + dedup composed
+    "rag_retrieve_pack",         # retrieve -> dedup -> context pack
+    # events / snapshot analytics
+    "events_sessionize",         # gap-based sessionization
+    "events_funnel",             # k-step conversion funnel
     "mm_assets",                 # mapInPandas multimodal plumbing
     "snapshot_pricing_summary",  # wide aggregate over lineitem
     "snapshot_revenue_by_nation",# broadcast join chain
     "snapshot_checksum_orders",  # sync-diff style checksum
-    # r5: the nine newly driver-rotated queries record cost in the
-    # same round their first CORRECTNESS row lands (VERDICT r4 item 9)
-    "ann_doc_lsh",               # hash_embed -> LSH -> top-k composition
-    "dedup_incremental",         # anti-join ingest vs persisted index
-    "doc_cdc_chunks",            # content-defined chunking
-    "dedup_containment",         # banded-LSH partial-copy candidates
-    "corpus_source_report",      # per-source corpus aggregate
-    "dedup_chunk_minhash",       # paragraph-level MinHash reuse
-    "cdc_incremental_agg_wide",  # IVM over the wide map model
-    "cdc_temporal_join",         # fact x SCD2 interval join
-    "cdc_incremental_rollup",    # delta-maintained ROLLUP cube
-    # r5: new operators
-    "sink_kafka_obinlog",        # protobuf wire + single-producer frame
-    "cdc_reparo_replay",         # pb dump -> CRC-framed file replay
-    "text_bpe_encode",           # capped BPE learn + Arrow encode
-    "cdc_pitr_restore",          # pb dump -> stop-tso replay -> snapshot
-    "corpus_inverted_index",     # rank-capped posting lists
-    "snapshot_returned_items",   # Q10-flavor top-k revenue
-    "snapshot_volume_shipping",  # Q7-flavor nation-pair matrix
-    "snapshot_cust_no_orders",   # Q22-flavor anti join
-    # r6: first-driver-window queries + new operators record cost in
-    # the same round their first CORRECTNESS row lands
-    "cdc_event_counters",        # per-(db,op) metrics aggregate
-    "cdc_update_images",         # old/new image NULL-safe WHERE build
-    "snapshot_top_customers",    # TakeOrderedAndProject top-k + rank
-    "corpus_tfidf_topk",         # inverted-index lexical similarity
-    "snapshot_large_orders",     # Q18-flavor HAVING sliver join
-    "snapshot_top_supplier",     # Q15-flavor scalar-max threshold
-    "snapshot_forecast_revenue", # Q6-flavor pushdown aggregate
-    "cdc_disorder_displacement", # per-source disorder audit
-    "corpus_source_overlap",     # near-dup source-pair matrix
-    # r7: late-r6 operators whose first driver CORRECTNESS rows land
-    # this round (same-round cost-recording convention)
-    "corpus_temperature_mix",    # alpha-sampling mixture caps
-    "events_type_transitions",   # event-type Markov matrix
-    "mm_audio_features",         # Arrow audio feature-framing stub
-    "snapshot_diff_drilldown",   # chunk-checksum -> recheck drilldown
-    "dedup_lsh_calibration",     # bands-vs-rows tuning telemetry
-    "corpus_gate_report",        # explainable filter audit
-    "cdc_incremental_distinct",  # exact distinct off the multiset
-    "events_session_paths",      # per-session path rollup
-    "dedup_savings_report",      # dedup byte-savings report
-    "cdc_hot_keys",              # top-written-PK skew report
-    "snapshot_bracket_revenue",  # Q19-flavor disjunctive brackets
-    # r7 window rotation: the 50 r7-new queries record cost in the
-    # same round their first driver CORRECTNESS row lands
-    "ann_pca_project",           # distributed integer moments -> eigh basis
-    "rag_retrieve_pack",         # retrieve -> dedup -> context pack
-    "dedup_url_canonical",       # URL canonicalization dedup
-    "corpus_source_divergence",  # per-source TV divergence (exact ints)
-    "text_quality_classifier",   # hashed linear classifier scores
-    "cdc_write_skew",            # per-(db,tbl) write-skew profile
-    "cdc_source_gaps",           # source-gap nearest-rank quantiles
-    "cdc_conflict_rate",         # UK-conflict rate telemetry
-    "snapshot_late_orders",      # Q4-flavor semi-join counts
-    "snapshot_market_share",     # Q8-flavor share-of-revenue ratio
-    "snapshot_product_profit",   # Q9-flavor profit rollup
-    "snapshot_order_counts",     # Q13-flavor outer-join histogram
-    "snapshot_promo_revenue",    # Q14-flavor conditional ratio
-    "snapshot_small_qty_revenue",# Q17-flavor correlated avg threshold
-    "snapshot_waiting_suppliers",# Q21-flavor multi-exists chain
-    "snapshot_idle_customers",   # Q22-flavor anti-join + scalar avg
-    "snapshot_min_cost_supplier",# Q2-flavor correlated min join
-    "snapshot_important_parts",  # Q11-flavor group-share threshold
-    "snapshot_ship_priority_mix",# Q12-flavor two-bucket counts
-    "snapshot_supplier_part_counts", # Q16-flavor distinct-supplier counts
-    "snapshot_dominant_suppliers",   # Q20-flavor half-stock threshold
-    "ann_kmeans_clusters",       # exact-integer k-means assignment
-    "dedup_semantic",            # SemDeDup within k-means clusters
-    "cdc_bootstrap_catchup",     # snapshot bootstrap + CDC catch-up
-    "cdc_txn_fanout",            # per-txn table/row fanout profile
-    "corpus_budget_select",      # quality-ranked token-budget select
-    "cdc_relay_recovery",        # relay-WAL crash recovery replay
-    "dedup_consensus",           # MinHash∪SimHash∪Jaccard 2-of-3
-    "cdc_schema_adoption",       # schema-version adoption interleave
-    "dedup_bloom",               # Bloom pre-filter incremental ingest
-    "corpus_ngram_topk",         # per-source collocation top-k
-    "snapshot_zorder_layout",    # Morton keys + zone-map spans
-    "mm_phash_pairs",            # dHash near-dup pairs (Arrow path)
-    "cdc_checkpoint_lag",        # merge-watermark blame report
-    "events_windowed_topk",      # tumbling-window per-type top-k
-    "corpus_kmv_distinct",       # KMV cardinality sketch + error
-    "events_anomaly_zscore",     # 3-sigma rolling anomaly flags
-    "ann_ivfpq_topk",            # IVF coarse probe + PQ ADC re-rank
-    "corpus_surprisal_histogram",# fixed-bin quality histogram
-    "events_active_users",       # windowed distinct active users
-    "events_bot_regularity",     # interarrival CV^2 bot detection
-    "snapshot_diff_repair",      # sync-diff fix-SQL generation
-    "corpus_gate_sweep",         # all gate thresholds, one pass
-    "corpus_chunk_savings",      # chunk-store dedup ratio
-    "corpus_kmv_merge",          # KMV mergeability proof in-query
-    "doc_semantic_chunks",       # TextTiling topic-boundary splits
-    "text_lang_confusion",       # declared-vs-detected lang matrix
-    "events_funnel_dropoff",     # per-stage conversion ppm
-    "corpus_fold_leakage",       # leakage-safe k-fold audit
-    "corpus_effective_tokens",   # dedup-weighted effective tokens
 ]
+
+# r8 extended tier: the 33 queries earning their FIRST driver
+# CORRECTNESS row this round (12 late-r7 + 21 r7-session-new); the 8
+# remaining r7-session-new rows rotate in with their r9 driver rows.
+EXTENDED = [
+    "events_ohlc",
+    "cdc_salt_advisor",
+    "corpus_oov_rate",
+    "events_multitouch",
+    "corpus_hll_registers",
+    "snapshot_compaction_plan",
+    "corpus_pagerank",
+    "corpus_dsir_select",
+    "ann_ivf_incremental",
+    "ann_int8_quant",
+    "events_rep_points",
+    "snapshot_stats_merge",
+    "corpus_quantile_sketch",
+    "corpus_cms_topk",
+    "events_decayed_topk",
+    "cdc_dml_mix_drift",
+    "events_growth_accounting",
+    "corpus_vocab_growth",
+    "ann_recall_curve",
+    "events_seasonal_residuals",
+    "dedup_lsh_accuracy",
+    "events_markov_attribution",
+    "cdc_redelivery_proof",
+    "rag_retrieval_ndcg",
+    "events_activity_gini",
+    "events_holt_forecast",
+    "events_peak_concurrency",
+    "events_conversion_latency",
+    "cdc_ddl_risk_audit",
+    "events_rfm_segments",
+    "events_dau_wau_mau",
+    "events_cusum_changepoint",
+    "cdc_asof_diff",
+]
+
+HEADLINE = CORE + EXTENDED
 
 
 def main() -> None:
@@ -276,12 +227,20 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    core_t = {n: timings[n] for n in CORE}
+    ext_t = {n: timings[n] for n in EXTENDED}
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "runs_per_query": 3,
         "queries": timings,
+        "tiers": {
+            "core": {"value": round(sum(core_t.values()), 3),
+                     "queries": core_t},
+            "extended": {"value": round(sum(ext_t.values()), 3),
+                         "queries": ext_t},
+        },
         "wire_marshal": wire_marshal,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
