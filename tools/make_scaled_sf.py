@@ -1,0 +1,86 @@
+"""Derive a LARGER scale-factor directory from an existing driver one
+by disjoint-keyspace replication — for scaling MEASUREMENTS only (the
+driver's own sf dirs stay authoritative for correctness; this never
+writes outside the repo).
+
+Construction (copies = N gives N x the rows):
+- events: copy i shifts event_id by i*max_id and user_id by
+  i*max_user, so the derived change stream gets N disjoint commit-ts
+  bands AND N x the distinct PKs — a 10x corpus looks like more keys,
+  not hotter keys. Everything else (op mix, source interleave,
+  disorder/dup markers) replicates structurally.
+- documents: copy i shifts doc_id and prefixes every token with
+  ``c{i}`` (copy 0 verbatim), which keeps each copy's internal
+  near-dup structure intact while making shingle spaces disjoint
+  across copies — the near-dup pair workload scales exactly N x
+  instead of exploding quadratically in the copy count.
+
+Types are preserved exactly via pyarrow (the driver parquet carries
+TIMESTAMP(NANOS) that engines downcast if rewritten naively).
+
+Usage: python tools/make_scaled_sf.py SRC_DIR DST_DIR COPIES
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _concat_write(parts: list[pa.Table], dst: str) -> int:
+    out = pa.concat_tables(parts)
+    pq.write_table(out, dst)
+    return out.num_rows
+
+
+def scale_events(src_dir: str, dst_dir: str, copies: int) -> int:
+    t = pq.read_table(os.path.join(src_dir, "events.parquet"))
+    id_span = pc.max(t["event_id"]).as_py() + 1
+    user_span = pc.max(t["user_id"]).as_py() + 1
+    parts = []
+    for i in range(copies):
+        c = t
+        if i:
+            c = c.set_column(
+                c.schema.get_field_index("event_id"), "event_id",
+                pc.add(c["event_id"], i * id_span))
+            c = c.set_column(
+                c.schema.get_field_index("user_id"), "user_id",
+                pc.add(c["user_id"], i * user_span))
+        parts.append(c)
+    return _concat_write(parts, os.path.join(dst_dir, "events.parquet"))
+
+
+def scale_documents(src_dir: str, dst_dir: str, copies: int) -> int:
+    t = pq.read_table(os.path.join(src_dir, "documents.parquet"))
+    doc_span = pc.max(t["doc_id"]).as_py() + 1
+    parts = []
+    for i in range(copies):
+        c = t
+        if i:
+            c = c.set_column(
+                c.schema.get_field_index("doc_id"), "doc_id",
+                pc.add(c["doc_id"], i * doc_span))
+            text = pc.replace_substring_regex(
+                c["text"], pattern=r"(\S+)", replacement=rf"c{i}\1")
+            c = c.set_column(
+                c.schema.get_field_index("text"), "text",
+                text.cast(c.schema.field("text").type))
+        parts.append(c)
+    return _concat_write(parts, os.path.join(dst_dir, "documents.parquet"))
+
+
+def main() -> None:
+    src, dst, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    os.makedirs(dst, exist_ok=True)
+    ne = scale_events(src, dst, copies)
+    nd = scale_documents(src, dst, copies)
+    print(f"wrote {dst}: events={ne} documents={nd} ({copies}x {src})")
+
+
+if __name__ == "__main__":
+    main()
