@@ -74,12 +74,34 @@ def scale_documents(src_dir: str, dst_dir: str, copies: int) -> int:
     return _concat_write(parts, os.path.join(dst_dir, "documents.parquet"))
 
 
+def scale_embeddings(src_dir: str, dst_dir: str, copies: int) -> int:
+    """Vectors replicate VERBATIM with shifted vec_id: the ANN
+    workloads select query/centroid sets by vec_id residues, so each
+    copy contributes its own queries and IVF lists — corpus, query
+    count, and centroid count all scale by N while per-list size
+    stays constant (the IVF contract)."""
+    t = pq.read_table(os.path.join(src_dir, "embeddings.parquet"))
+    span = pc.max(t["vec_id"]).as_py() + 1
+    parts = []
+    for i in range(copies):
+        c = t
+        if i:
+            c = c.set_column(
+                c.schema.get_field_index("vec_id"), "vec_id",
+                pc.add(c["vec_id"], i * span))
+        parts.append(c)
+    return _concat_write(parts,
+                         os.path.join(dst_dir, "embeddings.parquet"))
+
+
 def main() -> None:
     src, dst, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
     os.makedirs(dst, exist_ok=True)
     ne = scale_events(src, dst, copies)
     nd = scale_documents(src, dst, copies)
-    print(f"wrote {dst}: events={ne} documents={nd} ({copies}x {src})")
+    nv = scale_embeddings(src, dst, copies)
+    print(f"wrote {dst}: events={ne} documents={nd} embeddings={nv} "
+          f"({copies}x {src})")
 
 
 if __name__ == "__main__":
