@@ -582,15 +582,30 @@ def _dot_int_expr(a: str, b: str) -> str:
 def _assign_int(vecs: DataFrame, cents: DataFrame, id_col: str,
                 vec_col: str) -> DataFrame:
     """argmin-distance assignment of integer vectors to integer
-    centroids: broadcast crossJoin (k rows) + one per-id rank window —
-    the corpus itself never shuffles on anything but its own id."""
-    w = Window.partitionBy(id_col).orderBy("dist", "cluster_id")
-    return (vecs
-            .crossJoin(F.broadcast(cents))
-            .withColumn("dist", F.expr(_sq_l2_int_expr(vec_col, "cvec")))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .drop("rk", "cvec"))
+    centroids: broadcast crossJoin (k rows) + a map-side-combinable
+    ``min_by`` argmin. min_by over struct(dist, cluster_id) is the
+    lexicographic argmin with ties to the lowest cluster id — the
+    same contract as a per-id rank window, but the k-fold crossJoin
+    fan-out partially aggregates BEFORE the shuffle, so at most one
+    candidate row per (task, id) crosses the wire instead of all k —
+    the shape that matters when k scales with the corpus (semantic
+    dedup derives k = n/target). A nested array_min-over-transform
+    zero-shuffle variant measured SLOWER at fixture scale (nested
+    higher-order lambdas don't codegen as well as the flat fan-out);
+    at sf0.1 this and the window variant are within noise."""
+    exp = (vecs
+           .crossJoin(F.broadcast(cents))
+           .withColumn("dist", F.expr(_sq_l2_int_expr(vec_col, "cvec"))))
+    return (exp.groupBy(id_col)
+            .agg(F.min_by(
+                    F.struct(F.col("cluster_id"), F.col("dist"),
+                             F.col(vec_col).alias("_vec")),
+                    F.struct(F.col("dist"), F.col("cluster_id")))
+                 .alias("_b"))
+            .select(id_col,
+                    F.col("_b._vec").alias(vec_col),
+                    F.col("_b.cluster_id").alias("cluster_id"),
+                    F.col("_b.dist").alias("dist")))
 
 
 def kmeans_integer(vecs: DataFrame, k: int = 10, iters: int = 2,
