@@ -1994,6 +1994,30 @@ def test_lsh_accuracy_invariants_and_gray_zone(spark):
     assert r == r2
 
 
+def test_lsh_accuracy_truth_invariant_under_witness_rule(spark):
+    """The multi-witness candidate rule (min_shared) is a pure
+    pruning optimization: a J >= 0.5 pair shares many rare shingles,
+    so the truth set — and therefore the whole accuracy report — is
+    IDENTICAL at min_shared 1 and 3, while single-witness noise pairs
+    (sharing exactly one rare shingle, far below the J threshold)
+    leave the candidate set."""
+    import tidb_binlog_spark.functions.dedup as dd
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(27)) + " q1 q2 q3"
+    # noise docs share exactly one 3-gram window with base ("w0 w1 w2"
+    # appears once) but nothing else — single-witness candidates
+    noise = ["w0 w1 w2 " + " ".join(f"z{j}_{i}" for i in range(25))
+             for j in range(6)]
+    texts = [base, near] + noise
+    d = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    r1 = dd.lsh_accuracy(d, df_cap=30, min_shared=1).collect()[0]
+    r3 = dd.lsh_accuracy(d, df_cap=30, min_shared=3).collect()[0]
+    assert r1 == r3
+    assert r3["n_truth"] >= 1      # the near pair survives the rule
+
+
 def test_markov_attribution_hand_computed_chain(spark):
     """Three journeys (A->conv, A->B->conv, B->end) give a chain whose
     4-step removal effects are hand-computable in exact ppm."""

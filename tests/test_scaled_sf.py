@@ -1,0 +1,75 @@
+"""Contracts of the scaled-dataset builder (tools/make_scaled_sf.py):
+the scaling PROOF is only meaningful if the derived dataset scales the
+WORKLOAD linearly — disjoint keyspaces (not hotter keys), disjoint
+shingle spaces (not quadratic cross-copy near-dups), schema and types
+preserved exactly. Pure pyarrow, no Spark session needed."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+SRC = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def scaled(tmp_path_factory):
+    import make_scaled_sf as m
+    dst = str(tmp_path_factory.mktemp("scaled"))
+    m.scale_events(SRC, dst, 3)
+    m.scale_documents(SRC, dst, 3)
+    m.scale_embeddings(SRC, dst, 3)
+    return dst
+
+
+def test_events_scale_rows_keys_and_schema(scaled):
+    src = pq.read_table(os.path.join(SRC, "events.parquet"))
+    out = pq.read_table(os.path.join(scaled, "events.parquet"))
+    assert out.num_rows == 3 * src.num_rows
+    assert out.schema == src.schema           # TIMESTAMP(NANOS) intact
+    # disjoint id spans: every copy contributes its own event_id range
+    n_ids = len(pc.unique(out["event_id"]))
+    assert n_ids == 3 * len(pc.unique(src["event_id"]))
+    # distinct PKs scale too (more keys, not hotter keys)
+    assert len(pc.unique(out["user_id"])) == \
+        3 * len(pc.unique(src["user_id"]))
+
+
+def test_documents_disjoint_shingle_spaces(scaled):
+    src = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    out = pq.read_table(os.path.join(scaled, "documents.parquet"))
+    assert out.num_rows == 3 * src.num_rows
+    assert out.schema == src.schema
+    texts = out["text"].to_pylist()
+    n = src.num_rows
+    # copy 0 verbatim; copy i's tokens all carry the c{i} prefix, so
+    # no token (hence no shingle) is shared across copies
+    assert texts[:n] == src["text"].to_pylist()
+    for i in (1, 2):
+        toks = texts[i * n].split()
+        assert all(t.startswith(f"c{i}") for t in toks)
+    t0 = set(texts[0].split())
+    t1 = set(texts[n].split())
+    assert not (t0 & t1)
+
+
+def test_embeddings_verbatim_with_shifted_ids(scaled):
+    src = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    out = pq.read_table(os.path.join(scaled, "embeddings.parquet"))
+    assert out.num_rows == 3 * src.num_rows
+    assert out.schema == src.schema
+    n = src.num_rows
+    span = pc.max(src["vec_id"]).as_py() + 1
+    ids = out["vec_id"].to_pylist()
+    assert ids[:n] == src["vec_id"].to_pylist()
+    assert ids[n:2 * n] == [v + span for v in src["vec_id"].to_pylist()]
+    # vectors replicate verbatim (IVF lists stay constant-size)
+    assert out["embedding"].to_pylist()[n:2 * n] == \
+        src["embedding"].to_pylist()
