@@ -830,12 +830,18 @@ def q_snapshot_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double").alias("total_bal")))
 
 
-# NOTE: a fixed path (not pid-scoped) because the driver may evaluate
-# oracle_sql() in a different process than the query run; the
-# correctness harness runs one session at a time, and content is
-# deterministic per (sf_dir, merges) so a same-config overwrite is
-# byte-identical anyway.
-BPE_ORACLE_PATH = "/tmp/spark_graft_bpe_oracle.parquet"
+# NOTE: oracle artifacts live at FIXED paths (not pid-scoped) because
+# the driver may evaluate oracle_sql() in a different process than the
+# query run; the correctness harness runs one session at a time, and
+# content is deterministic per config so a same-config overwrite is
+# byte-identical anyway. The directory is REPO-LOCAL (not /tmp): a
+# fixed world-writable /tmp name would let another local user
+# pre-create or swap the parquet/.meta pair the oracle trusts
+# (ADVICE r7); the repo tree is owned by us and gitignored here.
+_ORACLE_SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".oracle_scratch")
+os.makedirs(_ORACLE_SCRATCH, exist_ok=True)
+BPE_ORACLE_PATH = os.path.join(_ORACLE_SCRATCH, "bpe_oracle.parquet")
 
 
 def _write_bpe_oracle(sf_dir: str, merges: list[tuple[str, str]]) -> None:
@@ -2307,25 +2313,16 @@ def q_snapshot_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("revenue")))
 
 
-_PCA_SCRATCH: str | None = None
-
-
 def _pca_oracle_path() -> str:
-    """Per-process private scratch path for the PCA oracle artifact.
-    mkdtemp (mode 0700, unpredictable name) instead of a fixed
-    world-writable /tmp name so another local user can neither
-    pre-create nor swap the parquet/.meta pair the oracle trusts
-    (ADVICE r7); the freshness sidecar still skips rebuilds within
-    the process."""
-    global _PCA_SCRATCH
-    if _PCA_SCRATCH is None:
-        import atexit
-        import shutil
-        import tempfile
-        _PCA_SCRATCH = tempfile.mkdtemp(prefix="spark_graft_pca_")
-        atexit.register(shutil.rmtree, _PCA_SCRATCH,
-                        ignore_errors=True)
-    return os.path.join(_PCA_SCRATCH, "pca_oracle.parquet")
+    """Fixed repo-local path for the PCA oracle artifact — the same
+    contract as BPE_ORACLE_PATH (see the NOTE there): cross-process
+    stable because the driver may evaluate oracle_sql() in a
+    different process than the query run, and repo-local (not a
+    world-writable /tmp name) so the parquet/.meta pair the oracle
+    trusts cannot be pre-created or swapped by another local user
+    (ADVICE r7). Content is deterministic per (sf_dir, dims, k,
+    scale); the sidecar skips redundant rebuilds."""
+    return os.path.join(_ORACLE_SCRATCH, "pca_oracle.parquet")
 
 
 def _write_pca_oracle(sf_dir: str, dims: int = 64, k: int = 8,
@@ -7717,14 +7714,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s, COUNT(*) AS df FROM shx GROUP BY s) t
               WHERE df <= 20),
             rsh AS (SELECT doc_id, s FROM shx JOIN rare USING (s)),
-            cand AS (
-              -- multi-witness rule (>= 3 distinct shared rare
-              -- shingles), mirroring dedup.lsh_accuracy min_shared
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            candraw AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared
               FROM rsh a JOIN rsh b
                 ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY a.doc_id, b.doc_id
-              HAVING COUNT(*) >= 3),
+              GROUP BY a.doc_id, b.doc_id),
+            cand AS (
+              -- multi-witness rule mirroring dedup.lsh_accuracy:
+              -- >= min(3, |sh_a|, |sh_b|) distinct shared rare
+              -- shingles (capped so identical tiny docs stay in)
+              SELECT doc_a, doc_b FROM candraw
+              JOIN sizes wa ON candraw.doc_a = wa.doc_id
+              JOIN sizes wb ON candraw.doc_b = wb.doc_id
+              WHERE n_shared >= GREATEST(1,
+                    LEAST(3, wa.n_sh, wb.n_sh))),
             inter AS (
               SELECT doc_a, doc_b,
                      CAST(COUNT(*) AS BIGINT) AS n_inter

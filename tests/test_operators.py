@@ -2018,6 +2018,23 @@ def test_lsh_accuracy_truth_invariant_under_witness_rule(spark):
     assert r3["n_truth"] >= 1      # the near pair survives the rule
 
 
+def test_lsh_accuracy_identical_tiny_docs_stay_truth(spark):
+    """Review repro: two IDENTICAL 4-token docs have only 2 distinct
+    3-gram shingles, fewer than min_shared=3 — the witness
+    requirement must cap at the pair's possible shingle count, or a
+    perfect J=1.0 duplicate is scored as an LSH false positive."""
+    import tidb_binlog_spark.functions.dedup as dd
+    tiny = "t0 t1 t2 t3"
+    noise = [" ".join(f"n{j}_{i}" for i in range(20)) for j in range(8)]
+    d = spark.createDataFrame(
+        [(i, t, "en", "s", len(t))
+         for i, t in enumerate([tiny, tiny] + noise)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    r = dd.lsh_accuracy(d, df_cap=30).collect()[0]
+    assert r["n_truth"] >= 1       # the identical tiny pair is truth
+    assert r["n_tp"] >= 1          # and the LSH catch scores as tp
+
+
 def test_markov_attribution_hand_computed_chain(spark):
     """Three journeys (A->conv, A->B->conv, B->end) give a chain whose
     4-step removal effects are hand-computable in exact ppm."""

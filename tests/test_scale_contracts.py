@@ -478,28 +478,55 @@ def test_semantic_dedup_k_scales_with_corpus(spark):
     assert small.count() == 40
 
 
-def test_semantic_dedup_exact_refuses_quadratic_clusters(spark):
-    """The oracle twin carries the SAME guard as the production
-    variant (VERDICT r7 item 2): a mass-duplicate corpus funneled
-    into few clusters cannot trigger the O(n^2) per-cluster self-join
-    — a fixed k too small for n raises, and the derived default
-    yields ceil(n / target) clusters exactly as the oracle's
-    GREATEST(1, (n + t - 1) // t) re-derivation."""
-    import pytest
+def test_semantic_dedup_exact_handles_mass_duplicates(spark):
+    """VERDICT r7 item 2 + review finding: scale protection must hold
+    on ACTUAL cluster sizes, not averages. A mass-duplicate corpus —
+    SemDeDup's motivating case — is handled by the exact-duplicate
+    collapse (clustering and the pair join see one representative per
+    distinct vector), and is_kept is exact: only the min-id member of
+    each identical nonzero group survives."""
     from tidb_binlog_spark.functions.similarity import semantic_dedup_exact
+    # 300 vectors, only 4 distinct values (the review's repro shape):
+    # every cluster would hold >= 75 identical vectors pre-collapse.
+    # The distinct values are orthogonal basis vectors (pairwise
+    # cosine 0 < 0.35), so cross-group pairs are NOT semantic dups.
     emb = spark.range(300).select(
         F.col("id").alias("vec_id"),
-        F.array(*[(F.col("id") % 7 + j).cast("double")
+        F.array(*[F.when(F.col("id") % 4 == j, 0.1).otherwise(0.0)
                   for j in range(4)]).alias("embedding"))
-    # a mass-duplicate corpus with k too small -> refused
+    out = semantic_dedup_exact(emb, iters=1, max_cluster_size=50)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == 300
+    # exactly the 4 group minima (ids 0..3) survive; all identical
+    # higher-id copies are dups of their representative
+    kept = {v for v, r in rows.items() if r["is_kept"]}
+    assert kept == set(range(4))
+    # zero vectors never count as dups (dot > 0 arm)
+    z = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.0) for _ in range(4)]).alias("embedding"))
+    zout = semantic_dedup_exact(z, iters=1)
+    assert all(r["is_kept"] for r in zout.collect())
+
+
+def test_semantic_dedup_exact_refuses_quadratic_distinct_clusters(spark):
+    """After the collapse the residual quadratic risk is DISTINCT
+    vector density: a fixed k too small for the distinct count must
+    still be refused, the derived default must scale with it, and
+    max_cluster_size=None still opts out."""
+    import pytest
+    from tidb_binlog_spark.functions.similarity import semantic_dedup_exact
+    # 300 DISTINCT vectors (id in every dimension)
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[((F.col("id") * 4 + j) / 10_000.0).cast("double")
+                  for j in range(4)]).alias("embedding"))
     with pytest.raises(ValueError, match="quadratic"):
         semantic_dedup_exact(emb, k=2, iters=1, max_cluster_size=50)
-    # derived k: n=300, target=50 -> exactly 6 initial centroids
     out = semantic_dedup_exact(emb, iters=1, target_cluster_size=50,
                                max_cluster_size=50)
     assert out.count() == 300
     assert out.select("cluster_id").distinct().count() >= 2
-    # opt-out for known-small corpora
     small = semantic_dedup_exact(emb.limit(40), k=2, iters=1,
                                  max_cluster_size=None)
     assert small.count() == 40

@@ -40,6 +40,16 @@ def test_events_scale_rows_keys_and_schema(scaled):
     # distinct PKs scale too (more keys, not hotter keys)
     assert len(pc.unique(out["user_id"])) == \
         3 * len(pc.unique(src["user_id"]))
+    # commit-ts bands strictly disjoint under the change-stream rules:
+    # min possible ts in band i (id*10 - 500 for an early %97 id)
+    # must exceed band i-1's max possible ts (its top id * 10)
+    span = pc.max(src["event_id"]).as_py() + 1 + 50
+    ids = out["event_id"].to_pylist()
+    for i in (1, 2):
+        band_ids = [e for e in ids if i * span <= e < (i + 1) * span]
+        lo = min(band_ids)
+        assert lo * 10 - 500 > ((i - 1) * span + pc.max(
+            src["event_id"]).as_py()) * 10
 
 
 def test_documents_disjoint_shingle_spaces(scaled):
@@ -49,15 +59,20 @@ def test_documents_disjoint_shingle_spaces(scaled):
     assert out.schema == src.schema
     texts = out["text"].to_pylist()
     n = src.num_rows
-    # copy 0 verbatim; copy i's tokens all carry the c{i} prefix, so
-    # no token (hence no shingle) is shared across copies
-    assert texts[:n] == src["text"].to_pylist()
-    for i in (1, 2):
+    # EVERY copy's tokens carry the c{i}_ prefix (copy 0 included, so
+    # natural c<digit>_ source tokens cannot collide across copies);
+    # no token (hence no shingle) is shared between any two copies
+    for i in (0, 1, 2):
         toks = texts[i * n].split()
-        assert all(t.startswith(f"c{i}") for t in toks)
+        assert all(t.startswith(f"c{i}_") for t in toks)
     t0 = set(texts[0].split())
     t1 = set(texts[n].split())
-    assert not (t0 & t1)
+    t2 = set(texts[2 * n].split())
+    assert not (t0 & t1) and not (t0 & t2) and not (t1 & t2)
+    # within-copy structure is preserved: copy i's token stream is the
+    # source stream with a constant per-copy prefix
+    assert [t[3:] for t in texts[n].split()] == \
+        src["text"].to_pylist()[0].split()
 
 
 def test_embeddings_verbatim_with_shifted_ids(scaled):

@@ -661,13 +661,18 @@ def lsh_accuracy(docs: DataFrame, threshold_ppm: int = 500_000,
 
     Scale: both candidate generators are bounded (banded buckets with
     caps; rare shingles with df <= cap), and truth candidates need
-    ``min_shared`` DISTINCT shared rare shingles (multi-witness rule):
-    a J >= 0.5 pair shares many rare shingles, so single-witness
-    pairs are noise that only inflate the exact-J verify — measured
-    at sf0.1, min_shared 1 -> 3 cuts candidates 1.12M -> 10k with the
-    truth set bit-identical (256 pairs at every m in 1..4). The
-    exact-J verify joins shingle sets only for candidate pairs. One
-    output row.
+    ``min(min_shared, |shingles_a|, |shingles_b|)`` distinct shared
+    rare shingles (multi-witness rule, capped by what the pair can
+    possibly share so identical TINY docs stay candidates): a
+    J >= 0.5 pair of normal-length docs shares many rare shingles, so
+    single-witness pairs are noise that only inflate the exact-J
+    verify — measured at sf0.1, min_shared 1 -> 3 cuts candidates
+    1.12M -> 10k with the truth set bit-identical (256 pairs at every
+    witness count 1..4). Note the truth DEFINITION has always been
+    candidate-bounded (a pair sharing only common df > df_cap
+    shingles never entered it); min_shared tightens that same
+    generator, it does not introduce the bound. The exact-J verify
+    joins shingle sets only for candidate pairs. One output row.
     """
     base = docs.select("doc_id", "text")
     sh = (with_shingles(base)
@@ -678,6 +683,10 @@ def lsh_accuracy(docs: DataFrame, threshold_ppm: int = 500_000,
     rare = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= df_cap).select("sh"))
     rsh = sh.join(rare, "sh")
+    # witness requirement capped by what the pair can POSSIBLY share:
+    # a doc with fewer than min_shared shingles total (tiny doc) can
+    # never produce min_shared witnesses, yet an identical tiny pair
+    # is a true J=1.0 duplicate — it must stay a candidate.
     cand = (rsh.alias("a")
             .join(rsh.alias("b"),
                   (F.col("a.sh") == F.col("b.sh"))
@@ -685,7 +694,13 @@ def lsh_accuracy(docs: DataFrame, threshold_ppm: int = 500_000,
             .groupBy(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
             .agg(F.count(F.lit(1)).alias("n_shared"))
-            .filter(F.col("n_shared") >= min_shared)
+            .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n_sh").alias("w_a")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n_sh").alias("w_b")), "doc_b")
+            .filter(F.col("n_shared") >= F.greatest(
+                F.lit(1), F.least(F.lit(min_shared),
+                                  F.col("w_a"), F.col("w_b"))))
             .select("doc_a", "doc_b"))
     inter = (cand
              .join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))

@@ -1223,8 +1223,14 @@ SELECT id AS vec_id, cid AS cluster_id, dist,
 FROM afin
 """
 
+# exact-duplicate collapse mirror (similarity.semantic_dedup_exact):
+# emb0 = every quantized vector; emb = one representative (min id)
+# per distinct vector — the kmeans chain and the pairwise dup join
+# run over reps; non-reps inherit the rep's cluster and are dups iff
+# their (shared) vector is nonzero.
 DEDUP_SEMANTIC = f"""
-WITH {QUANT_EMB_CTE},
+WITH {QUANT_EMB_CTE.replace("emb AS", "emb0 AS")},
+emb AS (SELECT MIN(id) AS id, vec FROM emb0 GROUP BY vec),
 {kmeans_int_ctes(derived_k_target=50)},
 m AS (SELECT id, cid, vec, {_int_dot("vec", "vec")} AS n2 FROM afin),
 dups AS (
@@ -1233,10 +1239,18 @@ dups AS (
   WHERE {_int_dot("a.vec", "b.vec")} > 0
     AND 400 * ({_int_dot("a.vec", "b.vec")})
             * ({_int_dot("a.vec", "b.vec")})
-        >= 49 * a.n2 * b.n2)
-SELECT m.id AS vec_id, m.cid AS cluster_id,
-       dups.dup_id IS NULL AS is_kept
-FROM m LEFT JOIN dups ON m.id = dups.dup_id
+        >= 49 * a.n2 * b.n2),
+rinfo AS (
+  SELECT m.id AS rep_id, m.cid, m.n2 > 0 AS rep_nonzero,
+         dups.dup_id IS NULL AS rep_kept
+  FROM m LEFT JOIN dups ON m.id = dups.dup_id),
+rmap AS (
+  SELECT e0.id, g.id AS rep_id
+  FROM emb0 e0 JOIN emb g ON e0.vec = g.vec)
+SELECT rmap.id AS vec_id, rinfo.cid AS cluster_id,
+       CASE WHEN rmap.id = rmap.rep_id THEN rep_kept
+            ELSE NOT rep_nonzero END AS is_kept
+FROM rmap JOIN rinfo ON rmap.rep_id = rinfo.rep_id
 """
 
 

@@ -721,52 +721,87 @@ def semantic_dedup_exact(embeddings: DataFrame, k: int | None = None,
     float division or sqrt ever runs and both engines agree exactly.
 
     ``semantic_dedup`` (above) is the production float variant; this
-    twin trades float cosine for exact verifiability but keeps the SAME
-    scale guard: by default k is DERIVED, k = ceil(n /
-    target_cluster_size) (``-(-n // t)``; the DuckDB oracle mirrors it
-    as ``GREATEST(1, (COUNT(*) + t - 1) // t)``, so hash parity
-    survives the derivation), and an explicit k is validated against
-    ``max_cluster_size`` — without this, a fixed k makes the
-    per-cluster self-join O(n^2/k), a genuine 100 TB scale-killer.
-    Pairwise work is therefore actually bounded per cluster (the
-    SemDeDup contract); the pair join shuffles on cluster_id only.
+    twin trades float cosine for exact verifiability but carries
+    REAL scale protection in two layers:
+
+    1. **Exact-duplicate collapse.** Identical quantized vectors are
+       semantic duplicates BY DEFINITION (cosine = 1 when nonzero),
+       so clustering and the pairwise join run over one
+       REPRESENTATIVE per distinct vector (min id); every non-
+       representative with a nonzero vector is marked dup against
+       its representative directly. A mass-duplicate corpus — the
+       SemDeDup motivating case — therefore costs O(distinct^2 / k),
+       not O(n^2/k), and is handled, not refused. (Zero vectors have
+       dot = 0, fail the ``dot > 0`` arm on both paths, and stay
+       kept — same as the pairwise rule.)
+    2. **Derived k over the DISTINCT count**: k = ceil(n_distinct /
+       target_cluster_size) (``-(-n // t)``; the DuckDB oracle
+       mirrors it as ``GREATEST(1, (COUNT(*) + t - 1) // t)`` over
+       the rep frame, so hash parity survives), and an explicit k is
+       validated against ``max_cluster_size``. The validation bounds
+       the AVERAGE rep-cluster size; k-means skew above the average
+       remains possible on adversarial distinct-vector geometry —
+       the collapse removes the common (duplicate-driven) skew
+       source.
+
+    The keep-lowest rule is unchanged: checking representatives
+    suffices because every non-representative of a group g has id >
+    min(g), so a lower-id witness exists among reps iff one exists at
+    all.
 
     Returns every input id: (id, cluster_id, is_kept).
     """
+    q = embeddings.select(
+        F.col(id_col),
+        F.expr(quantized_vec_expr(emb_col, scale)).alias("qvec"))
+    q = managed_persist(q)
+    reps = (q.groupBy("qvec")
+            .agg(F.min(F.col(id_col)).alias(id_col)))
     if k is None or max_cluster_size is not None:
-        n = embeddings.count()
+        n = reps.count()
     if k is None:
         k = max(1, -(-n // target_cluster_size))
     if max_cluster_size is not None and n / k > max_cluster_size:
         raise ValueError(
-            f"semantic_dedup_exact: k={k} gives ~{n // k} vectors/"
-            f"cluster (> max_cluster_size={max_cluster_size}); the "
-            f"per-cluster self-join would be quadratic at this size — "
-            f"raise k, or pass max_cluster_size=None to override")
-    q = embeddings.select(
-        F.col(id_col),
-        F.expr(quantized_vec_expr(emb_col, scale)).alias("qvec"))
-    asg = kmeans_integer(q, k=k, iters=iters,
+            f"semantic_dedup_exact: k={k} gives ~{n // k} distinct "
+            f"vectors/cluster (> max_cluster_size={max_cluster_size}); "
+            f"the per-cluster self-join would be quadratic at this "
+            f"size — raise k, or pass max_cluster_size=None to "
+            f"override")
+    asg = kmeans_integer(reps.select(id_col, "qvec"), k=k, iters=iters,
                          id_col=id_col, vec_col="qvec")
     m = asg.select(F.col(id_col).alias("id"), "cluster_id",
                    F.col("qvec").alias("qv"),
                    F.expr(_dot_int_expr("qvec", "qvec")).alias("n2"))
+    m = managed_persist(m)
     a = m.select(F.col("id").alias("id_a"), "cluster_id",
                  F.col("qv").alias("qa"), F.col("n2").alias("na2"))
     b = m.select(F.col("id").alias("id_b"), "cluster_id",
                  F.col("qv").alias("qb"), F.col("n2").alias("nb2"))
     t2n = thr_num * thr_num
     t2d = thr_den * thr_den
-    dups = (a.join(b, "cluster_id")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("dot", F.expr(_dot_int_expr("qa", "qb")))
-            .filter((F.col("dot") > 0) &
-                    (F.lit(t2d) * F.col("dot") * F.col("dot") >=
-                     F.lit(t2n) * F.col("na2") * F.col("nb2")))
-            .select(F.col("id_b").alias("dup_id")).distinct())
-    return (asg.join(dups, asg[id_col] == dups["dup_id"], "left")
+    rep_dups = (a.join(b, "cluster_id")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .withColumn("dot", F.expr(_dot_int_expr("qa", "qb")))
+                .filter((F.col("dot") > 0) &
+                        (F.lit(t2d) * F.col("dot") * F.col("dot") >=
+                         F.lit(t2n) * F.col("na2") * F.col("nb2")))
+                .select(F.col("id_b").alias("dup_id")).distinct())
+    rep_info = (m.select(F.col("id").alias("_rep_id"), "cluster_id",
+                         (F.col("n2") > 0).alias("_rep_nonzero"))
+                .join(rep_dups,
+                      F.col("_rep_id") == rep_dups["dup_id"], "left")
+                .select("_rep_id", "cluster_id",
+                        "_rep_nonzero",
+                        F.col("dup_id").isNull().alias("_rep_kept")))
+    rmap = q.join(reps.select(F.col("qvec"),
+                              F.col(id_col).alias("_rep_id")), "qvec")
+    return (rmap.join(rep_info, "_rep_id")
             .select(F.col(id_col), "cluster_id",
-                    F.col("dup_id").isNull().alias("is_kept")))
+                    F.when(F.col(id_col) == F.col("_rep_id"),
+                           F.col("_rep_kept"))
+                     .otherwise(~F.col("_rep_nonzero"))
+                     .alias("is_kept")))
 
 
 def ivfpq_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,

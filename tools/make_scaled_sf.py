@@ -10,10 +10,12 @@ Construction (copies = N gives N x the rows):
   not hotter keys. Everything else (op mix, source interleave,
   disorder/dup markers) replicates structurally.
 - documents: copy i shifts doc_id and prefixes every token with
-  ``c{i}`` (copy 0 verbatim), which keeps each copy's internal
-  near-dup structure intact while making shingle spaces disjoint
-  across copies — the near-dup pair workload scales exactly N x
-  instead of exploding quadratically in the copy count.
+  ``c{i}_`` (ALL copies, so no natural source token can collide with
+  a prefixed one; the underscore delimiter keeps multi-digit copy
+  indices unambiguous), which keeps each copy's internal near-dup
+  structure intact while making shingle spaces disjoint across
+  copies — the near-dup pair workload scales exactly N x instead of
+  exploding quadratically in the copy count.
 
 Types are preserved exactly via pyarrow (the driver parquet carries
 TIMESTAMP(NANOS) that engines downcast if rewritten naively).
@@ -39,7 +41,13 @@ def _concat_write(parts: list[pa.Table], dst: str) -> int:
 
 def scale_events(src_dir: str, dst_dir: str, copies: int) -> int:
     t = pq.read_table(os.path.join(src_dir, "events.parquet"))
-    id_span = pc.max(t["event_id"]).as_py() + 1
+    # +50 id padding: the change-stream derivation's late-ts marker
+    # (event_id % 97 == 0 -> commit_ts = id*10 - 500) reaches at most
+    # 500 ts units (= 50 ids) below its band, so padding the span by
+    # 50 keeps every copy's commit-ts band STRICTLY disjoint from its
+    # neighbor — no accidental cross-copy ts collisions that the
+    # order gate would misread as duplicates.
+    id_span = pc.max(t["event_id"]).as_py() + 1 + 50
     user_span = pc.max(t["user_id"]).as_py() + 1
     parts = []
     for i in range(copies):
@@ -65,11 +73,16 @@ def scale_documents(src_dir: str, dst_dir: str, copies: int) -> int:
             c = c.set_column(
                 c.schema.get_field_index("doc_id"), "doc_id",
                 pc.add(c["doc_id"], i * doc_span))
-            text = pc.replace_substring_regex(
-                c["text"], pattern=r"(\S+)", replacement=rf"c{i}\1")
-            c = c.set_column(
-                c.schema.get_field_index("text"), "text",
-                text.cast(c.schema.field("text").type))
+        # EVERY copy gets its own token prefix (copy 0 included): if
+        # copy 0 were verbatim, a natural source token that happens to
+        # start with "c<digit>_" could collide with another copy's
+        # prefixed token. The trailing underscore disambiguates
+        # multi-digit copy indices ("c1_0x" vs "c10_x").
+        text = pc.replace_substring_regex(
+            c["text"], pattern=r"(\S+)", replacement=rf"c{i}_\1")
+        c = c.set_column(
+            c.schema.get_field_index("text"), "text",
+            text.cast(c.schema.field("text").type))
         parts.append(c)
     return _concat_write(parts, os.path.join(dst_dir, "documents.parquet"))
 
