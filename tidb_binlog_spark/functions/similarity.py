@@ -451,7 +451,16 @@ def quantized_vec_expr(vec: str = "embedding",
     """Micro-quantized integer copy of a float vector:
     q_i = floor(x_i * scale) as BIGINT. Exact and engine-identical
     (float32 -> float64 promotion then one IEEE multiply + floor), the
-    entry point of every exact-integer vector pipeline here."""
+    entry point of every exact-integer vector pipeline here.
+
+    Domain bound: the downstream cross-multiplied cosine test computes
+    ``den^2 * dot^2`` in BIGINT, so it needs
+    ``(dims * (scale * max|x|)^2)^2 * den^2 <= 2^63``. For dims=64,
+    den=20, that caps ``scale * max|x|`` around 1.5e3 — satisfied by
+    unit-scale embeddings (|x| <= ~1) at the semantic-dedup scale of
+    1e3, and by |x| <= ~1 at the default 1e6 scale for the
+    distance-only pipelines (dist fits at ~3e15). Out-of-domain inputs
+    fail loudly (Spark ANSI long-overflow), never silently wrap."""
     return (f"transform({vec}, x -> "
             f"CAST(floor(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT))")
 
