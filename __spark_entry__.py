@@ -1254,7 +1254,14 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    return simfn.ivf_topk(_embs(spark, sf_dir))
+    """IVF ANN with sqrt(N)-derived coarse-quantizer sizing (the Faiss
+    nlist ~ sqrt(N) convention): centroid count, list size, and
+    per-query probe work all grow as sqrt(corpus), so total work is
+    N^1.5 — vs the N^2 a fixed centroid_mod hits once the corpus
+    outgrows it (measured: the 100x scale proof caught the old mod=37
+    in a 1.08B-pair assignment join). The oracle derives the identical
+    mod via GREATEST(2, COUNT(*) // FLOOR(SQRT(COUNT(*))))."""
+    return simfn.ivf_topk(_embs(spark, sf_dir), centroid_mod=None)
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
@@ -3239,10 +3246,12 @@ def q_corpus_surprisal_histogram(spark: SparkSession,
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed search (FAISS IndexIVFPQ shape): coarse probe
     -> M-byte-code asymmetric shortlist -> exact re-rank of 15 per
-    query. The full-vector read is confined to the re-rank join."""
+    query. The full-vector read is confined to the re-rank join.
+    sqrt(N)-derived coarse sizing (see q_ann_ivf_topk) so the
+    assignment join stays N^1.5, never quadratic."""
     from tidb_binlog_spark.functions import similarity
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    return similarity.ivfpq_topk(emb)
+    return similarity.ivfpq_topk(emb, centroid_mod=None)
 
 
 def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6669,7 +6678,7 @@ def oracle_sql() -> dict[str, str]:
                             - sum_trail * sum_trail) AS is_anomaly
             FROM w
         """,
-        "ann_ivfpq_topk": osql.ivfpq_topk_sql(),
+        "ann_ivfpq_topk": osql.ivfpq_topk_sql(centroid_mod=None),
         "corpus_surprisal_histogram": f"""
             WITH base AS ({osql.BIGRAM_SURPRISAL}),
             j AS (SELECT d.source AS stratum, b.doc_id, b.n_scored,

@@ -622,6 +622,46 @@ def test_ann_topk_caps_bound_degenerate_buckets(spark):
            sorted(map(tuple, ivf_exact.collect()))
 
 
+def test_ivf_sqrt_sizing_keeps_assignment_subquadratic(spark):
+    """centroid_mod=None derives sqrt(N) coarse sizing: the centroid
+    count tracks sqrt(corpus), so the assignment join is N^1.5 — a
+    FIXED mod's centroid count tracks N and the 100x scale proof
+    measured its assignment at 1.08B pairs (quadratic). The derivation
+    must match the oracle's SQL formula exactly (IEEE sqrt + integer
+    division) at awkward counts, and the derived run must return the
+    same schema/shape as the fixed-mod run."""
+    import math
+
+    import duckdb
+
+    from tidb_binlog_spark.functions import similarity as sim
+
+    # formula parity with the DuckDB oracle at awkward N (squares,
+    # square-1, tiny, large)
+    for n in (2, 3, 4, 5, 24, 25, 26, 99, 100, 2000, 200000, 10**12):
+        py = max(2, n // (int(math.floor(math.sqrt(n))) or 1))
+        sql = duckdb.sql(
+            f"SELECT GREATEST(2, {n}::BIGINT // "
+            f"CAST(FLOOR(SQRT({n}::BIGINT)) AS BIGINT))").fetchone()[0]
+        assert py == sql, f"n={n}: python {py} != duckdb {sql}"
+
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(16)])
+            for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # N=400 -> floor(sqrt)=20 -> mod=20 -> ~20 centroids (vs N/37=10
+    # at this size; the point is the count scales as sqrt(N))
+    assert sim.sqrt_centroid_mod(emb) == 20
+    n_cents = emb.filter(F.col("vec_id") % 20 == 1).count()
+    assert abs(n_cents - 20) <= 1
+    derived = sim.ivf_topk(emb, query_mod=100, k=5, nprobe=2,
+                           centroid_mod=None)
+    assert derived.columns == ["query_id", "vec_id", "cosine", "rank"]
+    per_q = {r["query_id"]: r["n"] for r in
+             derived.groupBy("query_id").agg(F.count("*").alias("n"))
+             .collect()}
+    assert per_q and all(n <= 5 for n in per_q.values())
+
+
 def test_tfidf_topk_plan_jvm_only_and_df_cap(spark):
     """corpus_tfidf_topk: pure-JVM plan (no Python eval), the rank
     window partitions by query_id (never a global window over data),

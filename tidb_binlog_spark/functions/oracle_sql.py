@@ -197,9 +197,14 @@ SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
 """
 
 ANN_IVF_TOPK = f"""
-WITH cents AS (
+WITH cmod AS (
+  -- sqrt(N)-derived coarse-quantizer sizing, identical to the Spark
+  -- side's sqrt_centroid_mod (IEEE sqrt + integer division, exact)
+  SELECT GREATEST(2, COUNT(*) // CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))
+         AS m FROM embeddings),
+cents AS (
   SELECT vec_id AS centroid_id, embedding AS c_emb
-  FROM embeddings WHERE vec_id % 37 = 1),
+  FROM embeddings WHERE vec_id % (SELECT m FROM cmod) = 1),
 assigned AS (
   SELECT vec_id, embedding, centroid_id FROM (
     SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -554,18 +559,24 @@ SELECT query_id, vec_id, adc_dist, rank FROM ranked WHERE rank <= {k}
 
 
 def ivfpq_topk_sql(m: int = 8, dims: int = 64, codebook_mod: int = 59,
-                   codebook_size: int = 16, centroid_mod: int = 37,
+                   codebook_size: int = 16,
+                   centroid_mod: int | None = 37,
                    query_mod: int = 100, nprobe: int = 2,
                    rerank: int = 15, k: int = 5) -> str:
     """DuckDB mirror of similarity.ivfpq_topk: IVF coarse probe ->
     PQ asymmetric-distance shortlist -> exact cosine re-rank. Shares
     pq_cte_block with pq_topk_sql and the probe/assign shapes with
-    ANN_IVF_TOPK."""
+    ANN_IVF_TOPK. ``centroid_mod=None`` mirrors the Spark side's
+    sqrt(N)-derived sizing (sqrt_centroid_mod) via a scalar
+    subquery — IEEE sqrt + integer division, engine-exact."""
+    cmod = (str(centroid_mod) if centroid_mod is not None else
+            "(SELECT GREATEST(2, COUNT(*) // "
+            "CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)")
     return f"""
 WITH {pq_cte_block(m, dims, codebook_mod, codebook_size)},
 cents AS (
   SELECT vec_id AS centroid_id, embedding AS c_emb
-  FROM embeddings WHERE vec_id % {centroid_mod} = 1),
+  FROM embeddings WHERE vec_id % {cmod} = 1),
 assigned AS (
   SELECT vec_id, centroid_id FROM (
     SELECT e.vec_id, c.centroid_id,

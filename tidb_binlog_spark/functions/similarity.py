@@ -125,15 +125,47 @@ def lsh_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
             .select("query_id", "vec_id", "cosine", "rank"))
 
 
-def ivf_assign(embeddings: DataFrame, centroid_mod: int = 37) -> DataFrame:
+def sqrt_centroid_mod(embeddings: DataFrame,
+                      id_col: str = "vec_id") -> int:
+    """Scale-derived IVF coarse-quantizer sizing: centroid_mod ~=
+    sqrt(N), so the centroid COUNT is ~sqrt(N) and the inverted lists
+    hold ~sqrt(N) vectors each — the canonical nlist ~ sqrt(N) sizing
+    (Faiss guideline; Jegou et al., PAMI'11). Total IVF work is then
+    assignment N*sqrt(N) + probe Q*nprobe*sqrt(N) — the N^1.5 IVF
+    shape. A FIXED mod instead makes the centroid count track the
+    corpus (C = N/mod), and the assignment join (every vector x every
+    centroid) goes QUADRATIC: measured at the 100x derived dataset,
+    mod=37 spends minutes in a 1.08-billion-pair assignment that
+    sqrt-sizing does in ~90M pairs (the 10x run hid this inside fixed
+    overheads — the two-decade scale proof is what exposed it).
+
+    The count is a bounded driver-side scalar (same class as the
+    watermark collects). Integer-exact cross-engine: floor(sqrt(N)) is
+    IEEE-correctly-rounded in both Python and DuckDB, then pure
+    integer division — the oracle derives the identical mod via
+    GREATEST(2, COUNT(*) // CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))."""
+    import math
+    n = embeddings.count()
+    r = int(math.floor(math.sqrt(n))) or 1
+    return max(2, n // r)
+
+
+def ivf_assign(embeddings: DataFrame,
+               centroid_mod: int | None = 37) -> DataFrame:
     """IVF coarse quantizer: a deterministic sample of the corpus
     (vec_id % centroid_mod == 1) serves as centroids (standing in for
     k-means — the assignment/probe machinery is identical); every
     vector joins its nearest centroid by cosine.
 
+    ``centroid_mod=None`` derives sqrt(N) sizing from the corpus
+    (see sqrt_centroid_mod) — the scale-safe default for new callers;
+    the fixed default stays 37 for the callers whose oracles pin it.
+
     At 100 TB the centroid set stays broadcast-small and the corpus is
     written out partitioned by centroid_id, so probes read only their
     inverted lists."""
+    if centroid_mod is None:
+        centroid_mod = sqrt_centroid_mod(embeddings)
     from pyspark.sql import Window
     from .text import spread
     cents = (with_norm(embeddings.filter(F.col("vec_id") % centroid_mod == 1),
@@ -151,10 +183,14 @@ def ivf_assign(embeddings: DataFrame, centroid_mod: int = 37) -> DataFrame:
 
 
 def ivf_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
-             nprobe: int = 2, centroid_mod: int = 37,
+             nprobe: int = 2, centroid_mod: int | None = 37,
              max_list_size: int | None = None) -> DataFrame:
     """IVF search: probe the query's nprobe nearest inverted lists,
     exact cosine rank within the candidates.
+
+    ``centroid_mod=None`` derives sqrt(N) coarse-quantizer sizing
+    (see sqrt_centroid_mod) — at a growing corpus a fixed mod makes
+    the assignment join quadratic in N.
 
     ``max_list_size`` caps each inverted list before the probe join
     (default None = exact): a degenerate corpus that assigns a huge
@@ -164,6 +200,8 @@ def ivf_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
     with dedup.bucket_cap_report(assign, ["centroid_id"], cap)."""
     from pyspark.sql import Window
     from .dedup import cap_buckets
+    if centroid_mod is None:
+        centroid_mod = sqrt_centroid_mod(embeddings)
     assign = managed_persist(cap_buckets(
         ivf_assign(embeddings, centroid_mod), ["centroid_id"],
         max_list_size, order_col="vec_id"))
@@ -814,7 +852,7 @@ def semantic_dedup_exact(embeddings: DataFrame, k: int | None = None,
 
 
 def ivfpq_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
-               nprobe: int = 2, centroid_mod: int = 37,
+               nprobe: int = 2, centroid_mod: int | None = 37,
                m: int = PQ_M, codebook_mod: int = PQ_CODEBOOK_MOD,
                codebook_size: int = PQ_CODEBOOK_SIZE,
                rerank: int = 15,
@@ -830,8 +868,12 @@ def ivfpq_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
     candidate volume = nprobe lists (cap with ``max_list_size``);
     the exact re-rank touches rerank rows per query — the ONLY stage
     that reads full corpus vectors, via a vec_id-keyed join that
-    partition-prunes at real scale. Three windows, all per-query."""
+    partition-prunes at real scale. Three windows, all per-query.
+    ``centroid_mod=None`` derives sqrt(N) sizing (sqrt_centroid_mod)
+    so the assignment join never goes quadratic in corpus size."""
     from .dedup import cap_buckets
+    if centroid_mod is None:
+        centroid_mod = sqrt_centroid_mod(embeddings)
     assign = managed_persist(cap_buckets(
         ivf_assign(embeddings, centroid_mod), ["centroid_id"],
         max_list_size, order_col="vec_id"))

@@ -1,18 +1,25 @@
-"""Spine scaling proof (VERDICT r7 item 4): run the five spine
-queries at sf0.1 and at a derived 10x directory (tools/
-make_scaled_sf.py) and report seconds-per-million-input-rows at each
-scale. The claim under test: "linear in corpus bytes, no driver
-bottleneck" — the per-row cost at 10x should stay within ~1.3x of the
-sf0.1 per-row cost (fixed JVM/session overheads amortize, shuffles
-stay key-partitioned, nothing quadratic hides in the plan).
+"""Spine scaling proof (VERDICT r7 item 4, extended round 8): run the
+spine queries at sf0.1 and at derived 10x / 100x directories
+(tools/make_scaled_sf.py) and report seconds-per-million-input-rows at
+every scale plus a fitted log-log scaling exponent per query. The
+claim under test: "linear in corpus bytes, no driver bottleneck" — the
+per-row cost should not grow with scale (exponent <= ~1.1; fixed
+JVM/session overheads amortize, shuffles stay key-partitioned, nothing
+quadratic hides in the plan). Two measured decades make the exponent a
+fit, not a single ratio.
 
-Usage: python tools/scale_proof.py [SF01_DIR] [SF1_DIR]
+Usage: python tools/scale_proof.py [SF01_DIR [SCALE_DIR ...]]
+Defaults: /root/testdata/sf0.1, then .scale/sf1 (10x) and .scale/sf10
+(100x) when present. Big directories (>= 10M base events) are timed
+min-of-RUNS_BIG (default 1; each run is minutes long, so straggler
+noise is proportionally small) — smaller ones min-of-2.
 Prints one JSON line; paste the table into BASELINE.md.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -41,6 +48,10 @@ SPINE = {
     "cdc_scd2_history": "events",
 }
 
+RUNS_SMALL = 2
+RUNS_BIG = int(os.environ.get("SCALE_PROOF_RUNS_BIG", "1"))
+BIG_EVENT_ROWS = 10_000_000
+
 
 def _rows(sf_dir: str, table: str) -> int:
     import pyarrow.parquet as pq
@@ -48,25 +59,46 @@ def _rows(sf_dir: str, table: str) -> int:
         os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
 
 
+def _fit_exponent(points: list[tuple[int, float]]) -> float:
+    """Least-squares slope of log(sec) vs log(rows) — the measured
+    scaling exponent (1.0 = linear, < 1 = overhead-amortizing)."""
+    xs = [math.log(n) for n, _ in points]
+    ys = [math.log(s) for _, s in points]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    denom = sum((x - mx) ** 2 for x in xs)
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+
 def main() -> None:
-    sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    sf1 = sys.argv[2] if len(sys.argv) > 2 else \
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".scale", "sf1")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if len(sys.argv) > 1:
+        dirs = sys.argv[1:]
+    else:
+        dirs = ["/root/testdata/sf0.1"]
+        for d in ("sf1", "sf10"):
+            p = os.path.join(repo, ".scale", d)
+            if os.path.exists(os.path.join(p, "events.parquet")):
+                dirs.append(p)
+    labeled = [(os.path.basename(d.rstrip("/")), d) for d in dirs]
+
     spark = get_spark("scale_proof")
     qs = entry.queries()
 
     # warm-up (same convention as bench.py): one non-spine query plus
     # the Arrow worker pool, untimed
     warm = next(n for n in qs if n not in SPINE)
-    qs[warm](spark, sf01).write.format("noop").mode("overwrite").save()
+    qs[warm](spark, labeled[0][1]).write.format("noop") \
+        .mode("overwrite").save()
 
     out: dict = {}
     for name, table in SPINE.items():
         row = {}
-        for label, d in (("sf0.1", sf01), ("sf1", sf1)):
+        points = []
+        for label, d in labeled:
+            runs = (RUNS_BIG if _rows(d, "events") >= BIG_EVENT_ROWS
+                    else RUNS_SMALL)
             best = None
-            for _ in range(2):
+            for _ in range(runs):
                 t0 = time.time()
                 qs[name](spark, d).write.format("noop") \
                     .mode("overwrite").save()
@@ -76,13 +108,20 @@ def main() -> None:
             n = _rows(d, table)
             row[label] = {"sec": round(best, 3), "rows": n,
                           "sec_per_mrow": round(best * 1e6 / n, 3)}
+            points.append((n, best))
+            print(f"# {name} @{label}: {row[label]['sec']}s "
+                  f"({n} {table} rows)", file=sys.stderr)
+        first, last = labeled[0][0], labeled[-1][0]
         row["per_row_ratio"] = round(
-            row["sf1"]["sec_per_mrow"] / row["sf0.1"]["sec_per_mrow"], 3)
+            row[last]["sec_per_mrow"] / row[first]["sec_per_mrow"], 3)
+        if len(points) >= 2:
+            row["exponent"] = round(_fit_exponent(points), 3)
         out[name] = row
-        print(f"# {name}: {row['sf0.1']['sec']}s @sf0.1 -> "
-              f"{row['sf1']['sec']}s @10x  per-row ratio "
-              f"{row['per_row_ratio']}", file=sys.stderr)
-    print(json.dumps({"metric": "spine_scaling", "queries": out}))
+        print(f"# {name}: per-row ratio {row['per_row_ratio']} "
+              f"exponent {row.get('exponent')}", file=sys.stderr)
+    print(json.dumps({"metric": "spine_scaling",
+                      "scales": [lbl for lbl, _ in labeled],
+                      "queries": out}))
 
 
 if __name__ == "__main__":
