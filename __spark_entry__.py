@@ -882,10 +882,19 @@ def _write_bpe_oracle(sf_dir: str, merges: list[tuple[str, str]]) -> None:
     con.close()
     end = bpe.END
     out_ids, out_nw, out_nt = [], [], []
+    # memo per distinct word (word -> token count): the encode is a
+    # pure function of the word, and corpus occurrences are Zipf —
+    # without this the single-threaded oracle pass goes from seconds
+    # to hours on the 100x scaled corpus. The memo stores ints only.
+    word_ntok: dict[str, int] = {}
     for doc_id, text in rows:
         words = [w for w in (text or "").split(" ") if w]
         n_tok = 0
         for w in words:
+            cached = word_ntok.get(w)
+            if cached is not None:
+                n_tok += cached
+                continue
             sym = list(w) + [end]
             for a, b in merges:
                 i, nxt = 0, []
@@ -897,6 +906,7 @@ def _write_bpe_oracle(sf_dir: str, merges: list[tuple[str, str]]) -> None:
                         nxt.append(sym[i])
                         i += 1
                 sym = nxt
+            word_ntok[w] = len(sym)
             n_tok += len(sym)
         out_ids.append(doc_id)
         out_nw.append(len(words))

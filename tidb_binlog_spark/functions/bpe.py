@@ -172,13 +172,27 @@ def bpe_encode(docs: DataFrame,
 
     def run(batches):
         import pandas as pd
+        # per-partition memo: encode_word is pure, and corpus word
+        # occurrences are Zipf-distributed, so encoding each DISTINCT
+        # word once per partition cuts the Python hot loop by the
+        # occurrence/distinct ratio (measured 10x+ on the 100x scaled
+        # corpus). Capped so a pathological unbounded vocabulary (URLs,
+        # hashes) cannot grow executor memory — past the cap, unseen
+        # words just encode uncached (still correct).
+        memo: dict[str, list[str]] = {}
+        memo_cap = 500_000
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 words = [w for w in (text or "").split(" ") if w]
                 toks: list[str] = []
                 for w in words:
-                    toks.extend(encode_word(w, ranks))
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = encode_word(w, ranks)
+                        if len(memo) < memo_cap:
+                            memo[w] = enc
+                    toks.extend(enc)
                 rows.append((doc_id, len(words), len(toks),
                              " ".join(toks)))
             yield pd.DataFrame(rows, columns=[

@@ -46,6 +46,12 @@ SPINE = {
     "ann_ivf_topk": "embeddings",
     "events_sessionize": "events",
     "cdc_scd2_history": "events",
+    # round-8 additions: the composed curation chain, the Arrow
+    # kvcodec hot path (the one heavy mapInPandas stage), and the
+    # BPE learn+encode pipeline (driver-capped learn + Arrow encode)
+    "corpus_full_curation": "documents",
+    "cdc_kv_decode": "events",
+    "text_bpe_encode": "documents",
 }
 
 RUNS_SMALL = 2
