@@ -1,0 +1,80 @@
+"""Registry-wide 100x quadratic hunt: run EVERY registry query at a
+scaled directory (default .scale/sf10 = 100x sf0.1) and at sf0.1,
+report the time ratio. A linear operator shows ratio <= ~100 (minus
+amortized overheads); anything approaching the row-growth squared is
+a hidden all-pairs stage. Queries whose input tables don't exist in
+the scaled dir (the TPC-H snapshots: lineitem/orders/... are not
+replicated) are skipped — the sweep targets the corpus/stream
+families (documents, embeddings, events).
+
+Usage: python tools/scale_sweep.py [BASE_DIR SCALED_DIR] [--flag N]
+Prints one JSON line {query: {base_sec, scaled_sec, ratio}} plus a
+flagged list (ratio > N, default 60 = exponent ~0.9 at 100x).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry
+from tidb_binlog_spark.cache import release_all
+from tidb_binlog_spark.session import get_spark
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    base = args[0] if args else "/root/testdata/sf0.1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scaled = args[1] if len(args) > 1 else os.path.join(
+        repo, ".scale", "sf10")
+    flag_ratio = 60.0
+    for a in sys.argv[1:]:
+        if a.startswith("--flag"):
+            flag_ratio = float(a.split("=", 1)[1])
+
+    spark = get_spark("scale_sweep")
+    qs = entry.queries()
+    warm = next(iter(qs))
+    qs[warm](spark, base).write.format("noop").mode("overwrite").save()
+    release_all()
+
+    out: dict = {}
+    skipped: list[str] = []
+    for i, name in enumerate(qs):
+        row = {}
+        try:
+            for label, d in (("base_sec", base), ("scaled_sec", scaled)):
+                t0 = time.time()
+                qs[name](spark, d).write.format("noop") \
+                    .mode("overwrite").save()
+                row[label] = round(time.time() - t0, 2)
+                release_all()
+        except Exception as e:
+            release_all()
+            skipped.append(name)
+            print(f"# [{i + 1}/{len(qs)}] {name}: SKIP "
+                  f"({type(e).__name__}: {str(e).splitlines()[0][:100]})",
+                  file=sys.stderr)
+            continue
+        row["ratio"] = round(row["scaled_sec"] / max(row["base_sec"],
+                                                     0.01), 1)
+        out[name] = row
+        print(f"# [{i + 1}/{len(qs)}] {name}: {row['base_sec']}s -> "
+              f"{row['scaled_sec']}s  ratio {row['ratio']}",
+              file=sys.stderr)
+    flagged = sorted((n for n, r in out.items()
+                      if r["ratio"] > flag_ratio),
+                     key=lambda n: -out[n]["ratio"])
+    print(json.dumps({"metric": "scale_sweep", "base": base,
+                      "scaled": scaled, "flag_ratio": flag_ratio,
+                      "flagged": flagged, "n_skipped": len(skipped),
+                      "skipped": skipped, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
