@@ -3573,8 +3573,10 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe-budget tuning curve (ANN sibling of dedup_lsh_calibration).
     One assignment + one probe join at max nprobe; candidates explode
     only into the curve points that include them; recall is
-    exact-integer ppm and monotone in nprobe."""
-    return simfn.recall_curve(_embs(spark, sf_dir))
+    exact-integer ppm and monotone in nprobe. sqrt(N)-derived coarse
+    sizing (see q_ann_ivf_topk; the 100x sweep caught the fixed mod's
+    quadratic assignment OOM-ing the JVM here)."""
+    return simfn.recall_curve(_embs(spark, sf_dir), centroid_mod=None)
 
 
 def timeseries_rfm_label() -> str:
@@ -7641,9 +7643,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY f.stratum, pct, cp_rank, n_docs
         """,
         "ann_recall_curve": f"""
-            WITH cents AS (
+            WITH cmod AS (
+              -- sqrt(N)-derived coarse sizing, identical to the Spark
+              -- side's sqrt_centroid_mod (IEEE sqrt + int division)
+              SELECT GREATEST(2, COUNT(*) //
+                CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS m
+              FROM embeddings),
+            cents AS (
               SELECT vec_id AS centroid_id, embedding AS c_emb
-              FROM embeddings WHERE vec_id % 37 = 1),
+              FROM embeddings
+              WHERE vec_id % (SELECT m FROM cmod) = 1),
             assigned AS (
               SELECT vec_id, embedding, centroid_id FROM (
                 SELECT e.vec_id, e.embedding, c.centroid_id,

@@ -968,7 +968,7 @@ def int8_quantize_report(embeddings: DataFrame,
 
 def recall_curve(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
                  nprobes: tuple[int, ...] = (1, 2, 4),
-                 centroid_mod: int = 37) -> DataFrame:
+                 centroid_mod: int | None = 37) -> DataFrame:
     """IVF tuning telemetry: recall@k against the exact brute-force
     top-k as a function of nprobe — the curve an operator reads to
     choose the probe budget (the ANN sibling of dedup_lsh_calibration's
@@ -982,9 +982,18 @@ def recall_curve(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
     costs one IVF search plus a xlen(nprobes) fan-out of the
     candidate rows — not len(nprobes) separate searches. The exact
     side is the audit (at scale, run on a sampled query set).
+
+    ``centroid_mod=None`` derives sqrt(N) coarse sizing
+    (sqrt_centroid_mod): the registry-wide 100x sweep caught the
+    fixed mod's quadratic assignment OOM-ing the JVM here — same
+    fix as ivf_topk. The brute-force audit side stays Q x N by
+    definition (that IS the exact baseline); at scale it runs on a
+    sampled query set per the docstring contract.
     """
     from pyspark.sql import Window
     max_p = max(nprobes)
+    if centroid_mod is None:
+        centroid_mod = sqrt_centroid_mod(embeddings)
     assign = managed_persist(ivf_assign(embeddings, centroid_mod))
     cents = (with_norm(embeddings.filter(F.col("vec_id") % centroid_mod == 1),
                        "embedding", "c_norm")

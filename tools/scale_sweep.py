@@ -43,6 +43,13 @@ def main() -> None:
     qs[warm](spark, base).write.format("noop").mode("overwrite").save()
     release_all()
 
+    def _alive(s) -> bool:
+        try:
+            s.range(1).count()
+            return True
+        except Exception:
+            return False
+
     out: dict = {}
     skipped: list[str] = []
     for i, name in enumerate(qs):
@@ -60,6 +67,19 @@ def main() -> None:
             print(f"# [{i + 1}/{len(qs)}] {name}: SKIP "
                   f"({type(e).__name__}: {str(e).splitlines()[0][:100]})",
                   file=sys.stderr)
+            # an OOM kills the whole local JVM — revive the session so
+            # one pathological query doesn't void the rest of the sweep
+            if not _alive(spark):
+                print(f"# JVM dead after {name}; restarting session",
+                      file=sys.stderr)
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                from pyspark.sql import SparkSession
+                SparkSession._instantiatedSession = None
+                SparkSession._activeSession = None
+                spark = get_spark("scale_sweep")
             continue
         row["ratio"] = round(row["scaled_sec"] / max(row["base_sec"],
                                                      0.01), 1)
