@@ -3575,8 +3575,11 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     only into the curve points that include them; recall is
     exact-integer ppm and monotone in nprobe. sqrt(N)-derived coarse
     sizing (see q_ann_ivf_topk; the 100x sweep caught the fixed mod's
-    quadratic assignment OOM-ing the JVM here)."""
-    return simfn.recall_curve(_embs(spark, sf_dir), centroid_mod=None)
+    quadratic assignment OOM-ing the JVM here) + fixed-size derived
+    query sample (~64 at any corpus) so the exact brute-force audit
+    side is linear in N, not Q x N quadratic."""
+    return simfn.recall_curve(_embs(spark, sf_dir), query_mod=None,
+                              centroid_mod=None)
 
 
 def timeseries_rfm_label() -> str:
@@ -7649,6 +7652,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT GREATEST(2, COUNT(*) //
                 CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS m
               FROM embeddings),
+            qmod AS (
+              -- fixed-size audit query sample (~64 queries at any
+              -- corpus), identical to sampled_query_mod
+              SELECT GREATEST(1, COUNT(*) // 64) AS qm
+              FROM embeddings),
             cents AS (
               SELECT vec_id AS centroid_id, embedding AS c_emb
               FROM embeddings
@@ -7662,7 +7670,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e, cents c) t
               WHERE crank = 1),
             q AS (SELECT vec_id AS query_id, embedding AS q_emb
-                  FROM embeddings WHERE vec_id % 100 = 0),
+                  FROM embeddings
+                  WHERE vec_id % (SELECT qm FROM qmod) = 0),
             probes AS (
               SELECT query_id, q_emb, centroid_id, prank FROM (
                 SELECT q.query_id, q.q_emb, c.centroid_id,

@@ -966,7 +966,21 @@ def int8_quantize_report(embeddings: DataFrame,
                 F.expr(err).alias("err_micro")))
 
 
-def recall_curve(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
+def sampled_query_mod(embeddings: DataFrame,
+                      target_queries: int = 64,
+                      id_col: str = "vec_id") -> int:
+    """Fixed-size audit-query sampling: derive the residue modulus so
+    ~``target_queries`` vectors are selected REGARDLESS of corpus
+    size. Recall/latency telemetry needs a statistically sufficient
+    sample, not a corpus-proportional one — a query set that tracks N
+    makes any exact-baseline audit (brute force = Q x N) quadratic.
+    Oracle-exact: GREATEST(1, COUNT(*) // target) in SQL."""
+    n = embeddings.count()
+    return max(1, n // target_queries)
+
+
+def recall_curve(embeddings: DataFrame,
+                 query_mod: int | None = 100, k: int = 5,
                  nprobes: tuple[int, ...] = (1, 2, 4),
                  centroid_mod: int | None = 37) -> DataFrame:
     """IVF tuning telemetry: recall@k against the exact brute-force
@@ -986,12 +1000,18 @@ def recall_curve(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
     ``centroid_mod=None`` derives sqrt(N) coarse sizing
     (sqrt_centroid_mod): the registry-wide 100x sweep caught the
     fixed mod's quadratic assignment OOM-ing the JVM here — same
-    fix as ivf_topk. The brute-force audit side stays Q x N by
-    definition (that IS the exact baseline); at scale it runs on a
-    sampled query set per the docstring contract.
+    fix as ivf_topk. ``query_mod=None`` derives a FIXED-size audit
+    query sample (sampled_query_mod, ~64 queries at any corpus):
+    the exact brute-force baseline is Q x N by definition, so a
+    corpus-proportional Q makes the audit quadratic — measured 281 s
+    at 100x with Q tracking N vs linear with the fixed sample. This
+    realizes the "sampled query set at scale" contract in the query
+    itself instead of leaving it as prose.
     """
     from pyspark.sql import Window
     max_p = max(nprobes)
+    if query_mod is None:
+        query_mod = sampled_query_mod(embeddings)
     if centroid_mod is None:
         centroid_mod = sqrt_centroid_mod(embeddings)
     assign = managed_persist(ivf_assign(embeddings, centroid_mod))
