@@ -35,7 +35,14 @@ import pyarrow.parquet as pq
 
 def _concat_write(parts: list[pa.Table], dst: str) -> int:
     out = pa.concat_tables(parts)
-    pq.write_table(out, dst)
+    # bounded row groups: pyarrow's default (~1M rows) writes the
+    # 500k-row 100x documents table as ONE row group, and a row group
+    # is Spark's minimum split — every map-only stage (the zero-shuffle
+    # regex/projection family) then runs on a single task no matter how
+    # many cores exist. 16k-row groups keep scans ~32-way parallel at
+    # every derived scale. (At real scale the file/row-group layout IS
+    # the parallelism knob for map stages.)
+    pq.write_table(out, dst, row_group_size=16_384)
     return out.num_rows
 
 
