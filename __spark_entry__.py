@@ -1275,6 +1275,15 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, collapse-first default (r9):
+    bit-identical vectors group to a min-id representative before the
+    LSH-bucket pairwise join; duplicates surface as rep->member star
+    edges. Same rows as the all-pairs form on any corpus without
+    repeated vectors (all fixtures), but linear — not output-
+    quadratic — on mass-duplicate corpora (the r8 100x sweep measured
+    the uncapped all-pairs form at 820x time on verbatim-replicated
+    embeddings; this is the semantic_dedup_exact fix applied here,
+    oracle-mirrored)."""
     return simfn.embedding_near_dups(_embs(spark, sf_dir))
 
 
@@ -1866,7 +1875,12 @@ def q_dedup_embedding_clusters(spark, sf_dir):
     """Embedding near-dup CLUSTERS: connected components over the
     cosine near-dup graph — the canonical-representative assignment a
     dedup pipeline actually consumes (same CC operator as causality
-    grouping and minhash clusters)."""
+    grouping and minhash clusters). Consumes the collapse-first pair
+    graph (r9): identical-vector groups arrive as rep->member star
+    edges plus rep-level LSH pairs — the components (and min-id
+    cluster labels) are identical to the all-pairs graph's, with
+    linearly many edges on mass-duplicate corpora instead of
+    quadratically many (r8 sweep: 613x at 100x before this fix)."""
     pairs = simfn.embedding_near_dups(_embs(spark, sf_dir))
     edges = (pairs.selectExpr("vec_a AS txn_id", "CAST(vec_b AS STRING) AS key")
              .unionByName(pairs.selectExpr("vec_b AS txn_id",

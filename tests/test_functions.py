@@ -116,6 +116,26 @@ def test_embedding_near_dups_finds_identical(spark):
     assert [(g["vec_a"], g["vec_b"]) for g in got] == [(0, 1)]
 
 
+def test_embedding_near_dups_mass_duplicates_linear_output(spark):
+    # the SemDeDup motivating corpus: ONE vector replicated en masse.
+    # Collapse-first must report the group as rep->member star edges
+    # (n-1 rows), never the quadratic all-pairs expansion — this is
+    # the r8 100x-sweep finding (820x time) pinned as a contract.
+    v = [0.5, -0.25, 1.0, 0.125] * 16
+    other = [(-1.0) ** i * (i + 1.0) for i in range(64)]
+    n_dup = 60
+    df = embs_df(spark, [v] * n_dup + [other])
+    got = similarity.embedding_near_dups(df, threshold=0.99).collect()
+    # 59 star edges from rep 0, NOT 60*59/2 = 1770 pairs
+    assert len(got) == n_dup - 1
+    assert all(r["vec_a"] == 0 and r["cosine"] >= 0.99 for r in got)
+    assert sorted(r["vec_b"] for r in got) == list(range(1, n_dup))
+    # all-pairs contract still reachable explicitly
+    full = similarity.embedding_near_dups(
+        df, threshold=0.99, collapse_identical=False).collect()
+    assert len(full) == n_dup * (n_dup - 1) // 2
+
+
 def test_lang_id_picks_stopword_majority(spark):
     d = docs_df(spark, ["the cat and the dog in the house",
                         "el perro y la casa de la gente que si"])

@@ -232,12 +232,32 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
 """
 
+# collapse-first mirror of similarity.embedding_near_dups: identical
+# vectors group to a min-id representative; non-reps emit one star
+# edge against their rep (cosine evaluated on the pair, so the
+# threshold applies identically); the LSH pairwise join runs over
+# representatives only. Bit-identical to the historical all-pairs
+# form whenever no vector repeats (true of every fixture), linear
+# instead of quadratic on mass-duplicate corpora.
 EMBEDDING_NEAR_DUPS = f"""
-WITH b AS (SELECT vec_id, embedding, {LSH_BUCKET} AS bucket FROM embeddings)
-SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-       {cosine('x.embedding', 'y.embedding')} AS cosine
-FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-WHERE {cosine('x.embedding', 'y.embedding')} >= 0.3
+WITH g AS (SELECT vec_id, embedding,
+                  MIN(vec_id) OVER (PARTITION BY embedding) AS rep_id
+           FROM embeddings),
+member AS (
+  SELECT rep_id AS vec_a, vec_id AS vec_b,
+         {cosine('embedding', 'embedding')} AS cosine
+  FROM g WHERE vec_id <> rep_id
+    AND {cosine('embedding', 'embedding')} >= 0.3),
+reps AS (SELECT vec_id, embedding FROM g WHERE vec_id = rep_id),
+b AS (SELECT vec_id, embedding, {LSH_BUCKET} AS bucket FROM reps),
+rp AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         {cosine('x.embedding', 'y.embedding')} AS cosine
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  WHERE {cosine('x.embedding', 'y.embedding')} >= 0.3)
+SELECT vec_a, vec_b, cosine FROM rp
+UNION ALL
+SELECT vec_a, vec_b, cosine FROM member
 """
 
 TEXT_TOKEN_COUNT = f"""
@@ -377,11 +397,19 @@ FROM cum
 
 EMBEDDING_CLUSTERS = f"""
 WITH RECURSIVE
-b AS (SELECT vec_id, embedding, {LSH_BUCKET} AS bucket FROM embeddings),
+g AS (SELECT vec_id, embedding,
+             MIN(vec_id) OVER (PARTITION BY embedding) AS rep_id
+      FROM embeddings),
+reps AS (SELECT vec_id, embedding FROM g WHERE vec_id = rep_id),
+b AS (SELECT vec_id, embedding, {LSH_BUCKET} AS bucket FROM reps),
 pairs AS (
   SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
   FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-  WHERE {cosine('x.embedding', 'y.embedding')} >= 0.3),
+  WHERE {cosine('x.embedding', 'y.embedding')} >= 0.3
+  UNION ALL
+  SELECT rep_id AS vec_a, vec_id AS vec_b FROM g
+  WHERE vec_id <> rep_id
+    AND {cosine('embedding', 'embedding')} >= 0.3),
 e0 AS (
   SELECT vec_a AS txn_id, CAST(vec_b AS STRING) AS key FROM pairs
   UNION ALL

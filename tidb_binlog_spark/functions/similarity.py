@@ -232,15 +232,53 @@ def ivf_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.3,
                         dims: int = 64,
-                        max_bucket_size: int | None = None) -> DataFrame:
+                        max_bucket_size: int | None = None,
+                        collapse_identical: bool = True) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: same-LSH-bucket candidate
-    join, exact cosine >= threshold. Default is UNCAPPED (exact,
-    oracle-identical); pass max_bucket_size to guard a degenerate
-    bucket (identical vectors repeated en masse) from going quadratic,
-    paired with dedup.bucket_cap_report so truncation is never
-    silent."""
+    join, exact cosine >= threshold.
+
+    Default is COLLAPSE-FIRST (``collapse_identical=True``, the
+    semantic_dedup_exact pattern): bit-identical vectors are grouped
+    to a representative (min vec_id) BEFORE the bucket join, each
+    non-representative is reported as one edge against its
+    representative (cosine computed on the pair, so the threshold —
+    and any zero-vector behavior — applies identically), and the
+    LSH-bucket pairwise join runs over REPRESENTATIVES only. On a
+    corpus with no repeated vectors this is bit-identical to the
+    all-pairs form; on a mass-duplicate corpus — the case dedup
+    exists for — it reports the same duplicate GROUPS through
+    group-star edges in O(n + distinct-pairs) rows instead of
+    enumerating the inherently quadratic all-pairs expansion
+    (measured on the 100x verbatim-replicated sweep corpus: the
+    uncapped all-pairs form hit 820x time at 100x rows; one LSH
+    bucket held every replica and the self-join — and the OUTPUT —
+    went quadratic). Downstream consumers take connected components
+    anyway (dedup_embedding_clusters), for which the group-star +
+    rep-pair graph is equivalent.
+
+    ``collapse_identical=False`` restores the historical all-pairs
+    contract; ``max_bucket_size`` additionally caps a degenerate
+    bucket of near-identical-but-distinct vectors (pair with
+    dedup.bucket_cap_report so truncation is never silent)."""
+    from pyspark.sql import Window
     from .dedup import cap_buckets
-    b = with_norm(lsh_buckets(embeddings, dims), "embedding", "n")
+    base = embeddings
+    member_edges = None
+    if collapse_identical:
+        g = managed_persist(embeddings.withColumn(
+            "rep_id",
+            F.min("vec_id").over(Window.partitionBy("embedding"))))
+        m = with_norm(g.filter(F.col("vec_id") != F.col("rep_id")),
+                      "embedding", "n")
+        member_edges = (m.select(
+            F.col("rep_id").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            F.expr(cosine_prenorm_expr("embedding", "embedding",
+                                       "n", "n")).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+        base = g.filter(F.col("vec_id") == F.col("rep_id")) \
+                .drop("rep_id")
+    b = with_norm(lsh_buckets(base, dims), "embedding", "n")
     b = managed_persist(cap_buckets(b, ["bucket"], max_bucket_size,
                                     order_col="vec_id"))
     x, y = b.alias("x"), b.alias("y")
@@ -250,7 +288,10 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.3,
                      F.col("y.vec_id").alias("vec_b"),
                      F.expr(cosine_prenorm_expr("x.embedding", "y.embedding",
                                                 "x.n", "y.n")).alias("cosine")))
-    return pairs.filter(F.col("cosine") >= threshold)
+    pairs = pairs.filter(F.col("cosine") >= threshold)
+    if member_edges is not None:
+        pairs = pairs.unionByName(member_edges)
+    return pairs
 
 
 def _sq_l2_expr(a: str, b: str) -> str:
