@@ -1256,7 +1256,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_ann_cosine_topk(spark, sf_dir):
-    return simfn.brute_force_topk(_embs(spark, sf_dir))
+    """Exact brute-force cosine top-k — the baseline the ANN family
+    is audited against. r9: query set is a DERIVED fixed-size sample
+    (~64 queries via sampled_query_mod, oracle-mirrored as
+    GREATEST(1, COUNT(*) // 64)) so the exact Q x N scan stays
+    Theta(N) at any corpus — the r8 sweep measured the old
+    corpus-proportional query set at 621x time at 100x rows."""
+    return simfn.brute_force_topk(_embs(spark, sf_dir), query_mod=None)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -1290,8 +1296,11 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 def q_ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN: sampled per-subspace codebooks,
     zero-shuffle argmin encode, asymmetric-distance search over the
-    reconstructions (Jegou et al., PAMI'11)."""
-    return simfn.pq_topk(_embs(spark, sf_dir))
+    reconstructions (Jegou et al., PAMI'11). r9: derived fixed-size
+    query sample (~64 queries, oracle-mirrored) bounds the flat ADC
+    scan at Theta(N) — the corpus-proportional form was killed
+    (>15 min) by the r8 100x sweep; ivfpq_topk is the serving path."""
+    return simfn.pq_topk(_embs(spark, sf_dir), query_mod=None)
 
 
 # gate/packing constants shared by q_corpus_full_curation AND its
@@ -5114,7 +5123,7 @@ def oracle_sql() -> dict[str, str]:
         "text_line_dedup": osql.line_dedup_sql(BOILER_HEADER),
         "text_bm25": osql.bm25_sql(scoring.QUERY_TERMS),
         "text_unigram_lm": osql.UNIGRAM_SURPRISAL,
-        "ann_pq_topk": osql.pq_topk_sql(),
+        "ann_pq_topk": osql.pq_topk_sql(query_mod=None),
         "doc_hash_embed": osql.HASH_EMBED,
         "corpus_token_stats": osql.CORPUS_TOKEN_STATS,
         "text_bigram_lm": osql.BIGRAM_SURPRISAL,

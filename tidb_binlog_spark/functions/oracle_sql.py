@@ -173,9 +173,13 @@ scored AS (
 SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
 """
 
+# query set = derived fixed-size sample (~64 queries), mirroring the
+# Spark side's sampled_query_mod — keeps the exact Q x N audit scan
+# Theta(N) at any corpus size
 ANN_COSINE_TOPK = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
-           FROM embeddings WHERE vec_id % 100 = 0),
+WITH qmod AS (SELECT GREATEST(1, COUNT(*) // 64) AS m FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id % (SELECT m FROM qmod) = 0),
 j AS (SELECT q.query_id, e.vec_id, {cosine('q.q_emb', 'e.embedding')} AS cosine
       FROM embeddings e, q WHERE e.vec_id <> q.query_id),
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -566,16 +570,19 @@ enc AS (SELECT vec_id, ({recon}) AS pq_recon FROM coded, cbagg)"""
 
 
 def pq_topk_sql(m: int = 8, dims: int = 64, codebook_mod: int = 59,
-                query_mod: int = 100, k: int = 5,
+                query_mod: int | None = 100, k: int = 5,
                 codebook_size: int = 16) -> str:
     """DuckDB mirror of similarity.pq_topk: sampled codebooks, per-
     subspace argmin encode, reconstruction, asymmetric-distance rank.
     Folds are list_reduce with a prepended 0.0 (== Spark aggregate
-    with 0.0 init, bit-for-bit)."""
+    with 0.0 init, bit-for-bit). ``query_mod=None`` mirrors the Spark
+    side's derived fixed-size query sample (sampled_query_mod)."""
+    qmod = (str(query_mod) if query_mod is not None else
+            "(SELECT GREATEST(1, COUNT(*) // 64) FROM embeddings)")
     return f"""
 WITH {pq_cte_block(m, dims, codebook_mod, codebook_size)},
 q AS (SELECT vec_id AS query_id, embedding AS q_emb
-      FROM embeddings WHERE vec_id % {query_mod} = 0),
+      FROM embeddings WHERE vec_id % {qmod} = 0),
 scored AS (SELECT q.query_id, e.vec_id,
     {_pq_sq_fold('q.q_emb', 'e.pq_recon')} AS adc_dist
   FROM enc e, q WHERE e.vec_id <> q.query_id),

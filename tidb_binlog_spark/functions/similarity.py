@@ -47,13 +47,24 @@ def with_norm(df: DataFrame, vec_col: str = "embedding",
     return df.withColumn(out_col, F.expr(NORM.format(a=vec_col)))
 
 
-def brute_force_topk(embeddings: DataFrame, query_mod: int = 100,
+def brute_force_topk(embeddings: DataFrame, query_mod: int | None = 100,
                      k: int = 10) -> DataFrame:
     """Exact cosine top-k: query set = vec_id % query_mod == 0 (a
     deterministic sample standing in for user queries), ranked per
-    query by (similarity desc, vec_id) for stable ties."""
+    query by (similarity desc, vec_id) for stable ties.
+
+    ``query_mod=None`` derives a FIXED-size query sample
+    (sampled_query_mod, ~64 queries at any corpus): the exact scan is
+    Q x N by definition, so a corpus-proportional Q makes the whole
+    baseline quadratic — the r8 sweep measured the fixed mod=100 form
+    at 621x time at 100x rows. With the fixed sample the scan stays
+    Theta(N): the role of an exact baseline is a statistically
+    sufficient audit, not a corpus-wide serving path (that is what
+    the IVF/IVFPQ siblings are for)."""
     from pyspark.sql import Window
     from .text import spread
+    if query_mod is None:
+        query_mod = sampled_query_mod(embeddings)
     e = with_norm(spread(embeddings), "embedding", "e_norm")
     q = (with_norm(embeddings.filter(F.col("vec_id") % query_mod == 0),
                    "embedding", "q_norm")
@@ -495,7 +506,7 @@ def pq_encode(embeddings: DataFrame, codebooks: DataFrame,
         F.expr(recon).alias("pq_recon"))
 
 
-def pq_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
+def pq_topk(embeddings: DataFrame, query_mod: int | None = 100, k: int = 5,
             m: int = PQ_M, codebook_mod: int = PQ_CODEBOOK_MOD,
             codebook_size: int = PQ_CODEBOOK_SIZE) -> DataFrame:
     """PQ asymmetric-distance search: queries stay exact, corpus
@@ -504,7 +515,15 @@ def pq_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
     concatenated reconstruction), ranked per query ascending.
 
     Scale: the corpus carries only codes; one broadcast of the query
-    set; the only shuffle is the per-query top-k window."""
+    set; the only shuffle is the per-query top-k window.
+
+    ``query_mod=None`` derives a FIXED-size query sample
+    (sampled_query_mod, ~64 queries): the flat ADC scan is Q x N, so
+    a corpus-proportional Q is quadratic — the r8 100x sweep killed
+    the fixed mod=100 form at >15 min. IVFPQ (ivfpq_topk) is the
+    serving path; this flat scan is the codebook-quality audit."""
+    if query_mod is None:
+        query_mod = sampled_query_mod(embeddings)
     cb = pq_codebooks(embeddings, m, codebook_mod,
                       codebook_size=codebook_size)
     enc = pq_encode(embeddings, cb, m)

@@ -7,9 +7,13 @@ the scaled dir (the TPC-H snapshots: lineitem/orders/... are not
 replicated) are skipped — the sweep targets the corpus/stream
 families (documents, embeddings, events).
 
-Usage: python tools/scale_sweep.py [BASE_DIR SCALED_DIR] [--flag N]
+Usage: python tools/scale_sweep.py [BASE_DIR SCALED_DIR]
+           [--flag N] [--only q1,q2,...] [--skip-first N]
 Prints one JSON line {query: {base_sec, scaled_sec, ratio}} plus a
 flagged list (ratio > N, default 60 = exponent ~0.9 at 100x).
+--only restricts to named queries (spot re-checks after a fix);
+--skip-first skips the first N registry positions (resume a sweep
+that already covered them).
 """
 
 from __future__ import annotations
@@ -33,12 +37,26 @@ def main() -> None:
     scaled = args[1] if len(args) > 1 else os.path.join(
         repo, ".scale", "sf10")
     flag_ratio = 60.0
+    only: list[str] | None = None
+    skip_first = 0
     for a in sys.argv[1:]:
         if a.startswith("--flag"):
             flag_ratio = float(a.split("=", 1)[1])
+        elif a.startswith("--only"):
+            only = a.split("=", 1)[1].split(",")
+        elif a.startswith("--skip-first"):
+            skip_first = int(a.split("=", 1)[1])
 
     spark = get_spark("scale_sweep")
     qs = entry.queries()
+    if only is not None:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        qs = {n: qs[n] for n in only}
+    elif skip_first:
+        qs = {n: f for i, (n, f) in enumerate(qs.items())
+              if i >= skip_first}
     warm = next(iter(qs))
     qs[warm](spark, base).write.format("noop").mode("overwrite").save()
     release_all()
@@ -76,9 +94,20 @@ def main() -> None:
                     spark.stop()
                 except Exception:
                     pass
-                from pyspark.sql import SparkSession
-                SparkSession._instantiatedSession = None
-                SparkSession._activeSession = None
+                # tool-only code: resetting these PRIVATE PySpark
+                # attrs is the only way to force a brand-new JVM from
+                # the same process once the old one is gone (stop()
+                # alone leaves the dead session registered, verified
+                # on PySpark 4.1). Guarded so a rename in a future
+                # Spark merely degrades to "sweep ends here".
+                try:
+                    from pyspark.sql import SparkSession
+                    SparkSession._instantiatedSession = None
+                    SparkSession._activeSession = None
+                except AttributeError:
+                    print("# session-reset internals unavailable; "
+                          "aborting sweep", file=sys.stderr)
+                    break
                 spark = get_spark("scale_sweep")
             continue
         row["ratio"] = round(row["scaled_sec"] / max(row["base_sec"],
