@@ -25,6 +25,52 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def distributed_rank(df: DataFrame, order_cols: list[str],
+                     out_col: str = "rk") -> DataFrame:
+    """Exact global ROW_NUMBER() over ``order_cols`` WITHOUT the
+    single-task global window (`Window.orderBy` with no partition
+    moves the whole frame to one task — Spark itself warns).
+
+    Two phases, the assign_txn_batches carry pattern generalized to
+    arbitrary sort keys:
+      1. range-repartition on the full order key — Spark's sampled
+         RangePartitioner, the same machinery as a distributed
+         ORDER BY, so value skew is handled by sampling instead of a
+         fixed bucket width; row_number within each range partition
+         (window partitioned by partition id — parallel);
+      2. per-partition row counts (n_partitions tiny rows) carry a
+         running offset, broadcast back: rank = offset + within.
+
+    ``order_cols`` must be a TOTAL order (append a unique tiebreak
+    column): then the composed rank equals the global row_number
+    regardless of where the sampled boundaries land — partitioning
+    is physical only, the result is deterministic. The repartitioned
+    frame is persisted so phase 1 and the counts read ONE boundary
+    sample (both phases reread it; recomputing could re-sample).
+    """
+    from ..cache import managed_persist
+    part = managed_persist(
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+          .withColumn("_pid", F.spark_partition_id()))
+    w_in = Window.partitionBy("_pid").orderBy(*order_cols)
+    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # offset carry as a triangular broadcast self-join over the
+    # n_partitions-row counts frame (p^2 pairs, p = shuffle
+    # partitions — trivial and parallel), NOT an unpartitioned
+    # window: the whole point here is zero single-task stages.
+    lower = counts.select(F.col("_pid").alias("_pid2"),
+                          F.col("_n").alias("_n2"))
+    offsets = (counts.join(F.broadcast(lower),
+                           F.col("_pid2") < F.col("_pid"), "left")
+               .groupBy("_pid")
+               .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_off")))
+    return (part.withColumn("_within", F.row_number().over(w_in))
+            .join(F.broadcast(offsets), "_pid")
+            .withColumn(out_col,
+                        (F.col("_off") + F.col("_within")).cast("long"))
+            .drop("_pid", "_within", "_off"))
+
+
 def classify_disorder(changes: DataFrame,
                       arrival_bucket: int = 1 << 20) -> DataFrame:
     """Tag each event, per source in arrival order, as ok / disorder /

@@ -346,14 +346,17 @@ def activity_gini(events: DataFrame,
     at 100 TB rank*count products overflow BIGINT long before they
     trouble a 38-digit decimal.
 
-    Scale: the only window runs over the COUNT-REDUCED per-user frame
-    (one row per user, never raw events); the decile rollup is 10
-    rows.
+    Scale: ranking runs over the COUNT-REDUCED per-user frame (one
+    row per user, never raw events) AND is distributed — the global
+    (n, user) rank comes from ordering.distributed_rank (range
+    partitions + broadcast offset carry), never a single-task
+    unpartitioned window, so 10^9 users rank in parallel; the decile
+    rollup is 10 rows.
     """
+    from .ordering import distributed_rank
     per_user = (events.groupBy(user_col)
                 .agg(F.count(F.lit(1)).alias("n")))
-    w = Window.orderBy("n", user_col)
-    ranked = (per_user.withColumn("rk", F.row_number().over(w)))
+    ranked = distributed_rank(per_user, ["n", user_col], "rk")
     tot = ranked.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("n").cast("decimal(38,0)").alias("s"),
@@ -371,10 +374,15 @@ def activity_gini(events: DataFrame,
            .groupBy("decile")
            .agg(F.count(F.lit(1)).alias("n_users_decile"),
                 F.sum("n").cast("bigint").alias("n_events")))
-    wd = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, 0)
-    out = (dec.withColumn("cum_events",
-                          F.sum("n_events").over(wd).cast("bigint"))
+    # Lorenz cumulative as a triangular broadcast self-join over the
+    # 10-row decile frame — no unpartitioned window anywhere in the
+    # plan (the rank above is distributed_rank; this keeps the whole
+    # query free of single-task window stages).
+    lower = dec.select(F.col("decile").alias("_d2"),
+                       F.col("n_events").alias("_ne2"))
+    out = (dec.join(F.broadcast(lower), F.col("_d2") <= F.col("decile"))
+           .groupBy("decile", "n_users_decile", "n_events")
+           .agg(F.sum("_ne2").cast("bigint").alias("cum_events"))
            .crossJoin(F.broadcast(gini)))
     return (out.withColumn(
                 "cum_events_ppm",
@@ -530,22 +538,27 @@ def rfm_segments(events: DataFrame, user_col: str = "user_id",
     monetary is milli-quantized, and the label CASE is shared text
     with the oracle.
 
-    Scale: one per-user aggregate, then THREE rank windows over the
-    count-reduced user frame (one per dimension), then a tiny segment
-    rollup. Raw events are touched once.
+    Scale: one per-user aggregate, then THREE distributed ranks over
+    the count-reduced user frame (one per dimension —
+    ordering.distributed_rank: range partitions + broadcast offset
+    carry, never a single-task unpartitioned window), then a tiny
+    segment rollup. Raw events are touched once; the user count is a
+    broadcast 1-row aggregate, not a whole-frame window.
     """
-    per_user = (events.groupBy(F.col(user_col).alias("u"))
-                .agg(F.max(ts_col).alias("r_ts"),
-                     F.count(F.lit(1)).alias("freq"),
-                     F.sum(F.expr(
-                         f"CAST(floor({value_col} * 1000) AS BIGINT)"))
-                      .cast("bigint").alias("mon_milli")))
-    n_w = Window.partitionBy()
-    out = per_user.withColumn("n", F.count(F.lit(1)).over(n_w))
+    from ..cache import managed_persist
+    from .ordering import distributed_rank
+    per_user = managed_persist(
+        events.groupBy(F.col(user_col).alias("u"))
+        .agg(F.max(ts_col).alias("r_ts"),
+             F.count(F.lit(1)).alias("freq"),
+             F.sum(F.expr(
+                 f"CAST(floor({value_col} * 1000) AS BIGINT)"))
+              .cast("bigint").alias("mon_milli")))
+    n_users = per_user.agg(F.count(F.lit(1)).alias("n"))
+    out = per_user.crossJoin(F.broadcast(n_users))
     for col, score in (("r_ts", "r_score"), ("freq", "f_score"),
                        ("mon_milli", "m_score")):
-        w = Window.orderBy(col, "u")
-        out = (out.withColumn("rk", F.row_number().over(w))
+        out = (distributed_rank(out, [col, "u"], "rk")
                .withColumn(score,
                            F.expr("(5 * rk + n - 1) DIV n"))
                .drop("rk"))
