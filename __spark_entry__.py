@@ -840,8 +840,11 @@ def q_snapshot_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (ADVICE r7); the repo tree is owned by us and gitignored here.
 _ORACLE_SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".oracle_scratch")
-os.makedirs(_ORACLE_SCRATCH, exist_ok=True)
 BPE_ORACLE_PATH = os.path.join(_ORACLE_SCRATCH, "bpe_oracle.parquet")
+# NOTE: the directory is created lazily by the oracle writers
+# (_write_bpe_oracle/_write_pca_oracle) right before they write —
+# creating it at import time was a module-import side effect that
+# broke importing from a read-only checkout (ADVICE r8).
 
 
 def _write_bpe_oracle(sf_dir: str, merges: list[tuple[str, str]]) -> None:
@@ -914,6 +917,7 @@ def _write_bpe_oracle(sf_dir: str, merges: list[tuple[str, str]]) -> None:
     table = pa.table({"doc_id": pa.array(out_ids, pa.int64()),
                       "n_words": pa.array(out_nw, pa.int64()),
                       "n_bpe_tokens": pa.array(out_nt, pa.int64())})
+    os.makedirs(_ORACLE_SCRATCH, exist_ok=True)
     tmp = BPE_ORACLE_PATH + ".tmp"
     pq.write_table(table, tmp)
     os.replace(tmp, BPE_ORACLE_PATH)
@@ -2411,6 +2415,7 @@ def _write_pca_oracle(sf_dir: str, dims: int = 64, k: int = 8,
         va = np.array(v, dtype=np.int64)
         off = int(s @ va)
         out[f"pc{j}"] = [int(n) * int(Q[i] @ va) - off for i in range(n)]
+    os.makedirs(_ORACLE_SCRATCH, exist_ok=True)
     pq.write_table(pa.table(out), path)
     with open(meta_path, "w") as f:
         f.write(key)
@@ -7774,6 +7779,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s, COUNT(*) AS df FROM shx GROUP BY s) t
               WHERE df <= 20),
             rsh AS (SELECT doc_id, s FROM shx JOIN rare USING (s)),
+            rsizes AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_rsh
+              FROM rsh GROUP BY doc_id),
             candraw AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -7782,13 +7790,14 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY a.doc_id, b.doc_id),
             cand AS (
               -- multi-witness rule mirroring dedup.lsh_accuracy:
-              -- >= min(3, |sh_a|, |sh_b|) distinct shared rare
-              -- shingles (capped so identical tiny docs stay in)
+              -- >= min(3, |rare_a|, |rare_b|) distinct shared rare
+              -- shingles (capped by each doc's RARE-shingle count —
+              -- what the pair can possibly share as witnesses)
               SELECT doc_a, doc_b FROM candraw
-              JOIN sizes wa ON candraw.doc_a = wa.doc_id
-              JOIN sizes wb ON candraw.doc_b = wb.doc_id
+              JOIN rsizes wa ON candraw.doc_a = wa.doc_id
+              JOIN rsizes wb ON candraw.doc_b = wb.doc_id
               WHERE n_shared >= GREATEST(1,
-                    LEAST(3, wa.n_sh, wb.n_sh))),
+                    LEAST(3, wa.n_rsh, wb.n_rsh))),
             inter AS (
               SELECT doc_a, doc_b,
                      CAST(COUNT(*) AS BIGINT) AS n_inter

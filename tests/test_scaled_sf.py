@@ -16,7 +16,11 @@ import pytest
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
-SRC = "/root/testdata/sf0.001"
+SRC = os.environ.get("SPARK_GRAFT_SRC_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SRC),
+    reason=f"fixture dir {SRC} not present on this machine")
 
 
 @pytest.fixture(scope="module")

@@ -661,16 +661,22 @@ def lsh_accuracy(docs: DataFrame, threshold_ppm: int = 500_000,
 
     Scale: both candidate generators are bounded (banded buckets with
     caps; rare shingles with df <= cap), and truth candidates need
-    ``min(min_shared, |shingles_a|, |shingles_b|)`` distinct shared
-    rare shingles (multi-witness rule, capped by what the pair can
-    possibly share so identical TINY docs stay candidates): a
-    J >= 0.5 pair of normal-length docs shares many rare shingles, so
+    ``min(min_shared, |rare_a|, |rare_b|)`` distinct shared rare
+    shingles (multi-witness rule, capped by each doc's RARE-shingle
+    count — what the pair can possibly share as witnesses — so
+    identical tiny docs AND docs whose shingles are mostly above
+    df_cap stay candidates): a J >= 0.5 pair of normal-length docs
+    with rare shingles to spare shares many of them, so
     single-witness pairs are noise that only inflate the exact-J
     verify — measured at sf0.1, min_shared 1 -> 3 cuts candidates
     1.12M -> 10k with the truth set bit-identical (256 pairs at every
     witness count 1..4). Note the truth DEFINITION has always been
     candidate-bounded (a pair sharing only common df > df_cap
-    shingles never entered it); min_shared tightens that same
+    shingles never entered it), so the reported recall is recall
+    against THIS generator's truth: at heavy replication a fixed
+    df_cap shrinks the rare set and with it the measurable truth —
+    interpret cross-scale recall_ppm with that in mind, or raise
+    df_cap with the replication factor. min_shared tightens the same
     generator, it does not introduce the bound. The exact-J verify
     joins shingle sets only for candidate pairs. One output row.
     """
@@ -682,11 +688,23 @@ def lsh_accuracy(docs: DataFrame, threshold_ppm: int = 500_000,
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= df_cap).select("sh"))
-    rsh = sh.join(rare, "sh")
-    # witness requirement capped by what the pair can POSSIBLY share:
-    # a doc with fewer than min_shared shingles total (tiny doc) can
-    # never produce min_shared witnesses, yet an identical tiny pair
-    # is a true J=1.0 duplicate — it must stay a candidate.
+    rsh = managed_persist(sh.join(rare, "sh"))
+    # witness requirement capped by what the pair can POSSIBLY share
+    # *as witnesses*: witnesses are RARE shingles only, so the cap is
+    # each doc's RARE-shingle count (not its total shingle count — a
+    # true pair whose docs each carry fewer than min_shared rare
+    # shingles, e.g. when duplication pushes shared shingles past
+    # df_cap, must stay a candidate; capping by the total count
+    # silently dropped exactly those pairs). A doc with ZERO rare
+    # shingles never appears in rsh — that bound is the candidate
+    # generator's own definition (unchanged since r1), and it is why
+    # df_cap is a TRUTH-DEFINITION knob: at heavy replication the
+    # fixed cap shrinks the rare set and with it the measurable truth
+    # (the reported recall is recall AGAINST THIS GENERATOR's truth;
+    # min_shared>1 narrows it further by design — verified
+    # truth-bit-identical at sf0.1).
+    rsizes = rsh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_rsh"))
     cand = (rsh.alias("a")
             .join(rsh.alias("b"),
                   (F.col("a.sh") == F.col("b.sh"))
@@ -694,10 +712,10 @@ def lsh_accuracy(docs: DataFrame, threshold_ppm: int = 500_000,
             .groupBy(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
             .agg(F.count(F.lit(1)).alias("n_shared"))
-            .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                               F.col("n_sh").alias("w_a")), "doc_a")
-            .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                               F.col("n_sh").alias("w_b")), "doc_b")
+            .join(rsizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("n_rsh").alias("w_a")), "doc_a")
+            .join(rsizes.select(F.col("doc_id").alias("doc_b"),
+                                F.col("n_rsh").alias("w_b")), "doc_b")
             .filter(F.col("n_shared") >= F.greatest(
                 F.lit(1), F.least(F.lit(min_shared),
                                   F.col("w_a"), F.col("w_b"))))

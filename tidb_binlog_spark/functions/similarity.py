@@ -137,7 +137,8 @@ def lsh_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
 
 
 def sqrt_centroid_mod(embeddings: DataFrame,
-                      id_col: str = "vec_id") -> int:
+                      id_col: str = "vec_id",
+                      n: int | None = None) -> int:
     """Scale-derived IVF coarse-quantizer sizing: centroid_mod ~=
     sqrt(N), so the centroid COUNT is ~sqrt(N) and the inverted lists
     hold ~sqrt(N) vectors each — the canonical nlist ~ sqrt(N) sizing
@@ -154,9 +155,12 @@ def sqrt_centroid_mod(embeddings: DataFrame,
     watermark collects). Integer-exact cross-engine: floor(sqrt(N)) is
     IEEE-correctly-rounded in both Python and DuckDB, then pure
     integer division — the oracle derives the identical mod via
-    GREATEST(2, COUNT(*) // CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))."""
+    GREATEST(2, COUNT(*) // CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)).
+    Pass a precomputed ``n`` to share one count across several
+    derivations (recall_curve derives both mods from one scan)."""
     import math
-    n = embeddings.count()
+    if n is None:
+        n = embeddings.count()
     r = int(math.floor(math.sqrt(n))) or 1
     return max(2, n // r)
 
@@ -1028,14 +1032,17 @@ def int8_quantize_report(embeddings: DataFrame,
 
 def sampled_query_mod(embeddings: DataFrame,
                       target_queries: int = 64,
-                      id_col: str = "vec_id") -> int:
+                      id_col: str = "vec_id",
+                      n: int | None = None) -> int:
     """Fixed-size audit-query sampling: derive the residue modulus so
     ~``target_queries`` vectors are selected REGARDLESS of corpus
     size. Recall/latency telemetry needs a statistically sufficient
     sample, not a corpus-proportional one — a query set that tracks N
     makes any exact-baseline audit (brute force = Q x N) quadratic.
-    Oracle-exact: GREATEST(1, COUNT(*) // target) in SQL."""
-    n = embeddings.count()
+    Oracle-exact: GREATEST(1, COUNT(*) // target) in SQL. Pass a
+    precomputed ``n`` to share one count across derivations."""
+    if n is None:
+        n = embeddings.count()
     return max(1, n // target_queries)
 
 
@@ -1070,10 +1077,14 @@ def recall_curve(embeddings: DataFrame,
     """
     from pyspark.sql import Window
     max_p = max(nprobes)
-    if query_mod is None:
-        query_mod = sampled_query_mod(embeddings)
-    if centroid_mod is None:
-        centroid_mod = sqrt_centroid_mod(embeddings)
+    if query_mod is None or centroid_mod is None:
+        # ONE eager count shared by both derivations (they would
+        # otherwise each scan the corpus before the query builds)
+        n = embeddings.count()
+        if query_mod is None:
+            query_mod = sampled_query_mod(embeddings, n=n)
+        if centroid_mod is None:
+            centroid_mod = sqrt_centroid_mod(embeddings, n=n)
     assign = managed_persist(ivf_assign(embeddings, centroid_mod))
     cents = (with_norm(embeddings.filter(F.col("vec_id") % centroid_mod == 1),
                        "embedding", "c_norm")
