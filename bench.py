@@ -204,15 +204,19 @@ def main() -> None:
 
     ch = kafka_sink.with_row_image(change_stream(spark, sf_dir)).persist()
     n_events = ch.count()
+    # min-of-3 like every query row (VERDICT r8 item 6): this is the
+    # one Python-bound (Arrow mapInPandas marshal) tier and the
+    # recorded number swung 46-69k ev/s across rounds at min-of-2 —
+    # co-tenant stragglers hit two consecutive runs often enough.
     obinlog_best = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         obinlog_pb.secondary_binlog_payloads(ch).write.format("noop") \
             .mode("overwrite").save()
         dt = time.time() - t0
         obinlog_best = dt if obinlog_best is None else min(obinlog_best, dt)
     dump_best = None
-    for _ in range(2):
+    for _ in range(3):
         dump_dir = tempfile.mkdtemp(prefix="bench_pbdump_")
         t0 = time.time()
         pbcodec.write_pb_dump(ch, dump_dir)

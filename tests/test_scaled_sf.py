@@ -92,3 +92,39 @@ def test_embeddings_verbatim_with_shifted_ids(scaled):
     # vectors replicate verbatim (IVF lists stay constant-size)
     assert out["embedding"].to_pylist()[n:2 * n] == \
         src["embedding"].to_pylist()
+
+
+@pytest.fixture(scope="module")
+def scaled_tpch(tmp_path_factory):
+    import make_scaled_sf as m
+    dst = str(tmp_path_factory.mktemp("scaled_tpch"))
+    m.scale_tpch(SRC, dst, 3)
+    return dst
+
+
+def test_tpch_facts_disjoint_bands_dims_verbatim(scaled_tpch):
+    so = pq.read_table(os.path.join(SRC, "orders.parquet"))
+    sl = pq.read_table(os.path.join(SRC, "lineitem.parquet"))
+    oo = pq.read_table(os.path.join(scaled_tpch, "orders.parquet"))
+    ol = pq.read_table(os.path.join(scaled_tpch, "lineitem.parquet"))
+    assert oo.num_rows == 3 * so.num_rows
+    assert ol.num_rows == 3 * sl.num_rows
+    assert oo.schema == so.schema and ol.schema == sl.schema
+    # o_orderkey stays unique (disjoint bands)
+    assert len(pc.unique(oo["o_orderkey"])) == oo.num_rows
+    # referential integrity: every copy's lineitems reference exactly
+    # its own orders — the joined key sets are identical
+    okeys = set(oo["o_orderkey"].to_pylist())
+    assert set(ol["l_orderkey"].to_pylist()) <= okeys
+    # per-copy shift is the SAME span on both tables
+    span = pc.max(so["o_orderkey"]).as_py() + 1
+    assert sorted(set(ol["l_orderkey"].to_pylist()))[0] == \
+        sorted(set(sl["l_orderkey"].to_pylist()))[0]
+    n = sl.num_rows
+    assert ol["l_orderkey"].to_pylist()[n:2 * n] == \
+        [k + span for k in sl["l_orderkey"].to_pylist()]
+    # dims copied verbatim
+    for d in ("customer", "nation"):
+        a = pq.read_table(os.path.join(SRC, f"{d}.parquet"))
+        b = pq.read_table(os.path.join(scaled_tpch, f"{d}.parquet"))
+        assert a.equals(b)

@@ -17,6 +17,11 @@ Construction (copies = N gives N x the rows):
   copies — the near-dup pair workload scales exactly N x instead of
   exploding quadratically in the copy count.
 
+- TPC-H (orders + lineitem): copy i shifts o_orderkey/l_orderkey by
+  i*span (disjoint order bands, referential integrity per copy);
+  dimension tables copy verbatim — the more-transactions growth
+  model, so the snapshot_* join/agg family gets graded too.
+
 Types are preserved exactly via pyarrow (the driver parquet carries
 TIMESTAMP(NANOS) that engines downcast if rewritten naively).
 
@@ -114,14 +119,54 @@ def scale_embeddings(src_dir: str, dst_dir: str, copies: int) -> int:
                          os.path.join(dst_dir, "embeddings.parquet"))
 
 
+TPCH_DIMS = ("customer", "supplier", "part", "nation", "region")
+
+
+def scale_tpch(src_dir: str, dst_dir: str, copies: int) -> tuple[int, int]:
+    """Fact tables (orders + lineitem) replicate with DISJOINT
+    o_orderkey bands — copy i shifts o_orderkey AND l_orderkey by the
+    same i*span, so each copy's lineitems reference exactly its own
+    orders and (o_orderkey) / (l_orderkey, l_linenumber) stay unique.
+    Dimension tables copy VERBATIM (the more-transactions growth
+    model: the customer/part/supplier catalog stays fixed while facts
+    scale Nx) — dims stay broadcast-small, per-customer and per-part
+    group cardinality grows Nx, and the join/agg workload scales
+    linearly in the fact rows, which is exactly what the sweep
+    measures. Dates, prices, statuses replicate structurally."""
+    import shutil
+    o = pq.read_table(os.path.join(src_dir, "orders.parquet"))
+    li = pq.read_table(os.path.join(src_dir, "lineitem.parquet"))
+    okey_span = pc.max(o["o_orderkey"]).as_py() + 1
+    parts_o, parts_l = [], []
+    for i in range(copies):
+        co, cl = o, li
+        if i:
+            co = co.set_column(
+                co.schema.get_field_index("o_orderkey"), "o_orderkey",
+                pc.add(co["o_orderkey"], i * okey_span))
+            cl = cl.set_column(
+                cl.schema.get_field_index("l_orderkey"), "l_orderkey",
+                pc.add(cl["l_orderkey"], i * okey_span))
+        parts_o.append(co)
+        parts_l.append(cl)
+    n_o = _concat_write(parts_o, os.path.join(dst_dir, "orders.parquet"))
+    n_l = _concat_write(parts_l, os.path.join(dst_dir, "lineitem.parquet"))
+    for d in TPCH_DIMS:
+        shutil.copyfile(os.path.join(src_dir, f"{d}.parquet"),
+                        os.path.join(dst_dir, f"{d}.parquet"))
+    return n_o, n_l
+
+
 def main() -> None:
     src, dst, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
     os.makedirs(dst, exist_ok=True)
     ne = scale_events(src, dst, copies)
     nd = scale_documents(src, dst, copies)
     nv = scale_embeddings(src, dst, copies)
+    no, nl = scale_tpch(src, dst, copies)
     print(f"wrote {dst}: events={ne} documents={nd} embeddings={nv} "
-          f"({copies}x {src})")
+          f"orders={no} lineitem={nl} (+verbatim dims: "
+          f"{', '.join(TPCH_DIMS)}) ({copies}x {src})")
 
 
 if __name__ == "__main__":
