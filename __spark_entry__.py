@@ -4125,75 +4125,24 @@ def q_corpus_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # keys. Last recorded gate: CORRECTNESS_r07 (50/50 hash-green over
-    # the r7-new block). This r8 rotation puts every remaining
-    # never-driver-checked query (58 of them; LEDGER_r8-green only)
-    # into the window, stalest first; the 8 that don't fit head the
-    # r9 queue together with the r4-green rows that carry the retired
-    # r1/r2 surfaces.
+    # keys. Last recorded gate: CORRECTNESS_r08 (50/50 hash-green over
+    # the r8-new block, now at the tail with the freshest evidence).
+    # This r9 rotation promotes the queued positions 51-100 (VERDICT
+    # r8 item 1): the 8 remaining never-driver-checked queries head
+    # the window, then the r4/r5-green carriers of the retired r1/r2
+    # surfaces (consolidation map in the module docstring above:
+    # cdc_progress <- cdc_checkpoint_ts + cdc_heartbeat_progress;
+    # cdc_type_format <- cdc_timezone_format; sink_sql_generation <-
+    # sink_sql_oracle_dialect; sink_payload_roundtrip <-
+    # sink_obinlog_payload + cdc_arbiter_dedup; text_profile /
+    # mm_assets <- the r1 text_*/mm_* singles). After this window
+    # every registry query has a driver row <= 3 rounds old.
+    # NOTE: dedup_embedding_cosine / dedup_embedding_clusters /
+    # ann_cosine_topk sit in THIS window on purpose — their r9
+    # scale-safe defaults (collapse-first pairs, derived query
+    # sample) get driver-recorded correctness rows immediately.
     return {
-        # -- r8 window (VERDICT r7 item 1): every never-driver-checked
-        #    query rotates in, stalest first — 17 r6-new + 12 late-r7 +
-        #    21 of the 29 r7-session-new. All LEDGER_r8-green; this is
-        #    their first driver CORRECTNESS row.
-        "corpus_tfidf_topk": q_corpus_tfidf_topk,
-        "snapshot_large_orders": q_snapshot_large_orders,
-        "snapshot_top_supplier": q_snapshot_top_supplier,
-        "snapshot_forecast_revenue": q_snapshot_forecast_revenue,
-        "cdc_disorder_displacement": q_cdc_disorder_displacement,
-        "corpus_source_overlap": q_corpus_source_overlap,
-        "corpus_temperature_mix": q_corpus_temperature_mix,
-        "events_type_transitions": q_events_type_transitions,
-        "mm_audio_features": q_mm_audio_features,
-        "snapshot_diff_drilldown": q_snapshot_diff_drilldown,
-        "dedup_lsh_calibration": q_dedup_lsh_calibration,
-        "corpus_gate_report": q_corpus_gate_report,
-        "cdc_incremental_distinct": q_cdc_incremental_distinct,
-        "events_session_paths": q_events_session_paths,
-        "dedup_savings_report": q_dedup_savings_report,
-        "cdc_hot_keys": q_cdc_hot_keys,
-        "snapshot_bracket_revenue": q_snapshot_bracket_revenue,
-        # -- late-r7 never-driver-checked (12)
-        "events_ohlc": q_events_ohlc,
-        "cdc_salt_advisor": q_cdc_salt_advisor,
-        "corpus_oov_rate": q_corpus_oov_rate,
-        "events_multitouch": q_events_multitouch,
-        "corpus_hll_registers": q_corpus_hll_registers,
-        "snapshot_compaction_plan": q_snapshot_compaction_plan,
-        "corpus_pagerank": q_corpus_pagerank,
-        "corpus_dsir_select": q_corpus_dsir_select,
-        "ann_ivf_incremental": q_ann_ivf_incremental,
-        "ann_int8_quant": q_ann_int8_quant,
-        "events_rep_points": q_events_rep_points,
-        "snapshot_stats_merge": q_snapshot_stats_merge,
-        # -- r7-session-new never-driver-checked (first 21 of 29)
-        "corpus_quantile_sketch": q_corpus_quantile_sketch,
-        "corpus_cms_topk": q_corpus_cms_topk,
-        "events_decayed_topk": q_events_decayed_topk,
-        "cdc_dml_mix_drift": q_cdc_dml_mix_drift,
-        "events_growth_accounting": q_events_growth_accounting,
-        "corpus_vocab_growth": q_corpus_vocab_growth,
-        "ann_recall_curve": q_ann_recall_curve,
-        "events_seasonal_residuals": q_events_seasonal_residuals,
-        "dedup_lsh_accuracy": q_dedup_lsh_accuracy,
-        "events_markov_attribution": q_events_markov_attribution,
-        "cdc_redelivery_proof": q_cdc_redelivery_proof,
-        "rag_retrieval_ndcg": q_rag_retrieval_ndcg,
-        "events_activity_gini": q_events_activity_gini,
-        "events_holt_forecast": q_events_holt_forecast,
-        "events_peak_concurrency": q_events_peak_concurrency,
-        "events_conversion_latency": q_events_conversion_latency,
-        "cdc_ddl_risk_audit": q_cdc_ddl_risk_audit,
-        "events_rfm_segments": q_events_rfm_segments,
-        "events_dau_wau_mau": q_events_dau_wau_mau,
-        "events_cusum_changepoint": q_events_cusum_changepoint,
-        "cdc_asof_diff": q_cdc_asof_diff,
-        # ------------------------------------------------------------
-        # below the driver's 50-row window (position 51+), in r9
-        # priority order. Every query below is ledger-checked each
-        # round (LEDGER_r9).
-        # ------------------------------------------------------------
-        # -- r9 window heads: the 8 remaining never-driver-checked
+        # -- r9 window: positions 51-100 of the r8 ordering ----------
         "events_did_uplift": q_events_did_uplift,
         "corpus_novelty_curve": q_corpus_novelty_curve,
         "cdc_write_amplification": q_cdc_write_amplification,
@@ -4202,12 +4151,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_tokenizer_fertility": q_corpus_tokenizer_fertility,
         "corpus_quantile_merge": q_corpus_quantile_merge,
         "dedup_idempotence": q_dedup_idempotence,
-        # -- r9 next: r4-green rows, driver evidence 4+ rounds old.
-        #    These CARRY the retired r1/r2 surfaces (VERDICT r7 item 3):
-        #    cdc_progress <- cdc_checkpoint_ts + cdc_heartbeat_progress;
-        #    cdc_type_format <- cdc_timezone_format; sink_sql_generation
-        #    <- sink_sql_oracle_dialect; sink_payload_roundtrip <-
-        #    sink_obinlog_payload + cdc_arbiter_dedup.
         "cdc_kv_decode": q_cdc_kv_decode,
         "cdc_kv_decode_update": q_cdc_kv_decode_update,
         "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
@@ -4217,7 +4160,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "mm_assets": q_mm_assets,
         "cdc_progress": q_cdc_progress,
-        # -- r5-green rows (24) awaiting refresh
         "ann_doc_lsh": q_ann_doc_lsh,
         "dedup_incremental": q_dedup_incremental,
         "doc_cdc_chunks": q_doc_cdc_chunks,
@@ -4242,7 +4184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_clusters": q_dedup_embedding_clusters,
         "cdc_gc_safepoint": q_cdc_gc_safepoint,
         "cdc_causality_groups": q_cdc_causality_groups,
-        # -- r5-green rows (25) awaiting refresh
         "sink_bulk_batches": q_sink_bulk_batches,
         "snapshot_checksum_orders": q_snapshot_checksum_orders,
         "cdc_pc_match": q_cdc_pc_match,
@@ -4252,6 +4193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_orders": q_snapshot_diff_orders,
         "snapshot_pricing_summary": q_snapshot_pricing_summary,
         "snapshot_revenue_by_nation": q_snapshot_revenue_by_nation,
+        # ------------------------------------------------------------
+        # below the driver's 50-row window: the r10 queue (unchanged
+        # relative order). Every query below is ledger-checked each
+        # round (LEDGER_r10).
+        # ------------------------------------------------------------
         "cdc_snapshot_apply": q_cdc_snapshot_apply,
         "cdc_order_audit": q_cdc_order_audit,
         "cdc_kway_merge": q_cdc_kway_merge,
@@ -4268,7 +4214,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        # -- r6-green rows (CORRECTNESS_r06)
         "cdc_pitr_restore": q_cdc_pitr_restore,
         "corpus_inverted_index": q_corpus_inverted_index,
         "snapshot_returned_items": q_snapshot_returned_items,
@@ -4319,7 +4264,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_stats": q_corpus_token_stats,
         "text_bigram_lm": q_text_bigram_lm,
         "corpus_full_curation": q_corpus_full_curation,
-        # -- r7-green rows (CORRECTNESS_r07, freshest driver evidence)
         "ann_pca_project": q_ann_pca_project,
         "rag_retrieve_pack": q_rag_retrieve_pack,
         "dedup_url_canonical": q_dedup_url_canonical,
@@ -4370,6 +4314,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_dropoff": q_events_funnel_dropoff,
         "corpus_fold_leakage": q_corpus_fold_leakage,
         "corpus_effective_tokens": q_corpus_effective_tokens,
+        # -- r8 window (CORRECTNESS_r08 50/50): freshest driver rows,
+        #    rotated to the tail
+        "corpus_tfidf_topk": q_corpus_tfidf_topk,
+        "snapshot_large_orders": q_snapshot_large_orders,
+        "snapshot_top_supplier": q_snapshot_top_supplier,
+        "snapshot_forecast_revenue": q_snapshot_forecast_revenue,
+        "cdc_disorder_displacement": q_cdc_disorder_displacement,
+        "corpus_source_overlap": q_corpus_source_overlap,
+        "corpus_temperature_mix": q_corpus_temperature_mix,
+        "events_type_transitions": q_events_type_transitions,
+        "mm_audio_features": q_mm_audio_features,
+        "snapshot_diff_drilldown": q_snapshot_diff_drilldown,
+        "dedup_lsh_calibration": q_dedup_lsh_calibration,
+        "corpus_gate_report": q_corpus_gate_report,
+        "cdc_incremental_distinct": q_cdc_incremental_distinct,
+        "events_session_paths": q_events_session_paths,
+        "dedup_savings_report": q_dedup_savings_report,
+        "cdc_hot_keys": q_cdc_hot_keys,
+        "snapshot_bracket_revenue": q_snapshot_bracket_revenue,
+        "events_ohlc": q_events_ohlc,
+        "cdc_salt_advisor": q_cdc_salt_advisor,
+        "corpus_oov_rate": q_corpus_oov_rate,
+        "events_multitouch": q_events_multitouch,
+        "corpus_hll_registers": q_corpus_hll_registers,
+        "snapshot_compaction_plan": q_snapshot_compaction_plan,
+        "corpus_pagerank": q_corpus_pagerank,
+        "corpus_dsir_select": q_corpus_dsir_select,
+        "ann_ivf_incremental": q_ann_ivf_incremental,
+        "ann_int8_quant": q_ann_int8_quant,
+        "events_rep_points": q_events_rep_points,
+        "snapshot_stats_merge": q_snapshot_stats_merge,
+        "corpus_quantile_sketch": q_corpus_quantile_sketch,
+        "corpus_cms_topk": q_corpus_cms_topk,
+        "events_decayed_topk": q_events_decayed_topk,
+        "cdc_dml_mix_drift": q_cdc_dml_mix_drift,
+        "events_growth_accounting": q_events_growth_accounting,
+        "corpus_vocab_growth": q_corpus_vocab_growth,
+        "ann_recall_curve": q_ann_recall_curve,
+        "events_seasonal_residuals": q_events_seasonal_residuals,
+        "dedup_lsh_accuracy": q_dedup_lsh_accuracy,
+        "events_markov_attribution": q_events_markov_attribution,
+        "cdc_redelivery_proof": q_cdc_redelivery_proof,
+        "rag_retrieval_ndcg": q_rag_retrieval_ndcg,
+        "events_activity_gini": q_events_activity_gini,
+        "events_holt_forecast": q_events_holt_forecast,
+        "events_peak_concurrency": q_events_peak_concurrency,
+        "events_conversion_latency": q_events_conversion_latency,
+        "cdc_ddl_risk_audit": q_cdc_ddl_risk_audit,
+        "events_rfm_segments": q_events_rfm_segments,
+        "events_dau_wau_mau": q_events_dau_wau_mau,
+        "events_cusum_changepoint": q_events_cusum_changepoint,
+        "cdc_asof_diff": q_cdc_asof_diff,
     }
 
 
