@@ -353,9 +353,13 @@ def activity_gini(events: DataFrame,
     unpartitioned window, so 10^9 users rank in parallel; the decile
     rollup is 10 rows.
     """
+    from ..cache import managed_persist
     from .ordering import distributed_rank
-    per_user = (events.groupBy(user_col)
-                .agg(F.count(F.lit(1)).alias("n")))
+    # persisted BEFORE ranking: repartitionByRange's boundary sampler
+    # executes its child once to sample and again to shuffle — over
+    # the raw-events aggregate that would be two full source passes
+    per_user = managed_persist(
+        events.groupBy(user_col).agg(F.count(F.lit(1)).alias("n")))
     ranked = distributed_rank(per_user, ["n", user_col], "rk")
     tot = ranked.agg(
         F.count(F.lit(1)).alias("n_users"),
@@ -556,12 +560,19 @@ def rfm_segments(events: DataFrame, user_col: str = "user_id",
               .cast("bigint").alias("mon_milli")))
     n_users = per_user.agg(F.count(F.lit(1)).alias("n"))
     out = per_user.crossJoin(F.broadcast(n_users))
+    # each dimension ranks a NARROW (key, metric) projection of the
+    # persisted per-user frame — the range sampler and the shuffle
+    # both read the cached rows, and the three ranks stay independent
+    # (no accumulated lineage re-executed per rank); scores rejoin on
+    # the user key, co-partitioned with the final rollup
     for col, score in (("r_ts", "r_score"), ("freq", "f_score"),
                        ("mon_milli", "m_score")):
-        out = (distributed_rank(out, [col, "u"], "rk")
-               .withColumn(score,
-                           F.expr("(5 * rk + n - 1) DIV n"))
-               .drop("rk"))
+        rk = distributed_rank(per_user.select("u", col), [col, "u"],
+                              "rk")
+        scores = (rk.crossJoin(F.broadcast(n_users))
+                  .select("u", F.expr(f"(5 * rk + n - 1) DIV n")
+                          .alias(score)))
+        out = out.join(scores, "u")
     out = out.withColumn("segment", F.expr(RFM_LABEL_CASE))
     return (out.groupBy("segment", "r_score", "f_score", "m_score")
             .agg(F.count(F.lit(1)).alias("n_users"),
