@@ -997,3 +997,19 @@ def test_gini_and_rfm_plans_have_no_unpartitioned_window(spark):
     qs = m.queries()
     for name in ("events_activity_gini", "events_rfm_segments"):
         _assert_windows_partitioned(_plan(qs[name](spark, SF)))
+
+
+def test_grouped_distributed_rank_matches_per_group_row_number(spark):
+    """group_col ranks restart per group and equal the per-group
+    single-window ROW_NUMBER, with ties and uneven group sizes."""
+    from pyspark.sql import Window
+    from tidb_binlog_spark.operators.ordering import distributed_rank
+    rows = [(i, "g" + str(i % 3 if i < 600 else 0), (i * 7) % 11)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "uid long, g string, v long")
+    got = distributed_rank(df, ["v", "uid"], "rk", group_col="g")
+    want = df.withColumn("rk", F.row_number().over(
+        Window.partitionBy("g").orderBy("v", "uid")))
+    assert sorted(map(tuple, got.select("uid", "g", "rk").collect())) \
+        == sorted(map(tuple, want.select("uid", "g", "rk").collect()))
+    _assert_windows_partitioned(_plan(got))

@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 
 def distributed_rank(df: DataFrame, order_cols: list[str],
-                     out_col: str = "rk") -> DataFrame:
+                     out_col: str = "rk",
+                     group_col: str | None = None) -> DataFrame:
     """Exact global ROW_NUMBER() over ``order_cols`` WITHOUT the
     single-task global window (`Window.orderBy` with no partition
     moves the whole frame to one task — Spark itself warns).
@@ -47,25 +48,39 @@ def distributed_rank(df: DataFrame, order_cols: list[str],
     is physical only, the result is deterministic. The repartitioned
     frame is persisted so phase 1 and the counts read ONE boundary
     sample (both phases reread it; recomputing could re-sample).
+
+    ``group_col`` ranks WITHIN each group value independently (rank
+    restarts at 1 per group) while still paying ONE range shuffle for
+    the whole frame: the range key is (group, *order_cols), the
+    within-window and counts key on (partition, group), and the
+    offset carry joins on the group — N independent rank frames for
+    the price of one (rfm_segments melts its three metric dimensions
+    through this instead of three separate shuffles).
     """
     from ..cache import managed_persist
+    gcols = [group_col] if group_col else []
     part = managed_persist(
-        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        df.repartitionByRange(*[F.col(c) for c in gcols + order_cols])
           .withColumn("_pid", F.spark_partition_id()))
-    w_in = Window.partitionBy("_pid").orderBy(*order_cols)
-    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_in = Window.partitionBy("_pid", *gcols).orderBy(*order_cols)
+    counts = part.groupBy("_pid", *gcols) \
+                 .agg(F.count(F.lit(1)).alias("_n"))
     # offset carry as a triangular broadcast self-join over the
-    # n_partitions-row counts frame (p^2 pairs, p = shuffle
-    # partitions — trivial and parallel), NOT an unpartitioned
-    # window: the whole point here is zero single-task stages.
-    lower = counts.select(F.col("_pid").alias("_pid2"),
-                          F.col("_n").alias("_n2"))
-    offsets = (counts.join(F.broadcast(lower),
-                           F.col("_pid2") < F.col("_pid"), "left")
-               .groupBy("_pid")
+    # (n_partitions x n_groups)-row counts frame (p^2 pairs per
+    # group — trivial and parallel), NOT an unpartitioned window:
+    # the whole point here is zero single-task stages.
+    lower = counts.select(
+        F.col("_pid").alias("_pid2"),
+        *[F.col(g).alias(f"_{g}2") for g in gcols],
+        F.col("_n").alias("_n2"))
+    cond = F.col("_pid2") < F.col("_pid")
+    for g in gcols:
+        cond = cond & (F.col(f"_{g}2") == F.col(g))
+    offsets = (counts.join(F.broadcast(lower), cond, "left")
+               .groupBy("_pid", *gcols)
                .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_off")))
     return (part.withColumn("_within", F.row_number().over(w_in))
-            .join(F.broadcast(offsets), "_pid")
+            .join(F.broadcast(offsets), ["_pid", *gcols])
             .withColumn(out_col,
                         (F.col("_off") + F.col("_within")).cast("long"))
             .drop("_pid", "_within", "_off"))

@@ -559,20 +559,23 @@ def rfm_segments(events: DataFrame, user_col: str = "user_id",
                  f"CAST(floor({value_col} * 1000) AS BIGINT)"))
               .cast("bigint").alias("mon_milli")))
     n_users = per_user.agg(F.count(F.lit(1)).alias("n"))
-    out = per_user.crossJoin(F.broadcast(n_users))
-    # each dimension ranks a NARROW (key, metric) projection of the
-    # persisted per-user frame — the range sampler and the shuffle
-    # both read the cached rows, and the three ranks stay independent
-    # (no accumulated lineage re-executed per rank); scores rejoin on
-    # the user key, co-partitioned with the final rollup
-    for col, score in (("r_ts", "r_score"), ("freq", "f_score"),
-                       ("mon_milli", "m_score")):
-        rk = distributed_rank(per_user.select("u", col), [col, "u"],
-                              "rk")
-        scores = (rk.crossJoin(F.broadcast(n_users))
-                  .select("u", F.expr(f"(5 * rk + n - 1) DIV n")
-                          .alias(score)))
-        out = out.join(scores, "u")
+    # all three dimension ranks in ONE range shuffle: melt the
+    # (BIGINT-uniform) metrics to (u, dim, v) long form and rank with
+    # a grouped distributed_rank (rank restarts per dim); quintile
+    # scores pivot back through a single u-keyed aggregate. One pass
+    # over the persisted user frame instead of three.
+    melted = per_user.select(
+        "u", F.expr("stack(3, 'r_score', r_ts, 'f_score', freq, "
+                    "'m_score', mon_milli) AS (dim, v)"))
+    ranked = distributed_rank(melted, ["v", "u"], "rk", group_col="dim")
+    scores = (ranked.crossJoin(F.broadcast(n_users))
+              .withColumn("score", F.expr("(5 * rk + n - 1) DIV n"))
+              .groupBy("u")
+              .agg(*[F.max(F.when(F.col("dim") == d, F.col("score")))
+                     .alias(d)
+                     for d in ("r_score", "f_score", "m_score")]))
+    out = (per_user.join(scores, "u")
+           .crossJoin(F.broadcast(n_users)))
     out = out.withColumn("segment", F.expr(RFM_LABEL_CASE))
     return (out.groupBy("segment", "r_score", "f_score", "m_score")
             .agg(F.count(F.lit(1)).alias("n_users"),
