@@ -1280,8 +1280,15 @@ def q_ann_ivf_topk(spark, sf_dir):
     N^1.5 — vs the N^2 a fixed centroid_mod hits once the corpus
     outgrows it (measured: the 100x scale proof caught the old mod=37
     in a 1.08B-pair assignment join). The oracle derives the identical
-    mod via GREATEST(2, COUNT(*) // FLOOR(SQRT(COUNT(*))))."""
-    return simfn.ivf_topk(_embs(spark, sf_dir), centroid_mod=None)
+    mod via GREATEST(2, COUNT(*) // FLOOR(SQRT(COUNT(*)))). r10: the
+    query set is the same DERIVED fixed-size sample as
+    ann_cosine_topk/ann_pq_topk (~64 queries via sampled_query_mod,
+    oracle-mirrored as GREATEST(1, COUNT(*) // 64)) — the r9 sweep
+    measured the corpus-proportional query set at 87.9x time at 100x
+    rows (probe stage Q x sqrt(N) = its own N^1.5 on top of the
+    designed index-side N^1.5)."""
+    return simfn.ivf_topk(_embs(spark, sf_dir), query_mod=None,
+                          centroid_mod=None)
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):

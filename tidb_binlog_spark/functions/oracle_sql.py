@@ -216,8 +216,9 @@ assigned AS (
         ORDER BY {cosine('e.embedding', 'c.c_emb')} DESC, c.centroid_id) AS crank
     FROM embeddings e, cents c) t
   WHERE crank = 1),
+qmod AS (SELECT GREATEST(1, COUNT(*) // 64) AS m FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS q_emb
-      FROM embeddings WHERE vec_id % 100 = 0),
+      FROM embeddings WHERE vec_id % (SELECT m FROM qmod) = 0),
 probes AS (
   SELECT query_id, q_emb, centroid_id FROM (
     SELECT q.query_id, q.q_emb, c.centroid_id,

@@ -197,7 +197,7 @@ def ivf_assign(embeddings: DataFrame,
             .select("vec_id", "embedding", F.col("e_norm"), "centroid_id"))
 
 
-def ivf_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
+def ivf_topk(embeddings: DataFrame, query_mod: int | None = 100, k: int = 5,
              nprobe: int = 2, centroid_mod: int | None = 37,
              max_list_size: int | None = None) -> DataFrame:
     """IVF search: probe the query's nprobe nearest inverted lists,
@@ -207,6 +207,15 @@ def ivf_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
     (see sqrt_centroid_mod) — at a growing corpus a fixed mod makes
     the assignment join quadratic in N.
 
+    ``query_mod=None`` derives a FIXED-size query sample
+    (sampled_query_mod, ~64 queries at any corpus): a
+    corpus-proportional query set makes the probe stage Q x sqrt(N) =
+    Theta(N^1.5) on its own, stacking on the designed N^1.5 index
+    build (the r9 100x sweep measured the fixed mod=100 at 87.9x time
+    at 100x rows). With the fixed sample the probe stage is
+    Theta(sqrt(N)) and total work is the index-side N^1.5 only. One
+    count is shared across both derivations.
+
     ``max_list_size`` caps each inverted list before the probe join
     (default None = exact): a degenerate corpus that assigns a huge
     mass of near-identical vectors to one centroid otherwise makes
@@ -215,8 +224,12 @@ def ivf_topk(embeddings: DataFrame, query_mod: int = 100, k: int = 5,
     with dedup.bucket_cap_report(assign, ["centroid_id"], cap)."""
     from pyspark.sql import Window
     from .dedup import cap_buckets
-    if centroid_mod is None:
-        centroid_mod = sqrt_centroid_mod(embeddings)
+    if centroid_mod is None or query_mod is None:
+        n = embeddings.count()
+        if centroid_mod is None:
+            centroid_mod = sqrt_centroid_mod(embeddings, n=n)
+        if query_mod is None:
+            query_mod = sampled_query_mod(embeddings, n=n)
     assign = managed_persist(cap_buckets(
         ivf_assign(embeddings, centroid_mod), ["centroid_id"],
         max_list_size, order_col="vec_id"))
