@@ -3192,25 +3192,26 @@ def q_corpus_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_chunk_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-store dedup savings per source: content-defined chunks
     (boundary-stable under insertions) rolled up to stored-vs-logical
-    bytes — the report that justifies a CDC chunk store. Two
-    map-side-combinable aggregates over the chunk frame (one plain,
-    one over the per-source distinct chunk set)."""
-    from tidb_binlog_spark.cache import managed_persist as _mp
+    bytes — the report that justifies a CDC chunk store. r10 plan:
+    ``source`` rides through the chunker (no chunk-frame-to-docs
+    join), and both rollups collapse into ONE map-side-combinable
+    shuffle keyed (source, chunk_md5) — identical md5 means identical
+    content means identical chunk_len, so the per-group (count,
+    any(chunk_len)) pair yields total AND distinct stats in the same
+    pass (the r9 form's persist + join + DISTINCT measured 64x at the
+    100x sweep; the boundary pass itself is the 27x doc_cdc_chunks)."""
     from tidb_binlog_spark.functions import curation
     docs = _docs(spark, sf_dir)
-    # both rollups read the chunk frame; persist so the rolling-hash
-    # boundary pass runs once
-    chunks = _mp(curation.cdc_chunks(docs)
-                 .join(docs.select("doc_id", "source"), "doc_id")
-                 .select("source", "chunk_md5", "chunk_len"))
-    total = (chunks.groupBy("source")
-             .agg(F.count(F.lit(1)).alias("n_chunks"),
-                  F.sum("chunk_len").alias("bytes_total")))
-    uniq = (chunks.select("source", "chunk_md5", "chunk_len").distinct()
-            .groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_unique"),
-                 F.sum("chunk_len").alias("bytes_unique")))
-    return (total.join(uniq, "source")
+    per_md5 = (curation.cdc_chunks(docs, passthrough=("source",))
+               .groupBy("source", "chunk_md5")
+               .agg(F.count(F.lit(1)).alias("n_copies"),
+                    F.first("chunk_len").alias("chunk_len")))
+    return (per_md5.groupBy("source")
+            .agg(F.sum("n_copies").alias("n_chunks"),
+                 F.count(F.lit(1)).alias("n_unique"),
+                 F.sum(F.col("n_copies") * F.col("chunk_len"))
+                  .alias("bytes_total"),
+                 F.sum("chunk_len").alias("bytes_unique"))
             .select("source", "n_chunks", "n_unique",
                     "bytes_total", "bytes_unique",
                     F.expr("((bytes_total - bytes_unique) * 1000000) "

@@ -367,7 +367,8 @@ def cdc_poly_expr(window: int, codes: str = "codes",
 
 
 def cdc_chunks(docs: DataFrame, window: int = 8,
-               zero_digits: int = 1) -> DataFrame:
+               zero_digits: int = 1,
+               passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Content-defined chunking: a chunk boundary falls AFTER any
     position whose ``window``-gram polynomial hash is 0 mod
     16^zero_digits (boundary probability 16^-zero_digits, expected
@@ -377,7 +378,11 @@ def cdc_chunks(docs: DataFrame, window: int = 8,
     near-dup) relies on.
 
     Returns (doc_id, chunk_no, start, chunk_len, chunk_md5), chunks
-    covering the document exactly.
+    covering the document exactly. ``passthrough`` names extra doc
+    columns to carry onto every chunk row — cheaper than re-joining
+    the (much larger) chunk frame back to docs on doc_id when a
+    consumer needs e.g. ``source`` (the r9 100x sweep measured that
+    join + persist as most of corpus_chunk_savings' 64x ratio).
 
     Scale shape: boundary detection + chunk emission are per-row
     array expressions over character positions — no data shuffle
@@ -404,14 +409,16 @@ def cdc_chunks(docs: DataFrame, window: int = 8,
               "named_struct('chunk_no', i, "
               "'start', IF(i = 0, 1, bnds[i-1] + 1), "
               "'stop', b))")
+    extra = list(passthrough)
     return (spread(docs)
             .withColumn("codes",
                         F.expr("transform(split(text, ''), "
                                "ch -> ascii(ch) % 256)"))
             .withColumn("bnds", F.expr(bounds))
-            .select("doc_id", "text", F.explode(F.expr(starts)).alias("c"))
+            .select("doc_id", "text", *extra,
+                    F.explode(F.expr(starts)).alias("c"))
             .filter(F.col("c.stop") >= F.col("c.start"))
-            .select("doc_id",
+            .select("doc_id", *extra,
                     F.col("c.chunk_no").alias("chunk_no"),
                     F.col("c.start").alias("start"),
                     (F.col("c.stop") - F.col("c.start") + 1)
