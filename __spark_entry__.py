@@ -4133,79 +4133,24 @@ def q_corpus_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # keys. Last recorded gate: CORRECTNESS_r08 (50/50 hash-green over
-    # the r8-new block, now at the tail with the freshest evidence).
-    # This r9 rotation promotes the queued positions 51-100 (VERDICT
-    # r8 item 1): the 8 remaining never-driver-checked queries head
-    # the window, then the r4/r5-green carriers of the retired r1/r2
-    # surfaces (consolidation map in the module docstring above:
-    # cdc_progress <- cdc_checkpoint_ts + cdc_heartbeat_progress;
-    # cdc_type_format <- cdc_timezone_format; sink_sql_generation <-
-    # sink_sql_oracle_dialect; sink_payload_roundtrip <-
-    # sink_obinlog_payload + cdc_arbiter_dedup; text_profile /
-    # mm_assets <- the r1 text_*/mm_* singles). After this window
-    # every registry query has a driver row <= 3 rounds old.
-    # NOTE: dedup_embedding_cosine / dedup_embedding_clusters /
-    # ann_cosine_topk sit in THIS window on purpose — their r9
-    # scale-safe defaults (collapse-first pairs, derived query
-    # sample) get driver-recorded correctness rows immediately.
+    # keys. Last recorded gate: CORRECTNESS_r09 (50/50 hash-green over
+    # the r9 window, now rotated to the tail with the freshest
+    # evidence). This r10 rotation promotes the queued positions
+    # 51-100 of the r9 ordering (VERDICT r9 item 3) — the r5/r6-green
+    # rows longest without a driver refresh — with two swaps so every
+    # behavior-changed query gets a driver row THIS round:
+    #   * ann_pq_topk (r9 derived query sample; ADVICE r9 medium) and
+    #     corpus_chunk_savings (r10 single-shuffle rewrite) move INTO
+    #     the window;
+    #   * dedup_quality_canonicals / events_sessionize (unchanged
+    #     since their last green row) yield their slots and head the
+    #     r11 queue.
+    # ann_cosine_topk (position 15 here) and ann_ivf_topk (16, query
+    # side re-derived this round) land their driver rows in this
+    # window too. Rotation invariant after this window: every
+    # registry query has a driver row <= 3 rounds old.
     return {
-        # -- r9 window: positions 51-100 of the r8 ordering ----------
-        "events_did_uplift": q_events_did_uplift,
-        "corpus_novelty_curve": q_corpus_novelty_curve,
-        "cdc_write_amplification": q_cdc_write_amplification,
-        "mm_frame_dedup": q_mm_frame_dedup,
-        "snapshot_basket_lift": q_snapshot_basket_lift,
-        "corpus_tokenizer_fertility": q_corpus_tokenizer_fertility,
-        "corpus_quantile_merge": q_corpus_quantile_merge,
-        "dedup_idempotence": q_dedup_idempotence,
-        "cdc_kv_decode": q_cdc_kv_decode,
-        "cdc_kv_decode_update": q_cdc_kv_decode_update,
-        "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
-        "sink_payload_roundtrip": q_sink_payload_roundtrip,
-        "sink_sql_generation": q_sink_sql_generation,
-        "cdc_type_format": q_cdc_type_format,
-        "text_profile": q_text_profile,
-        "mm_assets": q_mm_assets,
-        "cdc_progress": q_cdc_progress,
-        "ann_doc_lsh": q_ann_doc_lsh,
-        "dedup_incremental": q_dedup_incremental,
-        "doc_cdc_chunks": q_doc_cdc_chunks,
-        "dedup_containment": q_dedup_containment,
-        "corpus_source_report": q_corpus_source_report,
-        "dedup_chunk_minhash": q_dedup_chunk_minhash,
-        "cdc_incremental_agg_wide": q_cdc_incremental_agg_wide,
-        "cdc_temporal_join": q_cdc_temporal_join,
-        "cdc_incremental_rollup": q_cdc_incremental_rollup,
-        "sink_kafka_obinlog": q_sink_kafka_obinlog,
-        "cdc_reparo_replay": q_cdc_reparo_replay,
-        "doc_fingerprint": q_doc_fingerprint,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "cdc_loopback_filter": q_cdc_loopback_filter,
-        "cdc_txn_batches": q_cdc_txn_batches,
-        "cdc_schema_backfill": q_cdc_schema_backfill,
-        "cdc_update_pk_split": q_cdc_update_pk_split,
-        "cdc_safe_mode": q_cdc_safe_mode,
-        "text_stratified_sample": q_text_stratified_sample,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding_clusters": q_dedup_embedding_clusters,
-        "cdc_gc_safepoint": q_cdc_gc_safepoint,
-        "cdc_causality_groups": q_cdc_causality_groups,
-        "sink_bulk_batches": q_sink_bulk_batches,
-        "snapshot_checksum_orders": q_snapshot_checksum_orders,
-        "cdc_pc_match": q_cdc_pc_match,
-        "cdc_wide_row_apply": q_cdc_wide_row_apply,
-        "sink_sql_wide": q_sink_sql_wide,
-        "sink_obinlog_wide": q_sink_obinlog_wide,
-        "snapshot_diff_orders": q_snapshot_diff_orders,
-        "snapshot_pricing_summary": q_snapshot_pricing_summary,
-        "snapshot_revenue_by_nation": q_snapshot_revenue_by_nation,
-        # ------------------------------------------------------------
-        # below the driver's 50-row window: the r10 queue (unchanged
-        # relative order). Every query below is ledger-checked each
-        # round (LEDGER_r10).
-        # ------------------------------------------------------------
+        # -- r10 window: positions 51-100 of the r9 ordering ---------
         "cdc_snapshot_apply": q_cdc_snapshot_apply,
         "cdc_order_audit": q_cdc_order_audit,
         "cdc_kway_merge": q_cdc_kway_merge,
@@ -4254,6 +4199,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_attribution": q_events_asof_attribution,
         "events_session_stitch": q_events_session_stitch,
         "corpus_split": q_corpus_split,
+        "ann_pq_topk": q_ann_pq_topk,
+        "corpus_chunk_savings": q_corpus_chunk_savings,
+        # ------------------------------------------------------------
+        # below the driver's 50-row window: the r11 queue (unchanged
+        # relative order; the two swapped-out rows head it). Every
+        # query below is ledger-checked each round (LEDGER_r11).
+        # ------------------------------------------------------------
         "dedup_quality_canonicals": q_dedup_quality_canonicals,
         "events_sessionize": q_events_sessionize,
         "dedup_simhash": q_dedup_simhash,
@@ -4267,7 +4219,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_lm": q_text_unigram_lm,
         "doc_chunks": q_doc_chunks,
         "doc_shuffle": q_doc_shuffle,
-        "ann_pq_topk": q_ann_pq_topk,
         "doc_hash_embed": q_doc_hash_embed,
         "corpus_token_stats": q_corpus_token_stats,
         "text_bigram_lm": q_text_bigram_lm,
@@ -4315,15 +4266,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bot_regularity": q_events_bot_regularity,
         "snapshot_diff_repair": q_snapshot_diff_repair,
         "corpus_gate_sweep": q_corpus_gate_sweep,
-        "corpus_chunk_savings": q_corpus_chunk_savings,
         "corpus_kmv_merge": q_corpus_kmv_merge,
         "doc_semantic_chunks": q_doc_semantic_chunks,
         "text_lang_confusion": q_text_lang_confusion,
         "events_funnel_dropoff": q_events_funnel_dropoff,
         "corpus_fold_leakage": q_corpus_fold_leakage,
         "corpus_effective_tokens": q_corpus_effective_tokens,
-        # -- r8 window (CORRECTNESS_r08 50/50): freshest driver rows,
-        #    rotated to the tail
+        # -- r8 window (CORRECTNESS_r08 50/50), then the r9 window
+        #    (CORRECTNESS_r09 50/50, freshest driver rows) at the tail
         "corpus_tfidf_topk": q_corpus_tfidf_topk,
         "snapshot_large_orders": q_snapshot_large_orders,
         "snapshot_top_supplier": q_snapshot_top_supplier,
@@ -4374,6 +4324,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dau_wau_mau": q_events_dau_wau_mau,
         "events_cusum_changepoint": q_events_cusum_changepoint,
         "cdc_asof_diff": q_cdc_asof_diff,
+        # -- r9 window (CORRECTNESS_r09 50/50): freshest driver rows,
+        #    rotated to the tail
+        "events_did_uplift": q_events_did_uplift,
+        "corpus_novelty_curve": q_corpus_novelty_curve,
+        "cdc_write_amplification": q_cdc_write_amplification,
+        "mm_frame_dedup": q_mm_frame_dedup,
+        "snapshot_basket_lift": q_snapshot_basket_lift,
+        "corpus_tokenizer_fertility": q_corpus_tokenizer_fertility,
+        "corpus_quantile_merge": q_corpus_quantile_merge,
+        "dedup_idempotence": q_dedup_idempotence,
+        "cdc_kv_decode": q_cdc_kv_decode,
+        "cdc_kv_decode_update": q_cdc_kv_decode_update,
+        "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
+        "sink_payload_roundtrip": q_sink_payload_roundtrip,
+        "sink_sql_generation": q_sink_sql_generation,
+        "cdc_type_format": q_cdc_type_format,
+        "text_profile": q_text_profile,
+        "mm_assets": q_mm_assets,
+        "cdc_progress": q_cdc_progress,
+        "ann_doc_lsh": q_ann_doc_lsh,
+        "dedup_incremental": q_dedup_incremental,
+        "doc_cdc_chunks": q_doc_cdc_chunks,
+        "dedup_containment": q_dedup_containment,
+        "corpus_source_report": q_corpus_source_report,
+        "dedup_chunk_minhash": q_dedup_chunk_minhash,
+        "cdc_incremental_agg_wide": q_cdc_incremental_agg_wide,
+        "cdc_temporal_join": q_cdc_temporal_join,
+        "cdc_incremental_rollup": q_cdc_incremental_rollup,
+        "sink_kafka_obinlog": q_sink_kafka_obinlog,
+        "cdc_reparo_replay": q_cdc_reparo_replay,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "cdc_loopback_filter": q_cdc_loopback_filter,
+        "cdc_txn_batches": q_cdc_txn_batches,
+        "cdc_schema_backfill": q_cdc_schema_backfill,
+        "cdc_update_pk_split": q_cdc_update_pk_split,
+        "cdc_safe_mode": q_cdc_safe_mode,
+        "text_stratified_sample": q_text_stratified_sample,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_clusters": q_dedup_embedding_clusters,
+        "cdc_gc_safepoint": q_cdc_gc_safepoint,
+        "cdc_causality_groups": q_cdc_causality_groups,
+        "sink_bulk_batches": q_sink_bulk_batches,
+        "snapshot_checksum_orders": q_snapshot_checksum_orders,
+        "cdc_pc_match": q_cdc_pc_match,
+        "cdc_wide_row_apply": q_cdc_wide_row_apply,
+        "sink_sql_wide": q_sink_sql_wide,
+        "sink_obinlog_wide": q_sink_obinlog_wide,
+        "snapshot_diff_orders": q_snapshot_diff_orders,
+        "snapshot_pricing_summary": q_snapshot_pricing_summary,
+        "snapshot_revenue_by_nation": q_snapshot_revenue_by_nation,
     }
 
 

@@ -2,10 +2,11 @@
 scaled directory (default .scale/sf10 = 100x sf0.1) and at sf0.1,
 report the time ratio. A linear operator shows ratio <= ~100 (minus
 amortized overheads); anything approaching the row-growth squared is
-a hidden all-pairs stage. Queries whose input tables don't exist in
-the scaled dir (the TPC-H snapshots: lineitem/orders/... are not
-replicated) are skipped — the sweep targets the corpus/stream
-families (documents, embeddings, events).
+a hidden all-pairs stage. Since r9 make_scaled_sf.scale_tpch also
+replicates the TPC-H facts (lineitem/orders in disjoint o_orderkey
+bands, dims copied verbatim), so the snapshot family is swept too —
+ALL 216 registry queries run; a query is skipped only if its input
+parquet is genuinely absent from the scaled dir.
 
 Usage: python tools/scale_sweep.py [BASE_DIR SCALED_DIR]
            [--flag N] [--only q1,q2,...] [--skip-first N]

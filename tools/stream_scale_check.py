@@ -81,6 +81,18 @@ def main() -> None:
               .select(*STREAM_COLS))
         ch = ch.persist()
         n = ch.count()
+        # the '_' join is ambiguous in general ((a, b_c) and (a_b, c)
+        # collide, silently merging keyspaces on BOTH sides of the
+        # equality check) — assert routed names are bijective with
+        # (db, tbl) on THIS corpus before landing anything
+        n_routed = ch.select("tbl").distinct().count()
+        n_pairs = (change_stream(spark, sf_dir)
+                   .select("db", "tbl").distinct().count())
+        if n_routed != n_pairs:
+            raise SystemExit(
+                f"routed table names not bijective with (db, tbl): "
+                f"{n_routed} routed vs {n_pairs} pairs — pick a "
+                f"collision-free join character for this corpus")
         out["n_events"] = int(n)
         hi = ch.agg(F.max("arrival_seq")).first()[0] + 1
         src = os.path.join(work, "src")
@@ -106,7 +118,8 @@ def main() -> None:
             spark, src, db_dir, os.path.join(work, "ck_sql"),
             num_workers=4, setup_sql=setup)
         q.awaitTermination(3600)
-        out["sql_apply_sec"] = round(time.time() - t0, 2)
+        sql_apply_raw = time.time() - t0
+        out["sql_apply_sec"] = round(sql_apply_raw, 2)
         got_sql = None
         for t in tables:
             part = jdbc.read_applied(spark, db_dir, f"`{t}`",
@@ -149,7 +162,9 @@ def main() -> None:
         want_scd2 = scd2_history(ordering.ordered_stream(ch)).select(*cols)
         out["scd2_match"] = _frames_equal(got_scd2, want_scd2)
 
-        out["events_per_s_sql_apply"] = round(n / out["sql_apply_sec"])
+        # rate from the UNROUNDED duration (a sub-5ms apply on a tiny
+        # fixture rounds sql_apply_sec to 0.0)
+        out["events_per_s_sql_apply"] = round(n / max(sql_apply_raw, 1e-6))
         ch.unpersist()
         release_all()
     finally:
