@@ -158,3 +158,82 @@ def test_pb_dump_with_ddl_records(spark, tmp_path):
     assert got[15] == "CREATE DATABASE shop;"
     assert got[150005] == "use `shop`; CREATE TABLE t (id INT);"
     assert got[200005] == "use `shop`; ALTER TABLE t ADD COLUMN c INT;"
+
+
+def test_assemble_payloads_matches_generic_encoders():
+    """The memoized fast assembly (_assemble_payloads) is byte-for-byte
+    the composition of encode_column/encode_event/encode_binlog over
+    the same ordered rows — the parity the fast path's docstring
+    promises (it serves the wire-bench hot loop; a drift here would
+    corrupt every dump silently since both sides are ours)."""
+    import numpy as np
+    import pandas as pd
+
+    n = 2000
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({
+        "commit_ts": np.sort(rng.randint(1, n // 3, n).astype(np.int64)),
+        "seq": np.arange(n, dtype=np.int64),
+        "arrival_seq": np.arange(n, dtype=np.int64),
+        "op": np.where(rng.rand(n) < 0.5, "I",
+                       np.where(rng.rand(n) < 0.5, "U", "D")),
+        "db": np.where(rng.rand(n) < 0.5, "db0", "db1"),
+        "tbl": "t1",
+        "pk": rng.randint(-10**9, 10**9, n).astype(np.int64),
+        "val": rng.rand(n) * 1e6 - 5e5,
+        "k": pd.Series([f"key_{i % 97}" for i in range(n)]),
+    })
+
+    def assemble_generic(pdf):
+        pdf = pdf.sort_values(["commit_ts", "seq", "arrival_seq"])
+        out_ts, out_payload = [], []
+        cur_ct, events = None, []
+
+        def flush():
+            if cur_ct is not None:
+                out_ts.append(int(cur_ct))
+                out_payload.append(pb.encode_binlog(int(cur_ct), events))
+
+        for r in pdf.itertuples():
+            if r.commit_ts != cur_ct:
+                flush()
+                cur_ct = r.commit_ts
+                events = []
+            tp = {"I": pb.INSERT, "U": pb.UPDATE, "D": pb.DELETE}[r.op]
+            cols = []
+            for name, kind, code, mysql_type in pb._COLSPEC:
+                value = getattr(r, name)
+                value = float(value) if kind == "double" else (
+                    int(value) if kind == "long" else value)
+                if tp == pb.UPDATE:
+                    cols.append(pb.encode_column(
+                        name, code, mysql_type,
+                        value - 1 if kind == "double" else value,
+                        kind, changed_value=value))
+                else:
+                    cols.append(pb.encode_column(name, code, mysql_type,
+                                                 value, kind))
+            events.append(pb.encode_event(r.db, r.tbl, tp, cols))
+        flush()
+        return pd.DataFrame({"commit_ts": out_ts, "payload": out_payload})
+
+    want = assemble_generic(pdf)
+    got = pb._assemble_payloads(pdf)
+    assert list(want.commit_ts) == list(got.commit_ts)
+    assert all(bytes(a) == bytes(b)
+               for a, b in zip(want.payload, got.payload))
+
+
+def test_crc32c_batch_matches_scalar():
+    """Vectorized lockstep CRC32C == the scalar table loop for every
+    payload, including empty and 1-byte ones (the writer frames with
+    the batch form; the reader verifies with the scalar form, so a
+    drift would fail every replay)."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    payloads = [bytes(rng.randint(0, 256, int(l)).astype(np.uint8))
+                for l in rng.randint(0, 500, 300)]
+    payloads += [b"", b"\x00", b"a", b"123456789"]
+    assert pb.crc32c_batch(payloads) == [pb.crc32c(p) for p in payloads]
+    assert pb.crc32c_batch([]) == []

@@ -98,7 +98,8 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
             .select("doc_id", "canonical_id", "cluster_size"))
 
 
-def minhash_signatures(docs: DataFrame, k: int = 12) -> DataFrame:
+def minhash_signatures(docs: DataFrame, k: int = 12,
+                       shingle_frame: DataFrame | None = None) -> DataFrame:
     """k-permutation MinHash signature per doc.
 
     One md5 per shingle; permutation j orders shingles by an 8-hex-char
@@ -107,7 +108,13 @@ def minhash_signatures(docs: DataFrame, k: int = 12) -> DataFrame:
     calls than hashing per permutation; at 100 TB the signature pass is
     the dominant linear cost). The signature element is the
     *lexicographic min* slice — an order statistic identical in any
-    engine."""
+    engine.
+
+    Pass ``shingle_frame`` (a (doc_id, shingles) frame, typically
+    persisted) when shingles are already materialized — multi-signal
+    compositions (consensus dedup) tokenize+shingle the corpus once
+    and feed BOTH the signature pass and the exact-Jaccard verifier
+    from it, instead of re-deriving shingles per signal."""
     # one digest per shingle inline (shingle vocab is nearly as large
     # as the corpus, so a distinct+join would shuffle more than it
     # saves — unlike simhash's word vocab); k orderings via substring
@@ -116,14 +123,16 @@ def minhash_signatures(docs: DataFrame, k: int = 12) -> DataFrame:
     sig = (f"transform(sequence(0, {k - 1}), "
            f"j -> array_min(transform(base_hashes, "
            f"h -> substring(h, 1 + (j * 5) % 24, 8))))")
-    return (with_shingles(docs)
+    sh = shingle_frame if shingle_frame is not None else with_shingles(docs)
+    return (sh
             .withColumn("base_hashes", F.expr(base))
             .withColumn("sig", F.expr(sig))
             .select("doc_id", "sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = None,
+                      shingle_frame: DataFrame | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH + exact-signature
     similarity estimate (fraction of agreeing minhashes).
 
@@ -134,7 +143,8 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4,
     # materialize signatures once: the band explode and both sides of
     # the candidate join reuse them (at 100 TB you persist signatures
     # to a table instead).
-    sigs = managed_persist(minhash_signatures(docs, k))
+    sigs = managed_persist(minhash_signatures(docs, k,
+                                              shingle_frame=shingle_frame))
     # the bucket stream stays NARROW (doc_id, band, bucket): the cap
     # window and the self-join shuffle 3 small columns, never the
     # signature arrays — those rejoin per PAIR afterwards (pairs are
@@ -266,7 +276,8 @@ def banded_hamming_pairs(fps: DataFrame, fp_col: str,
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        shingle_frame: DataFrame | None = None) -> DataFrame:
     """Exact word-3-gram Jaccard verification over the banded-LSH
     candidate pairs — the exact-verifier layered on minhash_lsh_pairs.
 
@@ -277,10 +288,15 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
 
     Pass ``candidates`` (a (doc_a, doc_b) frame) when the LSH pairs
     are already materialized — multi-signal compositions reuse one
-    signature build instead of recomputing it here."""
+    signature build instead of recomputing it here. Pass
+    ``shingle_frame`` (a persisted (doc_id, shingles) frame) to skip
+    the tokenize+shingle pass too."""
     cand = (candidates if candidates is not None
             else minhash_lsh_pairs(docs)).select("doc_a", "doc_b")
-    sh = managed_persist(with_shingles(docs).select("doc_id", "shingles"))
+    sh = (shingle_frame.select("doc_id", "shingles")
+          if shingle_frame is not None
+          else managed_persist(with_shingles(docs)
+                               .select("doc_id", "shingles")))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (cand
              .join(a, F.col("doc_a") == F.col("a.doc_id"))
