@@ -162,6 +162,29 @@ def main() -> None:
         want_scd2 = scd2_history(ordering.ordered_stream(ch)).select(*cols)
         out["scd2_match"] = _frames_equal(got_scd2, want_scd2)
 
+        # -- state-size audit: the twins' cross-batch state must be
+        # O(sources + live PKs + groups), never O(events) — events are
+        # many VERSIONS of the same PKs, so these counts staying put
+        # while n_events grows 10x/100x is the bounded-state proof
+        def _state_sizes(root: str) -> dict:
+            ckp = os.path.join(root, "view_checkpoint.json")
+            if not os.path.exists(ckp):
+                return {}
+            with open(ckp) as fh:
+                ck = json.load(fh)
+            sizes = {"n_source_cursors": len(ck.get("seen_max", {})),
+                     "state_version": ck.get("version")}
+            for prefix in ("agg", "hist", "pkstate", "pending"):
+                p = os.path.join(root, f"{prefix}_v{ck['version']}")
+                if os.path.exists(p):
+                    sizes[f"{prefix}_rows"] = spark.read.parquet(p).count()
+            return sizes
+
+        out["ivm_state"] = _state_sizes(os.path.join(work, "ivm_state"))
+        out["scd2_state"] = _state_sizes(os.path.join(work, "scd2_state"))
+        # distinct live PKs in the stream, the pkstate bound
+        out["n_live_pks"] = ch.select("db", "tbl", "pk").distinct().count()
+
         # rate from the UNROUNDED duration (a sub-5ms apply on a tiny
         # fixture rounds sql_apply_sec to 0.0)
         out["events_per_s_sql_apply"] = round(n / max(sql_apply_raw, 1e-6))
