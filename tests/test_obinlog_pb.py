@@ -129,3 +129,77 @@ def test_arbiter_flow_over_protobuf(spark, tmp_path):
     want = {r["pk"]: r["val"] for r in compaction.apply_snapshot(
         ordering.ordered_stream(ch)).collect()}
     assert applied == want
+
+
+def test_assemble_secondary_matches_generic_encoders():
+    """The memoized fast assembly (_assemble_secondary) is
+    byte-for-byte the composition of encode_obinlog_column/encode_row/
+    encode_mutation/encode_table/encode_secondary_binlog over the same
+    ordered rows — the parity its docstring promises (it serves the
+    Kafka sink and the wire bench; both encode and decode are ours, so
+    a drift would roundtrip 'cleanly' and corrupt silently)."""
+    import numpy as np
+    import pandas as pd
+
+    n = 3000
+    rng = np.random.RandomState(13)
+    pdf = pd.DataFrame({
+        "commit_ts": np.sort(rng.randint(1, n // 4, n).astype(np.int64)),
+        "seq": np.arange(n, dtype=np.int64),
+        "arrival_seq": np.arange(n, dtype=np.int64),
+        "op": np.where(rng.rand(n) < 0.5, "I",
+                       np.where(rng.rand(n) < 0.5, "U", "D")),
+        "db": np.where(rng.rand(n) < 0.5, "db0", "db1"),
+        "tbl": np.where(rng.rand(n) < 0.3, "t2", "t1"),
+        # include pk < 128 (1-byte varint), big and NEGATIVE pks
+        # (10-byte two's-complement varint)
+        "pk": np.concatenate([rng.randint(0, 100, n // 2),
+                              rng.randint(-10**9, 10**9, n - n // 2)]
+                             ).astype(np.int64),
+        "val": rng.rand(n) * 1e6 - 5e5,
+        "k": pd.Series([f"key_{i % 89}" for i in range(n)]),
+    })
+
+    col_infos = [ob.encode_column_info(nm, t, pk)
+                 for nm, t, pk in ob._COLSPEC]
+    uk = [ob.encode_key("PRIMARY", ["pk"])]
+
+    def assemble_generic(pdf):
+        pdf = pdf.sort_values(["commit_ts", "seq", "arrival_seq"])
+        rows, cur_ct, tables = [], None, {}
+
+        def flush():
+            if cur_ct is None:
+                return
+            tbl_msgs = [ob.encode_table(db, tbl, col_infos, muts, uk)
+                        for (db, tbl), muts in sorted(tables.items())]
+            rows.append((int(cur_ct),
+                         ob.encode_secondary_binlog(int(cur_ct),
+                                                    tbl_msgs)))
+
+        for r in pdf.itertuples():
+            if r.commit_ts != cur_ct:
+                flush()
+                cur_ct = r.commit_ts
+                tables = {}
+            tp = {"I": ob.INSERT, "U": ob.UPDATE, "D": ob.DELETE}[r.op]
+            vals = (int(r.pk), float(r.val), str(r.k))
+            row = ob.encode_row([ob.encode_obinlog_column(v, t)
+                                 for v, (_, t, _p)
+                                 in zip(vals, ob._COLSPEC)])
+            change = None
+            if tp == ob.UPDATE:
+                old = (int(r.pk), float(r.val) - 1.0, "old_" + str(r.k))
+                change = ob.encode_row([ob.encode_obinlog_column(v, t)
+                                        for v, (_, t, _p)
+                                        in zip(old, ob._COLSPEC)])
+            tables.setdefault((r.db, r.tbl), []).append(
+                ob.encode_mutation(tp, row, change))
+        flush()
+        return pd.DataFrame(rows, columns=["commit_ts", "payload"])
+
+    want = assemble_generic(pdf)
+    got = ob._assemble_secondary(pdf, col_infos, uk)
+    assert list(want.commit_ts) == list(got.commit_ts)
+    assert all(bytes(a) == bytes(b)
+               for a, b in zip(want.payload, got.payload))

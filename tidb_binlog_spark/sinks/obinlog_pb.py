@@ -34,7 +34,8 @@ from __future__ import annotations
 import struct
 from typing import Iterator
 
-from .pbcodec import _field_bytes, _field_varint, _signed64, parse_message
+from .pbcodec import (_field_bytes, _field_varint, _signed64, _uvarint,
+                      parse_message)
 
 INSERT, UPDATE, DELETE = 0, 1, 2
 DML, DDL = 0, 1
@@ -212,6 +213,96 @@ _COLSPEC = (("pk", "bigint", True), ("val", "double", False),
             ("k", "varchar", False))
 
 
+# single-byte varints (values < 128), shared by the fast assembly
+_UV1 = [bytes([i]) for i in range(128)]
+_OP_TP = {"I": INSERT, "U": UPDATE, "D": DELETE}
+
+
+def _uv(n: int) -> bytes:
+    return _UV1[n] if n < 128 else _uvarint(n)
+
+
+def _assemble_secondary(pdf, col_infos, uk, carry_group=()):
+    """One (commit_ts)-sorted pandas batch -> one marshalled secondary
+    Binlog per commit. Byte-identical to composing
+    encode_obinlog_column/encode_row/encode_mutation/encode_table/
+    encode_secondary_binlog (pinned by tests/test_obinlog_pb.py), but
+    with the constant fragments memoized (r10, the pb-dump
+    _assemble_payloads treatment): per (db, tbl) the Table message's
+    fields 1-3 (schema/table/column_info) and field-5 tail (unique
+    keys) encode once per batch; per row only the three value datums
+    vary. Wire keys are the fixed proto constants — Column int64 0x10
+    / double 0x21 / string 0x32 / is_null 0x08, Row 0x0a, Mutation
+    0x08/0x12/0x1a, Table 0x22, DMLData 0x0a."""
+    import pandas as pd
+    import struct as _struct
+    from .pbcodec import _uvarint
+
+    # constant per-(db, tbl) Table header/tail
+    ci_block = b"".join(_field_bytes(3, ci) for ci in col_infos)
+    uk_block = b"".join(_field_bytes(5, k) for k in uk)
+    tbl_hdr: dict[tuple, bytes] = {}
+
+    carry_vals = tuple(pdf[c].iloc[0] for c in carry_group) \
+        if len(pdf) else ()
+    pdf = pdf.sort_values(["commit_ts", "seq", "arrival_seq"])
+    rows: list[tuple] = []
+    cur_ct = None
+    tables: dict[tuple[str, str], list[bytes]] = {}
+
+    def enc_row(pk: int, val: float, k: str) -> bytes:
+        # Column messages for the fixed (bigint, double, varchar) spec
+        c_pk = b"\x10" + (_UV1[pk] if 0 <= pk < 128
+                          else _uvarint(pk & ((1 << 64) - 1)))
+        c_val = b"\x21" + _struct.pack("<d", val)
+        raw = k.encode()
+        nr = len(raw)
+        c_k = b"\x32" + _uv(nr) + raw
+        # Row: repeated field 1 (each column message)
+        return (b"\x0a" + _uv(len(c_pk)) + c_pk
+                + b"\x0a" + _uv(len(c_val)) + c_val
+                + b"\x0a" + _uv(len(c_k)) + c_k)
+
+    def flush():
+        if cur_ct is None:
+            return
+        dml = bytearray()
+        for (db, tbl), muts in sorted(tables.items()):
+            hk = (db, tbl)
+            hdr = tbl_hdr.get(hk)
+            if hdr is None:
+                hdr = tbl_hdr[hk] = (_field_bytes(1, db.encode())
+                                     + _field_bytes(2, tbl.encode())
+                                     + ci_block)
+            t = bytearray(hdr)
+            for m in muts:
+                t += b"\x22" + _uv(len(m)) + m      # Table field 4
+            t += uk_block
+            dml += b"\x0a" + _uv(len(t)) + bytes(t)  # DMLData field 1
+        payload = (_field_varint(1, DML)
+                   + _field_varint(2, int(cur_ct))
+                   + b"\x1a" + _uv(len(dml)) + bytes(dml))
+        rows.append((int(cur_ct), payload, *carry_vals))
+
+    for r in pdf.itertuples():
+        if r.commit_ts != cur_ct:
+            flush()
+            cur_ct = r.commit_ts
+            tables = {}
+        tp = _OP_TP[r.op]
+        row = enc_row(int(r.pk), float(r.val), str(r.k))
+        # Mutation: field 1 type, field 2 row, field 3 change_row
+        m = b"\x08" + _UV1[tp] + b"\x12" + _uv(len(row)) + row
+        if tp == UPDATE:
+            change = enc_row(int(r.pk), float(r.val) - 1.0,
+                             "old_" + str(r.k))
+            m += b"\x1a" + _uv(len(change)) + change
+        tables.setdefault((r.db, r.tbl), []).append(m)
+    flush()
+    return pd.DataFrame(rows, columns=["commit_ts", "payload",
+                                       *carry_group])
+
+
 def secondary_binlog_payloads(changes, n_buckets: int | None = None,
                               carry_group: tuple[str, ...] = ()
                               ) -> "DataFrame":  # noqa: F821
@@ -236,44 +327,7 @@ def secondary_binlog_payloads(changes, n_buckets: int | None = None,
     uk = [encode_key("PRIMARY", ["pk"])]
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        # carry columns are group keys: constant within this pdf
-        carry_vals = tuple(pdf[c].iloc[0] for c in carry_group) \
-            if len(pdf) else ()
-        pdf = pdf.sort_values(["commit_ts", "seq", "arrival_seq"])
-        rows: list[tuple] = []
-        cur_ct = None
-        tables: dict[tuple[str, str], list[bytes]] = {}
-
-        def flush():
-            if cur_ct is None:
-                return
-            tbl_msgs = [encode_table(db, tbl, col_infos, muts, uk)
-                        for (db, tbl), muts in sorted(tables.items())]
-            rows.append((int(cur_ct),
-                         encode_secondary_binlog(int(cur_ct), tbl_msgs),
-                         *carry_vals))
-
-        for r in pdf.itertuples():
-            if r.commit_ts != cur_ct:
-                flush()
-                cur_ct = r.commit_ts
-                tables = {}
-            tp = {"I": INSERT, "U": UPDATE, "D": DELETE}[r.op]
-            vals = (int(r.pk), float(r.val), str(r.k))
-            row = encode_row([
-                encode_obinlog_column(v, t)
-                for v, (_, t, _pk) in zip(vals, _COLSPEC)])
-            change = None
-            if tp == UPDATE:
-                old = (int(r.pk), float(r.val) - 1.0, "old_" + str(r.k))
-                change = encode_row([
-                    encode_obinlog_column(v, t)
-                    for v, (_, t, _pk) in zip(old, _COLSPEC)])
-            tables.setdefault((r.db, r.tbl), []).append(
-                encode_mutation(tp, row, change))
-        flush()
-        return pd.DataFrame(rows, columns=["commit_ts", "payload",
-                                           *carry_group])
+        return _assemble_secondary(pdf, col_infos, uk, carry_group)
 
     from pyspark.sql import functions as F
     if n_buckets is None:
