@@ -40,6 +40,13 @@ def causality_groups(txn_keys: DataFrame, max_iter: int = 50) -> DataFrame:
     edges = txn_keys.select("txn_id", "key").distinct()
     edges.persist()
 
+    # Pointer jumping (label-of-label shortcutting) was A/B-measured
+    # here in r10 and REJECTED: it halves the propagation rounds (7 ->
+    # 4 on the chain-heavy consensus graph) but adds a label-map
+    # self-join shuffle per round, netting SLOWER at both bench scale
+    # (5.9 -> 6.2s, fixed-overhead-dominated) and 100x (70.1 -> 87.5s,
+    # where the label map is no longer small relative to the round
+    # cost). The plain min-propagation below stays.
     prev_sum, converged = None, False
     for _ in range(max_iter):
         lk = (edges.join(labels, "txn_id")
