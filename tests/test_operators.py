@@ -174,6 +174,39 @@ def test_causality_long_chain_converges(spark):
     assert set(got.values()) == {0}
 
 
+def test_causality_local_and_distributed_paths_agree(spark):
+    # The r10 adaptive gate (driver union-find under LOCAL_CC_MAX_EDGES,
+    # min-propagation loop above it) must produce the identical
+    # min-txn_id labeling. Seeded random graph: stars + a chain + an
+    # isolated txn + a null-key txn (excluded by both paths).
+    import random
+    rng = random.Random(7)
+    edges = [(t, f"k{rng.randint(0, 120)}")
+             for t in range(300) for _ in range(rng.randint(1, 3))]
+    edges += [(500 + i, f"c{i}") for i in range(20)]
+    edges += [(500 + i, f"c{i + 1}") for i in range(20)]
+    edges += [(900, "solo"), (901, None)]
+    tk = spark.createDataFrame(edges, "txn_id long, key string")
+    local = sorted(rows(causality.causality_groups(tk),
+                        "txn_id", "group_id"))
+    dist = sorted(rows(causality.causality_groups(tk, local_threshold=0),
+                       "txn_id", "group_id"))
+    assert local == dist
+    labeled = {t for t, _ in local}
+    assert 900 in labeled and 901 not in labeled
+
+
+def test_causality_distributed_path_components(spark):
+    # keep explicit coverage of the distributed loop now that small
+    # graphs default to the driver union-find
+    tk = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (2, "b"), (3, "b"), (4, "c")],
+        "txn_id long, key string")
+    got = dict(rows(causality.causality_groups(tk, local_threshold=0),
+                    "txn_id", "group_id"))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
 def test_conflict_free_partitions_keyless_txns_spread(spark):
     from tests.conftest import make_changes
     ch = make_changes(spark, [(i, "s0", 100 + i, "I", i) for i in range(8)])
@@ -720,11 +753,15 @@ def test_parse_ddl_backticked_keyword_columns_and_comment_default():
     assert p["default"] == "7"
 
 
-def test_parse_ddl_property_roundtrip():
+def test_parse_ddl_property_registry_replay():
     """Property: for generated column sets, CREATE + multi/single ADD
     parse to exactly the declared (name -> default) maps regardless of
     backticks, attribute tails, or qualified names — and replay ends
-    with the full column set at the right defaults."""
+    with the full column set at the right defaults.
+
+    (Renamed in r10: this test used to share a name with the hostile
+    -name fuzz at the bottom of the file, which shadowed it — pytest
+    collected only the later definition, so this one never ran.)"""
     from hypothesis import given, settings
     from hypothesis import strategies as st
     from tidb_binlog_spark.operators import schema_evolution as se

@@ -7,38 +7,122 @@ pkg/loader/model.go:459-512); conflicting groups force a flush barrier;
 the group label routes the txn to a worker.
 
 Spark-first: this is connected components on the bipartite txn↔key
-graph. We run alternating min-label propagation (a small fixed-point
-loop of two shuffles per iteration, the standard "large-star/small-star"
-shape) — converges in O(log n) iterations; each iteration is a plain
-groupBy/join so it scales horizontally. The final group id becomes the
-repartition key for the parallel apply, giving the reference's
-"per-key order is sufficient" guarantee at cluster scale.
+graph, with an ADAPTIVE physical strategy (the same size-gated shape
+as Spark's broadcast-join threshold). Small candidate graphs — the
+common case after LSH banding or causality bucketing — are solved by a
+driver union-find in one collect; anything above LOCAL_CC_MAX_EDGES
+runs alternating min-label propagation (a fixed-point loop of two
+shuffles per iteration) — converges in O(diameter) iterations; each
+iteration is a plain groupBy/join so it scales horizontally. Both
+paths produce the identical min-txn_id labeling. The final group id
+becomes the repartition key for the parallel apply, giving the
+reference's "per-key order is sufficient" guarantee at cluster scale.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Edge-count gate below which components are solved on the driver
+# instead of by the distributed fixpoint loop. Rationale (the
+# autoBroadcastJoinThreshold pattern — adapt the physical strategy to
+# the measured relation size, keep the distributed plan for anything
+# big): the candidate graph after LSH banding / causality bucketing is
+# typically orders of magnitude smaller than the corpus, and each
+# distributed min-propagation round costs two shuffles of FIXED
+# scheduler latency regardless of size — ~0.7 s/round x ~7 rounds
+# measured at bench scale on a 39k-edge graph (ROUNDLOG r10), i.e.
+# ~6 s to label a graph a driver union-find solves in <50 ms. 2M edges
+# collect to tens of MB — well inside driver memory; past the gate the
+# loop below runs unchanged, so a 100-TB candidate graph (billions of
+# edges) never touches the driver.
+LOCAL_CC_MAX_EDGES = 2_000_000
 
 
-def causality_groups(txn_keys: DataFrame, max_iter: int = 50) -> DataFrame:
+def _local_components(rows) -> "pandas.DataFrame":
+    """Driver-side union-find over collected (txn_id, key) rows.
+
+    Produces exactly the distributed loop's fixpoint: every txn with at
+    least one non-null key appears once, labeled with the minimum
+    txn_id of its connected component in the bipartite txn<->key graph.
+    """
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:          # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for txn_id, key in rows:
+        t, k = ("t", txn_id), ("k", key)   # namespaced bipartite nodes
+        if t not in parent:
+            parent[t] = t
+        if k not in parent:
+            parent[k] = k
+        ra, rb = find(t), find(k)
+        if ra != rb:
+            parent[rb] = ra
+
+    group_min: dict = {}
+    txns = [n for n in parent if n[0] == "t"]
+    roots = {t: find(t) for t in txns}
+    for t, r in roots.items():
+        tid = t[1]
+        cur = group_min.get(r)
+        if cur is None or tid < cur:
+            group_min[r] = tid
+    return pd.DataFrame(
+        {"txn_id": [t[1] for t in txns],
+         "group_id": [group_min[roots[t]] for t in txns]})
+
+
+def causality_groups(txn_keys: DataFrame, max_iter: int = 50,
+                     local_threshold: int = LOCAL_CC_MAX_EDGES) -> DataFrame:
     """txn_keys: (txn_id BIGINT, key STRING) one row per key a txn
     touches. Returns (txn_id, group_id) where group_id = min txn_id of
     the connected component.
 
-    Each iteration's labels are localCheckpoint'ed: this both caches
-    the data (the convergence check would otherwise re-execute the
-    whole lineage every round) and TRUNCATES the logical plan — without
-    it the plan nests one join deeper per iteration and deep components
-    OOM the driver on plan construction alone. The loop RAISES if the
-    fixpoint isn't reached within max_iter — a silently split component
-    would let order-dependent txns apply in parallel, the exact
-    corruption this operator prevents.
+    Adaptive physical strategy (r10): one cheap count on the persisted
+    edge frame picks between a driver union-find (small graphs — see
+    LOCAL_CC_MAX_EDGES) and the distributed min-propagation fixpoint
+    (everything else). Both paths compute the identical min-txn_id
+    component labeling; tests/test_operators.py asserts their
+    equality on randomized graphs.
+
+    Distributed path: each iteration's labels are localCheckpoint'ed —
+    this both caches the data (the convergence check would otherwise
+    re-execute the whole lineage every round) and TRUNCATES the logical
+    plan; without it the plan nests one join deeper per iteration and
+    deep components OOM the driver on plan construction alone. The loop
+    RAISES if the fixpoint isn't reached within max_iter — a silently
+    split component would let order-dependent txns apply in parallel,
+    the exact corruption this operator prevents.
     """
-    labels = txn_keys.select("txn_id").distinct() \
-                     .withColumn("label", F.col("txn_id")).localCheckpoint()
-    edges = txn_keys.select("txn_id", "key").distinct()
+    edges = txn_keys.select("txn_id", "key").distinct() \
+                    .filter(F.col("key").isNotNull())
     edges.persist()
+    id_type = txn_keys.schema["txn_id"].dataType
+
+    if local_threshold and edges.count() <= local_threshold:
+        epdf = edges.toPandas()            # Arrow batch transfer
+        pdf = _local_components(
+            zip(epdf["txn_id"].tolist(), epdf["key"].tolist()))
+        edges.unpersist()
+        schema = T.StructType([T.StructField("txn_id", id_type),
+                               T.StructField("group_id", id_type)])
+        if pdf.empty:
+            return txn_keys.sparkSession.createDataFrame([], schema=schema)
+        return txn_keys.sparkSession.createDataFrame(pdf, schema=schema)
+
+    labels = edges.select("txn_id").distinct() \
+                  .withColumn("label", F.col("txn_id")).localCheckpoint()
 
     # Pointer jumping (label-of-label shortcutting) was A/B-measured
     # here in r10 and REJECTED: it halves the propagation rounds (7 ->
