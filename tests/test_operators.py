@@ -207,6 +207,21 @@ def test_causality_distributed_path_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
+def test_causality_distributed_deep_chain_pointer_jump_fallback(spark):
+    # A component whose diameter exceeds the plain-propagation budget
+    # (120-txn chain, one hop per round) must still converge: after 16
+    # stalled rounds the loop adds label-of-label shortcutting, giving
+    # O(log d) rounds instead of raising at max_iter.
+    edges = []
+    for i in range(120):
+        edges.append((10_000 + i, f"c{i}"))
+        edges.append((10_000 + i, f"c{i + 1}"))
+    tk = spark.createDataFrame(edges, "txn_id long, key string")
+    got = dict(rows(causality.causality_groups(tk, local_threshold=0),
+                    "txn_id", "group_id"))
+    assert set(got.values()) == {10_000} and len(got) == 120
+
+
 def test_conflict_free_partitions_keyless_txns_spread(spark):
     from tests.conftest import make_changes
     ch = make_changes(spark, [(i, "s0", 100 + i, "I", i) for i in range(8)])

@@ -125,20 +125,35 @@ def causality_groups(txn_keys: DataFrame, max_iter: int = 50,
                   .withColumn("label", F.col("txn_id")).localCheckpoint()
 
     # Pointer jumping (label-of-label shortcutting) was A/B-measured
-    # here in r10 and REJECTED: it halves the propagation rounds (7 ->
-    # 4 on the chain-heavy consensus graph) but adds a label-map
-    # self-join shuffle per round, netting SLOWER at both bench scale
-    # (5.9 -> 6.2s, fixed-overhead-dominated) and 100x (70.1 -> 87.5s,
-    # where the label map is no longer small relative to the round
-    # cost). The plain min-propagation below stays.
+    # here in r10 and REJECTED as the DEFAULT: it halves the
+    # propagation rounds (7 -> 4 on the chain-heavy consensus graph)
+    # but adds a label-map self-join shuffle per round, netting SLOWER
+    # at both bench scale (5.9 -> 6.2s, fixed-overhead-dominated) and
+    # 100x (70.1 -> 87.5s, where the label map is no longer small
+    # relative to the round cost). Plain min-propagation stays the
+    # default; pointer jumping kicks in ONLY as the deep-component
+    # fallback below (plain rounds advance a label one txn-hop per
+    # round, so a chain of diameter d needs ~d rounds and would RAISE
+    # past max_iter; with jumping, labels shortcut through their
+    # current root, giving O(log d) rounds — the convergence safety
+    # net, paid only when the graph is actually deep).
+    jump_after = 16
     prev_sum, converged = None, False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         lk = (edges.join(labels, "txn_id")
                    .groupBy("key").agg(F.min("label").alias("key_label")))
         new_labels = (edges.join(lk, "key")
                       .groupBy("txn_id")
-                      .agg(F.min("key_label").alias("label"))
-                      .localCheckpoint())
+                      .agg(F.min("key_label").alias("label")))
+        if it >= jump_after:
+            lmap = labels.select(F.col("txn_id").alias("_l_txn"),
+                                 F.col("label").alias("_l_lab"))
+            new_labels = (new_labels
+                          .join(lmap, new_labels["label"] == lmap["_l_txn"],
+                                "left")
+                          .select("txn_id",
+                                  F.least("label", "_l_lab").alias("label")))
+        new_labels = new_labels.localCheckpoint()
         s = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
         labels = new_labels
         if prev_sum is not None and s == prev_sum:
