@@ -34,11 +34,18 @@ from pyspark.sql import types as T
 # distributed min-propagation round costs two shuffles of FIXED
 # scheduler latency regardless of size — ~0.7 s/round x ~7 rounds
 # measured at bench scale on a 39k-edge graph (ROUNDLOG r10), i.e.
-# ~6 s to label a graph a driver union-find solves in <50 ms. 2M edges
-# collect to tens of MB — well inside driver memory; past the gate the
-# loop below runs unchanged, so a 100-TB candidate graph (billions of
-# edges) never touches the driver.
-LOCAL_CC_MAX_EDGES = 2_000_000
+# ~6 s to label a graph a driver union-find solves in <50 ms.
+#
+# The default sits at the MEASURED crossover, not at the driver-memory
+# ceiling: the single-threaded union-find costs ~6 us/edge, so by 2M
+# edges it LOSES to the loop (12.3 s vs 4.8 s measured on a
+# conflict-pair graph; a first sf10 streaming run with a 2M gate sent
+# ~1.5M-edge micro-batches down the local path and regressed SQL-apply
+# 190 -> 339 s). 500k edges: local 3.3 s vs distributed 4.5 s — still
+# a win, and every registry/bench graph (39k-400k edges) stays local.
+# Tunable per deployment via SPARK_GRAFT_CC_LOCAL_EDGES (0 disables
+# the local path and skips the gate count entirely).
+LOCAL_CC_MAX_EDGES = 500_000
 
 
 def _local_components(rows) -> "pandas.DataFrame":
@@ -84,7 +91,7 @@ def _local_components(rows) -> "pandas.DataFrame":
 
 
 def causality_groups(txn_keys: DataFrame, max_iter: int = 50,
-                     local_threshold: int = LOCAL_CC_MAX_EDGES) -> DataFrame:
+                     local_threshold: int | None = None) -> DataFrame:
     """txn_keys: (txn_id BIGINT, key STRING) one row per key a txn
     touches. Returns (txn_id, group_id) where group_id = min txn_id of
     the connected component.
@@ -105,6 +112,10 @@ def causality_groups(txn_keys: DataFrame, max_iter: int = 50,
     split component would let order-dependent txns apply in parallel,
     the exact corruption this operator prevents.
     """
+    if local_threshold is None:
+        import os
+        local_threshold = int(os.environ.get(
+            "SPARK_GRAFT_CC_LOCAL_EDGES", LOCAL_CC_MAX_EDGES))
     edges = txn_keys.select("txn_id", "key").distinct() \
                     .filter(F.col("key").isNotNull())
     edges.persist()
