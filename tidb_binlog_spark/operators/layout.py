@@ -129,11 +129,12 @@ def partition_stats_with_merge_proof(df: DataFrame, part_expr: str,
     parts = (agg.join(sk, "scope")
              .withColumn("merge_ok", F.lit(None).cast("boolean")))
 
-    wg = Window.orderBy("h")
     def global_sketch(hashes):
+        # TakeOrderedAndProject: each partition keeps its own k smallest
+        # hashes, the driver merges — never funnels the full distinct-hash
+        # frame (NDV-sized at 100 TB) through one WindowExec partition.
         return (hashes.select("h").distinct()
-                .withColumn("rnk", F.row_number().over(wg))
-                .filter(F.col("rnk") <= k)
+                .orderBy("h").limit(k)
                 .agg(F.max("h").alias("kth_hash"),
                      F.count(F.lit(1)).alias("k_used")))
 
