@@ -207,11 +207,28 @@ def test_causality_distributed_path_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
+def test_causality_distributed_empty_and_null_inputs(spark):
+    # Empty micro-batch / all-null keys on the distributed path
+    # (local_threshold=0) must return an empty frame, not burn
+    # max_iter rounds and raise; null txn_ids must drop on BOTH paths
+    # (toPandas would otherwise surface them as NaN labels locally).
+    empty = spark.createDataFrame([], "txn_id long, key string")
+    assert causality.causality_groups(empty, local_threshold=0).count() == 0
+    nulls = spark.createDataFrame(
+        [(None, "k1"), (1, None), (1, "k2"), (2, "k2"), (None, None)],
+        "txn_id long, key string")
+    for thr in (0, 10):
+        got = dict(rows(causality.causality_groups(nulls,
+                                                   local_threshold=thr),
+                        "txn_id", "group_id"))
+        assert got == {1: 1, 2: 1}
+
+
 def test_causality_distributed_deep_chain_pointer_jump_fallback(spark):
     # A component whose diameter exceeds the plain-propagation budget
-    # (120-txn chain, one hop per round) must still converge: after 16
-    # stalled rounds the loop adds label-of-label shortcutting, giving
-    # O(log d) rounds instead of raising at max_iter.
+    # (120-txn chain, one hop per round) must still converge: from
+    # iteration 16 onward the loop adds label-of-label shortcutting,
+    # giving O(log d) rounds instead of raising at max_iter.
     edges = []
     for i in range(120):
         edges.append((10_000 + i, f"c{i}"))

@@ -116,16 +116,28 @@ def causality_groups(txn_keys: DataFrame, max_iter: int = 50,
         import os
         local_threshold = int(os.environ.get(
             "SPARK_GRAFT_CC_LOCAL_EDGES", LOCAL_CC_MAX_EDGES))
+    # null txn_id rows must go too: the distributed joins would drop
+    # them silently but toPandas would surface them as float64/NaN
+    # labels on the local path — filter both so the paths agree.
     edges = txn_keys.select("txn_id", "key").distinct() \
-                    .filter(F.col("key").isNotNull())
+                    .filter(F.col("txn_id").isNotNull()
+                            & F.col("key").isNotNull())
     edges.persist()
+    try:
+        return _causality_groups_on_edges(
+            txn_keys, edges, max_iter, local_threshold)
+    finally:
+        edges.unpersist()
+
+
+def _causality_groups_on_edges(txn_keys, edges, max_iter,
+                               local_threshold):
     id_type = txn_keys.schema["txn_id"].dataType
 
     if local_threshold and edges.count() <= local_threshold:
         epdf = edges.toPandas()            # Arrow batch transfer
         pdf = _local_components(
             zip(epdf["txn_id"].tolist(), epdf["key"].tolist()))
-        edges.unpersist()
         schema = T.StructType([T.StructField("txn_id", id_type),
                                T.StructField("group_id", id_type)])
         if pdf.empty:
@@ -167,11 +179,12 @@ def causality_groups(txn_keys: DataFrame, max_iter: int = 50,
         new_labels = new_labels.localCheckpoint()
         s = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
         labels = new_labels
-        if prev_sum is not None and s == prev_sum:
+        # s is None <=> the label frame is empty (empty micro-batch):
+        # already at the (empty) fixpoint.
+        if s is None or (prev_sum is not None and s == prev_sum):
             converged = True
             break
         prev_sum = s
-    edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"causality_groups did not converge in {max_iter} iterations; "
