@@ -159,6 +159,29 @@ def test_txn_batches_has_no_global_data_window(spark):
     assert small.select("batch_no").distinct().count() == len(set(want.values()))
 
 
+def test_hierarchical_offsets_matches_brute_across_levels(spark):
+    """_hierarchical_offsets must equal the brute exclusive prefix sum
+    even when bucket ids span all three hierarchy levels (ids spread
+    beyond fan and fan^2 so _c2/_c3 actually vary), including negative
+    bucket ids (floor division rounds toward -inf on both paths)."""
+    from tidb_binlog_spark.operators.batching import _hierarchical_offsets
+    fan = 1 << 4  # small fan so three levels engage on test-size data
+    ids = sorted({-(3 * fan ** 2 + 7), -fan - 1, -1, 0, 1, 2,
+                  fan - 1, fan, 5 * fan + 3, fan ** 2,
+                  2 * fan ** 2 + 1, 7 * fan ** 2 + fan + 2,
+                  11 * fan ** 3 + 5})
+    tots = [(b, (i * 37 + 11) % 100 + 1) for i, b in enumerate(ids)]
+    df = spark.createDataFrame(tots, "_b long, tot long")
+    got = {r["_b"]: r["offset"]
+           for r in _hierarchical_offsets(df, "_b", "tot", fan=fan)
+           .collect()}
+    run, want = 0, {}
+    for b, t in tots:
+        want[b] = run
+        run += t
+    assert got == want
+
+
 def test_classify_disorder_bucketed_matches_single_window(spark):
     """Two-phase per-source running max == the single-window result."""
     import random

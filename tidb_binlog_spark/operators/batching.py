@@ -18,6 +18,47 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _hierarchical_offsets(bucket_tot: DataFrame, b_col: str,
+                          tot_col: str, fan: int = 1 << 16) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``tot_col`` over ``b_col`` order,
+    returned as (b_col, offset) — with NO data-dependent unpartitioned
+    window. The single-level carry (one ordered pass over all non-empty
+    buckets) is itself data-sized once timestamps are dense: TSO-style
+    commit_ts yields up to ts_range/width non-empty buckets, far too
+    many for one window task at 100 TB.
+
+    Three levels instead, each compressing the bucket id by ``fan``:
+    within-level windows partition by the parent bucket (parallel,
+    <= fan rows per task); only the TOP level runs unpartitioned, and
+    its key space is the int64 domain / fan^3 <= 2^16 distinct values
+    — bounded by the timestamp DOMAIN, not the data. The top offsets
+    frame (<= 2^16 tiny rows) is the only forced broadcast."""
+    lvl1 = bucket_tot.withColumn(
+        "_c2", F.floor(F.col(b_col) / fan))
+    w2 = (Window.partitionBy("_c2").orderBy(b_col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    in2 = lvl1.withColumn(
+        "_off_in2", F.coalesce(F.sum(tot_col).over(w2), F.lit(0)))
+    lvl2 = (lvl1.groupBy("_c2").agg(F.sum(tot_col).alias("_tot2"))
+            .withColumn("_c3", F.floor(F.col("_c2") / fan)))
+    w3 = (Window.partitionBy("_c3").orderBy("_c2")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    in3 = lvl2.withColumn(
+        "_off_in3", F.coalesce(F.sum("_tot2").over(w3), F.lit(0)))
+    lvl3 = lvl2.groupBy("_c3").agg(F.sum("_tot2").alias("_tot3"))
+    w4 = (Window.orderBy("_c3")     # <= 2^16 rows over the whole
+          .rowsBetween(Window.unboundedPreceding, -1))  # int64 domain
+    off3 = lvl3.withColumn(
+        "_off3", F.coalesce(F.sum("_tot3").over(w4), F.lit(0))) \
+        .select("_c3", "_off3")
+    off2 = (in3.join(F.broadcast(off3), "_c3")
+            .select("_c2",
+                    (F.col("_off_in3") + F.col("_off3")).alias("_off2")))
+    return (in2.join(off2, "_c2")
+            .select(b_col,
+                    (F.col("_off_in2") + F.col("_off2")).alias("offset")))
+
+
 def assign_txn_batches(changes: DataFrame, max_dmls: int = 60,
                        ts_bucket_width: int = 1 << 16) -> DataFrame:
     """Group whole transactions into apply batches of <= max_dmls DMLs
@@ -28,12 +69,13 @@ def assign_txn_batches(changes: DataFrame, max_dmls: int = 60,
     Window.orderBy would):
       1. per commit_ts-range bucket: within-bucket prefix sums (window
          partitioned BY bucket — parallel across buckets);
-      2. per-bucket totals (one tiny row per bucket) get a running
-         offset, broadcast back onto phase 1.
+      2. per-bucket totals get their own running offset via
+         :func:`_hierarchical_offsets` — three more levels of the same
+         trick, so the only unpartitioned ordered pass is over a
+         DOMAIN-bounded (<= 2^16 row) frame, never a data-sized one.
     The composition equals the global prefix sum exactly, so batch
     boundaries are deterministic and replays re-create identical
-    batches. The only ordered pass runs over n_buckets rows
-    (= ts_range / ts_bucket_width), not n_txns.
+    batches.
     """
     from ..cache import managed_persist
     # persist the per-txn sizes once: phase 1 and the bucket totals both
@@ -46,14 +88,13 @@ def assign_txn_batches(changes: DataFrame, max_dmls: int = 60,
             .rowsBetween(Window.unboundedPreceding, 0))
     within = txn_sizes.withColumn("cum_in", F.sum("n_dmls").over(w_in))
     bucket_tot = within.groupBy("_b").agg(F.sum("n_dmls").alias("tot"))
-    w_carry = (Window.orderBy("_b")
-               .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = bucket_tot.withColumn(
-        "offset", F.coalesce(F.sum("tot").over(w_carry), F.lit(0)))
+    offsets = _hierarchical_offsets(bucket_tot, "_b", "tot")
     # batch = floor((cumsum - n_dmls) / max_dmls): a txn starts a new
-    # batch when the *preceding* total crosses the cap.
+    # batch when the *preceding* total crosses the cap. Plain join on
+    # _b (NOT a forced broadcast: the offsets frame is n_buckets rows
+    # — data-sized; AQE broadcasts it when it is actually small).
     sized = (within
-             .join(F.broadcast(offsets.select("_b", "offset")), "_b")
+             .join(offsets, "_b")
              .withColumn("cum", F.col("offset") + F.col("cum_in"))
              .withColumn("batch_no",
                          F.floor((F.col("cum") - F.col("n_dmls")) / max_dmls)
