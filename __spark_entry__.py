@@ -4143,24 +4143,201 @@ def q_corpus_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # keys. Last recorded gate: CORRECTNESS_r09 (50/50 hash-green over
-    # the r9 window, now rotated to the tail with the freshest
-    # evidence). This r10 rotation promotes the queued positions
-    # 51-100 of the r9 ordering (VERDICT r9 item 3) — the r5/r6-green
-    # rows longest without a driver refresh — with two swaps so every
+    # keys. Last recorded gate: CORRECTNESS_r10 (50/50 hash-green over
+    # the r10 window, now rotated to the tail with the freshest
+    # evidence). This r11 rotation promotes the head of the r11 queue
+    # (VERDICT r10 item 3) — 17 rows whose last driver row is r6 and
+    # the 30 oldest r7 rows — with three swaps so every
     # behavior-changed query gets a driver row THIS round:
-    #   * ann_pq_topk (r9 derived query sample; ADVICE r9 medium) and
-    #     corpus_chunk_savings (r10 single-shuffle rewrite) move INTO
+    #   * snapshot_stats_merge (global KMV sketch -> TakeOrdered fix),
+    #     cdc_txn_batches (hierarchical offset carry), and
+    #     cdc_causality_groups (empty/null-edge hardening) move INTO
     #     the window;
-    #   * dedup_quality_canonicals / events_sessionize (unchanged
-    #     since their last green row) yield their slots and head the
-    #     r11 queue.
-    # ann_cosine_topk (position 15 here) and ann_ivf_topk (16, query
-    # side re-derived this round) land their driver rows in this
-    # window too. Rotation invariant after this window: every
-    # registry query has a driver row <= 3 rounds old.
+    #   * corpus_ngram_topk / snapshot_zorder_layout / mm_phash_pairs
+    #     (r7-green, code untouched) yield their slots and head the
+    #     r12 queue.
+    # After this window every registry row's last driver check is r7+
+    # except the 19 queue rows heading r12 (all r7-green, ledger-
+    # checked every round).
     return {
-        # -- r10 window: positions 51-100 of the r9 ordering ---------
+        # -- r11 window: the 50 longest-stale rows + 3 swaps ------
+        "dedup_quality_canonicals": q_dedup_quality_canonicals,
+        "events_sessionize": q_events_sessionize,
+        "dedup_simhash": q_dedup_simhash,
+        "cdc_truncated_drop": q_cdc_truncated_drop,
+        "dedup_minhash_clusters": q_dedup_minhash_clusters,
+        "dedup_substring_spans": q_dedup_substring_spans,
+        "text_decontaminate_spans": q_text_decontaminate_spans,
+        "text_mix_weights": q_text_mix_weights,
+        "text_line_dedup": q_text_line_dedup,
+        "text_bm25": q_text_bm25,
+        "text_unigram_lm": q_text_unigram_lm,
+        "doc_chunks": q_doc_chunks,
+        "doc_shuffle": q_doc_shuffle,
+        "doc_hash_embed": q_doc_hash_embed,
+        "corpus_token_stats": q_corpus_token_stats,
+        "text_bigram_lm": q_text_bigram_lm,
+        "corpus_full_curation": q_corpus_full_curation,
+        "ann_pca_project": q_ann_pca_project,
+        "rag_retrieve_pack": q_rag_retrieve_pack,
+        "dedup_url_canonical": q_dedup_url_canonical,
+        "corpus_source_divergence": q_corpus_source_divergence,
+        "text_quality_classifier": q_text_quality_classifier,
+        "cdc_write_skew": q_cdc_write_skew,
+        "cdc_source_gaps": q_cdc_source_gaps,
+        "cdc_conflict_rate": q_cdc_conflict_rate,
+        "snapshot_late_orders": q_snapshot_late_orders,
+        "snapshot_market_share": q_snapshot_market_share,
+        "snapshot_product_profit": q_snapshot_product_profit,
+        "snapshot_order_counts": q_snapshot_order_counts,
+        "snapshot_promo_revenue": q_snapshot_promo_revenue,
+        "snapshot_small_qty_revenue": q_snapshot_small_qty_revenue,
+        "snapshot_waiting_suppliers": q_snapshot_waiting_suppliers,
+        "snapshot_idle_customers": q_snapshot_idle_customers,
+        "snapshot_min_cost_supplier": q_snapshot_min_cost_supplier,
+        "snapshot_important_parts": q_snapshot_important_parts,
+        "snapshot_ship_priority_mix": q_snapshot_ship_priority_mix,
+        "snapshot_supplier_part_counts": q_snapshot_supplier_part_counts,
+        "snapshot_dominant_suppliers": q_snapshot_dominant_suppliers,
+        "ann_kmeans_clusters": q_ann_kmeans_clusters,
+        "dedup_semantic": q_dedup_semantic,
+        "cdc_bootstrap_catchup": q_cdc_bootstrap_catchup,
+        "cdc_txn_fanout": q_cdc_txn_fanout,
+        "corpus_budget_select": q_corpus_budget_select,
+        "cdc_relay_recovery": q_cdc_relay_recovery,
+        "dedup_consensus": q_dedup_consensus,
+        "cdc_schema_adoption": q_cdc_schema_adoption,
+        "dedup_bloom": q_dedup_bloom,
+        "snapshot_stats_merge": q_snapshot_stats_merge,
+        "cdc_txn_batches": q_cdc_txn_batches,
+        "cdc_causality_groups": q_cdc_causality_groups,
+        # ------------------------------------------------------------
+        # below the driver's 50-row window: the r12 queue (three
+        # swapped-out rows first, then the r7-green remainder). Every
+        # query below is ledger-checked each round (LEDGER_r12).
+        # ------------------------------------------------------------
+        "corpus_ngram_topk": q_corpus_ngram_topk,
+        "snapshot_zorder_layout": q_snapshot_zorder_layout,
+        "mm_phash_pairs": q_mm_phash_pairs,
+        "cdc_checkpoint_lag": q_cdc_checkpoint_lag,
+        "events_windowed_topk": q_events_windowed_topk,
+        "corpus_kmv_distinct": q_corpus_kmv_distinct,
+        "events_anomaly_zscore": q_events_anomaly_zscore,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "corpus_surprisal_histogram": q_corpus_surprisal_histogram,
+        "events_active_users": q_events_active_users,
+        "events_bot_regularity": q_events_bot_regularity,
+        "snapshot_diff_repair": q_snapshot_diff_repair,
+        "corpus_gate_sweep": q_corpus_gate_sweep,
+        "corpus_kmv_merge": q_corpus_kmv_merge,
+        "doc_semantic_chunks": q_doc_semantic_chunks,
+        "text_lang_confusion": q_text_lang_confusion,
+        "events_funnel_dropoff": q_events_funnel_dropoff,
+        "corpus_fold_leakage": q_corpus_fold_leakage,
+        "corpus_effective_tokens": q_corpus_effective_tokens,
+        # -- r8 window (CORRECTNESS_r08 50/50; snapshot_stats_merge
+        #    promoted to the r11 window)
+        "corpus_tfidf_topk": q_corpus_tfidf_topk,
+        "snapshot_large_orders": q_snapshot_large_orders,
+        "snapshot_top_supplier": q_snapshot_top_supplier,
+        "snapshot_forecast_revenue": q_snapshot_forecast_revenue,
+        "cdc_disorder_displacement": q_cdc_disorder_displacement,
+        "corpus_source_overlap": q_corpus_source_overlap,
+        "corpus_temperature_mix": q_corpus_temperature_mix,
+        "events_type_transitions": q_events_type_transitions,
+        "mm_audio_features": q_mm_audio_features,
+        "snapshot_diff_drilldown": q_snapshot_diff_drilldown,
+        "dedup_lsh_calibration": q_dedup_lsh_calibration,
+        "corpus_gate_report": q_corpus_gate_report,
+        "cdc_incremental_distinct": q_cdc_incremental_distinct,
+        "events_session_paths": q_events_session_paths,
+        "dedup_savings_report": q_dedup_savings_report,
+        "cdc_hot_keys": q_cdc_hot_keys,
+        "snapshot_bracket_revenue": q_snapshot_bracket_revenue,
+        "events_ohlc": q_events_ohlc,
+        "cdc_salt_advisor": q_cdc_salt_advisor,
+        "corpus_oov_rate": q_corpus_oov_rate,
+        "events_multitouch": q_events_multitouch,
+        "corpus_hll_registers": q_corpus_hll_registers,
+        "snapshot_compaction_plan": q_snapshot_compaction_plan,
+        "corpus_pagerank": q_corpus_pagerank,
+        "corpus_dsir_select": q_corpus_dsir_select,
+        "ann_ivf_incremental": q_ann_ivf_incremental,
+        "ann_int8_quant": q_ann_int8_quant,
+        "events_rep_points": q_events_rep_points,
+        "corpus_quantile_sketch": q_corpus_quantile_sketch,
+        "corpus_cms_topk": q_corpus_cms_topk,
+        "events_decayed_topk": q_events_decayed_topk,
+        "cdc_dml_mix_drift": q_cdc_dml_mix_drift,
+        "events_growth_accounting": q_events_growth_accounting,
+        "corpus_vocab_growth": q_corpus_vocab_growth,
+        "ann_recall_curve": q_ann_recall_curve,
+        "events_seasonal_residuals": q_events_seasonal_residuals,
+        "dedup_lsh_accuracy": q_dedup_lsh_accuracy,
+        "events_markov_attribution": q_events_markov_attribution,
+        "cdc_redelivery_proof": q_cdc_redelivery_proof,
+        "rag_retrieval_ndcg": q_rag_retrieval_ndcg,
+        "events_activity_gini": q_events_activity_gini,
+        "events_holt_forecast": q_events_holt_forecast,
+        "events_peak_concurrency": q_events_peak_concurrency,
+        "events_conversion_latency": q_events_conversion_latency,
+        "cdc_ddl_risk_audit": q_cdc_ddl_risk_audit,
+        "events_rfm_segments": q_events_rfm_segments,
+        "events_dau_wau_mau": q_events_dau_wau_mau,
+        "events_cusum_changepoint": q_events_cusum_changepoint,
+        "cdc_asof_diff": q_cdc_asof_diff,
+        # -- r9 window (CORRECTNESS_r09 50/50; cdc_txn_batches and
+        #    cdc_causality_groups promoted to the r11 window)
+        "events_did_uplift": q_events_did_uplift,
+        "corpus_novelty_curve": q_corpus_novelty_curve,
+        "cdc_write_amplification": q_cdc_write_amplification,
+        "mm_frame_dedup": q_mm_frame_dedup,
+        "snapshot_basket_lift": q_snapshot_basket_lift,
+        "corpus_tokenizer_fertility": q_corpus_tokenizer_fertility,
+        "corpus_quantile_merge": q_corpus_quantile_merge,
+        "dedup_idempotence": q_dedup_idempotence,
+        "cdc_kv_decode": q_cdc_kv_decode,
+        "cdc_kv_decode_update": q_cdc_kv_decode_update,
+        "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
+        "sink_payload_roundtrip": q_sink_payload_roundtrip,
+        "sink_sql_generation": q_sink_sql_generation,
+        "cdc_type_format": q_cdc_type_format,
+        "text_profile": q_text_profile,
+        "mm_assets": q_mm_assets,
+        "cdc_progress": q_cdc_progress,
+        "ann_doc_lsh": q_ann_doc_lsh,
+        "dedup_incremental": q_dedup_incremental,
+        "doc_cdc_chunks": q_doc_cdc_chunks,
+        "dedup_containment": q_dedup_containment,
+        "corpus_source_report": q_corpus_source_report,
+        "dedup_chunk_minhash": q_dedup_chunk_minhash,
+        "cdc_incremental_agg_wide": q_cdc_incremental_agg_wide,
+        "cdc_temporal_join": q_cdc_temporal_join,
+        "cdc_incremental_rollup": q_cdc_incremental_rollup,
+        "sink_kafka_obinlog": q_sink_kafka_obinlog,
+        "cdc_reparo_replay": q_cdc_reparo_replay,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "cdc_loopback_filter": q_cdc_loopback_filter,
+        "cdc_schema_backfill": q_cdc_schema_backfill,
+        "cdc_update_pk_split": q_cdc_update_pk_split,
+        "cdc_safe_mode": q_cdc_safe_mode,
+        "text_stratified_sample": q_text_stratified_sample,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_clusters": q_dedup_embedding_clusters,
+        "cdc_gc_safepoint": q_cdc_gc_safepoint,
+        "sink_bulk_batches": q_sink_bulk_batches,
+        "snapshot_checksum_orders": q_snapshot_checksum_orders,
+        "cdc_pc_match": q_cdc_pc_match,
+        "cdc_wide_row_apply": q_cdc_wide_row_apply,
+        "sink_sql_wide": q_sink_sql_wide,
+        "sink_obinlog_wide": q_sink_obinlog_wide,
+        "snapshot_diff_orders": q_snapshot_diff_orders,
+        "snapshot_pricing_summary": q_snapshot_pricing_summary,
+        "snapshot_revenue_by_nation": q_snapshot_revenue_by_nation,
+        # -- r10 window (CORRECTNESS_r10 50/50): freshest driver
+        #    rows, rotated to the tail
         "cdc_snapshot_apply": q_cdc_snapshot_apply,
         "cdc_order_audit": q_cdc_order_audit,
         "cdc_kway_merge": q_cdc_kway_merge,
@@ -4211,181 +4388,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "ann_pq_topk": q_ann_pq_topk,
         "corpus_chunk_savings": q_corpus_chunk_savings,
-        # ------------------------------------------------------------
-        # below the driver's 50-row window: the r11 queue (unchanged
-        # relative order; the two swapped-out rows head it). Every
-        # query below is ledger-checked each round (LEDGER_r11).
-        # ------------------------------------------------------------
-        "dedup_quality_canonicals": q_dedup_quality_canonicals,
-        "events_sessionize": q_events_sessionize,
-        "dedup_simhash": q_dedup_simhash,
-        "cdc_truncated_drop": q_cdc_truncated_drop,
-        "dedup_minhash_clusters": q_dedup_minhash_clusters,
-        "dedup_substring_spans": q_dedup_substring_spans,
-        "text_decontaminate_spans": q_text_decontaminate_spans,
-        "text_mix_weights": q_text_mix_weights,
-        "text_line_dedup": q_text_line_dedup,
-        "text_bm25": q_text_bm25,
-        "text_unigram_lm": q_text_unigram_lm,
-        "doc_chunks": q_doc_chunks,
-        "doc_shuffle": q_doc_shuffle,
-        "doc_hash_embed": q_doc_hash_embed,
-        "corpus_token_stats": q_corpus_token_stats,
-        "text_bigram_lm": q_text_bigram_lm,
-        "corpus_full_curation": q_corpus_full_curation,
-        "ann_pca_project": q_ann_pca_project,
-        "rag_retrieve_pack": q_rag_retrieve_pack,
-        "dedup_url_canonical": q_dedup_url_canonical,
-        "corpus_source_divergence": q_corpus_source_divergence,
-        "text_quality_classifier": q_text_quality_classifier,
-        "cdc_write_skew": q_cdc_write_skew,
-        "cdc_source_gaps": q_cdc_source_gaps,
-        "cdc_conflict_rate": q_cdc_conflict_rate,
-        "snapshot_late_orders": q_snapshot_late_orders,
-        "snapshot_market_share": q_snapshot_market_share,
-        "snapshot_product_profit": q_snapshot_product_profit,
-        "snapshot_order_counts": q_snapshot_order_counts,
-        "snapshot_promo_revenue": q_snapshot_promo_revenue,
-        "snapshot_small_qty_revenue": q_snapshot_small_qty_revenue,
-        "snapshot_waiting_suppliers": q_snapshot_waiting_suppliers,
-        "snapshot_idle_customers": q_snapshot_idle_customers,
-        "snapshot_min_cost_supplier": q_snapshot_min_cost_supplier,
-        "snapshot_important_parts": q_snapshot_important_parts,
-        "snapshot_ship_priority_mix": q_snapshot_ship_priority_mix,
-        "snapshot_supplier_part_counts": q_snapshot_supplier_part_counts,
-        "snapshot_dominant_suppliers": q_snapshot_dominant_suppliers,
-        "ann_kmeans_clusters": q_ann_kmeans_clusters,
-        "dedup_semantic": q_dedup_semantic,
-        "cdc_bootstrap_catchup": q_cdc_bootstrap_catchup,
-        "cdc_txn_fanout": q_cdc_txn_fanout,
-        "corpus_budget_select": q_corpus_budget_select,
-        "cdc_relay_recovery": q_cdc_relay_recovery,
-        "dedup_consensus": q_dedup_consensus,
-        "cdc_schema_adoption": q_cdc_schema_adoption,
-        "dedup_bloom": q_dedup_bloom,
-        "corpus_ngram_topk": q_corpus_ngram_topk,
-        "snapshot_zorder_layout": q_snapshot_zorder_layout,
-        "mm_phash_pairs": q_mm_phash_pairs,
-        "cdc_checkpoint_lag": q_cdc_checkpoint_lag,
-        "events_windowed_topk": q_events_windowed_topk,
-        "corpus_kmv_distinct": q_corpus_kmv_distinct,
-        "events_anomaly_zscore": q_events_anomaly_zscore,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "corpus_surprisal_histogram": q_corpus_surprisal_histogram,
-        "events_active_users": q_events_active_users,
-        "events_bot_regularity": q_events_bot_regularity,
-        "snapshot_diff_repair": q_snapshot_diff_repair,
-        "corpus_gate_sweep": q_corpus_gate_sweep,
-        "corpus_kmv_merge": q_corpus_kmv_merge,
-        "doc_semantic_chunks": q_doc_semantic_chunks,
-        "text_lang_confusion": q_text_lang_confusion,
-        "events_funnel_dropoff": q_events_funnel_dropoff,
-        "corpus_fold_leakage": q_corpus_fold_leakage,
-        "corpus_effective_tokens": q_corpus_effective_tokens,
-        # -- r8 window (CORRECTNESS_r08 50/50), then the r9 window
-        #    (CORRECTNESS_r09 50/50, freshest driver rows) at the tail
-        "corpus_tfidf_topk": q_corpus_tfidf_topk,
-        "snapshot_large_orders": q_snapshot_large_orders,
-        "snapshot_top_supplier": q_snapshot_top_supplier,
-        "snapshot_forecast_revenue": q_snapshot_forecast_revenue,
-        "cdc_disorder_displacement": q_cdc_disorder_displacement,
-        "corpus_source_overlap": q_corpus_source_overlap,
-        "corpus_temperature_mix": q_corpus_temperature_mix,
-        "events_type_transitions": q_events_type_transitions,
-        "mm_audio_features": q_mm_audio_features,
-        "snapshot_diff_drilldown": q_snapshot_diff_drilldown,
-        "dedup_lsh_calibration": q_dedup_lsh_calibration,
-        "corpus_gate_report": q_corpus_gate_report,
-        "cdc_incremental_distinct": q_cdc_incremental_distinct,
-        "events_session_paths": q_events_session_paths,
-        "dedup_savings_report": q_dedup_savings_report,
-        "cdc_hot_keys": q_cdc_hot_keys,
-        "snapshot_bracket_revenue": q_snapshot_bracket_revenue,
-        "events_ohlc": q_events_ohlc,
-        "cdc_salt_advisor": q_cdc_salt_advisor,
-        "corpus_oov_rate": q_corpus_oov_rate,
-        "events_multitouch": q_events_multitouch,
-        "corpus_hll_registers": q_corpus_hll_registers,
-        "snapshot_compaction_plan": q_snapshot_compaction_plan,
-        "corpus_pagerank": q_corpus_pagerank,
-        "corpus_dsir_select": q_corpus_dsir_select,
-        "ann_ivf_incremental": q_ann_ivf_incremental,
-        "ann_int8_quant": q_ann_int8_quant,
-        "events_rep_points": q_events_rep_points,
-        "snapshot_stats_merge": q_snapshot_stats_merge,
-        "corpus_quantile_sketch": q_corpus_quantile_sketch,
-        "corpus_cms_topk": q_corpus_cms_topk,
-        "events_decayed_topk": q_events_decayed_topk,
-        "cdc_dml_mix_drift": q_cdc_dml_mix_drift,
-        "events_growth_accounting": q_events_growth_accounting,
-        "corpus_vocab_growth": q_corpus_vocab_growth,
-        "ann_recall_curve": q_ann_recall_curve,
-        "events_seasonal_residuals": q_events_seasonal_residuals,
-        "dedup_lsh_accuracy": q_dedup_lsh_accuracy,
-        "events_markov_attribution": q_events_markov_attribution,
-        "cdc_redelivery_proof": q_cdc_redelivery_proof,
-        "rag_retrieval_ndcg": q_rag_retrieval_ndcg,
-        "events_activity_gini": q_events_activity_gini,
-        "events_holt_forecast": q_events_holt_forecast,
-        "events_peak_concurrency": q_events_peak_concurrency,
-        "events_conversion_latency": q_events_conversion_latency,
-        "cdc_ddl_risk_audit": q_cdc_ddl_risk_audit,
-        "events_rfm_segments": q_events_rfm_segments,
-        "events_dau_wau_mau": q_events_dau_wau_mau,
-        "events_cusum_changepoint": q_events_cusum_changepoint,
-        "cdc_asof_diff": q_cdc_asof_diff,
-        # -- r9 window (CORRECTNESS_r09 50/50): freshest driver rows,
-        #    rotated to the tail
-        "events_did_uplift": q_events_did_uplift,
-        "corpus_novelty_curve": q_corpus_novelty_curve,
-        "cdc_write_amplification": q_cdc_write_amplification,
-        "mm_frame_dedup": q_mm_frame_dedup,
-        "snapshot_basket_lift": q_snapshot_basket_lift,
-        "corpus_tokenizer_fertility": q_corpus_tokenizer_fertility,
-        "corpus_quantile_merge": q_corpus_quantile_merge,
-        "dedup_idempotence": q_dedup_idempotence,
-        "cdc_kv_decode": q_cdc_kv_decode,
-        "cdc_kv_decode_update": q_cdc_kv_decode_update,
-        "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
-        "sink_payload_roundtrip": q_sink_payload_roundtrip,
-        "sink_sql_generation": q_sink_sql_generation,
-        "cdc_type_format": q_cdc_type_format,
-        "text_profile": q_text_profile,
-        "mm_assets": q_mm_assets,
-        "cdc_progress": q_cdc_progress,
-        "ann_doc_lsh": q_ann_doc_lsh,
-        "dedup_incremental": q_dedup_incremental,
-        "doc_cdc_chunks": q_doc_cdc_chunks,
-        "dedup_containment": q_dedup_containment,
-        "corpus_source_report": q_corpus_source_report,
-        "dedup_chunk_minhash": q_dedup_chunk_minhash,
-        "cdc_incremental_agg_wide": q_cdc_incremental_agg_wide,
-        "cdc_temporal_join": q_cdc_temporal_join,
-        "cdc_incremental_rollup": q_cdc_incremental_rollup,
-        "sink_kafka_obinlog": q_sink_kafka_obinlog,
-        "cdc_reparo_replay": q_cdc_reparo_replay,
-        "doc_fingerprint": q_doc_fingerprint,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "cdc_loopback_filter": q_cdc_loopback_filter,
-        "cdc_txn_batches": q_cdc_txn_batches,
-        "cdc_schema_backfill": q_cdc_schema_backfill,
-        "cdc_update_pk_split": q_cdc_update_pk_split,
-        "cdc_safe_mode": q_cdc_safe_mode,
-        "text_stratified_sample": q_text_stratified_sample,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding_clusters": q_dedup_embedding_clusters,
-        "cdc_gc_safepoint": q_cdc_gc_safepoint,
-        "cdc_causality_groups": q_cdc_causality_groups,
-        "sink_bulk_batches": q_sink_bulk_batches,
-        "snapshot_checksum_orders": q_snapshot_checksum_orders,
-        "cdc_pc_match": q_cdc_pc_match,
-        "cdc_wide_row_apply": q_cdc_wide_row_apply,
-        "sink_sql_wide": q_sink_sql_wide,
-        "sink_obinlog_wide": q_sink_obinlog_wide,
-        "snapshot_diff_orders": q_snapshot_diff_orders,
-        "snapshot_pricing_summary": q_snapshot_pricing_summary,
-        "snapshot_revenue_by_nation": q_snapshot_revenue_by_nation,
     }
 
 
