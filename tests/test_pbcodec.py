@@ -224,6 +224,43 @@ def test_assemble_payloads_matches_generic_encoders():
                for a, b in zip(want.payload, got.payload))
 
 
+def test_assemble_payloads_numpy_matches_row_loop():
+    """The numpy batch assembler == the row-at-a-time reference on
+    adversarial inputs the generic-encoder test doesn't cover: extreme
+    pk magnitudes (full varint widths), negative/zero/denormal vals,
+    empty and >64-byte keys (the padded-gather fallback boundary),
+    single-row and empty batches."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    n = 3000
+    pks = rng.choice([0, 1, -1, 127, 128, -128, 2**31, -2**31,
+                      2**62, -2**62, 2**63 - 1, -2**63], n)
+    vals = rng.choice([0.0, -0.0, 1.0, -1.25, 1e300, -1e-300,
+                       5e-324, 1.7976931348623157e308], n)
+    keys = [("" if i % 11 == 0 else
+             "x" * 200 if i % 13 == 0 else f"k{i % 53}")
+            for i in range(n)]
+    pdf = pd.DataFrame({
+        "commit_ts": np.sort(rng.randint(1, n // 4, n).astype(np.int64)),
+        "seq": np.arange(n, dtype=np.int64),
+        "arrival_seq": np.arange(n, dtype=np.int64),
+        "op": rng.choice(list("IUD"), n),
+        "db": rng.choice(["d0", "a_much_longer_database_name"], n),
+        "tbl": rng.choice(["t0", "t1", "t2"], n),
+        "pk": pks.astype(np.int64),
+        "val": vals.astype(np.float64),
+        "k": keys,
+    })
+    for frame in (pdf, pdf.head(1), pdf.head(0)):
+        want = pb._assemble_payloads_rows(frame.copy())
+        got = pb._assemble_payloads(frame.copy())
+        assert list(want.commit_ts) == list(got.commit_ts)
+        assert all(bytes(a) == bytes(b)
+                   for a, b in zip(want.payload, got.payload))
+
+
 def test_crc32c_batch_matches_scalar():
     """Vectorized lockstep CRC32C == the scalar table loop for every
     payload, including empty and 1-byte ones (the writer frames with

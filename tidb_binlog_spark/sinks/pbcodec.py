@@ -301,19 +301,19 @@ _UV1 = [bytes([i]) for i in range(128)]      # 1-byte varints
 _OP_TP = {"I": INSERT, "U": UPDATE, "D": DELETE}
 
 
-def _assemble_payloads(pdf):
-    """(commit_ts, seq, arrival_seq, op, db, tbl, pk, val, k) pandas
-    batch -> one marshalled pb.Binlog row per commit_ts.
+def _assemble_payloads_rows(pdf):
+    """Row-at-a-time reference assembler (r10). Kept as the parity
+    oracle for the numpy batch assembler below — tests pin
+    _assemble_payloads byte-equal to this, and this byte-equal to
+    composing encode_column/encode_event/encode_binlog.
 
-    Byte-identical to composing encode_column/encode_event/
-    encode_binlog (pinned by tests/test_pbcodec.py), but built from
-    MEMOIZED constant fragments (r10, VERDICT r9 item 6): the generic
-    path re-varint-encoded the constant column/event headers per row —
-    profiled at 8.2M _uvarint calls per 200k events, the dominant
-    assembly cost. Here headers encode once (module scope for columns,
-    per-batch memo for (db, tbl, tp) event headers); per row only the
-    value datums and the length-delimited glue vary, with single-byte
-    varints served from a 128-entry table."""
+    (commit_ts, seq, arrival_seq, op, db, tbl, pk, val, k) pandas
+    batch -> one marshalled pb.Binlog row per commit_ts. Built from
+    MEMOIZED constant fragments (r10, VERDICT r9 item 6): headers
+    encode once (module scope for columns, per-batch memo for
+    (db, tbl, tp) event headers); per row only the value datums and
+    the length-delimited glue vary, with single-byte varints served
+    from a 128-entry table."""
     import pandas as pd
 
     pdf = pdf.sort_values(["commit_ts", "seq", "arrival_seq"])
@@ -370,6 +370,287 @@ def _assemble_payloads(pdf):
         events.append(b"".join(parts))
     flush()
     return pd.DataFrame({"commit_ts": out_ts, "payload": out_payload})
+
+
+# --- numpy batch assembly (r11, VERDICT r10 item 6) ----------------------
+
+def _intra(lens):
+    """[0..l0), [0..l1), ... as one flat int64 array."""
+    import numpy as np
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    excl = np.cumsum(lens) - lens
+    return np.arange(total, dtype=np.int64) - np.repeat(excl, lens)
+
+
+def _uvarint_matrix(u):
+    """uvarint bytes of a uint64 array: (N,10) uint8 matrix + per-row
+    byte count. Row j's bytes are mat[j, :n[j]] — identical to
+    _uvarint(int(u[j]))."""
+    import numpy as np
+    u = u.astype(np.uint64, copy=False)
+    n = np.ones(len(u), dtype=np.int64)
+    for j in range(1, 10):
+        n += (u >= (np.uint64(1) << np.uint64(7 * j)))
+    mat = np.empty((len(u), 10), dtype=np.uint8)
+    for j in range(10):
+        byte = (u >> np.uint64(7 * j)) & np.uint64(0x7F)
+        mat[:, j] = np.where(j + 1 < n, byte | np.uint64(0x80),
+                             byte).astype(np.uint8)
+    return mat, n
+
+
+class _SegBuf:
+    """Flat byte-buffer assembler: declare per-row segments in layout
+    order, then ``render(buf, row_off)`` writes each with one
+    vectorized operation. Widths stay small (<= ~30 bytes/segment) so
+    every write is an (N, w) broadcast — no per-byte index arrays over
+    the whole buffer. ``present`` masks a segment to a row subset
+    (zero length elsewhere)."""
+
+    def __init__(self, np, n_rows: int):
+        self.np = np
+        self.n = n_rows
+        self.segs = []          # (lens, present, writer)
+
+    def matrix(self, mat, nbytes=None, present=None):
+        """Per-row bytes from an (N, w) uint8 matrix; with ``nbytes``
+        only the first nbytes[j] bytes of row j are written (varints,
+        padded gathers)."""
+        np = self.np
+
+        def write(buf, off, rows):
+            m = mat if rows is None else mat[rows]
+            if nbytes is None:
+                buf[off[:, None] + np.arange(m.shape[1])] = m
+            else:
+                vn = nbytes if rows is None else nbytes[rows]
+                idx = off[:, None] + np.arange(m.shape[1])
+                mask = np.arange(m.shape[1])[None, :] < vn[:, None]
+                buf[idx[mask]] = m[mask]
+        lens = (np.full(self.n, mat.shape[1], dtype=np.int64)
+                if nbytes is None else nbytes.astype(np.int64))
+        self._add(lens, present, write)
+
+    def coded(self, uniq_bytes, codes, present=None):
+        """Per-row bytes from a small per-unique pool, gathered by
+        code: pads the uniques to (U, maxw) and broadcasts — index
+        math is (N, maxw), never per-byte over the buffer. A huge
+        outlier unique (maxw > 64) would make the padded matrix
+        N x maxw; fall back to a ragged per-byte gather there (cost
+        proportional to actual bytes, not the padded width)."""
+        np = self.np
+        lens_u = np.array([len(b) for b in uniq_bytes], dtype=np.int64)
+        maxw = int(lens_u.max()) if len(lens_u) else 0
+        if maxw > 64:
+            flat = np.frombuffer(b"".join(uniq_bytes), dtype=np.uint8)
+            starts_u = np.cumsum(lens_u) - lens_u
+            starts, lens = starts_u[codes], lens_u[codes]
+
+            def write(buf, off, rows):
+                s = starts if rows is None else starts[rows]
+                ln = lens if rows is None else lens[rows]
+                buf[np.repeat(off, ln) + _intra(ln)] = \
+                    flat[np.repeat(s, ln) + _intra(ln)]
+            self._add(lens.astype(np.int64), present, write)
+            return
+        pool = np.zeros((len(uniq_bytes), maxw), dtype=np.uint8)
+        for i, b in enumerate(uniq_bytes):
+            pool[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        self.matrix(pool[codes], lens_u[codes], present=present)
+
+    def _add(self, lens, present, write):
+        if present is not None:
+            lens = self.np.where(present, lens, 0)
+        self.segs.append((lens, present, write))
+
+    def lengths(self):
+        total = self.segs[0][0].copy()
+        for lens, _, _ in self.segs[1:]:
+            total += lens
+        return total
+
+    def render(self, buf, row_off):
+        """Write all segments into ``buf`` starting at row_off[j] for
+        row j (rows must not overlap)."""
+        np = self.np
+        seg_off = row_off
+        for lens, present, write in self.segs:
+            if present is None:
+                write(buf, seg_off, None)
+            else:
+                rows = np.flatnonzero(present)
+                if len(rows):
+                    write(buf, seg_off[rows], rows)
+            seg_off = seg_off + lens
+        return buf
+
+
+def _assemble_payloads(pdf):
+    """numpy batch twin of :func:`_assemble_payloads_rows` — the same
+    (commit_ts, seq, arrival_seq, op, db, tbl, pk, val, k) batch to
+    one marshalled pb.Binlog per commit_ts, byte-identical (pinned by
+    tests/test_pbcodec.py parity tests), but every variable-length
+    piece (zigzag varints, ordered-double bits, length glue) is
+    computed across the whole batch in numpy and written into one
+    flat buffer with (N, width) broadcasts; Python touches only
+    per-unique memo values and the final per-txn slicing (VERDICT r10
+    item 6: the row loop was the pb-dump wire bottleneck)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.kvcodec import encode_datum
+
+    pdf = pdf.sort_values(["commit_ts", "seq", "arrival_seq"],
+                          kind="mergesort")
+    n = len(pdf)
+    if n == 0:
+        return pd.DataFrame({"commit_ts": pd.Series([], dtype="int64"),
+                             "payload": pd.Series([], dtype=object)})
+
+    ct = pdf["commit_ts"].to_numpy(np.int64)
+    pk = pdf["pk"].to_numpy(np.int64)
+    val = pdf["val"].to_numpy(np.float64)
+    tp = pdf["op"].map(_OP_TP).to_numpy(np.int64)
+    is_u = tp == UPDATE
+
+    # event headers memoized per (db, tbl, tp): factorize each column
+    # and combine the integer codes (string concat would round-trip
+    # through numpy unicode, which mangles separator bytes)
+    dcodes, duniq = pd.factorize(pdf["db"])
+    tcodes, tuniq = pd.factorize(pdf["tbl"])
+    combined = (dcodes.astype(np.int64) * len(tuniq) + tcodes) * 3 + tp
+    hcodes, huniq = pd.factorize(combined)
+    hdrs = []
+    for key in huniq:
+        t = int(key) % 3
+        dt = int(key) // 3
+        db, tbl = duniq[dt // len(tuniq)], tuniq[dt % len(tuniq)]
+        hdrs.append(_field_bytes(1, str(db).encode())
+                    + _field_bytes(2, str(tbl).encode())
+                    + _field_varint(3, t))
+
+    # pk datum: VARINT_FLAG + uvarint(zigzag(pk))
+    upk = pk.astype(np.uint64)
+    zz = (upk << np.uint64(1)) ^ np.where(
+        pk < 0, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(0))
+    pk_mat, pk_n = _uvarint_matrix(zz)
+    dpk_len = 1 + pk_n                      # flag + varint
+
+    # val datum bytes: FLOAT_FLAG + 8B big-endian ordered u64;
+    # UPDATE rows carry (val - 1) in field 4 and val in field 5
+    def _ordered_bytes(f64):
+        u = np.ascontiguousarray(f64).view(np.uint64)
+        sign = np.uint64(1) << np.uint64(63)
+        o = np.where(u & sign, ~u, u | sign)
+        return o.astype(">u8").view(np.uint8).reshape(-1, 8)
+
+    val_new = _ordered_bytes(val)
+    val_old = _ordered_bytes(np.where(is_u, val - 1.0, val))
+
+    # k datum memoized per unique string (full datum incl flag)
+    kcodes, kuniq = pd.factorize(pdf["k"], use_na_sentinel=False)
+    kdatums = [encode_datum(u, "string") for u in kuniq]
+    klens_u = np.array([len(d) for d in kdatums], dtype=np.int64)
+    dk_lens = klens_u[kcodes]
+    dk_mat, dk_vn = _uvarint_matrix(dk_lens.astype(np.uint64))
+
+    c1, c2, c3 = (len(_COL_HDR["pk"]), len(_COL_HDR["val"]),
+                  len(_COL_HDR["k"]))
+    colpk_len = c1 + (2 + dpk_len) * np.where(is_u, 2, 1)
+    colval_len = c2 + 11 * np.where(is_u, 2, 1)     # 0x22 0x09 f 8B
+    colk_len = c3 + (1 + dk_vn + dk_lens) * np.where(is_u, 2, 1)
+    ck_mat, ck_vn = _uvarint_matrix(colk_len.astype(np.uint64))
+    # colpk/colval stay < 128 (fixed col specs), so their length
+    # varints are single bytes; colk carries a full varint
+    assert int(colpk_len.max()) < 128 and int(colval_len.max()) < 128
+
+    def fused(*cols):
+        """Column-stack scalars / vectors / (N, w) blocks into one
+        uint8 matrix — merges adjacent constant and 1-byte-variable
+        segments into a single broadcast write."""
+        parts = []
+        for c in cols:
+            if isinstance(c, (int, bytes)):
+                b = bytes([c]) if isinstance(c, int) else c
+                parts.append(np.broadcast_to(
+                    np.frombuffer(b, dtype=np.uint8), (n, len(b))))
+            elif c.ndim == 1:
+                parts.append(c.astype(np.uint8).reshape(-1, 1))
+            else:
+                parts.append(c)
+        return np.concatenate(parts, axis=1)
+
+    body = _SegBuf(np, n)
+    body.coded(hdrs, hcodes)                             # event hdr
+    # pk column: glue + header + field-4 datum prefix in ONE write
+    body.matrix(fused(0x22, colpk_len, _COL_HDR["pk"], 0x22, dpk_len,
+                      bytes([8])))
+    body.matrix(pk_mat, pk_n)                            # pk varint
+    body.matrix(fused(0x2A, dpk_len, bytes([8])), present=is_u)
+    body.matrix(pk_mat, pk_n, present=is_u)
+    # val column: fixed width end to end
+    body.matrix(fused(0x22, colval_len, _COL_HDR["val"],
+                      b"\x22\x09" + bytes([5]), val_old))
+    body.matrix(fused(b"\x2a\x09" + bytes([5]), val_new),
+                present=is_u)
+    # k column
+    ckfull = np.concatenate(
+        [np.full((n, 1), 0x22, dtype=np.uint8), ck_mat], axis=1)
+    body.matrix(ckfull, ck_vn + 1)
+    body.matrix(fused(_COL_HDR["k"], 0x22))
+    body.matrix(dk_mat, dk_vn)
+    body.coded(kdatums, kcodes)
+    u_tail = np.concatenate(
+        [np.full((n, 1), 0x2A, dtype=np.uint8), dk_mat], axis=1)
+    body.matrix(u_tail, dk_vn + 1, present=is_u)
+    body.coded(kdatums, kcodes, present=is_u)
+
+    body_len = body.lengths()
+    eb_mat, eb_vn = _uvarint_matrix(body_len.astype(np.uint64))
+    pfxfull = np.concatenate(
+        [np.full((n, 1), 0x0A, dtype=np.uint8), eb_mat], axis=1)
+    pfx_len = eb_vn + 1
+    ev_len = pfx_len + body_len
+    ev_off = np.cumsum(ev_len) - ev_len
+    evbuf = np.empty(int(ev_len.sum()), dtype=np.uint8)
+    pfx = _SegBuf(np, n)
+    pfx.matrix(pfxfull, pfx_len)
+    pfx.render(evbuf, ev_off)
+    body.render(evbuf, ev_off + pfx_len)
+
+    # txn grouping: sorted ct -> contiguous event runs per commit
+    starts = np.flatnonzero(np.r_[True, ct[1:] != ct[:-1]])
+    cts = ct[starts]
+    dml_len = np.add.reduceat(ev_len, starts)
+    dml_off = ev_off[starts]
+    dl_mat, dl_vn = _uvarint_matrix(dml_len.astype(np.uint64))
+    ct_mat, ct_vn = _uvarint_matrix(cts.astype(np.uint64))
+
+    t = len(cts)
+    lead = b"\x08" + _uvarint(DML) + b"\x10"
+    hdr_mats = np.concatenate([
+        np.broadcast_to(np.frombuffer(lead, dtype=np.uint8),
+                        (t, len(lead))),
+    ], axis=1)
+    hdr_seg = _SegBuf(np, t)
+    hdr_seg.matrix(hdr_mats)
+    hdr_seg.matrix(ct_mat, ct_vn)
+    hdr_seg.matrix(np.full((t, 1), 0x1A, dtype=np.uint8))
+    hdr_seg.matrix(dl_mat, dl_vn)
+    hl = hdr_seg.lengths()
+    ho = np.cumsum(hl) - hl
+    hbuf = np.empty(int(hl.sum()), dtype=np.uint8)
+    hdr_seg.render(hbuf, ho)
+
+    he = ho + hl
+    de = dml_off + dml_len
+    out_payload = [
+        hbuf[ho[i]:he[i]].tobytes() + evbuf[dml_off[i]:de[i]].tobytes()
+        for i in range(t)]
+    return pd.DataFrame({"commit_ts": cts.astype(np.int64),
+                         "payload": out_payload})
 
 
 def binlog_payloads(changes, n_buckets: int | None = None
@@ -443,25 +724,43 @@ def write_pb_dump(changes, path: str, partitions: int | None = None,
         payloads = payloads.unionByName(ddl_payloads(ddls))
     os.makedirs(path, exist_ok=True)
 
-    def write_partition(it):
-        rows = sorted(it, key=lambda r: r["commit_ts"])
-        if not rows:
-            return
-        part = rows[0]["commit_ts"] // 100000
-        fn = os.path.join(path, f"binlog-{part:010d}-{rows[0]['commit_ts']}.pb")
-        payloads = [bytes(r["payload"]) for r in rows]
-        crcs = crc32c_batch(payloads)     # vectorized across records
-        with open(fn, "wb") as f:
-            for p, crc in zip(payloads, crcs):
-                f.write(struct.pack("<I", MAGIC)
-                        + struct.pack("<Q", len(p))
-                        + p
-                        + struct.pack("<I", crc))
+    import pandas as pd
+
+    def write_partition(batches: Iterator[pd.DataFrame]
+                        ) -> Iterator[pd.DataFrame]:
+        # Arrow-batched writer (r11): records arrive sorted within the
+        # partition (sortWithinPartitions below), so batches stream to
+        # the file in order — no pickled-Row iterator, no in-task sort.
+        f = None
+        n_out = 0
+        try:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if f is None:
+                    first_ct = int(pdf["commit_ts"].iloc[0])
+                    bucket = first_ct // 100000
+                    fn = os.path.join(
+                        path, f"binlog-{bucket:010d}-{first_ct}.pb")
+                    f = open(fn, "wb")
+                recs = [bytes(p) for p in pdf["payload"]]
+                crcs = crc32c_batch(recs)   # vectorized across records
+                f.write(b"".join(
+                    struct.pack("<I", MAGIC) + struct.pack("<Q", len(p))
+                    + p + struct.pack("<I", crc)
+                    for p, crc in zip(recs, crcs)))
+                n_out += len(recs)
+        finally:
+            if f is not None:
+                f.close()
+        yield pd.DataFrame({"n": [n_out]})
 
     (payloads
      .repartition(partitions,
                   (payloads["commit_ts"] / 100000).cast("long"))
-     .foreachPartition(write_partition))
+     .sortWithinPartitions("commit_ts")
+     .mapInPandas(write_partition, "n long")
+     .write.format("noop").mode("overwrite").save())
 
 
 def read_pb_dump(spark, path: str, start_ts: int | None = None,
