@@ -75,6 +75,21 @@ def _fit_exponent(points: list[tuple[int, float]]) -> float:
     return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
 
 
+def _shuffle_partitions_for(rows: int) -> int:
+    """Deployment-sizing rule (VERDICT r10 item 7): shuffle partitions
+    proportional to input rows — next power of two of events-rows/1M,
+    clamped to [32, 1024]. The r10 third-decade cdc_wide_row_apply
+    re-run measured the fixed 32-partition PK shuffle as the residual
+    bottleneck at 100M events (174 s at 32 -> 147 s at 128); a global
+    AQE initialPartitionNum was measured and REJECTED (costs
+    multi-stage rows up to 3x), so the sizing is applied per scale
+    dir here — exactly what a deployment sizes per job."""
+    p = 32
+    while p < 1024 and p * 1_000_000 < rows:
+        p *= 2
+    return p
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if len(sys.argv) > 1:
@@ -96,11 +111,18 @@ def main() -> None:
     qs[warm](spark, labeled[0][1]).write.format("noop") \
         .mode("overwrite").save()
 
+    shuffle_parts = {lbl: _shuffle_partitions_for(_rows(d, "events"))
+                     for lbl, d in labeled}
+    print(f"# shuffle partitions per dir: {shuffle_parts}",
+          file=sys.stderr)
+
     out: dict = {}
     for name, table in SPINE.items():
         row = {}
         points = []
         for label, d in labeled:
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(shuffle_parts[label]))
             runs = (RUNS_BIG if _rows(d, "events") >= BIG_EVENT_ROWS
                     else RUNS_SMALL)
             best = None
@@ -127,6 +149,7 @@ def main() -> None:
               f"exponent {row.get('exponent')}", file=sys.stderr)
     print(json.dumps({"metric": "spine_scaling",
                       "scales": [lbl for lbl, _ in labeled],
+                      "shuffle_partitions": shuffle_parts,
                       "queries": out}))
 
 
