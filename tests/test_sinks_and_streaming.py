@@ -1507,6 +1507,56 @@ def _shared_catalog(db_dir):
     return cat_mod.SinkCatalog(fetch)
 
 
+def test_strict_mode_fails_loud_on_duplicate_insert(spark, tmp_path):
+    """The r11 1000x streaming run caught this boundary: outside the
+    safe-mode window a duplicate-key INSERT must FAIL LOUDLY (the
+    reference loader does not auto-degrade — a dup key in strict mode
+    is a replication error), while configured safe mode
+    (drainer.toml safe-mode=true) applies the same redelivery-shaped
+    stream idempotently. Pre-r11 the harness only ever exercised
+    strict mode by accident of wall-clock, so the loud-failure side
+    had no coverage."""
+    import pytest
+    import sqlite3
+
+    from tidb_binlog_spark.operators.safe_mode import SafeModeWindow
+    from tidb_binlog_spark.sinks import jdbc
+
+    setup = ("CREATE TABLE IF NOT EXISTS t "
+             "(pk INTEGER PRIMARY KEY, val REAL)",)
+    b1 = _mixed_stream_rows(
+        spark, [(1, 10, "I", 7, 1.0, "{}")]).persist()
+    b2 = _mixed_stream_rows(
+        spark, [(2, 20, "I", 7, 2.0, "{}")]).persist()
+
+    # strict mode: second INSERT on the live pk raises (loud), and the
+    # error names the statement (jdbc add_note diagnostic)
+    db_strict = str(tmp_path / "db_strict")
+    os.makedirs(db_strict)
+    strict = pipeline.SqlBatchApplier(
+        db_strict, setup_sql=setup,
+        window=SafeModeWindow(duration_s=0.0))
+    strict.apply(b1)
+    with pytest.raises(Exception, match="(?i)unique|integrity"):
+        strict.apply(b2)
+
+    # configured safe mode: identical stream applies idempotently,
+    # last image wins
+    db_safe = str(tmp_path / "db_safe")
+    os.makedirs(db_safe)
+    safe = pipeline.SqlBatchApplier(
+        db_safe, setup_sql=setup,
+        window=SafeModeWindow(configured=True))
+    safe.apply(b1.persist())
+    safe.apply(b2.persist())
+    conn = sqlite3.connect(os.path.join(db_safe, jdbc.SHARED_DB_NAME))
+    try:
+        got = conn.execute("SELECT pk, val FROM t").fetchall()
+    finally:
+        conn.close()
+    assert got == [(7, 2.0)]
+
+
 def test_sql_batch_applier_refuses_ddl_storm(spark, tmp_path):
     """VERDICT r7 item 7: the per-batch DDL collect is explicitly
     capped — a batch carrying more DDL events than max_ddl_per_batch

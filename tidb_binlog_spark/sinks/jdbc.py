@@ -113,6 +113,11 @@ def _execute_with_retry(conn, sql_text: str, policy: RetryPolicy,
                     time.sleep(policy.backoff_s)
                     continue
             if attempt >= policy.max_retries or not policy.is_transient(exc):
+                # name the statement in the raised error — a worker
+                # failure at scale is undebuggable from the bare
+                # driver-side "constraint failed" text alone
+                if hasattr(exc, "add_note"):
+                    exc.add_note(f"statement: {sql_text[:400]}")
                 raise
             attempt += 1
             time.sleep(policy.backoff_s)

@@ -113,10 +113,24 @@ def main() -> None:
         setup = tuple(
             f"CREATE TABLE IF NOT EXISTS `{t}` "
             f"(pk INTEGER PRIMARY KEY, val REAL)" for t in tables)
+        # CONFIGURED safe mode (drainer.toml `safe-mode = true`,
+        # drainer/config.go + syncer.go), not just the 5-min auto
+        # window: the derived change stream deliberately carries
+        # redelivery-shaped traffic (I onto live rows, U onto missing
+        # rows — ~15% each, see SCALING.md r11), so only the
+        # idempotent REPLACE / DELETE+REPLACE rewrite applies it
+        # coherently. Every pre-r11 run was green only because its
+        # wall-clock fit inside the auto window; at 1000x (100M
+        # events) the window expired mid-stream and strict INSERT
+        # correctly failed on a duplicate key — recorded in ROUNDLOG
+        # r11. Making the flag explicit pins the semantics (and the
+        # measured ev/s) independent of run length.
+        from tidb_binlog_spark.operators import safe_mode as sm
         t0 = time.time()
         q = pipeline.run_sql_apply_stream(
             spark, src, db_dir, os.path.join(work, "ck_sql"),
-            num_workers=4, setup_sql=setup)
+            num_workers=4, setup_sql=setup,
+            safe_window=sm.SafeModeWindow(configured=True))
         q.awaitTermination(3600)
         sql_apply_raw = time.time() - t0
         out["sql_apply_sec"] = round(sql_apply_raw, 2)
