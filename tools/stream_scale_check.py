@@ -116,6 +116,14 @@ def main() -> None:
             .distinct().collect()))
         tables = sorted(r["tbl"] for r in ch.select("tbl")
                         .distinct().collect())
+        # landing + audits above were the multi-scan phase the persist
+        # amortizes; drop the cache BEFORE the streams run. At 100M
+        # events the cached (row_json-carrying) frame plus streaming
+        # internals plus 32 Arrow workers exceeded HOST memory (kernel
+        # OOM-killed the 48g JVM, r11); the later batch-equality
+        # frames recompute from the memoized parquet lineage in one
+        # scan each instead.
+        ch.unpersist()
 
         # -- 1. executed-SQL replication ------------------------------
         db_dir = os.path.join(work, "db")
@@ -211,7 +219,6 @@ def main() -> None:
         # rate from the UNROUNDED duration (a sub-5ms apply on a tiny
         # fixture rounds sql_apply_sec to 0.0)
         out["events_per_s_sql_apply"] = round(n / max(sql_apply_raw, 1e-6))
-        ch.unpersist()
         release_all()
     finally:
         shutil.rmtree(work, ignore_errors=True)
