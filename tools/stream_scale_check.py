@@ -69,7 +69,15 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scale", "sf1")
     n_segments = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    spark = get_spark("stream_scale_check")
+    # Aggressive periodic ContextCleaner GC: with a 48g driver heap,
+    # driver GC almost never fires on its own, so shuffle files and
+    # superseded localCheckpoint blocks from dozens of micro-batches
+    # accumulate on disk until the default 30-min periodic GC — at
+    # 100M events that filled the disk mid-run (r11). 45s keeps the
+    # local dirs bounded by ~one batch's working set.
+    spark = get_spark("stream_scale_check",
+                      extra_conf={
+                          "spark.cleaner.periodicGC.interval": "45s"})
     work = tempfile.mkdtemp(prefix="stream_scale_")
     out: dict = {"metric": "stream_scale_check", "sf_dir": sf_dir,
                  "n_segments": n_segments}
