@@ -926,50 +926,70 @@ def _surface_value(v, kind: str):
     return v
 
 
-def _one_image_stream(raw, info: KVTableInfo, key_cols, row_decode):
+def _one_image_stream(raw, info: KVTableInfo, key_cols, row_decode,
+                      engine: str = "numpy"):
     """Shared mapInPandas wrapper for the single-image decodes
     (insert: handle prefix + body; delete: body only): one typed
     column per schema column, key_cols carried through, one Python
-    invocation per Arrow batch."""
+    invocation per Arrow batch.
+
+    engine="numpy" (default) runs the kvcodec_np lockstep batch
+    decoder — same surface values at numpy speed; engine="rows" keeps
+    the per-row loop, retained as the parity oracle exactly like the
+    pbcodec writer's row path (tests pin the two equal)."""
     import pandas as pd
 
     names = [c.name for c in info.columns]
     schema = ", ".join([f"{k} long" for k in key_cols]
                        + [f"{c.name} {_spark_type(c.kind)}"
                           for c in info.columns])
+    mode = ("insert" if row_decode is decode_insert_row else "delete")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if engine == "numpy":
+            from . import kvcodec_np
+            batch_fn = (kvcodec_np.decode_batch_insert if mode == "insert"
+                        else kvcodec_np.decode_batch_delete)
         for pdf in batches:
             cols: dict[str, list] = {k: pdf[k].tolist() for k in key_cols}
-            out: dict[str, list] = {n: [] for n in names}
-            for raw_row in pdf["row_bytes"]:
-                datums = row_decode(info, bytes(raw_row))
+            if engine == "numpy":
+                values, _ = batch_fn(info, list(pdf["row_bytes"]))
                 for c in info.columns:
-                    out[c.name].append(
-                        _surface_value(datums[c.col_id], c.kind))
-            cols.update(out)
+                    cols[c.name] = values[c.col_id].tolist()
+            else:
+                out: dict[str, list] = {n: [] for n in names}
+                for raw_row in pdf["row_bytes"]:
+                    datums = row_decode(info, bytes(raw_row))
+                    for c in info.columns:
+                        out[c.name].append(
+                            _surface_value(datums[c.col_id], c.kind))
+                cols.update(out)
             yield pd.DataFrame(cols)
 
     return raw.mapInPandas(decode, schema=schema)
 
 
 def decode_insert_stream(raw, info: KVTableInfo,
-                         key_cols: tuple[str, ...] = ("arrival_seq",)):
+                         key_cols: tuple[str, ...] = ("arrival_seq",),
+                         engine: str = "numpy"):
     """DataFrame with a BINARY ``row_bytes`` column -> one typed column
     per schema column (named c.name), carrying ``key_cols`` through."""
-    return _one_image_stream(raw, info, key_cols, decode_insert_row)
+    return _one_image_stream(raw, info, key_cols, decode_insert_row, engine)
 
 
 def decode_delete_stream(raw, info: KVTableInfo,
-                         key_cols: tuple[str, ...] = ("arrival_seq",)):
+                         key_cols: tuple[str, ...] = ("arrival_seq",),
+                         engine: str = "numpy"):
     """Delete-row decode over a BINARY ``row_bytes`` column: full old
     row, no handle prefix (deleteRowToRow)."""
-    return _one_image_stream(raw, info, key_cols, decode_delete_row)
+    return _one_image_stream(raw, info, key_cols, decode_delete_row, engine)
 
 
 def decode_update_stream(raw, info: KVTableInfo,
-                         key_cols: tuple[str, ...] = ("arrival_seq",)):
-    """Update-row decode: emits old_<name> / new_<name> per column."""
+                         key_cols: tuple[str, ...] = ("arrival_seq",),
+                         engine: str = "numpy"):
+    """Update-row decode: emits old_<name> / new_<name> per column.
+    engine as in :func:`_one_image_stream`."""
     import pandas as pd
 
     schema = ", ".join(
@@ -978,6 +998,20 @@ def decode_update_stream(raw, info: KVTableInfo,
         + [f"new_{c.name} {_spark_type(c.kind)}" for c in info.columns])
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if engine == "numpy":
+            from . import kvcodec_np
+            import numpy as np
+            for pdf in batches:
+                keep, old_vals, new_vals = kvcodec_np.decode_batch_update(
+                    info, list(pdf["row_bytes"]))
+                kept = np.nonzero(keep)[0]
+                cols = {k: pdf[k].to_numpy()[kept].tolist()
+                        for k in key_cols}
+                for c in info.columns:
+                    cols[f"old_{c.name}"] = old_vals[c.col_id][kept].tolist()
+                    cols[f"new_{c.name}"] = new_vals[c.col_id][kept].tolist()
+                yield pd.DataFrame(cols)
+            return
         for pdf in batches:
             keys: dict[str, list] = {k: [] for k in key_cols}
             out: dict[str, list] = {}
@@ -1054,7 +1088,8 @@ def record_key_columns(df, key_col: str = "key"):
               .withColumn("handle", comp_long(12)))
 
 
-def encode_insert_stream(ch, info: KVTableInfo):
+def encode_insert_stream(ch, info: KVTableInfo,
+                         engine: str = "numpy"):
     """Fixture generator: change-stream rows -> pump-format insert row
     bytes (handle = pk). Deterministic column omission/NULLs so decode
     exercises back-fill:
@@ -1084,6 +1119,16 @@ def encode_insert_stream(ch, info: KVTableInfo):
     dur_col = next((c for c in info.columns if c.kind == "duration"), None)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if engine == "numpy":
+            from . import kvcodec_np
+            for pdf in batches:
+                out = kvcodec_np.encode_batch_insert_fixture(
+                    info, pdf["arrival_seq"].to_numpy(),
+                    pdf["pk"].to_numpy(), pdf["val"].to_numpy(),
+                    pdf["k"])
+                yield pd.DataFrame({"arrival_seq": pdf["arrival_seq"],
+                                    "row_bytes": out})
+            return
         for pdf in batches:
             rows = []
             for seq, pk, val, k in zip(pdf["arrival_seq"], pdf["pk"],
@@ -1107,7 +1152,8 @@ def encode_insert_stream(ch, info: KVTableInfo):
     return ch.mapInPandas(encode, schema="arrival_seq long, row_bytes binary")
 
 
-def encode_delete_stream(ch, info: KVTableInfo):
+def encode_delete_stream(ch, info: KVTableInfo,
+                         engine: str = "numpy"):
     """Fixture generator for delete rows: the FULL OLD IMAGE with no
     handle prefix (deleteRowToRow input shape). Same deterministic
     rules as the insert fixture so one oracle covers both paths:
@@ -1119,6 +1165,16 @@ def encode_delete_stream(ch, info: KVTableInfo):
     val_col = next(c for c in info.columns if c.kind == "double")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if engine == "numpy":
+            from . import kvcodec_np
+            for pdf in batches:
+                out = kvcodec_np.encode_batch_delete_fixture(
+                    info, pdf["arrival_seq"].to_numpy(),
+                    pdf["pk"].to_numpy(), pdf["val"].to_numpy(),
+                    pdf["k"])
+                yield pd.DataFrame({"arrival_seq": pdf["arrival_seq"],
+                                    "row_bytes": out})
+            return
         for pdf in batches:
             rows = []
             for seq, pk, val, k in zip(pdf["arrival_seq"], pdf["pk"],
@@ -1135,7 +1191,8 @@ def encode_delete_stream(ch, info: KVTableInfo):
     return ch.mapInPandas(encode, schema="arrival_seq long, row_bytes binary")
 
 
-def encode_update_stream(ch, info: KVTableInfo):
+def encode_update_stream(ch, info: KVTableInfo,
+                         engine: str = "numpy"):
     """Fixture generator for update rows: old image = (pk, val-1,
     'old_'+k), new image = (pk, val, k); arrival_seq % 11 == 0 omits
     the string column from BOTH images (default back-fill in both,
@@ -1147,6 +1204,16 @@ def encode_update_stream(ch, info: KVTableInfo):
     val_col = next(c for c in info.columns if c.kind == "double")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if engine == "numpy":
+            from . import kvcodec_np
+            for pdf in batches:
+                out = kvcodec_np.encode_batch_update_fixture(
+                    info, pdf["arrival_seq"].to_numpy(),
+                    pdf["pk"].to_numpy(), pdf["val"].to_numpy(),
+                    pdf["k"])
+                yield pd.DataFrame({"arrival_seq": pdf["arrival_seq"],
+                                    "row_bytes": out})
+            return
         for pdf in batches:
             rows = []
             for seq, pk, val, k in zip(pdf["arrival_seq"], pdf["pk"],

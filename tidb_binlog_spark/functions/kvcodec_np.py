@@ -1,0 +1,1423 @@
+"""numpy lockstep decode of TiDB KV row-value bytes — the batch twin
+of :mod:`kvcodec`'s per-row decoders (VERDICT r11 item 1).
+
+The per-row reference semantics live in kvcodec.decode_insert_row /
+decode_delete_row / decode_update_row (drainer/translator/
+translator.go:40-123,229-350); this module computes the SAME surface
+values for a whole Arrow batch at numpy speed, the way
+sinks/pbcodec._assemble_payloads vectorized the write side in r11:
+
+- the old-format datum stream ([flag][payload]...) is parsed in
+  LOCKSTEP: step t decodes the t-th datum of every still-active row
+  at once (a handful of numpy kernels per step instead of a Python
+  dispatch per row per datum);
+- rowcodec v2 rows are bucketed by header shape (large-flag,
+  not-null count, null count) — within a bucket every header offset
+  is a fixed-stride gather;
+- MySQL binary decimals are bucketed by (precision, frac) — within a
+  bucket the word layout is constant, so base-10^9 words come out of
+  one matrix gather and digit strings out of np.char ops;
+- anything rare or adversarial (JSON datums, corrupt headers,
+  payloads crossing the row boundary, varints that overflow uint64)
+  falls back to the retained row loop FOR THAT ROW ONLY — the row
+  loop stays the parity oracle (tests pin batch == loop on
+  adversarial inputs), exactly as tests/test_pbcodec.py does for the
+  writer.
+
+Everything here returns SURFACE values (the stream output types:
+ulong -> Decimal(20,0), decimal -> canonical string, duration ->
+int64 nanos) so the mapInPandas wrappers in kvcodec build their
+pandas frames straight from these arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import kvcodec as _kv
+from .kvcodec import (
+    BYTES_FLAG, COMPACT_BYTES_FLAG, DECIMAL_FLAG, DURATION_FLAG,
+    FLOAT_FLAG, INT_FLAG, JSON_FLAG, NIL_FLAG, UINT_FLAG, UVARINT_FLAG,
+    VARINT_FLAG, _DIG2BYTES, _surface_value, KVTableInfo,
+)
+
+_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_SIGN = np.uint64(0x8000000000000000)
+_D2B = np.asarray(_DIG2BYTES, dtype=np.int64)
+_NO_ID = np.int64(-(1 << 62))        # matches no real column id
+_CODEC_VER_V2 = 128
+_INT_ID_FLAGS = (NIL_FLAG, INT_FLAG, UINT_FLAG, VARINT_FLAG, UVARINT_FLAG)
+
+
+def _concat(rows):
+    """rows: sequence of bytes-like -> (uint8 buffer padded with 16
+    zero bytes so fixed-width gathers never index past the array,
+    the raw bytes for slicing, starts, ends)."""
+    blobs = [bytes(r) if not isinstance(r, bytes) else r for r in rows]
+    lens = np.fromiter((len(b) for b in blobs), np.int64, len(blobs))
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    raw = b"".join(blobs)
+    buf = np.frombuffer(raw + b"\x00" * 16, dtype=np.uint8)
+    return buf, raw, starts, ends
+
+
+def _uvarint_vec(buf, p):
+    """LEB128 at each position -> (value uint64, byte length int64,
+    bad mask). bad = 10-byte varints whose last byte would shift
+    data past bit 63 (the row loop raises there) — routed to the
+    row-loop fallback so overflow behavior stays byte-identical.
+    Horner accumulation over at most max-observed-length columns."""
+    chunk = buf[p[:, None] + np.arange(10)]
+    cont = chunk >= 0x80
+    allcont = cont.all(axis=1)
+    ln = np.where(allcont, 10, (~cont).argmax(axis=1) + 1)
+    lmax = int(ln.max()) if len(ln) else 1
+    vals = (chunk[:, :lmax] & np.uint8(0x7F)).astype(np.uint64)
+    vals *= np.arange(lmax)[None, :] < ln[:, None]
+    v = vals[:, lmax - 1].copy()
+    for j in range(lmax - 2, -1, -1):
+        v <<= np.uint64(7)
+        v |= vals[:, j]
+    bad = allcont | ((ln == 10) & (chunk[:, 9] > 1))
+    return v, ln.astype(np.int64), bad
+
+
+def _be_u64(buf, p):
+    """8 bytes big-endian at each position -> uint64."""
+    mat = np.ascontiguousarray(buf[p[:, None] + np.arange(8)])
+    return mat.view(">u8").ravel().astype(np.uint64)
+
+
+def _ordered_to_f64(u):
+    """codec order-encoded u64 -> float64 bits (kvcodec
+    _ordered_u64_to_float, vectorized)."""
+    w = np.where((u & _SIGN) != 0, u & ~_SIGN, ~u & _U64)
+    return w.view(np.float64)
+
+
+def _unzigzag_vec(u):
+    half = (u >> np.uint64(1)).astype(np.int64)
+    return np.where((u & np.uint64(1)) != 0, -half - 1, half)
+
+
+def _int_flag_val(u):
+    """comparable-int payload -> int64 (sign bit flip == bias by
+    2^63, i.e. reinterpret u^SIGN as two's complement)."""
+    return (u ^ _SIGN).view(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# decimal: (precision, frac)-bucketed word gather -> canonical string
+# ---------------------------------------------------------------------------
+
+def _decimal_size_vec(prec, frac):
+    """payload byte count after the 2-byte header; -1 where the
+    header is out of range (row loop raises)."""
+    ok = (prec > 0) & (prec <= 65) & (frac >= 0) & (frac <= 30) \
+        & (frac <= prec)
+    digits_int = prec - frac
+    wi, lead = np.divmod(np.where(ok, digits_int, 0), 9)
+    wf, trail = np.divmod(np.where(ok, frac, 0), 9)
+    size = wi * 4 + _D2B[lead] + wf * 4 + _D2B[trail]
+    return np.where(ok, size, -1)
+
+
+def _group_digits(mat, col0, nbytes, width):
+    """big-endian group of `nbytes` bytes per row -> zero-padded
+    `width`-digit unicode array. U10 before zfill: a corrupt word
+    above 10^width-1 must keep all its digits (str.rjust semantics
+    in the row loop), not truncate."""
+    v = np.zeros(mat.shape[0], np.int64)
+    for k in range(nbytes):
+        v = (v << 8) | mat[:, col0 + k].astype(np.int64)
+    return np.char.zfill(v.astype("U10"), width)
+
+
+def _group_vals(mat, col0, nbytes):
+    """big-endian group of nbytes per row -> int64 values."""
+    v = np.zeros(mat.shape[0], np.int64)
+    for k in range(nbytes):
+        v = (v << 8) | mat[:, col0 + k].astype(np.int64)
+    return v
+
+
+def _decimal_strings(buf, s, out, idx):
+    """decode [prec frac payload] slices starting at s (int64 array)
+    into canonical Decimal strings, writing out[idx]. Caller already
+    validated the header and size. Shapes whose int/frac parts fit
+    18 digits take the int64 + f-string fast path; wider shapes (or
+    corrupt words >= 10^9, whose digit strings overflow their slot)
+    take the np.char digit-concat path that mirrors the row loop's
+    string assembly exactly."""
+    prec = buf[s].astype(np.int64)
+    frac = buf[s + 1].astype(np.int64)
+    shapes = prec * 31 + frac
+    for shape in np.unique(shapes):
+        m = shapes == shape
+        p_, f_ = int(prec[m][0]), int(frac[m][0])
+        digits_int = p_ - f_
+        wi, lead = divmod(digits_int, 9)
+        wf, trail = divmod(f_, 9)
+        size = wi * 4 + int(_D2B[lead]) + wf * 4 + int(_D2B[trail])
+        mat = np.ascontiguousarray(
+            buf[(s[m] + 2)[:, None] + np.arange(max(size, 1))]).copy()
+        neg = (mat[:, 0] & 0x80) == 0
+        mat[:, 0] ^= 0x80
+        mat[neg] = ~mat[neg]
+        groups_int, groups_frac, col = [], [], 0
+        if lead:
+            groups_int.append((col, int(_D2B[lead]), lead))
+            col += int(_D2B[lead])
+        for _ in range(wi):
+            groups_int.append((col, 4, 9))
+            col += 4
+        for _ in range(wf):
+            groups_frac.append((col, 4, 9))
+            col += 4
+        if trail:
+            groups_frac.append((col, int(_D2B[trail]), trail))
+            col += int(_D2B[trail])
+        tgt = idx[m]
+        fast = digits_int <= 18 and f_ <= 18
+        if fast:
+            vi = np.zeros(mat.shape[0], np.int64)
+            clean = np.ones(mat.shape[0], bool)
+            for c0, nb, w in groups_int:
+                g = _group_vals(mat, c0, nb)
+                clean &= g < 10 ** w
+                vi = vi * (10 ** w) + g
+            vf = np.zeros(mat.shape[0], np.int64)
+            for c0, nb, w in groups_frac:
+                g = _group_vals(mat, c0, nb)
+                clean &= g < 10 ** w
+                vf = vf * (10 ** w) + g
+            if f_:
+                fmt = ("-{}.{:0%dd}" % f_).format
+                pfm = ("{}.{:0%dd}" % f_).format
+                texts = [fmt(i, fr) if ng else pfm(i, fr)
+                         for ng, i, fr in zip(neg.tolist(), vi.tolist(),
+                                              vf.tolist())]
+            else:
+                texts = [("-" + str(i)) if ng else str(i)
+                         for ng, i in zip(neg.tolist(), vi.tolist())]
+            if f_ > 6:
+                # str(Decimal) switches to E-notation when the
+                # adjusted exponent < -6 (0.0000001 -> "1E-7"); defer
+                # those few rows to Decimal's own formatter
+                from decimal import Decimal
+                eform = (vi == 0) & (vf < 10 ** (f_ - 6))
+                if eform.any():
+                    for i in np.nonzero(eform)[0].tolist():
+                        texts[i] = str(Decimal(texts[i]))
+            if clean.all():
+                _assign(out, tgt, texts)
+                continue
+            cm = clean
+            _assign(out, tgt[cm], [t for t, c in zip(texts, cm.tolist())
+                                   if c])
+            m2 = ~cm
+            mat, neg, tgt = mat[m2], neg[m2], tgt[m2]
+        # slow path: digit-string concat (row-loop rjust semantics)
+        n = mat.shape[0]
+        parts_int = [_group_digits(mat, c0, nb, w)
+                     for c0, nb, w in groups_int]
+        parts_frac = [_group_digits(mat, c0, nb, w)
+                      for c0, nb, w in groups_frac]
+        intp = parts_int[0] if parts_int else np.full(n, "", "U1")
+        for part in parts_int[1:]:
+            intp = np.char.add(intp, part)
+        intp = np.char.lstrip(intp, "0")
+        intp = np.where(intp == "", "0", intp)
+        text = intp
+        if parts_frac:
+            fracp = parts_frac[0]
+            for part in parts_frac[1:]:
+                fracp = np.char.add(fracp, part)
+            text = np.char.add(np.char.add(text, "."), fracp)
+        text = np.where(neg, np.char.add("-", text), text)
+        # the slow path is rare: normalize through Decimal so the
+        # E-notation (and any other str(Decimal) canonicalization)
+        # matches the row loop exactly
+        from decimal import Decimal
+        _assign(out, tgt, [str(Decimal(t)) for t in text.tolist()])
+
+
+# ---------------------------------------------------------------------------
+# old-format lockstep datum scanner
+# ---------------------------------------------------------------------------
+
+class _Scan:
+    """Per-step SoA view of every row's datum stream. Arrays are
+    (steps, N); flag 255 marks "row had no datum at this step"."""
+    __slots__ = ("flag", "ival", "u", "s", "ln", "obj", "nsteps",
+                 "count", "pos")
+
+    def __init__(self, flag, ival, u, s, ln, obj, count, pos):
+        self.flag, self.ival, self.u = flag, ival, u
+        self.s, self.ln, self.obj = s, ln, obj
+        self.nsteps = flag.shape[0]
+        self.count, self.pos = count, pos
+
+
+_KNOWN_FLAG = np.zeros(256, bool)
+for _f in (NIL_FLAG, VARINT_FLAG, UVARINT_FLAG, INT_FLAG, UINT_FLAG,
+           FLOAT_FLAG, DURATION_FLAG, COMPACT_BYTES_FLAG, DECIMAL_FLAG,
+           BYTES_FLAG):
+    _KNOWN_FLAG[_f] = True
+_INT_ID_FLAG = np.zeros(256, bool)
+for _f in _INT_ID_FLAGS:
+    _INT_ID_FLAG[_f] = True
+
+
+def _scan_datums(buf, raw, pos0, end, fb, active0, max_steps=512,
+                 overflow_fb=True):
+    """Lockstep scan from pos0 until each row's end. Mutates fb for
+    rows that need the row-loop fallback. overflow_fb=False makes
+    max_steps a normal stop (the pk-prefix scan), not a fallback."""
+    N = len(pos0)
+    pos = pos0.copy()
+    active = active0 & ~fb & (pos < end)
+    count = np.zeros(N, np.int64)
+    cap = 0
+    t = 0
+    m_f = m_iv = m_u = m_s = m_ln = None
+    obj_steps = []
+    while active.any():
+        if t >= max_steps:
+            if overflow_fb:
+                fb |= active
+            break
+        if t == cap:                    # grow the step matrices
+            newcap = max(8, cap * 2)
+            g_f = np.full((newcap, N), 255, np.uint8)
+            g_iv = np.full((newcap, N), _NO_ID, np.int64)
+            g_u = np.zeros((newcap, N), np.uint64)
+            g_s = np.zeros((newcap, N), np.int64)
+            g_ln = np.zeros((newcap, N), np.int64)
+            if cap:
+                g_f[:cap], g_iv[:cap], g_u[:cap] = m_f, m_iv, m_u
+                g_s[:cap], g_ln[:cap] = m_s, m_ln
+            m_f, m_iv, m_u, m_s, m_ln = g_f, g_iv, g_u, g_s, g_ln
+            cap = newcap
+        idx = np.nonzero(active)[0]
+        p = pos[idx]
+        f = buf[p].astype(np.int64)
+        q = p + 1                       # payload start, per subset row
+        st_f, st_iv, st_u = m_f[t], m_iv[t], m_u[t]
+        st_s, st_ln = m_s[t], m_ln[t]
+        st_obj = None
+        nxt = q.copy()
+        bad = np.zeros(len(idx), bool)
+
+        m = (f == VARINT_FLAG) | (f == UVARINT_FLAG)
+        if m.any():
+            u, ln, vb = _uvarint_vec(buf, q[m])
+            ii = idx[m]
+            st_u[ii] = u
+            st_iv[ii] = np.where(f[m] == VARINT_FLAG, _unzigzag_vec(u),
+                                 u.view(np.int64))
+            nxt[m] = q[m] + ln
+            bad[m] |= vb
+        m = (f == INT_FLAG) | (f == UINT_FLAG) | (f == FLOAT_FLAG) \
+            | (f == DURATION_FLAG)
+        if m.any():
+            u = _be_u64(buf, q[m])
+            ii = idx[m]
+            st_u[ii] = u
+            iv = np.where(f[m] == INT_FLAG, _int_flag_val(u),
+                          np.where(f[m] == DURATION_FLAG,
+                                   _int_flag_val(u), u.view(np.int64)))
+            st_iv[ii] = iv
+            nxt[m] = q[m] + 8
+        m = f == COMPACT_BYTES_FLAG
+        if m.any():
+            z, ln, vb = _uvarint_vec(buf, q[m])
+            n = _unzigzag_vec(z)
+            vb |= n < 0
+            ii = idx[m]
+            st_s[ii] = q[m] + ln
+            st_ln[ii] = np.maximum(n, 0)
+            nxt[m] = q[m] + ln + np.maximum(n, 0)
+            bad[m] |= vb
+        m = f == DECIMAL_FLAG
+        if m.any():
+            prec = buf[q[m]].astype(np.int64)
+            frac = buf[q[m] + 1].astype(np.int64)
+            size = _decimal_size_vec(prec, frac)
+            vb = size < 0
+            ii = idx[m]
+            st_s[ii] = q[m]
+            st_ln[ii] = 2 + np.maximum(size, 0)
+            nxt[m] = q[m] + 2 + np.maximum(size, 0)
+            bad[m] |= vb
+        m = f == BYTES_FLAG
+        if m.any():
+            # memcomparable groups: lockstep over 9-byte groups
+            ii = idx[m]
+            gp = q[m].copy()
+            pieces = [[] for _ in range(len(ii))]
+            live = np.ones(len(ii), bool)
+            gbad = np.zeros(len(ii), bool)
+            while live.any():
+                li = np.nonzero(live)[0]
+                over = gp[li] + 9 > end[ii[li]]
+                gbad[li[over]] = True
+                live[li[over]] = False
+                li = li[~over]
+                if len(li) == 0:
+                    break
+                marker = buf[gp[li] + 8].astype(np.int64)
+                n = marker - 0xF7
+                mb = (n < 0) | (n > 8)
+                gbad[li[mb]] = True
+                live[li[mb]] = False
+                ok = li[~mb]
+                nn = n[~mb]
+                for w, cnt in zip(ok.tolist(), nn.tolist()):
+                    st = int(gp[w])
+                    pieces[w].append(raw[st:st + cnt])
+                gp[ok] += 9
+                done = nn < 8
+                live[ok[done]] = False
+            if st_obj is None:
+                st_obj = np.full(N, None, object)
+            for w in range(len(ii)):
+                if not gbad[w]:
+                    st_obj[ii[w]] = b"".join(pieces[w])
+            nxt[m] = gp
+            bad[m] |= gbad
+        bad |= ~_KNOWN_FLAG[f]          # JSON + unknown flags -> row loop
+        st_f[idx] = f.astype(np.uint8)
+        # a payload that crosses the row boundary would gather the
+        # NEXT row's bytes — the row loop slices short instead, so
+        # those rows must take the fallback
+        bad |= nxt > end[idx]
+        fb[idx[bad]] = True
+        good = idx[~bad]
+        count[good] += 1
+        pos[idx] = nxt
+        obj_steps.append(st_obj)
+        t += 1
+        active = active & ~fb & (pos < end)
+    if t == 0:
+        z = np.zeros((0, N))
+        return _Scan(z.astype(np.uint8), z.astype(np.int64),
+                     z.astype(np.uint64), z.astype(np.int64),
+                     z.astype(np.int64), [], count, pos)
+    return _Scan(m_f[:t], m_iv[:t], m_u[:t], m_s[:t], m_ln[:t],
+                 obj_steps, count, pos)
+
+
+def _value_at(scan, buf, raw, step_of_row, rows, kind, out):
+    """Materialize the datum at (step_of_row[r], r) for each row in
+    `rows` into out[rows] as a SURFACE value of `kind`."""
+    t = step_of_row[rows]
+    f = scan.flag[t, rows]
+    iv = scan.ival[t, rows]
+    u = scan.u[t, rows]
+    s = scan.s[t, rows]
+    ln = scan.ln[t, rows]
+
+    m = (f == VARINT_FLAG) | (f == INT_FLAG) | (f == DURATION_FLAG)
+    if m.any():
+        _fill_ints(out, rows[m], iv[m], kind)
+    m = (f == UVARINT_FLAG) | (f == UINT_FLAG)
+    if m.any():
+        _fill_uints(out, rows[m], u[m], kind)
+    m = f == FLOAT_FLAG
+    if m.any():
+        vals = _ordered_to_f64(u[m]).tolist()
+        _assign(out, rows[m], vals)
+    m = f == COMPACT_BYTES_FLAG
+    if m.any():
+        ss, nn = s[m].tolist(), ln[m].tolist()
+        vals = [raw[a:a + b].decode("utf-8") for a, b in zip(ss, nn)]
+        _assign(out, rows[m], vals)
+    m = f == DECIMAL_FLAG
+    if m.any():
+        tmp = np.full(int(m.sum()), None, object)
+        _decimal_strings(buf, s[m], tmp, np.arange(int(m.sum())))
+        if kind == "decimal":
+            _assign(out, rows[m], tmp.tolist())
+        else:
+            from decimal import Decimal
+            _assign(out, rows[m],
+                    [_surface_value(Decimal(x), kind) for x in tmp])
+    m = f == BYTES_FLAG
+    if m.any():
+        tt, rr = t[m], rows[m]
+        vals = [scan.obj[int(a)][int(b)] for a, b in zip(tt, rr)]
+        _assign(out, rr, [_surface_value(v, kind) for v in vals])
+    # NIL_FLAG rows stay None (out is pre-filled with None)
+
+
+def _fill_ints(out, rows, iv, kind):
+    if kind == "ulong":
+        from decimal import Decimal
+        vals = [Decimal(x) for x in iv.view(np.uint64).tolist()]
+    elif kind == "decimal":
+        vals = [str(x) for x in iv.tolist()]
+    else:
+        vals = iv.tolist()
+    _assign(out, rows, vals)
+
+
+def _fill_uints(out, rows, u, kind):
+    if kind == "ulong":
+        from decimal import Decimal
+        vals = [Decimal(x) for x in u.tolist()]
+    elif kind == "decimal":
+        vals = [str(x) for x in u.tolist()]
+    else:
+        vals = u.tolist()
+    _assign(out, rows, vals)
+
+
+def _assign(out, rows, vals):
+    """out[rows] = vals without numpy trying to re-convert the value
+    list (bytes/str/Decimal elements stay the exact objects)."""
+    tmp = np.empty(len(vals), object)
+    tmp[:] = vals
+    out[rows] = tmp
+
+
+# ---------------------------------------------------------------------------
+# rowcodec v2: header-shape-bucketed decode
+# ---------------------------------------------------------------------------
+
+def _decode_v2(buf, raw, bs, re_, rows, info, present, values, fb):
+    """Decode v2 bodies starting at bs (absolute), ending at re_, for
+    row indices `rows`. Fills present[cid][rows] / values[cid][rows]
+    with surface values; corrupt rows -> fb."""
+    short = re_ - bs < 6
+    fb[rows[short]] = True
+    ok = ~short
+    rows, bs, re_ = rows[ok], bs[ok], re_[ok]
+    if len(rows) == 0:
+        return
+    large = (buf[bs + 1] & 1).astype(np.int64)
+    nnn = buf[bs + 2].astype(np.int64) | (buf[bs + 3].astype(np.int64) << 8)
+    nnl = buf[bs + 4].astype(np.int64) | (buf[bs + 5].astype(np.int64) << 8)
+    shape = (large << 34) | (nnn << 17) | nnl
+    for sh in np.unique(shape):
+        m = shape == sh
+        r, b, e = rows[m], bs[m], re_[m]
+        lg = bool(large[m][0])
+        n_nn, n_nl = int(nnn[m][0]), int(nnl[m][0])
+        idw, offw = (4, 4) if lg else (1, 2)
+        hdr_end = b + 6 + (n_nn + n_nl) * idw + n_nn * offw
+        badm = hdr_end > e
+        fb[r[badm]] = True
+        gm = ~badm
+        r, b, e, hdr_end = r[gm], b[gm], e[gm], hdr_end[gm]
+        if len(r) == 0:
+            continue
+        p0 = b + 6
+        if lg:
+            def le_n(base, count, w):
+                v = np.zeros((len(base), count), np.int64)
+                for k in range(w):
+                    v |= buf[base[:, None]
+                             + (np.arange(count) * w + k)].astype(
+                                 np.int64) << (8 * k)
+                return v
+            ids = le_n(p0, n_nn + n_nl, 4) if n_nn + n_nl else \
+                np.zeros((len(r), 0), np.int64)
+            ends = le_n(p0 + (n_nn + n_nl) * 4, n_nn, 4) if n_nn else \
+                np.zeros((len(r), 0), np.int64)
+        else:
+            ids = buf[p0[:, None] + np.arange(n_nn + n_nl)].astype(np.int64) \
+                if n_nn + n_nl else np.zeros((len(r), 0), np.int64)
+            ob = p0 + n_nn + n_nl
+            ends = (buf[ob[:, None] + np.arange(n_nn) * 2].astype(np.int64)
+                    | (buf[ob[:, None] + np.arange(n_nn) * 2 + 1].astype(
+                        np.int64) << 8)) if n_nn else \
+                np.zeros((len(r), 0), np.int64)
+        data0 = hdr_end
+        dlen = e - data0
+        # offsets monotonic + span the data section exactly
+        badm = np.zeros(len(r), bool)
+        if n_nn:
+            badm |= (np.diff(ends, axis=1) < 0).any(axis=1)
+            badm |= ends[:, -1] != dlen
+        else:
+            badm |= dlen != 0
+        fb[r[badm]] = True
+        gm = ~badm
+        r, data0, ids, ends = r[gm], data0[gm], ids[gm], ends[gm]
+        if len(r) == 0:
+            continue
+        nn_ids = ids[:, :n_nn]
+        nl_ids = ids[:, n_nn:]
+        for c in info.columns:
+            cid = c.col_id
+            if n_nn:
+                hit = nn_ids == cid
+                has = hit.any(axis=1)
+                if has.any():
+                    j = hit.argmax(axis=1)[has]
+                    rr = r[has]
+                    endv = ends[has, j]
+                    startv = np.where(j > 0,
+                                      ends[has, np.maximum(j - 1, 0)], 0)
+                    st = data0[has] + startv
+                    width = endv - startv
+                    present[cid][rr] = True
+                    _v2_value(buf, raw, st, width, rr, c.kind,
+                              values[cid], fb)
+            if n_nl:
+                # decode_row_v2 runs the null loop AFTER the value
+                # loop — a (corrupt) id in both sections ends up NULL
+                nullhit = (nl_ids == cid).any(axis=1)
+                if nullhit.any():
+                    rn = r[nullhit]
+                    present[cid][rn] = True
+                    for i in rn.tolist():
+                        values[cid][i] = None
+
+
+def _v2_value(buf, raw, st, width, rows, kind, out, fb):
+    """v2 value bytes (absolute start st, byte width) -> surface
+    values in out[rows]; invalid widths -> fb (row loop raises)."""
+    if kind in ("long", "duration"):
+        bad = ~np.isin(width, (1, 2, 4, 8))
+        fb[rows[bad]] = True
+        for w in (1, 2, 4, 8):
+            m = width == w
+            if not m.any():
+                continue
+            v = np.zeros(int(m.sum()), np.int64)
+            for k in range(w):
+                v |= buf[st[m] + k].astype(np.int64) << (8 * k)
+            if w == 8:
+                iv = v.view(np.uint64).view(np.int64)
+            else:
+                neg = (buf[st[m] + w - 1] & 0x80) != 0
+                iv = v - np.where(neg, np.int64(1) << (8 * w), 0)
+            _assign(out, rows[m], iv.tolist())
+    elif kind == "ulong":
+        bad = ~np.isin(width, (1, 2, 4, 8))
+        fb[rows[bad]] = True
+        from decimal import Decimal
+        for w in (1, 2, 4, 8):
+            m = width == w
+            if not m.any():
+                continue
+            v = np.zeros(int(m.sum()), np.uint64)
+            for k in range(w):
+                v |= buf[st[m] + k].astype(np.uint64) << np.uint64(8 * k)
+            _assign(out, rows[m], [Decimal(x) for x in v.tolist()])
+    elif kind == "double":
+        bad = width != 8
+        fb[rows[bad]] = True
+        m = ~bad
+        if m.any():
+            u = _be_u64(buf, st[m])
+            _assign(out, rows[m], _ordered_to_f64(u).tolist())
+    elif kind in ("string", "bytes"):
+        ss, nn = st.tolist(), width.tolist()
+        if kind == "string":
+            vals = [raw[a:a + b].decode("utf-8") for a, b in zip(ss, nn)]
+        else:
+            vals = [raw[a:a + b] for a, b in zip(ss, nn)]
+        _assign(out, rows, vals)
+    elif kind == "decimal":
+        okhdr = width >= 2
+        prec = np.where(okhdr, buf[st].astype(np.int64), 0)
+        frac = np.where(okhdr, buf[st + 1].astype(np.int64), 0)
+        size = _decimal_size_vec(prec, frac)
+        bad = ~okhdr | (size < 0) | (2 + size != width)
+        fb[rows[bad]] = True
+        m = ~bad
+        if m.any():
+            tmp = np.full(int(m.sum()), None, object)
+            _decimal_strings(buf, st[m], tmp, np.arange(int(m.sum())))
+            _assign(out, rows[m], tmp.tolist())
+    else:                               # json and future kinds
+        fb[rows] = True
+
+
+# ---------------------------------------------------------------------------
+# batch entry points (insert / delete / update)
+# ---------------------------------------------------------------------------
+
+def _empty_cols(info, n):
+    present = {c.col_id: np.zeros(n, bool) for c in info.columns}
+    values = {c.col_id: np.full(n, None, object) for c in info.columns}
+    return present, values
+
+
+def _assemble_pairs(scan, buf, raw, info, first_pair_step, present,
+                    values, fb, rows_mask):
+    """Old-format [colID, value] pairs starting at datum step
+    `first_pair_step`: LAST occurrence of each column id wins
+    (DecodeRowToDatumMap's map overwrite)."""
+    T = scan.nsteps
+    if T <= first_pair_step:
+        return
+    id_steps = np.arange(first_pair_step, T, 2)
+    val_steps = id_steps + 1
+    # odd trailing datum (id with no value): row loop raises IndexError
+    odd = rows_mask & ~fb & (scan.count > first_pair_step) \
+        & (((scan.count - first_pair_step) % 2) == 1)
+    fb |= odd
+    # an id datum that isn't an int-ish flag -> row loop (float ids
+    # can equal ints in dict lookups; don't reproduce that here)
+    idf = scan.flag[id_steps]            # (P, N)
+    idv = scan.ival[id_steps]
+    valid_pair = (idf != 255) & (val_steps[:, None] < scan.count[None, :])
+    weird = valid_pair & ~np.isin(idf, _INT_ID_FLAGS)
+    if weird.any():
+        fb |= weird.any(axis=0) & rows_mask
+    ids_mat = np.where(valid_pair & (idf != NIL_FLAG), idv, _NO_ID)
+    use = rows_mask & ~fb
+    for c in info.columns:
+        hit = (ids_mat == c.col_id) & use[None, :]
+        has = hit.any(axis=0)
+        if not has.any():
+            continue
+        P = hit.shape[0]
+        last = P - 1 - hit[::-1].argmax(axis=0)
+        rows = np.nonzero(has)[0]
+        step_of_row = val_steps[last]
+        present[c.col_id][rows] = True
+        _value_at(scan, buf, raw, step_of_row, rows, c.kind,
+                  values[c.col_id])
+
+
+def decode_batch_insert(info: KVTableInfo, row_list):
+    """Surface-value columns for a batch of insert rows (pk prefix +
+    body, either format) — batch twin of kvcodec.decode_insert_row."""
+    n = len(row_list)
+    buf, raw, starts, ends = _concat(row_list)
+    fb = np.zeros(n, bool)
+    npk = max(1, len(info.common_pk_ids))
+    # phase 1: pk prefix datums (datum-coded in BOTH body formats)
+    pre = _scan_datums(buf, raw, starts, ends, fb,
+                       np.ones(n, bool), max_steps=npk,
+                       overflow_fb=False)
+    fb |= pre.count < npk               # truncated prefix -> row loop
+    body = pre.pos
+    is_v2 = ~fb & (body < ends) & (buf[np.minimum(body, len(buf) - 1)]
+                                   == _CODEC_VER_V2)
+    present, values = _empty_cols(info, n)
+    # phase 2a: old-format pairs
+    old_rows = ~fb & ~is_v2
+    scan = _scan_datums(buf, raw, body, ends, fb, old_rows)
+    _assemble_pairs(scan, buf, raw, info, 0, present, values, fb, old_rows)
+    # phase 2b: v2 bodies
+    v2r = np.nonzero(is_v2 & ~fb)[0]
+    if len(v2r):
+        _decode_v2(buf, raw, body[v2r], ends[v2r], v2r, info,
+                   present, values, fb)
+    # pk back-fill + fixType + defaults (translator.go:90-121)
+    pk_cols = []
+    for k in range(npk):
+        pkf = pre.flag[k] if pre.nsteps > k else np.full(n, 255, np.uint8)
+        # prefix datum must be an int-ish flag; others -> row loop
+        weird = ~fb & ~np.isin(pkf, _INT_ID_FLAGS[1:])
+        fb |= weird
+        pk_cols.append((pre.ival[k] if pre.nsteps > k
+                        else np.full(n, 0, np.int64)))
+    good = np.nonzero(~fb)[0]
+    if info.common_pk_ids:
+        for k, cid in enumerate(info.common_pk_ids):
+            c = info.col(cid)
+            if c is None:       # back-fill target outside the schema:
+                continue        # the output surfaces schema cols only
+            miss = good[~present[cid][good]]
+            if len(miss) == 0:
+                continue
+            if c is not None and c.kind == "ulong":
+                from decimal import Decimal
+                vals = [Decimal(x) for x in
+                        pk_cols[k][miss].view(np.uint64).tolist()]
+            else:
+                vals = pk_cols[k][miss].tolist()
+            _assign(values[cid], miss, vals)
+            present[cid][miss] = True
+    for c in info.columns:
+        col = values[c.col_id]
+        if c.col_id == info.pk_handle_id:
+            if c.kind == "ulong":
+                from decimal import Decimal
+                vals = [Decimal(x) for x in
+                        pk_cols[0][good].view(np.uint64).tolist()]
+            else:
+                vals = pk_cols[0][good].tolist()
+            _assign(col, good, vals)
+        else:
+            miss = good[~present[c.col_id][good]]
+            if len(miss):
+                dv = _surface_value(info.default_or_zero(c), c.kind)
+                for i in miss.tolist():
+                    col[i] = dv
+    _merge_fallback(info, row_list, fb, values, _kv.decode_insert_row)
+    return values, fb
+
+
+def decode_batch_delete(info: KVTableInfo, row_list):
+    """Batch twin of kvcodec.decode_delete_row: full old row, no
+    handle prefix, either format, default back-fill."""
+    n = len(row_list)
+    buf, raw, starts, ends = _concat(row_list)
+    fb = np.zeros(n, bool)
+    is_v2 = (starts < ends) & (buf[np.minimum(starts, len(buf) - 1)]
+                               == _CODEC_VER_V2)
+    present, values = _empty_cols(info, n)
+    old_rows = ~is_v2
+    scan = _scan_datums(buf, raw, starts, ends, fb, old_rows)
+    _assemble_pairs(scan, buf, raw, info, 0, present, values, fb, old_rows)
+    v2r = np.nonzero(is_v2 & ~fb)[0]
+    if len(v2r):
+        _decode_v2(buf, raw, starts[v2r], ends[v2r], v2r, info,
+                   present, values, fb)
+    good = np.nonzero(~fb)[0]
+    for c in info.columns:
+        miss = good[~present[c.col_id][good]]
+        if len(miss):
+            dv = _surface_value(info.default_or_zero(c), c.kind)
+            col = values[c.col_id]
+            for i in miss.tolist():
+                col[i] = dv
+    _merge_fallback(info, row_list, fb, values, _kv.decode_delete_row)
+    return values, fb
+
+
+def decode_batch_update(info: KVTableInfo, row_list):
+    """Batch twin of kvcodec.decode_update_row: flat [colID, value]
+    pairs, FIRST occurrence -> old image, SECOND -> new, default
+    back-fill in both. Returns (keep mask, old values, new values):
+    empty/NIL rows are dropped like the stream does."""
+    n = len(row_list)
+    buf, raw, starts, ends = _concat(row_list)
+    keep = (ends > starts)
+    nil0 = keep & (buf[np.minimum(starts, len(buf) - 1)] == NIL_FLAG)
+    keep &= ~nil0
+    fb = np.zeros(n, bool)
+    p_old, old_vals = _empty_cols(info, n)
+    p_new, new_vals = _empty_cols(info, n)
+    scan = _scan_datums(buf, raw, starts, ends, fb, keep.copy())
+    # structure checks: every known column appears exactly 0 or 2
+    # times; anything else is the row loop's business (its
+    # early-break/overwrite/length-mismatch semantics)
+    T = scan.nsteps
+    if T:
+        id_steps = np.arange(0, T, 2)
+        val_steps = id_steps + 1
+        odd = keep & ~fb & ((scan.count % 2) == 1)
+        fb |= odd
+        idf = scan.flag[id_steps]
+        idv = scan.ival[id_steps]
+        valid_pair = (idf != 255) & (val_steps[:, None]
+                                     < scan.count[None, :])
+        weird = valid_pair & ~_INT_ID_FLAG[idf]
+        fb |= weird.any(axis=0) & keep
+        ids_mat = np.where(valid_pair & (idf != NIL_FLAG), idv, _NO_ID)
+        use = keep & ~fb
+        for c in info.columns:
+            hit = (ids_mat == c.col_id) & use[None, :]
+            occ = hit.sum(axis=0)
+            bad = use & ~np.isin(occ, (0, 2))
+            fb |= bad
+        use = keep & ~fb
+        for c in info.columns:
+            hit = (ids_mat == c.col_id) & use[None, :]
+            has = hit.any(axis=0)
+            if not has.any():
+                continue
+            first = hit.argmax(axis=0)
+            P = hit.shape[0]
+            second = P - 1 - hit[::-1].argmax(axis=0)
+            rows = np.nonzero(has)[0]
+            p_old[c.col_id][rows] = True
+            p_new[c.col_id][rows] = True
+            _value_at(scan, buf, raw, val_steps[first], rows, c.kind,
+                      old_vals[c.col_id])
+            _value_at(scan, buf, raw, val_steps[second], rows, c.kind,
+                      new_vals[c.col_id])
+    good = np.nonzero(keep & ~fb)[0]
+    for c in info.columns:
+        miss = good[~p_old[c.col_id][good]]
+        if len(miss):
+            dv = _surface_value(info.default_or_zero(c), c.kind)
+            co, cn = old_vals[c.col_id], new_vals[c.col_id]
+            for i in miss.tolist():
+                co[i] = dv
+                cn[i] = dv
+    fbi = np.nonzero(fb & keep)[0]
+    for i in fbi.tolist():
+        old, new = _kv.decode_update_row(info, bytes(row_list[i]))
+        if not old and not new:
+            keep[i] = False
+            continue
+        for c in info.columns:
+            old_vals[c.col_id][i] = _surface_value(old[c.col_id], c.kind)
+            new_vals[c.col_id][i] = _surface_value(new[c.col_id], c.kind)
+    return keep, old_vals, new_vals
+
+
+def _merge_fallback(info, row_list, fb, values, row_decode):
+    """Decode fb rows with the retained row loop (the parity oracle)
+    and overwrite their output slots — error behavior (corrupt rows
+    raise) is therefore byte-identical to the loop path."""
+    idx = np.nonzero(fb)[0]
+    for i in idx.tolist():
+        datums = row_decode(info, bytes(row_list[i]))
+        for c in info.columns:
+            values[c.col_id][i] = _surface_value(datums[c.col_id], c.kind)
+
+
+# ---------------------------------------------------------------------------
+# fixture encode, batched: numpy twins of kvcodec.encode_*_stream's
+# per-row loops (same deterministic rules, byte-identical output,
+# pinned by tests). The _SegBuf flat-buffer assembler comes from
+# sinks/pbcodec — the same machinery that vectorized the pb-dump
+# writer in r11.
+# ---------------------------------------------------------------------------
+
+def _zigzag_vec(iv):
+    """int64 -> zigzag uint64 (wrapping shifts = two's complement
+    semantics, same as Go's PutVarint)."""
+    return ((iv << np.int64(1)) ^ (iv >> np.int64(63))).view(np.uint64)
+
+
+def _f64_ordered_mat(val):
+    """float64 -> (N, 8) big-endian order-encoded bytes."""
+    u = val.view(np.uint64)
+    w = np.where((u & _SIGN) != 0, ~u & _U64, u | _SIGN)
+    return w.astype(">u8").view(np.uint8).reshape(-1, 8)
+
+
+def _be_mat(u, width=8):
+    """uint64 -> (N, width) big-endian bytes (low `width` bytes)."""
+    full = u.astype(">u8").view(np.uint8).reshape(-1, 8)
+    return full[:, 8 - width:]
+
+
+def _int_le_min(iv):
+    """int64 -> ((N, 8) LE bytes, minimal signed width 1/2/4/8) —
+    _encode_int_v2 vectorized."""
+    w = np.full(len(iv), 8, np.int64)
+    w = np.where((iv >= -0x80000000) & (iv <= 0x7FFFFFFF), 4, w)
+    w = np.where((iv >= -0x8000) & (iv <= 0x7FFF), 2, w)
+    w = np.where((iv >= -0x80) & (iv <= 0x7F), 1, w)
+    mat = iv.astype("<i8").view(np.uint8).reshape(-1, 8)
+    return mat, w
+
+
+def _uint_le_min(u):
+    """uint64 -> ((N, 8) LE bytes, minimal width 1/2/4/8) —
+    _encode_uint_v2 vectorized."""
+    w = np.full(len(u), 8, np.int64)
+    w = np.where(u <= np.uint64(0xFFFFFFFF), 4, w)
+    w = np.where(u <= np.uint64(0xFFFF), 2, w)
+    w = np.where(u <= np.uint64(0xFF), 1, w)
+    mat = u.astype("<u8").view(np.uint8).reshape(-1, 8)
+    return mat, w
+
+
+_DEC_MAXW = 2 + 12 + 1      # header + 18-digit int part + 1-byte frac pair
+
+
+def _decimal2_mat(a):
+    """value*100 as int64 -> ((N, _DEC_MAXW) bytes, nbytes): the
+    encode_mysql_decimal output (header [prec frac] + payload) for
+    Decimal(a).scaleb(-2) — the fixture's 2-frac decimal. Caller
+    guarantees |a| < 10^18 so the int part fits the int64 digit
+    math."""
+    neg = a < 0
+    absa = np.where(neg, -a, a).astype(np.int64)
+    ip = absa // 100
+    fp = absa % 100
+    # digit count of ip with ip==0 -> 0 digits (intp == "")
+    digits = np.zeros(len(a), np.int64)
+    p10 = np.int64(1)
+    for d in range(1, 19):
+        p10 = p10 * 10
+        digits += ip >= p10
+    digits += ip > 0                      # 1..18 for ip>0, 0 for ip==0
+    prec = digits + 2                     # max(1, len(intp) + frac)
+    mat = np.zeros((len(a), _DEC_MAXW), np.uint8)
+    nbytes = np.zeros(len(a), np.int64)
+    mat[:, 1] = 2                         # frac byte of the header
+    mat[:, 0] = prec.astype(np.uint8)
+    for d in np.unique(digits):
+        m = digits == d
+        wi, lead = divmod(int(d), 9)
+        size = wi * 4 + int(_D2B[lead]) + 1     # + dig2bytes[2] == 1
+        col = 2
+        vip = ip[m]
+        if lead:
+            nb = int(_D2B[lead])
+            lv = vip // (10 ** (9 * wi))
+            mat[np.nonzero(m)[0][:, None], col + np.arange(nb)] = \
+                _be_mat(lv.view(np.uint64), nb)
+            col += nb
+            vip = vip % (10 ** (9 * wi))
+        for wrd in range(wi):
+            wv = vip // (10 ** (9 * (wi - wrd - 1)))
+            vip = vip % (10 ** (9 * (wi - wrd - 1)))
+            mat[np.nonzero(m)[0][:, None], col + np.arange(4)] = \
+                _be_mat(wv.view(np.uint64), 4)
+            col += 4
+        mat[m, col] = fp[m].astype(np.uint8)
+        nbytes[m] = 2 + size
+    # negatives: invert payload bytes (not the header)
+    ni = np.nonzero(neg)[0]
+    if len(ni):
+        pay = np.arange(_DEC_MAXW - 2) + 2
+        sel = mat[ni[:, None], pay[None, :]]
+        inpay = pay[None, :] < nbytes[ni][:, None]
+        sel = np.where(inpay, ~sel & 0xFF, sel)
+        mat[ni[:, None], pay[None, :]] = sel
+    # sign bit of the first payload byte
+    rows_ = np.arange(len(a))
+    mat[rows_, 2] ^= 0x80
+    return mat, nbytes
+
+
+def _varint_seg(segbuf, np_, iv, prefix):
+    """[*prefix][varint(zigzag(iv))] as one matrix segment."""
+    from ..sinks.pbcodec import _uvarint_matrix
+    vm, vn = _uvarint_matrix(_zigzag_vec(iv))
+    k = len(prefix)
+    mat = np.empty((len(iv), k + 10), np.uint8)
+    mat[:, :k] = np.asarray(prefix, np.uint8)[None, :]
+    mat[:, k:] = vm
+    segbuf.matrix(mat, vn + k)
+
+
+def _finish(segbuf, n):
+    """render to one flat buffer, return per-row bytes list."""
+    lens = segbuf.lengths()
+    off = np.cumsum(lens) - lens
+    buf = np.zeros(int(lens.sum()), np.uint8)
+    segbuf.render(buf, off)
+    mv = buf.tobytes()
+    s = off.tolist()
+    e = (off + lens).tolist()
+    return [mv[a:b] for a, b in zip(s, e)]
+
+
+def _pool_strings(strs):
+    """factorize + utf-8 encode the uniques -> (codes, pool list)."""
+    import pandas as pd
+    codes, uniq = pd.factorize(pd.Series(strs, dtype=object))
+    pool = [str(x).encode("utf-8") for x in uniq]
+    return codes, pool
+
+
+def encode_batch_insert_fixture(info: KVTableInfo, seq, pk, val, k):
+    """Batch twin of kvcodec.encode_insert_stream's row loop: same
+    deterministic omission/NULL/v2 rules, byte-identical rows."""
+    from ..sinks.pbcodec import _SegBuf, _uvarint_matrix
+
+    seq = np.asarray(seq, np.int64)
+    pk = np.asarray(pk, np.int64)
+    val = np.asarray(val, np.float64)
+    n = len(seq)
+    out = [None] * n
+    str_col = next(c for c in info.columns if c.kind == "string")
+    val_col = next(c for c in info.columns if c.kind == "double")
+    u_col = next((c for c in info.columns if c.kind == "ulong"), None)
+    dec_col = next((c for c in info.columns if c.kind == "decimal"), None)
+    dur_col = next((c for c in info.columns if c.kind == "duration"), None)
+
+    # decimal digit math needs pk*10001 exact in int64
+    fallback = np.zeros(n, bool)
+    if dec_col is not None:
+        fallback |= np.abs(pk) > (2 ** 62) // 10001
+    if _fixture_guard(info, n):
+        fallback[:] = True
+
+    val_null = seq % 13 == 0
+    k_pres = seq % 11 != 0
+    kcodes, kpool = _pool_strings(k)
+    klen = np.fromiter((len(b) for b in kpool), np.int64,
+                       len(kpool))[kcodes] if len(kpool) else \
+        np.zeros(n, np.int64)
+    fallback |= klen > 60000            # v2 would need the large format
+    is_v2 = (seq % 3 == 0) & ~fallback
+    is_old = ~is_v2 & ~fallback
+    pk_u = pk.view(np.uint64)
+    u_v = np.where((pk % 2) == 1, np.uint64(0) - pk_u, pk_u) \
+        if u_col is not None else None
+    dec_mat, dec_n = (_decimal2_mat(pk * 10001) if dec_col is not None
+                      else (None, None))
+    dur_v = ((seq % 86400) * 1_000_000_000 if dur_col is not None
+             else None)
+
+    for subset, fmt_v2 in ((np.nonzero(is_old)[0], False),
+                           (np.nonzero(is_v2)[0], True)):
+        if len(subset) == 0:
+            continue
+        sb = _SegBuf(np, len(subset))
+        _varint_seg(sb, np, pk[subset], (VARINT_FLAG,))   # handle datum
+        if not fmt_v2:
+            _encode_old_pairs(
+                sb, subset, info, val, val_null, k_pres, kcodes, kpool,
+                klen, u_v, dec_mat, dec_n, dur_v, val_col, str_col,
+                u_col, dec_col, dur_col, include=None)
+        else:
+            _encode_v2_body(
+                sb, subset, val, val_null, k_pres, kcodes, kpool, klen,
+                u_v, dec_mat, dec_n, dur_v, val_col, str_col, u_col,
+                dec_col, dur_col, include=None)
+        rendered = _finish(sb, len(subset))
+        for i, b in zip(subset.tolist(), rendered):
+            out[i] = b
+    fbi = np.nonzero(fallback)[0]
+    for i in fbi.tolist():
+        out[i] = _row_insert_fixture(info, int(seq[i]), int(pk[i]),
+                                     float(val[i]), str(k[i] if not
+                                     hasattr(k, "iloc") else k.iloc[i]))
+    return out
+
+
+def _row_insert_fixture(info, seq, pk, val, kv_):
+    """the stream's original per-row rules (parity fallback)."""
+    from decimal import Decimal as _D
+    str_col = next(c for c in info.columns if c.kind == "string")
+    val_col = next(c for c in info.columns if c.kind == "double")
+    u_col = next((c for c in info.columns if c.kind == "ulong"), None)
+    dec_col = next((c for c in info.columns if c.kind == "decimal"), None)
+    dur_col = next((c for c in info.columns if c.kind == "duration"), None)
+    values = {val_col.col_id: None if seq % 13 == 0 else float(val)}
+    if seq % 11 != 0:
+        values[str_col.col_id] = kv_
+    if u_col is not None:
+        values[u_col.col_id] = (1 << 64) - pk if pk % 2 == 1 else pk
+    if dec_col is not None:
+        values[dec_col.col_id] = _D(pk * 10001).scaleb(-2)
+    if dur_col is not None:
+        values[dur_col.col_id] = (seq % 86400) * 1_000_000_000
+    return _kv.encode_insert_row(info, pk, values,
+                                 row_format=2 if seq % 3 == 0 else 1)
+
+
+def _encode_old_pairs(sb, subset, info, val, val_null, k_pres, kcodes,
+                      kpool, klen, u_v, dec_mat, dec_n, dur_v,
+                      val_col, str_col, u_col, dec_col, dur_col,
+                      include):
+    """old-format [colID, value] pair segments in the fixture's dict
+    insertion order (val, k?, u?, dec?, dur?)."""
+    from ..sinks.pbcodec import _uvarint_matrix
+    ns = len(subset)
+    # val pair: [8, zig(cid)] + ([NIL] | [5, 8B])
+    vmat = np.zeros((ns, 11), np.uint8)
+    vmat[:, 0] = VARINT_FLAG
+    vmat[:, 1] = 2 * val_col.col_id
+    vn = np.full(ns, 3, np.int64)
+    vnull = val_null[subset]
+    vmat[:, 2] = np.where(vnull, NIL_FLAG, FLOAT_FLAG)
+    fb8 = _f64_ordered_mat(val[subset])
+    vmat[:, 3:11] = fb8
+    vn = np.where(vnull, 3, 11)
+    sb.matrix(vmat, vn)
+    # k pair (present mask): [8, zig(cid), 2] + zigvarint(len) + bytes
+    kp = k_pres[subset]
+    lm, ln_ = _uvarint_matrix(_zigzag_vec(klen[subset]))
+    hmat = np.empty((ns, 3 + 10), np.uint8)
+    hmat[:, 0] = VARINT_FLAG
+    hmat[:, 1] = 2 * str_col.col_id
+    hmat[:, 2] = COMPACT_BYTES_FLAG
+    hmat[:, 3:] = lm
+    sb.matrix(hmat, ln_ + 3, present=kp)
+    sb.coded(kpool, kcodes[subset], present=kp)
+    if u_col is not None:
+        um, un = _uvarint_matrix(u_v[subset])
+        mat = np.empty((ns, 3 + 10), np.uint8)
+        mat[:, 0] = VARINT_FLAG
+        mat[:, 1] = 2 * u_col.col_id
+        mat[:, 2] = UVARINT_FLAG
+        mat[:, 3:] = um
+        sb.matrix(mat, un + 3)
+    if dec_col is not None:
+        mat = np.empty((ns, 3 + _DEC_MAXW), np.uint8)
+        mat[:, 0] = VARINT_FLAG
+        mat[:, 1] = 2 * dec_col.col_id
+        mat[:, 2] = DECIMAL_FLAG
+        mat[:, 3:] = dec_mat[subset]
+        sb.matrix(mat, dec_n[subset] + 3)
+    if dur_col is not None:
+        mat = np.empty((ns, 3 + 8), np.uint8)
+        mat[:, 0] = VARINT_FLAG
+        mat[:, 1] = 2 * dur_col.col_id
+        mat[:, 2] = DURATION_FLAG
+        mat[:, 3:] = _be_mat(dur_v[subset].astype(np.int64)
+                             .view(np.uint64) ^ _SIGN, 8)
+        sb.matrix(mat, None)
+
+
+def _encode_v2_body(sb, subset, val, val_null, k_pres, kcodes, kpool,
+                    klen, u_v, dec_mat, dec_n, dur_v, val_col, str_col,
+                    u_col, dec_col, dur_col, include):
+    """rowcodec v2 body segments: header, sorted ids, u16 ends, then
+    data fields in sorted-cid order with presence masks."""
+    ns = len(subset)
+    vnull = val_null[subset]
+    kp = k_pres[subset]
+    # field table in sorted cid order: (cid, present mask, nbytes)
+    fields = []
+    fields.append((val_col.col_id, ~vnull, np.full(ns, 8, np.int64),
+                   "val"))
+    fields.append((str_col.col_id, kp, klen[subset], "k"))
+    if u_col is not None:
+        um8, uw = _uint_le_min(u_v[subset])
+        fields.append((u_col.col_id, np.ones(ns, bool), uw, "u"))
+    if dec_col is not None:
+        fields.append((dec_col.col_id, np.ones(ns, bool),
+                       dec_n[subset], "dec"))
+    if dur_col is not None:
+        dm8, dw = _int_le_min(dur_v[subset].astype(np.int64))
+        fields.append((dur_col.col_id, np.ones(ns, bool), dw, "dur"))
+    fields.sort(key=lambda t: t[0])
+    # null ids: only val can be null in this fixture
+    n_nn = np.zeros(ns, np.int64)
+    for _, pres, _, _ in fields:
+        n_nn += pres
+    n_nl = vnull.astype(np.int64)
+    hdr = np.zeros((ns, 6), np.uint8)
+    hdr[:, 0] = _CODEC_VER_V2
+    hdr[:, 2] = n_nn.astype(np.uint8)
+    hdr[:, 3] = (n_nn >> 8).astype(np.uint8)
+    hdr[:, 4] = n_nl.astype(np.uint8)
+    hdr[:, 5] = (n_nl >> 8).astype(np.uint8)
+    sb.matrix(hdr)
+    # ids: per-case constant byte strings (not-null sorted + null)
+    ncase = len(fields)
+    maxids = ncase + 1
+    idmat = np.zeros((ns, maxids), np.uint8)
+    col_of_row = np.zeros(ns, np.int64)
+    for cid, pres, _, _ in fields:
+        rows_ = np.nonzero(pres)[0]
+        idmat[rows_, col_of_row[rows_]] = cid
+        col_of_row[rows_] += 1
+    vr = np.nonzero(vnull)[0]
+    idmat[vr, col_of_row[vr]] = val_col.col_id
+    col_of_row[vr] += 1
+    sb.matrix(idmat, col_of_row)
+    # ends: u16 LE cumulative over present fields in sorted order
+    endmat = np.zeros((ns, 2 * ncase), np.uint8)
+    cum = np.zeros(ns, np.int64)
+    pos_of_row = np.zeros(ns, np.int64)
+    for cid, pres, nb, _ in fields:
+        cum = cum + np.where(pres, nb, 0)
+        rows_ = np.nonzero(pres)[0]
+        endmat[rows_, 2 * pos_of_row[rows_]] = cum[rows_] & 0xFF
+        endmat[rows_, 2 * pos_of_row[rows_] + 1] = \
+            (cum[rows_] >> 8) & 0xFF
+        pos_of_row[rows_] += 1
+    sb.matrix(endmat, 2 * pos_of_row)
+    # data fields, sorted cid order, presence-masked
+    for cid, pres, nb, tag in fields:
+        if tag == "val":
+            sb.matrix(_f64_ordered_mat(val[subset]), present=pres)
+        elif tag == "k":
+            sb.coded(kpool, kcodes[subset], present=pres)
+        elif tag == "u":
+            sb.matrix(um8, uw, present=pres)
+        elif tag == "dec":
+            sb.matrix(dec_mat[subset], dec_n[subset], present=pres)
+        elif tag == "dur":
+            sb.matrix(dm8, dw, present=pres)
+
+
+def _fixture_guard(info, n):
+    """single-byte id datums and small-format v2 require ids in
+    (0, 64); outside that every row takes the row-loop encoder."""
+    return any(c.col_id <= 0 or c.col_id >= 64 for c in info.columns)
+
+
+def encode_batch_delete_fixture(info: KVTableInfo, seq, pk, val, k):
+    """Batch twin of kvcodec.encode_delete_stream's row loop: full
+    old image, no handle prefix, v2 every third row."""
+    from ..sinks.pbcodec import _SegBuf, _uvarint_matrix
+
+    seq = np.asarray(seq, np.int64)
+    pk = np.asarray(pk, np.int64)
+    val = np.asarray(val, np.float64)
+    n = len(seq)
+    out = [None] * n
+    pk_col = next(c for c in info.columns if c.kind == "long")
+    str_col = next(c for c in info.columns if c.kind == "string")
+    val_col = next(c for c in info.columns if c.kind == "double")
+
+    kcodes, kpool = _pool_strings(k)
+    klen = np.fromiter((len(b) for b in kpool), np.int64,
+                       len(kpool))[kcodes] if len(kpool) else \
+        np.zeros(n, np.int64)
+    fallback = np.zeros(n, bool)
+    if _fixture_guard(info, n):
+        fallback[:] = True
+    fallback |= klen > 60000            # v2 would need the large format
+    val_null = seq % 13 == 0
+    k_pres = seq % 11 != 0
+    is_v2 = (seq % 3 == 0) & ~fallback
+    is_old = ~is_v2 & ~fallback
+
+    for subset, fmt_v2 in ((np.nonzero(is_old)[0], False),
+                           (np.nonzero(is_v2)[0], True)):
+        if len(subset) == 0:
+            continue
+        ns = len(subset)
+        sb = _SegBuf(np, ns)
+        if not fmt_v2:
+            # pk pair: [8, zig(cid)] id datum + [8, varint] value datum
+            pm, pn = _uvarint_matrix(_zigzag_vec(pk[subset]))
+            mat = np.empty((ns, 3 + 10), np.uint8)
+            mat[:, 0] = VARINT_FLAG
+            mat[:, 1] = 2 * pk_col.col_id
+            mat[:, 2] = VARINT_FLAG
+            mat[:, 3:] = pm
+            sb.matrix(mat, pn + 3)
+            _encode_old_pairs(
+                sb, subset, info, val, val_null, k_pres, kcodes, kpool,
+                klen, None, None, None, None, val_col, str_col,
+                None, None, None, include=None)
+        else:
+            _encode_v2_body_delete(
+                sb, subset, pk, val, val_null, k_pres, kcodes, kpool,
+                klen, pk_col, val_col, str_col)
+        rendered = _finish(sb, ns)
+        for i, b in zip(subset.tolist(), rendered):
+            out[i] = b
+    for i in np.nonzero(fallback)[0].tolist():
+        out[i] = _row_delete_fixture(info, int(seq[i]), int(pk[i]),
+                                     float(val[i]), str(_at(k, i)))
+    return out
+
+
+def _at(k, i):
+    return k.iloc[i] if hasattr(k, "iloc") else k[i]
+
+
+def _row_delete_fixture(info, seq, pk, val, kv_):
+    pk_col = next(c for c in info.columns if c.kind == "long")
+    str_col = next(c for c in info.columns if c.kind == "string")
+    val_col = next(c for c in info.columns if c.kind == "double")
+    values = {pk_col.col_id: pk,
+              val_col.col_id: None if seq % 13 == 0 else float(val)}
+    if seq % 11 != 0:
+        values[str_col.col_id] = kv_
+    return _kv._encode_row_body(info, values,
+                                2 if seq % 3 == 0 else 1)
+
+
+def _encode_v2_body_delete(sb, subset, pk, val, val_null, k_pres,
+                           kcodes, kpool, klen, pk_col, val_col,
+                           str_col):
+    ns = len(subset)
+    vnull = val_null[subset]
+    kp = k_pres[subset]
+    pm8, pw = _int_le_min(pk[subset])
+    fields = [(pk_col.col_id, np.ones(ns, bool), pw, "pk"),
+              (val_col.col_id, ~vnull, np.full(ns, 8, np.int64), "val"),
+              (str_col.col_id, kp, klen[subset], "k")]
+    fields.sort(key=lambda t: t[0])
+    n_nn = np.zeros(ns, np.int64)
+    for _, pres, _, _ in fields:
+        n_nn += pres
+    n_nl = vnull.astype(np.int64)
+    hdr = np.zeros((ns, 6), np.uint8)
+    hdr[:, 0] = _CODEC_VER_V2
+    hdr[:, 2] = n_nn.astype(np.uint8)
+    hdr[:, 3] = (n_nn >> 8).astype(np.uint8)
+    hdr[:, 4] = n_nl.astype(np.uint8)
+    hdr[:, 5] = (n_nl >> 8).astype(np.uint8)
+    sb.matrix(hdr)
+    maxids = len(fields) + 1
+    idmat = np.zeros((ns, maxids), np.uint8)
+    col_of_row = np.zeros(ns, np.int64)
+    for cid, pres, _, _ in fields:
+        rows_ = np.nonzero(pres)[0]
+        idmat[rows_, col_of_row[rows_]] = cid
+        col_of_row[rows_] += 1
+    vr = np.nonzero(vnull)[0]
+    idmat[vr, col_of_row[vr]] = val_col.col_id
+    col_of_row[vr] += 1
+    sb.matrix(idmat, col_of_row)
+    endmat = np.zeros((ns, 2 * len(fields)), np.uint8)
+    cum = np.zeros(ns, np.int64)
+    pos_of_row = np.zeros(ns, np.int64)
+    for cid, pres, nb, _ in fields:
+        cum = cum + np.where(pres, nb, 0)
+        rows_ = np.nonzero(pres)[0]
+        endmat[rows_, 2 * pos_of_row[rows_]] = cum[rows_] & 0xFF
+        endmat[rows_, 2 * pos_of_row[rows_] + 1] = \
+            (cum[rows_] >> 8) & 0xFF
+        pos_of_row[rows_] += 1
+    sb.matrix(endmat, 2 * pos_of_row)
+    for cid, pres, nb, tag in fields:
+        if tag == "pk":
+            sb.matrix(pm8, pw, present=pres)
+        elif tag == "val":
+            sb.matrix(_f64_ordered_mat(val[subset]), present=pres)
+        elif tag == "k":
+            sb.coded(kpool, kcodes[subset], present=pres)
+
+
+def encode_batch_update_fixture(info: KVTableInfo, seq, pk, val, k):
+    """Batch twin of kvcodec.encode_update_stream's row loop: flat
+    old-format [colID, value] pairs, old image (pk, val-1, 'old_'+k)
+    then new image (pk, val, k); %11 omits k from both."""
+    from ..sinks.pbcodec import _SegBuf, _uvarint_matrix
+
+    seq = np.asarray(seq, np.int64)
+    pk = np.asarray(pk, np.int64)
+    val = np.asarray(val, np.float64)
+    n = len(seq)
+    if _fixture_guard(info, n):
+        return [_row_update_fixture(info, int(seq[i]), int(pk[i]),
+                                    float(val[i]), str(_at(k, i)))
+                for i in range(n)]
+    pk_col = next(c for c in info.columns
+                  if c.col_id == info.pk_handle_id)
+    str_col = next(c for c in info.columns if c.kind == "string")
+    val_col = next(c for c in info.columns if c.kind == "double")
+    kcodes, kpool = _pool_strings(k)
+    opool = [b"old_" + b for b in kpool]
+    klen = np.fromiter((len(b) for b in kpool), np.int64,
+                       len(kpool))[kcodes] if len(kpool) else \
+        np.zeros(n, np.int64)
+    kp = seq % 11 != 0
+    sb = _SegBuf(np, n)
+    pm, pn = _uvarint_matrix(_zigzag_vec(pk))
+    for img, vv, pool, lens in (("old", val - 1.0, opool, klen + 4),
+                                ("new", val, kpool, klen)):
+        mat = np.empty((n, 3 + 10), np.uint8)
+        mat[:, 0] = VARINT_FLAG
+        mat[:, 1] = 2 * pk_col.col_id
+        mat[:, 2] = VARINT_FLAG
+        mat[:, 3:] = pm
+        sb.matrix(mat, pn + 3)
+        vmat = np.empty((n, 3 + 8), np.uint8)
+        vmat[:, 0] = VARINT_FLAG
+        vmat[:, 1] = 2 * val_col.col_id
+        vmat[:, 2] = FLOAT_FLAG
+        vmat[:, 3:] = _f64_ordered_mat(vv)
+        sb.matrix(vmat)
+        lm, ln_ = _uvarint_matrix(_zigzag_vec(lens))
+        hmat = np.empty((n, 3 + 10), np.uint8)
+        hmat[:, 0] = VARINT_FLAG
+        hmat[:, 1] = 2 * str_col.col_id
+        hmat[:, 2] = COMPACT_BYTES_FLAG
+        hmat[:, 3:] = lm
+        sb.matrix(hmat, ln_ + 3, present=kp)
+        sb.coded(pool, kcodes, present=kp)
+    return _finish(sb, n)
+
+
+def _row_update_fixture(info, seq, pk, val, kv_):
+    pk_col = next(c for c in info.columns
+                  if c.col_id == info.pk_handle_id)
+    str_col = next(c for c in info.columns if c.kind == "string")
+    val_col = next(c for c in info.columns if c.kind == "double")
+    old = {pk_col.col_id: pk, val_col.col_id: float(val) - 1.0}
+    new = {pk_col.col_id: pk, val_col.col_id: float(val)}
+    if seq % 11 != 0:
+        old[str_col.col_id] = "old_" + kv_
+        new[str_col.col_id] = kv_
+    return _kv.encode_update_row(info, old, new)
