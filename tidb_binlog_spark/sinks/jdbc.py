@@ -113,11 +113,17 @@ def _execute_with_retry(conn, sql_text: str, policy: RetryPolicy,
                     time.sleep(policy.backoff_s)
                     continue
             if attempt >= policy.max_retries or not policy.is_transient(exc):
-                # name the statement in the raised error — a worker
-                # failure at scale is undebuggable from the bare
-                # driver-side "constraint failed" text alone
+                # name the statement SHAPE in the raised error — a
+                # worker failure at scale is undebuggable from the
+                # bare driver-side "constraint failed" text alone.
+                # Verb + target only, never literals: the full text
+                # carries row values, which must not leak into logs /
+                # error trackers if this helper fronts a real
+                # database (ADVICE r11).
                 if hasattr(exc, "add_note"):
-                    exc.add_note(f"statement: {sql_text[:400]}")
+                    head = " ".join(sql_text.split()[:3])
+                    exc.add_note(f"statement shape: {head[:120]} ... "
+                                 f"({len(sql_text)} chars)")
                 raise
             attempt += 1
             time.sleep(policy.backoff_s)

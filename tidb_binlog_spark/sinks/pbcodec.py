@@ -518,8 +518,12 @@ def _assemble_payloads(pdf):
     # event headers memoized per (db, tbl, tp): factorize each column
     # and combine the integer codes (string concat would round-trip
     # through numpy unicode, which mangles separator bytes)
-    dcodes, duniq = pd.factorize(pdf["db"])
-    tcodes, tuniq = pd.factorize(pdf["tbl"])
+    # use_na_sentinel=False: the default -1 NA code would go negative
+    # in the combined integer and wrap duniq[dt // len(tuniq)] to a
+    # WRONG header silently; without the sentinel a null db/tbl gets
+    # its own unique (str(None)/nan), matching the row-path oracle
+    dcodes, duniq = pd.factorize(pdf["db"], use_na_sentinel=False)
+    tcodes, tuniq = pd.factorize(pdf["tbl"], use_na_sentinel=False)
     combined = (dcodes.astype(np.int64) * len(tuniq) + tcodes) * 3 + tp
     hcodes, huniq = pd.factorize(combined)
     hdrs = []
@@ -563,8 +567,14 @@ def _assemble_payloads(pdf):
     colk_len = c3 + (1 + dk_vn + dk_lens) * np.where(is_u, 2, 1)
     ck_mat, ck_vn = _uvarint_matrix(colk_len.astype(np.uint64))
     # colpk/colval stay < 128 (fixed col specs), so their length
-    # varints are single bytes; colk carries a full varint
-    assert int(colpk_len.max()) < 128 and int(colval_len.max()) < 128
+    # varints are single bytes; colk carries a full varint. Hard
+    # error, not assert: python -O would strip an assert and a future
+    # _COLSPEC change would then emit corrupt wire bytes silently.
+    if int(colpk_len.max()) >= 128 or int(colval_len.max()) >= 128:
+        raise ValueError(
+            "column block exceeds single-byte length varint "
+            f"(pk {int(colpk_len.max())}, val {int(colval_len.max())}); "
+            "_COLSPEC changed — widen the length encoding")
 
     def fused(*cols):
         """Column-stack scalars / vectors / (N, w) blocks into one

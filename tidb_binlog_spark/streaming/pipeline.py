@@ -104,6 +104,9 @@ def run_apply_stream(spark: SparkSession, source_dir: str, table_root: str,
     return writer.start()
 
 
+_CHAOS_APPLY_CALLS = 0   # chaos kill hooks (env-gated, see apply())
+
+
 class SqlBatchApplier:
     """The executed-SQL micro-batch applier — the body of
     run_sql_apply_stream's foreachBatch, factored out so the relay
@@ -219,16 +222,55 @@ class SqlBatchApplier:
         routed = causality.conflict_free_partitions(
             stmts, txn_keys, num_workers=num_workers,
             txn_col="commit_ts")
-        # shared_db: the downstream is ONE database (the reference's
-        # topology) — causality worker ids vary per batch, which is
-        # only sound when routing doesn't decide row placement
-        jdbc.apply_statements(routed, self.db_dir, num_workers,
-                              setup_sql=self.setup_sql,
-                              checkpoint_ts=ckpt_ts,
-                              shared_db=True)
+        import os as _os
+        prof_path = _os.environ.get("SPARK_GRAFT_APPLY_PROFILE")
+        if prof_path:
+            # profile mode (VERDICT r11 item 5): materialize the
+            # routed statements first so "plan + causality CC +
+            # statement generation" and "DB-API execution" get
+            # separate wall clocks in the JSONL record. The extra
+            # persist changes absolute timing — profile numbers are
+            # for decomposition, not headline rates.
+            import json as _json
+            import time as _time
+            t0 = _time.time()
+            stmts = stmts.persist()
+            n_stmts = stmts.count()
+            t_gen = _time.time() - t0           # rewrite + sqlgen
+            t0 = _time.time()
+            routed = causality.conflict_free_partitions(
+                stmts, txn_keys, num_workers=num_workers,
+                txn_col="commit_ts").persist()
+            routed.count()
+            t_cc = _time.time() - t0            # causality CC + route
+            t0 = _time.time()
+            jdbc.apply_statements(routed, self.db_dir, num_workers,
+                                  setup_sql=self.setup_sql,
+                                  checkpoint_ts=ckpt_ts,
+                                  shared_db=True)
+            t_dbapi = _time.time() - t0
+            with open(prof_path, "a") as fh:
+                fh.write(_json.dumps(
+                    {"ckpt_ts": ckpt_ts, "n_stmts": int(n_stmts),
+                     "stmt_gen_sec": round(t_gen, 3),
+                     "causality_cc_sec": round(t_cc, 3),
+                     "dbapi_exec_sec": round(t_dbapi, 3)}) + "\n")
+            routed.unpersist()
+            stmts.unpersist()
+        else:
+            # shared_db: the downstream is ONE database (the
+            # reference's topology) — causality worker ids vary per
+            # batch, which is only sound when routing doesn't decide
+            # row placement
+            jdbc.apply_statements(routed, self.db_dir, num_workers,
+                                  setup_sql=self.setup_sql,
+                                  checkpoint_ts=ckpt_ts,
+                                  shared_db=True)
         prepared.unpersist()
 
     def apply(self, batch_df: DataFrame) -> None:
+        import os as _os
+
         from ..operators import ddl as ddl_mod
         from ..sinks import jdbc
         catalog = self.catalog
@@ -237,8 +279,25 @@ class SqlBatchApplier:
         # safe-mode rewrite is a 4-way union over the gated stream and
         # would re-scan per branch without the cache
         batch_df = batch_df.persist()
+        # chaos kill points (tools/stream_kill_resume.py): hard driver
+        # death at the Nth apply() call in this process — BEFORE_WAL
+        # dies between micro-batches (previous batch fully committed,
+        # this one nowhere); AFTER_WAL dies inside one (WAL written,
+        # nothing applied, no checkpoint moved). Call-count, not a ts
+        # threshold: multi-source interleave puts high commit_ts into
+        # early batches, so a ts threshold can fire before anything
+        # committed. Env-gated: zero cost in production.
+        _cb = _os.environ.get("SPARK_GRAFT_CRASH_BEFORE_WAL")
+        _ca = _os.environ.get("SPARK_GRAFT_CRASH_AFTER_WAL")
+        if _cb or _ca:
+            global _CHAOS_APPLY_CALLS
+            _CHAOS_APPLY_CALLS += 1
+            if _cb and _CHAOS_APPLY_CALLS >= int(_cb):
+                _os._exit(137)
         if self.relay is not None:
             self.relay.append(batch_df)     # WAL before any apply
+        if _ca and _CHAOS_APPLY_CALLS >= int(_ca):
+            _os._exit(137)
         batch_df2 = batch_df
         batch_df = batch_df.filter(F.col("commit_ts") > self.resume_ts)
         wm_row = batch_df.agg(F.max("commit_ts").alias("wm")).collect()[0]
@@ -353,7 +412,8 @@ def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
                          sync_ddl: bool | None = None,
                          catalog=None,
                          cfg=None,
-                         relay_dir: str | None = None):
+                         relay_dir: str | None = None,
+                         max_files_per_trigger: int | None = None):
     """The executed-SQL replication path (loader -> MySQL analog,
     SQLite-backed locally) with the reference's auto safe-mode window:
     batches applied while ``safe_window.active()`` are rewritten
@@ -452,7 +512,8 @@ def run_sql_apply_stream(spark: SparkSession, source_dir: str, db_dir: str,
                               sync_ddl=sync_ddl, catalog=catalog,
                               cfg=cfg, resume_ts=resume_ts, relay=relay)
 
-    stream = read_change_stream(spark, source_dir)
+    stream = read_change_stream(spark, source_dir,
+                                max_files_per_trigger=max_files_per_trigger)
     writer = (stream.writeStream
               .foreachBatch(lambda df, _bid: applier.apply(df))
               .option("checkpointLocation", checkpoint_dir))

@@ -75,19 +75,7 @@ def _fit_exponent(points: list[tuple[int, float]]) -> float:
     return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
 
 
-def _shuffle_partitions_for(rows: int) -> int:
-    """Deployment-sizing rule (VERDICT r10 item 7): shuffle partitions
-    proportional to input rows — next power of two of events-rows/1M,
-    clamped to [32, 1024]. The r10 third-decade cdc_wide_row_apply
-    re-run measured the fixed 32-partition PK shuffle as the residual
-    bottleneck at 100M events (174 s at 32 -> 147 s at 128); a global
-    AQE initialPartitionNum was measured and REJECTED (costs
-    multi-stage rows up to 3x), so the sizing is applied per scale
-    dir here — exactly what a deployment sizes per job."""
-    p = 32
-    while p < 1024 and p * 1_000_000 < rows:
-        p *= 2
-    return p
+from tools.common import shuffle_partitions_for as _shuffle_partitions_for
 
 
 def main() -> None:

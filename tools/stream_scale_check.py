@@ -102,13 +102,12 @@ def main() -> None:
                 f"{n_routed} routed vs {n_pairs} pairs — pick a "
                 f"collision-free join character for this corpus")
         out["n_events"] = int(n)
-        # deployment shuffle sizing (same rule as tools/scale_proof):
-        # next pow2 of events/1M clamped [32, 1024] — at 100M events
-        # the fixed 32-partition default gave per-task footprints
-        # that OOM'd a 48g heap mid-stream (r11)
-        parts = 32
-        while parts < 1024 and parts * 1_000_000 < n:
-            parts *= 2
+        # deployment shuffle sizing (tools/common, shared with
+        # scale_proof) — at 100M events the fixed 32-partition
+        # default gave per-task footprints that OOM'd a 48g heap
+        # mid-stream (r11)
+        from tools.common import shuffle_partitions_for
+        parts = shuffle_partitions_for(int(n))
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         out["shuffle_partitions"] = parts
         hi = ch.agg(F.max("arrival_seq")).first()[0] + 1
