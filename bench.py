@@ -216,18 +216,31 @@ def main() -> None:
         dt = time.time() - t0
         obinlog_best = dt if obinlog_best is None else min(obinlog_best, dt)
     dump_best = None
+    dump_dir = None
     for _ in range(3):
+        if dump_dir is not None:
+            shutil.rmtree(dump_dir, ignore_errors=True)
         dump_dir = tempfile.mkdtemp(prefix="bench_pbdump_")
         t0 = time.time()
         pbcodec.write_pb_dump(ch, dump_dir)
         dt = time.time() - t0
         dump_best = dt if dump_best is None else min(dump_best, dt)
-        shutil.rmtree(dump_dir, ignore_errors=True)
+    # the reparo replay direction (read_pb_dump: scan_records batched
+    # CRC + shape-specialized unmarshal) over the last written dump
+    read_best = None
+    for _ in range(3):
+        t0 = time.time()
+        pbcodec.read_pb_dump(spark, dump_dir).write.format("noop") \
+            .mode("overwrite").save()
+        dt = time.time() - t0
+        read_best = dt if read_best is None else min(read_best, dt)
+    shutil.rmtree(dump_dir, ignore_errors=True)
     ch.unpersist()
     wire_marshal = {
         "n_events": int(n_events),
         "obinlog_marshal_events_per_s": round(n_events / obinlog_best),
         "pb_dump_events_per_s": round(n_events / dump_best),
+        "pb_read_events_per_s": round(n_events / read_best),
     }
 
     total = round(sum(timings.values()), 3)

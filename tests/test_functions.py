@@ -41,6 +41,22 @@ def test_simhash_identical_and_pairs(spark):
     assert len(pairs) == 1 and pairs[0]["hamming"] == 0
 
 
+def test_simhash_votes_integer_form_matches_string(spark):
+    """r12 rewrite: the integer bit votes (shift+mask over pre-split
+    32-bit digest words) must produce the exact simhash the original
+    string-compare form defines, on unicode/empty/degenerate docs."""
+    d = docs_df(spark, [
+        "one two three four five six seven eight nine ten",
+        "日本語 トーク ン 化 と md5 votes",
+        "a", "a a a a a a a a", "x y z " * 40,
+        "MiXeD CaSe ToKeNs AnD punct-uation, here!"])
+    a = {r["doc_id"]: r["simhash"]
+         for r in dedup.simhash(d, votes="int").collect()}
+    b = {r["doc_id"]: r["simhash"]
+         for r in dedup.simhash(d, votes="str").collect()}
+    assert a == b
+
+
 def test_bucket_cap_default_is_exact_and_cap_is_loud(spark):
     """ADVICE r2 / VERDICT r3 item 4: with an overflowing bucket
     (10 identical docs, every copy in the same band buckets), the

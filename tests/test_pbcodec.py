@@ -274,3 +274,75 @@ def test_crc32c_batch_matches_scalar():
     payloads += [b"", b"\x00", b"a", b"123456789"]
     assert pb.crc32c_batch(payloads) == [pb.crc32c(p) for p in payloads]
     assert pb.crc32c_batch([]) == []
+
+
+def test_scan_records_parity_and_error_text():
+    """scan_records (batched CRC verify, r12) == iter_records on
+    payload list AND on the first-corrupt-record error."""
+    import pytest
+
+    payloads = [pb.encode_binlog(10 + i, [pb.encode_event(
+        "d", "t", pb.INSERT,
+        [pb.encode_column("pk", 8, "bigint", i, "long"),
+         pb.encode_column("val", 5, "double", i * 1.5, "double"),
+         pb.encode_column("k", 15, "varchar", f"k{i}", "string")])])
+        for i in range(50)]
+    blob = b"".join(pb.frame_record(p) for p in payloads)
+    assert pb.scan_records(blob) == list(pb.iter_records(blob))
+    assert pb.scan_records(b"") == []
+    # corrupt a middle record's payload: identical ValueError text
+    bad = bytearray(blob)
+    off = sum(16 + len(p) for p in payloads[:20])
+    bad[off + 14] ^= 0xFF
+    with pytest.raises(ValueError) as e1:
+        list(pb.iter_records(bytes(bad)))
+    with pytest.raises(ValueError) as e2:
+        pb.scan_records(bytes(bad))
+    assert str(e1.value) == str(e2.value) == f"crc mismatch at offset {off}"
+    # magic corruption raises identically too
+    bad2 = bytearray(blob)
+    bad2[off] ^= 0xFF
+    with pytest.raises(ValueError, match=f"magic mismatch at offset {off}"):
+        pb.scan_records(bytes(bad2))
+
+
+def test_dml_rows_fast_parity_with_generic_parse():
+    """the shape-specialized reparo-read parser == the generic
+    decode_binlog walk on I/U/D events (changed_value picks), and
+    skips DDL payloads without emitting rows."""
+    payloads = []
+    for i in range(40):
+        if i % 7 == 0:
+            payloads.append(pb.encode_binlog(
+                100 + i, ddl_query=b"CREATE TABLE x(a INT)"))
+            continue
+        tp = (pb.INSERT, pb.UPDATE, pb.DELETE)[i % 3]
+        kwargs = {}
+        cols = [pb.encode_column("pk", 8, "bigint", i, "long"),
+                pb.encode_column("val", 5, "double", i * 1.5,
+                                      "double",
+                                      **({"changed_value": i * 2.5}
+                                         if tp == pb.UPDATE else {})),
+                pb.encode_column("k", 15, "varchar", f"k{i}",
+                                      "string",
+                                      **({"changed_value": f"n{i}"}
+                                         if tp == pb.UPDATE else {}))]
+        payloads.append(pb.encode_binlog(
+            100 + i, [pb.encode_event("d", "t", tp, cols)]))
+    fast: list = []
+    for p in payloads:
+        pb._dml_rows_fast(p, fast)
+    slow = []
+    for p in payloads:
+        b = pb.decode_binlog(p)
+        if b["tp"] == pb.DDL:
+            continue
+        for ev in b["events"]:
+            vals = {c["name"]: c for c in ev["columns"]}
+            slow.append((
+                b["commit_ts"], ev["schema_name"], ev["table_name"],
+                pb._OP_OF_TP[ev["tp"]], vals["pk"]["value"],
+                float(vals["val"].get("changed_value",
+                                      vals["val"]["value"])),
+                vals["k"].get("changed_value", vals["k"]["value"])))
+    assert fast == slow

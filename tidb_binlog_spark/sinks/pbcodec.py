@@ -264,7 +264,8 @@ def frame_record(payload: bytes) -> bytes:
 def iter_records(data: bytes) -> Iterator[bytes]:
     """Yield payloads; raises on magic or CRC mismatch (the reference
     seeks past corruption — binlogger.go:504-540 — but a fresh dump
-    must be clean, so corruption here is an error)."""
+    must be clean, so corruption here is an error). Retained as the
+    parity oracle for :func:`scan_records`."""
     pos = 0
     while pos < len(data):
         (magic,) = struct.unpack_from("<I", data, pos)
@@ -277,6 +278,36 @@ def iter_records(data: bytes) -> Iterator[bytes]:
             raise ValueError(f"crc mismatch at offset {pos}")
         yield payload
         pos += 16 + length
+
+
+def scan_records(data: bytes) -> list[bytes]:
+    """iter_records with BATCHED CRC verification (VERDICT r11 item
+    7, the read direction of the r11 numpy write pattern): the
+    position walk reads only each record's 12-byte header, then ALL
+    payload CRCs verify in one crc32c_batch lockstep pass — same
+    payloads, same first-corrupt-record error text as the oracle
+    generator above (tests pin both)."""
+    import numpy as np
+    pos, n = 0, len(data)
+    u32, u64 = struct.Struct("<I"), struct.Struct("<Q")
+    starts, lens, stored, offs = [], [], [], []
+    while pos < n:
+        (magic,) = u32.unpack_from(data, pos)
+        if magic != MAGIC:
+            raise ValueError(f"magic mismatch at offset {pos}")
+        (length,) = u64.unpack_from(data, pos + 4)
+        starts.append(pos + 12)
+        lens.append(length)
+        stored.append(u32.unpack_from(data, pos + 12 + length)[0])
+        offs.append(pos)
+        pos += 16 + length
+    payloads = [data[s:s + ln] for s, ln in zip(starts, lens)]
+    got = np.asarray(crc32c_batch(payloads), dtype=np.uint64)
+    want = np.asarray(stored, dtype=np.uint64)
+    bad = np.nonzero(got != want)[0]
+    if len(bad):
+        raise ValueError(f"crc mismatch at offset {offs[int(bad[0])]}")
+    return payloads
 
 
 # ---------------------------------------------------------------------------
@@ -773,6 +804,102 @@ def write_pb_dump(changes, path: str, partitions: int | None = None,
      .write.format("noop").mode("overwrite").save())
 
 
+_OP_OF_TP = {INSERT: "I", UPDATE: "U", DELETE: "D"}
+
+
+def _dml_rows_fast(payload: bytes, rows: list) -> None:
+    """Shape-specialized unmarshal of one DML Binlog payload into
+    read_pb_dump's row tuples — the same walk decode_binlog +
+    decode_event + decode_column perform, but with direct varint
+    cursors instead of per-message field dicts (the generic parse
+    allocates 4 dicts + lists per column; this allocates the row
+    tuple). Raises KeyError/ValueError/IndexError on any shape it
+    doesn't recognize — the caller falls back to the generic parser
+    for THAT payload, so unusual dumps stay correct (parity pinned by
+    tests/test_pbcodec.py)."""
+    pos, n = 0, len(payload)
+    tp = ct = None
+    dml = None
+    while pos < n:
+        key, pos = _read_uvarint(payload, pos)
+        f, wire = key >> 3, key & 7
+        if wire == 0:
+            v, pos = _read_uvarint(payload, pos)
+            if f == 1:
+                tp = v
+            elif f == 2:
+                ct = _signed64(v)
+        elif wire == 2:
+            ln, pos = _read_uvarint(payload, pos)
+            if f == 3:
+                dml = payload[pos:pos + ln]
+            pos += ln
+        else:
+            raise ValueError(f"wire {wire}")
+    if tp == DDL:
+        return
+    if ct is None or dml is None:
+        if dml is None:     # empty DML section: no rows
+            return
+        raise ValueError("no commit_ts")
+    pos, n = 0, len(dml)
+    while pos < n:
+        key, pos = _read_uvarint(dml, pos)
+        if key != (1 << 3) | 2:
+            raise ValueError("unexpected DMLData field")
+        eln, pos = _read_uvarint(dml, pos)
+        ev = dml[pos:pos + eln]
+        pos += eln
+        # Event: 1 schema, 2 table, 3 tp, 4 repeated column
+        epos, en = 0, len(ev)
+        schema = table = None
+        etp = 0
+        vals = {}
+        while epos < en:
+            ekey, epos = _read_uvarint(ev, epos)
+            ef, ewire = ekey >> 3, ekey & 7
+            if ewire == 0:
+                v, epos = _read_uvarint(ev, epos)
+                if ef == 3:
+                    etp = v
+                continue
+            if ewire != 2:
+                raise ValueError(f"wire {ewire}")
+            ln, epos = _read_uvarint(ev, epos)
+            blob = ev[epos:epos + ln]
+            epos += ln
+            if ef == 1:
+                schema = blob.decode()
+            elif ef == 2:
+                table = blob.decode()
+            elif ef == 4:
+                # Column: 1 name, 4 value datum, 5 changed datum
+                cpos, cn = 0, len(blob)
+                name = value = changed = None
+                has_changed = False
+                while cpos < cn:
+                    ckey, cpos = _read_uvarint(blob, cpos)
+                    cf, cwire = ckey >> 3, ckey & 7
+                    if cwire != 2:
+                        v, cpos = _read_uvarint(blob, cpos)
+                        continue
+                    cln, cpos = _read_uvarint(blob, cpos)
+                    cblob = blob[cpos:cpos + cln]
+                    cpos += cln
+                    if cf == 1:
+                        name = cblob
+                    elif cf == 4:
+                        value = cblob
+                    elif cf == 5:
+                        changed = cblob
+                        has_changed = True
+                    # tp / mysql_type: constant headers, skipped
+                datum = changed if has_changed else value
+                vals[name] = decode_datum(datum, 0)[0]
+        rows.append((ct, schema, table, _OP_OF_TP[etp],
+                     vals[b"pk"], float(vals[b"val"]), vals[b"k"]))
+
+
 def read_pb_dump(spark, path: str, start_ts: int | None = None,
                  stop_ts: int | None = None) -> "DataFrame":  # noqa: F821
     """Reparo-equivalent replay: scan the .pb files, verify magic+CRC,
@@ -784,22 +911,27 @@ def read_pb_dump(spark, path: str, start_ts: int | None = None,
         for pdf in batches:
             rows = []
             for content in pdf["content"]:
-                for payload in iter_records(bytes(content)):
-                    b = decode_binlog(payload)
-                    if b["tp"] == DDL:
-                        continue   # read_pb_dump_ddl reads these
-                    for ev in b["events"]:
-                        vals = {c["name"]: c for c in ev["columns"]}
-                        op = {INSERT: "I", UPDATE: "U", DELETE: "D"}[ev["tp"]]
-                        rows.append((
-                            b["commit_ts"], ev["schema_name"],
-                            ev["table_name"], op,
-                            vals["pk"]["value"],
-                            float(vals["val"].get("changed_value",
-                                                  vals["val"]["value"])),
-                            vals["k"].get("changed_value",
-                                          vals["k"]["value"]),
-                        ))
+                for payload in scan_records(bytes(content)):
+                    try:
+                        _dml_rows_fast(payload, rows)
+                    except (KeyError, ValueError, IndexError):
+                        # unusual shape: the generic (oracle) parse
+                        b = decode_binlog(payload)
+                        if b["tp"] == DDL:
+                            continue   # read_pb_dump_ddl reads these
+                        for ev in b["events"]:
+                            vals = {c["name"]: c for c in ev["columns"]}
+                            op = _OP_OF_TP[ev["tp"]]
+                            rows.append((
+                                b["commit_ts"], ev["schema_name"],
+                                ev["table_name"], op,
+                                vals["pk"]["value"],
+                                float(vals["val"].get(
+                                    "changed_value",
+                                    vals["val"]["value"])),
+                                vals["k"].get("changed_value",
+                                              vals["k"]["value"]),
+                            ))
             yield pd.DataFrame(
                 rows, columns=["commit_ts", "db", "tbl", "op",
                                "pk", "val", "k"])
@@ -825,7 +957,7 @@ def read_pb_dump_ddl(spark, path: str) -> "DataFrame":  # noqa: F821
         for pdf in batches:
             rows = []
             for content in pdf["content"]:
-                for payload in iter_records(bytes(content)):
+                for payload in scan_records(bytes(content)):
                     b = decode_binlog(payload)
                     if b["tp"] == DDL:
                         rows.append((b["commit_ts"], b["ddl_query"]))

@@ -106,9 +106,14 @@ def main() -> None:
     out: dict = {"metric": "stream_kill_resume", "sf_dir": sf_dir,
                  "n_segments": n_segments}
     try:
-        # -- land segments (same shape as tools/stream_scale_check)
+        # -- land segments (same shape as tools/stream_scale_check).
+        # row_json is blanked: with no sink catalog wired the apply
+        # path never reads it, and carrying the full image through
+        # landing + relay WAL at 100M events costs ~25 GB of the
+        # 58 GB free disk this campaign has to live in.
         ch = (change_stream(spark, sf_dir)
               .withColumn("tbl", F.concat_ws("_", "db", "tbl"))
+              .withColumn("row_json", F.lit("{}"))
               .select(*STREAM_COLS)).persist()
         n = ch.count()
         tables = sorted(r["tbl"] for r in
