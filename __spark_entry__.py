@@ -4143,27 +4143,74 @@ def q_corpus_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # keys. Last recorded gate: CORRECTNESS_r10 (50/50 hash-green over
-    # the r10 window, now rotated to the tail with the freshest
-    # evidence). This r11 rotation promotes the head of the r11 queue
-    # (VERDICT r10 item 3) — 17 rows whose last driver row is r6 and
-    # the 30 oldest r7 rows — with three swaps so every
-    # behavior-changed query gets a driver row THIS round:
-    #   * snapshot_stats_merge (global KMV sketch -> TakeOrdered fix),
-    #     cdc_txn_batches (hierarchical offset carry), and
-    #     cdc_causality_groups (empty/null-edge hardening) move INTO
-    #     the window;
-    #   * corpus_ngram_topk / snapshot_zorder_layout / mm_phash_pairs
-    #     (r7-green, code untouched) yield their slots and head the
-    #     r12 queue.
-    # After this window every registry row's last driver check is r7+
-    # except the 19 queue rows heading r12 (all r7-green, ledger-
-    # checked every round).
+    # keys. Last recorded gate: CORRECTNESS_r11 (50/50 hash-green over
+    # the r11 window). This r12 rotation (VERDICT r11 item 4) promotes
+    # the 19 rows whose last driver check is r6/r7 (the r11 queue
+    # head: corpus_ngram_topk, snapshot_zorder_layout, mm_phash_pairs
+    # + 16 more) and the 24 oldest r8 rows, then swaps in the SEVEN
+    # queries whose behavior round 12 changes:
+    #   * cdc_kv_decode / cdc_kv_decode_update / cdc_kv_decode_delete
+    #     (numpy lockstep batch codec, functions/kvcodec_np.py);
+    #   * dedup_simhash / dedup_simhash_pairs (integer bit votes);
+    #   * cdc_reparo_replay / cdc_pitr_restore (scan_records batched
+    #     CRC + shape-specialized pb unmarshal).
+    # After this window every registry row's last driver check is r8+
+    # (the 25 remaining r8 rows head the r13 queue).
     return {
-        # -- r11 window: the 50 longest-stale rows + 3 swaps ------
+        # -- r12 window: 19 r7 + 24 oldest r8 + 7 behavior-changed --
+        "corpus_ngram_topk": q_corpus_ngram_topk,
+        "snapshot_zorder_layout": q_snapshot_zorder_layout,
+        "mm_phash_pairs": q_mm_phash_pairs,
+        "cdc_checkpoint_lag": q_cdc_checkpoint_lag,
+        "events_windowed_topk": q_events_windowed_topk,
+        "corpus_kmv_distinct": q_corpus_kmv_distinct,
+        "events_anomaly_zscore": q_events_anomaly_zscore,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "corpus_surprisal_histogram": q_corpus_surprisal_histogram,
+        "events_active_users": q_events_active_users,
+        "events_bot_regularity": q_events_bot_regularity,
+        "snapshot_diff_repair": q_snapshot_diff_repair,
+        "corpus_gate_sweep": q_corpus_gate_sweep,
+        "corpus_kmv_merge": q_corpus_kmv_merge,
+        "doc_semantic_chunks": q_doc_semantic_chunks,
+        "text_lang_confusion": q_text_lang_confusion,
+        "events_funnel_dropoff": q_events_funnel_dropoff,
+        "corpus_fold_leakage": q_corpus_fold_leakage,
+        "corpus_effective_tokens": q_corpus_effective_tokens,
+        "corpus_tfidf_topk": q_corpus_tfidf_topk,
+        "snapshot_large_orders": q_snapshot_large_orders,
+        "snapshot_top_supplier": q_snapshot_top_supplier,
+        "snapshot_forecast_revenue": q_snapshot_forecast_revenue,
+        "cdc_disorder_displacement": q_cdc_disorder_displacement,
+        "corpus_source_overlap": q_corpus_source_overlap,
+        "corpus_temperature_mix": q_corpus_temperature_mix,
+        "events_type_transitions": q_events_type_transitions,
+        "mm_audio_features": q_mm_audio_features,
+        "snapshot_diff_drilldown": q_snapshot_diff_drilldown,
+        "dedup_lsh_calibration": q_dedup_lsh_calibration,
+        "corpus_gate_report": q_corpus_gate_report,
+        "cdc_incremental_distinct": q_cdc_incremental_distinct,
+        "events_session_paths": q_events_session_paths,
+        "dedup_savings_report": q_dedup_savings_report,
+        "cdc_hot_keys": q_cdc_hot_keys,
+        "snapshot_bracket_revenue": q_snapshot_bracket_revenue,
+        "events_ohlc": q_events_ohlc,
+        "cdc_salt_advisor": q_cdc_salt_advisor,
+        "corpus_oov_rate": q_corpus_oov_rate,
+        "events_multitouch": q_events_multitouch,
+        "corpus_hll_registers": q_corpus_hll_registers,
+        "snapshot_compaction_plan": q_snapshot_compaction_plan,
+        "corpus_pagerank": q_corpus_pagerank,
+        "cdc_kv_decode": q_cdc_kv_decode,
+        "cdc_kv_decode_update": q_cdc_kv_decode_update,
+        "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "cdc_reparo_replay": q_cdc_reparo_replay,
+        "cdc_pitr_restore": q_cdc_pitr_restore,
+        # -- end of driver window (first 50 keys above) --
         "dedup_quality_canonicals": q_dedup_quality_canonicals,
         "events_sessionize": q_events_sessionize,
-        "dedup_simhash": q_dedup_simhash,
         "cdc_truncated_drop": q_cdc_truncated_drop,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "dedup_substring_spans": q_dedup_substring_spans,
@@ -4211,56 +4258,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_stats_merge": q_snapshot_stats_merge,
         "cdc_txn_batches": q_cdc_txn_batches,
         "cdc_causality_groups": q_cdc_causality_groups,
-        # ------------------------------------------------------------
-        # below the driver's 50-row window: the r12 queue (three
-        # swapped-out rows first, then the r7-green remainder). Every
-        # query below is ledger-checked each round (LEDGER_r12).
-        # ------------------------------------------------------------
-        "corpus_ngram_topk": q_corpus_ngram_topk,
-        "snapshot_zorder_layout": q_snapshot_zorder_layout,
-        "mm_phash_pairs": q_mm_phash_pairs,
-        "cdc_checkpoint_lag": q_cdc_checkpoint_lag,
-        "events_windowed_topk": q_events_windowed_topk,
-        "corpus_kmv_distinct": q_corpus_kmv_distinct,
-        "events_anomaly_zscore": q_events_anomaly_zscore,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "corpus_surprisal_histogram": q_corpus_surprisal_histogram,
-        "events_active_users": q_events_active_users,
-        "events_bot_regularity": q_events_bot_regularity,
-        "snapshot_diff_repair": q_snapshot_diff_repair,
-        "corpus_gate_sweep": q_corpus_gate_sweep,
-        "corpus_kmv_merge": q_corpus_kmv_merge,
-        "doc_semantic_chunks": q_doc_semantic_chunks,
-        "text_lang_confusion": q_text_lang_confusion,
-        "events_funnel_dropoff": q_events_funnel_dropoff,
-        "corpus_fold_leakage": q_corpus_fold_leakage,
-        "corpus_effective_tokens": q_corpus_effective_tokens,
-        # -- r8 window (CORRECTNESS_r08 50/50; snapshot_stats_merge
-        #    promoted to the r11 window)
-        "corpus_tfidf_topk": q_corpus_tfidf_topk,
-        "snapshot_large_orders": q_snapshot_large_orders,
-        "snapshot_top_supplier": q_snapshot_top_supplier,
-        "snapshot_forecast_revenue": q_snapshot_forecast_revenue,
-        "cdc_disorder_displacement": q_cdc_disorder_displacement,
-        "corpus_source_overlap": q_corpus_source_overlap,
-        "corpus_temperature_mix": q_corpus_temperature_mix,
-        "events_type_transitions": q_events_type_transitions,
-        "mm_audio_features": q_mm_audio_features,
-        "snapshot_diff_drilldown": q_snapshot_diff_drilldown,
-        "dedup_lsh_calibration": q_dedup_lsh_calibration,
-        "corpus_gate_report": q_corpus_gate_report,
-        "cdc_incremental_distinct": q_cdc_incremental_distinct,
-        "events_session_paths": q_events_session_paths,
-        "dedup_savings_report": q_dedup_savings_report,
-        "cdc_hot_keys": q_cdc_hot_keys,
-        "snapshot_bracket_revenue": q_snapshot_bracket_revenue,
-        "events_ohlc": q_events_ohlc,
-        "cdc_salt_advisor": q_cdc_salt_advisor,
-        "corpus_oov_rate": q_corpus_oov_rate,
-        "events_multitouch": q_events_multitouch,
-        "corpus_hll_registers": q_corpus_hll_registers,
-        "snapshot_compaction_plan": q_snapshot_compaction_plan,
-        "corpus_pagerank": q_corpus_pagerank,
         "corpus_dsir_select": q_corpus_dsir_select,
         "ann_ivf_incremental": q_ann_ivf_incremental,
         "ann_int8_quant": q_ann_int8_quant,
@@ -4286,8 +4283,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dau_wau_mau": q_events_dau_wau_mau,
         "events_cusum_changepoint": q_events_cusum_changepoint,
         "cdc_asof_diff": q_cdc_asof_diff,
-        # -- r9 window (CORRECTNESS_r09 50/50; cdc_txn_batches and
-        #    cdc_causality_groups promoted to the r11 window)
         "events_did_uplift": q_events_did_uplift,
         "corpus_novelty_curve": q_corpus_novelty_curve,
         "cdc_write_amplification": q_cdc_write_amplification,
@@ -4296,9 +4291,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_tokenizer_fertility": q_corpus_tokenizer_fertility,
         "corpus_quantile_merge": q_corpus_quantile_merge,
         "dedup_idempotence": q_dedup_idempotence,
-        "cdc_kv_decode": q_cdc_kv_decode,
-        "cdc_kv_decode_update": q_cdc_kv_decode_update,
-        "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
         "sink_payload_roundtrip": q_sink_payload_roundtrip,
         "sink_sql_generation": q_sink_sql_generation,
         "cdc_type_format": q_cdc_type_format,
@@ -4315,7 +4307,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_temporal_join": q_cdc_temporal_join,
         "cdc_incremental_rollup": q_cdc_incremental_rollup,
         "sink_kafka_obinlog": q_sink_kafka_obinlog,
-        "cdc_reparo_replay": q_cdc_reparo_replay,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "cdc_loopback_filter": q_cdc_loopback_filter,
@@ -4336,8 +4327,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_orders": q_snapshot_diff_orders,
         "snapshot_pricing_summary": q_snapshot_pricing_summary,
         "snapshot_revenue_by_nation": q_snapshot_revenue_by_nation,
-        # -- r10 window (CORRECTNESS_r10 50/50): freshest driver
-        #    rows, rotated to the tail
         "cdc_snapshot_apply": q_cdc_snapshot_apply,
         "cdc_order_audit": q_cdc_order_audit,
         "cdc_kway_merge": q_cdc_kway_merge,
@@ -4351,10 +4340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": q_text_contamination,
         "text_pack_sequences": q_text_pack_sequences,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "cdc_pitr_restore": q_cdc_pitr_restore,
         "corpus_inverted_index": q_corpus_inverted_index,
         "snapshot_returned_items": q_snapshot_returned_items,
         "snapshot_volume_shipping": q_snapshot_volume_shipping,
