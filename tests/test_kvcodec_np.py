@@ -262,3 +262,28 @@ def test_stream_engines_agree(spark):
     c = kv.decode_insert_stream(raw_rows, kv_info, engine="numpy") \
         .orderBy("arrival_seq").collect()
     assert a == c
+
+
+def test_v2_large_format_decode_parity():
+    """the rowcodec v2 LARGE header branch (4-byte ids/offsets: col id
+    > 255 or value bytes > 0xFFFF, plus force_large) decodes equal to
+    the row loop — the small-cid fixtures never exercise it."""
+    info = kv.KVTableInfo(
+        columns=(kv.ColInfo(1, "pk", "long"),
+                 kv.ColInfo(2, "val", "double"),
+                 kv.ColInfo(3, "k", "string"),
+                 kv.ColInfo(300, "wide", "string")))
+    rng = random.Random(9)
+    rows = []
+    for i in range(200):
+        vals = {1: i, 2: None if i % 7 == 0 else 1.5 * i}
+        if i % 3:
+            vals[3] = "s" * (i % 50)
+        if i % 2:
+            vals[300] = "L" * (70000 if i % 5 == 0 else 10)
+        rows.append(kv.encode_row_v2(info, vals,
+                                     force_large=(i % 4 == 0)))
+    refs = [_surface(kv.decode_delete_row(info, r), info) for r in rows]
+    values, fb = kn.decode_batch_delete(info, rows)
+    assert not fb.any()
+    _check(values, refs, info)
