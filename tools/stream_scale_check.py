@@ -69,6 +69,9 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scale", "sf1")
     n_segments = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    # "sql" runs only stream 1 (the r12 profile campaign drives the
+    # SQL-apply leg alone, with SPARK_GRAFT_APPLY_PROFILE set)
+    only = sys.argv[3] if len(sys.argv) > 3 else "all"
     # Aggressive periodic ContextCleaner GC: with a 48g driver heap,
     # driver GC almost never fires on its own, so shuffle files and
     # superseded localCheckpoint blocks from dozens of micro-batches
@@ -167,6 +170,16 @@ def main() -> None:
         want_sql = (apply_snapshot(ordering.ordered_stream(ch))
                     .select("tbl", "pk", "val"))
         out["sql_match"] = _frames_equal(got_sql, want_sql)
+
+        if only == "sql":
+            out["events_per_s_sql_apply"] = round(n / max(sql_apply_raw,
+                                                          1e-6))
+            release_all()
+            print(json.dumps(out))
+            if not out.get("sql_match"):
+                raise SystemExit("stream/batch mismatch: "
+                                 + json.dumps(out))
+            return
 
         # -- 2. maintained aggregate (IVM) ----------------------------
         t0 = time.time()
