@@ -198,8 +198,15 @@ def apply_statements(stmts: DataFrame, db_dir: str,
                 conn = sqlite3.connect(path)
                 conn.execute("PRAGMA busy_timeout=30000")
                 try:
+                    # setup through the retry policy too: CREATE IF
+                    # NOT EXISTS is idempotent, and when every worker
+                    # reaches its first write simultaneously (warm
+                    # cache upstream) a sibling's minutes-long batch
+                    # txn holds the file lock far past busy_timeout —
+                    # r12 caught this as a raw "database is locked"
+                    # from the unprotected setup loop at 100M events
                     for s in setup:
-                        conn.execute(s)
+                        _execute_with_retry(conn, s, policy, None)
                     for row in wrows:
                         _execute_with_retry(conn, row["sql_text"],
                                             policy, inject)

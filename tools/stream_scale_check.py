@@ -90,6 +90,15 @@ def main() -> None:
         ch = (change_stream(spark, sf_dir)
               .withColumn("tbl", F.concat_ws("_", "db", "tbl"))
               .select(*STREAM_COLS))
+        # profile-mode relief valve: with no sink catalog wired the
+        # SQL-apply path never reads row_json, and carrying the full
+        # image through a 100M-event landing put this host's 24g heap
+        # over the edge (r12 OOM during the segment writes). Blanked
+        # images change no apply semantics; absolute ev/s is recorded
+        # as profile-mode, not compared against image-carrying runs.
+        if os.environ.get("STREAM_SCALE_BLANK_ROWJSON"):
+            ch = ch.withColumn("row_json", F.lit("{}"))
+            out["row_json_blanked"] = True
         ch = ch.persist()
         n = ch.count()
         # the '_' join is ambiguous in general ((a, b_c) and (a_b, c)
@@ -118,9 +127,13 @@ def main() -> None:
         os.makedirs(src)
         cut = hi // n_segments + 1
         for i in range(n_segments):
+            # repartition, not coalesce: coalesce(4) drains the whole
+            # cached segment through 4 tasks whose parquet read-ahead
+            # buffers OOM'd a 24g heap at 100M events (r12, twice);
+            # the shuffle keeps the read side at full parallelism
             (ch.filter((F.col("arrival_seq") >= i * cut)
                        & (F.col("arrival_seq") < (i + 1) * cut))
-             .coalesce(4).write.mode("append").parquet(src))
+             .repartition(4).write.mode("append").parquet(src))
         sources = tuple(sorted(
             r["source_id"] for r in ch.select("source_id")
             .distinct().collect()))
