@@ -48,6 +48,48 @@ from pyspark.sql import types as T
 LOCAL_CC_MAX_EDGES = 500_000
 
 
+def _local_components_np(txn, kinv, n_keys):
+    """Vectorized driver CC over the bipartite txn<->key edge list
+    (r12: the 100M-event apply profile measured the DISTRIBUTED
+    fixpoint as 66% of per-batch time at ~6M edges — far above the
+    old 500k python-union-find gate, far below where the driver
+    actually runs out of road). Same min-label fixpoint as both other
+    paths, computed with sort-once + np.minimum.reduceat grouped mins
+    and pointer jumping per round (labels are txn ids, so jumping is
+    one searchsorted gather).
+
+    txn: int64 edge txn ids; kinv: int64 key codes 0..n_keys-1 (every
+    code present at least once — pandas factorize output). Returns
+    (unique txn ids, their component labels = min txn of component).
+    """
+    import numpy as np
+    ut, tinv = np.unique(txn, return_inverse=True)
+    korder = np.argsort(kinv, kind="stable")
+    kbounds = np.flatnonzero(
+        np.r_[True, kinv[korder][1:] != kinv[korder][:-1]])
+    torder = np.argsort(tinv, kind="stable")
+    tbounds = np.flatnonzero(
+        np.r_[True, tinv[torder][1:] != tinv[torder][:-1]])
+    tlab = ut.copy()
+    for _ in range(64):
+        # key label = min over its edges' txn labels (groups arrive
+        # in code order 0..n_keys-1 because factorize covers every
+        # code); txn label = min(own, min over its keys' labels)
+        klab = np.minimum.reduceat(tlab[tinv][korder], kbounds)
+        new = np.minimum(tlab, np.minimum.reduceat(
+            klab[kinv][torder], tbounds))
+        # pointer jumping: a label IS a txn id, so shortcut through
+        # that txn's current label
+        new = np.minimum(new, tlab[np.searchsorted(ut, new)])
+        if np.array_equal(new, tlab):
+            return ut, tlab
+        tlab = new
+    raise RuntimeError(
+        "local causality CC did not converge in 64 rounds — "
+        "component diameter beyond pointer-jumped bounds "
+        "(corrupt edge list?)")
+
+
 def _local_components(rows) -> "pandas.DataFrame":
     """Driver-side union-find over collected (txn_id, key) rows.
 
@@ -135,13 +177,20 @@ def _causality_groups_on_edges(txn_keys, edges, max_iter,
     id_type = txn_keys.schema["txn_id"].dataType
 
     if local_threshold and edges.count() <= local_threshold:
+        import numpy as np
+        import pandas as pd
         epdf = edges.toPandas()            # Arrow batch transfer
-        pdf = _local_components(
-            zip(epdf["txn_id"].tolist(), epdf["key"].tolist()))
         schema = T.StructType([T.StructField("txn_id", id_type),
                                T.StructField("group_id", id_type)])
-        if pdf.empty:
+        if epdf.empty:
             return txn_keys.sparkSession.createDataFrame([], schema=schema)
+        # numpy min-label fixpoint (r12) — the python union-find
+        # (_local_components) stays as the parity oracle in tests
+        kcodes, _ = pd.factorize(epdf["key"])
+        ut, lab = _local_components_np(
+            epdf["txn_id"].to_numpy(np.int64),
+            kcodes.astype(np.int64), int(kcodes.max()) + 1)
+        pdf = pd.DataFrame({"txn_id": ut, "group_id": lab})
         return txn_keys.sparkSession.createDataFrame(pdf, schema=schema)
 
     labels = edges.select("txn_id").distinct() \

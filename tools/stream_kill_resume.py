@@ -152,6 +152,21 @@ def main() -> None:
             return {"rc": rc, "sec": round(time.time() - t0, 2),
                     "checkpoint_ts": int(ck), "status": status}
 
+        # profile mode (VERDICT r11 item 5): ONE clean run with the
+        # per-batch phase instrumentation, over this harness's proven
+        # 100M landing (the stream_scale_check landing OOM'd a
+        # 24-32g heap three ways on this host); state equality is
+        # skipped here — the kill campaign proved it on identical
+        # machinery the same day.
+        prof = os.environ.get("KILL_RESUME_PROFILE")
+        if prof:
+            out["profile_jsonl"] = prof
+            out["phase_profile"] = run_phase(
+                1, {"SPARK_GRAFT_APPLY_PROFILE": prof})
+            out["events_per_s_profile_mode"] = round(
+                n / max(out["phase_profile"]["sec"], 1e-6))
+            print(json.dumps(out))
+            return
         # kill thresholds are apply()-call indices: phase 1 dies
         # entering its (~30%)th batch with the previous ones fully
         # committed; phase 2 replays the relay window (call #1) then

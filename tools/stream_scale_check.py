@@ -99,6 +99,12 @@ def main() -> None:
         if os.environ.get("STREAM_SCALE_BLANK_ROWJSON"):
             ch = ch.withColumn("row_json", F.lit("{}"))
             out["row_json_blanked"] = True
+            # bound the cached partition size too: the parquet-split
+            # partitioning leaves ~40 partitions at 100M events, and
+            # a deserialized cache read of 2.5M-row partitions x 32
+            # concurrent tasks OOM'd the 24g heap (r12, stage-256
+            # trio) — 512 cached partitions keep each task ~200k rows
+            ch = ch.repartition(512)
         ch = ch.persist()
         n = ch.count()
         # the '_' join is ambiguous in general ((a, b_c) and (a_b, c)
