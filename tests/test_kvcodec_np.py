@@ -287,3 +287,50 @@ def test_v2_large_format_decode_parity():
     values, fb = kn.decode_batch_delete(info, rows)
     assert not fb.any()
     _check(values, refs, info)
+
+
+def test_type_mismatched_datum_parity():
+    """ADVICE r12: a FLOAT (or compact-bytes) datum landing in a
+    ulong/decimal column must surface through _surface_value exactly
+    like the row-loop oracle — not leak a raw float/str."""
+    info = kv.KVTableInfo(columns=(kv.ColInfo(4, "u", "ulong"),
+                                   kv.ColInfo(5, "d10", "decimal"),
+                                   kv.ColInfo(3, "k", "string")))
+    bodies = [
+        # float datums under ulong/decimal/string col ids
+        (kv.encode_datum(4, "long") + kv.encode_datum(2.5, "double")
+         + kv.encode_datum(5, "long") + kv.encode_datum(-1.25, "double")
+         + kv.encode_datum(3, "long") + kv.encode_datum(7.5, "double")),
+        # numeric-string datums under ulong/decimal col ids
+        (kv.encode_datum(4, "long") + kv.encode_datum("123", "string")
+         + kv.encode_datum(5, "long") + kv.encode_datum("9.5", "string")
+         + kv.encode_datum(3, "long") + kv.encode_datum("x", "string")),
+        # a well-typed control row
+        (kv.encode_datum(4, "long") + kv.encode_datum(7, "ulong")
+         + kv.encode_datum(5, "long") + kv.encode_datum(D("1.50"),
+                                                        "decimal")
+         + kv.encode_datum(3, "long") + kv.encode_datum("ok", "string")),
+    ]
+    refs = [_surface(kv.decode_delete_row(info, b), info)
+            for b in bodies]
+    values, _ = kn.decode_batch_delete(info, bodies)
+    _check(values, refs, info)
+
+
+def test_fixture_encode_decimal_guard_at_int64_extremes():
+    """ADVICE r12: np.abs(int64 min) wraps negative, slipping past the
+    old pk*10001 overflow guard — the two-sided guard must route
+    int64-extreme pks to the row-loop fallback (byte parity)."""
+    kv_info = kv.KVTableInfo(columns=INFO.columns[:6], pk_handle_id=1)
+    pk = np.array([-2 ** 63, 2 ** 63 - 1, -2 ** 62, 2 ** 62,
+                   (2 ** 62) // 10001, -((2 ** 62) // 10001), 0, 5],
+                  dtype=np.int64)
+    n = len(pk)
+    seq = np.arange(n, dtype=np.int64)
+    val = np.linspace(0.0, 1.0, n)
+    ks = pd.Series([f"k{i}" for i in range(n)], dtype=object)
+    out = kn.encode_batch_insert_fixture(kv_info, seq, pk, val, ks)
+    for i in range(n):
+        assert out[i] == kn._row_insert_fixture(
+            kv_info, int(seq[i]), int(pk[i]), float(val[i]),
+            str(ks[i])), f"pk {pk[i]}"

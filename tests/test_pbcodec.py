@@ -346,3 +346,73 @@ def test_dml_rows_fast_parity_with_generic_parse():
                                       vals["val"]["value"])),
                 vals["k"].get("changed_value", vals["k"]["value"])))
     assert fast == slow
+
+
+def test_dml_rows_fast_failure_leaves_rows_untouched():
+    """ADVICE r12: a payload that fails mid-parse (unknown DMLData
+    field AFTER a valid event) must leave the shared rows list
+    untouched, so the caller's generic-parse fallback can't duplicate
+    the already-staged events."""
+    import pytest
+
+    def cols(i):
+        return [pb.encode_column("pk", 8, "bigint", i, "long"),
+                pb.encode_column("val", 5, "double", i * 1.5, "double"),
+                pb.encode_column("k", 15, "varchar", f"k{i}", "string")]
+
+    ev1 = pb.encode_event("d", "t", pb.INSERT, cols(1))
+    ev2 = pb.encode_event("d", "t", pb.INSERT, cols(2))
+    # DMLData with an unknown varint field BETWEEN the two events:
+    # the fast parser raises after staging event 1
+    dml = (pb._field_bytes(1, ev1) + pb._field_varint(2, 7)
+           + pb._field_bytes(1, ev2))
+    payload = (pb._field_varint(1, pb.DML) + pb._field_varint(2, 500)
+               + pb._field_bytes(3, bytes(dml)))
+    rows = [("sentinel",)]
+    with pytest.raises(ValueError):
+        pb._dml_rows_fast(payload, rows)
+    assert rows == [("sentinel",)]
+    # the read_pb_dump caller pattern then yields exactly 2 events
+    rows = []
+    try:
+        pb._dml_rows_fast(payload, rows)
+    except (KeyError, ValueError, IndexError):
+        b = pb.decode_binlog(payload)
+        for ev in b["events"]:
+            vals = {c["name"]: c for c in ev["columns"]}
+            rows.append((b["commit_ts"], ev["schema_name"],
+                         ev["table_name"], pb._OP_OF_TP[ev["tp"]],
+                         vals["pk"]["value"],
+                         float(vals["val"]["value"]),
+                         vals["k"]["value"]))
+    assert len(rows) == 2 and [r[4] for r in rows] == [1, 2]
+
+
+def test_scan_records_reports_first_corruption_in_offset_order():
+    """ADVICE r12: CRC corruption at an EARLIER offset must win over a
+    magic mismatch later in the file — identical to iter_records'
+    first-corrupt-record semantics."""
+    import pytest
+
+    payloads = [pb.encode_binlog(10 + i, [pb.encode_event(
+        "d", "t", pb.INSERT,
+        [pb.encode_column("pk", 8, "bigint", i, "long"),
+         pb.encode_column("val", 5, "double", i * 1.5, "double"),
+         pb.encode_column("k", 15, "varchar", f"k{i}", "string")])])
+        for i in range(50)]
+    blob = bytearray(b"".join(pb.frame_record(p) for p in payloads))
+    off_crc = sum(16 + len(p) for p in payloads[:10])
+    off_magic = sum(16 + len(p) for p in payloads[:30])
+    blob[off_crc + 14] ^= 0xFF      # payload byte -> CRC mismatch
+    blob[off_magic] ^= 0xFF         # later magic mismatch
+    with pytest.raises(ValueError) as e1:
+        list(pb.iter_records(bytes(blob)))
+    with pytest.raises(ValueError) as e2:
+        pb.scan_records(bytes(blob))
+    assert str(e1.value) == str(e2.value) \
+        == f"crc mismatch at offset {off_crc}"
+    # and with ONLY the later magic corruption, both report the magic
+    blob[off_crc + 14] ^= 0xFF      # restore the payload byte
+    with pytest.raises(ValueError, match=f"magic mismatch at offset "
+                                         f"{off_magic}"):
+        pb.scan_records(bytes(blob))

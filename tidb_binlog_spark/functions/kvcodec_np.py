@@ -428,11 +428,18 @@ def _value_at(scan, buf, raw, step_of_row, rows, kind, out):
     m = f == FLOAT_FLAG
     if m.any():
         vals = _ordered_to_f64(u[m]).tolist()
+        if kind != "double":
+            # type-mismatched datum (float landing in a ulong/decimal/
+            # json column): the row-loop oracle surfaces it through
+            # _surface_value — do the same instead of raw float
+            vals = [_surface_value(v, kind) for v in vals]
         _assign(out, rows[m], vals)
     m = f == COMPACT_BYTES_FLAG
     if m.any():
         ss, nn = s[m].tolist(), ln[m].tolist()
         vals = [raw[a:a + b].decode("utf-8") for a, b in zip(ss, nn)]
+        if kind != "string":
+            vals = [_surface_value(v, kind) for v in vals]
         _assign(out, rows[m], vals)
     m = f == DECIMAL_FLAG
     if m.any():
@@ -1025,10 +1032,13 @@ def encode_batch_insert_fixture(info: KVTableInfo, seq, pk, val, k):
     dec_col = next((c for c in info.columns if c.kind == "decimal"), None)
     dur_col = next((c for c in info.columns if c.kind == "duration"), None)
 
-    # decimal digit math needs pk*10001 exact in int64
+    # decimal digit math needs pk*10001 exact in int64 (two-sided
+    # compare, not np.abs: abs(int64 min) overflows back to negative
+    # and would slip past the guard)
     fallback = np.zeros(n, bool)
     if dec_col is not None:
-        fallback |= np.abs(pk) > (2 ** 62) // 10001
+        lim = (2 ** 62) // 10001
+        fallback |= (pk > lim) | (pk < -lim)
     if _fixture_guard(info, n):
         fallback[:] = True
 
@@ -1044,8 +1054,10 @@ def encode_batch_insert_fixture(info: KVTableInfo, seq, pk, val, k):
     pk_u = pk.view(np.uint64)
     u_v = np.where((pk % 2) == 1, np.uint64(0) - pk_u, pk_u) \
         if u_col is not None else None
-    dec_mat, dec_n = (_decimal2_mat(pk * 10001) if dec_col is not None
-                      else (None, None))
+    # mask fallback rows to 0 before the multiply: their bytes come
+    # from _row_insert_fixture anyway, and pk*10001 would wrap int64
+    dec_mat, dec_n = (_decimal2_mat(np.where(fallback, 0, pk) * 10001)
+                      if dec_col is not None else (None, None))
     dur_v = ((seq % 86400) * 1_000_000_000 if dur_col is not None
              else None)
 

@@ -291,10 +291,16 @@ def scan_records(data: bytes) -> list[bytes]:
     pos, n = 0, len(data)
     u32, u64 = struct.Struct("<I"), struct.Struct("<Q")
     starts, lens, stored, offs = [], [], [], []
+    magic_err = None          # (offset) of the first bad magic, if any
     while pos < n:
         (magic,) = u32.unpack_from(data, pos)
         if magic != MAGIC:
-            raise ValueError(f"magic mismatch at offset {pos}")
+            # Don't raise yet: an EARLIER record may have a bad CRC,
+            # and iter_records (first-corrupt-record semantics) would
+            # report that one. Verify the records walked so far and
+            # raise whichever corruption has the lower offset.
+            magic_err = pos
+            break
         (length,) = u64.unpack_from(data, pos + 4)
         starts.append(pos + 12)
         lens.append(length)
@@ -307,6 +313,8 @@ def scan_records(data: bytes) -> list[bytes]:
     bad = np.nonzero(got != want)[0]
     if len(bad):
         raise ValueError(f"crc mismatch at offset {offs[int(bad[0])]}")
+    if magic_err is not None:
+        raise ValueError(f"magic mismatch at offset {magic_err}")
     return payloads
 
 
@@ -816,7 +824,10 @@ def _dml_rows_fast(payload: bytes, rows: list) -> None:
     tuple). Raises KeyError/ValueError/IndexError on any shape it
     doesn't recognize — the caller falls back to the generic parser
     for THAT payload, so unusual dumps stay correct (parity pinned by
-    tests/test_pbcodec.py)."""
+    tests/test_pbcodec.py). Rows are staged in a local list and only
+    extended onto `rows` after the WHOLE payload parses, so a
+    mid-payload raise leaves `rows` untouched and the fallback
+    re-parse cannot duplicate earlier events."""
     pos, n = 0, len(payload)
     tp = ct = None
     dml = None
@@ -843,6 +854,7 @@ def _dml_rows_fast(payload: bytes, rows: list) -> None:
             return
         raise ValueError("no commit_ts")
     pos, n = 0, len(dml)
+    staged: list = []
     while pos < n:
         key, pos = _read_uvarint(dml, pos)
         if key != (1 << 3) | 2:
@@ -896,8 +908,9 @@ def _dml_rows_fast(payload: bytes, rows: list) -> None:
                     # tp / mysql_type: constant headers, skipped
                 datum = changed if has_changed else value
                 vals[name] = decode_datum(datum, 0)[0]
-        rows.append((ct, schema, table, _OP_OF_TP[etp],
-                     vals[b"pk"], float(vals[b"val"]), vals[b"k"]))
+        staged.append((ct, schema, table, _OP_OF_TP[etp],
+                       vals[b"pk"], float(vals[b"val"]), vals[b"k"]))
+    rows.extend(staged)
 
 
 def read_pb_dump(spark, path: str, start_ts: int | None = None,
