@@ -812,6 +812,83 @@ def write_pb_dump(changes, path: str, partitions: int | None = None,
      .write.format("noop").mode("overwrite").save())
 
 
+def write_pb_segments(changes, path: str, suffix: str = "",
+                      partitions: int | None = None,
+                      ddls=None) -> list[dict]:
+    """Segmented variant of :func:`write_pb_dump` for the STREAMING
+    file sink (streaming/file_dump_stream): same record framing and
+    ts-bucketed layout, plus
+
+    - file names carry the first AND last record commit-ts —
+      ``binlog-<bucket>-<first>-<last><suffix>.pb`` — so crash
+      recovery (truncate segments past the checkpoint) and retention
+      GC (drop segments wholly below the safepoint) are name-driven,
+      the role the reference's segment index + pb.Pos cursor play
+      (pkg/binlogfile/binlogger.go:50, drainer/sync/pb.go:38-120);
+    - each file lands via tmp + atomic rename, so a reader scanning
+      ``*.pb`` never sees a torn segment and a re-delivered
+      micro-batch overwrites its own files idempotently.
+
+    Returns the written segments as [{"file", "n", "first_ts",
+    "last_ts"}] — one entry per non-empty partition, driver-bounded.
+    """
+    if partitions is None:
+        partitions = int(changes.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+    payloads = binlog_payloads(changes)
+    if ddls is not None:
+        payloads = payloads.unionByName(ddl_payloads(ddls))
+    os.makedirs(path, exist_ok=True)
+
+    import pandas as pd
+
+    def write_partition(batches: Iterator[pd.DataFrame]
+                        ) -> Iterator[pd.DataFrame]:
+        # buffer the partition's framed bytes, then name the file by
+        # (bucket, first_ts, last_ts) and publish with atomic rename
+        chunks: list[bytes] = []
+        first_ct = last_ct = None
+        n_out = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if first_ct is None:
+                first_ct = int(pdf["commit_ts"].iloc[0])
+            last_ct = int(pdf["commit_ts"].iloc[-1])
+            recs = [bytes(p) for p in pdf["payload"]]
+            crcs = crc32c_batch(recs)
+            chunks.append(b"".join(
+                struct.pack("<I", MAGIC) + struct.pack("<Q", len(p))
+                + p + struct.pack("<I", crc)
+                for p, crc in zip(recs, crcs)))
+            n_out += len(recs)
+        if first_ct is None:
+            yield pd.DataFrame({"file": pd.Series([], dtype=object),
+                                "n": pd.Series([], dtype="int64"),
+                                "first_ts": pd.Series([], dtype="int64"),
+                                "last_ts": pd.Series([], dtype="int64")})
+            return
+        bucket = first_ct // 100000
+        fn = os.path.join(
+            path, f"binlog-{bucket:010d}-{first_ct}-{last_ct}{suffix}.pb")
+        tmp = fn + ".tmp"
+        with open(tmp, "wb") as f:
+            for c in chunks:
+                f.write(c)
+        os.replace(tmp, fn)
+        yield pd.DataFrame({"file": [os.path.basename(fn)], "n": [n_out],
+                            "first_ts": [first_ct], "last_ts": [last_ct]})
+
+    out = (payloads
+           .repartition(partitions,
+                        (payloads["commit_ts"] / 100000).cast("long"))
+           .sortWithinPartitions("commit_ts")
+           .mapInPandas(write_partition,
+                        "file string, n long, first_ts long, last_ts long")
+           .collect())
+    return [r.asDict() for r in out]
+
+
 _OP_OF_TP = {INSERT: "I", UPDATE: "U", DELETE: "D"}
 
 
