@@ -241,6 +241,52 @@ def _causality_groups_on_edges(txn_keys, edges, max_iter,
     return labels.withColumnRenamed("label", "group_id")
 
 
+def stamp_workers(changes: DataFrame, groups: DataFrame,
+                  num_workers: int = 16,
+                  txn_col: str = "commit_ts") -> DataFrame:
+    """Stamp a (txn_id, group_id) labeling onto the statement frame as
+    (group_id, worker_id) — the join half of
+    :func:`conflict_free_partitions`, split out so the apply profile
+    can clock the CC fixpoint and the big-frame stamp separately
+    (VERDICT r12 item 1).
+
+    worker_id is computed on the SMALL groups frame before the join
+    (one row per txn, not per statement) and the join side is
+    broadcast-hinted when the labeling fits (one row per txn —
+    bounded by the micro-batch's txn count, not corpus size), so the
+    statement frame keeps its partitioning instead of shuffling
+    through a sort-merge join (r13 A/B at 10M events; numbers in
+    SCALING.md). The count guarding the hint is cheap: the
+    distributed fixpoint localCheckpoints its final labels and the
+    local gate builds them on the driver. Past the cap (default 8M
+    txns ~ 200MB serialized) the stamp falls back to the shuffle
+    join rather than force an oversized broadcast. Unmatched txns
+    (no key rows) fall back to singleton groups and get the same
+    hash, applied post-join on the big frame only for NULL rows."""
+    import os
+    small = groups.select(
+        F.col("txn_id"),
+        F.col("group_id"),
+        F.pmod(F.xxhash64(F.col("group_id")),
+               F.lit(num_workers)).alias("worker_id"))
+    cap = int(os.environ.get("SPARK_GRAFT_STAMP_BROADCAST_MAX",
+                             8_000_000))
+    if cap > 0 and groups.count() <= cap:
+        small = F.broadcast(small)
+    out = changes.join(small,
+                       changes[txn_col] == small.txn_id, "left") \
+                 .drop("txn_id")
+    # txns with no key rows: singleton groups (their own id) — a NULL
+    # group would hash every unmatched txn onto one worker
+    out = out.withColumn("group_id",
+                         F.coalesce(F.col("group_id"), F.col(txn_col)))
+    return out.withColumn(
+        "worker_id",
+        F.coalesce(F.col("worker_id"),
+                   F.pmod(F.xxhash64(F.col("group_id")),
+                          F.lit(num_workers))))
+
+
 def conflict_free_partitions(changes: DataFrame, txn_keys: DataFrame,
                              num_workers: int = 16,
                              txn_col: str = "commit_ts") -> DataFrame:
@@ -254,11 +300,5 @@ def conflict_free_partitions(changes: DataFrame, txn_keys: DataFrame,
     Txns with no key rows are singleton groups (their own id) — a NULL
     group would hash every unmatched txn onto one worker.
     """
-    groups = causality_groups(txn_keys)
-    out = changes.join(groups, changes[txn_col] == groups.txn_id, "left") \
-                 .drop("txn_id")
-    out = out.withColumn("group_id",
-                         F.coalesce(F.col("group_id"), F.col(txn_col)))
-    return out.withColumn(
-        "worker_id",
-        F.pmod(F.xxhash64(F.col("group_id")), F.lit(num_workers)))
+    return stamp_workers(changes, causality_groups(txn_keys),
+                         num_workers=num_workers, txn_col=txn_col)

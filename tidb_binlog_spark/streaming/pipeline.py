@@ -224,13 +224,15 @@ class SqlBatchApplier:
             txn_col="commit_ts")
         import os as _os
         prof_path = _os.environ.get("SPARK_GRAFT_APPLY_PROFILE")
+        shard_files = bool(_os.environ.get("SPARK_GRAFT_APPLY_SHARD_FILES"))
         if prof_path:
-            # profile mode (VERDICT r11 item 5): materialize the
-            # routed statements first so "plan + causality CC +
-            # statement generation" and "DB-API execution" get
-            # separate wall clocks in the JSONL record. The extra
-            # persist changes absolute timing — profile numbers are
-            # for decomposition, not headline rates.
+            # profile mode (VERDICT r11 item 5; r12 item 1 splits the
+            # routing leg): materialize each stage so "rewrite +
+            # sqlgen", "CC fixpoint", "big-frame stamp join", and
+            # "DB-API execution" get separate wall clocks in the
+            # JSONL record. The extra persists change absolute
+            # timing — profile numbers are for decomposition, not
+            # headline rates.
             import json as _json
             import time as _time
             t0 = _time.time()
@@ -238,24 +240,34 @@ class SqlBatchApplier:
             n_stmts = stmts.count()
             t_gen = _time.time() - t0           # rewrite + sqlgen
             t0 = _time.time()
-            routed = causality.conflict_free_partitions(
-                stmts, txn_keys, num_workers=num_workers,
+            groups = causality.causality_groups(txn_keys).persist()
+            n_groups = groups.count()
+            t_cc = _time.time() - t0            # CC fixpoint alone
+            t0 = _time.time()
+            routed = causality.stamp_workers(
+                stmts, groups, num_workers=num_workers,
                 txn_col="commit_ts").persist()
             routed.count()
-            t_cc = _time.time() - t0            # causality CC + route
+            t_stamp = _time.time() - t0         # big-frame stamp join
             t0 = _time.time()
             jdbc.apply_statements(routed, self.db_dir, num_workers,
                                   setup_sql=self.setup_sql,
                                   checkpoint_ts=ckpt_ts,
-                                  shared_db=True)
+                                  shared_db=True,
+                                  shard_files=shard_files)
             t_dbapi = _time.time() - t0
             with open(prof_path, "a") as fh:
                 fh.write(_json.dumps(
                     {"ckpt_ts": ckpt_ts, "n_stmts": int(n_stmts),
+                     "n_txn_groups": int(n_groups),
                      "stmt_gen_sec": round(t_gen, 3),
-                     "causality_cc_sec": round(t_cc, 3),
-                     "dbapi_exec_sec": round(t_dbapi, 3)}) + "\n")
+                     "causality_cc_sec": round(t_cc + t_stamp, 3),
+                     "cc_fixpoint_sec": round(t_cc, 3),
+                     "stamp_sec": round(t_stamp, 3),
+                     "dbapi_exec_sec": round(t_dbapi, 3),
+                     "shard_files": shard_files}) + "\n")
             routed.unpersist()
+            groups.unpersist()
             stmts.unpersist()
         else:
             # shared_db: the downstream is ONE database (the
@@ -265,7 +277,8 @@ class SqlBatchApplier:
             jdbc.apply_statements(routed, self.db_dir, num_workers,
                                   setup_sql=self.setup_sql,
                                   checkpoint_ts=ckpt_ts,
-                                  shared_db=True)
+                                  shared_db=True,
+                                  shard_files=shard_files)
         prepared.unpersist()
 
     def apply(self, batch_df: DataFrame) -> None:

@@ -29,9 +29,24 @@ the idempotent rewrite is required in steady state; the auto-window
 branch (status=crash -> 5-min window) is therefore bypassed by
 config, and each phase records the status byte it found instead.
 
-Usage: python tools/stream_kill_resume.py [SF_DIR] [N_SEGMENTS]
+Usage: python tools/stream_kill_resume.py [SF_DIR] [N_SEGMENTS] [STREAM]
 (default .scale/sf10 = 10M events for a rehearsal; the campaign run
 is .scale/sf100). Prints one JSON line.
+
+STREAM selects which streaming twin takes the kills (VERDICT r12
+item 5 extends the campaign beyond sql):
+  sql   (default) executed-SQL replication — recovery from the
+        DOWNSTREAM checkpoint table + relay feed alone; every restart
+        gets a FRESH Spark checkpoint dir (reference semantics,
+        drainer/checkpoint/mysql.go + drainer/relay.go).
+  ivm   MaterializedAggregate; scd2  MaterializedSCD2. These views'
+        recovery contract is different by design: Spark's offset log
+        re-delivers the in-flight batch with the SAME batch_id and
+        the view absorbs it via overwrite-idempotent versioned dirs +
+        one atomic JSON checkpoint (last_batch_id guard), so restarts
+        REUSE the stream's checkpoint dir — that contract is what the
+        kills prove, with phase 2 dying in the torn-version window
+        (every v+1 dir written, checkpoint still at v).
 """
 
 from __future__ import annotations
@@ -60,15 +75,36 @@ def _child(work: str, phase: int) -> int:
     from tidb_binlog_spark.session import get_spark
     from tidb_binlog_spark.sinks.relay import RelayLog
     from tidb_binlog_spark.streaming import pipeline
+    from tidb_binlog_spark.streaming.ivm import (run_ivm_stream,
+                                                 run_scd2_stream)
     from tools.common import shuffle_partitions_for
 
     with open(os.path.join(work, "meta.json")) as fh:
         meta = json.load(fh)
+    stream = meta.get("stream", "sql")
     spark = get_spark(f"kill_resume_p{phase}",
                       extra_conf={
                           "spark.cleaner.periodicGC.interval": "45s"})
     spark.conf.set("spark.sql.shuffle.partitions",
                    str(shuffle_partitions_for(meta["n_events"])))
+    if stream == "ivm":
+        q = run_ivm_stream(
+            spark, os.path.join(work, "src"),
+            os.path.join(work, "view_state"),
+            os.path.join(work, "ck_view"),     # REUSED across phases
+            sources=tuple(meta["sources"]),
+            max_files_per_trigger=meta["files_per_segment"])
+        q.awaitTermination(7200)
+        return 0
+    if stream == "scd2":
+        q = run_scd2_stream(
+            spark, os.path.join(work, "src"),
+            os.path.join(work, "view_state"),
+            os.path.join(work, "ck_view"),     # REUSED across phases
+            sources=tuple(meta["sources"]),
+            max_files_per_trigger=meta["files_per_segment"])
+        q.awaitTermination(7200)
+        return 0
     setup = tuple(
         f"CREATE TABLE IF NOT EXISTS `{t}` "
         f"(pk INTEGER PRIMARY KEY, val REAL)" for t in meta["tables"])
@@ -92,6 +128,9 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         repo, ".scale", "sf10")
     n_segments = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    stream = sys.argv[3] if len(sys.argv) > 3 else "sql"
+    if stream not in ("sql", "ivm", "scd2"):
+        raise SystemExit(f"unknown stream {stream!r} (sql|ivm|scd2)")
 
     from pyspark.sql import functions as F
 
@@ -104,7 +143,7 @@ def main() -> None:
     spark = get_spark("kill_resume_parent")
     work = tempfile.mkdtemp(prefix="kill_resume_")
     out: dict = {"metric": "stream_kill_resume", "sf_dir": sf_dir,
-                 "n_segments": n_segments}
+                 "n_segments": n_segments, "stream": stream}
     try:
         # -- land segments (same shape as tools/stream_scale_check).
         # row_json is blanked: with no sink catalog wired the apply
@@ -116,8 +155,17 @@ def main() -> None:
               .withColumn("row_json", F.lit("{}"))
               .select(*STREAM_COLS)).persist()
         n = ch.count()
+        # size the PARENT's shuffles too: the equality exceptAll at
+        # 100M events under the default 32 partitions built 6144-task
+        # plans (~25 min of scheduling, r12) — data-sized partitions
+        # before any equality frame is constructed
+        from tools.common import shuffle_partitions_for
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(shuffle_partitions_for(int(n))))
         tables = sorted(r["tbl"] for r in
                         ch.select("tbl").distinct().collect())
+        sources = sorted(r["source_id"] for r in
+                         ch.select("source_id").distinct().collect())
         hi = ch.agg(F.max("arrival_seq")).first()[0] + 1
         src = os.path.join(work, "src")
         os.makedirs(src)
@@ -136,6 +184,7 @@ def main() -> None:
 
         with open(os.path.join(work, "meta.json"), "w") as fh:
             json.dump({"n_events": int(n), "tables": tables,
+                       "sources": sources, "stream": stream,
                        "files_per_segment": files_per_segment}, fh)
 
         def run_phase(phase: int, env_extra: dict) -> dict:
@@ -148,9 +197,21 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__),
                  "--child", work, str(phase)], env=env,
                 cwd=repo)
-            ck, status = jdbc.load_checkpoint(os.path.join(work, "db"))
-            return {"rc": rc, "sec": round(time.time() - t0, 2),
-                    "checkpoint_ts": int(ck), "status": status}
+            rec = {"rc": rc, "sec": round(time.time() - t0, 2)}
+            if stream == "sql":
+                ck, status = jdbc.load_checkpoint(os.path.join(work, "db"))
+                rec.update({"checkpoint_ts": int(ck), "status": status})
+            else:
+                ckp = os.path.join(work, "view_state",
+                                   "view_checkpoint.json")
+                if os.path.exists(ckp):
+                    with open(ckp) as fh:
+                        vck = json.load(fh)
+                    rec.update({
+                        "view_version": vck.get("version"),
+                        "last_batch_id": vck.get("last_batch_id"),
+                        "watermark": vck.get("watermark")})
+            return rec
 
         # profile mode (VERDICT r11 item 5): ONE clean run with the
         # per-batch phase instrumentation, over this harness's proven
@@ -169,38 +230,68 @@ def main() -> None:
             return
         # kill thresholds are apply()-call indices: phase 1 dies
         # entering its (~30%)th batch with the previous ones fully
-        # committed; phase 2 replays the relay window (call #1) then
-        # dies after the WAL write of a later batch.
+        # committed; phase 2 replays the crashed window (call #1) then
+        # dies inside a later batch — after the relay WAL write (sql)
+        # / after every v+1 state dir is written but before the atomic
+        # view checkpoint (ivm/scd2: the torn-version window).
         k1 = max(2, n_segments * 3 // 10)
         k2 = max(3, n_segments * 4 // 10)
+        env_before = ("SPARK_GRAFT_CRASH_BEFORE_WAL" if stream == "sql"
+                      else "SPARK_GRAFT_CRASH_BEFORE_FOLD")
+        env_after = ("SPARK_GRAFT_CRASH_AFTER_WAL" if stream == "sql"
+                     else "SPARK_GRAFT_CRASH_AFTER_FOLD")
         out["kill_batch_indices"] = {"phase1": k1, "phase2": k2}
-        out["phase1_kill_between"] = run_phase(
-            1, {"SPARK_GRAFT_CRASH_BEFORE_WAL": str(k1)})
-        out["phase2_kill_after_wal"] = run_phase(
-            2, {"SPARK_GRAFT_CRASH_AFTER_WAL": str(k2)})
+        out["phase1_kill_between"] = run_phase(1, {env_before: str(k1)})
+        out["phase2_kill_inside"] = run_phase(2, {env_after: str(k2)})
         out["phase3_clean"] = run_phase(3, {})
         out["kills_effective"] = (
             out["phase1_kill_between"]["rc"] == 137
-            and out["phase2_kill_after_wal"]["rc"] == 137
+            and out["phase2_kill_inside"]["rc"] == 137
             and out["phase3_clean"]["rc"] == 0)
 
-        # -- equality: resumed downstream state == batch recompute
-        got = None
-        for t in tables:
-            part = jdbc.read_applied(spark, os.path.join(work, "db"),
-                                     f"`{t}`", ["pk", "val"]) \
-                .withColumn("tbl", F.lit(t))
-            got = part if got is None else got.unionByName(part)
+        # -- equality: resumed state == batch recompute
         ch2 = (change_stream(spark, sf_dir)
                .withColumn("tbl", F.concat_ws("_", "db", "tbl"))
                .select(*STREAM_COLS))
-        want = (apply_snapshot(ordering.ordered_stream(ch2))
-                .select("tbl", "pk", "val"))
+        if stream == "sql":
+            got = None
+            for t in tables:
+                part = jdbc.read_applied(spark, os.path.join(work, "db"),
+                                         f"`{t}`", ["pk", "val"]) \
+                    .withColumn("tbl", F.lit(t))
+                got = part if got is None else got.unionByName(part)
+            want = (apply_snapshot(ordering.ordered_stream(ch2))
+                    .select("tbl", "pk", "val"))
+            out["final_checkpoint_ts"] = \
+                out["phase3_clean"]["checkpoint_ts"]
+        elif stream == "ivm":
+            from tidb_binlog_spark.operators.incremental_agg import (
+                coherent_changelog, maintain_group_aggregates)
+            from tidb_binlog_spark.streaming.ivm import MaterializedAggregate
+            view = MaterializedAggregate(
+                spark, os.path.join(work, "view_state"),
+                sources=tuple(sources))
+            view.flush()        # sources complete: drain the parked tail
+            got = view.read().select("db", "tbl", "n_rows", "sum_val")
+            want = maintain_group_aggregates(
+                coherent_changelog(ordering.ordered_stream(ch2)),
+                ["db", "tbl"]).select("db", "tbl", "n_rows", "sum_val")
+        else:
+            from tidb_binlog_spark.operators.scd2 import scd2_history
+            from tidb_binlog_spark.streaming.ivm import MaterializedSCD2
+            view = MaterializedSCD2(spark,
+                                    os.path.join(work, "view_state"),
+                                    sources=tuple(sources))
+            view.flush()
+            cols_scd2 = ["db", "tbl", "pk", "val", "valid_from",
+                         "valid_to", "is_current"]
+            got = view.read().select(*cols_scd2)
+            want = scd2_history(
+                ordering.ordered_stream(ch2)).select(*cols_scd2)
         cols = sorted(want.columns)
         a, b = got.select(*cols), want.select(*cols)
         out["state_match"] = (a.exceptAll(b).isEmpty()
                               and b.exceptAll(a).isEmpty())
-        out["final_checkpoint_ts"] = out["phase3_clean"]["checkpoint_ts"]
     finally:
         shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
