@@ -172,11 +172,28 @@ def causality_groups(txn_keys: DataFrame, max_iter: int = 50,
         edges.unpersist()
 
 
+def _cc_shuffle_partitions(n_edges: int) -> int:
+    """Deployment-sizing rule applied to the fixpoint's OWN input:
+    next power of two of edge-rows/1M in [32, 1024]. The iterative CC
+    runs 4 shuffles per round over the EDGE frame, whose size is set
+    by the micro-batch, not the corpus — r13 measured the same-size
+    graph (~10-16M edge rows) costing 20-33 s at 32 partitions (sf10
+    run) but 96-119 s at the event-sized 128 (sf100 run): with ~100k
+    rows/task, per-task scheduling overhead dominates every round and
+    AQE cannot help because each localCheckpoint materializes the
+    full partitioning. Numbers in SCALING.md."""
+    p = 32
+    while p < 1024 and p * 1_000_000 < n_edges:
+        p *= 2
+    return p
+
+
 def _causality_groups_on_edges(txn_keys, edges, max_iter,
                                local_threshold):
     id_type = txn_keys.schema["txn_id"].dataType
 
-    if local_threshold and edges.count() <= local_threshold:
+    n_edges = edges.count()
+    if local_threshold and n_edges <= local_threshold:
         import numpy as np
         import pandas as pd
         epdf = edges.toPandas()            # Arrow batch transfer
@@ -193,6 +210,23 @@ def _causality_groups_on_edges(txn_keys, edges, max_iter,
         pdf = pd.DataFrame({"txn_id": ut, "group_id": lab})
         return txn_keys.sparkSession.createDataFrame(pdf, schema=schema)
 
+    # scoped shuffle sizing for the fixpoint rounds (see
+    # _cc_shuffle_partitions). The session conf is restored after the
+    # loop; every round's labels are localCheckpoint'ed, so downstream
+    # consumers never re-execute these shuffles under the restored
+    # conf. Single-driver pipelines run one foreachBatch at a time,
+    # which is the context this operator executes in.
+    spark = txn_keys.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(_cc_shuffle_partitions(n_edges)))
+    try:
+        return _cc_fixpoint(edges, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _cc_fixpoint(edges, max_iter):
     labels = edges.select("txn_id").distinct() \
                   .withColumn("label", F.col("txn_id")).localCheckpoint()
 
