@@ -4143,21 +4143,87 @@ def q_corpus_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # keys. Last recorded gate: CORRECTNESS_r11 (50/50 hash-green over
-    # the r11 window). This r12 rotation (VERDICT r11 item 4) promotes
-    # the 19 rows whose last driver check is r6/r7 (the r11 queue
-    # head: corpus_ngram_topk, snapshot_zorder_layout, mm_phash_pairs
-    # + 16 more) and the 24 oldest r8 rows, then swaps in the SEVEN
-    # queries whose behavior round 12 changes:
-    #   * cdc_kv_decode / cdc_kv_decode_update / cdc_kv_decode_delete
-    #     (numpy lockstep batch codec, functions/kvcodec_np.py);
-    #   * dedup_simhash / dedup_simhash_pairs (integer bit votes);
-    #   * cdc_reparo_replay / cdc_pitr_restore (scan_records batched
-    #     CRC + shape-specialized pb unmarshal).
-    # After this window every registry row's last driver check is r8+
-    # (the 25 remaining r8 rows head the r13 queue).
+    # keys. Last recorded gate: CORRECTNESS_r12 (50/50 hash-green over
+    # the r12 window). This r13 rotation (VERDICT r12 item 6) promotes
+    # the 50 longest-stale rows with 5 behavior-change swaps — details
+    # in the window banner below. Prior-window rows rotate into the
+    # queue with their freshest evidence.
     return {
-        # -- r12 window: 19 r7 + 24 oldest r8 + 7 behavior-changed --
+        # -- r13 window: the 25 remaining r8 rows + the 20 oldest
+        #    r9 rows + 5 swaps for the queries whose behavior round
+        #    13 changed:
+        #    * dedup_simhash / dedup_simhash_pairs / dedup_consensus
+        #      (numpy mapInPandas vote fold is the default engine);
+        #    * cdc_reparo_replay / cdc_pitr_restore (fast-decoder
+        #      fallback staging + first-corruption ordering fixes,
+        #      plus the streamed-segment writer sharing the dump
+        #      format).
+        #    The five rows yielding their slots (doc_fingerprint,
+        #    sink_kafka_obinlog, cdc_incremental_rollup,
+        #    cdc_temporal_join, cdc_incremental_agg_wide — all r9-
+        #    green, code untouched) head the r14 queue. After this
+        #    window no registry row is last-verified before r9.
+        "corpus_dsir_select": q_corpus_dsir_select,
+        "ann_ivf_incremental": q_ann_ivf_incremental,
+        "ann_int8_quant": q_ann_int8_quant,
+        "events_rep_points": q_events_rep_points,
+        "corpus_quantile_sketch": q_corpus_quantile_sketch,
+        "corpus_cms_topk": q_corpus_cms_topk,
+        "events_decayed_topk": q_events_decayed_topk,
+        "cdc_dml_mix_drift": q_cdc_dml_mix_drift,
+        "events_growth_accounting": q_events_growth_accounting,
+        "corpus_vocab_growth": q_corpus_vocab_growth,
+        "ann_recall_curve": q_ann_recall_curve,
+        "events_seasonal_residuals": q_events_seasonal_residuals,
+        "dedup_lsh_accuracy": q_dedup_lsh_accuracy,
+        "events_markov_attribution": q_events_markov_attribution,
+        "cdc_redelivery_proof": q_cdc_redelivery_proof,
+        "rag_retrieval_ndcg": q_rag_retrieval_ndcg,
+        "events_activity_gini": q_events_activity_gini,
+        "events_holt_forecast": q_events_holt_forecast,
+        "events_peak_concurrency": q_events_peak_concurrency,
+        "events_conversion_latency": q_events_conversion_latency,
+        "cdc_ddl_risk_audit": q_cdc_ddl_risk_audit,
+        "events_rfm_segments": q_events_rfm_segments,
+        "events_dau_wau_mau": q_events_dau_wau_mau,
+        "events_cusum_changepoint": q_events_cusum_changepoint,
+        "cdc_asof_diff": q_cdc_asof_diff,
+        "events_did_uplift": q_events_did_uplift,
+        "corpus_novelty_curve": q_corpus_novelty_curve,
+        "cdc_write_amplification": q_cdc_write_amplification,
+        "mm_frame_dedup": q_mm_frame_dedup,
+        "snapshot_basket_lift": q_snapshot_basket_lift,
+        "corpus_tokenizer_fertility": q_corpus_tokenizer_fertility,
+        "corpus_quantile_merge": q_corpus_quantile_merge,
+        "dedup_idempotence": q_dedup_idempotence,
+        "sink_payload_roundtrip": q_sink_payload_roundtrip,
+        "sink_sql_generation": q_sink_sql_generation,
+        "cdc_type_format": q_cdc_type_format,
+        "text_profile": q_text_profile,
+        "mm_assets": q_mm_assets,
+        "cdc_progress": q_cdc_progress,
+        "ann_doc_lsh": q_ann_doc_lsh,
+        "dedup_incremental": q_dedup_incremental,
+        "doc_cdc_chunks": q_doc_cdc_chunks,
+        "dedup_containment": q_dedup_containment,
+        "corpus_source_report": q_corpus_source_report,
+        "dedup_chunk_minhash": q_dedup_chunk_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_consensus": q_dedup_consensus,
+        "cdc_reparo_replay": q_cdc_reparo_replay,
+        "cdc_pitr_restore": q_cdc_pitr_restore,
+        # -- end of driver window (first 50 keys above) --
+        # ------------------------------------------------------------
+        # below the driver 50-row window: the r14 queue (the five
+        # swapped-out rows first, then the remainder in rotation
+        # order). Every query below is ledger-checked each round.
+        # ------------------------------------------------------------
+        "doc_fingerprint": q_doc_fingerprint,
+        "sink_kafka_obinlog": q_sink_kafka_obinlog,
+        "cdc_incremental_rollup": q_cdc_incremental_rollup,
+        "cdc_temporal_join": q_cdc_temporal_join,
+        "cdc_incremental_agg_wide": q_cdc_incremental_agg_wide,
         "corpus_ngram_topk": q_corpus_ngram_topk,
         "snapshot_zorder_layout": q_snapshot_zorder_layout,
         "mm_phash_pairs": q_mm_phash_pairs,
@@ -4204,11 +4270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_kv_decode": q_cdc_kv_decode,
         "cdc_kv_decode_update": q_cdc_kv_decode_update,
         "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "cdc_reparo_replay": q_cdc_reparo_replay,
-        "cdc_pitr_restore": q_cdc_pitr_restore,
-        # -- end of driver window (first 50 keys above) --
         "dedup_quality_canonicals": q_dedup_quality_canonicals,
         "events_sessionize": q_events_sessionize,
         "cdc_truncated_drop": q_cdc_truncated_drop,
@@ -4252,62 +4313,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_txn_fanout": q_cdc_txn_fanout,
         "corpus_budget_select": q_corpus_budget_select,
         "cdc_relay_recovery": q_cdc_relay_recovery,
-        "dedup_consensus": q_dedup_consensus,
         "cdc_schema_adoption": q_cdc_schema_adoption,
         "dedup_bloom": q_dedup_bloom,
         "snapshot_stats_merge": q_snapshot_stats_merge,
         "cdc_txn_batches": q_cdc_txn_batches,
         "cdc_causality_groups": q_cdc_causality_groups,
-        "corpus_dsir_select": q_corpus_dsir_select,
-        "ann_ivf_incremental": q_ann_ivf_incremental,
-        "ann_int8_quant": q_ann_int8_quant,
-        "events_rep_points": q_events_rep_points,
-        "corpus_quantile_sketch": q_corpus_quantile_sketch,
-        "corpus_cms_topk": q_corpus_cms_topk,
-        "events_decayed_topk": q_events_decayed_topk,
-        "cdc_dml_mix_drift": q_cdc_dml_mix_drift,
-        "events_growth_accounting": q_events_growth_accounting,
-        "corpus_vocab_growth": q_corpus_vocab_growth,
-        "ann_recall_curve": q_ann_recall_curve,
-        "events_seasonal_residuals": q_events_seasonal_residuals,
-        "dedup_lsh_accuracy": q_dedup_lsh_accuracy,
-        "events_markov_attribution": q_events_markov_attribution,
-        "cdc_redelivery_proof": q_cdc_redelivery_proof,
-        "rag_retrieval_ndcg": q_rag_retrieval_ndcg,
-        "events_activity_gini": q_events_activity_gini,
-        "events_holt_forecast": q_events_holt_forecast,
-        "events_peak_concurrency": q_events_peak_concurrency,
-        "events_conversion_latency": q_events_conversion_latency,
-        "cdc_ddl_risk_audit": q_cdc_ddl_risk_audit,
-        "events_rfm_segments": q_events_rfm_segments,
-        "events_dau_wau_mau": q_events_dau_wau_mau,
-        "events_cusum_changepoint": q_events_cusum_changepoint,
-        "cdc_asof_diff": q_cdc_asof_diff,
-        "events_did_uplift": q_events_did_uplift,
-        "corpus_novelty_curve": q_corpus_novelty_curve,
-        "cdc_write_amplification": q_cdc_write_amplification,
-        "mm_frame_dedup": q_mm_frame_dedup,
-        "snapshot_basket_lift": q_snapshot_basket_lift,
-        "corpus_tokenizer_fertility": q_corpus_tokenizer_fertility,
-        "corpus_quantile_merge": q_corpus_quantile_merge,
-        "dedup_idempotence": q_dedup_idempotence,
-        "sink_payload_roundtrip": q_sink_payload_roundtrip,
-        "sink_sql_generation": q_sink_sql_generation,
-        "cdc_type_format": q_cdc_type_format,
-        "text_profile": q_text_profile,
-        "mm_assets": q_mm_assets,
-        "cdc_progress": q_cdc_progress,
-        "ann_doc_lsh": q_ann_doc_lsh,
-        "dedup_incremental": q_dedup_incremental,
-        "doc_cdc_chunks": q_doc_cdc_chunks,
-        "dedup_containment": q_dedup_containment,
-        "corpus_source_report": q_corpus_source_report,
-        "dedup_chunk_minhash": q_dedup_chunk_minhash,
-        "cdc_incremental_agg_wide": q_cdc_incremental_agg_wide,
-        "cdc_temporal_join": q_cdc_temporal_join,
-        "cdc_incremental_rollup": q_cdc_incremental_rollup,
-        "sink_kafka_obinlog": q_sink_kafka_obinlog,
-        "doc_fingerprint": q_doc_fingerprint,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "cdc_loopback_filter": q_cdc_loopback_filter,
         "cdc_schema_backfill": q_cdc_schema_backfill,
