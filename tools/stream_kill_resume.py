@@ -228,26 +228,42 @@ def main() -> None:
                 n / max(out["phase_profile"]["sec"], 1e-6))
             print(json.dumps(out))
             return
-        # kill thresholds are apply()-call indices: phase 1 dies
-        # entering its (~30%)th batch with the previous ones fully
-        # committed; phase 2 replays the crashed window (call #1) then
-        # dies inside a later batch — after the relay WAL write (sql)
-        # / after every v+1 state dir is written but before the atomic
-        # view checkpoint (ivm/scd2: the torn-version window).
-        k1 = max(2, n_segments * 3 // 10)
-        k2 = max(3, n_segments * 4 // 10)
-        env_before = ("SPARK_GRAFT_CRASH_BEFORE_WAL" if stream == "sql"
-                      else "SPARK_GRAFT_CRASH_BEFORE_FOLD")
-        env_after = ("SPARK_GRAFT_CRASH_AFTER_WAL" if stream == "sql"
-                     else "SPARK_GRAFT_CRASH_AFTER_FOLD")
-        out["kill_batch_indices"] = {"phase1": k1, "phase2": k2}
-        out["phase1_kill_between"] = run_phase(1, {env_before: str(k1)})
-        out["phase2_kill_inside"] = run_phase(2, {env_after: str(k2)})
-        out["phase3_clean"] = run_phase(3, {})
-        out["kills_effective"] = (
-            out["phase1_kill_between"]["rc"] == 137
-            and out["phase2_kill_inside"]["rc"] == 137
-            and out["phase3_clean"]["rc"] == 0)
+        if os.environ.get("KILL_RESUME_CLEAN"):
+            # headline mode (r13): ONE clean non-profile child over
+            # this harness's proven landing — the rate convention of
+            # the r11 1000x table (no profile persists) on a host
+            # where stream_scale_check's own sf100 landing OOMs.
+            # No kills; equality still gates below.
+            out["phase3_clean"] = run_phase(3, {})
+            out["events_per_s_clean"] = round(
+                n / max(out["phase3_clean"]["sec"], 1e-6))
+            out["kills_effective"] = out["phase3_clean"]["rc"] == 0
+        else:
+            # kill thresholds are apply()-call indices: phase 1 dies
+            # entering its (~30%)th batch with the previous ones fully
+            # committed; phase 2 replays the crashed window (call #1)
+            # then dies inside a later batch — after the relay WAL
+            # write (sql) / after every v+1 state dir is written but
+            # before the atomic view checkpoint (ivm/scd2: the
+            # torn-version window).
+            k1 = max(2, n_segments * 3 // 10)
+            k2 = max(3, n_segments * 4 // 10)
+            env_before = ("SPARK_GRAFT_CRASH_BEFORE_WAL"
+                          if stream == "sql"
+                          else "SPARK_GRAFT_CRASH_BEFORE_FOLD")
+            env_after = ("SPARK_GRAFT_CRASH_AFTER_WAL"
+                         if stream == "sql"
+                         else "SPARK_GRAFT_CRASH_AFTER_FOLD")
+            out["kill_batch_indices"] = {"phase1": k1, "phase2": k2}
+            out["phase1_kill_between"] = run_phase(
+                1, {env_before: str(k1)})
+            out["phase2_kill_inside"] = run_phase(
+                2, {env_after: str(k2)})
+            out["phase3_clean"] = run_phase(3, {})
+            out["kills_effective"] = (
+                out["phase1_kill_between"]["rc"] == 137
+                and out["phase2_kill_inside"]["rc"] == 137
+                and out["phase3_clean"]["rc"] == 0)
 
         # -- equality: resumed state == batch recompute
         ch2 = (change_stream(spark, sf_dir)
