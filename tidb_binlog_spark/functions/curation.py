@@ -459,7 +459,9 @@ def mix_to_weights(docs: DataFrame, weights: dict[str, float],
     total_w = sum(weights.values())
     norm = {k: v / total_w for k, v in sorted(weights.items())}
     spark = docs.sparkSession
-    wdf = spark.createDataFrame(
+    from ..localrel import local_df
+    wdf = local_df(
+        spark,
         [(k, v) for k, v in norm.items()], f"{stratum_col} string, w double")
     counts = docs.groupBy(stratum_col).agg(
         F.count(F.lit(1)).alias("n_stratum"))
@@ -598,7 +600,9 @@ def temperature_mix(docs: DataFrame, budget: int, alpha: float = 0.7,
     # exact where a Spark BIGINT expression would overflow
     stat_rows = counts.collect()
     q_total = sum(r["q_micro"] for r in stat_rows)
-    caps = docs.sparkSession.createDataFrame(
+    from ..localrel import local_df
+    caps = local_df(
+        docs.sparkSession,
         [(r[stratum_col], r["n_stratum"],
           min(r["n_stratum"], (int(budget) * r["q_micro"]) // q_total))
          for r in stat_rows],

@@ -349,10 +349,16 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16, iters: int = 5,
              embeddings.select(id_col, emb_col)
                        .orderBy(id_col).limit(k).collect()]
 
+    # the per-round centroid dimension goes through the Arrow local
+    # frame (localrel.local_df): the pickled-list form re-ran 32
+    # Python-worker tasks on EVERY materialization of every round's
+    # assignment job (r13, guide §4)
+    from ..localrel import local_df
     for _ in range(iters):
-        cdf = spark.createDataFrame(
+        cdf = local_df(
+            spark,
             [(i, list(map(float, c))) for i, c in enumerate(cents)],
-            f"centroid_id int, c_emb array<double>")
+            "centroid_id int, c_emb array<double>")
         w = Window.partitionBy(id_col).orderBy("d2", "centroid_id")
         assigned = (embeddings.select(id_col, emb_col)
                     .crossJoin(F.broadcast(cdf))
@@ -372,7 +378,8 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16, iters: int = 5,
         # an emptied centroid keeps its previous position
         cents = [new.get(i, cents[i]) for i in range(k)]
 
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(i, list(map(float, c))) for i, c in enumerate(cents)],
         "centroid_id int, c_emb array<double>")
 

@@ -193,7 +193,9 @@ def markov_attribution(events: DataFrame,
              ((full - rc) * 1_000_000 // total_drop
               if total_drop > 0 else None))
             for c, full, rc in per]
-    return events.sparkSession.createDataFrame(
+    from ..localrel import local_df
+    return local_df(
+        events.sparkSession,
         data, "channel string, full_ppm bigint, removed_ppm bigint, "
               "drop_ppm bigint, share_ppm bigint")
 

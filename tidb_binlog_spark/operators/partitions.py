@@ -69,8 +69,10 @@ class PartitionCatalog:
     def dimension(self, spark: SparkSession) -> DataFrame:
         """The broadcastable (physical_id, logical_tbl, partition_name)
         dimension of LIVE bindings."""
+        from ..localrel import local_df
         rows = [(pid, t, p) for pid, (t, p) in sorted(self.bindings.items())]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "physical_id long, logical_tbl string, partition_name string")
 
 

@@ -454,7 +454,9 @@ class SchemaRegistry:
         for i, (v, start) in enumerate(ts):
             end = ts[i + 1][1] if i + 1 < len(ts) else None
             rows.append((v, start, end))
-        return spark.createDataFrame(
+        from ..localrel import local_df
+        return local_df(
+            spark,
             rows, "active_version int, v_start_ts long, v_end_ts long")
 
 
