@@ -3011,6 +3011,14 @@ def q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     mh_pairs = _mp(dedupfn.minhash_lsh_pairs(docs)
                    .select("doc_a", "doc_b"))
+    # Materialize the LSH candidates BEFORE the union consumes them
+    # twice (the mh branch and the jaccard verifier): lazily, both
+    # branches hit the cold cache in the SAME stage and serialize on
+    # per-partition cache-compute locks all the way down the nested
+    # persisted signature frames — a profiled run showed 402 s of
+    # executor runtime at 1.8 s CPU on exactly that count stage. One
+    # eager pass turns every downstream read into a cache hit (r13).
+    mh_pairs.count()
     mh = mh_pairs.select("doc_a", "doc_b", F.lit("minhash").alias("sig"))
     sh = (dedupfn.simhash_pairs(docs)
           .select("doc_a", "doc_b", F.lit("simhash").alias("sig")))

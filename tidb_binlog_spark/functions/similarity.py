@@ -604,8 +604,12 @@ def pca_moments(embeddings: DataFrame, dims: int,
     """
     # materialize q ONCE per row: inlining the transform into every
     # element_at would re-quantize the whole vector per (i, j) pair
-    # and grow the expression tree ~d^2-fold
-    qdf = embeddings.select(
+    # and grow the expression tree ~d^2-fold. spread BEFORE the
+    # d^2-per-row pair explode: the fixture parquet is one split, and
+    # without the fan-out the whole moment pass (rows x d(d+1)/2
+    # products) ran on a single task (r13 profile: 2.2 s on one core)
+    from .text import spread
+    qdf = spread(embeddings).select(
         F.expr(quantized_vec_expr(vec_col, scale)).alias("q"))
     pairs = qdf.select(F.explode(F.expr(
         f"flatten(transform(sequence(0, {dims - 1}), i -> "
