@@ -821,11 +821,21 @@ def lsh_accuracy(docs: DataFrame, threshold_ppm: int = 500_000,
     sh = (with_shingles(base)
           .select("doc_id", F.explode("shingles").alias("sh"))
           .distinct())
+    # sh/rsh feed MANY branches of the final job (sizes, the rare-df
+    # aggregate, both sides of the candidate self-join, both sides of
+    # the exact-J intersection join): materialize them eagerly, in
+    # dependency order, so no two branches race the cold cache and
+    # serialize on per-partition cache-compute locks (the
+    # dedup_consensus convoy, r13). Interleaved A/B at sf0.1:
+    # 6.8-7.4 s -> 5.4-5.7 s min-of-3 together with the pred/truth
+    # persists below.
     sh = managed_persist(sh)
+    sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= df_cap).select("sh"))
     rsh = managed_persist(sh.join(rare, "sh"))
+    rsh.count()
     # witness requirement capped by what the pair can POSSIBLY share
     # *as witnesses*: witnesses are RARE shingles only, so the cap is
     # each doc's RARE-shingle count (not its total shingle count — a
@@ -864,22 +874,27 @@ def lsh_accuracy(docs: DataFrame, threshold_ppm: int = 500_000,
                    & (F.col("sa.sh") == F.col("sb.sh")))
              .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("n_inter")))
-    truth = (inter
-             .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                                F.col("n_sh").alias("n_a")), "doc_a")
-             .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                                F.col("n_sh").alias("n_b")), "doc_b")
-             .filter(F.expr(
-                 "(n_inter * 1000000) DIV (n_a + n_b - n_inter) "
-                 f">= {threshold_ppm}"))
-             .select("doc_a", "doc_b"))
+    # truth and pred each feed two consumers (their own count and the
+    # tp join); the tiny pair frames persist so neither pipeline runs
+    # twice across the crossJoin'd aggregate branches
+    truth = managed_persist(
+        inter
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_sh").alias("n_b")), "doc_b")
+        .filter(F.expr(
+            "(n_inter * 1000000) DIV (n_a + n_b - n_inter) "
+            f">= {threshold_ppm}"))
+        .select("doc_a", "doc_b"))
     k = 12
     min_agree = -((-threshold_ppm * k) // 1_000_000)  # ceil
-    pred = (minhash_lsh_pairs(docs, k=k)
-            .filter(F.expr(
-                f"CAST(round(est_jaccard * {k}) AS BIGINT) "
-                f">= {min_agree}"))
-            .select("doc_a", "doc_b"))
+    pred = managed_persist(
+        minhash_lsh_pairs(docs, k=k)
+        .filter(F.expr(
+            f"CAST(round(est_jaccard * {k}) AS BIGINT) "
+            f">= {min_agree}"))
+        .select("doc_a", "doc_b"))
     tp = pred.join(truth, ["doc_a", "doc_b"])
     counts = (pred.agg(F.count(F.lit(1)).alias("n_pred"))
               .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
