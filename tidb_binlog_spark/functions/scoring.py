@@ -797,9 +797,18 @@ def hll_report(docs: DataFrame, by: str = "source") -> DataFrame:
         "stratum", "doc_id",
         F.expr("CAST(conv(substring(md5(shingle), 1, 12), 16, 10) "
                "AS BIGINT)").alias("h")))
-    d = hashed.select("stratum", "h").distinct()
     from tidb_binlog_spark.cache import managed_persist
-    d = managed_persist(d)
+    # hashed feeds BOTH the direct and the split-half register
+    # branches; their distinct keys differ, so nothing is shared via
+    # exchange reuse and the whole tokenize+shingle+md5 pass ran
+    # twice. Persist the narrow (stratum, doc_id, h) projection once
+    # (r13, guide §2.3/§5 — one corpus pass instead of two; eager so
+    # the branches never race the cold cache): 2.4-2.6 s -> 2.1-2.4 s
+    # min-of-3 at sf0.1.
+    hashed = managed_persist(hashed)
+    hashed.count()
+    d = managed_persist(hashed.select("stratum", "h").distinct())
+    d.count()
     direct = _hll_summary(_hll_registers(d), "")
     halves = (hashed
               .select("stratum", (F.col("doc_id") % 2).alias("half"), "h")
