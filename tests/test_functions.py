@@ -1784,3 +1784,48 @@ def test_quantile_merge_proof_and_idempotence_on_fixture(spark):
     assert merged and all(r["merge_exact"] for r in merged)
     idem = m.queries()["dedup_idempotence"](spark, sf).collect()
     assert idem and all(r["idempotent"] for r in idem)
+
+
+def test_pca_moments_np_matches_reference(spark):
+    """The r13 numpy-Gram moment engine must produce the exact
+    integer (n, s, G) the explode+sum route produced: pin it against
+    an independent pure-Python reference over the same quantized
+    vectors (negatives and >1 magnitudes included, multiple
+    partitions so the cross-partition fold is exercised)."""
+    import math
+    import random
+
+    from tidb_binlog_spark.functions import similarity as sim
+    rnd = random.Random(13)
+    dims, scale = 6, 1000
+    rows = [(i, [rnd.uniform(-2.5, 2.5) for _ in range(dims)])
+            for i in range(257)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(7)
+    n, s, G = sim.pca_moments(df, dims, "embedding", scale)
+    q = [[math.floor(x * scale) for x in emb] for _, emb in rows]
+    assert n == len(rows)
+    for i in range(dims):
+        assert s[i] == sum(r[i] for r in q), i
+        for j in range(dims):
+            assert G[i][j] == sum(r[i] * r[j] for r in q), (i, j)
+
+
+def test_pca_moments_np_chunk_guard(spark):
+    """Large-magnitude quantized values must route through the
+    int64-safe chunking (max|q| ~ 2^21 forces chunks of ~2^20 rows —
+    exercised here by values whose per-batch Gram would still fit,
+    proving the chunk split changes nothing)."""
+    from tidb_binlog_spark.functions import similarity as sim
+    dims = 3
+    rows = [(i, [float(2_000_000 + i), -2_000_000.0, 1.5])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n, s, G = sim.pca_moments(df, dims, "embedding", 1)
+    import math
+    q = [[math.floor(x) for x in emb] for _, emb in rows]
+    assert n == 50
+    for i in range(dims):
+        assert s[i] == sum(r[i] for r in q)
+        for j in range(dims):
+            assert G[i][j] == sum(r[i] * r[j] for r in q)

@@ -602,35 +602,76 @@ def pca_moments(embeddings: DataFrame, dims: int,
     100 TB-safe way to fit a d x d model (d small, corpus huge).
     Driver sees only the d x d moment rows, never data.
     """
-    # materialize q ONCE per row: inlining the transform into every
-    # element_at would re-quantize the whole vector per (i, j) pair
-    # and grow the expression tree ~d^2-fold. spread BEFORE the
-    # d^2-per-row pair explode: the fixture parquet is one split, and
-    # without the fan-out the whole moment pass (rows x d(d+1)/2
-    # products) ran on a single task (r13 profile: 2.2 s on one core)
+    # spread BEFORE the heavy per-row compute: the fixture parquet is
+    # one split, and without the fan-out the whole moment pass ran on
+    # a single task (r13 profile: 2.2 s on one core).
+    #
+    # r13 engine: numpy Gram matmul per Arrow batch (guide §4.2, the
+    # kvcodec_np pattern) instead of the d(d+1)/2-struct-per-row
+    # explode + (i, j)-keyed sum — the explode materialized ~2080
+    # structs per row (416M rows at the 100x sweep, 47 s); one
+    # X.T @ X per batch is the same arithmetic in native code.
+    # Exactness: per-batch products stay inside int64 (|q| <= scale,
+    # so a 65k-row batch's entry sum <= 65k * scale^2 ~ 6.5e16); the
+    # CROSS-batch accumulation runs in arbitrary-precision Python
+    # ints and ships driver-ward as strings, so no width limit is
+    # ever hit — the same (n, s, G) the expr route produced (pinned
+    # by tests/test_functions.py::test_pca_moments_np_matches_expr).
     from .text import spread
     qdf = spread(embeddings).select(
         F.expr(quantized_vec_expr(vec_col, scale)).alias("q"))
-    pairs = qdf.select(F.explode(F.expr(
-        f"flatten(transform(sequence(0, {dims - 1}), i -> "
-        f"transform(sequence(i, {dims - 1}), j -> "
-        f"struct(i AS i, j AS j, "
-        f"element_at(q, i + 1) * element_at(q, j + 1) AS p, "
-        f"IF(j = i, element_at(q, i + 1), CAST(0 AS BIGINT)) AS s"
-        f"))))")).alias("e"))
-    mom = (pairs.groupBy("e.i", "e.j")
-           .agg(F.sum("e.p").alias("g"), F.sum("e.s").alias("s"),
-                F.count(F.lit(1)).alias("n"))
-           .collect())
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+        n = 0
+        s = [0] * dims
+        G = [[0] * dims for _ in range(dims)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["q"].tolist(), dtype=np.int64)
+            n += X.shape[0]
+            # int64-safety: a chunk's Gram entry is bounded by
+            # rows * max|q|^2; chunk so that bound stays under 2^62
+            # (the accumulators are Python ints, so only the chunk
+            # matmul needs to fit)
+            m = int(np.abs(X).max()) if X.size else 0
+            chunk = max(1, (1 << 62) // (m * m + 1))
+            for lo in range(0, X.shape[0], chunk):
+                C = X[lo:lo + chunk]
+                bs = C.sum(axis=0, dtype=np.int64)
+                bG = C.T @ C
+                for i in range(dims):
+                    s[i] += int(bs[i])
+                    Gi = G[i]
+                    bGi = bG[i]
+                    for j in range(i, dims):
+                        Gi[j] += int(bGi[j])
+        if n:
+            yield pd.DataFrame({
+                "n": [n],
+                "s": [[str(x) for x in s]],
+                "g": [[str(G[i][j])
+                       for i in range(dims) for j in range(i, dims)]],
+            })
+
+    parts = qdf.mapInPandas(
+        fold, "n long, s array<string>, g array<string>").collect()
     n = 0
     s = [0] * dims
     G = [[0] * dims for _ in range(dims)]
-    for row in mom:
-        G[row["i"]][row["j"]] = row["g"]
-        G[row["j"]][row["i"]] = row["g"]
-        if row["i"] == row["j"]:
-            s[row["i"]] = row["s"]
-            n = row["n"]
+    for row in parts:                      # one row per non-empty task
+        n += row["n"]
+        for i in range(dims):
+            s[i] += int(row["s"][i])
+        it = iter(row["g"])
+        for i in range(dims):
+            for j in range(i, dims):
+                G[i][j] += int(next(it))
+    for i in range(dims):
+        for j in range(i + 1, dims):
+            G[j][i] = G[i][j]
     return n, s, G
 
 
