@@ -989,8 +989,17 @@ def cms_heavy_hitters(docs: DataFrame, depth: int = 4,
     """
     toks = (with_tokens(docs)
             .select(F.explode("toks").alias("tok")))
-    exact = toks.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+    from tidb_binlog_spark.cache import managed_persist
+    # exact feeds depth+1 consumers (each salted sketch row and the
+    # candidate top-k); under AQE the union branches plan as separate
+    # query stages that do NOT share the aggregate's exchange, so the
+    # tokenize+explode+count pipeline ran depth+1 times (stage
+    # profile: five ~4 s-CPU copies of the same stage). One eager
+    # persist of the (token, count) vocabulary = one corpus pass
+    # (r13, guide §5): 1.34 -> 0.97 s min-of-3 at sf0.1.
+    exact = managed_persist(toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")))
+    exact.count()
 
     def _bucket(i: int) -> str:
         return (f"pmod(CAST(conv(substring(md5(concat('{i}:', tok)), "
@@ -1208,12 +1217,18 @@ def quantile_sample_merge_check(docs: DataFrame, k: int = 64,
                          == F.expr("(50 * ku + 99) div 100"),
                          F.col("v"))).alias(f"{prefix}_p50")))
 
-    # per-part bottom-k over the same ticket derivation, then merge
-    full = (with_tokens(docs).select(
+    # per-part bottom-k over the same ticket derivation, then merge.
+    # Persisted eagerly: the split_mod part branches plan as separate
+    # AQE query stages that do not share the tokenize pass (the
+    # cms_heavy_hitters finding, r13) — one corpus pass instead of
+    # split_mod.
+    from tidb_binlog_spark.cache import managed_persist
+    full = managed_persist(with_tokens(docs).select(
         F.col(by).alias("stratum"), "doc_id",
         F.expr("size(toks)").alias("v"),
         F.expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), "
                "1, 12), 16, 10) AS BIGINT)").alias("ticket")))
+    full.count()
     parts = None
     for i in range(split_mod):
         w_t = Window.partitionBy("stratum").orderBy("ticket", "doc_id")
