@@ -1829,3 +1829,38 @@ def test_pca_moments_np_chunk_guard(spark):
         assert s[i] == sum(r[i] for r in q)
         for j in range(dims):
             assert G[i][j] == sum(r[i] * r[j] for r in q)
+
+
+def test_kmeans_integer_fit_local_loop(spark):
+    """The r13 driver-loop centroid fit must reproduce the lineage
+    form bit-for-bit: pin it against an in-test reference that runs
+    the identical recursion (seed = k lowest-id vectors, min_by
+    assignment with ties to the lowest cluster id, floor(sum/count)
+    means, emptied clusters keep their centroid)."""
+    import math
+    import random
+
+    from tidb_binlog_spark.functions import similarity as sim
+    rnd = random.Random(99)
+    dims, k, iters = 4, 5, 3
+    rows = [(i, [rnd.randrange(-50, 50) for _ in range(dims)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, qvec array<bigint>")
+    got = {r["cluster_id"]: list(r["cvec"])
+           for r in sim.kmeans_integer_fit(df, k=k, iters=iters).collect()}
+
+    cents = {c: list(rows[c][1]) for c in range(k)}   # k lowest ids
+    for _ in range(iters):
+        sums = {c: [0] * dims for c in range(k)}
+        counts = {c: 0 for c in range(k)}
+        for _, v in rows:
+            best = min(range(k), key=lambda c: (
+                sum((a - b) * (a - b) for a, b in zip(v, cents[c])), c))
+            counts[best] += 1
+            for d in range(dims):
+                sums[best][d] += v[d]
+        for c in range(k):
+            if counts[c]:
+                cents[c] = [int(math.floor(sums[c][d] / counts[c]))
+                            for d in range(dims)]
+    assert got == cents

@@ -816,13 +816,32 @@ def kmeans_integer_fit(vecs: DataFrame, k: int = 10, iters: int = 2,
                        vec_col: str = "qvec") -> DataFrame:
     """The trained centroids of ``kmeans_integer`` (cluster_id, cvec)
     — exposed so an INCREMENTAL ingest can assign new vectors against
-    a frozen codebook without re-clustering the base corpus."""
+    a frozen codebook without re-clustering the base corpus.
+
+    r13: the per-round centroids live in a driver dict between
+    iterations (one collect of the k-row mean aggregate per round —
+    the SAME k x dims payload the previous broadcast-join form
+    shipped, so no new scale bound) and re-enter each round as an
+    Arrow local frame. This truncates the unrolled lineage: the final
+    assignment plan no longer nests every prior round's crossJoin+
+    aggregate (dedup_semantic 5.4-6.2 -> 4.1-4.7 s, ann_ivf_
+    incremental 2.5-3.1 -> 1.8-1.9 s min-of-3, interleaved A/B;
+    centroids pinned bit-identical to the lineage form by
+    tests/test_functions.py::test_kmeans_integer_fit_local_loop)."""
+    from ..localrel import local_df
     wk = Window.orderBy(id_col)     # k rows only, post-limit
-    cents = (vecs.orderBy(id_col).limit(k)
-             .select((F.row_number().over(wk) - 1).alias("cluster_id"),
-                     F.col(vec_col).alias("cvec")))
+    seed = (vecs.orderBy(id_col).limit(k)
+            .select((F.row_number().over(wk) - 1).alias("cluster_id"),
+                    F.col(vec_col).alias("cvec")))
+    cur = {r["cluster_id"]: list(r["cvec"]) for r in seed.collect()}
+    spark = vecs.sparkSession
+
+    def _cdf():
+        return local_df(spark, [(i, cur[i]) for i in sorted(cur)],
+                        "cluster_id int, cvec array<bigint>")
+
     for _ in range(iters):
-        assigned = _assign_int(vecs, cents, id_col, vec_col)
+        assigned = _assign_int(vecs, _cdf(), id_col, vec_col)
         newc = (assigned
                 .select("cluster_id", F.posexplode(vec_col).alias("pos", "v"))
                 .groupBy("cluster_id", "pos")
@@ -831,11 +850,13 @@ def kmeans_integer_fit(vecs: DataFrame, k: int = 10, iters: int = 2,
                 .groupBy("cluster_id")
                 .agg(F.expr("transform(array_sort(collect_list("
                             "struct(pos, cv))), s -> s.cv)")
-                     .alias("new_cvec")))
-        cents = (cents.join(F.broadcast(newc), "cluster_id", "left")
-                 .select("cluster_id",
-                         F.coalesce("new_cvec", "cvec").alias("cvec")))
-    return cents
+                     .alias("new_cvec"))
+                .collect())
+        # an emptied cluster keeps its previous centroid (absent from
+        # newc), exactly the old left-join + coalesce semantics
+        for r in newc:
+            cur[r["cluster_id"]] = list(r["new_cvec"])
+    return _cdf()
 
 
 def ivf_incremental_report(base: DataFrame, new: DataFrame,
