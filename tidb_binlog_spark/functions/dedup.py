@@ -818,20 +818,25 @@ def lsh_accuracy(docs: DataFrame, threshold_ppm: int = 500_000,
     joins shingle sets only for candidate pairs. One output row.
     """
     base = docs.select("doc_id", "text")
-    sh = (with_shingles(base)
-          .select("doc_id", F.explode("shingles").alias("sh"))
-          .distinct())
-    # sh/rsh feed MANY branches of the final job (sizes, the rare-df
-    # aggregate, both sides of the candidate self-join, both sides of
-    # the exact-J intersection join): materialize them eagerly, in
-    # dependency order, so no two branches race the cold cache and
-    # serialize on per-partition cache-compute locks (the
-    # dedup_consensus convoy, r13). Interleaved A/B at sf0.1:
-    # 6.8-7.4 s -> 5.4-5.7 s min-of-3 together with the pred/truth
-    # persists below.
-    sh = managed_persist(sh)
-    sh.count()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # ONE tokenize+shingle pass feeds everything (r13 opt 2): the
+    # per-doc DISTINCT shingle array is the shared representation —
+    # sizes are size(shingles) (no groupBy), the exploded stream is a
+    # cheap in-cache projection feeding the rare-df aggregate and the
+    # candidate self-join, the exact-J intersection is
+    # array_intersect over the 10k candidate pairs (no second
+    # explode-join+groupBy), and the LSH pred side reuses the SAME
+    # frame via minhash_lsh_pairs(shingle_frame=...) instead of
+    # re-tokenizing the corpus. array_distinct per row replaces the
+    # explode+DISTINCT exchange; minhash signatures are invariant to
+    # duplicate shingles (min over a multiset == min over its set).
+    # Eager materialization in dependency order so no two branches
+    # race the cold cache (the dedup_consensus convoy, r13).
+    shf = managed_persist(
+        with_shingles(base)
+        .select("doc_id", F.array_distinct("shingles").alias("shingles")))
+    shf.count()
+    sh = shf.select("doc_id", F.explode("shingles").alias("sh"))
+    sizes = shf.select("doc_id", F.size("shingles").alias("n_sh"))
     rare = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= df_cap).select("sh"))
     rsh = managed_persist(sh.join(rare, "sh"))
@@ -868,12 +873,13 @@ def lsh_accuracy(docs: DataFrame, threshold_ppm: int = 500_000,
                                   F.col("w_a"), F.col("w_b"))))
             .select("doc_a", "doc_b"))
     inter = (cand
-             .join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-             .join(sh.alias("sb"),
-                   (F.col("doc_b") == F.col("sb.doc_id"))
-                   & (F.col("sa.sh") == F.col("sb.sh")))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("n_inter")))
+             .join(shf.select(F.col("doc_id").alias("doc_a"),
+                              F.col("shingles").alias("sh_a")), "doc_a")
+             .join(shf.select(F.col("doc_id").alias("doc_b"),
+                              F.col("shingles").alias("sh_b")), "doc_b")
+             .select("doc_a", "doc_b",
+                     F.size(F.array_intersect("sh_a", "sh_b"))
+                      .alias("n_inter")))
     # truth and pred each feed two consumers (their own count and the
     # tp join); the tiny pair frames persist so neither pipeline runs
     # twice across the crossJoin'd aggregate branches
@@ -890,7 +896,7 @@ def lsh_accuracy(docs: DataFrame, threshold_ppm: int = 500_000,
     k = 12
     min_agree = -((-threshold_ppm * k) // 1_000_000)  # ceil
     pred = managed_persist(
-        minhash_lsh_pairs(docs, k=k)
+        minhash_lsh_pairs(docs, k=k, shingle_frame=shf)
         .filter(F.expr(
             f"CAST(round(est_jaccard * {k}) AS BIGINT) "
             f">= {min_agree}"))
