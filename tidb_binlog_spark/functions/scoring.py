@@ -651,27 +651,36 @@ def kmv_merge_check(docs: DataFrame, k: int = 64,
     from pyspark.sql import Window
     from ..cache import managed_persist
     from .dedup import with_shingles
-    # hash ONCE: per-part sketches and the direct sketch all derive
-    # from one persisted (stratum, doc_id, h) frame instead of
-    # re-running the shingle explode per part (measured 6.3 s as
-    # split_mod+1 separate explodes)
+    # hash ONCE, deduped at (stratum, part, h) grain (r13 opt 2; the
+    # r10 form persisted (stratum, doc_id, h) — measured 6.3 s as
+    # split_mod+1 separate explodes before that): only the doc's part
+    # (doc_id % split_mod) ever matters downstream, so the distinct
+    # exchange moves at most split_mod rows per distinct (stratum, h)
+    # instead of one per (doc_id, h) — far fewer bytes at any
+    # replication level — and each per-part slice arrives ALREADY
+    # distinct on (stratum, h), so the split_mod per-part distinct
+    # exchanges disappear outright; only the independent whole-corpus
+    # sketch re-dedups (part folded out).
     base = managed_persist(
         with_shingles(docs.select("doc_id", by, "text"))
-        .select(F.col(by).alias("stratum"), "doc_id",
+        .select(F.col(by).alias("stratum"),
+                (F.col("doc_id") % split_mod).alias("part"),
                 F.explode("shingles").alias("shingle"))
-        .select("stratum", "doc_id",
+        .select("stratum", "part",
                 F.expr("CAST(conv(substring(md5(shingle), 1, 12), "
                        "16, 10) AS BIGINT)").alias("h"))
         .distinct())
 
-    def _sketch_from(hashes: DataFrame) -> DataFrame:
-        d = hashes.select("stratum", "h").distinct()
+    def _rank_topk(d: DataFrame) -> DataFrame:
         wr = Window.partitionBy("stratum").orderBy("h")
         return (d.withColumn("rank", F.row_number().over(wr))
                 .filter(F.col("rank") <= k))
 
-    sketches = [_sketch_from(base.filter(F.col("doc_id") % split_mod
-                                         == i)).select("stratum", "h")
+    def _sketch_from(hashes: DataFrame) -> DataFrame:
+        return _rank_topk(hashes.select("stratum", "h").distinct())
+
+    sketches = [_rank_topk(base.filter(F.col("part") == i)
+                           .select("stratum", "h")).select("stratum", "h")
                 for i in range(split_mod)]
     u = sketches[0]
     for s in sketches[1:]:
