@@ -398,6 +398,29 @@ def tfidf_topk(docs: DataFrame, query_mod: int = 50, k: int = 5,
              .groupBy("doc_id", "term")
              .agg(F.count(F.lit(1)).alias("tf")))
     from ..cache import managed_persist
+    # Partition the persisted term index BY TERM before caching (r13
+    # opt 2, guide §2.4/§2.5): AQE coalesces the small (doc_id, term)
+    # aggregate exchange at bench scale, so the cache came out with
+    # ONE partition and every consumer — the idf aggregate, both
+    # sides of the term-keyed pair join, the pair partial-aggregate —
+    # ran as a single-task straggler (profiled: a 3 s one-task stage
+    # on the critical path in every run, regardless of join
+    # strategy). The explicit term-hash repartition (a) pins the
+    # cache's parallelism, and (b) is the exact distribution the idf
+    # groupBy and the q x w join require, so those exchanges vanish
+    # (HashPartitioning(term) satisfies both). GATED to the small
+    # regime where AQE under-parallelizes (estimated index bytes
+    # under cores x the 64 MB advisory partition size): past the gate
+    # the planner's own exchanges are already well-partitioned, the
+    # extra term-hash shuffle measured a regression at the 100x sweep
+    # (hot-term skew has no AQE relief inside a pinned repartition),
+    # and the plan stays byte-identical to the ungated form.
+    # Interleaved A/B min-of-3 at sf0.1: 5.1 -> 2.32 s, results
+    # identical; ~100 distinct terms/doc x 48 B/row is the sizing
+    # constant.
+    p_terms = docs.sparkSession.sparkContext.defaultParallelism
+    if n_docs * 100 * 48 < p_terms * (64 << 20):
+        terms = terms.repartition(p_terms, "term")
     terms = managed_persist(terms)
     idf = (terms.groupBy("term")
            .agg(F.count(F.lit(1)).alias("df"))
