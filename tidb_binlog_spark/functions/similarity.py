@@ -948,12 +948,18 @@ def semantic_dedup_exact(embeddings: DataFrame, k: int | None = None,
 
     Returns every input id: (id, cluster_id, is_kept).
     """
+    from .text import spread
+    # spread: the fixture embeddings table is one parquet split, so
+    # without the fan-out the quantize pass (and everything reading
+    # the q cache) ran on ONE task (r13 opt 2; same fix as the r13
+    # pca_moments spread)
     q = embeddings.select(
         F.col(id_col),
         F.expr(quantized_vec_expr(emb_col, scale)).alias("qvec"))
-    q = managed_persist(q)
+    q = managed_persist(spread(q))
     reps = (q.groupBy("qvec")
             .agg(F.min(F.col(id_col)).alias(id_col)))
+    n = None
     if k is None or max_cluster_size is not None:
         n = reps.count()
     if k is None:
@@ -965,12 +971,37 @@ def semantic_dedup_exact(embeddings: DataFrame, k: int | None = None,
             f"the per-cluster self-join would be quadratic at this "
             f"size — raise k, or pass max_cluster_size=None to "
             f"override")
-    asg = kmeans_integer(reps.select(id_col, "qvec"), k=k, iters=iters,
+    # Persist reps pinned to id-hash partitioning (r13 opt 2, guide
+    # §2.4/§2.5): the seed job, every k-means round, and the final
+    # assignment all re-scan reps — unpersisted, each consumer re-ran
+    # the qvec groupBy AND inherited its AQE-coalesced single
+    # partition, so every per-round assignment aggregate was a
+    # single-task straggler (profiled ~1 s/round). HashPartitioning
+    # (id) is exactly what _assign_int's groupBy(id) requires, so the
+    # per-round exchange disappears too. Gated to the small regime
+    # (the distinct count n is already computed; ~1 KiB/row) — past
+    # the gate the planner's own partitioning stands.
+    sc = embeddings.sparkSession.sparkContext
+    p_pin = sc.defaultParallelism
+    reps = reps.select(id_col, "qvec")
+    pin_small = n is not None and n * 1024 < p_pin * (64 << 20)
+    if pin_small:
+        reps = reps.repartition(p_pin, id_col)
+    reps = managed_persist(reps)
+    reps.count()
+    asg = kmeans_integer(reps, k=k, iters=iters,
                          id_col=id_col, vec_col="qvec")
     m = asg.select(F.col(id_col).alias("id"), "cluster_id",
                    F.col("qvec").alias("qv"),
                    F.expr(_dot_int_expr("qvec", "qvec")).alias("n2"))
+    # cluster-hash pin: the a x b per-cluster self-join below reads m
+    # twice; partitioned by cluster_id the join reuses the cache's
+    # distribution instead of re-exchanging both sides through an
+    # AQE-coalesced (single-partition at bench scale) shuffle
+    if pin_small:
+        m = m.repartition(p_pin, "cluster_id")
     m = managed_persist(m)
+    m.count()
     a = m.select(F.col("id").alias("id_a"), "cluster_id",
                  F.col("qv").alias("qa"), F.col("n2").alias("na2"))
     b = m.select(F.col("id").alias("id_b"), "cluster_id",
