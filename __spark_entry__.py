@@ -1344,10 +1344,17 @@ def q_corpus_full_curation(spark, sf_dir):
     cleaned = curation.line_dedup(docs)
     # the cleaned corpus feeds BOTH the surprisal model and the packing
     # input; without the persist each consumer re-runs the whole
-    # line-dedup explode/join chain (measured 5.1s -> 2.2s at sf0.1)
+    # line-dedup explode/join chain (measured 5.1s -> 2.2s at sf0.1).
+    # Pinned to doc_id-hash partitioning at core count (r13 opt 2):
+    # the line-dedup tail exchange AQE-coalesces to ~1 partition at
+    # bench scale, and spread() no longer fans shaped frames out (its
+    # .rdd probe ran the whole upstream chain as a side job), so the
+    # cache itself must carry the parallelism the downstream
+    # tokenize passes (surprisal model + packing) run at.
     docs2 = managed_persist(
         cleaned.filter(F.col("n_lines") > F.col("n_removed"))
-        .select("doc_id", F.col("clean_text").alias("text")))
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
     surp = scoring.unigram_surprisal(docs2)
     lang = _docs(spark, sf_dir).select("doc_id", "lang")
     # kept feeds the packing input AND the final score join

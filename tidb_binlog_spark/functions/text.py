@@ -66,6 +66,22 @@ def spread(df: DataFrame) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    # Guard the probe (r13 opt 2): .rdd on a frame shaped by an
+    # exchange FINALIZES the AQE plan — which RUNS every upstream
+    # shuffle stage as an untracked side job (measured: 8 jobs /
+    # 3.8 s re-running the whole line_dedup chain when
+    # corpus_full_curation's unigram pass probed its cached input).
+    # spread exists for under-split FILE SCANS, where the probe is a
+    # metadata-only split count; a plan that already carries an
+    # exchange-inducing node keeps AQE's own output sizing (callers
+    # that need a pinned-parallel cached frame repartition explicitly
+    # before persisting — see q_corpus_full_curation's docs2).
+    import re
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if re.search(r"^[\s:+-]*(Aggregate|Join|Window|Sort|Deduplicate"
+                 r"|RepartitionByExpression|Repartition|GlobalLimit"
+                 r"|InMemoryRelation) ", plan, re.MULTILINE):
+        return df
     if df.rdd.getNumPartitions() * 2 >= target:
         return df
     return df.repartition(target)
