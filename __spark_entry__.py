@@ -3070,6 +3070,24 @@ def q_cdc_relay_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     read is a bounded scalar (same class as the watermark collects)."""
     from tidb_binlog_spark.sinks.relay import RelayLog
     ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
+    # Scale-gated persist (r13 opt 2, guide §5): ok feeds THREE
+    # consumers (the relay WAL append, the max-ts scalar, the base
+    # snapshot apply). At bench scale the pruned re-scan is cheaper
+    # than the cache write (A/B min-of-3 at sf0.1: 3.77 current vs
+    # 5.37 persisted), but at the 100x dir the triple recompute
+    # dominates (148.8 vs 100.2 s min-of-2, same session) — so the
+    # persist engages once the events input outgrows the cache-write
+    # cost. File-size probe only; no extra Spark job.
+    _ev = os.path.join(sf_dir, "events.parquet")
+    _ev_bytes = (sum(os.path.getsize(os.path.join(r, f))
+                     for r, _, fs in os.walk(_ev) for f in fs)
+                 if os.path.isdir(_ev)
+                 else (os.path.getsize(_ev) if os.path.exists(_ev)
+                       else 0))
+    if _ev_bytes > (32 << 20):
+        from tidb_binlog_spark.cache import managed_persist as _mp
+        ok = _mp(ok)
+        ok.count()
     cols = ["db", "tbl", "pk", "commit_ts", "seq", "arrival_seq",
             "op", "val", "row_json"]
     relay = RelayLog(_scratch_dir("relay_recovery"))
