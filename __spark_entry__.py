@@ -95,6 +95,30 @@ def _spark_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return change_stream(spark, sf_dir)
 
 
+def _assert_single_partition_plan(df: DataFrame) -> None:
+    """Assert the frame's analyzed plan pins it to ONE partition (the
+    nearest repartition-class node below any narrow ops is
+    Repartition(1)) — the precondition for treating
+    monotonically_increasing_id as an append-order rank. Plan walk
+    only: no job, no AQE finalization."""
+    node = df._jdf.queryExecution().analyzed()
+    while True:
+        name = node.getClass().getSimpleName()
+        if name in ("Repartition", "RepartitionByExpression"):
+            n = node.numPartitions()
+            if n != 1:
+                raise AssertionError(
+                    f"append-order offsets need a single-partition "
+                    f"frame; plan pins {n} partitions via {name}")
+            return
+        children = node.children()
+        if children.size() != 1:
+            raise AssertionError(
+                "append-order offsets need a single-partition frame; "
+                f"no Repartition(1) found (stopped at {name})")
+        node = children.apply(0)
+
+
 # ---------------------------------------------------------------------------
 # query implementations (Spark side)
 # ---------------------------------------------------------------------------
@@ -688,6 +712,12 @@ def q_sink_kafka_obinlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # position-in-partition is output-identical and one single-task
     # binary sort cheaper (r13, guide §1.2 "don't compute things you
     # throw away"; interleaved A/B at sf0.1: 2.40 -> 2.18 s min-of-3).
+    # monotonically_increasing_id is append-order ONLY on a single
+    # partition (it shifts by partition id in the high bits) — assert
+    # that contract on the PLAN (no job) so a switch to
+    # kafka_frame_sharded cannot silently produce partition-shifted,
+    # non-contiguous offsets (r14, ADVICE).
+    _assert_single_partition_plan(frame)
     echoed = frame.withColumn("offset", F.monotonically_increasing_id())
     # consumers fan the single-partition topic back out: the decode
     # need not inherit the producer's one-task layout
@@ -3077,13 +3107,18 @@ def q_cdc_relay_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 5.37 persisted), but at the 100x dir the triple recompute
     # dominates (148.8 vs 100.2 s min-of-2, same session) — so the
     # persist engages once the events input outgrows the cache-write
-    # cost. File-size probe only; no extra Spark job.
-    _ev = os.path.join(sf_dir, "events.parquet")
-    _ev_bytes = (sum(os.path.getsize(os.path.join(r, f))
-                     for r, _, fs in os.walk(_ev) for f in fs)
-                 if os.path.isdir(_ev)
-                 else (os.path.getsize(_ev) if os.path.exists(_ev)
-                       else 0))
+    # cost. File-size probe only; no extra Spark job. The probe reads
+    # the stream's OWN input files (r14, ADVICE) — a hardcoded
+    # sf_dir/events.parquet would silently report 0 bytes (gate stuck
+    # off, the 148 s triple-recompute back) if the layout or table
+    # name ever changed.
+    _ev_bytes = 0
+    for _f in ok.inputFiles():
+        _p = _f[7:] if _f.startswith("file://") else _f
+        try:
+            _ev_bytes += os.path.getsize(_p)
+        except OSError:
+            pass
     if _ev_bytes > (32 << 20):
         from tidb_binlog_spark.cache import managed_persist as _mp
         ok = _mp(ok)

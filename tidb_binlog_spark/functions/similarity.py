@@ -615,11 +615,16 @@ def pca_moments(embeddings: DataFrame, dims: int,
     # so a 65k-row batch's entry sum <= 65k * scale^2 ~ 6.5e16); the
     # CROSS-batch accumulation runs in arbitrary-precision Python
     # ints and ships driver-ward as strings, so no width limit is
-    # ever hit — the same (n, s, G) the expr route produced (pinned
-    # by tests/test_functions.py::test_pca_moments_np_matches_expr).
+    # ever hit — the same (n, s, G) the expr route produced (pinned by
+    # tests/test_functions.py::test_pca_moments_np_matches_reference).
     from .text import spread
-    qdf = spread(embeddings).select(
-        F.expr(quantized_vec_expr(vec_col, scale)).alias("q"))
+    # tolerate malformed rows the way the old explode route did
+    # instead of crashing np.array on a ragged list (r14, ADVICE):
+    # a NULL or wrong-length vector contributes nothing. No-op on
+    # well-formed corpora (the only thing the oracle sees).
+    qdf = (spread(embeddings)
+           .select(F.expr(quantized_vec_expr(vec_col, scale)).alias("q"))
+           .filter(F.col("q").isNotNull() & (F.size("q") == dims)))
 
     def fold(batches):
         import numpy as np

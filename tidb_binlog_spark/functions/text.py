@@ -72,19 +72,65 @@ def spread(df: DataFrame) -> DataFrame:
     # 3.8 s re-running the whole line_dedup chain when
     # corpus_full_curation's unigram pass probed its cached input).
     # spread exists for under-split FILE SCANS, where the probe is a
-    # metadata-only split count; a plan that already carries an
-    # exchange-inducing node keeps AQE's own output sizing (callers
-    # that need a pinned-parallel cached frame repartition explicitly
-    # before persisting — see q_corpus_full_curation's docs2).
-    import re
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if re.search(r"^[\s:+-]*(Aggregate|Join|Window|Sort|Deduplicate"
-                 r"|RepartitionByExpression|Repartition|GlobalLimit"
-                 r"|InMemoryRelation) ", plan, re.MULTILINE):
+    # metadata-only split count; any other plan shape keeps AQE's own
+    # output sizing (callers that need a pinned-parallel cached frame
+    # repartition explicitly before persisting — see
+    # q_corpus_full_curation's docs2).
+    if not _scan_shaped(df):
         return df
     if df.rdd.getNumPartitions() * 2 >= target:
         return df
     return df.repartition(target)
+
+
+# Analyzed-plan node classes whose .rdd partition probe is a
+# metadata-only split count: narrow 1:1 (or leaf) nodes that can sit
+# between a spread() call site and its file scan. Everything else —
+# aggregates, joins, windows, sorts, set ops, repartitions, limits,
+# and any node Spark adds or renames later — fails the allowlist and
+# keeps the frame ungated.
+_SCAN_SHAPED_NODES = frozenset({
+    "LogicalRelation",           # v1 file scan (parquet)
+    "DataSourceV2Relation",      # v2 scan spellings, for conf drift
+    "DataSourceV2ScanRelation",
+    "StreamingRelation",
+    "LocalRelation",             # Arrow/local frames — probe is trivial
+    "OneRowRelation",
+    "Range",
+    "Project",
+    "Filter",
+    "Generate",                  # explode: narrow, partition-preserving
+    "Union",                     # splits sum over children, no exchange
+    "SubqueryAlias",
+    "View",
+    "UnresolvedHint",
+})
+
+
+def _scan_shaped(df: DataFrame) -> bool:
+    """True when the analyzed logical plan is a pure narrow chain over
+    leaf scans — the only shape whose ``.rdd`` partition probe is a
+    metadata-only split count. Fail-CLOSED allowlist walk over the JVM
+    node classes (r14, VERDICT r13 item 7 + ADVICE): the r13 regex
+    over ``analyzed().toString()`` failed OPEN on any spelling it had
+    not listed (Intersect/Except were missing outright) and would have
+    silently resumed the probe's side jobs had Spark renamed a node.
+    An unknown node, or a subquery anywhere (a scalar/IN subquery in a
+    Filter hides its own exchanges), gates the frame. The walk is over
+    ``analyzed()`` — cache substitution happens later (withCachedData),
+    so a persisted-but-scan-shaped frame keeps its fan-out, exactly as
+    the r13 gate behaved."""
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() not in _SCAN_SHAPED_NODES:
+            return False
+        if node.subqueries().nonEmpty():
+            return False
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return True
 
 
 def with_tokens(docs: DataFrame) -> DataFrame:
