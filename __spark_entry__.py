@@ -666,13 +666,24 @@ def q_sink_obinlog_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sink_sql_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statement generation in BOTH sink dialects side by side (merged
     r3: former sink_sql_oracle_dialect; pkg/loader/model.go:187-445
-    MySQL, drainer/sync/oracle.go Oracle `:n`-less variant)."""
+    MySQL, drainer/sync/oracle.go Oracle `:n`-less variant).
+
+    Both dialects render the SAME change row, so they compose as two
+    stacked projections over one stream — no join. The r13 form
+    self-joined two copies of the stream on arrival_seq, paying two
+    scans plus two exchanges for a row-identical result (arrival_seq
+    is the unique event id; the oracle mirror has always been this
+    single pass, so the join's 1:1-ness is hash-proven since r3) and
+    anti-scaling at bench scale: 32 cores ran it 4x SLOWER than 8
+    (driver scaling ratio 0.25, PERF_r13) because the fixed-width
+    exchanges fan pure task overhead. Removing the join removes every
+    exchange (r14, guide §2.4 "remove shuffles outright")."""
     ch = _spark_changes(spark, sf_dir)
-    my = (sqlgen.generate_sql(ch)
-          .select("arrival_seq", "op", F.col("sql_text").alias("sql_mysql")))
-    ora = (sqlgen.generate_sql(ch, dialect="oracle")
-           .select("arrival_seq", F.col("sql_text").alias("sql_oracle")))
-    return my.join(ora, "arrival_seq")
+    my = sqlgen.generate_sql(ch) \
+        .withColumnRenamed("sql_text", "sql_mysql")
+    both = sqlgen.generate_sql(my, dialect="oracle")
+    return both.select("arrival_seq", "op", "sql_mysql",
+                       F.col("sql_text").alias("sql_oracle"))
 
 
 def q_sink_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3100,36 +3111,29 @@ def q_cdc_relay_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     read is a bounded scalar (same class as the watermark collects)."""
     from tidb_binlog_spark.sinks.relay import RelayLog
     ok = ordering.ordered_stream(_spark_changes(spark, sf_dir))
-    # Scale-gated persist (r13 opt 2, guide §5): ok feeds THREE
-    # consumers (the relay WAL append, the max-ts scalar, the base
-    # snapshot apply). At bench scale the pruned re-scan is cheaper
-    # than the cache write (A/B min-of-3 at sf0.1: 3.77 current vs
-    # 5.37 persisted), but at the 100x dir the triple recompute
-    # dominates (148.8 vs 100.2 s min-of-2, same session) — so the
-    # persist engages once the events input outgrows the cache-write
-    # cost. File-size probe only; no extra Spark job. The probe reads
-    # the stream's OWN input files (r14, ADVICE) — a hardcoded
-    # sf_dir/events.parquet would silently report 0 bytes (gate stuck
-    # off, the 148 s triple-recompute back) if the layout or table
-    # name ever changed.
-    _ev_bytes = 0
-    for _f in ok.inputFiles():
-        _p = _f[7:] if _f.startswith("file://") else _f
-        try:
-            _ev_bytes += os.path.getsize(_p)
-        except OSError:
-            pass
-    if _ev_bytes > (32 << 20):
-        from tidb_binlog_spark.cache import managed_persist as _mp
-        ok = _mp(ok)
-        ok.count()
     cols = ["db", "tbl", "pk", "commit_ts", "seq", "arrival_seq",
             "op", "val", "row_json"]
     relay = RelayLog(_scratch_dir("relay_recovery"))
+    # ONE pass computes the windowed order gate, at any scale: the WAL
+    # append is already a full materialization of ``ok``, so both the
+    # checkpointed base snapshot (commit_ts <= T) and the pending
+    # suffix (> T) read the ts-bucket-pruned WAL back instead of
+    # re-running the gate per consumer (r14, guide §8 "move the heavy
+    # bytes once" / §2.4; replaces r13's scale-gated persist, whose
+    # OFF side still re-ran the gate 3x at bench scale and whose ON
+    # side paid a cache write on top of the WAL write).
     relay.append(ok)
-    t = ok.agg(F.max("commit_ts")).first()[0] * 3 // 5
+    # max(commit_ts) over ``ok`` EQUALS max over the raw stream: among
+    # the rows carrying the global max ts, the first by (arrival_seq,
+    # source_id) is dup_rank 1, and its per-source prefix max must be
+    # STRICTLY below the global max (a tie would make it a duplicate
+    # of an earlier row in its own dup partition) — so it can be
+    # neither duplicate nor disorder. The raw-stream aggregate prunes
+    # to one narrow column and skips the gate's windows entirely.
+    t = _spark_changes(spark, sf_dir) \
+        .agg(F.max("commit_ts")).first()[0] * 3 // 5
     pending = relay.read(spark, start_ts=t).select(*cols)
-    base = (compaction.apply_snapshot(ok.filter(F.col("commit_ts") <= t))
+    base = (compaction.apply_snapshot(relay.read(spark, stop_ts=t))
             .withColumn("seq", F.lit(-1))
             .withColumn("arrival_seq", F.lit(-1))
             .select(*cols))

@@ -418,6 +418,35 @@ def test_relay_log_crash_replay_converges(spark, tmp_path):
     assert {r["pk"]: r["val"] for r in table.read().collect()} == got
 
 
+def test_relay_log_read_bounds(spark, tmp_path):
+    """RelayLog.read bounds: start_ts exclusive (relay.go:131-132 skips
+    CommitTs <= checkpointTS), stop_ts inclusive, and both derive
+    ts_bucket predicates so the replay scan prunes WAL directories.
+    Rows straddle bucket edges (100000) to pin the bucket math."""
+    from tidb_binlog_spark.sinks import relay as relay_mod
+
+    relay = relay_mod.RelayLog(str(tmp_path / "relay"))
+    relay.append(make_changes(spark, [
+        (1, "s0", 99999, "I", 1),     # bucket 0
+        (2, "s0", 100000, "I", 2),    # bucket 1 (edge)
+        (3, "s0", 150000, "I", 3),    # bucket 1
+        (4, "s0", 200001, "I", 4),    # bucket 2
+    ]))
+
+    def pks(**kw):
+        return {r["pk"] for r in relay.read(spark, **kw).collect()}
+
+    assert pks() == {1, 2, 3, 4}
+    assert pks(start_ts=100000) == {3, 4}           # exclusive
+    assert pks(stop_ts=100000) == {1, 2}            # inclusive
+    assert pks(start_ts=99999, stop_ts=200000) == {2, 3}
+    # bucket pruning reaches the file source: the partition filter on
+    # ts_bucket must appear in the scan, not just the row filter
+    plan = (relay.read(spark, start_ts=100000, stop_ts=200000)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ts_bucket" in plan
+
+
 def test_run_apply_stream_with_relay_end_to_end(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)

@@ -65,10 +65,23 @@ class RelayLog:
          .write.mode("append").partitionBy("ts_bucket")
          .parquet(os.path.join(self.root, "log")))
 
-    def read(self, spark: SparkSession, start_ts: int | None = None) -> DataFrame:
+    def read(self, spark: SparkSession, start_ts: int | None = None,
+             stop_ts: int | None = None) -> DataFrame:
+        """Replay scan. ``start_ts`` is exclusive (relay.go:131-132
+        skips CommitTs <= checkpointTS), ``stop_ts`` inclusive. Bounds
+        also derive ts_bucket predicates so the scan prunes WAL
+        DIRECTORIES, not just row groups (ts_bucket =
+        floor(commit_ts/100000); the bucket bounds below are valid for
+        the non-negative commit-ts domain)."""
         df = read_file_dump(spark, os.path.join(self.root, "log"))
         if start_ts is not None:
+            if start_ts >= 0:
+                df = df.where(F.col("ts_bucket") >= start_ts // 100000)
             df = df.where(F.col("commit_ts") > start_ts)
+        if stop_ts is not None:
+            if stop_ts >= 0:
+                df = df.where(F.col("ts_bucket") <= stop_ts // 100000)
+            df = df.where(F.col("commit_ts") <= stop_ts)
         return df
 
 
