@@ -203,3 +203,103 @@ def test_assemble_secondary_matches_generic_encoders():
     assert list(want.commit_ts) == list(got.commit_ts)
     assert all(bytes(a) == bytes(b)
                for a, b in zip(want.payload, got.payload))
+
+
+def test_parse_stream_fast_matches_generic():
+    """_secondary_rows_fast produces exactly the row tuples the
+    generic decode_secondary_binlog walk produces — on the regular
+    encoder output AND on adversarial shapes (DDL binlogs, NULL
+    values, unsigned/bytes/string column variants, multi-table
+    commits, empty DML) — and raises (never mis-decodes) on shapes it
+    does not recognize, which the stream wrapper then routes to the
+    generic parser."""
+    def generic_rows(payload, pre):
+        rows = []
+        b = ob.decode_secondary_binlog(payload)
+        for t in b["tables"]:
+            names = [c["name"] for c in t["column_info"]]
+            for mu in t["mutations"]:
+                vals = dict(zip(names, mu["row"]))
+                old = dict(zip(names, mu["change_row"])) \
+                    if mu["change_row"] else {}
+                rows.append((*pre, b["commit_ts"], t["schema_name"],
+                             t["table_name"],
+                             {ob.INSERT: "I", ob.UPDATE: "U",
+                              ob.DELETE: "D"}[mu["type"]],
+                             vals["pk"], vals["val"], vals["k"],
+                             old.get("val"), old.get("k")))
+        return rows
+
+    ci = [ob.encode_column_info(nm, t, pk) for nm, t, pk in ob._COLSPEC]
+    uk = [ob.encode_key("PRIMARY", ["pk"])]
+
+    def mk_row(pk, val, k):
+        return ob.encode_row([
+            ob.encode_obinlog_column(pk, "bigint"),
+            ob.encode_obinlog_column(val, "double"),
+            ob.encode_obinlog_column(k, "varchar")])
+
+    payloads = []
+    # plain insert / delete / update-with-change-row, NULLs included
+    for tp, change in ((ob.INSERT, None), (ob.DELETE, None),
+                       (ob.UPDATE, mk_row(7, None, "old"))):
+        t = ob.encode_table("db0", "t1", ci,
+                            [ob.encode_mutation(tp, mk_row(7, 1.5, "x"),
+                                                change)], uk)
+        payloads.append(ob.encode_secondary_binlog(400001, [t]))
+    # negative pk (10-byte varint), NULL k, big commit_ts
+    t = ob.encode_table("db1", "t2", ci,
+                        [ob.encode_mutation(ob.INSERT,
+                                            mk_row(-3, -0.25, None))], uk)
+    payloads.append(ob.encode_secondary_binlog(2**62, [t]))
+    # multi-table commit + multi-mutation table
+    t1 = ob.encode_table("db0", "t1", ci,
+                         [ob.encode_mutation(ob.INSERT, mk_row(1, 1.0, "a")),
+                          ob.encode_mutation(ob.DELETE, mk_row(2, 2.0, "b"))],
+                         uk)
+    t2 = ob.encode_table("db1", "t2", ci,
+                         [ob.encode_mutation(ob.UPDATE, mk_row(3, 3.0, "c"),
+                                             mk_row(3, 2.0, "old_c"))], uk)
+    payloads.append(ob.encode_secondary_binlog(500002, [t1, t2]))
+    # empty DML + DDL binlog: zero rows from both walks
+    payloads.append(ob.encode_secondary_binlog(600003, []))
+    payloads.append(ob.encode_secondary_binlog(
+        700004, ddl=("db0", "t1", "ALTER TABLE t1 ADD c INT")))
+    # columns riding the uint64 / bytes value fields (enum, blob)
+    row_u = ob.encode_row([
+        ob.encode_obinlog_column(9, "bigint"),
+        ob.encode_obinlog_column(2**63 + 5, "bigint", unsigned=True),
+        ob.encode_obinlog_column(b"\x01\x02", "blob")])
+    t = ob.encode_table("db2", "t3", ci,
+                        [ob.encode_mutation(ob.INSERT, row_u)], uk)
+    payloads.append(ob.encode_secondary_binlog(800005, [t]))
+
+    for p in payloads:
+        fast: list = []
+        ob._secondary_rows_fast(p, ("pre",), fast)
+        assert fast == generic_rows(p, ("pre",)), p.hex()
+
+    # unknown wire type in the Binlog header -> raise, not mis-decode
+    bad = b"\x0d\x00\x00\x00\x00" + payloads[0]
+    try:
+        ob._secondary_rows_fast(bad, (), [])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    # a mid-payload raise leaves the staged rows out of the sink list:
+    # DMLData = one valid Table then a field the walk rejects
+    from tidb_binlog_spark.sinks.pbcodec import (_field_bytes,
+                                                 _field_varint)
+    t_ok = ob.encode_table("db0", "t1", ci,
+                           [ob.encode_mutation(ob.INSERT,
+                                               mk_row(1, 1.0, "a"))], uk)
+    dml = _field_bytes(1, t_ok) + _field_varint(2, 9)
+    evil = (_field_varint(1, ob.DML) + _field_varint(2, 900006)
+            + _field_bytes(3, bytes(dml)))
+    sink: list = []
+    try:
+        ob._secondary_rows_fast(bytes(evil), (), sink)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    assert sink == []
