@@ -709,6 +709,37 @@ def test_tfidf_topk_plan_jvm_only_and_df_cap(spark):
         assert r["n_shared_terms"] == 2          # the two parity terms
 
 
+def test_tfidf_doc_major_np_matches_expr(spark, monkeypatch):
+    """The r14 document-at-a-time numpy pair stage returns EXACTLY the
+    expr join/aggregate path's rows — including rank ties broken by
+    (dot desc, doc_id asc) at the top-k boundary, which is where a
+    wrong per-batch pruning order would first diverge. Small Arrow
+    batches force the boundary-doc carry across batches."""
+    from tidb_binlog_spark.functions import scoring
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        # heavy term overlap => many tied dot products at the k edge
+        docs = spark.createDataFrame(
+            [(i, " ".join(
+                ["base word set"] * 2
+                + [f"g{i % 4}" for _ in range(1 + i % 3)]
+                + [f"rare{i % 17}"]))
+             for i in range(120)],
+            "doc_id long, text string")
+        monkeypatch.setenv("SPARK_GRAFT_TFIDF_DOC_MAJOR_MIN", str(10**9))
+        expr_rows = sorted(map(tuple, scoring.tfidf_topk(
+            docs, query_mod=8, k=3, max_df_frac=0.9).collect()))
+        monkeypatch.setenv("SPARK_GRAFT_TFIDF_DOC_MAJOR_MIN", "0")
+        np_rows = sorted(map(tuple, scoring.tfidf_topk(
+            docs, query_mod=8, k=3, max_df_frac=0.9).collect()))
+        assert np_rows == expr_rows
+        assert np_rows
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       "65536")
+
+
 def test_replicated_skew_join_equals_plain_join(spark):
     """replicated_skew_join: identical rows to the plain equi-join
     (inner and left) while spreading a hot key over n_salts

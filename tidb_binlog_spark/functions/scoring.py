@@ -25,6 +25,8 @@ operations both Spark and DuckDB evaluate identically.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -433,17 +435,168 @@ def tfidf_topk(docs: DataFrame, query_mod: int = 50, k: int = 5,
     q = (w.filter(F.col("doc_id") % query_mod == 0)
          .select(F.col("doc_id").alias("query_id"), "term",
                  F.col("wt").alias("q_wt")))
-    pairs = (q.join(w, "term")
-             .filter(F.col("doc_id") != F.col("query_id"))
-             .groupBy("query_id", "doc_id")
-             .agg(F.count(F.lit(1)).alias("n_shared_terms"),
-                  F.sum(F.col("q_wt") * F.col("wt")).alias("dot_milli2")))
+    # Document-at-a-time numpy scoring behind a query-index gate (r14,
+    # guide §4.2/§1.1): the term-keyed pair join emits one row per
+    # (query, doc, shared term) — 871M rows for 50M distinct pairs at
+    # the 100x dir (measured; a ~17x aggregate reduction the JVM hash
+    # aggregate paid at ~250k rows/s/core, ~100 s of the sweep's worst
+    # row, and more partitions did NOT help: 32/128/512 measured
+    # 99/107/139 s, so it was volume, not spill or skew — max term
+    # contributed 0.04%). The numpy path broadcasts the query-side
+    # index (CSR by term), streams the corpus side doc-major, does the
+    # multiply + pair reduction vectorized, and — because repartition
+    # by doc_id makes every pair's score FINAL inside one batch —
+    # emits only each batch's top-k per query: any dropped row is
+    # dominated by k same-batch rows under the exact final ordering
+    # (dot desc, doc_id asc), so the global window over the candidates
+    # returns the identical top-k rows with identical ranks. Exact
+    # integer arithmetic throughout (same int64 products/sums the SQL
+    # path computes). GATED two ways: BELOW ~50k docs the expr join's
+    # pair volume is small and the numpy path's fixed costs (two extra
+    # jobs, a doc-major repartition+sort, 32 Python workers) dominate
+    # — measured at sf0.1 it REGRESSED 1.8->3.8 s while at the 100x
+    # dir it wins 101->37 / 89->25 / 116->19 s — and ABOVE a query
+    # index that would not broadcast safely (or 31-bit id packing) it
+    # falls back to the distributed join/aggregate form, unchanged
+    # from r13. The floor is env-overridable so the oracle gate can
+    # check BOTH sides (the relay-gate discipline):
+    # SPARK_GRAFT_TFIDF_DOC_MAJOR_MIN=0 forces the numpy path.
+    doc_major_min = int(os.environ.get(
+        "SPARK_GRAFT_TFIDF_DOC_MAJOR_MIN", "50000"))
+    if n_docs >= doc_major_min and q.count() <= 4_000_000:
+        pairs = _tfidf_pairs_doc_major(w, q, k)
+    else:
+        pairs = (q.join(w, "term")
+                 .filter(F.col("doc_id") != F.col("query_id"))
+                 .groupBy("query_id", "doc_id")
+                 .agg(F.count(F.lit(1)).alias("n_shared_terms"),
+                      F.sum(F.col("q_wt") * F.col("wt"))
+                      .alias("dot_milli2")))
     rw = Window.partitionBy("query_id").orderBy(
         F.desc("dot_milli2"), F.asc("doc_id"))
     return (pairs.withColumn("rank", F.row_number().over(rw))
             .filter(F.col("rank") <= k)
             .select("query_id", "doc_id", "n_shared_terms",
                     "dot_milli2", "rank"))
+
+
+def _tfidf_pairs_doc_major(w: DataFrame, q: DataFrame, k: int
+                           ) -> DataFrame:
+    """tfidf_topk's pair stage, document-at-a-time: the query index
+    (query_id, term, q_wt) rides a broadcast as CSR-by-term numpy
+    arrays; the corpus side streams doc-major (repartitioned and
+    sorted by doc_id, boundary doc carried across Arrow batches) and
+    each batch emits its pre-reduced per-query top-k candidate pairs.
+    Falls back to the expr path (caller's gate) when ids exceed the
+    31-bit packing or the index would not broadcast."""
+    import numpy as np
+
+    spark = w.sparkSession
+    qpdf = (q.toPandas())
+    if len(qpdf) == 0 or \
+            not (0 <= qpdf["query_id"].min()
+                 and qpdf["query_id"].max() < (1 << 31)):
+        # empty query set => empty pairs; oversized ids: caller's expr
+        # shape, reconstructed (never hit by the engine's bigint-safe
+        # fixtures; kept for generality)
+        if len(qpdf) == 0:
+            return spark.createDataFrame(
+                [], "query_id long, doc_id long, n_shared_terms long, "
+                    "dot_milli2 long")
+        return (q.join(w, "term")
+                .filter(F.col("doc_id") != F.col("query_id"))
+                .groupBy("query_id", "doc_id")
+                .agg(F.count(F.lit(1)).alias("n_shared_terms"),
+                     F.sum(F.col("q_wt") * F.col("wt"))
+                     .alias("dot_milli2")))
+    qpdf = qpdf.sort_values("term", kind="mergesort")
+    tarr = qpdf["term"].to_numpy()
+    uniq, first = np.unique(tarr, return_index=True)
+    bc = spark.sparkContext.broadcast({
+        "terms": uniq,
+        "qptr": np.append(first, len(tarr)).astype(np.int64),
+        "qid": qpdf["query_id"].to_numpy(np.int64),
+        "qwt": qpdf["q_wt"].to_numpy(np.int64),
+    })
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+        d = bc.value
+        tindex = pd.Index(d["terms"])
+        qptr, qid_a, qwt_a = d["qptr"], d["qid"], d["qwt"]
+
+        def flush(pdf):
+            ti = tindex.get_indexer(pdf["term"])
+            hit = np.flatnonzero(ti >= 0)
+            if not len(hit):
+                return None
+            tix = ti[hit]
+            cnt = qptr[tix + 1] - qptr[tix]
+            rep = np.repeat(hit, cnt)
+            total = int(cnt.sum())
+            if total == 0:
+                return None
+            excl = np.cumsum(cnt) - cnt
+            flat = (np.repeat(qptr[tix], cnt)
+                    + np.arange(total) - np.repeat(excl, cnt))
+            qids = qid_a[flat]
+            prod = qwt_a[flat]
+            dids = pdf["doc_id"].to_numpy()[rep]
+            if len(dids) and not (0 <= dids.min()
+                                  and dids.max() < (1 << 31)):
+                raise ValueError("doc_id outside 31-bit packing; "
+                                 "raise the gate to the expr path")
+            prod = prod * pdf["wt"].to_numpy()[rep]
+            keep = qids != dids
+            qids, dids, prod = qids[keep], dids[keep], prod[keep]
+            if not len(qids):
+                return None
+            key = (qids << np.int64(32)) | dids
+            order = np.argsort(key, kind="stable")
+            keys = key[order]
+            starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+            dot = np.add.reduceat(prod[order], starts)
+            nsh = np.diff(np.append(starts, len(keys)))
+            kq = keys[starts] >> np.int64(32)
+            kd = keys[starts] & np.int64(0xFFFFFFFF)
+            # per-batch top-k per query, EXACT final order
+            ord2 = np.lexsort((kd, -dot, kq))
+            kq2 = kq[ord2]
+            gstart = np.flatnonzero(np.r_[True, kq2[1:] != kq2[:-1]])
+            glen = np.diff(np.append(gstart, len(kq2)))
+            pos = np.arange(len(kq2)) - np.repeat(gstart, glen)
+            sel = ord2[pos < k]
+            return pd.DataFrame({"query_id": kq[sel], "doc_id": kd[sel],
+                                 "n_shared_terms": nsh[sel],
+                                 "dot_milli2": dot[sel]})
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            doc = pdf["doc_id"].to_numpy()
+            tail = doc == doc[-1]       # last doc may straddle batches
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                out = flush(body)
+                if out is not None:
+                    yield out
+        if carry is not None and len(carry):
+            out = flush(carry)
+            if out is not None:
+                yield out
+
+    part = (w.select("doc_id", "term", "wt")
+            .repartition(F.col("doc_id"))
+            .sortWithinPartitions("doc_id"))
+    return part.mapInPandas(
+        fold, schema="query_id long, doc_id long, n_shared_terms long, "
+                     "dot_milli2 long")
 
 
 def source_divergence(docs: DataFrame) -> DataFrame:
