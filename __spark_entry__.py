@@ -4221,49 +4221,40 @@ def q_corpus_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # keys. Last recorded gate: CORRECTNESS_r12 (50/50 hash-green over
-    # the r12 window). This r13 rotation (VERDICT r12 item 6) promotes
-    # the 50 longest-stale rows with 5 behavior-change swaps — details
-    # in the window banner below. Prior-window rows rotate into the
-    # queue with their freshest evidence.
+    # keys. Last recorded gate: CORRECTNESS_r13 (50/50 hash-green over
+    # the r13 window). This r14 rotation (VERDICT r13 item 2) swaps 14
+    # slots onto the queries the r13/r14 optimizer changes touched —
+    # details in the window banner below. Prior-window rows rotate
+    # into the queue with their freshest evidence.
     return {
-        # -- r13 window: the 25 remaining r8 rows + the 20 oldest
-        #    r9 rows + 5 swaps for the queries whose behavior round
-        #    13 changed:
-        #    * dedup_simhash / dedup_simhash_pairs / dedup_consensus
-        #      (numpy mapInPandas vote fold is the default engine);
-        #    * cdc_reparo_replay / cdc_pitr_restore (fast-decoder
-        #      fallback staging + first-corruption ordering fixes,
-        #      plus the streamed-segment writer sharing the dump
-        #      format).
-        #    The five rows yielding their slots (doc_fingerprint,
-        #    sink_kafka_obinlog, cdc_incremental_rollup,
-        #    cdc_temporal_join, cdc_incremental_agg_wide — all r9-
-        #    green, code untouched) head the r14 queue. After this
-        #    window no registry row is last-verified before r9.
-        "corpus_dsir_select": q_corpus_dsir_select,
+        # -- r14 window (optimization round): the 36 r13-window rows
+        #    whose code round 14 did not touch stay for continuity;
+        #    14 slots rotate to the rows this round's (and r13's)
+        #    optimizer changes touched, per VERDICT r13 item 2 —
+        #    the driver's independent oracle should cover changed
+        #    code first:
+        #    * cdc_relay_recovery (WAL-as-materialization restructure)
+        #    * sink_kafka_obinlog (numpy lockstep decode)
+        #    * corpus_tfidf_topk / rag_retrieve_pack (doc-major numpy
+        #      scoring; rag_retrieval_ndcg was already in-window)
+        #    * corpus_pagerank (eager sized rounds + one-pass edges)
+        #    * ann_pca_project / dedup_semantic / corpus_kmv_merge /
+        #      corpus_hll_registers / corpus_full_curation /
+        #      dedup_minhash_lsh / cdc_kv_decode (r13 optimizer
+        #      changes the r13 window missed)
+        #    * events_funnel / snapshot_compaction_plan (r13 localrel
+        #      Arrow local-frame change, unwindowed since r9).
+        #    The 14 rows yielding slots (all r13-green, code untouched
+        #    in r13/r14) head the queue below.
         "ann_ivf_incremental": q_ann_ivf_incremental,
-        "ann_int8_quant": q_ann_int8_quant,
-        "events_rep_points": q_events_rep_points,
-        "corpus_quantile_sketch": q_corpus_quantile_sketch,
         "corpus_cms_topk": q_corpus_cms_topk,
-        "events_decayed_topk": q_events_decayed_topk,
-        "cdc_dml_mix_drift": q_cdc_dml_mix_drift,
-        "events_growth_accounting": q_events_growth_accounting,
-        "corpus_vocab_growth": q_corpus_vocab_growth,
-        "ann_recall_curve": q_ann_recall_curve,
-        "events_seasonal_residuals": q_events_seasonal_residuals,
         "dedup_lsh_accuracy": q_dedup_lsh_accuracy,
         "events_markov_attribution": q_events_markov_attribution,
         "cdc_redelivery_proof": q_cdc_redelivery_proof,
         "rag_retrieval_ndcg": q_rag_retrieval_ndcg,
         "events_activity_gini": q_events_activity_gini,
-        "events_holt_forecast": q_events_holt_forecast,
-        "events_peak_concurrency": q_events_peak_concurrency,
-        "events_conversion_latency": q_events_conversion_latency,
         "cdc_ddl_risk_audit": q_cdc_ddl_risk_audit,
         "events_rfm_segments": q_events_rfm_segments,
-        "events_dau_wau_mau": q_events_dau_wau_mau,
         "events_cusum_changepoint": q_events_cusum_changepoint,
         "cdc_asof_diff": q_cdc_asof_diff,
         "events_did_uplift": q_events_did_uplift,
@@ -4291,14 +4282,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_consensus": q_dedup_consensus,
         "cdc_reparo_replay": q_cdc_reparo_replay,
         "cdc_pitr_restore": q_cdc_pitr_restore,
+        "ann_pca_project": q_ann_pca_project,
+        "corpus_kmv_merge": q_corpus_kmv_merge,
+        "corpus_tfidf_topk": q_corpus_tfidf_topk,
+        "rag_retrieve_pack": q_rag_retrieve_pack,
+        "dedup_semantic": q_dedup_semantic,
+        "cdc_relay_recovery": q_cdc_relay_recovery,
+        "corpus_hll_registers": q_corpus_hll_registers,
+        "sink_kafka_obinlog": q_sink_kafka_obinlog,
+        "corpus_full_curation": q_corpus_full_curation,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "cdc_kv_decode": q_cdc_kv_decode,
+        "events_funnel": q_events_funnel,
+        "snapshot_compaction_plan": q_snapshot_compaction_plan,
+        "corpus_pagerank": q_corpus_pagerank,
         # -- end of driver window (first 50 keys above) --
         # ------------------------------------------------------------
-        # below the driver 50-row window: the r14 queue (the five
-        # swapped-out rows first, then the remainder in rotation
-        # order). Every query below is ledger-checked each round.
+        # below the driver 50-row window: the queue (the fourteen
+        # rotated-out r13-window rows first, then the remainder in
+        # rotation order). Every query below is ledger-checked each
+        # round.
         # ------------------------------------------------------------
+        "corpus_dsir_select": q_corpus_dsir_select,
+        "ann_int8_quant": q_ann_int8_quant,
+        "events_rep_points": q_events_rep_points,
+        "corpus_quantile_sketch": q_corpus_quantile_sketch,
+        "events_decayed_topk": q_events_decayed_topk,
+        "cdc_dml_mix_drift": q_cdc_dml_mix_drift,
+        "events_growth_accounting": q_events_growth_accounting,
+        "corpus_vocab_growth": q_corpus_vocab_growth,
+        "ann_recall_curve": q_ann_recall_curve,
+        "events_seasonal_residuals": q_events_seasonal_residuals,
+        "events_holt_forecast": q_events_holt_forecast,
+        "events_peak_concurrency": q_events_peak_concurrency,
+        "events_conversion_latency": q_events_conversion_latency,
+        "events_dau_wau_mau": q_events_dau_wau_mau,
         "doc_fingerprint": q_doc_fingerprint,
-        "sink_kafka_obinlog": q_sink_kafka_obinlog,
         "cdc_incremental_rollup": q_cdc_incremental_rollup,
         "cdc_temporal_join": q_cdc_temporal_join,
         "cdc_incremental_agg_wide": q_cdc_incremental_agg_wide,
@@ -4315,13 +4334,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bot_regularity": q_events_bot_regularity,
         "snapshot_diff_repair": q_snapshot_diff_repair,
         "corpus_gate_sweep": q_corpus_gate_sweep,
-        "corpus_kmv_merge": q_corpus_kmv_merge,
         "doc_semantic_chunks": q_doc_semantic_chunks,
         "text_lang_confusion": q_text_lang_confusion,
         "events_funnel_dropoff": q_events_funnel_dropoff,
         "corpus_fold_leakage": q_corpus_fold_leakage,
         "corpus_effective_tokens": q_corpus_effective_tokens,
-        "corpus_tfidf_topk": q_corpus_tfidf_topk,
         "snapshot_large_orders": q_snapshot_large_orders,
         "snapshot_top_supplier": q_snapshot_top_supplier,
         "snapshot_forecast_revenue": q_snapshot_forecast_revenue,
@@ -4342,10 +4359,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_salt_advisor": q_cdc_salt_advisor,
         "corpus_oov_rate": q_corpus_oov_rate,
         "events_multitouch": q_events_multitouch,
-        "corpus_hll_registers": q_corpus_hll_registers,
-        "snapshot_compaction_plan": q_snapshot_compaction_plan,
-        "corpus_pagerank": q_corpus_pagerank,
-        "cdc_kv_decode": q_cdc_kv_decode,
         "cdc_kv_decode_update": q_cdc_kv_decode_update,
         "cdc_kv_decode_delete": q_cdc_kv_decode_delete,
         "dedup_quality_canonicals": q_dedup_quality_canonicals,
@@ -4363,9 +4376,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash_embed": q_doc_hash_embed,
         "corpus_token_stats": q_corpus_token_stats,
         "text_bigram_lm": q_text_bigram_lm,
-        "corpus_full_curation": q_corpus_full_curation,
-        "ann_pca_project": q_ann_pca_project,
-        "rag_retrieve_pack": q_rag_retrieve_pack,
         "dedup_url_canonical": q_dedup_url_canonical,
         "corpus_source_divergence": q_corpus_source_divergence,
         "text_quality_classifier": q_text_quality_classifier,
@@ -4386,11 +4396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_supplier_part_counts": q_snapshot_supplier_part_counts,
         "snapshot_dominant_suppliers": q_snapshot_dominant_suppliers,
         "ann_kmeans_clusters": q_ann_kmeans_clusters,
-        "dedup_semantic": q_dedup_semantic,
         "cdc_bootstrap_catchup": q_cdc_bootstrap_catchup,
         "cdc_txn_fanout": q_cdc_txn_fanout,
         "corpus_budget_select": q_corpus_budget_select,
-        "cdc_relay_recovery": q_cdc_relay_recovery,
         "cdc_schema_adoption": q_cdc_schema_adoption,
         "dedup_bloom": q_dedup_bloom,
         "snapshot_stats_merge": q_snapshot_stats_merge,
@@ -4427,7 +4435,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_contamination": q_text_contamination,
         "text_pack_sequences": q_text_pack_sequences,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "corpus_inverted_index": q_corpus_inverted_index,
@@ -4438,7 +4445,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_event_counters": q_cdc_event_counters,
         "cdc_update_images": q_cdc_update_images,
         "snapshot_top_customers": q_snapshot_top_customers,
-        "events_funnel": q_events_funnel,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_scd2_incremental": q_cdc_scd2_incremental,

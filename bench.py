@@ -112,6 +112,26 @@ EXTENDED = [
 
 HEADLINE = CORE + EXTENDED
 
+# the rows the optional scale tier re-times (see main): the bench's
+# heaviest data-bound queries plus the r14-touched scale paths
+SCALE_TIER = [
+    "corpus_pagerank",
+    "dedup_consensus",
+    "dedup_semantic",
+    "corpus_full_curation",
+    "cdc_relay_recovery",
+    "dedup_lsh_accuracy",
+    "snapshot_stats_merge",
+    "corpus_kmv_merge",
+    "rag_retrieve_pack",
+    "corpus_hll_registers",
+    "rag_retrieval_ndcg",
+    "corpus_tfidf_topk",
+    "sink_kafka_obinlog",
+    "cdc_kv_decode",
+    "dedup_minhash_lsh",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -246,18 +266,47 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     core_t = {n: timings[n] for n in CORE}
     ext_t = {n: timings[n] for n in EXTENDED}
+    tiers = {
+        "core": {"value": round(sum(core_t.values()), 3),
+                 "queries": core_t},
+        "extended": {"value": round(sum(ext_t.values()), 3),
+                     "queries": ext_t},
+    }
+
+    # Optional SCALE tier (VERDICT r13 item 9): every remaining top
+    # sf0.1 row sits at its per-task-overhead floor, so round-over-
+    # round deltas at the default SF measure scheduling, not data
+    # work. When SPARK_GRAFT_BENCH_SCALE_DIR names a bigger fixture
+    # dir (tools/make_scaled_sf.py output), the heaviest rows re-run
+    # against it with the SAME min-of-3 noop-sink methodology and
+    # land under tiers.scale — NEVER in `queries` or `value`, and
+    # OFF unless the env var is set, so the driver's default
+    # invocation times the same queries at the same scale factor as
+    # every prior round (the bench-contract invariant).
+    scale_dir = os.environ.get("SPARK_GRAFT_BENCH_SCALE_DIR")
+    if scale_dir:
+        scale_t: dict[str, float] = {}
+        for name in SCALE_TIER:
+            best = None
+            for _ in range(3):
+                t0 = time.time()
+                qs[name](spark, scale_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                dt = time.time() - t0
+                release_all()
+                best = dt if best is None else min(best, dt)
+            scale_t[name] = round(best, 3)
+        tiers["scale"] = {"dir": scale_dir,
+                          "value": round(sum(scale_t.values()), 3),
+                          "queries": scale_t}
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "runs_per_query": 3,
         "queries": timings,
-        "tiers": {
-            "core": {"value": round(sum(core_t.values()), 3),
-                     "queries": core_t},
-            "extended": {"value": round(sum(ext_t.values()), 3),
-                         "queries": ext_t},
-        },
+        "tiers": tiers,
         "wire_marshal": wire_marshal,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
