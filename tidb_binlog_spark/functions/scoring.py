@@ -983,24 +983,31 @@ def hll_report(docs: DataFrame, by: str = "source") -> DataFrame:
         F.expr("CAST(conv(substring(md5(shingle), 1, 12), 16, 10) "
                "AS BIGINT)").alias("h")))
     from tidb_binlog_spark.cache import managed_persist
-    # hashed feeds BOTH the direct and the split-half register
-    # branches; their distinct keys differ, so nothing is shared via
-    # exchange reuse and the whole tokenize+shingle+md5 pass ran
-    # twice. Persist the narrow (stratum, doc_id, h) projection once
-    # (r13, guide §2.3/§5 — one corpus pass instead of two; eager so
-    # the branches never race the cold cache): 2.4-2.6 s -> 2.1-2.4 s
-    # min-of-3 at sf0.1.
-    hashed = managed_persist(hashed)
-    hashed.count()
-    d = managed_persist(hashed.select("stratum", "h").distinct())
-    d.count()
+    # ONE (stratum, h)-keyed aggregate carries everything every branch
+    # needs (r14, guide §2.3/§2.4): min/max of the half bit say which
+    # parity halves each distinct hash occurred in, so the direct
+    # register set (the keys), the split-half register set (explode of
+    # the 1-2 halves present — EXACTLY the old
+    # distinct(stratum, half, h) rows), and the exact distinct count
+    # all read this frame. The r13 form persisted the raw
+    # (stratum, doc_id, h) occurrences and ran TWO full distinct
+    # shuffles over them (26M rows each at the 100x dir, 7.4 s + 17.3 s
+    # measured); the single aggregate shuffles the occurrence stream
+    # once with map-side partial aggregation and makes the occurrence
+    # persist unnecessary (the md5 pass now has exactly one consumer).
+    g = managed_persist(
+        hashed.groupBy("stratum", "h")
+        .agg(F.min(F.col("doc_id") % 2).alias("half_min"),
+             F.max(F.col("doc_id") % 2).alias("half_max")))
+    g.count()
+    d = g.select("stratum", "h")
     direct = _hll_summary(_hll_registers(d), "")
-    halves = (hashed
-              .select("stratum", (F.col("doc_id") % 2).alias("half"), "h")
-              .distinct()
-              .select(F.concat_ws("#", "stratum",
-                                  F.col("half").cast("string"))
-                       .alias("stratum"), "h"))
+    halves = (g.select(
+        "h", F.col("stratum").alias("s"),
+        F.explode(F.array_distinct(
+            F.array("half_min", "half_max"))).alias("half"))
+        .select(F.concat_ws("#", "s", F.col("half").cast("string"))
+                .alias("stratum"), "h"))
     merged_regs = (_hll_registers(halves)
                    .select(F.expr("split(stratum, '#')[0]")
                             .alias("stratum"), "register", "rho")
@@ -1008,7 +1015,7 @@ def hll_report(docs: DataFrame, by: str = "source") -> DataFrame:
                    .agg(F.max("rho").alias("rho")))
     merged = (_hll_summary(merged_regs, "m_")
               .select("stratum", "m_s_scaled"))
-    exact = d.groupBy("stratum").agg(
+    exact = g.groupBy("stratum").agg(
         F.count(F.lit(1)).alias("exact_distinct"))
     return (direct.join(merged, "stratum").join(exact, "stratum")
             .withColumn("merge_equal",
