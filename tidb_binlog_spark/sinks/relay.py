@@ -59,9 +59,19 @@ class RelayLog:
 
     def append(self, batch: DataFrame) -> None:
         """WAL write — MUST complete before the downstream apply of the
-        same batch starts (relayer.WriteBinlog precedes loader input)."""
+        same batch starts (relayer.WriteBinlog precedes loader input).
+
+        The batch is clustered by ts_bucket before the partitioned
+        write (r14, guide §6 small files): a wide upstream (the order
+        gate's shuffle output) otherwise writes one file per (task,
+        bucket) — measured ~1000 tasks x ~1000 buckets at the 100x
+        dir, 91 s of the 117 s recovery row spent creating tiny files,
+        with every replay scan paying the listing/open cost again.
+        One shuffle of the batch buys one file per bucket per holding
+        task (the write_pb_dump discipline)."""
         (batch
          .withColumn("ts_bucket", (F.col("commit_ts") / 100000).cast("long"))
+         .repartition(F.col("ts_bucket"))
          .write.mode("append").partitionBy("ts_bucket")
          .parquet(os.path.join(self.root, "log")))
 
