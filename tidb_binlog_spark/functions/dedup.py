@@ -100,8 +100,113 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
             .select("doc_id", "canonical_id", "cluster_size"))
 
 
+def _minhash_signatures_np(src: DataFrame, k: int,
+                           has_shingles: bool) -> DataFrame:
+    """numpy batch engine for :func:`minhash_signatures` (the
+    _simhash_np treatment applied to the signature pass, r14, guide
+    §4.2 — at the 100x dir the expr form's 12 substring+array_min
+    passes over the per-shingle digests were 27-31 s of the 25 s
+    minhash row): one Arrow batch -> shingles (Python twin of
+    text.TOKENS + SHINGLES when fed raw text), factorize to the
+    batch's DISTINCT shingles, md5 once per distinct, turn each
+    digest into k uint32 lane keys with byte/nibble arithmetic
+    (the 8-hex-char slice at offset (j*5 mod 24) reads nibbles
+    o..o+7 of the digest, and lexicographic order over fixed-width
+    lowercase hex EQUALS numeric order of that uint32), fold each
+    doc's shingles with one minimum.reduceat per batch, and format
+    the winning keys back to the identical 8-hex-char strings via
+    one hexlify pass. Values are bit-identical to the expr engine
+    (pinned by tests/test_dedup.py::
+    test_minhash_np_engine_matches_expr, including the <3-token,
+    empty-text and NULL-text fallbacks)."""
+    import pandas as pd
+
+    offs = [(j * 5) % 24 for j in range(k)]
+
+    def fold(batches):
+        import hashlib
+        from binascii import hexlify
+
+        import numpy as np
+
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "sig": pd.Series([], dtype=object)})
+        for pdf in batches:
+            D = len(pdf)
+            if D == 0:
+                yield empty
+                continue
+            if has_shingles:
+                sh_per = [list(x) if x is not None else []
+                          for x in pdf["shingles"]]
+            else:
+                sh_per = []
+                for x in pdf["text"]:
+                    if not isinstance(x, str):
+                        sh_per.append([None])
+                        continue
+                    toks = [t for t in x.split(" ") if t]
+                    if len(toks) >= 3:
+                        sh_per.append([" ".join(toks[i:i + 3])
+                                       for i in range(len(toks) - 2)])
+                    else:
+                        sh_per.append([x])
+            lens = np.fromiter((len(s) for s in sh_per), np.int64, D)
+            flat = pd.Series([s for doc in sh_per for s in doc],
+                             dtype=object)
+            codes, vocab = pd.factorize(flat)   # None -> code -1
+            V = len(vocab)
+            if V:
+                dig = np.frombuffer(
+                    b"".join(hashlib.md5(s.encode("utf-8")).digest()
+                             for s in vocab),
+                    np.uint8).reshape(V, 16)
+                lanes = np.empty((V + 1, k), np.uint32)
+                for j, o in enumerate(offs):
+                    b5 = dig[:, o // 2:o // 2 + 5].astype(np.uint64)
+                    u40 = ((b5[:, 0] << np.uint64(32))
+                           | (b5[:, 1] << np.uint64(24))
+                           | (b5[:, 2] << np.uint64(16))
+                           | (b5[:, 3] << np.uint64(8)) | b5[:, 4])
+                    v = (u40 >> np.uint64(8)) if o % 2 == 0 else \
+                        ((u40 >> np.uint64(4))
+                         & np.uint64(0xFFFFFFFF))
+                    lanes[:V, j] = v.astype(np.uint32)
+            else:
+                lanes = np.empty((1, k), np.uint32)
+            # NULL shingles (code -1) land on the sentinel row and
+            # never win a min (array_min ignores NULLs the same way)
+            lanes[V, :] = np.uint32(0xFFFFFFFF)
+            per_sh = lanes[codes]
+            sigs = np.full((D, k), 0xFFFFFFFF, np.uint32)
+            nz = lens > 0
+            if nz.any():
+                starts = (np.cumsum(lens) - lens)[nz]
+                sigs[nz] = np.minimum.reduceat(per_sh, starts, axis=0)
+            # any doc whose every shingle was NULL (or that had no
+            # shingles at all) yields NULL lanes, like array_min
+            all_null = lens == 0
+            neg = codes < 0
+            if neg.any():
+                n_null = np.zeros(D, np.int64)
+                np.add.at(n_null, np.repeat(np.arange(D), lens), neg)
+                all_null |= (lens > 0) & (n_null == lens)
+            hexes = np.frombuffer(
+                hexlify(np.ascontiguousarray(
+                    sigs.astype(">u4")).tobytes()),
+                dtype="S8").astype("U8").reshape(D, k)
+            out = [None] * D
+            for i in range(D):
+                out[i] = [None] * k if all_null[i] else list(hexes[i])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": out})
+
+    return src.mapInPandas(fold,
+                           schema="doc_id long, sig array<string>")
+
+
 def minhash_signatures(docs: DataFrame, k: int = 12,
-                       shingle_frame: DataFrame | None = None) -> DataFrame:
+                       shingle_frame: DataFrame | None = None,
+                       engine: str | None = None) -> DataFrame:
     """k-permutation MinHash signature per doc.
 
     One md5 per shingle; permutation j orders shingles by an 8-hex-char
@@ -116,7 +221,22 @@ def minhash_signatures(docs: DataFrame, k: int = 12,
     persisted) when shingles are already materialized — multi-signal
     compositions (consensus dedup) tokenize+shingle the corpus once
     and feed BOTH the signature pass and the exact-Jaccard verifier
-    from it, instead of re-deriving shingles per signal."""
+    from it, instead of re-deriving shingles per signal.
+
+    ``engine`` picks the implementation ("np"/"expr"; default from
+    $SPARK_GRAFT_MINHASH_ENGINE, else "np" — the numpy batch fold,
+    r14; the expr form is retained as the parity oracle, exactly the
+    simhash engine arrangement). Values are identical across engines,
+    so every consumer's oracle is unchanged."""
+    if engine is None:
+        engine = os.environ.get("SPARK_GRAFT_MINHASH_ENGINE", "np")
+    if engine == "np":
+        from .text import spread
+        if shingle_frame is not None:
+            src, has = shingle_frame.select("doc_id", "shingles"), True
+        else:
+            src, has = spread(docs).select("doc_id", "text"), False
+        return _minhash_signatures_np(src, k, has)
     # one digest per shingle inline (shingle vocab is nearly as large
     # as the corpus, so a distinct+join would shuffle more than it
     # saves — unlike simhash's word vocab); k orderings via substring
