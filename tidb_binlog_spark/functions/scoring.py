@@ -743,9 +743,8 @@ def kmv_distinct(docs: DataFrame, k: int = 256,
     # (measured 5.3 s -> the explode dominated, twice)
     from ..cache import managed_persist
     d = managed_persist(hashed.distinct())
-    w = Window.partitionBy("stratum").orderBy("h")
-    sketch = (d.withColumn("rank", F.row_number().over(w))
-              .filter(F.col("rank") <= k)
+    sketch = (stratum_smallest_k(d, k,
+                                 two_phase=_scan_bytes(docs) > (64 << 20))
               .groupBy("stratum")
               .agg(F.max("h").alias("kth_hash"),
                    F.count(F.lit(1)).alias("k_used")))
@@ -792,6 +791,57 @@ def surprisal_histogram(docs: DataFrame, bucket_micro: int = 500_000,
                  F.max("mean_surprisal_micro").alias("hi_micro")))
 
 
+def _scan_bytes(df: DataFrame) -> int:
+    """Total bytes of the frame's input files — the no-Spark-job scale
+    probe (the relay-gate pattern): reads the plan's OWN file list, so
+    it cannot drift from the actual input."""
+    total = 0
+    for f in df.inputFiles():
+        p = f[7:] if f.startswith("file://") else f
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            pass
+    return total
+
+
+def stratum_smallest_k(d: DataFrame, k: int,
+                       stratum_cols: tuple[str, ...] = ("stratum",),
+                       n_buckets: int = 1024,
+                       two_phase: bool = True) -> DataFrame:
+    """EXACT k smallest distinct 48-bit hashes per stratum, ranked —
+    without ever funneling a stratum's whole hash set through one
+    window task (r14, guide §2.5; the classify_disorder two-phase
+    treatment applied to per-group top-k: strata are LOW-cardinality
+    — a handful of sources — so Window.partitionBy(stratum) sorted
+    millions of rows per task at the 100x dir). Phase 1 ranks within
+    (stratum, h-range bucket) — parallel, ~n_buckets smaller sorts —
+    and keeps <= k per bucket, a superset of the global k smallest
+    (every global top-k element is top-k of its own bucket); phase 2
+    ranks the <= n_buckets*k survivors exactly. h must be unique per
+    stratum (callers pass DISTINCT frames), so both row_numbers are
+    deterministic and the final rank equals the single-window rank.
+
+    ``two_phase=False`` keeps the plain single window — at bench scale
+    the extra phase-1 window/exchange is pure overhead (kmv_merge
+    measured 2.2 -> 3.8 s at sf0.1 ungated vs 21.7 -> 20.8 s gated-on
+    at the 100x dir), so callers gate on their input bytes
+    (``_scan_bytes``)."""
+    from pyspark.sql import Window
+    w2 = Window.partitionBy(*stratum_cols).orderBy("h")
+    if not two_phase:
+        return (d.withColumn("rank", F.row_number().over(w2))
+                .filter(F.col("rank") <= k))
+    b = (F.col("h") / F.lit((1 << 48) // n_buckets)).cast("long")
+    w1 = Window.partitionBy(*stratum_cols, "_b").orderBy("h")
+    return (d.withColumn("_b", b)
+            .withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= k)
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .drop("_b", "_r1"))
+
+
 def kmv_sketch(docs: DataFrame, k: int = 256,
                by: str = "source") -> DataFrame:
     """The raw KMV sketch rows: per stratum, the k smallest distinct
@@ -810,9 +860,8 @@ def kmv_sketch(docs: DataFrame, k: int = 256,
             F.expr("CAST(conv(substring(md5(shingle), 1, 12), 16, 10) "
                    "AS BIGINT)").alias("h"))
          .distinct())
-    w = Window.partitionBy("stratum").orderBy("h")
-    return (d.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return stratum_smallest_k(d, k,
+                              two_phase=_scan_bytes(docs) > (64 << 20))
 
 
 def kmv_merge_check(docs: DataFrame, k: int = 64,
@@ -847,10 +896,11 @@ def kmv_merge_check(docs: DataFrame, k: int = 64,
                        "16, 10) AS BIGINT)").alias("h"))
         .distinct())
 
+    big = _scan_bytes(docs) > (64 << 20)
+
     def _rank_topk(d: DataFrame) -> DataFrame:
-        wr = Window.partitionBy("stratum").orderBy("h")
-        return (d.withColumn("rank", F.row_number().over(wr))
-                .filter(F.col("rank") <= k))
+        # two-phase exact rank: no one-task-per-stratum sort (§2.5)
+        return stratum_smallest_k(d, k, two_phase=big)
 
     def _sketch_from(hashes: DataFrame) -> DataFrame:
         return _rank_topk(hashes.select("stratum", "h").distinct())

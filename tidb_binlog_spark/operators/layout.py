@@ -120,6 +120,11 @@ def partition_stats_with_merge_proof(df: DataFrame, part_expr: str,
         F.count(F.lit(1)).alias("n_rows"),
         F.min("v").alias("min_v"), F.max("v").alias("max_v"))
     dh = base.select("scope", "h").distinct()
+    # scope = one partition value (e.g. ship-month): cardinality grows
+    # with the table, so the single rank window stays parallel — the
+    # two-phase stratum_smallest_k treatment measured SLOWER here
+    # (33.7 vs 28.6-30.5 s at the 100x dir; it pays off only for
+    # handful-of-strata groupings like the KMV source sketches)
     wp = Window.partitionBy("scope").orderBy("h")
     mins = managed_persist(
         dh.withColumn("rnk", F.row_number().over(wp))
@@ -138,10 +143,17 @@ def partition_stats_with_merge_proof(df: DataFrame, part_expr: str,
                 .agg(F.max("h").alias("kth_hash"),
                      F.count(F.lit(1)).alias("k_used")))
 
+    # the direct global sketch reads the per-(scope, h) distinct frame
+    # instead of re-distincting the raw base (r14, guide §2.4): the
+    # distinct-of-h SET is identical either way, so the sketch value
+    # is unchanged, but one full-width distinct exchange over the base
+    # disappears; the merge proof keeps its independence — its MERGED
+    # side folds the truncated per-partition sketches (``mins``), a
+    # genuinely different path from any data-wide distinct.
     direct = (base.agg(F.count(F.lit(1)).alias("n_rows"),
                        F.min("v").alias("min_v"),
                        F.max("v").alias("max_v"))
-              .crossJoin(global_sketch(base)))
+              .crossJoin(global_sketch(dh)))
     merged = (agg.agg(F.sum("n_rows").cast("long").alias("m_n"),
                       F.min("min_v").alias("m_min"),
                       F.max("max_v").alias("m_max"))
